@@ -1,13 +1,114 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.exec.Executor
+import graft.safety.Validator
+import graft.sources.Sources
+
+/**
+ * Shared declared-query inventory (SURVEY.md §2.12): each SQL text is both
+ * the Spark query (executed through the engine's validate → limit-inject →
+ * execute path) and the DuckDB oracle. Single source of truth keeps the
+ * column names identical on both sides.
+ *
+ * Determinism rules: every query carries a total ORDER BY when row
+ * selection matters; float *aggregates* are ROUNDed (sum→2dp, avg→4dp)
+ * because parallel summation order differs between engines; raw column
+ * values pass through exactly. Timestamps that stand in for DATEs are cast.
+ */
+object Queries {
+  // Queries here run verbatim in both Spark SQL and DuckDB.
+  val sql: Seq[(String, String)] = Seq(
+    // --- projections / filters (SURVEY §2.2) ---
+    "d01_project_limit" ->
+      "SELECT c_name, c_acctbal FROM customer ORDER BY c_custkey LIMIT 100",
+    "d02_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 100",
+    "d03_filter_and" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "d04_like" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey LIMIT 100",
+    "d05_not_null" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey LIMIT 100",
+    "d06_date_filter" ->
+      "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_odate FROM orders WHERE o_orderdate >= DATE '1995-01-01' ORDER BY o_orderkey LIMIT 100",
+    "d20_case_when" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS band FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "d24_between" ->
+      "SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 15 ORDER BY p_partkey LIMIT 100",
+    "d25_in_list" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('FRANCE', 'GERMANY', 'EGYPT') ORDER BY n_nationkey LIMIT 100",
+    // --- joins (§2.3) ---
+    "d07_join_fk" ->
+      "SELECT c.c_name, o.o_totalprice FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey ORDER BY o.o_orderkey LIMIT 100",
+    "d08_join_chain" ->
+      "SELECT n.n_name, c.c_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA' ORDER BY c.c_custkey LIMIT 100",
+    "d26_self_join" ->
+      "SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey ORDER BY nk_a, nk_b LIMIT 100",
+    // --- aggregations (§2.4) ---
+    "d09_groupby_count" ->
+      "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100",
+    "d10_groupby_sum_avg" ->
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus LIMIT 100",
+    "d11_min_max" ->
+      "SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx FROM part",
+    "d12_count_distinct" ->
+      "SELECT COUNT(DISTINCT c_mktsegment) AS d FROM customer",
+    // --- windows (§2.5) ---
+    "d13_window_avg" ->
+      "SELECT c_custkey, c_mktsegment, c_acctbal, ROUND(AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg FROM customer ORDER BY c_custkey LIMIT 100",
+    "d14_window_rank" ->
+      "SELECT * FROM (SELECT s_suppkey, s_name, RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk FROM supplier) t WHERE rnk <= 10 ORDER BY rnk, s_suppkey LIMIT 100",
+    // --- sorts / top-k (§2.6) ---
+    "d15_topn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    // --- set ops / subqueries / CTEs (§2.7) ---
+    "d16_union" ->
+      "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier ORDER BY k LIMIT 100",
+    "d17_scalar_subquery" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) ORDER BY c_custkey LIMIT 100",
+    "d18_in_subquery" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey LIMIT 100",
+    "d19_cte" ->
+      "WITH big AS (SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey) SELECT c.c_name, ROUND(b.s, 2) AS s FROM big b JOIN customer c ON c.c_custkey = b.o_custkey WHERE b.s > 300000 ORDER BY c.c_custkey LIMIT 100",
+    "d27_exists" ->
+      "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49) ORDER BY s_suppkey LIMIT 100",
+    // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
+    "d21_profile_domain" ->
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",
+    "d22_profile_stats" ->
+      "SELECT ROUND(MIN(l_quantity), 2) AS mn, ROUND(MAX(l_quantity), 2) AS mx, ROUND(AVG(l_quantity), 4) AS av FROM lineitem WHERE l_quantity IS NOT NULL",
+    "d23_profile_count" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem")
+
+  val byName: Map[String, String] = sql.toMap
+}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Run one declared query through the engine's full safety path:
+    * register sources → parse → denylist → allow-list → limit check →
+    * execute (LIMIT injected if absent). */
+  private[graft] def engineFrame(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val tables = Sources.register(spark, dir)
+    Validator.validate(spark, sql, tables.toSet) match {
+      case Right(v) => Executor.frame(spark, v, limit = Executor.DefaultLimit)
+      case Left(err) => throw new IllegalArgumentException(s"${err.kind}: ${err.message}")
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    engineFrame(spark, "/root/testdata/sf0.001", Queries.byName("d08_join_chain"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.sql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => engineFrame(s, dir, q))
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.byName
 }

@@ -1,0 +1,127 @@
+package graft.exec
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException => JTimeoutException}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core._
+import graft.safety.Validator
+import graft.safety.Validator.Validated
+
+/**
+ * Execution layer: cost gate + timed, LIMIT-capped, read-only execution
+ * (V9/V10 in SURVEY.md §2.8; ref `app/ai/nl2sql.py:332-374`,
+ * `app/routes_ai.py:277-306`).
+ *
+ * Scale notes: the only distributed step is the Spark action itself; the
+ * driver never materializes more than the injected LIMIT (default 100,
+ * hard ceiling `maxRows` 500 — ref README.md:113-118). The cost gate reads
+ * optimizer statistics off the already-built plan — no extra cluster
+ * round-trip (unlike the reference's separate EXPLAIN connection).
+ */
+object Executor {
+
+  /** Governance defaults (ref: routes_ai.py:134-135, README.md:113-118,
+    * routes_ai.py:281-285). */
+  val DefaultLimit = 100
+  val MaxRows = 500
+  val DefaultTimeoutMs = 5000L
+  val ExplainGateRows = 100000L
+
+  /** Build the capped DataFrame for validated SQL: execute the validated
+    * text and inject `limit(n)` when the plan had no top-level LIMIT —
+    * semantics of the reference's AST rewrite (nl2sql.py:299-306). */
+  def frame(spark: SparkSession, v: Validated, limit: Int = DefaultLimit): DataFrame = {
+    val df = spark.sql(v.sql)
+    if (v.needsLimit) df.limit(math.min(limit, MaxRows)) else df
+  }
+
+  /**
+   * EXPLAIN cost gate (V9, ref routes_ai.py:277-285): reject when the
+   * optimizer's estimated output cardinality exceeds `maxEstimatedRows`.
+   * Uses Catalyst plan statistics (rowCount when CBO/row-count stats are
+   * available, else a sizeInBytes-derived estimate) instead of the
+   * reference's Postgres `EXPLAIN … rows=` regex.
+   */
+  def costGate(df: DataFrame, maxEstimatedRows: Long = ExplainGateRows): Either[EngineError, Unit] = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val estRows: BigInt = stats.rowCount.getOrElse {
+      // Conservative fallback: assume ~32 bytes/row when only sizeInBytes
+      // is known (parquet views without ANALYZE).
+      val width = math.max(32, df.schema.fields.length * 16)
+      stats.sizeInBytes / width
+    }
+    if (estRows > BigInt(maxEstimatedRows))
+      Left(PlanTooLargeError(s"Plan too large: estimated rows $estRows > $maxEstimatedRows"))
+    else Right(())
+  }
+
+  /** Timed collect with job-group cancellation — the Spark analogue of
+    * `SET LOCAL statement_timeout` (V10, ref nl2sql.py:332-342). */
+  def collectWithTimeout(spark: SparkSession, df: DataFrame, timeoutMs: Long): Either[EngineError, Array[Row]] = {
+    val group = s"graft-exec-${System.nanoTime()}"
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[Array[Row]] {
+        override def call(): Array[Row] = {
+          spark.sparkContext.setJobGroup(group, "graft timed execution", interruptOnCancel = true)
+          try df.collect() finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try Right(fut.get(timeoutMs, TimeUnit.MILLISECONDS))
+      catch {
+        case _: JTimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fut.cancel(true)
+          Left(TimeoutError(s"Execution exceeded ${timeoutMs}ms"))
+        case e: java.util.concurrent.ExecutionException =>
+          Left(ExecutionError(Option(e.getCause).getOrElse(e).getMessage.take(1000)))
+      }
+    } finally pool.shutdownNow()
+  }
+
+  /** JSON-safe coercion at the sink (ref nl2sql.py:325-330): Decimal →
+    * double, temporal → ISO-8601 string, nested → JSON-ish string. */
+  def jsonSafe(v: Any): Any = v match {
+    case null => null
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: scala.math.BigDecimal => d.doubleValue
+    case d: java.sql.Date => d.toString
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case t: java.time.Instant => t.toString
+    case d: java.time.LocalDate => d.toString
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case s: collection.Seq[_] => s.map(jsonSafe).mkString("[", ",", "]")
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => s""""$k":${jsonSafe(x)}""" }.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(jsonSafe).mkString("[", ",", "]")
+    case other => other
+  }
+
+  /** Full guarded execution: cost gate → timed collect → JSON-safe rows +
+    * explain capture (the reference's `/ai/run` tail — main.py:298-331). */
+  def run(
+      spark: SparkSession,
+      v: Validated,
+      limit: Int = DefaultLimit,
+      timeoutMs: Long = DefaultTimeoutMs): Either[EngineError, QueryResult] = {
+    val df = frame(spark, v, limit)
+    for {
+      _ <- costGate(df)
+      rows <- collectWithTimeout(spark, df, timeoutMs)
+    } yield QueryResult(
+      sql = v.sql,
+      columns = df.columns.toSeq,
+      rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
+      rowcount = rows.length,
+      explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+  }
+
+  /** Validate + execute raw SQL in one call. */
+  def runSql(
+      spark: SparkSession,
+      sql: String,
+      allowedTables: Set[String],
+      limit: Int = DefaultLimit,
+      timeoutMs: Long = DefaultTimeoutMs): Either[EngineError, QueryResult] =
+    Validator.validate(spark, sql, allowedTables).flatMap(run(spark, _, limit, timeoutMs))
+}

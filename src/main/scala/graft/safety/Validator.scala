@@ -1,0 +1,209 @@
+package graft.safety
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.parser.ParseException
+import org.apache.spark.sql.catalyst.plans.logical._
+import graft.core.{EngineError, ParseError, SqlSafetyError}
+
+/**
+ * SQL safety validation — the reference's "planner" layer (V1–V8 in
+ * SURVEY.md §2.8), re-implemented over Catalyst logical plans instead of
+ * sqlglot ASTs (ref: `app/ai/nl2sql.py:87-316`).
+ *
+ * Pipeline: extract SQL text → parse (`sqlParser.parsePlan`) →
+ * statement-kind denylist → table allow-list → LIMIT-present check →
+ * structure checks. LIMIT *injection* happens at the execution layer
+ * (`Executor`) via `df.limit(n)` when `needsLimit` — semantically
+ * identical to the reference's AST rewrite (nl2sql.py:299-306) without
+ * re-rendering SQL.
+ */
+object Validator {
+
+  /** Tokens that mark a line as "still SQL" during extraction
+    * (ref token list: nl2sql.py:104-127). */
+  private val sqlTokens = Seq(
+    "select", "from", "where", "join", "on", "group", "order", "by", "having",
+    "limit", "offset", "union", "with", "case", "when", "then", "else", "end",
+    "and", "or", "not", "in", "exists", "between", "like", "ilike", "is",
+    "null", "distinct", "as", "asc", "desc", "inner", "left", "right", "full",
+    "outer", "cross", "count", "sum", "avg", "min", "max", "over", "partition")
+
+  /**
+   * Extract a SQL statement from raw LLM output: strip markdown fences,
+   * start at the first SELECT/WITH, keep lines while they look like SQL,
+   * stop at prose or `;` (ref: nl2sql.py:87-138).
+   */
+  def extractSql(raw: String): Option[String] = {
+    val noFences = raw.linesIterator.filterNot(_.trim.startsWith("```")).mkString("\n")
+    val lines = noFences.linesIterator.toVector
+    val start = lines.indexWhere { l =>
+      val t = l.trim.toLowerCase
+      t.startsWith("select") || t.startsWith("with")
+    }
+    if (start < 0) return None
+    val sb = new StringBuilder
+    var done = false
+    for (line <- lines.drop(start) if !done) {
+      val t = line.trim
+      val lower = t.toLowerCase
+      val words = lower.split("[^a-z_*]+").filter(_.nonEmpty)
+      val looksSql = sb.isEmpty || t.isEmpty ||
+        words.isEmpty || words.exists(sqlTokens.contains) ||
+        t.startsWith("(") || t.startsWith(")")
+      if (!looksSql) done = true
+      else {
+        val cut = t.indexOf(';')
+        if (cut >= 0) { sb.append(t.substring(0, cut)).append(' '); done = true }
+        else sb.append(t).append(' ')
+      }
+    }
+    val sql = sb.toString.trim
+    if (sql.isEmpty) None else Some(sql)
+  }
+
+  /** Parse SQL into an (unresolved) logical plan; parse failure is a
+    * safety error, as in the reference (nl2sql.py:280-286). */
+  def parse(spark: SparkSession, sql: String): Either[EngineError, LogicalPlan] =
+    try Right(spark.sessionState.sqlParser.parsePlan(sql))
+    catch {
+      case e: ParseException => Left(ParseError(s"SQL parse failed: ${e.getMessage.take(500)}"))
+      case e: Exception => Left(ParseError(s"SQL parse failed: ${e.getMessage}"))
+    }
+
+  /**
+   * Statement-kind denylist (V3, ref nl2sql.py:176,285-290): reject any
+   * DDL/DML — only pure query plans are admitted. In Catalyst terms: the
+   * root must not be a `Command` (covers CREATE/DROP/ALTER/TRUNCATE/…)
+   * and no node anywhere may be an INSERT/UPDATE/DELETE/MERGE.
+   */
+  def ensureSelectOnly(plan: LogicalPlan): Either[EngineError, Unit] = {
+    def deny(reason: String) = Left(SqlSafetyError(s"Only read-only SELECT statements are allowed: $reason"))
+    plan match {
+      case _: Command => deny("DDL/utility command")
+      case _ =>
+        val bad = plan.collectFirst {
+          case _: InsertIntoStatement => "INSERT"
+          case _: UpdateTable => "UPDATE"
+          case _: DeleteFromTable => "DELETE"
+          case _: MergeIntoTable => "MERGE"
+          case c: Command => c.nodeName
+        }
+        bad match {
+          case Some(kind) => deny(kind)
+          case None => Right(())
+        }
+    }
+  }
+
+  /** All base relations referenced by the plan, minus CTE-defined names
+    * (sqlglot's find_all(exp.Table) analogue — ref nl2sql.py:292-313). */
+  def referencedTables(plan: LogicalPlan): Set[String] = {
+    val cteNames = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+    }.toSet -- cteNames
+  }
+
+  /** Table allow-list (V4, ref nl2sql.py:292-313). */
+  def ensureTablesAllowed(plan: LogicalPlan, allowed: Set[String]): Either[EngineError, Unit] = {
+    val allowedLower = allowed.map(_.toLowerCase)
+    val refs = referencedTables(plan)
+    val illegal = refs -- allowedLower
+    if (illegal.nonEmpty)
+      Left(SqlSafetyError(s"Tables not allowed: ${illegal.toSeq.sorted.mkString(", ")}"))
+    else Right(())
+  }
+
+  /** Does the plan already cap result cardinality at the top? Unwraps one
+    * subquery/CTE level like the reference (nl2sql.py:299-306). */
+  def hasTopLevelLimit(plan: LogicalPlan): Boolean = {
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => unwrap(child)
+      case w: UnresolvedWith => unwrap(w.child)
+      case other => other
+    }
+    unwrap(plan) match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _ => false
+    }
+  }
+
+  private def hasNode(plan: LogicalPlan)(pf: PartialFunction[LogicalPlan, Boolean]): Boolean =
+    plan.collectFirst(pf).getOrElse(false)
+
+  def hasAggregate(plan: LogicalPlan): Boolean =
+    hasNode(plan) { case _: Aggregate => true } ||
+      // COUNT(*) etc. without GROUP BY parses to Aggregate too, but a bare
+      // windowed agg lives in Project expressions — scan those as well.
+      plan.expressions.exists(_.find {
+        case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => false
+        case _ => false
+      }.isDefined)
+
+  def hasWindow(plan: LogicalPlan): Boolean =
+    hasNode(plan) {
+      case p if p.expressions.exists(_.find {
+        case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+        case _ => false
+      }.isDefined) => true
+    }
+
+  def hasJoin(plan: LogicalPlan): Boolean = hasNode(plan) { case _: Join => true }
+
+  def hasDistinct(plan: LogicalPlan): Boolean =
+    hasNode(plan) {
+      case _: Distinct => true
+      case _: Deduplicate => true
+      case a: Aggregate if a.aggregateExpressions == a.groupingExpressions => true
+    }
+
+  /**
+   * Aggregation-requirement check (V7, ref nl2sql.py:178-219): if the
+   * question demands aggregation/grouping, the plan must contain an
+   * Aggregate or Window. Keyword detection lives in `link.Intent`.
+   */
+  def validateAggregationRequirement(plan: LogicalPlan, needsAggregation: Boolean): Either[EngineError, Unit] =
+    if (needsAggregation && !hasAggregate(plan) && !hasWindow(plan))
+      Left(SqlSafetyError("Question requires aggregation but SQL has no aggregate/window"))
+    else Right(())
+
+  /**
+   * Structure checks (V8, ref nl2sql.py:222-278): multi-table queries must
+   * join; "unique/distinct" questions must deduplicate.
+   */
+  def validateStructure(plan: LogicalPlan, wantsDistinct: Boolean): Either[EngineError, Unit] = {
+    val tables = referencedTables(plan)
+    if (tables.size > 1 && !hasJoin(plan) && !hasSetOp(plan))
+      Left(SqlSafetyError(s"Query references ${tables.size} tables but has no JOIN"))
+    else if (wantsDistinct && !hasDistinct(plan) && !hasAggregate(plan))
+      Left(SqlSafetyError("Question asks for unique values but SQL has no DISTINCT"))
+    else Right(())
+  }
+
+  def hasSetOp(plan: LogicalPlan): Boolean =
+    hasNode(plan) { case _: Union | _: Intersect | _: Except => true }
+
+  /** Validation outcome: the parsed plan plus whether a LIMIT must be
+    * injected at execution. */
+  final case class Validated(sql: String, plan: LogicalPlan, needsLimit: Boolean)
+
+  /** Full validation chain over raw SQL (the `/ai/run` safety path —
+    * ref main.py:298-331). */
+  def validate(
+      spark: SparkSession,
+      sql: String,
+      allowedTables: Set[String],
+      needsAggregation: Boolean = false,
+      wantsDistinct: Boolean = false): Either[EngineError, Validated] =
+    for {
+      plan <- parse(spark, sql)
+      _ <- ensureSelectOnly(plan)
+      _ <- ensureTablesAllowed(plan, allowedTables)
+      _ <- validateAggregationRequirement(plan, needsAggregation)
+      _ <- validateStructure(plan, wantsDistinct)
+    } yield Validated(sql, plan, needsLimit = !hasTopLevelLimit(plan))
+}
