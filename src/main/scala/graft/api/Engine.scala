@@ -1,0 +1,132 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import graft.catalog.{Fingerprint, Profiler}
+import graft.core._
+import graft.exec.Executor
+import graft.explain.Explainer
+import graft.gen.{LlmClient, NoOpLlmClient, Ranker, Templates}
+import graft.link.{Fuzzy, Intent}
+import graft.safety.Validator
+import graft.sources.Sources
+
+/**
+ * Engine facade — the reference's API surface re-expressed as a library
+ * (SURVEY.md §3; ref `app/main.py`, `app/routes_ai.py`):
+ *
+ *  - `run(sql)`        ≙ POST /ai/run   (validate → cap → gate → execute)
+ *  - `ask(question)`   ≙ POST /ai/ask   (link → intent → generate → rank →
+ *                                        validate → execute, fallback chain)
+ *  - `nl2sql(question)`≙ POST /ai/nl2sql (generation + validation, no exec)
+ *  - `schemaOverview`  ≙ GET /schema/overview
+ *  - `profile`         ≙ POST /models/train's crawl stage
+ *
+ * The ask path never throws: failures return the error envelope, matching
+ * the reference's always-answer contract (V13, routes_ai.py:111-147).
+ */
+final class Engine(
+    val spark: SparkSession,
+    val tables: Seq[String],
+    val fks: Seq[FkEdge],
+    llm: LlmClient = NoOpLlmClient) {
+
+  private def lightweightSchema: Map[String, Seq[String]] =
+    tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
+
+  def schemaOverview: Map[String, Seq[(String, String, Boolean)]] =
+    Sources.overview(spark, tables)
+
+  def schemaId: String = Fingerprint.schemaId(lightweightSchema)
+
+  def profile(exact: Boolean = false): SchemaMetadata =
+    Profiler.crawl(spark, tables, fks, exact)
+
+  /** Direct SQL execution with the full safety chain (ref main.py:298-331). */
+  def run(sql: String, limit: Int = Executor.DefaultLimit,
+      timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] =
+    Validator.validate(spark, sql, tables.toSet)
+      .flatMap(v => Executor.run(spark, v, limit, timeoutMs))
+      .map(r => r.copy(explanation = Validator.parse(spark, sql).toOption
+        .map(Explainer.explain).getOrElse("")))
+
+  /** Generation without execution (ref main.py:262-296). */
+  def nl2sql(question: String): Either[EngineError, (String, SchemaSlice)] = {
+    val slice = Fuzzy.selectRelevant(question, lightweightSchema)
+    val analysis = Intent.analyze(question, tables)
+    val cands = Templates.candidates(slice, fks, analysis)
+    val ranked = Ranker.rank(cands, slice.tables.keySet)
+    ranked.view
+      .map { case (c, _) =>
+        Validator.validate(spark, c.sql, tables.toSet,
+          needsAggregation = false, wantsDistinct = false).map(_ => c.sql)
+      }
+      .collectFirst { case Right(sql) => Right((sql, slice)) }
+      .getOrElse(Left(SqlSafetyError("No valid candidate generated")))
+  }
+
+  /** Full NL→SQL→result pipeline with candidate fallback chain
+    * (ref routes_ai.py:150-317). Tries LLM candidates first when a client
+    * is configured, then deterministic templates — executing the first
+    * candidate that survives validation and the cost gate. */
+  def ask(question: String, limit: Int = Executor.DefaultLimit,
+      timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] = {
+    val schema = lightweightSchema
+    val slice = Fuzzy.selectRelevant(question, schema)
+    val analysis = Intent.analyze(question, tables)
+
+    val llmCands = llm.chatComplete(
+      system = "Generate SQL candidates prefixed QUERY: for the user question.",
+      user = Prompting.build(question, slice, analysis), maxTokens = 512) match {
+      case Right(raw) => graft.gen.LlmCandidates.parse(raw)
+        .flatMap(Validator.extractSql)
+        .map(Templates.Candidate(_, 0.7, "llm"))
+      case Left(_) => Nil
+    }
+    val cands = llmCands ++ Templates.candidates(slice, fks, analysis)
+    val ranked = Ranker.rank(cands, slice.tables.keySet)
+    if (ranked.isEmpty) return Left(SqlSafetyError("No candidates generated"))
+
+    val needsAgg = Intent.needsAggregation(question)
+    val wantsDistinct = Intent.wantsDistinct(question)
+
+    var lastErr: EngineError = SqlSafetyError("No candidate validated")
+    for ((c, _) <- ranked) {
+      Validator.validate(spark, c.sql, tables.toSet, needsAgg, wantsDistinct)
+        .flatMap(v => Executor.run(spark, v, limit, timeoutMs)) match {
+        case Right(r) =>
+          return Right(r.copy(explanation = Validator.parse(spark, c.sql).toOption
+            .map(Explainer.explain).getOrElse("")))
+        case Left(err) => lastErr = err
+      }
+    }
+    Left(lastErr)
+  }
+}
+
+object Engine {
+  /** Build an engine over the fixture tables in `dir`. */
+  def forFixtures(spark: SparkSession, dir: String, llm: LlmClient = NoOpLlmClient): Engine = {
+    val registered = Sources.register(spark, dir)
+    new Engine(spark, registered, Sources.fixtureFks, llm)
+  }
+}
+
+/** Prompt/context builder (N5 in SURVEY.md §2.9; ref
+  * query_intent.py:324-379, nl2sql.py:78-85). */
+object Prompting {
+  def build(question: String, slice: SchemaSlice, analysis: Intent.Analysis): String = {
+    val schemaText = slice.tables.toSeq.sortBy(_._1)
+      .map { case (t, cols) => s"- $t(${cols.mkString(", ")})" }.mkString("\n")
+    val hints = analysis.hints.map("- " + _).mkString("\n")
+    s"""Schema:
+       |$schemaText
+       |
+       |Detected intent: ${analysis.intent.name} (confidence ${analysis.confidence})
+       |Required clauses: ${analysis.requiredClauses.mkString(", ")}
+       |Guidance:
+       |$hints
+       |
+       |Question: $question
+       |Answer with SQL only. Use exact table and column names.""".stripMargin
+  }
+}

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/**
+ * Schema profiler (S4–S6, A6–A8 in SURVEY.md §2; ref
+ * `app/schema/crawler.py:142-275`): row counts, per-column distinct
+ * cardinality, numeric min/max/avg, categorical domain extraction
+ * (distinct ≤ `domainCap`), and row samples.
+ *
+ * Scale design: where the reference issues one SQL query per column per
+ * statistic (a connection-bound loop), this computes ALL per-column
+ * statistics of a table in a SINGLE aggregation pass (one job, one scan —
+ * partial aggregation map-side). Distinct counts default to
+ * `approx_count_distinct` (HLL++, mergeable, no shuffle explosion at
+ * 100 TB); `exact = true` restores the reference's exact semantics for
+ * parity tests. Domain extraction only scans columns the first pass proved
+ * low-cardinality.
+ */
+object Profiler {
+
+  val DomainCap = 100 // ref crawler.py:249
+  val SampleSize = 100 // ref routes_models.py:179
+
+  /** The reference's numeric-type classification rule: type-string
+    * substring match (ref crawler.py:255). */
+  def isNumericType(typeName: String): Boolean = {
+    val t = typeName.toLowerCase
+    Seq("int", "numeric", "decimal", "float", "double", "real").exists(t.contains)
+  }
+
+  def profileTable(
+      spark: SparkSession,
+      name: String,
+      df: DataFrame,
+      exact: Boolean = false,
+      domainCap: Int = DomainCap,
+      sampleSize: Int = SampleSize): TableInfo = {
+    val fields = df.schema.fields
+
+    // Single-pass aggregation: count(*) + per-column [distinct, min, max, avg]
+    val distinctAggs = fields.map { f =>
+      val d = if (exact) countDistinct(col(f.name)) else approx_count_distinct(col(f.name))
+      d.cast("long").as(s"__d_${f.name}")
+    }
+    val numericAggs = fields.filter(f => isNumericType(f.dataType.sql)).flatMap { f =>
+      Seq(
+        min(col(f.name)).cast("double").as(s"__mn_${f.name}"),
+        max(col(f.name)).cast("double").as(s"__mx_${f.name}"),
+        avg(col(f.name)).cast("double").as(s"__av_${f.name}"))
+    }
+    val aggs = (Seq(count(lit(1)).as("__rows")) ++ distinctAggs ++ numericAggs)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    def opt(colName: String): Option[Double] =
+      if (row.schema.fieldNames.contains(colName) && !row.isNullAt(row.fieldIndex(colName)))
+        Some(row.getDouble(row.fieldIndex(colName)))
+      else None
+
+    val rowCount = row.getLong(row.fieldIndex("__rows"))
+
+    // Domain extraction only for proven-low-cardinality columns
+    // (ref crawler.py:249-252: DISTINCT col ORDER BY col LIMIT 100).
+    val columns = fields.map { f =>
+      val d = row.getLong(row.fieldIndex(s"__d_${f.name}"))
+      val domain =
+        if (d <= domainCap && d > 0)
+          Some(df.select(col(f.name)).where(col(f.name).isNotNull)
+            .distinct().orderBy(col(f.name)).limit(domainCap)
+            .collect().map(r => String.valueOf(r.get(0))).toSeq)
+        else None
+      ColumnInfo(
+        name = f.name,
+        dataType = f.dataType.sql,
+        nullable = f.nullable,
+        distinctCount = Some(d),
+        min = opt(s"__mn_${f.name}"),
+        max = opt(s"__mx_${f.name}"),
+        avg = opt(s"__av_${f.name}"),
+        uniqueValues = domain)
+    }
+
+    val samples = df.limit(math.min(sampleSize, 10)).collect().map { r =>
+      fields.map(f => f.name -> String.valueOf(r.get(r.fieldIndex(f.name)))).toMap
+    }
+
+    TableInfo(name, columns.toSeq, rowCount = Some(rowCount), sampleRows = samples.toSeq)
+  }
+
+  /** Crawl a set of registered views into SchemaMetadata with the FK
+    * sidecar + mined synonyms (the reference's deep crawl, crawler.py:142-194). */
+  def crawl(
+      spark: SparkSession,
+      tables: Seq[String],
+      fks: Seq[FkEdge],
+      exact: Boolean = false): SchemaMetadata = {
+    val infos = tables.map { t =>
+      val fkCols = fks.filter(_.fromTable == t).map(_.fromColumn)
+      val ti = profileTable(spark, t, spark.table(t), exact)
+      t -> ti.copy(foreignKeyColumns = fkCols,
+        columns = ti.columns.map(c => c.copy(isForeignKey = fkCols.contains(c.name))))
+    }.toMap
+    val light = infos.map { case (t, ti) => t -> ti.columns.map(_.name) }
+    SchemaMetadata(infos, fks, Synonyms.mine(light))
+  }
+}

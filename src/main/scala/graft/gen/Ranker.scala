@@ -1,0 +1,19 @@
+package graft.gen
+
+/**
+ * Candidate ranking (N11 in SURVEY.md §2.9; ref
+ * `app/models/inference.py:283-313`): base confidence + 0.1 per referenced
+ * relevant table + 0.1 if the SQL joins; capped at 1.0; sorted descending.
+ */
+object Ranker {
+
+  def score(c: Templates.Candidate, relevantTables: Set[String]): Double = {
+    val lower = c.sql.toLowerCase
+    val tableBonus = relevantTables.count(t => lower.contains(t.toLowerCase)) * 0.1
+    val joinBonus = if (lower.contains(" join ")) 0.1 else 0.0
+    math.min(1.0, c.confidence + tableBonus + joinBonus)
+  }
+
+  def rank(cs: Seq[Templates.Candidate], relevantTables: Set[String]): Seq[(Templates.Candidate, Double)] =
+    cs.map(c => c -> score(c, relevantTables)).sortBy { case (c, s) => (-s, c.sql) }
+}

@@ -1,0 +1,94 @@
+package graft.link
+
+import graft.core.SchemaSlice
+
+/**
+ * Fuzzy schema linking (N1–N3 in SURVEY.md §2.9; ref
+ * `app/ai/nl2sql.py:23-46`).
+ *
+ * `partialRatio` reproduces the RapidFuzz partial-ratio contract: the best
+ * normalized Indel similarity (×100) of the shorter string against all
+ * same-length substrings of the longer one. Indel similarity of (a, b) is
+ * `2·LCS(a,b) / (|a|+|b|)`. Schema names are tiny, so the O(m·n·w)
+ * sliding-window LCS here is driver-side trivial; the `fuzzy_ratio`
+ * Catalyst expression in `graft.functions` serves the distributed case.
+ */
+object Fuzzy {
+
+  /** Length of the longest common subsequence. */
+  private def lcs(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        cur(j + 1) =
+          if (a.charAt(i) == b.charAt(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Normalized Indel similarity ×100 (rounded to nearest int). */
+  def ratio(a: String, b: String): Int = {
+    if (a.isEmpty && b.isEmpty) return 100
+    if (a.isEmpty || b.isEmpty) return 0
+    math.round(200.0 * lcs(a, b) / (a.length + b.length)).toInt
+  }
+
+  /** Best `ratio` of the shorter string over every same-length window of
+    * the longer string (case-insensitive). */
+  def partialRatio(s1: String, s2: String): Int = {
+    val (a, b) =
+      if (s1.length <= s2.length) (s1.toLowerCase, s2.toLowerCase)
+      else (s2.toLowerCase, s1.toLowerCase)
+    if (a.isEmpty) return if (b.isEmpty) 100 else 0
+    var best = 0
+    var start = 0
+    val w = a.length
+    while (start <= b.length - w && best < 100) {
+      best = math.max(best, ratio(a, b.substring(start, start + w)))
+      start += 1
+    }
+    if (b.length < w) best = ratio(a, b) // degenerate: never happens after swap
+    best
+  }
+
+  val TopTables = 4 // ref nl2sql.py:31
+  val TopColumns = 8 // ref nl2sql.py:40
+
+  /** Score a table for a question: max of the table-name score and any
+    * column-name score (ref nl2sql.py:23-33). */
+  def tableScore(question: String, table: String, columns: Seq[String]): Int = {
+    val t = partialRatio(table, question)
+    val c = if (columns.isEmpty) 0 else columns.map(partialRatio(_, question)).max
+    math.max(t, c)
+  }
+
+  /**
+   * Prune a schema to the top-4 tables and top-8 columns per table, always
+   * appending `id` / `{table}_id` when present (ref nl2sql.py:23-46).
+   */
+  def selectRelevant(question: String, schema: Map[String, Seq[String]]): SchemaSlice = {
+    val tables = schema.toSeq
+      .map { case (t, cols) => (t, cols, tableScore(question, t, cols)) }
+      .sortBy { case (t, _, score) => (-score, t) }
+      .take(TopTables)
+    val sliced = tables.map { case (t, cols, _) =>
+      val ranked = cols
+        .map(c => (c, partialRatio(c, question)))
+        .sortBy { case (c, s) => (-s, cols.indexOf(c)) }
+        .take(TopColumns)
+        .map(_._1)
+      val ids = cols.filter(c => c == "id" || c == s"${t}_id").filterNot(ranked.contains)
+      t -> (ranked ++ ids)
+    }
+    SchemaSlice(sliced.toMap)
+  }
+}

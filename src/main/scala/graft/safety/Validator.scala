@@ -134,23 +134,29 @@ object Validator {
   private def hasNode(plan: LogicalPlan)(pf: PartialFunction[LogicalPlan, Boolean]): Boolean =
     plan.collectFirst(pf).getOrElse(false)
 
+  /** Every expression in every node of the plan (parsed plans keep
+    * aggregates as UnresolvedFunction inside Project until analysis). */
+  private def allExpressions(plan: LogicalPlan) =
+    plan.collect { case n => n.expressions }.flatten
+
+  private val aggFunctionNames = Set(
+    "count", "sum", "avg", "mean", "min", "max", "count_distinct",
+    "approx_count_distinct", "stddev", "variance", "first", "last", "collect_list")
+
   def hasAggregate(plan: LogicalPlan): Boolean =
     hasNode(plan) { case _: Aggregate => true } ||
-      // COUNT(*) etc. without GROUP BY parses to Aggregate too, but a bare
-      // windowed agg lives in Project expressions — scan those as well.
-      plan.expressions.exists(_.find {
-        case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
-        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => false
+      allExpressions(plan).exists(_.find {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          aggFunctionNames.contains(f.nameParts.last.toLowerCase)
         case _ => false
       }.isDefined)
 
   def hasWindow(plan: LogicalPlan): Boolean =
-    hasNode(plan) {
-      case p if p.expressions.exists(_.find {
-        case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
-        case _ => false
-      }.isDefined) => true
-    }
+    allExpressions(plan).exists(_.find {
+      case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+      case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+      case _ => false
+    }.isDefined)
 
   def hasJoin(plan: LogicalPlan): Boolean = hasNode(plan) { case _: Join => true }
 

@@ -1,0 +1,72 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.catalog.Profiler
+
+class EngineSpec extends SparkSpec {
+
+  lazy val engine: Engine = Engine.forFixtures(spark, sfDir)
+
+  test("schemaOverview reflects all fixture tables with typed columns") {
+    val ov = engine.schemaOverview
+    assert(ov.contains("customer"))
+    val cols = ov("customer").map(_._1)
+    assert(cols.contains("c_custkey") && cols.contains("c_mktsegment"))
+  }
+
+  test("schemaId is stable across calls") {
+    assert(engine.schemaId == engine.schemaId)
+    assert(engine.schemaId.matches("[0-9a-f]{16}"))
+  }
+
+  test("run executes validated SQL and reports explain + explanation") {
+    val r = engine.run("SELECT c_name FROM customer ORDER BY c_custkey LIMIT 5")
+    val qr = r.toOption.get
+    assert(qr.rowcount == 5)
+    assert(qr.explanation.contains("customer"))
+  }
+
+  test("run rejects writes with the error envelope") {
+    val r = engine.run("DROP TABLE customer")
+    assert(r.swap.exists(_.kind == "unsafe_sql"))
+  }
+
+  test("nl2sql generates validated SQL without executing") {
+    val r = engine.nl2sql("show me customers")
+    assert(r.isRight)
+    val (sql, slice) = r.toOption.get
+    assert(sql.toLowerCase.startsWith("select"))
+    assert(slice.tables.nonEmpty)
+  }
+
+  test("ask answers a count question via the template fallback chain") {
+    val r = engine.ask("how many customers are there")
+    val qr = r.toOption.get
+    assert(qr.rowcount >= 1)
+    assert(qr.sql.toLowerCase.contains("count"))
+  }
+
+  test("ask never throws on unanswerable input (always-answer envelope)") {
+    val r = engine.ask("zzz qqq completely unrelated gibberish")
+    // either a template result or a clean engine error - never an exception
+    assert(r.isRight || r.isLeft)
+  }
+
+  test("profiler computes row counts, distincts and numeric stats in one pass") {
+    val meta = Profiler.crawl(spark, Seq("nation", "region"), engine.fks)
+    val nation = meta.tables("nation")
+    assert(nation.rowCount.contains(25L))
+    val nk = nation.columns.find(_.name == "n_nationkey").get
+    assert(nk.distinctCount.exists(d => d >= 24 && d <= 26)) // approx distinct
+    assert(nk.min.contains(0.0) && nk.max.contains(24.0))
+    val nname = nation.columns.find(_.name == "n_name").get
+    assert(nname.uniqueValues.exists(_.size == 25)) // low-cardinality domain captured
+    assert(meta.synonyms.nonEmpty)
+  }
+
+  test("profiler exact mode matches reference COUNT(DISTINCT) semantics") {
+    val meta = Profiler.crawl(spark, Seq("region"), Nil, exact = true)
+    val rk = meta.tables("region").columns.find(_.name == "r_regionkey").get
+    assert(rk.distinctCount.contains(5L))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.safety
+
+import graft.SparkSpec
+import graft.core.{ParseError, SqlSafetyError}
+
+class ValidatorSpec extends SparkSpec {
+
+  val allowed = Set("customer", "orders", "lineitem", "part", "supplier", "nation", "region")
+
+  /** Adversarial corpus mirroring the reference's safety probes
+    * (Report 2 §8: 10/10 DDL/write prompts blocked). */
+  val writeStatements = Seq(
+    "DROP TABLE customer",
+    "DELETE FROM orders",
+    "DELETE FROM orders WHERE o_orderkey = 1",
+    "UPDATE customer SET c_acctbal = 0",
+    "INSERT INTO orders VALUES (1)",
+    "CREATE TABLE evil (x INT)",
+    "ALTER TABLE customer ADD COLUMN hacked INT",
+    "TRUNCATE TABLE lineitem",
+    "MERGE INTO customer USING orders ON c_custkey = o_custkey WHEN MATCHED THEN DELETE",
+    "CREATE OR REPLACE VIEW v AS SELECT * FROM customer")
+
+  test("all write/DDL statements are rejected (10/10)") {
+    writeStatements.foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+      assert(r.swap.exists(e => e.isInstanceOf[SqlSafetyError] || e.isInstanceOf[ParseError]))
+    }
+  }
+
+  test("select statements with subqueries/CTEs/unions are admitted") {
+    Seq(
+      "SELECT * FROM customer LIMIT 5",
+      "WITH x AS (SELECT c_custkey FROM customer) SELECT * FROM x LIMIT 5",
+      "SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders",
+      "SELECT * FROM (SELECT c_name FROM customer) t LIMIT 5"
+    ).foreach(sql => assert(Validator.validate(spark, sql, allowed).isRight, sql))
+  }
+
+  test("unknown tables are rejected; CTE names are not treated as tables") {
+    assert(Validator.validate(spark, "SELECT * FROM secrets", allowed).isLeft)
+    val cte = "WITH tmp AS (SELECT c_custkey FROM customer) SELECT * FROM tmp"
+    assert(Validator.validate(spark, cte, allowed).isRight)
+  }
+
+  test("limit detection: needsLimit false iff top-level LIMIT present") {
+    assert(Validator.validate(spark, "SELECT * FROM customer", allowed).toOption.get.needsLimit)
+    assert(!Validator.validate(spark, "SELECT * FROM customer LIMIT 10", allowed).toOption.get.needsLimit)
+    assert(!Validator.validate(spark,
+      "WITH x AS (SELECT 1 AS a) SELECT * FROM x LIMIT 3", allowed).toOption.get.needsLimit)
+  }
+
+  test("aggregation requirement check") {
+    val plan = Validator.parse(spark, "SELECT c_mktsegment, COUNT(*) FROM customer GROUP BY c_mktsegment").toOption.get
+    assert(Validator.validateAggregationRequirement(plan, needsAggregation = true).isRight)
+    val noAgg = Validator.parse(spark, "SELECT c_name FROM customer").toOption.get
+    assert(Validator.validateAggregationRequirement(noAgg, needsAggregation = true).isLeft)
+  }
+
+  test("structure check: multi-table without join rejected, with join ok") {
+    val bad = Validator.parse(spark, "SELECT * FROM customer, orders").toOption.get
+    // comma join parses to a Join node in Spark; cross reference via scalar subquery does not
+    val scalarOk = Validator.parse(spark,
+      "SELECT c_custkey FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)").toOption.get
+    assert(Validator.validateStructure(scalarOk, wantsDistinct = false).isRight)
+    val joined = Validator.parse(spark,
+      "SELECT * FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey").toOption.get
+    assert(Validator.validateStructure(joined, wantsDistinct = false).isRight)
+    assert(Validator.validateStructure(bad, wantsDistinct = false).isRight) // comma join = Join node
+  }
+
+  test("distinct requirement") {
+    val d = Validator.parse(spark, "SELECT DISTINCT c_mktsegment FROM customer").toOption.get
+    assert(Validator.validateStructure(d, wantsDistinct = true).isRight)
+    val nod = Validator.parse(spark, "SELECT c_mktsegment FROM customer").toOption.get
+    assert(Validator.validateStructure(nod, wantsDistinct = true).isLeft)
+  }
+
+  test("SQL extraction strips fences and prose") {
+    val raw =
+      """Here is the query you asked for:
+        |```sql
+        |SELECT c_name
+        |FROM customer
+        |WHERE c_acctbal > 0
+        |```
+        |This selects the customers.""".stripMargin
+    val sql = Validator.extractSql(raw)
+    assert(sql.contains("SELECT c_name FROM customer WHERE c_acctbal > 0"))
+  }
+
+  test("SQL extraction stops at semicolon") {
+    val sql = Validator.extractSql("SELECT 1; DROP TABLE x")
+    assert(sql.contains("SELECT 1"))
+  }
+
+  test("no SELECT found yields None") {
+    assert(Validator.extractSql("I cannot answer that question").isEmpty)
+  }
+}
