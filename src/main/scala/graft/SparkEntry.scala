@@ -82,6 +82,100 @@ object Queries {
       "SELECT COUNT(*) AS cnt FROM lineitem")
 
   val byName: Map[String, String] = sql.toMap
+
+  /** Dialect-specific oracles for extension operators whose Spark side is
+    * DataFrame code (names must match the Spark result's columns). */
+  val extensionOracles: Map[String, String] = Map(
+    "x_text_stats" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]')) AS n_subtokens, " +
+        "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS digit_ratio " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
+    "x_dedup_exact" ->
+      ("SELECT text, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id FROM documents " +
+        "GROUP BY text HAVING COUNT(*) > 1 ORDER BY keep_id LIMIT 100"),
+    "x_dedup_stats" ->
+      "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents",
+    "x_ann_topk" ->
+      ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
+        "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    "x_events_hourly" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"))
+}
+
+/** Extension-operator queries (north-star: dedup, similarity search,
+  * text analysis, streaming-shaped aggregation) as DataFrame pipelines. */
+object ExtensionQueries {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    Sources.register(s, dir); s.table("documents")
+  }
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    Sources.register(s, dir); s.table("embeddings")
+  }
+
+  val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis ---
+    "x_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens"),
+        round(TextAnalysis.digitRatio(col("text")), 4).as("digit_ratio"))
+        .orderBy("doc_id").limit(100)),
+    "x_text_analyze" -> ((s, dir) =>
+      TextAnalysis.analyze(docs(s, dir), "doc_id", "text").orderBy("doc_id").limit(100)),
+    "x_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id").limit(100)),
+    // --- dedup ---
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(docs(s, dir), "doc_id", Seq("text"))
+        .orderBy("keep_id").limit(100)),
+    "x_dedup_stats" -> ((s, dir) =>
+      docs(s, dir).agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_unique"))),
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.7)
+        .orderBy("id_a", "id_b").limit(100)),
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text", maxDistance = 3)
+        .orderBy("id_a", "id_b").limit(100)),
+    "x_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b").limit(100)),
+    // --- similarity search ---
+    "x_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = broadcast(e.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding")))
+      e.crossJoin(q)
+        .select(col("vec_id"),
+          round(graft.functions.cosine_sim(col("embedding"), col("q_embedding")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    }),
+    "x_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.lshTopK(e, "vec_id", "embedding", query, k = 10, numBits = 8)
+    }),
+    "x_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.9, numBits = 8, dim = 64)
+        .orderBy("id_a", "id_b").limit(100)),
+    // --- streaming-shaped (batch view of the events table) ---
+    "x_events_hourly" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.table("events")
+        .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("hour", "event_type").limit(100)
+    }))
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -102,13 +196,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     engineFrame(spark, "/root/testdata/sf0.001", Queries.byName("d08_join_chain"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * north-star extension operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.sql.map { case (name, q) =>
       name -> ((s: SparkSession, dir: String) => engineFrame(s, dir, q))
-    }.toMap
+    }.toMap ++ ExtensionQueries.builders
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.byName
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (LSH/minhash/simhash internals) → driver does a rows-only check. */
+  def oracleSql: Map[String, String] = Queries.byName ++ Queries.extensionOracles
 }

@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text hashing expressions for large-scale dedup (north-star extension;
+ * see BASELINE.json `north_star`). All hashes are deterministic (seeded
+ * splitmix64 parameter generation) so signatures are reproducible across
+ * runs and executors — a hard requirement for dedup joins at 100 TB.
+ *
+ * CodegenFallback is acceptable here: each expression does O(tokens ·
+ * numHashes) arithmetic per row, dominating any virtual-call overhead;
+ * the hot loops are primitive-typed.
+ */
+object HashUtil {
+  /** splitmix64 — public-domain mixing function (Steele et al.). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit string hash (FNV-1a over UTF-8 bytes, then mixed). */
+  def hashString(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+}
+
+/**
+ * MinHash signature over a string array (shingles/tokens): for each of
+ * `numHashes` seeded hash functions, the minimum hash over the set.
+ * Returns `array<bigint>` of length `numHashes`. One pass over the
+ * tokens (O(tokens · k)); signatures are then banded for LSH bucketing
+ * in `graft.operators.Dedup`.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // Per-hash-function mixing constants derived from the seed.
+  private lazy val seeds: Array[Long] = {
+    val out = new Array[Long](numHashes)
+    var s = seed
+    var i = 0
+    while (i < numHashes) { s = HashUtil.mix64(s); out(i) = s; i += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = HashUtil.hashString(arr.getUTF8String(i), 0L)
+        var k = 0
+        while (k < numHashes) {
+          val h = HashUtil.mix64(base ^ seeds(k))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) null else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Word n-gram shingles in one pass: lowercase, whitespace-split, emit
+ * "w1 w2 … wn" strings. Returns `array<string>`; texts with fewer than
+ * `n` words yield a single shingle of all words; blank text yields null.
+ *
+ * A built-in composition (split + transform(sequence, slice, concat_ws))
+ * computes the same thing but pays ~20µs per element in interpreted
+ * higher-order-function machinery — this expression measured ~50× faster
+ * on the documents fixture.
+ */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length == 0) return null
+    if (words.length <= n) {
+      return new GenericArrayData(Array[Any](UTF8String.fromString(words.mkString(" "))))
+    }
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Banded MinHash LSH buckets in one pass: computes the `numHashes` MinHash
+ * signature AND collapses it into `bands` bucket hashes (mixing the band
+ * index with the band's minima). Returns `array<bigint>` of length `bands`
+ * — element i is the LSH bucket key for band i.
+ *
+ * One expression instead of signature + per-band slice/hash projections:
+ * Catalyst's projection collapse would otherwise substitute the signature
+ * expression into every band expression and recompute the full signature
+ * `bands` times per row.
+ */
+case class MinHashBuckets(child: Expression, numHashes: Int, bands: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val rowsPerBand = numHashes / bands
+
+  private lazy val seeds: Array[Long] = {
+    val out = new Array[Long](numHashes)
+    var s = seed
+    var i = 0
+    while (i < numHashes) { s = HashUtil.mix64(s); out(i) = s; i += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = HashUtil.hashString(arr.getUTF8String(i), 0L)
+        var k = 0
+        while (k < numHashes) {
+          val h = HashUtil.mix64(base ^ seeds(k))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = HashUtil.mix64(seed ^ b)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = HashUtil.mix64(h ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      buckets(b) = h
+      b += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * 64-bit SimHash over a string array: weighted bit-vote of per-token
+ * 64-bit hashes; near-duplicate texts land within small Hamming distance.
+ */
+case class SimHash64(child: Expression, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashUtil.hashString(arr.getUTF8String(i), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two 64-bit hashes (for SimHash near-dup). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Rolling-hash document fingerprint (winnowing-lite): hashes every
+ * character k-gram with a Rabin-Karp rolling hash and returns the
+ * minimum — a content-defined 64-bit fingerprint stable under
+ * formatting-preserving edits elsewhere in the document.
+ */
+case class RollingHashFingerprint(child: Expression, k: Int = 16)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private val Base = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length == 0) return null
+    if (bytes.length <= k) return HashUtil.mix64(simpleHash(bytes, 0, bytes.length))
+    // precompute Base^(k-1)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    var minMixed = HashUtil.mix64(h)
+    i = k
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xffL) * pow) * Base + (bytes(i) & 0xffL)
+      val m = HashUtil.mix64(h)
+      if (m < minMixed) minMixed = m
+      i += 1
+    }
+    minMixed
+  }
+
+  private def simpleHash(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * Base + (b(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.interop.{toColumn => column, toExpression => expression}
+
+/**
+ * Column-level API over the engine's custom Catalyst expressions
+ * (SURVEY.md §2.11), mirroring `org.apache.spark.sql.functions` style.
+ */
+package object functions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(tokens), numHashes, seed))
+
+  def minhash_buckets(tokens: Column, numHashes: Int, bands: Int, seed: Long = 42L): Column =
+    column(MinHashBuckets(expression(tokens), numHashes, bands, seed))
+
+  def word_shingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
+
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(tokens), seed))
+
+  def hamming64(a: Column, b: Column): Column =
+    column(HammingDistance64(expression(a), expression(b)))
+
+  def doc_fingerprint(text: Column, k: Int = 16): Column =
+    column(RollingHashFingerprint(expression(text), k))
+
+  /** Register SQL names for the custom expressions
+    * (`SELECT cosine_sim(a, b) …`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming64", es => HammingDistance64(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("doc_fingerprint", es => RollingHashFingerprint(es.head), "built-in")
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{hamming64, minhash_signature, simhash64}
+
+/**
+ * Deduplication operators for training-data pipelines (north-star
+ * extension; BASELINE.json `north_star`).
+ *
+ * Scale design notes (100 TB):
+ *  - Exact dedup is a hash aggregation on the dedup key — one shuffle,
+ *    map-side partial aggregation; no driver-side state.
+ *  - MinHash LSH: per-row signature (narrow), explode to `bands` rows per
+ *    doc (bounded blowup, e.g. 16×), shuffle on (band, bucket), pair
+ *    generation INSIDE each bucket only. Oversized buckets (degenerate
+ *    shingles — boilerplate) are capped and reported rather than allowed
+ *    to produce O(n²) pairs.
+ *  - SimHash: 64-bit signature; banding the hash into 4×16-bit chunks
+ *    guarantees recall for Hamming distance ≤ 3; one shuffle per table.
+ *  - N-gram Jaccard verification joins only LSH candidate pairs, never
+ *    all pairs.
+ */
+object Dedup {
+
+  /** Word tokens, lowercased (shared tokenizer). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles as strings ("w1 w2 w3") — single-pass custom
+    * expression (see WordShingles scaladoc for the interpreted-HOF
+    * pitfall it avoids). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.word_shingles(text, n)
+
+  // ---------------------------------------------------------------- exact
+
+  /** Groups of exact duplicates on `keyCols` (ref-style hash groupBy):
+    * one row per duplicated value with its count and the minimal id. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+      .where(col("dup_count") > 1)
+
+  /** Keep exactly one row per key (the minimal id — deterministic,
+    * unlike dropDuplicates' arbitrary winner). */
+  def dedupExact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  final case class LshConfig(
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      /** buckets larger than this are dropped (and counted) to bound the
+        * pair explosion on degenerate content */
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L) {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** doc → (band, bucket) pairs via banded MinHash signatures. The
+    * banding happens INSIDE one expression (`minhash_buckets`) evaluated
+    * once per row and fed straight into posexplode — see MinHashBuckets
+    * scaladoc for why this beats signature + per-band projections. */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
+    val buckets = graft.functions.minhash_buckets(
+      shingles(col(textCol), cfg.shingleSize), cfg.numHashes, cfg.bands, cfg.seed)
+    df.select(col(idCol).as("doc_id"), buckets.as("buckets"))
+      .where(col("buckets").isNotNull)
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Candidate near-duplicate pairs from MinHash LSH: documents sharing at
+   * least one (band, bucket). Returns distinct (id_a < id_b) pairs.
+   */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
+    val b = minhashBuckets(df, idCol, textCol, cfg)
+    val sized = b.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
+    sized
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Verified near-duplicates: LSH candidates filtered by exact shingle
+   * Jaccard ≥ `threshold`. The exact check joins the (distinct-shingle)
+   * sets back only for candidate pairs.
+   */
+  def minhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, cfg)
+    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** Attach a 64-bit SimHash to each document. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol)), seed).as("simhash"))
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
+   * Recall guarantee via pigeonhole banding: split the 64-bit hash into
+   * `maxDistance + 1` chunks; any pair within the distance must agree on
+   * at least one chunk exactly — bucket-join on (chunk index, chunk value)
+   * then verify with the exact popcount.
+   */
+  def simhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val sh = withSimhash(df, idCol, textCol, seed)
+    val bandStructs = (0 until chunks).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit((1L << bits) - 1)).as("value"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.value"))
+    val grouped = banded.groupBy("chunk", "value")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= maxBucketSize)
+    grouped
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+      .distinct()
+  }
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+   * via an inverted shingle index (explode → self-join on shingle →
+   * per-pair intersection counts). Quadratic only within shingle groups;
+   * `maxPostings` caps degenerate shingles (stop-shingles) the same way
+   * a text index drops stop words.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxPostings: Int = 500): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    // One shuffle: group the inverted index by shingle, cap the posting
+    // list (stop-shingle guard), and generate pairs inside each list —
+    // instead of window-count + self-join (two wide shuffles of the
+    // full posting table).
+    val postings = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val lists = postings.groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ps"))
+      .where(size(col("ps")).between(2, maxPostings))
+    lists
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_sim
+
+/**
+ * Similarity search over an embedding column (north-star extension).
+ *
+ * Scale design (100 TB / billions of vectors):
+ *  - `topK` (brute force) is a single scan + `TakeOrderedAndProject` —
+ *    no shuffle of the full table, no full sort; the per-partition top-k
+ *    heaps merge on the driver. This is the exact baseline.
+ *  - `lshTopK` buckets vectors by random-hyperplane sign bits once
+ *    (narrow, deterministic), then probes only matching buckets —
+ *    the approximate scale path. Signature length trades recall for
+ *    candidate-set size.
+ *  - `cosineNearDupPairs` is embedding near-dup detection for dedup
+ *    pipelines: bucket join on hyperplane signature, verify with exact
+ *    cosine inside buckets only.
+ */
+object Similarity {
+
+  /** Deterministic random hyperplanes: `numBits` unit-free vectors of
+    * dimension `dim`, components from splitmix64 mapped to [-1, 1). */
+  private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](numBits, dim)
+    var s = seed
+    var i = 0
+    while (i < numBits) {
+      var j = 0
+      while (j < dim) {
+        s = graft.functions.HashUtil.mix64(s)
+        out(i)(j) = (s.toDouble / Long.MaxValue.toDouble) // [-1, 1)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Sign-bit LSH signature of an embedding column as a long (≤ 64 bits). */
+  def signBits(embedding: org.apache.spark.sql.Column, numBits: Int, dim: Int, seed: Long = 42L): org.apache.spark.sql.Column = {
+    require(numBits <= 64)
+    val planes = hyperplanes(numBits, dim, seed)
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val dot = graft.functions.dot_product(embedding,
+        array(p.map(lit(_)): _*))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Exact brute-force cosine top-k for one query vector.
+    * Plans as scan → project(cosine) → TakeOrderedAndProject. */
+  def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(col(idCol), cosine_sim(col(embCol), q).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Approximate top-k: restrict the scan to vectors whose sign-bit
+    * signature matches the query's, then rank exactly. Falls back to the
+    * full scan when the bucket has fewer than k members is NOT done here —
+    * callers can widen by lowering `numBits`. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String, query: Array[Float], k: Int,
+      numBits: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(numBits, dim, seed)
+    var qsig = 0L
+    planes.zipWithIndex.foreach { case (p, i) =>
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += p(j) * query(j); j += 1 }
+      if (dot >= 0) qsig |= (1L << i)
+    }
+    val bucketed = df.withColumn("__sig", signBits(col(embCol), numBits, dim, seed))
+    topK(bucketed.where(col("__sig") === qsig), idCol, embCol, query, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket on sign-bit signature,
+    * exact-cosine verify within buckets (explode-free broadcast of small
+    * buckets via self-join on the signature). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.95, numBits: Int = 16, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("sig", signBits(col("emb"), numBits, dim, seed))
+    val sized = sig.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+      .where(col("n") <= maxBucketSize)
+    val a = sized.select(col("sig"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = sized.select(col("sig"), col("id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_sim(col("emb_a"), col("emb_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -21,6 +21,6 @@ object TestSpark {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = TestSpark.spark
+  lazy val spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches a hand-computed value and is 1.0 on self") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal -> 0
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),   // identical -> 1
+      (Array(1.0f, 0.0f), Array(1.0f, 1.0f))    // 45 degrees -> 1/sqrt(2)
+    ).toDF("a", "b")
+    val out = df.select(cosine_sim($"a", $"b")).as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine_sim returns null for zero vectors") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(cosine_sim($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("cosine_sim survives codegen (used inside a filter + projection)") {
+    val df = Seq.tabulate(100)(i => (i.toLong, Array(i.toFloat, 1.0f))).toDF("id", "v")
+    val q = array(lit(1.0f), lit(1.0f))
+    val n = df.where(cosine_sim($"v", q) > 0.9).count()
+    assert(n > 0 && n < 100)
+  }
+
+  test("minhash signature is deterministic, fixed-length, set-like") {
+    val df = Seq(
+      Tuple1(Seq("a b c", "b c d", "c d e")),
+      Tuple1(Seq("c d e", "b c d", "a b c")), // same set, different order
+      Tuple1(Seq("x y z", "y z w", "z w v"))
+    ).toDF("sh")
+    val sigs = df.select(minhash_signature($"sh", 64)).as[Seq[Long]].collect()
+    assert(sigs(0).length == 64)
+    assert(sigs(0) == sigs(1)) // order-independent
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: near-identical token sets land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "changed")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq(Tuple1(base), Tuple1(near), Tuple1(far)).toDF("t")
+    val hs = df.select(simhash64($"t")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) <= 8)
+    assert(ham(hs(0), hs(2)) > 16)
+  }
+
+  test("doc_fingerprint stable and sensitive") {
+    val df = Seq("the quick brown fox jumps over the lazy dog" * 3).toDF("t")
+    val f1 = df.select(doc_fingerprint($"t")).as[Long].collect()(0)
+    val f2 = df.select(doc_fingerprint($"t")).as[Long].collect()(0)
+    assert(f1 == f2)
+    val g = Seq("a completely different document body with other words" * 3).toDF("t")
+    assert(g.select(doc_fingerprint($"t")).as[Long].collect()(0) != f1)
+  }
+
+  test("SQL registration exposes the functions") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    assert(spark.sql("SELECT hamming64(0L, 7L) AS h").collect()(0).getInt(0) == 3)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely unrelated text about spark catalyst optimizer rules and plans"),
+    (5L, "another very different document discussing parquet columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups find the planted dup") {
+    val g = Dedup.exactDuplicateGroups(docs, "doc_id", Seq("text")).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 1L && g(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("dedupExact keeps the minimal id deterministically") {
+    val kept = Dedup.dedupExact(docs, "doc_id", Seq("text")).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash near-dups find exact and near pair, not unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5,
+      Dedup.LshConfig(numHashes = 64, bands = 16)).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L)))
+    assert(!ids.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j12 == 1.0) // identical text -> jaccard exactly 1
+  }
+
+  test("simhash near-dups agree on the exact pair") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard matches minhash-verified jaccard for the near pair") {
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ng((1L, 2L)) == 1.0)
+    assert(ng.contains((1L, 3L)))
+    val mh = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 0.5,
+      Dedup.LshConfig(numHashes = 64, bands = 16))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(ng((1L, 3L)) - mh((1L, 3L))) < 1e-12) // both exact-verified
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("brute-force topK: self is rank 1 with cosine 1.0") {
+    val q = embeddings.where($"vec_id" === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val top = Similarity.topK(embeddings, "vec_id", "embedding", q, 5).collect()
+    assert(top(0).getLong(0) == 7L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sortBy(-_.toDouble)))
+  }
+
+  test("lsh topK returns a subset consistent with brute force ranking") {
+    val q = embeddings.where($"vec_id" === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val lsh = Similarity.lshTopK(embeddings, "vec_id", "embedding", q, 10, numBits = 4)
+      .collect()
+    assert(lsh.nonEmpty)
+    assert(lsh(0).getLong(0) == 7L) // query always hashes to its own bucket
+  }
+
+  test("topK plans as TakeOrderedAndProject (no full sort, no shuffle of all rows)") {
+    val q = Array.fill(64)(0.1f)
+    val plan = Similarity.topK(embeddings, "vec_id", "embedding", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq("hello world", "  a  b   c ", "", "don't stop!").toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.bpeishTokenCount($"text").as("b")).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2, 3, 0, 2))
+    // don't stop! -> [don, ', t, stop, !] = 5
+    assert(out(3).getInt(1) == 5)
+  }
+
+  test("langId identifies stopword-heavy languages deterministically") {
+    val df = Seq(
+      "the cat is on the mat and it is happy with the sun",
+      "el gato esta en la casa y el perro con la luna para los dos",
+      "der hund und die katze sind in den garten mit dem ball",
+      "zxq wvu ppo").toDF("text")
+    val langs = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality score is in [0,1], higher for substantial text") {
+    val df = Seq(
+      "short",
+      ("a meaningful sentence with reasonable words and structure " * 10).trim,
+      "!!! ??? ### 123 456 @@@ %%%").toDF("text")
+    val q = df.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1) > q(0))
+    assert(q(1) > q(2))
+  }
+
+  test("analyze emits the full typed projection") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextAnalysis.analyze(docs, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "n_subtokens",
+      "punct_ratio", "digit_ratio", "avg_word_len", "lang_pred", "quality", "fingerprint"))
+    assert(out.count() == docs.count())
+  }
+}
