@@ -41,6 +41,56 @@ final class Engine(
   def profile(exact: Boolean = false): SchemaMetadata =
     Profiler.crawl(spark, tables, fks, exact)
 
+  /**
+   * Train a schema model (the reference's POST /models/train path,
+   * routes_models.py:169-220): crawl → fingerprint → skip-if-exists →
+   * embed elements → persist. Returns the schema id. Progress is staged
+   * like the reference's tracker (crawl/embed/save).
+   */
+  def train(modelDir: String, forceRetrain: Boolean = false,
+      progress: Option[graft.ml.TrainingProgress] = None): String = {
+    val p = progress.getOrElse(new graft.ml.TrainingProgress(Seq("crawl", "embed", "save")))
+    val id = schemaId
+    if (!forceRetrain && graft.ml.ModelStore.exists(modelDir, id)) {
+      Seq("crawl", "embed", "save").foreach(p.update(_, 100)); return id
+    }
+    val meta = profile()
+    p.update("crawl", 100)
+    val (model, encoder) = graft.ml.Embeddings.train(spark, id, meta)
+    p.update("embed", 100)
+    graft.ml.ModelStore.save(spark, modelDir, model, encoder)
+    p.update("save", 100)
+    id
+  }
+
+  /** Trained-model ask path (ref routes_ai.py:173-226): semantic
+    * retrieval narrows the slice; falls through to the fuzzy/template
+    * `ask` on any failure (V14 fallback chain). */
+  def askWithModel(modelDir: String, question: String,
+      limit: Int = Executor.DefaultLimit): Either[EngineError, QueryResult] = {
+    try {
+      val id = schemaId
+      if (!graft.ml.ModelStore.exists(modelDir, id)) return ask(question, limit)
+      val (model, encoder) = graft.ml.ModelStore.load(spark, modelDir, id)
+      val r = graft.ml.Embeddings.retrieve(spark, model, encoder, question)
+      val schema = lightweightSchema
+      // ListMap preserves retrieval rank: templates target the best table
+      val slice = SchemaSlice(scala.collection.immutable.ListMap(
+        r.tables.flatMap(t => schema.get(t).map(t -> _)): _*))
+      if (slice.tables.isEmpty) return ask(question, limit)
+      val analysis = Intent.analyze(question, tables)
+      val cands = Templates.candidates(slice, fks, analysis)
+      val ranked = Ranker.rank(cands, slice.tables.keySet)
+      ranked.view.map { case (c, _) =>
+        Validator.validate(spark, c.sql, tables.toSet)
+          .flatMap(v => Executor.run(spark, v, limit))
+      }.collectFirst { case Right(res) => Right(res) }
+        .getOrElse(ask(question, limit))
+    } catch {
+      case scala.util.control.NonFatal(_) => ask(question, limit)
+    }
+  }
+
   /** Direct SQL execution with the full safety chain (ref main.py:298-331). */
   def run(sql: String, limit: Int = Executor.DefaultLimit,
       timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] =

@@ -45,7 +45,7 @@ object Profiler {
       val d = if (exact) countDistinct(col(f.name)) else approx_count_distinct(col(f.name))
       d.cast("long").as(s"__d_${f.name}")
     }
-    val numericAggs = fields.filter(f => isNumericType(f.dataType.sql)).flatMap { f =>
+    val numericAggs = fields.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).flatMap { f =>
       Seq(
         min(col(f.name)).cast("double").as(s"__mn_${f.name}"),
         max(col(f.name)).cast("double").as(s"__mx_${f.name}"),

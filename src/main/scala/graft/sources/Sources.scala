@@ -44,17 +44,21 @@ object Sources {
     } else df
   }
 
+  private val registered = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[String]]()
+
   /** Register every fixture table found under `dir` as a temp view.
-    * Idempotent; cheap (footer read only). */
-  def register(spark: SparkSession, dir: String): Seq[String] = {
-    fixtureTables.flatMap { name =>
-      val path = new java.io.File(s"$dir/$name.parquet")
-      if (path.exists()) {
-        table(spark, dir, name).createOrReplaceTempView(name)
-        Some(name)
-      } else None
-    }
-  }
+    * Idempotent and memoized per (session, dir) — repeated calls (one per
+    * declared query in Verify/Bench) skip the parquet footer re-reads. */
+  def register(spark: SparkSession, dir: String): Seq[String] =
+    registered.computeIfAbsent((spark, dir), { _ =>
+      fixtureTables.flatMap { name =>
+        val path = new java.io.File(s"$dir/$name.parquet")
+        if (path.exists()) {
+          table(spark, dir, name).createOrReplaceTempView(name)
+          Some(name)
+        } else None
+      }
+    })
 
   /** Catalog reflection: `{table -> [(name, type, nullable)]}`
     * (ref: `app/main.py:235-252` /schema/overview). */

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming over the `events` table (north-star extension;
+ * SURVEY.md §2.10/§7.5 — the reference has NO streaming surface, this is
+ * additive, never claimed as reference behavior).
+ *
+ * Every transformation takes a DataFrame and works identically on a batch
+ * frame or a streaming frame (Structured Streaming's unified API) — the
+ * specs exploit this to check streaming output against the batch answer.
+ *
+ * Scale notes: windowed aggregations carry watermarks so state is bounded
+ * and late data older than the watermark is dropped; sessionization uses
+ * `session_window` (merging state) and the custom-state variant uses
+ * `flatMapGroupsWithState` with processing-time timeout so abandoned keys
+ * expire instead of leaking state.
+ */
+object Streams {
+
+  /** Event row (events fixture: TESTDATA.md). */
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserSessionState(count: Long, sum: Double, lastSeen: Long)
+  final case class UserActivity(
+      user_id: Long, events: Long, total_value: Double, closed: Boolean)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark
+    * (late data beyond `lateness` is dropped; state is bounded). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding-window average value per event type. */
+  def slidingAvg(events: DataFrame, window_ : String = "10 minutes",
+      slide: String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("avg_value"), col("cnt"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity (built-in merging session_window state). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /**
+   * Custom per-user state via flatMapGroupsWithState: running event count
+   * and value sum, emitting an update per batch; state expires (and emits
+   * a final `closed` record) after `timeoutMs` without activity.
+   */
+  def userActivity(events: Dataset[Event], timeoutMs: Long = 60 * 60 * 1000L): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, UserActivity](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserActivity(userId, s.count, s.sum, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserSessionState(0L, 0.0, 0L))
+            var count = prev.count
+            var sum = prev.sum
+            var last = prev.lastSeen
+            rows.foreach { e =>
+              count += 1; sum += e.value
+              last = math.max(last, e.ts.getTime)
+            }
+            state.update(UserSessionState(count, sum, last))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator(UserActivity(userId, count, sum, closed = false))
+          }
+      }
+  }
+
+  /** Stream → parquet sink with checkpointing (exactly-once file sink). */
+  def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+}

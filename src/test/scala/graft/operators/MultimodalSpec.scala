@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.synthetic(spark, 50)
+
+  test("synthetic media is deterministic and typed") {
+    val a = media.collect()
+    val b = Multimodal.synthetic(spark, 50).collect()
+    assert(a.map(_.media_id).toSeq == b.map(_.media_id).toSeq)
+    assert(a.map(_.bytes.toSeq).toSeq == b.map(_.bytes.toSeq).toSeq)
+    assert(a.forall(r => Set("image", "audio", "video").contains(r.kind)))
+  }
+
+  test("feature extraction is partition-wise, deterministic, fixed-width, byte-free") {
+    val f1 = Multimodal.extractFeatures(media, dim = 32).collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7), dim = 32).collect()
+    assert(f1.length == 50)
+    assert(f1.forall(_.features.length == 32))
+    // same features regardless of partitioning
+    val m1 = f1.map(r => r.media_id -> r.features.toSeq).toMap
+    val m2 = f2.map(r => r.media_id -> r.features.toSeq).toMap
+    assert(m1 == m2)
+    // schema carries no binary column
+    assert(!Multimodal.extractFeatures(media).schema.fieldNames.contains("bytes"))
+  }
+
+  test("video frame sampling uses duration metadata") {
+    val f = Multimodal.extractFeatures(media, frameEveryMs = 500).collect()
+    val videos = f.filter(_.kind == "video")
+    assert(videos.nonEmpty && videos.forall(_.frames_sampled >= 2))
+    assert(f.filter(_.kind == "image").forall(_.frames_sampled == 1))
+  }
+
+  test("metadata filter prunes without decoding") {
+    val df = Multimodal.filterDecodable(media.toDF())
+    assert(df.count() == 50) // all synthetic rows are decodable
+    val none = Multimodal.filterDecodable(media.toDF(), maxBytes = 10)
+    assert(none.count() == 0)
+  }
+
+  test("extracted features feed the similarity operators (end-to-end seam)") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    val q = feats.where(org.apache.spark.sql.functions.col("media_id") === 0)
+      .collect()(0).getAs[Seq[Float]]("features").toArray
+    val top = Similarity.topK(feats, "media_id", "features", q, 3).collect()
+    assert(top(0).getLong(0) == 0L) // self first
+  }
+}

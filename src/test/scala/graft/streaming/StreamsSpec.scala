@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkSpec {
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  val sample = Seq(
+    Event(1, ts(0), 100, "click", 1.0),
+    Event(2, ts(1), 100, "click", 2.0),
+    Event(3, ts(2), 200, "view", 3.0),
+    Event(4, ts(31), 100, "click", 4.0),
+    Event(5, ts(32), 200, "view", 5.0),
+    Event(6, ts(59), 300, "error", 6.0))
+
+  /** Run a streaming query over a MemoryStream to completion and return
+    * the memory-sink table. */
+  def runStream(name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = build(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("tumbling window counts match the batch computation") {
+    import spark.implicits._
+    val streamed = runStream("t_tumbling")(df => Streams.tumblingCounts(df, "1 hour", "10 minutes"))
+      .orderBy("window_start", "event_type").collect()
+    val batch = Streams.tumblingCounts(sample.toDF(), "1 hour", "10 minutes")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.map(_.getAs[Long]("cnt")).sum == sample.size)
+  }
+
+  test("sliding windows assign events to overlapping windows") {
+    import spark.implicits._
+    val out = Streams.slidingAvg(sample.toDF(), "30 minutes", "15 minutes").collect()
+    // each event falls into 2 windows of 30min sliding by 15min
+    assert(out.map(_.getAs[Long]("cnt")).sum == sample.size * 2)
+  }
+
+  test("sessionization closes sessions after the gap") {
+    import spark.implicits._
+    val sessions = Streams.sessionize(sample.toDF(), "10 minutes")
+      .orderBy("user_id", "session_start").collect()
+    // user 100: events at minute 0,1 then 31 -> two sessions
+    val u100 = sessions.filter(_.getAs[Long]("user_id") == 100L)
+    assert(u100.length == 2)
+    assert(u100(0).getAs[Long]("n_events") == 2L)
+    assert(u100(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = Streams.userActivity(input.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_state").collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("events"), r.getAs[Double]("total_value"))).toMap
+    assert(byUser(100L) == ((3L, 7.0)))
+    assert(byUser(200L) == ((2L, 8.0)))
+    assert(byUser(300L) == ((1L, 6.0)))
+  }
+
+  test("file-source stream over the events fixture produces rows") {
+    // copy the events parquet into a stream dir (sf0.001 -> small)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val out = new java.io.File(dir, "in"); out.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt")
+    graft.sources.Sources.table(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(out.getPath)
+    val stream = Streams.readEventStream(spark, out.getPath)
+    assert(stream.isStreaming)
+    val q = Streams.tumblingCounts(stream, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("t_file")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("t_file").count() > 0)
+  }
+}
