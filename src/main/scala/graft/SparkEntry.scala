@@ -73,6 +73,20 @@ object Queries {
       "WITH big AS (SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey) SELECT c.c_name, ROUND(b.s, 2) AS s FROM big b JOIN customer c ON c.c_custkey = b.o_custkey WHERE b.s > 300000 ORDER BY c.c_custkey LIMIT 100",
     "d27_exists" ->
       "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49) ORDER BY s_suppkey LIMIT 100",
+    "d28_ilike" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%GREEN%' ORDER BY p_partkey LIMIT 100",
+    "d29_left_join" ->
+      "SELECT n.n_name, COUNT(c.c_custkey) AS cnt FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name LIMIT 100",
+    "d30_anti_join" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey LIMIT 100",
+    "d31_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k LIMIT 100",
+    "d32_except" ->
+      "SELECT n_nationkey AS k FROM nation EXCEPT SELECT c_nationkey AS k FROM customer ORDER BY k LIMIT 100",
+    "d33_date_arithmetic" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1995-06-01' - INTERVAL 30 DAY AND o_orderdate < DATE '1995-06-01' ORDER BY o_orderkey LIMIT 100",
+    "d34_having" ->
+      "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey LIMIT 100",
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",

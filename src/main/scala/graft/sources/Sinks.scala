@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.exec.Executor
+
+/**
+ * Result sinks (S8/S9 in SURVEY.md §2.1; ref `app/ai/nl2sql.py:325-360`
+ * result JSON, README.md:165 CSV export).
+ *
+ * `jsonRows` mirrors the reference's `(columns, rows)` envelope with its
+ * exact coercions (Decimal→double, temporal→ISO-8601, nested→JSON
+ * strings). File sinks are distributed writes; `singleCsv` coalesces to
+ * one file ONLY because the export contract is "a file the user
+ * downloads" — always behind the LIMIT cap, never on unbounded results.
+ */
+object Sinks {
+
+  /** `(columns, rows)` JSON-safe envelope (bounded by the caller's LIMIT). */
+  def jsonRows(df: DataFrame): (Seq[String], Seq[Seq[Any]]) =
+    (df.columns.toSeq, df.collect().toSeq.map(_.toSeq.map(Executor.jsonSafe)))
+
+  /** Distributed CSV write (header on, one part per partition). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Single-file CSV export for result grids (UI download contract). */
+  def singleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Distributed JSON-lines write. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

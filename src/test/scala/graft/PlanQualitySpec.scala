@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/**
+ * Plan-shape invariants for the declared queries — the 100 TB design
+ * checks from the project brief: filters and projections must reach the
+ * parquet scan, dimension joins must broadcast, top-k must not full-sort,
+ * aggregations must have a map-side partial phase.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+
+  test("filters and column pruning are pushed to the parquet scan (d03)") {
+    val p = plan("d03_filter_and")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30.0)"), p.take(1500))
+    // only the 4 referenced columns are read, not all 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double>"), p.take(1500))
+  }
+
+  test("FK joins to dimension tables broadcast the small side (d07, d08)") {
+    assert(plan("d07_join_fk").contains("BroadcastHashJoin"))
+    val p8 = plan("d08_join_chain")
+    assert(p8.contains("BroadcastHashJoin"))
+    assert(!p8.contains("SortMergeJoin"), "dim chain must not sort-merge")
+  }
+
+  test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort (d15, d03)") {
+    assert(plan("d15_topn").contains("TakeOrderedAndProject"))
+    assert(plan("d03_filter_and").contains("TakeOrderedAndProject"))
+  }
+
+  test("group-by aggregations have a map-side partial phase (d10)") {
+    val p = plan("d10_groupby_sum_avg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
+  }
+
+  test("IN-subquery plans as a semi join, not a nested loop (d18)") {
+    val p = plan("d18_in_subquery")
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("anti-join query plans as LeftAnti (d30)") {
+    assert(plan("d30_anti_join").contains("LeftAnti"))
+  }
+
+  test("brute-force ANN top-k is a single scan + TakeOrderedAndProject (x_ann_topk)") {
+    val p = plan("x_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      "query-vector join must broadcast, ranking must not shuffle: " + p.take(1500))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline (d03)") {
+    // FormattedMode marks codegen'd operators with "[codegen id : N]"
+    assert(plan("d03_filter_and").contains("[codegen id :"))
+  }
+}
