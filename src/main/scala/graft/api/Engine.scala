@@ -74,9 +74,16 @@ final class Engine(
       val (model, encoder) = graft.ml.ModelStore.load(spark, modelDir, id)
       val r = graft.ml.Embeddings.retrieve(spark, model, encoder, question)
       val schema = lightweightSchema
-      // ListMap preserves retrieval rank: templates target the best table
+      // ListMap preserves retrieval rank (templates target the best table);
+      // retrieved columns lead each table's list so intent templates pick
+      // the semantically-matched group/agg columns, padded with the rest.
       val slice = SchemaSlice(scala.collection.immutable.ListMap(
-        r.tables.flatMap(t => schema.get(t).map(t -> _)): _*))
+        r.tables.flatMap { t =>
+          schema.get(t).map { all =>
+            val hits = r.columns.collect { case (`t`, c) => c }
+            t -> (hits ++ all.filterNot(hits.contains)).take(Fuzzy.TopColumns)
+          }
+        }: _*))
       if (slice.tables.isEmpty) return ask(question, limit)
       val analysis = Intent.analyze(question, tables)
       val cands = Templates.candidates(slice, fks, analysis)

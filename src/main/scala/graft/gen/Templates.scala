@@ -46,21 +46,24 @@ object Templates {
     slice.tables.headOption.toSeq.flatMap { case (t, cols) =>
       val numericish = cols.drop(1).headOption.getOrElse(cols.headOption.getOrElse("*"))
       val groupCol = cols.headOption.getOrElse("*")
+      // Intent-shaped candidates outrank the generic join template (0.6 +
+      // join bonus): an aggregation question answered by a raw FK join is
+      // a worse answer than the matching aggregate, so confidence 0.85 (beats 0.6 + table + join bonuses).
       analysis.intent match {
         case Intent.Aggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
-          Seq(Candidate(s"SELECT $expr AS agg_value FROM $t", 0.55, "template_agg"))
-        case Intent.GroupedAggregation =>
+          Seq(Candidate(s"SELECT $expr AS agg_value FROM $t", 0.85, "template_agg"))
+        case Intent.GroupedAggregation | Intent.WindowFunction =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
           Seq(Candidate(
             s"SELECT $groupCol, $expr AS agg_value FROM $t GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
-            0.55, "template_group"))
+            0.85, "template_group"))
         case Intent.DistinctIntent =>
           Seq(Candidate(
             s"SELECT DISTINCT $groupCol FROM $t ORDER BY $groupCol LIMIT $DefaultLimit",
-            0.55, "template_distinct"))
+            0.85, "template_distinct"))
         case _ => Nil
       }
     }
