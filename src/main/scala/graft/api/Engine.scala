@@ -86,7 +86,7 @@ final class Engine(
         }: _*))
       if (slice.tables.isEmpty) return ask(question, limit)
       val analysis = Intent.analyze(question, tables)
-      val cands = Templates.candidates(slice, fks, analysis)
+      val cands = Templates.candidates(slice, fks, analysis, question)
       val ranked = Ranker.rank(cands, slice.tables.keySet)
       ranked.view.map { case (c, _) =>
         Validator.validate(spark, c.sql, tables.toSet)
@@ -110,7 +110,7 @@ final class Engine(
   def nl2sql(question: String): Either[EngineError, (String, SchemaSlice)] = {
     val slice = Fuzzy.selectRelevant(question, lightweightSchema)
     val analysis = Intent.analyze(question, tables)
-    val cands = Templates.candidates(slice, fks, analysis)
+    val cands = Templates.candidates(slice, fks, analysis, question)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     ranked.view
       .map { case (c, _) =>
@@ -139,7 +139,7 @@ final class Engine(
         .map(Templates.Candidate(_, 0.7, "llm"))
       case Left(_) => Nil
     }
-    val cands = llmCands ++ Templates.candidates(slice, fks, analysis)
+    val cands = llmCands ++ Templates.candidates(slice, fks, analysis, question)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     if (ranked.isEmpty) return Left(SqlSafetyError("No candidates generated"))
 

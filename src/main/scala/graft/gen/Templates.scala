@@ -39,20 +39,53 @@ object Templates {
       }
   }
 
+  private val perPhraseRe =
+    raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b)\s+([a-z0-9_ ]+)$$".r
+
   /** Intent-shaped candidates: aggregation / group-by / distinct patterns
     * derived from the analysis (mirrors the prompt patterns the reference
-    * injects — ref query_intent.py:324-379). */
-  def intentCandidates(slice: SchemaSlice, analysis: Analysis): Seq[Candidate] =
+    * injects — ref query_intent.py:324-379). Group and aggregate columns
+    * are chosen by fuzzy score against the question's grouping phrase
+    * ("per X") and the rest of the question respectively — not by
+    * position in the slice. */
+  def intentCandidates(slice: SchemaSlice, analysis: Analysis,
+      question: String = ""): Seq[Candidate] =
     slice.tables.headOption.toSeq.flatMap { case (t, cols) =>
-      val numericish = cols.drop(1).headOption.getOrElse(cols.headOption.getOrElse("*"))
-      val groupCol = cols.headOption.getOrElse("*")
+      val q = question.toLowerCase
+      // strip intent/filler words and the table's own name so column
+      // scoring sees only the content words ("average customer account
+      // balance" -> "account balance")
+      val fillers = Set("average", "avg", "mean", "total", "sum", "count",
+        "min", "minimum", "max", "maximum", "how", "many", "number", "of",
+        "the", "list", "all", "unique", "distinct", "values", "value",
+        "rows", "are", "there", "on", "from", "show", "me", "per", "each",
+        "for", "by", t, if (t.endsWith("s")) t.dropRight(1) else t + "s")
+      def strip(s: String): String =
+        s.split("[^a-z0-9_]+").filterNot(fillers).mkString(" ")
+      val perPhrase = perPhraseRe.findFirstMatchIn(q).map(m => strip(m.group(1))).getOrElse(strip(q))
+      val prePhrase = perPhraseRe.findFirstMatchIn(q).map(m => strip(q.take(m.start))).getOrElse(strip(q))
+      def best(candidates: Seq[String], phrase: String, default: String): String =
+        if (candidates.isEmpty || phrase.trim.isEmpty) default
+        else candidates.maxBy(c => graft.link.Fuzzy.nameScore(c, phrase))
+      val groupCol = best(cols, perPhrase, cols.headOption.getOrElse("*"))
+      val numericish = best(cols.filterNot(_ == groupCol), prePhrase,
+        cols.drop(1).headOption.getOrElse(cols.headOption.getOrElse("*")))
       // Intent-shaped candidates outrank the generic join template (0.6 +
       // join bonus): an aggregation question answered by a raw FK join is
       // a worse answer than the matching aggregate, so confidence 0.85 (beats 0.6 + table + join bonuses).
+      val countDistinct = analysis.aggFunction.contains("COUNT") &&
+        analysis.allIntents.contains(Intent.DistinctIntent)
       analysis.intent match {
+        case Intent.Aggregation if countDistinct =>
+          val target = best(cols, perPhrase, groupCol)
+          Seq(Candidate(s"SELECT COUNT(DISTINCT $target) AS agg_value FROM $t",
+            0.85, "template_count_distinct"))
         case Intent.Aggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
-          val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
+          // ungrouped: the aggregate target is the best match over ALL
+          // columns (groupCol is meaningless here and must not be excluded)
+          val aggCol = best(cols, prePhrase, numericish)
+          val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
           Seq(Candidate(s"SELECT $expr AS agg_value FROM $t", 0.85, "template_agg"))
         case Intent.GroupedAggregation | Intent.WindowFunction =>
           val f = analysis.aggFunction.getOrElse("COUNT")
@@ -69,7 +102,8 @@ object Templates {
     }
 
   /** Full deterministic candidate set, ordered by confidence desc. */
-  def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis): Seq[Candidate] =
-    (intentCandidates(slice, analysis) ++ joinCandidates(slice, fks) ++ tableCandidates(slice))
+  def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
+      question: String = ""): Seq[Candidate] =
+    (intentCandidates(slice, analysis, question) ++ joinCandidates(slice, fks) ++ tableCandidates(slice))
       .sortBy(-_.confidence)
 }

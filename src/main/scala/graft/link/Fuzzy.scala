@@ -63,11 +63,40 @@ object Fuzzy {
   val TopTables = 4 // ref nl2sql.py:31
   val TopColumns = 8 // ref nl2sql.py:40
 
+  /**
+   * Name score vs the question. Two quality refinements over the raw
+   * partial-ratio (which the reference uses as-is and which misfires on
+   * real schemas):
+   *  - very short names are damped (a 2-char column like `ts` scores 100
+   *    against ANY question containing those letters adjacently);
+   *  - an exact question-word match (incl. singular/plural) gets a bonus,
+   *    so "parts" prefers table `part` over an accidental substring hit.
+   */
+  /** Words too generic to count as an exact-name hit ("values" must not
+    * pull in a column literally named `value`). */
+  private val genericWords = Set(
+    "value", "values", "id", "ids", "name", "names", "type", "types",
+    "date", "dates", "time", "times", "row", "rows", "data", "key", "keys")
+
+  def nameScore(name: String, question: String): Int = {
+    val base = partialRatio(name, question)
+    val damped = if (name.length >= 3) base else base * name.length / 3
+    val words = question.toLowerCase.split("[^a-z0-9_]+").toSet
+    val n = name.toLowerCase
+    // exact match of the full name OR any >=4-char underscore segment
+    // (column prefixes like c_/o_ must not block "mktsegment" hits),
+    // tolerating singular/plural, excluding generic words
+    val parts = (n +: n.split('_').toSeq).filter(_.length >= 4).filterNot(genericWords)
+    val exact = parts.exists(p => words.contains(p) || words.contains(p + "s") ||
+      (p.endsWith("s") && words.contains(p.dropRight(1))))
+    if (exact) math.min(125, damped + 25) else damped
+  }
+
   /** Score a table for a question: max of the table-name score and any
     * column-name score (ref nl2sql.py:23-33). */
   def tableScore(question: String, table: String, columns: Seq[String]): Int = {
-    val t = partialRatio(table, question)
-    val c = if (columns.isEmpty) 0 else columns.map(partialRatio(_, question)).max
+    val t = nameScore(table, question)
+    val c = if (columns.isEmpty) 0 else columns.map(nameScore(_, question)).max
     math.max(t, c)
   }
 
@@ -82,7 +111,7 @@ object Fuzzy {
       .take(TopTables)
     val sliced = tables.map { case (t, cols, _) =>
       val ranked = cols
-        .map(c => (c, partialRatio(c, question)))
+        .map(c => (c, nameScore(c, question)))
         .sortBy { case (c, s) => (-s, cols.indexOf(c)) }
         .take(TopColumns)
         .map(_._1)

@@ -43,7 +43,10 @@ object Intent {
 
   private val aggKeywords: Seq[(String, Seq[String])] = Seq(
     "AVG" -> Seq("average", "avg", "mean"),
-    "COUNT" -> Seq("count", "how many", "number of", "total number", "quantity"),
+    // note: the reference also lists "quantity" under count
+    // (query_intent.py:66); dropped here because it is a common COLUMN
+    // name ("total quantity" must resolve to SUM, not COUNT)
+    "COUNT" -> Seq("count", "how many", "number of", "total number"),
     "SUM" -> Seq("sum", "total"),
     "MAX" -> Seq("max", "maximum", "highest", "largest", "most", "top"),
     "MIN" -> Seq("min", "minimum", "lowest", "smallest", "least", "bottom"))
