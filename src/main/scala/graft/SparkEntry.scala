@@ -117,7 +117,18 @@ object Queries {
         "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
-        "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"))
+        "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // exact n-gram Jaccard is portable: inter/|A∪B| of distinct 3-gram
+    // word shingles, same slicing semantics as WordShingles
+    "x_dedup_ngram" ->
+      ("WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
+        "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
+        "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+        "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        "FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 ORDER BY id_a, id_b LIMIT 100"))
 }
 
 /** Extension-operator queries (north-star: dedup, similarity search,
@@ -161,6 +172,7 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b").limit(100)),
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b").limit(100)),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {

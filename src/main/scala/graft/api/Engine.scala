@@ -33,6 +33,11 @@ final class Engine(
   private def lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
+  /** Connection test (S2, ref main.py:184-195): `SELECT 1` scalar probe. */
+  def connectTest: Boolean =
+    try spark.sql("SELECT 1").collect()(0).getInt(0) == 1
+    catch { case scala.util.control.NonFatal(_) => false }
+
   def schemaOverview: Map[String, Seq[(String, String, Boolean)]] =
     Sources.overview(spark, tables)
 
