@@ -116,5 +116,13 @@ object Evaluation {
     EvalCase("how many nation rows",
       "SELECT COUNT(*) AS agg_value FROM nation"),
     EvalCase("average supplier account balance per nationkey",
-      "SELECT s_nationkey, AVG(s_acctbal) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100"))
+      "SELECT s_nationkey, AVG(s_acctbal) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100"),
+    EvalCase("maximum part retailprice",
+      "SELECT MAX(p_retailprice) AS agg_value FROM part"),
+    EvalCase("minimum supplier acctbal",
+      "SELECT MIN(s_acctbal) AS agg_value FROM supplier"),
+    EvalCase("top 5 orders by totalprice",
+      "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"),
+    EvalCase("first 3 nation rows by name",
+      "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3"))
 }

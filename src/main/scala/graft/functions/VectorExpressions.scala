@@ -80,6 +80,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Random-hyperplane sign-bit LSH signature in one pass: projects the
+ * vector onto `numBits` deterministic hyperplanes (seeded splitmix64
+ * components in [-1, 1)) and packs the signs into a long. One expression
+ * evaluation per row — NOT `numBits` separate dot-product expressions,
+ * which would rebuild `numBits` literal arrays per row and multiply the
+ * projection cost under projection collapse.
+ */
+case class SignBitsLsh(child: Expression, numBits: Int, dim: Int, seed: Long = 42L)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(numBits >= 1 && numBits <= 64)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // planes[b][d], deterministic from the seed — identical on every executor
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val out = Array.ofDim[Double](numBits, dim)
+    var s = seed
+    var b = 0
+    while (b < numBits) {
+      var d = 0
+      while (d < dim) {
+        s = graft.functions.HashUtil.mix64(s)
+        out(b)(d) = s.toDouble / Long.MaxValue.toDouble
+        d += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val fl = isFloat
+    var sig = 0L
+    var b = 0
+    while (b < numBits) {
+      val p = planes(b)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += p(i) * (if (fl) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dot product of two numeric arrays (building block for IVF/LSH scoring). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

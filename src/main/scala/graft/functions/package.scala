@@ -15,6 +15,9 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  def sign_bits_lsh(embedding: Column, numBits: Int, dim: Int, seed: Long = 42L): Column =
+    column(SignBitsLsh(expression(embedding), numBits, dim, seed))
+
   def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     column(MinHashSignature(expression(tokens), numHashes, seed))
 

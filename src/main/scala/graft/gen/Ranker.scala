@@ -9,7 +9,11 @@ object Ranker {
 
   def score(c: Templates.Candidate, relevantTables: Set[String]): Double = {
     val lower = c.sql.toLowerCase
-    val tableBonus = relevantTables.count(t => lower.contains(t.toLowerCase)) * 0.1
+    // word-boundary match: `region` inside `n_regionkey` is not a table
+    // mention (the reference's substring check has that flaw)
+    val tableBonus = relevantTables.count { t =>
+      raw"\b${java.util.regex.Pattern.quote(t.toLowerCase)}\b".r.findFirstIn(lower).isDefined
+    } * 0.1
     val joinBonus = if (lower.contains(" join ")) 0.1 else 0.0
     math.min(1.0, c.confidence + tableBonus + joinBonus)
   }

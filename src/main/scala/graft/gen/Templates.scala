@@ -59,7 +59,11 @@ object Templates {
         "min", "minimum", "max", "maximum", "how", "many", "number", "of",
         "the", "list", "all", "unique", "distinct", "values", "value",
         "rows", "are", "there", "on", "from", "show", "me", "per", "each",
-        "for", "by", t, if (t.endsWith("s")) t.dropRight(1) else t + "s")
+        "for", "by", "top", "bottom", "first", "last", "highest", "lowest",
+        "sorted", "order", "ordered", "sort", "newest", "oldest", "latest",
+        "earliest", "best", "worst",
+        t, if (t.endsWith("s")) t.dropRight(1) else t + "s") ++
+        (0 to 100).map(_.toString)
       def strip(s: String): String =
         s.split("[^a-z0-9_]+").filterNot(fillers).mkString(" ")
       val perPhrase = perPhraseRe.findFirstMatchIn(q).map(m => strip(m.group(1))).getOrElse(strip(q))
@@ -75,7 +79,18 @@ object Templates {
       // a worse answer than the matching aggregate, so confidence 0.85 (beats 0.6 + table + join bonuses).
       val countDistinct = analysis.aggFunction.contains("COUNT") &&
         analysis.allIntents.contains(Intent.DistinctIntent)
-      analysis.intent match {
+      // Explicit "top/first/last N" is a sort+limit question even when an
+      // agg keyword also fired ("top" doubles as a MAX keyword in the
+      // reference's lists): rank rows, don't collapse to one aggregate.
+      val topN = analysis.limitN.isDefined &&
+        (analysis.allIntents.contains(Intent.Sorted) || analysis.allIntents.contains(Intent.Limited))
+      if (topN) {
+        val sortCol = best(cols, prePhrase, cols.headOption.getOrElse("*"))
+        val dir = if (analysis.sortDescending) "DESC" else "ASC"
+        Seq(Candidate(
+          s"SELECT * FROM $t ORDER BY $sortCol $dir LIMIT ${analysis.limitN.get}",
+          0.85, "template_topn"))
+      } else analysis.intent match {
         case Intent.Aggregation if countDistinct =>
           val target = best(cols, perPhrase, groupCol)
           Seq(Candidate(s"SELECT COUNT(DISTINCT $target) AS agg_value FROM $t",

@@ -112,7 +112,15 @@ object Intent {
   private val limitNumRe = raw"\b(?:top|first|last)\s+(\d+)".r
   private val isoDateRe = raw"\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4}".r
 
-  private def anyIn(q: String, kws: Seq[String]): Boolean = kws.exists(q.contains)
+  /** Keyword containment. The reference uses raw substring containment
+    * (`kw in question_lower`), which mis-fires on compound words —
+    * "total" inside "totalprice" must not read as SUM — so single-word
+    * keywords match on word boundaries; multi-word phrases keep
+    * substring semantics. */
+  private def anyIn(q: String, kws: Seq[String]): Boolean = kws.exists { kw =>
+    if (kw.contains(" ") || kw.endsWith(" ")) q.contains(kw)
+    else raw"\b${java.util.regex.Pattern.quote(kw)}\b".r.findFirstIn(q).isDefined
+  }
 
   /** Priority ordering for the primary intent (ref query_intent.py:291-303). */
   private val priority: Seq[QueryIntent] = Seq(
@@ -254,10 +262,15 @@ object Intent {
   }
 
   /** Does the question demand aggregation? (shared by validator check V7 —
-    * ref nl2sql.py:50-63). */
+    * ref nl2sql.py:50-63). An explicit "top/first/last N" question is a
+    * ranking over rows, not an aggregate — "top" merely overlaps MAX's
+    * keyword list — so it only demands aggregation when grouping fired too. */
   def needsAggregation(question: String): Boolean = {
     val a = analyze(question)
-    a.aggFunction.isDefined || a.allIntents.contains(GroupedAggregation)
+    val explicitTopN = a.limitN.isDefined &&
+      (a.allIntents.contains(Sorted) || a.allIntents.contains(Limited))
+    if (explicitTopN) a.allIntents.contains(GroupedAggregation)
+    else a.aggFunction.isDefined || a.allIntents.contains(GroupedAggregation)
   }
 
   def wantsDistinct(question: String): Boolean =

@@ -39,17 +39,12 @@ object Similarity {
     out
   }
 
-  /** Sign-bit LSH signature of an embedding column as a long (≤ 64 bits). */
-  def signBits(embedding: org.apache.spark.sql.Column, numBits: Int, dim: Int, seed: Long = 42L): org.apache.spark.sql.Column = {
-    require(numBits <= 64)
-    val planes = hyperplanes(numBits, dim, seed)
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val dot = graft.functions.dot_product(embedding,
-        array(p.map(lit(_)): _*))
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** Sign-bit LSH signature of an embedding column as a long (≤ 64 bits).
+    * Single-expression evaluation (SignBitsLsh) — the composed
+    * per-plane dot-product version rebuilt numBits literal arrays per
+    * row. Plane generation matches `hyperplanes` (same seed chain). */
+  def signBits(embedding: org.apache.spark.sql.Column, numBits: Int, dim: Int, seed: Long = 42L): org.apache.spark.sql.Column =
+    graft.functions.sign_bits_lsh(embedding, numBits, dim, seed)
 
   /** Exact brute-force cosine top-k for one query vector.
     * Plans as scan → project(cosine) → TakeOrderedAndProject. */
@@ -86,16 +81,21 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95, numBits: Int = 16, dim: Int = 64,
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    // one shuffle: group by signature, cap the bucket, generate pairs
+    // inside the collected list (same shape as Dedup's LSH paths —
+    // window-count + self-join costs two extra wide shuffles)
     val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("sig", signBits(col("emb"), numBits, dim, seed))
-    val sized = sig.withColumn("n", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("sig")))
-      .where(col("n") <= maxBucketSize)
-    val a = sized.select(col("sig"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val b = sized.select(col("sig"), col("id").as("id_b"), col("emb").as("emb_b"))
-    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine_sim(col("emb_a"), col("emb_b")))
+    val buckets = sig.groupBy("sig")
+      .agg(collect_list(struct(col("id"), col("emb"))).as("members"))
+      .where(size(col("members")).between(2, maxBucketSize))
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_sim(col("a.emb"), col("b.emb")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 }

@@ -85,6 +85,13 @@ object Streams {
    */
   def userActivity(events: Dataset[Event], timeoutMs: Long = 60 * 60 * 1000L): Dataset[UserActivity] = {
     import events.sparkSession.implicits._
+    // Spark 4.1.2 quirk: with ProcessingTimeTimeout, the trailing no-data
+    // micro-batch (timeout sweep) can be planned on a thread without an
+    // active session and NPE inside FlatMapGroupsWithStateExec's
+    // PythonSQLMetrics init. The data batches are unaffected; disabling
+    // no-data batches avoids the noisy failed empty batch. Timeouts then
+    // fire on the next data-carrying batch.
+    events.sparkSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserSessionState, UserActivity](
