@@ -89,6 +89,33 @@ object Profiler {
     TableInfo(name, columns.toSeq, rowCount = Some(rowCount), sampleRows = samples.toSeq)
   }
 
+  /**
+   * Sketch-based profiling for 100 TB scale: one pass computing HLL++
+   * distinct estimates and t-digest-style approximate quantiles per
+   * numeric column — mergeable sketches, no exact sort/shuffle anywhere.
+   */
+  def sketchStats(df: DataFrame, cols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.5, 0.95, 0.99)): Map[String, (Long, Seq[Double])] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(col(c)).as(s"__d_$c"),
+        percentile_approx(col(c), array(percentiles.map(lit): _*), lit(10000))
+          .cast("array<double>").as(s"__p_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.map { c =>
+      c -> (row.getLong(row.fieldIndex(s"__d_$c")),
+        row.getSeq[Double](row.fieldIndex(s"__p_$c")).toSeq)
+    }.toMap
+  }
+
+  /** Heavy hitters per column (frequent-items sketch, single pass). */
+  def heavyHitters(df: DataFrame, cols: Seq[String], support: Double = 0.01): Map[String, Seq[Any]] = {
+    val row = df.stat.freqItems(cols.toArray, support).collect()(0)
+    cols.zipWithIndex.map { case (c, i) => c -> row.getSeq[Any](i).toSeq }.toMap
+  }
+
   /** Crawl a set of registered views into SchemaMetadata with the FK
     * sidecar + mined synonyms (the reference's deep crawl, crawler.py:142-194). */
   def crawl(

@@ -75,6 +75,45 @@ object Similarity {
     topK(bucketed.where(col("__sig") === qsig), idCol, embCol, query, k)
   }
 
+  /**
+   * IVF (inverted-file) ANN index: KMeans partitions the vector space
+   * into `nlist` cells; a query probes only its `nprobe` nearest cells
+   * and ranks exactly inside them. The scale path when sign-bit LSH
+   * recall is insufficient: cells adapt to the data distribution.
+   */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  def ivfIndex(df: DataFrame, idCol: String, embCol: String,
+      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("features", array_to_vector(col("emb").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(vecs)
+    val assigned = model.transform(vecs).select("id", "emb", "cell")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    IvfIndex(assigned, centroids)
+  }
+
+  def ivfTopK(index: IvfIndex, query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    // nearest cells by centroid distance (driver-side: nlist is small)
+    val cells = index.centroids.map { case (i, c) =>
+      var d = 0.0
+      val n = math.min(c.length, query.length)
+      var j = 0
+      while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    index.assigned
+      .where(col("cell").isin(cells.toSeq: _*))
+      .select(col("id"), cosine_sim(col("emb"), q).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket on sign-bit signature,
     * exact-cosine verify within buckets (explode-free broadcast of small
     * buckets via self-join on the signature). */
