@@ -63,14 +63,30 @@ object Profiler {
 
     // Domain extraction only for proven-low-cardinality columns
     // (ref crawler.py:249-252: DISTINCT col ORDER BY col LIMIT 100).
+    // ONE second pass for ALL qualifying columns via bounded collect_set
+    // (executor-side state ≤ domainCap values per column) instead of a
+    // distinct+sort job per column.
+    val lowCard = fields.filter { f =>
+      val d = row.getLong(row.fieldIndex(s"__d_${f.name}"))
+      d <= domainCap && d > 0 &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+    }
+    val domains: Map[String, Seq[String]] =
+      if (lowCard.isEmpty) Map.empty
+      else {
+        val domAggs = lowCard.map(f =>
+          slice(sort_array(collect_set(col(f.name))), 1, domainCap)
+            .cast("array<string>").as(s"__dom_${f.name}"))
+        val domRow = df.agg(domAggs.head, domAggs.tail: _*).collect()(0)
+        lowCard.map(f =>
+          f.name -> domRow.getSeq[String](domRow.fieldIndex(s"__dom_${f.name}")).toSeq).toMap
+      }
+
     val columns = fields.map { f =>
       val d = row.getLong(row.fieldIndex(s"__d_${f.name}"))
-      val domain =
-        if (d <= domainCap && d > 0)
-          Some(df.select(col(f.name)).where(col(f.name).isNotNull)
-            .distinct().orderBy(col(f.name)).limit(domainCap)
-            .collect().map(r => String.valueOf(r.get(0))).toSeq)
-        else None
+      val domain = domains.get(f.name)
       ColumnInfo(
         name = f.name,
         dataType = f.dataType.sql,

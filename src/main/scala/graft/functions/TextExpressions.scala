@@ -41,6 +41,7 @@ object HashUtil {
 
 /**
  * MinHash signature over a string array (shingles/tokens): for each of
+ * (Broder, "On the resemblance and containment of documents", 1997.)
  * `numHashes` seeded hash functions, the minimum hash over the set.
  * Returns `array<bigint>` of length `numHashes`. One pass over the
  * tokens (O(tokens · k)); signatures are then banded for LSH bucketing
@@ -195,6 +196,8 @@ case class MinHashBuckets(child: Expression, numHashes: Int, bands: Int, seed: L
 /**
  * 64-bit SimHash over a string array: weighted bit-vote of per-token
  * 64-bit hashes; near-duplicate texts land within small Hamming distance.
+ * (Charikar, "Similarity estimation techniques from rounding algorithms",
+ * STOC 2002; used for web-scale dedup in Manku et al., WWW 2007.)
  */
 case class SimHash64(child: Expression, seed: Long = 42L)
     extends UnaryExpression with CodegenFallback {
@@ -242,7 +245,9 @@ case class HammingDistance64(left: Expression, right: Expression)
 }
 
 /**
- * Rolling-hash document fingerprint (winnowing-lite): hashes every
+ * Rolling-hash document fingerprint (winnowing-lite; Schleimer, Wilkerson
+ * & Aiken, "Winnowing: local algorithms for document fingerprinting",
+ * SIGMOD 2003): hashes every
  * character k-gram with a Rabin-Karp rolling hash and returns the
  * minimum — a content-defined 64-bit fingerprint stable under
  * formatting-preserving edits elsewhere in the document.

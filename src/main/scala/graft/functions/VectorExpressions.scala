@@ -81,7 +81,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /**
- * Random-hyperplane sign-bit LSH signature in one pass: projects the
+ * Random-hyperplane sign-bit LSH signature (Charikar, STOC 2002) in one
+ * pass: projects the
  * vector onto `numBits` deterministic hyperplanes (seeded splitmix64
  * components in [-1, 1)) and packs the signs into a long. One expression
  * evaluation per row — NOT `numBits` separate dot-product expressions,
