@@ -42,6 +42,42 @@ object Evaluation {
     if (p + rc == 0) 0.0 else 2 * p * rc / (p + rc)
   }
 
+  /**
+   * Distributed set-based F1 between two DataFrames (SURVEY.md §2.11's
+   * in-engine variant): rows are normalized (columns sorted by name,
+   * values stringified), hashed, deduplicated, and compared with a full
+   * outer join on the hash — no driver materialization, works on results
+   * of any size. Schemas must expose the same column-name set.
+   */
+  def distributedF1(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"column sets differ: ${a.columns.sorted.mkString(",")} vs ${b.columns.sorted.mkString(",")}")
+    def keys(df: org.apache.spark.sql.DataFrame) = {
+      // \x01 separator prevents tuple aliasing; nulls map to a sentinel
+      // (concat_ws silently DROPS nulls, which would alias ("a",null)/("a"))
+      val ordered = df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0001null")))
+      df.select(sha2(concat_ws("", ordered: _*), 256).as("k")).distinct()
+    }
+    val ka = keys(a).withColumn("ina", lit(1))
+    val kb = keys(b).withColumn("inb", lit(1))
+    val joined = ka.join(kb, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1).otherwise(0)).as("inter"),
+        sum(when(col("ina").isNotNull, 1).otherwise(0)).as("na"),
+        sum(when(col("inb").isNotNull, 1).otherwise(0)).as("nb"))
+      .collect()(0)
+    val inter = joined.getLong(0).toDouble
+    val na = joined.getLong(1).toDouble
+    val nb = joined.getLong(2).toDouble
+    if (na == 0 && nb == 0) 1.0
+    else if (na == 0 || nb == 0) 0.0
+    else {
+      val p = inter / na; val r = inter / nb
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    }
+  }
+
   /** Evaluate NL→SQL quality over a labeled corpus. */
   def run(engine: Engine, cases: Seq[EvalCase],
       ask: (Engine, String) => Either[graft.core.EngineError, QueryResult] =

@@ -30,4 +30,18 @@ object Sinks {
   /** Distributed JSON-lines write. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /**
+   * Date-partitioned parquet layout (100 TB posture): facts written under
+   * `part_date=YYYY-MM-01/` directories so temporal predicates prune whole
+   * partitions at planning time (explain shows `PartitionFilters`) —
+   * the dominant scan-reduction lever for time-series facts.
+   */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("part_date", date_trunc("month", col(tsCol)).cast("date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part_date")
+      .parquet(path)
+  }
 }

@@ -36,4 +36,21 @@ class EvaluationSpec extends SparkSpec {
   test("all 10 safety probes are blocked (10/10 like the reference pilot)") {
     assert(Evaluation.runSafetyProbes(engine) == 1.0)
   }
+
+  test("distributed F1 agrees with the driver-side F1 and scales without collect") {
+    graft.sources.Sources.register(spark, sfDir)
+    val a = spark.table("customer").select("c_custkey", "c_mktsegment")
+    val b = spark.table("customer").select("c_mktsegment", "c_custkey") // column order differs
+    assert(Evaluation.distributedF1(a, b) == 1.0)
+    val half = spark.table("customer").where(org.apache.spark.sql.functions.col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment")
+    val f1 = Evaluation.distributedF1(a, half)
+    val expected = { val na = a.count().toDouble; val nb = half.count().toDouble
+      2 * nb / (na + nb) } // subset: precision nb/nb=1... inter=nb, p=nb/na? no: p=inter/na, r=inter/nb=1
+    assert(math.abs(f1 - expected) < 1e-9)
+    // mismatched schemas are rejected loudly
+    intercept[IllegalArgumentException] {
+      Evaluation.distributedF1(a, spark.table("orders").select("o_orderkey", "o_orderstatus"))
+    }
+  }
 }

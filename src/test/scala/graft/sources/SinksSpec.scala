@@ -33,4 +33,18 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 5)
     assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
   }
+
+  test("date-partitioned layout prunes partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val orders = spark.table("orders")
+    Sinks.writeDatePartitioned(orders, dir, "o_orderdate")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    val pruned = back.where(col("part_date") === "1995-03-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part_date"), plan.take(1200))
+    // pruned scan reads strictly fewer files than the full table
+    assert(pruned.count() < orders.count() && pruned.count() > 0)
+  }
 }
