@@ -118,6 +118,10 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    "x_asof_purchase" ->
+      ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id LIMIT 100"),
     // exact n-gram Jaccard is portable: inter/|A∪B| of distinct 3-gram
     // word shingles, same slicing semantics as WordShingles
     "x_dedup_ngram" ->
@@ -194,6 +198,25 @@ object ExtensionQueries {
       Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.9, numBits = 8, dim = 64)
         .orderBy("id_a", "id_b").limit(100)),
+    // --- as-of join over events (custom operator; DuckDB native ASOF oracle) ---
+    "x_asof_purchase" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events")
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.operators.AsOfJoin.asOf(
+        events.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("p_value").as("last_purchase"))
+        .orderBy("event_id").limit(100)
+    }),
+    // --- multimodal feature extraction (synthetic media; rows-only) ---
+    "x_multimodal_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthetic(s, 200)
+      graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
+        .orderBy("media_id").limit(100)
+    }),
     // --- streaming-shaped (batch view of the events table) ---
     "x_events_hourly" -> ((s, dir) => {
       Sources.register(s, dir)
