@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,9 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * splitmix64 parameter generation) so signatures are reproducible across
  * runs and executors — a hard requirement for dedup joins at 100 TB.
  *
- * CodegenFallback is acceptable here: each expression does O(tokens ·
- * numHashes) arithmetic per row, dominating any virtual-call overhead;
- * the hot loops are primitive-typed.
+ * Codegen: each expression participates in whole-stage codegen via
+ * `UnarySelfRefCodegen` — the generated pipeline calls the expression's
+ * primitive-typed eval loop directly instead of breaking the codegen
+ * span the way CodegenFallback does.
  */
 object HashUtil {
   /** splitmix64 — public-domain mixing function (Steele et al.). */
@@ -48,7 +48,7 @@ object HashUtil {
  * in `graft.operators.Dedup`.
  */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -96,7 +96,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long = 42L)
  * on the documents fixture.
  */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -141,7 +141,7 @@ case class WordShingles(child: Expression, n: Int)
  * `bands` times per row.
  */
 case class MinHashBuckets(child: Expression, numHashes: Int, bands: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -200,7 +200,7 @@ case class MinHashBuckets(child: Expression, numHashes: Int, bands: Int, seed: L
  * STOC 2002; used for web-scale dedup in Manku et al., WWW 2007.)
  */
 case class SimHash64(child: Expression, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -236,7 +236,7 @@ case class SimHash64(child: Expression, seed: Long = 42L)
 
 /** Hamming distance between two 64-bit hashes (for SimHash near-dup). */
 case class HammingDistance64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinarySelfRefCodegen {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])
@@ -253,7 +253,7 @@ case class HammingDistance64(left: Expression, right: Expression)
  * formatting-preserving edits elsewhere in the document.
  */
 case class RollingHashFingerprint(child: Expression, k: Int = 16)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

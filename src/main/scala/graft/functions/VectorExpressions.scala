@@ -90,7 +90,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
  * projection cost under projection collapse.
  */
 case class SignBitsLsh(child: Expression, numBits: Int, dim: Int, seed: Long = 42L)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with UnarySelfRefCodegen {
   require(numBits >= 1 && numBits <= 64)
 
   override def dataType: DataType = LongType
