@@ -118,6 +118,19 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // session semantics: new session when the gap since the previous event
+    // of the same user exceeds 30 minutes (matches session_window's
+    // half-open-window merge; exact-boundary gaps are measure-zero in
+    // the ns-precision data)
+    "x_events_sessions" ->
+      ("WITH marked AS (SELECT user_id, ts, value, CASE WHEN ts - LAG(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR LAG(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "numbered AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) " +
+        "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value " +
+        "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start LIMIT 100"),
     "x_asof_purchase" ->
       ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
         "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
@@ -216,6 +229,17 @@ object ExtensionQueries {
       graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
         .orderBy("media_id").limit(100)
+    }),
+    // --- sessionization (session_window; oracled via DuckDB gaps-and-islands) ---
+    "x_events_sessions" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.table("events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start").limit(100)
     }),
     // --- streaming-shaped (batch view of the events table) ---
     "x_events_hourly" -> ((s, dir) => {
