@@ -160,5 +160,7 @@ object Evaluation {
     EvalCase("top 5 orders by totalprice",
       "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"),
     EvalCase("first 3 nation rows by name",
-      "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3"))
+      "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3"),
+    EvalCase("show customer rows along with the average acctbal per mktsegment",
+      "SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS window_value FROM customer LIMIT 100"))
 }

@@ -102,7 +102,15 @@ object Templates {
           val aggCol = best(cols, prePhrase, numericish)
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
           Seq(Candidate(s"SELECT $expr AS agg_value FROM $t", 0.85, "template_agg"))
-        case Intent.GroupedAggregation | Intent.WindowFunction =>
+        case Intent.WindowFunction =>
+          // W1: individual rows alongside the partition aggregate
+          // (ref query_intent.py:331 "AVG(col) OVER (PARTITION BY grp)")
+          val f = analysis.aggFunction.getOrElse("AVG")
+          Seq(Candidate(
+            s"SELECT *, $f($numericish) OVER (PARTITION BY $groupCol) AS window_value " +
+              s"FROM $t LIMIT $DefaultLimit",
+            0.85, "template_window"))
+        case Intent.GroupedAggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
           Seq(Candidate(
