@@ -46,6 +46,29 @@ class EngineSpec extends SparkSpec {
     assert(qr.sql.toLowerCase.contains("count"))
   }
 
+  test("LLM candidates are tried first, validated, and fall through on bad SQL") {
+    // canned client: first candidate is unsafe, second is valid - the
+    // reference's fallback chain must skip the bad one and run the good one
+    val canned = new graft.gen.LlmClient {
+      def chatComplete(s: String, u: String, m: Int) = Right(
+        "QUERY: DROP TABLE customer\n" +
+          "QUERY: SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 10")
+    }
+    val e = Engine.forFixtures(spark, sfDir, canned)
+    val r = e.ask("how many customers per market segment")
+    val qr = r.toOption.get
+    assert(qr.sql.contains("GROUP BY c_mktsegment"))
+    assert(qr.rowcount == 5)
+  }
+
+  test("LLM client failure falls back to templates transparently") {
+    val failing = new graft.gen.LlmClient {
+      def chatComplete(s: String, u: String, m: Int) = Left("llm down")
+    }
+    val e = Engine.forFixtures(spark, sfDir, failing)
+    assert(e.ask("how many customers are there").isRight)
+  }
+
   test("ask never throws on unanswerable input (always-answer envelope)") {
     val r = engine.ask("zzz qqq completely unrelated gibberish")
     // either a template result or a clean engine error - never an exception
