@@ -86,6 +86,52 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(
+      media_id: Long, frame_index: Int, frame_ts_ms: Long, features: Array[Float])
+
+  /**
+   * Frame sampling: one output row per sampled frame (every `everyMs` of
+   * media time), features per frame from the decoder. Partition-wise like
+   * `extractFeatures`; output row count is Σ frames, bounded by metadata
+   * duration — computable from the metadata BEFORE any decode, so
+   * admission control can reject oversized jobs up front.
+   */
+  def sampleFrames(media: Dataset[MediaRow], dim: Int = 64,
+      everyMs: Long = 1000L,
+      decoder: MediaDecoder = new StubDecoder): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val d = decoder
+      rows.flatMap { r =>
+        val n = d.frameCount(r.kind, r.meta, everyMs)
+        (0 until n).iterator.map { i =>
+          // stub: frame features derive from (bytes, frame index); a real
+          // decoder would decode the frame at ts = i * everyMs
+          val f = d.features(r.kind, r.bytes :+ i.toByte, r.meta, dim)
+          FrameRow(r.media_id, i, i * everyMs, f)
+        }
+      }
+    }
+  }
+
+  /**
+   * Resize: pure metadata transform for the stub (target dimensions are
+   * recorded; a real decoder re-encodes bytes). Keeps the byte column
+   * untouched so the plan stays narrow until a decode is actually needed.
+   */
+  def resize(media: Dataset[MediaRow], maxWidth: Int, maxHeight: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.meta.width <= maxWidth && r.meta.height <= maxHeight) r
+      else {
+        val scale = math.min(maxWidth.toDouble / r.meta.width, maxHeight.toDouble / r.meta.height)
+        r.copy(meta = r.meta.copy(
+          width = math.max(1, (r.meta.width * scale).toInt),
+          height = math.max(1, (r.meta.height * scale).toInt)))
+      }
+    }
+  }
+
   /** Metadata-only filtering — no decode, pure columnar predicates that
     * push down to the scan. */
   def filterDecodable(df: DataFrame, maxBytes: Long = 50L * 1024 * 1024): DataFrame =
