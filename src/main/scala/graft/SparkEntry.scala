@@ -57,8 +57,6 @@ object Queries {
     // --- windows (§2.5) ---
     "d13_window_avg" ->
       "SELECT c_custkey, c_mktsegment, c_acctbal, ROUND(AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg FROM customer ORDER BY c_custkey LIMIT 100",
-    "d14_window_rank" ->
-      "SELECT * FROM (SELECT s_suppkey, s_name, RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk FROM supplier) t WHERE rnk <= 10 ORDER BY rnk, s_suppkey LIMIT 100",
     // --- sorts / top-k (§2.6) ---
     "d15_topn" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
@@ -100,6 +98,12 @@ object Queries {
   /** Dialect-specific oracles for extension operators whose Spark side is
     * DataFrame code (names must match the Spark result's columns). */
   val extensionOracles: Map[String, String] = Map(
+    // W2: k-bounded global rank. The Spark side is RankLimit.globalRankTopK
+    // (TakeOrderedAndProject + positional rank — NO single-partition
+    // WindowExec; see plans/RankLimit.scala); the ordering is total
+    // (s_suppkey unique) so rank ≡ row position.
+    "d14_window_rank" ->
+      "SELECT * FROM (SELECT s_suppkey, s_name, RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk FROM supplier) t WHERE rnk <= 10 ORDER BY rnk, s_suppkey LIMIT 100",
     "x_text_stats" ->
       ("SELECT doc_id, " +
         "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
@@ -162,6 +166,15 @@ object ExtensionQueries {
   }
 
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- W2 bounded global rank (no global WindowExec — RankLimit) ---
+    "d14_window_rank" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.plans.RankLimit.globalRankTopK(
+        s.table("supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        Seq(col("s_acctbal").desc, col("s_suppkey")), k = 10)
+        .select(col("s_suppkey"), col("s_name"), col("rnk"))
+        .orderBy("rnk", "s_suppkey").limit(100)
+    }),
     // --- text analysis ---
     "x_text_stats" -> ((s, dir) =>
       docs(s, dir).select(

@@ -11,7 +11,7 @@ import graft.core.{EngineError, QueryResult}
  */
 object Responses {
 
-  private def esc(s: String): String = s.flatMap {
+  private[graft] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -21,7 +21,10 @@ object Responses {
     case c => c.toString
   }
 
-  private def jsonValue(v: Any): String = v match {
+  /** Quoted JSON string literal. */
+  private[graft] def jsonString(s: String): String = "\"" + esc(s) + "\""
+
+  private[graft] def jsonValue(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
     case n: Byte => n.toString

@@ -80,7 +80,11 @@ object Executor {
   }
 
   /** JSON-safe coercion at the sink (ref nl2sql.py:325-330): Decimal →
-    * double, temporal → ISO-8601 string, nested → JSON-ish string. */
+    * double, temporal → ISO-8601 string, nested → a *JSON document
+    * string* (the reference's `json.dumps` contract for nested values,
+    * nl2mongo.py:220-222). String quoting/escaping is shared with the
+    * response envelope (`Responses.jsonValue`) so a nested text value
+    * containing `,`/`]`/`"` can never corrupt the payload. */
   def jsonSafe(v: Any): Any = v match {
     case null => null
     case d: java.math.BigDecimal => d.doubleValue()
@@ -90,11 +94,19 @@ object Executor {
     case t: java.time.Instant => t.toString
     case d: java.time.LocalDate => d.toString
     case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-    case s: collection.Seq[_] => s.map(jsonSafe).mkString("[", ",", "]")
-    case m: collection.Map[_, _] =>
-      m.map { case (k, x) => s""""$k":${jsonSafe(x)}""" }.mkString("{", ",", "}")
-    case r: Row => r.toSeq.map(jsonSafe).mkString("[", ",", "]")
+    case _: collection.Seq[_] | _: collection.Map[_, _] | _: Row => nestedJson(v)
     case other => other
+  }
+
+  /** Render a nested value as a valid JSON document (json.dumps shape:
+    * `", "` / `": "` separators, properly quoted strings). */
+  private def nestedJson(v: Any): String = v match {
+    case s: collection.Seq[_] => s.map(nestedJson).mkString("[", ", ", "]")
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => graft.api.Responses.jsonString(String.valueOf(k)) + ": " + nestedJson(x) }
+        .mkString("{", ", ", "}")
+    case r: Row => r.toSeq.map(nestedJson).mkString("[", ", ", "]")
+    case other => graft.api.Responses.jsonValue(jsonSafe(other))
   }
 
   /** Full guarded execution: cost gate → timed collect → JSON-safe rows +

@@ -26,8 +26,13 @@ object Pipelines {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       nearThreshold: Double = 0.85,
       cfg: Dedup.LshConfig = Dedup.LshConfig()): (DataFrame, DedupReport) = {
+    import org.apache.spark.storage.StorageLevel
     val input = docs.count()
+    // The exact-dedup window feeds three consumers (its own count, the
+    // LSH pipeline, and the anti-join) — persist so the window computes
+    // once instead of three times over the full corpus.
     val exact = Dedup.dedupExact(docs, idCol, Seq(textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
 
     val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold, cfg)
@@ -35,7 +40,9 @@ object Pipelines {
     // pair names it as the larger member
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = deduped.count()
+    exact.unpersist(blocking = false)
 
     (deduped, DedupReport(
       input, afterExact, afterNear,

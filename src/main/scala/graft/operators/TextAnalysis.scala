@@ -64,14 +64,16 @@ object TextAnalysis {
    */
   def langId(text: Column): Column = {
     val toks = Dedup.tokens(text)
-    val scored = stopwords.keys.toSeq.sorted.map(l => struct(hits(toks, l).as("hits"), lit(l).as("lang")))
-    val best = array_max(array(scored: _*)) // max on (hits, lang): ties pick later lang
-    // To make ties break on FIRST alphabetical lang, invert: take max hits,
-    // then the first lang reaching it.
-    val maxHits = greatest(stopwords.keys.toSeq.sorted.map(l => hits(toks, l)): _*)
-    val firstBest = stopwords.keys.toSeq.sorted.reverse
-      .foldLeft(lit("und")) { (acc, l) => when(hits(toks, l) === maxHits, lit(l)).otherwise(acc) }
-    when(maxHits <= 0, lit("und")).otherwise(firstBest)
+    val langs = stopwords.keys.toSeq.sorted
+    // One struct per language: (hits, priority, lang). array_max compares
+    // fields left-to-right, so the winner has max hits; ties pick the max
+    // priority = FIRST alphabetical language. Each language's hit count is
+    // evaluated once (6 array_intersects total per row).
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(hits(toks, l).as("hits"), lit(langs.size - 1 - i).as("pri"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
   /**

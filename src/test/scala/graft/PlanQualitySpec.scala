@@ -54,6 +54,25 @@ class PlanQualitySpec extends SparkSpec {
       "query-vector join must broadcast, ranking must not shuffle: " + p.take(1500))
   }
 
+  test("k-bounded global rank has NO single-partition WindowExec (d14)") {
+    val p = plan("d14_window_rank")
+    assert(!p.contains("Window"), "global rank must not plan a WindowExec: " + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("BoundedRankPrefilter bounds the window input on the SQL path (W2 rewrite)") {
+    graft.sources.Sources.register(spark, sfDir)
+    val df = spark.sql(Queries.extensionOracles("d14_window_rank"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the rule (registered via GraftExtensions) must inject Limit+Sort
+    // BELOW the window, so WindowExec sees ≤ 10 rows, not the table
+    assert(opt.contains("GlobalLimit 10"), opt.take(2000))
+    assert(opt.indexOf("Window") < opt.indexOf("GlobalLimit 10"), opt.take(2000))
+    import spark.implicits._
+    val ranked = df.as[(Long, String, Int)].collect()
+    assert(ranked.length == 10 && ranked.map(_._3).toSeq == (1 to 10))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline (d03)") {
     // FormattedMode marks codegen'd operators with "[codegen id : N]"
     assert(plan("d03_filter_and").contains("[codegen id :"))

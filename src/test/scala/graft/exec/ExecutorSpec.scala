@@ -55,6 +55,19 @@ class ExecutorSpec extends SparkSpec {
       .toString.startsWith("2024-01-02T03:04:05"))
   }
 
+  test("jsonSafe renders nested values as valid JSON (json.dumps shape)") {
+    // A text value containing `", ]"` must not corrupt the envelope.
+    val v = Executor.jsonSafe(Seq("a\"b", ", ]", "c"))
+    assert(v == """["a\"b", ", ]", "c"]""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = mapper.readTree(v.asInstanceOf[String])
+    assert(parsed.isArray && parsed.size == 3 && parsed.get(1).asText == ", ]")
+    // maps and rows nest recursively; scalar coercion still applies inside
+    val m = Executor.jsonSafe(Map("k\"1" -> Seq(1, 2), "d" -> java.sql.Date.valueOf("2024-01-02")))
+    val pm = mapper.readTree(m.asInstanceOf[String])
+    assert(pm.get("k\"1").get(1).asInt == 2 && pm.get("d").asText == "2024-01-02")
+  }
+
   test("timeout cancels a long-running query") {
     tables
     val v = Validator.validate(spark,

@@ -20,6 +20,17 @@ class PipelinesSpec extends SparkSpec {
     assert(report == Pipelines.DedupReport(5, 4, 3, 1, 1))
   }
 
+  test("dedupCorpus caches the exact-dedup corpus (one window computation)") {
+    val docs = (1L to 50L).map(i => (i, s"document number $i with some shared words " + ("x " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val (deduped, _) = Pipelines.dedupCorpus(docs, "doc_id", "text")
+    // the anti-join's physical plan must read the persisted exact corpus
+    // (InMemoryTableScan), not recompute the dedup window from the source
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan ExistingRDD"),
+      "expected cached exact corpus in plan:\n" + plan.take(2000))
+  }
+
   test("qualityFilter keeps substantial english docs only") {
     val docs = Seq(
       (1L, "the cat is on the mat and it is quite happy with the morning sun today"),
