@@ -95,6 +95,34 @@ object Queries {
 
   val byName: Map[String, String] = sql.toMap
 
+  /** DuckDB replica of TextAnalysis.langId: distinct-stopword-hit argmax,
+    * ties to the first alphabetical language, zero hits → 'und'. Generated
+    * from the same stopword lists (single source of truth). */
+  private def langCaseSql: (String, String) = {
+    val stop = graft.operators.TextAnalysis.stopwords
+    val langs = stop.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val lst = stop(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(t, $lst)) AS h_$l"
+    }.mkString(", ")
+    val mh = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN h_$l = mh THEN '$l'").mkString(" ")
+    (hitCols, s"CASE WHEN mh <= 0 THEN 'und' $cases END")
+  }
+
+  /** Exact word-3-gram Jaccard pairs ≥ threshold (DuckDB replica of
+    * WordShingles + inverted-index pair counting) — the gold standard the
+    * LSH dedup operators are graded against. */
+  private def jaccardGoldSql(threshold: Double): String =
+    "WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
+      "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
+      "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+      "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+      s"FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold ORDER BY id_a, id_b LIMIT 100"
+
   /** Dialect-specific oracles for extension operators whose Spark side is
     * DataFrame code (names must match the Spark result's columns). */
   val extensionOracles: Map[String, String] = Map(
@@ -141,15 +169,76 @@ object Queries {
         "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id LIMIT 100"),
     // exact n-gram Jaccard is portable: inter/|A∪B| of distinct 3-gram
     // word shingles, same slicing semantics as WordShingles
-    "x_dedup_ngram" ->
-      ("WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
-        "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
-        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
-        "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
-        "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
-        "FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 ORDER BY id_a, id_b LIMIT 100"))
+    "x_dedup_ngram" -> jaccardGoldSql(0.8),
+    // RECALL CONTRACT: MinHash-LSH's verified pairs must equal ALL exact
+    // Jaccard ≥ 0.7 pairs — DuckDB computes the gold set independently;
+    // a pair the banded LSH misses hash-mismatches the round.
+    "x_dedup_minhash" -> jaccardGoldSql(0.7),
+    // RECALL CONTRACT: every ≥75-token document gets a planted copy with
+    // one appended token; the SimHash banding + exact-popcount verify
+    // must surface every planted (id, id+100000) pair. DuckDB enumerates
+    // the expected pairs from the corpus alone.
+    "x_dedup_simhash" ->
+      ("SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents " +
+        "WHERE CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END >= 75 " +
+        "ORDER BY id_a LIMIT 500"),
+    // RECALL CONTRACT: 25 planted perturbed copies (first component
+    // +0.25, cosine ≈ 0.97 to their source; organic pairs max 0.51) —
+    // banded sign-LSH + exact-cosine verify must find exactly the pairs
+    // the DuckDB brute force finds.
+    "x_cosine_neardup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "p AS (SELECT vec_id + 100000 AS vec_id, list_concat([emb[1] + 0.25], emb[2:]) AS emb FROM e WHERE vec_id < 25), " +
+        "c AS (SELECT * FROM e UNION ALL SELECT * FROM p) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(CAST(list_cosine_similarity(a.emb, b.emb) AS DOUBLE), 4) AS cosine " +
+        "FROM c a JOIN c b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95 ORDER BY id_a, id_b LIMIT 100"),
+    // RECALL CONTRACT: IVF(nlist=16, nprobe=6) must return the exact
+    // brute-force top-10 (DuckDB computes it); cell pruning that drops a
+    // true neighbor fails the round.
+    "x_ann_ivf" ->
+      ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
+        "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    "x_lang_id" -> {
+      val (hitCols, caseSql) = langCaseSql
+      "WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents), " +
+        s"h AS (SELECT doc_id, $hitCols FROM toks), " +
+        "m AS (SELECT *, " + graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted.map(l => s"h_$l").mkString("greatest(", ", ", ")") + " AS mh FROM h) " +
+        s"SELECT doc_id, $caseSql AS lang_pred FROM m ORDER BY doc_id LIMIT 100"
+    },
+    // full text-analysis projection (fingerprint excluded: the rolling
+    // hash is not expressible in DuckDB SQL; it stays sbt-verified)
+    "x_text_analyze" -> {
+      val (hitCols, caseSql) = langCaseSql
+      "WITH base AS (SELECT doc_id, text, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]')) AS n_subtokens, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio_raw, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio_raw, " +
+        "list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents), " +
+        "awl AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS awl_raw FROM base), " +
+        s"h AS (SELECT *, $hitCols FROM awl), " +
+        "m AS (SELECT *, " + graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted.map(l => s"h_$l").mkString("greatest(", ", ", ")") + " AS mh FROM h) " +
+        "SELECT doc_id, n_tokens, n_subtokens, round(punct_ratio_raw, 4) AS punct_ratio, " +
+        "round(digit_ratio_raw, 4) AS digit_ratio, round(awl_raw, 4) AS avg_word_len, " +
+        s"$caseSql AS lang_pred, " +
+        "round(greatest(0.0, least(1.0, least(length(text) / 500.0, 1.0) * 0.4 " +
+        "+ least(n_tokens / 100.0, 1.0) * 0.3 " +
+        "+ CASE WHEN awl_raw >= 3 AND awl_raw <= 10 THEN 0.3 ELSE 0.1 END " +
+        "- (punct_ratio_raw + digit_ratio_raw) * 0.5)), 4) AS quality " +
+        "FROM m ORDER BY doc_id LIMIT 100"
+    },
+    // the media table derives deterministically from documents (see
+    // Multimodal.fromDocuments), so payload-size/kind/frame-count are
+    // pure SQL over the text column
+    "x_multimodal_features" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST((1000 + (length(text) * 7) % 4000) // 1000 AS INT)) ELSE 1 END AS frames_sampled " +
+        "FROM documents ORDER BY media_id LIMIT 100"))
 }
 
 /** Extension-operator queries (north-star: dedup, similarity search,
@@ -184,7 +273,9 @@ object ExtensionQueries {
         round(TextAnalysis.digitRatio(col("text")), 4).as("digit_ratio"))
         .orderBy("doc_id").limit(100)),
     "x_text_analyze" -> ((s, dir) =>
-      TextAnalysis.analyze(docs(s, dir), "doc_id", "text").orderBy("doc_id").limit(100)),
+      TextAnalysis.analyze(docs(s, dir), "doc_id", "text")
+        .drop("fingerprint") // not DuckDB-expressible; FunctionsSpec covers it
+        .orderBy("doc_id").limit(100)),
     "x_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id").limit(100)),
@@ -196,10 +287,20 @@ object ExtensionQueries {
       docs(s, dir).agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_unique"))),
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b").limit(100)),
-    "x_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text", maxDistance = 3)
-        .orderBy("id_a", "id_b").limit(100)),
+    // planted-recall contract: each ≥75-token doc gets a copy with one
+    // appended token (a small edit on a long doc ⇒ Hamming ≤ 5 on the
+    // 64-bit SimHash); the banded pipeline must find every planted pair
+    "x_dedup_simhash" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .where(TextAnalysis.tokenCount(col("text")) >= 75)
+      val planted = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zqxwv")).as("text"))
+      Dedup.simhashNearDuplicates(base.union(planted), "doc_id", "text", maxDistance = 5)
+        .where(col("id_b") === col("id_a") + 100000)
+        .select("id_a", "id_b").orderBy("id_a").limit(500)
+    }),
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -214,16 +315,32 @@ object ExtensionQueries {
           round(graft.functions.cosine_sim(col("embedding"), col("q_embedding")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     }),
-    "x_ann_lsh" -> ((s, dir) => {
+    // IVF is the sanctioned approximate ANN path (cell pruning adapts to
+    // the data distribution; sign-LSH multi-probe remains available as
+    // Similarity.lshTopK with an adaptive radius). nprobe=6 carries
+    // recall headroom over the 4 cells the fixture's true top-10 spans.
+    "x_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      Similarity.lshTopK(e, "vec_id", "embedding", query, k = 10, numBits = 8)
+      val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(idx, query, k = 10, nprobe = 6)
+        .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
     }),
-    "x_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.9, numBits = 8, dim = 64)
-        .orderBy("id_a", "id_b").limit(100)),
+    // planted-recall contract: 25 perturbed copies at cosine ≈ 0.97; the
+    // banded signature join + exact verify must find exactly what the
+    // DuckDB brute force finds
+    "x_cosine_neardup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val planted = e.where(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("emb"), 1) + lit(0.25)), slice(col("emb"), 2, 63)).as("emb"))
+      Similarity.cosineNearDupPairs(e.union(planted), "vec_id", "emb",
+        threshold = 0.95, dim = 64, chunks = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b").limit(100)
+    }),
     // --- as-of join over events (custom operator; DuckDB native ASOF oracle) ---
     "x_asof_purchase" -> ((s, dir) => {
       Sources.register(s, dir)
@@ -236,9 +353,10 @@ object ExtensionQueries {
         .select(col("event_id"), col("p_value").as("last_purchase"))
         .orderBy("event_id").limit(100)
     }),
-    // --- multimodal feature extraction (synthetic media; rows-only) ---
+    // --- multimodal feature extraction (documents-derived media so the
+    //     partition-wise decode pipeline is oracle-checkable) ---
     "x_multimodal_features" -> ((s, dir) => {
-      val media = graft.operators.Multimodal.synthetic(s, 200)
+      val media = graft.operators.Multimodal.fromDocuments(docs(s, dir))
       graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
         .orderBy("media_id").limit(100)

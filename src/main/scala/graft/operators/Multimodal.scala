@@ -139,6 +139,32 @@ object Multimodal {
       length(col("bytes")) <= maxBytes &&
       col("meta.durationMs") >= 0)
 
+  /**
+   * Deterministic media table DERIVED from the `documents` fixture: the
+   * text bytes stand in for the media payload, so every metadata field
+   * (and therefore the feature-extraction outputs that depend only on
+   * payload size / kind / duration) is a pure function of columns DuckDB
+   * can see — which makes the multimodal pipeline oracle-checkable
+   * end-to-end while the byte plumbing (binary column, typed metadata,
+   * partition-wise decode) stays real.
+   *
+   *  - media_id = doc_id, kind = doc_id mod 3 → image/audio/video
+   *  - bytes = UTF-8 text payload (n_bytes = octet_length(text))
+   *  - durationMs = 1000 + (char_length(text) * 7) mod 4000
+   */
+  def fromDocuments(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val kinds = Array("image", "audio", "video")
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].map { case (id, text) =>
+      val t = if (text == null) "" else text
+      val kind = kinds(((id % 3 + 3) % 3).toInt)
+      MediaRow(id, kind, t.getBytes(java.nio.charset.StandardCharsets.UTF_8), MediaMeta(
+        format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
+        width = 64 + (t.length % 64), height = 64,
+        sampleRate = 16000, durationMs = 1000L + (t.length.toLong * 7) % 4000))
+    }
+  }
+
   /** Deterministic synthetic media table (for tests/demos — the fixture
     * set has no media table). */
   def synthetic(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {

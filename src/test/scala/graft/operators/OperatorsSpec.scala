@@ -147,6 +147,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh(0).getLong(0) == 7L) // query always hashes to its own bucket
   }
 
+  test("multi-probe lshTopK hits recall@10 >= 0.9 at a 300-candidate budget") {
+    val q = embeddings.where($"vec_id" === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val gold = Similarity.topK(embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(embeddings, "vec_id", "embedding", q, 10,
+      numBits = 16, minCandidates = 300)
+      .collect().map(_.getLong(0)).toSet
+    val recall = gold.intersect(lsh).size.toDouble / gold.size
+    assert(recall >= 0.9, s"recall@10 = $recall (gold $gold vs lsh $lsh)")
+  }
+
+  test("banded cosineNearDupPairs finds planted perturbed pairs (recall) and nothing else (precision)") {
+    import org.apache.spark.sql.functions._
+    val e = embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val planted = e.where($"vec_id" < 10)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"emb", 1) + lit(0.25)), slice($"emb", 2, 63)).as("emb"))
+    val pairs = Similarity.cosineNearDupPairs(e.union(planted), "vec_id", "emb",
+      threshold = 0.95, dim = 64, chunks = 8).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == (0L until 10L).map(i => (i, i + 100000)).toSet, s"got $found")
+    assert(pairs.forall(_.getDouble(2) >= 0.95))
+  }
+
   test("topK plans as TakeOrderedAndProject (no full sort, no shuffle of all rows)") {
     val q = Array.fill(64)(0.1f)
     val plan = Similarity.topK(embeddings, "vec_id", "embedding", q, 10)
