@@ -15,16 +15,22 @@ import graft.core.QueryResult
  */
 object Evaluation {
 
-  final case class EvalCase(question: String, goldSql: String)
+  final case class EvalCase(question: String, goldSql: String, intent: String = "other")
 
   final case class CaseOutcome(
       question: String, executed: Boolean, f1: Double, latencyMs: Long,
-      generatedSql: String, error: String)
+      generatedSql: String, error: String, intent: String = "other")
+
+  /** Per-intent slice of the report: case count, execution rate, mean F1
+    * (the reference's failure log groups by planner path —
+    * Project_Plan.txt:60-63 "log failures with reasons"). */
+  final case class IntentStats(n: Int, execRate: Double, macroF1: Double)
 
   final case class Report(
       n: Int, execSuccessRate: Double, macroF1: Double,
       unsafeBlockedRate: Double, medianLatencyMs: Long,
-      cases: Seq[CaseOutcome])
+      cases: Seq[CaseOutcome],
+      byIntent: Map[String, IntentStats] = Map.empty)
 
   /** Set-based F1 between two results (column-name-order independent:
     * rows are normalized by sorting each result's columns by name). */
@@ -93,19 +99,25 @@ object Evaluation {
             case Left(err) => throw new IllegalArgumentException(
               s"gold SQL failed for '${c.question}': ${err.message}")
           }
-          CaseOutcome(c.question, executed = true, f1, latency, r.sql, "")
+          CaseOutcome(c.question, executed = true, f1, latency, r.sql, "", c.intent)
         case Left(err) =>
-          CaseOutcome(c.question, executed = false, 0.0, latency, "", err.message)
+          CaseOutcome(c.question, executed = false, 0.0, latency, "", err.message, c.intent)
       }
     }
     val latencies = outcomes.map(_.latencyMs).sorted
+    val byIntent = outcomes.groupBy(_.intent).map { case (intent, os) =>
+      intent -> IntentStats(os.size,
+        os.count(_.executed).toDouble / os.size,
+        os.map(_.f1).sum / os.size)
+    }
     Report(
       n = cases.size,
       execSuccessRate = outcomes.count(_.executed).toDouble / cases.size,
       macroF1 = if (outcomes.isEmpty) 0.0 else outcomes.map(_.f1).sum / outcomes.size,
       unsafeBlockedRate = Double.NaN, // filled by runSafetyProbes
       medianLatencyMs = if (latencies.isEmpty) 0 else latencies(latencies.size / 2),
-      cases = outcomes)
+      cases = outcomes,
+      byIntent = byIntent)
   }
 
   /** Adversarial safety corpus (Report 2 §8 probes): all must be blocked. */
@@ -126,41 +138,85 @@ object Evaluation {
     blocked.toDouble / probes.size
   }
 
-  /** The 12-question pilot corpus over the project fixtures (mirrors the
-    * reference's n=12 pilot shape; gold SQL is deterministic). */
+  /** The 17-question pilot corpus over the retail (TPC-H-ish) fixture
+    * (mirrors the reference's pilot shape; gold SQL is deterministic). */
   val pilotCorpus: Seq[EvalCase] = Seq(
     EvalCase("how many customers are there",
-      "SELECT COUNT(*) AS agg_value FROM customer"),
+      "SELECT COUNT(*) AS agg_value FROM customer", "count"),
     EvalCase("count of orders per orderpriority",
-      "SELECT o_orderpriority, COUNT(*) AS agg_value FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100"),
+      "SELECT o_orderpriority, COUNT(*) AS agg_value FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 100", "groupby_agg"),
     EvalCase("average customer account balance per market segment",
-      "SELECT c_mktsegment, AVG(c_acctbal) AS agg_value FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 100"),
+      "SELECT c_mktsegment, AVG(c_acctbal) AS agg_value FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 100", "groupby_agg"),
     EvalCase("list all unique market segments from customer",
-      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 100"),
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 100", "distinct"),
     EvalCase("how many orders are there",
-      "SELECT COUNT(*) AS agg_value FROM orders"),
+      "SELECT COUNT(*) AS agg_value FROM orders", "count"),
     EvalCase("total quantity on lineitem per returnflag",
-      "SELECT l_returnflag, SUM(l_quantity) AS agg_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 100"),
+      "SELECT l_returnflag, SUM(l_quantity) AS agg_value FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 100", "groupby_agg"),
     EvalCase("how many parts are there",
-      "SELECT COUNT(*) AS agg_value FROM part"),
+      "SELECT COUNT(*) AS agg_value FROM part", "count"),
     EvalCase("count of suppliers per nationkey",
-      "SELECT s_nationkey, COUNT(*) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100"),
+      "SELECT s_nationkey, COUNT(*) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100", "groupby_agg"),
     EvalCase("how many distinct mktsegment values",
-      "SELECT COUNT(DISTINCT c_mktsegment) AS agg_value FROM customer"),
+      "SELECT COUNT(DISTINCT c_mktsegment) AS agg_value FROM customer", "count_distinct"),
     EvalCase("list unique orderstatus values from orders",
-      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100"),
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100", "distinct"),
     EvalCase("how many nation rows",
-      "SELECT COUNT(*) AS agg_value FROM nation"),
+      "SELECT COUNT(*) AS agg_value FROM nation", "count"),
     EvalCase("average supplier account balance per nationkey",
-      "SELECT s_nationkey, AVG(s_acctbal) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100"),
+      "SELECT s_nationkey, AVG(s_acctbal) AS agg_value FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey LIMIT 100", "groupby_agg"),
     EvalCase("maximum part retailprice",
-      "SELECT MAX(p_retailprice) AS agg_value FROM part"),
+      "SELECT MAX(p_retailprice) AS agg_value FROM part", "minmax"),
     EvalCase("minimum supplier acctbal",
-      "SELECT MIN(s_acctbal) AS agg_value FROM supplier"),
+      "SELECT MIN(s_acctbal) AS agg_value FROM supplier", "minmax"),
     EvalCase("top 5 orders by totalprice",
-      "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"),
+      "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5", "topn"),
     EvalCase("first 3 nation rows by name",
-      "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3"),
+      "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3", "topn"),
     EvalCase("show customer rows along with the average acctbal per mktsegment",
-      "SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS window_value FROM customer LIMIT 100"))
+      "SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS window_value FROM customer LIMIT 100", "window"))
+
+  /**
+   * School-schema corpus (SchoolFixture): the reference demo-script
+   * questions (`Miscellaneous/Project_Plan.txt:56-63` — grade-letter +
+   * score filters, top-5 courses by average score, count per grade
+   * letter) plus join/filter variants. Deliberately HARDER than the
+   * pilot corpus — compound filters, top-N over aggregates and FK joins
+   * are outside the template surface today, so macro-F1 has headroom to
+   * show movement between rounds.
+   */
+  val schoolCorpus: Seq[EvalCase] = Seq(
+    EvalCase("how many students are there",
+      "SELECT COUNT(*) AS agg_value FROM students", "count"),
+    EvalCase("how many courses are there",
+      "SELECT COUNT(*) AS agg_value FROM courses", "count"),
+    EvalCase("count of scores per grade",
+      "SELECT grade, COUNT(*) AS agg_value FROM scores GROUP BY grade ORDER BY grade LIMIT 100", "groupby_agg"),
+    EvalCase("average score per course_id",
+      "SELECT course_id, AVG(score) AS agg_value FROM scores GROUP BY course_id ORDER BY course_id LIMIT 100", "groupby_agg"),
+    EvalCase("list unique grade values from scores",
+      "SELECT DISTINCT grade FROM scores ORDER BY grade LIMIT 100", "distinct"),
+    EvalCase("list unique dept values from courses",
+      "SELECT DISTINCT dept FROM courses ORDER BY dept LIMIT 100", "distinct"),
+    EvalCase("how many distinct grade values",
+      "SELECT COUNT(DISTINCT grade) AS agg_value FROM scores", "count_distinct"),
+    EvalCase("maximum score",
+      "SELECT MAX(score) AS agg_value FROM scores", "minmax"),
+    EvalCase("minimum student age",
+      "SELECT MIN(age) AS agg_value FROM students", "minmax"),
+    EvalCase("count of students per grade_level",
+      "SELECT grade_level, COUNT(*) AS agg_value FROM students GROUP BY grade_level ORDER BY grade_level LIMIT 100", "groupby_agg"),
+    EvalCase("top 5 scores rows by score_id",
+      "SELECT * FROM scores ORDER BY score_id DESC LIMIT 5", "topn"),
+    // --- demo-script hard cases (joins / compound filters / agg top-N) ---
+    EvalCase("scores with a C grade and score greater than 75",
+      "SELECT * FROM scores WHERE grade = 'C' AND score > 75 ORDER BY score_id LIMIT 100", "filter_and"),
+    EvalCase("top 5 courses by average score",
+      "SELECT course_id, AVG(score) AS agg_value FROM scores GROUP BY course_id ORDER BY agg_value DESC LIMIT 5", "agg_topn"),
+    EvalCase("student names with their scores",
+      "SELECT st.student_name, sc.score FROM scores sc JOIN students st ON st.student_id = sc.student_id ORDER BY sc.score_id LIMIT 100", "join"),
+    EvalCase("course names with average score per course",
+      "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_agg"),
+    EvalCase("count of scores in year 2023",
+      "SELECT COUNT(*) AS agg_value FROM scores WHERE year = 2023", "filter_count"))
 }

@@ -61,8 +61,12 @@ object Templates {
         "rows", "are", "there", "on", "from", "show", "me", "per", "each",
         "for", "by", "top", "bottom", "first", "last", "highest", "lowest",
         "sorted", "order", "ordered", "sort", "newest", "oldest", "latest",
-        "earliest", "best", "worst",
-        t, if (t.endsWith("s")) t.dropRight(1) else t + "s") ++
+        "earliest", "best", "worst") ++
+        // the table's own name is filler ("how many customers") — UNLESS
+        // the token is also a column of the table ("maximum score" on
+        // scores(score, ...) must keep "score" as column signal)
+        Seq(t, if (t.endsWith("s")) t.dropRight(1) else t + "s")
+          .filterNot(tok => cols.exists(_.equalsIgnoreCase(tok))) ++
         (0 to 100).map(_.toString)
       def strip(s: String): String =
         s.split("[^a-z0-9_]+").filterNot(fillers).mkString(" ")

@@ -86,10 +86,17 @@ object Fuzzy {
     // exact match of the full name OR any >=4-char underscore segment
     // (column prefixes like c_/o_ must not block "mktsegment" hits),
     // tolerating singular/plural, excluding generic words
-    val parts = (n +: n.split('_').toSeq).filter(_.length >= 4).filterNot(genericWords)
-    val exact = parts.exists(p => words.contains(p) || words.contains(p + "s") ||
-      (p.endsWith("s") && words.contains(p.dropRight(1))))
-    if (exact) math.min(125, damped + 25) else damped
+    def hit(p: String) = words.contains(p) || words.contains(p + "s") ||
+      (p.endsWith("s") && words.contains(p.dropRight(1)))
+    // A FULL-name word match outranks a segment match: "maximum score"
+    // must pick column `score` (140) over `score_id` (whose `score`
+    // segment also hits, 125) instead of tying and falling to schema
+    // order.
+    if (n.length >= 4 && !genericWords(n) && hit(n)) math.min(140, damped + 40)
+    else {
+      val parts = n.split('_').toSeq.filter(_.length >= 4).filterNot(genericWords)
+      if (parts.exists(hit)) math.min(125, damped + 25) else damped
+    }
   }
 
   /** Score a table for a question: max of the table-name score and any

@@ -37,6 +37,28 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.runSafetyProbes(engine) == 1.0)
   }
 
+  test("school corpus (2nd schema): >= 30 cases across schemas, per-intent breakdown, headroom visible") {
+    val schoolEngine = new Engine(spark, SchoolFixture.register(spark), SchoolFixture.fks)
+    val report = Evaluation.run(schoolEngine, Evaluation.schoolCorpus)
+    info(f"school exec=${report.execSuccessRate}%.2f macroF1=${report.macroF1}%.2f")
+    report.byIntent.toSeq.sortBy(_._1).foreach { case (intent, s) =>
+      info(f"  intent=$intent%-14s n=${s.n} exec=${s.execRate}%.2f f1=${s.macroF1}%.2f")
+    }
+    report.cases.filter(_.f1 < 1.0).foreach(c =>
+      info(f"  headroom: f1=${c.f1}%.2f '${c.question}' -> ${c.generatedSql.take(60)}"))
+    // corpus breadth: two schemas, >= 30 labeled cases total
+    assert(Evaluation.pilotCorpus.size + Evaluation.schoolCorpus.size >= 30)
+    assert(report.byIntent.keySet.size >= 7, report.byIntent.keySet)
+    // the engine must answer everything (always-answer envelope) even
+    // where generation is imperfect...
+    assert(report.execSuccessRate >= 0.8)
+    // ...and the simple intents must stay correct
+    for (intent <- Seq("count", "distinct", "minmax"))
+      assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
+    // safety holds on the second schema too
+    assert(Evaluation.runSafetyProbes(schoolEngine) == 1.0)
+  }
+
   test("distributed F1 agrees with the driver-side F1 and scales without collect") {
     graft.sources.Sources.register(spark, sfDir)
     val a = spark.table("customer").select("c_custkey", "c_mktsegment")
