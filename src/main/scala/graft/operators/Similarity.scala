@@ -120,14 +120,21 @@ object Similarity {
    */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
+  /** Build the inverted file. Centroids train on a bounded sample
+    * coalesced to few partitions (the faiss recipe — k-means quality
+    * needs thousands of vectors, not billions, and tiny per-iteration
+    * tasks over hundreds of partitions are pure scheduler overhead);
+    * every vector is then assigned with the fitted model in one
+    * distributed pass. */
   def ivfIndex(df: DataFrame, idCol: String, embCol: String,
-      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+      nlist: Int = 16, seed: Long = 42L, trainSample: Int = 20000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("features", array_to_vector(col("emb").cast("array<double>")))
+    val train = vecs.select("features").limit(trainSample).coalesce(4)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell").fit(vecs)
+      .setPredictionCol("cell").setMaxIter(10).fit(train)
     val assigned = model.transform(vecs).select("id", "emb", "cell")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     IvfIndex(assigned, centroids)
