@@ -42,15 +42,79 @@ object Templates {
   private val perPhraseRe =
     raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b)\s+([a-z0-9_ ]+)$$".r
 
+  // ------------------------------------------------- filter extraction
+  // The reference DETECTS filter intent and hands literal extraction to
+  // the LLM (query_intent.py:123-146 "use WHERE clause" hints); offline,
+  // the template layer extracts the common literal shapes itself:
+  //   "score greater than 75"  -> score > 75
+  //   "age at least 18"        -> age >= 18
+  //   "with a C grade"         -> grade = 'C'   (value case preserved)
+  //   "grade is C" / "= C"     -> grade = 'C'
+  //   "in year 2023"           -> year = 2023
+  private val cmpRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?(greater|more|higher|larger|bigger|less|fewer|lower|smaller)\s+than\s+(\d+(?:\.\d+)?)".r
+  private val atRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?at\s+(least|most)\s+(\d+(?:\.\d+)?)".r
+  private val withValRe =
+    raw"(?i)\bwith\s+(?:an?\s+)?([A-Za-z0-9][\w+-]*)\s+([a-z_][a-z0-9_]*)\b".r
+  private val eqRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is|equals|=)\s+'?([\w+-]+)'?".r
+  private val numEqRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
+  private val aggByRe =
+    raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
+
+  /** Strong link: the word names exactly one column (full-word match,
+    * score >= 100 with a clear margin over the runner-up). */
+  private def strongColumn(word: String, cols: Seq[String]): Option[String] = {
+    if (word.isEmpty) return None
+    val scored = cols.map(c => c -> graft.link.Fuzzy.nameScore(c, word)).sortBy(-_._2)
+    scored.headOption.filter { case (_, s) =>
+      s >= 100 && scored.drop(1).headOption.forall(_._2 < s)
+    }.map(_._1)
+  }
+
+  private def sqlLit(v: String): String =
+    if (v.matches(raw"\d+(\.\d+)?")) v else "'" + v.replace("'", "''") + "'"
+
+  /** Extract `col OP literal` conditions from the question (original
+    * case — categorical values like grade 'C' are case-sensitive). */
+  def extractFilters(question: String, cols: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def put(col: String, op: String, value: String): Unit =
+      out.getOrElseUpdate(s"$col $op", s"$col $op ${sqlLit(value)}")
+    for (m <- cmpRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      put(c, if (Set("greater", "more", "higher", "larger", "bigger")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
+    for (m <- atRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      put(c, if (m.group(2).equalsIgnoreCase("least")) ">=" else "<=", m.group(3))
+    // "with a C grade": the value must look like a literal (uppercase
+    // letter or digit start), not a possessive/noun ("with their scores")
+    for (m <- withValRe.findAllMatchIn(question); c <- strongColumn(m.group(2), cols)
+         if m.group(1).matches(raw"[A-Z0-9][\w+-]*") && strongColumn(m.group(1), cols).isEmpty)
+      put(c, "=", m.group(1))
+    for (m <- eqRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      put(c, "=", m.group(2))
+    for (m <- numEqRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      put(c, "=", m.group(2))
+    out.values.toSeq
+  }
+
   /** Intent-shaped candidates: aggregation / group-by / distinct patterns
     * derived from the analysis (mirrors the prompt patterns the reference
     * injects — ref query_intent.py:324-379). Group and aggregate columns
     * are chosen by fuzzy score against the question's grouping phrase
     * ("per X") and the rest of the question respectively — not by
-    * position in the slice. */
+    * position in the slice.
+    *
+    * Candidates are emitted for EVERY sliced table: the table whose
+    * aggregate column actually matches the question ranks highest
+    * (fit-scaled confidence), and the fallback chain skips any shape
+    * that fails validation on a wrong table — "average score per
+    * course_id" must aggregate scores.score even though table `courses`
+    * outranks `scores` in the slice. */
   def intentCandidates(slice: SchemaSlice, analysis: Analysis,
-      question: String = ""): Seq[Candidate] =
-    slice.tables.headOption.toSeq.flatMap { case (t, cols) =>
+      question: String = "", fks: Seq[FkEdge] = Nil): Seq[Candidate] =
+    slice.tables.toSeq.zipWithIndex.flatMap { case ((t, cols), tableRank) =>
       val q = question.toLowerCase
       // strip intent/filler words and the table's own name so column
       // scoring sees only the content words ("average customer account
@@ -88,24 +152,55 @@ object Templates {
       // reference's lists): rank rows, don't collapse to one aggregate.
       val topN = analysis.limitN.isDefined &&
         (analysis.allIntents.contains(Intent.Sorted) || analysis.allIntents.contains(Intent.Limited))
-      if (topN) {
+      // Extracted literal filters ("score greater than 75", "with a C
+      // grade", "in year 2023") apply to every shape as a WHERE clause.
+      val filters = extractFilters(question, cols)
+      val whereSql = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
+      // Fit-scaled confidence: a table whose aggregate column genuinely
+      // matches the question outranks the slice's head table; later
+      // tables decay slightly so equal fits preserve relevance order.
+      def conf(base: Double, fitCol: String, phrase: String, needsFit: Boolean): Double = {
+        val fit = !needsFit || (phrase.trim.nonEmpty &&
+          graft.link.Fuzzy.nameScore(fitCol, phrase) >= 100)
+        base + (if (fit) 0.01 else -0.02) - 0.005 * tableRank
+      }
+      // "top 5 courses by average score": an explicit aggregate after
+      // "by" makes this top-N OVER GROUPS, not top-N rows.
+      val aggByM = aggByRe.findFirstMatchIn(q)
+      if (topN && aggByM.isDefined) {
+        val m = aggByM.get
+        val f = m.group(1).toLowerCase match {
+          case "average" | "avg" | "mean" => "AVG"
+          case "sum" | "total" => "SUM"
+          case _ => "COUNT"
+        }
+        val entityCol = best(cols, strip(q.take(m.start)), groupCol)
+        val aggPhrase = strip(q.substring(m.end))
+        val aggCol = best(cols, aggPhrase, numericish)
+        val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
+        Seq(Candidate(
+          s"SELECT $entityCol, $expr AS agg_value FROM $t$whereSql GROUP BY $entityCol " +
+            s"ORDER BY agg_value DESC LIMIT ${analysis.limitN.get}",
+          conf(0.86, aggCol, aggPhrase, needsFit = f != "COUNT"), "template_agg_topn"))
+      } else if (topN) {
         val sortCol = best(cols, prePhrase, cols.headOption.getOrElse("*"))
         val dir = if (analysis.sortDescending) "DESC" else "ASC"
         Seq(Candidate(
-          s"SELECT * FROM $t ORDER BY $sortCol $dir LIMIT ${analysis.limitN.get}",
-          0.85, "template_topn"))
+          s"SELECT * FROM $t$whereSql ORDER BY $sortCol $dir LIMIT ${analysis.limitN.get}",
+          conf(0.85, sortCol, prePhrase, needsFit = false), "template_topn"))
       } else analysis.intent match {
         case Intent.Aggregation if countDistinct =>
           val target = best(cols, perPhrase, groupCol)
           Seq(Candidate(s"SELECT COUNT(DISTINCT $target) AS agg_value FROM $t",
-            0.85, "template_count_distinct"))
+            conf(0.85, target, perPhrase, needsFit = false), "template_count_distinct"))
         case Intent.Aggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           // ungrouped: the aggregate target is the best match over ALL
           // columns (groupCol is meaningless here and must not be excluded)
           val aggCol = best(cols, prePhrase, numericish)
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
-          Seq(Candidate(s"SELECT $expr AS agg_value FROM $t", 0.85, "template_agg"))
+          Seq(Candidate(s"SELECT $expr AS agg_value FROM $t$whereSql",
+            conf(0.85, aggCol, prePhrase, needsFit = f != "COUNT"), "template_agg"))
         case Intent.WindowFunction =>
           // W1: individual rows alongside the partition aggregate
           // (ref query_intent.py:331 "AVG(col) OVER (PARTITION BY grp)")
@@ -113,17 +208,47 @@ object Templates {
           Seq(Candidate(
             s"SELECT *, $f($numericish) OVER (PARTITION BY $groupCol) AS window_value " +
               s"FROM $t LIMIT $DefaultLimit",
-            0.85, "template_window"))
+            conf(0.85, numericish, prePhrase, needsFit = false), "template_window"))
         case Intent.GroupedAggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
-          Seq(Candidate(
-            s"SELECT $groupCol, $expr AS agg_value FROM $t GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
-            0.85, "template_group"))
+          val local = Candidate(
+            s"SELECT $groupCol, $expr AS agg_value FROM $t$whereSql GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
+            conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_group")
+          // Grouped aggregation ACROSS an FK edge ("course names with
+          // average score per course" groups scores by courses.course_name):
+          // emitted only when a non-key column of the joined dimension
+          // matches the question STRICTLY better than the local group
+          // column, so plain per-local-column questions never join.
+          // COUNT is excluded — a fact-side COUNT(*) grouped by a
+          // dimension attribute counts fact rows, which silently answers
+          // a different question than "count of <dimension> per X"
+          // (fan-out); sum/avg/min/max of a fact column are join-safe.
+          val fullPhrase = strip(q)
+          val joined = for {
+            e <- fks.filter(e => e.fromTable == t && slice.tables.contains(e.toTable)).take(2)
+            if f != "COUNT" && filters.isEmpty // filters are unqualified names
+            (jCol, s) <- slice.tables(e.toTable).filterNot(_ == e.toColumn)
+              .map(c => c -> graft.link.Fuzzy.nameScore(c, fullPhrase)).sortBy(-_._2).headOption
+            if s >= 100 && s > graft.link.Fuzzy.nameScore(groupCol, fullPhrase)
+          } yield Candidate(
+            s"SELECT j.$jCol, ${if (f == "COUNT") "COUNT(*)" else s"$f(f.$numericish)"} AS agg_value " +
+              s"FROM $t f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn} " +
+              s"GROUP BY j.$jCol ORDER BY j.$jCol LIMIT $DefaultLimit",
+            conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_join_group")
+          local +: joined
         case Intent.DistinctIntent =>
           Seq(Candidate(
             s"SELECT DISTINCT $groupCol FROM $t ORDER BY $groupCol LIMIT $DefaultLimit",
-            0.85, "template_distinct"))
+            conf(0.85, groupCol, perPhrase, needsFit = false), "template_distinct"))
+        case _ if filters.nonEmpty =>
+          // filtered row-select ("scores with a C grade and score
+          // greater than 75"): deterministic total order on the first
+          // (key-ish) column
+          val orderCol = cols.headOption.getOrElse("1")
+          Seq(Candidate(
+            s"SELECT * FROM $t$whereSql ORDER BY $orderCol LIMIT $DefaultLimit",
+            conf(0.85, orderCol, "", needsFit = false), "template_filter"))
         case _ => Nil
       }
     }
@@ -131,6 +256,6 @@ object Templates {
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
-    (intentCandidates(slice, analysis, question) ++ joinCandidates(slice, fks) ++ tableCandidates(slice))
+    (intentCandidates(slice, analysis, question, fks) ++ joinCandidates(slice, fks) ++ tableCandidates(slice))
       .sortBy(-_.confidence)
 }
