@@ -115,18 +115,26 @@ object Executor {
       spark: SparkSession,
       v: Validated,
       limit: Int = DefaultLimit,
-      timeoutMs: Long = DefaultTimeoutMs): Either[EngineError, QueryResult] = {
-    val df = frame(spark, v, limit)
-    for {
-      _ <- costGate(df)
-      rows <- collectWithTimeout(spark, df, timeoutMs)
-    } yield QueryResult(
-      sql = v.sql,
-      columns = df.columns.toSeq,
-      rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
-      rowcount = rows.length,
-      explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
-  }
+      timeoutMs: Long = DefaultTimeoutMs): Either[EngineError, QueryResult] =
+    // Planning itself can throw (analysis errors, ANSI cast failures
+    // surfacing through constant folding in the cost gate's optimized
+    // plan) — the always-answer contract (V13) requires an error
+    // envelope, never an exception, so the whole pipeline is guarded.
+    try {
+      val df = frame(spark, v, limit)
+      for {
+        _ <- costGate(df)
+        rows <- collectWithTimeout(spark, df, timeoutMs)
+      } yield QueryResult(
+        sql = v.sql,
+        columns = df.columns.toSeq,
+        rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
+        rowcount = rows.length,
+        explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(ExecutionError(Option(e.getMessage).getOrElse(e.getClass.getName).take(1000)))
+    }
 
   /** Validate + execute raw SQL in one call. */
   def runSql(

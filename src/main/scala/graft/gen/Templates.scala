@@ -24,18 +24,45 @@ object Templates {
     }
 
   /** FK-join template from the first edge connecting two sliced tables
-    * (conf 0.6). */
-  def joinCandidates(slice: SchemaSlice, fks: Seq[FkEdge]): Seq[Candidate] = {
+    * (conf 0.6). When the question strongly names columns on each side
+    * ("student names with their scores" → students.student_name,
+    * scores.score), the projection narrows to those columns and the
+    * result carries a deterministic total order on the fact table's
+    * key-ish column; otherwise the generic first-3-per-side shape is
+    * kept. */
+  def joinCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String = ""): Seq[Candidate] = {
     val tables = slice.tables.keySet
     fks.filter(e => tables.contains(e.fromTable) && tables.contains(e.toTable))
       .take(1)
       .map { e =>
-        val fromCols = slice.tables(e.fromTable).take(3).map(c => s"f.$c")
-        val toCols = slice.tables(e.toTable).take(3).map(c => s"t.$c")
-        val proj = (fromCols ++ toCols).mkString(", ")
-        Candidate(
-          s"SELECT $proj FROM ${e.fromTable} f JOIN ${e.toTable} t ON f.${e.fromColumn} = t.${e.toColumn} LIMIT $DefaultLimit",
-          0.6, "template_join")
+        def strongCols(cols: Seq[String]): Seq[String] =
+          if (question.isEmpty) Nil
+          else cols.filter(c => graft.link.Fuzzy.nameScore(c, question.toLowerCase) >= 110)
+            .filterNot(c => c == e.fromColumn || c == e.toColumn)
+        val fromStrong = strongCols(slice.tables(e.fromTable))
+        val toStrong = strongCols(slice.tables(e.toTable))
+        // deterministic order: the fact table's own key column by the
+        // "<singular>_id" / "id" naming convention, else the join key
+        val keyish = {
+          val singular = if (e.fromTable.endsWith("s")) e.fromTable.dropRight(1) else e.fromTable
+          slice.tables(e.fromTable).find(c => c == s"${singular}_id" || c == "id")
+            .getOrElse(e.fromColumn)
+        }
+        if (fromStrong.nonEmpty && toStrong.nonEmpty) {
+          val proj = (toStrong.take(3).map(c => s"t.$c") ++ fromStrong.take(3).map(c => s"f.$c")).mkString(", ")
+          Candidate(
+            s"SELECT $proj FROM ${e.fromTable} f JOIN ${e.toTable} t ON f.${e.fromColumn} = t.${e.toColumn} " +
+              s"ORDER BY f.$keyish LIMIT $DefaultLimit",
+            0.62, "template_join")
+        } else {
+          val fromCols = slice.tables(e.fromTable).take(3).map(c => s"f.$c")
+          val toCols = slice.tables(e.toTable).take(3).map(c => s"t.$c")
+          val proj = (fromCols ++ toCols).mkString(", ")
+          Candidate(
+            s"SELECT $proj FROM ${e.fromTable} f JOIN ${e.toTable} t ON f.${e.fromColumn} = t.${e.toColumn} LIMIT $DefaultLimit",
+            0.6, "template_join")
+        }
       }
   }
 
@@ -57,8 +84,10 @@ object Templates {
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?at\s+(least|most)\s+(\d+(?:\.\d+)?)".r
   private val withValRe =
     raw"(?i)\bwith\s+(?:an?\s+)?([A-Za-z0-9][\w+-]*)\s+([a-z_][a-z0-9_]*)\b".r
+  private val aboveRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?(above|over|below|under)\s+(\d+(?:\.\d+)?)".r
   private val eqRe =
-    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is|equals|=)\s+'?([\w+-]+)'?".r
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is|equals|=)\s+'?(?!(?:above|below|over|under|between|not|greater|less|more|fewer)\b)([\w+-]+)'?".r
   private val numEqRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
   private val aggByRe =
@@ -87,6 +116,8 @@ object Templates {
       put(c, if (Set("greater", "more", "higher", "larger", "bigger")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
     for (m <- atRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
       put(c, if (m.group(2).equalsIgnoreCase("least")) ">=" else "<=", m.group(3))
+    for (m <- aboveRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      put(c, if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
     // "with a C grade": the value must look like a literal (uppercase
     // letter or digit start), not a possessive/noun ("with their scores")
     for (m <- withValRe.findAllMatchIn(question); c <- strongColumn(m.group(2), cols)
@@ -256,6 +287,6 @@ object Templates {
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
-    (intentCandidates(slice, analysis, question, fks) ++ joinCandidates(slice, fks) ++ tableCandidates(slice))
+    (intentCandidates(slice, analysis, question, fks) ++ joinCandidates(slice, fks, question) ++ tableCandidates(slice))
       .sortBy(-_.confidence)
 }
