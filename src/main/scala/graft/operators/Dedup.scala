@@ -105,6 +105,11 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      // length filter: J >= t needs size ratio >= t (see
+      // ngramJaccardPairs) — skip the exact intersection for
+      // candidates that cannot possibly pass
+      .where(size(col("sh_a")) >= size(col("sh_b")) * threshold &&
+        size(col("sh_b")) >= size(col("sh_a")) * threshold)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -176,7 +181,14 @@ object Dedup {
     lists
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a.id") < col("b.id"))
+      // Length filter (guaranteed-safe prune, not a heuristic): with
+      // na <= nb, J <= |A∩B|/nb <= na/nb, so J >= t forces
+      // t*nb <= na (and symmetrically t*na <= nb). Pairs with
+      // mismatched shingle-set sizes drop BEFORE the intersection
+      // count aggregation ever sees them.
+      .where(col("a.id") < col("b.id") &&
+        col("a.n_sh") >= col("b.n_sh") * threshold &&
+        col("b.n_sh") >= col("a.n_sh") * threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))

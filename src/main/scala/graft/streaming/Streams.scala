@@ -117,6 +117,21 @@ object Streams {
       }
   }
 
+  /**
+   * Streaming exact dedup — the streaming analogue of
+   * `Dedup.dedupExact` for continuously-arriving corpus data: drops rows
+   * whose `keyCols` were already seen within the watermark horizon.
+   * `dropDuplicatesWithinWatermark` bounds the dedup state by event time
+   * (plain dropDuplicates on a stream grows state forever), which is the
+   * only viable shape at 100 TB/day ingest: the state store holds one
+   * entry per distinct key per horizon, expired by the watermark.
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -73,6 +73,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(ranked.length == 10 && ranked.map(_._3).toSeq == (1 to 10))
   }
 
+  test("LSH dedup and near-dup plans never go all-pairs (no cartesian/nested-loop joins)") {
+    for (q <- Seq("x_dedup_minhash", "x_dedup_simhash", "x_cosine_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay bucket-local: " + p.take(1200))
+    }
+  }
+
+  test("multimodal feature extraction is shuffle-free up to the final top-k (x_multimodal_features)") {
+    val p = plan("x_multimodal_features")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("IVF probe ranks candidates without a join or full sort (x_ann_ivf)") {
+    val p = plan("x_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline (d03)") {
     // FormattedMode marks codegen'd operators with "[codegen id : N]"
     assert(plan("d03_filter_and").contains("[codegen id :"))

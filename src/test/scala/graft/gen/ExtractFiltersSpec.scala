@@ -1,0 +1,63 @@
+package graft.gen
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+/** Literal-filter extraction: positive shapes, rejection of look-alike
+  * phrases, and property-based never-crash/always-well-formed checks. */
+class ExtractFiltersSpec extends AnyFunSuite {
+
+  private val cols = Seq("score_id", "student_id", "course_id", "score", "grade", "year", "age")
+
+  test("numeric comparisons in both spellings") {
+    assert(Templates.extractFilters("score greater than 75", cols) == Seq("score > 75"))
+    assert(Templates.extractFilters("score is less than 30.5", cols) == Seq("score < 30.5"))
+    assert(Templates.extractFilters("age at least 18", cols) == Seq("age >= 18"))
+    assert(Templates.extractFilters("age at most 21", cols) == Seq("age <= 21"))
+    assert(Templates.extractFilters("score above 80", cols) == Seq("score > 80"))
+    assert(Templates.extractFilters("score is below 40", cols) == Seq("score < 40"))
+  }
+
+  test("categorical equality preserves value case and quotes") {
+    assert(Templates.extractFilters("scores with a C grade", cols) == Seq("grade = 'C'"))
+    assert(Templates.extractFilters("grade is B", cols) == Seq("grade = 'B'"))
+    assert(Templates.extractFilters("grade equals A+", cols) == Seq("grade = 'A+'"))
+  }
+
+  test("numeric equality binds to exactly-matching columns") {
+    assert(Templates.extractFilters("count of scores in year 2023", cols) == Seq("year = 2023"))
+  }
+
+  test("compound question yields AND-able conditions in order") {
+    val fs = Templates.extractFilters("scores with a C grade and score greater than 75", cols)
+    assert(fs == Seq("score > 75", "grade = 'C'") || fs == Seq("grade = 'C'", "score > 75"), fs)
+  }
+
+  test("look-alike phrases extract nothing") {
+    // possessive noun, not a value
+    assert(Templates.extractFilters("student names with their scores", cols).isEmpty)
+    // comparative word after 'is' is not an equality literal
+    assert(Templates.extractFilters("course ids whose average score is above 80", cols)
+      .forall(_.startsWith("score")))
+    // a word matching no column
+    assert(Templates.extractFilters("items with a Z banana", cols).isEmpty)
+    // ambiguous word (ties across several *_id columns) is not extracted
+    assert(Templates.extractFilters("id 5", cols).isEmpty)
+  }
+
+  test("property: extraction never throws and only emits well-formed conditions on real columns") {
+    val word = Gen.oneOf(cols ++ Seq("with", "a", "C", "greater", "than", "75", "is",
+      "above", "and", "or", "the", "their", "scores", "equals", "at", "least", "2023",
+      "don't", "%", "('", "о", "", "NULL'; DROP--"))
+    val question = Gen.listOfN(8, word).map(_.mkString(" "))
+    val condRe = raw"[a-z0-9_]+ (=|>|<|>=|<=) ('([^']|'')*'|\d+(\.\d+)?)".r
+    val prop = Prop.forAll(question) { q =>
+      val fs = Templates.extractFilters(q, cols)
+      fs.forall(f => condRe.pattern.matcher(f).matches() &&
+        cols.contains(f.takeWhile(_ != ' ')))
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+}

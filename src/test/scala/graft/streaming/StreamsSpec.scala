@@ -81,6 +81,25 @@ class StreamsSpec extends SparkSpec {
     assert(byUser(300L) == ((1L, 6.0)))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // event 1 and 2 arrive twice (same event_id), 3 once
+    input.addData(
+      Event(1, ts(0), 100, "click", 1.0), Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(1), 100, "click", 2.0), Event(3, ts(2), 200, "view", 3.0),
+      Event(2, ts(1), 100, "click", 2.0))
+    val q = Streams.dedupStream(input.toDF(), Seq("event_id"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_dedup").select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("file-source stream over the events fixture produces rows") {
     // copy the events parquet into a stream dir (sf0.001 -> small)
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
