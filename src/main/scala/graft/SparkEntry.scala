@@ -167,6 +167,13 @@ object Queries {
       ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
         "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
         "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id LIMIT 100"),
+    // range join: the Spark side is the binned equi-join operator
+    // (operators/RangeJoin.scala — no BroadcastNestedLoopJoin on the main
+    // path); DuckDB evaluates the plain inequality join
+    "x_range_join" ->
+      ("SELECT c.c_custkey, s.s_suppkey FROM customer c JOIN supplier s " +
+        "ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 500 " +
+        "ORDER BY c_custkey, s_suppkey LIMIT 100"),
     // exact n-gram Jaccard is portable: inter/|A∪B| of distinct 3-gram
     // word shingles, same slicing semantics as WordShingles
     "x_dedup_ngram" -> jaccardGoldSql(0.8),
@@ -367,6 +374,16 @@ object ExtensionQueries {
       graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
         .orderBy("media_id").limit(100)
+    }),
+    // --- range join (binned point-in-interval; DuckDB inequality-join oracle) ---
+    "x_range_join" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val points = s.table("customer").select(col("c_custkey"), col("c_acctbal"))
+      val intervals = s.table("supplier").select(col("s_suppkey"),
+        col("s_acctbal").as("lo"), (col("s_acctbal") + 500.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals, "c_acctbal", "lo", "hi")
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey", "s_suppkey").limit(100)
     }),
     // --- sessionization (session_window; oracled via DuckDB gaps-and-islands) ---
     "x_events_sessions" -> ((s, dir) => {

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+
+/**
+ * Session-level read-only guardrail (defense in depth under
+ * `safety/Validator` — V3's statement denylist enforced a second time at
+ * ANALYSIS, inside Catalyst, where it cannot be bypassed by calling
+ * `spark.sql` directly instead of going through the engine).
+ *
+ * Registered by [[GraftExtensions]] as an analyzer check rule; inert
+ * unless the session sets `spark.graft.readOnly=true`, so view
+ * registration and test setup (which execute CreateViewCommand etc.)
+ * are unaffected by default.
+ */
+class ReadOnlyGuard(session: SparkSession) extends (LogicalPlan => Unit) {
+  override def apply(plan: LogicalPlan): Unit = {
+    val readOnly =
+      try session.conf.get("spark.graft.readOnly", "false") == "true"
+      catch { case _: Exception => false }
+    if (readOnly) {
+      val offending = plan.collectFirst { case c: Command => c }
+      offending.foreach { c =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            s"read-only session (spark.graft.readOnly=true): ${c.nodeName} is not allowed"))
+      }
+    }
+  }
+}

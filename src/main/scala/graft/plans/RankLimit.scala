@@ -100,9 +100,12 @@ class BoundedRankPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 /**
  * Session extensions entry point: enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+ * Injects the bounded-rank optimizer rule and the read-only analyzer
+ * guardrail ([[ReadOnlyGuard]], inert until `spark.graft.readOnly=true`).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new BoundedRankPrefilter)
+    ext.injectCheckRule(session => new ReadOnlyGuard(session))
   }
 }

@@ -1,0 +1,33 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class GuardrailsSpec extends SparkSpec {
+
+  private def withReadOnly[A](f: => A): A = {
+    spark.conf.set("spark.graft.readOnly", "true")
+    try f finally spark.conf.set("spark.graft.readOnly", "false")
+  }
+
+  test("read-only session rejects commands at analysis time") {
+    withReadOnly {
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE guardrail_t (x INT) USING parquet")
+      }
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+      intercept[Exception] { spark.sql("DROP TABLE IF EXISTS guardrail_t") }
+    }
+  }
+
+  test("read-only session still answers SELECTs") {
+    graft.sources.Sources.register(spark, sfDir)
+    withReadOnly {
+      assert(spark.sql("SELECT COUNT(*) FROM nation").collect()(0).getLong(0) == 25L)
+    }
+  }
+
+  test("guard is inert by default (views and DDL work)") {
+    spark.sql("CREATE TABLE IF NOT EXISTS guardrail_ok (x INT) USING parquet")
+    spark.sql("DROP TABLE IF EXISTS guardrail_ok")
+  }
+}
