@@ -171,6 +171,20 @@ object Engine {
     val registered = Sources.register(spark, dir)
     new Engine(spark, registered, Sources.fixtureFks, llm)
   }
+
+  /** Settings-driven client selection like the reference (`app/settings.py`
+    * → llm.py:16-18): a real HTTP client when LLM_BASE_URL + LLM_MODEL are
+    * set in the environment, the offline no-op otherwise. */
+  def envLlm(env: Map[String, String] = sys.env): LlmClient =
+    graft.gen.HttpLlmClient.fromEnv(env).getOrElse(NoOpLlmClient)
+
+  /** Engine over a live JDBC database: crawl + register every table, use
+    * the crawled FK graph (ref connect → crawl → ready,
+    * `app/routes_ai.py:28-89`). */
+  def forJdbc(spark: SparkSession, url: String, llm: LlmClient = NoOpLlmClient): Engine = {
+    val schema = graft.sources.JdbcSource.registerJdbc(spark, url)
+    new Engine(spark, schema.tables.map(_.name), schema.relationships, llm)
+  }
 }
 
 /** Prompt/context builder (N5 in SURVEY.md §2.9; ref

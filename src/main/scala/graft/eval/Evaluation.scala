@@ -219,12 +219,12 @@ object Evaluation {
       "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_agg"),
     EvalCase("count of scores in year 2023",
       "SELECT COUNT(*) AS agg_value FROM scores WHERE year = 2023", "filter_count"),
+    EvalCase("count of scores per student name",
+      "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY st.student_name LIMIT 100", "join_agg"),
     // --- open headroom (capabilities not yet in the template layer;
     //     these keep the metric unsaturated so rounds show movement) ---
     EvalCase("students with age between 15 and 17",
       "SELECT * FROM students WHERE age BETWEEN 15 AND 17 ORDER BY student_id LIMIT 100", "filter_between"),
-    EvalCase("count of scores per student name",
-      "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY st.student_name LIMIT 100", "join_count"),
     EvalCase("scores from year 2022 or year 2023",
       "SELECT * FROM scores WHERE year = 2022 OR year = 2023 ORDER BY score_id LIMIT 100", "filter_or"),
     EvalCase("course ids whose average score is above 80",

@@ -251,14 +251,18 @@ object Templates {
           // emitted only when a non-key column of the joined dimension
           // matches the question STRICTLY better than the local group
           // column, so plain per-local-column questions never join.
-          // COUNT is excluded — a fact-side COUNT(*) grouped by a
-          // dimension attribute counts fact rows, which silently answers
-          // a different question than "count of <dimension> per X"
-          // (fan-out); sum/avg/min/max of a fact column are join-safe.
+          // COUNT is join-safe ONLY when the counted noun names this
+          // fact table ("count of scores per student name" counts score
+          // rows); "count of <dimension> per X" must stay local — the
+          // fact-side fan-out would silently count the wrong entity.
+          val countedEntity = raw"count of ([a-z0-9_ ]+?)\s+(?:per|by|for each)\b".r
+            .findFirstMatchIn(q).map(_.group(1).trim)
+          val countsThisTable =
+            countedEntity.exists(p => graft.link.Fuzzy.nameScore(t, p) >= 100)
           val fullPhrase = strip(q)
           val joined = for {
             e <- fks.filter(e => e.fromTable == t && slice.tables.contains(e.toTable)).take(2)
-            if f != "COUNT" && filters.isEmpty // filters are unqualified names
+            if (f != "COUNT" || countsThisTable) && filters.isEmpty
             (jCol, s) <- slice.tables(e.toTable).filterNot(_ == e.toColumn)
               .map(c => c -> graft.link.Fuzzy.nameScore(c, fullPhrase)).sortBy(-_._2).headOption
             if s >= 100 && s > graft.link.Fuzzy.nameScore(groupCol, fullPhrase)

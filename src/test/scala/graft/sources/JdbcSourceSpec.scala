@@ -111,6 +111,21 @@ class JdbcSourceSpec extends SparkSpec {
     } finally restoreParquetViews()
   }
 
+  test("Engine.forJdbc answers an NL question end-to-end from the live database") {
+    seeded
+    try {
+      val engine = graft.api.Engine.forJdbc(spark, url)
+      // FK graph comes from the crawl, tables from the reflection — the
+      // reference's connect -> crawl -> ask flow on a real database
+      assert(engine.fks.nonEmpty && engine.tables.toSet ==
+        Set("region", "nation", "customer", "orders"))
+      val r = engine.ask("how many customers are there")
+      val qr = r.toOption.get
+      assert(qr.rowcount == 1)
+      assert(qr.rows.head.head.toString.toLong == spark.table("customer").count())
+    } finally restoreParquetViews()
+  }
+
   test("partitioned JDBC read splits the scan into parallel range tasks") {
     seeded
     try {
