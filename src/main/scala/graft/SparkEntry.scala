@@ -237,6 +237,42 @@ object Queries {
         "- (punct_ratio_raw + digit_ratio_raw) * 0.5)), 4) AS quality " +
         "FROM m ORDER BY doc_id LIMIT 100"
     },
+    // corpus quality filter: language allow-list + quality floor + token
+    // band — the whole pipeline replicated in SQL from the same
+    // arithmetic as x_text_analyze
+    "x_quality_filter" -> {
+      val (hitCols, caseSql) = langCaseSql
+      "WITH base AS (SELECT doc_id, text, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio_raw, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio_raw, " +
+        "list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents), " +
+        "awl AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS awl_raw FROM base), " +
+        s"h AS (SELECT *, $hitCols FROM awl), " +
+        "m AS (SELECT *, " + graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted.map(l => s"h_$l").mkString("greatest(", ", ", ")") + " AS mh FROM h), " +
+        "scored AS (SELECT doc_id, n_tokens, " +
+        s"$caseSql AS lang_pred, " +
+        "round(greatest(0.0, least(1.0, least(length(text) / 500.0, 1.0) * 0.4 " +
+        "+ least(n_tokens / 100.0, 1.0) * 0.3 " +
+        "+ CASE WHEN awl_raw >= 3 AND awl_raw <= 10 THEN 0.3 ELSE 0.1 END " +
+        "- (punct_ratio_raw + digit_ratio_raw) * 0.5)), 4) AS quality FROM m) " +
+        "SELECT doc_id FROM scored WHERE lang_pred = 'en' AND quality >= 0.3 " +
+        "AND n_tokens BETWEEN 5 AND 100000 ORDER BY doc_id LIMIT 500"
+    },
+    // full dedup pipeline: exact (keep min doc_id per text) then remove
+    // the larger id of every exact-Jaccard >= 0.85 pair among survivors
+    // (recall contract on the composed pipeline: the MinHash-LSH pass
+    // must surface every such pair or a kept/removed id flips)
+    "x_dedup_corpus" ->
+      ("WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
+        "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
+        "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), " +
+        "losers AS (SELECT DISTINCT id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.85) " +
+        "SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id LIMIT 1000"),
     // the media table derives deterministically from documents (see
     // Multimodal.fromDocuments), so payload-size/kind/frame-count are
     // pure SQL over the text column
@@ -312,6 +348,16 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b").limit(100)),
+    // full corpus pipelines (composed operators, DuckDB-mirrored)
+    "x_dedup_corpus" -> ((s, dir) => {
+      val (deduped, _) = graft.operators.Pipelines.dedupCorpus(
+        docs(s, dir), "doc_id", "text", nearThreshold = 0.85)
+      deduped.select(col("doc_id")).orderBy("doc_id").limit(1000)
+    }),
+    "x_quality_filter" -> ((s, dir) =>
+      graft.operators.Pipelines.qualityFilter(docs(s, dir), "doc_id", "text",
+        allowedLangs = Seq("en"), minQuality = 0.3, minTokens = 5, maxTokens = 100000)
+        .select(col("doc_id")).orderBy("doc_id").limit(500)),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
