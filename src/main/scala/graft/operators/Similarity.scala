@@ -124,19 +124,50 @@ object Similarity {
     * coalesced to few partitions (the faiss recipe — k-means quality
     * needs thousands of vectors, not billions, and tiny per-iteration
     * tasks over hundreds of partitions are pure scheduler overhead);
-    * every vector is then assigned with the fitted model in one
-    * distributed pass. */
+    * every vector is then assigned to its `assignReplicas` nearest cells
+    * in one distributed pass. Multi-assignment (replicas > 1) trades
+    * index size for recall: a vector sitting on a cell boundary is
+    * findable from either side. Measured caveat: it only helps when
+    * missed neighbors actually straddle boundaries — on the UNCLUSTERED
+    * embeddings fixture, replicas=2 leaves sf0.1 recall@10 at 0.8
+    * (the missed vectors' second cells also rank far from the query);
+    * genuine cluster structure is what makes any IVF variant effective. */
   def ivfIndex(df: DataFrame, idCol: String, embCol: String,
-      nlist: Int = 16, seed: Long = 42L, trainSample: Int = 20000): IvfIndex = {
+      nlist: Int = 16, seed: Long = 42L, trainSample: Int = 20000,
+      assignReplicas: Int = 1): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(assignReplicas >= 1 && assignReplicas <= nlist)
     val vecs = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("features", array_to_vector(col("emb").cast("array<double>")))
     val train = vecs.select("features").limit(trainSample).coalesce(4)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell").setMaxIter(10).fit(train)
-    val assigned = model.transform(vecs).select("id", "emb", "cell")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val assigned = if (assignReplicas == 1) {
+      model.transform(vecs).select("id", "emb", "cell")
+    } else {
+      // nearest-`assignReplicas` cells per vector, computed partition-wise
+      // against the broadcast centroid array (nlist × dim doubles)
+      val cents = centroids.map(_._2)
+      val k = assignReplicas
+      import df.sparkSession.implicits._
+      vecs.select(col("id"), col("emb").cast("array<double>").as("emb"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, emb) =>
+            val dists = cents.indices.map { ci =>
+              val c = cents(ci)
+              var d = 0.0
+              val n = math.min(c.length, emb.length)
+              var j = 0
+              while (j < n) { val diff = c(j) - emb(j); d += diff * diff; j += 1 }
+              (ci, d)
+            }
+            dists.sortBy(_._2).take(k).map { case (ci, _) => (id, emb, ci) }
+          }
+        }.toDF("id", "emb", "cell")
+    }
     IvfIndex(assigned, centroids)
   }
 
@@ -154,6 +185,7 @@ object Similarity {
       .where(col("cell").isin(cells.toSeq: _*))
       .select(col("id"), cosine_sim(col("emb"), q).as("cosine"))
       .where(col("cosine").isNotNull)
+      .dropDuplicates("id") // multi-assigned vectors appear in 2+ probed cells
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

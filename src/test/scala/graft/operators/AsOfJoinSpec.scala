@@ -82,6 +82,20 @@ class IvfSpec extends SparkSpec {
     val brute = Similarity.topK(embeddings, "vec_id", "embedding", q, 5).collect().map(_.getLong(0)).toSeq
     assert(ivf == brute) // probing all cells == exact
   }
+
+  test("multi-assignment replicates each vector into its nearest cells, results stay deduped") {
+    import org.apache.spark.sql.functions.col
+    val q = embeddings.where(col("vec_id") === 11).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val idx = Similarity.ivfIndex(embeddings, "vec_id", "embedding", nlist = 4, assignReplicas = 2)
+    val n = embeddings.count()
+    assert(idx.assigned.count() == 2 * n) // exactly 2 cells per vector
+    assert(idx.assigned.select("id").distinct().count() == n)
+    // full probe still equals brute force, with no duplicate ids in the top-k
+    val ivf = Similarity.ivfTopK(idx, q, k = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(embeddings, "vec_id", "embedding", q, 5).collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute && ivf.distinct == ivf)
+  }
 }
 
 class SketchSpec extends SparkSpec {
