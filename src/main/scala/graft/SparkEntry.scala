@@ -167,6 +167,22 @@ object Queries {
       ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
         "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
         "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id LIMIT 100"),
+    // as-of with a tolerance horizon: matches older than 1h are nulled
+    // (DuckDB: native ASOF, then the CASE applies the horizon)
+    "x_asof_tolerance" ->
+      ("SELECT e.event_id, CASE WHEN p.ts >= e.ts - INTERVAL 1 HOUR THEN p.value END AS last_purchase " +
+        "FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id LIMIT 100"),
+    // frame sampling over the documents-derived media table: one row per
+    // sampled frame; frame counts are pure SQL over the text column
+    "x_frame_sample" ->
+      ("WITH media AS (SELECT doc_id AS media_id, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, (1000 + (length(text) * 7) % 4000) // 1000) ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents) " +
+        "SELECT media_id, frame_index, CAST(frame_index AS BIGINT) * 1000 AS frame_ts_ms FROM " +
+        "(SELECT media_id, CAST(unnest(range(n_frames)) AS INT) AS frame_index FROM media) " +
+        "ORDER BY media_id, frame_index LIMIT 200"),
     // range join: the Spark side is the binned equi-join operator
     // (operators/RangeJoin.scala — no BroadcastNestedLoopJoin on the main
     // path); DuckDB evaluates the plain inequality join
@@ -420,6 +436,23 @@ object ExtensionQueries {
       graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
         .orderBy("media_id").limit(100)
+    }),
+    "x_asof_tolerance" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events")
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.operators.AsOfJoin.asOf(
+        events.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "p_ts", toleranceMs = 60 * 60 * 1000L)
+        .select(col("event_id"), col("p_value").as("last_purchase"))
+        .orderBy("event_id").limit(100)
+    }),
+    "x_frame_sample" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.fromDocuments(docs(s, dir))
+      graft.operators.Multimodal.sampleFrames(media, dim = 8, everyMs = 1000L).toDF()
+        .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))
+        .orderBy("media_id", "frame_index").limit(200)
     }),
     // --- range join (binned point-in-interval; DuckDB inequality-join oracle) ---
     "x_range_join" -> ((s, dir) => {
