@@ -1,0 +1,76 @@
+package graft.gen
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{FkEdge, SchemaSlice}
+import graft.link.Intent
+
+/** Unit coverage for the round-2 template shapes (the eval corpus covers
+  * them end-to-end; these pin the generation logic directly). */
+class TemplatesSpec extends AnyFunSuite {
+
+  private val slice = SchemaSlice(scala.collection.immutable.ListMap(
+    "scores" -> Seq("score_id", "student_id", "course_id", "score", "grade", "year"),
+    "courses" -> Seq("course_id", "course_name", "dept"),
+    "students" -> Seq("student_id", "student_name", "grade_level", "age")))
+  private val fks = Seq(
+    FkEdge("scores", "student_id", "students", "student_id"),
+    FkEdge("scores", "course_id", "courses", "course_id"))
+
+  private def cands(q: String): Seq[Templates.Candidate] =
+    Templates.candidates(slice, fks, Intent.analyze(q, slice.tables.keys.toSeq), q)
+
+  test("agg-top-N: explicit aggregate after 'by' groups and ranks by the aggregate") {
+    val q = "top 5 courses by average score"
+    val c = cands(q).find(_.method == "template_agg_topn").get
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    assert(c.sql.contains("AVG(score) AS agg_value"), c.sql)
+    assert(c.sql.contains("ORDER BY agg_value DESC LIMIT 5"), c.sql)
+    assert(c.sql.contains("FROM scores"), c.sql)
+  }
+
+  test("plain top-N has no aggregate-by phrase and ranks rows") {
+    val c = cands("top 5 orders by score").filter(_.method == "template_agg_topn")
+    assert(c.isEmpty)
+  }
+
+  test("joined grouped AVG fires only when the dimension attribute beats the local column") {
+    val joined = cands("course names with average score per course")
+      .filter(_.method == "template_join_group")
+    assert(joined.nonEmpty)
+    assert(joined.head.sql.contains("GROUP BY j.course_name"), joined.head.sql)
+    assert(joined.head.sql.contains("JOIN courses"), joined.head.sql)
+    // grouping by a LOCAL column must not join
+    assert(cands("average score per course_id").forall(_.method != "template_join_group"))
+  }
+
+  test("joined COUNT only when the counted noun names the fact table") {
+    val factCount = cands("count of scores per student name")
+      .filter(_.method == "template_join_group")
+    assert(factCount.nonEmpty && factCount.head.sql.contains("COUNT(*)"), factCount)
+    assert(factCount.head.sql.contains("GROUP BY j.student_name"), factCount.head.sql)
+    // counting the DIMENSION entity stays local (fan-out would count wrong rows)
+    assert(cands("count of students per grade_level")
+      .forall(_.method != "template_join_group"))
+  }
+
+  test("join projection narrows to question-matched columns with a total order") {
+    val c = Templates.joinCandidates(slice, fks, "student names with their scores")
+    assert(c.nonEmpty)
+    assert(c.head.sql.contains("t.student_name") && c.head.sql.contains("f.score"), c.head.sql)
+    assert(!c.head.sql.contains("f.score_id,"), c.head.sql) // no unmatched columns
+    assert(c.head.sql.contains("ORDER BY f.score_id"), c.head.sql)
+    // without question signal: generic first-3-per-side, no ORDER BY
+    val generic = Templates.joinCandidates(slice, fks)
+    assert(!generic.head.sql.contains("ORDER BY"), generic.head.sql)
+  }
+
+  test("extracted filters reach every shape as WHERE clauses") {
+    val agg = cands("count of scores in year 2023").find(_.method == "template_agg").get
+    assert(agg.sql.contains("WHERE year = 2023"), agg.sql)
+    val filt = cands("scores with a B grade and score greater than 90")
+      .find(_.method == "template_filter").get
+    assert(filt.sql.contains("grade = 'B'") && filt.sql.contains("score > 90"), filt.sql)
+    assert(filt.sql.contains("ORDER BY score_id"), filt.sql)
+  }
+}
