@@ -174,7 +174,11 @@ object Evaluation {
     EvalCase("first 3 nation rows by name",
       "SELECT * FROM nation ORDER BY n_name ASC LIMIT 3", "topn"),
     EvalCase("show customer rows along with the average acctbal per mktsegment",
-      "SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS window_value FROM customer LIMIT 100", "window"))
+      "SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS window_value FROM customer LIMIT 100", "window"),
+    EvalCase("orders after 1995-06-01",
+      "SELECT * FROM orders WHERE o_orderdate >= DATE '1995-06-01' ORDER BY o_orderkey LIMIT 100", "filter_date"),
+    EvalCase("how many orders before 1995",
+      "SELECT COUNT(*) AS agg_value FROM orders WHERE o_orderdate < DATE '1995-01-01'", "filter_date"))
 
   /**
    * School-schema corpus (SchoolFixture): the reference demo-script

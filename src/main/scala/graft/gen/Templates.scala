@@ -42,13 +42,8 @@ object Templates {
             .filterNot(c => c == e.fromColumn || c == e.toColumn)
         val fromStrong = strongCols(slice.tables(e.fromTable))
         val toStrong = strongCols(slice.tables(e.toTable))
-        // deterministic order: the fact table's own key column by the
-        // "<singular>_id" / "id" naming convention, else the join key
-        val keyish = {
-          val singular = if (e.fromTable.endsWith("s")) e.fromTable.dropRight(1) else e.fromTable
-          slice.tables(e.fromTable).find(c => c == s"${singular}_id" || c == "id")
-            .getOrElse(e.fromColumn)
-        }
+        // deterministic order: the fact table's own key-ish column
+        val keyish = keyishColumn(e.fromTable, slice.tables(e.fromTable))
         if (fromStrong.nonEmpty && toStrong.nonEmpty) {
           val proj = (toStrong.take(3).map(c => s"t.$c") ++ fromStrong.take(3).map(c => s"f.$c")).mkString(", ")
           Candidate(
@@ -92,6 +87,30 @@ object Templates {
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
   private val aggByRe =
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
+  // date literals: "orders after 1995-06-01", "shipped before 1997-01-01",
+  // "since 1995" (year shorthand → Jan 1). The column is the nearest
+  // date-ish column (name contains date/time/ts) rather than a fuzzy
+  // match on the preceding noun, mirroring the reference's date-filter
+  // hint (query_intent.py:183-195 "use date functions in WHERE").
+  private val dateCmpRe =
+    raw"(?i)\b(after|since|before|until)\s+(\d{4}-\d{2}-\d{2}|\d{4})\b".r
+
+  /** Deterministic key-ish ordering column for a table: a column named
+    * `*_id`, `id`, or `*key`, preferring one carrying the table's singular stem
+    * (scores → score_id, orders → o_orderkey), else the alphabetical
+    * first key column, else the first column. Shared by the join and
+    * filtered-select templates so row-limited results carry a stable
+    * total order. */
+  private[gen] def keyishColumn(table: String, cols: Seq[String]): String = {
+    val singular = (if (table.endsWith("s")) table.dropRight(1) else table).toLowerCase
+    val keyish = cols.filter { c =>
+      val l = c.toLowerCase
+      l.endsWith("_id") || l == "id" || l.endsWith("key")
+    }
+    keyish.find(_.toLowerCase.contains(singular))
+      .orElse(keyish.sorted.headOption)
+      .getOrElse(cols.headOption.getOrElse("1"))
+  }
 
   /** Strong link: the word names exactly one column (full-word match,
     * score >= 100 with a clear margin over the runner-up). */
@@ -127,6 +146,13 @@ object Templates {
       put(c, "=", m.group(2))
     for (m <- numEqRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
       put(c, "=", m.group(2))
+    for (m <- dateCmpRe.findAllMatchIn(question);
+         c <- cols.find(n => { val l = n.toLowerCase
+           l.contains("date") || l.endsWith("_ts") || l == "ts" || l.contains("time") })) {
+      val day = if (m.group(2).length == 4) s"${m.group(2)}-01-01" else m.group(2)
+      val op = if (Set("after", "since")(m.group(1).toLowerCase)) ">=" else "<"
+      out.getOrElseUpdate(s"$c $op", s"$c $op DATE '$day'")
+    }
     out.values.toSeq
   }
 
@@ -278,9 +304,9 @@ object Templates {
             conf(0.85, groupCol, perPhrase, needsFit = false), "template_distinct"))
         case _ if filters.nonEmpty =>
           // filtered row-select ("scores with a C grade and score
-          // greater than 75"): deterministic total order on the first
-          // (key-ish) column
-          val orderCol = cols.headOption.getOrElse("1")
+          // greater than 75"): deterministic total order on the
+          // key-ish column
+          val orderCol = keyishColumn(t, cols)
           Seq(Candidate(
             s"SELECT * FROM $t$whereSql ORDER BY $orderCol LIMIT $DefaultLimit",
             conf(0.85, orderCol, "", needsFit = false), "template_filter"))

@@ -29,6 +29,18 @@ class ExtractFiltersSpec extends AnyFunSuite {
     assert(Templates.extractFilters("count of scores in year 2023", cols) == Seq("year = 2023"))
   }
 
+  test("date comparisons bind to the date-ish column, year shorthand expands") {
+    val dcols = Seq("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(Templates.extractFilters("orders after 1995-06-01", dcols)
+      == Seq("o_orderdate >= DATE '1995-06-01'"))
+    assert(Templates.extractFilters("orders before 1995", dcols)
+      == Seq("o_orderdate < DATE '1995-01-01'"))
+    assert(Templates.extractFilters("orders since 1996", dcols)
+      == Seq("o_orderdate >= DATE '1996-01-01'"))
+    // no date-ish column -> nothing extracted
+    assert(Templates.extractFilters("orders after 1995", Seq("a", "b")).isEmpty)
+  }
+
   test("compound question yields AND-able conditions in order") {
     val fs = Templates.extractFilters("scores with a C grade and score greater than 75", cols)
     assert(fs == Seq("score > 75", "grade = 'C'") || fs == Seq("grade = 'C'", "score > 75"), fs)
@@ -51,7 +63,7 @@ class ExtractFiltersSpec extends AnyFunSuite {
       "above", "and", "or", "the", "their", "scores", "equals", "at", "least", "2023",
       "don't", "%", "('", "о", "", "NULL'; DROP--"))
     val question = Gen.listOfN(8, word).map(_.mkString(" "))
-    val condRe = raw"[a-z0-9_]+ (=|>|<|>=|<=) ('([^']|'')*'|\d+(\.\d+)?)".r
+    val condRe = raw"[a-z0-9_]+ (=|>|<|>=|<=) ('([^']|'')*'|\d+(\.\d+)?|DATE '\d{4}-\d{2}-\d{2}')".r
     val prop = Prop.forAll(question) { q =>
       val fs = Templates.extractFilters(q, cols)
       fs.forall(f => condRe.pattern.matcher(f).matches() &&
