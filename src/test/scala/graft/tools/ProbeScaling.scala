@@ -1,0 +1,30 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ProbeScaling {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = Seq("x_dedup_ngram", "x_dedup_minhash", "x_dedup_simhash",
+      "x_cosine_neardup", "x_dedup_corpus", "x_text_chunks", "x_events_sessions")
+    val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
+    // warmup at smallest sf (JIT + codegen)
+    for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+    val results = for (q <- queries) yield {
+      val times = for ((sf, _) <- sfs) yield {
+        val dir = s"/root/testdata/$sf"
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // log-log slope between sf0.01 and sf0.1 (10x data)
+      val slope = math.log(times(2) / times(1)) / math.log(10.0)
+      println(f"PROBE $q%-22s t(0.001)=${times(0)}%6.2fs t(0.01)=${times(1)}%6.2fs t(0.1)=${times(2)}%6.2fs  10x-exponent=${slope}%.2f")
+      (q, slope)
+    }
+    println("PROBE exponent<=1.2 (near-linear) for all: " + results.forall(_._2 <= 1.2))
+    spark.stop()
+  }
+}
