@@ -183,6 +183,13 @@ object Queries {
         "SELECT media_id, frame_index, CAST(frame_index AS BIGINT) * 1000 AS frame_ts_ms FROM " +
         "(SELECT media_id, CAST(unnest(range(n_frames)) AS INT) AS frame_index FROM media) " +
         "ORDER BY media_id, frame_index LIMIT 200"),
+    // salted two-phase aggregation must produce EXACTLY the plain
+    // GROUP BY answer (salting changes the shuffle, never the result)
+    "x_skew_agg" ->
+      ("SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value, " +
+        "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value, " +
+        "ROUND(CAST(SUM(value) / COUNT(*) AS DOUBLE), 4) AS avg_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id LIMIT 100"),
     // range join: the Spark side is the binned equi-join operator
     // (operators/RangeJoin.scala — no BroadcastNestedLoopJoin on the main
     // path); DuckDB evaluates the plain inequality join
@@ -480,6 +487,14 @@ object ExtensionQueries {
       graft.operators.Multimodal.sampleFrames(media, dim = 8, everyMs = 1000L).toDF()
         .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))
         .orderBy("media_id", "frame_index").limit(200)
+    }),
+    "x_skew_agg" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Skew.saltedAggregate(s.table("events"), "user_id", "value")
+        .select(col("user_id"), col("cnt"), round(col("sum"), 2).as("sum_value"),
+          round(col("min"), 2).as("min_value"), round(col("max"), 2).as("max_value"),
+          round(col("avg"), 4).as("avg_value"))
+        .orderBy("user_id").limit(100)
     }),
     // --- range join (binned point-in-interval; DuckDB inequality-join oracle) ---
     "x_range_join" -> ((s, dir) => {
