@@ -6,11 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * A warmup pass (table registration + a trivial action) runs before
   * timing so the numbers measure query execution, not JVM/session/parquet
-  * footer startup. Queries run in sorted-name order for stable output. */
+  * footer startup. Queries run in sorted-name order for stable output.
+  *
+  * Methodology (recorded as provenance fields in the JSON): each query
+  * runs `runs` times (SPARK_GRAFT_BENCH_RUNS, default 2) and reports the
+  * MINIMUM — steady-state time, excluding one-off JIT compilation of the
+  * query's code paths, which on a long-lived cluster amortizes to zero.
+  * `value_first_run` keeps the cold total so both are visible, and
+  * `commit` records the engine version the numbers belong to (the round-3
+  * advisor flagged cross-round comparisons with no provenance). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,20 +30,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .directory(new java.io.File(".")).start()
+        val sha = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && sha.nonEmpty) sha else "unknown"
+      } catch { case _: Throwable => "unknown" }
+
     // Warmup: register views (parquet footer reads), touch each table once.
     graft.sources.Sources.register(spark, sfDir).foreach { t =>
       spark.table(t).count()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val firstTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","runs":$runs,"agg":"min","value_first_run":$firstTotal,"commit":"$commit"}"""
     println(line)
     // Also write the line to a file: sbt buries stdout in [info]/WARN
     // noise, so the driver parses the file when the env var points at one.

@@ -225,12 +225,20 @@ object Evaluation {
       "SELECT COUNT(*) AS agg_value FROM scores WHERE year = 2023", "filter_count"),
     EvalCase("count of scores per student name",
       "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY st.student_name LIMIT 100", "join_agg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-3 open cases, closed in round 4 (BETWEEN / OR→IN /
+    //     HAVING template shapes) ---
     EvalCase("students with age between 15 and 17",
       "SELECT * FROM students WHERE age BETWEEN 15 AND 17 ORDER BY student_id LIMIT 100", "filter_between"),
     EvalCase("scores from year 2022 or year 2023",
       "SELECT * FROM scores WHERE year = 2022 OR year = 2023 ORDER BY score_id LIMIT 100", "filter_or"),
     EvalCase("course ids whose average score is above 80",
-      "SELECT course_id FROM scores GROUP BY course_id HAVING AVG(score) > 80 ORDER BY course_id LIMIT 100", "having"))
+      "SELECT course_id FROM scores GROUP BY course_id HAVING AVG(score) > 80 ORDER BY course_id LIMIT 100", "having"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("student names starting with A",
+      "SELECT * FROM students WHERE student_name LIKE 'A%' ORDER BY student_id LIMIT 100", "filter_like"),
+    EvalCase("number of courses that have no scores",
+      "SELECT COUNT(*) AS agg_value FROM courses c WHERE NOT EXISTS (SELECT 1 FROM scores s WHERE s.course_id = c.course_id)", "anti_join"),
+    EvalCase("the second highest score",
+      "SELECT DISTINCT score FROM scores ORDER BY score DESC LIMIT 1 OFFSET 1", "nth_value"))
 }

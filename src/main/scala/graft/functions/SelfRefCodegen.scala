@@ -15,6 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 private[functions] object SelfRefCodegen {
   def unbox(dataType: DataType, raw: String): String = dataType match {
     case _: ArrayType => s"(org.apache.spark.sql.catalyst.util.ArrayData) $raw"
+    case _: org.apache.spark.sql.types.StructType =>
+      s"(org.apache.spark.sql.catalyst.InternalRow) $raw"
+    case _: org.apache.spark.sql.types.StringType =>
+      s"(org.apache.spark.unsafe.types.UTF8String) $raw"
     case dt =>
       val boxed = CodeGenerator.boxedType(dt)
       val prim = CodeGenerator.javaType(dt)

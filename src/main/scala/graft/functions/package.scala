@@ -36,6 +36,12 @@ package object functions {
   def doc_fingerprint(text: Column, k: Int = 16): Column =
     column(RollingHashFingerprint(expression(text), k))
 
+  def text_counts(text: Column): Column =
+    column(TextCounts(expression(text)))
+
+  def lang_id(text: Column, langStopwords: Seq[(String, Seq[String])]): Column =
+    column(LangIdHeuristic(expression(text), langStopwords))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

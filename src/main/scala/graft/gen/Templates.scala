@@ -81,12 +81,19 @@ object Templates {
     raw"(?i)\bwith\s+(?:an?\s+)?([A-Za-z0-9][\w+-]*)\s+([a-z_][a-z0-9_]*)\b".r
   private val aboveRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?(above|over|below|under)\s+(\d+(?:\.\d+)?)".r
+  private val betweenRe =
+    raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?between\s+(\d+(?:\.\d+)?)\s+and\s+(\d+(?:\.\d+)?)".r
   private val eqRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is|equals|=)\s+'?(?!(?:above|below|over|under|between|not|greater|less|more|fewer)\b)([\w+-]+)'?".r
   private val numEqRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
   private val aggByRe =
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
+  // "course ids whose average score is above 80" — a condition on a GROUP
+  // aggregate, not on rows: GROUP BY the entity, HAVING agg(col) OP n
+  private val havingRe =
+    (raw"(?i)\b(?:whose|with|where|having)\s+(average|avg|mean|sum|total|count|min|minimum|max|maximum)\s+(?:of\s+)?([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:is\s+)?(above|over|greater than|more than|at least|below|under|less than|fewer than|at most)\s+(\d+(?:\.\d+)?)").r
   // date literals: "orders after 1995-06-01", "shipped before 1997-01-01",
   // "since 1995" (year shorthand → Jan 1). The column is the nearest
   // date-ish column (name contains date/time/ts) rather than a fuzzy
@@ -126,11 +133,25 @@ object Templates {
     if (v.matches(raw"\d+(\.\d+)?")) v else "'" + v.replace("'", "''") + "'"
 
   /** Extract `col OP literal` conditions from the question (original
-    * case — categorical values like grade 'C' are case-sensitive). */
+    * case — categorical values like grade 'C' are case-sensitive).
+    * Multiple `=` literals for the SAME column ("year 2022 or year 2023")
+    * render as one `col IN (…)` — the disjunctive reading; an AND of
+    * conflicting equalities would be vacuously empty. `BETWEEN lo AND hi`
+    * extracts as a single range condition. */
   def extractFilters(question: String, cols: Seq[String]): Seq[String] = {
+    // rendered conditions keyed by (col, op); `=` keys render last-minute
+    // from eqVals so repeated values fold into IN — the LinkedHashMap
+    // preserves first-appearance order either way
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val eqVals = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
     def put(col: String, op: String, value: String): Unit =
-      out.getOrElseUpdate(s"$col $op", s"$col $op ${sqlLit(value)}")
+      if (op == "=") {
+        eqVals.getOrElseUpdate(col, scala.collection.mutable.LinkedHashSet.empty) += value
+        out.getOrElseUpdate(s"$col =", "") // placeholder keeps position
+      } else out.getOrElseUpdate(s"$col $op", s"$col $op ${sqlLit(value)}")
+    for (m <- betweenRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+      out.getOrElseUpdate(s"$c BETWEEN", s"$c BETWEEN ${m.group(2)} AND ${m.group(3)}")
     for (m <- cmpRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
       put(c, if (Set("greater", "more", "higher", "larger", "bigger")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
     for (m <- atRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
@@ -153,7 +174,14 @@ object Templates {
       val op = if (Set("after", "since")(m.group(1).toLowerCase)) ">=" else "<"
       out.getOrElseUpdate(s"$c $op", s"$c $op DATE '$day'")
     }
-    out.values.toSeq
+    out.map { case (k, rendered) =>
+      if (rendered.nonEmpty) rendered
+      else {
+        val c = k.stripSuffix(" =")
+        val vs = eqVals(c).toSeq.map(sqlLit)
+        if (vs.size == 1) s"$c = ${vs.head}" else s"$c IN (${vs.mkString(", ")})"
+      }
+    }.toSeq
   }
 
   /** Intent-shaped candidates: aggregation / group-by / distinct patterns
@@ -224,7 +252,35 @@ object Templates {
       // "top 5 courses by average score": an explicit aggregate after
       // "by" makes this top-N OVER GROUPS, not top-N rows.
       val aggByM = aggByRe.findFirstMatchIn(q)
-      if (topN && aggByM.isDefined) {
+      // "whose average score is above 80": HAVING over groups — requires
+      // the aggregated column to be a strong column link so a generic
+      // phrase never triggers it
+      val havingM = havingRe.findFirstMatchIn(q)
+        .flatMap(m => strongColumn(m.group(2), cols).map(c => (m, c)))
+      if (havingM.isDefined) {
+        val (m, aggCol) = havingM.get
+        val f = m.group(1).toLowerCase match {
+          case "average" | "avg" | "mean" => "AVG"
+          case "sum" | "total" => "SUM"
+          case "count" => "COUNT"
+          case "min" | "minimum" => "MIN"
+          case _ => "MAX"
+        }
+        val op = m.group(3).toLowerCase match {
+          case "above" | "over" | "greater than" | "more than" => ">"
+          case "at least" => ">="
+          case "at most" => "<="
+          case _ => "<"
+        }
+        val entityCol = best(cols.filterNot(_ == aggCol), strip(q.take(m.start)), groupCol)
+        val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
+        // the matched condition IS the having clause — the row-filter
+        // extractor sees the same "col above n" text, so no whereSql here
+        Seq(Candidate(
+          s"SELECT $entityCol FROM $t GROUP BY $entityCol HAVING $expr $op ${m.group(4)} " +
+            s"ORDER BY $entityCol LIMIT $DefaultLimit",
+          conf(0.87, aggCol, strip(q.substring(m.start, m.end)), needsFit = false), "template_having"))
+      } else if (topN && aggByM.isDefined) {
         val m = aggByM.get
         val f = m.group(1).toLowerCase match {
           case "average" | "avg" | "mean" => "AVG"

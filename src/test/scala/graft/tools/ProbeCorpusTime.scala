@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-by-stage timing of the dedupCorpus pipeline at bench scale. */
+/** Stage-by-stage timing of the dedupCorpus pipeline at bench scale.
+  * NOTE: the stages below hand-inline Pipelines.dedupCorpus (so each can
+  * be timed separately) — keep them structurally in sync with it; the
+  * threshold/config come from the pipeline's own defaults. */
 object ProbeCorpusTime {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
@@ -27,7 +30,7 @@ object ProbeCorpusTime {
     val exact = Dedup.dedupExact(docs, "doc_id", Seq("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("exact.count")(exact.count())
-    val pairs = Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
+    val pairs = Dedup.minhashNearDuplicates(exact, "doc_id", "text", Pipelines.DefaultNearThreshold)
     time("pairs.count")(pairs.count())
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
@@ -39,7 +42,7 @@ object ProbeCorpusTime {
 
     // now the whole thing as the bench runs it
     time("FULL x_dedup_corpus") {
-      val (d, _) = Pipelines.dedupCorpus(spark.table("documents"), "doc_id", "text", 0.85)
+      val (d, _) = Pipelines.dedupCorpus(spark.table("documents"), "doc_id", "text")
       d.select(col("doc_id")).orderBy("doc_id").limit(1000).count()
     }
     spark.stop()
