@@ -110,16 +110,21 @@ object Queries {
     (hitCols, s"CASE WHEN mh <= 0 THEN 'und' $cases END")
   }
 
-  /** Exact word-3-gram Jaccard pairs ≥ threshold (DuckDB replica of
-    * WordShingles + inverted-index pair counting) — the gold standard the
-    * LSH dedup operators are graded against. */
-  private def jaccardGoldSql(threshold: Double): String =
-    "WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+  /** Shared CTE chain: documents → distinct word-3-gram shingle lists →
+    * inverted-index postings → candidate pairs with intersection counts
+    * (DuckDB replica of WordShingles + Dedup.ngramJaccardPairs). */
+  private val jaccardPairsCte: String =
+    "words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
       "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
       "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
-      "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+      "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
+
+  /** Exact word-3-gram Jaccard pairs ≥ threshold — the gold standard the
+    * LSH dedup operators are graded against. */
+  private def jaccardGoldSql(threshold: Double): String =
+    s"WITH $jaccardPairsCte " +
       "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
       s"FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold ORDER BY id_a, id_b LIMIT 100"
 
@@ -319,6 +324,59 @@ object Queries {
         "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, n_tokens, shard, CAST(shard AS BIGINT) * 1000000 + CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id " +
         "FROM c ORDER BY doc_id LIMIT 500"),
+    // duplicate GROUPS: connected components over the exact-Jaccard≥0.8
+    // pair graph, labeled by component-minimum id (DuckDB: recursive
+    // min-reachability; Spark: distributed min-label propagation)
+    "x_dedup_groups" ->
+      (s"WITH RECURSIVE $jaccardPairsCte, " +
+        "gold AS (SELECT id_a, id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM gold UNION SELECT id_b, id_a FROM gold), " +
+        "reach AS (SELECT src AS id, src AS peer FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src) " +
+        "SELECT id, MIN(peer) AS group_id FROM reach GROUP BY id ORDER BY id LIMIT 1000"),
+    // benchmark decontamination: docs sharing >= 5 distinct 3-gram
+    // shingles with the pseudo-benchmark (doc_id % 97 = 0) drop; the
+    // Spark side broadcast-joins the benchmark shingle set
+    "x_decontam" ->
+      ("WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0), " +
+        "contaminated AS (SELECT p.doc_id FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) p " +
+        "JOIN ev USING (shingle) GROUP BY p.doc_id HAVING COUNT(*) >= 5) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) " +
+        "ORDER BY doc_id LIMIT 2000"),
+    // PII redaction on deterministically-augmented text (every 7th doc
+    // gains an e-mail, a phone and an IP) — counts + the redacted text
+    // must match; DuckDB regexp_replace needs the 'g' flag to mirror
+    // Spark's replace-all semantics
+    "x_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || " +
+        "'@mail.example.com or call 555-867-5309 at 10.0.0.' || (doc_id % 256) ELSE text END AS text FROM documents), " +
+        s"r1 AS (SELECT doc_id, text, regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM aug), " +
+        s"r2 AS (SELECT *, regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2 FROM r1) " +
+        s"SELECT doc_id, len(regexp_extract_all(text, '$email')) AS n_emails, " +
+        s"len(regexp_extract_all(t1, '$phone')) AS n_phones, " +
+        s"len(regexp_extract_all(t2, '$ip')) AS n_ips, " +
+        s"regexp_replace(t2, '$ip', '<IP>', 'g') AS redacted " +
+        "FROM r2 ORDER BY doc_id LIMIT 100"
+    },
+    // stratified deterministic sampling by token-length band: per-mille
+    // id-hash buckets, exact integer arithmetic on both sides
+    "x_stratified_sample" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN n_tokens < 50 THEN 'short' WHEN n_tokens < 200 THEN 'medium' ELSE 'long' END AS stratum FROM t) " +
+        "SELECT doc_id, stratum FROM s WHERE (doc_id * 2654435761) % 1000 < " +
+        "CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END " +
+        "ORDER BY doc_id LIMIT 2000"),
+    // corpus vocabulary: top-100 tokens by document frequency
+    "x_vocab_top" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
+        "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
+        "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
     // the media table derives deterministically from documents (see
     // Multimodal.fromDocuments), so payload-size/kind/frame-count are
     // pure SQL over the text column
@@ -412,6 +470,43 @@ object ExtensionQueries {
       graft.operators.Pipelines.packSequences(docs(s, dir), "doc_id", "text",
         capacityTokens = 256, shards = 8)
         .orderBy("doc_id").limit(500)),
+    // duplicate groups over the exact-Jaccard pair graph (min-label CC)
+    "x_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateGroups(pairs)
+        .orderBy("id").limit(1000)
+    }),
+    // benchmark decontamination: pseudo-benchmark = doc_id % 97 == 0
+    "x_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 97 === 0)
+      graft.operators.Decontamination.decontaminate(
+        d, "doc_id", "text", evalSet, "text", n = 3, minOverlap = 5)
+        .select(col("doc_id")).orderBy("doc_id").limit(2000)
+    }),
+    // PII redaction over deterministically-augmented text
+    "x_pii_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or call 555-867-5309 at 10.0.0."),
+            col("doc_id") % 256))
+          .otherwise(col("text")).as("text"))
+      graft.operators.PiiRedaction.redactDocuments(aug, "doc_id", "text")
+        .orderBy("doc_id").limit(100)
+    }),
+    // stratified deterministic sampling by token-length band
+    "x_stratified_sample" -> ((s, dir) => {
+      val n = TextAnalysis.tokenCount(col("text"))
+      val stratum = when(n < 50, "short").when(n < 200, "medium").otherwise("long")
+      graft.operators.Sampling.stratifiedSample(docs(s, dir), "doc_id", stratum,
+        Seq("short" -> 0.1, "medium" -> 0.5, "long" -> 1.0))
+        .select(col("doc_id"), col("stratum")).orderBy("doc_id").limit(2000)
+    }),
+    // corpus vocabulary (top-100 tokens by document frequency)
+    "x_vocab_top" -> ((s, dir) =>
+      TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)

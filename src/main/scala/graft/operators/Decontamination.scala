@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination for training corpora: remove (or flag) any
+ * training document sharing at least `minOverlap` distinct word n-gram
+ * shingles with an evaluation/benchmark set — the standard guard against
+ * test-set leakage in LLM pretraining pipelines (the n-gram-overlap
+ * method popularized by GPT-2/GPT-3 and the open reproductions).
+ *
+ * Scale design (100 TB corpus, benchmark ≪ corpus): the benchmark's
+ * distinct shingle set is SMALL (eval suites are thousands of documents)
+ * — it broadcast-joins against the corpus posting list, so the corpus
+ * side stays a narrow scan + explode with NO corpus-wide shuffle; only
+ * the matched postings (≈ contamination volume, tiny) shuffle into the
+ * per-document overlap count. Shingles compare as xxhash64 longs, same
+ * collision-rate argument as Dedup.ngramJaccardPairs.
+ */
+object Decontamination {
+
+  /** Per-document overlap counts ≥ `minOverlap` against the eval set:
+    * (idCol, n_shared) for contaminated documents only. */
+  def overlaps(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    def shingleHashes(df: DataFrame, text: String) =
+      df.select(explode(array_distinct(Dedup.shingles(col(text), n))).as("__sh"))
+        .select(xxhash64(col("__sh")).as("sh"))
+    val evalShingles = shingleHashes(evalDocs, evalTextCol).distinct()
+    docs.select(col(idCol), explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
+  /** The clean corpus: documents whose benchmark shingle overlap stays
+    * below `minOverlap` (anti-join against [[overlaps]]). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame =
+    docs.join(
+      overlaps(docs, idCol, textCol, evalDocs, evalTextCol, n, minOverlap)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -128,6 +128,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Duplicate GROUPS from a pair list: connected components of the
+   * undirected near-duplicate graph, labeled by each component's minimum
+   * id — the transitive closure a curation pipeline needs when A≈B and
+   * B≈C but A and C never formed a pair ("keep one per group" instead of
+   * pairwise loser-dropping).
+   *
+   * Distributed min-label propagation: every node starts as its own
+   * label; each round joins labels across edges and keeps the minimum
+   * (the simplified form of the large-star/small-star CC algorithm,
+   * Kiveris et al., "Connected components in MapReduce and beyond",
+   * SoCC 2014). Rounds ≈ component diameter — near-dup clusters are
+   * shallow (stars around a template), so this converges in 2–4 rounds;
+   * `maxIter` bounds pathological chains. Each round is one shuffle of
+   * the EDGE list (≪ corpus); each round's label frame is
+   * `localCheckpoint`ed — iterative self-joins otherwise stack every
+   * previous round into one exponentially-growing logical plan (on a
+   * multi-node cluster, swap for `checkpoint()` on reliable storage).
+   */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group_id", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      // min label over self + neighbors
+      val fromNbrs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("group_id").as("nbr_min"))
+      val next = labels.join(fromNbrs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        .localCheckpoint(true)
+      val nChanged = next.join(labels.withColumnRenamed("group_id", "old"), "id")
+        .where(col("group_id") =!= col("old")).count()
+      labels = next
+      changed = nChanged > 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("group_id"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Attach a 64-bit SimHash to each document. */

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling operators for training-data curation.
+ *
+ * Sampling at 100 TB must be (a) a NARROW filter — no shuffle, no
+ * global count, pushdown-friendly — and (b) reproducible across runs and
+ * executors, so reruns and incremental jobs keep/drop the same rows.
+ * Both follow from hashing a stable id column instead of using RNG state
+ * (`sample()` is seed-stable but partition-layout-dependent; an id hash
+ * is not).
+ */
+object Sampling {
+
+  /** Knuth's multiplicative-hash constant (2654435761 = 2^32 / φ). The
+    * per-mille bucket is `(id * K) mod 1000` — uniform for sequential
+    * ids, exact integer arithmetic reproducible in any SQL dialect. */
+  val HashK = 2654435761L
+
+  /** Per-mille hash bucket in [0, 1000) of an integral id column. */
+  def hashBucket(id: Column): Column = pmod(id.cast("long") * HashK, lit(1000L))
+
+  /** Deterministic Bernoulli sample: keep ≈ `rate` of rows by id hash. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    df.where(hashBucket(col(idCol)) < (rate * 1000).toLong)
+  }
+
+  /**
+   * Stratified deterministic sample: each row's stratum (a string
+   * column) looks up its sampling rate; unlisted strata drop. Rates are
+   * per-mille-exact. The stratum expression and the filter fuse into one
+   * codegen span over the scan — this is how a quality-binned mixing
+   * policy ("keep 10% of low-quality, all of high-quality") runs at
+   * corpus scale.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
+      rates: Seq[(String, Double)]): DataFrame = {
+    require(rates.nonEmpty && rates.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    val rateExpr = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit((r * 1000).toLong)).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .where(hashBucket(col(idCol)) < rateExpr)
+  }
+}

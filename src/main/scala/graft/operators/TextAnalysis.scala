@@ -87,6 +87,21 @@ object TextAnalysis {
     round(greatest(lit(0.0), least(lit(1.0), lenScore + wordScore + shapeScore - noise)), 4)
   }
 
+  /**
+   * Corpus vocabulary: top-`k` lowercase tokens by DOCUMENT frequency
+   * (distinct documents containing the token) with total occurrence
+   * counts — the corpus-statistics pass feeding tokenizer training and
+   * stop-list mining. One explode + one partial-aggregated groupBy; the
+   * top-k is a TakeOrderedAndProject, never a full sort.
+   */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 100): DataFrame =
+    df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+
   /** Full per-document analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

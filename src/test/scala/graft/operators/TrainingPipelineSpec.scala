@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-pipeline operators: duplicate-group connected
+  * components, benchmark decontamination, PII redaction, deterministic
+  * stratified sampling, corpus vocabulary. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateGroups: transitive chain collapses to the component minimum") {
+    // A(1)-B(2), B(2)-C(3) but never A-C; separate pair D(10)-E(11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateGroups: long chain needs multiple propagation rounds") {
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val groups = Dedup.duplicateGroups(chain.toDF("id_a", "id_b")).collect()
+    assert(groups.forall(_.getLong(1) == 1L), groups.mkString(","))
+  }
+
+  test("decontamination flags docs overlapping the eval set and keeps the rest") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, evalDoc + " with extra trailing words appended here"), // heavy overlap
+      (2L, "completely unrelated text about spark catalyst optimizer internals and shuffles"),
+      (3L, evalDoc)) // exact copy
+      .toDF("doc_id", "text")
+    val evalSet = Seq(evalDoc).toDF("text")
+    val clean = Decontamination.decontaminate(docs, "doc_id", "text", evalSet, "text",
+      n = 3, minOverlap = 5).select("doc_id").as[Long].collect().sorted
+    assert(clean.sameElements(Array(2L)))
+    val hits = Decontamination.overlaps(docs, "doc_id", "text", evalSet, "text",
+      n = 3, minOverlap = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L) && hits(3L) >= 11)
+  }
+
+  test("PII redaction replaces e-mails, phones and IPs and counts them") {
+    val docs = Seq(
+      (1L, "write to alice.smith+spam@corp.example.org or bob@ex.io, call 415-555-0199, server 192.168.0.1"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = PiiRedaction.redactDocuments(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 2)
+    assert(r(0).getAs[Int]("n_phones") == 1)
+    assert(r(0).getAs[Int]("n_ips") == 1)
+    val red = r(0).getAs[String]("redacted")
+    assert(red == "write to <EMAIL> or <EMAIL>, call <PHONE>, server <IP>", red)
+    assert(r(1).getAs[String]("redacted") == "no pii here at all")
+  }
+
+  test("stratified sampling is deterministic, respects rates, and keeps rate-1.0 strata fully") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "keep_all" else "sparse"))
+      .toDF("id", "kind")
+    val rates = Seq("keep_all" -> 1.0, "sparse" -> 0.1)
+    val s1 = Sampling.stratifiedSample(df, "id", col("kind"), rates)
+    val s2 = Sampling.stratifiedSample(df, "id", col("kind"), rates)
+    val r1 = s1.select("id").as[Long].collect().sorted
+    assert(r1.sameElements(s2.select("id").as[Long].collect().sorted), "not deterministic")
+    // all 1000 keep_all rows survive; sparse lands near 10% (hash uniformity)
+    val byKind = s1.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("keep_all") == 1000L)
+    assert(byKind("sparse") > 50 && byKind("sparse") < 150, byKind.toString)
+    // unlisted strata drop
+    val s3 = Sampling.stratifiedSample(df, "id", col("kind"), Seq("keep_all" -> 1.0))
+    assert(s3.where(col("kind") === "sparse").count() == 0)
+  }
+
+  test("topTerms ranks by document frequency with total term counts") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(docs, "doc_id", "text", k = 2).collect()
+    assert(top(0).getString(0) == "alpha" && top(0).getLong(1) == 2 && top(0).getLong(2) == 3)
+    assert(top(1).getString(0) == "beta" && top(1).getLong(1) == 2 && top(1).getLong(2) == 3)
+  }
+}
