@@ -97,4 +97,35 @@ class PlanQualitySpec extends SparkSpec {
     // FormattedMode marks codegen'd operators with "[codegen id : N]"
     assert(plan("d03_filter_and").contains("[codegen id :"))
   }
+
+  // ---- round-4 training-pipeline operators ----
+
+  test("quality filter is one narrow filter over the scan — no shuffle, no join (x_quality_filter)") {
+    val p = plan("x_quality_filter")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join"), "quality filter must not join: " + p.take(1500))
+  }
+
+  test("stratified sampling is a narrow filter — no shuffle before the final top-k (x_stratified_sample)") {
+    val p = plan("x_stratified_sample")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("decontamination broadcasts the benchmark shingle set — corpus side never sort-merges (x_decontam)") {
+    val p = plan("x_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "eval set must broadcast: " + p.take(1500))
+  }
+
+  test("corpus vocabulary aggregates with a partial phase and top-k without a full sort (x_vocab_top)") {
+    val p = plan("x_vocab_top")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("PII redaction is a pure projection — no shuffle before the final top-k (x_pii_redact)") {
+    val p = plan("x_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
 }
