@@ -149,8 +149,22 @@ object Dedup {
    */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions via one explode — a self-union would evaluate the
+    // (possibly expensive) pair pipeline twice before the persist lands
+    val rawEdges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size-aware parallelism: the near-dup edge list is usually orders of
+    // magnitude smaller than the corpus (dup rate × corpus), so iterating
+    // at the session's full shuffle width pays per-round scheduler cost
+    // for nothing — one partition per ~500k edges, capped by the session
+    // default for genuinely huge graphs
+    val nEdges = rawEdges.count()
+    val defaultParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 500000L + 1L)).toInt
+    val edges = rawEdges.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("group_id", col("id"))
@@ -158,20 +172,23 @@ object Dedup {
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
-      // min label over self + neighbors
+      // min label over self + neighbors; the previous label rides along
+      // so convergence detection is one aggregate on the SAME frame
+      // (not a second join-and-count job per round)
       val fromNbrs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("group_id").as("nbr_min"))
-      val next = labels.join(fromNbrs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+      val next = labels.withColumnRenamed("group_id", "old")
+        .join(fromNbrs, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("group_id"))
         .localCheckpoint(true)
-      val nChanged = next.join(labels.withColumnRenamed("group_id", "old"), "id")
-        .where(col("group_id") =!= col("old")).count()
-      labels = next
+      val nChanged = next.where(col("group_id") =!= col("old")).count()
+      labels = next.select("id", "group_id")
       changed = nChanged > 0
       iter += 1
     }
     edges.unpersist(blocking = false)
+    rawEdges.unpersist(blocking = false)
     labels.select(col("id"), col("group_id"))
   }
 
