@@ -118,4 +118,38 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(spark.table("t_file").count() > 0)
   }
+
+  test("stateless curation operators (quality filter -> PII redaction -> sampling) run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Pipelines, PiiRedaction, Sampling}
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it runs far away from the field today"),
+      (2L, "contact the admin at root@ex.io for the password to the server on this host"),
+      (3L, "xq zt"), // no stopword hits -> lang 'und' -> filtered
+      (4L, "el la de que y los del las por un una"), // spanish -> filtered
+      (5L, "the data pipeline processes the documents with the spark engine and the catalyst optimizer"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      PiiRedaction.redactDocuments(
+        Sampling.stratifiedSample(
+          Pipelines.qualityFilter(df, "doc_id", "text", minQuality = 0.0, minTokens = 3),
+          "doc_id", lit("all"), Seq("all" -> 1.0)),
+        "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_curate")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_curate").collect().map(_.toSeq).toSet
+    val batch = curate(docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streaming != batch: $streamed vs $batch")
+    assert(streamed.map(_.head) == Set(1L, 2L, 5L))
+    val redacted = spark.table("t_curate").where($"doc_id" === 2L)
+      .select("redacted").as[String].collect().head
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("root@ex.io"))
+  }
 }
