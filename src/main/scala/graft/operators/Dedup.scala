@@ -111,8 +111,19 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // candidate pairs persist (tiny: ≈ dup-rate × corpus) so the member
+    // id set below doesn't re-run the LSH pipeline
     val pairs = minhashCandidatePairs(df, idCol, textCol, cfg)
-    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Verify-side shingles are computed for CANDIDATE MEMBERS ONLY: the
+    // semi join runs before the shingle projection, so at corpus scale
+    // the exact-Jaccard check re-tokenizes the (small) candidate set
+    // instead of the whole corpus — twice over.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
