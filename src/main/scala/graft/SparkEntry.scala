@@ -372,6 +372,13 @@ object Queries {
         "SELECT doc_id, stratum FROM s WHERE (doc_id * 2654435761) % 1000 < " +
         "CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END " +
         "ORDER BY doc_id LIMIT 2000"),
+    // per-source statistics + temperature-scaled mixing weights
+    "x_source_mix" ->
+      ("WITH t AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens, AVG(n) AS avg_raw FROM t GROUP BY source), " +
+        "tot AS (SELECT SUM(pow(n_docs, 0.7)) AS total FROM g) " +
+        "SELECT source, n_docs, sum_tokens, round(avg_raw, 4) AS avg_tokens, " +
+        "round(pow(n_docs, 0.7) / total, 6) AS mix_weight FROM g, tot ORDER BY source LIMIT 100"),
     // corpus vocabulary: top-100 tokens by document frequency
     "x_vocab_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
@@ -507,6 +514,10 @@ object ExtensionQueries {
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
+    // per-source stats + temperature-scaled mixing weights
+    "x_source_mix" -> ((s, dir) =>
+      graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
+        .orderBy("source").limit(100)),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)

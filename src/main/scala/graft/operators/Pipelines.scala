@@ -111,6 +111,29 @@ object Pipelines {
   }
 
   /**
+   * Per-source corpus statistics + mixing weights: document counts,
+   * token volumes, and a temperature-scaled sampling weight
+   * `n_docs^alpha / Σ n_docs^alpha` (the multinomial source-mixing
+   * scheme of multilingual/multi-corpus pretraining, alpha < 1 upweights
+   * small sources). One partial-aggregated groupBy over the corpus; the
+   * normalizer is a broadcast scalar, so no second corpus pass and no
+   * global window.
+   */
+  def sourceMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, alpha: Double = 0.7): DataFrame = {
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val grouped = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n.cast("long")).as("sum_tokens"),
+        avg(n).as("avg_tokens_raw"))
+    val total = grouped.agg(sum(pow(col("n_docs"), alpha)).as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        round(col("avg_tokens_raw"), 4).as("avg_tokens"),
+        round(pow(col("n_docs"), alpha) / col("__total"), 6).as("mix_weight"))
+  }
+
+  /**
    * Corpus quality filter: language allow-list + quality floor + length
    * band, composed as ONE narrow filter over the scan — no join, no
    * shuffle; the language/quality/token expressions evaluate once per row

@@ -132,6 +132,80 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class BucketMember(id: Long, sig: Array[Long])
+  final case class BucketState(members: Seq[BucketMember])
+  final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /**
+   * Streaming NEAR-duplicate detection — the streaming analogue of
+   * `Dedup.minhashNearDuplicates` for continuously-arriving corpus data.
+   *
+   * Each incoming document computes its MinHash signature once, explodes
+   * into `cfg.bands` LSH bucket keys, and the per-bucket state (via
+   * `flatMapGroupsWithState`) holds the signatures previously seen in
+   * that bucket. A new arrival compares against bucket members only —
+   * the same bucket-local, never-all-pairs shape as the batch operator —
+   * and emits pairs whose ESTIMATED Jaccard (fraction of agreeing
+   * minhashes, the standard streaming approximation: E[est] = J) clears
+   * `threshold`.
+   *
+   * State design for scale: members store the 8·numHashes-byte signature,
+   * NOT the text, so state is compact and the exact-verify step can run
+   * as a batch post-filter on the emitted pairs; buckets cap at
+   * `maxBucketSize` members (degenerate-content guard, as in batch LSH);
+   * idle buckets expire after `timeoutMs` of inactivity so state tracks
+   * the active working set, not corpus history. Emission is
+   * at-least-once per matching band — downstream dedup (or the batch
+   * verifier) collapses repeats.
+   */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      cfg: graft.operators.Dedup.LshConfig = graft.operators.Dedup.LshConfig(),
+      maxBucketSize: Int = 1000,
+      timeoutMs: Long = 60 * 60 * 1000L): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    docs.sparkSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shingled = graft.operators.Dedup.shingles(col(textCol), cfg.shingleSize)
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.minhash_signature(shingled, cfg.numHashes, cfg.seed).as("sig"),
+        graft.functions.minhash_buckets(shingled, cfg.numHashes, cfg.bands, cfg.seed).as("buckets"))
+      .where(col("sig").isNotNull && col("buckets").isNotNull)
+      .select(col("doc_id"), col("sig"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+    exploded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            rows.foreach { case (_, _, id, sig) =>
+              if (members.size < maxBucketSize && !members.exists(_.id == id)) {
+                members.foreach { m =>
+                  var eq = 0
+                  var i = 0
+                  val n = math.min(sig.length, m.sig.length)
+                  while (i < n) { if (sig(i) == m.sig(i)) eq += 1; i += 1 }
+                  val est = if (n == 0) 0.0 else eq.toDouble / n
+                  if (est >= threshold)
+                    out += NearDupPair(math.min(id, m.id), math.max(id, m.id), est)
+                }
+                members = members :+ BucketMember(id, sig)
+              }
+            }
+            state.update(BucketState(members))
+            state.setTimeoutDuration(timeoutMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

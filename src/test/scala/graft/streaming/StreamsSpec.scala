@@ -152,4 +152,35 @@ class StreamsSpec extends SparkSpec {
       .select("redacted").as[String].collect().head
     assert(redacted.contains("<EMAIL>") && !redacted.contains("root@ex.io"))
   }
+
+  test("streaming near-dup detection surfaces planted duplicates, bucket-locally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the rain falls " +
+      "softly on the quiet village and the river winds slowly through the green valley below"
+    val other = "spark catalyst compiles declarative query plans into whole stage generated " +
+      "java bytecode executing vectorized over compressed columnar parquet row groups efficiently"
+    val docs = Seq(
+      (1L, base),
+      (2L, other),
+      (3L, base), // exact copy of 1 -> est 1.0
+      (4L, base + " extra words appended")) // near copy of 1
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = Streams.nearDupStream(input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.8)
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("t_neardup")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"exact copy missed: $pairs")
+    assert(pairs.subsetOf(Set((1L, 3L), (1L, 4L), (3L, 4L))), s"false positives: $pairs")
+    val est13 = spark.table("t_neardup").where($"id_a" === 1L && $"id_b" === 3L)
+      .select("est_jaccard").as[Double].collect()
+    assert(est13.forall(_ == 1.0))
+  }
 }
