@@ -372,6 +372,21 @@ object Queries {
         "SELECT doc_id, stratum FROM s WHERE (doc_id * 2654435761) % 1000 < " +
         "CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END " +
         "ORDER BY doc_id LIMIT 2000"),
+    // Gopher-style repetition signals: repeated-token fraction and the
+    // most-frequent-bigram share (blank docs pinned to 0 on both sides)
+    "x_repetition" ->
+      ("WITH words AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END AS b FROM words), " +
+        "u AS (SELECT doc_id, unnest(b) AS g FROM bg), " +
+        "c AS (SELECT doc_id, g, COUNT(*) AS n FROM u GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM c GROUP BY 1) " +
+        "SELECT words.doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "round(CASE WHEN length(trim(text)) = 0 OR len(w) <= 0 THEN 0.0 " +
+        "ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 4) AS dup_token_ratio, " +
+        "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(mx AS DOUBLE) / tot END, 4) AS top_bigram_frac " +
+        "FROM words JOIN m ON words.doc_id = m.doc_id ORDER BY words.doc_id LIMIT 100"),
     // per-source statistics + temperature-scaled mixing weights
     "x_source_mix" ->
       ("WITH t AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
@@ -514,6 +529,10 @@ object ExtensionQueries {
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
+    // Gopher-style repetition signals
+    "x_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id").limit(100)),
     // per-source stats + temperature-scaled mixing weights
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)

@@ -391,6 +391,40 @@ case class LangIdHeuristic(child: Expression, langStopwords: Seq[(String, Seq[St
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Maximum multiplicity of any element in a string array (the "top
+ * n-gram count" of the Gopher repetition rules). One hash-map pass per
+ * row — the groupBy-per-document alternative shuffles every n-gram of
+ * the corpus, and a higher-order-function formulation pays interpreted
+ * per-element cost. Null/empty arrays → 0.
+ */
+case class ArrayTopCount(child: Expression)
+    extends UnaryExpression with UnarySelfRefCodegen {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two 64-bit hashes (for SimHash near-dup). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression with BinarySelfRefCodegen {

@@ -42,6 +42,9 @@ package object functions {
   def lang_id(text: Column, langStopwords: Seq[(String, Seq[String])]): Column =
     column(LangIdHeuristic(expression(text), langStopwords))
 
+  def array_top_count(arr: Column): Column =
+    column(ArrayTopCount(expression(arr)))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -102,6 +102,30 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(k)
 
+  /**
+   * Gopher-style repetition signals (Rae et al., "Scaling Language
+   * Models: ... Gopher", 2021, §A1.1 repetition filters): fraction of
+   * repeated tokens and the share of the most frequent word bigram —
+   * high values flag boilerplate/spam for removal. Narrow projection;
+   * the per-document top-bigram count is a single-pass custom expression
+   * (no per-n-gram shuffle, no interpreted HOF).
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bigrams = Dedup.shingles(col(textCol), 2)
+    val nToks = size(toks)
+    val blank = length(trim(col(textCol))) === 0
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      round(when(blank || nToks <= 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks), 4)
+        .as("dup_token_ratio"),
+      round(when(blank || bigrams.isNull, lit(0.0))
+        .otherwise(graft.functions.array_top_count(bigrams).cast("double") / size(bigrams)), 4)
+        .as("top_bigram_frac"))
+  }
+
   /** Full per-document analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

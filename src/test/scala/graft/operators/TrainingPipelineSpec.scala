@@ -71,6 +71,32 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(s3.where(col("kind") === "sparse").count() == 0)
   }
 
+  test("repetitionStats: repeated tokens and dominant bigrams score high; clean text scores low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // dup 3/4, top bigram "spam spam" 3/3
+      (2L, "every word here is different today"), // dup 0
+      (3L, ""), // blank -> zeros
+      (4L, "ab")) // single word -> one degenerate bigram
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(2) == 0.75 && r(0).getDouble(3) == 1.0)
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) < 0.5)
+    assert(r(2).getInt(1) == 0 && r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 0.0)
+    assert(r(3).getDouble(3) == 1.0)
+  }
+
+  test("sourceMix weights are temperature-scaled and sum to ~1") {
+    val docs = (1L to 110L).map(i => (i, "some text here", if (i <= 100) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val m = Pipelines.sourceMix(docs, "doc_id", "text", "source", alpha = 0.7)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-4)
+    // alpha < 1 upweights the small source relative to raw proportion
+    assert(m("small") > 10.0 / 110.0, m.toString)
+    assert(m("big") > m("small"))
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
