@@ -394,6 +394,11 @@ object Queries {
         "tot AS (SELECT SUM(pow(n_docs, 0.7)) AS total FROM g) " +
         "SELECT source, n_docs, sum_tokens, round(avg_raw, 4) AS avg_tokens, " +
         "round(pow(n_docs, 0.7) / total, 6) AS mix_weight FROM g, tot ORDER BY source LIMIT 100"),
+    // deterministic train/val/test split: id-hash per-mille buckets
+    "x_split" ->
+      ("SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM documents) " +
+        "ORDER BY doc_id LIMIT 2000"),
     // corpus vocabulary: top-100 tokens by document frequency
     "x_vocab_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
@@ -526,6 +531,11 @@ object ExtensionQueries {
         Seq("short" -> 0.1, "medium" -> 0.5, "long" -> 1.0))
         .select(col("doc_id"), col("stratum")).orderBy("doc_id").limit(2000)
     }),
+    // deterministic train/val/test split
+    "x_split" -> ((s, dir) =>
+      graft.operators.Sampling.split(docs(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)),
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),

@@ -30,6 +30,25 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/validation/test split: the id-hash per-mille
+   * bucket routes every row to exactly one named split with the given
+   * weights (must sum to ≤ 1; any remainder is dropped). Reproducible
+   * across runs, partitionings, and engines — the property a dataset
+   * split must have so later pipeline runs never leak validation rows
+   * into training.
+   */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) && weights.map(_._2).sum <= 1.0 + 1e-9)
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + (w * 1000).toLong }
+    val splitExpr = weights.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), i)) =>
+        when(hashBucket(col(idCol)) >= bounds(i) && hashBucket(col(idCol)) < bounds(i + 1), lit(name))
+          .otherwise(acc)
+    }
+    df.withColumn("split", splitExpr).where(col("split").isNotNull)
+  }
+
+  /**
    * Stratified deterministic sample: each row's stratum (a string
    * column) looks up its sampling rate; unlisted strata drop. Rates are
    * per-mille-exact. The stratum expression and the filter fuse into one

@@ -44,4 +44,21 @@ object Sinks {
       .partitionBy("part_date")
       .parquet(path)
   }
+
+  /**
+   * Balanced-shard parquet writer for curated training corpora: exactly
+   * `shards` output files of near-equal row counts. `repartition(n, id)`
+   * routes rows by Murmur3(id) mod n — deterministic across runs and
+   * input partitionings for the same corpus, and uniform for unique ids —
+   * and gives each writer task exactly one shard (no post-hoc file
+   * merging). This is the shape data-loader fleets expect: N equal
+   * shards, not one skewed file per upstream partition.
+   */
+  def writeBalancedShards(df: DataFrame, path: String, idCol: String, shards: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(shards > 0)
+    df.repartition(shards, col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -97,6 +97,37 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(m("big") > m("small"))
   }
 
+  test("split is deterministic, disjoint, exhaustive and near the requested weights") {
+    val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val s1 = Sampling.split(df, "id", w)
+    assert(s1.count() == 1000, "weights sum to 1 -> no row dropped")
+    val sizes = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("train") > 850 && sizes("train") < 950, sizes.toString)
+    assert(sizes("val") > 20 && sizes("val") < 80, sizes.toString)
+    // deterministic: same assignment on rerun
+    val a1 = s1.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sampling.split(df, "id", w).select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 == a2)
+    // partial weights drop the remainder
+    assert(Sampling.split(df, "id", Seq("sample" -> 0.2)).count() < 300)
+  }
+
+  test("writeBalancedShards produces exactly N near-equal parquet shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toFile
+    val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    graft.sources.Sinks.writeBalancedShards(df, dir.getPath, "id", 8)
+    val parts = dir.listFiles().filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 8, parts.map(_.getName).mkString(","))
+    val back = spark.read.parquet(dir.getPath)
+    assert(back.count() == 1000)
+    // per-file row counts are near-uniform (Murmur3 on unique ids)
+    import org.apache.spark.sql.functions.input_file_name
+    val counts = back.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(counts.length == 8 && counts.min > 60 && counts.max < 200, counts.mkString(","))
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
