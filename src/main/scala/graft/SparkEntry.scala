@@ -112,19 +112,43 @@ object Queries {
 
   /** Shared CTE chain: documents → distinct word-3-gram shingle lists →
     * inverted-index postings → candidate pairs with intersection counts
-    * (DuckDB replica of WordShingles + Dedup.ngramJaccardPairs). */
-  private val jaccardPairsCte: String =
-    "words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+    * (DuckDB replica of WordShingles + Dedup.ngramJaccardPairs).
+    * `docFilter` (e.g. " WHERE doc_id IN (…)") restricts the doc set. */
+  private def jaccardPairsCte(docFilter: String = ""): String =
+    s"words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents$docFilter), " +
       "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
       "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
       "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +
       "FROM postings a JOIN postings b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
 
+  /** CTE chain replicating Pipelines.qualityFilter's gates: the scored
+    * text-analysis projection (same arithmetic as x_text_analyze) ending
+    * in `qkept` = doc_ids passing lang='en' / quality≥0.3 / token band. */
+  private def qualityCtes: String = {
+    val (hitCols, caseSql) = langCaseSql
+    "base AS (SELECT doc_id, text, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio_raw, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio_raw, " +
+      "list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents), " +
+      "awl AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS awl_raw FROM base), " +
+      s"h AS (SELECT *, $hitCols FROM awl), " +
+      "m AS (SELECT *, " + graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted.map(l => s"h_$l").mkString("greatest(", ", ", ")") + " AS mh FROM h), " +
+      "scored AS (SELECT doc_id, n_tokens, " +
+      s"$caseSql AS lang_pred, " +
+      "round(greatest(0.0, least(1.0, least(length(text) / 500.0, 1.0) * 0.4 " +
+      "+ least(n_tokens / 100.0, 1.0) * 0.3 " +
+      "+ CASE WHEN awl_raw >= 3 AND awl_raw <= 10 THEN 0.3 ELSE 0.1 END " +
+      "- (punct_ratio_raw + digit_ratio_raw) * 0.5)), 4) AS quality FROM m), " +
+      "qkept AS (SELECT doc_id FROM scored WHERE lang_pred = 'en' AND quality >= 0.3 " +
+      "AND n_tokens BETWEEN 5 AND 100000)"
+  }
+
   /** Exact word-3-gram Jaccard pairs ≥ threshold — the gold standard the
     * LSH dedup operators are graded against. */
   private def jaccardGoldSql(threshold: Double): String =
-    s"WITH $jaccardPairsCte " +
+    s"WITH ${jaccardPairsCte()} " +
       "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
       s"FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold ORDER BY id_a, id_b LIMIT 100"
 
@@ -272,25 +296,9 @@ object Queries {
     // corpus quality filter: language allow-list + quality floor + token
     // band — the whole pipeline replicated in SQL from the same
     // arithmetic as x_text_analyze
-    "x_quality_filter" -> {
-      val (hitCols, caseSql) = langCaseSql
-      "WITH base AS (SELECT doc_id, text, " +
-        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
-        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio_raw, " +
-        "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio_raw, " +
-        "list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents), " +
-        "awl AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS awl_raw FROM base), " +
-        s"h AS (SELECT *, $hitCols FROM awl), " +
-        "m AS (SELECT *, " + graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted.map(l => s"h_$l").mkString("greatest(", ", ", ")") + " AS mh FROM h), " +
-        "scored AS (SELECT doc_id, n_tokens, " +
-        s"$caseSql AS lang_pred, " +
-        "round(greatest(0.0, least(1.0, least(length(text) / 500.0, 1.0) * 0.4 " +
-        "+ least(n_tokens / 100.0, 1.0) * 0.3 " +
-        "+ CASE WHEN awl_raw >= 3 AND awl_raw <= 10 THEN 0.3 ELSE 0.1 END " +
-        "- (punct_ratio_raw + digit_ratio_raw) * 0.5)), 4) AS quality FROM m) " +
-        "SELECT doc_id FROM scored WHERE lang_pred = 'en' AND quality >= 0.3 " +
-        "AND n_tokens BETWEEN 5 AND 100000 ORDER BY doc_id LIMIT 500"
-    },
+    "x_quality_filter" ->
+      (s"WITH $qualityCtes " +
+        "SELECT doc_id FROM qkept ORDER BY doc_id LIMIT 500"),
     // full dedup pipeline: exact (keep min doc_id per text) then remove
     // the larger id of every exact-Jaccard >= 0.85 pair among survivors
     // (recall contract on the composed pipeline: the MinHash-LSH pass
@@ -328,7 +336,7 @@ object Queries {
     // pair graph, labeled by component-minimum id (DuckDB: recursive
     // min-reachability; Spark: distributed min-label propagation)
     "x_dedup_groups" ->
-      (s"WITH RECURSIVE $jaccardPairsCte, " +
+      (s"WITH RECURSIVE ${jaccardPairsCte()}, " +
         "gold AS (SELECT id_a, id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8), " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM gold UNION SELECT id_b, id_a FROM gold), " +
         "reach AS (SELECT src AS id, src AS peer FROM edges " +
@@ -394,6 +402,27 @@ object Queries {
         "tot AS (SELECT SUM(pow(n_docs, 0.7)) AS total FROM g) " +
         "SELECT source, n_docs, sum_tokens, round(avg_raw, 4) AS avg_tokens, " +
         "round(pow(n_docs, 0.7) / total, 6) AS mix_weight FROM g, tot ORDER BY source LIMIT 100"),
+    // END-TO-END curation pipeline: quality gate -> exact dedup ->
+    // near-dup removal (recall contract: the LSH pass must surface every
+    // exact-Jaccard>=0.85 pair among survivors) -> benchmark
+    // decontamination -> deterministic split; the whole chain replicated
+    // as one CTE composition
+    "x_curate" ->
+      (s"WITH $qualityCtes, " +
+        "kept AS (SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id IN (SELECT doc_id FROM qkept) GROUP BY text), " +
+        jaccardPairsCte(" WHERE doc_id IN (SELECT doc_id FROM kept)") + ", " +
+        "losers AS (SELECT DISTINCT id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.85), " +
+        "surv AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers)), " +
+        "ewords AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents WHERE doc_id % 97 = 0), " +
+        "esh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM ewords), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM esh), " +
+        "cont AS (SELECT p.doc_id FROM (SELECT sh.doc_id, unnest(sh.s) AS shingle FROM sh " +
+        "WHERE sh.doc_id IN (SELECT doc_id FROM surv)) p " +
+        "JOIN ev USING (shingle) GROUP BY p.doc_id HAVING COUNT(*) >= 5), " +
+        "clean AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
+        "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM clean) ORDER BY doc_id LIMIT 2000"),
     // deterministic train/val/test split: id-hash per-mille buckets
     "x_split" ->
       ("SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
@@ -530,6 +559,13 @@ object ExtensionQueries {
       graft.operators.Sampling.stratifiedSample(docs(s, dir), "doc_id", stratum,
         Seq("short" -> 0.1, "medium" -> 0.5, "long" -> 1.0))
         .select(col("doc_id"), col("stratum")).orderBy("doc_id").limit(2000)
+    }),
+    // end-to-end curation pipeline (quality -> dedup -> decontam -> split)
+    "x_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipelines.curateCorpus(d, "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "text")
+        .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
     }),
     // deterministic train/val/test split
     "x_split" -> ((s, dir) =>

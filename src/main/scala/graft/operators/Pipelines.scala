@@ -111,6 +111,37 @@ object Pipelines {
   }
 
   /**
+   * End-to-end corpus curation — the full preprocessing chain a
+   * pretraining run needs, composed from the individual operators in
+   * their production order:
+   *
+   *   1. quality gate (language / quality score / token band) — cheapest
+   *      filter first, narrow, shuffle-free;
+   *   2. exact dedup (keep min id per text) — map-side combining agg;
+   *   3. MinHash-LSH near-dup removal among survivors;
+   *   4. benchmark decontamination against `evalDocs` (broadcast);
+   *   5. deterministic train/val/test split.
+   *
+   * Pure composition — no actions, the caller controls materialization;
+   * returns the curated corpus tagged with its `split` column.
+   */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      nearThreshold: Double = DefaultNearThreshold,
+      minOverlap: Int = 5,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val quality = qualityFilter(docs, idCol, textCol)
+    val exact = Dedup.dedupExact(quality, idCol, Seq(textCol))
+    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+    val clean = Decontamination.decontaminate(
+      deduped, idCol, textCol, evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+    Sampling.split(clean, idCol, splits)
+  }
+
+  /**
    * Per-source corpus statistics + mixing weights: document counts,
    * token volumes, and a temperature-scaled sampling weight
    * `n_docs^alpha / Σ n_docs^alpha` (the multinomial source-mixing

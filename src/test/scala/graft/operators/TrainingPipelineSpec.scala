@@ -128,6 +128,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(counts.length == 8 && counts.min > 60 && counts.max < 200, counts.mkString(","))
   }
 
+  test("curateCorpus composes quality -> dedup -> decontam -> split over the fixture") {
+    graft.sources.Sources.register(spark, sfDir)
+    val d = spark.table("documents")
+    val curated = Pipelines.curateCorpus(d, "doc_id", "text",
+      d.where(col("doc_id") % 97 === 0), "text")
+    val n = d.count()
+    val out = curated.select("doc_id", "split").collect()
+    assert(out.length > 0 && out.length < n, s"${out.length} of $n")
+    // benchmark members themselves are contaminated by construction
+    assert(!out.exists(_.getLong(0) % 97 == 0))
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // pipeline output only keeps quality-passing survivors: every kept id
+    // also appears in the standalone quality filter
+    val quality = Pipelines.qualityFilter(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => quality.contains(r.getLong(0))))
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
