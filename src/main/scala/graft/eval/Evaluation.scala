@@ -178,7 +178,13 @@ object Evaluation {
     EvalCase("orders after 1995-06-01",
       "SELECT * FROM orders WHERE o_orderdate >= DATE '1995-06-01' ORDER BY o_orderkey LIMIT 100", "filter_date"),
     EvalCase("how many orders before 1995",
-      "SELECT COUNT(*) AS agg_value FROM orders WHERE o_orderdate < DATE '1995-01-01'", "filter_date"))
+      "SELECT COUNT(*) AS agg_value FROM orders WHERE o_orderdate < DATE '1995-01-01'", "filter_date"),
+    // round-4 shapes exercised on the retail schema too (prefixed
+    // column names — p_size, o_orderstatus — not the school's bare ones)
+    EvalCase("parts with size between 10 and 15",
+      "SELECT * FROM part WHERE p_size BETWEEN 10 AND 15 ORDER BY p_partkey LIMIT 100", "filter_between"),
+    EvalCase("orders where orderstatus is F or orderstatus is O",
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' OR o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 100", "filter_or"))
 
   /**
    * School-schema corpus (SchoolFixture): the reference demo-script

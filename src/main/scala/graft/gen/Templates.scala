@@ -150,24 +150,41 @@ object Templates {
         eqVals.getOrElseUpdate(col, scala.collection.mutable.LinkedHashSet.empty) += value
         out.getOrElseUpdate(s"$col =", "") // placeholder keeps position
       } else out.getOrElseUpdate(s"$col $op", s"$col $op ${sqlLit(value)}")
-    for (m <- betweenRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    // Each extractor consumes its matched spans: later (looser) regexes
+    // run on a MASKED question so fragments of an already-extracted
+    // condition can't re-match — "age between 15 and 17" must not leak
+    // "and 15" into the numeric-equality rule, where a fuzzy column
+    // match ("and" ⊂ "brand") would fabricate a filter.
+    var masked = question
+    def consume(ms: Seq[scala.util.matching.Regex.Match]): Unit =
+      for (m <- ms)
+        masked = masked.substring(0, m.start) + (" " * (m.end - m.start)) + masked.substring(m.end)
+    val betweenMs = betweenRe.findAllMatchIn(masked).toSeq
+    for (m <- betweenMs; c <- strongColumn(m.group(1), cols))
       out.getOrElseUpdate(s"$c BETWEEN", s"$c BETWEEN ${m.group(2)} AND ${m.group(3)}")
-    for (m <- cmpRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    consume(betweenMs)
+    val cmpMs = cmpRe.findAllMatchIn(masked).toSeq
+    for (m <- cmpMs; c <- strongColumn(m.group(1), cols))
       put(c, if (Set("greater", "more", "higher", "larger", "bigger")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
-    for (m <- atRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    consume(cmpMs)
+    val atMs = atRe.findAllMatchIn(masked).toSeq
+    for (m <- atMs; c <- strongColumn(m.group(1), cols))
       put(c, if (m.group(2).equalsIgnoreCase("least")) ">=" else "<=", m.group(3))
-    for (m <- aboveRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    consume(atMs)
+    val aboveMs = aboveRe.findAllMatchIn(masked).toSeq
+    for (m <- aboveMs; c <- strongColumn(m.group(1), cols))
       put(c, if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
+    consume(aboveMs)
     // "with a C grade": the value must look like a literal (uppercase
     // letter or digit start), not a possessive/noun ("with their scores")
-    for (m <- withValRe.findAllMatchIn(question); c <- strongColumn(m.group(2), cols)
+    for (m <- withValRe.findAllMatchIn(masked); c <- strongColumn(m.group(2), cols)
          if m.group(1).matches(raw"[A-Z0-9][\w+-]*") && strongColumn(m.group(1), cols).isEmpty)
       put(c, "=", m.group(1))
-    for (m <- eqRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    for (m <- eqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
       put(c, "=", m.group(2))
-    for (m <- numEqRe.findAllMatchIn(question); c <- strongColumn(m.group(1), cols))
+    for (m <- numEqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
       put(c, "=", m.group(2))
-    for (m <- dateCmpRe.findAllMatchIn(question);
+    for (m <- dateCmpRe.findAllMatchIn(masked);
          c <- cols.find(n => { val l = n.toLowerCase
            l.contains("date") || l.endsWith("_ts") || l == "ts" || l.contains("time") })) {
       val day = if (m.group(2).length == 4) s"${m.group(2)}-01-01" else m.group(2)

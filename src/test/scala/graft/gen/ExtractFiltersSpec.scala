@@ -53,6 +53,16 @@ class ExtractFiltersSpec extends AnyFunSuite {
       == Seq("score BETWEEN 40.5 AND 60"))
   }
 
+  test("consumed spans never re-match in looser rules (no fabricated filters)") {
+    // "and 15" inside an extracted BETWEEN must not become a numeric
+    // equality via the fuzzy 'and' ⊂ 'brand' column match (regression:
+    // the fabricated p_brand = 15 made the candidate fail ANSI casting
+    // and fall through to a wrong-table template)
+    val pcols = Seq("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    assert(Templates.extractFilters("parts with size between 10 and 15", pcols)
+      == Seq("p_size BETWEEN 10 AND 15"))
+  }
+
   test("repeated equalities on one column fold into IN (disjunctive reading)") {
     assert(Templates.extractFilters("scores from year 2022 or year 2023", cols)
       == Seq("year IN (2022, 2023)"))
