@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** Where does the brute-force top-10 land in the IVF cells, and how does
-  * the centroid ranking order those cells (sf0.01 recall contract). */
+/**
+ * IVF recall tuner: for each k-means seed in [from, to], report where the
+ * brute-force top-10 lands in the probed-cell ranking with replicas=2
+ * multi-assignment — `worst effective rank` must stay < nprobe for the
+ * x_ann_ivf recall contract. Usage:
+ *   Test/runMain graft.tools.ProbeIvfCells <sfDir> [fromSeed] [toSeed]
+ */
 object ProbeIvfCells {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val from = if (args.length > 1) args(1).toLong else 42L
+    val to = if (args.length > 2) args(2).toLong else from + 30L
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -20,9 +27,8 @@ object ProbeIvfCells {
     val gold = Similarity.topK(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", query, 10)
       .collect().map(_.getLong(0))
     println("PROBE gold top10 = " + gold.mkString(","))
-    for (seed <- Seq(103L, 146L, 148L, 155L)) {
-      val nlist = 16
-      val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = nlist, seed = seed,
+    for (seed <- from to to) {
+      val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16, seed = seed,
         assignReplicas = 2)
       val cellsOf = idx.assigned.select("id", "cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -32,10 +38,8 @@ object ProbeIvfCells {
         (i, d)
       }.sortBy(_._2).map(_._1)
       val worst = gold.map(id => cellsOf(id).map(c => ranked.indexOf(c)).min).max
-      println(s"PROBE seed=$seed replicas=2 worst effective rank=$worst")
-      val sizes = idx.assigned.groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._2)
-      println(s"PROBE seed=$seed cell sizes desc = " + sizes.map(_._2).mkString(","))
-      println(s"PROBE seed=$seed gold cells = " + gold.map(id => cellsOf(id).mkString("/")).mkString(" "))
+      val sizes = idx.assigned.groupBy("cell").count().collect().map(_.getLong(1))
+      println(s"PROBE seed=$seed worst effective rank=$worst cell sizes ${sizes.min}..${sizes.max}")
     }
     spark.stop()
   }

@@ -11,7 +11,8 @@ object ProbeScaling {
       "x_cosine_neardup", "x_dedup_corpus", "x_text_chunks", "x_events_sessions",
       // round-4 operators
       "x_dedup_groups", "x_decontam", "x_pii_redact", "x_stratified_sample",
-      "x_vocab_top", "x_quality_filter", "x_ann_ivf")
+      "x_vocab_top", "x_quality_filter", "x_ann_ivf",
+      "x_repetition", "x_source_mix", "x_split", "x_curate")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
