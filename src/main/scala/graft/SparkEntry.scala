@@ -380,6 +380,16 @@ object Queries {
         "SELECT doc_id, stratum FROM s WHERE (doc_id * 2654435761) % 1000 < " +
         "CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END " +
         "ORDER BY doc_id LIMIT 2000"),
+    // text normalization over deterministically-dirtied text (every 5th
+    // doc gains control chars + ragged whitespace); 'g' flag mirrors
+    // Spark's replace-all
+    "x_normalize" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN '  ' || chr(9) || text || chr(7) || chr(11) || '  MIXED case  ' ELSE text END AS text FROM documents), " +
+        "n AS (SELECT doc_id, length(text) AS len_raw, " +
+        "lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g'))) AS normalized FROM aug) " +
+        "SELECT doc_id, normalized, len_raw - length(normalized) AS n_chars_removed " +
+        "FROM n ORDER BY doc_id LIMIT 100"),
     // Gopher-style repetition signals: repeated-token fraction and the
     // most-frequent-bigram share (blank docs pinned to 0 on both sides)
     "x_repetition" ->
@@ -575,6 +585,18 @@ object ExtensionQueries {
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
+    // text normalization (control-char strip + whitespace collapse + case)
+    "x_normalize" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("  \t"), col("text"), lit("\u0007\u000B  MIXED case  ")))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("doc_id"),
+        TextAnalysis.normalize(col("text"), lowercase = true).as("normalized"),
+        (length(col("text")) - length(TextAnalysis.normalize(col("text"), lowercase = true)))
+          .as("n_chars_removed"))
+        .orderBy("doc_id").limit(100)
+    }),
     // Gopher-style repetition signals
     "x_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")

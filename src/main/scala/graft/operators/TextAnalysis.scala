@@ -103,6 +103,20 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Text normalization for curation: strip ASCII control characters
+   * (except \t \n \r, which count as whitespace), collapse whitespace
+   * runs to single spaces, trim, optionally lowercase — the
+   * canonicalization pass run before hashing/dedup so formatting
+   * variants collapse. Pure regexp_replace composition (codegen'd,
+   * narrow, dialect-portable).
+   */
+  def normalize(text: Column, lowercase: Boolean = false): Column = {
+    val stripped = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
+
+  /**
    * Gopher-style repetition signals (Rae et al., "Scaling Language
    * Models: ... Gopher", 2021, §A1.1 repetition filters): fraction of
    * repeated tokens and the share of the most frequent word bigram —
