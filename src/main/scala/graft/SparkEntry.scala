@@ -443,6 +443,61 @@ object Queries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
         "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
+    // per-document duplicated-span fraction (Lee et al. ExactSubstr
+    // signal as an inverted n-gram index): spans shared with >= 1 other
+    // document, counted per document — no pair generation on either side
+    "x_span_dup" ->
+      (s"WITH ${jaccardPairsCte()}, " +
+        "shared AS (SELECT shingle FROM postings GROUP BY shingle HAVING COUNT(*) >= 2), " +
+        "per AS (SELECT doc_id, COUNT(*) AS n_shared FROM postings JOIN shared USING (shingle) GROUP BY doc_id) " +
+        "SELECT sh.doc_id, len(sh.s) AS n_spans, COALESCE(per.n_shared, 0) AS n_shared, " +
+        "round(CASE WHEN len(sh.s) <= 0 THEN 0.0 ELSE CAST(COALESCE(per.n_shared, 0) AS DOUBLE) / len(sh.s) END, 4) AS dup_span_frac " +
+        "FROM sh LEFT JOIN per USING (doc_id) ORDER BY doc_id LIMIT 200"),
+    // per-document top-3 TF-IDF keywords; DuckDB ln == Spark log
+    // (natural); document frequency derives from the distinct
+    // (doc, token) pairs on both sides
+    "x_tfidf_top" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE len(token) > 0 GROUP BY 1, 2), " +
+        "dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df, tf.tf * ln(CAST(n_docs AS DOUBLE) / dfq.df) AS tfidf FROM tf JOIN dfq USING (token), n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM s) " +
+        "SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank LIMIT 300"),
+    // corpus bigram LM counts + conditional probability P(w2|w1);
+    // docs with < 2 tokens carry no bigram (mirrored filters)
+    "x_bigram_lm" ->
+      ("WITH words AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "ok AS (SELECT w FROM words WHERE len(w) >= 2), " +
+        "bg AS (SELECT unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS bigram FROM ok), " +
+        "c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram), " +
+        "p AS (SELECT bigram, n, round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)), 6) AS cond_p FROM c) " +
+        "SELECT bigram, n, cond_p FROM p ORDER BY n DESC, bigram LIMIT 100"),
+    // URL extraction over deterministically-augmented text (every 4th
+    // doc gains two links); one row per URL occurrence with its host
+    "x_url_extract" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
+        "'.example.org/p/' || doc_id || ' and http://cdn' || (doc_id % 7) || '.example.net' ELSE text END AS text FROM documents), " +
+        s"u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlPattern}')) AS url FROM aug) " +
+        "SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u " +
+        "ORDER BY doc_id, url LIMIT 300"),
+    // exact per-group percentiles (PERCENTILE_CONT semantics: linear
+    // interpolation at rank p*(n-1) on both engines)
+    "x_percentiles" ->
+      ("SELECT event_type, COUNT(*) AS n, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.95), 4) AS p95 FROM events GROUP BY event_type " +
+        "ORDER BY event_type LIMIT 100"),
+    // nearest-centroid assignment (fixed probe centroids = vec_id < 8 so
+    // the argmax is SQL-expressible); ties break to the lower centroid id
+    "x_cluster_assign" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "x AS (SELECT e.vec_id, c.cid, CAST(list_cosine_similarity(e.emb, c.cemb) AS DOUBLE) AS cos FROM e, c), " +
+        "r AS (SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM x) " +
+        "SELECT vec_id, cid AS cluster, round(cos, 4) AS cosine FROM r WHERE rn = 1 " +
+        "ORDER BY vec_id LIMIT 2000"),
     // the media table derives deterministically from documents (see
     // Multimodal.fromDocuments), so payload-size/kind/frame-count are
     // pure SQL over the text column
@@ -605,6 +660,45 @@ object ExtensionQueries {
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
         .orderBy("source").limit(100)),
+    // per-document duplicated-span statistics (inverted n-gram index)
+    "x_span_dup" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(200)),
+    // per-document top-3 TF-IDF keywords
+    "x_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank").limit(300)),
+    // corpus bigram LM counts + conditional probability
+    "x_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramModel(docs(s, dir), "text", k = 100)),
+    // URL extraction over deterministically-augmented text
+    "x_url_extract" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" see https://www.site"), col("doc_id") % 20,
+            lit(".example.org/p/"), col("doc_id"), lit(" and http://cdn"),
+            col("doc_id") % 7, lit(".example.net")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.extractUrls(aug, "doc_id", "text")
+        .orderBy("doc_id", "url").limit(300)
+    }),
+    // exact per-group percentiles over events
+    "x_percentiles" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.catalog.Profiler.exactPercentiles(
+        s.table("events"), Seq("event_type"), "value", Seq(0.5, 0.95))
+        .orderBy("event_type").limit(100)
+    }),
+    // nearest-centroid assignment with fixed probe centroids (vec_id < 8)
+    "x_cluster_assign" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = e.where(col("vec_id") < 8)
+      Similarity.assignNearestCentroid(e, "vec_id", "emb", cents, "vec_id", "emb")
+        .select(col("id").as("vec_id"), col("cluster"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id").limit(2000)
+    }),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)

@@ -126,6 +126,27 @@ object Profiler {
     }.toMap
   }
 
+  /**
+   * EXACT per-group percentiles (linear interpolation at rank
+   * p·(n−1), the ANSI PERCENTILE_CONT definition) — the exact
+   * complement to [[sketchStats]]'s mergeable approximations, for
+   * groups that fit a single aggregation buffer (per-group state is
+   * the group's values). At corpus scale with huge groups, prefer
+   * `sketchStats`; this is the parity/verification path and the right
+   * tool for moderate group cardinality × group size (the common
+   * "latency percentiles per endpoint" shape).
+   */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val pcts = percentile(col(valueCol), array(percentiles.map(lit): _*))
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), pcts.as("__p"))
+    percentiles.zipWithIndex.foldLeft(agg) { case (d, (p, i)) =>
+      val name = s"p${(p * 100).round.toInt}"
+      d.withColumn(name, round(element_at(col("__p"), i + 1), 4))
+    }.drop("__p")
+  }
+
   /** Heavy hitters per column (frequent-items sketch, single pass). */
   def heavyHitters(df: DataFrame, cols: Seq[String], support: Double = 0.01): Map[String, Seq[Any]] = {
     val row = df.stat.freqItems(cols.toArray, support).collect()(0)

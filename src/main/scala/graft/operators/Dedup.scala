@@ -203,6 +203,44 @@ object Dedup {
     labels.select(col("id"), col("group_id"))
   }
 
+  /**
+   * Per-document duplicated-span statistics: for each document, how many
+   * of its distinct word `n`-gram spans also occur in at least one OTHER
+   * document (the span-level duplication signal of Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+   * their suffix-array ExactSubstr pass re-expressed as an inverted
+   * n-gram index, the shape Spark can shuffle).
+   *
+   * Scale: two shuffles, no pair generation anywhere. (1) distinct
+   * spans explode to postings keyed by xxhash64(span) — 8-byte shuffle
+   * rows; the per-span document count is a map-side-combined aggregate
+   * (each document contributes a span once, so `count(*)` IS the
+   * document frequency). (2) spans with count ≥ 2 join back to the
+   * postings (shuffle join on the same hash key) and a per-document
+   * count aggregates the shared spans. Unlike the pair operators no
+   * bucket can explode: a span shared by a million documents costs one
+   * counter, not 10¹² pairs.
+   */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("n_spans", size(col("sh")))
+    val postings = sh.select(col("id"), col("n_spans"), explode(col("sh")).as("__span"))
+      .select(col("id"), col("n_spans"), xxhash64(col("__span")).as("span"))
+    val shared = postings.groupBy("span")
+      .agg(count(lit(1)).as("span_docs"))
+      .where(col("span_docs") >= 2)
+      .select("span")
+    val perDoc = postings.join(shared, "span")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    sh.select(col("id"), col("n_spans"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_span_frac",
+        round(when(col("n_spans") <= 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_spans")), 4))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Attach a 64-bit SimHash to each document. */

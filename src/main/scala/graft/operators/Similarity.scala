@@ -287,6 +287,34 @@ object Similarity {
   }
 
   /**
+   * Assign every vector to its nearest centroid by cosine similarity —
+   * the semantic-sharding / cluster-labeling pass of a corpus pipeline
+   * (and the E-step any distributed k-means iterates). Centroids arrive
+   * as a (small) DataFrame so they can come from anywhere: a trained
+   * model, a fixed probe set, or [[ivfIndex]]'s output.
+   *
+   * Scale: centroids broadcast (explicitly — the per-vector fan-out is
+   * |centroids|×, never a shuffle of the corpus); the argmax collapses
+   * the fan-out with one map-side-combined `max_by` aggregate keyed on
+   * the vector id, not a window sort. Ties break to the lower centroid
+   * id via the (cosine, −id) struct ordering.
+   */
+  def assignNearestCentroid(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, centIdCol: String, centEmbCol: String): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("__cid"), col(centEmbCol).as("__cemb")))
+    df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .crossJoin(cents)
+      .select(col("id"),
+        struct(cosine_sim(col("emb"), col("__cemb")).as("cosine"),
+          (-col("__cid")).as("neg_cid")).as("__s"))
+      .groupBy("id")
+      .agg(max(col("__s")).as("__best"))
+      .select(col("id"), (-col("__best.neg_cid")).as("cluster"),
+        col("__best.cosine").as("cosine"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, BANDED: a 64-bit sign
    * signature is split into `chunks` bands; any pair agreeing exactly on
    * at least one band is a candidate, then exact cosine verifies inside

@@ -103,6 +103,78 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Per-document top-`k` keywords by TF-IDF: term frequency within the
+   * document × ln(N / document-frequency) over the corpus — the
+   * classic keyword-extraction / topic-labeling pass over a training
+   * corpus.
+   *
+   * Scale: one explode feeds BOTH frequency tables — `tf` is a
+   * map-side-combined groupBy (doc, token); the corpus document
+   * frequency derives from `tf` itself (its rows are distinct
+   * (doc, token) pairs, so `count(*)` per token IS the document
+   * frequency) — no second corpus scan. The doc count joins in as a
+   * broadcast single-row frame, and the final top-k is a bounded
+   * window partitioned BY DOCUMENT (never global).
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"), col("rank"))
+  }
+
+  /**
+   * Corpus bigram language-model counts: top-`k` word bigrams with their
+   * corpus count and the conditional probability P(w2 | w1) =
+   * c(w1 w2) / Σ c(w1 ·) — the statistics a count-based LM or a
+   * phrase-mining pass needs. Documents with fewer than 2 tokens carry
+   * no bigram. One explode + one map-side-combined groupBy; the
+   * first-word context totals come from a window over the (already
+   * tiny) bigram-count table, and the top-k is a
+   * TakeOrderedAndProject.
+   */
+  def bigramModel(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = df.where(size(Dedup.tokens(col(textCol))) >= 2)
+      .select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    val counts = big.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val ctx = Window.partitionBy("w1")
+    counts
+      .withColumn("cond_p", round(col("n").cast("double") / sum(col("n")).over(ctx), 6))
+      .select(col("bigram"), col("n"), col("cond_p"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** URL pattern shared by [[extractUrls]] and its oracle replica:
+    * scheme://host/path with a conservative character class (portable
+    * across Java and RE2-style engines). */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?"
+
+  /**
+   * Extract URLs: one output row per URL occurrence with its host —
+   * the link-graph / domain-blocklist feed of a web-corpus pipeline.
+   * Narrow explode of `regexp_extract_all` (codegen'd, no UDF); rows
+   * without URLs disappear (inner explode), so the output volume is the
+   * link count, not the corpus size.
+   */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+
+  /**
    * Text normalization for curation: strip ASCII control characters
    * (except \t \n \r, which count as whitespace), collapse whitespace
    * runs to single spaces, trim, optionally lowercase — the

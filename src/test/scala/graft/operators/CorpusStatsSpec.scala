@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators added this round: duplicated-span
+  * detection, TF-IDF keywords, bigram LM counts, URL extraction, exact
+  * group percentiles, nearest-centroid assignment. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicatedSpanStats: shared spans counted per doc, unique docs at zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma".."gamma delta epsilon" with 2
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")) // no shared spans
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+    // doc 1: 3 spans, all inside doc 2 → frac 1.0
+    assert(r(0).getAs[Long]("n_shared") == 3L && r(0).getAs[Double]("dup_span_frac") == 1.0)
+    // doc 2: 4 spans, 3 shared → 0.75
+    assert(r(1).getAs[Int]("n_spans") == 4 && r(1).getAs[Long]("n_shared") == 3L)
+    // doc 3: nothing shared
+    assert(r(2).getAs[Long]("n_shared") == 0L && r(2).getAs[Double]("dup_span_frac") == 0.0)
+  }
+
+  test("tfidfTopTerms: corpus-wide words rank below distinctive ones") {
+    val docs = Seq(
+      (1L, "common common spark catalyst"),
+      (2L, "common tungsten tungsten tungsten"),
+      (3L, "common shuffle"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("id").collect()
+    // "common" appears in every doc → idf = ln(1) = 0; the distinctive
+    // term must win in each doc
+    assert(top.map(_.getAs[String]("token")).toSeq == Seq("catalyst", "tungsten", "shuffle"))
+    assert(top.forall(_.getAs[Int]("rank") == 1))
+  }
+
+  test("bigramModel: counts and conditional probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "single")) // < 2 tokens → no bigram
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramModel(docs, "text", k = 10).collect()
+      .map(r => r.getAs[String]("bigram") -> (r.getAs[Long]("n"), r.getAs[Double]("cond_p"))).toMap
+    // doc1: "a b", "b a", "a b"; doc2: "a b", "b c"
+    assert(m("a b")._1 == 3L && m("a b")._2 == 1.0) // all "a ·" bigrams are "a b"
+    assert(m("b a")._1 == 1L && m("b a")._2 == 0.5) // "b ·" splits between a and c
+    assert(m("b c")._1 == 1L && m("b c")._2 == 0.5)
+    assert(!m.keySet.exists(_.contains("single")))
+  }
+
+  test("extractUrls: one row per occurrence with host; no-URL docs vanish") {
+    val docs = Seq(
+      (1L, "see https://a.example.com/x/y and http://b.example.org plus https://a.example.com/x/y"),
+      (2L, "no links here"))
+      .toDF("doc_id", "text")
+    val u = TextAnalysis.extractUrls(docs, "doc_id", "text").collect()
+    assert(u.length == 3)
+    assert(u.count(_.getAs[String]("domain") == "a.example.com") == 2)
+    assert(u.forall(_.getAs[Long]("doc_id") == 1L))
+  }
+
+  test("exactPercentiles: PERCENTILE_CONT interpolation per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val r = graft.catalog.Profiler.exactPercentiles(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .orderBy("g").collect()
+    // group a: p50 at rank 0.5*3 = 1.5 → 2.5; p95 at 2.85 → 3.85
+    assert(r(0).getAs[Double]("p50") == 2.5 && r(0).getAs[Double]("p95") == 3.85)
+    assert(r(1).getAs[Double]("p50") == 10.0 && r(1).getAs[Long]("n") == 1L)
+  }
+
+  test("assignNearestCentroid: argmax cosine, ties to lower centroid id") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), // centroid 0
+      (1L, Array(0.0, 1.0)), // centroid 1
+      (10L, Array(0.9, 0.1)), // → centroid 0
+      (11L, Array(0.1, 0.9)), // → centroid 1
+      (12L, Array(1.0, 1.0))) // equidistant → tie to centroid 0
+      .toDF("vec_id", "emb")
+    val cents = vecs.where(col("vec_id") < 2)
+    val r = Similarity.assignNearestCentroid(vecs, "vec_id", "emb", cents, "vec_id", "emb")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("cluster")).toMap
+    assert(r == Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+}
