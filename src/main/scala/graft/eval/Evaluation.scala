@@ -239,12 +239,20 @@ object Evaluation {
       "SELECT * FROM scores WHERE year = 2022 OR year = 2023 ORDER BY score_id LIMIT 100", "filter_or"),
     EvalCase("course ids whose average score is above 80",
       "SELECT course_id FROM scores GROUP BY course_id HAVING AVG(score) > 80 ORDER BY course_id LIMIT 100", "having"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-4 open cases, closed in round 4b (LIKE-prefix /
+    //     anti-join count / nth-distinct-value template shapes) ---
     EvalCase("student names starting with A",
       "SELECT * FROM students WHERE student_name LIKE 'A%' ORDER BY student_id LIMIT 100", "filter_like"),
     EvalCase("number of courses that have no scores",
       "SELECT COUNT(*) AS agg_value FROM courses c WHERE NOT EXISTS (SELECT 1 FROM scores s WHERE s.course_id = c.course_id)", "anti_join"),
     EvalCase("the second highest score",
-      "SELECT DISTINCT score FROM scores ORDER BY score DESC LIMIT 1 OFFSET 1", "nth_value"))
+      "SELECT DISTINCT score FROM scores ORDER BY score DESC LIMIT 1 OFFSET 1", "nth_value"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("scores above the average score",
+      "SELECT * FROM scores WHERE score > (SELECT AVG(score) FROM scores) ORDER BY score_id LIMIT 100", "scalar_subquery"),
+    EvalCase("student name with the most scores",
+      "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY agg_value DESC, st.student_name LIMIT 1", "join_agg_topn"),
+    EvalCase("average score per course name in the science dept",
+      "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id WHERE c.dept = 'science' GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_filter_agg"))
 }

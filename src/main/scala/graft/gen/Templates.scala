@@ -89,6 +89,19 @@ object Templates {
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
   private val aggByRe =
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
+  // "the second highest score" — the nth distinct value of a column:
+  // DISTINCT + ORDER BY + LIMIT 1 OFFSET n-1 (never a global window)
+  private val nthRe =
+    (raw"(?i)\b(?:the\s+)?(second|third|fourth|fifth|2nd|3rd|4th|5th)[-\s]+" +
+      raw"(highest|largest|biggest|greatest|lowest|smallest)\s+([a-z_][a-z0-9_]*)\b").r
+  private val ordinals = Map(
+    "second" -> 1, "2nd" -> 1, "third" -> 2, "3rd" -> 2,
+    "fourth" -> 3, "4th" -> 3, "fifth" -> 4, "5th" -> 4)
+  // "number of courses that have no scores" — an anti-join count across
+  // an FK edge (entity rows with no referencing fact rows)
+  private val antiJoinRe =
+    (raw"(?i)\b(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:(?:that|which|who)\s+)?(?:have|has|with)\s+no\s+([a-z_][a-z0-9_]*)\b").r
   // "course ids whose average score is above 80" — a condition on a GROUP
   // aggregate, not on rows: GROUP BY the entity, HAVING agg(col) OP n
   private val havingRe =
@@ -101,6 +114,17 @@ object Templates {
   // hint (query_intent.py:183-195 "use date functions in WHERE").
   private val dateCmpRe =
     raw"(?i)\b(after|since|before|until)\s+(\d{4}-\d{2}-\d{2}|\d{4})\b".r
+  // LIKE shapes: "names starting with A" -> student_name LIKE 'A%';
+  // "ending with X" / "containing X" -> suffix / infix patterns. The
+  // column link uses only the word directly before the phrase ("names"),
+  // which scores the full-name column uniquely where the whole noun
+  // phrase ("student names") would tie student_name with student_id.
+  private val likePrefixRe =
+    raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+(?:starting|beginning)\s+with\s+([A-Za-z0-9][\w%+-]*)".r
+  private val likeSuffixRe =
+    raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+ending\s+(?:with|in)\s+([A-Za-z0-9][\w%+-]*)".r
+  private val likeInfixRe =
+    raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+containing\s+([A-Za-z0-9][\w%+-]*)".r
 
   /** Deterministic key-ish ordering column for a table: a column named
     * `*_id`, `id`, or `*key`, preferring one carrying the table's singular stem
@@ -175,6 +199,30 @@ object Templates {
     for (m <- aboveMs; c <- strongColumn(m.group(1), cols))
       put(c, if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<", m.group(3))
     consume(aboveMs)
+    // quote-escape and drop user-supplied % (a literal _ stays — as a
+    // LIKE single-char wildcard it only loosens the match)
+    def esc(v: String): String = v.replace("'", "''").replace("%", "")
+    // The LIKE noun phrase can span two words ("student names") whose
+    // fuzzy score never reaches strongColumn's full-word bar; a unique
+    // argmax ≥ 100 over the phrase is the right relaxation here.
+    def likeColumn(phrase: String): Option[String] = {
+      val scored = cols.map(c => c -> graft.link.Fuzzy.nameScore(c, phrase)).sortBy(-_._2)
+      scored.headOption.filter { case (_, s) =>
+        s >= 100 && scored.drop(1).headOption.forall(_._2 < s)
+      }.map(_._1)
+    }
+    for ((re, shape) <- Seq(likePrefixRe -> "P", likeSuffixRe -> "S", likeInfixRe -> "I")) {
+      val ms = re.findAllMatchIn(masked).toSeq
+      for (m <- ms; c <- likeColumn(m.group(1))) {
+        val pat = shape match {
+          case "P" => s"${esc(m.group(2))}%"
+          case "S" => s"%${esc(m.group(2))}"
+          case _ => s"%${esc(m.group(2))}%"
+        }
+        out.getOrElseUpdate(s"$c LIKE", s"$c LIKE '$pat'")
+      }
+      consume(ms)
+    }
     // "with a C grade": the value must look like a literal (uppercase
     // letter or digit start), not a possessive/noun ("with their scores")
     for (m <- withValRe.findAllMatchIn(masked); c <- strongColumn(m.group(2), cols)
@@ -274,7 +322,18 @@ object Templates {
       // phrase never triggers it
       val havingM = havingRe.findFirstMatchIn(q)
         .flatMap(m => strongColumn(m.group(2), cols).map(c => (m, c)))
-      if (havingM.isDefined) {
+      // "the second highest score": nth distinct value — checked first
+      // because "highest" also fires the MAX aggregation keyword
+      val nthM = nthRe.findFirstMatchIn(q)
+        .flatMap(m => strongColumn(m.group(3), cols).map(c => (m, c)))
+      if (nthM.isDefined) {
+        val (m, nthCol) = nthM.get
+        val off = ordinals(m.group(1).toLowerCase)
+        val dir = if (Set("lowest", "smallest")(m.group(2).toLowerCase)) "ASC" else "DESC"
+        Seq(Candidate(
+          s"SELECT DISTINCT $nthCol FROM $t ORDER BY $nthCol $dir LIMIT 1 OFFSET $off",
+          conf(0.88, nthCol, m.group(3), needsFit = false), "template_nth"))
+      } else if (havingM.isDefined) {
         val (m, aggCol) = havingM.get
         val f = m.group(1).toLowerCase match {
           case "average" | "avg" | "mean" => "AVG"
@@ -387,9 +446,33 @@ object Templates {
       }
     }
 
+  /** Anti-join count across an FK edge: "number of courses that have no
+    * scores" → COUNT of dimension rows with no referencing fact rows
+    * (NOT EXISTS — Catalyst plans it as a LeftAnti join, never a
+    * cartesian; both question nouns must name sliced tables linked by an
+    * FK edge, so generic "no X" phrasing never fabricates a candidate). */
+  def antiJoinCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    antiJoinRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val tables = slice.tables.keySet
+      def table(word: String): Option[String] =
+        tables.toSeq.sorted.map(t => t -> graft.link.Fuzzy.nameScore(t, word))
+          .filter(_._2 >= 100).sortBy(-_._2).headOption.map(_._1)
+      for {
+        dim <- table(m.group(1)).toSeq
+        fact <- table(m.group(2)).toSeq
+        if dim != fact
+        e <- fks.find(e => e.fromTable == fact && e.toTable == dim).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM $dim d WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $fact f WHERE f.${e.fromColumn} = d.${e.toColumn})",
+        0.9, "template_anti_join")
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
-    (intentCandidates(slice, analysis, question, fks) ++ joinCandidates(slice, fks, question) ++ tableCandidates(slice))
+    (antiJoinCandidates(slice, fks, question) ++
+      intentCandidates(slice, analysis, question, fks) ++
+      joinCandidates(slice, fks, question) ++ tableCandidates(slice))
       .sortBy(-_.confidence)
 }

@@ -269,7 +269,14 @@ object Intent {
     val a = analyze(question)
     val explicitTopN = a.limitN.isDefined &&
       (a.allIntents.contains(Sorted) || a.allIntents.contains(Limited))
-    if (explicitTopN) a.allIntents.contains(GroupedAggregation)
+    // an ORDINAL superlative ("the second highest score") asks for a row
+    // value at a rank, not an aggregate — MAX's keyword list merely
+    // overlaps "highest"
+    val ordinalSuperlative =
+      raw"(?i)\b(?:second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+(?:highest|largest|biggest|greatest|lowest|smallest)\b"
+        .r.findFirstIn(question).isDefined
+    if (ordinalSuperlative) false
+    else if (explicitTopN) a.allIntents.contains(GroupedAggregation)
     else a.aggFunction.isDefined || a.allIntents.contains(GroupedAggregation)
   }
 

@@ -50,9 +50,11 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.pilotCorpus.size + Evaluation.schoolCorpus.size >= 30)
     assert(report.byIntent.keySet.size >= 7, report.byIntent.keySet)
     // the demo-script surface must be answered correctly (round 4 adds
-    // the BETWEEN / OR→IN / HAVING shapes to the held list)...
+    // BETWEEN / OR→IN / HAVING, round 4b adds LIKE-prefix / anti-join
+    // count / nth-distinct-value to the held list)...
     for (intent <- Seq("filter_and", "filter_count", "agg_topn", "join", "join_agg",
-        "groupby_agg", "filter_between", "filter_or", "having"))
+        "groupby_agg", "filter_between", "filter_or", "having",
+        "filter_like", "anti_join", "nth_value"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

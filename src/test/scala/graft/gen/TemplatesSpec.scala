@@ -73,4 +73,38 @@ class TemplatesSpec extends AnyFunSuite {
     assert(filt.sql.contains("grade = 'B'") && filt.sql.contains("score > 90"), filt.sql)
     assert(filt.sql.contains("ORDER BY score_id"), filt.sql)
   }
+
+  test("LIKE shapes: prefix / suffix / containing extract with wildcard hygiene") {
+    val pre = cands("student names starting with A").find(_.method == "template_filter").get
+    assert(pre.sql.contains("student_name LIKE 'A%'"), pre.sql)
+    assert(pre.sql.contains("FROM students"), pre.sql)
+    val suf = Templates.extractFilters("student names ending with z",
+      Seq("student_name", "student_id"))
+    assert(suf == Seq("student_name LIKE '%z'"), suf)
+    val inf = Templates.extractFilters("student names containing 100%ile",
+      Seq("student_name", "student_id"))
+    assert(inf == Seq("student_name LIKE '%100ile%'"), inf) // embedded % stripped
+  }
+
+  test("anti-join count: dimension rows with no referencing fact rows") {
+    val c = cands("number of courses that have no scores")
+    val anti = c.find(_.method == "template_anti_join").get
+    assert(anti.sql.contains("FROM courses d WHERE NOT EXISTS"), anti.sql)
+    assert(anti.sql.contains("f.course_id = d.course_id"), anti.sql)
+    // the anti-join outranks the plain COUNT(*) candidate
+    assert(c.head.method == "template_anti_join", c.head)
+    // no FK edge between the nouns → no candidate fabricated
+    assert(cands("number of students that have no courses")
+      .forall(_.method != "template_anti_join"))
+  }
+
+  test("nth-distinct-value: ordinal + direction + column") {
+    val second = cands("the second highest score").find(_.method == "template_nth").get
+    assert(second.sql ==
+      "SELECT DISTINCT score FROM scores ORDER BY score DESC LIMIT 1 OFFSET 1", second.sql)
+    val third = cands("third lowest age").find(_.method == "template_nth").get
+    assert(third.sql.contains("age ASC LIMIT 1 OFFSET 2"), third.sql)
+    // "highest" alone (no ordinal) stays a MAX aggregation, not an nth
+    assert(cands("highest score").forall(_.method != "template_nth"))
+  }
 }
