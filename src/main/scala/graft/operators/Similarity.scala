@@ -295,9 +295,12 @@ object Similarity {
    *
    * Scale: centroids broadcast (explicitly — the per-vector fan-out is
    * |centroids|×, never a shuffle of the corpus); the argmax collapses
-   * the fan-out with one map-side-combined `max_by` aggregate keyed on
-   * the vector id, not a window sort. Ties break to the lower centroid
-   * id via the (cosine, −id) struct ordering.
+   * the fan-out with a partial+final max-of-struct aggregate keyed on
+   * the vector id (SortAggregate — struct buffers aren't
+   * hash-aggregable — but the partial phase still combines map-side,
+   * so the shuffle carries one row per vector), not a window sort.
+   * Ties break to the lower centroid id via the (cosine, −id) struct
+   * ordering.
    */
   def assignNearestCentroid(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, centIdCol: String, centEmbCol: String): DataFrame = {

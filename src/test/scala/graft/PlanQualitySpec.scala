@@ -128,4 +128,47 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("x_pii_redact")
     assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
   }
+
+  // ---- round-4b corpus-statistics operators ----
+
+  test("duplicated-span stats never generate pairs (no cartesian/nested-loop) (x_span_dup)") {
+    val p = plan("x_span_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span stats must stay count-only: " + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
+  }
+
+  test("TF-IDF keywords: doc-count joins as broadcast, window partitioned by doc (x_tfidf_top)") {
+    val p = plan("x_tfidf_top")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the single-row doc count must broadcast: " + p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    // the window is per-document, never a global single partition
+    assert(!p.contains("Window: No Partition Defined"), p.take(1500))
+  }
+
+  test("nearest-centroid assignment broadcasts centroids and aggregates the argmax (x_cluster_assign)") {
+    val p = plan("x_cluster_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the centroid fan-out must be a broadcast cross join: " + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Window"), "argmax must be an aggregation, not a window sort: " + p.take(1500))
+    // max(struct) cannot use HashAggregate (struct is not a mutable
+    // buffer type) — what matters at scale is that a PARTIAL phase
+    // collapses the centroid fan-out before the shuffle
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregate phases: " + p.take(1500))
+  }
+
+  test("URL extraction is a narrow explode — no shuffle before the final top-k (x_url_extract)") {
+    val p = plan("x_url_extract")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("exact percentiles aggregate with a partial phase (x_percentiles)") {
+    val p = plan("x_percentiles")
+    assert(p.contains("ObjectHashAggregate") || "HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregation: " + p.take(1500))
+  }
 }
