@@ -12,7 +12,10 @@ object ProbeScaling {
       // round-4 operators
       "x_dedup_groups", "x_decontam", "x_pii_redact", "x_stratified_sample",
       "x_vocab_top", "x_quality_filter", "x_ann_ivf",
-      "x_repetition", "x_source_mix", "x_split", "x_curate")
+      "x_repetition", "x_source_mix", "x_split", "x_curate",
+      // round-4b operators
+      "x_span_dup", "x_tfidf_top", "x_bigram_lm", "x_url_extract",
+      "x_percentiles", "x_cluster_assign")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
