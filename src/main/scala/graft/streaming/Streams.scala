@@ -206,6 +206,41 @@ object Streams {
       }
   }
 
+  /**
+   * Streaming benchmark decontamination — the STREAM-STATIC pattern:
+   * continuously-arriving documents are screened against a static
+   * benchmark/eval set ([[graft.operators.Decontamination]]'s streaming
+   * analogue). The benchmark's distinct shingle hashes are computed once
+   * batch-side and broadcast (eval suites are small by construction —
+   * thousands of documents); each arriving document counts its shingle
+   * overlap against the broadcast hash set in a STATELESS projection —
+   * the same hash-probe a broadcast join would run, with no stream
+   * state, no shuffle, and no watermark requirement, so documents pass
+   * or drop within their own micro-batch. Shingle hashing uses the same
+   * xxhash64 as the batch operator (computed by the engine, not JVM
+   * code, so stream and batch decisions agree bit-for-bit).
+   */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    import docs.sparkSession.implicits._
+    val evalHashes = evalDocs
+      .select(explode(array_distinct(graft.operators.Dedup.shingles(col(evalTextCol), n))).as("__sh"))
+      .select(xxhash64(col("__sh")).as("sh")).distinct().as[Long].collect()
+    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes.toSet)
+    val hashed = docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      transform(array_distinct(graft.operators.Dedup.shingles(col(textCol), n)),
+        s => xxhash64(s)).as("hs"))
+    hashed.as[(Long, String, Array[Long])].mapPartitions { it =>
+      val evalSet = bc.value
+      it.flatMap { case (id, text, hs) =>
+        val overlap = if (hs == null) 0 else hs.count(evalSet.contains)
+        if (overlap < minOverlap) Some((id, text)) else None
+      }
+    }.toDF("doc_id", "text")
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

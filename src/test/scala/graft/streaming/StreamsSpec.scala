@@ -183,4 +183,34 @@ class StreamsSpec extends SparkSpec {
       .select("est_jaccard").as[Double].collect()
     assert(est13.forall(_ == 1.0))
   }
+
+  test("streaming decontamination agrees with the batch operator (stream-static, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchmark = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while the sun sets slowly behind the distant mountains tonight"
+    val docs = Seq(
+      (1L, benchmark + " with extra trailing words appended here today"), // contaminated
+      (2L, "completely unrelated text about catalyst optimizer internals shuffles and codegen stages"),
+      (3L, benchmark), // exact benchmark copy
+      (4L, "short clean doc"))
+    val evalDf = Seq(benchmark).toDF("text")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = Streams.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", evalDf, "text",
+        n = 3, minOverlap = 5)
+      .writeStream.format("memory").queryName("t_decontam")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("t_decontam").select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 4L)), kept.mkString(","))
+    // bit-for-bit agreement with the batch operator on the same data
+    val batchKept = graft.operators.Decontamination.decontaminate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", evalDf, "text", n = 3, minOverlap = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(batchKept), s"stream=$kept batch=$batchKept")
+  }
 }
