@@ -489,6 +489,15 @@ object Queries {
       ("SELECT event_type, COUNT(*) AS n, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.95), 4) AS p95 FROM events GROUP BY event_type " +
         "ORDER BY event_type LIMIT 100"),
+    // k-NN join: top-5 corpus neighbors for each of 4 query vectors in
+    // one plan (per-query window rank; DuckDB replicates the cross join)
+    "x_knn_join" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 4), " +
+        "x AS (SELECT q.query_id, e.vec_id, CAST(list_cosine_similarity(e.emb, q.qemb) AS DOUBLE) AS cos FROM e, q), " +
+        "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
+        "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY query_id, rank LIMIT 100"),
     // nearest-centroid assignment (fixed probe centroids = vec_id < 8 so
     // the argmax is SQL-expressible); ties break to the lower centroid id
     "x_cluster_assign" ->
@@ -690,6 +699,15 @@ object ExtensionQueries {
       graft.catalog.Profiler.exactPercentiles(
         s.table("events"), Seq("event_type"), "value", Seq(0.5, 0.95))
         .orderBy("event_type").limit(100)
+    }),
+    // k-NN join over 4 probe queries
+    "x_knn_join" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 4)
+      Similarity.knnJoin(e, "vec_id", "emb", q, "vec_id", "emb", k = 5)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank").limit(100)
     }),
     // nearest-centroid assignment with fixed probe centroids (vec_id < 8)
     "x_cluster_assign" -> ((s, dir) => {

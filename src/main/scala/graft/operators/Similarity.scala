@@ -287,6 +287,34 @@ object Similarity {
   }
 
   /**
+   * k-NN JOIN: for EVERY query vector in a (small) query set, the top-k
+   * corpus neighbors by cosine — batch similarity search, the retrieval
+   * shape of augmentation/labeling pipelines (one `topK` call per query
+   * would launch |queries| jobs; this is ONE plan).
+   *
+   * Scale: queries broadcast (the fan-out is |queries|× the corpus
+   * scan, inherent to brute-force k-NN join); the per-query top-k is a
+   * window partitioned BY QUERY — as many partitions as queries, never
+   * a global sort. When the corpus carries an IVF index, prune with
+   * [[ivfTopK]] per query or restrict the fan-out by joining on cell
+   * instead of broadcasting — brute force is the exact baseline the
+   * oracle checks.
+   */
+  def knnJoin(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qemb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    corpus.select(col(idCol).as("id"), col(embCol).as("__cemb"))
+      .crossJoin(q)
+      .select(col("query_id"), col("id"),
+        cosine_sim(col("__cemb"), col("__qemb")).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * Assign every vector to its nearest centroid by cosine similarity —
    * the semantic-sharding / cluster-labeling pass of a corpus pipeline
    * (and the E-step any distributed k-means iterates). Centroids arrive

@@ -160,6 +160,15 @@ class PlanQualitySpec extends SparkSpec {
       "expect partial + final aggregate phases: " + p.take(1500))
   }
 
+  test("k-NN join broadcasts the query set; the window partitions by query (x_knn_join)") {
+    val p = plan("x_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query fan-out must be a broadcast cross join: " + p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("Window: No Partition Defined"), p.take(1500))
+  }
+
   test("URL extraction is a narrow explode — no shuffle before the final top-k (x_url_extract)") {
     val p = plan("x_url_extract")
     assert(!p.contains("Exchange hashpartitioning"), p.take(1500))

@@ -75,6 +75,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(1).getAs[Double]("p50") == 10.0 && r(1).getAs[Long]("n") == 1L)
   }
 
+  test("knnJoin: per-query top-k equals the single-query topK operator") {
+    graft.sources.Sources.register(spark, sfDir)
+    val e = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = e.where(col("vec_id") < 3)
+    val joined = Similarity.knnJoin(e, "vec_id", "emb", queries, "vec_id", "emb", k = 4)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(joined.keySet == Set(0L, 1L, 2L))
+    for (qid <- Seq(0L, 1L, 2L)) {
+      val qv = spark.table("embeddings").where(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val single = Similarity.topK(
+        spark.table("embeddings"), "vec_id", "embedding", qv, k = 4)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      val batch = joined(qid).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id")).toSeq
+      assert(batch == single, s"query $qid: $batch vs $single")
+    }
+  }
+
   test("assignNearestCentroid: argmax cosine, ties to lower centroid id") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), // centroid 0
