@@ -489,6 +489,23 @@ object Queries {
       ("SELECT event_type, COUNT(*) AS n, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.95), 4) AS p95 FROM events GROUP BY event_type " +
         "ORDER BY event_type LIMIT 100"),
+    // boilerplate removal: 16-token segments occurring in > 2 distinct
+    // docs drop; documents reassemble from surviving segments in order
+    "x_boilerplate" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, t, greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 16) AS INT)) AS nc FROM toks WHERE n > 0), " +
+        "e AS (SELECT doc_id, t, CAST(unnest(range(nc)) AS INT) AS chunk_index FROM c), " +
+        "ch AS (SELECT doc_id, chunk_index, array_to_string(t[chunk_index * 16 + 1 : chunk_index * 16 + 16], ' ') AS chunk_text FROM e), " +
+        "boiler AS (SELECT chunk_text FROM (SELECT DISTINCT doc_id, chunk_text FROM ch) GROUP BY chunk_text HAVING COUNT(*) > 2), " +
+        "kept AS (SELECT * FROM ch WHERE chunk_text NOT IN (SELECT chunk_text FROM boiler)) " +
+        "SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_index) AS clean_text, " +
+        "COUNT(*) AS n_kept_chunks FROM kept GROUP BY doc_id ORDER BY doc_id LIMIT 200"),
+    // token-length histogram (50-token buckets) — corpus reporting
+    "x_len_hist" ->
+      ("SELECT CAST(floor(CAST(n AS DOUBLE) / 50) * 50 AS BIGINT) AS bucket, COUNT(*) AS n_docs " +
+        "FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents) " +
+        "GROUP BY 1 ORDER BY 1 LIMIT 100"),
     // k-NN join: top-5 corpus neighbors for each of 4 query vectors in
     // one plan (per-query window rank; DuckDB replicates the cross join)
     "x_knn_join" ->
@@ -700,6 +717,18 @@ object ExtensionQueries {
         s.table("events"), Seq("event_type"), "value", Seq(0.5, 0.95))
         .orderBy("event_type").limit(100)
     }),
+    // boilerplate removal (CCNet-style high-frequency segment dropping)
+    "x_boilerplate" -> ((s, dir) =>
+      graft.operators.Pipelines.removeBoilerplate(docs(s, dir), "doc_id", "text",
+        chunkTokens = 16, maxDocFreq = 2)
+        .orderBy("doc_id").limit(200)),
+    // token-length histogram (50-token buckets)
+    "x_len_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .select((floor(TextAnalysis.tokenCount(col("text")).cast("double") / 50) * 50)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket").limit(100)),
     // k-NN join over 4 probe queries
     "x_knn_join" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

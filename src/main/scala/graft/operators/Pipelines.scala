@@ -85,6 +85,40 @@ object Pipelines {
   }
 
   /**
+   * Boilerplate removal (the corpus-level line/segment dedup of CCNet,
+   * Wenzek et al., LREC 2020 — there applied to lines; here to
+   * fixed-token segments since the corpus model is untokenized text):
+   * drop every NON-OVERLAPPING `chunkTokens`-token segment that occurs
+   * in more than `maxDocFreq` distinct documents (navigation chrome,
+   * license headers, templated footers), then stitch each document back
+   * together from its surviving segments in order. Documents whose
+   * every segment is boilerplate disappear.
+   *
+   * Scale: segments hash to xxhash64 longs; the document-frequency pass
+   * is a map-side-combined aggregate over (hash) — `collect_set` never
+   * appears; the boilerplate set (rare by construction) joins back
+   * as a shuffle join on the 8-byte hash, and reassembly is one
+   * groupBy(doc) with an array_sort — no window over the corpus.
+   */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16, maxDocFreq: Int = 2): DataFrame = {
+    val chunks = chunkDocuments(docs, idCol, textCol, chunkTokens, overlapTokens = 0)
+      .select(col(idCol), col("chunk_index"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__h"))
+    val boiler = chunks.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") > maxDocFreq)
+      .select("__h")
+    chunks.join(boiler, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("chunk_index"), col("chunk_text")))).as("__cs"),
+        count(lit(1)).as("n_kept_chunks"))
+      .select(col(idCol),
+        array_join(transform(col("__cs"), c => c.getField("chunk_text")), " ").as("clean_text"),
+        col("n_kept_chunks"))
+  }
+
+  /**
    * Sequence packing: assign documents to fixed-capacity packs by
    * cumulative token count, SHARDED — each shard packs independently
    * with a per-shard running sum, so the window is partitioned (never

@@ -75,6 +75,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(1).getAs[Double]("p50") == 10.0 && r(1).getAs[Long]("n") == 1L)
   }
 
+  test("removeBoilerplate: high-frequency segments drop, documents reassemble in order") {
+    // a 4-token boilerplate footer shared by 3 docs (chunkTokens = 4)
+    val footer = "all rights reserved footer"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta " + footer),
+      (2L, "epsilon zeta eta theta " + footer),
+      (3L, "iota kappa lambda mu " + footer),
+      (4L, "unique content only here nothing shared at all today")) // 2 chunks, both kept
+      .toDF("doc_id", "text")
+    val r = Pipelines.removeBoilerplate(docs, "doc_id", "text", chunkTokens = 4, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(r.length == 4)
+    assert(r(0).getAs[String]("clean_text") == "alpha beta gamma delta")
+    assert(r(0).getAs[Long]("n_kept_chunks") == 1L)
+    // the unique doc keeps both chunks, stitched in order
+    assert(r(3).getAs[String]("clean_text") ==
+      "unique content only here nothing shared at all today")
+    // a doc that is ALL boilerplate disappears
+    val all = Seq((1L, footer), (2L, footer), (3L, footer), (4L, footer)).toDF("doc_id", "text")
+    assert(Pipelines.removeBoilerplate(all, "doc_id", "text", 4, 2).count() == 0)
+  }
+
   test("knnJoin: per-query top-k equals the single-query topK operator") {
     graft.sources.Sources.register(spark, sfDir)
     val e = spark.table("embeddings")
