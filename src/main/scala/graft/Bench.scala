@@ -49,14 +49,29 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Release every intermediate the query's operators persisted: the
+      // LSH/pipeline operators cache candidate frames they cannot
+      // unpersist themselves (lazy composition), and over 76 queries the
+      // leaked entries evict each other into disk-spill churn —
+      // BENCH_r04 measured x_curate at 65s under that pressure vs 2.0s
+      // in an isolated session. Cache stays warm BETWEEN a query's own
+      // runs (steady state), cleared only across queries.
+      spark.catalog.clearCache()
       (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val firstTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","runs":$runs,"agg":"min","value_first_run":$firstTotal,"commit":"$commit"}"""
+    // The driver captures only a ~2.2 KB tail of the sbt output; a
+    // full-precision 76-query map overflows it and the line arrives
+    // truncated (BENCH_r04 "parsed": null). Round per-query seconds —
+    // 3 decimals normally, 2 if the line would still overflow.
+    def render(prec: Int): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","runs":$runs,"agg":"min","value_first_run":${"%.3f".format(firstTotal)},"commit":"$commit"}"""
+    }
+    val line = { val l3 = render(3); if (l3.length <= 2000) l3 else render(2) }
     println(line)
     // Also write the line to a file: sbt buries stdout in [info]/WARN
     // noise, so the driver parses the file when the env var points at one.

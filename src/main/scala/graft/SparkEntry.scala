@@ -116,7 +116,11 @@ object Queries {
     * `docFilter` (e.g. " WHERE doc_id IN (…)") restricts the doc set. */
   private def jaccardPairsCte(docFilter: String = ""): String =
     s"words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents$docFilter), " +
-      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+      // empty/whitespace-only text splits to [''] in DuckDB — map it to NO
+      // spans (the Spark side's shingles() nulls there, coalesced to []),
+      // so empty docs carry zero postings on both engines
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) = 1 AND w[1] = '' THEN CAST([] AS VARCHAR[]) " +
+      "WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
       "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
       "postings AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter " +

@@ -141,8 +141,17 @@ object Profiler {
     val pcts = percentile(col(valueCol), array(percentiles.map(lit): _*))
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), pcts.as("__p"))
-    percentiles.zipWithIndex.foldLeft(agg) { case (d, (p, i)) =>
-      val name = s"p${(p * 100).round.toInt}"
+    // Output names derive from the FULL fraction, not the rounded
+    // percent — p=0.954 names p95_4, never colliding with p=0.95's p95
+    // (rounding both to p95 made the second withColumn silently
+    // overwrite the first, dropping a requested percentile).
+    val names = percentiles.map { p =>
+      val s = (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
+      "p" + s.replace(".", "_").replace("-", "m")
+    }
+    require(names.distinct.size == names.size,
+      s"duplicate percentiles requested: $percentiles")
+    names.zipWithIndex.foldLeft(agg) { case (d, (name, i)) =>
       d.withColumn(name, round(element_at(col("__p"), i + 1), 4))
     }.drop("__p")
   }

@@ -92,11 +92,19 @@ object Templates {
   // "the second highest score" — the nth distinct value of a column:
   // DISTINCT + ORDER BY + LIMIT 1 OFFSET n-1 (never a global window)
   private val nthRe =
-    (raw"(?i)\b(?:the\s+)?(second|third|fourth|fifth|2nd|3rd|4th|5th)[-\s]+" +
+    (raw"(?i)\b(?:the\s+)?(second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+" +
       raw"(highest|largest|biggest|greatest|lowest|smallest)\s+([a-z_][a-z0-9_]*)\b").r
-  private val ordinals = Map(
-    "second" -> 1, "2nd" -> 1, "third" -> 2, "3rd" -> 2,
-    "fourth" -> 3, "4th" -> 3, "fifth" -> 4, "5th" -> 4)
+  private val ordinalWords = Map(
+    "second" -> 2, "third" -> 3, "fourth" -> 4, "fifth" -> 5)
+  /** "second"/"23rd" → 0-based OFFSET. Covers every numeric ordinal the
+    * intent layer's superlative-suppression regex matches — a question it
+    * suppresses the aggregate for must always reach a serving template
+    * (the round-4 advisor found "6th highest" losing both paths). */
+  private def ordinalOffset(word: String): Int = {
+    val w = word.toLowerCase
+    ordinalWords.get(w).orElse(raw"(\d+)".r.findFirstIn(w).map(_.toInt))
+      .map(n => math.max(0, n - 1)).getOrElse(1)
+  }
   // "number of courses that have no scores" — an anti-join count across
   // an FK edge (entity rows with no referencing fact rows)
   private val antiJoinRe =
@@ -328,7 +336,7 @@ object Templates {
         .flatMap(m => strongColumn(m.group(3), cols).map(c => (m, c)))
       if (nthM.isDefined) {
         val (m, nthCol) = nthM.get
-        val off = ordinals(m.group(1).toLowerCase)
+        val off = ordinalOffset(m.group(1))
         val dir = if (Set("lowest", "smallest")(m.group(2).toLowerCase)) "ASC" else "DESC"
         Seq(Candidate(
           s"SELECT DISTINCT $nthCol FROM $t ORDER BY $nthCol $dir LIMIT 1 OFFSET $off",
@@ -454,9 +462,16 @@ object Templates {
   def antiJoinCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
     antiJoinRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val tables = slice.tables.keySet
-      def table(word: String): Option[String] =
-        tables.toSeq.sorted.map(t => t -> graft.link.Fuzzy.nameScore(t, word))
-          .filter(_._2 >= 100).sortBy(-_._2).headOption.map(_._1)
+      // strictly unique argmax (same bar as likeColumn): two tables tying
+      // at the top score means the noun is ambiguous — produce no
+      // candidate rather than resolve alphabetically to a wrong table
+      def table(word: String): Option[String] = {
+        val scored = tables.toSeq.map(t => t -> graft.link.Fuzzy.nameScore(t, word))
+          .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }
+        scored.headOption.filter { case (_, s) =>
+          scored.drop(1).headOption.forall(_._2 < s)
+        }.map(_._1)
+      }
       for {
         dim <- table(m.group(1)).toSeq
         fact <- table(m.group(2)).toSeq

@@ -110,7 +110,22 @@ object Dedup {
    */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame = {
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame =
+    minhashNearDuplicatesWithCleanup(df, idCol, textCol, threshold, cfg)._1
+
+  /**
+   * [[minhashNearDuplicates]] plus a cleanup handle that unpersists the
+   * internal candidate-pair cache. The cache is load-bearing (the member
+   * id set must not re-run the LSH pipeline) but cannot be released from
+   * inside a lazy composition; callers with a terminal action (pipelines,
+   * benchmarks) should invoke the handle once the returned frame — and
+   * everything derived from it — has been materialized. Leaked, these
+   * caches accumulate across queries until eviction churn dominates
+   * (BENCH_r04: 65s for a 2s pipeline).
+   */
+  def minhashNearDuplicatesWithCleanup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     // candidate pairs persist (tiny: ≈ dup-rate × corpus) so the member
     // id set below doesn't re-run the LSH pipeline
@@ -124,7 +139,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
-    pairs
+    val verified = pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       // length filter: J >= t needs size ratio >= t (see
@@ -137,6 +152,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (verified, () => { pairs.unpersist(blocking = false); () })
   }
 
   /**
@@ -222,7 +238,13 @@ object Dedup {
    * counter, not 10¹² pairs.
    */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+    // Empty/whitespace-only docs shingle to null — coalesce to an empty
+    // array so they surface as a defined (n_spans=0, dup_span_frac=0.0)
+    // row instead of nulls (and so the DuckDB oracle, whose string_split
+    // CTE yields no spans for empty text, agrees).
+    val sh = df.select(col(idCol).as("id"),
+        coalesce(array_distinct(shingles(col(textCol), n)),
+          array().cast("array<string>")).as("sh"))
       .withColumn("n_spans", size(col("sh")))
     val postings = sh.select(col("id"), col("n_spans"), explode(col("sh")).as("__span"))
       .select(col("id"), col("n_spans"), xxhash64(col("__span")).as("span"))

@@ -40,7 +40,8 @@ object Pipelines {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
 
-    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold, cfg)
+    val (pairs, releasePairs) =
+      Dedup.minhashNearDuplicatesWithCleanup(exact, idCol, textCol, nearThreshold, cfg)
     // drop the larger id of every near-dup pair; a doc surviving means no
     // pair names it as the larger member
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
@@ -48,6 +49,7 @@ object Pipelines {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = deduped.count()
     exact.unpersist(blocking = false)
+    releasePairs()
 
     (deduped, DedupReport(
       input, afterExact, afterNear,
@@ -157,7 +159,13 @@ object Pipelines {
    *   5. deterministic train/val/test split.
    *
    * Pure composition — no actions, the caller controls materialization;
-   * returns the curated corpus tagged with its `split` column.
+   * returns the curated corpus tagged with its `split` column. The
+   * near-dup stage persists its candidate-pair frame internally (it is
+   * referenced twice and must not re-run the LSH pipeline); with no
+   * terminal action here the cache cannot be released on the caller's
+   * behalf — long-lived sessions should `spark.catalog.clearCache()` (or
+   * unpersist via [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]])
+   * after materializing the result.
    */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,

@@ -228,17 +228,15 @@ object Streams {
       .select(explode(array_distinct(graft.operators.Dedup.shingles(col(evalTextCol), n))).as("__sh"))
       .select(xxhash64(col("__sh")).as("sh")).distinct().as[Long].collect()
     val bc = docs.sparkSession.sparkContext.broadcast(evalHashes.toSet)
-    val hashed = docs.select(
-      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
-      transform(array_distinct(graft.operators.Dedup.shingles(col(textCol), n)),
-        s => xxhash64(s)).as("hs"))
-    hashed.as[(Long, String, Array[Long])].mapPartitions { it =>
-      val evalSet = bc.value
-      it.flatMap { case (id, text, hs) =>
-        val overlap = if (hs == null) 0 else hs.count(evalSet.contains)
-        if (overlap < minOverlap) Some((id, text)) else None
-      }
-    }.toDF("doc_id", "text")
+    // The broadcast probe runs as a FILTER on the original row — every
+    // input column passes through untouched (same contract as the batch
+    // operator), and ids keep their source type (no silent long cast).
+    val overlapCount = udf { hs: Seq[Long] =>
+      if (hs == null) 0 else { val s = bc.value; hs.count(s.contains) }
+    }
+    val hs = transform(array_distinct(graft.operators.Dedup.shingles(col(textCol), n)),
+      s => xxhash64(s))
+    docs.where(overlapCount(hs) < minOverlap)
   }
 
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */

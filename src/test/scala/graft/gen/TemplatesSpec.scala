@@ -106,5 +106,12 @@ class TemplatesSpec extends AnyFunSuite {
     assert(third.sql.contains("age ASC LIMIT 1 OFFSET 2"), third.sql)
     // "highest" alone (no ordinal) stays a MAX aggregation, not an nth
     assert(cands("highest score").forall(_.method != "template_nth"))
+    // numeric ordinals beyond "fifth" are served too — the intent layer
+    // suppresses the MAX path for any "Nth highest", so the template must
+    // cover the same surface (round-4 advisor: "6th highest" lost both)
+    val sixth = cands("the 6th highest score").find(_.method == "template_nth").get
+    assert(sixth.sql.contains("score DESC LIMIT 1 OFFSET 5"), sixth.sql)
+    val tenth = cands("10th lowest age").find(_.method == "template_nth").get
+    assert(tenth.sql.contains("age ASC LIMIT 1 OFFSET 9"), tenth.sql)
   }
 }

@@ -25,6 +25,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_shared") == 0L && r(2).getAs[Double]("dup_span_frac") == 0.0)
   }
 
+  test("duplicatedSpanStats: empty/whitespace-only docs get a defined zero row, not nulls") {
+    val docs = Seq(
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+    assert(r.length == 3)
+    Seq(0, 1).foreach { i =>
+      assert(!r(i).isNullAt(r(i).fieldIndex("n_spans")), s"row $i n_spans null")
+      assert(r(i).getAs[Int]("n_spans") == 0)
+      assert(r(i).getAs[Long]("n_shared") == 0L)
+      assert(r(i).getAs[Double]("dup_span_frac") == 0.0)
+    }
+    assert(r(2).getAs[Int]("n_spans") == 2)
+  }
+
   test("tfidfTopTerms: corpus-wide words rank below distinctive ones") {
     val docs = Seq(
       (1L, "common common spark catalyst"),
@@ -73,6 +91,18 @@ class CorpusStatsSpec extends SparkSpec {
     // group a: p50 at rank 0.5*3 = 1.5 → 2.5; p95 at 2.85 → 3.85
     assert(r(0).getAs[Double]("p50") == 2.5 && r(0).getAs[Double]("p95") == 3.85)
     assert(r(1).getAs[Double]("p50") == 10.0 && r(1).getAs[Long]("n") == 1L)
+  }
+
+  test("exactPercentiles: close fractions get distinct column names, never silently collide") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val r = graft.catalog.Profiler.exactPercentiles(df, Seq("g"), "v", Seq(0.95, 0.954))
+    // p=0.95 and p=0.954 both round to 95% — names must still differ
+    assert(r.columns.contains("p95") && r.columns.contains("p95_4"), r.columns.mkString(","))
+    val row = r.collect()(0)
+    assert(!row.isNullAt(row.fieldIndex("p95")) && !row.isNullAt(row.fieldIndex("p95_4")))
+    intercept[IllegalArgumentException] {
+      graft.catalog.Profiler.exactPercentiles(df, Seq("g"), "v", Seq(0.5, 0.5))
+    }
   }
 
   test("removeBoilerplate: high-frequency segments drop, documents reassemble in order") {

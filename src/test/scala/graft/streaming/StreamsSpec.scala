@@ -213,4 +213,27 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.sameElements(batchKept), s"stream=$kept batch=$batchKept")
   }
+
+  test("streaming decontamination preserves every input column and non-numeric ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchmark = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while the sun sets slowly behind the distant mountains tonight"
+    val input = MemoryStream[(String, String, String)]
+    input.addData(
+      ("doc-a", benchmark, "web"), // contaminated — dropped
+      ("doc-b", "completely unrelated text about catalyst optimizer internals and stages", "books"))
+    val q = Streams.decontaminateStream(
+        input.toDF().toDF("doc_id", "text", "source"), "doc_id", "text",
+        Seq(benchmark).toDF("text"), "text", n = 3, minOverlap = 5)
+      .writeStream.format("memory").queryName("t_decontam_cols")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_decontam_cols")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+    val rows = out.select("doc_id", "source").as[(String, String)].collect().toSet
+    assert(rows == Set(("doc-b", "books")), rows.toString)
+  }
 }
