@@ -528,6 +528,46 @@ object Queries {
         "r AS (SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM x) " +
         "SELECT vec_id, cid AS cluster, round(cos, 4) AS cosine FROM r WHERE rn = 1 " +
         "ORDER BY vec_id LIMIT 2000"),
+    // SemDeDup: the CLUSTER-SCOPED pair semantics replicated exactly —
+    // assignment to the fixed probe centroids (ties to the lower cid on
+    // both engines), then pairs within the same assigned cluster only;
+    // planted copies (+0.25 on the first component, cosine ≈ 0.97)
+    // provide the positives, organic pairs max out at 0.51
+    "x_semdedup" ->
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "pl AS (SELECT vec_id + 100000 AS vec_id, list_concat([emb[1] + 0.25], emb[2:]) AS emb FROM e0 WHERE vec_id < 25), " +
+        "e AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e0 WHERE vec_id < 8), " +
+        "x AS (SELECT e.vec_id, c.cid, CAST(list_cosine_similarity(e.emb, c.cemb) AS DOUBLE) AS cos FROM e, c), " +
+        "r AS (SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM x), " +
+        "a AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1), " +
+        "pr AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b, a1.cluster, " +
+        "CAST(list_cosine_similarity(e1.emb, e2.emb) AS DOUBLE) AS cos " +
+        "FROM a a1 JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id " +
+        "JOIN e e1 ON e1.vec_id = a1.vec_id JOIN e e2 ON e2.vec_id = a2.vec_id) " +
+        "SELECT id_a, id_b, cluster, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.95 " +
+        "ORDER BY id_a, id_b LIMIT 100"),
+    // contamination attribution: (training doc, eval doc) pairs sharing
+    // >= 5 distinct 3-gram shingles (postings CTE comes distinct per doc)
+    "x_decontam_report" ->
+      (s"WITH ${jaccardPairsCte()}, " +
+        "ev AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM postings WHERE doc_id % 97 = 0) " +
+        "SELECT p.doc_id, ev.eval_id, COUNT(*) AS n_shared " +
+        "FROM postings p JOIN ev USING (shingle) GROUP BY 1, 2 HAVING COUNT(*) >= 5 " +
+        "ORDER BY doc_id, eval_id LIMIT 500"),
+    // per-doc perplexity under the corpus bigram LM (unsmoothed — every
+    // doc bigram exists in the LM by construction; same bigram CTE as
+    // x_bigram_lm, docs with < 2 tokens absent on both sides)
+    "x_perplexity" ->
+      ("WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "ok AS (SELECT doc_id, w FROM words WHERE len(w) >= 2), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS bigram FROM ok), " +
+        "c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram), " +
+        "p AS (SELECT bigram, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS p FROM c), " +
+        "d AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(ln(p.p)) AS alp FROM bg JOIN p USING (bigram) GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, round(alp, 4) AS avg_logp, round(exp(-alp), 4) AS perplexity " +
+        "FROM d ORDER BY doc_id LIMIT 200"),
     // the media table derives deterministically from documents (see
     // Multimodal.fromDocuments), so payload-size/kind/frame-count are
     // pure SQL over the text column
@@ -636,6 +676,20 @@ object ExtensionQueries {
         d, "doc_id", "text", evalSet, "text", n = 3, minOverlap = 5)
         .select(col("doc_id")).orderBy("doc_id").limit(2000)
     }),
+    // contamination attribution: which eval doc leaked into which
+    // training doc, with the shared-shingle count
+    "x_decontam_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      graft.operators.Decontamination.attributionReport(
+        d, "doc_id", "text", evalSet, "eval_id", "text", n = 3, minOverlap = 5)
+        .orderBy("doc_id", "eval_id").limit(500)
+    }),
+    // per-doc perplexity under the corpus's own bigram LM
+    "x_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id").limit(200)),
     // PII redaction over deterministically-augmented text
     "x_pii_redact" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"),
@@ -749,6 +803,21 @@ object ExtensionQueries {
       Similarity.assignNearestCentroid(e, "vec_id", "emb", cents, "vec_id", "emb")
         .select(col("id").as("vec_id"), col("cluster"), round(col("cosine"), 4).as("cosine"))
         .orderBy("vec_id").limit(2000)
+    }),
+    // SemDeDup: within-cluster semantic near-dup pairs over planted
+    // perturbed copies (cosine ≈ 0.97); fixed probe centroids (vec_id<8)
+    // keep the assignment — and therefore the cluster scoping — oracle-
+    // expressible
+    "x_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val planted = e.where(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("emb"), 1) + lit(0.25)), slice(col("emb"), 2, 63)).as("emb"))
+      val cents = e.where(col("vec_id") < 8)
+      Similarity.semanticNearDupPairs(e.union(planted), "vec_id", "emb",
+        cents, "vec_id", "emb", threshold = 0.95)
+        .select(col("id_a"), col("id_b"), col("cluster"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b").limit(100)
     }),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {

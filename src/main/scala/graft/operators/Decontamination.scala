@@ -37,6 +37,36 @@ object Decontamination {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /**
+   * Contamination ATTRIBUTION: which benchmark document does each
+   * contaminated training document overlap, and by how much — the
+   * audit-trail report a decontamination pass ships alongside the drop
+   * list (so a leak can be traced to the leaking eval item, not just
+   * flagged). One row per (training doc, eval doc) pair sharing at
+   * least `minOverlap` distinct n-gram shingles.
+   *
+   * Scale: same shape as [[overlaps]] — the eval posting list (id +
+   * shingle hash) broadcasts, the corpus side stays a narrow
+   * scan + explode, and only MATCHED postings (≈ contamination volume)
+   * reach the per-pair count aggregate. The output is bounded by
+   * contaminated-docs × eval-docs-they-touch, tiny by construction.
+   */
+  def attributionReport(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val evalPostings = evalDocs
+      .select(col(evalIdCol).as("eval_id"),
+        explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("__sh"))
+      .select(col("eval_id"), xxhash64(col("__sh")).as("sh"))
+      .distinct()
+    docs.select(col(idCol), explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("sh"))
+      .join(broadcast(evalPostings), Seq("sh"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
   /** The clean corpus: documents whose benchmark shingle overlap stays
     * below `minOverlap` (anti-join against [[overlaps]]). */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,

@@ -386,4 +386,41 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (Abbas et al., 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): assign every vector to its nearest centroid, then
+   * compare pairs WITHIN each cluster only — the cluster is the bucket,
+   * so pair generation is cluster-local by definition (that scoping IS
+   * the SemDeDup contract, not an approximation of a global pair scan).
+   *
+   * Scale: centroid assignment is the broadcast argmax of
+   * [[assignNearestCentroid]]; the self-join shuffles the corpus once on
+   * the cluster id; `maxClusterSize` drops (and thereby bounds)
+   * degenerate clusters the same way the LSH operators cap buckets — at
+   * production scale the centroid count grows with the corpus
+   * (k ∝ √n or n/target-cluster-size), keeping clusters small.
+   *
+   * Output: (id_a, id_b, cluster, cosine) with id_a < id_b and
+   * cosine ≥ `threshold`.
+   */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, centIdCol: String, centEmbCol: String,
+      threshold: Double = 0.95, maxClusterSize: Int = 100000): DataFrame = {
+    val assign = assignNearestCentroid(df, idCol, embCol, centroids, centIdCol, centEmbCol)
+      .select(col("id"), col("cluster"))
+    val v = df.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(assign, "id")
+    val okClusters = v.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxClusterSize)
+      .select("cluster")
+    val member = v.join(okClusters, "cluster")
+    member.select(col("cluster"), col("id").as("id_a"), col("__emb").as("__ea"))
+      .join(member.select(col("cluster"), col("id").as("id_b"), col("__emb").as("__eb")), "cluster")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_sim(col("__ea"), col("__eb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cluster", "cosine")
+  }
 }

@@ -157,6 +157,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Per-document perplexity under the corpus's own (unsmoothed) bigram
+   * LM: exp(−avg ln P(w₂|w₁)) over the document's bigrams — the
+   * count-based fluency/outlier signal corpus-filtering pipelines rank
+   * documents by (the cheap stand-in for a trained-LM perplexity
+   * filter). Every document bigram exists in the corpus LM by
+   * construction, so no smoothing is needed; documents with fewer than
+   * two tokens carry no bigrams and are absent from the output.
+   *
+   * Scale: one explode feeds BOTH the LM counts and the per-doc bigram
+   * list; the LM's context totals are a map-side-combined groupBy over
+   * the (tiny) bigram-count table — no window, no second corpus scan;
+   * the score join shuffles on the bigram key, partition-parallel.
+   *
+   * Output: (idCol, n_bigrams, avg_logp, perplexity).
+   */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = df.where(size(Dedup.tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val ctx = counts.groupBy("w1").agg(sum("n").as("ctx_n"))
+    val lm = counts.join(ctx, "w1")
+      .select(col("bigram"), (col("n").cast("double") / col("ctx_n")).as("p"))
+    docBigrams.join(lm, "bigram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(col("p"))).as("__alp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__alp"), 4).as("avg_logp"),
+        round(exp(-col("__alp")), 4).as("perplexity"))
+  }
+
   /** URL pattern shared by [[extractUrls]] and its oracle replica:
     * scheme://host/path with a conservative character class (portable
     * across Java and RE2-style engines). */

@@ -159,4 +159,60 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("cluster")).toMap
     assert(r == Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 0L))
   }
+
+  test("semanticNearDupPairs: pairs form within clusters only, cross-cluster dupes invisible") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), // centroid 0
+      (1L, Array(0.0, 1.0)), // centroid 1
+      (10L, Array(0.9, 0.1)), // cluster 0
+      (11L, Array(0.91, 0.1)), // cluster 0, near-dup of 10
+      (20L, Array(0.1, 0.9)), // cluster 1
+      (21L, Array(0.1, 0.91))) // cluster 1, near-dup of 20
+      .toDF("vec_id", "emb")
+    val cents = vecs.where(col("vec_id") < 2)
+    val pairs = Similarity.semanticNearDupPairs(vecs, "vec_id", "emb",
+        cents, "vec_id", "emb", threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // within-cluster near-dups surface; the 10↔20 style cross-cluster
+    // pairs (cosine ~0.2) never even reach the cosine check
+    assert(pairs.contains((10L, 11L)) && pairs.contains((20L, 21L)), pairs.toString)
+    assert(pairs.forall { case (a, b) => Set(Set(10L, 11L), Set(20L, 21L), Set(0L, 10L), Set(0L, 11L),
+      Set(1L, 20L), Set(1L, 21L)).exists(s => s == Set(a, b)) || a == b }, pairs.toString)
+    // cluster scoping: a planted twin assigned to a DIFFERENT cluster is
+    // by-design invisible (SemDeDup semantics), so no pair crosses clusters
+    val assign = Similarity.assignNearestCentroid(vecs, "vec_id", "emb", cents, "vec_id", "emb")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("cluster")).toMap
+    pairs.foreach { case (a, b) => assert(assign(a) == assign(b), s"cross-cluster pair ($a,$b)") }
+  }
+
+  test("bigramPerplexity: repetitive docs score lower perplexity than unpredictable ones") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"), // every "a"→"b", "b"→"a": P=1 except corpus-level mixing
+      (2L, "a b a c a d a e"), // "a" followed by 4 different words
+      (3L, "single")) // < 2 tokens → absent
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("perplexity"))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L)._1 == 7L && r(2L)._1 == 7L)
+    assert(r(1L)._2 < r(2L)._2, s"repetitive ${r(1L)._2} !< varied ${r(2L)._2}")
+  }
+
+  test("attributionReport: names the leaking eval doc with the shared-shingle count") {
+    val benchmark = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while the sun sets slowly behind distant mountains"
+    val other = "completely different benchmark text about query plans shuffles and " +
+      "codegen stages inside the catalyst optimizer pipeline"
+    val docs = Seq(
+      (1L, benchmark + " with extra trailing words appended"), // leaks eval 100
+      (2L, "clean document about unrelated streaming topics with watermark handling"),
+      (3L, other + " plus more words at the end here")) // leaks eval 200
+      .toDF("doc_id", "text")
+    val evals = Seq((100L, benchmark), (200L, other)).toDF("eval_id", "text")
+    val r = graft.operators.Decontamination.attributionReport(
+        docs, "doc_id", "text", evals, "eval_id", "text", n = 3, minOverlap = 5)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("eval_id"))).toSet
+    assert(r == Set((1L, 100L), (3L, 200L)), r.toString)
+  }
 }
