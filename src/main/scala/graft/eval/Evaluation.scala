@@ -247,12 +247,23 @@ object Evaluation {
       "SELECT COUNT(*) AS agg_value FROM courses c WHERE NOT EXISTS (SELECT 1 FROM scores s WHERE s.course_id = c.course_id)", "anti_join"),
     EvalCase("the second highest score",
       "SELECT DISTINCT score FROM scores ORDER BY score DESC LIMIT 1 OFFSET 1", "nth_value"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-4 open cases, closed in round 5 (scalar-average filter /
+    //     most-joined-count / dimension-side filter template shapes) ---
     EvalCase("scores above the average score",
       "SELECT * FROM scores WHERE score > (SELECT AVG(score) FROM scores) ORDER BY score_id LIMIT 100", "scalar_subquery"),
     EvalCase("student name with the most scores",
       "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY agg_value DESC, st.student_name LIMIT 1", "join_agg_topn"),
     EvalCase("average score per course name in the science dept",
-      "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id WHERE c.dept = 'science' GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_filter_agg"))
+      "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id WHERE c.dept = 'science' GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_filter_agg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who scored above 90 in Biology",
+      "SELECT DISTINCT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
+        "JOIN courses c ON c.course_id = sc.course_id WHERE c.course_name = 'Biology' AND sc.score > 90 " +
+        "ORDER BY st.student_name LIMIT 100", "join3_filter"),
+    EvalCase("number of students who take more than 5 courses",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM scores GROUP BY student_id " +
+        "HAVING COUNT(DISTINCT course_id) > 5) t", "nested_having_count"),
+    EvalCase("highest average score among courses",
+      "SELECT MAX(a) AS agg_value FROM (SELECT AVG(score) AS a FROM scores GROUP BY course_id) t", "agg_of_agg"))
 }

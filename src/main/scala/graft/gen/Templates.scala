@@ -105,6 +105,17 @@ object Templates {
     ordinalWords.get(w).orElse(raw"(\d+)".r.findFirstIn(w).map(_.toInt))
       .map(n => math.max(0, n - 1)).getOrElse(1)
   }
+  // "scores above the average score" — rows compared against a scalar
+  // aggregate of the same column: col OP (SELECT AVG(col) FROM t)
+  private val scalarAvgRe =
+    raw"(?i)\b(above|over|below|under)\s+(?:the\s+)?(?:overall\s+)?(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b".r
+  // "student name with the most scores" — a grouped count (local or
+  // across an FK edge) ranked to its extreme row
+  private val mostRe =
+    raw"(?i)\b([a-z_][a-z0-9_ ]*?)\s+with\s+the\s+(most|fewest|least)\s+([a-z_][a-z0-9_]*)\b".r
+  // "in the science dept" — a categorical equality phrased value-first
+  private val inTheValColRe =
+    raw"(?i)\bin\s+the\s+([A-Za-z0-9+-]+)\s+([a-z_][a-z0-9_]*)\b".r
   // "number of courses that have no scores" — an anti-join count across
   // an FK edge (entity rows with no referencing fact rows)
   private val antiJoinRe =
@@ -236,6 +247,15 @@ object Templates {
     for (m <- withValRe.findAllMatchIn(masked); c <- strongColumn(m.group(2), cols)
          if m.group(1).matches(raw"[A-Z0-9][\w+-]*") && strongColumn(m.group(1), cols).isEmpty)
       put(c, "=", m.group(1))
+    // "in the science dept": value-first categorical equality — the
+    // trailing word must be a strong column and the value must NOT be a
+    // column itself or an ordinal/positional word
+    val inTheMs = inTheValColRe.findAllMatchIn(masked).toSeq
+    for (m <- inTheMs; c <- strongColumn(m.group(2), cols)
+         if strongColumn(m.group(1), cols).isEmpty &&
+           !Set("first", "second", "third", "last", "next", "previous", "same")(m.group(1).toLowerCase))
+      put(c, "=", m.group(1))
+    consume(inTheMs)
     for (m <- eqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
       put(c, "=", m.group(2))
     for (m <- numEqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
@@ -334,6 +354,11 @@ object Templates {
       // because "highest" also fires the MAX aggregation keyword
       val nthM = nthRe.findFirstMatchIn(q)
         .flatMap(m => strongColumn(m.group(3), cols).map(c => (m, c)))
+      // "scores above the average score": rows vs a scalar aggregate —
+      // checked before the intent match because "average" fires the AVG
+      // aggregation keyword, but the question asks for ROWS
+      val scalarAvgM = scalarAvgRe.findFirstMatchIn(q)
+        .flatMap(m => strongColumn(m.group(2), cols).map(c => (m, c)))
       if (nthM.isDefined) {
         val (m, nthCol) = nthM.get
         val off = ordinalOffset(m.group(1))
@@ -341,6 +366,14 @@ object Templates {
         Seq(Candidate(
           s"SELECT DISTINCT $nthCol FROM $t ORDER BY $nthCol $dir LIMIT 1 OFFSET $off",
           conf(0.88, nthCol, m.group(3), needsFit = false), "template_nth"))
+      } else if (scalarAvgM.isDefined) {
+        val (m, c) = scalarAvgM.get
+        val op = if (Set("above", "over")(m.group(1).toLowerCase)) ">" else "<"
+        val orderCol = keyishColumn(t, cols)
+        Seq(Candidate(
+          s"SELECT * FROM $t WHERE $c $op (SELECT AVG($c) FROM $t) " +
+            s"ORDER BY $orderCol LIMIT $DefaultLimit",
+          conf(0.87, c, m.group(2), needsFit = false), "template_scalar_avg"))
       } else if (havingM.isDefined) {
         val (m, aggCol) = havingM.get
         val f = m.group(1).toLowerCase match {
@@ -425,18 +458,31 @@ object Templates {
             .findFirstMatchIn(q).map(_.group(1).trim)
           val countsThisTable =
             countedEntity.exists(p => graft.link.Fuzzy.nameScore(t, p) >= 100)
-          val fullPhrase = strip(q)
+          // value-first filter spans ("in the science dept") are FILTER
+          // signal, not grouping signal — mask them so the dimension
+          // column choice ranks "course name" over the filtered "dept"
+          val fullPhrase = strip(inTheValColRe.replaceAllIn(q, " "))
           val joined = for {
             e <- fks.filter(e => e.fromTable == t && slice.tables.contains(e.toTable)).take(2)
             if (f != "COUNT" || countsThisTable) && filters.isEmpty
             (jCol, s) <- slice.tables(e.toTable).filterNot(_ == e.toColumn)
               .map(c => c -> graft.link.Fuzzy.nameScore(c, fullPhrase)).sortBy(-_._2).headOption
             if s >= 100 && s > graft.link.Fuzzy.nameScore(groupCol, fullPhrase)
-          } yield Candidate(
-            s"SELECT j.$jCol, ${if (f == "COUNT") "COUNT(*)" else s"$f(f.$numericish)"} AS agg_value " +
-              s"FROM $t f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn} " +
-              s"GROUP BY j.$jCol ORDER BY j.$jCol LIMIT $DefaultLimit",
-            conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_join_group")
+          } yield {
+            // filters naming the DIMENSION's columns ("in the science
+            // dept" → courses.dept) attach to the joined side; the
+            // fact-side `filters.isEmpty` guard above stays — unqualified
+            // fact filters would be ambiguous in the join
+            val dimFilters = extractFilters(question,
+              slice.tables(e.toTable).filterNot(_ == e.toColumn).filterNot(_ == jCol))
+            val whereJ =
+              if (dimFilters.isEmpty) "" else dimFilters.map("j." + _).mkString(" WHERE ", " AND ", "")
+            Candidate(
+              s"SELECT j.$jCol, ${if (f == "COUNT") "COUNT(*)" else s"$f(f.$numericish)"} AS agg_value " +
+                s"FROM $t f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn}$whereJ " +
+                s"GROUP BY j.$jCol ORDER BY j.$jCol LIMIT $DefaultLimit",
+              conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_join_group")
+          }
           local +: joined
         case Intent.DistinctIntent =>
           Seq(Candidate(
@@ -483,10 +529,49 @@ object Templates {
         0.9, "template_anti_join")
     }
 
+  /** Extreme-group lookup: "student name with the most scores" → the
+    * grouped COUNT (joined across the FK edge when the entity phrase
+    * names a dimension column, local when it names a fact column) ranked
+    * to its single extreme row. Both nouns must resolve strongly —
+    * generic "X with the most Y" phrasing over unknown nouns yields
+    * nothing. */
+  def mostCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    mostRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).equalsIgnoreCase("most")) "DESC" else "ASC"
+      // the counted noun must name exactly one sliced table
+      val factScored = slice.tables.keySet.toSeq
+        .map(t => t -> graft.link.Fuzzy.nameScore(t, m.group(3)))
+        .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }
+      val factOpt = factScored.headOption.filter { case (_, s) =>
+        factScored.drop(1).headOption.forall(_._2 < s)
+      }.map(_._1)
+      factOpt.toSeq.flatMap { fact =>
+        val entity = m.group(1).trim
+        val joined = for {
+          e <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
+          (jCol, s) <- slice.tables(e.toTable).filterNot(_ == e.toColumn)
+            .map(c => c -> graft.link.Fuzzy.nameScore(c, entity)).sortBy(-_._2).headOption
+          if s >= 100
+        } yield Candidate(
+          s"SELECT j.$jCol, COUNT(*) AS agg_value " +
+            s"FROM $fact f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn} " +
+            s"GROUP BY j.$jCol ORDER BY agg_value $dir, j.$jCol LIMIT 1",
+          0.9, "template_most_join")
+        val local = strongColumn(entity, slice.tables(fact)).map { c =>
+          Candidate(
+            s"SELECT $c, COUNT(*) AS agg_value FROM $fact " +
+              s"GROUP BY $c ORDER BY agg_value $dir, $c LIMIT 1",
+            0.89, "template_most_local")
+        }.toSeq
+        joined ++ local
+      }
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
     (antiJoinCandidates(slice, fks, question) ++
+      mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++
       joinCandidates(slice, fks, question) ++ tableCandidates(slice))
       .sortBy(-_.confidence)

@@ -99,10 +99,15 @@ object Validator {
   /** All base relations referenced by the plan, minus CTE-defined names
     * (sqlglot's find_all(exp.Table) analogue — ref nl2sql.py:292-313). */
   def referencedTables(plan: LogicalPlan): Set[String] = {
-    val cteNames = plan.collect {
+    // collectWithSubqueries descends into plans held by subquery
+    // EXPRESSIONS (ScalarSubquery / InSubquery / Exists) — plain
+    // `collect` visits plan children only, which made
+    // `WHERE x IN (SELECT y FROM forbidden_table)` invisible to the
+    // allow-list (a validation bypass)
+    val cteNames = plan.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
-    plan.collect {
+    plan.collectWithSubqueries {
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
     }.toSet -- cteNames
   }
@@ -132,12 +137,22 @@ object Validator {
   }
 
   private def hasNode(plan: LogicalPlan)(pf: PartialFunction[LogicalPlan, Boolean]): Boolean =
-    plan.collectFirst(pf).getOrElse(false)
+    plan.collectWithSubqueries(pf).headOption.getOrElse(false)
 
-  /** Every expression in every node of the plan (parsed plans keep
-    * aggregates as UnresolvedFunction inside Project until analysis). */
+  /** Every expression in every node of the plan — INCLUDING nodes inside
+    * subquery expressions (parsed plans keep aggregates as
+    * UnresolvedFunction inside Project until analysis; an AVG inside a
+    * scalar subquery must satisfy the aggregation requirement). */
   private def allExpressions(plan: LogicalPlan) =
-    plan.collect { case n => n.expressions }.flatten
+    plan.collectWithSubqueries { case n => n.expressions }.flatten
+
+  /** Any subquery expression (scalar / IN / EXISTS) anywhere in the plan
+    * — a legitimate multi-table linkage for the structure check. */
+  def hasSubquery(plan: LogicalPlan): Boolean =
+    allExpressions(plan).exists(_.find {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+      case _ => false
+    }.isDefined)
 
   private val aggFunctionNames = Set(
     "count", "sum", "avg", "mean", "min", "max", "count_distinct",
@@ -183,7 +198,10 @@ object Validator {
    */
   def validateStructure(plan: LogicalPlan, wantsDistinct: Boolean): Either[EngineError, Unit] = {
     val tables = referencedTables(plan)
-    if (tables.size > 1 && !hasJoin(plan) && !hasSetOp(plan))
+    // a subquery predicate (IN / EXISTS / scalar) IS the linkage between
+    // tables — now that referencedTables sees through subqueries, the
+    // anti-join and semi-join shapes must not demand a literal JOIN
+    if (tables.size > 1 && !hasJoin(plan) && !hasSetOp(plan) && !hasSubquery(plan))
       Left(SqlSafetyError(s"Query references ${tables.size} tables but has no JOIN"))
     else if (wantsDistinct && !hasDistinct(plan) && !hasAggregate(plan))
       Left(SqlSafetyError("Question asks for unique values but SQL has no DISTINCT"))

@@ -180,4 +180,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || "HashAggregate".r.findAllIn(p).size >= 2,
       "expect partial + final aggregation: " + p.take(1500))
   }
+
+  test("SemDeDup: centroids broadcast; pair generation never cartesian (x_semdedup)") {
+    val p = plan("x_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the centroid fan-out must be a broadcast cross join: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must join on the cluster key, never all-pairs: " + p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("bigram perplexity: no global window; LM and score joins are keyed (x_perplexity)") {
+    val p = plan("x_perplexity")
+    assert(!p.contains("Window"),
+      "context totals must be a groupBy + join, not a window: " + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("contamination attribution broadcasts the eval postings (x_decontam_report)") {
+    val p = plan("x_decontam_report")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval posting list must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

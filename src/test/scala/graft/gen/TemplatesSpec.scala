@@ -114,4 +114,33 @@ class TemplatesSpec extends AnyFunSuite {
     val tenth = cands("10th lowest age").find(_.method == "template_nth").get
     assert(tenth.sql.contains("age ASC LIMIT 1 OFFSET 9"), tenth.sql)
   }
+
+  test("scalar-average filter: rows compared against the column's own average") {
+    val c = cands("scores above the average score").find(_.method == "template_scalar_avg").get
+    assert(c.sql.contains("WHERE score > (SELECT AVG(score) FROM scores)"), c.sql)
+    assert(c.sql.contains("ORDER BY score_id"), c.sql)
+    val below = cands("students below the average age").find(_.method == "template_scalar_avg").get
+    assert(below.sql.contains("WHERE age < (SELECT AVG(age) FROM students)"), below.sql)
+    // a plain average question stays an aggregate, never a row filter
+    assert(cands("average score per course_id").forall(_.method != "template_scalar_avg"))
+  }
+
+  test("most/fewest: extreme grouped count, joined when the entity names a dimension column") {
+    val c = cands("student name with the most scores")
+    val most = c.find(_.method == "template_most_join").get
+    assert(most.sql.contains("GROUP BY j.student_name"), most.sql)
+    assert(most.sql.contains("ORDER BY agg_value DESC, j.student_name LIMIT 1"), most.sql)
+    assert(c.head.method.startsWith("template_most"), c.head) // outranks generic shapes
+    val fewest = cands("course_id with the fewest scores").find(_.method == "template_most_local").get
+    assert(fewest.sql.contains("GROUP BY course_id ORDER BY agg_value ASC"), fewest.sql)
+    // unknown nouns never fabricate a candidate
+    assert(cands("widget with the most gadgets").forall(!_.method.startsWith("template_most")))
+  }
+
+  test("joined grouped AVG attaches dimension-side filters from the question") {
+    val c = cands("average score per course name in the science dept")
+      .find(_.method == "template_join_group").get
+    assert(c.sql.contains("WHERE j.dept = 'science'"), c.sql)
+    assert(c.sql.contains("GROUP BY j.course_name"), c.sql)
+  }
 }

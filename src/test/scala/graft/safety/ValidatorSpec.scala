@@ -44,6 +44,33 @@ class ValidatorSpec extends SparkSpec {
     assert(Validator.validate(spark, cte, allowed).isRight)
   }
 
+  test("allow-list sees through subquery expressions — no bypass via IN/EXISTS/scalar") {
+    Seq(
+      "SELECT * FROM customer WHERE c_custkey IN (SELECT k FROM secrets)",
+      "SELECT * FROM customer WHERE EXISTS (SELECT 1 FROM secrets)",
+      "SELECT * FROM customer WHERE c_acctbal > (SELECT MAX(v) FROM secrets)",
+      // nested one level deeper
+      "SELECT * FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderkey IN (SELECT k FROM secrets))"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft && r.swap.toOption.get.message.contains("secrets"), sql)
+    }
+  }
+
+  test("aggregation requirement satisfied by an aggregate inside a scalar subquery") {
+    val p = Validator.parse(spark,
+      "SELECT * FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)").toOption.get
+    assert(Validator.validateAggregationRequirement(p, needsAggregation = true).isRight)
+  }
+
+  test("structure check: subquery predicates count as the multi-table linkage") {
+    val exists = Validator.parse(spark,
+      "SELECT COUNT(*) FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)").toOption.get
+    assert(Validator.validateStructure(exists, wantsDistinct = false).isRight)
+  }
+
   test("limit detection: needsLimit false iff top-level LIMIT present") {
     assert(Validator.validate(spark, "SELECT * FROM customer", allowed).toOption.get.needsLimit)
     assert(!Validator.validate(spark, "SELECT * FROM customer LIMIT 10", allowed).toOption.get.needsLimit)

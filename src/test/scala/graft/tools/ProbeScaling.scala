@@ -15,16 +15,28 @@ object ProbeScaling {
       "x_repetition", "x_source_mix", "x_split", "x_curate",
       // round-4b operators
       "x_span_dup", "x_tfidf_top", "x_bigram_lm", "x_url_extract",
-      "x_percentiles", "x_cluster_assign")
+      "x_percentiles", "x_cluster_assign",
+      // round-5 operators
+      "x_semdedup", "x_perplexity", "x_decontam_report")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
     val results = for (q <- queries) yield {
       val times = for ((sf, _) <- sfs) yield {
         val dir = s"/root/testdata/$sf"
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        // min of 2 runs: a 27-query × 3-sf session accumulates JIT
+        // recompiles and GC pauses that can inflate a single sample 10×
+        // (an isolated session re-times the same query at 1/20th); the
+        // exponent should measure the operator, not the session noise
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // release operator-internal persists (same leak Bench clears) so
+        // late queries don't measure earlier queries' eviction churn
+        spark.catalog.clearCache()
+        t
       }
       // log-log slope between sf0.01 and sf0.1 (10x data)
       val slope = math.log(times(2) / times(1)) / math.log(10.0)
