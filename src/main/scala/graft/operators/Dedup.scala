@@ -162,19 +162,29 @@ object Dedup {
    * B≈C but A and C never formed a pair ("keep one per group" instead of
    * pairwise loser-dropping).
    *
-   * Distributed min-label propagation: every node starts as its own
-   * label; each round joins labels across edges and keeps the minimum
-   * (the simplified form of the large-star/small-star CC algorithm,
-   * Kiveris et al., "Connected components in MapReduce and beyond",
-   * SoCC 2014). Rounds ≈ component diameter — near-dup clusters are
-   * shallow (stars around a template), so this converges in 2–4 rounds;
-   * `maxIter` bounds pathological chains. Each round is one shuffle of
-   * the EDGE list (≪ corpus); each round's label frame is
-   * `localCheckpoint`ed — iterative self-joins otherwise stack every
-   * previous round into one exponentially-growing logical plan (on a
-   * multi-node cluster, swap for `checkpoint()` on reliable storage).
+   * SIZE-ADAPTIVE strategy (same rationale as the driver-side IVF
+   * centroids): the near-dup edge list is ≈ dup-rate × corpus, usually
+   * orders of magnitude smaller than the corpus itself.
+   *
+   *  - Integral-id graphs at or below `smallGraphThreshold` edges
+   *    collect to the driver (bounded: 2M edges ≈ 32 MB) and resolve
+   *    with union-find in milliseconds — the iterative path pays
+   *    several shuffle rounds of scheduler latency for the same answer.
+   *  - Larger (or non-integral-id) graphs run distributed min-label
+   *    propagation: every node starts as its own label; each round
+   *    joins labels across edges and keeps the minimum (the simplified
+   *    form of the large-star/small-star CC algorithm, Kiveris et al.,
+   *    "Connected components in MapReduce and beyond", SoCC 2014).
+   *    Rounds ≈ component diameter — near-dup clusters are shallow
+   *    (stars around a template), so this converges in 2–4 rounds;
+   *    `maxIter` bounds pathological chains. Each round is one shuffle
+   *    of the EDGE list (≪ corpus); each round's label frame is
+   *    `localCheckpoint`ed — iterative self-joins otherwise stack every
+   *    previous round into one exponentially-growing logical plan (on a
+   *    multi-node cluster, swap for `checkpoint()` on reliable storage).
    */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphThreshold: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both directions via one explode — a self-union would evaluate the
     // (possibly expensive) pair pipeline twice before the persist lands
@@ -183,13 +193,57 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // size-aware parallelism: the near-dup edge list is usually orders of
-    // magnitude smaller than the corpus (dup rate × corpus), so iterating
-    // at the session's full shuffle width pays per-round scheduler cost
-    // for nothing — one partition per ~500k edges, capped by the session
-    // default for genuinely huge graphs
     val nEdges = rawEdges.count()
-    val defaultParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val idType = pairs.schema("id_a").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val result =
+      if (integralIds && nEdges <= smallGraphThreshold)
+        unionFindGroups(rawEdges, idType)
+      else distributedGroups(rawEdges, nEdges, maxIter)
+    rawEdges.unpersist(blocking = false)
+    result
+  }
+
+  /** Driver-side component labeling for small integral-id graphs:
+    * union-find with path compression, then min-id per component. */
+  private def unionFindGroups(
+      rawEdges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = rawEdges.sparkSession
+    import spark.implicits._
+    val arr = rawEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    arr.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are already component minima (unions always point the larger
+    // root at the smaller), so find(x) IS the min-id label
+    val rows = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
+    rows.toDF("id", "group_id")
+      .select(col("id").cast(idType).as("id"), col("group_id").cast(idType).as("group_id"))
+  }
+
+  /** Distributed min-label propagation (see [[duplicateGroups]] doc). */
+  private def distributedGroups(rawEdges: DataFrame, nEdges: Long, maxIter: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // size-aware parallelism: iterating at the session's full shuffle
+    // width pays per-round scheduler cost for nothing — one partition
+    // per ~500k edges, capped by the session default for huge graphs
+    val defaultParts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(defaultParts.toLong, nEdges / 500000L + 1L)).toInt
     val edges = rawEdges.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -215,7 +269,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    rawEdges.unpersist(blocking = false)
     labels.select(col("id"), col("group_id"))
   }
 

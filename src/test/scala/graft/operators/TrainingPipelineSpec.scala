@@ -9,18 +9,28 @@ import org.apache.spark.sql.functions._
 class TrainingPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("duplicateGroups: transitive chain collapses to the component minimum") {
+  test("duplicateGroups: transitive chain collapses to the component minimum (both strategies)") {
     // A(1)-B(2), B(2)-C(3) but never A-C; separate pair D(10)-E(11)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val groups = Dedup.duplicateGroups(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // default: small integral-id graph → driver-side union-find
+    val uf = Dedup.duplicateGroups(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(uf == expected)
+    // threshold 0 forces the distributed min-label path — same answer
+    val dist = Dedup.duplicateGroups(pairs, smallGraphThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
-  test("duplicateGroups: long chain needs multiple propagation rounds") {
+  test("duplicateGroups: long chain needs multiple propagation rounds (distributed path)") {
     val chain = (1L until 10L).map(i => (i, i + 1))
-    val groups = Dedup.duplicateGroups(chain.toDF("id_a", "id_b")).collect()
+    val groups = Dedup.duplicateGroups(chain.toDF("id_a", "id_b"), smallGraphThreshold = 0L)
+      .collect()
     assert(groups.forall(_.getLong(1) == 1L), groups.mkString(","))
+    // and the union-find path agrees on the same chain
+    val uf = Dedup.duplicateGroups(chain.toDF("id_a", "id_b")).collect()
+    assert(uf.forall(_.getLong(1) == 1L), uf.mkString(","))
   }
 
   test("decontamination flags docs overlapping the eval set and keeps the rest") {
