@@ -384,6 +384,23 @@ object Queries {
         "SELECT doc_id, stratum FROM s WHERE (doc_id * 2654435761) % 1000 < " +
         "CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END " +
         "ORDER BY doc_id LIMIT 2000"),
+    // per-row weighted sampling: hash per-mille under floor(weight*1000),
+    // weight = min(n_tokens/200, 1) — double arithmetic is identical on
+    // both engines; FLOOR mirrors Spark's truncating cast
+    "x_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents) " +
+        "SELECT doc_id FROM t WHERE (doc_id * 2654435761) % 1000 < " +
+        "CAST(FLOOR(LEAST(GREATEST(CAST(n_tokens AS DOUBLE) / 200.0, 0.0), 1.0) * 1000) AS BIGINT) " +
+        "ORDER BY doc_id LIMIT 2000"),
+    // length-bucketed batching: 32-token bands, row_number within band
+    // ordered by (n_tokens, doc_id), batches of 8; `//` mirrors Spark's
+    // floored integer division
+    "x_len_batches" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents), " +
+        "b AS (SELECT doc_id, n_tokens, CAST(n_tokens // 32 AS INT) AS bucket FROM t), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b) " +
+        "SELECT doc_id, n_tokens, bucket, CAST(bucket AS BIGINT) * 1000000000 + ((rn - 1) // 8) AS batch_id " +
+        "FROM r ORDER BY doc_id LIMIT 500"),
     // text normalization over deterministically-dirtied text (every 5th
     // doc gains control chars + ragged whitespace); 'g' flag mirrors
     // Spark's replace-all
@@ -721,6 +738,17 @@ object ExtensionQueries {
       graft.operators.Sampling.split(docs(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)),
+    // per-row weighted sampling: keep probability = min(n_tokens/200, 1)
+    "x_weighted_sample" -> ((s, dir) => {
+      val w = TextAnalysis.tokenCount(col("text")).cast("double") / lit(200.0)
+      graft.operators.Sampling.weightedSample(docs(s, dir), "doc_id", w)
+        .select(col("doc_id")).orderBy("doc_id").limit(2000)
+    }),
+    // length-bucketed inference batching (32-token bands, batches of 8)
+    "x_len_batches" -> ((s, dir) =>
+      graft.operators.Sampling.lengthBatches(docs(s, dir), "doc_id", "text",
+        bucketWidth = 32, batchSize = 8)
+        .orderBy("doc_id").limit(500)),
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),

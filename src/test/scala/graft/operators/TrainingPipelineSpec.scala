@@ -33,6 +33,35 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(uf.forall(_.getLong(1) == 1L), uf.mkString(","))
   }
 
+  test("weightedSample: per-row keep probability, deterministic, clamped") {
+    val df = (1L to 2000L).map(i => (i, i.toDouble / 1000.0)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", col("w")).select("id").as[Long].collect().toSet
+    // reproducible across partitionings
+    val kept2 = Sampling.weightedSample(df.repartition(7), "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == kept2)
+    // weight >= 1 always keeps; weight 0 never keeps
+    val extremes = Seq((1L, 0.0), (2L, 1.0), (3L, 5.0), (4L, -2.0)).toDF("id", "w")
+    val e = Sampling.weightedSample(extremes, "id", col("w")).select("id").as[Long].collect().toSet
+    assert(e.contains(2L) && e.contains(3L) && !e.contains(1L) && !e.contains(4L), e.toString)
+    // aggregate rate tracks the mean weight (≈ 0.75 for ramp to 2.0 clamped)
+    val rate = kept.size.toDouble / 2000
+    assert(rate > 0.65 && rate < 0.85, rate.toString)
+  }
+
+  test("lengthBatches: batches stay within one token band and at most batchSize") {
+    val docs = (1L to 50L).map(i => (i, ("w " * (i % 40 + 1).toInt).trim)).toDF("doc_id", "text")
+    val r = Sampling.lengthBatches(docs, "doc_id", "text", bucketWidth = 8, batchSize = 4).collect()
+    val byBatch = r.groupBy(_.getAs[Long]("batch_id"))
+    byBatch.foreach { case (b, rows) =>
+      assert(rows.length <= 4, s"batch $b has ${rows.length} rows")
+      assert(rows.map(_.getAs[Int]("bucket")).distinct.length == 1, s"batch $b spans buckets")
+      val spread = rows.map(_.getAs[Int]("n_tokens"))
+      assert(spread.max - spread.min < 8, s"batch $b token spread ${spread.min}..${spread.max}")
+    }
+    assert(r.length == 50) // every doc lands in exactly one batch
+  }
+
   test("decontamination flags docs overlapping the eval set and keeps the rest") {
     val evalDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
     val docs = Seq(
