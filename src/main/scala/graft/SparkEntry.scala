@@ -158,6 +158,16 @@ object Queries {
 
   /** Dialect-specific oracles for extension operators whose Spark side is
     * DataFrame code (names must match the Spark result's columns). */
+  private val decontamOracle: String =
+    "WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
+      "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0), " +
+      "contaminated AS (SELECT p.doc_id FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) p " +
+      "JOIN ev USING (shingle) GROUP BY p.doc_id HAVING COUNT(*) >= 5) " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) " +
+      "ORDER BY doc_id LIMIT 2000"
+
   val extensionOracles: Map[String, String] = Map(
     // W2: k-bounded global rank. The Spark side is RankLimit.globalRankTopK
     // (TakeOrderedAndProject + positional rank — NO single-partition
@@ -196,6 +206,52 @@ object Queries {
         "SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
         "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value " +
         "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start LIMIT 100"),
+    // char-distribution signals: DuckDB's entropy() aggregate is the same
+    // log2 Shannon entropy the one-pass CharDistribution expression
+    // computes (verified to 4 dp; text is single-code-unit ASCII so the
+    // per-character split units agree)
+    "x_entropy" ->
+      ("SELECT doc_id, round(entropy(c), 4) AS char_entropy, " +
+        "count(DISTINCT c) AS n_distinct_chars " +
+        "FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) " +
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
+    // per-host URL stats over the x_url_extract augmentation
+    "x_host_stats" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
+        "'.example.org/p/' || doc_id || ' and http://cdn' || (doc_id % 7) || '.example.net' ELSE text END AS text FROM documents), " +
+        s"u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlPattern}')) AS url FROM aug) " +
+        "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, COUNT(*) AS n_urls, " +
+        "COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM u " +
+        "GROUP BY host ORDER BY host LIMIT 100"),
+    // int8 symmetric quantization: scale = max|x|/127, codes = round(x/scale)
+    // clamped; qnorm is an exact integer, rmse the reconstruction error
+    "x_embed_quantize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e), " +
+        "q AS (SELECT vec_id, scale, emb, list_transform(emb, x -> CASE WHEN scale = 0 THEN 0 " +
+        "ELSE greatest(-127, least(127, CAST(round(x / scale) AS INT))) END) AS qe FROM s) " +
+        "SELECT vec_id, round(scale, 6) AS scale, " +
+        "CAST(list_sum(list_transform(qe, x -> CAST(x * x AS BIGINT))) AS BIGINT) AS qnorm, " +
+        "round(sqrt(list_sum(list_transform(list_zip(emb, qe), p -> " +
+        "(p[1] - p[2] * scale) * (p[1] - p[2] * scale))) / len(emb)), 6) AS rmse " +
+        "FROM q ORDER BY vec_id LIMIT 2000"),
+    // quantized-cosine top-10: per-vector scales cancel, so cosine over the
+    // INT codes is the quantized ranking on both engines
+    "x_quantized_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id, list_transform(emb, x -> CASE WHEN list_max(list_transform(emb, y -> abs(y))) = 0 THEN 0.0 " +
+        "ELSE CAST(greatest(-127, least(127, CAST(round(x / (list_max(list_transform(emb, y -> abs(y))) / 127.0)) AS INT))) AS DOUBLE) END) AS qe FROM e) " +
+        "SELECT a.vec_id, round(CAST(list_cosine_similarity(a.qe, " +
+        "(SELECT qe FROM q WHERE vec_id = 0)) AS DOUBLE), 4) AS qcosine " +
+        "FROM q a ORDER BY qcosine DESC, vec_id LIMIT 10"),
+    // deterministic +-1 random projection: proj[j] = sum_i emb[i] *
+    // sign(sin(i*12.9898 + j*78.233)), i and j 1-based on both engines
+    "x_rand_proj" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 50), " +
+        "u AS (SELECT vec_id, emb[CAST(i AS INT)] AS x, i FROM e CROSS JOIN range(1, 65) t(i)), " +
+        "p AS (SELECT vec_id, CAST(j AS INT) AS dim, SUM(x * CASE WHEN sin(i * 12.9898 + j * 78.233) > 0 " +
+        "THEN 1.0 ELSE -1.0 END) AS v FROM u CROSS JOIN range(1, 9) s(j) GROUP BY vec_id, j) " +
+        "SELECT vec_id, dim, round(v, 4) AS value FROM p ORDER BY vec_id, dim LIMIT 500"),
     "x_asof_purchase" ->
       ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
         "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
@@ -349,15 +405,11 @@ object Queries {
     // benchmark decontamination: docs sharing >= 5 distinct 3-gram
     // shingles with the pseudo-benchmark (doc_id % 97 = 0) drop; the
     // Spark side broadcast-joins the benchmark shingle set
-    "x_decontam" ->
-      ("WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM words), " +
-        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0), " +
-        "contaminated AS (SELECT p.doc_id FROM (SELECT doc_id, unnest(s) AS shingle FROM sh) p " +
-        "JOIN ev USING (shingle) GROUP BY p.doc_id HAVING COUNT(*) >= 5) " +
-        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) " +
-        "ORDER BY doc_id LIMIT 2000"),
+    "x_decontam" -> decontamOracle,
+    // the Bloom-screened variant carries an EXACT-EQUALITY contract with
+    // the direct operator (screen is superset-safe, verify is exact), so
+    // the same oracle must hash-match both
+    "x_bloom_decontam" -> decontamOracle,
     // PII redaction on deterministically-augmented text (every 7th doc
     // gains an e-mail, a phone and an IP) — counts + the redacted text
     // must match; DuckDB regexp_replace needs the 'g' flag to mirror
@@ -962,6 +1014,55 @@ object ExtensionQueries {
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start").limit(100)
+    }),
+    // --- character-distribution quality signals (one-pass codegen'd
+    // expression; the oracle replicates it as explode-per-char + entropy()) ---
+    "x_entropy" -> ((s, dir) =>
+      TextAnalysis.charDistribution(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id").limit(100)),
+    // per-host URL stats (C4-style domain filtering feed) over the same
+    // deterministic augmentation as x_url_extract
+    "x_host_stats" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" see https://www.site"), col("doc_id") % 20,
+            lit(".example.org/p/"), col("doc_id"), lit(" and http://cdn"),
+            col("doc_id") % 7, lit(".example.net")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.hostStats(aug, "doc_id", "text")
+        .orderBy("host").limit(100)
+    }),
+    // --- embedding compression (int8 quantization + random projection) ---
+    "x_embed_quantize" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      graft.operators.Quantization.quantizeInt8(e, "vec_id", "emb")
+        .orderBy("vec_id").limit(2000)
+    }),
+    // quantized-cosine top-10 against vec 0: per-vector scales cancel in
+    // cosine, so the ranking runs on integer codes (8x smaller index)
+    "x_quantized_topk" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") === 0).select("emb")
+        .collect()(0).getSeq[Double](0).toArray
+      graft.operators.Quantization.quantizedTopK(e, "vec_id", "emb", q, k = 10)
+    }),
+    // deterministic +-1 random projection (JL) of the first 50 vectors to
+    // 8 dims; the trig-hash sign pattern keeps the matrix oracle-computable
+    "x_rand_proj" -> ((s, dir) => {
+      val e = embs(s, dir).where(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      graft.operators.Quantization.randomProject(e, "vec_id", "emb", outDim = 8)
+        .orderBy("vec_id", "dim").limit(500)
+    }),
+    // Bloom-screened decontamination: must equal x_decontam exactly (the
+    // Bloom count upper-bounds the true overlap, so the screen has no
+    // false negatives and the exact verify runs on candidates only)
+    "x_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 97 === 0)
+      graft.operators.Decontamination.decontaminateBloom(
+        d, "doc_id", "text", evalSet, "text", n = 3, minOverlap = 5)
+        .select(col("doc_id")).orderBy("doc_id").limit(2000)
     }),
     // --- streaming-shaped (batch view of the events table) ---
     "x_events_hourly" -> ((s, dir) => {

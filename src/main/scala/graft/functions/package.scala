@@ -45,6 +45,9 @@ package object functions {
   def array_top_count(arr: Column): Column =
     column(ArrayTopCount(expression(arr)))
 
+  def char_distribution(text: Column): Column =
+    column(CharDistribution(expression(text)))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

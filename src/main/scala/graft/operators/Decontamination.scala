@@ -76,4 +76,44 @@ object Decontamination {
       overlaps(docs, idCol, textCol, evalDocs, evalTextCol, n, minOverlap)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /**
+   * Bloom-screened decontamination — SAME RESULT as [[decontaminate]]
+   * (the oracle contract), different 100 TB cost profile. A Bloom filter
+   * over the eval shingle hashes (~1.2 bytes/element at 1% fpp vs 8-byte
+   * longs in a hash set — ~7× smaller broadcast) screens every corpus
+   * document with a row-local array probe: docs whose BLOOM-positive
+   * shingle count stays below `minOverlap` are provably clean (the Bloom
+   * count is an upper bound on the true overlap — no false negatives),
+   * and only the candidate superset (≈ contamination volume + fpp tail)
+   * re-runs the exact posting-list verify. The corpus-wide pass is thus
+   * a narrow scan with NO explode and NO shuffle; the explode +
+   * broadcast-join of [[overlaps]] touches candidates only.
+   *
+   * The Bloom probe is a Scala UDF (Spark's `util.sketch.BloomFilter`
+   * has no public Catalyst expression surface): acceptable here because
+   * it's a row-local screen on an already-computed hash array, outside
+   * the grouping/join hot path.
+   */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5, fpp: Double = 0.01): DataFrame = {
+    def shingleHashes(df: DataFrame, text: String) =
+      df.select(explode(array_distinct(Dedup.shingles(col(text), n))).as("__sh"))
+        .select(xxhash64(col("__sh")).as("sh"))
+    val evalShingles = shingleHashes(evalDocs, evalTextCol).distinct()
+    val bloom = evalShingles.stat.bloomFilter(
+      "sh", math.max(evalShingles.count(), 1L), fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val bloomHits = udf { hs: Seq[Long] =>
+      if (hs == null) 0 else { val b = bc.value; hs.count(b.mightContainLong) }
+    }
+    val hashes = transform(array_distinct(Dedup.shingles(col(textCol), n)),
+      s => xxhash64(s))
+    val candidates = docs.where(bloomHits(hashes) >= minOverlap)
+    val contaminated =
+      overlaps(candidates, idCol, textCol, evalDocs, evalTextCol, n, minOverlap)
+        .select(idCol)
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding compression for similarity search at corpus scale: symmetric
+ * int8 quantization (the standard serving-index trick — 4× smaller than
+ * float32, 8× smaller than the double arrays Spark materializes) and
+ * deterministic signed random projection (Johnson–Lindenstrauss
+ * dimensionality reduction, Achlioptas "Database-friendly random
+ * projections", 2001 — ±1 entries suffice).
+ *
+ * Scale rationale (100 TB, ~10^10 vectors): the ANN candidate index
+ * (IVF lists / LSH buckets) should hold QUANTIZED codes — int8 codes for
+ * a 64-dim corpus are 64 B/vector instead of 512 B, so a 10^10-vector
+ * index drops from 5 TB to 640 GB and each probe reads 8× fewer shuffle
+ * bytes. Per-vector scales cancel inside cosine, so candidate ranking on
+ * the int8 codes needs no dequantization at all; only the final exact
+ * re-rank (top-k·4 candidates, tiny) touches float vectors.
+ *
+ * Everything here is built-in-function composition (`transform`,
+ * `aggregate`, `array_max`) — whole-stage-codegen'd, no UDFs — and the
+ * arithmetic is replicated exactly by the DuckDB oracles (list_transform
+ * / list_sum), which is what makes the operators hash-verifiable.
+ */
+object Quantization {
+
+  /** Per-vector symmetric int8 scale: max|x| / 127 (so the largest
+    * component maps to ±127 exactly). Zero vectors get scale 0 and
+    * quantize to all-zeros (guarded division). */
+  def int8Scale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x))) / lit(127.0)
+
+  /** Quantized codes: round(x/scale) clamped to [-127, 127], as
+    * array<int>. HALF_UP rounding matches DuckDB's ties-away-from-zero
+    * `round()`. */
+  def int8Codes(emb: Column, scale: Column): Column =
+    transform(emb, x =>
+      when(scale === 0d, lit(0))
+        .otherwise(greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
+
+  /**
+   * Quantization report: scale, integer code norm (exact — the
+   * hash-stable part of the contract) and reconstruction RMSE per
+   * vector. Narrow projection over the embedding scan; nothing
+   * shuffles.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = col(embCol)
+    val scale = int8Scale(e)
+    val q = int8Codes(e, scale)
+    val dim = size(e)
+    val err2 = aggregate(
+      zip_with(e, q, (x, c) => (x - c.cast("double") * scale) * (x - c.cast("double") * scale)),
+      lit(0.0), (acc, v) => acc + v)
+    df.select(
+      col(idCol),
+      round(scale, 6).as("scale"),
+      aggregate(q, lit(0L), (acc, c) => acc + (c * c).cast("long")).as("qnorm"),
+      round(sqrt(err2 / dim), 6).as("rmse"))
+  }
+
+  /**
+   * Exact top-k cosine ranking over the QUANTIZED codes: per-vector
+   * scales cancel in cosine, so ranking int8 codes against the int8
+   * query needs only integer dot products (8× less data movement than
+   * the float path at the same plan shape: scan → project →
+   * TakeOrderedAndProject, no shuffle). The small accuracy loss vs
+   * float cosine is the quantization trade; [[quantizeInt8]] reports it.
+   */
+  def quantizedTopK(df: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val qscale = query.map(math.abs).max / 127.0
+    // ties round away from zero, same as round()/DuckDB round on doubles
+    def halfUp(v: Double): Long =
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    val qcodes = query.map { x =>
+      if (qscale == 0) 0d
+      else math.max(-127L, math.min(127L, halfUp(x / qscale))).toDouble
+    }
+    val qlit = array(qcodes.map(lit): _*)
+    val e = col(embCol)
+    val codes = int8Codes(e, int8Scale(e)).cast("array<double>")
+    df.select(col(idCol), round(graft.functions.cosine_sim(codes, qlit), 4).as("qcosine"))
+      .where(col("qcosine").isNotNull)
+      .orderBy(col("qcosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Deterministic ±1 random projection to `outDim` dimensions:
+   * `proj[j] = Σ_i emb[i] · sign(sin(i·12.9898 + j·78.233))` with i, j
+   * 1-based. The trig-hash sign pattern is seedless and engine-portable
+   * (both JVM and DuckDB `sin` are correctly-rounded libm within 1 ulp;
+   * the sign only disagrees on |sin| below ulp — measure-zero), which
+   * keeps the operator ORACLE-CHECKABLE, unlike an RNG-generated
+   * projection matrix. Left-fold accumulation via `aggregate` keeps
+   * summation order deterministic.
+   *
+   * Scale: one narrow projection per row — the projection matrix is
+   * never materialized (regenerated from (i, j) inside codegen), so
+   * nothing broadcasts and nothing shuffles; output is outDim/dim of
+   * the input bytes.
+   */
+  def randomProject(df: DataFrame, idCol: String, embCol: String, outDim: Int): DataFrame = {
+    val e = col(embCol)
+    val projections = (1 to outDim).map { j =>
+      val dot = aggregate(
+        zip_with(e, sequence(lit(1), size(e)), (x, i) =>
+          x * when(sin(i.cast("double") * lit(12.9898) + lit(j * 78.233)) > 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      struct(lit(j).as("dim"), round(dot, 4).as("value"))
+    }
+    df.select(col(idCol), explode(array(projections: _*)).as("p"))
+      .select(col(idCol), col("p.dim").as("dim"), col("p.value").as("value"))
+  }
+}

@@ -244,6 +244,37 @@ object TextAnalysis {
         .as("top_bigram_frac"))
   }
 
+  /**
+   * Per-host link statistics over the extracted URL stream — the
+   * domain-blocklist / URL-filtering feed of a web-corpus pipeline (the
+   * C4/RefinedWeb curation step that drops or caps over-represented
+   * hosts). One groupBy on the host key over [[extractUrls]]'s narrow
+   * explode: output cardinality is the distinct-host count, and the
+   * aggregate is map-side-combined, so the shuffle carries hosts, not
+   * links.
+   */
+  def hostStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(df, idCol, textCol)
+      .groupBy(col("domain").as("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+
+  /**
+   * Character-distribution quality signals: Shannon entropy (bits/char)
+   * and distinct code-point count per document — near-zero entropy flags
+   * `aaaa…` spam, abnormally high entropy flags base64/binary spew.
+   * Single-pass custom expression ([[graft.functions.CharDistribution]])
+   * inside the scan's codegen span; the explode-per-character + groupBy
+   * equivalent (what the DuckDB oracle runs) would shuffle corpus-length
+   * × avg-doc-chars rows at scale.
+   */
+  def charDistribution(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), graft.functions.char_distribution(col(textCol)).as("__cd"))
+      .select(col(idCol),
+        round(col("__cd.char_entropy"), 4).as("char_entropy"),
+        col("__cd.n_distinct_chars").as("n_distinct_chars"))
+
   /** Full per-document analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation additions: Bloom-screened decontamination,
+  * char-distribution quality signals, per-host URL stats. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = {
+    graft.sources.Sources.register(spark, sfDir)
+    spark.table("documents")
+  }
+
+  test("bloom decontamination equals the exact operator (screen has no false negatives)") {
+    val evalSet = docs.where($"doc_id" % 97 === 0)
+    val exact = Decontamination.decontaminate(docs, "doc_id", "text", evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Decontamination.decontaminateBloom(docs, "doc_id", "text", evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    // and something was actually dropped (the eval docs contaminate themselves)
+    assert(exact.size < docs.count())
+  }
+
+  test("bloom decontamination with aggressive fpp still exact (verify pass bounds it)") {
+    val evalSet = docs.where($"doc_id" % 97 === 0)
+    val exact = Decontamination.decontaminate(docs, "doc_id", "text", evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Decontamination.decontaminateBloom(docs, "doc_id", "text", evalSet, "text",
+        fpp = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+  }
+
+  test("char distribution: entropy matches a hand computation, handles edge cases") {
+    val df = Seq(
+      (1L, "aaaa"),        // zero entropy
+      (2L, "abab"),        // 1 bit/char
+      (3L, ""),            // empty → (0.0, 0)
+      (4L, "abcd")         // 2 bits/char
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charDistribution(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 0.0 && out(0).getInt(2) == 1)
+    assert(out(1).getDouble(1) == 1.0 && out(1).getInt(2) == 2)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getInt(2) == 0)
+    assert(out(3).getDouble(1) == 2.0 && out(3).getInt(2) == 4)
+  }
+
+  test("char distribution counts code points (surrogate pair = one char)") {
+    val df = Seq((1L, "😀😀")).toDF("doc_id", "text") // 😀😀
+    val out = TextAnalysis.charDistribution(df, "doc_id", "text").collect()(0)
+    assert(out.getDouble(1) == 0.0) // one distinct code point, twice
+    assert(out.getInt(2) == 1)
+  }
+
+  test("char distribution survives codegen in a filter context") {
+    val filtered = TextAnalysis.charDistribution(docs, "doc_id", "text")
+      .where($"char_entropy" > 3.0)
+    assert(filtered.count() > 0)
+    // the "*(n)" prefix marks operators inside a whole-stage-codegen stage
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter"), plan)
+  }
+
+  test("host stats aggregates the url explode by host") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and https://a.example.com/y"),
+      (2L, "see https://a.example.com/z plus https://b.example.org"),
+      (3L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hostStats(df, "doc_id", "text")
+      .orderBy("host").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a.example.com" &&
+      out(0).getLong(1) == 3 && out(0).getLong(2) == 2 && out(0).getLong(3) == 1)
+    assert(out(1).getString(0) == "b.example.org" && out(1).getLong(1) == 1)
+  }
+}
