@@ -255,8 +255,8 @@ object Evaluation {
       "SELECT st.student_name, COUNT(*) AS agg_value FROM scores sc JOIN students st ON st.student_id = sc.student_id GROUP BY st.student_name ORDER BY agg_value DESC, st.student_name LIMIT 1", "join_agg_topn"),
     EvalCase("average score per course name in the science dept",
       "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc JOIN courses c ON c.course_id = sc.course_id WHERE c.dept = 'science' GROUP BY c.course_name ORDER BY c.course_name LIMIT 100", "join_filter_agg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-5 open cases, closed in round 5b (3-table bridge /
+    //     nested-HAVING count / aggregate-of-aggregate template shapes) ---
     EvalCase("students who scored above 90 in Biology",
       "SELECT DISTINCT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
         "JOIN courses c ON c.course_id = sc.course_id WHERE c.course_name = 'Biology' AND sc.score > 90 " +
@@ -265,5 +265,19 @@ object Evaluation {
       "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM scores GROUP BY student_id " +
         "HAVING COUNT(DISTINCT course_id) > 5) t", "nested_having_count"),
     EvalCase("highest average score among courses",
-      "SELECT MAX(a) AS agg_value FROM (SELECT AVG(score) AS a FROM scores GROUP BY course_id) t", "agg_of_agg"))
+      "SELECT MAX(a) AS agg_value FROM (SELECT AVG(score) AS a FROM scores GROUP BY course_id) t", "agg_of_agg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("for each dept the course with the highest average score",
+      "SELECT dept, course_name FROM (SELECT c.dept, c.course_name, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.dept ORDER BY AVG(sc.score) DESC, c.course_name) AS rn " +
+        "FROM scores sc JOIN courses c ON c.course_id = sc.course_id GROUP BY c.dept, c.course_name) t " +
+        "WHERE rn = 1 ORDER BY dept LIMIT 100", "groupwise_argmax"),
+    EvalCase("students whose average score is above the overall average",
+      "SELECT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
+        "GROUP BY st.student_name HAVING AVG(sc.score) > (SELECT AVG(score) FROM scores) " +
+        "ORDER BY st.student_name LIMIT 100", "having_scalar"),
+    EvalCase("percentage of scores with grade A",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+        "FROM scores", "ratio_agg"))
 }

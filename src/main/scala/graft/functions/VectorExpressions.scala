@@ -183,3 +183,123 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * Symmetric int8 quantization statistics in ONE pass: per-vector
+ * `struct<scale double, qnorm bigint, rmse double>` where
+ * scale = max|x|/127, q_i = round(x_i/scale) clamped to ±127 (ties away
+ * from zero, matching DuckDB `round`), qnorm = Σ q_i², and rmse the
+ * reconstruction error √(Σ(x_i − q_i·scale)²/dim).
+ *
+ * A native expression rather than `transform`/`aggregate` composition:
+ * an outer alias referenced inside a higher-order-function lambda is
+ * re-inlined by CollapseProject and re-evaluated PER ELEMENT (the
+ * array_max scan made the composed version O(dim²) per row — measured
+ * 2× on the sf0.1 embeddings). Two primitive passes (max, then
+ * accumulate), no array materialized at all.
+ */
+case class Int8QuantizeStats(child: Expression)
+    extends UnaryExpression with UnarySelfRefCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qnorm", LongType, nullable = false),
+    StructField("rmse", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_quantize_stats expects array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline private def roundAway(v: Double): Long =
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val f = isFloat
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (f) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var qnorm = 0L
+    var err2 = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      val q = if (scale == 0) 0L else math.max(-127L, math.min(127L, roundAway(x / scale)))
+      qnorm += q * q
+      val d = x - q * scale
+      err2 += d * d
+      i += 1
+    }
+    val rmse = if (n == 0) 0.0 else math.sqrt(err2 / n)
+    new GenericInternalRow(Array[Any](scale, qnorm, rmse))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * The int8 code vector as `array<double>` (double-typed so it feeds
+ * `cosine_sim` directly — per-vector scales cancel inside cosine, so
+ * ranking quantized vectors needs exactly these codes). Same arithmetic
+ * as [[Int8QuantizeStats]]; one max pass + one code pass per row,
+ * immune to the lambda-scope re-evaluation that made the
+ * `transform(..., array_max ...)` composition quadratic.
+ */
+case class Int8Codes(child: Expression)
+    extends UnaryExpression with UnarySelfRefCodegen {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_codes expects array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline private def roundAway(v: Double): Long =
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val f = isFloat
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (f) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = if (scale == 0) 0.0 else math.max(-127L, math.min(127L, roundAway(x / scale))).toDouble
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

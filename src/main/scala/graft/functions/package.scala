@@ -48,6 +48,12 @@ package object functions {
   def char_distribution(text: Column): Column =
     column(CharDistribution(expression(text)))
 
+  def int8_quantize_stats(emb: Column): Column =
+    column(Int8QuantizeStats(expression(emb)))
+
+  def int8_codes(emb: Column): Column =
+    column(Int8Codes(expression(emb)))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -567,10 +567,127 @@ object Templates {
       }
     }
 
+  /** The question word names exactly one sliced table (strictly unique
+    * argmax at >= 100, same bar as antiJoinCandidates). */
+  private def uniqueTable(slice: SchemaSlice, word: String): Option[String] = {
+    val scored = slice.tables.keySet.toSeq
+      .map(t => t -> graft.link.Fuzzy.nameScore(t, word))
+      .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }
+    scored.headOption.filter { case (_, s) =>
+      scored.drop(1).headOption.forall(_._2 < s)
+    }.map(_._1)
+  }
+
+  /** The display column of a dimension: a column whose name contains
+    * "name" (students → student_name); the shape is skipped without one. */
+  private def nameishColumn(cols: Seq[String]): Option[String] =
+    cols.find(_.toLowerCase.contains("name"))
+
+  // "students who scored above 90 in Biology" — entity dimension + fact
+  // numeric filter + second dimension categorical value, joined across
+  // the two FK edges of the bridging fact table
+  private val bridgeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+([a-z]+)\s+" +
+      raw"(above|over|below|under|more than|greater than|less than)\s+(\d+(?:\.\d+)?)\s+" +
+      raw"in\s+([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)").r
+
+  /** Three-table bridge: "students who scored above 90 in Biology" →
+    * DISTINCT entity names whose fact rows pass a numeric filter AND
+    * reference the named second dimension. All three links must resolve
+    * strongly (entity noun → table, verb stem → fact column, a name-ish
+    * column on each dimension) or no candidate is produced; the
+    * capitalized trailing value fills the dimension's display-column
+    * equality. Catalyst plans the FK chain as two broadcast hash joins
+    * at dimension size. */
+  def bridgeCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    bridgeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
+      for {
+        dim1 <- uniqueTable(slice, m.group(1)).toSeq
+        e1 <- fks.filter(e => e.toTable == dim1 && slice.tables.contains(e.fromTable)).take(1)
+        fact = e1.fromTable
+        numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+        e2 <- fks.filter(e => e.fromTable == fact && e.toTable != dim1 &&
+          slice.tables.contains(e.toTable)).take(1)
+        valCol <- nameishColumn(slice.tables(e2.toTable)).toSeq
+        proj <- nameishColumn(slice.tables(dim1)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$proj FROM $fact f " +
+          s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
+          s"JOIN ${e2.toTable} j ON f.${e2.fromColumn} = j.${e2.toColumn} " +
+          s"WHERE j.$valCol = ${sqlLit(m.group(5))} AND f.$numCol $op ${m.group(4)} " +
+          s"ORDER BY d.$proj LIMIT $DefaultLimit",
+        0.9, "template_join3")
+    }
+
+  // "number of students who take more than 5 courses" — a COUNT over the
+  // groups that pass a per-group distinct-count threshold
+  private val countWhoMoreRe =
+    (raw"(?i)\b(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
+      raw"(more|fewer|less)\s+than\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Nested HAVING count: "number of students who take more than 5
+    * courses" → COUNT of fact-side groups whose DISTINCT second-entity
+    * count passes the threshold. Both nouns must name sliced tables
+    * bridged by one fact's FK edges. The inner aggregate shuffles once
+    * on the group key with partial aggregation; the outer COUNT is a
+    * scalar over group cardinality. */
+  def nestedHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    countWhoMoreRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).equalsIgnoreCase("more")) ">" else "<"
+      for {
+        dim1 <- uniqueTable(slice, m.group(1)).toSeq
+        dim2 <- uniqueTable(slice, m.group(4)).toSeq
+        if dim1 != dim2
+        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
+        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT f.${e1.fromColumn} FROM ${e1.fromTable} f " +
+          s"GROUP BY f.${e1.fromColumn} HAVING COUNT(DISTINCT f.${e2.fromColumn}) $op ${m.group(3)}) t",
+        0.9, "template_nested_having")
+    }
+
+  // "highest average score among courses" — the extreme of a grouped
+  // aggregate (max-of-avg), not an aggregate of rows
+  private val aggOfAggRe =
+    (raw"(?i)\b(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:among|across|over|per|by)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Aggregate-of-aggregate: "highest average score among courses" →
+    * MAX over the per-group AVG. The group noun resolves to a sliced
+    * table reached by an FK edge from the fact (group key = the fact's
+    * FK column) or directly to a fact column. Plans as one grouped
+    * aggregate plus a scalar aggregate over group cardinality — no
+    * window, no second shuffle of the base rows. */
+  def aggOfAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    aggOfAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val outer = if (Set("lowest", "smallest", "minimum", "min")(m.group(1).toLowerCase)) "MIN" else "MAX"
+      val inner = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      slice.tables.toSeq.flatMap { case (t, cols) =>
+        for {
+          aggCol <- strongColumn(m.group(3), cols).toSeq
+          groupCol <- uniqueTable(slice, m.group(4))
+            .flatMap(g => fks.find(e => e.fromTable == t && e.toTable == g).map(_.fromColumn))
+            .orElse(strongColumn(m.group(4), cols.filterNot(_ == aggCol))).toSeq
+        } yield Candidate(
+          s"SELECT $outer(a) AS agg_value FROM " +
+            s"(SELECT $inner($aggCol) AS a FROM $t GROUP BY $groupCol) t",
+          0.9, "template_agg_of_agg")
+      }
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
-    (antiJoinCandidates(slice, fks, question) ++
+    (bridgeCandidates(slice, fks, question) ++
+      nestedHavingCandidates(slice, fks, question) ++
+      aggOfAggCandidates(slice, fks, question) ++
+      antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++
       joinCandidates(slice, fks, question) ++ tableCandidates(slice))

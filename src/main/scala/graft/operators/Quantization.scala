@@ -47,18 +47,15 @@ object Quantization {
    * shuffles.
    */
   def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val e = col(embCol)
-    val scale = int8Scale(e)
-    val q = int8Codes(e, scale)
-    val dim = size(e)
-    val err2 = aggregate(
-      zip_with(e, q, (x, c) => (x - c.cast("double") * scale) * (x - c.cast("double") * scale)),
-      lit(0.0), (acc, v) => acc + v)
-    df.select(
-      col(idCol),
-      round(scale, 6).as("scale"),
-      aggregate(q, lit(0L), (acc, c) => acc + (c * c).cast("long")).as("qnorm"),
-      round(sqrt(err2 / dim), 6).as("rmse"))
+    // one-pass native expression, NOT a transform/aggregate composition:
+    // an outer alias referenced inside a higher-order-function lambda is
+    // re-inlined by CollapseProject and re-evaluated per ELEMENT, which
+    // made the composed version's array_max O(dim²) per row
+    df.select(col(idCol), graft.functions.int8_quantize_stats(col(embCol)).as("__s"))
+      .select(col(idCol),
+        round(col("__s.scale"), 6).as("scale"),
+        col("__s.qnorm").as("qnorm"),
+        round(col("__s.rmse"), 6).as("rmse"))
   }
 
   /**
@@ -80,9 +77,11 @@ object Quantization {
       else math.max(-127L, math.min(127L, halfUp(x / qscale))).toDouble
     }
     val qlit = array(qcodes.map(lit): _*)
-    val e = col(embCol)
-    val codes = int8Codes(e, int8Scale(e)).cast("array<double>")
-    df.select(col(idCol), round(graft.functions.cosine_sim(codes, qlit), 4).as("qcosine"))
+    // int8_codes is a native one-pass expression (see quantizeInt8 on
+    // lambda-scope re-evaluation) already typed array<double> for cosine
+    df.select(col(idCol),
+        round(graft.functions.cosine_sim(
+          graft.functions.int8_codes(col(embCol)), qlit), 4).as("qcosine"))
       .where(col("qcosine").isNotNull)
       .orderBy(col("qcosine").desc, col(idCol))
       .limit(k)
