@@ -252,6 +252,22 @@ object Queries {
         "p AS (SELECT vec_id, CAST(j AS INT) AS dim, SUM(x * CASE WHEN sin(i * 12.9898 + j * 78.233) > 0 " +
         "THEN 1.0 ELSE -1.0 END) AS v FROM u CROSS JOIN range(1, 9) s(j) GROUP BY vec_id, j) " +
         "SELECT vec_id, dim, round(v, 4) AS value FROM p ORDER BY vec_id, dim LIMIT 500"),
+    // incremental dedup recall contract: DuckDB computes ALL exact
+    // cross-split pairs; the LSH path must find every one
+    "x_dedup_incremental" ->
+      (s"WITH ${jaccardPairsCte()
+        .replace("WHERE a.doc_id < b.doc_id",
+          "WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0")} " +
+        "SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        "FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8 " +
+        "ORDER BY id_a, id_b LIMIT 200"),
+    // top-k per group: the oracle states the WINDOW semantics the
+    // bounded-heap aggregate must reproduce (ord desc, ties to lower id)
+    "x_group_topk" ->
+      ("SELECT user_id, rank, event_id, round(value, 4) AS value FROM " +
+        "(SELECT user_id, event_id, value, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rank FROM events) t " +
+        "WHERE rank <= 3 ORDER BY user_id, rank LIMIT 1000"),
     "x_asof_purchase" ->
       ("SELECT e.event_id, p.value AS last_purchase FROM events e ASOF LEFT JOIN " +
         "(SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
@@ -1063,6 +1079,27 @@ object ExtensionQueries {
       graft.operators.Decontamination.decontaminateBloom(
         d, "doc_id", "text", evalSet, "text", n = 3, minOverlap = 5)
         .select(col("doc_id")).orderBy("doc_id").limit(2000)
+    }),
+    // incremental ingest dedup: incoming batch (doc_id % 10 = 0) screened
+    // against the existing corpus; RECALL CONTRACT — every exact-Jaccard
+    // >= 0.8 cross-split pair must surface with its exact jaccard
+    "x_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDuplicates(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b").limit(200)
+    }),
+    // top-3 events by value per user via the bounded-heap aggregate
+    // (ObjectHashAggregate partial+final; NO WindowExec row sort)
+    "x_group_topk" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.GroupTopK.topKPerGroup(
+        s.table("events"), Seq("user_id"), "value", "event_id", k = 3)
+        .select(col("user_id"), col("rank"), col("event_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id", "rank").limit(1000)
     }),
     // --- streaming-shaped (batch view of the events table) ---
     "x_events_hourly" -> ((s, dir) => {

@@ -54,6 +54,9 @@ package object functions {
   def int8_codes(emb: Column): Column =
     column(Int8Codes(expression(emb)))
 
+  def top_k_by_value(ord: Column, id: Column, k: Int): Column =
+    column(TopKByValue(expression(ord), expression(id), k).toAggregateExpression())
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

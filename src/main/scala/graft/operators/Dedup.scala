@@ -156,6 +156,64 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL near-dedup: verified near-duplicate pairs between an
+   * incoming batch and the existing corpus only — the production ingest
+   * shape (each batch screens against the accumulated collection;
+   * existing↔existing pairs were resolved when THEIR batches arrived, so
+   * recomputing them would be both wasted work and wrong ownership).
+   *
+   * Scale: the existing side's (band, bucket) pairs are exactly what a
+   * persisted LSH index stores, so at 100 TB this side is an INDEX READ,
+   * not a corpus re-tokenization; the incoming batch (≪ corpus) is the
+   * only text hashed per ingest. Candidates form inside (band, bucket)
+   * intersections across the two sides, capped per bucket as usual, and
+   * the exact-Jaccard verify re-tokenizes candidate members only.
+   *
+   * Output: (id_a = existing, id_b = incoming, jaccard) with exact
+   * Jaccard ≥ threshold.
+   */
+  def incrementalNearDuplicates(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val be = minhashBuckets(existing, idCol, textCol, cfg)
+      .withColumnRenamed("doc_id", "id_a")
+    val bi = minhashBuckets(incoming, idCol, textCol, cfg)
+      .withColumnRenamed("doc_id", "id_b")
+    // bucket-size cap on the EXISTING side (the index side can degenerate;
+    // the incoming batch is small by construction)
+    val capped = be.groupBy("band", "bucket")
+      .agg(collect_list("id_a").as("ids_a"), count(lit(1)).as("n"))
+      .where(col("n") <= cfg.maxBucketSize)
+    val pairs = capped.join(bi, Seq("band", "bucket"))
+      .select(explode(col("ids_a")).as("id_a"), col("id_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def memberShingles(df: DataFrame, side: String) = {
+      val ids = pairs.select(col(side).as("id")).distinct()
+      df.join(ids, df(idCol) === ids("id"), "left_semi")
+        .select(col(idCol).as(side),
+          array_distinct(shingles(col(textCol), cfg.shingleSize)).as(s"sh_$side"))
+    }
+    val out = pairs
+      .join(memberShingles(existing, "id_a"), "id_a")
+      .join(memberShingles(incoming, "id_b"), "id_b")
+      .where(size(col("sh_id_a")) >= size(col("sh_id_b")) * threshold &&
+        size(col("sh_id_b")) >= size(col("sh_id_a")) * threshold)
+      .withColumn("inter", size(array_intersect(col("sh_id_a"), col("sh_id_b"))))
+      .withColumn("uni", size(col("sh_id_a")) + size(col("sh_id_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    // the candidate cache stays alive while `out` is consumed (it is
+    // referenced by three branches of the verify join); like
+    // minhashNearDuplicates, terminal callers release it via
+    // spark.catalog.clearCache() / session scope (Bench clears between
+    // queries)
+    out
+  }
+
+  /**
    * Duplicate GROUPS from a pair list: connected components of the
    * undirected near-duplicate graph, labeled by each component's minimum
    * id — the transitive closure a curation pipeline needs when A≈B and

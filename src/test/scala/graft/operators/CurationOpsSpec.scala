@@ -65,6 +65,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan)
   }
 
+  test("incremental dedup: cross-split pairs only, agrees with the full-corpus pair set") {
+    val existing = docs.where($"doc_id" % 10 =!= 0)
+    val incoming = docs.where($"doc_id" % 10 === 0)
+    val inc = Dedup.incrementalNearDuplicates(existing, incoming, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair crosses the split
+    assert(inc.forall { case (a, b) => a % 10 != 0 && b % 10 == 0 })
+    // and equals the cross-split slice of the full-corpus exact pairs
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq((a, b), (b, a)) // full pairs are id_a < id_b; orient both ways
+      }.filter { case (a, b) => a % 10 != 0 && b % 10 == 0 }.toSet
+    assert(inc == full, s"inc=$inc full=$full")
+  }
+
+  test("incremental dedup finds a planted near-duplicate of an existing doc") {
+    val existing = docs.where($"doc_id" < 400)
+    val planted = docs.where($"doc_id" === 7)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val out = Dedup.incrementalNearDuplicates(existing, planted, "doc_id", "text", 0.7)
+      .collect()
+    assert(out.exists(r => r.getLong(0) == 7L && r.getLong(1) == 100007L))
+  }
+
   test("host stats aggregates the url explode by host") {
     val df = Seq(
       (1L, "see https://a.example.com/x and https://a.example.com/y"),
