@@ -252,6 +252,22 @@ object Queries {
         "p AS (SELECT vec_id, CAST(j AS INT) AS dim, SUM(x * CASE WHEN sin(i * 12.9898 + j * 78.233) > 0 " +
         "THEN 1.0 ELSE -1.0 END) AS v FROM u CROSS JOIN range(1, 9) s(j) GROUP BY vec_id, j) " +
         "SELECT vec_id, dim, round(v, 4) AS value FROM p ORDER BY vec_id, dim LIMIT 500"),
+    // PQ encode under probe codebooks: per-(vector, subspace) argmin over
+    // the 16 fixed centroid slices, ties to the lower code
+    "x_pq_encode" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cb AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "d AS (SELECT e.vec_id, s.s AS subspace, cb.cid, " +
+        "list_sum([ (e.emb[s.s*8 + i] - cb.cemb[s.s*8 + i])*(e.emb[s.s*8 + i] - cb.cemb[s.s*8 + i]) for i in range(1, 9) ]) AS dist " +
+        "FROM e CROSS JOIN range(0, 8) s(s) CROSS JOIN cb WHERE e.vec_id < 100), " +
+        "r AS (SELECT vec_id, subspace, cid, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, cid) AS rn FROM d) " +
+        "SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(cid AS INT) AS code FROM r " +
+        "WHERE rn = 1 ORDER BY vec_id, subspace LIMIT 1000"),
+    // PQ ADC recall contract: the gold is the exact brute-force ranking
+    "x_pq_topk" ->
+      ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
+        "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
     // incremental dedup recall contract: DuckDB computes ALL exact
     // cross-split pairs; the LSH path must find every one
     "x_dedup_incremental" ->
@@ -1079,6 +1095,26 @@ object ExtensionQueries {
       graft.operators.Decontamination.decontaminateBloom(
         d, "doc_id", "text", evalSet, "text", n = 3, minOverlap = 5)
         .select(col("doc_id")).orderBy("doc_id").limit(2000)
+    }),
+    // product quantization encode (probe codebooks = slices of vectors
+    // 0..15, so the argmin is SQL-replicable; ties break to lower code)
+    "x_pq_encode" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val model = graft.operators.ProductQuantization.probeModel(e, "vec_id", "emb", m = 8, k = 16)
+      graft.operators.ProductQuantization
+        .encodeLong(e.where(col("vec_id") < 100), "vec_id", "emb", model)
+        .orderBy("vec_id", "subspace").limit(1000)
+    }),
+    // PQ ADC search RECALL CONTRACT: codes-only ranking (trained
+    // codebooks, m=16 4-bit codes = 8 B/vector) + exact re-rank of 200
+    // candidates must return the exact brute-force top-10 (DuckDB
+    // computes the gold ranking; ProbePq0 measured the margin — 100
+    // candidates already exact at sf0.01, 150 at sf0.1's 2000 vectors)
+    "x_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
+      val q = e.where(col("vec_id") === 0).select("emb").collect()(0).getSeq[Double](0).toArray
+      graft.operators.ProductQuantization.adcTopK(e, "vec_id", "emb", model, q, k = 10, candidates = 200)
     }),
     // incremental ingest dedup: incoming batch (doc_id % 10 = 0) screened
     // against the existing corpus; RECALL CONTRACT — every exact-Jaccard

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.interop.{toColumn => column, toExpression => expression}
+
+/**
+ * Product quantization for billion-scale similarity search (Jégou et
+ * al., TPAMI 2011 — the faiss `PQ` index family): embeddings split into
+ * `m` contiguous subvectors, each quantized to one of `k` learned
+ * centroids, so a vector stores as m·log2(k) bits (64-dim float32 at
+ * m=8, k=16 → 4 bytes, a 64× compression) and query ranking reads ONLY
+ * the codes via an asymmetric-distance table (m lookups per vector).
+ *
+ * Division of labor at 100 TB (same rationale as ivfIndex):
+ *  - codebook FIT is driver-side deterministic k-means per subspace on a
+ *    bounded sample (codebook quality needs thousands of points, not the
+ *    corpus; a distributed fit pays per-iteration scheduling for the
+ *    same centroids);
+ *  - ENCODE is one narrow distributed pass (PqEncode native expression,
+ *    codebooks serialized inside the plan);
+ *  - SEARCH is a scan of the CODES column (int array — at scale a
+ *    parquet column ~100× narrower than the embeddings) + ADC scoring +
+ *    TakeOrderedAndProject for the candidate set, then an exact re-rank
+ *    that touches float vectors for candidates only.
+ */
+object ProductQuantization {
+
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Fit per-subspace codebooks on a driver-collected sample (bounded;
+    * deterministic given seed + sample order by id). Vectors are
+    * L2-NORMALIZED before slicing: the search contract is cosine, and on
+    * unit vectors ADC's squared L2 is 2−2·cos, so codes trained and
+    * ranked in normalized space order candidates by cosine. */
+  def fit(df: DataFrame, idCol: String, embCol: String, m: Int = 8, k: Int = 16,
+      seed: Long = 42L, maxSample: Int = 20000): PqModel = {
+    val sample = df.select(col(idCol), col(embCol))
+      .orderBy(col(idCol)).limit(maxSample)
+      .collect().map(r => normalized(r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "pq fit needs a non-empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      Similarity.LocalKMeans.fit(sub, k, seed + s)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Probe-codebook model for oracle-checkable tests: codebook c of
+    * subspace s is the matching slice of the vector with id = c — no
+    * training, fully SQL-replicable (the x_cluster_assign trick). */
+  def probeModel(df: DataFrame, idCol: String, embCol: String, m: Int, k: Int): PqModel = {
+    val rows = df.select(col(idCol), col(embCol))
+      .where(col(idCol) < k).orderBy(col(idCol))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(rows.length == k, s"probe model needs ids 0..${k - 1}")
+    val dim = rows(0).length
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      rows.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    if (n2 <= 0) v
+    else {
+      val inv = 1.0 / math.sqrt(n2)
+      v.map(_ * inv)
+    }
+  }
+
+  /** Distributed encode: one narrow projection adding `array<int>` codes.
+    * `normalize` must match how the model was fit (true for [[fit]],
+    * false for [[probeModel]]). */
+  def encode(df: DataFrame, idCol: String, embCol: String, model: PqModel,
+      normalize: Boolean = false): DataFrame =
+    df.select(col(idCol),
+      column(graft.functions.PqEncode(expression(col(embCol)), model.codebooks, normalize))
+        .as("codes"))
+
+  /** Long-form encode (one row per subspace) — the oracle-comparable
+    * shape. */
+  def encodeLong(df: DataFrame, idCol: String, embCol: String, model: PqModel): DataFrame =
+    encode(df, idCol, embCol, model)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("subspace", "code")))
+
+  /** The query's ADC table: squared L2 from each query subvector to each
+    * centroid, flattened as table(s*k + c). */
+  private def adcTable(query: Array[Double], model: PqModel): Array[Double] = {
+    val t = new Array[Double](model.m * model.k)
+    var s = 0
+    while (s < model.m) {
+      var c = 0
+      while (c < model.k) {
+        var d2 = 0.0
+        var d = 0
+        while (d < model.subDim) {
+          val diff = query(s * model.subDim + d) - model.codebooks(s)(c)(d)
+          d2 += diff * diff
+          d += 1
+        }
+        t(s * model.k + c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  /**
+   * ADC top-k with exact re-rank: rank ALL vectors by m-table-lookup
+   * approximate distance (codes only), keep `candidates` (default 5·k),
+   * then exact-cosine re-rank just those against the float vectors.
+   * Plan: codes scan → ADC project → TakeOrderedAndProject (candidates)
+   * → broadcast-semi-join back to the float column for ≤ candidates
+   * rows → TakeOrderedAndProject (k). No shuffle of the corpus.
+   */
+  def adcTopK(df: DataFrame, idCol: String, embCol: String, model: PqModel,
+      query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
+    val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)
+    val table = adcTable(normalized(query), model)
+    val coded = encode(df, idCol, embCol, model, normalize = true)
+      .select(col(idCol),
+        column(graft.functions.PqAdcDistance(expression(col("codes")), table, model.k)).as("__adc"))
+      .where(col("__adc").isNotNull)
+      .orderBy(col("__adc").asc, col(idCol))
+      .limit(nCand)
+      .select(col(idCol))
+    val qlit = array(query.map(lit): _*)
+    df.join(broadcast(coded), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(graft.functions.cosine_sim(col(embCol), qlit), 4).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

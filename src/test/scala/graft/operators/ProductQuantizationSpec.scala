@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = {
+    graft.sources.Sources.register(spark, sfDir)
+    spark.table("embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  }
+
+  test("probe-codebook encode: the codebook vectors encode to their own id in every subspace") {
+    val model = ProductQuantization.probeModel(embs, "vec_id", "emb", m = 8, k = 16)
+    val own = ProductQuantization.encodeLong(embs.where($"vec_id" < 16), "vec_id", "emb", model)
+      .collect()
+    assert(own.length == 16 * 8)
+    assert(own.forall(r => r.getInt(2) == r.getLong(0).toInt))
+  }
+
+  test("trained codebooks: ADC top-k with re-rank equals exact brute-force top-k") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
+    val pq = ProductQuantization.adcTopK(embs, "vec_id", "emb", model, q, k = 10, candidates = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.topK(embs, "vec_id", "emb", q.map(_.toFloat), k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
+  test("ADC recall across many query vectors (codes-only candidate set keeps the true top-10)") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val recalls = (1 to 5).map { qi =>
+      val q = embs.where($"vec_id" === qi).select("emb").head().getSeq[Double](0).toArray
+      val pq = ProductQuantization.adcTopK(embs, "vec_id", "emb", model, q, k = 10, candidates = 100)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = Similarity.topK(embs, "vec_id", "emb", q.map(_.toFloat), k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      (pq intersect exact).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.9, recalls)
+  }
+
+  test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    // m=16 codes of 4 bits = 8 bytes/vector vs 64 floats = 256 bytes (32x)
+    assert(model.m * (math.log(model.k) / math.log(2)).round / 8 == 8)
+    val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
+    val plan = ProductQuantization.adcTopK(embs, "vec_id", "emb", model, q, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+}
