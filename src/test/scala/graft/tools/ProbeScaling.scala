@@ -17,7 +17,11 @@ object ProbeScaling {
       "x_span_dup", "x_tfidf_top", "x_bigram_lm", "x_url_extract",
       "x_percentiles", "x_cluster_assign",
       // round-5 operators
-      "x_semdedup", "x_perplexity", "x_decontam_report")
+      "x_semdedup", "x_perplexity", "x_decontam_report",
+      // round-5b operators
+      "x_entropy", "x_host_stats", "x_embed_quantize", "x_quantized_topk",
+      "x_rand_proj", "x_bloom_decontam", "x_group_topk",
+      "x_dedup_incremental", "x_pq_encode", "x_pq_topk")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
