@@ -213,7 +213,8 @@ object Queries {
     "x_entropy" ->
       ("SELECT doc_id, round(entropy(c), 4) AS char_entropy, " +
         "count(DISTINCT c) AS n_distinct_chars " +
-        "FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) " +
+        "FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents " +
+        "WHERE length(text) > 0) " +
         "GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
     // per-host URL stats over the x_url_extract augmentation
     "x_host_stats" ->
@@ -1049,8 +1050,14 @@ object ExtensionQueries {
     }),
     // --- character-distribution quality signals (one-pass codegen'd
     // expression; the oracle replicates it as explode-per-char + entropy()) ---
+    // empty docs are excluded on BOTH sides: DuckDB's per-char unnest
+    // yields no rows for '' (the doc would vanish from the oracle) while
+    // CharDistribution emits a defined (0.0, 0) row — the filter keeps
+    // the two result sets aligned rather than relying on the fixture
+    // containing no empty text
     "x_entropy" -> ((s, dir) =>
-      TextAnalysis.charDistribution(docs(s, dir), "doc_id", "text")
+      TextAnalysis.charDistribution(
+        docs(s, dir).where(length(col("text")) > 0), "doc_id", "text")
         .orderBy("doc_id").limit(100)),
     // per-host URL stats (C4-style domain filtering feed) over the same
     // deterministic augmentation as x_url_extract

@@ -117,10 +117,15 @@ case class PqAdcDistance(child: Expression, table: Array[Double], k: Int)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val m = a.numElements()
+    // codes from a model with different (m, k) would silently read
+    // another subspace's entries — surface the mismatch as null instead
+    if (m * k != table.length) return null
     var sum = 0.0
     var s = 0
     while (s < m) {
-      sum += table(s * k + a.getInt(s))
+      val c = a.getInt(s)
+      if (c < 0 || c >= k) return null
+      sum += table(s * k + c)
       s += 1
     }
     sum

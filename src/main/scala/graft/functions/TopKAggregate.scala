@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
  * replacement test against the heap head is O(1) for the common
  * below-threshold row), serialized as a flat (count, pairs) byte image
  * for inter-stage merge.
+ *
+ * Null handling: rows with a null ord or id are SKIPPED (top-k over
+ * present values — a group of only-null ords yields an empty array and
+ * disappears under posexplode), which diverges from a raw
+ * `row_number()` window that would rank null rows last; NaN follows
+ * Spark's total order (greater than every value, first under DESC).
  */
 case class TopKByValue(ord: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -38,6 +44,14 @@ case class TopKByValue(ord: Expression, id: Expression, k: Int,
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ord", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (ord.dataType, id.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (o, i) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_value expects (double ord, bigint id), got (${o.sql}, ${i.sql}) — cast at the call site")
+    }
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
@@ -77,9 +91,15 @@ final class TopKHeap(val k: Int) {
   private val ids = new Array[Long](k)
   private var n = 0
 
-  /** a is worse than b under (ord desc, id asc) ranking. */
-  @inline private def worse(oa: Double, ia: Long, ob: Double, ib: Long): Boolean =
-    oa < ob || (oa == ob && ia > ib)
+  /** a is worse than b under (ord desc, id asc) ranking.
+    * `Double.compare` gives the same TOTAL order Spark's sort uses
+    * (NaN greater than any value, so a window's DESC ranks it first) —
+    * a `<` comparison is false in both directions for NaN and would
+    * corrupt the heap invariant. */
+  @inline private def worse(oa: Double, ia: Long, ob: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(oa, ob)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def offer(o: Double, i: Long): Unit = {
     if (n < k) {
@@ -120,9 +140,12 @@ final class TopKHeap(val k: Int) {
     val out = new Array[(Double, Long)](n)
     var i = 0
     while (i < n) { out(i) = (ords(i), ids(i)); i += 1 }
-    // best first: ord desc, id asc
+    // best first: ord desc, id asc (Double.compare for NaN totality)
     scala.util.Sorting.stableSort(out,
-      (a: (Double, Long), b: (Double, Long)) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      })
     out
   }
 

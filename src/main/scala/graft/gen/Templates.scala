@@ -596,29 +596,45 @@ object Templates {
     * reference the named second dimension. All three links must resolve
     * strongly (entity noun → table, verb stem → fact column, a name-ish
     * column on each dimension) or no candidate is produced; the
-    * capitalized trailing value fills the dimension's display-column
-    * equality. Catalyst plans the FK chain as two broadcast hash joins
-    * at dimension size. */
+    * CAPITALIZED trailing value (checked case-sensitively — the (?i)
+    * regex alone would let "in total" fabricate a filter) fills the
+    * dimension's display-column equality. The entity table may be
+    * referenced by several fact tables, so every FK edge into it is
+    * tried and the first edge whose fact resolves the verb column wins.
+    * Catalyst plans the FK chain as two broadcast hash joins at
+    * dimension size. */
   def bridgeCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    bridgeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
-      for {
-        dim1 <- uniqueTable(slice, m.group(1)).toSeq
-        e1 <- fks.filter(e => e.toTable == dim1 && slice.tables.contains(e.fromTable)).take(1)
-        fact = e1.fromTable
-        numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-        e2 <- fks.filter(e => e.fromTable == fact && e.toTable != dim1 &&
-          slice.tables.contains(e.toTable)).take(1)
-        valCol <- nameishColumn(slice.tables(e2.toTable)).toSeq
-        proj <- nameishColumn(slice.tables(dim1)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$proj FROM $fact f " +
-          s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
-          s"JOIN ${e2.toTable} j ON f.${e2.fromColumn} = j.${e2.toColumn} " +
-          s"WHERE j.$valCol = ${sqlLit(m.group(5))} AND f.$numCol $op ${m.group(4)} " +
-          s"ORDER BY d.$proj LIMIT $DefaultLimit",
-        0.9, "template_join3")
-    }
+    bridgeRe.findFirstMatchIn(question).toSeq
+      .flatMap { m =>
+        // the (?i) regex matches lowercase tails too — keep only the run
+        // of genuinely capitalized words ("Biology this semester" →
+        // "Biology"; "total" → nothing, no fabricated filter)
+        val value = m.group(5).split("\\s+")
+          .takeWhile(_.matches(raw"[A-Z][\w+-]*")).mkString(" ")
+        if (value.isEmpty) Nil
+        else bridgeResolved(slice, fks, m, value)
+      }
+
+  private def bridgeResolved(slice: SchemaSlice, fks: Seq[FkEdge],
+      m: scala.util.matching.Regex.Match, value: String): Seq[Candidate] = {
+        val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
+        (for {
+          dim1 <- uniqueTable(slice, m.group(1)).toSeq
+          e1 <- fks.filter(e => e.toTable == dim1 && slice.tables.contains(e.fromTable))
+          fact = e1.fromTable
+          numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+          e2 <- fks.filter(e => e.fromTable == fact && e.toTable != dim1 &&
+            slice.tables.contains(e.toTable)).take(1)
+          valCol <- nameishColumn(slice.tables(e2.toTable)).toSeq
+          proj <- nameishColumn(slice.tables(dim1)).toSeq
+        } yield Candidate(
+          s"SELECT DISTINCT d.$proj FROM $fact f " +
+            s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
+            s"JOIN ${e2.toTable} j ON f.${e2.fromColumn} = j.${e2.toColumn} " +
+            s"WHERE j.$valCol = ${sqlLit(value)} AND f.$numCol $op ${m.group(4)} " +
+            s"ORDER BY d.$proj LIMIT $DefaultLimit",
+          0.9, "template_join3")).take(1)
+  }
 
   // "number of students who take more than 5 courses" — a COUNT over the
   // groups that pass a per-group distinct-count threshold

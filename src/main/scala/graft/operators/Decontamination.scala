@@ -101,9 +101,15 @@ object Decontamination {
     def shingleHashes(df: DataFrame, text: String) =
       df.select(explode(array_distinct(Dedup.shingles(col(text), n))).as("__sh"))
         .select(xxhash64(col("__sh")).as("sh"))
+    // persisted across the two driver-side jobs (count sizes the filter,
+    // bloomFilter builds it) so the eval set shingles once, not twice;
+    // released before the lazy result returns — overlaps() re-derives
+    // its own eval postings on the (tiny) candidate verify path
     val evalShingles = shingleHashes(evalDocs, evalTextCol).distinct()
-    val bloom = evalShingles.stat.bloomFilter(
-      "sh", math.max(evalShingles.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try evalShingles.stat.bloomFilter("sh", math.max(evalShingles.count(), 1L), fpp)
+      finally evalShingles.unpersist(blocking = false)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val bloomHits = udf { hs: Seq[Long] =>
       if (hs == null) 0 else { val b = bc.value; hs.count(b.mightContainLong) }

@@ -22,8 +22,11 @@ object GroupTopK {
 
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], ordCol: String,
       idCol: String, k: Int): DataFrame = {
+    // the aggregate is typed (double ord, bigint id); numeric inputs of
+    // other widths are cast here so callers aren't surprised at analysis
     val agged = df.groupBy(groupCols.map(col): _*)
-      .agg(graft.functions.top_k_by_value(col(ordCol), col(idCol), k).as("__topk"))
+      .agg(graft.functions.top_k_by_value(
+        col(ordCol).cast("double"), col(idCol).cast("long"), k).as("__topk"))
     agged.select(groupCols.map(col) :+ posexplode(col("__topk")): _*)
       .select(groupCols.map(col) ++ Seq(
         (col("pos") + 1).cast("int").as("rank"),

@@ -59,6 +59,7 @@ object ProductQuantization {
       .collect().map(_.getSeq[Double](1).toArray)
     require(rows.length == k, s"probe model needs ids 0..${k - 1}")
     val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val codebooks = Array.tabulate(m) { s =>
       rows.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
@@ -124,10 +125,22 @@ object ProductQuantization {
    * rows → TakeOrderedAndProject (k). No shuffle of the corpus.
    */
   def adcTopK(df: DataFrame, idCol: String, embCol: String, model: PqModel,
-      query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
+      query: Array[Double], k: Int, candidates: Int = 0): DataFrame =
+    searchEncoded(encode(df, idCol, embCol, model, normalize = true),
+      df, idCol, embCol, model, query, k, candidates)
+
+  /**
+   * Encode-once / search-many: rank a PRE-ENCODED codes frame (the
+   * persisted index a production deployment stores — [[encode]] run once
+   * at ingest) so each query reads only the codes column; [[adcTopK]] is
+   * the convenience wrapper that encodes inline for one-shot use. The
+   * exact re-rank joins back to the float frame for candidates only.
+   */
+  def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
+      model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)
     val table = adcTable(normalized(query), model)
-    val coded = encode(df, idCol, embCol, model, normalize = true)
+    val cands = coded
       .select(col(idCol),
         column(graft.functions.PqAdcDistance(expression(col("codes")), table, model.k)).as("__adc"))
       .where(col("__adc").isNotNull)
@@ -135,7 +148,7 @@ object ProductQuantization {
       .limit(nCand)
       .select(col(idCol))
     val qlit = array(query.map(lit): _*)
-    df.join(broadcast(coded), Seq(idCol), "left_semi")
+    df.join(broadcast(cands), Seq(idCol), "left_semi")
       .select(col(idCol),
         round(graft.functions.cosine_sim(col(embCol), qlit), 4).as("cosine"))
       .where(col("cosine").isNotNull)

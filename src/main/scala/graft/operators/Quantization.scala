@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,26 +19,16 @@ import org.apache.spark.sql.functions._
  * the int8 codes needs no dequantization at all; only the final exact
  * re-rank (top-k·4 candidates, tiny) touches float vectors.
  *
- * Everything here is built-in-function composition (`transform`,
- * `aggregate`, `array_max`) — whole-stage-codegen'd, no UDFs — and the
- * arithmetic is replicated exactly by the DuckDB oracles (list_transform
- * / list_sum), which is what makes the operators hash-verifiable.
+ * The quantization arithmetic lives in the one-pass native expressions
+ * `Int8QuantizeStats` / `Int8Codes` (a `transform` + `array_max`
+ * composition re-evaluates the scale per ELEMENT once CollapseProject
+ * inlines it into the lambda — measured O(dim²)/row); the random
+ * projection composes built-ins whose lambda only reads its own
+ * arguments. Both are replicated exactly by the DuckDB oracles
+ * (list_transform / list_sum), which is what makes the operators
+ * hash-verifiable.
  */
 object Quantization {
-
-  /** Per-vector symmetric int8 scale: max|x| / 127 (so the largest
-    * component maps to ±127 exactly). Zero vectors get scale 0 and
-    * quantize to all-zeros (guarded division). */
-  def int8Scale(emb: Column): Column =
-    array_max(transform(emb, x => abs(x))) / lit(127.0)
-
-  /** Quantized codes: round(x/scale) clamped to [-127, 127], as
-    * array<int>. HALF_UP rounding matches DuckDB's ties-away-from-zero
-    * `round()`. */
-  def int8Codes(emb: Column, scale: Column): Column =
-    transform(emb, x =>
-      when(scale === 0d, lit(0))
-        .otherwise(greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
 
   /**
    * Quantization report: scale, integer code norm (exact — the

@@ -143,4 +143,33 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("WHERE j.dept = 'science'"), c.sql)
     assert(c.sql.contains("GROUP BY j.course_name"), c.sql)
   }
+
+  test("3-table bridge: entity + fact numeric filter + capitalized dimension value") {
+    val c = cands("students who scored above 90 in Biology").find(_.method == "template_join3").get
+    assert(c.sql.contains("JOIN students"), c.sql)
+    assert(c.sql.contains("WHERE j.course_name = 'Biology' AND f.score > 90"), c.sql)
+    assert(c.sql.contains("SELECT DISTINCT d.student_name"), c.sql)
+    // the lowercase tail after the capitalized value is NOT swallowed
+    val trimmed = cands("students who scored above 90 in Biology this semester")
+      .find(_.method == "template_join3").get
+    assert(trimmed.sql.contains("= 'Biology'") && !trimmed.sql.contains("this semester"), trimmed.sql)
+    // a lowercase word after "in" never fabricates a value filter
+    assert(cands("students who scored above 90 in total").forall(_.method != "template_join3"))
+  }
+
+  test("nested HAVING count: groups passing a distinct-count threshold") {
+    val c = cands("number of students who take more than 5 courses")
+      .find(_.method == "template_nested_having").get
+    assert(c.sql.contains("HAVING COUNT(DISTINCT f.course_id) > 5"), c.sql)
+    assert(c.sql.contains("GROUP BY f.student_id"), c.sql)
+    assert(c.sql.startsWith("SELECT COUNT(*) AS agg_value FROM (SELECT"), c.sql)
+  }
+
+  test("aggregate of aggregate: extreme of a grouped average") {
+    val c = cands("highest average score among courses").find(_.method == "template_agg_of_agg").get
+    assert(c.sql.contains("SELECT MAX(a) AS agg_value"), c.sql)
+    assert(c.sql.contains("SELECT AVG(score) AS a FROM scores GROUP BY course_id"), c.sql)
+    val low = cands("lowest average score per course_id").find(_.method == "template_agg_of_agg").get
+    assert(low.sql.contains("SELECT MIN(a)"), low.sql)
+  }
 }

@@ -43,6 +43,28 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.9, recalls)
   }
 
+  test("searchEncoded over a pre-encoded codes frame equals the inline adcTopK") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val coded = ProductQuantization.encode(embs, "vec_id", "emb", model, normalize = true)
+    val q = embs.where($"vec_id" === 2).select("emb").head().getSeq[Double](0).toArray
+    val viaIndex = ProductQuantization
+      .searchEncoded(coded, embs, "vec_id", "emb", model, q, 10, 100)
+      .collect().map(_.toString).toSeq
+    val inline = ProductQuantization.adcTopK(embs, "vec_id", "emb", model, q, 10, 100)
+      .collect().map(_.toString).toSeq
+    assert(viaIndex == inline)
+  }
+
+  test("mismatched model/table ADC scores null out instead of reading wrong entries") {
+    val m16 = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val coded = ProductQuantization.encode(embs, "vec_id", "emb", m16, normalize = true)
+    val m8 = ProductQuantization.fit(embs, "vec_id", "emb", m = 8, k = 16)
+    val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
+    // codes have 16 entries but the m=8 model's table has 8*16 — every row nulls
+    val out = ProductQuantization.searchEncoded(coded, embs, "vec_id", "emb", m8, q, 10, 100)
+    assert(out.count() == 0)
+  }
+
   test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     // m=16 codes of 4 bits = 8 bytes/vector vs 64 floats = 256 bytes (32x)
