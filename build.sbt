@@ -15,6 +15,7 @@ run / fork := true
 // driver tails stdout and parses the LAST line as JSON — Bench prints
 // its one-line JSON result last, and this keeps it last.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

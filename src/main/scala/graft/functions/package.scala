@@ -66,5 +66,8 @@ package object functions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming64", es => HammingDistance64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("doc_fingerprint", es => RollingHashFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_distribution", es => CharDistribution(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_quantize_stats", es => Int8QuantizeStats(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_codes", es => Int8Codes(es.head), "built-in")
   }
 }

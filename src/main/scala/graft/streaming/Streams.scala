@@ -239,6 +239,21 @@ object Streams {
     docs.where(overlapCount(hs) < minOverlap)
   }
 
+  /**
+   * Streaming top-k per group: the SAME bounded-heap aggregate the batch
+   * operator uses ([[graft.functions.TopKByValue]]) inside a streaming
+   * groupBy — state per group is the O(k) serialized heap, updated
+   * incrementally each micro-batch (Complete/Update output modes; a
+   * leaderboard over an unbounded stream never stores more than k pairs
+   * per group). Reusing the Catalyst aggregate across batch and
+   * streaming is the point: one implementation, both execution modes.
+   */
+  def topKPerGroupStream(df: DataFrame, groupCols: Seq[String], ordCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.top_k_by_value(
+        col(ordCol).cast("double"), col(idCol).cast("long"), k).as("topk"))
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

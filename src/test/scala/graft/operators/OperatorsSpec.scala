@@ -69,6 +69,10 @@ class FunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
     assert(spark.sql("SELECT hamming64(0L, 7L) AS h").collect()(0).getInt(0) == 3)
+    val cd = spark.sql("SELECT char_distribution('abab') AS d").collect()(0).getStruct(0)
+    assert(cd.getDouble(0) == 1.0 && cd.getInt(1) == 2)
+    val q = spark.sql("SELECT int8_quantize_stats(array(1.0d, -0.5d)) AS s").collect()(0).getStruct(0)
+    assert(q.getLong(1) == 127L * 127 + 64L * 64) // round(-0.5/ (1/127)) = -64 (ties away)
   }
 }
 

@@ -236,4 +236,29 @@ class StreamsSpec extends SparkSpec {
     val rows = out.select("doc_id", "source").as[(String, String)].collect().toSet
     assert(rows == Set(("doc-b", "books")), rows.toString)
   }
+
+  test("streaming top-k per group: heap state accumulates across micro-batches, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.topKPerGroupStream(input.toDF(), Seq("user_id"), "value", "event_id", k = 2)
+      .writeStream.format("memory").queryName("t_topk")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      input.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_topk").orderBy("user_id")
+      .collect().map(_.toString).toSeq
+    val batch = Streams.topKPerGroupStream(sample.toDF(), Seq("user_id"), "value", "event_id", k = 2)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    // user 100 saw values 1.0, 2.0, 4.0 -> top-2 = events 4 (4.0) and 2 (2.0)
+    val u100 = spark.table("t_topk").where($"user_id" === 100L)
+      .select($"topk").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(u100.map(_.getLong(1)) == Seq(4L, 2L))
+  }
 }
