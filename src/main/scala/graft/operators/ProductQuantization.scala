@@ -136,6 +136,32 @@ object ProductQuantization {
    * the convenience wrapper that encodes inline for one-shot use. The
    * exact re-rank joins back to the float frame for candidates only.
    */
+  /**
+   * IVF-PQ: the billion-scale serving composition (faiss `IVFxx,PQyy`) —
+   * IVF cell pruning cuts the scanned fraction to ~nprobe/nlist, and
+   * within the probed cells ranking reads PQ CODES only (ADC lookups);
+   * the exact cosine re-rank touches float vectors for the candidate
+   * set alone. At 10^10 vectors the per-query work drops from a corpus
+   * scan of 512-byte rows to (nprobe/nlist) × 8-byte code rows + a
+   * candidate-sized float read.
+   */
+  def ivfPqTopK(index: Similarity.IvfIndex, model: PqModel, query: Array[Double],
+      k: Int, nprobe: Int = 4, candidates: Int = 0): DataFrame = {
+    val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)
+    val cells = index.centroids.map { case (i, c) =>
+      var d = 0.0
+      val n = math.min(c.length, query.length)
+      var j = 0
+      while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val probed = index.assigned
+      .where(col("cell").isin(cells.toSeq: _*))
+      .dropDuplicates("id") // multi-assigned vectors appear in 2+ probed cells
+    val coded = encode(probed, "id", "emb", model, normalize = true)
+    searchEncoded(coded, probed, "id", "emb", model, query, k, nCand)
+  }
+
   def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)

@@ -65,6 +65,23 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("IVF-PQ: full probe equals brute force; partial probe keeps high recall") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val index = Similarity.ivfIndex(embs, "vec_id", "emb", nlist = 8)
+    val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
+    val exact = Similarity.topK(embs, "vec_id", "emb", q.map(_.toFloat), k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // probing every cell removes IVF pruning error; PQ candidates + exact
+    // re-rank must then reproduce the brute-force ranking
+    val full = ProductQuantization.ivfPqTopK(index, model, q, k = 10, nprobe = 8, candidates = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(full == exact, s"full-probe=$full exact=$exact")
+    // half the cells: the pruned path keeps most of the true top-10
+    val partial = ProductQuantization.ivfPqTopK(index, model, q, k = 10, nprobe = 4, candidates = 100)
+      .select("id").as[Long].collect().toSet
+    assert((partial intersect exact.toSet).size >= 8, s"partial=$partial exact=$exact")
+  }
+
   test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     // m=16 codes of 4 bits = 8 bytes/vector vs 64 floats = 256 bytes (32x)
