@@ -269,6 +269,25 @@ object Queries {
       ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
         "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    // persisted-index IVF-PQ at full probe + wide candidates = the exact
+    // brute-force ranking (same gold as x_pq_topk; the Spark side must
+    // reach it reading only the persisted codes column until the re-rank)
+    "x_pq_persisted" ->
+      ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
+        "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"),
+    // clustered-fixture IVF recall: gold is the exact top-10 id SET over
+    // the planted-cluster frame (unrounded ordering picks the set; the
+    // output sorts by id so the hash certifies recall, not tie order)
+    "x_ann_ivf_clustered" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "cl AS (SELECT e.vec_id, [c.cemb[i] + 0.05 * e.emb[i] for i in range(1, 65)] AS emb " +
+        "FROM e JOIN c ON e.vec_id % 8 = c.cid), " +
+        "q AS (SELECT emb FROM cl WHERE vec_id = 1) " +
+        "SELECT vec_id FROM (SELECT cl.vec_id, " +
+        "CAST(list_cosine_similarity(cl.emb, (SELECT emb FROM q)) AS DOUBLE) AS cos0 " +
+        "FROM cl ORDER BY cos0 DESC, vec_id LIMIT 10) ORDER BY vec_id"),
     // incremental dedup recall contract: DuckDB computes ALL exact
     // cross-split pairs; the LSH path must find every one
     "x_dedup_incremental" ->
@@ -942,32 +961,69 @@ object ExtensionQueries {
           round(graft.functions.cosine_sim(col("embedding"), col("q_embedding")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     }),
-    // IVF is the sanctioned approximate ANN path (cell pruning adapts to
-    // the data distribution; sign-LSH multi-probe remains available as
-    // Similarity.lshTopK with an adaptive radius). nprobe=6 carries
-    // recall headroom over the 4 cells the fixture's true top-10 spans
-    // at the verification SF (exact there, measured). Known, measured
-    // tradeoff: the fixture embeddings are UNCLUSTERED random vectors,
-    // so cell pruning degrades at larger SF (recall@10 = 0.8 at sf0.1;
-    // exactness would need nprobe=12/16 ≈ a full scan) — inherent to
-    // ANN on structureless data, not to the operator; clustered corpora
-    // (the 100 TB case IVF exists for) concentrate neighbors in few
-    // cells.
+    // IVF on the UNCLUSTERED fixture, UNTUNED seed (r5 verdict: the
+    // tuned seed=103 certified the fixture, not the operator). On
+    // structureless random vectors the true top-10's cells are random,
+    // so exactness genuinely requires probing most cells — nprobe=12/16
+    // here, measured across seeds with ProbeIvfCells (worst effective
+    // cell rank at the default seed: 5 at sf0.01, 10 at sf0.1;
+    // replicas=2 keeps boundary vectors findable from both adjacent
+    // cells). That is the documented graceful-degradation contract:
+    // pruning adapts to the data, and when there is no structure the
+    // operator converges toward (but never past) a full scan instead of
+    // silently dropping recall. REAL cell pruning — 2 of 8 cells at the
+    // default seed — is certified by x_ann_ivf_clustered below, on the
+    // planted-cluster corpus IVF exists for.
     "x_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val query = e.where(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      // assignReplicas=2: boundary vectors are findable from both
-      // adjacent cells (index is 2× but probes stay nprobe/nlist of the
-      // corpus). seed chosen by measured recall on the verification
-      // fixture (ProbeIvfCells): the true top-10's effective worst cell
-      // rank is 0, so nprobe=6 carries real headroom — centroid training
-      // is driver-side LocalKMeans (see ivfIndex), so the fit is
-      // deterministic given (seed, sample).
       val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16,
-        seed = 103L, assignReplicas = 2)
-      Similarity.ivfTopK(idx, query, k = 10, nprobe = 6)
+        assignReplicas = 2)
+      Similarity.ivfTopK(idx, query, k = 10, nprobe = 12)
         .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+    // CLUSTERED-corpus IVF recall contract (the case IVF exists for —
+    // r5 verdict asked for a recall row that certifies the operator, not
+    // a tuned seed): the fixture regroups embeddings into 8 planted
+    // clusters (center = the vector with vec_id = id % 8, noise = 0.05×
+    // the row's own vector), and cell pruning at the DEFAULT seed with
+    // nprobe=2 of nlist=8 must reproduce the exact brute-force top-10
+    // as a SET (output is ids only: selection gaps are ≥5e-7 in cosine,
+    // far above double noise, while rounded-cosine columns would tie at
+    // 4 decimals and make row order oracle-fragile).
+    "x_ann_ivf_clustered" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val centers = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val clustered = e.join(broadcast(centers), pmod(col("vec_id"), lit(8)) === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("cemb"), col("emb"), (c, x) => c + lit(0.05) * x).as("emb"))
+      val query = clustered.where(col("vec_id") === 1)
+        .select("emb").collect()(0).getSeq[Double](0).toArray
+      val idx = Similarity.ivfIndex(clustered, "vec_id", "emb", nlist = 8)
+      Similarity.ivfTopK(idx, query, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id")).orderBy("vec_id")
+    }),
+    // encode-once/search-many contract: the PQ codes frame is WRITTEN to
+    // parquet at build time and each query ranks by scanning that narrow
+    // persisted index (id, cell, codes) — no query-time encode, floats
+    // touched only in the candidate re-rank (full probe + 200 candidates
+    // makes the result the exact brute-force top-10, same oracle shape
+    // as x_pq_topk).
+    "x_pq_persisted" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
+      val index = graft.operators.ProductQuantization.ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
+      index.codes.write.mode("overwrite").parquet(dir0)
+      val persisted = index.copy(codes = s.read.parquet(dir0))
+      val q = e.where(col("vec_id") === 0).select("emb").collect()(0).getSeq[Double](0).toArray
+      graft.operators.ProductQuantization
+        .ivfPqTopK(persisted, e, "vec_id", "emb", q, k = 10, nprobe = 8, candidates = 200)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
     // planted-recall contract: 25 perturbed copies at cosine ≈ 0.97; the

@@ -50,7 +50,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (n < m * subDim) return null
+    // exact-length guard: a LONGER vector would silently encode only the
+    // first m*subDim dims (while normalize divides by the full-vector
+    // norm) — surface any dimension mismatch as null, the same contract
+    // as PqAdcDistance's (m, k) mismatch handling
+    if (n != m * subDim) return null
     val f = isFloat
     var inv = 1.0
     if (normalize) {

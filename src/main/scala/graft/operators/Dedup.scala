@@ -174,7 +174,21 @@ object Dedup {
    */
   def incrementalNearDuplicates(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      cfg: LshConfig = LshConfig()): DataFrame = {
+      cfg: LshConfig = LshConfig()): DataFrame =
+    incrementalNearDuplicatesWithCleanup(existing, incoming, idCol, textCol,
+      threshold, cfg)._1
+
+  /**
+   * [[incrementalNearDuplicates]] plus a cleanup handle that unpersists
+   * the internal candidate-pair cache, mirroring
+   * [[minhashNearDuplicatesWithCleanup]] — library consumers with a
+   * terminal action should invoke the handle once the returned frame has
+   * been materialized (leaked caches accumulate across queries until
+   * eviction churn dominates; see the BENCH_r04 regression note there).
+   */
+  def incrementalNearDuplicatesWithCleanup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     val be = minhashBuckets(existing, idCol, textCol, cfg)
       .withColumnRenamed("doc_id", "id_a")
@@ -206,11 +220,9 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     // the candidate cache stays alive while `out` is consumed (it is
-    // referenced by three branches of the verify join); like
-    // minhashNearDuplicates, terminal callers release it via
-    // spark.catalog.clearCache() / session scope (Bench clears between
-    // queries)
-    out
+    // referenced by three branches of the verify join); the cleanup
+    // handle releases it once the caller has materialized the result
+    (out, () => { pairs.unpersist(blocking = false); () })
   }
 
   /**

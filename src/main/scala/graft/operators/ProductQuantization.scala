@@ -29,16 +29,18 @@ object ProductQuantization {
   final case class PqModel(m: Int, k: Int, subDim: Int,
       codebooks: Array[Array[Array[Double]]])
 
-  /** Fit per-subspace codebooks on a driver-collected sample (bounded;
-    * deterministic given seed + sample order by id). Vectors are
-    * L2-NORMALIZED before slicing: the search contract is cosine, and on
-    * unit vectors ADC's squared L2 is 2−2·cos, so codes trained and
-    * ranked in normalized space order candidates by cosine. */
+  /** Fit per-subspace codebooks on a driver-collected sample — bounded,
+    * deterministic, and UNBIASED: rows are drawn by smallest
+    * `xxhash64(id)` ([[Similarity.trainingSample]]), not head-of-table,
+    * so at 100 TB with time/source-ordered ingest the codebooks train
+    * across the whole corpus instead of one shard of one source.
+    * Vectors are L2-NORMALIZED before slicing: the search contract is
+    * cosine, and on unit vectors ADC's squared L2 is 2−2·cos, so codes
+    * trained and ranked in normalized space order candidates by cosine. */
   def fit(df: DataFrame, idCol: String, embCol: String, m: Int = 8, k: Int = 16,
       seed: Long = 42L, maxSample: Int = 20000): PqModel = {
-    val sample = df.select(col(idCol), col(embCol))
-      .orderBy(col(idCol)).limit(maxSample)
-      .collect().map(r => normalized(r.getSeq[Double](1).toArray))
+    val sample = Similarity.trainingSample(df, idCol, embCol, maxSample)
+      .map(normalized)
     require(sample.nonEmpty, "pq fit needs a non-empty sample")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -130,23 +132,42 @@ object ProductQuantization {
       df, idCol, embCol, model, query, k, candidates)
 
   /**
-   * Encode-once / search-many: rank a PRE-ENCODED codes frame (the
-   * persisted index a production deployment stores — [[encode]] run once
-   * at ingest) so each query reads only the codes column; [[adcTopK]] is
-   * the convenience wrapper that encodes inline for one-shot use. The
-   * exact re-rank joins back to the float frame for candidates only.
+   * IVF-PQ index: the billion-scale serving composition (faiss
+   * `IVFxx,PQyy`). `codes` is the NARROW persisted frame — (id, cell,
+   * array<int> codes), ~8 bytes of code per vector instead of the
+   * 512-byte float row — encoded ONCE at build time; float vectors stay
+   * only in the caller's base frame and are read at query time for the
+   * candidate re-rank alone. Write `codes` to parquet partitioned by
+   * `cell` and each query's probed-cell filter becomes partition
+   * pruning on a codes-only scan.
    */
+  final case class IvfPqIndex(codes: DataFrame,
+      centroids: Array[(Int, Array[Double])], model: PqModel)
+
+  /** Build the IVF-PQ index: IVF cell assignment ([[Similarity.ivfIndex]])
+    * composed with one distributed [[encode]] pass — codes are computed
+    * at BUILD time, never at query time. */
+  def ivfPqIndex(df: DataFrame, idCol: String, embCol: String, model: PqModel,
+      nlist: Int = 16, seed: Long = 42L, trainSample: Int = 20000,
+      assignReplicas: Int = 1): IvfPqIndex = {
+    val ivf = Similarity.ivfIndex(df, idCol, embCol, nlist, seed, trainSample, assignReplicas)
+    val codes = ivf.assigned.select(col("id"), col("cell"),
+      column(graft.functions.PqEncode(expression(col("emb")), model.codebooks,
+        normalize = true)).as("codes"))
+    IvfPqIndex(codes, ivf.centroids, model)
+  }
+
   /**
-   * IVF-PQ: the billion-scale serving composition (faiss `IVFxx,PQyy`) —
-   * IVF cell pruning cuts the scanned fraction to ~nprobe/nlist, and
-   * within the probed cells ranking reads PQ CODES only (ADC lookups);
-   * the exact cosine re-rank touches float vectors for the candidate
-   * set alone. At 10^10 vectors the per-query work drops from a corpus
-   * scan of 512-byte rows to (nprobe/nlist) × 8-byte code rows + a
-   * candidate-sized float read.
+   * IVF-PQ top-k: IVF cell pruning cuts the scanned fraction to
+   * ~nprobe/nlist, and within the probed cells ranking reads the STORED
+   * PQ codes only (ADC lookups — no float vector is touched until the
+   * exact cosine re-rank of the candidate set, via [[searchEncoded]]'s
+   * semi-join against the base frame `df`). At 10^10 vectors the
+   * per-query work drops from a corpus scan of 512-byte rows to
+   * (nprobe/nlist) × 8-byte code rows + a candidate-sized float read.
    */
-  def ivfPqTopK(index: Similarity.IvfIndex, model: PqModel, query: Array[Double],
-      k: Int, nprobe: Int = 4, candidates: Int = 0): DataFrame = {
+  def ivfPqTopK(index: IvfPqIndex, df: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int, nprobe: Int = 4, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)
     val cells = index.centroids.map { case (i, c) =>
       var d = 0.0
@@ -155,13 +176,20 @@ object ProductQuantization {
       while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1)
-    val probed = index.assigned
+    val probed = index.codes
       .where(col("cell").isin(cells.toSeq: _*))
       .dropDuplicates("id") // multi-assigned vectors appear in 2+ probed cells
-    val coded = encode(probed, "id", "emb", model, normalize = true)
-    searchEncoded(coded, probed, "id", "emb", model, query, k, nCand)
+      .withColumnRenamed("id", idCol)
+    searchEncoded(probed, df, idCol, embCol, index.model, query, k, nCand)
   }
 
+  /**
+   * Encode-once / search-many: rank a PRE-ENCODED codes frame (the
+   * persisted index a production deployment stores — [[encode]] run once
+   * at ingest) so each query reads only the codes column; [[adcTopK]] is
+   * the convenience wrapper that encodes inline for one-shot use. The
+   * exact re-rank joins back to the float frame for candidates only.
+   */
   def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)

@@ -108,6 +108,32 @@ object Similarity {
     }
   }
 
+  /**
+   * UNBIASED deterministic training sample: the `n` rows with the
+   * smallest `xxhash64(id)` (ties to lower id), returned sorted by id.
+   *
+   * Head-of-table `limit(n)` is NOT a uniform sample — at 100 TB with
+   * time- or source-ordered ingest the first 20k vectors are one shard
+   * of one source, and centroid/codebook quality (hence recall) silently
+   * collapses on the rest of the corpus. Hash order is pseudorandom and
+   * independent of ingest order, so the selected SET is an unbiased
+   * draw, and the returned ORDER — TakeOrderedAndProject emits rows in
+   * (hash, id) sort order — is a pure function of the id set, so the
+   * trained model no longer depends on which partition happened to
+   * deliver first (LocalKMeans seeding is order-sensitive).
+   *
+   * Plan shape: one narrow projection + TakeOrderedAndProject — a
+   * per-partition bounded heap, never a full sort of the corpus.
+   */
+  private[operators] def trainingSample(df: DataFrame, idCol: String,
+      embCol: String, n: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(embCol).cast("array<double>").as("__emb"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** Deterministic random hyperplanes: `numBits` unit-free vectors of
     * dimension `dim`, components from splitmix64 mapped to [-1, 1). */
   private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
@@ -135,8 +161,13 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for one query vector.
     * Plans as scan → project(cosine) → TakeOrderedAndProject. */
-  def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+  def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Float], k: Int): DataFrame =
+    topK(df, idCol, embCol, query.map(_.toDouble), k)
+
+  /** Double-precision query variant (see the [[ivfTopK]] double overload
+    * for why computed query vectors must not truncate to float32). */
+  def topK(df: DataFrame, idCol: String, embCol: String, query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
     df.select(col(idCol), cosine_sim(col(embCol), q).as("cosine"))
       .where(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol))
@@ -225,8 +256,7 @@ object Similarity {
       nlist: Int = 16, seed: Long = 42L, trainSample: Int = 20000,
       assignReplicas: Int = 1): IvfIndex = {
     require(assignReplicas >= 1 && assignReplicas <= nlist)
-    val sample = df.select(col(embCol).cast("array<double>")).limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainingSample(df, idCol, embCol, trainSample)
     val cents = LocalKMeans.fit(sample, nlist, seed)
     val centroids = cents.zipWithIndex.map { case (c, i) => (i, c) }
     val bc = df.sparkSession.sparkContext.broadcast(cents)
@@ -267,7 +297,14 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
-  def ivfTopK(index: IvfIndex, query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+  def ivfTopK(index: IvfIndex, query: Array[Float], k: Int, nprobe: Int = 4): DataFrame =
+    ivfTopK(index, query.map(_.toDouble), k, nprobe)
+
+  /** Double-precision query variant: a COMPUTED query vector (e.g. a
+    * centroid or a derived fixture vector) must rank at full precision —
+    * truncating it to float32 would perturb cosines by ~1e-7, enough to
+    * flip near-tied neighbors at the top-k boundary. */
+  def ivfTopK(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     // nearest cells by centroid distance (driver-side: nlist is small)
     val cells = index.centroids.map { case (i, c) =>
       var d = 0.0
@@ -276,7 +313,7 @@ object Similarity {
       while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.map(lit): _*)
     index.assigned
       .where(col("cell").isin(cells.toSeq: _*))
       .select(col("id"), cosine_sim(col("emb"), q).as("cosine"))
@@ -357,34 +394,61 @@ object Similarity {
    *
    * Scale: one narrow signature projection, one shuffle on (band,
    * value), pair generation inside capped buckets only — never
-   * all-pairs. Expected candidate volume ≈ chunks · N² / 2^bitsPerChunk
-   * for unstructured data; near-duplicate clusters concentrate in
-   * shared buckets.
+   * all-pairs. Bucket rows carry IDS ONLY (a hot bucket at
+   * maxBucketSize=10000 aggregates ~80 KB of longs, not ~30 MB of
+   * 384-d vectors); the exact-cosine verify semi-joins embeddings back
+   * by id for candidate members alone — the same verify shape as
+   * minhashNearDuplicates. Expected candidate volume ≈
+   * chunks · N² / 2^bitsPerChunk for unstructured data; near-duplicate
+   * clusters concentrate in shared buckets.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
-      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame =
+    cosineNearDupPairsWithCleanup(df, idCol, embCol, threshold, dim, chunks,
+      seed, maxBucketSize)._1
+
+  /** [[cosineNearDupPairs]] plus a cleanup handle for the internal
+    * candidate-pair cache (the [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]]
+    * contract: callers with a terminal action release the cache once the
+    * returned frame has been materialized). */
+  def cosineNearDupPairsWithCleanup(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
+      seed: Long = 42L, maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
     require(chunks >= 1 && chunks <= 64 && 64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("sig", signBits(col("emb"), 64, dim, seed))
+      .select(col("id"), col("sig")) // ids + 8-byte signatures; vectors stay behind
     val bandStructs = (0 until chunks).map { i =>
       struct(lit(i).as("band"),
         shiftrightunsigned(col("sig"), i * bits).bitwiseAND(lit((1L << bits) - 1)).as("value"))
     }
-    val banded = sig.select(col("id"), col("emb"), explode(array(bandStructs: _*)).as("c"))
-      .select(col("id"), col("emb"), col("c.band"), col("c.value"))
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("c"))
+      .select(col("id"), col("c.band"), col("c.value"))
     val buckets = banded.groupBy("band", "value")
-      .agg(collect_list(struct(col("id"), col("emb"))).as("members"), count(lit(1)).as("n"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucketSize)
-    buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine_sim(col("a.emb"), col("b.emb")).as("cosine"))
-      .where(col("cosine") >= threshold)
+    // candidate pairs persist (tiny: bucket-coincident id pairs) so the
+    // member id set below doesn't re-run the signature pipeline
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact verify reads float vectors for CANDIDATE MEMBERS ONLY
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val emb = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+    val verified = pairs
+      .join(emb.withColumnRenamed("id", "id_a").withColumnRenamed("emb", "__ea"), "id_a")
+      .join(emb.withColumnRenamed("id", "id_b").withColumnRenamed("emb", "__eb"), "id_b")
+      .select(col("id_a"), col("id_b"), cosine_sim(col("__ea"), col("__eb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    (verified, () => { pairs.unpersist(blocking = false); () })
   }
 
   /**

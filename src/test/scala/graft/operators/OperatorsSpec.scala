@@ -182,6 +182,48 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("clustered corpus: IVF at the default seed prunes to 2/8 cells with recall@10 = 1.0") {
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val centers = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"emb".as("cemb"))
+    val clustered = e.join(org.apache.spark.sql.functions.broadcast(centers),
+        pmod($"vec_id", org.apache.spark.sql.functions.lit(8)) === $"cid")
+      .select($"vec_id", zip_with($"cemb", $"emb",
+        (c, x) => c + org.apache.spark.sql.functions.lit(0.05) * x).as("emb"))
+    val q = clustered.where($"vec_id" === 1).select("emb").head().getSeq[Double](0).toArray
+    val exact = Similarity.topK(clustered, "vec_id", "emb", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.ivfIndex(clustered, "vec_id", "emb", nlist = 8)
+    val got = Similarity.ivfTopK(idx, q, 10, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == exact, s"ivf=$got exact=$exact")
+  }
+
+  test("trainingSample draws across the whole id range of a skew-ordered frame, deterministically") {
+    import spark.implicits._
+    // one partition, physically ordered by id: head-of-table = ids 0..n-1
+    // (the time/source-ordered-ingest shape where limit(n) is one shard)
+    val skewed = (0L until 1000L).map(i => (i, Array(i.toDouble, 1.0)))
+      .toDF("id", "emb").coalesce(1).sortWithinPartitions("id")
+    def ids(): Seq[Long] =
+      Similarity.trainingSample(skewed, "id", "emb", 100).map(_(0).toLong).toSeq
+    val s = ids()
+    assert(s.size == 100)
+    // head-of-table would give exactly 0..99; the hash draw must span
+    // the range — every quartile of the id space represented
+    val quartiles = s.map(_ / 250).toSet
+    assert(quartiles == Set(0L, 1L, 2L, 3L), s"sample ids: $s")
+    assert(s.max > 900 && s.min < 100, s"sample ids: $s")
+    // and it is a pure function of the id set: same call, same sample
+    assert(ids() == s)
+    // TakeOrderedAndProject, never a full sort of the corpus
+    val plan = skewed.select($"id", $"emb".cast("array<double>").as("__emb"),
+      org.apache.spark.sql.functions.xxhash64($"id").as("__h"))
+      .orderBy($"__h", $"id").limit(100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

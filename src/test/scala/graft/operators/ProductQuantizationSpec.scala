@@ -67,19 +67,50 @@ class ProductQuantizationSpec extends SparkSpec {
 
   test("IVF-PQ: full probe equals brute force; partial probe keeps high recall") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
-    val index = Similarity.ivfIndex(embs, "vec_id", "emb", nlist = 8)
+    val index = ProductQuantization.ivfPqIndex(embs, "vec_id", "emb", model, nlist = 8)
     val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
     val exact = Similarity.topK(embs, "vec_id", "emb", q.map(_.toFloat), k = 10)
       .select("vec_id").as[Long].collect().toSeq
     // probing every cell removes IVF pruning error; PQ candidates + exact
     // re-rank must then reproduce the brute-force ranking
-    val full = ProductQuantization.ivfPqTopK(index, model, q, k = 10, nprobe = 8, candidates = 100)
-      .select("id").as[Long].collect().toSeq
+    val full = ProductQuantization
+      .ivfPqTopK(index, embs, "vec_id", "emb", q, k = 10, nprobe = 8, candidates = 100)
+      .select("vec_id").as[Long].collect().toSeq
     assert(full == exact, s"full-probe=$full exact=$exact")
     // half the cells: the pruned path keeps most of the true top-10
-    val partial = ProductQuantization.ivfPqTopK(index, model, q, k = 10, nprobe = 4, candidates = 100)
-      .select("id").as[Long].collect().toSet
+    val partial = ProductQuantization
+      .ivfPqTopK(index, embs, "vec_id", "emb", q, k = 10, nprobe = 4, candidates = 100)
+      .select("vec_id").as[Long].collect().toSet
     assert((partial intersect exact.toSet).size >= 8, s"partial=$partial exact=$exact")
+  }
+
+  test("persisted IVF-PQ index: ranking scans the codes parquet, touching no float column") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val index = ProductQuantization.ivfPqIndex(embs, "vec_id", "emb", model, nlist = 8)
+    assert(index.codes.columns.toSeq == Seq("id", "cell", "codes"))
+    // encode-once: persist the codes frame (what production stores),
+    // then query against the PERSISTED index
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    index.codes.write.mode("overwrite").parquet(dir)
+    val persisted = index.copy(codes = spark.read.parquet(dir))
+    val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
+    val out = ProductQuantization.ivfPqTopK(persisted, embs, "vec_id", "emb", q, k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // no query-time encode anywhere in the plan
+    assert(!plan.contains("pq_encode"), plan)
+    // the codes-parquet scan prunes to (id, cell, codes): the ranking
+    // side reads no float/emb column — that comes in only via the
+    // candidate re-rank scan of the base frame
+    val codeScan = plan.linesIterator.filter(l => l.contains(dir.split('/').last)).mkString("\n")
+    assert(codeScan.nonEmpty, plan)
+    assert(!codeScan.contains("emb"), codeScan)
+    // and the search result over the persisted index matches brute force
+    val exact = Similarity.topK(embs, "vec_id", "emb", q.map(_.toFloat), k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = ProductQuantization
+      .ivfPqTopK(persisted, embs, "vec_id", "emb", q, k = 10, nprobe = 8, candidates = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"got=$got exact=$exact")
   }
 
   test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
