@@ -168,6 +168,11 @@ object Queries {
       "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) " +
       "ORDER BY doc_id LIMIT 2000"
 
+  /** Frozen `now` for the relative-date contract (x_relative_date): one
+    * day after the events fixture's last day (2024-01-30), so "last 10
+    * days" selects a proper nonempty subset at every SF. */
+  private[graft] val frozenNow: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 31)
+
   val extensionOracles: Map[String, String] = Map(
     // W2: k-bounded global rank. The Spark side is RankLimit.globalRankTopK
     // (TakeOrderedAndProject + positional rank — NO single-partition
@@ -193,6 +198,11 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // the gold side of the relative-date contract computes its cutoff
+    // from the SAME frozen `now` the template layer is given
+    "x_relative_date" ->
+      (s"SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value FROM events " +
+        s"WHERE ts >= DATE '${frozenNow.minusDays(10)}' GROUP BY event_type ORDER BY event_type"),
     // session semantics: new session when the gap since the previous event
     // of the same user exceeds 30 minutes (matches session_window's
     // half-open-window merge; exact-boundary gaps are measure-zero in
@@ -640,6 +650,18 @@ object Queries {
         "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
         "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
         "ORDER BY query_id, rank LIMIT 100"),
+    // IVF-pruned k-NN join: gold is the brute-force per-query top-5 over
+    // the planted-cluster frame (cell pruning must lose nothing there)
+    "x_knn_join_ivf" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "cl AS (SELECT e.vec_id, [c.cemb[i] + 0.05 * e.emb[i] for i in range(1, 65)] AS emb " +
+        "FROM e JOIN c ON e.vec_id % 8 = c.cid), " +
+        "q AS (SELECT vec_id AS query_id, emb AS qemb FROM cl WHERE vec_id IN (1, 2, 3)), " +
+        "x AS (SELECT q.query_id, cl.vec_id, CAST(list_cosine_similarity(cl.emb, q.qemb) AS DOUBLE) AS cos FROM cl, q), " +
+        "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
+        "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY query_id, rank LIMIT 100"),
     // nearest-centroid assignment (fixed probe centroids = vec_id < 8 so
     // the argmax is SQL-expressible); ties break to the lower centroid id
     "x_cluster_assign" ->
@@ -928,6 +950,24 @@ object ExtensionQueries {
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank").limit(100)
     }),
+    // IVF-pruned k-NN join on the planted-cluster frame (the big-query-
+    // set scale path: queries equi-join their probed cells, never the
+    // |q|×corpus broadcast fan-out) — with 2/8 cells probed the result
+    // must still equal the brute-force per-query top-5
+    "x_knn_join_ivf" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val centers = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val clustered = e.join(broadcast(centers), pmod(col("vec_id"), lit(8)) === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("cemb"), col("emb"), (c, x) => c + lit(0.05) * x).as("emb"))
+      val q = clustered.where(col("vec_id").isin(1, 2, 3))
+      val idx = Similarity.ivfIndex(clustered, "vec_id", "emb", nlist = 8)
+      Similarity.knnJoinIvf(idx, q, "vec_id", "emb", k = 5, nprobe = 2)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank").limit(100)
+    }),
     // nearest-centroid assignment with fixed probe centroids (vec_id < 8)
     "x_cluster_assign" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -1207,6 +1247,22 @@ object ExtensionQueries {
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hour", "event_type").limit(100)
+    }),
+    // relative-date serving (SURVEY P10, ref query_intent.py:183-195):
+    // the NL phrase "in the last 10 days" goes through the TEMPLATE
+    // layer's extractFilters with a frozen `now`, renders as a concrete
+    // DATE lower bound, and the filtered aggregate must match the
+    // oracle computed from the same frozen date — certifying the NL→
+    // filter path, not a hand-written WHERE
+    "x_relative_date" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events")
+      val conds = graft.gen.Templates.extractFilters(
+        "events in the last 10 days", events.columns.toSeq, Queries.frozenNow)
+      events.where(conds.mkString(" AND "))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
     }))
 }
 

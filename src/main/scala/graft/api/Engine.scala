@@ -28,10 +28,25 @@ final class Engine(
     val spark: SparkSession,
     val tables: Seq[String],
     val fks: Seq[FkEdge],
-    llm: LlmClient = NoOpLlmClient) {
+    llm: LlmClient = NoOpLlmClient,
+    val docCollections: Seq[String] = Nil) {
 
   private def lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
+
+  /** Dotted leaf paths of a document collection's inferred schema
+    * ("user.age"), so field linking and predicates reach into nesting. */
+  private def leafPaths(schema: org.apache.spark.sql.types.StructType,
+      prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: org.apache.spark.sql.types.StructType => leafPaths(s, prefix + f.name + ".")
+        case _ => Seq(prefix + f.name)
+      }
+    }
+
+  private def docSchemas: Map[String, Seq[String]] =
+    docCollections.map(c => c -> leafPaths(spark.table(c).schema)).toMap
 
   /** Connection test (S2, ref main.py:184-195): `SELECT 1` scalar probe. */
   def connectTest: Boolean =
@@ -133,6 +148,22 @@ final class Engine(
   def ask(question: String, limit: Int = Executor.DefaultLimit,
       timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] = {
     val schema = lightweightSchema
+    // NL→document dispatch (ref routes_ai.py:150-159 routes Mongo URLs to
+    // the nl2mongo generator): when a registered COLLECTION outscores
+    // every SQL table on the N3 fuzzy link, the question is served by the
+    // find/aggregate builders; a failed doc attempt falls through to the
+    // SQL path below (V14 fallback chain, always-answer).
+    if (docCollections.nonEmpty) {
+      val ds = docSchemas
+      val docScore = ds.map { case (c, fs) => Fuzzy.tableScore(question, c, fs) }
+        .maxOption.getOrElse(0)
+      val sqlScore = schema.map { case (t, cs) => Fuzzy.tableScore(question, t, cs) }
+        .maxOption.getOrElse(0)
+      if (docScore > sqlScore) askDocs(question, limit) match {
+        case r @ Right(_) => return r
+        case Left(_) => // fall through to SQL generation
+      }
+    }
     val slice = Fuzzy.selectRelevant(question, schema)
     val analysis = Intent.analyze(question, tables)
 
@@ -162,6 +193,41 @@ final class Engine(
       }
     }
     Left(lastErr)
+  }
+
+  /**
+   * NL→document-query pipeline (ref `_handle_mongodb_query`,
+   * routes_ai.py:150-159 + nl2mongo.py:64-116): fuzzy-link the question
+   * to ONE registered collection, build a find spec or aggregate
+   * pipeline deterministically ([[graft.gen.Nl2Doc]]), execute through
+   * [[graft.sources.DocSource]] (read-only by construction — there is no
+   * statement surface to validate), and return the `_id`-first JSON
+   * envelope. The echoed "sql" is the generated query JSON, the same
+   * `query_dict` shape the reference logs.
+   */
+  def askDocs(question: String,
+      limit: Int = Executor.DefaultLimit): Either[EngineError, QueryResult] = {
+    try {
+      val ds = docSchemas
+      graft.gen.Nl2Doc.linkCollection(question, ds) match {
+        case None => Left(SqlSafetyError("No collection linked to the question"))
+        case Some(c) =>
+          val q = graft.gen.Nl2Doc.build(question, c, ds(c))
+          val df = q.spec match {
+            case Left(spec) =>
+              graft.sources.DocSource.find(spark.table(c),
+                spec.copy(limit = math.min(spec.limit, limit)))
+            case Right(stages) =>
+              graft.sources.DocSource.aggregate(spark.table(c), stages).limit(limit)
+          }
+          val (cols, rows) = graft.sources.DocSource.jsonEnvelope(df)
+          Right(QueryResult(q.render, cols, rows, rows.size,
+            graft.sources.DocSource.explain(df)))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(ExecutionError(s"document query failed: ${e.getMessage}"))
+    }
   }
 }
 

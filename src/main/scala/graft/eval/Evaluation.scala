@@ -266,8 +266,8 @@ object Evaluation {
         "HAVING COUNT(DISTINCT course_id) > 5) t", "nested_having_count"),
     EvalCase("highest average score among courses",
       "SELECT MAX(a) AS agg_value FROM (SELECT AVG(score) AS a FROM scores GROUP BY course_id) t", "agg_of_agg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-5 open cases, closed in round 6 (group-wise argmax /
+    //     HAVING-vs-scalar / ratio-aggregate template shapes) ---
     EvalCase("for each dept the course with the highest average score",
       "SELECT dept, course_name FROM (SELECT c.dept, c.course_name, " +
         "ROW_NUMBER() OVER (PARTITION BY c.dept ORDER BY AVG(sc.score) DESC, c.course_name) AS rn " +
@@ -279,5 +279,18 @@ object Evaluation {
         "ORDER BY st.student_name LIMIT 100", "having_scalar"),
     EvalCase("percentage of scores with grade A",
       "SELECT ROUND(100.0 * SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
-        "FROM scores", "ratio_agg"))
+        "FROM scores", "ratio_agg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students older than the average age of their grade level",
+      "SELECT student_name FROM students s WHERE age > " +
+        "(SELECT AVG(age) FROM students s2 WHERE s2.grade_level = s.grade_level) " +
+        "ORDER BY student_name LIMIT 100", "correlated_filter"),
+    EvalCase("median score per course",
+      "SELECT course_id, MEDIAN(score) AS agg_value FROM scores GROUP BY course_id " +
+        "ORDER BY course_id LIMIT 100", "percentile_agg"),
+    EvalCase("the 3 courses with the fewest students",
+      "SELECT c.course_name, COUNT(DISTINCT sc.student_id) AS agg_value FROM scores sc " +
+        "JOIN courses c ON c.course_id = sc.course_id GROUP BY c.course_name " +
+        "ORDER BY agg_value ASC, c.course_name LIMIT 3", "bottom_n"))
 }

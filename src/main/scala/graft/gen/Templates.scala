@@ -133,6 +133,17 @@ object Templates {
   // hint (query_intent.py:183-195 "use date functions in WHERE").
   private val dateCmpRe =
     raw"(?i)\b(after|since|before|until)\s+(\d{4}-\d{2}-\d{2}|\d{4})\b".r
+  // relative-date phrases (ref query_intent.py:183-195 detects these and
+  // hints "use date functions in WHERE"; here they render as concrete
+  // DATE literals from the `now` parameter): "in the last 30 days",
+  // "past 2 weeks" — a rolling lower bound...
+  private val relSpanRe =
+    raw"(?i)\b(?:last|past)\s+(\d+)\s+(day|week|month|year)s?\b".r
+  // ...and calendar units: "last month" = the previous calendar month
+  // (a half-open [first, first-of-current) range), "this year" = since
+  // Jan 1, "yesterday" = that one day
+  private val relNamedRe =
+    raw"(?i)\b(?:(last|this)\s+(week|month|year)|(today|yesterday))\b".r
   // LIKE shapes: "names starting with A" -> student_name LIKE 'A%';
   // "ending with X" / "containing X" -> suffix / infix patterns. The
   // column link uses only the word directly before the phrase ("names"),
@@ -181,7 +192,17 @@ object Templates {
     * render as one `col IN (…)` — the disjunctive reading; an AND of
     * conflicting equalities would be vacuously empty. `BETWEEN lo AND hi`
     * extracts as a single range condition. */
-  def extractFilters(question: String, cols: Seq[String]): Seq[String] = {
+  def extractFilters(question: String, cols: Seq[String]): Seq[String] =
+    extractFilters(question, cols, java.time.LocalDate.now())
+
+  /** Variant with a FROZEN `now`: relative-date phrases ("last month",
+    * "past 30 days") render as concrete `DATE '…'` literals computed
+    * from it, so the emitted SQL is deterministic and replayable by any
+    * engine — callers that need reproducible output (tests, the
+    * CORRECTNESS oracle, cached query logs) pin `now`; `ask`-path
+    * callers get wall-clock behavior from the 2-arg overload. */
+  def extractFilters(question: String, cols: Seq[String],
+      now: java.time.LocalDate): Seq[String] = {
     // rendered conditions keyed by (col, op); `=` keys render last-minute
     // from eqVals so repeated values fold into IN — the LinkedHashMap
     // preserves first-appearance order either way
@@ -202,6 +223,46 @@ object Templates {
     def consume(ms: Seq[scala.util.matching.Regex.Match]): Unit =
       for (m <- ms)
         masked = masked.substring(0, m.start) + (" " * (m.end - m.start)) + masked.substring(m.end)
+    // relative dates run FIRST and consume their spans so "last 30 days"
+    // can't leak its number into the numeric-equality extractors; the
+    // column is the nearest date-ish one, as for dateCmpRe below
+    val dateishCol = cols.find(n => { val l = n.toLowerCase
+      l.contains("date") || l.endsWith("_ts") || l == "ts" || l.contains("time") })
+    val relSpanMs = relSpanRe.findAllMatchIn(masked).toSeq
+    for (m <- relSpanMs; c <- dateishCol) {
+      val n = m.group(1).toLong
+      val from = m.group(2).toLowerCase match {
+        case "day" => now.minusDays(n)
+        case "week" => now.minusWeeks(n)
+        case "month" => now.minusMonths(n)
+        case _ => now.minusYears(n)
+      }
+      out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
+    }
+    consume(relSpanMs)
+    val relNamedMs = relNamedRe.findAllMatchIn(masked).toSeq
+    for (m <- relNamedMs; c <- dateishCol) {
+      import java.time.DayOfWeek
+      import java.time.temporal.TemporalAdjusters.previousOrSame
+      val monday = now.`with`(previousOrSame(DayOfWeek.MONDAY))
+      // (from, until): until = None leaves an open-ended "since" filter
+      val (from, until) = (Option(m.group(1)).map(_.toLowerCase),
+          Option(m.group(2)).map(_.toLowerCase), Option(m.group(3)).map(_.toLowerCase)) match {
+        case (Some("last"), Some("week"), _) => (monday.minusWeeks(1), Some(monday))
+        case (Some("last"), Some("month"), _) =>
+          (now.withDayOfMonth(1).minusMonths(1), Some(now.withDayOfMonth(1)))
+        case (Some("last"), Some("year"), _) =>
+          (now.withDayOfYear(1).minusYears(1), Some(now.withDayOfYear(1)))
+        case (Some("this"), Some("week"), _) => (monday, None)
+        case (Some("this"), Some("month"), _) => (now.withDayOfMonth(1), None)
+        case (Some("this"), Some("year"), _) => (now.withDayOfYear(1), None)
+        case (_, _, Some("yesterday")) => (now.minusDays(1), Some(now))
+        case _ => (now, Some(now.plusDays(1))) // today
+      }
+      out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
+      until.foreach(u => out.getOrElseUpdate(s"$c <", s"$c < DATE '$u'"))
+    }
+    consume(relNamedMs)
     val betweenMs = betweenRe.findAllMatchIn(masked).toSeq
     for (m <- betweenMs; c <- strongColumn(m.group(1), cols))
       out.getOrElseUpdate(s"$c BETWEEN", s"$c BETWEEN ${m.group(2)} AND ${m.group(3)}")
@@ -697,12 +758,116 @@ object Templates {
       }
     }
 
+  // "for each dept the course with the highest average score" — a
+  // group-wise argmax: rank second-entity rows within each group by a
+  // grouped aggregate, keep rank 1
+  private val groupwiseArgmaxRe =
+    (raw"(?i)\bfor each\s+([a-z_][a-z0-9_]*)\s+the\s+([a-z_][a-z0-9_]*)\s+with the\s+" +
+      raw"(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
+      raw"(?:(average|avg|mean|total|sum)\s+)?([a-z_][a-z0-9_]*)\b").r
+
+  /** Group-wise argmax (ref `app/models/inference.py:151-213` serves this
+    * shape through LLM candidates): "for each G the E with the highest
+    * [avg] V" → rank E within G by the grouped aggregate of V, keep
+    * rn = 1 (ties to the lower display name, stated in the ORDER BY so
+    * the result is deterministic). The group word must resolve to a
+    * column ON the entity's dimension table and V to a column on a fact
+    * referencing it. Plan: one grouped aggregate (partial+final), then a
+    * window over the GROUP ROWS ONLY — |groups| rows, not the fact
+    * table — which the BoundedRankPrefilter rule further caps. */
+  def groupwiseArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupwiseArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val inner = Option(m.group(4)).map(_.toLowerCase) match {
+        case Some("total") | Some("sum") => "SUM"
+        case Some(_) => "AVG"
+        case None => "MAX"
+      }
+      (for {
+        dim <- uniqueTable(slice, m.group(2)).toSeq
+        groupCol <- strongColumn(m.group(1), slice.tables(dim)).toSeq
+        nameCol <- nameishColumn(slice.tables(dim)).toSeq
+        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
+        aggCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol, $nameCol FROM (SELECT d.$groupCol, d.$nameCol, " +
+          s"ROW_NUMBER() OVER (PARTITION BY d.$groupCol ORDER BY $inner(f.$aggCol) $dir, d.$nameCol) AS rn " +
+          s"FROM ${e.fromTable} f JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
+          s"GROUP BY d.$groupCol, d.$nameCol) t WHERE rn = 1 " +
+          s"ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_groupwise_argmax")).take(1)
+    }
+
+  // "students whose average score is above the overall average" — a
+  // per-group aggregate compared against the ungrouped (scalar) one
+  private val havingScalarRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
+      raw"(above|over|more than|greater than|below|under|less than)\s+the\s+overall\s+" +
+      raw"(average|avg|mean|total|sum)\b").r
+
+  /** HAVING vs scalar subquery: "Es whose avg V is above the overall
+    * avg" → group the fact by the entity's display column, HAVING the
+    * group aggregate compared to the ungrouped scalar. The scalar
+    * subquery is one extra scan reduced to a single row and broadcast
+    * into the HAVING filter; the grouped side shuffles once with
+    * partial aggregation. */
+  def havingScalarCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    havingScalarRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val op = if (Set("above", "over", "more than", "greater than")(m.group(4).toLowerCase)) ">" else "<"
+      (for {
+        dim <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dim)).toSeq
+        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
+        aggCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol AS $nameCol FROM ${e.fromTable} f " +
+          s"JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
+          s"GROUP BY d.$nameCol HAVING $agg(f.$aggCol) $op (SELECT $agg($aggCol) FROM ${e.fromTable}) " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_having_scalar")).take(1)
+    }
+
+  // "percentage of scores with grade A" — a conditional share of rows
+  private val ratioAggRe =
+    (raw"(?i)\b(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+([A-Za-z0-9][\w+-]*)").r
+
+  /** Ratio aggregate: "percentage of T with C = v" → 100·SUM(CASE WHEN
+    * C = v)/COUNT(*) in ONE pass over the table (a conditional sum, not
+    * two scans joined). The value token must be capitalized or numeric
+    * (checked case-sensitively, like bridgeCandidates) so "fraction of
+    * scores with problems" fabricates nothing. */
+  def ratioAggCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
+    ratioAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val value = m.group(4)
+      if (!value.matches(raw"[A-Z][\w+-]*|\d+(?:\.\d+)?")) Nil
+      else {
+        val scale = if (m.group(1).toLowerCase.startsWith("percent")) "100.0" else "1.0"
+        for {
+          t <- uniqueTable(slice, m.group(2)).toSeq
+          c <- strongColumn(m.group(3), slice.tables(t)).toSeq
+        } yield Candidate(
+          s"SELECT ROUND($scale * SUM(CASE WHEN $c = ${sqlLit(value)} THEN 1 ELSE 0 END) / COUNT(*), 2) " +
+            s"AS agg_value FROM $t",
+          0.9, "template_ratio_agg")
+      }
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
     (bridgeCandidates(slice, fks, question) ++
       nestedHavingCandidates(slice, fks, question) ++
       aggOfAggCandidates(slice, fks, question) ++
+      groupwiseArgmaxCandidates(slice, fks, question) ++
+      havingScalarCandidates(slice, fks, question) ++
+      ratioAggCandidates(slice, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

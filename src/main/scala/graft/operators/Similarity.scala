@@ -352,6 +352,61 @@ object Similarity {
   }
 
   /**
+   * IVF-PRUNED k-NN join: the scale path for LARGE query sets, where
+   * [[knnJoin]]'s broadcast fan-out (|queries| × corpus cosines) stops
+   * being affordable. Each query maps to its `nprobe` nearest IVF cells
+   * (one narrow pass against the broadcast centroid array — the same
+   * shape as index assignment), then queries meet corpus vectors by an
+   * EQUI-JOIN ON CELL, so each corpus row is scored only against the
+   * queries probing its cell: expected work is |queries| × (nprobe /
+   * nlist) × corpus instead of |queries| × corpus, and the plan is a
+   * hash join keyed on cell — never a cartesian. The per-query top-k is
+   * the bounded-heap aggregate ([[GroupTopK]]): the shuffle after
+   * scoring carries at most k (cosine, id) pairs per (query ×
+   * map-split), not the candidate set.
+   *
+   * Same recall contract as every IVF path: exact within the probed
+   * cells, so on clustered corpora (the case IVF exists for) small
+   * nprobe reproduces the brute-force result; [[knnJoin]] remains the
+   * exact baseline.
+   *
+   * Output matches [[knnJoin]]: (query_id, id, cosine, rank).
+   */
+  def knnJoinIvf(index: IvfIndex, queries: DataFrame, qIdCol: String,
+      qEmbCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val np = nprobe
+    val probes = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qemb"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (qid, qemb) =>
+          cs.map { case (ci, c) =>
+            var d = 0.0
+            val n = math.min(c.length, qemb.length)
+            var j = 0
+            while (j < n) { val diff = c(j) - qemb(j); d += diff * diff; j += 1 }
+            (ci, d)
+          }.sortBy(_._2).take(np).map { case (ci, _) => (qid, qemb, ci) }
+        }
+      }.toDF("query_id", "__qemb", "cell")
+    val scored = index.assigned.join(probes, "cell")
+      .select(col("query_id"), col("id"),
+        cosine_sim(col("emb"), col("__qemb")).as("cosine"))
+      .where(col("cosine").isNotNull)
+      // multi-assigned vectors (assignReplicas > 1) can meet the same
+      // query in 2+ probed cells; the pair's cosine is identical, so
+      // distinct-by-pair keeps the heap input duplicate-free
+      .dropDuplicates("query_id", "id")
+    GroupTopK.topKPerGroup(scored, Seq("query_id"), "cosine", "id", k)
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+  }
+
+  /**
    * Assign every vector to its nearest centroid by cosine similarity —
    * the semantic-sharding / cluster-labeling pass of a corpus pipeline
    * (and the E-step any distributed k-means iterates). Centroids arrive

@@ -75,6 +75,37 @@ class EngineSpec extends SparkSpec {
     assert(r.isRight || r.isLeft)
   }
 
+  test("ask routes collection-linked questions through the document builders (NL→doc dispatch)") {
+    // register a document collection next to the SQL tables (the
+    // reference routes by Mongo URL, routes_ai.py:150-159; here routing
+    // is per-question by the N3 fuzzy link)
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-docs")
+    java.nio.file.Files.write(dir.resolve("docs.json"), Seq(
+      """{"_id": "p1", "user": {"name": "ana", "age": 31}, "wellness": 10.5, "city": "lima"}""",
+      """{"_id": "p2", "user": {"name": "bob", "age": 25}, "wellness": 7.0, "city": "quito"}""",
+      """{"_id": "p3", "user": {"name": "cho", "age": 41}, "wellness": 12.25, "city": "lima"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    graft.sources.DocSource.register(spark, dir.toString, "residents")
+    val e = new Engine(spark, engine.tables, engine.fks,
+      docCollections = Seq("residents"))
+    // find shape: filter + the _id-first envelope
+    val found = e.ask("residents with wellness above 8").toOption.get
+    assert(found.columns.head == "_id")
+    assert(found.rows.map(_.head).toSet == Set("p1", "p3"))
+    assert(found.sql.contains("\"collection\": \"residents\""), found.sql)
+    assert(found.sql.contains("$gt"), found.sql)
+    // aggregate shape: grouped count as a $group pipeline
+    val agged = e.ask("how many residents per city").toOption.get
+    assert(agged.sql.contains("$group"), agged.sql)
+    assert(agged.columns.toSeq == Seq("_id", "agg_value"))
+    assert(agged.rows.map(r => (r.head, r(1))).toSet == Set(("lima", 2L), ("quito", 1L)))
+    // SQL questions still serve from the SQL path on the same engine
+    val sqlR = e.ask("how many customers are there").toOption.get
+    assert(sqlR.sql.toLowerCase.contains("count(*)"))
+    // direct entry (the reference's _handle_mongodb_query analogue)
+    assert(e.askDocs("residents with wellness above 8").isRight)
+  }
+
   test("profiler computes row counts, distincts and numeric stats in one pass") {
     val meta = Profiler.crawl(spark, Seq("nation", "region"), engine.fks)
     val nation = meta.tables("nation")

@@ -41,6 +41,32 @@ class ExtractFiltersSpec extends AnyFunSuite {
     assert(Templates.extractFilters("orders after 1995", Seq("a", "b")).isEmpty)
   }
 
+  test("relative dates render as frozen-now DATE literals") {
+    val dcols = Seq("event_id", "ts", "event_type", "value")
+    val now = java.time.LocalDate.of(2024, 1, 31) // a Wednesday
+    def fs(q: String) = Templates.extractFilters(q, dcols, now)
+    // rolling spans: a lower bound from now minus the span
+    assert(fs("events in the last 10 days") == Seq("ts >= DATE '2024-01-21'"))
+    assert(fs("events from the past 2 weeks") == Seq("ts >= DATE '2024-01-17'"))
+    assert(fs("events in the last 1 month") == Seq("ts >= DATE '2023-12-31'"))
+    // calendar units: half-open ranges
+    assert(fs("events from last month")
+      == Seq("ts >= DATE '2023-12-01'", "ts < DATE '2024-01-01'"))
+    assert(fs("events from last week") // Mon 2024-01-22 .. Mon 2024-01-29
+      == Seq("ts >= DATE '2024-01-22'", "ts < DATE '2024-01-29'"))
+    assert(fs("events from yesterday")
+      == Seq("ts >= DATE '2024-01-30'", "ts < DATE '2024-01-31'"))
+    assert(fs("events from today")
+      == Seq("ts >= DATE '2024-01-31'", "ts < DATE '2024-02-01'"))
+    // open-ended "this" units
+    assert(fs("events this month") == Seq("ts >= DATE '2024-01-01'"))
+    assert(fs("events this year") == Seq("ts >= DATE '2024-01-01'"))
+    // the span's number must not leak into numeric extractors, and a
+    // frame with no date-ish column yields nothing
+    assert(fs("events in the last 30 days") == Seq("ts >= DATE '2024-01-01'"))
+    assert(Templates.extractFilters("events in the last 30 days", Seq("a", "b"), now).isEmpty)
+  }
+
   test("compound question yields AND-able conditions in order") {
     val fs = Templates.extractFilters("scores with a C grade and score greater than 75", cols)
     assert(fs == Seq("score > 75", "grade = 'C'") || fs == Seq("grade = 'C'", "score > 75"), fs)

@@ -200,6 +200,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exact, s"ivf=$got exact=$exact")
   }
 
+  test("IVF-pruned knn join equals the brute-force knn join on the clustered frame, with no cartesian") {
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val centers = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"emb".as("cemb"))
+    val clustered = e.join(org.apache.spark.sql.functions.broadcast(centers),
+        pmod($"vec_id", org.apache.spark.sql.functions.lit(8)) === $"cid")
+      .select($"vec_id", zip_with($"cemb", $"emb",
+        (c, x) => c + org.apache.spark.sql.functions.lit(0.05) * x).as("emb"))
+    val q = clustered.where($"vec_id".isin(1, 2, 3))
+    val brute = Similarity.knnJoin(clustered, "vec_id", "emb", q, "vec_id", "emb", k = 5)
+      .select($"query_id", $"id", round($"cosine", 4).as("c"), $"rank")
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.ivfIndex(clustered, "vec_id", "emb", nlist = 8)
+    val pruned = Similarity.knnJoinIvf(idx, q, "vec_id", "emb", k = 5, nprobe = 2)
+      .select($"query_id", $"id", round($"cosine", 4).as("c"), $"rank")
+    assert(pruned.collect().map(_.toString).sorted.toSeq == brute)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // per-query top-k is the bounded-heap aggregate, not a window sort
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+  }
+
   test("trainingSample draws across the whole id range of a skew-ordered frame, deterministically") {
     import spark.implicits._
     // one partition, physically ordered by id: head-of-table = ids 0..n-1
