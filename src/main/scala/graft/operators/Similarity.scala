@@ -493,17 +493,24 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact verify reads float vectors for CANDIDATE MEMBERS ONLY
+    // exact verify reads float vectors for CANDIDATE MEMBERS ONLY; the
+    // member frame persists too (candidate-sized, like pairs) so the two
+    // verify joins don't each re-scan the corpus for it
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val emb = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), col(embCol).as("emb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val verified = pairs
       .join(emb.withColumnRenamed("id", "id_a").withColumnRenamed("emb", "__ea"), "id_a")
       .join(emb.withColumnRenamed("id", "id_b").withColumnRenamed("emb", "__eb"), "id_b")
       .select(col("id_a"), col("id_b"), cosine_sim(col("__ea"), col("__eb")).as("cosine"))
       .where(col("cosine") >= threshold)
-    (verified, () => { pairs.unpersist(blocking = false); () })
+    (verified, () => {
+      pairs.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      ()
+    })
   }
 
   /**

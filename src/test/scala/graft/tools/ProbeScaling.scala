@@ -21,7 +21,10 @@ object ProbeScaling {
       // round-5b operators
       "x_entropy", "x_host_stats", "x_embed_quantize", "x_quantized_topk",
       "x_rand_proj", "x_bloom_decontam", "x_group_topk",
-      "x_dedup_incremental", "x_pq_encode", "x_pq_topk")
+      "x_dedup_incremental", "x_pq_encode", "x_pq_topk",
+      // round-6 operators
+      "x_ann_ivf_clustered", "x_pq_persisted", "x_knn_join_ivf",
+      "x_relative_date")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
