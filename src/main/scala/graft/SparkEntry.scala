@@ -588,6 +588,34 @@ object Queries {
         "SELECT sh.doc_id, len(sh.s) AS n_spans, COALESCE(per.n_shared, 0) AS n_shared, " +
         "round(CASE WHEN len(sh.s) <= 0 THEN 0.0 ELSE CAST(COALESCE(per.n_shared, 0) AS DOUBLE) / len(sh.s) END, 4) AS dup_span_frac " +
         "FROM sh LEFT JOIN per USING (doc_id) ORDER BY doc_id LIMIT 200"),
+    // BM25 top-10 for a fixed 3-term query: Lucene idf + Okapi tf
+    // saturation, replicated term-for-term (both engines round the
+    // summed score to 4dp BEFORE the final order, so ties break by
+    // doc_id identically)
+    "x_bm25" ->
+      (raw"WITH d AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        raw"ELSE length(string_split_regex(trim(text), '\s+')) END AS dl FROM documents), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d), " +
+        raw"tk AS (SELECT doc_id, dl, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM d), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tk WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * 2.2 / " +
+        "(tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS s " +
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st GROUP BY tf.doc_id) " +
+        "SELECT doc_id, round(s, 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
+    // one k-means E+M update from the probe centroids: assignment is the
+    // x_cluster_assign argmax, the M-step is a per-(cluster, dimension)
+    // average in long form
+    "x_kmeans_step" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "x AS (SELECT e.vec_id, c.cid, CAST(list_cosine_similarity(e.emb, c.cemb) AS DOUBLE) AS cos FROM e, c), " +
+        "a AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM x) WHERE rn = 1), " +
+        "m AS (SELECT a.cluster, CAST(r.i AS INT) AS pos, round(avg(e.emb[r.i + 1]), 6) AS value, " +
+        "COUNT(*) AS n_members FROM a JOIN e ON a.vec_id = e.vec_id CROSS JOIN range(0, 64) r(i) " +
+        "GROUP BY a.cluster, r.i) " +
+        "SELECT CAST(cluster AS BIGINT) AS cluster, pos, value, n_members FROM m ORDER BY cluster, pos LIMIT 1000"),
     // per-document top-3 TF-IDF keywords; DuckDB ln == Spark log
     // (natural); document frequency derives from the distinct
     // (doc, token) pairs on both sides
@@ -908,6 +936,20 @@ object ExtensionQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank").limit(300)),
+    // BM25 keyword retrieval: top-10 docs for a 3-term query (the sparse
+    // complement of the ANN path; postings filtered to query terms
+    // inside the scan, nothing corpus-sized shuffles)
+    "x_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 10)),
+    // one distributed k-means E+M update from the fixed probe centroids
+    // (vec_id < 8) — long-form new centroids, SQL-replicable exactly
+    "x_kmeans_step" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = e.where(col("vec_id") < 8)
+      graft.operators.Similarity.kmeansStep(e, "vec_id", "emb", cents, "vec_id", "emb")
+        .orderBy("cluster", "pos").limit(1000)
+    }),
     // corpus bigram LM counts + conditional probability
     "x_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramModel(docs(s, dir), "text", k = 100)),

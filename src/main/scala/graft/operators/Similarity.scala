@@ -438,6 +438,43 @@ object Similarity {
   }
 
   /**
+   * One distributed k-means update: the broadcast E-step of
+   * [[assignNearestCentroid]] followed by the M-step mean, emitted in
+   * LONG FORM — (cluster, pos, value, n_members), the new centroid's
+   * component at each dimension plus the cluster size. Long form keeps
+   * the M-step a plain grouped aggregate (and directly comparable to a
+   * SQL replica); [[kmeansNewCentroids]] reassembles arrays for the
+   * next iteration. This is the semantic-sharding refinement loop a
+   * corpus pipeline runs when probe/sampled centroids need tightening
+   * on the full distribution — the distributed complement of the
+   * driver-side [[LocalKMeans]] fit.
+   *
+   * Scale: the E-step is the broadcast argmax (one corpus pass, shuffle
+   * of one row per vector); the assignment joins back to the vectors by
+   * id (the semanticNearDupPairs shape); the M-step posexplode emits
+   * corpus×dim rows but partial aggregation compresses each map split
+   * to ≤ clusters×dim partial sums, so the shuffle carries
+   * clusters × dim × splits rows — index-sized, not corpus-sized.
+   */
+  def kmeansStep(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, centIdCol: String, centEmbCol: String): DataFrame = {
+    val assign = assignNearestCentroid(df, idCol, embCol, centroids, centIdCol, centEmbCol)
+      .select(col("id"), col("cluster"))
+    df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .join(assign, "id")
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "value")))
+      .groupBy("cluster", "pos")
+      .agg(round(avg(col("value")), 6).as("value"), count(lit(1)).as("n_members"))
+  }
+
+  /** The [[kmeansStep]] output reassembled as (cluster, emb) centroid
+    * rows for the next E-step. */
+  def kmeansNewCentroids(step: DataFrame): DataFrame =
+    step.groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("value")))),
+        s => s.getField("value")).as("emb"))
+
+  /**
    * Embedding-cosine near-duplicate pairs, BANDED: a 64-bit sign
    * signature is split into `chunks` bands; any pair agreeing exactly on
    * at least one band is a candidate, then exact cosine verifies inside

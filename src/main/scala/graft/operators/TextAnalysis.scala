@@ -158,6 +158,45 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 ranked retrieval (Robertson–Walker Okapi weighting, the
+   * Lucene-default scoring; ref corpus-search surface — the SPARSE
+   * complement of the dense ANN path, what keyword search over a
+   * training corpus runs): score(d, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) /
+   * (tf + k1·(1 − b + b·dl/avgdl)), with the Lucene idf
+   * ln(1 + (N − df + ½)/(df + ½)) ≥ 0.
+   *
+   * Scale: the postings explode FILTERS TO QUERY TERMS inside the scan,
+   * so only matching (doc, term) rows reach the tf shuffle (|Q| terms ×
+   * matching docs, not corpus × tokens); per-doc length rides the same
+   * scan as a native single-pass expression (no explode); document
+   * frequencies derive from the postings themselves (|Q| rows,
+   * broadcast); corpus size + average length are one scalar aggregate;
+   * ranking is TakeOrderedAndProject. Nothing corpus-sized shuffles.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = df
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"), avg(tokenCount(col(textCol))).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfSat = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfSat).as("__s"))
+      .groupBy("doc_id").agg(sum(col("__s")).as("__score"))
+      .select(col("doc_id"), round(col("__score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Per-document perplexity under the corpus's own (unsmoothed) bigram
    * LM: exp(−avg ln P(w₂|w₁)) over the document's bigrams — the
    * count-based fluency/outlier signal corpus-filtering pipelines rank

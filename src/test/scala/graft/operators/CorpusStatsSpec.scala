@@ -160,6 +160,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 0L))
   }
 
+  test("kmeansStep: M-step means and member counts per (cluster, dimension)") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), // centroid 0
+      (1L, Array(0.0, 1.0)), // centroid 1
+      (10L, Array(0.8, 0.2)), // → cluster 0
+      (11L, Array(0.6, 0.4)), // → cluster 0
+      (12L, Array(0.1, 0.9))) // → cluster 1
+      .toDF("vec_id", "emb")
+    val cents = vecs.where(col("vec_id") < 2)
+    val r = Similarity.kmeansStep(vecs, "vec_id", "emb", cents, "vec_id", "emb")
+      .collect().map(x => (x.getAs[Long]("cluster"), x.getAs[Int]("pos")) ->
+        (x.getAs[Double]("value"), x.getAs[Long]("n_members"))).toMap
+    // cluster 0 = {0, 10, 11}: mean (1.0+0.8+0.6)/3 = 0.8, (0+0.2+0.4)/3 = 0.2
+    assert(r((0L, 0)) == (0.8, 3L) && r((0L, 1)) == (0.2, 3L))
+    // cluster 1 = {1, 12}: mean (0+0.1)/2 = 0.05, (1.0+0.9)/2 = 0.95
+    assert(r((1L, 0)) == (0.05, 2L) && r((1L, 1)) == (0.95, 2L))
+    // centroid reassembly round-trips for the next E-step
+    val cents2 = Similarity.kmeansNewCentroids(
+      Similarity.kmeansStep(vecs, "vec_id", "emb", cents, "vec_id", "emb"))
+      .collect().map(x => x.getAs[Long]("cluster") -> x.getSeq[Double](1)).toMap
+    assert(cents2(0L) == Seq(0.8, 0.2) && cents2(1L) == Seq(0.05, 0.95))
+  }
+
+  test("bm25TopK: exact docs rank by tf saturation and idf, query-term filter inside the scan") {
+    val docs = Seq(
+      (1L, "spark spark spark run"), // tf=3 but saturating
+      (2L, "spark run fast"), // tf=1, shorter doc
+      (3L, "merge sort run"), // rarer term → higher idf
+      (4L, "run fast slow deep")) // no query term → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("spark", "merge"), k = 10)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!rows.contains(4L)) // docs without query terms never scored
+    // doc 3's 'merge' (df=1) outweighs single-'spark' doc 2 (df=2)
+    assert(rows(3L) > rows(2L), rows)
+    // tf saturation: tf=3 scores above tf=1 for the same term but far
+    // below 3x
+    assert(rows(1L) > rows(2L) && rows(1L) < 3 * rows(2L), rows)
+    // no corpus-sized shuffle: the postings side is filtered before any
+    // aggregation, and ranking is TakeOrderedAndProject
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("semanticNearDupPairs: pairs form within clusters only, cross-cluster dupes invisible") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), // centroid 0
