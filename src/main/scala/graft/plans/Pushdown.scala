@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/**
+ * Parquet TIMESTAMP(NANOS) columns enter the engine as raw longs
+ * (`spark.sql.legacy.parquet.nanosAsLong`) and the source registry
+ * rebuilds a usable timestamp as
+ * `timestamp_micros(cast(raw / 1000 as bigint))`
+ * (`graft.sources.Sources.table`). That derivation BLOCKS predicate
+ * pushdown: a time-range filter compares against the derived
+ * expression, so the parquet scan reads every row group
+ * (`PushedFilters: [IsNotNull(ts)]` only) — at 100 TB of time-ordered
+ * events that is the difference between pruning to the queried window
+ * and a full scan.
+ *
+ * This rule restores the pruning: for each comparison of the derived
+ * timestamp against a literal it conjoins an IMPLIED predicate on the
+ * raw nanos column — a superset bound (with slack covering the
+ * double-division rounding in the derivation), safe because the
+ * original exact predicate stays in place; the added conjunct is a bare
+ * `long-column op literal`, exactly what FileSourceStrategy can hand
+ * the parquet reader for row-group min/max pruning.
+ *
+ * Fixpoint-safe: an implied conjunct already present (semantically) is
+ * never added twice.
+ */
+class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Nanos slack absorbing the double-division rounding of
+    * `cast(raw / 1000.0 as bigint)` (≤ 1 µs at epoch magnitudes). */
+  private val Slack = 1000L
+
+  /** Matches `timestamp_micros(cast(rawNanos / 1000 as bigint))` where
+    * rawNanos is a bare long column (integral division inserts a
+    * double cast around it). */
+  private object DerivedMicros {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(c: Cast) if c.dataType == LongType =>
+        c.child match {
+          case d: Divide =>
+            d.right match {
+              case Literal(1000.0, DoubleType) =>
+                d.left match {
+                  case inner: Cast if inner.dataType == DoubleType =>
+                    inner.child match {
+                      case a: Attribute if a.dataType == LongType => Some(a)
+                      case _ => None
+                    }
+                  case a: Attribute if a.dataType == LongType => Some(a)
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The implied raw-nanos bound for one conjunct (None when the shape
+    * doesn't apply). Truncation toward zero equals floor for the
+    * positive epoch values these columns hold; every bound is widened
+    * by [[Slack]], and the exact original predicate remains, so the
+    * added conjunct can only prune row groups that cannot match. */
+  private def implied(cmp: Expression): Option[Expression] = cmp match {
+    case GreaterThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
+      Some(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+    case GreaterThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
+      Some(GreaterThan(a, Literal(m * 1000L - Slack)))
+    case LessThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
+      Some(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+    case LessThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
+      Some(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+    case EqualTo(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
+      Some(And(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
+        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack))))
+    // literal-on-the-left spellings flip the operator
+    case GreaterThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
+      Some(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+    case GreaterThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
+      Some(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+    case LessThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
+      Some(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+    case LessThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
+      Some(GreaterThan(a, Literal(m * 1000L - Slack)))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val additions = conjuncts.flatMap(implied)
+        .filterNot(n => conjuncts.exists(_.semanticEquals(n)))
+      if (additions.isEmpty) f
+      else f.copy(condition = (conjuncts ++ additions).reduce(And))
+  }
+}

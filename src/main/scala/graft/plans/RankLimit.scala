@@ -106,6 +106,7 @@ class BoundedRankPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new BoundedRankPrefilter)
+    ext.injectOptimizerRule(_ => new NanosTimestampPushdown)
     ext.injectCheckRule(session => new ReadOnlyGuard(session))
   }
 }

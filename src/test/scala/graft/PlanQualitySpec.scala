@@ -203,4 +203,52 @@ class PlanQualitySpec extends SparkSpec {
       "the eval posting list must broadcast: " + p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("BM25: df and corpus stats broadcast; ranking is TakeOrderedAndProject (x_bm25)") {
+    val p = plan("x_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("k-means step: M-step aggregates with a partial phase; centroids never sort-merge (x_kmeans_step)") {
+    val p = plan("x_kmeans_step")
+    // partial+final aggregation: the posexplode fan-out compresses
+    // map-side, so the shuffle carries cluster×dim partials
+    assert(p.contains("partial_avg") || p.contains("partial avg")
+      || (p.contains("HashAggregate") && p.contains("avg")), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("IVF-pruned k-NN join: cell equi-join, bounded-heap top-k, no window sort (x_knn_join_ivf)") {
+    val p = plan("x_knn_join_ivf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"),
+      "per-query top-k must be the bounded-heap aggregate: " + p.take(2000))
+  }
+
+  test("persisted IVF-PQ search: no query-time encode anywhere in the plan (x_pq_persisted)") {
+    val p = plan("x_pq_persisted")
+    // expressions render by nodeName: PqEncode → pqencode
+    assert(!p.contains("pqencode"),
+      "ranking must read stored codes, never re-encode floats: " + p.take(2000))
+    assert(p.contains("pqadcdistance"), p.take(2000))
+    // the probed-cell filter pushes down onto the codes parquet
+    assert(p.contains("PushedFilters: [In(cell"), p)
+  }
+
+  test("relative-date filter pushes an implied raw-nanos bound to the events scan (x_relative_date)") {
+    val p = plan("x_relative_date")
+    // ts is DERIVED from the raw nanos column (Sources.register), so the
+    // exact cutoff cannot push down — the NanosTimestampPushdown rule
+    // conjoins an implied bound on the raw column, which CAN
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "implied raw-nanos bound missing from PushedFilters: " + p.take(3000))
+    // and the exact derived-timestamp predicate still filters post-scan
+    assert(p.contains("2024-01-21"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
 }

@@ -96,8 +96,10 @@ class ProductQuantizationSpec extends SparkSpec {
     val q = embs.where($"vec_id" === 0).select("emb").head().getSeq[Double](0).toArray
     val out = ProductQuantization.ivfPqTopK(persisted, embs, "vec_id", "emb", q, k = 10)
     val plan = out.queryExecution.executedPlan.toString
-    // no query-time encode anywhere in the plan
-    assert(!plan.contains("pq_encode"), plan)
+    // no query-time encode anywhere in the plan (expressions render by
+    // nodeName: PqEncode → pqencode); pqadcdistance must be what ranks
+    assert(!plan.contains("pqencode"), plan)
+    assert(plan.contains("pqadcdistance"), plan)
     // the codes-parquet scan prunes to (id, cell, codes): the ranking
     // side reads no float/emb column — that comes in only via the
     // candidate re-rank scan of the base frame
