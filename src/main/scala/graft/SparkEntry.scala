@@ -1099,9 +1099,9 @@ object ExtensionQueries {
       val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
       val index = graft.operators.ProductQuantization.ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
-      val dir0 = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
-      index.codes.write.mode("overwrite").parquet(dir0)
-      val persisted = index.copy(codes = s.read.parquet(dir0))
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+      graft.operators.ProductQuantization.writeIndex(index, dir0)
+      val persisted = graft.operators.ProductQuantization.readIndex(s, dir0)
       val q = e.where(col("vec_id") === 0).select("emb").collect()(0).getSeq[Double](0).toArray
       graft.operators.ProductQuantization
         .ivfPqTopK(persisted, e, "vec_id", "emb", q, k = 10, nprobe = 8, candidates = 200)

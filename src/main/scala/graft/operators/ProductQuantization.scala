@@ -190,6 +190,62 @@ object ProductQuantization {
    * the convenience wrapper that encodes inline for one-shot use. The
    * exact re-rank joins back to the float frame for candidates only.
    */
+  /**
+   * Persist an IVF-PQ index: codes parquet PARTITIONED BY CELL (each
+   * query's probed-cell filter becomes directory-level partition
+   * pruning — the scan touches nprobe/nlist of the files, no row-group
+   * stats needed) plus a JSON sidecar with centroids and codebooks
+   * (nlist×dim + m×k×subDim doubles — kilobytes). This completes the
+   * encode-once/search-many contract as an API: build and [[writeIndex]]
+   * at ingest, [[readIndex]] + [[ivfPqTopK]] per query.
+   */
+  def writeIndex(index: IvfPqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    def arr2(a: Array[Double]): String = a.mkString("[", ",", "]")
+    val centroidsJson = index.centroids.sortBy(_._1)
+      .map { case (i, c) => s"""{"cell": $i, "center": ${arr2(c)}}""" }
+      .mkString("[", ",", "]")
+    val m = index.model
+    val codebooksJson = m.codebooks.map(cb => cb.map(arr2).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val json = s"""{"m": ${m.m}, "k": ${m.k}, "subDim": ${m.subDim}, """ +
+      s""""centroids": $centroidsJson, "codebooks": $codebooksJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "index.json"), json)
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("cell").cast("int").as("cell"), col("codes"))
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "index.json"))
+    // the sidecar is engine-written (no foreign input) — parse with a
+    // small recursive-descent reader over the fixed shape
+    val parsed = ujsonLite(text)
+    IvfPqIndex(codes, parsed._1, parsed._2)
+  }
+
+  /** Minimal parser for the [[writeIndex]] sidecar's fixed JSON shape. */
+  private def ujsonLite(text: String): (Array[(Int, Array[Double])], PqModel) = {
+    def intField(name: String): Int =
+      s""""$name":\\s*(\\d+)""".r.findFirstMatchIn(text).get.group(1).toInt
+    val m = intField("m"); val k = intField("k"); val subDim = intField("subDim")
+    def doubles(s: String): Array[Double] =
+      s.split(',').filter(_.nonEmpty).map(_.trim.toDouble)
+    // centroids: [{"cell": i, "center": [..]}, ...]
+    val centRe = """\{"cell":\s*(\d+),\s*"center":\s*\[([^\]]*)\]\}""".r
+    val centroids = centRe.findAllMatchIn(text)
+      .map(mm => (mm.group(1).toInt, doubles(mm.group(2)))).toArray
+    // codebooks: [[[..],[..]], ...] — m outer, k inner, subDim doubles
+    val cbStart = text.indexOf("\"codebooks\":")
+    val cbText = text.substring(cbStart)
+    val leafRe = """\[([^\[\]]*)\]""".r
+    val leaves = leafRe.findAllMatchIn(cbText).map(mm => doubles(mm.group(1))).toArray
+    require(leaves.length == m * k,
+      s"codebook sidecar carries ${leaves.length} centroids, expected ${m * k}")
+    val codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c => leaves(s * k + c)))
+    (centroids, PqModel(m, k, subDim, codebooks))
+  }
+
   def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)

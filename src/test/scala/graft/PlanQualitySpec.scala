@@ -236,8 +236,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("pqencode"),
       "ranking must read stored codes, never re-encode floats: " + p.take(2000))
     assert(p.contains("pqadcdistance"), p.take(2000))
-    // the probed-cell filter pushes down onto the codes parquet
-    assert(p.contains("PushedFilters: [In(cell"), p)
+    // the codes parquet is PARTITIONED BY CELL (writeIndex), so the
+    // probed-cell filter prunes whole partitions — stronger than
+    // row-group PushedFilters
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("cell"), "probed cells must partition-prune: " + p.take(3000))
   }
 
   test("relative-date filter pushes an implied raw-nanos bound to the events scan (x_relative_date)") {

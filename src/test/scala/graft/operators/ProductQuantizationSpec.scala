@@ -115,6 +115,34 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(got == exact, s"got=$got exact=$exact")
   }
 
+  test("writeIndex/readIndex round-trip: cell-partitioned codes, partition pruning, identical results") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val index = ProductQuantization.ivfPqIndex(embs, "vec_id", "emb", model, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    ProductQuantization.writeIndex(index, dir)
+    val loaded = ProductQuantization.readIndex(spark, dir)
+    // sidecar round-trips the model and centroids exactly
+    assert(loaded.model == model.copy(codebooks = loaded.model.codebooks)
+      && loaded.model.m == model.m && loaded.model.k == model.k)
+    assert(loaded.model.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    assert(loaded.centroids.map(_._1).toSeq == index.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.flatMap(_._2).toSeq == index.centroids.flatMap(_._2).toSeq)
+    val q = embs.where($"vec_id" === 3).select("emb").head().getSeq[Double](0).toArray
+    val fromMem = ProductQuantization
+      .ivfPqTopK(index, embs, "vec_id", "emb", q, k = 10, nprobe = 4, candidates = 100)
+      .collect().map(_.toString).toSeq
+    val search = ProductQuantization
+      .ivfPqTopK(loaded, embs, "vec_id", "emb", q, k = 10, nprobe = 4, candidates = 100)
+    assert(search.collect().map(_.toString).toSeq == fromMem)
+    // probed-cell filter prunes PARTITIONS of the codes parquet (no
+    // row-group guessing): the scan must report a cell partition filter
+    val plan = search.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(3000))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("cell"), plan.take(3000))
+  }
+
   test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     // m=16 codes of 4 bits = 8 bytes/vector vs 64 floats = 256 bytes (32x)
