@@ -154,14 +154,20 @@ final class Engine(
     // find/aggregate builders; a failed doc attempt falls through to the
     // SQL path below (V14 fallback chain, always-answer).
     if (docCollections.nonEmpty) {
-      val ds = docSchemas
-      val docScore = ds.map { case (c, fs) => Fuzzy.tableScore(question, c, fs) }
-        .maxOption.getOrElse(0)
-      val sqlScore = schema.map { case (t, cs) => Fuzzy.tableScore(question, t, cs) }
-        .maxOption.getOrElse(0)
-      if (docScore > sqlScore) askDocs(question, limit) match {
-        case r @ Right(_) => return r
-        case Left(_) => // fall through to SQL generation
+      // guarded like every ask stage: a dropped collection view (or any
+      // linking failure) must fall through to SQL generation, never
+      // break the always-answer contract
+      val routed = try {
+        val ds = docSchemas
+        val docScore = ds.map { case (c, fs) => Fuzzy.tableScore(question, c, fs) }
+          .maxOption.getOrElse(0)
+        val sqlScore = schema.map { case (t, cs) => Fuzzy.tableScore(question, t, cs) }
+          .maxOption.getOrElse(0)
+        if (docScore > sqlScore) Some(askDocs(question, limit)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      routed match {
+        case Some(r @ Right(_)) => return r
+        case _ => // fall through to SQL generation
       }
     }
     val slice = Fuzzy.selectRelevant(question, schema)

@@ -104,6 +104,12 @@ class EngineSpec extends SparkSpec {
     assert(sqlR.sql.toLowerCase.contains("count(*)"))
     // direct entry (the reference's _handle_mongodb_query analogue)
     assert(e.askDocs("residents with wellness above 8").isRight)
+    // a dead collection registration must not break always-answer: the
+    // doc route degrades to the SQL path (or a clean error), never throws
+    val dead = new Engine(spark, engine.tables, engine.fks,
+      docCollections = Seq("no_such_collection_view"))
+    val r = dead.ask("how many customers are there")
+    assert(r.toOption.exists(_.sql.toLowerCase.contains("count")))
   }
 
   test("profiler computes row counts, distincts and numeric stats in one pass") {
