@@ -254,6 +254,44 @@ object Streams {
       .agg(graft.functions.top_k_by_value(
         col(ordCol).cast("double"), col(idCol).cast("long"), k).as("topk"))
 
+  /**
+   * Streaming IVF-PQ index ingest — the streaming half of the
+   * encode-once/search-many contract
+   * ([[graft.operators.ProductQuantization.writeIndex]] builds the
+   * batch index; this keeps it CURRENT): each arriving embedding is
+   * assigned to its nearest IVF cell and PQ-encoded in one stateless
+   * projection (centroids and codebooks ship inside the serialized
+   * expressions — no state store, no shuffle), emitting the same
+   * (id, cell, codes) rows the persisted index stores. Pair with
+   * [[writeParquetSink]] partitioned by cell and queries over the
+   * index see new vectors as micro-batches commit — no rebuild.
+   */
+  def encodeStream(embeddings: DataFrame, idCol: String, embCol: String,
+      centroids: Array[(Int, Array[Double])],
+      model: graft.operators.ProductQuantization.PqModel): DataFrame = {
+    import org.apache.spark.sql.graft.interop.{toColumn, toExpression}
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val cellOf = udf { emb: Seq[Double] =>
+      val cs = bc.value
+      var bi = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)._2
+        var d = 0.0
+        val n = math.min(c.length, emb.length)
+        var j = 0
+        while (j < n) { val diff = c(j) - emb(j); d += diff * diff; j += 1 }
+        if (d < bd) { bd = d; bi = cs(ci)._1 }
+        ci += 1
+      }
+      bi
+    }
+    embeddings.select(
+      col(idCol).cast("long").as("id"),
+      cellOf(col(embCol).cast("array<double>")).as("cell"),
+      toColumn(graft.functions.PqEncode(toExpression(col(embCol).cast("array<double>")),
+        model.codebooks, normalize = true)).as("codes"))
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

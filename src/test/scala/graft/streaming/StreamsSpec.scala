@@ -237,6 +237,35 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set(("doc-b", "books")), rows.toString)
   }
 
+  test("streaming IVF-PQ ingest encodes arriving vectors identically to the batch index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.sources.Sources.register(spark, sfDir)
+    val e = spark.table("embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
+    val index = graft.operators.ProductQuantization
+      .ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
+    // replay a slice of the corpus as an arriving stream
+    val arriving = e.where($"vec_id" < 50)
+      .as[(Long, Array[Double])].collect()
+    val input = MemoryStream[(Long, Array[Double])]
+    input.addData(arriving.toIndexedSeq: _*)
+    val q = Streams.encodeStream(input.toDF().toDF("vec_id", "emb"),
+        "vec_id", "emb", index.centroids, model)
+      .writeStream.format("memory").queryName("t_encode")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_encode")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    // the batch index's rows for the same ids — cell and codes identical
+    val batch = index.codes.where($"id" < 50)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(streamed.size == 50 && streamed == batch)
+  }
+
   test("streaming top-k per group: heap state accumulates across micro-batches, equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
