@@ -61,39 +61,45 @@ class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** The implied raw-nanos bound for one conjunct (None when the shape
-    * doesn't apply). Truncation toward zero equals floor for the
+  /** The implied raw-nanos bounds for one conjunct (empty when the
+    * shape doesn't apply). Truncation toward zero equals floor for the
     * positive epoch values these columns hold; every bound is widened
     * by [[Slack]], and the exact original predicate remains, so the
-    * added conjunct can only prune row groups that cannot match. */
-  private def implied(cmp: Expression): Option[Expression] = cmp match {
+    * added conjuncts can only prune row groups that cannot match.
+    *
+    * Bounds return as SEPARATE conjuncts, never a nested And: the rule
+    * runs inside the operator-optimization fixed point, where a nested
+    * And would re-split on the next pass and fail the already-present
+    * check — growing the condition every iteration until the batch's
+    * limit. Flat conjuncts are individually `semanticEquals`-stable. */
+  private def implied(cmp: Expression): Seq[Expression] = cmp match {
     case GreaterThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Some(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
     case GreaterThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Some(GreaterThan(a, Literal(m * 1000L - Slack)))
+      Seq(GreaterThan(a, Literal(m * 1000L - Slack)))
     case LessThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Some(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+      Seq(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
     case LessThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Some(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      Seq(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
     case EqualTo(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Some(And(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
-        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack))))
+      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
+        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
     // literal-on-the-left spellings flip the operator
     case GreaterThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Some(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      Seq(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
     case GreaterThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Some(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+      Seq(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
     case LessThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Some(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
     case LessThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Some(GreaterThan(a, Literal(m * 1000L - Slack)))
-    case _ => None
+      Seq(GreaterThan(a, Literal(m * 1000L - Slack)))
+    case _ => Nil
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, _) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val additions = conjuncts.flatMap(implied)
+      val additions = conjuncts.flatMap(implied).distinct
         .filterNot(n => conjuncts.exists(_.semanticEquals(n)))
       if (additions.isEmpty) f
       else f.copy(condition = (conjuncts ++ additions).reduce(And))

@@ -46,4 +46,18 @@ class PushdownSpec extends SparkSpec {
     val hits = "ts#\\d+L >= \\d{15,}".r.findAllIn(p).size
     assert(hits == 1, p)
   }
+
+  test("equality bounds stay flat conjuncts inside the fixed point (no growth, both bounds pushed)") {
+    // EqualTo adds TWO separate conjuncts; a nested And would re-split
+    // next pass, fail the already-present check, and grow the condition
+    // every iteration of the operator-optimization batch
+    val df = events.where(col("ts") === lit("2024-01-10 12:00:00").cast("timestamp"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("ts#\\d+L >= \\d{15,}".r.findAllIn(opt).size == 1, opt)
+    assert("ts#\\d+L <= \\d{15,}".r.findAllIn(opt).size == 1, opt)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThanOrEqual(ts,"),
+      p.take(2500))
+  }
 }
