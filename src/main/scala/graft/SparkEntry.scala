@@ -1099,7 +1099,11 @@ object ExtensionQueries {
       val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
       val index = graft.operators.ProductQuantization.ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
-      val dir0 = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+      // deterministic per-SF path: repeated executions (bench warmup +
+      // runs, scaling probes) OVERWRITE one index instead of leaving a
+      // fresh temp copy per run
+      val dir0 = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_pq_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
       graft.operators.ProductQuantization.writeIndex(index, dir0)
       val persisted = graft.operators.ProductQuantization.readIndex(s, dir0)
       val q = e.where(col("vec_id") === 0).select("emb").collect()(0).getSeq[Double](0).toArray

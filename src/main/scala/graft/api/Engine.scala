@@ -163,7 +163,7 @@ final class Engine(
           .maxOption.getOrElse(0)
         val sqlScore = schema.map { case (t, cs) => Fuzzy.tableScore(question, t, cs) }
           .maxOption.getOrElse(0)
-        if (docScore > sqlScore) Some(askDocs(question, limit)) else None
+        if (docScore > sqlScore) Some(askDocsWith(ds, question, limit)) else None
       } catch { case scala.util.control.NonFatal(_) => None }
       routed match {
         case Some(r @ Right(_)) => return r
@@ -212,9 +212,19 @@ final class Engine(
    * `query_dict` shape the reference logs.
    */
   def askDocs(question: String,
-      limit: Int = Executor.DefaultLimit): Either[EngineError, QueryResult] = {
+      limit: Int = Executor.DefaultLimit): Either[EngineError, QueryResult] =
+    try askDocsWith(docSchemas, question, limit)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(ExecutionError(s"document query failed: ${e.getMessage}"))
+    }
+
+  /** [[askDocs]] over an already-computed schema map — the routed ask
+    * path reuses the map it scored with instead of re-crawling every
+    * collection's schema. */
+  private def askDocsWith(ds: Map[String, Seq[String]], question: String,
+      limit: Int): Either[EngineError, QueryResult] = {
     try {
-      val ds = docSchemas
       graft.gen.Nl2Doc.linkCollection(question, ds) match {
         case None => Left(SqlSafetyError("No collection linked to the question"))
         case Some(c) =>

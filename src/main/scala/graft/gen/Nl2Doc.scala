@@ -137,8 +137,16 @@ object Nl2Doc {
       val gt = Set("above", "over")(m.group(2).toLowerCase)
       out.getOrElseUpdate(f, if (gt) Gt(f, numeric(m.group(3))) else Lt(f, numeric(m.group(3))))
     }
+    // operator/connective words after "is" are never literal values —
+    // "score is between 5 and 10" / "city is not lima" must not
+    // fabricate Eq(score, "between") / Eq(city, "not")
+    val nonValues = Set("not", "between", "in", "at", "least", "most",
+      "above", "below", "over", "under", "greater", "less", "more",
+      "fewer", "higher", "lower", "larger", "smaller", "bigger", "equal",
+      "the", "a", "an")
     for (m <- eqRe.findAllMatchIn(question); f <- strongField(m.group(1), fields)
-         if strongField(m.group(2), fields).isEmpty)
+         if strongField(m.group(2), fields).isEmpty &&
+           !nonValues(m.group(2).toLowerCase))
       out.getOrElseUpdate(f,
         if (m.group(2).matches(raw"\d+(\.\d+)?")) Eq(f, numeric(m.group(2)))
         else Eq(f, m.group(2)))

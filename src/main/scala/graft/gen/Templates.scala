@@ -778,11 +778,15 @@ object Templates {
   def groupwiseArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String): Seq[Candidate] =
     groupwiseArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
+      val dir = if (lowest) "ASC" else "DESC"
       val inner = Option(m.group(4)).map(_.toLowerCase) match {
         case Some("total") | Some("sum") => "SUM"
         case Some(_) => "AVG"
-        case None => "MAX"
+        // bare "the course with the highest/lowest score": the group's
+        // extreme value in the SAME direction as the ranking — MAX+ASC
+        // would rank "lowest" groups by their maximum
+        case None => if (lowest) "MIN" else "MAX"
       }
       (for {
         dim <- uniqueTable(slice, m.group(2)).toSeq
@@ -815,10 +819,17 @@ object Templates {
   def havingScalarCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String): Seq[Candidate] =
     havingScalarRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
+      def aggOf(word: String) = word.toLowerCase match {
         case "total" | "sum" => "SUM"
         case _ => "AVG"
       }
+      // group side and scalar side carry their OWN aggregate words:
+      // "whose TOTAL score is above the overall AVERAGE" compares each
+      // group's SUM to the ungrouped AVG — collapsing both onto the
+      // group-side word would compare one group's total against the
+      // whole table's total (vacuously false for positive values)
+      val groupAgg = aggOf(m.group(2))
+      val scalarAgg = aggOf(m.group(5))
       val op = if (Set("above", "over", "more than", "greater than")(m.group(4).toLowerCase)) ">" else "<"
       (for {
         dim <- uniqueTable(slice, m.group(1)).toSeq
@@ -828,7 +839,7 @@ object Templates {
       } yield Candidate(
         s"SELECT d.$nameCol AS $nameCol FROM ${e.fromTable} f " +
           s"JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
-          s"GROUP BY d.$nameCol HAVING $agg(f.$aggCol) $op (SELECT $agg($aggCol) FROM ${e.fromTable}) " +
+          s"GROUP BY d.$nameCol HAVING $groupAgg(f.$aggCol) $op (SELECT $scalarAgg($aggCol) FROM ${e.fromTable}) " +
           s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
         0.9, "template_having_scalar")).take(1)
     }

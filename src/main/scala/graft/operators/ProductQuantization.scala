@@ -210,14 +210,22 @@ object ProductQuantization {
       .mkString("[", ",", "]")
     val json = s"""{"m": ${m.m}, "k": ${m.k}, "subDim": ${m.subDim}, """ +
       s""""centroids": $centroidsJson, "codebooks": $codebooksJson}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "index.json"), json)
+    // the sidecar rides the SAME filesystem as the codes parquet (a
+    // production index path is hdfs/s3a, not the driver's local disk)
+    val spark = index.codes.sparkSession
+    val sidecar = new org.apache.hadoop.fs.Path(path, "index.json")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outStream = fs.create(sidecar, true)
+    try outStream.write(json.getBytes("UTF-8")) finally outStream.close()
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("id"), col("cell").cast("int").as("cell"), col("codes"))
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "index.json"))
+    val sidecar = new org.apache.hadoop.fs.Path(path, "index.json")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inStream = fs.open(sidecar)
+    val text = try new String(inStream.readAllBytes(), "UTF-8") finally inStream.close()
     // the sidecar is engine-written (no foreign input) — parse with a
     // small recursive-descent reader over the fixed shape
     val parsed = ujsonLite(text)

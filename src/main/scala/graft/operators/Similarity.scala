@@ -375,25 +375,26 @@ object Similarity {
   def knnJoinIvf(index: IvfIndex, queries: DataFrame, qIdCol: String,
       qEmbCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(index.centroids)
     val np = nprobe
+    // nprobe nearest cells per query as a plain projection (no typed
+    // Dataset: the query-id column keeps its source type — string ids
+    // must survive, matching knnJoin's contract; only CORPUS ids carry
+    // the index's long contract)
+    val cellsOf = udf { qemb: Seq[Double] =>
+      val cs = bc.value
+      cs.map { case (ci, c) =>
+        var d = 0.0
+        val n = math.min(c.length, qemb.length)
+        var j = 0
+        while (j < n) { val diff = c(j) - qemb(j); d += diff * diff; j += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(np).map(_._1)
+    }
     val probes = queries
-      .select(col(qIdCol).cast("long").as("query_id"),
+      .select(col(qIdCol).as("query_id"),
         col(qEmbCol).cast("array<double>").as("__qemb"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { rows =>
-        val cs = bc.value
-        rows.flatMap { case (qid, qemb) =>
-          cs.map { case (ci, c) =>
-            var d = 0.0
-            val n = math.min(c.length, qemb.length)
-            var j = 0
-            while (j < n) { val diff = c(j) - qemb(j); d += diff * diff; j += 1 }
-            (ci, d)
-          }.sortBy(_._2).take(np).map { case (ci, _) => (qid, qemb, ci) }
-        }
-      }.toDF("query_id", "__qemb", "cell")
+      .withColumn("cell", explode(cellsOf(col("__qemb"))))
     val scored = index.assigned.join(probes, "cell")
       .select(col("query_id"), col("id"),
         cosine_sim(col("emb"), col("__qemb")).as("cosine"))
@@ -497,6 +498,10 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame =
+    // NOTE: caches two candidate-sized frames internally; callers with a
+    // terminal action should prefer [[cosineNearDupPairsWithCleanup]]
+    // and invoke the handle once the result is materialized (the
+    // minhashNearDuplicates cache contract)
     cosineNearDupPairsWithCleanup(df, idCol, embCol, threshold, dim, chunks,
       seed, maxBucketSize)._1
 

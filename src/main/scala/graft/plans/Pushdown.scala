@@ -84,6 +84,9 @@ class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
     case EqualTo(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
       Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
         LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+    case EqualTo(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
+      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
+        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
     // literal-on-the-left spellings flip the operator
     case GreaterThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
       Seq(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))

@@ -50,4 +50,14 @@ class Nl2DocSpec extends AnyFunSuite {
   test("no fabricated predicates: unlinked words extract nothing") {
     assert(Nl2Doc.extractPreds("people who wander more than 5 miles", fields).isEmpty)
   }
+
+  test("operator words after 'is' never become equality values") {
+    // "is between"/"is not" must not fabricate Eq(score, "between") /
+    // Eq(city, "not") — a numeric field compared to a string evaluates
+    // null and silently returns an empty result
+    assert(Nl2Doc.extractPreds("people whose score is between 5 and 10", fields)
+      .forall { case Eq(_, v) => v != "between"; case _ => true })
+    assert(Nl2Doc.extractPreds("people whose city is not lima", fields)
+      .forall { case Eq(_, v) => v != "not"; case _ => true })
+  }
 }

@@ -172,4 +172,40 @@ class TemplatesSpec extends AnyFunSuite {
     val low = cands("lowest average score per course_id").find(_.method == "template_agg_of_agg").get
     assert(low.sql.contains("SELECT MIN(a)"), low.sql)
   }
+
+  test("group-wise argmax: inner aggregate follows direction and the explicit agg word") {
+    val hi = cands("for each dept the course with the highest average score")
+      .find(_.method == "template_groupwise_argmax").get
+    assert(hi.sql.contains("ORDER BY AVG(f.score) DESC, d.course_name"), hi.sql)
+    assert(hi.sql.contains("PARTITION BY d.dept"), hi.sql)
+    assert(hi.sql.contains("WHERE rn = 1"), hi.sql)
+    // bare "lowest score" must rank by the group's MINIMUM ascending —
+    // MAX ASC would name the group whose best value is worst
+    val lo = cands("for each dept the course with the lowest score")
+      .find(_.method == "template_groupwise_argmax").get
+    assert(lo.sql.contains("ORDER BY MIN(f.score) ASC"), lo.sql)
+    val hiBare = cands("for each dept the course with the highest score")
+      .find(_.method == "template_groupwise_argmax").get
+    assert(hiBare.sql.contains("ORDER BY MAX(f.score) DESC"), hiBare.sql)
+  }
+
+  test("HAVING vs scalar: group side and scalar side keep their own aggregate words") {
+    val c = cands("students whose average score is above the overall average")
+      .find(_.method == "template_having_scalar").get
+    assert(c.sql.contains("HAVING AVG(f.score) > (SELECT AVG(score) FROM scores)"), c.sql)
+    // mixed words: each group's TOTAL compared to the overall AVERAGE —
+    // not total-vs-total, which is vacuously false for positive values
+    val mixed = cands("students whose total score is below the overall average")
+      .find(_.method == "template_having_scalar").get
+    assert(mixed.sql.contains("HAVING SUM(f.score) < (SELECT AVG(score) FROM scores)"), mixed.sql)
+  }
+
+  test("ratio aggregate: capitalized/numeric value only, percentage scales by 100") {
+    val c = cands("percentage of scores with grade A")
+      .find(_.method == "template_ratio_agg").get
+    assert(c.sql.contains("100.0 * SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) / COUNT(*)"), c.sql)
+    // a lowercase non-literal word fabricates nothing
+    assert(cands("fraction of scores with grade problems")
+      .forall(_.method != "template_ratio_agg"))
+  }
 }
