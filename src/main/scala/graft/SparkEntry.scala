@@ -573,6 +573,19 @@ object Queries {
       ("SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM documents) " +
         "ORDER BY doc_id LIMIT 2000"),
+    // leakage-safe split: the x_dedup_groups recursive CC labels feed the
+    // same hash rule, keyed by COALESCE(group_id, doc_id)
+    "x_leakage_split" ->
+      (s"WITH RECURSIVE ${jaccardPairsCte()}, " +
+        "gold AS (SELECT id_a, id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM gold UNION SELECT id_b, id_a FROM gold), " +
+        "reach AS (SELECT src AS id, src AS peer FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src), " +
+        "grp AS (SELECT id, MIN(peer) AS group_id FROM reach GROUP BY id), " +
+        "keyed AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS k FROM documents d LEFT JOIN grp g ON g.id = d.doc_id) " +
+        "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, (k * 2654435761) % 1000 AS b FROM keyed) " +
+        "ORDER BY doc_id LIMIT 2000"),
     // corpus vocabulary: top-100 tokens by document frequency
     "x_vocab_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
@@ -892,6 +905,19 @@ object ExtensionQueries {
       graft.operators.Sampling.split(docs(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)),
+    // leakage-safe split: docs split by their duplicate-GROUP key (the
+    // x_dedup_groups CC labels), so near-dup clusters never straddle
+    // train/test — the oracle recomputes groups recursively and applies
+    // the same hash rule to the group key
+    "x_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val groups = Dedup.duplicateGroups(pairs)
+      graft.operators.Sampling.leakageSafeSplit(d, "doc_id", groups,
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
+    }),
     // per-row weighted sampling: keep probability = min(n_tokens/200, 1)
     "x_weighted_sample" -> ((s, dir) => {
       val w = TextAnalysis.tokenCount(col("text")).cast("double") / lit(200.0)

@@ -49,6 +49,30 @@ object Sampling {
   }
 
   /**
+   * LEAKAGE-SAFE split: near-duplicate documents must never straddle
+   * train/test — a test doc whose near-copy sits in train is
+   * memorized, not generalized to (the Lee et al. ACL'22 dedup-test
+   * motivation). Each document splits by its duplicate-GROUP key (the
+   * connected-component label from [[Dedup.duplicateGroups]] over the
+   * near-dup pair graph; docs outside any group key by their own id),
+   * so whole duplicate clusters land in one split while the per-split
+   * proportions stay ≈ `weights` (groups are a tiny fraction of a
+   * deduplicated corpus).
+   *
+   * Scale: `groups` carries duplicate MEMBERS only (≪ corpus) — the
+   * left join back is broadcastable; the split rule itself stays the
+   * one narrow hash expression of [[split]], applied to the group key.
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, groups: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val g = groups.select(col("id").as("__gm_id"), col("group_id").as("__group"))
+    val keyed = df.join(broadcast(g), df(idCol) === col("__gm_id"), "left")
+      .withColumn("__split_key", coalesce(col("__group"), col(idCol)))
+      .drop("__gm_id", "__group")
+    split(keyed, "__split_key", weights).drop("__split_key")
+  }
+
+  /**
    * Stratified deterministic sample: each row's stratum (a string
    * column) looks up its sampling rate; unlisted strata drop. Rates are
    * per-mille-exact. The stratum expression and the filter fuse into one

@@ -475,6 +475,28 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("value")))),
         s => s.getField("value")).as("emb"))
 
+  /** `iterations` rounds of [[kmeansStep]] + [[kmeansNewCentroids]],
+    * returning the refined (cluster, emb) centroids. Each round
+    * localCheckpoints the (clusters-sized) centroid frame — without the
+    * truncation every iteration's plan would nest the previous one's
+    * E-step join and aggregate, the same lineage blow-up the
+    * duplicate-groups CC loop guards against. */
+  def kmeansIterate(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, centIdCol: String, centEmbCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    var cents = centroids.select(col(centIdCol).cast("long").as("cluster"),
+      col(centEmbCol).as("emb"))
+    var i = 0
+    while (i < iterations) {
+      cents = kmeansNewCentroids(
+        kmeansStep(df, idCol, embCol, cents, "cluster", "emb"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs, BANDED: a 64-bit sign
    * signature is split into `chunks` bands; any pair agreeing exactly on

@@ -153,6 +153,51 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(Sampling.split(df, "id", Seq("sample" -> 0.2)).count() < 300)
   }
 
+  test("leakageSafeSplit: duplicate groups never straddle splits; singletons match the plain split") {
+    val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // planted near-dup groups spanning ids whose plain-split assignments
+    // differ (90=train-bucket vs 954/957=val/test buckets under HashK)
+    val pairs = Seq((90L, 954L), (954L, 957L), (10L, 20L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Sampling.leakageSafeSplit(df, "id", groups, w)
+    assert(out.count() == 1000)
+    val bySplit = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every pair member shares its split (transitively: the whole group)
+    assert(bySplit(90L) == bySplit(954L) && bySplit(954L) == bySplit(957L))
+    assert(bySplit(10L) == bySplit(20L))
+    // group members take the GROUP key's split (component min = 90)
+    val plain = Sampling.split(df, "id", w).select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bySplit(90L) == plain(90L))
+    // docs outside any group keep their plain-split assignment exactly
+    val grouped = Set(90L, 954L, 957L, 10L, 20L)
+    assert(bySplit.filterNot(kv => grouped(kv._1)) ==
+      plain.filterNot(kv => grouped(kv._1)))
+  }
+
+  test("kmeansIterate converges to the true cluster means on a planted fixture") {
+    // two tight clusters around (1,0) and (0,1); probe centroids start
+    // OFF-center (the cluster members themselves)
+    val vecs = Seq(
+      (0L, Array(0.9, 0.1)), (1L, Array(0.1, 0.9)), // initial probes
+      (2L, Array(1.1, -0.1)), (3L, Array(1.0, 0.0)),
+      (4L, Array(-0.1, 1.1)), (5L, Array(0.0, 1.0)))
+      .toDF("vec_id", "emb")
+    val init = vecs.where($"vec_id" < 2)
+    val cents = Similarity.kmeansIterate(vecs, "vec_id", "emb", init, "vec_id", "emb", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // after round 1 the assignment is already the planted partition, so
+    // round 2 reproduces the exact member means — a fixed point
+    assert(cents(0L) == Seq(1.0, 0.0), cents.toString)
+    assert(cents(1L) == Seq(0.0, 1.0), cents.toString)
+    val three = Similarity.kmeansIterate(vecs, "vec_id", "emb", init, "vec_id", "emb", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(three == cents, "fixed point must be stable")
+  }
+
   test("writeBalancedShards produces exactly N near-equal parquet shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toFile
     val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
