@@ -181,7 +181,13 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("dl"),
         explode(Dedup.tokens(col(textCol))).as("term"))
       .where(col("term").isin(terms: _*))
+    // tf feeds BOTH the scoring join and the document frequencies —
+    // localCheckpoint materializes the (tiny, query-term-filtered) frame
+    // once so the corpus isn't scanned a second time for df; the blocks
+    // release via the ContextCleaner when the frame goes out of scope,
+    // so no cache-handle contract is needed
     val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df.agg(count(lit(1)).as("n"), avg(tokenCount(col(textCol))).as("avgdl"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
