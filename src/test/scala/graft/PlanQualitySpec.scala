@@ -243,6 +243,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(pf.contains("cell"), "probed cells must partition-prune: " + p.take(3000))
   }
 
+  test("leakage-safe split broadcasts the duplicate-group side; the split rule adds no shuffle (x_leakage_split)") {
+    val p = plan("x_leakage_split")
+    assert(p.contains("BroadcastHashJoin"),
+      "the groups side (duplicate members only) must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("relative-date filter pushes an implied raw-nanos bound to the events scan (x_relative_date)") {
     val p = plan("x_relative_date")
     // ts is DERIVED from the raw nanos column (Sources.register), so the
