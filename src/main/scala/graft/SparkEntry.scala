@@ -198,6 +198,16 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // running aggregate + LAG per user; DuckDB's ns timestamps truncate
+    // to the µs grid Spark's nanosAsLong conversion produces, so gaps
+    // compare exact longs
+    "x_running_total" ->
+      ("WITH e AS (SELECT event_id, user_id, value, " +
+        "epoch_us(date_trunc('microseconds', ts)) AS us FROM events) " +
+        "SELECT event_id, user_id, " +
+        "round(SUM(value) OVER (PARTITION BY user_id ORDER BY us, event_id), 2) AS running_value, " +
+        "us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us " +
+        "FROM e ORDER BY event_id LIMIT 1000"),
     // the gold side of the relative-date contract computes its cutoff
     // from the SAME frozen `now` the template layer is given
     "x_relative_date" ->
@@ -1319,6 +1329,20 @@ object ExtensionQueries {
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hour", "event_type").limit(100)
+    }),
+    // per-user running total + gap-since-previous-event (the W1 surface
+    // deepened with frame-running aggregates and LAG): the window
+    // partitions BY USER — thousands of small partitions, never a
+    // global sort; gaps compare exact microsecond longs on both engines
+    // (DuckDB truncates its ns timestamps to the same µs grid)
+    "x_running_total" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.table("events").select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+        .orderBy("event_id").limit(1000)
     }),
     // relative-date serving (SURVEY P10, ref query_intent.py:183-195):
     // the NL phrase "in the last 10 days" goes through the TEMPLATE

@@ -34,27 +34,34 @@ class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
     * `cast(raw / 1000.0 as bigint)` (≤ 1 µs at epoch magnitudes). */
   private val Slack = 1000L
 
-  /** Matches `timestamp_micros(cast(rawNanos / 1000 as bigint))` where
-    * rawNanos is a bare long column (integral division inserts a
-    * double cast around it). */
+  /** Matches `timestamp_micros(rawNanos div 1000)` (the registry's
+    * exact integral-division derivation) and the legacy
+    * `timestamp_micros(cast(rawNanos / 1000 as bigint))` double-division
+    * spelling, yielding the raw long column. */
   private object DerivedMicros {
+    private def longAttr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute if a.dataType == LongType => Some(a)
+      case c: Cast if c.dataType == DoubleType || c.dataType == LongType =>
+        c.child match {
+          case a: Attribute if a.dataType == LongType => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    private def isThousand(e: Expression): Boolean = e match {
+      case Literal(1000L, LongType) => true
+      case Literal(1000, _) => true
+      case Literal(1000.0, DoubleType) => true
+      case c: Cast => isThousand(c.child)
+      case _ => false
+    }
     def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(d: IntegralDivide) if isThousand(d.right) =>
+        longAttr(d.left)
       case MicrosToTimestamp(c: Cast) if c.dataType == LongType =>
         c.child match {
-          case d: Divide =>
-            d.right match {
-              case Literal(1000.0, DoubleType) =>
-                d.left match {
-                  case inner: Cast if inner.dataType == DoubleType =>
-                    inner.child match {
-                      case a: Attribute if a.dataType == LongType => Some(a)
-                      case _ => None
-                    }
-                  case a: Attribute if a.dataType == LongType => Some(a)
-                  case _ => None
-                }
-              case _ => None
-            }
+          case d: Divide if isThousand(d.right) => longAttr(d.left)
+          case d: IntegralDivide if isThousand(d.right) => longAttr(d.left)
           case _ => None
         }
       case _ => None

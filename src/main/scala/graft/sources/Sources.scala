@@ -39,7 +39,12 @@ object Sources {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // EXACT µs floor via integral division: `/` on longs goes through
+      // double, whose ~0.2 µs rounding error at epoch magnitudes put
+      // ~0.04% of timestamps one microsecond off the true grid —
+      // invisible to range filters, but row-adjacent comparisons (LAG
+      // gaps, as-of ties) expose every wrong value
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else df
   }

@@ -32,9 +32,9 @@ class PushdownSpec extends SparkSpec {
     val cutoff = "2024-01-10 00:00:00"
     val got = events.where(col("ts") >= lit(cutoff).cast("timestamp")).count()
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // raw ts is nanos-as-long; replicate the registry's derivation
+    // raw ts is nanos-as-long; replicate the registry's exact derivation
     val expected = raw
-      .where(timestamp_micros((col("ts") / 1000L).cast("long")) >= lit(cutoff).cast("timestamp"))
+      .where(timestamp_micros(expr("ts div 1000")) >= lit(cutoff).cast("timestamp"))
       .count()
     assert(got == expected && got > 0 && got < events.count())
   }
