@@ -1137,9 +1137,10 @@ object ExtensionQueries {
       val index = graft.operators.ProductQuantization.ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
       // deterministic per-SF path: repeated executions (bench warmup +
       // runs, scaling probes) OVERWRITE one index instead of leaving a
-      // fresh temp copy per run
+      // fresh temp copy per run; keyed on the sanitized fixture dir NAME
+      // (not hashCode — collisions would silently serve a stale index)
       val dir0 = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_pq_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.operators.ProductQuantization.writeIndex(index, dir0)
       val persisted = graft.operators.ProductQuantization.readIndex(s, dir0)
       val q = e.where(col("vec_id") === 0).select("emb").collect()(0).getSeq[Double](0).toArray

@@ -35,12 +35,21 @@ final class Engine(
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
   /** Dotted leaf paths of a document collection's inferred schema
-    * ("user.age"), so field linking and predicates reach into nesting. */
+    * ("user.age"), so field linking and predicates reach into nesting.
+    * Arrays of structs ("orders[].amount" in Mongo terms) contribute the
+    * index-free dotted path, matching how Mongo-style dotted paths
+    * address array elements (ref app/mongodb_adapter.py:97-148 infers
+    * them the same way). */
   private def leafPaths(schema: org.apache.spark.sql.types.StructType,
       prefix: String = ""): Seq[String] =
     schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case s: org.apache.spark.sql.types.StructType => leafPaths(s, prefix + f.name + ".")
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.elementType match {
+            case s: org.apache.spark.sql.types.StructType => leafPaths(s, prefix + f.name + ".")
+            case _ => Seq(prefix + f.name)
+          }
         case _ => Seq(prefix + f.name)
       }
     }

@@ -26,6 +26,18 @@ private[functions] object SelfRefCodegen {
   }
 }
 
+private[functions] object SelfRefNullBranch {
+  /** The generated null-result branch. When the expression is
+    * non-nullable, `ev.isNull` is the literal `false` — assigning to it
+    * ("false = true;") is a janino compile error that silently drops the
+    * WHOLE STAGE to interpreted mode (the exact failure this trait
+    * exists to avoid), so the non-nullable branch throws instead (a
+    * non-nullable `nullSafeEval` returning null is a bug by contract). */
+  def apply(nullable: Boolean, isNull: String): String =
+    if (nullable) s"$isNull = true;"
+    else "throw new NullPointerException(\"graft: non-nullable expression produced null\");"
+}
+
 trait UnarySelfRefCodegen extends UnaryExpression {
   /** public bridge so generated Java can invoke the protected eval */
   final def evalNonNullInput(v: Any): Any = nullSafeEval(v)
@@ -36,7 +48,7 @@ trait UnarySelfRefCodegen extends UnaryExpression {
       val r = ctx.freshName("graftRes")
       s"""
          |Object $r = $ref.evalNonNullInput($c);
-         |if ($r == null) { ${ev.isNull} = true; }
+         |if ($r == null) { ${SelfRefNullBranch(nullable, ev.isNull.code)} }
          |else { ${ev.value} = ${SelfRefCodegen.unbox(dataType, r)}; }
        """.stripMargin
     })
@@ -52,7 +64,7 @@ trait BinarySelfRefCodegen extends BinaryExpression {
       val r = ctx.freshName("graftRes")
       s"""
          |Object $r = $ref.evalNonNullInputs($a, $b);
-         |if ($r == null) { ${ev.isNull} = true; }
+         |if ($r == null) { ${SelfRefNullBranch(nullable, ev.isNull.code)} }
          |else { ${ev.value} = ${SelfRefCodegen.unbox(dataType, r)}; }
        """.stripMargin
     })

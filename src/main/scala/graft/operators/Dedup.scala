@@ -111,7 +111,15 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame =
-    minhashNearDuplicatesWithCleanup(df, idCol, textCol, threshold, cfg)._1
+    // handle-less convenience: the shared candidate-pair frame
+    // materializes via LAZY localCheckpoint, whose blocks belong to the
+    // RDD (GC-released), not the session CacheManager — so this overload
+    // cannot leak session caches (the BENCH_r04 failure mode). Lineage
+    // is truncated; production pipelines with a terminal action should
+    // prefer [[minhashNearDuplicatesWithCleanup]] (lineage-preserving
+    // persist + explicit release).
+    minhashCore(df, idCol, textCol, threshold, cfg,
+      d => d.localCheckpoint(eager = false))._1
 
   /**
    * [[minhashNearDuplicates]] plus a cleanup handle that unpersists the
@@ -127,10 +135,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
-    // candidate pairs persist (tiny: ≈ dup-rate × corpus) so the member
-    // id set below doesn't re-run the LSH pipeline
-    val pairs = minhashCandidatePairs(df, idCol, textCol, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    minhashCore(df, idCol, textCol, threshold, cfg,
+      d => d.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Shared LSH-verify pipeline; `share` decides how the reused
+    * candidate-pair frame materializes (persist vs lazy localCheckpoint —
+    * see the two public entry points). */
+  private def minhashCore(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, cfg: LshConfig,
+      share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+    // candidate pairs are shared (tiny: ≈ dup-rate × corpus) so the
+    // member id set below doesn't re-run the LSH pipeline
+    val pairs = share(minhashCandidatePairs(df, idCol, textCol, cfg))
     // Verify-side shingles are computed for CANDIDATE MEMBERS ONLY: the
     // semi join runs before the shingle projection, so at corpus scale
     // the exact-Jaccard check re-tokenizes the (small) candidate set
@@ -175,8 +193,10 @@ object Dedup {
   def incrementalNearDuplicates(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       cfg: LshConfig = LshConfig()): DataFrame =
-    incrementalNearDuplicatesWithCleanup(existing, incoming, idCol, textCol,
-      threshold, cfg)._1
+    // handle-less convenience — lazy-localCheckpoint sharing, no session
+    // cache entry; see [[minhashNearDuplicates]] for the tradeoff
+    incrementalCore(existing, incoming, idCol, textCol, threshold, cfg,
+      d => d.localCheckpoint(eager = false))._1
 
   /**
    * [[incrementalNearDuplicates]] plus a cleanup handle that unpersists
@@ -190,6 +210,15 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.8,
       cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
+    incrementalCore(existing, incoming, idCol, textCol, threshold, cfg,
+      d => d.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Shared incremental-LSH pipeline; `share` decides how the reused
+    * candidate-pair frame materializes (see the two public entry points). */
+  private def incrementalCore(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      cfg: LshConfig, share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     val be = minhashBuckets(existing, idCol, textCol, cfg)
       .withColumnRenamed("doc_id", "id_a")
     val bi = minhashBuckets(incoming, idCol, textCol, cfg)
@@ -199,10 +228,9 @@ object Dedup {
     val capped = be.groupBy("band", "bucket")
       .agg(collect_list("id_a").as("ids_a"), count(lit(1)).as("n"))
       .where(col("n") <= cfg.maxBucketSize)
-    val pairs = capped.join(bi, Seq("band", "bucket"))
+    val pairs = share(capped.join(bi, Seq("band", "bucket"))
       .select(explode(col("ids_a")).as("id_a"), col("id_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     def memberShingles(df: DataFrame, side: String) = {
       val ids = pairs.select(col(side).as("id")).distinct()
       df.join(ids, df(idCol) === ids("id"), "left_semi")

@@ -110,7 +110,8 @@ object Similarity {
 
   /**
    * UNBIASED deterministic training sample: the `n` rows with the
-   * smallest `xxhash64(id)` (ties to lower id), returned sorted by id.
+   * smallest `xxhash64(id)` (ties to lower id), returned in (hash, id)
+   * order.
    *
    * Head-of-table `limit(n)` is NOT a uniform sample — at 100 TB with
    * time- or source-ordered ingest the first 20k vectors are one shard
@@ -520,12 +521,17 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame =
-    // NOTE: caches two candidate-sized frames internally; callers with a
-    // terminal action should prefer [[cosineNearDupPairsWithCleanup]]
-    // and invoke the handle once the result is materialized (the
-    // minhashNearDuplicates cache contract)
-    cosineNearDupPairsWithCleanup(df, idCol, embCol, threshold, dim, chunks,
-      seed, maxBucketSize)._1
+    // Shared intermediates (candidate pairs, member vectors) materialize
+    // via LAZY localCheckpoint: blocks are owned by the RDD, not the
+    // session CacheManager, so they release when the result frame is
+    // garbage-collected — a handle-less call can never leak session
+    // caches (the BENCH_r04 failure mode). Tradeoff: lineage is
+    // truncated, so a lost executor fails the job instead of
+    // recomputing; long-lived production pipelines should prefer
+    // [[cosineNearDupPairsWithCleanup]] (lineage-preserving persist +
+    // explicit release).
+    cosineNearDupCore(df, idCol, embCol, threshold, dim, chunks,
+      seed, maxBucketSize, d => d.localCheckpoint(eager = false))._1
 
   /** [[cosineNearDupPairs]] plus a cleanup handle for the internal
     * candidate-pair cache (the [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]]
@@ -535,6 +541,18 @@ object Similarity {
       threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
       seed: Long = 42L, maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
+    cosineNearDupCore(df, idCol, embCol, threshold, dim, chunks, seed,
+      maxBucketSize, d => d.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Shared banded-signature pipeline; `share` decides how the two
+    * reused candidate-sized frames materialize (persist vs lazy
+    * localCheckpoint — see the two public entry points). The returned
+    * cleanup handle unpersists whatever `share` cached (a no-op for the
+    * checkpoint strategy: RDD blocks are GC-managed). */
+  private def cosineNearDupCore(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int, chunks: Int, seed: Long,
+      maxBucketSize: Int, share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     require(chunks >= 1 && chunks <= 64 && 64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
@@ -549,22 +567,20 @@ object Similarity {
     val buckets = banded.groupBy("band", "value")
       .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucketSize)
-    // candidate pairs persist (tiny: bucket-coincident id pairs) so the
-    // member id set below doesn't re-run the signature pipeline
-    val pairs = buckets
+    // candidate pairs are shared (tiny: bucket-coincident id pairs) so
+    // the member id set below doesn't re-run the signature pipeline
+    val pairs = share(buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // exact verify reads float vectors for CANDIDATE MEMBERS ONLY; the
-    // member frame persists too (candidate-sized, like pairs) so the two
-    // verify joins don't each re-scan the corpus for it
+    // member frame is shared too (candidate-sized, like pairs) so the
+    // two verify joins don't each re-scan the corpus for it
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val emb = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
-      .select(col(idCol).as("id"), col(embCol).as("emb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val emb = share(df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), col(embCol).as("emb")))
     val verified = pairs
       .join(emb.withColumnRenamed("id", "id_a").withColumnRenamed("emb", "__ea"), "id_a")
       .join(emb.withColumnRenamed("id", "id_b").withColumnRenamed("emb", "__eb"), "id_b")

@@ -68,11 +68,27 @@ class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** `m*1000 - Slack` as a nanos lower bound, or None when the micros
+    * literal is so large the conversion would overflow a Long (e.g. the
+    * `ts >= TIMESTAMP '9999-12-31'`-beyond-2262 sentinel range). On
+    * overflow no conjunct is emitted — the exact original predicate
+    * remains, so skipping is always conservative. */
+  private def loBound(m: Long): Option[Long] =
+    try Some(Math.subtractExact(Math.multiplyExact(m, 1000L), Slack))
+    catch { case _: ArithmeticException => None }
+
+  /** `(m+1)*1000 + Slack` as a nanos upper bound; None on overflow. */
+  private def hiBound(m: Long): Option[Long] =
+    try Some(Math.addExact(Math.multiplyExact(Math.addExact(m, 1L), 1000L), Slack))
+    catch { case _: ArithmeticException => None }
+
   /** The implied raw-nanos bounds for one conjunct (empty when the
     * shape doesn't apply). Truncation toward zero equals floor for the
     * positive epoch values these columns hold; every bound is widened
     * by [[Slack]], and the exact original predicate remains, so the
     * added conjuncts can only prune row groups that cannot match.
+    * Bounds whose micros→nanos conversion would overflow (timestamps
+    * past ~2262) are dropped rather than allowed to wrap negative.
     *
     * Bounds return as SEPARATE conjuncts, never a nested And: the rule
     * runs inside the operator-optimization fixed point, where a nested
@@ -81,28 +97,28 @@ class NanosTimestampPushdown extends Rule[LogicalPlan] with PredicateHelper {
     * limit. Flat conjuncts are individually `semanticEquals`-stable. */
   private def implied(cmp: Expression): Seq[Expression] = cmp match {
     case GreaterThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+      loBound(m).map(b => GreaterThanOrEqual(a, Literal(b))).toSeq
     case GreaterThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Seq(GreaterThan(a, Literal(m * 1000L - Slack)))
+      loBound(m).map(b => GreaterThan(a, Literal(b))).toSeq
     case LessThan(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Seq(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+      hiBound(m).map(b => LessThan(a, Literal(b))).toSeq
     case LessThanOrEqual(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Seq(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      hiBound(m).map(b => LessThanOrEqual(a, Literal(b))).toSeq
     case EqualTo(DerivedMicros(a), Literal(m: Long, TimestampType)) =>
-      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
-        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      loBound(m).map(b => GreaterThanOrEqual(a, Literal(b))).toSeq ++
+        hiBound(m).map(b => LessThanOrEqual(a, Literal(b))).toSeq
     case EqualTo(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)),
-        LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      loBound(m).map(b => GreaterThanOrEqual(a, Literal(b))).toSeq ++
+        hiBound(m).map(b => LessThanOrEqual(a, Literal(b))).toSeq
     // literal-on-the-left spellings flip the operator
     case GreaterThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Seq(LessThanOrEqual(a, Literal((m + 1L) * 1000L + Slack)))
+      hiBound(m).map(b => LessThanOrEqual(a, Literal(b))).toSeq
     case GreaterThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Seq(LessThan(a, Literal((m + 1L) * 1000L + Slack)))
+      hiBound(m).map(b => LessThan(a, Literal(b))).toSeq
     case LessThanOrEqual(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Seq(GreaterThanOrEqual(a, Literal(m * 1000L - Slack)))
+      loBound(m).map(b => GreaterThanOrEqual(a, Literal(b))).toSeq
     case LessThan(Literal(m: Long, TimestampType), DerivedMicros(a)) =>
-      Seq(GreaterThan(a, Literal(m * 1000L - Slack)))
+      loBound(m).map(b => GreaterThan(a, Literal(b))).toSeq
     case _ => Nil
   }
 

@@ -65,6 +65,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan)
   }
 
+  test("self-ref codegen compiles over a NON-NULLABLE input (ev.isNull is a literal there)") {
+    // regression: with nullable=false, nullSafeCodeGen replaces ev.isNull
+    // with the literal `false`; emitting `false = true;` was a janino
+    // compile error that silently dropped the whole stage to interpreted
+    // mode. Generate the projection directly — this throws on any
+    // compile failure instead of falling back.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.CharDistribution(
+      BoundReference(0, StringType, nullable = false))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val out = proj(InternalRow(UTF8String.fromString("aabb")))
+    val st = out.getStruct(0, 2)
+    assert(math.abs(st.getDouble(0) - 1.0) < 1e-12 && st.getInt(1) == 2)
+  }
+
   test("incremental dedup: cross-split pairs only, agrees with the full-corpus pair set") {
     val existing = docs.where($"doc_id" % 10 =!= 0)
     val incoming = docs.where($"doc_id" % 10 === 0)

@@ -47,6 +47,25 @@ class PushdownSpec extends SparkSpec {
     assert(hits == 1, p)
   }
 
+  test("post-2262 sentinel bounds emit no implied conjunct instead of overflowing negative") {
+    // `m * 1000` for a year-9999 micros literal wraps a Long; an implied
+    // `raw <= negative` conjunct would silently return zero rows. The
+    // rule must skip the conjunct (the exact predicate remains, so
+    // skipping is conservative) and the query must still see every row.
+    val all = events.count()
+    val sentinel = events.where(col("ts") <= lit("9999-12-31 00:00:00").cast("timestamp"))
+    assert(sentinel.count() == all)
+    val opt = sentinel.queryExecution.optimizedPlan.toString
+    assert(!"ts#\\d+L <= -\\d+".r.findAllIn(opt).hasNext, opt)
+    // and the lower-bound spelling: ts >= far-future keeps 0 rows but
+    // must not wrap either (a wrapped negative lower bound would keep
+    // ALL rows in the implied conjunct — harmless — while a wrapped
+    // EqualTo pair could conflict; assert no negative literal appears)
+    val hi = events.where(col("ts") === lit("9999-12-31 00:00:00").cast("timestamp"))
+    assert(hi.count() == 0)
+    assert(!"ts#\\d+L [<>]= -\\d+".r.findAllIn(hi.queryExecution.optimizedPlan.toString).hasNext)
+  }
+
   test("equality bounds stay flat conjuncts inside the fixed point (no growth, both bounds pushed)") {
     // EqualTo adds TWO separate conjuncts; a nested And would re-split
     // next pass, fail the already-present check, and grow the condition
