@@ -280,8 +280,8 @@ object Evaluation {
     EvalCase("percentage of scores with grade A",
       "SELECT ROUND(100.0 * SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
         "FROM scores", "ratio_agg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-6 open cases, closed in round 7 (correlated per-group
+    //     filter / median per group / bottom-N by joined count) ---
     EvalCase("students older than the average age of their grade level",
       "SELECT student_name FROM students s WHERE age > " +
         "(SELECT AVG(age) FROM students s2 WHERE s2.grade_level = s.grade_level) " +
@@ -292,5 +292,18 @@ object Evaluation {
     EvalCase("the 3 courses with the fewest students",
       "SELECT c.course_name, COUNT(DISTINCT sc.student_id) AS agg_value FROM scores sc " +
         "JOIN courses c ON c.course_id = sc.course_id GROUP BY c.course_name " +
-        "ORDER BY agg_value ASC, c.course_name LIMIT 3", "bottom_n"))
+        "ORDER BY agg_value ASC, c.course_name LIMIT 3", "bottom_n"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("average number of courses per student",
+      "SELECT AVG(c) AS agg_value FROM " +
+        "(SELECT COUNT(DISTINCT course_id) AS c FROM scores GROUP BY student_id) t",
+      "avg_count_per"),
+    EvalCase("students who scored above 90 in at least 3 courses",
+      "SELECT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
+        "WHERE sc.score > 90 GROUP BY st.student_name HAVING COUNT(DISTINCT sc.course_id) >= 3 " +
+        "ORDER BY st.student_name LIMIT 100", "filtered_having"),
+    EvalCase("courses where the best score is below 95",
+      "SELECT course_id FROM scores GROUP BY course_id HAVING MAX(score) < 95 " +
+        "ORDER BY course_id LIMIT 100", "having_extreme"))
 }

@@ -870,6 +870,99 @@ object Templates {
       }
     }
 
+  // "students older than the average age of their grade level" — a
+  // row filter against the row's OWN group aggregate
+  private val correlatedFilterRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(older|younger|taller|shorter|higher|lower|bigger|" +
+      raw"smaller|greater|larger|longer|heavier|lighter|more|less)\s+than\s+the\s+" +
+      raw"(average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+their\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Correlated per-group filter (ref `app/models/inference.py:151-213`
+    * serves this shape through LLM candidates): "Es CMP than the average
+    * V of their G" → `V op (SELECT AVG(V) FROM T t2 WHERE t2.G = t.G)`.
+    * Catalyst decorrelates the equality-correlated scalar subquery into
+    * one grouped aggregate joined back on G — two scans of T, one
+    * shuffle on G, never a per-row subquery execution. */
+  def correlatedFilterCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
+    correlatedFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("older", "taller", "higher", "bigger", "greater", "larger",
+        "longer", "heavier", "more")(m.group(2).toLowerCase)) ">" else "<"
+      val groupWord = m.group(5).trim.replaceAll("\\s+", "_")
+      for {
+        t <- uniqueTable(slice, m.group(1)).toSeq
+        aggCol <- strongColumn(m.group(4), slice.tables(t)).toSeq
+        groupCol <- strongColumn(groupWord, slice.tables(t).filterNot(_ == aggCol)).toSeq
+        nameCol <- nameishColumn(slice.tables(t)).toSeq
+      } yield Candidate(
+        s"SELECT $nameCol FROM $t s WHERE $aggCol $op " +
+          s"(SELECT AVG($aggCol) FROM $t s2 WHERE s2.$groupCol = s.$groupCol) " +
+          s"ORDER BY $nameCol LIMIT $DefaultLimit",
+        0.9, "template_correlated_filter")
+    }
+
+  // "median score per course" / "90th percentile score per course" — an
+  // exact distribution statistic per group
+  private val percentileAggRe =
+    (raw"(?i)\b(?:(median)|(\d{1,2})(?:st|nd|rd|th)\s+percentile(?:\s+of)?)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:per|by|for\s+each)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Median / percentile per group: `MEDIAN(V)` (or `PERCENTILE(V, q)`)
+    * grouped by the resolved key. Spark's exact percentile is a single
+    * ObjectHashAggregate pass (per-group value buffers), one shuffle on
+    * the group key — the same plan family as `Profiler.exactPercentiles`;
+    * for quantile-sketch scale (huge groups) `approx_percentile` is the
+    * documented relaxation, not needed at the template surface. */
+  def percentileAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    percentileAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val aggExpr: String => String =
+        if (m.group(1) != null) c => s"MEDIAN($c)"
+        else { val q = m.group(2).toInt / 100.0; c => s"PERCENTILE($c, $q)" }
+      slice.tables.toSeq.flatMap { case (t, cols) =>
+        for {
+          aggCol <- strongColumn(m.group(3), cols).toSeq
+          groupCol <- uniqueTable(slice, m.group(4))
+            .flatMap(g => fks.find(e => e.fromTable == t && e.toTable == g).map(_.fromColumn))
+            .orElse(strongColumn(m.group(4), cols.filterNot(_ == aggCol))).toSeq
+        } yield Candidate(
+          s"SELECT $groupCol, ${aggExpr(aggCol)} AS agg_value FROM $t " +
+            s"GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
+          0.9, "template_percentile_agg")
+      }.take(1)
+    }
+
+  // "the 3 courses with the fewest students" — bottom-N (or top-N) of
+  // one entity by its DISTINCT count of another, bridged by a fact
+  private val bottomNRe =
+    (raw"(?i)\bthe\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(fewest|least|most)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Bottom-N by joined count: "the N Es with the fewest Js" → group the
+    * bridging fact by E's display column, COUNT(DISTINCT fk-to-J),
+    * ascending ORDER BY + LIMIT n (ties to the name so the cut is
+    * deterministic). Plans as one partial+final aggregate and a
+    * TakeOrderedAndProject — no full sort. NOTE: entities with ZERO
+    * joined rows can't appear (no fact row to group); the anti-join
+    * template covers the "have no Js" phrasing explicitly. */
+  def bottomNCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    bottomNRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).equalsIgnoreCase("most")) "DESC" else "ASC"
+      (for {
+        dim1 <- uniqueTable(slice, m.group(2)).toSeq
+        dim2 <- uniqueTable(slice, m.group(4)).toSeq
+        if dim1 != dim2
+        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
+        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
+        nameCol <- nameishColumn(slice.tables(dim1)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol AS $nameCol, COUNT(DISTINCT f.${e2.fromColumn}) AS agg_value " +
+          s"FROM ${e1.fromTable} f JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
+          s"GROUP BY d.$nameCol ORDER BY agg_value $dir, d.$nameCol LIMIT ${m.group(1)}",
+        0.9, "template_bottom_n")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
@@ -879,6 +972,9 @@ object Templates {
       groupwiseArgmaxCandidates(slice, fks, question) ++
       havingScalarCandidates(slice, fks, question) ++
       ratioAggCandidates(slice, question) ++
+      correlatedFilterCandidates(slice, question) ++
+      percentileAggCandidates(slice, fks, question) ++
+      bottomNCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -56,7 +56,8 @@ class EvaluationSpec extends SparkSpec {
         "groupby_agg", "filter_between", "filter_or", "having",
         "filter_like", "anti_join", "nth_value",
         "join3_filter", "nested_having_count", "agg_of_agg",
-        "groupwise_argmax", "having_scalar", "ratio_agg"))
+        "groupwise_argmax", "having_scalar", "ratio_agg",
+        "correlated_filter", "percentile_agg", "bottom_n"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
