@@ -57,6 +57,20 @@ package object functions {
   def top_k_by_value(ord: Column, id: Column, k: Int): Column =
     column(TopKByValue(expression(ord), expression(id), k).toAggregateExpression())
 
+  def bloom_count_hits(hashes: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    column(BloomCountHits(expression(hashes), bloom))
+
+  def sorted_overlap_count(hashes: Column,
+      sortedHashes: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    column(SortedHashOverlapCount(expression(hashes), sortedHashes))
+
+  def nearest_centroid(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+    column(NearestCentroidId(expression(emb), centroids))
+
+  def nearest_centroids(emb: Column, centroids: Array[(Int, Array[Double])], nprobe: Int): Column =
+    column(NearestCentroidIds(expression(emb), centroids, nprobe))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -111,12 +111,13 @@ object Decontamination {
       try evalShingles.stat.bloomFilter("sh", math.max(evalShingles.count(), 1L), fpp)
       finally evalShingles.unpersist(blocking = false)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val bloomHits = udf { hs: Seq[Long] =>
-      if (hs == null) 0 else { val b = bc.value; hs.count(b.mightContainLong) }
-    }
     val hashes = transform(array_distinct(Dedup.shingles(col(textCol), n)),
       s => xxhash64(s))
-    val candidates = docs.where(bloomHits(hashes) >= minOverlap)
+    // native probe expression (no per-hash boxing across a UDF
+    // boundary); coalesce keeps the old null contract: a null text
+    // yields 0 hits, i.e. never a candidate
+    val candidates = docs.where(
+      coalesce(graft.functions.bloom_count_hits(hashes, bc), lit(0)) >= minOverlap)
     val contaminated =
       overlaps(candidates, idCol, textCol, evalDocs, evalTextCol, n, minOverlap)
         .select(idCol)

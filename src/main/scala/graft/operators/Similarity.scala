@@ -375,27 +375,16 @@ object Similarity {
    */
   def knnJoinIvf(index: IvfIndex, queries: DataFrame, qIdCol: String,
       qEmbCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val np = nprobe
     // nprobe nearest cells per query as a plain projection (no typed
     // Dataset: the query-id column keeps its source type — string ids
     // must survive, matching knnJoin's contract; only CORPUS ids carry
-    // the index's long contract)
-    val cellsOf = udf { qemb: Seq[Double] =>
-      val cs = bc.value
-      cs.map { case (ci, c) =>
-        var d = 0.0
-        val n = math.min(c.length, qemb.length)
-        var j = 0
-        while (j < n) { val diff = c(j) - qemb(j); d += diff * diff; j += 1 }
-        (ci, d)
-      }.sortBy(_._2).take(np).map(_._1)
-    }
+    // the index's long contract); native centroid-argmin expression,
+    // centroids inline in the plan
     val probes = queries
       .select(col(qIdCol).as("query_id"),
         col(qEmbCol).cast("array<double>").as("__qemb"))
-      .withColumn("cell", explode(cellsOf(col("__qemb"))))
+      .withColumn("cell",
+        explode(graft.functions.nearest_centroids(col("__qemb"), index.centroids, nprobe)))
     val scored = index.assigned.join(probes, "cell")
       .select(col("query_id"), col("id"),
         cosine_sim(col("emb"), col("__qemb")).as("cosine"))

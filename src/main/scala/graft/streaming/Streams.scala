@@ -227,16 +227,17 @@ object Streams {
     val evalHashes = evalDocs
       .select(explode(array_distinct(graft.operators.Dedup.shingles(col(evalTextCol), n))).as("__sh"))
       .select(xxhash64(col("__sh")).as("sh")).distinct().as[Long].collect()
-    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes.toSet)
+    java.util.Arrays.sort(evalHashes)
+    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes)
     // The broadcast probe runs as a FILTER on the original row — every
     // input column passes through untouched (same contract as the batch
     // operator), and ids keep their source type (no silent long cast).
-    val overlapCount = udf { hs: Seq[Long] =>
-      if (hs == null) 0 else { val s = bc.value; hs.count(s.contains) }
-    }
+    // Native sorted-array probe (binary search per hash, primitives
+    // straight off ArrayData); coalesce keeps the old null contract:
+    // a null text has 0 overlap and passes as clean.
     val hs = transform(array_distinct(graft.operators.Dedup.shingles(col(textCol), n)),
       s => xxhash64(s))
-    docs.where(overlapCount(hs) < minOverlap)
+    docs.where(coalesce(graft.functions.sorted_overlap_count(hs, bc), lit(0)) < minOverlap)
   }
 
   /**
@@ -270,24 +271,9 @@ object Streams {
       centroids: Array[(Int, Array[Double])],
       model: graft.operators.ProductQuantization.PqModel): DataFrame = {
     import org.apache.spark.sql.graft.interop.{toColumn, toExpression}
-    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
-    val cellOf = udf { emb: Seq[Double] =>
-      val cs = bc.value
-      var bi = 0; var bd = Double.MaxValue; var ci = 0
-      while (ci < cs.length) {
-        val c = cs(ci)._2
-        var d = 0.0
-        val n = math.min(c.length, emb.length)
-        var j = 0
-        while (j < n) { val diff = c(j) - emb(j); d += diff * diff; j += 1 }
-        if (d < bd) { bd = d; bi = cs(ci)._1 }
-        ci += 1
-      }
-      bi
-    }
     embeddings.select(
       col(idCol).cast("long").as("id"),
-      cellOf(col(embCol).cast("array<double>")).as("cell"),
+      graft.functions.nearest_centroid(col(embCol).cast("array<double>"), centroids).as("cell"),
       toColumn(graft.functions.PqEncode(toExpression(col(embCol).cast("array<double>")),
         model.codebooks, normalize = true)).as("codes"))
   }

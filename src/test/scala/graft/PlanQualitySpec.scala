@@ -251,6 +251,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("corpus-path probe operators run native expressions, not Scala UDFs") {
+    // bloom screen, IVF cell probes and the streaming overlap filter all
+    // replaced their closure UDFs with codegen-bridged expressions —
+    // a ScalaUDF in these plans would re-box every array element
+    // a ScalaUDF prints as "UDF(...)" (or its name) in explain output
+    for (name <- Seq("x_bloom_decontam", "x_knn_join_ivf", "x_decontam")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF") && !p.contains("UDF("), s"$name plan contains a ScalaUDF")
+    }
+  }
+
   test("relative-date filter pushes an implied raw-nanos bound to the events scan (x_relative_date)") {
     val p = plan("x_relative_date")
     // ts is DERIVED from the raw nanos column (Sources.register), so the
