@@ -713,6 +713,19 @@ object Queries {
         "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
         "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
         "ORDER BY query_id, rank LIMIT 100"),
+    // batch IVF-PQ k-NN join: same brute-force gold as x_knn_join_ivf —
+    // IVF pruning is exact on the planted clusters and the candidate cut
+    // is wide enough that the float re-rank reproduces the exact top-5
+    "x_knn_join_ivfpq" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8), " +
+        "cl AS (SELECT e.vec_id, [c.cemb[i] + 0.05 * e.emb[i] for i in range(1, 65)] AS emb " +
+        "FROM e JOIN c ON e.vec_id % 8 = c.cid), " +
+        "q AS (SELECT vec_id AS query_id, emb AS qemb FROM cl WHERE vec_id IN (1, 2, 3)), " +
+        "x AS (SELECT q.query_id, cl.vec_id, CAST(list_cosine_similarity(cl.emb, q.qemb) AS DOUBLE) AS cos FROM cl, q), " +
+        "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
+        "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY query_id, rank LIMIT 100"),
     // nearest-centroid assignment (fixed probe centroids = vec_id < 8 so
     // the argmax is SQL-expressible); ties break to the lower centroid id
     "x_cluster_assign" ->
@@ -1042,6 +1055,29 @@ object ExtensionQueries {
       val q = clustered.where(col("vec_id").isin(1, 2, 3))
       val idx = Similarity.ivfIndex(clustered, "vec_id", "emb", nlist = 8)
       Similarity.knnJoinIvf(idx, q, "vec_id", "emb", k = 5, nprobe = 2)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank").limit(100)
+    }),
+    // batch k-NN join against the persisted-shape IVF-PQ index: each
+    // query brings its own ADC table, meets STORED codes by a cell
+    // equi-join, and only candidate rows touch float vectors in the
+    // re-rank — the large-query-set serving shape over the codes frame.
+    // On the planted-cluster fixture with 2/8 cells probed and a
+    // generous candidate cut the result must equal brute force.
+    "x_knn_join_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val centers = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val clustered = e.join(broadcast(centers), pmod(col("vec_id"), lit(8)) === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("cemb"), col("emb"), (c, x) => c + lit(0.05) * x).as("emb"))
+      val q = clustered.where(col("vec_id").isin(1, 2, 3))
+      val model = graft.operators.ProductQuantization.fit(clustered, "vec_id", "emb", m = 16, k = 16)
+      val idx = graft.operators.ProductQuantization.ivfPqIndex(clustered, "vec_id", "emb", model, nlist = 8)
+      graft.operators.ProductQuantization
+        .knnJoinIvfPq(idx, clustered, "vec_id", "emb", q, "vec_id", "emb",
+          k = 5, nprobe = 2, candidates = 400)
         .select(col("query_id"), col("id").as("vec_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank").limit(100)

@@ -103,6 +103,123 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
  * squared distance is m table lookups per row — no float vector is
  * read at ranking time, which is the entire point of PQ at index scale.
  */
+/**
+ * A query vector's ADC lookup table as a row value: `table[s*k + c]` =
+ * squared L2 between the (optionally L2-normalized) query's subvector s
+ * and codebook centroid c — the per-QUERY half of batch ADC serving.
+ * One evaluation per query row (m·k·subDim work), after which every
+ * (query, code) pair scores in m lookups via [[PqAdcLookup]]; computing
+ * the full distance per pair instead would be dim work per pair, i.e.
+ * no better than scanning the float vectors.
+ */
+case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with UnarySelfRefCodegen {
+
+  private val m = codebooks.length
+  private val k = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_table expects array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // same exact-length contract as PqEncode: a mismatched query
+    // dimension surfaces as null, not a silent prefix ranking
+    if (n != m * subDim) return null
+    val f = isFloat
+    var inv = 1.0
+    if (normalize) {
+      var n2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+        n2 += x * x
+        i += 1
+      }
+      if (n2 > 0) inv = 1.0 / math.sqrt(n2)
+    }
+    val t = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val cent = codebooks(s)(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = (if (f) a.getFloat(s * subDim + d).toDouble else a.getDouble(s * subDim + d)) * inv
+          val diff = x - cent(d)
+          d2 += diff * diff
+          d += 1
+        }
+        t(s * k + c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(t)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Batch ADC score: codes (`array<int>`, left) against a PER-ROW lookup
+ * table (`array<double>`, right — a [[PqAdcTable]] value carried on the
+ * joined query row). m table lookups per pair, the two-argument form of
+ * [[PqAdcDistance]] the batch k-NN serving join needs (there the table
+ * is not a plan-time constant — each query row brings its own).
+ */
+case class PqAdcLookup(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with BinarySelfRefCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_lookup expects (array<int>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(codesIn: Any, tableIn: Any): Any = {
+    val codes = codesIn.asInstanceOf[ArrayData]
+    val table = tableIn.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m * k != table.numElements()) return null
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k) return null
+      sum += table.getDouble(s * k + c)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class PqAdcDistance(child: Expression, table: Array[Double], k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with UnarySelfRefCodegen {

@@ -254,6 +254,76 @@ object ProductQuantization {
     (centroids, PqModel(m, k, subDim, codebooks))
   }
 
+  /**
+   * Batch k-NN join against a (persisted) IVF-PQ index — the 100 TB
+   * serving shape for LARGE query sets ([[ivfPqTopK]] serves one vector;
+   * launching it per query would be |queries| driver jobs):
+   *
+   *  1. each query row computes its own ADC table ONCE
+   *     ([[graft.functions.PqAdcTable]] — m·k·subDim work per query,
+   *     normalized to match the build-time encode) and its `nprobe`
+   *     nearest cells (broadcast-free: centroids ship inline, one
+   *     narrow projection);
+   *  2. queries meet STORED codes by an equi-join on cell — a hash
+   *     join, never a cartesian; expected pairs =
+   *     |queries| × (nprobe/nlist) × corpus, each scored in m table
+   *     lookups ([[graft.functions.PqAdcLookup]]) off the codes column
+   *     alone (over a [[readIndex]] frame partitioned by cell the
+   *     probed-cell filter prunes parquet partitions; no float column
+   *     is read);
+   *  3. per-query candidate cut (`candidates`, default 5·k) via the
+   *     bounded-heap aggregate — the post-scoring shuffle carries at
+   *     most `candidates` (adc, id) pairs per query per map split;
+   *  4. exact cosine re-rank reads float vectors for candidate rows
+   *     only (hash join on id against the base frame), then the
+   *     bounded heap again for the final k.
+   *
+   * Output matches [[Similarity.knnJoin]]: (query_id, id, cosine, rank).
+   * Recall contract: exact within the probed cells given enough
+   * `candidates` (the ADC cut is the only approximation beyond IVF
+   * pruning; `candidates` ≥ probed-cell population makes the re-rank
+   * exact, the contract the oracle query pins on the clustered fixture).
+   */
+  def knnJoinIvfPq(index: IvfPqIndex, base: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      k: Int, nprobe: Int = 4, candidates: Int = 0): DataFrame = {
+    val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qemb"))
+      .withColumn("__adc_table",
+        column(graft.functions.PqAdcTable(expression(col("__qemb")),
+          index.model.codebooks, normalize = true)))
+      .withColumn("cell",
+        explode(graft.functions.nearest_centroids(col("__qemb"), index.centroids, nprobe)))
+      .select("query_id", "cell", "__adc_table")
+    val scored = index.codes.join(probes, "cell")
+      .select(col("query_id"), col("id"),
+        column(graft.functions.PqAdcLookup(expression(col("codes")),
+          expression(col("__adc_table")), index.model.k)).as("__adc"))
+      .where(col("__adc").isNotNull)
+      // multi-assigned vectors (assignReplicas > 1) can meet the same
+      // query in 2+ probed cells with the same adc — keep one
+      .dropDuplicates("query_id", "id")
+      // bounded heap keeps the LARGEST ord; ADC is a distance
+      .withColumn("__negadc", -col("__adc"))
+    val cands = GroupTopK.topKPerGroup(scored, Seq("query_id"), "__negadc", "id", nCand)
+      .select(col("query_id"), col("id"))
+    val qemb = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qemb"))
+    // no broadcast hint on either join: the candidate side is
+    // |queries|·candidates rows and the query side |queries| rows — AQE
+    // broadcasts whichever is small enough at runtime, and for query
+    // sets too large to broadcast both joins hash-shuffle on their keys
+    val reranked = cands
+      .join(base.select(col(idCol).as("id"), col(embCol).as("__cemb")), "id")
+      .join(qemb, "query_id")
+      .select(col("query_id"), col("id"),
+        graft.functions.cosine_sim(col("__cemb"), col("__qemb")).as("cosine"))
+      .where(col("cosine").isNotNull)
+    GroupTopK.topKPerGroup(reranked, Seq("query_id"), "cosine", "id", k)
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+  }
+
   def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)

@@ -230,6 +230,16 @@ class PlanQualitySpec extends SparkSpec {
       "per-query top-k must be the bounded-heap aggregate: " + p.take(2000))
   }
 
+  test("batch IVF-PQ k-NN join: cell equi-join, ADC on stored-shape codes, bounded-heap top-k (x_knn_join_ivfpq)") {
+    val p = plan("x_knn_join_ivfpq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // each (query, code) pair scores in m table lookups — the two-arg
+    // ADC expression must rank, never a per-pair full distance
+    assert(p.contains("pqadclookup"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"),
+      "per-query candidate cut and final top-k must be the bounded heap: " + p.take(2000))
+  }
+
   test("persisted IVF-PQ search: no query-time encode anywhere in the plan (x_pq_persisted)") {
     val p = plan("x_pq_persisted")
     // expressions render by nodeName: PqEncode → pqencode

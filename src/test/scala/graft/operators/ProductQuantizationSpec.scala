@@ -115,6 +115,42 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(got == exact, s"got=$got exact=$exact")
   }
 
+  test("batch kNN join over the persisted index: brute-force equality, codes-only ranking, no cartesian") {
+    // planted-cluster frame (the knnJoinIvf fixture): centers = vec_id<8,
+    // every vector = its center + 0.05× itself, so 2/8 probed cells keep
+    // the exact neighbors
+    val centers = embs.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"emb".as("cemb"))
+    val clustered = embs.join(broadcast(centers), pmod($"vec_id", lit(8)) === $"cid")
+      .select($"vec_id", zip_with($"cemb", $"emb", (c, x) => c + lit(0.05) * x).as("emb"))
+    val queries = clustered.where($"vec_id".isin(1, 2, 3))
+    val model = ProductQuantization.fit(clustered, "vec_id", "emb", m = 16, k = 16)
+    val index = ProductQuantization.ivfPqIndex(clustered, "vec_id", "emb", model, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_knn_index").toString
+    ProductQuantization.writeIndex(index, dir)
+    val loaded = ProductQuantization.readIndex(spark, dir)
+    val got = ProductQuantization.knnJoinIvfPq(loaded, clustered, "vec_id", "emb",
+      queries, "vec_id", "emb", k = 5, nprobe = 2, candidates = 400)
+    val brute = Similarity.knnJoin(clustered, "vec_id", "emb", queries, "vec_id", "emb", k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id".cast("long"), $"id", round($"cosine", 6), $"rank")
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(rows(got) == rows(brute))
+    // plan pins: no query-time encode, no cartesian/nested-loop pairing,
+    // and the codes scan reads no float column (floats enter only via
+    // the candidate re-rank against the base frame)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("pqencode"), plan)
+    assert(plan.contains("pqadclookup"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val formatted = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val codeScan = formatted.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes")).mkString("\n")
+    assert(codeScan.nonEmpty, formatted.take(3000))
+    assert(!codeScan.contains("emb"), codeScan)
+  }
+
   test("writeIndex/readIndex round-trip: cell-partitioned codes, partition pruning, identical results") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     val index = ProductQuantization.ivfPqIndex(embs, "vec_id", "emb", model, nlist = 8)
