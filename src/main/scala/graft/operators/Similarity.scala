@@ -499,13 +499,16 @@ object Similarity {
    *
    * Scale: one narrow signature projection, one shuffle on (band,
    * value), pair generation inside capped buckets only — never
-   * all-pairs. Bucket rows carry IDS ONLY (a hot bucket at
-   * maxBucketSize=10000 aggregates ~80 KB of longs, not ~30 MB of
-   * 384-d vectors); the exact-cosine verify semi-joins embeddings back
-   * by id for candidate members alone — the same verify shape as
-   * minhashNearDuplicates. Expected candidate volume ≈
-   * chunks · N² / 2^bitsPerChunk for unstructured data; near-duplicate
-   * clusters concentrate in shared buckets.
+   * all-pairs. Bucket rows carry (id, signature) ONLY — 16 bytes per
+   * member, so a hot bucket at maxBucketSize=10000 aggregates ~160 KB,
+   * not ~30 MB of 384-d vectors — and candidate pairs PRESCREEN on
+   * full-signature Hamming distance before any vector is read (chance
+   * single-band collisions are ~10× the true near-miss set; see
+   * cosineNearDupCore); the exact-cosine verify then semi-joins
+   * embeddings back by id for surviving candidate members alone — the
+   * same verify shape as minhashNearDuplicates. Expected raw candidate
+   * volume ≈ chunks · N² / 2^bitsPerChunk for unstructured data;
+   * near-duplicate clusters concentrate in shared buckets.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95, dim: Int = 64, chunks: Int = 8,
@@ -538,12 +541,26 @@ object Similarity {
     * reused candidate-sized frames materialize (persist vs lazy
     * localCheckpoint — see the two public entry points). The returned
     * cleanup handle unpersists whatever `share` cached (a no-op for the
-    * checkpoint strategy: RDD blocks are GC-managed). */
+    * checkpoint strategy: RDD blocks are GC-managed).
+    *
+    * Bucket members carry (id, 64-bit signature) — 16 bytes, still no
+    * vectors (a 10k-cap hot bucket aggregates ~160 KB) — so pair
+    * generation can PRESCREEN on full-signature Hamming distance before
+    * any vector is read: a band match is 8 agreeing bits, but a true
+    * near-duplicate at cosine t agrees on ~64·(1−acos(t)/π) of all 64,
+    * so pairs beyond `hamCut` (the expected Hamming at the threshold
+    * plus a 12-bit ≈ 5σ slack — far stricter than the banding's own
+    * ~0.3% miss rate) are chance band collisions, not candidates. On
+    * the sf0.1 fixture this cuts candidate pairs ~10× (72.6k → the
+    * near-dup-and-near-miss set), which shrinks every downstream stage:
+    * the member semi-join, both verify joins, and the shared caches. */
   private def cosineNearDupCore(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, dim: Int, chunks: Int, seed: Long,
       maxBucketSize: Int, share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     require(chunks >= 1 && chunks <= 64 && 64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
+    val hamCut = math.min(64,
+      math.ceil(64.0 * math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi).toInt + 12)
     val sig = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("sig", signBits(col("emb"), 64, dim, seed))
       .select(col("id"), col("sig")) // ids + 8-byte signatures; vectors stay behind
@@ -551,17 +568,21 @@ object Similarity {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("sig"), i * bits).bitwiseAND(lit((1L << bits) - 1)).as("value"))
     }
-    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("c"))
-      .select(col("id"), col("c.band"), col("c.value"))
+    val banded = sig.select(struct(col("id"), col("sig")).as("m"),
+        explode(array(bandStructs: _*)).as("c"))
+      .select(col("m"), col("c.band"), col("c.value"))
     val buckets = banded.groupBy("band", "value")
-      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      .agg(collect_list(col("m")).as("ms"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucketSize)
-    // candidate pairs are shared (tiny: bucket-coincident id pairs) so
-    // the member id set below doesn't re-run the signature pipeline
+    // candidate pairs are shared (tiny: hamming-prescreened bucket
+    // coincidences) so the member id set below doesn't re-run the
+    // signature pipeline
     val pairs = share(buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id") &&
+        graft.functions.hamming64(col("a.sig"), col("b.sig")) <= hamCut)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
     // exact verify reads float vectors for CANDIDATE MEMBERS ONLY; the
     // member frame is shared too (candidate-sized, like pairs) so the
