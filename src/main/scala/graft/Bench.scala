@@ -61,23 +61,25 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val firstTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    // The driver captures only a ~2.2 KB tail of the sbt output; a
-    // full-precision 76-query map overflows it and the line arrives
-    // truncated (BENCH_r04 "parsed": null). Round per-query seconds —
-    // 3 decimals normally, 2 if the line would still overflow.
-    def render(prec: Int): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
-        .mkString("{", ",", "}")
+    // The driver captures only a small tail of the sbt output, and at
+    // 100 queries the full per-query map no longer fits it (BENCH_r05/r06
+    // "parsed": null — the artifact lost its head). So: stdout's LAST
+    // LINE is a compact, self-contained totals record that always fits
+    // the tail window, and the full per-query map goes to the file
+    // (bench_out.json) the methodology docs point at.
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + "%.3f".format(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","runs":$runs,"agg":"min","value_first_run":${"%.3f".format(firstTotal)},"commit":"$commit"}"""
-    }
-    val line = { val l3 = render(3); if (l3.length <= 2000) l3 else render(2) }
-    println(line)
-    // Also write the line to a file: sbt buries stdout in [info]/WARN
-    // noise, so the driver parses the file when the env var points at one.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    val compact =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size}""" +
+        s""","sf":"$sfDir","runs":$runs,"agg":"min","value_first_run":${"%.3f".format(firstTotal)}""" +
+        s""","commit":"$commit","detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -799,6 +799,18 @@ object ExtensionQueries {
     Sources.register(s, dir); s.table("embeddings")
   }
 
+  /** The WithCleanup calling pattern for query lambdas: the operator's
+    * internal candidate caches are PERSISTED (lineage-preserving) and
+    * deliberately left alive when the lambda returns — the harness owns
+    * their lifetime: Bench clears session caches between queries (its
+    * documented steady-state methodology keeps a query's caches warm
+    * between its own runs, cleared across queries) and Verify runs each
+    * query once in a one-shot JVM. Library consumers outside such a
+    * harness must NOT copy this pattern — they hold the cleanup handle
+    * and release it after materializing (or use the handle-less
+    * overloads, whose GC-managed localCheckpoint sharing cannot leak). */
+  private def harnessManaged(built: (DataFrame, () => Unit)): DataFrame = built._1
+
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- W2 bounded global rank (no global WindowExec — RankLimit) ---
     "d14_window_rank" -> ((s, dir) => {
@@ -831,7 +843,8 @@ object ExtensionQueries {
     "x_dedup_stats" -> ((s, dir) =>
       docs(s, dir).agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_unique"))),
     "x_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.7)
+      harnessManaged(Dedup.minhashNearDuplicatesWithCleanup(
+        docs(s, dir), "doc_id", "text", threshold = 0.7))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b").limit(100)),
     // planted-recall contract: each ≥75-token doc gets a copy with one
@@ -1193,8 +1206,8 @@ object ExtensionQueries {
       val planted = e.where(col("vec_id") < 25)
         .select((col("vec_id") + 100000).as("vec_id"),
           concat(array(element_at(col("emb"), 1) + lit(0.25)), slice(col("emb"), 2, 63)).as("emb"))
-      Similarity.cosineNearDupPairs(e.union(planted), "vec_id", "emb",
-        threshold = 0.95, dim = 64, chunks = 8)
+      harnessManaged(Similarity.cosineNearDupPairsWithCleanup(e.union(planted), "vec_id", "emb",
+        threshold = 0.95, dim = 64, chunks = 8))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b").limit(100)
     }),
@@ -1343,9 +1356,9 @@ object ExtensionQueries {
     // >= 0.8 cross-split pair must surface with its exact jaccard
     "x_dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.incrementalNearDuplicates(
+      harnessManaged(Dedup.incrementalNearDuplicatesWithCleanup(
         d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
-        "doc_id", "text", threshold = 0.8)
+        "doc_id", "text", threshold = 0.8))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b").limit(200)
     }),
