@@ -66,6 +66,8 @@ object Nl2Doc {
     case Lte(path, v) => s""""$path": {"$$lte": ${lit(v)}}"""
     case In(path, vs) => s""""$path": {"$$in": ${vs.map(lit).mkString("[", ", ", "]")}}"""
     case ExistsP(path) => s""""$path": {"$$exists": true}"""
+    case MissingP(path) => s""""$path": {"$$exists": false}"""
+    case Contains(path, s) => s""""$path": {"$$regex": ${lit(s)}}"""
   }
 
   private def lit(v: Any): String = v match {
@@ -115,6 +117,16 @@ object Nl2Doc {
     raw"(?i)\b(?:by|sorted by|ordered by)\s+([a-z_][a-z0-9_.]*)\b".r
   private val countRe =
     raw"(?i)\b(?:how many|number of|count)\b".r
+  // "missing email" / "without an email" / "have no email" → $exists: false
+  private val missingRe =
+    raw"(?i)\b(?:missing|without(?:\s+an?)?|(?:have|has|with)\s+no)\s+([a-z_][a-z0-9_.]*)\b".r
+  // "have an email" / "has a city" → $exists: true ("with" stays out:
+  // "people with score above 5" names a comparison, not existence)
+  private val existsRe =
+    raw"(?i)\b(?:have|has)\s+an?\s+([a-z_][a-z0-9_.]*)\b".r
+  // "email containing gmail" / "name contains ann" → substring match
+  private val containsRe =
+    raw"""(?i)\b([a-z_][a-z0-9_.]*)\s+(?:containing|contains)\s+"?([\w@.+-]+)"?""".r
   private val aggRe =
     raw"(?i)\b(average|avg|mean|total|sum|maximum|max|highest|minimum|min|lowest)\s+(?:of\s+)?([a-z_][a-z0-9_.]*)\b".r
 
@@ -154,6 +166,14 @@ object Nl2Doc {
     for (m <- fromValRe.findAllMatchIn(question); f <- strongField(m.group(2), fields)
          if strongField(m.group(1), fields).isEmpty)
       out.getOrElseUpdate(f, Eq(f, m.group(1)))
+    // null checks and text containment (ref nl2mongo's LLM serves these
+    // through $exists/$regex; DocSource.MissingP/Contains execute them)
+    for (m <- missingRe.findAllMatchIn(question); f <- strongField(m.group(1), fields))
+      out.getOrElseUpdate(f, MissingP(f))
+    for (m <- existsRe.findAllMatchIn(question); f <- strongField(m.group(1), fields))
+      out.getOrElseUpdate(f, ExistsP(f))
+    for (m <- containsRe.findAllMatchIn(question); f <- strongField(m.group(1), fields))
+      out.getOrElseUpdate(f, Contains(f, m.group(2)))
     out.values.toSeq
   }
 

@@ -49,6 +49,13 @@ object DocSource {
   final case class Lte(path: String, v: Any) extends Pred { def toColumn: Column = col(path) <= lit(v) }
   final case class In(path: String, vs: Seq[Any]) extends Pred { def toColumn: Column = col(path).isin(vs: _*) }
   final case class ExistsP(path: String) extends Pred { def toColumn: Column = col(path).isNotNull }
+  /** `$exists: false` — the field is absent/null (Spark's inferred
+    * schema represents absent document fields as null). */
+  final case class MissingP(path: String) extends Pred { def toColumn: Column = col(path).isNull }
+  /** `$regex`-style substring containment on a string field. */
+  final case class Contains(path: String, s: String) extends Pred {
+    def toColumn: Column = col(path).contains(s)
+  }
 
   final case class FindSpec(
       filter: Seq[Pred] = Nil,

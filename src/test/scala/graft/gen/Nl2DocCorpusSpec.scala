@@ -1,0 +1,97 @@
+package graft.gen
+
+import graft.SparkSpec
+import graft.sources.DocSource
+import graft.sources.DocSource._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Doc-side eval corpus (the NL→document analogue of the SQL
+ * schoolCorpus): the reference's Mongo question shapes
+ * (ref app/ai/nl2mongo.py:64-116 serves them through the LLM path) run
+ * END-TO-END here — question → Nl2Doc.build → DocSource execution —
+ * and every result is compared against a directly-constructed gold
+ * frame. Covers the round-7 additions: range filters ("over 30"), null
+ * checks ("missing email" → $exists: false), existence ("have an
+ * email"), and text containment ("email containing gmail" → $regex).
+ */
+class Nl2DocCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic users collection: every 3rd user has no email;
+  // gmail/corp addresses alternate among the rest
+  private lazy val users: DataFrame = (1 to 60).map { i =>
+    val email =
+      if (i % 3 == 0) null
+      else if (i % 2 == 0) s"user$i@gmail.example" else s"user$i@corp.example"
+    (i.toLong, s"User$i", 20 + (i * 7) % 30, email, if (i % 5 == 0) "lima" else "quito")
+  }.toDF("_id", "name", "age", "email", "city")
+
+  private val fields = Seq("_id", "name", "age", "email", "city")
+
+  private def run(question: String): DataFrame = {
+    val q = Nl2Doc.build(question, "users", fields)
+    q.spec match {
+      case Left(find) => DocSource.find(users, find)
+      case Right(stages) => DocSource.aggregate(users, stages)
+    }
+  }
+
+  /** Compare the selected _id sets: find-shaped queries project the
+    * fields the question names (by design), so gold frames match on the
+    * row identity the filter selects, not the projection. */
+  private def sameRows(got: DataFrame, want: DataFrame): Unit = {
+    val g = got.select("_id").collect().map(_.getLong(0)).sorted.toSeq
+    val w = want.select("_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(g == w, s"got=$g\nwant=$w")
+  }
+
+  test("range filter: users with age over 30") {
+    sameRows(run("users with age over 30"), users.where($"age" > 30).limit(100))
+    assert(run("users with age over 30").count() > 0)
+  }
+
+  test("range filter: users with age at least 45") {
+    sameRows(run("users with age at least 45"), users.where($"age" >= 45).limit(100))
+  }
+
+  test("null check: users with missing email serves $exists: false") {
+    val q = Nl2Doc.build("users with missing email", "users", fields)
+    assert(q.render.contains("\"$exists\": false"), q.render)
+    sameRows(run("users with missing email"), users.where($"email".isNull).limit(100))
+    assert(run("users with missing email").count() == 20)
+  }
+
+  test("null check phrasings: 'without an email' and 'have no email' agree") {
+    sameRows(run("users without an email"), users.where($"email".isNull).limit(100))
+    sameRows(run("users who have no email"), users.where($"email".isNull).limit(100))
+  }
+
+  test("existence: users who have an email") {
+    val q = Nl2Doc.build("users who have an email", "users", fields)
+    assert(q.render.contains("\"$exists\": true"), q.render)
+    sameRows(run("users who have an email"), users.where($"email".isNotNull).limit(100))
+    assert(run("users who have an email").count() == 40)
+  }
+
+  test("text contains: email containing gmail serves $regex") {
+    val q = Nl2Doc.build("users with email containing gmail", "users", fields)
+    assert(q.render.contains("\"$regex\""), q.render)
+    sameRows(run("users with email containing gmail"),
+      users.where($"email".contains("gmail")).limit(100))
+    assert(run("users with email containing gmail").count() > 0)
+  }
+
+  test("combined: count of users from lima city with age over 30") {
+    val got = run("how many users from lima city with age over 30")
+      .select("agg_value").collect().map(_.getLong(0)).toSeq
+    val want = users.where($"city" === "lima" && $"age" > 30).count()
+    assert(got == Seq(want) && want > 0, s"got=$got want=$want")
+  }
+
+  test("no fabrication: contains/missing never fire on unlinked words") {
+    assert(Nl2Doc.extractPreds("users missing the point entirely", fields).isEmpty)
+    assert(Nl2Doc.extractPreds("users discussing containing walls", fields).isEmpty)
+  }
+}
