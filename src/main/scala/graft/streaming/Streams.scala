@@ -278,6 +278,28 @@ object Streams {
         model.codebooks, normalize = true)).as("codes"))
   }
 
+  /**
+   * Streaming leakage-safe split — the STREAM-STATIC variant of
+   * [[graft.operators.Sampling.leakageSafeSplit]], completing the
+   * streaming curation story (quality→dedup→decontam→SPLIT): arriving
+   * documents route to train/val/test by their duplicate-GROUP key so a
+   * near-copy of a test doc can never land in train, even when the copy
+   * arrives later.
+   *
+   * The duplicate-group labels are STATIC (batch CC over the near-dup
+   * pair graph — [[graft.operators.Dedup.duplicateGroups]], refreshed
+   * on whatever cadence reindexing runs; [[nearDupStream]] surfaces the
+   * candidate pairs between refreshes). `groups` carries duplicate
+   * MEMBERS only (≪ corpus), so the stream-static left join broadcasts,
+   * and the split rule itself is the same stateless id-hash projection
+   * as the batch operator — no state store, no shuffle, no watermark:
+   * each document is routed within its own micro-batch, and stream ≡
+   * batch bit-for-bit because both sides run the identical expression.
+   */
+  def leakageSafeSplitStream(docs: DataFrame, idCol: String, groups: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(docs, idCol, groups, weights)
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -237,6 +237,45 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set(("doc-b", "books")), rows.toString)
   }
 
+  test("streaming leakage-safe split routes arriving near-dup group members like the batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // planted near-dup corpus: docs 1..40; 1≈21, 2≈22, 3≈23 are
+    // near-copies (one appended token on a long doc)
+    val base = (1L to 20L).map(i => (i,
+      s"document number $i with a reasonably long body of unique text " +
+        s"covering topic $i in detail across several sentences and words " +
+        (1 to 30).map(j => s"tok${i}_$j").mkString(" ")))
+    val copies = (1L to 3L).map(i => (i + 20L, base(i.toInt - 1)._2 + " extra"))
+    val docs = base ++ copies
+    // duplicate-group labels from the batch CC over verified pairs
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+    val groups = graft.operators.Dedup.duplicateGroups(pairs)
+      .select("id", "group_id")
+    val weights = Seq("train" -> 0.8, "test" -> 0.2)
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = Streams.leakageSafeSplitStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", groups, weights)
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("t_leak_split")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_leak_split").as[(Long, String)].collect().toMap
+    // bit-for-bit agreement with the batch operator on the same data
+    val batch = graft.operators.Sampling
+      .leakageSafeSplit(docs.toDF("doc_id", "text"), "doc_id", groups, weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // and the leakage contract: every near-dup group lands in ONE split
+    for ((a, b) <- Seq((1L, 21L), (2L, 22L), (3L, 23L)))
+      assert(streamed(a) == streamed(b), s"pair ($a, $b) straddles splits: $streamed")
+  }
+
   test("streaming IVF-PQ ingest encodes arriving vectors identically to the batch index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
