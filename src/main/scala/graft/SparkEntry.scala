@@ -284,6 +284,18 @@ object Queries {
         "r AS (SELECT vec_id, subspace, cid, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, cid) AS rn FROM d) " +
         "SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(cid AS INT) AS code FROM r " +
         "WHERE rn = 1 ORDER BY vec_id, subspace LIMIT 1000"),
+    // per-subspace quantization residual stats under probe codebooks:
+    // min distance per (vector, subspace) aggregated
+    "x_pq_errors" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cb AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16), " +
+        "d AS (SELECT e.vec_id, s.s AS subspace, cb.cid, " +
+        "list_sum([ (e.emb[s.s*8 + i] - cb.cemb[s.s*8 + i])*(e.emb[s.s*8 + i] - cb.cemb[s.s*8 + i]) for i in range(1, 9) ]) AS dist " +
+        "FROM e CROSS JOIN range(0, 8) s(s) CROSS JOIN cb WHERE e.vec_id < 100), " +
+        "mins AS (SELECT vec_id, subspace, MIN(dist) AS sq_error FROM d GROUP BY 1, 2) " +
+        "SELECT CAST(subspace AS INT) AS subspace, COUNT(*) AS n, " +
+        "round(AVG(sq_error), 6) AS avg_sq_error, round(MAX(sq_error), 6) AS max_sq_error " +
+        "FROM mins GROUP BY 1 ORDER BY 1 LIMIT 100"),
     // PQ ADC recall contract: the gold is the exact brute-force ranking
     "x_pq_topk" ->
       ("SELECT vec_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
@@ -583,6 +595,15 @@ object Queries {
       ("SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM documents) " +
         "ORDER BY doc_id LIMIT 2000"),
+    // split-leakage audit: exact-Jaccard ≥ 0.8 pairs whose members land
+    // in different halves of the plain 80/20 hash split
+    "x_split_audit" ->
+      (s"WITH ${jaccardPairsCte()}, " +
+        "gold AS (SELECT id_a, id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8), " +
+        "sp AS (SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train' ELSE 'test' END AS split FROM documents) " +
+        "SELECT g.id_a, g.id_b, a.split AS split_a, b.split AS split_b FROM gold g " +
+        "JOIN sp a ON a.doc_id = g.id_a JOIN sp b ON b.doc_id = g.id_b " +
+        "WHERE a.split <> b.split ORDER BY g.id_a, g.id_b LIMIT 500"),
     // leakage-safe split: the x_dedup_groups recursive CC labels feed the
     // same hash rule, keyed by COALESCE(group_id, doc_id)
     "x_leakage_split" ->
@@ -941,6 +962,17 @@ object ExtensionQueries {
       graft.operators.Sampling.split(docs(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)),
+    // split-leakage AUDIT: near-dup pairs straddling the PLAIN hash
+    // split (the violation list leakageSafeSplit exists to empty —
+    // running the audit on the naive split quantifies the leakage)
+    "x_split_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val assigned = graft.operators.Sampling.split(d, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.operators.Sampling.splitLeakageAudit(assigned, "doc_id", "split", pairs)
+        .orderBy("id_a", "id_b").limit(500)
+    }),
     // leakage-safe split: docs split by their duplicate-GROUP key (the
     // x_dedup_groups CC labels), so near-dup clusters never straddle
     // train/test — the oracle recomputes groups recursively and applies
@@ -1339,6 +1371,20 @@ object ExtensionQueries {
       graft.operators.ProductQuantization
         .encodeLong(e.where(col("vec_id") < 100), "vec_id", "emb", model)
         .orderBy("vec_id", "subspace").limit(1000)
+    }),
+    // codebook fit-quality / drift stats: per-subspace quantization
+    // residuals (avg + max squared L2 to the nearest centroid) — the
+    // metric an index operator watches per ingest batch; probe
+    // codebooks keep the argmin oracle-expressible
+    "x_pq_errors" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val model = graft.operators.ProductQuantization.probeModel(e, "vec_id", "emb", m = 8, k = 16)
+      graft.operators.ProductQuantization
+        .quantizationErrorStats(e.where(col("vec_id") < 100), "vec_id", "emb", model)
+        .select(col("subspace"), col("n"),
+          round(col("avg_sq_error"), 6).as("avg_sq_error"),
+          round(col("max_sq_error"), 6).as("max_sq_error"))
+        .orderBy("subspace").limit(100)
     }),
     // PQ ADC search RECALL CONTRACT: codes-only ranking (trained
     // codebooks, m=16 4-bit codes = 8 B/vector) + exact re-rank of 200

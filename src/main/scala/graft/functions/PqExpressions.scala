@@ -104,6 +104,82 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
  * read at ranking time, which is the entire point of PQ at index scale.
  */
 /**
+ * Per-subspace quantization residuals: `errors[s]` = squared L2 between
+ * the (optionally normalized) vector's subvector s and its NEAREST
+ * codebook centroid — the fit-quality / drift signal an index operator
+ * monitors (rising residuals mean the codebooks no longer match the
+ * embedding distribution and the index needs refitting). Same
+ * single-pass argmin loop as [[PqEncode]], keeping the distance instead
+ * of the index.
+ */
+case class PqSubspaceErrors(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with UnarySelfRefCodegen {
+
+  private val m = codebooks.length
+  private val k = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_subspace_errors expects array<float|double>, got ${t.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != m * subDim) return null
+    val f = isFloat
+    var inv = 1.0
+    if (normalize) {
+      var n2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+        n2 += x * x
+        i += 1
+      }
+      if (n2 > 0) inv = 1.0 / math.sqrt(n2)
+    }
+    val errors = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = codebooks(s)(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = (if (f) a.getFloat(base + d).toDouble else a.getDouble(base + d)) * inv
+          val diff = x - cent(d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) bestD = d2
+        c += 1
+      }
+      errors(s) = bestD
+      s += 1
+    }
+    new GenericArrayData(errors)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
  * A query vector's ADC lookup table as a row value: `table[s*k + c]` =
  * squared L2 between the (optionally L2-normalized) query's subvector s
  * and codebook centroid c — the per-QUERY half of batch ADC serving.

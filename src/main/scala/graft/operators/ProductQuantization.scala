@@ -324,6 +324,30 @@ object ProductQuantization {
       .select(col("query_id"), col("id"), col("cosine"), col("rank"))
   }
 
+  /**
+   * Codebook fit-quality / drift monitoring: per-subspace quantization
+   * residual statistics over a corpus — (subspace, n, avg_sq_error,
+   * max_sq_error). A production index watches this on each ingest
+   * batch: residuals rising above the fit-time baseline mean the
+   * embedding distribution has drifted off the codebooks (new domains,
+   * new encoder version) and the index needs refitting — BEFORE recall
+   * quietly degrades.
+   *
+   * Scale: one narrow pass ([[graft.functions.PqSubspaceErrors]] —
+   * the PqEncode argmin loop keeping the distance), a posexplode to
+   * m rows per vector, and a partial+final aggregate on the (tiny)
+   * subspace key. No shuffle of vectors, no join.
+   */
+  def quantizationErrorStats(df: DataFrame, idCol: String, embCol: String,
+      model: PqModel, normalize: Boolean = false): DataFrame =
+    df.select(posexplode(
+        column(graft.functions.PqSubspaceErrors(expression(col(embCol)),
+          model.codebooks, normalize))).as(Seq("subspace", "sq_error")))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n"),
+        avg(col("sq_error")).as("avg_sq_error"),
+        max(col("sq_error")).as("max_sq_error"))
+
   def searchEncoded(coded: DataFrame, df: DataFrame, idCol: String, embCol: String,
       model: PqModel, query: Array[Double], k: Int, candidates: Int = 0): DataFrame = {
     val nCand = if (candidates > 0) candidates else math.max(5 * k, 50)

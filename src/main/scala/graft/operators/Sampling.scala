@@ -73,6 +73,33 @@ object Sampling {
   }
 
   /**
+   * Split-leakage AUDIT — the verification side of [[leakageSafeSplit]]:
+   * given an already-assigned corpus (`assigned` carries `splitCol`) and
+   * the near-duplicate pair graph, return every pair whose members
+   * landed in DIFFERENT splits, with both split labels. Empty output is
+   * the release gate a training pipeline asserts before shipping a
+   * split; non-empty output is the actionable violation list (which
+   * pairs leak, from which split to which). Run it on a split produced
+   * by the plain hash [[split]] and it QUANTIFIES why the group-keyed
+   * split exists.
+   *
+   * Scale: two hash joins of the (≪ corpus) pair list against the
+   * narrow (id, split) projection — the pair side is dup-rate-sized, so
+   * both joins broadcast it; the corpus is scanned twice, two columns,
+   * and never shuffled.
+   */
+  def splitLeakageAudit(assigned: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame): DataFrame = {
+    val a = assigned.select(col(idCol).as("id_a"), col(splitCol).as("split_a"))
+    val b = assigned.select(col(idCol).as("id_b"), col(splitCol).as("split_b"))
+    pairs.select("id_a", "id_b")
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b")
+  }
+
+  /**
    * Stratified deterministic sample: each row's stratum (a string
    * column) looks up its sampling rate; unlisted strata drop. Rates are
    * per-mille-exact. The stratum expression and the filter fuse into one
