@@ -279,6 +279,34 @@ object Streams {
   }
 
   /**
+   * Streaming codebook-drift monitor — the stream side of
+   * [[graft.operators.ProductQuantization.quantizationErrorStats]],
+   * pairing with [[encodeStream]] ingest: per-subspace residual
+   * statistics over the arriving embeddings, updated each micro-batch
+   * (Update/Complete output). Residuals rising above the fit-time
+   * baseline mean the embedding distribution has drifted off the
+   * codebooks and the index needs refitting — the alert fires WHILE
+   * ingest runs, not at the next batch audit.
+   *
+   * State: one (n, sum, max) triple per subspace — m rows total,
+   * regardless of stream volume; the residual projection itself is the
+   * stateless [[graft.functions.PqSubspaceErrors]] pass.
+   */
+  def quantizationErrorStream(embeddings: DataFrame, embCol: String,
+      model: graft.operators.ProductQuantization.PqModel,
+      normalize: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.interop.{toColumn, toExpression}
+    embeddings
+      .select(posexplode(toColumn(graft.functions.PqSubspaceErrors(
+        toExpression(col(embCol).cast("array<double>")), model.codebooks, normalize)))
+        .as(Seq("subspace", "sq_error")))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n"),
+        avg(col("sq_error")).as("avg_sq_error"),
+        max(col("sq_error")).as("max_sq_error"))
+  }
+
+  /**
    * Streaming leakage-safe split — the STREAM-STATIC variant of
    * [[graft.operators.Sampling.leakageSafeSplit]], completing the
    * streaming curation story (quality→dedup→decontam→SPLIT): arriving

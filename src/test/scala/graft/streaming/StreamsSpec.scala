@@ -276,6 +276,36 @@ class StreamsSpec extends SparkSpec {
       assert(streamed(a) == streamed(b), s"pair ($a, $b) straddles splits: $streamed")
   }
 
+  test("streaming codebook-drift monitor equals the batch quantization-error stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 1.0, 1.0, 1.0)),
+      (2L, Array(0.0, 0.0, 1.0, 1.0)),
+      (3L, Array(0.5, 0.0, 1.0, 2.0)))
+    val model = graft.operators.ProductQuantization
+      .probeModel(vecs.toDF("vec_id", "emb"), "vec_id", "emb", m = 2, k = 2)
+    val input = MemoryStream[(Long, Array[Double])]
+    input.addData(vecs: _*)
+    val q = Streams.quantizationErrorStream(
+        input.toDF().toDF("vec_id", "emb"), "emb", model)
+      .writeStream.format("memory").queryName("t_pq_drift")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_pq_drift")
+      .select($"subspace", $"n", org.apache.spark.sql.functions.round($"avg_sq_error", 6), org.apache.spark.sql.functions.round($"max_sq_error", 6))
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.ProductQuantization
+      .quantizationErrorStats(vecs.toDF("vec_id", "emb"), "vec_id", "emb", model)
+      .select($"subspace", $"n", org.apache.spark.sql.functions.round($"avg_sq_error", 6), org.apache.spark.sql.functions.round($"max_sq_error", 6))
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq((0, 4L, 0.0625, 0.25), (1, 4L, 0.25, 1.0)))
+  }
+
   test("streaming IVF-PQ ingest encodes arriving vectors identically to the batch index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
