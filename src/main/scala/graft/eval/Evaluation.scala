@@ -293,8 +293,8 @@ object Evaluation {
       "SELECT c.course_name, COUNT(DISTINCT sc.student_id) AS agg_value FROM scores sc " +
         "JOIN courses c ON c.course_id = sc.course_id GROUP BY c.course_name " +
         "ORDER BY agg_value ASC, c.course_name LIMIT 3", "bottom_n"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7 open cases, closed in round 7b (average count per
+    //     entity / filtered HAVING count / HAVING on a group extreme) ---
     EvalCase("average number of courses per student",
       "SELECT AVG(c) AS agg_value FROM " +
         "(SELECT COUNT(DISTINCT course_id) AS c FROM scores GROUP BY student_id) t",
@@ -305,5 +305,21 @@ object Evaluation {
         "ORDER BY st.student_name LIMIT 100", "filtered_having"),
     EvalCase("courses where the best score is below 95",
       "SELECT course_id FROM scores GROUP BY course_id HAVING MAX(score) < 95 " +
-        "ORDER BY course_id LIMIT 100", "having_extreme"))
+        "ORDER BY course_id LIMIT 100", "having_extreme"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose average score is at least 10 points above the overall average",
+      "SELECT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
+        "GROUP BY st.student_name HAVING AVG(sc.score) >= (SELECT AVG(score) FROM scores) + 10 " +
+        "ORDER BY st.student_name LIMIT 100", "deviation_having"),
+    EvalCase("the course with the largest gap between the highest and lowest score",
+      "SELECT course_id, MAX(score) - MIN(score) AS agg_value FROM scores " +
+        "GROUP BY course_id ORDER BY agg_value DESC, course_id LIMIT 1", "range_argmax"),
+    EvalCase("for each grade level, the course with the highest average score",
+      "SELECT grade_level, course_id FROM (" +
+        "SELECT st.grade_level, sc.course_id, " +
+        "RANK() OVER (PARTITION BY st.grade_level ORDER BY AVG(sc.score) DESC, sc.course_id) AS rnk " +
+        "FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
+        "GROUP BY st.grade_level, sc.course_id) t WHERE rnk = 1 " +
+        "ORDER BY grade_level LIMIT 100", "grouped_argmax2"))
 }

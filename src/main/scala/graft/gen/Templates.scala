@@ -963,6 +963,105 @@ object Templates {
         0.9, "template_bottom_n")).take(1)
     }
 
+  // "average number of courses per student" — the mean over entities of
+  // each entity's DISTINCT count of a second entity, both FK-bridged
+  private val avgCountPerRe =
+    (raw"(?i)\b(?:average|avg|mean)\s+(?:number|count)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average count per entity: "average number of Js per E" → inner
+    * grouped `COUNT(DISTINCT fk-to-J)` per fk-to-E over the bridging
+    * fact, outer scalar `AVG` over the group rows (ref
+    * `app/models/inference.py:151-213` reaches this shape via LLM
+    * candidates). Both counted and grouping keys are FK columns OF the
+    * fact, so the plan is two chained hash aggregates — one shuffle on
+    * the E key, then a tiny scalar reduce — with no join at all. */
+  def avgCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    avgCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimJ != dimE
+        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT AVG(c) AS agg_value FROM " +
+          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_avg_count_per")).take(1)
+    }
+
+  // "students who scored above 90 in at least 3 courses" — the bridge
+  // shape with a per-group distinct-count threshold instead of a named
+  // second-dimension value (bridgeRe requires a capitalized value, so
+  // the two regexes never both fire)
+  private val filteredHavingRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+([a-z]+)\s+" +
+      raw"(above|over|below|under|more than|greater than|less than)\s+(\d+(?:\.\d+)?)\s+" +
+      raw"in\s+at\s+least\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Filtered HAVING count: "Es who Ved CMP X in at least K Js" → join
+    * fact→E, filter rows on the verb-resolved measure, group by E's
+    * display name, keep groups with `COUNT(DISTINCT fk-to-J) >= K`.
+    * The row filter lands BEFORE the aggregate (WHERE, pushed to the
+    * fact scan) and the threshold after (HAVING) — partial+final
+    * distinct-count aggregate, one shuffle on the display key. */
+  def filteredHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    filteredHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
+      (for {
+        dim1 <- uniqueTable(slice, m.group(1)).toSeq
+        dim2 <- uniqueTable(slice, m.group(6)).toSeq
+        if dim1 != dim2
+        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
+        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(e1.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dim1)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol AS $nameCol FROM ${e1.fromTable} f " +
+          s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
+          s"WHERE f.$numCol $op ${m.group(4)} GROUP BY d.$nameCol " +
+          s"HAVING COUNT(DISTINCT f.${e2.fromColumn}) >= ${m.group(5)} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_filtered_having")).take(1)
+    }
+
+  // "courses where the best score is below 95" — groups kept by a
+  // threshold on the group EXTREME (not the count)
+  private val havingExtremeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
+      raw"(best|highest|top|maximum|max|worst|lowest|minimum|min)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+(below|under|above|over|at\s+least|at\s+most)\s+" +
+      raw"(\d+(?:\.\d+)?)\b").r
+
+  /** HAVING on a group extreme: "Es where the best V is below X" →
+    * group the fact by its fk-to-E, keep groups with `MAX(V) < X`
+    * (MIN for worst/lowest). Stays entirely on the fact table — the
+    * fk column IS the answer key, so no dimension join; a single
+    * partial+final hash aggregate with the HAVING applied post-merge. */
+  def havingExtremeCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    havingExtremeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("best", "highest", "top", "maximum", "max")(m.group(2).toLowerCase)) "MAX" else "MIN"
+      val op = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
+        case "below" | "under" => "<"
+        case "above" | "over"  => ">"
+        case "at least"        => ">="
+        case _                 => "<="
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
+          s"HAVING $agg($numCol) $op ${m.group(5)} " +
+          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_having_extreme")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
@@ -975,6 +1074,9 @@ object Templates {
       correlatedFilterCandidates(slice, question) ++
       percentileAggCandidates(slice, fks, question) ++
       bottomNCandidates(slice, fks, question) ++
+      avgCountPerCandidates(slice, fks, question) ++
+      filteredHavingCandidates(slice, fks, question) ++
+      havingExtremeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

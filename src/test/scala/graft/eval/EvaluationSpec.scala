@@ -57,7 +57,8 @@ class EvaluationSpec extends SparkSpec {
         "filter_like", "anti_join", "nth_value",
         "join3_filter", "nested_having_count", "agg_of_agg",
         "groupwise_argmax", "having_scalar", "ratio_agg",
-        "correlated_filter", "percentile_agg", "bottom_n"))
+        "correlated_filter", "percentile_agg", "bottom_n",
+        "avg_count_per", "filtered_having", "having_extreme"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
