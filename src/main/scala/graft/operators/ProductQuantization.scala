@@ -232,6 +232,57 @@ object ProductQuantization {
     IvfPqIndex(codes, parsed._1, parsed._2)
   }
 
+  final case class CompactionStats(filesBefore: Long, filesAfter: Long,
+      rowsBefore: Long, rowsAfter: Long)
+
+  /**
+   * Compact a persisted IVF-PQ index in place — the maintenance step of
+   * the index lifecycle (build [[writeIndex]] → stream-append
+   * [[graft.streaming.Streams.encodeStream]] → COMPACT → drift-detect →
+   * refit): streaming micro-batches leave one small file per cell per
+   * batch, and re-ingested ids (updated embeddings) appear twice —
+   * possibly under DIFFERENT cells when the new vector lands nearer
+   * another centroid, so dedup must be global, not per-partition.
+   *
+   * Latest-file-wins dedup keys on the hidden `_metadata` columns
+   * (modification time, path) — no schema change to the streamed rows.
+   * One shuffle of (id, cell, codes) rows (~20 B each; the codes column
+   * IS the index, there is no wide payload), then a per-cell rewrite:
+   * `filesPerCell` output files per cell partition replacing the
+   * accumulated micro-batch files. The swap is rename-based
+   * (codes → codes.old, compact → codes, drop codes.old) so a reader
+   * never sees a half-written directory.
+   */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      filesPerCell: Int = 1): CompactionStats = {
+    val codesPath = s"$path/codes"
+    val raw = spark.read.parquet(codesPath).select(
+      col("id"), col("cell").cast("int").as("cell"), col("codes"),
+      col("_metadata.file_modification_time").as("__mtime"),
+      col("_metadata.file_path").as("__file"))
+    val before = raw.agg(count(lit(1)), countDistinct(col("__file"))).head()
+    val deduped = raw
+      .groupBy("id")
+      .agg(max_by(struct(col("cell"), col("codes")),
+        struct(col("__mtime"), col("__file"))).as("w"))
+      .select(col("id"), col("w.cell").as("cell"), col("w.codes").as("codes"))
+    val tmp = s"$path/codes.compact"
+    deduped
+      .repartition(col("cell"), pmod(xxhash64(col("id")), lit(filesPerCell)))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(codesPath)
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes.old")
+    fs.delete(old, true)
+    require(fs.rename(cur, old) && fs.rename(new org.apache.hadoop.fs.Path(tmp), cur),
+      s"compaction swap failed under $path")
+    fs.delete(old, true)
+    val after = spark.read.parquet(codesPath)
+      .agg(count(lit(1)), countDistinct(col("_metadata.file_path"))).head()
+    CompactionStats(before.getLong(1), after.getLong(1), before.getLong(0), after.getLong(0))
+  }
+
   /** Minimal parser for the [[writeIndex]] sidecar's fixed JSON shape. */
   private def ujsonLite(text: String): (Array[(Int, Array[Double])], PqModel) = {
     def intField(name: String): Int =

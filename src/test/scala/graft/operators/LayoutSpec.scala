@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lineitem = {
+    graft.sources.Sources.register(spark, sfDir)
+    spark.table("lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+  }
+
+  test("zorderValue: hand-computed Morton interleave of two bucket columns") {
+    // buckets (3, 5) = (0b011, 0b101), n=2: bit b of col i -> 2b + i
+    // col0 bits 0,1 -> positions 0,2 ; col1 bits 0,2 -> positions 1,5
+    // expect 0b100111 = 39
+    val row = spark.range(1)
+      .select(Layout.zorderValue(Seq(lit(3), lit(5))).as("z")).head()
+    assert(row.getLong(0) == 39L, row.getLong(0))
+    // z is monotone-ish locality, not order: equal buckets -> equal z
+    val same = spark.range(1)
+      .select(Layout.zorderValue(Seq(lit(3), lit(5))).as("z"),
+        Layout.zorderValue(Seq(lit(3), lit(5))).as("z2")).head()
+    assert(same.getLong(0) == same.getLong(1))
+  }
+
+  test("bucketOf: quantile ranks cover the full 0..255 range and are monotone") {
+    val cuts = Layout.quantileCuts(lineitem, Seq("l_partkey"))("l_partkey")
+    assert(cuts.length == 255 && cuts.sameElements(cuts.sorted))
+    val ranks = lineitem
+      .select(Layout.bucketOf(col("l_partkey"), cuts).as("b"),
+        col("l_partkey")).distinct().collect()
+    assert(ranks.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 255))
+    // sf0.001 has fewer distinct partkeys than buckets — ranks should
+    // still spread over most of what the column's cardinality allows
+    val span = ranks.map(_.getInt(0)).distinct.length
+    val distinctVals = ranks.map(_.getLong(1)).distinct.length
+    assert(span >= math.min(256, distinctVals) * 3 / 4,
+      s"quantile buckets collapse: $span ranks for $distinctVals values")
+    // monotone: sort by value -> bucket sequence is non-decreasing
+    val sorted = ranks.sortBy(_.getLong(1)).map(_.getInt(0))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("zorderWrite: rows preserved exactly; both clustered columns get tight per-file spans") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(lineitem, Seq("l_partkey", "l_suppkey"), dir, numFiles = 16)
+    val back = spark.read.parquet(dir)
+    // exact row multiset preserved (count + keyed checksum)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(l_orderkey, l_partkey, " +
+        "l_suppkey, l_quantity, l_returnflag))")).head()
+    assert(sig(back) == sig(lineitem))
+
+    // pruning power: avg normalized span per file is tight on BOTH
+    // z-ordered columns; a single-column sort layout leaves the other
+    // column's span near 1 (each file covers its whole range)
+    def avgSpan(d: String, c: String): Double = {
+      val range = spark.read.parquet(d)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val (lo, hi) = (range.getDouble(0), range.getDouble(1))
+      Layout.fileSpans(spark, d, Seq(c))
+        .select(avg((col(s"${c}_max") - col(s"${c}_min")) / (hi - lo))).head().getDouble(0)
+    }
+    val spanPart = avgSpan(dir, "l_partkey")
+    val spanSupp = avgSpan(dir, "l_suppkey")
+    info(f"z-order spans: l_partkey=$spanPart%.3f l_suppkey=$spanSupp%.3f")
+    assert(spanPart < 0.5 && spanSupp < 0.5, s"$spanPart / $spanSupp")
+
+    val sortedDir = java.nio.file.Files.createTempDirectory("singlesort").toString
+    lineitem.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sortedDir)
+    val sortedSupp = avgSpan(sortedDir, "l_suppkey")
+    info(f"single-sort l_suppkey span=$sortedSupp%.3f")
+    assert(sortedSupp > 0.8, s"single-column sort should NOT tighten l_suppkey: $sortedSupp")
+    assert(spanSupp < sortedSupp / 2)
+  }
+
+  test("clustered layout prunes: point-range filters on either column touch a file subset") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_prune").toString
+    Layout.zorderWrite(lineitem, Seq("l_partkey", "l_suppkey"), dir, numFiles = 16)
+    val total = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    def filesMatching(cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).where(cond).select(input_file_name()).distinct().count()
+    val maxPart = lineitem.agg(max("l_partkey")).head().getLong(0)
+    val fPart = filesMatching(col("l_partkey") <= maxPart / 10)
+    val fSupp = filesMatching(col("l_suppkey") <= lit(1))
+    info(s"files: total=$total partkey-filter=$fPart suppkey-filter=$fSupp")
+    assert(total >= 12)
+    assert(fPart < total / 2, s"$fPart of $total")
+    assert(fSupp < total / 2, s"$fSupp of $total")
+  }
+}

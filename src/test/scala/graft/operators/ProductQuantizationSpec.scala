@@ -179,6 +179,51 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(pf.contains("cell"), plan.take(3000))
   }
 
+  test("compactIndex: micro-batch appends merge to one file per cell, latest codes win, search parity") {
+    val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
+    val base = embs.where($"vec_id" < 400)
+    val index = ProductQuantization.ivfPqIndex(base, "vec_id", "emb", model, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact").toString
+    ProductQuantization.writeIndex(index, dir)
+    // simulate streaming ingest: two appended micro-batches in the same
+    // (id, cell, codes) layout encodeStream emits — one batch of NEW ids,
+    // one UPDATING existing ids with different vectors (cells may move)
+    Thread.sleep(1100) // file-mtime granularity: appended files strictly newer
+    val newRows = graft.streaming.Streams.encodeStream(
+      embs.where($"vec_id" >= 400 && $"vec_id" < 450), "vec_id", "emb",
+      index.centroids, model)
+    newRows.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    Thread.sleep(1100)
+    val updated = embs.where($"vec_id" < 50)
+      .select($"vec_id", reverse($"emb").as("emb")) // a genuinely different vector
+    val updRows = graft.streaming.Streams.encodeStream(
+      updated, "vec_id", "emb", index.centroids, model)
+    updRows.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+
+    val stats = ProductQuantization.compactIndex(spark, dir)
+    assert(stats.rowsBefore == 400 + 50 + 50 && stats.rowsAfter == 450, stats)
+    assert(stats.filesAfter < stats.filesBefore, stats)
+    // one file per cell partition after compaction (filesPerCell = 1)
+    assert(stats.filesAfter == 8, stats)
+    // latest-file-wins: the updated ids carry the SECOND batch's codes
+    val loaded = ProductQuantization.readIndex(spark, dir)
+    val expectUpd = updRows.select($"id", $"cell", $"codes").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val got = loaded.codes.where($"id" < 50).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    assert(got == expectUpd)
+    // search over the compacted index ≡ brute force over the updated set
+    val current = embs.where($"vec_id" >= 50 && $"vec_id" < 450)
+      .unionAll(updated.withColumnRenamed("vec_id", "vec_id"))
+    val q = embs.where($"vec_id" === 7).select("emb").head().getSeq[Double](0).toArray
+    val viaIndex = ProductQuantization
+      .ivfPqTopK(loaded, current, "vec_id", "emb", q, k = 10, nprobe = 8, candidates = 450)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.topK(current, "vec_id", "emb", q.map(_.toFloat), k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == exact, s"index=$viaIndex exact=$exact")
+  }
+
   test("codes compress 32x vs float32 (m log2 k bits) and the ADC scan reads no float vector") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     // m=16 codes of 4 bits = 8 bytes/vector vs 64 floats = 256 bytes (32x)
