@@ -306,8 +306,8 @@ object Evaluation {
     EvalCase("courses where the best score is below 95",
       "SELECT course_id FROM scores GROUP BY course_id HAVING MAX(score) < 95 " +
         "ORDER BY course_id LIMIT 100", "having_extreme"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7b open cases, closed in round 7c (deviation-from-global
+    //     HAVING / per-group range argmax / two-level grouped argmax) ---
     EvalCase("students whose average score is at least 10 points above the overall average",
       "SELECT st.student_name FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
         "GROUP BY st.student_name HAVING AVG(sc.score) >= (SELECT AVG(score) FROM scores) + 10 " +
@@ -321,5 +321,24 @@ object Evaluation {
         "RANK() OVER (PARTITION BY st.grade_level ORDER BY AVG(sc.score) DESC, sc.course_id) AS rnk " +
         "FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
         "GROUP BY st.grade_level, sc.course_id) t WHERE rnk = 1 " +
-        "ORDER BY grade_level LIMIT 100", "grouped_argmax2"))
+        "ORDER BY grade_level LIMIT 100", "grouped_argmax2"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who took all math courses",
+      "SELECT DISTINCT st.student_name FROM students st " +
+        "JOIN scores sc ON sc.student_id = st.student_id " +
+        "JOIN courses c ON c.course_id = sc.course_id WHERE c.dept = 'math' " +
+        "GROUP BY st.student_id, st.student_name " +
+        "HAVING COUNT(DISTINCT sc.course_id) = " +
+        "(SELECT COUNT(*) FROM courses WHERE dept = 'math') " +
+        "ORDER BY st.student_name LIMIT 100", "division"),
+    EvalCase("the course with the second highest average score",
+      "SELECT course_id FROM (SELECT course_id, " +
+        "RANK() OVER (ORDER BY AVG(score) DESC, course_id) AS rnk " +
+        "FROM scores GROUP BY course_id) t WHERE rnk = 2 LIMIT 100",
+      "nth_aggregate"),
+    EvalCase("for each course, the percentage of scores of at least 90",
+      "SELECT course_id, 100.0 * COUNT(CASE WHEN score >= 90 THEN 1 END) / COUNT(*) " +
+        "AS agg_value FROM scores GROUP BY course_id " +
+        "ORDER BY course_id LIMIT 100", "conditional_share"))
 }

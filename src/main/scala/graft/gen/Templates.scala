@@ -1062,6 +1062,132 @@ object Templates {
         0.9, "template_having_extreme")).take(1)
     }
 
+  // "students whose average score is at least 10 points above the
+  // overall average" — the HAVING-vs-scalar shape with a NUMERIC OFFSET
+  // from the global aggregate (havingScalarRe requires the comparator
+  // word directly before "the overall", so the two never both fire)
+  private val deviationHavingRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
+      raw"(at\s+least|at\s+most|more\s+than|over)\s+(\d+(?:\.\d+)?)\s+points?\s+" +
+      raw"(above|below)\s+the\s+overall\s+(average|avg|mean|total|sum)\b").r
+
+  /** Deviation-from-global HAVING: "Es whose avg V is at least N points
+    * above the overall avg" → group the fact by the entity's display
+    * column, HAVING the group aggregate vs `(scalar subquery) ± N`.
+    * Same plan as the offset-free shape ([[havingScalarCandidates]]):
+    * the scalar side reduces to one row, the `+ N` folds into the
+    * broadcast HAVING filter, the grouped side shuffles once with
+    * partial aggregation. Direction flips the comparator: "at least N
+    * above" keeps groups ≥ scalar+N, "at least N below" ≤ scalar−N. */
+  def deviationHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    deviationHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def aggOf(word: String) = word.toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val groupAgg = aggOf(m.group(2))
+      val scalarAgg = aggOf(m.group(7))
+      val above = m.group(6).toLowerCase == "above"
+      val strict = Set("more than", "over")(m.group(4).toLowerCase.replaceAll("\\s+", " "))
+      val op = (above, strict) match {
+        case (true, true)   => ">"
+        case (true, false)  => ">="
+        case (false, true)  => "<"
+        case (false, false) => "<="
+      }
+      val sign = if (above) "+" else "-"
+      (for {
+        dim <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dim)).toSeq
+        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
+        aggCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol AS $nameCol FROM ${e.fromTable} f " +
+          s"JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
+          s"GROUP BY d.$nameCol " +
+          s"HAVING $groupAgg(f.$aggCol) $op (SELECT $scalarAgg($aggCol) FROM ${e.fromTable}) $sign ${m.group(5)} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_deviation_having")).take(1)
+    }
+
+  // "the course with the largest gap between the highest and lowest
+  // score" — argmax over a per-group RANGE (max - min)
+  private val rangeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(largest|biggest|widest|greatest|smallest|narrowest)\s+" +
+      raw"(?:gap|difference|spread|range)\s+between\s+(?:the\s+)?" +
+      raw"(?:highest|best|maximum|top)\s+and\s+(?:the\s+)?(?:lowest|worst|minimum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Per-group range argmax: "the E with the largest gap between the
+    * highest and lowest V" → group the fact by its fk-to-E, rank by
+    * `MAX(V) - MIN(V)`, keep the top row. MAX and MIN share one
+    * partial+final hash aggregate pass (one shuffle on the fk), and the
+    * ORDER BY … LIMIT 1 is a TakeOrderedAndProject over the group rows
+    * — never a global sort. The fk column is the answer key, so no
+    * dimension join. */
+  def rangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    rangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("smallest", "narrowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn}, MAX($numCol) - MIN($numCol) AS agg_value " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
+          s"ORDER BY agg_value $dir, ${e.fromColumn} LIMIT 1",
+        0.9, "template_range_argmax")).take(1)
+    }
+
+  // "for each grade level, the course with the highest average score" —
+  // two-level grouped argmax: the GROUP attribute lives on one dimension
+  // (students.grade_level), the RANKED entity is the fact's fk to a
+  // DIFFERENT dimension (scores.course_id → courses)
+  private val groupedArgmax2Re =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s*,?\s+the\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Two-level grouped argmax: "for each G, the E with the highest avg
+    * V" where G is a column on dimension A and E is the fact's fk to
+    * dimension B — both bridged by the same fact. Defers to
+    * [[groupwiseArgmaxCandidates]] when G resolves on E's own dimension
+    * (the round-6 single-dimension shape). Plan: fact ⋈ broadcast dim A
+    * (the group side only — the entity needs no join, its fk IS the
+    * answer key), one grouped aggregate on (G, fk) with partial
+    * aggregation, then RANK over the GROUP ROWS ONLY — |A-groups ×
+    * B-entities| rows, never the fact — with the deterministic fk
+    * tiebreak stated in the ORDER BY. */
+  def groupedArgmax2Candidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    groupedArgmax2Re.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
+      val dir = if (lowest) "ASC" else "DESC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        // single-dimension questions belong to the round-6 template
+        if strongColumn(m.group(1), slice.tables(dimE)).isEmpty
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eG <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        groupCol <- strongColumn(m.group(1), slice.tables(eG.toTable)).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol, ${eE.fromColumn} FROM (" +
+          s"SELECT d.$groupCol, f.${eE.fromColumn}, " +
+          s"RANK() OVER (PARTITION BY d.$groupCol ORDER BY $agg(f.$numCol) $dir, f.${eE.fromColumn}) AS rnk " +
+          s"FROM ${eE.fromTable} f JOIN ${eG.toTable} d ON f.${eG.fromColumn} = d.${eG.toColumn} " +
+          s"GROUP BY d.$groupCol, f.${eE.fromColumn}) t WHERE rnk = 1 " +
+          s"ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_grouped_argmax2")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = ""): Seq[Candidate] =
@@ -1077,6 +1203,9 @@ object Templates {
       avgCountPerCandidates(slice, fks, question) ++
       filteredHavingCandidates(slice, fks, question) ++
       havingExtremeCandidates(slice, fks, question) ++
+      deviationHavingCandidates(slice, fks, question) ++
+      rangeArgmaxCandidates(slice, fks, question) ++
+      groupedArgmax2Candidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++
