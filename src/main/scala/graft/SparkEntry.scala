@@ -180,6 +180,24 @@ object Queries {
     // (s_suppkey unique) so rank ≡ row position.
     "d14_window_rank" ->
       "SELECT * FROM (SELECT s_suppkey, s_name, RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk FROM supplier) t WHERE rnk <= 10 ORDER BY rnk, s_suppkey LIMIT 100",
+    // Morton z-value replica: the same fixed-width rank buckets (list
+    // comprehension over the 255 exact cutpoints — integer ranges and a
+    // power-of-two divide make every cut an exact double) and the same
+    // bit interleave (bit b of column i at position 2b+i; bits never
+    // overlap, so | is +)
+    "x_zorder_value" -> {
+      val zexpr = (0 until 8).map(b =>
+        s"(((bp >> $b) & 1) * ${1L << (2 * b)}) + (((bs >> $b) & 1) * ${1L << (2 * b + 1)})")
+        .mkString(" + ")
+      "WITH mm AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx, " +
+        "MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx FROM lineitem), " +
+        "b AS (SELECT l_orderkey, l_linenumber, " +
+        "len(list_filter([pmn + i*(pmx-pmn)/256.0 for i in range(1,256)], x -> x <= CAST(l_partkey AS DOUBLE))) AS bp, " +
+        "len(list_filter([smn + i*(smx-smn)/256.0 for i in range(1,256)], x -> x <= CAST(l_suppkey AS DOUBLE))) AS bs " +
+        "FROM lineitem, mm) " +
+        s"SELECT l_orderkey, l_linenumber, CAST($zexpr AS BIGINT) AS zval " +
+        "FROM b ORDER BY zval DESC, l_orderkey, l_linenumber LIMIT 500"
+    },
     "x_text_stats" ->
       ("SELECT doc_id, " +
         "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
@@ -1455,6 +1473,27 @@ object ExtensionQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("event_type")
+    }),
+    // multi-dimensional clustered layout: the Morton z-value that drives
+    // Layout.zorderWrite, computed distributed over two clustering
+    // columns and oracled bit-for-bit. Fixed-width rank buckets here
+    // (min/max from one tiny aggregate) instead of the write path's
+    // percentile_approx cuts, because the oracle must reproduce the
+    // bucket boundaries EXACTLY — integer column ranges make every cut
+    // an exact double (/256.0 is a power-of-two divide), so both engines
+    // compute identical ranks and identical interleaved z-values
+    "x_zorder_value" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val li = s.table("lineitem")
+      val r = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      def cuts(mn: Long, mx: Long): Array[Double] =
+        (1 until 256).map(i => mn + i * (mx - mn) / 256.0).toArray
+      val z = graft.operators.Layout.zorderValue(Seq(
+        graft.operators.Layout.bucketOf(col("l_partkey"), cuts(r.getLong(0), r.getLong(1))),
+        graft.operators.Layout.bucketOf(col("l_suppkey"), cuts(r.getLong(2), r.getLong(3)))))
+      li.select(col("l_orderkey"), col("l_linenumber"), z.as("zval"))
+        .orderBy(desc("zval"), col("l_orderkey"), col("l_linenumber")).limit(500)
     }))
 }
 
