@@ -84,6 +84,45 @@ case class SortedHashOverlapCount(child: Expression, hashes: Broadcast[Array[Lon
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Quantile rank of a double value against the inline SORTED cutpoint
+  * array: the count of cutpoints `<= value` (upper bound by binary
+  * search — ~8 comparisons for 255 cuts). Replaces the higher-order
+  * `size(filter(array(cuts…), x <= v))` form on the z-order layout
+  * path, which built and filtered a fresh 255-element array per row
+  * per column OUTSIDE codegen. Cuts ship inline in the plan —
+  * (2^bits - 1) doubles, the same size class as PQ codebooks. NaN
+  * ranks `cuts.length` (top bucket): Spark SQL orders NaN greater
+  * than every double, so the HOF form counted every cut `<= NaN`. */
+case class QuantileBucket(child: Expression, cuts: Array[Double])
+    extends UnaryExpression with UnarySelfRefCodegen {
+  require(cuts.nonEmpty, "quantile_bucket needs at least one cutpoint")
+  require((1 until cuts.length).forall(i => cuts(i - 1) <= cuts(i)),
+    "quantile_bucket cutpoints must be sorted ascending")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantile_bucket expects double, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(v)) return cuts.length
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 private[functions] object CentroidProbe {
   /** Squared L2 between a centroid and the row vector (shorter length
     * wins, matching the UDF these expressions replace). */

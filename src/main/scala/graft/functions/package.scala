@@ -71,6 +71,9 @@ package object functions {
   def nearest_centroids(emb: Column, centroids: Array[(Int, Array[Double])], nprobe: Int): Column =
     column(NearestCentroidIds(expression(emb), centroids, nprobe))
 
+  def quantile_bucket(value: Column, cuts: Array[Double]): Column =
+    column(QuantileBucket(expression(value), cuts))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -49,12 +49,14 @@ object Layout {
   }
 
   /** The column's quantile rank in [0, 2^BucketBits): how many
-    * cutpoints lie at or below the value. A native higher-order
-    * `filter` over the literal cutpoint array — no UDF; linear in the
-    * 255 cuts, which prices at pennies next to the write amplification
-    * of the rewrite this feeds. */
+    * cutpoints lie at or below the value. A native expression doing an
+    * upper-bound binary search over the inline sorted cutpoints (~8
+    * comparisons for 255 cuts) inside the scan's codegen span — the
+    * higher-order `size(filter(array(cuts…), …))` form it replaces
+    * built and filtered a fresh 255-element array per row per column
+    * in the interpreter (~30× slower end-to-end on the z-value pass). */
   def bucketOf(c: Column, cuts: Array[Double]): Column =
-    size(filter(array(cuts.map(lit): _*), x => x <= c.cast("double")))
+    graft.functions.quantile_bucket(c.cast("double"), cuts)
 
   /** Morton interleave: bit b of bucket i lands at position
     * b * n + i, so every column contributes equally at every scale of

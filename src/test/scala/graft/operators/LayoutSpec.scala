@@ -44,6 +44,23 @@ class LayoutSpec extends SparkSpec {
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
   }
 
+  test("bucketOf: native binary-search rank ≡ the HOF count it replaced (dups, bounds, NaN)") {
+    // cutpoints with duplicates (quantile cuts of skewed columns repeat)
+    val cuts = Array(1.0, 2.0, 2.0, 2.0, 5.0, 7.5, 7.5, 100.0)
+    val hof = (v: org.apache.spark.sql.Column) =>
+      size(filter(array(cuts.map(lit): _*), x => x <= v.cast("double")))
+    val vals = Seq(0.0, 1.0, 1.5, 2.0, 4.9, 5.0, 7.5, 99.0, 100.0, 101.0,
+      Double.NaN, -1e18, 1e18)
+    val rows = vals.toDF("v")
+      .select(Layout.bucketOf(col("v"), cuts).as("native"), hof(col("v")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+    // plan stays UDF- and HOF-free: the rank is a single codegen'd expression
+    val plan = vals.toDF("v").select(Layout.bucketOf(col("v"), cuts))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("ArrayFilter"), plan)
+  }
+
   test("zorderWrite: rows preserved exactly; both clustered columns get tight per-file spans") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     Layout.zorderWrite(lineitem, Seq("l_partkey", "l_suppkey"), dir, numFiles = 16)
