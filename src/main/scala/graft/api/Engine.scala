@@ -34,6 +34,20 @@ final class Engine(
   private def lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
+  /** Memoized per-table categorical value domains (Profiler
+    * `stringDomains`) for value linking: templates resolving an NL token
+    * against DATA values ("all math courses" → `dept = 'math'`) call
+    * this lazily, so a table is scanned at most once per engine instance
+    * and only when a value-linking template actually fires on it —
+    * never eagerly across the catalog. Failures resolve to no domains
+    * (the ask path's always-answer contract). */
+  private val domainCache = new scala.collection.concurrent.TrieMap[String, Map[String, Seq[String]]]
+  private def valueDomains(table: String): Map[String, Seq[String]] =
+    if (!tables.contains(table)) Map.empty
+    else domainCache.getOrElseUpdate(table,
+      try Profiler.stringDomains(spark, table)
+      catch { case scala.util.control.NonFatal(_) => Map.empty })
+
   /** Dotted leaf paths of a document collection's inferred schema
     * ("user.age"), so field linking and predicates reach into nesting.
     * Arrays of structs ("orders[].amount" in Mongo terms) contribute the
@@ -115,7 +129,7 @@ final class Engine(
         }: _*))
       if (slice.tables.isEmpty) return ask(question, limit)
       val analysis = Intent.analyze(question, tables)
-      val cands = Templates.candidates(slice, fks, analysis, question)
+      val cands = Templates.candidates(slice, fks, analysis, question, valueDomains)
       val ranked = Ranker.rank(cands, slice.tables.keySet)
       ranked.view.map { case (c, _) =>
         Validator.validate(spark, c.sql, tables.toSet)
@@ -139,7 +153,7 @@ final class Engine(
   def nl2sql(question: String): Either[EngineError, (String, SchemaSlice)] = {
     val slice = Fuzzy.selectRelevant(question, lightweightSchema)
     val analysis = Intent.analyze(question, tables)
-    val cands = Templates.candidates(slice, fks, analysis, question)
+    val cands = Templates.candidates(slice, fks, analysis, question, valueDomains)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     ranked.view
       .map { case (c, _) =>
@@ -190,7 +204,7 @@ final class Engine(
         .map(Templates.Candidate(_, 0.7, "llm"))
       case Left(_) => Nil
     }
-    val cands = llmCands ++ Templates.candidates(slice, fks, analysis, question)
+    val cands = llmCands ++ Templates.candidates(slice, fks, analysis, question, valueDomains)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     if (ranked.isEmpty) return Left(SqlSafetyError("No candidates generated"))
 

@@ -106,6 +106,35 @@ object Profiler {
   }
 
   /**
+   * Categorical domains of one table's STRING columns: `{column →
+   * sorted values}` for columns whose approximate distinct count is ≤
+   * `domainCap` (the A7 domain-extraction rule, restricted to the
+   * value-linking use case — NL tokens like "math" resolving to
+   * `dept = 'math'`). Two bounded passes like [[profileTable]]: an
+   * HLL++ gate so high-cardinality columns never reach `collect_set`,
+   * then one bounded-state collect over the qualifying columns only.
+   */
+  def stringDomains(spark: SparkSession, table: String,
+      domainCap: Int = DomainCap): Map[String, Seq[String]] = {
+    val df = spark.table(table)
+    val strCols = df.schema.fields.toSeq
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    if (strCols.isEmpty) return Map.empty
+    val gateAggs = strCols.map(c =>
+      approx_count_distinct(col(c)).cast("long").as(s"__d_$c"))
+    val gate = df.agg(gateAggs.head, gateAggs.tail: _*).collect()(0)
+    val lowCard = strCols.filter { c =>
+      val d = gate.getLong(gate.fieldIndex(s"__d_$c")); d > 0 && d <= domainCap
+    }
+    if (lowCard.isEmpty) return Map.empty
+    val domAggs = lowCard.map(c =>
+      slice(sort_array(collect_set(col(c))), 1, domainCap).as(s"__dom_$c"))
+    val domRow = df.agg(domAggs.head, domAggs.tail: _*).collect()(0)
+    lowCard.map(c =>
+      c -> domRow.getSeq[String](domRow.fieldIndex(s"__dom_$c")).toSeq).toMap
+  }
+
+  /**
    * Sketch-based profiling for 100 TB scale: one pass computing HLL++
    * distinct estimates and t-digest-style approximate quantiles per
    * numeric column — mergeable sketches, no exact sort/shuffle anywhere.

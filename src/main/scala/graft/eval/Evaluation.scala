@@ -322,8 +322,9 @@ object Evaluation {
         "FROM scores sc JOIN students st ON st.student_id = sc.student_id " +
         "GROUP BY st.grade_level, sc.course_id) t WHERE rnk = 1 " +
         "ORDER BY grade_level LIMIT 100", "grouped_argmax2"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7c open cases, closed in round 7d (relational division
+    //     with mined-value linking / nth-ranked aggregate / per-group
+    //     conditional share) ---
     EvalCase("students who took all math courses",
       "SELECT DISTINCT st.student_name FROM students st " +
         "JOIN scores sc ON sc.student_id = st.student_id " +
@@ -340,5 +341,25 @@ object Evaluation {
     EvalCase("for each course, the percentage of scores of at least 90",
       "SELECT course_id, 100.0 * COUNT(CASE WHEN score >= 90 THEN 1 END) / COUNT(*) " +
         "AS agg_value FROM scores GROUP BY course_id " +
-        "ORDER BY course_id LIMIT 100", "conditional_share"))
+        "ORDER BY course_id LIMIT 100", "conditional_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose average score improved from 2022 to 2023",
+      "SELECT st.student_name FROM students st JOIN (" +
+        "SELECT student_id FROM scores GROUP BY student_id " +
+        "HAVING AVG(CASE WHEN year = 2023 THEN score END) > " +
+        "AVG(CASE WHEN year = 2022 THEN score END)) q " +
+        "ON q.student_id = st.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "trend_compare"),
+    EvalCase("the percentage of students who take more than 5 courses",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN c > 5 THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+        "FROM (SELECT student_id, COUNT(DISTINCT course_id) AS c " +
+        "FROM scores GROUP BY student_id) t", "group_share"),
+    EvalCase("students who share a course with Ada Adams",
+      "SELECT DISTINCT st2.student_name FROM scores s1 " +
+        "JOIN scores s2 ON s1.course_id = s2.course_id AND s1.student_id <> s2.student_id " +
+        "JOIN students st1 ON st1.student_id = s1.student_id " +
+        "JOIN students st2 ON st2.student_id = s2.student_id " +
+        "WHERE st1.student_name = 'Ada Adams' AND st2.student_name <> 'Ada Adams' " +
+        "ORDER BY st2.student_name LIMIT 100", "co_occurrence"))
 }

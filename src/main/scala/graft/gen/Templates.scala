@@ -91,9 +91,14 @@ object Templates {
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
   // "the second highest score" — the nth distinct value of a column:
   // DISTINCT + ORDER BY + LIMIT 1 OFFSET n-1 (never a global window)
+  // the negative lookahead keeps agg words out of the column slot:
+  // "second highest AVERAGE score" is the nth-ranked-AGGREGATE shape
+  // (nthAggCandidates), not the nth raw value of a column fuzzy-matched
+  // from "average" (which mis-linked to `age` before the guard)
   private val nthRe =
     (raw"(?i)\b(?:the\s+)?(second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+" +
-      raw"(highest|largest|biggest|greatest|lowest|smallest)\s+([a-z_][a-z0-9_]*)\b").r
+      raw"(highest|largest|biggest|greatest|lowest|smallest)\s+" +
+      raw"(?!(?:average|avg|mean|total|sum)\b)([a-z_][a-z0-9_]*)\b").r
   private val ordinalWords = Map(
     "second" -> 2, "third" -> 3, "fourth" -> 4, "fifth" -> 5)
   /** "second"/"23rd" → 0-based OFFSET. Covers every numeric ordinal the
@@ -1188,9 +1193,140 @@ object Templates {
         0.9, "template_grouped_argmax2")).take(1)
     }
 
+  // "students who took all math courses" — relational division: the
+  // entities whose fact rows cover EVERY member of a (possibly
+  // filtered) dimension
+  private val divisionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+(?:have\s+|has\s+)?[a-z]+\s+all\s+" +
+      raw"(?:the\s+)?(?:([a-z0-9_+-]+)\s+)?([a-z_][a-z0-9_]*)\b").r
+
+  /** Relational division (ref `app/models/inference.py:151-213` serves
+    * this only through its LLM path): "Es who V all [m] Js" → group the
+    * fact by the entity KEY (two same-named entities must qualify
+    * individually), compare each group's DISTINCT J count to the
+    * divisor `(SELECT COUNT(*) FROM J [WHERE …])`. The optional
+    * modifier m ("math") resolves against the J dimension's MINED VALUE
+    * DOMAINS (`values`, Profiler.stringDomains): it must appear in
+    * exactly one column's domain or no candidate is produced — the
+    * no-fabrication bar, extended from names to data values. Plan: fact
+    * ⋈ two broadcast dims, one grouped aggregate on the entity key, the
+    * divisor a one-row scalar subquery broadcast into the HAVING
+    * filter. */
+  def divisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String,
+      values: String => Map[String, Seq[String]]): Seq[Candidate] =
+    divisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        whereSql <- Option(m.group(2)).map(_.trim).filter(_.nonEmpty) match {
+          case None => Seq("")
+          case Some(v) =>
+            // the modifier must be a mined domain value of exactly one
+            // dimension column (and not resolve as a column name itself)
+            val hits = values(dimJ).collect {
+              case (c, dom) if slice.tables(dimJ).contains(c) && dom.contains(v) => c
+            }.toSeq
+            if (hits.size == 1 && strongColumn(v, slice.tables(dimJ)).isEmpty)
+              Seq(s" WHERE ${hits.head} = ${sqlLit(v)}")
+            else Nil
+        }
+      } yield Candidate(
+        s"SELECT DISTINCT d.$nameCol FROM ${eE.fromTable} f " +
+          s"JOIN $dimE d ON f.${eE.fromColumn} = d.${eE.toColumn} " +
+          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn}" +
+          whereSql.replace(" WHERE ", " WHERE j.") +
+          s" GROUP BY d.${eE.toColumn}, d.$nameCol " +
+          s"HAVING COUNT(DISTINCT f.${eJ.fromColumn}) = " +
+          s"(SELECT COUNT(*) FROM $dimJ$whereSql) " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_division")).take(1)
+    }
+
+  // "the course with the second highest average score" — an ordinal
+  // rank over a GROUPED aggregate (nthRe handles the rank over raw
+  // distinct values; this shape has an agg word between rank and column)
+  private val nthAggRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+" +
+      raw"(highest|largest|biggest|greatest|lowest|smallest)\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Nth-ranked aggregate: "the E with the second highest avg V" →
+    * RANK over the GROUP ROWS of one grouped aggregate, keep rank n
+    * (RANK, not OFFSET: ties at rank n all belong in the answer). The
+    * window runs over |entities| group rows, never the fact — the same
+    * group-rows-only contract as [[groupedArgmax2Candidates]]; the fk
+    * column is the answer key, so no dimension join. */
+  def nthAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
+    nthAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = ordinalOffset(m.group(2)) + 1
+      val dir = if (Set("lowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
+          s"RANK() OVER (ORDER BY $agg($numCol) $dir, ${e.fromColumn}) AS rnk " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t WHERE rnk = $n " +
+          s"LIMIT $DefaultLimit",
+        0.9, "template_nth_agg")).take(1)
+    }
+
+  // "for each course, the percentage of scores of at least 90" — a
+  // per-group conditional share (ratioAggRe serves the global
+  // categorical form; this one is grouped with a numeric threshold)
+  private val conditionalShareRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
+      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:of|with|scoring|at)?\s*(at\s+least|at\s+most|above|over|below|under)\s+" +
+      raw"(\d+(?:\.\d+)?)\b").r
+
+  /** Per-group conditional share: "for each G, the percentage of Ts of
+    * at least N" → `100·COUNT(CASE WHEN V op N)/COUNT(*)` grouped by
+    * G's key — the conditional count and the total share ONE
+    * partial+final aggregate pass (one shuffle on the group key), never
+    * two scans joined. The measured column is the counted noun's
+    * singular ("scores" → `score`), resolved strongly on the fact. */
+  def conditionalShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    conditionalShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
+        case "at least" => ">="
+        case "above" | "over" => ">"
+        case "at most" => "<="
+        case _ => "<"
+      }
+      val scale = if (m.group(2).toLowerCase.startsWith("percent")) "100.0" else "1.0"
+      val noun = m.group(3)
+      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
+      (for {
+        fact <- uniqueTable(slice, noun).toSeq
+        numCol <- strongColumn(valueWord, slice.tables(fact)).toSeq
+        groupCol <- uniqueTable(slice, m.group(1))
+          .flatMap(g => fks.find(e => e.fromTable == fact && e.toTable == g).map(_.fromColumn))
+          .orElse(strongColumn(m.group(1), slice.tables(fact).filterNot(_ == numCol))).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol, $scale * COUNT(CASE WHEN $numCol $op ${m.group(5)} THEN 1 END) " +
+          s"/ COUNT(*) AS agg_value FROM $fact GROUP BY $groupCol " +
+          s"ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_conditional_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
-      question: String = ""): Seq[Candidate] =
+      question: String = "",
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
     (bridgeCandidates(slice, fks, question) ++
       nestedHavingCandidates(slice, fks, question) ++
       aggOfAggCandidates(slice, fks, question) ++
@@ -1206,6 +1342,9 @@ object Templates {
       deviationHavingCandidates(slice, fks, question) ++
       rangeArgmaxCandidates(slice, fks, question) ++
       groupedArgmax2Candidates(slice, fks, question) ++
+      divisionCandidates(slice, fks, question, values) ++
+      nthAggCandidates(slice, fks, question) ++
+      conditionalShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

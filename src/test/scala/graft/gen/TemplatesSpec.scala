@@ -208,4 +208,60 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("fraction of scores with grade problems")
       .forall(_.method != "template_ratio_agg"))
   }
+
+  private val courseDomains: String => Map[String, Seq[String]] = {
+    case "courses" => Map(
+      "dept" -> Seq("arts", "history", "math", "science"),
+      "course_name" -> Seq("Algebra", "Biology"))
+    case _ => Map.empty
+  }
+
+  private def candsV(q: String): Seq[Templates.Candidate] =
+    Templates.candidates(slice, fks, Intent.analyze(q, slice.tables.keys.toSeq), q,
+      courseDomains)
+
+  test("division: modifier resolves via mined value domains to exactly one column") {
+    val c = candsV("students who took all math courses")
+      .find(_.method == "template_division").get
+    assert(c.sql.contains("WHERE j.dept = 'math'"), c.sql)
+    assert(c.sql.contains("GROUP BY d.student_id, d.student_name"), c.sql)
+    assert(c.sql.contains(
+      "HAVING COUNT(DISTINCT f.course_id) = (SELECT COUNT(*) FROM courses WHERE dept = 'math')"), c.sql)
+    // unmodified division divides by the whole dimension
+    val all = candsV("students who took all courses")
+      .find(_.method == "template_division").get
+    assert(!all.sql.contains("WHERE"), all.sql)
+    assert(all.sql.contains("= (SELECT COUNT(*) FROM courses)"), all.sql)
+    // a modifier in NO domain (or without domains wired) fabricates nothing
+    assert(candsV("students who took all advanced courses")
+      .forall(_.method != "template_division"))
+    assert(cands("students who took all math courses")
+      .forall(_.method != "template_division"))
+  }
+
+  test("nth-ranked aggregate: RANK over group rows keeps ties, nthRe stays on raw values") {
+    val c = cands("the course with the second highest average score")
+      .find(_.method == "template_nth_agg").get
+    assert(c.sql.contains("RANK() OVER (ORDER BY AVG(score) DESC, course_id)"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    assert(c.sql.contains("WHERE rnk = 2"), c.sql)
+    // the raw nth-distinct-value shape must not also fire on the agg form
+    assert(cands("the course with the second highest average score")
+      .forall(_.method != "template_nth"))
+    val low = cands("the course with the third lowest total score")
+      .find(_.method == "template_nth_agg").get
+    assert(low.sql.contains("SUM(score) ASC") && low.sql.contains("rnk = 3"), low.sql)
+  }
+
+  test("conditional share: grouped CASE-count over one aggregate pass") {
+    val c = cands("for each course, the percentage of scores of at least 90")
+      .find(_.method == "template_conditional_share").get
+    assert(c.sql.contains(
+      "100.0 * COUNT(CASE WHEN score >= 90 THEN 1 END) / COUNT(*) AS agg_value"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    val frac = cands("for each grade, the fraction of scores below 60")
+      .find(_.method == "template_conditional_share").get
+    assert(frac.sql.contains("1.0 * COUNT(CASE WHEN score < 60 THEN 1 END)"), frac.sql)
+    assert(frac.sql.contains("GROUP BY grade"), frac.sql)
+  }
 }
