@@ -342,8 +342,9 @@ object Evaluation {
       "SELECT course_id, 100.0 * COUNT(CASE WHEN score >= 90 THEN 1 END) / COUNT(*) " +
         "AS agg_value FROM scores GROUP BY course_id " +
         "ORDER BY course_id LIMIT 100", "conditional_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7d open cases, closed in round 7e (two-period trend
+    //     compare / global share over a per-entity count / name-anchored
+    //     entity co-occurrence) ---
     EvalCase("students whose average score improved from 2022 to 2023",
       "SELECT st.student_name FROM students st JOIN (" +
         "SELECT student_id FROM scores GROUP BY student_id " +
@@ -361,5 +362,27 @@ object Evaluation {
         "JOIN students st1 ON st1.student_id = s1.student_id " +
         "JOIN students st2 ON st2.student_id = s2.student_id " +
         "WHERE st1.student_name = 'Ada Adams' AND st2.student_name <> 'Ada Adams' " +
-        "ORDER BY st2.student_name LIMIT 100", "co_occurrence"))
+        "ORDER BY st2.student_name LIMIT 100", "co_occurrence"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("courses where no student scored below 60",
+      "SELECT c.course_name FROM courses c JOIN scores s ON s.course_id = c.course_id " +
+        "GROUP BY c.course_name HAVING MIN(s.score) >= 60 " +
+        "ORDER BY c.course_name LIMIT 100", "universal_filter"),
+    EvalCase("the two courses most often taken together",
+      "SELECT c1.course_name AS course_a, c2.course_name AS course_b " +
+        "FROM scores s1 JOIN scores s2 ON s1.student_id = s2.student_id " +
+        "AND s1.course_id < s2.course_id " +
+        "JOIN courses c1 ON c1.course_id = s1.course_id " +
+        "JOIN courses c2 ON c2.course_id = s2.course_id " +
+        "GROUP BY c1.course_name, c2.course_name " +
+        "ORDER BY COUNT(*) DESC, course_a, course_b LIMIT 1", "pair_cooccurrence"),
+    EvalCase("students whose score in Algebra is above their average score",
+      "SELECT DISTINCT st.student_name FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN (SELECT student_id, AVG(score) AS a FROM scores GROUP BY student_id) m " +
+        "ON m.student_id = s.student_id " +
+        "WHERE c.course_name = 'Algebra' AND s.score > m.a " +
+        "ORDER BY st.student_name LIMIT 100", "self_relative"))
 }

@@ -1323,6 +1323,131 @@ object Templates {
         0.9, "template_conditional_share")).take(1)
     }
 
+  // "students whose average score improved from 2022 to 2023" — a
+  // two-period trend comparison inside one grouped aggregate
+  private val trendCompareRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(improved|increased|rose|went\s+up|decreased|declined|dropped|fell)\s+" +
+      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
+
+  /** Two-period trend compare: "Es whose avg V improved from Y1 to Y2"
+    * → both periods' conditional aggregates (`AGG(CASE WHEN year = Yi
+    * THEN V END)`) share ONE partial+final pass over the fact grouped
+    * by the fk to E (one shuffle; never two per-year scans joined),
+    * HAVING compares them, and the surviving keys broadcast-join to
+    * the dimension for display names. Needs a year-named column on the
+    * fact; "improved/increased/rose/went up" reads as to-year > from-
+    * year, the falling verbs as <. */
+  def trendCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trendCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val cmp = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
+        case "decreased" | "declined" | "dropped" | "fell" => "<"
+        case _ => ">"
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined &&
+          slice.tables(e.fromTable).exists(_.toLowerCase.contains("year"))).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+        yearCol <- slice.tables(e.fromTable).find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM ${e.toTable} d JOIN (" +
+          s"SELECT ${e.fromColumn} FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
+          s"HAVING $agg(CASE WHEN $yearCol = ${m.group(6)} THEN $numCol END) $cmp " +
+          s"$agg(CASE WHEN $yearCol = ${m.group(5)} THEN $numCol END)) q " +
+          s"ON q.${e.fromColumn} = d.${e.toColumn} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_trend_compare")).take(1)
+    }
+
+  // "the percentage of students who take more than 5 courses" — a
+  // global share over a per-entity distinct count (ratioAggRe is the
+  // "of T with C v" categorical form; this one has a counted second
+  // entity behind a verb, so the two never both fire)
+  private val groupShareRe =
+    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
+      raw"(more\s+than|at\s+least|fewer\s+than|less\s+than|at\s+most)\s+" +
+      raw"(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Global share over a per-entity count: "the percentage of Es who V
+    * more than N Js" → inner grouped `COUNT(DISTINCT fk-to-J)` per E
+    * key (one shuffle on the fact's fk to E), outer single-row share —
+    * the second aggregate collapses |E| group rows, so the global pass
+    * is trivially cheap. No dimension join: both the numerator and the
+    * denominator live on the fact's keys. */
+  def groupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = m.group(3).toLowerCase.replaceAll("\\s+", " ") match {
+        case "more than" => ">"
+        case "at least" => ">="
+        case "at most" => "<="
+        case _ => "<"
+      }
+      val scale = if (m.group(1).toLowerCase.startsWith("percent")) "100.0" else "1.0"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        dimJ <- uniqueTable(slice, m.group(5)).toSeq
+        if dimE != dimJ
+        eE <- fks.find(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ)).toSeq
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT ROUND($scale * SUM(CASE WHEN c $op ${m.group(4)} THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value FROM " +
+          s"(SELECT ${eE.fromColumn}, COUNT(DISTINCT ${eJ.fromColumn}) AS c " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_group_share")).take(1)
+    }
+
+  // "students who share a course with Ada Adams" — entity
+  // co-occurrence through the bridging fact's second FK, anchored on a
+  // capitalized display-name value
+  private val coOccurRe =
+    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+(?i:shares?)\s+(?i:an?\s+)?" +
+      raw"([a-z_][a-z0-9_]*)\s+(?i:with)\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)").r
+
+  /** Entity co-occurrence: "Es who share a J with NAME" → the anchor's
+    * fact rows are isolated FIRST (fact ⋈ broadcast dim filtered to
+    * NAME — a few rows), then joined back to the fact on the J-fk, so
+    * the fact-to-fact step is anchor-rows × per-J peers, never the
+    * quadratic self-join of the naive form. The anchor itself (same
+    * entity key, or a different key sharing the display name) is
+    * excluded from the answer. */
+  def coOccurrenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    coOccurRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val name = m.group(3).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.find(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ)).toSeq
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d2.$nameCol FROM " +
+          s"(SELECT f.${eJ.fromColumn} AS jk, f.${eE.fromColumn} AS ek " +
+          s"FROM ${eE.fromTable} f JOIN $dimE d1 ON d1.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"WHERE d1.$nameCol = '$name') a " +
+          s"JOIN ${eE.fromTable} f2 ON f2.${eJ.fromColumn} = a.jk " +
+          s"AND f2.${eE.fromColumn} <> a.ek " +
+          s"JOIN $dimE d2 ON d2.${eE.toColumn} = f2.${eE.fromColumn} " +
+          s"WHERE d2.$nameCol <> '$name' " +
+          s"ORDER BY d2.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_co_occurrence")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -1345,6 +1470,9 @@ object Templates {
       divisionCandidates(slice, fks, question, values) ++
       nthAggCandidates(slice, fks, question) ++
       conditionalShareCandidates(slice, fks, question) ++
+      trendCompareCandidates(slice, fks, question) ++
+      groupShareCandidates(slice, fks, question) ++
+      coOccurrenceCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

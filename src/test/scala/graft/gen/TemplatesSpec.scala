@@ -264,4 +264,52 @@ class TemplatesSpec extends AnyFunSuite {
     assert(frac.sql.contains("1.0 * COUNT(CASE WHEN score < 60 THEN 1 END)"), frac.sql)
     assert(frac.sql.contains("GROUP BY grade"), frac.sql)
   }
+
+  test("trend compare: both periods share one grouped pass, verbs set direction") {
+    val c = cands("students whose average score improved from 2022 to 2023")
+      .find(_.method == "template_trend_compare").get
+    assert(c.sql.contains("GROUP BY student_id"), c.sql)
+    assert(c.sql.contains(
+      "HAVING AVG(CASE WHEN year = 2023 THEN score END) > AVG(CASE WHEN year = 2022 THEN score END)"), c.sql)
+    assert(c.sql.contains("ORDER BY d.student_name"), c.sql)
+    val down = cands("students whose total score dropped from 2022 to 2024")
+      .find(_.method == "template_trend_compare").get
+    assert(down.sql.contains(
+      "SUM(CASE WHEN year = 2024 THEN score END) < SUM(CASE WHEN year = 2022 THEN score END)"), down.sql)
+    // no year-named fact column -> the shape is skipped, nothing fabricated
+    val noYear = SchemaSlice(Map(
+      "students" -> Seq("student_id", "student_name"),
+      "visits" -> Seq("visit_id", "student_id", "duration")))
+    assert(Templates.candidates(noYear, Seq(FkEdge("visits", "student_id", "students", "student_id")),
+        Intent.analyze("students whose average duration improved from 2022 to 2023",
+          noYear.tables.keys.toSeq),
+        "students whose average duration improved from 2022 to 2023")
+      .forall(_.method != "template_trend_compare"))
+  }
+
+  test("group share: inner distinct count per entity key, outer single-row share") {
+    val c = cands("the percentage of students who take more than 5 courses")
+      .find(_.method == "template_group_share").get
+    assert(c.sql.contains(
+      "SELECT student_id, COUNT(DISTINCT course_id) AS c FROM scores GROUP BY student_id"), c.sql)
+    assert(c.sql.contains("ROUND(100.0 * SUM(CASE WHEN c > 5 THEN 1 ELSE 0 END) / COUNT(*), 2)"), c.sql)
+    val frac = cands("the fraction of students who attend at least 3 courses")
+      .find(_.method == "template_group_share").get
+    assert(frac.sql.contains("ROUND(1.0 *") && frac.sql.contains("c >= 3"), frac.sql)
+    // the categorical ratio shape must not also fire on the counted form
+    assert(cands("the percentage of students who take more than 5 courses")
+      .forall(_.method != "template_ratio_agg"))
+  }
+
+  test("co-occurrence: anchor rows isolated before the fact-fact join, anchor excluded") {
+    val c = cands("students who share a course with Ada Adams")
+      .find(_.method == "template_co_occurrence").get
+    assert(c.sql.contains("WHERE d1.student_name = 'Ada Adams'"), c.sql)
+    assert(c.sql.contains("JOIN scores f2 ON f2.course_id = a.jk AND f2.student_id <> a.ek"), c.sql)
+    assert(c.sql.contains("WHERE d2.student_name <> 'Ada Adams'"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d2.student_name"), c.sql)
+    // a lowercase tail is not a display-name anchor
+    assert(cands("students who share a course with friends")
+      .forall(_.method != "template_co_occurrence"))
+  }
 }
