@@ -363,8 +363,9 @@ object Evaluation {
         "JOIN students st2 ON st2.student_id = s2.student_id " +
         "WHERE st1.student_name = 'Ada Adams' AND st2.student_name <> 'Ada Adams' " +
         "ORDER BY st2.student_name LIMIT 100", "co_occurrence"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7e open cases, closed in round 7f (universal per-group
+    //     condition / top co-occurring pair / self-relative row-vs-own-
+    //     aggregate comparison) ---
     EvalCase("courses where no student scored below 60",
       "SELECT c.course_name FROM courses c JOIN scores s ON s.course_id = c.course_id " +
         "GROUP BY c.course_name HAVING MIN(s.score) >= 60 " +
@@ -384,5 +385,24 @@ object Evaluation {
         "JOIN (SELECT student_id, AVG(score) AS a FROM scores GROUP BY student_id) m " +
         "ON m.student_id = s.student_id " +
         "WHERE c.course_name = 'Algebra' AND s.score > m.a " +
-        "ORDER BY st.student_name LIMIT 100", "self_relative"))
+        "ORDER BY st.student_name LIMIT 100", "self_relative"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who took a course in every department",
+      "SELECT st.student_name FROM students st " +
+        "JOIN scores s ON s.student_id = st.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY st.student_id, st.student_name " +
+        "HAVING COUNT(DISTINCT c.dept) = (SELECT COUNT(DISTINCT dept) FROM courses) " +
+        "ORDER BY st.student_name LIMIT 100", "attr_division"),
+    EvalCase("the student with the most consistent scores",
+      "SELECT student_id FROM (SELECT student_id, STDDEV_SAMP(score) AS sd " +
+        "FROM scores GROUP BY student_id HAVING COUNT(*) >= 2) t " +
+        "ORDER BY sd ASC, student_id LIMIT 1", "variability_argmin"),
+    EvalCase("for each course, the share of scores above the course average",
+      "SELECT course_id, ROUND(100.0 * SUM(CASE WHEN score > a THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM " +
+        "(SELECT course_id, score, AVG(score) OVER (PARTITION BY course_id) AS a " +
+        "FROM scores) t GROUP BY course_id ORDER BY course_id LIMIT 100",
+      "group_self_share"))
 }

@@ -1448,6 +1448,122 @@ object Templates {
         0.9, "template_co_occurrence")).take(1)
     }
 
+  // "courses where no student scored below 60" — a universal condition
+  // per group, phrased as a negated existential
+  private val universalFilterRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+no\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"([a-z]+)\s+(below|under|above|over)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Universal per-group condition: "Es where no J Ved below N" — the
+    * negated existential IS a group extreme ("no row below N" ⟺
+    * `MIN(V) >= N`, "no row above N" ⟺ `MAX(V) <= N`), so the plan is
+    * one partial+final aggregate on the fact joined to the broadcast
+    * dimension for display names — never an anti-join against the
+    * offending rows. The "no"-noun must name a table connected to the
+    * same fact (or the fact itself) so the shape can't fire on an
+    * unrelated entity word. */
+  def universalFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (agg, op) =
+        if (Set("below", "under")(m.group(4).toLowerCase)) ("MIN", ">=") else ("MAX", "<=")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+        noTable <- uniqueTable(slice, m.group(2)).toSeq
+        if noTable == e.fromTable || fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == noTable)
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM $dimE d " +
+          s"JOIN ${e.fromTable} f ON f.${e.fromColumn} = d.${e.toColumn} " +
+          s"GROUP BY d.$nameCol HAVING $agg(f.$numCol) $op ${m.group(5)} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_universal_filter")).take(1)
+    }
+
+  // "the two courses most often taken together" — the top co-occurring
+  // pair through the fact's other FK
+  private val pairCoOccurRe =
+    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+most\s+" +
+      raw"(?:often|frequently|commonly)\s+([a-z]+)\s+together\b").r
+
+  /** Top co-occurring pair: "the two Js most often Ved together" →
+    * fact self-joined on its OTHER fk (the co-occurrence key) with
+    * `jfk1 < jfk2` so each unordered pair appears once, grouped by the
+    * pair, top-1 by count via TakeOrderedAndProject. Per co-occurrence
+    * key the join emits k·(k−1)/2 pairs — bounded by the per-entity
+    * fan-out (a student's courses), not the corpus; the dimension join
+    * for display names happens AFTER pair counting would be wrong
+    * (names are the group key in the gold), so both fact sides join the
+    * broadcast dimension first and the aggregate groups on names. */
+  def pairCoOccurrenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    pairCoOccurRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable != dimJ)).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ).toSeq
+      } yield Candidate(
+        s"SELECT j1.$nameCol AS ${nameCol}_a, j2.$nameCol AS ${nameCol}_b " +
+          s"FROM ${eJ.fromTable} f1 JOIN ${eJ.fromTable} f2 " +
+          s"ON f1.${eE.fromColumn} = f2.${eE.fromColumn} " +
+          s"AND f1.${eJ.fromColumn} < f2.${eJ.fromColumn} " +
+          s"JOIN $dimJ j1 ON j1.${eJ.toColumn} = f1.${eJ.fromColumn} " +
+          s"JOIN $dimJ j2 ON j2.${eJ.toColumn} = f2.${eJ.fromColumn} " +
+          s"GROUP BY j1.$nameCol, j2.$nameCol " +
+          s"ORDER BY COUNT(*) DESC, ${nameCol}_a, ${nameCol}_b LIMIT 1",
+        0.9, "template_pair_cooccurrence")).take(1)
+    }
+
+  // "students whose score in Algebra is above their average score" — a
+  // row compared against the row's OWN entity aggregate, anchored on a
+  // capitalized second-dimension value
+  private val selfRelativeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\s+is\s+(above|over|below|under)\s+" +
+      raw"their\s+(?:own\s+)?(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Self-relative comparison: "Es whose V in NAME is above their avg
+    * V" → per-entity averages come from ONE grouped pass over the fact
+    * (shuffle on the fk to E), joined back on the same key; the NAME
+    * filter lands on the broadcast second dimension BEFORE the
+    * aggregate join, so only the anchor rows (one per entity) meet the
+    * per-entity averages. Both measure words must resolve to the same
+    * fact column — "score in Algebra ... average grade" fires
+    * nothing. */
+  def selfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    selfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val name = m.group(3).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eName <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        numCol2 <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
+        if numCol == numCol2
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          nameishColumn(slice.tables(e.toTable)).isDefined).toSeq
+        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$eName FROM ${eE.fromTable} f " +
+          s"JOIN ${eJ.toTable} j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"JOIN (SELECT ${eE.fromColumn} AS k, AVG($numCol) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) m ON m.k = f.${eE.fromColumn} " +
+          s"WHERE j.$jName = '$name' AND f.$numCol $op m.a " +
+          s"ORDER BY d.$eName LIMIT $DefaultLimit",
+        0.9, "template_self_relative")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -1473,6 +1589,9 @@ object Templates {
       trendCompareCandidates(slice, fks, question) ++
       groupShareCandidates(slice, fks, question) ++
       coOccurrenceCandidates(slice, fks, question) ++
+      universalFilterCandidates(slice, fks, question) ++
+      pairCoOccurrenceCandidates(slice, fks, question) ++
+      selfRelativeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -61,7 +61,8 @@ class EvaluationSpec extends SparkSpec {
         "avg_count_per", "filtered_having", "having_extreme",
         "deviation_having", "range_argmax", "grouped_argmax2",
         "division", "nth_aggregate", "conditional_share",
-        "trend_compare", "group_share", "co_occurrence"))
+        "trend_compare", "group_share", "co_occurrence",
+        "universal_filter", "pair_cooccurrence", "self_relative"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -312,4 +312,39 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("students who share a course with friends")
       .forall(_.method != "template_co_occurrence"))
   }
+
+  test("universal filter: negated existential compiles to a group extreme") {
+    val c = cands("courses where no student scored below 60")
+      .find(_.method == "template_universal_filter").get
+    assert(c.sql.contains("GROUP BY d.course_name HAVING MIN(f.score) >= 60"), c.sql)
+    assert(c.sql.startsWith("SELECT d.course_name"), c.sql)
+    val hi = cands("courses where no student scored above 95")
+      .find(_.method == "template_universal_filter").get
+    assert(hi.sql.contains("HAVING MAX(f.score) <= 95"), hi.sql)
+    // the "no"-noun must be connected to the fact - an unrelated word fires nothing
+    assert(cands("courses where no teacher scored below 60")
+      .forall(_.method != "template_universal_filter"))
+  }
+
+  test("pair co-occurrence: unordered pairs once, grouped on display names") {
+    val c = cands("the two courses most often taken together")
+      .find(_.method == "template_pair_cooccurrence").get
+    assert(c.sql.contains("ON f1.student_id = f2.student_id AND f1.course_id < f2.course_id"), c.sql)
+    assert(c.sql.contains("GROUP BY j1.course_name, j2.course_name"), c.sql)
+    assert(c.sql.contains("ORDER BY COUNT(*) DESC, course_name_a, course_name_b LIMIT 1"), c.sql)
+  }
+
+  test("self-relative: anchor value filter meets the per-entity average on one key") {
+    val c = cands("students whose score in Algebra is above their average score")
+      .find(_.method == "template_self_relative").get
+    assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY student_id"), c.sql)
+    assert(c.sql.contains("WHERE j.course_name = 'Algebra' AND f.score > m.a"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d.student_name"), c.sql)
+    val below = cands("students whose score in Biology is below their own average score")
+      .find(_.method == "template_self_relative").get
+    assert(below.sql.contains("f.score < m.a") && below.sql.contains("'Biology'"), below.sql)
+    // mismatched measure words fire nothing
+    assert(cands("students whose score in Algebra is above their average age")
+      .forall(_.method != "template_self_relative"))
+  }
 }
