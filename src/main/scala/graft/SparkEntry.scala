@@ -635,6 +635,15 @@ object Queries {
         "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (k * 2654435761) % 1000 AS b FROM keyed) " +
         "ORDER BY doc_id LIMIT 2000"),
+    // BPE first-iteration pair counts: adjacent code-point pairs inside
+    // whitespace-split lowercased words, every occurrence counted
+    "x_bpe_pairs" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "p AS (SELECT unnest([word[i:i] || ' ' || word[i+1:i+1] for i in range(1, len(word))]) AS pair " +
+        "FROM w WHERE len(word) >= 2) " +
+        "SELECT str_split(pair, ' ')[1] AS pair_a, str_split(pair, ' ')[2] AS pair_b, " +
+        "COUNT(*) AS cnt FROM p GROUP BY pair_a, pair_b " +
+        "ORDER BY cnt DESC, pair_a, pair_b LIMIT 40"),
     // corpus vocabulary: top-100 tokens by document frequency
     "x_vocab_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
@@ -1018,6 +1027,11 @@ object ExtensionQueries {
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
+    // BPE tokenizer training statistics: the first-iteration adjacent
+    // char-pair counts (word-boundary-restricted), top 40
+    "x_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Bpe.pairCounts(docs(s, dir), "text")
+        .orderBy(col("cnt").desc, col("pair_a"), col("pair_b")).limit(40)),
     // text normalization (control-char strip + whitespace collapse + case)
     "x_normalize" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"),

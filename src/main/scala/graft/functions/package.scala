@@ -45,6 +45,12 @@ package object functions {
   def array_top_count(arr: Column): Column =
     column(ArrayTopCount(expression(arr)))
 
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpeUnits(expression(text), merges, emitPairs = false))
+
+  def bpe_pairs(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpeUnits(expression(text), merges, emitPairs = true))
+
   def char_distribution(text: Column): Column =
     column(CharDistribution(expression(text)))
 

@@ -272,6 +272,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("BPE pair counting: partial aggregation, bounded top-k, one codegen span (x_bpe_pairs)") {
+    val p = plan("x_bpe_pairs")
+    // the pair multiset collapses map-side before the exchange
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      "pair counts must partially aggregate before the shuffle: " + p.take(2500))
+    // top-40 is a bounded order, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the segmentation expression bridges codegen — no closure UDF
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("), p.take(2000))
+    // only the text column leaves the scan
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("text") && !rs.contains("doc_id"), rs)
+  }
+
   test("relative-date filter pushes an implied raw-nanos bound to the events scan (x_relative_date)") {
     val p = plan("x_relative_date")
     // ts is DERIVED from the raw nanos column (Sources.register), so the
