@@ -94,4 +94,42 @@ class Nl2DocCorpusSpec extends SparkSpec {
     assert(Nl2Doc.extractPreds("users missing the point entirely", fields).isEmpty)
     assert(Nl2Doc.extractPreds("users discussing containing walls", fields).isEmpty)
   }
+
+  test("closed range: age between 25 and 40 serves $gte + $lte on one path") {
+    val q = Nl2Doc.build("users with age between 25 and 40", "users", fields)
+    assert(q.render.contains("\"$gte\": 25") && q.render.contains("\"$lte\": 40"), q.render)
+    sameRows(run("users with age between 25 and 40"),
+      users.where($"age".between(25, 40)).limit(100))
+    // no Eq(age, "between") fabrication
+    assert(!q.render.contains("\"age\": \"between\""), q.render)
+  }
+
+  test("negation: city is not lima serves $ne, never Eq(city, 'not')") {
+    val q = Nl2Doc.build("users whose city is not lima", "users", fields)
+    assert(q.render.contains("\"$ne\": \"lima\""), q.render)
+    sameRows(run("users whose city is not lima"),
+      users.where($"city" =!= "lima").limit(100))
+  }
+
+  test("disjunction: city is lima or quito serves $in with both values") {
+    val q = Nl2Doc.build("users whose city is lima or quito", "users", fields)
+    assert(q.render.contains("\"$in\": [\"lima\", \"quito\"]"), q.render)
+    sameRows(run("users whose city is lima or quito"),
+      users.where($"city".isin("lima", "quito")).limit(100))
+    assert(run("users whose city is lima or quito").count() == 60)
+  }
+
+  test("bottom-N: bottom 5 users by age sorts ascending with the limit") {
+    val q = Nl2Doc.build("bottom 5 users by age", "users", fields)
+    assert(q.render.contains("\"age\": 1") && q.render.contains("\"limit\": 5"), q.render)
+    val got = run("bottom 5 users by age").select("_id").collect().map(_.getLong(0)).toSet
+    val want = users.orderBy($"age".asc, $"_id".asc).limit(5)
+      .select("_id").collect().map(_.getLong(0)).toSet
+    // ties at the cut can differ; the age MULTISET must match
+    val gotAges = users.where($"_id".isin(got.toSeq: _*)).select("age")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val wantAges = users.where($"_id".isin(want.toSeq: _*)).select("age")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(gotAges == wantAges, s"got=$gotAges want=$wantAges")
+  }
 }
