@@ -27,7 +27,8 @@ object ProbeScaling {
       "x_relative_date", "x_bm25", "x_kmeans_step", "x_leakage_split",
       "x_running_total",
       // round-7 operators
-      "x_knn_join_ivfpq")
+      "x_knn_join_ivfpq", "x_split_audit", "x_pq_errors", "x_zorder_value",
+      "x_bpe_pairs")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
