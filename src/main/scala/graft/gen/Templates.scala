@@ -1523,10 +1523,12 @@ object Templates {
   // "students whose score in Algebra is above their average score" — a
   // row compared against the row's OWN entity aggregate, anchored on a
   // capitalized second-dimension value
+  // case-sensitive [A-Z] anchor (inline (?i:) groups, like coOccurRe):
+  // a lowercase word after "in" must never read as a display-name value
   private val selfRelativeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\s+is\s+(above|over|below|under)\s+" +
-      raw"their\s+(?:own\s+)?(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:whose)\s+([a-z_][a-z0-9_]*)\s+(?i:in)\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\s+(?i:is)\s+(?i:(above|over|below|under))\s+" +
+      raw"(?i:their)\s+(?i:own\s+)?(?i:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
 
   /** Self-relative comparison: "Es whose V in NAME is above their avg
     * V" → per-entity averages come from ONE grouped pass over the fact
@@ -1535,9 +1537,15 @@ object Templates {
     * aggregate join, so only the anchor rows (one per entity) meet the
     * per-entity averages. Both measure words must resolve to the same
     * fact column — "score in Algebra ... average grade" fires
-    * nothing. */
+    * nothing. The anchor dimension is chosen by MINED VALUE DOMAINS
+    * (the divisionCandidates rule): among the fact's other dimensions
+    * with a display column, prefer one whose domain contains NAME; with
+    * no domain hit the shape only proceeds when a single candidate
+    * dimension exists — a multi-dimension fact must never anchor NAME
+    * on the wrong table. */
   def selfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
     selfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
       val name = m.group(3).replace("'", "''")
@@ -1549,9 +1557,17 @@ object Templates {
         numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
         numCol2 <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
         if numCol == numCol2
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
           slice.tables.contains(e.toTable) &&
-          nameishColumn(slice.tables(e.toTable)).isDefined).toSeq
+          nameishColumn(slice.tables(e.toTable)).isDefined)
+        eJ <- {
+          val domainHit = candidateDims.filter(e =>
+            nameishColumn(slice.tables(e.toTable)).exists(nc =>
+              values(e.toTable).get(nc).exists(_.contains(m.group(3)))))
+          (if (domainHit.nonEmpty) domainHit.headOption
+           else if (candidateDims.size == 1) candidateDims.headOption
+           else None).toSeq
+        }
         jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
       } yield Candidate(
         s"SELECT DISTINCT d.$eName FROM ${eE.fromTable} f " +
@@ -1591,7 +1607,7 @@ object Templates {
       coOccurrenceCandidates(slice, fks, question) ++
       universalFilterCandidates(slice, fks, question) ++
       pairCoOccurrenceCandidates(slice, fks, question) ++
-      selfRelativeCandidates(slice, fks, question) ++
+      selfRelativeCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -80,8 +80,11 @@ object Bpe {
    */
   def vocabStats(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    docs.select(col(idCol), explode(encode(col(textCol), merges)).as("sym"))
-      .agg(count(lit(1)).as("total_symbols"),
+    // explode_outer: a symbol-less document (empty/whitespace text)
+    // still contributes its id row, so n_docs counts the CORPUS — with
+    // plain explode a per-document average would silently inflate
+    docs.select(col(idCol), explode_outer(encode(col(textCol), merges)).as("sym"))
+      .agg(count(col("sym")).as("total_symbols"),
         countDistinct(col("sym")).as("distinct_symbols"),
         countDistinct(col(idCol)).as("n_docs"))
 }

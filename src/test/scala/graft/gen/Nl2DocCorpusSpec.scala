@@ -97,11 +97,29 @@ class Nl2DocCorpusSpec extends SparkSpec {
 
   test("closed range: age between 25 and 40 serves $gte + $lte on one path") {
     val q = Nl2Doc.build("users with age between 25 and 40", "users", fields)
-    assert(q.render.contains("\"$gte\": 25") && q.render.contains("\"$lte\": 40"), q.render)
+    // both bounds merge into ONE operator object — duplicate "age" keys
+    // would be invalid JSON and a last-key-wins consumer would drop the
+    // lower bound
+    assert(q.render.contains("\"age\": {\"$gte\": 25, \"$lte\": 40}"), q.render)
     sameRows(run("users with age between 25 and 40"),
       users.where($"age".between(25, 40)).limit(100))
     // no Eq(age, "between") fabrication
     assert(!q.render.contains("\"age\": \"between\""), q.render)
+  }
+
+  test("inclusive bound: age is 30 or older serves $gte, never Eq or a bogus $in") {
+    val q = Nl2Doc.build("users whose age is 30 or older", "users", fields)
+    assert(q.render.contains("\"age\": {\"$gte\": 30}"), q.render)
+    sameRows(run("users whose age is 30 or older"),
+      users.where($"age" >= 30).limit(100))
+    val lower = Nl2Doc.build("users whose age is 30 or younger", "users", fields)
+    assert(lower.render.contains("\"age\": {\"$lte\": 30}"), lower.render)
+  }
+
+  test("negated disjunction declines rather than serving half the negation") {
+    // Ne(city, 'lima') alone would wrongly include quito rows; with no
+    // $nin predicate the builder must answer unfiltered, not wrong
+    assert(Nl2Doc.extractPreds("users whose city is not lima or quito", fields).isEmpty)
   }
 
   test("negation: city is not lima serves $ne, never Eq(city, 'not')") {

@@ -346,5 +346,35 @@ class TemplatesSpec extends AnyFunSuite {
     // mismatched measure words fire nothing
     assert(cands("students whose score in Algebra is above their average age")
       .forall(_.method != "template_self_relative"))
+    // a lowercase word after "in" is not a display-name anchor
+    assert(cands("students whose score in general is above their average score")
+      .forall(_.method != "template_self_relative"))
+  }
+
+  test("self-relative: multi-dimension facts anchor by mined value domains or decline") {
+    // scores bridges THREE dimensions; without domain data the anchor
+    // is ambiguous and the shape must decline rather than guess
+    val multi = SchemaSlice(scala.collection.immutable.ListMap(
+      "scores" -> Seq("score_id", "student_id", "course_id", "teacher_id", "score"),
+      "teachers" -> Seq("teacher_id", "teacher_name"),
+      "courses" -> Seq("course_id", "course_name"),
+      "students" -> Seq("student_id", "student_name")))
+    val multiFks = Seq(
+      FkEdge("scores", "student_id", "students", "student_id"),
+      FkEdge("scores", "course_id", "courses", "course_id"),
+      FkEdge("scores", "teacher_id", "teachers", "teacher_id"))
+    val q = "students whose score in Algebra is above their average score"
+    def gen(values: String => Map[String, Seq[String]]) =
+      Templates.candidates(multi, multiFks,
+        Intent.analyze(q, multi.tables.keys.toSeq), q, values)
+    assert(gen(_ => Map.empty).forall(_.method != "template_self_relative"))
+    // with domains the value picks the right dimension — even when
+    // another nameish dimension precedes it in the FK list
+    val domains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("course_name" -> Seq("Algebra", "Biology"))
+      case _ => Map.empty
+    }
+    val c = gen(domains).find(_.method == "template_self_relative").get
+    assert(c.sql.contains("JOIN courses j") && c.sql.contains("j.course_name = 'Algebra'"), c.sql)
   }
 }
