@@ -328,6 +328,56 @@ object Streams {
       weights: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.leakageSafeSplit(docs, idCol, groups, weights)
 
+  /**
+   * Streaming ANN serving — the QUERY side of the encode-once/
+   * search-many contract ([[encodeStream]] keeps the index current;
+   * this answers a continuous stream of query vectors against it):
+   * each arriving query computes its ADC lookup table and probed cells
+   * in one stateless projection (codebooks and centroids ship inside
+   * the serialized expressions), stream-static equi-joins the persisted
+   * codes frame on `cell` (the static side is cell-partitioned —
+   * [[graft.operators.ProductQuantization.writeIndex]] — so each
+   * micro-batch's scan partition-prunes to the probed cells), scores
+   * candidates on STORED CODES ONLY (no float column leaves the index
+   * scan), and keeps the per-query top-k in the bounded-heap streaming
+   * aggregate ([[topKPerGroupStream]] — O(k) state per query).
+   *
+   * Ranking is ADC-approximate — streaming allows ONE aggregation, so
+   * the batch path's candidate-pool exact re-rank
+   * ([[graft.operators.ProductQuantization.ivfPqTopK]]) cannot follow
+   * in-stream; a caller needing exact cosine order re-ranks the k
+   * returned ids downstream (k rows per query — trivial). With an
+   * index built at `assignReplicas` > 1 a vector can meet a query in
+   * two probed cells and occupy two heap slots; serve replicated
+   * indexes through a downstream dedupe or a replica-free index.
+   *
+   * Output (Update/Complete modes): (query_id, topk) where topk is the
+   * ranked (negated-ADC, id) heap — nearest first.
+   */
+  def annQueryStream(queries: DataFrame, qIdCol: String, qEmbCol: String,
+      index: graft.operators.ProductQuantization.IvfPqIndex,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.interop.{toColumn, toExpression}
+    val probes = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qemb"))
+      .withColumn("__adc_table",
+        toColumn(graft.functions.PqAdcTable(toExpression(col("__qemb")),
+          index.model.codebooks, normalize = true)))
+      .withColumn("cell",
+        explode(graft.functions.nearest_centroids(col("__qemb"),
+          index.centroids, nprobe)))
+      .select("query_id", "cell", "__adc_table")
+    val scored = probes.join(index.codes, "cell")
+      .select(col("query_id"), col("id"),
+        toColumn(graft.functions.PqAdcLookup(toExpression(col("codes")),
+          toExpression(col("__adc_table")), index.model.k)).as("__adc"))
+      .where(col("__adc").isNotNull)
+      // bounded heap keeps the LARGEST ord; ADC is a distance
+      .withColumn("__negadc", -col("__adc"))
+    topKPerGroupStream(scored, Seq("query_id"), "__negadc", "id", k)
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -359,4 +359,47 @@ class StreamsSpec extends SparkSpec {
       .select($"topk").collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(u100.map(_.getLong(1)) == Seq(4L, 2L))
   }
+
+  test("streaming ANN serving answers arriving queries like the batch ADC ranking") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.sources.Sources.register(spark, sfDir)
+    val e = spark.table("embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val model = graft.operators.ProductQuantization.fit(e, "vec_id", "emb", m = 16, k = 16)
+    val index = graft.operators.ProductQuantization
+      .ivfPqIndex(e, "vec_id", "emb", model, nlist = 8)
+    // five corpus vectors replayed as arriving queries
+    val queries = e.where($"vec_id" < 5).as[(Long, Array[Double])].collect()
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.annQueryStream(input.toDF().toDF("qid", "emb"),
+        "qid", "emb", index, k = 10, nprobe = 8)
+      .writeStream.format("memory").queryName("t_ann")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(queries.take(2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_ann").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq).toMap
+    assert(streamed.size == 5)
+    // batch equivalent: the same probes + ADC scoring + bounded top-k,
+    // run as a plain DataFrame over the same index
+    val batch = Streams.annQueryStream(
+        e.where($"vec_id" < 5).toDF("qid", "emb"), "qid", "emb",
+        index, k = 10, nprobe = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq).toMap
+    assert(streamed == batch)
+    // a query replaying corpus vector v must rank v itself first
+    // (ADC distance of a vector to its own codes is the quantization
+    // floor — nothing in the probed cells scores lower)
+    for (id <- 0L until 5L) assert(streamed(id).head == id,
+      s"query $id top hit ${streamed(id).head}")
+  }
 }
