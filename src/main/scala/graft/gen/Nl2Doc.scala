@@ -258,11 +258,31 @@ object Nl2Doc {
     out.values.toSeq
   }
 
+  // "top 3 cities by average age" — grouped aggregate ranked by the
+  // aggregate itself (the doc-side analogue of the SQL agg-top-N
+  // template); "bottom" flips the direction
+  private val aggTopRe =
+    (raw"(?i)\b(top|bottom)\s+(\d+)\s+([a-z_][a-z0-9_.]*)\s+by\s+" +
+      raw"(average|avg|mean|total|sum|maximum|max|highest|minimum|min|lowest)\s+" +
+      raw"(?:of\s+)?([a-z_][a-z0-9_.]*)\b").r
+
   /** Build the document query for a linked collection. */
   def build(question: String, collection: String, fields: Seq[String]): DocQuery = {
     val preds = extractPreds(question, fields)
-    val groupPath = perRe.findFirstMatchIn(question)
-      .flatMap(m => strongField(m.group(1), fields))
+    // the group noun is naturally plural ("top 3 cities"); the field is
+    // singular — link the word, then its naive singulars
+    def singulars(w: String): Seq[String] =
+      Seq(w) ++ (if (w.endsWith("ies")) Seq(w.dropRight(3) + "y") else Nil) ++
+        (if (w.endsWith("es")) Seq(w.dropRight(2)) else Nil) ++
+        (if (w.endsWith("s")) Seq(w.dropRight(1)) else Nil)
+    val aggTop = for {
+      m <- aggTopRe.findFirstMatchIn(question)
+      groupF <- singulars(m.group(3)).flatMap(strongField(_, fields)).headOption
+      aggF <- strongField(m.group(5), fields)
+    } yield (m.group(1).equalsIgnoreCase("top"), m.group(2).toInt, groupF,
+      m.group(4).toLowerCase, aggF)
+    val groupPath = aggTop.map(_._3).orElse(perRe.findFirstMatchIn(question)
+      .flatMap(m => strongField(m.group(1), fields)))
     val acc: Option[(String, String, String)] =
       if (countRe.findFirstIn(question).isDefined) Some(("agg_value", "count", "*"))
       else aggRe.findAllMatchIn(question).toSeq.iterator.flatMap { m =>
@@ -277,9 +297,17 @@ object Nl2Doc {
     acc match {
       case Some(a) =>
         val matchStage = if (preds.isEmpty) Nil else Seq(MatchStage(preds))
-        val sortStage = if (groupPath.isDefined) Seq(SortStage(Seq(("_id", true)))) else Nil
+        // agg-top-N ranks groups BY THE AGGREGATE (desc for "top") and
+        // cuts at N; a plain grouped aggregate sorts by key for
+        // deterministic output
+        val tail = aggTop match {
+          case Some((desc, n, _, _, _)) =>
+            Seq(SortStage(Seq(("agg_value", !desc), ("_id", true))), LimitStage(n))
+          case None if groupPath.isDefined => Seq(SortStage(Seq(("_id", true))))
+          case None => Nil
+        }
         DocQuery(collection,
-          Right(matchStage ++ Seq(GroupStage(groupPath, Seq(a))) ++ sortStage))
+          Right(matchStage ++ Seq(GroupStage(groupPath, Seq(a))) ++ tail))
       case None =>
         val bottom = bottomRe.findFirstMatchIn(question)
         val limit = topRe.findFirstMatchIn(question).map(_.group(1).toInt)

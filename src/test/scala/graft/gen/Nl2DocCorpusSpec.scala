@@ -137,6 +137,25 @@ class Nl2DocCorpusSpec extends SparkSpec {
     assert(run("users whose city is lima or quito").count() == 60)
   }
 
+  test("agg-top-N: top 1 cities by average age ranks groups by the aggregate") {
+    val q = Nl2Doc.build("top 1 cities by average age", "users", fields)
+    assert(q.render.contains("\"$group\""), q.render)
+    assert(q.render.contains("\"agg_value\": -1"), q.render)
+    assert(q.render.contains("\"$limit\": 1"), q.render)
+    val got = run("top 1 cities by average age").collect()
+    val want = users.groupBy($"city").agg(avg($"age").as("a"))
+      .orderBy($"a".desc, $"city").limit(1).collect()
+    assert(got.length == 1 && got(0).getString(0) == want(0).getString(0),
+      s"got=${got.toSeq} want=${want.toSeq}")
+    // "bottom" flips the direction
+    val lowest = Nl2Doc.build("bottom 1 cities by average age", "users", fields)
+    assert(lowest.render.contains("\"agg_value\": 1"), lowest.render)
+    val gotLow = run("bottom 1 cities by average age").collect()
+    val wantLow = users.groupBy($"city").agg(avg($"age").as("a"))
+      .orderBy($"a".asc, $"city").limit(1).collect()
+    assert(gotLow(0).getString(0) == wantLow(0).getString(0))
+  }
+
   test("bottom-N: bottom 5 users by age sorts ascending with the limit") {
     val q = Nl2Doc.build("bottom 5 users by age", "users", fields)
     assert(q.render.contains("\"age\": 1") && q.render.contains("\"limit\": 5"), q.render)
