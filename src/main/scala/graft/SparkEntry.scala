@@ -644,6 +644,15 @@ object Queries {
         "SELECT str_split(pair, ' ')[1] AS pair_a, str_split(pair, ' ')[2] AS pair_b, " +
         "COUNT(*) AS cnt FROM p GROUP BY pair_a, pair_b " +
         "ORDER BY cnt DESC, pair_a, pair_b LIMIT 40"),
+    // corpus symbol statistics under the empty vocabulary: every code
+    // point of every whitespace-split lowercased word; n_docs counts the
+    // whole corpus (symbol-less documents included — explode_outer)
+    "x_bpe_vocab" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents), " +
+        "c AS (SELECT doc_id, unnest([word[i:i] for i in range(1, len(word) + 1)]) AS sym " +
+        "FROM w WHERE len(word) >= 1) " +
+        "SELECT COUNT(*) AS total_symbols, COUNT(DISTINCT sym) AS distinct_symbols, " +
+        "(SELECT COUNT(*) FROM documents) AS n_docs FROM c"),
     // corpus vocabulary: top-100 tokens by document frequency
     "x_vocab_top" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
@@ -1032,6 +1041,10 @@ object ExtensionQueries {
     "x_bpe_pairs" -> ((s, dir) =>
       graft.operators.Bpe.pairCounts(docs(s, dir), "text")
         .orderBy(col("cnt").desc, col("pair_a"), col("pair_b")).limit(40)),
+    // corpus symbol statistics under the empty vocabulary (code points):
+    // the measurement a tokenizer-selection loop runs per candidate
+    "x_bpe_vocab" -> ((s, dir) =>
+      graft.operators.Bpe.vocabStats(docs(s, dir), "doc_id", "text", Nil)),
     // text normalization (control-char strip + whitespace collapse + case)
     "x_normalize" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"),
