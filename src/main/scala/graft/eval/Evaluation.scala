@@ -386,8 +386,8 @@ object Evaluation {
         "ON m.student_id = s.student_id " +
         "WHERE c.course_name = 'Algebra' AND s.score > m.a " +
         "ORDER BY st.student_name LIMIT 100", "self_relative"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7f open cases, closed in round 7g (attribute division /
+    //     dispersion argmin / per-group self-relative share) ---
     EvalCase("students who took a course in every department",
       "SELECT st.student_name FROM students st " +
         "JOIN scores s ON s.student_id = st.student_id " +
@@ -404,5 +404,22 @@ object Evaluation {
         "/ COUNT(*), 2) AS agg_value FROM " +
         "(SELECT course_id, score, AVG(score) OVER (PARTITION BY course_id) AS a " +
         "FROM scores) t GROUP BY course_id ORDER BY course_id LIMIT 100",
-      "group_self_share"))
+      "group_self_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("courses taken by at least half of the students",
+      "SELECT c.course_name FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_id, c.course_name " +
+        "HAVING COUNT(DISTINCT s.student_id) >= 0.5 * (SELECT COUNT(*) FROM students) " +
+        "ORDER BY c.course_name LIMIT 100", "relative_division"),
+    EvalCase("students ranked in the top 3 of each course by score",
+      "SELECT DISTINCT st.student_name FROM (SELECT student_id, " +
+        "RANK() OVER (PARTITION BY course_id ORDER BY score DESC) AS rnk FROM scores) t " +
+        "JOIN students st ON st.student_id = t.student_id WHERE t.rnk <= 3 " +
+        "ORDER BY st.student_name LIMIT 100", "group_topk_members"),
+    EvalCase("the course whose average score differs most from the overall average",
+      "SELECT course_id FROM (SELECT course_id, " +
+        "ABS(AVG(score) - (SELECT AVG(score) FROM scores)) AS dev " +
+        "FROM scores GROUP BY course_id) t " +
+        "ORDER BY dev DESC, course_id LIMIT 1", "deviation_argmax"))
 }

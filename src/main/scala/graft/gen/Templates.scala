@@ -1580,6 +1580,140 @@ object Templates {
         0.9, "template_self_relative")).take(1)
     }
 
+  /** [[strongColumn]], falling back to a unique ABBREVIATION match:
+    * the column name shares the word's first three letters and its
+    * remaining letters appear in order inside the word ("dept" ⊑
+    * "department"). Both constraints plus uniqueness so a loose stem
+    * can never steal a resolution from a full-word hit. */
+  private def abbrevColumn(word: String, cols: Seq[String]): Option[String] =
+    strongColumn(word, cols).orElse {
+      val w = word.toLowerCase
+      def subseq(c: String): Boolean = {
+        var i = 0
+        w.foreach(ch => if (i < c.length && c(i) == ch) i += 1)
+        i == c.length
+      }
+      cols.filter { col =>
+        val c = col.toLowerCase
+        c.length >= 4 && w.length > c.length &&
+          w.startsWith(c.take(3)) && subseq(c)
+      } match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+
+  // "students who took a course in every department" — division against
+  // the distinct values of a dimension ATTRIBUTE, not its rows
+  private val attrDivisionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
+      raw"(?:a|an|some)\s+([a-z_][a-z0-9_]*)\s+(?:in|from|of)\s+" +
+      raw"(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Attribute division: "Es who Ved a J in every A" — the divisor is
+    * the DISTINCT COUNT of an attribute of the J dimension (every
+    * department), not the J rows themselves ([[divisionCandidates]]
+    * serves that form). Same plan shape: fact ⋈ two broadcast dims, one
+    * grouped aggregate on the entity KEY (same-named entities qualify
+    * individually), the divisor a one-row scalar subquery broadcast
+    * into HAVING. The attribute word resolves strong-or-abbreviation
+    * against the J dimension only ("department" → courses.dept) — a
+    * word matching nothing, or two columns, fires no candidate. */
+  def attrDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    attrDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM ${eE.fromTable} f " +
+          s"JOIN $dimE d ON f.${eE.fromColumn} = d.${eE.toColumn} " +
+          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn} " +
+          s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
+          s"HAVING COUNT(DISTINCT j.$attrCol) = " +
+          s"(SELECT COUNT(DISTINCT $attrCol) FROM $dimJ) " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_attr_division")).take(1)
+    }
+
+  // "the student with the most consistent scores" — an argmin/argmax
+  // over per-entity dispersion
+  private val variabilityRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+(most|least)\s+" +
+      raw"(consistent|stable|uniform|variable|volatile|erratic|inconsistent)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Dispersion argmin/argmax: "the E with the most consistent Vs" →
+    * rank entities by per-group `STDDEV_SAMP` ("most consistent" =
+    * smallest). Single-row groups are excluded (`HAVING COUNT(*) >= 2`
+    * — sample stddev is NULL there, and "consistency" of one value is
+    * meaningless); the aggregate is one partial+final pass on the fact,
+    * top-1 via TakeOrderedAndProject with the entity key breaking
+    * ties. The answer is the fact's fk column — no dimension join. */
+  def variabilityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    variabilityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val lowDispersion = Set("consistent", "stable", "uniform")(m.group(3).toLowerCase)
+      val dir = if ((m.group(2).toLowerCase == "most") == lowDispersion) "ASC" else "DESC"
+      val noun = m.group(4)
+      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(valueWord, slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(valueWord, slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
+          s"STDDEV_SAMP($numCol) AS sd FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn} HAVING COUNT(*) >= 2) t " +
+          s"ORDER BY sd $dir, ${e.fromColumn} LIMIT 1",
+        0.9, "template_variability")).take(1)
+    }
+
+  // "for each course, the share of scores above the course average" — a
+  // per-group share measured against the group's OWN average
+  private val groupSelfShareRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
+      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(above|over|below|under)\s+(?:the|its|their)\s+" +
+      raw"(?:\1\s+|own\s+|group\s+)?(?:average|avg|mean)\b").r
+
+  /** Per-group self-relative share: "for each G, the share of Ts above
+    * the G average" — the threshold is the group's own `AVG`, so the
+    * plan is one window pass (`AVG OVER (PARTITION BY G)`) feeding one
+    * grouped aggregate on the SAME key: Spark exchanges on G once and
+    * the aggregate reuses that partitioning — never two scans joined.
+    * [[conditionalShareCandidates]] serves the numeric-threshold form;
+    * this one requires the group word (or own/group) before
+    * "average", backreferenced so "the course average" can't fire on an
+    * unrelated grouping. */
+  def groupSelfShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupSelfShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val scale = if (m.group(2).toLowerCase == "fraction") "1.0" else "100.0"
+      val noun = m.group(3)
+      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
+      (for {
+        fact <- uniqueTable(slice, noun).toSeq
+        numCol <- strongColumn(valueWord, slice.tables(fact)).toSeq
+        groupCol <- uniqueTable(slice, m.group(1))
+          .flatMap(g => fks.find(e => e.fromTable == fact && e.toTable == g).map(_.fromColumn))
+          .orElse(strongColumn(m.group(1), slice.tables(fact).filterNot(_ == numCol))).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol, ROUND($scale * SUM(CASE WHEN $numCol $op a THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value FROM (SELECT $groupCol, $numCol, " +
+          s"AVG($numCol) OVER (PARTITION BY $groupCol) AS a FROM $fact) t " +
+          s"GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_group_self_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -1608,6 +1742,9 @@ object Templates {
       universalFilterCandidates(slice, fks, question) ++
       pairCoOccurrenceCandidates(slice, fks, question) ++
       selfRelativeCandidates(slice, fks, question, values) ++
+      attrDivisionCandidates(slice, fks, question) ++
+      variabilityCandidates(slice, fks, question) ++
+      groupSelfShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

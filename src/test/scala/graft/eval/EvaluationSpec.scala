@@ -62,7 +62,8 @@ class EvaluationSpec extends SparkSpec {
         "deviation_having", "range_argmax", "grouped_argmax2",
         "division", "nth_aggregate", "conditional_share",
         "trend_compare", "group_share", "co_occurrence",
-        "universal_filter", "pair_cooccurrence", "self_relative"))
+        "universal_filter", "pair_cooccurrence", "self_relative",
+        "attr_division", "variability_argmin", "group_self_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

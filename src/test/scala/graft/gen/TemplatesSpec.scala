@@ -351,6 +351,57 @@ class TemplatesSpec extends AnyFunSuite {
       .forall(_.method != "template_self_relative"))
   }
 
+  test("attribute division: divisor is the distinct count of a dimension attribute") {
+    val c = cands("students who took a course in every department")
+      .find(_.method == "template_attr_division").get
+    assert(c.sql.contains("HAVING COUNT(DISTINCT j.dept) = " +
+      "(SELECT COUNT(DISTINCT dept) FROM courses)"), c.sql)
+    assert(c.sql.contains("GROUP BY d.student_id, d.student_name"), c.sql)
+    assert(c.sql.startsWith("SELECT d.student_name"), c.sql)
+    // an attribute word resolving to no column of the J dimension fires nothing
+    assert(cands("students who took a course in every semester")
+      .forall(_.method != "template_attr_division"))
+    // row-division ("all the math courses") stays with template_division
+    assert(cands("students who took all math courses")
+      .forall(_.method != "template_attr_division"))
+  }
+
+  test("variability: dispersion argmin/argmax over per-entity stddev") {
+    val c = cands("the student with the most consistent scores")
+      .find(_.method == "template_variability").get
+    assert(c.sql.contains("STDDEV_SAMP(score) AS sd"), c.sql)
+    assert(c.sql.contains("HAVING COUNT(*) >= 2"), c.sql)
+    assert(c.sql.contains("ORDER BY sd ASC, student_id LIMIT 1"), c.sql)
+    // "most variable" flips to DESC; "least consistent" too
+    val v = cands("the course with the most variable scores")
+      .find(_.method == "template_variability").get
+    assert(v.sql.contains("ORDER BY sd DESC, course_id LIMIT 1"), v.sql)
+    val lc = cands("the student with the least consistent scores")
+      .find(_.method == "template_variability").get
+    assert(lc.sql.contains("ORDER BY sd DESC"), lc.sql)
+    // a measure word resolving to no fact column fires nothing
+    assert(cands("the student with the most consistent attendance")
+      .forall(_.method != "template_variability"))
+  }
+
+  test("group self-share: per-group share against the group's own average") {
+    val c = cands("for each course, the share of scores above the course average")
+      .find(_.method == "template_group_self_share").get
+    assert(c.sql.contains("AVG(score) OVER (PARTITION BY course_id) AS a"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN score > a THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("ROUND(100.0 *"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id ORDER BY course_id"), c.sql)
+    val below = cands("for each course, the percentage of scores below its own average")
+      .find(_.method == "template_group_self_share").get
+    assert(below.sql.contains("score < a"), below.sql)
+    // the numeric-threshold form stays with template_conditional_share
+    assert(cands("for each course, the percentage of scores of at least 90")
+      .forall(_.method != "template_group_self_share"))
+    // a mismatched group word before "average" fires nothing
+    assert(cands("for each course, the share of scores above the student average")
+      .forall(_.method != "template_group_self_share"))
+  }
+
   test("self-relative: multi-dimension facts anchor by mined value domains or decline") {
     // scores bridges THREE dimensions; without domain data the anchor
     // is ambiguous and the shape must decline rather than guess
