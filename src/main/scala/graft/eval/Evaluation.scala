@@ -405,8 +405,8 @@ object Evaluation {
         "(SELECT course_id, score, AVG(score) OVER (PARTITION BY course_id) AS a " +
         "FROM scores) t GROUP BY course_id ORDER BY course_id LIMIT 100",
       "group_self_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-7g open cases, closed in round 7h (relative division /
+    //     group-top-k membership / deviation argmax) ---
     EvalCase("courses taken by at least half of the students",
       "SELECT c.course_name FROM scores s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.course_id, c.course_name " +
@@ -421,5 +421,36 @@ object Evaluation {
       "SELECT course_id FROM (SELECT course_id, " +
         "ABS(AVG(score) - (SELECT AVG(score) FROM scores)) AS dev " +
         "FROM scores GROUP BY course_id) t " +
-        "ORDER BY dev DESC, course_id LIMIT 1", "deviation_argmax"))
+        "ORDER BY dev DESC, course_id LIMIT 1", "deviation_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose average score improved every year",
+      "SELECT st.student_name FROM (" +
+        "SELECT student_id FROM (" +
+        "SELECT student_id, year, AVG(score) AS a, " +
+        "LAG(AVG(score)) OVER (PARTITION BY student_id ORDER BY year) AS prev " +
+        "FROM scores GROUP BY student_id, year) t " +
+        "GROUP BY student_id " +
+        "HAVING MIN(CASE WHEN prev IS NULL OR a > prev THEN 1 ELSE 0 END) = 1 " +
+        "AND COUNT(*) >= 2) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "monotonic_trend"),
+    EvalCase("the two courses with the most students in common",
+      "SELECT c1.course_name AS course_a, c2.course_name AS course_b FROM (" +
+        "SELECT a.course_id AS ca, b.course_id AS cb, COUNT(*) AS n " +
+        "FROM scores a JOIN scores b ON a.student_id = b.student_id " +
+        "AND a.course_id < b.course_id " +
+        "GROUP BY a.course_id, b.course_id) t " +
+        "JOIN courses c1 ON c1.course_id = t.ca " +
+        "JOIN courses c2 ON c2.course_id = t.cb " +
+        "ORDER BY t.n DESC, course_a, course_b LIMIT 1", "pair_argmax"),
+    EvalCase("students who scored above the course average in every course they took",
+      "SELECT st.student_name FROM (" +
+        "SELECT student_id FROM (" +
+        "SELECT student_id, score, AVG(score) OVER (PARTITION BY course_id) AS a " +
+        "FROM scores) t " +
+        "GROUP BY student_id " +
+        "HAVING MIN(CASE WHEN score > a THEN 1 ELSE 0 END) = 1) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "universal_self_relative"))
 }

@@ -1714,6 +1714,130 @@ object Templates {
         0.9, "template_group_self_share")).take(1)
     }
 
+  // "courses taken by at least half of the students" — division against
+  // a FRACTION of the divisor dimension, not all of it
+  private val relativeDivisionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+(at\s+least|more\s+than|over)\s+" +
+      raw"(half|a\s+quarter|three\s+quarters|\d+(?:\.\d+)?\s*(?:%|percent))\s+of\s+" +
+      raw"(?:the\s+|all\s+)?([a-z_][a-z0-9_]*)\b").r
+
+  /** Relative division: "Js Ved by at least half of the Es" — like
+    * [[divisionCandidates]] but the divisor is a FRACTION of the E
+    * dimension's row count and the ANSWER is the J dimension. One
+    * grouped aggregate on the J key (fact joined to J for the display
+    * name only — E's members are counted through the fact's fk, no E
+    * join), the fractional divisor a one-row scalar folded into the
+    * broadcast HAVING filter. Fraction words map to exact decimals
+    * (half → 0.5); an unmappable fraction fires no candidate rather
+    * than approximating. */
+  def relativeDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    relativeDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).toLowerCase.replaceAll("\\s+", " ") == "at least") ">=" else ">"
+      val fracWord = m.group(3).toLowerCase.replaceAll("\\s+", " ")
+      val frac: Option[String] = fracWord match {
+        case "half" => Some("0.5")
+        case "a quarter" => Some("0.25")
+        case "three quarters" => Some("0.75")
+        case p if p.endsWith("%") || p.endsWith("percent") =>
+          Some((p.replaceAll(raw"\s*(%|percent)$$", "").toDouble / 100.0).toString)
+        case _ => None
+      }
+      (for {
+        f <- frac.toSeq
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT j.$nameCol FROM ${eJ.fromTable} f " +
+          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn} " +
+          s"GROUP BY j.${eJ.toColumn}, j.$nameCol " +
+          s"HAVING COUNT(DISTINCT f.${eE.fromColumn}) $op $f * " +
+          s"(SELECT COUNT(*) FROM $dimE) " +
+          s"ORDER BY j.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_relative_division")).take(1)
+    }
+
+  // "students ranked in the top 3 of each course by score" — the
+  // MEMBERS of every group's top-k, not the per-group winners
+  private val groupTopkMembersRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:ranked\s+|ranking\s+|who\s+rank(?:ed)?\s+)?" +
+      raw"in\s+the\s+(top|bottom)\s+(\d+)\s+(?:of|in|for)\s+(?:each|every)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Group-top-k membership: "Es ranked in the top N of each G by V" →
+    * RANK partitioned by the fact's fk-to-G over V, keep rnk <= N,
+    * DISTINCT display names of the surviving entity keys. RANK (not
+    * ROW_NUMBER) so ties at the boundary all qualify — membership must
+    * not depend on partition delivery order. The window runs over the
+    * fact partitioned by group (bounded per-partition by
+    * `BoundedRankPrefilter`, plans/RankLimit.scala); the entity
+    * dimension joins AFTER the rank filter, at |survivors| size. */
+  def groupTopkMembersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupTopkMembersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "top") "DESC" else "ASC"
+      val noun = m.group(5)
+      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimG <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimG
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimG))
+        eG <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimG).toSeq
+        numCol <- strongColumn(valueWord, slice.tables(eE.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$nameCol FROM (SELECT ${eE.fromColumn}, " +
+          s"RANK() OVER (PARTITION BY ${eG.fromColumn} ORDER BY $numCol $dir) AS rnk " +
+          s"FROM ${eE.fromTable}) t " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
+          s"WHERE t.rnk <= ${m.group(3)} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_group_topk_members")).take(1)
+    }
+
+  // "the course whose average score differs most from the overall
+  // average" — argmax over |group aggregate − global aggregate|
+  private val deviationArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:differs|deviates)\s+(?:the\s+)?(most|least)\s+" +
+      raw"from\s+the\s+overall\s+(average|avg|mean|total|sum)\b").r
+
+  /** Deviation argmax: "the E whose avg V differs most from the overall
+    * avg" → rank groups by `ABS(agg − scalar)`. The global aggregate is
+    * a one-row scalar subquery broadcast into every group row; the
+    * grouped side is one partial+final pass over the fact, then top-1
+    * via TakeOrderedAndProject with the fk key breaking ties — the
+    * answer is the fact's fk column, no dimension join (same contract
+    * as [[nthAggCandidates]]). "least" flips to ASC. */
+  def deviationArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    deviationArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def aggOf(word: String) = word.toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val dir = if (m.group(4).toLowerCase == "most") "DESC" else "ASC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
+          s"ABS(${aggOf(m.group(2))}($numCol) - " +
+          s"(SELECT ${aggOf(m.group(5))}($numCol) FROM ${e.fromTable})) AS dev " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"ORDER BY dev $dir, ${e.fromColumn} LIMIT 1",
+        0.9, "template_deviation_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -1745,6 +1869,9 @@ object Templates {
       attrDivisionCandidates(slice, fks, question) ++
       variabilityCandidates(slice, fks, question) ++
       groupSelfShareCandidates(slice, fks, question) ++
+      relativeDivisionCandidates(slice, fks, question) ++
+      groupTopkMembersCandidates(slice, fks, question) ++
+      deviationArgmaxCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

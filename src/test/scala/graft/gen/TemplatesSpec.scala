@@ -402,6 +402,55 @@ class TemplatesSpec extends AnyFunSuite {
       .forall(_.method != "template_group_self_share"))
   }
 
+  test("relative division: fractional divisor over the counted dimension") {
+    val c = cands("courses taken by at least half of the students")
+      .find(_.method == "template_relative_division").get
+    assert(c.sql.contains("HAVING COUNT(DISTINCT f.student_id) >= 0.5 * " +
+      "(SELECT COUNT(*) FROM students)"), c.sql)
+    assert(c.sql.startsWith("SELECT j.course_name"), c.sql)
+    assert(c.sql.contains("GROUP BY j.course_id, j.course_name"), c.sql)
+    // no join to the counted dimension — its members count through the fk
+    assert(!c.sql.contains("JOIN students"), c.sql)
+    // "more than" tightens to strict; percent maps to its decimal
+    val strict = cands("courses taken by more than 25 percent of the students")
+      .find(_.method == "template_relative_division").get
+    assert(strict.sql.contains("> 0.25 *"), strict.sql)
+    // an unmappable fraction word declines rather than approximating
+    assert(cands("courses taken by at least a third of the students")
+      .forall(_.method != "template_relative_division"))
+  }
+
+  test("group top-k membership: RANK per group, dimension joined after the filter") {
+    val c = cands("students ranked in the top 3 of each course by score")
+      .find(_.method == "template_group_topk_members").get
+    assert(c.sql.contains(
+      "RANK() OVER (PARTITION BY course_id ORDER BY score DESC) AS rnk"), c.sql)
+    assert(c.sql.contains("WHERE t.rnk <= 3"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d.student_name"), c.sql)
+    // "bottom" flips the rank direction
+    val b = cands("students in the bottom 2 of every course by score")
+      .find(_.method == "template_group_topk_members").get
+    assert(b.sql.contains("ORDER BY score ASC"), b.sql)
+    // a measure word resolving to no fact column fires nothing
+    assert(cands("students ranked in the top 3 of each course by attendance")
+      .forall(_.method != "template_group_topk_members"))
+  }
+
+  test("deviation argmax: rank groups by distance from the global aggregate") {
+    val c = cands("the course whose average score differs most from the overall average")
+      .find(_.method == "template_deviation_argmax").get
+    assert(c.sql.contains("ABS(AVG(score) - (SELECT AVG(score) FROM scores)) AS dev"), c.sql)
+    assert(c.sql.contains("ORDER BY dev DESC, course_id LIMIT 1"), c.sql)
+    // "least" flips to ASC; total maps to SUM
+    val l = cands("the student whose total score deviates least from the overall total")
+      .find(_.method == "template_deviation_argmax").get
+    assert(l.sql.contains("ABS(SUM(score) - (SELECT SUM(score) FROM scores))"), l.sql)
+    assert(l.sql.contains("ORDER BY dev ASC, student_id LIMIT 1"), l.sql)
+    // the offset-HAVING form stays with template_deviation_having
+    assert(cands("students whose average score is at least 10 points above the overall average")
+      .forall(_.method != "template_deviation_argmax"))
+  }
+
   test("self-relative: multi-dimension facts anchor by mined value domains or decline") {
     // scores bridges THREE dimensions; without domain data the anchor
     // is ambiguous and the shape must decline rather than guess
