@@ -33,18 +33,29 @@ object Sources {
     FkEdge("nation", "n_regionkey", "region", "r_regionkey"))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
+    // Some event fixtures carry TIMESTAMP(NANOS) which Spark's parquet
     // reader rejects; read nanos as long and rebuild a micros timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      // EXACT µs floor via integral division: `/` on longs goes through
-      // double, whose ~0.2 µs rounding error at epoch magnitudes put
-      // ~0.04% of timestamps one microsecond off the true grid —
-      // invisible to range filters, but row-adjacent comparisons (LAG
-      // gaps, as-of ties) expose every wrong value
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val tsCol = df.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) surfaced as raw long: EXACT µs floor via
+        // integral division — `/` on longs goes through double, whose
+        // ~0.2 µs rounding error at epoch magnitudes put ~0.04% of
+        // timestamps one microsecond off the true grid; invisible to
+        // range filters, but row-adjacent comparisons (LAG gaps, as-of
+        // ties) expose every wrong value. NanosTimestampPushdown keeps
+        // row-group pruning alive for this derived column.
+        case LongType => timestamp_micros(expr("ts div 1000"))
+        // TIMESTAMP_NTZ (plain µs parquet): same instant under the UTC
+        // session, cast keeps the engine-wide TimestampType contract
+        // and stays a bare column reference — pushdown works natively.
+        case TimestampNTZType => col("ts").cast(TimestampType)
+        case _ => col("ts")
+      }
+      df.withColumn("ts", tsCol)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else df
   }

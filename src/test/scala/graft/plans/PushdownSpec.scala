@@ -5,12 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** NanosTimestampPushdown: the implied raw-nanos bound reaches the
   * parquet scan, results stay exact at window boundaries, and the rule
-  * is fixpoint-safe. */
+  * is fixpoint-safe.
+  *
+  * The fixture is a self-written TIMESTAMP(NANOS)-style parquet (raw
+  * long `ts`) derived from the real events table — the driver fixture
+  * itself now ships native µs timestamps (covered by the last test:
+  * native timestamps must push down with NO rewrite), while the rule
+  * continues to guard genuinely nanos-typed sources. */
 class PushdownSpec extends SparkSpec {
 
+  /** events-shaped table whose `ts` is raw nanos-as-long on disk; read
+    * back through the registry derivation (`Sources.table` LongType
+    * branch: `timestamp_micros(ts div 1000)`). */
   private lazy val events = {
-    graft.sources.Sources.register(spark, sfDir)
-    spark.table("events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    graft.sources.Sources.table(spark, dir, "events")
   }
 
   test("time-range filters push an implied raw-nanos bound into PushedFilters") {
@@ -26,15 +38,12 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("results are exact at window boundaries (implied bound is a superset, exact filter remains)") {
-    // count the same half-open window with and without the extension's
-    // optimizer rule in play: compare against a literal recomputation
-    // over the raw frame
+    // count the same half-open window through the nanos derivation (rule
+    // in play) and against the native-timestamp original — same rows
     val cutoff = "2024-01-10 00:00:00"
     val got = events.where(col("ts") >= lit(cutoff).cast("timestamp")).count()
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // raw ts is nanos-as-long; replicate the registry's exact derivation
-    val expected = raw
-      .where(timestamp_micros(expr("ts div 1000")) >= lit(cutoff).cast("timestamp"))
+    val expected = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("ts").cast("timestamp") >= lit(cutoff).cast("timestamp"))
       .count()
     assert(got == expected && got > 0 && got < events.count())
   }
@@ -78,5 +87,18 @@ class PushdownSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThanOrEqual(ts,"),
       p.take(2500))
+  }
+
+  test("native µs-timestamp events (driver fixture) push down with no rewrite") {
+    // The registry's TimestampNTZ branch is a bare cast — the filter
+    // must reach PushedFilters natively, and the optimized condition
+    // must carry NO implied raw-long conjunct (nothing to imply).
+    graft.sources.Sources.register(spark, sfDir)
+    val df = spark.table("events")
+      .where(col("ts") >= lit("2024-01-10").cast("timestamp"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(ts,"), p.take(2500))
+    assert(!"ts#\\d+L >= \\d{15,}".r.findAllIn(df.queryExecution.optimizedPlan.toString).hasNext)
+    assert(df.count() > 0)
   }
 }
