@@ -422,8 +422,8 @@ object Evaluation {
         "ABS(AVG(score) - (SELECT AVG(score) FROM scores)) AS dev " +
         "FROM scores GROUP BY course_id) t " +
         "ORDER BY dev DESC, course_id LIMIT 1", "deviation_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-8 open cases, closed in round 9 (monotonic trend /
+    //     shared-entity pair argmax / universal self-relative) ---
     EvalCase("students whose average score improved every year",
       "SELECT st.student_name FROM (" +
         "SELECT student_id FROM (" +
@@ -452,5 +452,25 @@ object Evaluation {
         "GROUP BY student_id " +
         "HAVING MIN(CASE WHEN score > a THEN 1 ELSE 0 END) = 1) m " +
         "JOIN students st ON st.student_id = m.student_id " +
-        "ORDER BY st.student_name LIMIT 100", "universal_self_relative"))
+        "ORDER BY st.student_name LIMIT 100", "universal_self_relative"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("for each department, the course with the highest average score",
+      "SELECT dept, course_name FROM (" +
+        "SELECT c.dept AS dept, c.course_name AS course_name, " +
+        "RANK() OVER (PARTITION BY c.dept ORDER BY AVG(s.score) DESC, c.course_name) AS r " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, c.course_name) t " +
+        "WHERE r = 1 ORDER BY dept LIMIT 100", "join_group_argmax"),
+    EvalCase("students whose scores span more than 40 points",
+      "SELECT st.student_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY st.student_id, st.student_name " +
+        "HAVING MAX(s.score) - MIN(s.score) > 40 " +
+        "ORDER BY st.student_name LIMIT 100", "range_having"),
+    EvalCase("the year with the biggest improvement in average score",
+      "SELECT year FROM (" +
+        "SELECT year, AVG(score) - LAG(AVG(score)) OVER (ORDER BY year) AS delta " +
+        "FROM scores GROUP BY year) t " +
+        "WHERE delta IS NOT NULL ORDER BY delta DESC, year LIMIT 1", "trend_argmax"))
 }

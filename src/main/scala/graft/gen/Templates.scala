@@ -1490,6 +1490,13 @@ object Templates {
     (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+most\s+" +
       raw"(?:often|frequently|commonly)\s+([a-z]+)\s+together\b").r
 
+  // "the two courses with the most students in common" — same top pair,
+  // phrased through the shared entity; the entity word must resolve to
+  // the fact's co-occurrence key dimension
+  private val pairInCommonRe =
+    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+common\b").r
+
   /** Top co-occurring pair: "the two Js most often Ved together" →
     * fact self-joined on its OTHER fk (the co-occurrence key) with
     * `jfk1 < jfk2` so each unordered pair appears once, grouped by the
@@ -1500,14 +1507,24 @@ object Templates {
     * (names are the group key in the gold), so both fact sides join the
     * broadcast dimension first and the aggregate groups on names. */
   def pairCoOccurrenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    pairCoOccurRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      question: String): Seq[Candidate] = {
+    // two phrasings, one plan: "most often taken together" leaves the
+    // co-occurrence key implicit (any other FK of the fact); "with the
+    // most Es in common" NAMES it, so the E word must resolve to that
+    // dimension or the shape stays silent
+    val matched: Option[(String, Option[String])] =
+      pairCoOccurRe.findFirstMatchIn(question).map(m => (m.group(1), None))
+        .orElse(pairInCommonRe.findFirstMatchIn(question)
+          .map(m => (m.group(1), Some(m.group(2)))))
+    matched.toSeq.flatMap { case (jWord, eWord) =>
       (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, jWord).toSeq
         nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
         eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable != dimJ)).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ).toSeq
+          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable != dimJ &&
+            eWord.forall(w => uniqueTable(slice, w).contains(e2.toTable)))).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          eWord.forall(w => uniqueTable(slice, w).contains(e.toTable))).toSeq
       } yield Candidate(
         s"SELECT j1.$nameCol AS ${nameCol}_a, j2.$nameCol AS ${nameCol}_b " +
           s"FROM ${eJ.fromTable} f1 JOIN ${eJ.fromTable} f2 " +
@@ -1519,6 +1536,7 @@ object Templates {
           s"ORDER BY COUNT(*) DESC, ${nameCol}_a, ${nameCol}_b LIMIT 1",
         0.9, "template_pair_cooccurrence")).take(1)
     }
+  }
 
   // "students whose score in Algebra is above their average score" — a
   // row compared against the row's OWN entity aggregate, anchored on a
@@ -1838,6 +1856,103 @@ object Templates {
         0.9, "template_deviation_argmax")).take(1)
     }
 
+  // "students whose average score improved every year" — a per-period
+  // aggregate that must move in one direction across ALL consecutive
+  // periods of the entity
+  private val monotonicTrendRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(improved|increased|rose|grew|went\s+up|" +
+      raw"decreased|declined|dropped|fell|went\s+down)\s+" +
+      raw"(?:in\s+)?(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Monotonic trend: "Es whose avg V improved every T" → the fact
+    * collapses to one row per (entity, period) FIRST (partial+final
+    * aggregate — the only corpus-sized pass), then LAG partitioned by
+    * the entity key orders the handful of period rows per entity, and a
+    * grouped MIN over the step indicator keeps entities whose every
+    * consecutive step moves the right way (single-period entities have
+    * no step to satisfy, so COUNT(*) >= 2 keeps "every" meaningful).
+    * The window input is |entities|·|periods|, never the fact, so the
+    * WindowExec is bounded; display names join at survivor size. */
+  def monotonicTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    monotonicTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val up = Set("improved", "increased", "rose", "grew")(
+        m.group(4).toLowerCase.replaceAll("\\s+", " ")) ||
+        m.group(4).toLowerCase.startsWith("went up")
+      val op = if (up) ">" else "<"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined &&
+          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+        periodCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
+        if periodCol != numCol
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM (" +
+          s"SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, $agg($numCol) AS a, " +
+          s"LAG($agg($numCol)) OVER (PARTITION BY ${e.fromColumn} ORDER BY $periodCol) AS prev " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) t " +
+          s"GROUP BY ${e.fromColumn} " +
+          s"HAVING MIN(CASE WHEN prev IS NULL OR a $op prev THEN 1 ELSE 0 END) = 1 " +
+          s"AND COUNT(*) >= 2) m " +
+          s"JOIN $dimE d ON d.${e.toColumn} = m.${e.fromColumn} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_monotonic_trend")).take(1)
+    }
+
+  // "students who scored above the course average in every course they
+  // took" — a universal quantifier over the row-vs-its-GROUP-average
+  // comparison (the group is the fact's other dimension)
+  private val universalSelfRelativeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+([a-z]+)\s+(above|over|below|under)\s+" +
+      raw"the\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+in\s+" +
+      raw"(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Universal self-relative: "Es who Ved above the J average in every
+    * J" → per-J averages come from ONE grouped pass over the fact
+    * (|J| rows, broadcast back), each fact row compares against its
+    * group's average, and a grouped MIN over the indicator keeps
+    * entities whose EVERY row clears the bar — a join-then-aggregate
+    * shape, not a WindowExec over the corpus (the grouped side is
+    * dimension-sized, so Catalyst broadcasts it and the only corpus
+    * shuffle is the final entity aggregate). The measure resolves from
+    * the verb's stem ("scored" → score); both J words must name the
+    * same dimension. */
+  def universalSelfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalSelfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(3).toLowerCase)) ">" else "<"
+      val verb = m.group(2).toLowerCase
+      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ && uniqueTable(slice, m.group(5)).contains(dimJ)
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eE.fromTable))).headOption.toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM (" +
+          s"SELECT f.${eE.fromColumn} FROM ${eE.fromTable} f " +
+          s"JOIN (SELECT ${eJ.fromColumn} AS k, AVG($numCol) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eJ.fromColumn}) g ON g.k = f.${eJ.fromColumn} " +
+          s"GROUP BY f.${eE.fromColumn} " +
+          s"HAVING MIN(CASE WHEN f.$numCol $op g.a THEN 1 ELSE 0 END) = 1) m " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_universal_self_relative")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -1872,6 +1987,8 @@ object Templates {
       relativeDivisionCandidates(slice, fks, question) ++
       groupTopkMembersCandidates(slice, fks, question) ++
       deviationArgmaxCandidates(slice, fks, question) ++
+      monotonicTrendCandidates(slice, fks, question) ++
+      universalSelfRelativeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

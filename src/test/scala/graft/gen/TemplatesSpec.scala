@@ -477,4 +477,53 @@ class TemplatesSpec extends AnyFunSuite {
     val c = gen(domains).find(_.method == "template_self_relative").get
     assert(c.sql.contains("JOIN courses j") && c.sql.contains("j.course_name = 'Algebra'"), c.sql)
   }
+
+  test("monotonic trend: per-period aggregate, LAG step check, COUNT >= 2 guard") {
+    val c = cands("students whose average score improved every year")
+      .find(_.method == "template_monotonic_trend").get
+    assert(c.sql.contains("AVG(score) AS a"), c.sql)
+    assert(c.sql.contains(
+      "LAG(AVG(score)) OVER (PARTITION BY student_id ORDER BY year) AS prev"), c.sql)
+    assert(c.sql.contains(
+      "HAVING MIN(CASE WHEN prev IS NULL OR a > prev THEN 1 ELSE 0 END) = 1"), c.sql)
+    assert(c.sql.contains("AND COUNT(*) >= 2"), c.sql)
+    assert(c.sql.contains("GROUP BY student_id, year"), c.sql)
+    // "declined" flips the step direction; "total" maps to SUM
+    val d = cands("students whose total score declined every year")
+      .find(_.method == "template_monotonic_trend").get
+    assert(d.sql.contains("a < prev"), d.sql)
+    assert(d.sql.contains("SUM(score)"), d.sql)
+    // a period word resolving to no fact column fires nothing
+    assert(cands("students whose average score improved every semester")
+      .forall(_.method != "template_monotonic_trend"))
+  }
+
+  test("pair in-common phrasing reuses the co-occurrence pair plan") {
+    val c = cands("the two courses with the most students in common")
+      .find(_.method == "template_pair_cooccurrence").get
+    assert(c.sql.contains("f1.student_id = f2.student_id"), c.sql)
+    assert(c.sql.contains("f1.course_id < f2.course_id"), c.sql)
+    assert(c.sql.contains("ORDER BY COUNT(*) DESC, course_name_a, course_name_b LIMIT 1"), c.sql)
+    // the named shared entity must resolve to the fact's other FK
+    // dimension — an unrelated word fires nothing
+    assert(cands("the two courses with the most teachers in common")
+      .forall(_.method != "template_pair_cooccurrence"))
+  }
+
+  test("universal self-relative: every row above its group average, verb-stem measure") {
+    val c = cands("students who scored above the course average in every course they took")
+      .find(_.method == "template_universal_self_relative").get
+    assert(c.sql.contains("AVG(score) AS a"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    assert(c.sql.contains(
+      "HAVING MIN(CASE WHEN f.score > g.a THEN 1 ELSE 0 END) = 1"), c.sql)
+    assert(c.sql.contains("JOIN students d"), c.sql)
+    // "below" flips the comparison
+    val b = cands("students who scored below the course average in every course they took")
+      .find(_.method == "template_universal_self_relative").get
+    assert(b.sql.contains("f.score < g.a"), b.sql)
+    // the two group words must name the same dimension
+    assert(cands("students who scored above the course average in every department they took")
+      .forall(_.method != "template_universal_self_relative"))
+  }
 }
