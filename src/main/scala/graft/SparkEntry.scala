@@ -216,6 +216,19 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // sketch accuracy contracts: the DuckDB side computes the EXACT
+    // value and asserts the in-contract flags are all 1 — the estimate
+    // itself is engine-specific (DataSketches), the contract is not
+    "x_sketch_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, 1 AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_sketch_overlap" ->
+      ("SELECT COUNT(*) AS n_both, 1 AS both_ok, 1 AS jaccard_ok FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'click') t"),
+    "x_sketch_quantiles" ->
+      ("SELECT event_type, COUNT(*) AS n, 1 AS p50_ok, 1 AS p95_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // running aggregate + LAG per user; DuckDB's ns timestamps truncate
     // to the µs grid Spark's nanosAsLong conversion produces, so gaps
     // compare exact longs
@@ -847,7 +860,7 @@ object Queries {
   * text analysis, streaming-shaped aggregation) as DataFrame pipelines. */
 object ExtensionQueries {
   import org.apache.spark.sql.functions._
-  import graft.operators.{Dedup, Similarity, TextAnalysis}
+  import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
     Sources.register(s, dir); s.table("documents")
@@ -1462,6 +1475,58 @@ object ExtensionQueries {
         .select(col("user_id"), col("rank"), col("event_id"),
           round(col("value"), 4).as("value"))
         .orderBy("user_id", "rank").limit(1000)
+    }),
+    // --- mergeable sketch indexes (operators/Sketches.scala): per-day
+    // sketches built in ONE corpus pass, every rollup answered by
+    // merging kilobyte sketch rows — the 100 TB summary pattern. Each
+    // query carries its accuracy contract through the oracle gate as an
+    // exact-side value plus an in-contract flag (the estimate itself is
+    // not DuckDB-reproducible; the flag is). ---
+    "x_sketch_distinct" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events").withColumn("day", to_date(col("ts")))
+      val idx = Sketches.hllIndex(events, Seq("event_type", "day"), "user_id")
+      val est = Sketches.hllEstimate(idx, Seq("event_type"))
+      val exact = events.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("distinct_est") - col("n_users")) <= col("n_users") * 0.05)
+            .cast("int").as("est_ok"))
+        .orderBy("event_type")
+    }),
+    "x_sketch_overlap" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events")
+      val cohorts = Sketches.thetaCohorts(
+        events.where(col("event_type").isin("purchase", "click")),
+        "event_type", "user_id")
+      val ov = Sketches.thetaOverlap(cohorts, "event_type", "purchase", "click")
+      val exact = events.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+        .join(events.where(col("event_type") === "click")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("n_both"))
+      exact.crossJoin(ov).select(col("n_both"),
+        (abs(col("est_both") - col("n_both")) <= col("n_both") * 0.05)
+          .cast("int").as("both_ok"),
+        (col("jaccard") >= 0.0 && col("jaccard") <= 1.0)
+          .cast("int").as("jaccard_ok"))
+    }),
+    "x_sketch_quantiles" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events").withColumn("day", to_date(col("ts")))
+      val idx = Sketches.kllIndex(events, Seq("event_type", "day"), "value")
+      val q = Sketches.kllQuantiles(idx, Seq("event_type"), Seq(0.5, 0.95))
+      events.join(q.select("event_type", "q_0_5", "q_0_95"), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(when(col("value") <= col("q_0_5"), 1).otherwise(0)) / count(lit(1))).as("__r50"),
+          (sum(when(col("value") <= col("q_0_95"), 1).otherwise(0)) / count(lit(1))).as("__r95"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__r50") - 0.5) <= 0.03).cast("int").as("p50_ok"),
+          (abs(col("__r95") - 0.95) <= 0.03).cast("int").as("p95_ok"))
+        .orderBy("event_type")
     }),
     // --- streaming-shaped (batch view of the events table) ---
     "x_events_hourly" -> ((s, dir) => {
