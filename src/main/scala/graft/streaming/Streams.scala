@@ -378,6 +378,37 @@ object Streams {
     topKPerGroupStream(scored, Seq("query_id"), "__negadc", "id", k)
   }
 
+  /**
+   * Streaming sketch-index ingest — the streaming half of
+   * [[graft.operators.Sketches.hllIndex]]: the same Spark-native
+   * DataSketches aggregate runs inside a streaming groupBy, so the
+   * state per (key, day) IS the sketch — bytes bounded by lgK, not by
+   * stream volume. An unbounded event stream maintains a bounded live
+   * sketch set (one row per key per day), and the emitted rows are
+   * byte-compatible with the batch index: rollups via
+   * [[graft.operators.Sketches.hllEstimate]] work identically over
+   * either, and HLL_8 union is lossless, so stream-built daily sketches
+   * merged with batch-built history give the same estimates as one
+   * batch pass over everything (pinned in StreamsSpec).
+   */
+  def distinctSketchStream(events: DataFrame, tsCol: String,
+      partCols: Seq[String], valueCol: String, lgK: Int = 12): DataFrame =
+    events
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy((partCols :+ "day").map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Streaming KLL quantile-index ingest — same contract as
+    * [[distinctSketchStream]] for the quantile index
+    * ([[graft.operators.Sketches.kllIndex]]): O(k log n) state per
+    * (key, day), merge-compatible with batch sketch rows. */
+  def quantileSketchStream(events: DataFrame, tsCol: String,
+      partCols: Seq[String], valueCol: String, k: Int = 200): DataFrame =
+    events
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy((partCols :+ "day").map(col): _*)
+      .agg(kll_sketch_agg_double(col(valueCol).cast("double"), lit(k)).as("kll"))
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -402,4 +402,59 @@ class StreamsSpec extends SparkSpec {
     for (id <- 0L until 5L) assert(streamed(id).head == id,
       s"query $id top hit ${streamed(id).head}")
   }
+
+  test("streaming sketch ingest: stream-built daily sketches roll up like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two days of events, arriving across two micro-batches that SPLIT
+    // day 1 (the state-merge path must combine partial sketches)
+    def ev(id: Long, day: Int, user: Long, v: Double) = Event(
+      id, Timestamp.valueOf(f"2024-01-0$day 10:00:00"), user, "click", v)
+    val batch1 = (0 until 40).map(i => ev(i, 1, i % 25, i.toDouble))
+    val batch2 = (40 until 60).map(i => ev(i, 1, i % 25, i.toDouble)) ++
+      (60 until 100).map(i => ev(i, 2, i % 37, i.toDouble))
+    val input = MemoryStream[Event]
+    val q = Streams.distinctSketchStream(
+        input.toDF(), "ts", Seq("event_type"), "user_id")
+      .writeStream.format("memory").queryName("t_sketch")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamIdx = spark.table("t_sketch")
+    assert(streamIdx.count() == 2, "one sketch row per (event_type, day)")
+    // the streamed index rolls up through the SAME batch estimator, and
+    // HLL_8 union is lossless, so estimates equal the batch-built index's
+    val streamEst = graft.operators.Sketches
+      .hllEstimate(streamIdx, Seq("event_type")).collect()(0).getAs[Long]("distinct_est")
+    val all = (batch1 ++ batch2).toDF()
+      .withColumn("day", org.apache.spark.sql.functions.to_date($"ts"))
+    val batchEst = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllIndex(all, Seq("event_type", "day"), "user_id"),
+      Seq("event_type")).collect()(0).getAs[Long]("distinct_est")
+    assert(streamEst == batchEst, s"stream=$streamEst batch=$batchEst")
+    assert(streamEst == 37L, s"exact at this cardinality: $streamEst")
+    // KLL: streamed quantile index merges to the same n and a valid median
+    val input2 = MemoryStream[Event]
+    val q2 = Streams.quantileSketchStream(
+        input2.toDF(), "ts", Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("t_sketch_kll")
+      .outputMode("complete")
+      .start()
+    try {
+      input2.addData(batch1: _*)
+      q2.processAllAvailable()
+      input2.addData(batch2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kq = graft.operators.Sketches.kllQuantiles(
+      spark.table("t_sketch_kll"), Seq("event_type"), Seq(0.5)).collect()(0)
+    assert(kq.getAs[Long]("n") == 100L, kq)
+    val med = kq.getAs[Double]("q_0_5")
+    assert(med >= 40.0 && med <= 60.0, s"median $med off the 0..99 stream")
+  }
 }
