@@ -173,6 +173,21 @@ object Queries {
     * days" selects a proper nonempty subset at every SF. */
   private[graft] val frozenNow: java.time.LocalDate = java.time.LocalDate.of(2024, 1, 31)
 
+  /** x_fk_infer planted pairs: the 7 declared FK edges (must infer),
+    * one reversal (parent side not unique) and one disjoint key space
+    * (containment fails). Shared by the Spark query and the DuckDB
+    * oracle generator so both sides always check the same pairs. */
+  private[graft] val FkCheckedPairs: Seq[(String, String, String, String)] = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("nation", "n_nationkey", "region", "r_regionkey"))
+
   val extensionOracles: Map[String, String] = Map(
     // W2: k-bounded global rank. The Spark side is RankLimit.globalRankTopK
     // (TakeOrderedAndProject + positional rank — NO single-partition
@@ -229,6 +244,14 @@ object Queries {
     "x_sketch_quantiles" ->
       ("SELECT event_type, COUNT(*) AS n, 1 AS p50_ok, 1 AS p95_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_fk_infer" -> FkCheckedPairs.map { case (ct, cc, pt, pc) =>
+      s"SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent, CAST(" +
+        s"((SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IN (SELECT $pc FROM $pt)) " +
+        s">= 0.95 * (SELECT COUNT(DISTINCT $cc) FROM $ct)) " +
+        s"AND ((SELECT COUNT(DISTINCT $pc) FROM $pt) >= 0.95 * (SELECT COUNT(*) FROM $pt)) " +
+        "AS INT) AS inferred"
+    }.mkString("SELECT child, parent, inferred FROM (", " UNION ALL ",
+      ") t ORDER BY child, parent"),
     // running aggregate + LAG per user; DuckDB's ns timestamps truncate
     // to the µs grid Spark's nanosAsLong conversion produces, so gaps
     // compare exact longs
@@ -1512,6 +1535,28 @@ object ExtensionQueries {
           .cast("int").as("both_ok"),
         (col("jaccard") >= 0.0 && col("jaccard") <= 1.0)
           .cast("int").as("jaccard_ok"))
+    }),
+    // sketch-containment FK inference (catalog/FkInference.scala): the
+    // DuckDB oracle decides each planted edge EXACTLY (containment via
+    // IN-subquery distinct counts, key-ness via distinct/rows) and the
+    // theta-sketch path must reach the same verdicts — seven real FK
+    // edges inferred, a reversed edge and a disjoint key space rejected
+    "x_fk_infer" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val cand = graft.catalog.FkInference.candidateEdges(
+        graft.catalog.FkInference.columnSketches(s, Sources.fixtureTables))
+      import s.implicits._
+      val exp = Queries.FkCheckedPairs.toDF(
+        "child_table", "child_column", "parent_table", "parent_column")
+      exp.join(cand,
+          Seq("child_table", "child_column", "parent_table", "parent_column"), "left")
+        .select(
+          concat_ws(".", col("child_table"), col("child_column")).as("child"),
+          concat_ws(".", col("parent_table"), col("parent_column")).as("parent"),
+          (coalesce(col("containment"), lit(0.0)) >= 0.95 &&
+            coalesce(col("parent_unique_ratio"), lit(0.0)) >= 0.95)
+            .cast("int").as("inferred"))
+        .orderBy("child", "parent")
     }),
     "x_sketch_quantiles" -> ((s, dir) => {
       Sources.register(s, dir)
