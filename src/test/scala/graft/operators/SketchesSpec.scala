@@ -59,6 +59,29 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ov.getAs[Double]("jaccard") - 0.2) < 1e-9, ov)
   }
 
+  test("HLL index persists as plain parquet and answers day-range rollups") {
+    // the serving pattern: the index is written once (binary sketch
+    // column through the ordinary parquet path — no custom
+    // serialization), and any later day-range distinct count merges the
+    // covered sketch rows only
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-idx").toString
+    Sketches.hllIndex(events, Seq("day"), "user_id")
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val lastDays = idx.where(col("day") >= lit("2024-01-15"))
+    val est = Sketches.hllEstimate(lastDays, Seq.empty).collect()(0).getLong(0)
+    val exact = events.where(col("day") >= lit("2024-01-15"))
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(est - exact) <= exact * 0.05, s"range est=$est exact=$exact")
+    // and the full-index rollup equals the unpersisted one (byte-stable
+    // through parquet)
+    val persisted = Sketches.hllEstimate(idx, Seq.empty).collect()(0).getLong(0)
+    val direct = Sketches.hllEstimate(
+      Sketches.hllIndex(events, Seq("day"), "user_id"), Seq.empty)
+      .collect()(0).getLong(0)
+    assert(persisted == direct, s"persisted=$persisted direct=$direct")
+  }
+
   test("KLL: merged count is exact; merged quantiles meet the rank contract") {
     val n = events.count()
     val q = Sketches.kllQuantiles(
