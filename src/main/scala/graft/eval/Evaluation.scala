@@ -453,8 +453,8 @@ object Evaluation {
         "HAVING MIN(CASE WHEN score > a THEN 1 ELSE 0 END) = 1) m " +
         "JOIN students st ON st.student_id = m.student_id " +
         "ORDER BY st.student_name LIMIT 100", "universal_self_relative"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9 open cases, closed in round 9b (same-dimension group
+    //     argmax / range HAVING / trend argmax) ---
     EvalCase("for each department, the course with the highest average score",
       "SELECT dept, course_name FROM (" +
         "SELECT c.dept AS dept, c.course_name AS course_name, " +
@@ -472,5 +472,33 @@ object Evaluation {
       "SELECT year FROM (" +
         "SELECT year, AVG(score) - LAG(AVG(score)) OVER (ORDER BY year) AS delta " +
         "FROM scores GROUP BY year) t " +
-        "WHERE delta IS NOT NULL ORDER BY delta DESC, year LIMIT 1", "trend_argmax"))
+        "WHERE delta IS NOT NULL ORDER BY delta DESC, year LIMIT 1", "trend_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who took every course taken by Ada Adams",
+      "SELECT st.student_name FROM students st " +
+        "JOIN scores s ON s.student_id = st.student_id " +
+        "WHERE s.course_id IN (SELECT sc.course_id FROM scores sc " +
+        "JOIN students a ON a.student_id = sc.student_id " +
+        "WHERE a.student_name = 'Ada Adams') " +
+        "GROUP BY st.student_id, st.student_name " +
+        "HAVING COUNT(DISTINCT s.course_id) = (SELECT COUNT(DISTINCT sc.course_id) " +
+        "FROM scores sc JOIN students a ON a.student_id = sc.student_id " +
+        "WHERE a.student_name = 'Ada Adams') " +
+        "ORDER BY st.student_name LIMIT 100", "division_by_example"),
+    EvalCase("the most popular course among grade 9 students",
+      "SELECT c.course_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "WHERE st.grade_level = 9 " +
+        "GROUP BY c.course_id, c.course_name " +
+        "ORDER BY COUNT(*) DESC, c.course_name LIMIT 1", "filtered_popularity"),
+    EvalCase("courses where the top scorer is younger than 16",
+      "SELECT c.course_name FROM (SELECT course_id, student_id, " +
+        "RANK() OVER (PARTITION BY course_id ORDER BY score DESC) AS r FROM scores) t " +
+        "JOIN students st ON st.student_id = t.student_id " +
+        "JOIN courses c ON c.course_id = t.course_id " +
+        "WHERE t.r = 1 AND st.age < 16 " +
+        "GROUP BY c.course_id, c.course_name " +
+        "ORDER BY c.course_name LIMIT 100", "argmax_attr_filter"))
 }

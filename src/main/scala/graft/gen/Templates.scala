@@ -1856,6 +1856,127 @@ object Templates {
         0.9, "template_deviation_argmax")).take(1)
     }
 
+  /** Same-dimension grouped argmax: "for each A, the J with the highest
+    * avg V" where A is an ATTRIBUTE of the ranked entity's OWN dimension
+    * ("for each department, the course with the highest average score" —
+    * dept and course_name both live on courses). The cross-dimension
+    * form is [[groupedArgmax2Candidates]]; this variant joins the single
+    * broadcast dimension for both the group attribute and the display
+    * name, aggregates on (attr, name), and ranks the GROUP ROWS ONLY —
+    * |attr × entities| rows, never the fact. The attribute resolves
+    * strong-or-abbreviation ("department" → dept) against the entity
+    * dimension alone. Listed AFTER the cross-dimension template so an
+    * attr word resolving on another dimension keeps its round-7c
+    * serving. */
+  def sameDimArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupedArgmax2Re.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
+      val dir = if (lowest) "ASC" else "DESC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
+        if nameCol != attrCol
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined)
+        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol, $nameCol FROM (" +
+          s"SELECT d.$attrCol AS $attrCol, d.$nameCol AS $nameCol, " +
+          s"RANK() OVER (PARTITION BY d.$attrCol ORDER BY $agg(f.$numCol) $dir, d.$nameCol) AS rnk " +
+          s"FROM ${eJ.fromTable} f JOIN $dimJ d ON f.${eJ.fromColumn} = d.${eJ.toColumn} " +
+          s"GROUP BY d.$attrCol, d.$nameCol) t WHERE rnk = 1 " +
+          s"ORDER BY $attrCol LIMIT $DefaultLimit",
+        0.9, "template_same_dim_argmax")).take(1)
+    }
+
+  // "students whose scores span more than 40 points" — a per-entity
+  // range (MAX − MIN) threshold
+  private val rangeHavingRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)s?\s+" +
+      raw"(?:span|vary\s+by|range\s+over)\s+(more\s+than|over|at\s+least)\s+" +
+      raw"(\d+(?:\.\d+)?)(?:\s+points?)?\b").r
+
+  /** Range HAVING: "Es whose Vs span more than N points" → one grouped
+    * pass on the fact's fk computes MAX and MIN together (one
+    * partial+final aggregate, one shuffle), the range threshold filters
+    * in HAVING, display names join at survivor size. "at least" keeps
+    * equality. */
+  def rangeHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    rangeHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(3).toLowerCase.replaceAll("\\s+", " ") == "at least") ">=" else ">"
+      val word = m.group(2)
+      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM ${e.fromTable} f " +
+          s"JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn} " +
+          s"GROUP BY d.${e.toColumn}, d.$nameCol " +
+          s"HAVING MAX(f.$numCol) - MIN(f.$numCol) $op ${m.group(4)} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_range_having")).take(1)
+    }
+
+  // "the year with the biggest improvement in average score" — argmax
+  // over the consecutive-period DELTA of a per-period aggregate
+  private val trendArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(biggest|largest|greatest|smallest)\s+" +
+      raw"(improvement|increase|rise|jump|gain|drop|decrease|decline|fall)\s+in\s+" +
+      raw"(?:the\s+)?(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Trend argmax: "the T with the biggest improvement in avg V" → the
+    * fact collapses to one aggregate per period (partial+final, the
+    * only corpus pass), LAG over the |periods| group rows computes the
+    * consecutive delta, top-1 by delta. The single-partition window is
+    * over PERIODS (years, months — intrinsically bounded), never the
+    * fact. Falling words ("drop") rank the most NEGATIVE delta first;
+    * "smallest improvement" the least positive. */
+  def trendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val falling = Set("drop", "decrease", "decline", "fall")(m.group(3).toLowerCase)
+      val smallest = m.group(2).toLowerCase == "smallest"
+      // rising words rank delta DESC (biggest positive change first);
+      // falling words ASC; "smallest" flips either reading
+      val dir = (falling, smallest) match {
+        case (false, false) => "DESC"
+        case (false, true) => "ASC"
+        case (true, false) => "ASC"
+        case (true, true) => "DESC"
+      }
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
+            strongColumn(m.group(5), slice.tables(t)).isDefined).toSeq
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(fact)).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT $periodCol FROM (" +
+          s"SELECT $periodCol, $agg($numCol) - " +
+          s"LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS delta " +
+          s"FROM $fact GROUP BY $periodCol) t " +
+          s"WHERE delta IS NOT NULL ORDER BY delta $dir, $periodCol LIMIT 1",
+        0.9, "template_trend_argmax")).take(1)
+    }
+
   // "students whose average score improved every year" — a per-period
   // aggregate that must move in one direction across ALL consecutive
   // periods of the entity
@@ -1989,6 +2110,9 @@ object Templates {
       deviationArgmaxCandidates(slice, fks, question) ++
       monotonicTrendCandidates(slice, fks, question) ++
       universalSelfRelativeCandidates(slice, fks, question) ++
+      sameDimArgmaxCandidates(slice, fks, question) ++
+      rangeHavingCandidates(slice, fks, question) ++
+      trendArgmaxCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -526,4 +526,46 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("students who scored above the course average in every department they took")
       .forall(_.method != "template_universal_self_relative"))
   }
+
+  test("same-dimension grouped argmax: attribute abbreviation, rank over group rows") {
+    val c = cands("for each department, the course with the highest average score")
+      .find(_.method == "template_same_dim_argmax").get
+    assert(c.sql.contains(
+      "RANK() OVER (PARTITION BY d.dept ORDER BY AVG(f.score) DESC, d.course_name)"), c.sql)
+    assert(c.sql.contains("GROUP BY d.dept, d.course_name"), c.sql)
+    assert(c.sql.contains("WHERE rnk = 1"), c.sql)
+    // the cross-dimension reading (grade_level on students) keeps its
+    // round-7c template — this shape must not steal it
+    assert(cands("for each grade_level, the course with the highest average score")
+      .exists(_.method == "template_grouped_argmax2"))
+    // an attribute resolving nowhere fires nothing
+    assert(cands("for each faculty, the course with the highest average score")
+      .forall(_.method != "template_same_dim_argmax"))
+  }
+
+  test("range HAVING: MAX - MIN threshold in one grouped pass") {
+    val c = cands("students whose scores span more than 40 points")
+      .find(_.method == "template_range_having").get
+    assert(c.sql.contains("HAVING MAX(f.score) - MIN(f.score) > 40"), c.sql)
+    assert(c.sql.startsWith("SELECT d.student_name"), c.sql)
+    // "at least" keeps equality
+    val ge = cands("students whose scores span at least 30")
+      .find(_.method == "template_range_having").get
+    assert(ge.sql.contains(">= 30"), ge.sql)
+  }
+
+  test("trend argmax: consecutive-period delta over period group rows") {
+    val c = cands("the year with the biggest improvement in average score")
+      .find(_.method == "template_trend_argmax").get
+    assert(c.sql.contains(
+      "AVG(score) - LAG(AVG(score)) OVER (ORDER BY year) AS delta"), c.sql)
+    assert(c.sql.contains("WHERE delta IS NOT NULL ORDER BY delta DESC, year LIMIT 1"), c.sql)
+    // a falling word ranks the most negative delta first
+    val d = cands("the year with the biggest drop in average score")
+      .find(_.method == "template_trend_argmax").get
+    assert(d.sql.contains("ORDER BY delta ASC"), d.sql)
+    // a period word resolving to no fact column fires nothing
+    assert(cands("the semester with the biggest improvement in average score")
+      .forall(_.method != "template_trend_argmax"))
+  }
 }
