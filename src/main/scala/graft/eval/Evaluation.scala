@@ -473,8 +473,8 @@ object Evaluation {
         "SELECT year, AVG(score) - LAG(AVG(score)) OVER (ORDER BY year) AS delta " +
         "FROM scores GROUP BY year) t " +
         "WHERE delta IS NOT NULL ORDER BY delta DESC, year LIMIT 1", "trend_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9b open cases, closed in round 9c (division by example /
+    //     filtered popularity / argmax attribute filter) ---
     EvalCase("students who took every course taken by Ada Adams",
       "SELECT st.student_name FROM students st " +
         "JOIN scores s ON s.student_id = st.student_id " +
@@ -500,5 +500,27 @@ object Evaluation {
         "JOIN courses c ON c.course_id = t.course_id " +
         "WHERE t.r = 1 AND st.age < 16 " +
         "GROUP BY c.course_id, c.course_name " +
-        "ORDER BY c.course_name LIMIT 100", "argmax_attr_filter"))
+        "ORDER BY c.course_name LIMIT 100", "argmax_attr_filter"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the pair of students with the most similar average scores",
+      "SELECT a.student_id AS student_a, b.student_id AS student_b FROM " +
+        "(SELECT student_id, AVG(score) AS avg_a FROM scores GROUP BY student_id) a " +
+        "JOIN (SELECT student_id, AVG(score) AS avg_b FROM scores GROUP BY student_id) b " +
+        "ON a.student_id < b.student_id " +
+        "ORDER BY ABS(a.avg_a - b.avg_b) ASC, student_a, student_b LIMIT 1",
+      "pair_argmin_agg"),
+    EvalCase("courses whose average score is above the median course average",
+      "SELECT course_id FROM (SELECT course_id, AVG(score) AS a FROM scores " +
+        "GROUP BY course_id) t " +
+        "WHERE a > (SELECT MEDIAN(a) FROM (SELECT AVG(score) AS a FROM scores " +
+        "GROUP BY course_id) m) " +
+        "ORDER BY course_id LIMIT 100", "agg_vs_median"),
+    EvalCase("students who share every course with another student",
+      "WITH sets AS (SELECT student_id, sort_array(collect_set(course_id)) AS cs " +
+        "FROM scores GROUP BY student_id) " +
+        "SELECT DISTINCT st.student_name FROM sets a JOIN sets b " +
+        "ON a.cs = b.cs AND a.student_id <> b.student_id " +
+        "JOIN students st ON st.student_id = a.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "set_equality"))
 }

@@ -2074,6 +2074,140 @@ object Templates {
         0.9, "template_universal_self_relative")).take(1)
     }
 
+  // "students who took every course taken by Ada Adams" — division
+  // where the divisor is the J-set of a NAMED EXAMPLE entity
+  // (case-sensitive name anchor, like selfRelativeRe)
+  private val divisionByExampleRe =
+    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+(?i:every|each|all)\s+" +
+      raw"([a-z_][a-z0-9_]*)s?\s+[a-z]+\s+(?i:by)\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
+
+  /** Division by example: "Es who Ved every J Ved by NAME" → the
+    * divisor is the DISTINCT J-set of the entities named NAME (several
+    * rows may share the display name — the divisor unions their Js, the
+    * only reading that keeps "every J taken by NAME" well-defined).
+    * Both the IN-filter and the HAVING divisor reuse the same
+    * name-anchored subquery; the anchor subquery is entity-sized and
+    * broadcast, the outer pass is one grouped distinct-count on the
+    * fact — the [[divisionCandidates]] plan with the divisor swapped
+    * from a dimension count to an example-entity count. */
+  def divisionByExampleCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    divisionByExampleRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val name = m.group(3).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield {
+        val anchor = s"FROM ${eE.fromTable} af JOIN $dimE a " +
+          s"ON a.${eE.toColumn} = af.${eE.fromColumn} WHERE a.$nameCol = '$name'"
+        Candidate(
+          s"SELECT d.$nameCol FROM $dimE d " +
+            s"JOIN ${eE.fromTable} f ON f.${eE.fromColumn} = d.${eE.toColumn} " +
+            s"WHERE f.${eJ.fromColumn} IN (SELECT af.${eJ.fromColumn} $anchor) " +
+            s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
+            s"HAVING COUNT(DISTINCT f.${eJ.fromColumn}) = " +
+            s"(SELECT COUNT(DISTINCT af.${eJ.fromColumn}) $anchor) " +
+            s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+          0.9, "template_division_by_example")
+      }).take(1)
+    }
+
+  // "the most popular course among grade 9 students" — fact-popularity
+  // argmax under an entity-attribute filter
+  private val filteredPopularityRe =
+    (raw"(?i)\bthe\s+most\s+popular\s+([a-z_][a-z0-9_]*)\s+among\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(\d+(?:\.\d+)?)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** A column of `cols` the word resolves to strongly OR as the unique
+    * name PREFIX ("grade" → grade_level) — attribute phrases routinely
+    * shorten compound column names. */
+  private def prefixColumn(word: String, cols: Seq[String]): Option[String] =
+    strongColumn(word, cols).orElse {
+      cols.filter(_.toLowerCase.startsWith(word.toLowerCase + "_")) match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+
+  /** Filtered popularity: "the most popular J among A-N Es" ("grade 9
+    * students") → the attribute phrase filters the ENTITY dimension
+    * (prefix-resolved: "grade" → grade_level), popularity is the fact
+    * row count per J under that filter, top-1 via
+    * TakeOrderedAndProject. Both dimensions broadcast; the filter
+    * pushes to the entity dimension scan BEFORE its join. */
+  def filteredPopularityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    filteredPopularityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        attrCol <- prefixColumn(m.group(2), slice.tables(dimE)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
+          s"JOIN $dimE e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"WHERE e.$attrCol = ${m.group(3)} " +
+          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
+          s"ORDER BY COUNT(*) DESC, j.$jName LIMIT 1",
+        0.9, "template_filtered_popularity")).take(1)
+    }
+
+  // "courses where the top scorer is younger than 16" — per-group
+  // argmax entity, filtered by an entity attribute
+  private val argmaxAttrFilterRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+(top|best|bottom|worst)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+(younger|older)\s+than\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Argmax-attribute filter: "Js where the top Ver is younger than N"
+    * → RANK per J over the fact by the verb-stem measure ("scorer" →
+    * score), keep rank 1 (ties: ANY top scorer qualifying keeps the J —
+    * the DISTINCT group-by), join the entity dimension at
+    * top-rows size for the age comparison ("younger" < / "older" >,
+    * resolved against an age-named entity column). The window is
+    * per-group over the fact with a rank-1 bound —
+    * `BoundedRankPrefilter` (plans/RankLimit.scala) caps each
+    * partition's input. */
+  def argmaxAttrFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    argmaxAttrFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("top", "best")(m.group(2).toLowerCase)) "DESC" else "ASC"
+      val cmp = if (m.group(4).toLowerCase == "younger") "<" else ">"
+      val verb = m.group(3).toLowerCase
+      val stems = Seq(verb, verb.stripSuffix("r"), verb.stripSuffix("er"),
+        verb.stripSuffix("rs"), verb.stripSuffix("ers")).distinct
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          stems.exists(s => strongColumn(s, slice.tables(e.fromTable)).isDefined))
+        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eJ.fromTable))).headOption.toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn("age", slice.tables(e.toTable)).isDefined).toSeq
+        ageCol <- strongColumn("age", slice.tables(eE.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT j.$jName FROM (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, " +
+          s"RANK() OVER (PARTITION BY ${eJ.fromColumn} ORDER BY $numCol $dir) AS r " +
+          s"FROM ${eJ.fromTable}) t " +
+          s"JOIN ${eE.toTable} e ON e.${eE.toColumn} = t.${eE.fromColumn} " +
+          s"JOIN $dimJ j ON j.${eJ.toColumn} = t.${eJ.fromColumn} " +
+          s"WHERE t.r = 1 AND e.$ageCol $cmp ${m.group(5)} " +
+          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
+          s"ORDER BY j.$jName LIMIT $DefaultLimit",
+        0.9, "template_argmax_attr_filter")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2113,6 +2247,9 @@ object Templates {
       sameDimArgmaxCandidates(slice, fks, question) ++
       rangeHavingCandidates(slice, fks, question) ++
       trendArgmaxCandidates(slice, fks, question) ++
+      divisionByExampleCandidates(slice, fks, question) ++
+      filteredPopularityCandidates(slice, fks, question) ++
+      argmaxAttrFilterCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

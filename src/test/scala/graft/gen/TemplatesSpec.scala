@@ -568,4 +568,40 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("the semester with the biggest improvement in average score")
       .forall(_.method != "template_trend_argmax"))
   }
+
+  test("division by example: the divisor is the named entity's distinct J-set") {
+    val c = cands("students who took every course taken by Ada Adams")
+      .find(_.method == "template_division_by_example").get
+    assert(c.sql.contains("WHERE a.student_name = 'Ada Adams'"), c.sql)
+    assert(c.sql.contains("HAVING COUNT(DISTINCT f.course_id) = " +
+      "(SELECT COUNT(DISTINCT af.course_id)"), c.sql)
+    assert(c.sql.contains("f.course_id IN (SELECT af.course_id"), c.sql)
+    // a lowercase phrase after "by" is not a name anchor — no candidate
+    assert(cands("students who took every course taken by someone")
+      .forall(_.method != "template_division_by_example"))
+  }
+
+  test("filtered popularity: prefix-resolved attribute filter, count argmax") {
+    val c = cands("the most popular course among grade 9 students")
+      .find(_.method == "template_filtered_popularity").get
+    assert(c.sql.contains("WHERE e.grade_level = 9"), c.sql)
+    assert(c.sql.contains("ORDER BY COUNT(*) DESC, j.course_name LIMIT 1"), c.sql)
+    assert(c.sql.startsWith("SELECT j.course_name"), c.sql)
+    // an attribute word resolving to no entity column fires nothing
+    assert(cands("the most popular course among cohort 9 students")
+      .forall(_.method != "template_filtered_popularity"))
+  }
+
+  test("argmax attribute filter: per-group rank 1, entity attribute comparison") {
+    val c = cands("courses where the top scorer is younger than 16")
+      .find(_.method == "template_argmax_attr_filter").get
+    assert(c.sql.contains(
+      "RANK() OVER (PARTITION BY course_id ORDER BY score DESC) AS r"), c.sql)
+    assert(c.sql.contains("WHERE t.r = 1 AND e.age < 16"), c.sql)
+    // "worst ... older" flips both the rank direction and the comparison
+    val w = cands("courses where the worst scorer is older than 17")
+      .find(_.method == "template_argmax_attr_filter").get
+    assert(w.sql.contains("ORDER BY score ASC"), w.sql)
+    assert(w.sql.contains("e.age > 17"), w.sql)
+  }
 }
