@@ -501,8 +501,8 @@ object Evaluation {
         "WHERE t.r = 1 AND st.age < 16 " +
         "GROUP BY c.course_id, c.course_name " +
         "ORDER BY c.course_name LIMIT 100", "argmax_attr_filter"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9c open cases, closed in round 9d (pair argmin over
+    //     aggregates / aggregate vs median / set equality) ---
     EvalCase("the pair of students with the most similar average scores",
       "SELECT a.student_id AS student_a, b.student_id AS student_b FROM " +
         "(SELECT student_id, AVG(score) AS avg_a FROM scores GROUP BY student_id) a " +
@@ -522,5 +522,32 @@ object Evaluation {
         "SELECT DISTINCT st.student_name FROM sets a JOIN sets b " +
         "ON a.cs = b.cs AND a.student_id <> b.student_id " +
         "JOIN students st ON st.student_id = a.student_id " +
-        "ORDER BY st.student_name LIMIT 100", "set_equality"))
+        "ORDER BY st.student_name LIMIT 100", "set_equality"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose best course by average score is in the math department",
+      "SELECT st.student_name FROM (" +
+        "SELECT student_id, course_id, " +
+        "RANK() OVER (PARTITION BY student_id ORDER BY AVG(score) DESC, course_id) AS r " +
+        "FROM scores GROUP BY student_id, course_id) t " +
+        "JOIN courses c ON c.course_id = t.course_id " +
+        "JOIN students st ON st.student_id = t.student_id " +
+        "WHERE t.r = 1 AND c.dept = 'math' " +
+        "ORDER BY st.student_name LIMIT 100", "entity_argmax_attr"),
+    EvalCase("the percentage of students who improved their average score from 2022 to 2023",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN a23 > a22 THEN 1 ELSE 0 END) / COUNT(*), 2) " +
+        "AS agg_value FROM (" +
+        "SELECT student_id, " +
+        "AVG(CASE WHEN year = 2022 THEN score END) AS a22, " +
+        "AVG(CASE WHEN year = 2023 THEN score END) AS a23 " +
+        "FROM scores GROUP BY student_id) t " +
+        "WHERE a22 IS NOT NULL AND a23 IS NOT NULL", "trend_share"),
+    EvalCase("courses taken by students in every grade level",
+      "SELECT c.course_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_id, c.course_name " +
+        "HAVING COUNT(DISTINCT st.grade_level) = " +
+        "(SELECT COUNT(DISTINCT grade_level) FROM students) " +
+        "ORDER BY c.course_name LIMIT 100", "reverse_attr_division"))
 }

@@ -2208,6 +2208,128 @@ object Templates {
         0.9, "template_argmax_attr_filter")).take(1)
     }
 
+  // "the pair of students with the most similar average scores" —
+  // argmin over pairwise aggregate differences
+  private val pairArgminAggRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"similar\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)s?\b").r
+
+  /** Pair argmin over aggregates: "the pair of Es with the most similar
+    * avg V" → NOT a pairwise self-join: in one dimension the closest
+    * pair is always ADJACENT in sorted order, so the plan is one
+    * grouped aggregate (the only corpus pass), a window over the
+    * |entities| GROUP ROWS sorted by (aggregate, key), LAG for the
+    * adjacent delta, top-1. Entity-count work is linear, not quadratic.
+    * Ties normalize through LEAST/GREATEST + the (delta, a, b) order,
+    * which selects the same pair as the quadratic definition: with
+    * distinct aggregates every minimal pair is adjacent (1-D closest
+    * pair), and with ties the lexicographically-first zero-delta pair
+    * is two id-consecutive members of the same aggregate group —
+    * adjacent under the (aggregate, key) sort. */
+  def pairArgminAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    pairArgminAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val word = m.group(3)
+      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+      } yield {
+        val k = e.fromColumn
+        Candidate(
+          s"SELECT ${k}_a, ${k}_b FROM (" +
+            s"SELECT LEAST(k, LAG(k) OVER (ORDER BY a, k)) AS ${k}_a, " +
+            s"GREATEST(k, LAG(k) OVER (ORDER BY a, k)) AS ${k}_b, " +
+            s"ABS(a - LAG(a) OVER (ORDER BY a, k)) AS delta " +
+            s"FROM (SELECT $k AS k, $agg($numCol) AS a " +
+            s"FROM ${e.fromTable} GROUP BY $k) g) t " +
+            s"WHERE delta IS NOT NULL " +
+            s"ORDER BY delta ASC, ${k}_a, ${k}_b LIMIT 1",
+          0.9, "template_pair_argmin_agg")
+      }).take(1)
+    }
+
+  // "courses whose average score is above the median course average" —
+  // per-group aggregate vs the MEDIAN of all group aggregates
+  private val aggVsMedianRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|over|below|under)\s+the\s+median\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
+
+  /** Aggregate vs median-of-aggregates: "Js whose avg V is above the
+    * median J average" → the group rows compute once (one corpus pass,
+    * partial+final), the median of those |J| aggregates is a one-row
+    * scalar subquery broadcast into the filter. Catalyst evaluates the
+    * CTE-free double reference as two aggregates over the same scan —
+    * both group-rows-sized, the filter never touches the fact again. */
+  def aggVsMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    aggVsMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        if uniqueTable(slice, m.group(5)).contains(dimJ)
+        e <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, AVG($numCol) AS a " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"WHERE a $op (SELECT MEDIAN(a) FROM (SELECT AVG($numCol) AS a " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) m) " +
+          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_agg_vs_median")).take(1)
+    }
+
+  // "students who share every course with another student" — entities
+  // with an IDENTICAL J-set to some other entity
+  private val setEqualityRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+share\s+(?:every|all(?:\s+of)?\s+their)\s+" +
+      raw"([a-z_][a-z0-9_]*)s?\s+with\s+another\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Set equality: "Es who share every J with another E" → each
+    * entity's J-set collapses to ONE sorted-array SIGNATURE (a grouped
+    * collect_set — the only corpus pass), and entities join ON THE
+    * SIGNATURE: the shuffle key is the set itself, so only
+    * identical-set entities ever meet — no pairwise subset testing, no
+    * quadratic join. Display names join at survivor size. */
+  def setEqualityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    setEqualityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val jWord = m.group(2)
+      val jSingular = if (jWord.endsWith("s")) jWord.dropRight(1) else jWord
+      val eSingular = {
+        val w = m.group(1)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        // "another X" must name the same entity
+        if uniqueTable(slice, m.group(3)).contains(dimE) ||
+          eSingular == m.group(3).toLowerCase
+        dimJ <- uniqueTable(slice, jSingular).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"WITH sets AS (SELECT ${eE.fromColumn} AS k, " +
+          s"sort_array(collect_set(${eJ.fromColumn})) AS cs " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) " +
+          s"SELECT DISTINCT d.$nameCol FROM sets a JOIN sets b " +
+          s"ON a.cs = b.cs AND a.k <> b.k " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = a.k " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_set_equality")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2250,6 +2372,9 @@ object Templates {
       divisionByExampleCandidates(slice, fks, question) ++
       filteredPopularityCandidates(slice, fks, question) ++
       argmaxAttrFilterCandidates(slice, fks, question) ++
+      pairArgminAggCandidates(slice, fks, question) ++
+      aggVsMedianCandidates(slice, fks, question) ++
+      setEqualityCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -604,4 +604,39 @@ class TemplatesSpec extends AnyFunSuite {
     assert(w.sql.contains("ORDER BY score ASC"), w.sql)
     assert(w.sql.contains("e.age > 17"), w.sql)
   }
+
+  test("pair argmin over aggregates: adjacent-in-sorted-order, never a pairwise join") {
+    val c = cands("the pair of students with the most similar average scores")
+      .find(_.method == "template_pair_argmin_agg").get
+    assert(c.sql.contains("LAG(a) OVER (ORDER BY a, k)"), c.sql)
+    assert(c.sql.contains("LEAST(k, LAG(k) OVER (ORDER BY a, k)) AS student_id_a"), c.sql)
+    assert(c.sql.contains("ORDER BY delta ASC, student_id_a, student_id_b LIMIT 1"), c.sql)
+    // no self-join of the aggregate subquery anywhere
+    assert(!c.sql.toLowerCase.contains("join"), c.sql)
+  }
+
+  test("aggregate vs median-of-aggregates: scalar median over group rows") {
+    val c = cands("courses whose average score is above the median course average")
+      .find(_.method == "template_agg_vs_median").get
+    assert(c.sql.contains("WHERE a > (SELECT MEDIAN(a) FROM"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    // "below" flips the comparison
+    val b = cands("courses whose average score is below the median course average")
+      .find(_.method == "template_agg_vs_median").get
+    assert(b.sql.contains("WHERE a < (SELECT MEDIAN"), b.sql)
+    // mismatched entity words fire nothing
+    assert(cands("courses whose average score is above the median student average")
+      .forall(_.method != "template_agg_vs_median"))
+  }
+
+  test("set equality: entities join on the sorted J-set signature") {
+    val c = cands("students who share every course with another student")
+      .find(_.method == "template_set_equality").get
+    assert(c.sql.contains("sort_array(collect_set(course_id))"), c.sql)
+    assert(c.sql.contains("ON a.cs = b.cs AND a.k <> b.k"), c.sql)
+    assert(c.sql.contains("SELECT DISTINCT d.student_name"), c.sql)
+    // "another X" must name the same entity
+    assert(cands("students who share every course with another teacher")
+      .forall(_.method != "template_set_equality"))
+  }
 }
