@@ -523,8 +523,8 @@ object Evaluation {
         "ON a.cs = b.cs AND a.student_id <> b.student_id " +
         "JOIN students st ON st.student_id = a.student_id " +
         "ORDER BY st.student_name LIMIT 100", "set_equality"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9d open cases, closed in round 9e (per-entity argmax
+    //     with attribute filter / trend share / reverse attr division) ---
     EvalCase("students whose best course by average score is in the math department",
       "SELECT st.student_name FROM (" +
         "SELECT student_id, course_id, " +
@@ -549,5 +549,29 @@ object Evaluation {
         "GROUP BY c.course_id, c.course_name " +
         "HAVING COUNT(DISTINCT st.grade_level) = " +
         "(SELECT COUNT(DISTINCT grade_level) FROM students) " +
-        "ORDER BY c.course_name LIMIT 100", "reverse_attr_division"))
+        "ORDER BY c.course_name LIMIT 100", "reverse_attr_division"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the two departments with the most different average scores",
+      "SELECT a.dept AS dept_a, b.dept AS dept_b FROM " +
+        "(SELECT c.dept, AVG(s.score) AS av FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) a " +
+        "JOIN (SELECT c.dept, AVG(s.score) AS av FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) b " +
+        "ON a.dept < b.dept " +
+        "ORDER BY ABS(a.av - b.av) DESC, dept_a, dept_b LIMIT 1",
+      "joined_pair_argmax"),
+    EvalCase("students who took more courses than the average student",
+      "SELECT st.student_name FROM (SELECT student_id, " +
+        "COUNT(DISTINCT course_id) AS n FROM scores GROUP BY student_id) t " +
+        "JOIN students st ON st.student_id = t.student_id " +
+        "WHERE t.n > (SELECT AVG(n) FROM (SELECT COUNT(DISTINCT course_id) AS n " +
+        "FROM scores GROUP BY student_id) m) " +
+        "ORDER BY st.student_name LIMIT 100", "count_vs_avg_count"),
+    EvalCase("for each grade level, the percentage of scores above 80",
+      "SELECT st.grade_level, ROUND(100.0 * SUM(CASE WHEN s.score > 80 " +
+        "THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY st.grade_level ORDER BY st.grade_level LIMIT 100",
+      "joined_conditional_share"))
 }

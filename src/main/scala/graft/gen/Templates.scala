@@ -2330,6 +2330,142 @@ object Templates {
         0.9, "template_set_equality")).take(1)
     }
 
+  // "students whose best course by average score is in the math
+  // department" — per-entity argmax over joined aggregates, the winner
+  // filtered by a dimension attribute VALUE
+  private val entityArgmaxAttrRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(best|worst)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"by\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+in\s+" +
+      raw"(?:the\s+)?([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Per-entity argmax with attribute filter: "Es whose best J by avg V
+    * is in the M A" → one grouped aggregate per (E, J) pair (the only
+    * corpus pass), RANK partitioned by the entity key over those group
+    * rows, rank-1 winners join the broadcast J dimension where the
+    * attribute value filters them ("math" must be a MINED DOMAIN VALUE
+    * of the attribute column, resolved like [[divisionCandidates]]'s
+    * modifier — the no-fabrication bar; the attribute word
+    * abbreviation-resolves: "department" → dept). "worst" flips the
+    * rank direction. */
+  def entityArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    entityArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "best") "DESC" else "ASC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val value = m.group(6)
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
+        attrCol <- abbrevColumn(m.group(7), slice.tables(dimJ)).toSeq
+        // the value must belong to the attribute column's mined domain
+        if values(dimJ).get(attrCol).exists(_.contains(value))
+        eName <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$eName FROM (" +
+          s"SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
+          s"RANK() OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $agg($numCol) $dir, ${eJ.fromColumn}) AS r " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}, ${eJ.fromColumn}) t " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.${eJ.fromColumn} " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
+          s"WHERE t.r = 1 AND c.$attrCol = ${sqlLit(value)} " +
+          s"ORDER BY d.$eName LIMIT $DefaultLimit",
+        0.9, "template_entity_argmax_attr")).take(1)
+    }
+
+  // "the percentage of students who improved their average score from
+  // 2022 to 2023" — a global share over a per-entity two-period trend
+  private val trendShareRe =
+    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+who\s+" +
+      raw"(improved|increased|raised|grew|decreased|declined|dropped|lowered)\s+" +
+      raw"their\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"from\s+(\d+)\s+to\s+(\d+)\b").r
+
+  /** Trend share: "the percentage of Es who improved their avg V from
+    * Y1 to Y2" → both period aggregates as conditional CASE aggregates
+    * in ONE grouped pass (the [[trendCompareCandidates]] trick), the
+    * share computed over entities present in BOTH periods (an entity
+    * absent from either has no trend to state — the NULL filter defines
+    * the denominator). Two aggregates total: the grouped pass over the
+    * fact and a single-row collapse of the |E| group rows. */
+  def trendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val cmp = m.group(3).toLowerCase match {
+        case "decreased" | "declined" | "dropped" | "lowered" => "<"
+        case _ => ">"
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined &&
+          slice.tables(e.fromTable).exists(_.toLowerCase.contains("year"))).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
+        yearCol <- slice.tables(e.fromTable).find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(100.0 * SUM(CASE WHEN a2 $cmp a1 THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value FROM (" +
+          s"SELECT ${e.fromColumn}, " +
+          s"$agg(CASE WHEN $yearCol = ${m.group(6)} THEN $numCol END) AS a1, " +
+          s"$agg(CASE WHEN $yearCol = ${m.group(7)} THEN $numCol END) AS a2 " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"WHERE a1 IS NOT NULL AND a2 IS NOT NULL",
+        0.9, "template_trend_share")).take(1)
+    }
+
+  // "courses taken by students in every grade level" — division where
+  // the divisor is the attribute domain of the ENTITY dimension
+  private val reverseAttrDivisionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:in|from|of)\s+(?:every|each)\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Reverse attribute division: "Js Ved by Es in every A" where A is
+    * an attribute of the E dimension ("courses taken by students in
+    * every grade level") — the mirror of [[attrDivisionCandidates]]:
+    * group the fact by the J key, count DISTINCT E-attribute values
+    * through the broadcast E dimension, compare to the one-row domain
+    * cardinality subquery in HAVING. The attribute word
+    * abbreviation-resolves with spaces collapsed ("grade level" →
+    * grade_level). */
+  def reverseAttrDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    reverseAttrDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
+          s"JOIN $dimE e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
+          s"HAVING COUNT(DISTINCT e.$attrCol) = " +
+          s"(SELECT COUNT(DISTINCT $attrCol) FROM $dimE) " +
+          s"ORDER BY j.$jName LIMIT $DefaultLimit",
+        0.9, "template_reverse_attr_division")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2375,6 +2511,9 @@ object Templates {
       pairArgminAggCandidates(slice, fks, question) ++
       aggVsMedianCandidates(slice, fks, question) ++
       setEqualityCandidates(slice, fks, question) ++
+      entityArgmaxAttrCandidates(slice, fks, question, values) ++
+      trendShareCandidates(slice, fks, question) ++
+      reverseAttrDivisionCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -639,4 +639,53 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("students who share every course with another teacher")
       .forall(_.method != "template_set_equality"))
   }
+
+  test("per-entity argmax with attribute filter requires a mined domain value") {
+    val domains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("dept" -> Seq("math", "science", "history", "arts"))
+      case _ => Map.empty
+    }
+    def gen(q: String) =
+      Templates.candidates(slice, fks, Intent.analyze(q, slice.tables.keys.toSeq), q, domains)
+    val c = gen("students whose best course by average score is in the math department")
+      .find(_.method == "template_entity_argmax_attr").get
+    assert(c.sql.contains(
+      "RANK() OVER (PARTITION BY student_id ORDER BY AVG(score) DESC, course_id)"), c.sql)
+    assert(c.sql.contains("WHERE t.r = 1 AND c.dept = 'math'"), c.sql)
+    assert(c.sql.contains("GROUP BY student_id, course_id"), c.sql)
+    // "worst" flips the rank direction
+    val w = gen("students whose worst course by average score is in the arts department")
+      .find(_.method == "template_entity_argmax_attr").get
+    assert(w.sql.contains("ORDER BY AVG(score) ASC"), w.sql)
+    // a value outside the mined domain fires nothing (no fabrication)
+    assert(gen("students whose best course by average score is in the robotics department")
+      .forall(_.method != "template_entity_argmax_attr"))
+    // and without domains at all, nothing fires
+    assert(cands("students whose best course by average score is in the math department")
+      .forall(_.method != "template_entity_argmax_attr"))
+  }
+
+  test("trend share: both period aggregates in one pass, both-present denominator") {
+    val c = cands("the percentage of students who improved their average score from 2022 to 2023")
+      .find(_.method == "template_trend_share").get
+    assert(c.sql.contains("AVG(CASE WHEN year = 2022 THEN score END) AS a1"), c.sql)
+    assert(c.sql.contains("AVG(CASE WHEN year = 2023 THEN score END) AS a2"), c.sql)
+    assert(c.sql.contains("WHERE a1 IS NOT NULL AND a2 IS NOT NULL"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN a2 > a1 THEN 1 ELSE 0 END)"), c.sql)
+    // falling verbs flip the comparison
+    val d = cands("the percentage of students who decreased their average score from 2022 to 2023")
+      .find(_.method == "template_trend_share").get
+    assert(d.sql.contains("a2 < a1"), d.sql)
+  }
+
+  test("reverse attribute division: distinct entity-attribute count vs domain size") {
+    val c = cands("courses taken by students in every grade level")
+      .find(_.method == "template_reverse_attr_division").get
+    assert(c.sql.contains("HAVING COUNT(DISTINCT e.grade_level) = " +
+      "(SELECT COUNT(DISTINCT grade_level) FROM students)"), c.sql)
+    assert(c.sql.startsWith("SELECT j.course_name"), c.sql)
+    // an attribute resolving nowhere on the entity dimension fires nothing
+    assert(cands("courses taken by students in every cohort")
+      .forall(_.method != "template_reverse_attr_division"))
+  }
 }
