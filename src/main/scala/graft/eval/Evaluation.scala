@@ -550,8 +550,10 @@ object Evaluation {
         "HAVING COUNT(DISTINCT st.grade_level) = " +
         "(SELECT COUNT(DISTINCT grade_level) FROM students) " +
         "ORDER BY c.course_name LIMIT 100", "reverse_attr_division"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9e open cases, closed in round 9f (joined pair argmax /
+    //     count vs average count / joined conditional share; the pair
+    //     shape also exposed and fixed the Validator's CTE-body
+    //     traversal gap) ---
     EvalCase("the two departments with the most different average scores",
       "SELECT a.dept AS dept_a, b.dept AS dept_b FROM " +
         "(SELECT c.dept, AVG(s.score) AS av FROM scores s " +
@@ -573,5 +575,26 @@ object Evaluation {
         "THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
         "FROM scores s JOIN students st ON st.student_id = s.student_id " +
         "GROUP BY st.grade_level ORDER BY st.grade_level LIMIT 100",
-      "joined_conditional_share"))
+      "joined_conditional_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the department with the highest ratio of A grades",
+      "SELECT dept FROM (SELECT c.dept, " +
+        "CAST(SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) AS r " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) t ORDER BY r DESC, dept LIMIT 1",
+      "joined_ratio_argmax"),
+    EvalCase("students with a score at least as high as every score in Algebra",
+      "SELECT DISTINCT st.student_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "WHERE s.score >= (SELECT MAX(sc.score) FROM scores sc " +
+        "JOIN courses c ON c.course_id = sc.course_id " +
+        "WHERE c.course_name = 'Algebra') " +
+        "ORDER BY st.student_name LIMIT 100", "universal_comparison"),
+    EvalCase("the median age of students who took Biology",
+      "SELECT MEDIAN(age) AS agg_value FROM students st " +
+        "WHERE st.student_id IN (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "WHERE c.course_name = 'Biology')", "filtered_median"))
 }

@@ -2466,6 +2466,131 @@ object Templates {
         0.9, "template_reverse_attr_division")).take(1)
     }
 
+  // "the two departments with the most different average scores" —
+  // pair argmax over the aggregates of a JOINED-attribute grouping
+  private val joinedPairArgmaxRe =
+    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"(?:different|dissimilar)\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)s?\b").r
+
+  /** Joined pair argmax: "the two As with the most different avg Vs"
+    * where A is an attribute of a dimension joined to the fact
+    * ("department" → courses.dept) → ONE grouped aggregate through the
+    * broadcast dimension (the only corpus pass), then the pair argmax
+    * runs over the GROUP ROWS — |attribute domain|² pairs, inherently
+    * bounded by the domain (departments, categories), never the corpus.
+    * The unordered pair appears once via `a.k < b.k`; ties resolve
+    * lexicographically, matching the quadratic definition exactly. */
+  def joinedPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val aWord = {
+        val w = m.group(1)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      val vWord = {
+        val w = m.group(3)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
+          abbrevColumn(aWord, slice.tables(e.toTable)).isDefined)
+        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        attrCol <- abbrevColumn(aWord, slice.tables(e.toTable)).toSeq
+      } yield Candidate(
+        s"WITH g AS (SELECT c.$attrCol AS k, $agg(f.$numCol) AS av " +
+          s"FROM ${e.fromTable} f JOIN ${e.toTable} c " +
+          s"ON c.${e.toColumn} = f.${e.fromColumn} GROUP BY c.$attrCol) " +
+          s"SELECT a.k AS ${attrCol}_a, b.k AS ${attrCol}_b " +
+          s"FROM g a JOIN g b ON a.k < b.k " +
+          s"ORDER BY ABS(a.av - b.av) DESC, ${attrCol}_a, ${attrCol}_b LIMIT 1",
+        0.9, "template_joined_pair_argmax")).take(1)
+    }
+
+  // "students who took more courses than the average student" —
+  // per-entity distinct count vs the average of all such counts
+  private val countVsAvgCountRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
+      raw"(more|fewer|less)\s+([a-z_][a-z0-9_]*)\s+than\s+the\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Count vs average count: "Es who V more Js than the average E" →
+    * the per-entity DISTINCT J count computes once per entity key (one
+    * grouped pass over the fact), the average of those |E| counts is a
+    * one-row scalar subquery broadcast into the filter, and display
+    * names join at survivor size. The comparison entity ("the average
+    * student") must name the SAME dimension. */
+  def countVsAvgCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    countVsAvgCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).toLowerCase == "more") ">" else "<"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        if uniqueTable(slice, m.group(4)).contains(dimE)
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield {
+        val grouped = s"SELECT ${eE.fromColumn}, COUNT(DISTINCT ${eJ.fromColumn}) AS n " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}"
+        Candidate(
+          s"SELECT d.$nameCol FROM ($grouped) t " +
+            s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
+            s"WHERE t.n $op (SELECT AVG(n) FROM ($grouped) m) " +
+            s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+          0.9, "template_count_vs_avg_count")
+      }).take(1)
+    }
+
+  // "for each grade level, the percentage of scores above 80" — a
+  // conditional share within groups defined by a JOINED attribute
+  private val joinedCondShareRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s*,?\s+the\s+" +
+      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)s?\s+" +
+      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Joined conditional share: "for each A, the percentage of Vs above
+    * N" where A is an attribute on a dimension joined to the fact
+    * ("grade level" → students.grade_level) → the conditional count and
+    * the total share ONE grouped pass through the broadcast dimension
+    * join; group keys are the attribute values. The same-table group
+    * form belongs to [[conditionalShareCandidates]] — this fires only
+    * when the group word resolves on a JOINED dimension, so the two
+    * never compete. */
+  def joinedCondShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedCondShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      val vWord = {
+        val w = m.group(3)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
+          abbrevColumn(attrWord, slice.tables(e.toTable)).isDefined)
+        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(e.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT e.$attrCol, ROUND(100.0 * SUM(CASE WHEN f.$numCol $op ${m.group(5)} " +
+          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+          s"FROM ${e.fromTable} f JOIN ${e.toTable} e " +
+          s"ON e.${e.toColumn} = f.${e.fromColumn} " +
+          s"GROUP BY e.$attrCol ORDER BY e.$attrCol LIMIT $DefaultLimit",
+        0.9, "template_joined_cond_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2514,6 +2639,9 @@ object Templates {
       entityArgmaxAttrCandidates(slice, fks, question, values) ++
       trendShareCandidates(slice, fks, question) ++
       reverseAttrDivisionCandidates(slice, fks, question) ++
+      joinedPairArgmaxCandidates(slice, fks, question) ++
+      countVsAvgCountCandidates(slice, fks, question) ++
+      joinedCondShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

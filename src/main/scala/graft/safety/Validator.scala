@@ -82,18 +82,38 @@ object Validator {
     plan match {
       case _: Command => deny("DDL/utility command")
       case _ =>
-        val bad = plan.collectFirst {
+        // defense-in-depth: expand CTE bodies and subquery plans too
+        // (Spark's parser does not currently admit DML there, but the
+        // denylist must not depend on that staying true)
+        val bad = withCteDefs(plan).flatMap(_.collectWithSubqueries {
           case _: InsertIntoStatement => "INSERT"
           case _: UpdateTable => "UPDATE"
           case _: DeleteFromTable => "DELETE"
           case _: MergeIntoTable => "MERGE"
           case c: Command => c.nodeName
-        }
+        }).headOption
         bad match {
           case Some(kind) => deny(kind)
           case None => Right(())
         }
     }
+  }
+
+  /** The plan plus every CTE DEFINITION body, recursively. A parsed
+    * `UnresolvedWith` is a UnaryNode whose only child is the main query
+    * — its `cteRelations` hang OUTSIDE `children`, so neither `collect`
+    * nor `collectWithSubqueries` ever enters a WITH body. Before round 9
+    * that made everything inside a CTE invisible to every check below:
+    * `WITH g AS (SELECT * FROM forbidden) SELECT * FROM g` walked
+    * straight through the table allow-list (the same bypass class the
+    * round-5 subquery-expression fix closed), and an aggregate defined
+    * in a CTE failed the aggregation requirement. Every traversal-based
+    * check now expands through this helper. */
+  private def withCteDefs(plan: LogicalPlan): Seq[LogicalPlan] = {
+    val defs = plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._2: LogicalPlan)
+    }.flatten
+    plan +: defs.flatMap(withCteDefs)
   }
 
   /** All base relations referenced by the plan, minus CTE-defined names
@@ -103,13 +123,15 @@ object Validator {
     // EXPRESSIONS (ScalarSubquery / InSubquery / Exists) — plain
     // `collect` visits plan children only, which made
     // `WHERE x IN (SELECT y FROM forbidden_table)` invisible to the
-    // allow-list (a validation bypass)
-    val cteNames = plan.collectWithSubqueries {
+    // allow-list (a validation bypass); withCteDefs additionally
+    // expands WITH bodies (the same bypass through a CTE)
+    val plans = withCteDefs(plan)
+    val cteNames = plans.flatMap(_.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    plan.collectWithSubqueries {
+    }.flatten).toSet
+    plans.flatMap(_.collectWithSubqueries {
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.toSet -- cteNames
+    }).toSet -- cteNames
   }
 
   /** Table allow-list (V4, ref nl2sql.py:292-313). */
@@ -137,14 +159,17 @@ object Validator {
   }
 
   private def hasNode(plan: LogicalPlan)(pf: PartialFunction[LogicalPlan, Boolean]): Boolean =
-    plan.collectWithSubqueries(pf).headOption.getOrElse(false)
+    withCteDefs(plan)
+      .exists(_.collectWithSubqueries(pf).headOption.getOrElse(false))
 
   /** Every expression in every node of the plan — INCLUDING nodes inside
     * subquery expressions (parsed plans keep aggregates as
     * UnresolvedFunction inside Project until analysis; an AVG inside a
-    * scalar subquery must satisfy the aggregation requirement). */
+    * scalar subquery must satisfy the aggregation requirement) and
+    * inside CTE definition bodies (an AVG in a WITH clause, ditto). */
   private def allExpressions(plan: LogicalPlan) =
-    plan.collectWithSubqueries { case n => n.expressions }.flatten
+    withCteDefs(plan)
+      .flatMap(_.collectWithSubqueries { case n => n.expressions }.flatten)
 
   /** Any subquery expression (scalar / IN / EXISTS) anywhere in the plan
     * — a legitimate multi-table linkage for the structure check. */

@@ -69,7 +69,8 @@ class EvaluationSpec extends SparkSpec {
         "join_group_argmax", "range_having", "trend_argmax",
         "division_by_example", "filtered_popularity", "argmax_attr_filter",
         "pair_argmin_agg", "agg_vs_median", "set_equality",
-        "entity_argmax_attr", "trend_share", "reverse_attr_division"))
+        "entity_argmax_attr", "trend_share", "reverse_attr_division",
+        "joined_pair_argmax", "count_vs_avg_count", "joined_conditional_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

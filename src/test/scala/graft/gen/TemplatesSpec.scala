@@ -688,4 +688,39 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("courses taken by students in every cohort")
       .forall(_.method != "template_reverse_attr_division"))
   }
+
+  test("joined pair argmax: pairs over attribute group rows, never the fact") {
+    val c = cands("the two departments with the most different average scores")
+      .find(_.method == "template_joined_pair_argmax").get
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("FROM g a JOIN g b ON a.k < b.k"), c.sql)
+    assert(c.sql.contains("ORDER BY ABS(a.av - b.av) DESC, dept_a, dept_b LIMIT 1"), c.sql)
+    // an attribute word resolving on no joined dimension fires nothing
+    assert(cands("the two faculties with the most different average scores")
+      .forall(_.method != "template_joined_pair_argmax"))
+  }
+
+  test("count vs average count: per-entity distinct count against its own mean") {
+    val c = cands("students who took more courses than the average student")
+      .find(_.method == "template_count_vs_avg_count").get
+    assert(c.sql.contains("COUNT(DISTINCT course_id) AS n"), c.sql)
+    assert(c.sql.contains("WHERE t.n > (SELECT AVG(n) FROM"), c.sql)
+    // "fewer" flips the comparison
+    val f = cands("students who took fewer courses than the average student")
+      .find(_.method == "template_count_vs_avg_count").get
+    assert(f.sql.contains("t.n < (SELECT AVG(n)"), f.sql)
+    // the comparison entity must name the same dimension
+    assert(cands("students who took more courses than the average teacher")
+      .forall(_.method != "template_count_vs_avg_count"))
+  }
+
+  test("joined conditional share: share within joined-attribute groups") {
+    val c = cands("for each grade level, the percentage of scores above 80")
+      .find(_.method == "template_joined_cond_share").get
+    assert(c.sql.contains("GROUP BY e.grade_level"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN f.score > 80 THEN 1 ELSE 0 END)"), c.sql)
+    // the same-table group form stays with template_conditional_share
+    assert(cands("for each course, the percentage of scores of at least 90")
+      .forall(_.method != "template_joined_cond_share"))
+  }
 }

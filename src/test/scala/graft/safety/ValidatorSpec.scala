@@ -64,6 +64,32 @@ class ValidatorSpec extends SparkSpec {
     assert(Validator.validateAggregationRequirement(p, needsAggregation = true).isRight)
   }
 
+  test("allow-list sees through CTE definition bodies — no bypass via WITH") {
+    // UnresolvedWith keeps its cteRelations OUTSIDE children, so plain
+    // collect never enters a WITH body; before round 9 every one of
+    // these walked straight through the allow-list
+    Seq(
+      "WITH g AS (SELECT * FROM secrets) SELECT * FROM g",
+      "WITH g AS (SELECT * FROM customer WHERE c_custkey IN (SELECT k FROM secrets)) SELECT * FROM g",
+      // nested WITH inside a CTE body
+      "WITH g AS (WITH h AS (SELECT * FROM secrets) SELECT * FROM h) SELECT * FROM g"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft && r.swap.toOption.get.message.contains("secrets"), sql)
+    }
+    // and legitimate CTE names still do not read as table references
+    val ok = Validator.validate(spark,
+      "WITH g AS (SELECT c_custkey FROM customer) SELECT * FROM g", allowed)
+    assert(ok.isRight, ok)
+  }
+
+  test("aggregation requirement satisfied by an aggregate inside a CTE body") {
+    val p = Validator.parse(spark,
+      "WITH g AS (SELECT c_mktsegment, AVG(c_acctbal) AS a FROM customer GROUP BY c_mktsegment) " +
+        "SELECT * FROM g a JOIN g b ON a.c_mktsegment < b.c_mktsegment").toOption.get
+    assert(Validator.validateAggregationRequirement(p, needsAggregation = true).isRight)
+  }
+
   test("structure check: subquery predicates count as the multi-table linkage") {
     val exists = Validator.parse(spark,
       "SELECT COUNT(*) FROM customer c WHERE NOT EXISTS " +
