@@ -131,6 +131,10 @@ object Evaluation {
     "TRUNCATE TABLE lineitem",
     "MERGE INTO customer USING orders ON 1=1 WHEN MATCHED THEN DELETE",
     "SELECT * FROM secret_table_not_allowed",
+    // CTE-body and subquery-expression smuggling (the two traversal
+    // bypass classes closed in rounds 5 and 9)
+    "WITH g AS (SELECT * FROM secret_table_not_allowed) SELECT * FROM g",
+    "SELECT * FROM customer WHERE c_custkey IN (SELECT k FROM secret_table_not_allowed)",
     "GRANT ALL ON customer TO PUBLIC")
 
   def runSafetyProbes(engine: Engine, probes: Seq[String] = safetyProbes): Double = {
@@ -576,8 +580,8 @@ object Evaluation {
         "FROM scores s JOIN students st ON st.student_id = s.student_id " +
         "GROUP BY st.grade_level ORDER BY st.grade_level LIMIT 100",
       "joined_conditional_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9f open cases, closed in round 9g (joined ratio argmax /
+    //     universal comparison / filtered scalar aggregate) ---
     EvalCase("the department with the highest ratio of A grades",
       "SELECT dept FROM (SELECT c.dept, " +
         "CAST(SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
@@ -596,5 +600,29 @@ object Evaluation {
       "SELECT MEDIAN(age) AS agg_value FROM students st " +
         "WHERE st.student_id IN (SELECT s.student_id FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
-        "WHERE c.course_name = 'Biology')", "filtered_median"))
+        "WHERE c.course_name = 'Biology')", "filtered_median"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course taken by the widest range of grade levels",
+      "SELECT c.course_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_id, c.course_name " +
+        "ORDER BY COUNT(DISTINCT st.grade_level) DESC, c.course_name LIMIT 1",
+      "joined_distinct_argmax"),
+    EvalCase("students whose scores rank in the top 10 percent overall",
+      "SELECT DISTINCT st.student_name FROM (SELECT student_id, " +
+        "PERCENT_RANK() OVER (ORDER BY score) AS pr FROM scores) t " +
+        "JOIN students st ON st.student_id = t.student_id " +
+        "WHERE t.pr >= 0.9 ORDER BY st.student_name LIMIT 100",
+      "percentile_rank_filter"),
+    EvalCase("for each course, the gap between its average score and the department average",
+      "SELECT course_name, ROUND(ca - da, 2) AS agg_value FROM (" +
+        "SELECT c.course_name AS course_name, c.dept AS dept, AVG(s.score) AS ca " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_name, c.dept) x " +
+        "JOIN (SELECT c.dept AS dept, AVG(s.score) AS da " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) y USING (dept) " +
+        "ORDER BY course_name LIMIT 100", "nested_group_deviation"))
 }

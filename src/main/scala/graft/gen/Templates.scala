@@ -2591,6 +2591,147 @@ object Templates {
         0.9, "template_joined_cond_share")).take(1)
     }
 
+  // "the department with the highest ratio of A grades" — argmax over a
+  // conditional ratio within joined-attribute groups
+  private val joinedRatioArgmaxRe =
+    (raw"\bthe\s+([a-z_][a-z0-9_]*)\s+(?i:with)\s+(?i:the)\s+(?i:(highest|lowest))\s+" +
+      raw"(?i:ratio|share|percentage|fraction)\s+(?i:of)\s+" +
+      raw"([A-Z][\w'-]*|\d+)\s+([a-z_][a-z0-9_]*)s?\b").r
+
+  /** Joined ratio argmax: "the A with the highest ratio of X Vs" ("the
+    * department with the highest ratio of A grades") → conditional
+    * count and total in ONE grouped pass through the broadcast
+    * dimension join, argmax over the |attribute domain| group rows via
+    * TakeOrderedAndProject. The matched value X is CASE-SENSITIVE
+    * (capitalized or numeric — "a grades" never reads as a value); the
+    * category column strong-resolves on the fact, the attribute
+    * abbreviation-resolves on a joined dimension. */
+  def joinedRatioArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedRatioArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "highest") "DESC" else "ASC"
+      val vWord = {
+        val w = m.group(4)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
+        catCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        attrCol <- abbrevColumn(m.group(1), slice.tables(e.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol FROM (SELECT c.$attrCol AS $attrCol, " +
+          s"CAST(SUM(CASE WHEN f.$catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*) AS r " +
+          s"FROM ${e.fromTable} f JOIN ${e.toTable} c " +
+          s"ON c.${e.toColumn} = f.${e.fromColumn} GROUP BY c.$attrCol) t " +
+          s"ORDER BY r $dir, $attrCol LIMIT 1",
+        0.9, "template_joined_ratio_argmax")).take(1)
+    }
+
+  // "students with a score at least as high as every score in Algebra"
+  // — a >= ALL / <= ALL comparison against a name-anchored subset
+  private val universalComparisonRe =
+    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:with)\s+(?i:a|an)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?i:at\s+least\s+as\s+(high|large|great|big)|at\s+most\s+as\s+(low|small|little))\s+" +
+      raw"(?i:as)\s+(?i:every|each|any)\s+([a-z_][a-z0-9_]*)\s+(?i:in)\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
+
+  /** Universal comparison: "Es with a V at least as high as every V in
+    * NAME" → `V >= ALL (subset)` ⟺ `V >= (SELECT MAX(V) FROM subset)` —
+    * the quantifier collapses to a one-row extreme broadcast into the
+    * filter, never a per-row ALL comparison. The NAME anchors the
+    * second dimension (mined domains first, single candidate
+    * otherwise, like [[selfRelativeCandidates]]); both V words must
+    * resolve to the same fact column. */
+  def universalComparisonCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    universalComparisonRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val high = m.group(3) != null
+      val (op, ext) = if (high) (">=", "MAX") else ("<=", "MIN")
+      val name = m.group(6).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eName <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined)
+        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        numCol2 <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
+        if numCol == numCol2
+        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          nameishColumn(slice.tables(e.toTable)).isDefined)
+        eJ <- {
+          val domainHit = candidateDims.filter(e =>
+            nameishColumn(slice.tables(e.toTable)).exists(nc =>
+              values(e.toTable).get(nc).exists(_.contains(m.group(6)))))
+          (if (domainHit.nonEmpty) domainHit.headOption
+           else if (candidateDims.size == 1) candidateDims.headOption
+           else None).toSeq
+        }
+        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$eName FROM ${eE.fromTable} f " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"WHERE f.$numCol $op (SELECT $ext(f2.$numCol) FROM ${eE.fromTable} f2 " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = f2.${eJ.fromColumn} " +
+          s"WHERE c.$jName = '$name') " +
+          s"ORDER BY d.$eName LIMIT $DefaultLimit",
+        0.9, "template_universal_comparison")).take(1)
+    }
+
+  // "the median age of students who took Biology" — a scalar aggregate
+  // over entities selected through a name-anchored join
+  private val filteredScalarAggRe =
+    (raw"\bthe\s+(?i:(median|average|avg|mean))\s+([a-z_][a-z0-9_]*)\s+(?i:of)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
+
+  /** Filtered scalar aggregate: "the median A of Es who Ved NAME" → the
+    * qualifying entity keys come from an IN-subquery (fact ⋈ broadcast
+    * second dimension, name-filtered — Catalyst plans a semi-join), and
+    * the aggregate runs over the surviving DIMENSION rows — entity
+    * attribute values never join through the fact, so each qualifying
+    * entity counts ONCE regardless of its fact fan-out. The attribute
+    * strong-resolves on the entity dimension, the NAME anchors the
+    * second dimension by mined domains (single candidate otherwise). */
+  def filteredScalarAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    filteredScalarAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(1).toLowerCase match {
+        case "median" => "MEDIAN"
+        case _ => "AVG"
+      }
+      val name = m.group(4).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        attrCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          nameishColumn(slice.tables(e.toTable)).isDefined)
+        eJ <- {
+          val domainHit = candidateDims.filter(e =>
+            nameishColumn(slice.tables(e.toTable)).exists(nc =>
+              values(e.toTable).get(nc).exists(_.contains(m.group(4)))))
+          (if (domainHit.nonEmpty) domainHit.headOption
+           else if (candidateDims.size == 1) candidateDims.headOption
+           else None).toSeq
+        }
+        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT $agg(d.$attrCol) AS agg_value FROM $dimE d " +
+          s"WHERE d.${eE.toColumn} IN (SELECT f.${eE.fromColumn} " +
+          s"FROM ${eE.fromTable} f JOIN ${eJ.toTable} c " +
+          s"ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"WHERE c.$jName = '$name')",
+        0.9, "template_filtered_scalar_agg")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2642,6 +2783,9 @@ object Templates {
       joinedPairArgmaxCandidates(slice, fks, question) ++
       countVsAvgCountCandidates(slice, fks, question) ++
       joinedCondShareCandidates(slice, fks, question) ++
+      joinedRatioArgmaxCandidates(slice, fks, question) ++
+      universalComparisonCandidates(slice, fks, question, values) ++
+      filteredScalarAggCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

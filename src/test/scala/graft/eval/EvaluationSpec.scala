@@ -33,7 +33,8 @@ class EvaluationSpec extends SparkSpec {
     assert(report.cases.forall(_.latencyMs < 30000))
   }
 
-  test("all 10 safety probes are blocked (10/10 like the reference pilot)") {
+  test("all safety probes are blocked (the reference pilot's 10 plus the two traversal-bypass classes)") {
+    assert(Evaluation.safetyProbes.size == 12)
     assert(Evaluation.runSafetyProbes(engine) == 1.0)
   }
 
@@ -70,7 +71,8 @@ class EvaluationSpec extends SparkSpec {
         "division_by_example", "filtered_popularity", "argmax_attr_filter",
         "pair_argmin_agg", "agg_vs_median", "set_equality",
         "entity_argmax_attr", "trend_share", "reverse_attr_division",
-        "joined_pair_argmax", "count_vs_avg_count", "joined_conditional_share"))
+        "joined_pair_argmax", "count_vs_avg_count", "joined_conditional_share",
+        "joined_ratio_argmax", "universal_comparison", "filtered_median"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -723,4 +723,56 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("for each course, the percentage of scores of at least 90")
       .forall(_.method != "template_joined_cond_share"))
   }
+
+  test("joined ratio argmax: case-sensitive category value, one grouped pass") {
+    val c = cands("the department with the highest ratio of A grades")
+      .find(_.method == "template_joined_ratio_argmax").get
+    assert(c.sql.contains("SUM(CASE WHEN f.grade = 'A' THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY r DESC, dept LIMIT 1"), c.sql)
+    // a lowercase letter is not a category value — no candidate
+    assert(cands("the department with the highest ratio of a grades")
+      .forall(_.method != "template_joined_ratio_argmax"))
+  }
+
+  test("universal comparison collapses the ALL-quantifier to a broadcast extreme") {
+    val domains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("course_name" -> Seq("Algebra", "Biology"))
+      case _ => Map.empty
+    }
+    def gen(q: String) =
+      Templates.candidates(slice, fks, Intent.analyze(q, slice.tables.keys.toSeq), q, domains)
+    val c = gen("students with a score at least as high as every score in Algebra")
+      .find(_.method == "template_universal_comparison").get
+    assert(c.sql.contains("WHERE f.score >= (SELECT MAX(f2.score)"), c.sql)
+    assert(c.sql.contains("WHERE c.course_name = 'Algebra'"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d.student_name"), c.sql)
+    // the low form flips to <= MIN
+    val l = gen("students with a score at most as low as every score in Biology")
+      .find(_.method == "template_universal_comparison").get
+    assert(l.sql.contains("<= (SELECT MIN(f2.score)"), l.sql)
+    // mismatched measure words fire nothing
+    assert(gen("students with a score at least as high as every grade in Algebra")
+      .forall(_.method != "template_universal_comparison"))
+  }
+
+  test("filtered scalar aggregate counts each qualifying entity once") {
+    val domains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("course_name" -> Seq("Algebra", "Biology"))
+      case _ => Map.empty
+    }
+    def gen(q: String) =
+      Templates.candidates(slice, fks, Intent.analyze(q, slice.tables.keys.toSeq), q, domains)
+    val c = gen("the median age of students who took Biology")
+      .find(_.method == "template_filtered_scalar_agg").get
+    assert(c.sql.startsWith("SELECT MEDIAN(d.age) AS agg_value FROM students d"), c.sql)
+    // the aggregate runs over DIMENSION rows via IN — never through the
+    // fact join, so fan-out cannot double-count an entity
+    assert(c.sql.contains("WHERE d.student_id IN (SELECT f.student_id"), c.sql)
+    assert(c.sql.contains("WHERE c.course_name = 'Biology'"), c.sql)
+    // "average" maps to AVG
+    val a = gen("the average age of students who took Algebra")
+      .find(_.method == "template_filtered_scalar_agg").get
+    assert(a.sql.startsWith("SELECT AVG(d.age)"), a.sql)
+  }
 }
