@@ -601,8 +601,8 @@ object Evaluation {
         "WHERE st.student_id IN (SELECT s.student_id FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
         "WHERE c.course_name = 'Biology')", "filtered_median"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9g open cases, closed in round 9h (joined distinct
+    //     argmax / percentile-rank filter / nested group deviation) ---
     EvalCase("the course taken by the widest range of grade levels",
       "SELECT c.course_name FROM scores s " +
         "JOIN students st ON st.student_id = s.student_id " +
@@ -624,5 +624,29 @@ object Evaluation {
         "JOIN (SELECT c.dept AS dept, AVG(s.score) AS da " +
         "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept) y USING (dept) " +
-        "ORDER BY course_name LIMIT 100", "nested_group_deviation"))
+        "ORDER BY course_name LIMIT 100", "nested_group_deviation"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who took courses in more departments than Ada Adams",
+      "SELECT st.student_name FROM (SELECT s.student_id, " +
+        "COUNT(DISTINCT c.dept) AS n FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY s.student_id) t " +
+        "JOIN students st ON st.student_id = t.student_id " +
+        "WHERE t.n > (SELECT COUNT(DISTINCT c.dept) FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "JOIN students a ON a.student_id = s.student_id " +
+        "WHERE a.student_name = 'Ada Adams') " +
+        "ORDER BY st.student_name LIMIT 100", "count_vs_example"),
+    EvalCase("the grade level whose students have the widest age range",
+      "SELECT grade_level FROM students GROUP BY grade_level " +
+        "ORDER BY MAX(age) - MIN(age) DESC, grade_level LIMIT 1",
+      "dim_range_argmax"),
+    EvalCase("courses where every student scored above their own average",
+      "SELECT c.course_name FROM scores s " +
+        "JOIN (SELECT student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id) m ON m.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_id, c.course_name " +
+        "HAVING MIN(CASE WHEN s.score > m.a THEN 1 ELSE 0 END) = 1 " +
+        "ORDER BY c.course_name LIMIT 100", "universal_other_relative"))
 }

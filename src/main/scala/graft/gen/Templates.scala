@@ -2732,6 +2732,127 @@ object Templates {
         0.9, "template_filtered_scalar_agg")).take(1)
     }
 
+  // "the course taken by the widest range of grade levels" — argmax by
+  // the DISTINCT count of a joined attribute
+  private val joinedDistinctArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+" +
+      raw"(widest|broadest|largest|greatest|smallest|narrowest)\s+" +
+      raw"(?:range|variety|number|spread)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Joined distinct argmax: "the J Ved by the widest range of As" →
+    * group the fact by the J key, count DISTINCT attribute values
+    * through the broadcast entity dimension, top-1 via
+    * TakeOrderedAndProject over the group rows. The attribute phrase
+    * singularizes its last word and abbreviation-resolves ("grade
+    * levels" → grade_level) against a dimension joined to the fact. */
+  def joinedDistinctArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedDistinctArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("smallest", "narrowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      val attrWord = {
+        val parts = m.group(3).trim.split("\\s+")
+        val last = parts.last
+        (parts.init :+ (if (last.endsWith("s")) last.dropRight(1) else last))
+          .mkString("_")
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(attrWord, slice.tables(e.toTable)).isDefined).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(eE.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
+          s"JOIN ${eE.toTable} e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
+          s"ORDER BY COUNT(DISTINCT e.$attrCol) $dir, j.$jName LIMIT 1",
+        0.9, "template_joined_distinct_argmax")).take(1)
+    }
+
+  // "students whose scores rank in the top 10 percent overall" — a
+  // global percentile-rank threshold
+  private val percentileRankRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)s?\s+rank\s+in\s+" +
+      raw"the\s+(top|bottom)\s+(\d+(?:\.\d+)?)\s+(?:percent|%)\s+overall\b").r
+
+  /** Percentile-rank filter: "Es whose Vs rank in the top N percent
+    * overall" → PERCENT_RANK over the fact ordered by V, keep
+    * `pr >= 1 − N/100` ("bottom" keeps `pr <= N/100`), DISTINCT
+    * display names at survivor size. The global window mirrors the
+    * semantics exactly; at corpus scale the same answer comes from a
+    * precomputed quantile CUTOFF (`Sketches.kllQuantiles` /
+    * `Profiler.exactPercentiles`) broadcast into a plain filter —
+    * trading the global sort for one sketch merge when tie-boundary
+    * subtleties allow. */
+  def percentileRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    percentileRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val top = m.group(3).toLowerCase == "top"
+      val frac = m.group(4).toDouble / 100.0
+      val cond = if (top) s"t.pr >= ${1 - frac}" else s"t.pr <= $frac"
+      val word = m.group(2)
+      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$nameCol FROM (SELECT ${e.fromColumn}, " +
+          s"PERCENT_RANK() OVER (ORDER BY $numCol) AS pr FROM ${e.fromTable}) t " +
+          s"JOIN $dimE d ON d.${e.toColumn} = t.${e.fromColumn} " +
+          s"WHERE $cond ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_percentile_rank")).take(1)
+    }
+
+  // "for each course, the gap between its average score and the
+  // department average" — per-group deviation from its PARENT group
+  private val nestedGroupDeviationRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
+      raw"(?:gap|difference)\s+between\s+its\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+and\s+the\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:average|avg|mean|total|sum)\b").r
+
+  /** Nested group deviation: "for each J, the gap between its avg V
+    * and the A average" where A is a coarser attribute on J's own
+    * dimension ("department" groups courses) → TWO aggregates over the
+    * same scan (fine: (J, A); coarse: A — the parent level aggregates
+    * ALL fact rows of the parent, not an average of averages), joined
+    * on the parent key: |J| × |A| group rows, the fact scans twice at
+    * worst (Catalyst reuses the exchange when it can), never a window
+    * over the corpus. */
+  def nestedGroupDeviationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    nestedGroupDeviationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
+        if attrCol != jName
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined)
+        numCol <- strongColumn(m.group(3), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $jName, ROUND(ca - da, 2) AS agg_value FROM (" +
+          s"SELECT c.$jName AS $jName, c.$attrCol AS attr_k, $agg(f.$numCol) AS ca " +
+          s"FROM ${eJ.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY c.$jName, c.$attrCol) x " +
+          s"JOIN (SELECT c.$attrCol AS attr_k, $agg(f.$numCol) AS da " +
+          s"FROM ${eJ.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol) y USING (attr_k) " +
+          s"ORDER BY $jName LIMIT $DefaultLimit",
+        0.9, "template_nested_group_deviation")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2786,6 +2907,9 @@ object Templates {
       joinedRatioArgmaxCandidates(slice, fks, question) ++
       universalComparisonCandidates(slice, fks, question, values) ++
       filteredScalarAggCandidates(slice, fks, question, values) ++
+      joinedDistinctArgmaxCandidates(slice, fks, question) ++
+      percentileRankCandidates(slice, fks, question) ++
+      nestedGroupDeviationCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

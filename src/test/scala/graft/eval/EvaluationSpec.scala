@@ -72,7 +72,9 @@ class EvaluationSpec extends SparkSpec {
         "pair_argmin_agg", "agg_vs_median", "set_equality",
         "entity_argmax_attr", "trend_share", "reverse_attr_division",
         "joined_pair_argmax", "count_vs_avg_count", "joined_conditional_share",
-        "joined_ratio_argmax", "universal_comparison", "filtered_median"))
+        "joined_ratio_argmax", "universal_comparison", "filtered_median",
+        "joined_distinct_argmax", "percentile_rank_filter",
+        "nested_group_deviation"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

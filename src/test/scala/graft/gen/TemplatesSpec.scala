@@ -775,4 +775,40 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_filtered_scalar_agg").get
     assert(a.sql.startsWith("SELECT AVG(d.age)"), a.sql)
   }
+
+  test("joined distinct argmax: distinct joined-attribute count, top-1") {
+    val c = cands("the course taken by the widest range of grade levels")
+      .find(_.method == "template_joined_distinct_argmax").get
+    assert(c.sql.contains("ORDER BY COUNT(DISTINCT e.grade_level) DESC, j.course_name LIMIT 1"), c.sql)
+    assert(c.sql.contains("GROUP BY j.course_id, j.course_name"), c.sql)
+    // "narrowest" flips the direction
+    val n = cands("the course taken by the narrowest range of grade levels")
+      .find(_.method == "template_joined_distinct_argmax").get
+    assert(n.sql.contains("COUNT(DISTINCT e.grade_level) ASC"), n.sql)
+    // an attribute resolving nowhere fires nothing
+    assert(cands("the course taken by the widest range of cohorts")
+      .forall(_.method != "template_joined_distinct_argmax"))
+  }
+
+  test("percentile-rank filter: top keeps the high tail, bottom the low tail") {
+    val c = cands("students whose scores rank in the top 10 percent overall")
+      .find(_.method == "template_percentile_rank").get
+    assert(c.sql.contains("PERCENT_RANK() OVER (ORDER BY score) AS pr"), c.sql)
+    assert(c.sql.contains("WHERE t.pr >= 0.9"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d.student_name"), c.sql)
+    val b = cands("students whose scores rank in the bottom 25 percent overall")
+      .find(_.method == "template_percentile_rank").get
+    assert(b.sql.contains("t.pr <= 0.25"), b.sql)
+  }
+
+  test("nested group deviation: fine aggregate joined to its parent-level aggregate") {
+    val c = cands("for each course, the gap between its average score and the department average")
+      .find(_.method == "template_nested_group_deviation").get
+    assert(c.sql.contains("GROUP BY c.course_name, c.dept"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept) y USING (attr_k)"), c.sql)
+    assert(c.sql.contains("ROUND(ca - da, 2) AS agg_value"), c.sql)
+    // the parent word must resolve to an attribute, not the name column
+    assert(cands("for each course, the gap between its average score and the name average")
+      .forall(_.method != "template_nested_group_deviation"))
+  }
 }
