@@ -625,8 +625,8 @@ object Evaluation {
         "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept) y USING (dept) " +
         "ORDER BY course_name LIMIT 100", "nested_group_deviation"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9h open cases, closed in round 9i (count vs example /
+    //     dimension range argmax / universal other-relative) ---
     EvalCase("students who took courses in more departments than Ada Adams",
       "SELECT st.student_name FROM (SELECT s.student_id, " +
         "COUNT(DISTINCT c.dept) AS n FROM scores s " +
@@ -648,5 +648,25 @@ object Evaluation {
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.course_id, c.course_name " +
         "HAVING MIN(CASE WHEN s.score > m.a THEN 1 ELSE 0 END) = 1 " +
-        "ORDER BY c.course_name LIMIT 100", "universal_other_relative"))
+        "ORDER BY c.course_name LIMIT 100", "universal_other_relative"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average gap between a student's best and worst scores",
+      "SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
+        "(SELECT MAX(score) AS mx, MIN(score) AS mn FROM scores " +
+        "GROUP BY student_id) t", "avg_of_range"),
+    EvalCase("departments where every course has an average score above 70",
+      "SELECT dept FROM (SELECT c.dept AS dept, c.course_id, " +
+        "AVG(s.score) AS a FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, c.course_id) t " +
+        "GROUP BY dept HAVING MIN(CASE WHEN a > 70 THEN 1 ELSE 0 END) = 1 " +
+        "ORDER BY dept LIMIT 100", "universal_group_agg"),
+    EvalCase("the student who improved the most between 2022 and 2023",
+      "SELECT student_id FROM (SELECT student_id, " +
+        "AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END) AS d " +
+        "FROM scores GROUP BY student_id) t " +
+        "WHERE d IS NOT NULL ORDER BY d DESC, student_id LIMIT 1",
+      "trend_argmax_entity"))
 }

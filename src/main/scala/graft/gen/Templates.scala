@@ -2853,6 +2853,119 @@ object Templates {
         0.9, "template_nested_group_deviation")).take(1)
     }
 
+  // "students who took courses in more departments than Ada Adams" —
+  // per-entity distinct joined-attribute count vs a NAMED example's
+  private val countVsExampleRe =
+    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?i:in)\s+(?i:(more|fewer))\s+" +
+      raw"([a-z_][a-z0-9_]*)s\s+(?i:than)\s+" +
+      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
+
+  /** Count vs example: "Es who Ved Js in more As than NAME" → each
+    * entity's DISTINCT count of the attribute A (reached through the
+    * fact's J join) compared to the NAMED entity's own count — the
+    * example's count is a one-row scalar subquery broadcast into the
+    * filter (name-sharing rows union, as in
+    * [[divisionByExampleCandidates]]); the grouped pass over the fact
+    * runs once. */
+  def countVsExampleCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    countVsExampleRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(3).toLowerCase == "more") ">" else "<"
+      val name = m.group(5).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM (SELECT f.${eE.fromColumn} AS k, " +
+          s"COUNT(DISTINCT c.$attrCol) AS n FROM ${eE.fromTable} f " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY f.${eE.fromColumn}) t " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = t.k " +
+          s"WHERE t.n $op (SELECT COUNT(DISTINCT c.$attrCol) " +
+          s"FROM ${eE.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"JOIN $dimE a ON a.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"WHERE a.$nameCol = '$name') " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_count_vs_example")).take(1)
+    }
+
+  // "the grade level whose students have the widest age range" — a
+  // purely dimension-side grouped range argmax
+  private val dimRangeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+" +
+      raw"(widest|largest|greatest|biggest|narrowest|smallest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+range\b").r
+
+  /** Dimension range argmax: "the A whose Es have the widest B range" —
+    * both the group attribute and the measured attribute live on the
+    * SAME dimension table, so the whole query is one grouped MAX−MIN
+    * pass over the dimension (no fact scan at all) with a
+    * TakeOrderedAndProject top-1. */
+  def dimRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    dimRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
+        if numCol != attrCol
+      } yield Candidate(
+        s"SELECT $attrCol FROM $dimE GROUP BY $attrCol " +
+          s"ORDER BY MAX($numCol) - MIN($numCol) $dir, $attrCol LIMIT 1",
+        0.9, "template_dim_range_argmax")).take(1)
+    }
+
+  // "courses where every student scored above their own average" — a
+  // universal quantifier where each row compares against the ROW
+  // ENTITY's aggregate, grouped by the OTHER dimension
+  private val universalOtherRelativeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+([a-z]+)\s+(above|over|below|under)\s+" +
+      raw"their\s+own\s+(?:average|avg|mean)\b").r
+
+  /** Universal other-relative: "Js where every E Ved above their own
+    * average" → per-ENTITY averages from one grouped pass (broadcast
+    * back on the entity key), each fact row compares against its OWN
+    * entity's bar, and a grouped MIN over the indicator — grouped by
+    * the J key this time — keeps the Js where EVERY row clears it. The
+    * dual of [[universalSelfRelativeCandidates]]: same two-aggregate
+    * plan, quantifier and comparison group swapped. */
+  def universalOtherRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalOtherRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val verb = m.group(3).toLowerCase
+      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eJ.fromTable))).headOption.toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT c.$jName FROM ${eJ.fromTable} s " +
+          s"JOIN (SELECT ${eE.fromColumn} AS k, AVG($numCol) AS a " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eE.fromColumn}) m ON m.k = s.${eE.fromColumn} " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.${eJ.toColumn}, c.$jName " +
+          s"HAVING MIN(CASE WHEN s.$numCol $op m.a THEN 1 ELSE 0 END) = 1 " +
+          s"ORDER BY c.$jName LIMIT $DefaultLimit",
+        0.9, "template_universal_other_relative")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -2910,6 +3023,9 @@ object Templates {
       joinedDistinctArgmaxCandidates(slice, fks, question) ++
       percentileRankCandidates(slice, fks, question) ++
       nestedGroupDeviationCandidates(slice, fks, question) ++
+      countVsExampleCandidates(slice, fks, question) ++
+      dimRangeArgmaxCandidates(slice, fks, question) ++
+      universalOtherRelativeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

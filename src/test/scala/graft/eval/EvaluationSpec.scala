@@ -74,7 +74,8 @@ class EvaluationSpec extends SparkSpec {
         "joined_pair_argmax", "count_vs_avg_count", "joined_conditional_share",
         "joined_ratio_argmax", "universal_comparison", "filtered_median",
         "joined_distinct_argmax", "percentile_rank_filter",
-        "nested_group_deviation"))
+        "nested_group_deviation",
+        "count_vs_example", "dim_range_argmax", "universal_other_relative"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -811,4 +811,43 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("for each course, the gap between its average score and the name average")
       .forall(_.method != "template_nested_group_deviation"))
   }
+
+  test("count vs example: the named entity's count rides a broadcast scalar subquery") {
+    val c = cands("students who took courses in more departments than Ada Adams")
+      .find(_.method == "template_count_vs_example").get
+    assert(c.sql.contains("COUNT(DISTINCT c.dept) AS n"), c.sql)
+    assert(c.sql.contains("WHERE t.n > (SELECT COUNT(DISTINCT c.dept)"), c.sql)
+    assert(c.sql.contains("WHERE a.student_name = 'Ada Adams'"), c.sql)
+    // "fewer" flips; a lowercase comparison target is not a name anchor
+    val f = cands("students who took courses in fewer departments than Ben Brown")
+      .find(_.method == "template_count_vs_example").get
+    assert(f.sql.contains("t.n < (SELECT"), f.sql)
+    assert(cands("students who took courses in more departments than average")
+      .forall(_.method != "template_count_vs_example"))
+  }
+
+  test("dimension range argmax: no fact scan, grouped MAX-MIN over the dimension") {
+    val c = cands("the grade level whose students have the widest age range")
+      .find(_.method == "template_dim_range_argmax").get
+    assert(c.sql ==
+      "SELECT grade_level FROM students GROUP BY grade_level " +
+        "ORDER BY MAX(age) - MIN(age) DESC, grade_level LIMIT 1", c.sql)
+    // "narrowest" flips the direction
+    val n = cands("the grade level whose students have the narrowest age range")
+      .find(_.method == "template_dim_range_argmax").get
+    assert(n.sql.contains("ASC"), n.sql)
+  }
+
+  test("universal other-relative: every row above its OWN entity's average, grouped by the other dimension") {
+    val c = cands("courses where every student scored above their own average")
+      .find(_.method == "template_universal_other_relative").get
+    assert(c.sql.contains("AVG(score) AS a"), c.sql)
+    assert(c.sql.contains("GROUP BY student_id) m ON m.k = s.student_id"), c.sql)
+    assert(c.sql.contains("GROUP BY c.course_id, c.course_name"), c.sql)
+    assert(c.sql.contains("HAVING MIN(CASE WHEN s.score > m.a THEN 1 ELSE 0 END) = 1"), c.sql)
+    // "below" flips the comparison
+    val b = cands("courses where every student scored below their own average")
+      .find(_.method == "template_universal_other_relative").get
+    assert(b.sql.contains("s.score < m.a"), b.sql)
+  }
 }
