@@ -244,6 +244,9 @@ object Queries {
     "x_sketch_quantiles" ->
       ("SELECT event_type, COUNT(*) AS n, 1 AS p50_ok, 1 AS p95_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_cms_counts" ->
+      ("SELECT event_type, COUNT(*) AS n_events, 1 AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "x_fk_infer" -> FkCheckedPairs.map { case (ct, cc, pt, pc) =>
       s"SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent, CAST(" +
         s"((SELECT COUNT(DISTINCT $cc) FROM $ct WHERE $cc IN (SELECT $pc FROM $pt)) " +
@@ -1557,6 +1560,23 @@ object ExtensionQueries {
             coalesce(col("parent_unique_ratio"), lit(0.0)) >= 0.95)
             .cast("int").as("inferred"))
         .orderBy("child", "parent")
+    }),
+    "x_cms_counts" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val events = s.table("events").withColumn("day", to_date(col("ts")))
+      val idx = Sketches.cmsIndex(events, Seq("day"), "event_type")
+      val merged = Sketches.cmsMerge(idx, Seq.empty)
+      val exact = events.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val total = events.count()
+      Sketches.cmsCounts(merged, exact.select("event_type"), "event_type")
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_events"),
+          // CMS error is ONE-SIDED: never an undercount, overcount
+          // bounded by eps * N at the configured confidence
+          (col("freq_est") >= col("n_events") &&
+            col("freq_est") <= col("n_events") + lit(0.001 * total).cast("long") + lit(1))
+            .cast("int").as("est_ok"))
+        .orderBy("event_type")
     }),
     "x_sketch_quantiles" -> ((s, dir) => {
       Sources.register(s, dir)

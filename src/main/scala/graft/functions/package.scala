@@ -80,6 +80,12 @@ package object functions {
   def quantile_bucket(value: Column, cuts: Array[Double]): Column =
     column(QuantileBucket(expression(value), cuts))
 
+  def cms_merge(sketch: Column): Column =
+    column(CmsMergeSketches(expression(sketch)).toAggregateExpression())
+
+  def cms_estimate(sketch: Column, item: Column): Column =
+    column(CmsEstimateCount(expression(sketch), expression(item)))
+
   /** Register SQL names for the custom expressions
     * (`SELECT cosine_sim(a, b) …`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -84,6 +84,40 @@ object Sketches {
         when(col("est_either") > 0, col("est_both") / col("est_either")).otherwise(0.0))
   }
 
+  // ---------------------------------------------------------------- CMS
+
+  /** Frequency index: one Count-Min sketch per `partCols` key over
+    * `valueCol` occurrences. Build uses Spark's native
+    * `count_min_sketch` aggregate (partial+final, sketch bytes on the
+    * shuffle); rollups merge through [[graft.functions.cms_merge]] —
+    * the custom TypedImperativeAggregate supplying the merge half Spark
+    * lacks. Same (eps, confidence, seed) across the index is REQUIRED:
+    * Count-Min merge is exact only for same-shape sketches. */
+  def cmsIndex(df: DataFrame, partCols: Seq[String], valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(partCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Roll a CMS index up to `groupCols` (empty → one global sketch). */
+  def cmsMerge(index: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val merged = graft.functions.cms_merge(col("cms")).as("cms")
+    if (groupCols.isEmpty) index.agg(merged)
+    else index.groupBy(groupCols.map(col): _*).agg(merged)
+  }
+
+  /** Frequency estimates for a SMALL key frame against a merged sketch
+    * (heavy-hitter candidates, a mined domain — never the corpus): the
+    * one-row sketch cross-joins the keys (broadcast) and each key
+    * probes via [[graft.functions.cms_estimate]]. CMS error is
+    * one-sided: estimate ≥ true count, ≤ true + ε·N with probability ≥
+    * confidence. */
+  def cmsCounts(mergedSketch: DataFrame, keys: DataFrame, keyCol: String,
+      estimateCol: String = "freq_est"): DataFrame =
+    keys.crossJoin(mergedSketch)
+      .select(col(keyCol),
+        graft.functions.cms_estimate(col("cms"), col(keyCol)).as(estimateCol))
+
   // ---------------------------------------------------------------- KLL
 
   /** Quantile index: one KLL doubles sketch per `partCols` key. Same

@@ -82,6 +82,40 @@ class SketchesSpec extends SparkSpec {
     assert(persisted == direct, s"persisted=$persisted direct=$direct")
   }
 
+  test("CMS: merged daily sketches estimate like one global sketch, error one-sided") {
+    import spark.implicits._
+    val keys = events.select("event_type").distinct()
+    val exact = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = events.count()
+    // merged per-day index
+    val mergedEst = Sketches.cmsCounts(
+      Sketches.cmsMerge(Sketches.cmsIndex(events, Seq("day"), "event_type"), Seq.empty),
+      keys, "event_type").as[(String, Long)].collect().toMap
+    // single global sketch (no day split) — merge must not change estimates
+    val globalEst = Sketches.cmsCounts(
+      Sketches.cmsIndex(events.withColumn("__one", lit(1)), Seq("__one"), "event_type")
+        .select("cms"),
+      keys, "event_type").as[(String, Long)].collect().toMap
+    assert(mergedEst == globalEst, s"merged=$mergedEst global=$globalEst")
+    for ((k, ex) <- exact) {
+      val est = mergedEst(k)
+      assert(est >= ex, s"CMS undercounted $k: $est < $ex")
+      assert(est <= ex + (0.001 * n).toLong + 1, s"CMS overcount out of contract for $k: $est vs $ex")
+    }
+  }
+
+  test("CMS index build keeps partial aggregation; merge is an ObjectHashAggregate") {
+    val build = Sketches.cmsIndex(events, Seq("day"), "event_type")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(build.contains("partial_count_min_sketch"), build.take(2000))
+    val merge = Sketches.cmsMerge(
+      Sketches.cmsIndex(events, Seq("day"), "event_type"), Seq.empty)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(merge.contains("cms_merge"), merge.take(2000))
+    assert(merge.contains("ObjectHashAggregate"), merge.take(2000))
+  }
+
   test("KLL: merged count is exact; merged quantiles meet the rank contract") {
     val n = events.count()
     val q = Sketches.kllQuantiles(
