@@ -409,6 +409,22 @@ object Streams {
       .groupBy((partCols :+ "day").map(col): _*)
       .agg(kll_sketch_agg_double(col(valueCol).cast("double"), lit(k)).as("kll"))
 
+  /** Streaming Count-Min frequency-index ingest — same contract for
+    * the frequency index ([[graft.operators.Sketches.cmsIndex]]):
+    * depth×width counters of state per (key, day), rows
+    * merge-compatible with batch sketches through
+    * [[graft.operators.Sketches.cmsMerge]] (same (eps, confidence,
+    * seed) required — Count-Min merge is exact only for same-shape
+    * sketches). */
+  def frequencySketchStream(events: DataFrame, tsCol: String,
+      partCols: Seq[String], valueCol: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    events
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy((partCols :+ "day").map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -456,5 +456,26 @@ class StreamsSpec extends SparkSpec {
     assert(kq.getAs[Long]("n") == 100L, kq)
     val med = kq.getAs[Double]("q_0_5")
     assert(med >= 40.0 && med <= 60.0, s"median $med off the 0..99 stream")
+    // CMS: stream-built daily frequency sketches merge to the exact
+    // per-user counts at this cardinality (error bound << 1)
+    val input3 = MemoryStream[Event]
+    val q3 = Streams.frequencySketchStream(
+        input3.toDF(), "ts", Seq("event_type"), "user_id")
+      .writeStream.format("memory").queryName("t_sketch_cms")
+      .outputMode("complete")
+      .start()
+    try {
+      input3.addData(batch1: _*)
+      q3.processAllAvailable()
+      input3.addData(batch2: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val keys = (batch1 ++ batch2).map(_.user_id).distinct.toDF("user_id")
+    val est = graft.operators.Sketches.cmsCounts(
+      graft.operators.Sketches.cmsMerge(
+        spark.table("t_sketch_cms").select("cms"), Seq.empty),
+      keys, "user_id").as[(Long, Long)].collect().toMap
+    val exact = (batch1 ++ batch2).groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(est == exact, s"stream CMS est=$est exact=$exact")
   }
 }
