@@ -649,8 +649,8 @@ object Evaluation {
         "GROUP BY c.course_id, c.course_name " +
         "HAVING MIN(CASE WHEN s.score > m.a THEN 1 ELSE 0 END) = 1 " +
         "ORDER BY c.course_name LIMIT 100", "universal_other_relative"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-9 open cases, closed in round 10 (avg-of-range /
+    //     universal group aggregate / entity trend argmax shapes) ---
     EvalCase("the average gap between a student's best and worst scores",
       "SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
         "(SELECT MAX(score) AS mx, MIN(score) AS mn FROM scores " +
@@ -668,5 +668,24 @@ object Evaluation {
         "AVG(CASE WHEN year = 2022 THEN score END) AS d " +
         "FROM scores GROUP BY student_id) t " +
         "WHERE d IS NOT NULL ORDER BY d DESC, student_id LIMIT 1",
-      "trend_argmax_entity"))
+      "trend_argmax_entity"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the median number of courses per student",
+      "SELECT MEDIAN(c) AS agg_value FROM " +
+        "(SELECT COUNT(DISTINCT course_id) AS c FROM scores " +
+        "GROUP BY student_id) t", "median_count_per"),
+    EvalCase("students ranked in the top 3 of every course they took",
+      "SELECT st.student_name FROM (SELECT student_id FROM " +
+        "(SELECT student_id, RANK() OVER (PARTITION BY course_id " +
+        "ORDER BY score DESC) AS r FROM scores) x " +
+        "GROUP BY student_id HAVING MAX(r) <= 3) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "universal_rank"),
+    EvalCase("the dept whose best course by average score is the weakest",
+      "SELECT dept FROM (SELECT c.dept, MAX(a) AS best FROM " +
+        "(SELECT course_id, AVG(score) AS a FROM scores " +
+        "GROUP BY course_id) s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) t ORDER BY best ASC, dept LIMIT 1",
+      "minimax_argmax"))
 }

@@ -2966,6 +2966,130 @@ object Templates {
         0.9, "template_universal_other_relative")).take(1)
     }
 
+  // "the average gap between a student's best and worst scores" —
+  // AVG over a per-entity MAX−MIN: two chained aggregates
+  private val avgOfRangeRe =
+    (raw"(?i)\bthe\s+(average|avg|mean)\s+(gap|difference|spread|range)\s+between\s+" +
+      raw"(?:a|an|each|every)\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
+      raw"(?:best|highest|top|largest|maximum)\s+and\s+" +
+      raw"(?:worst|lowest|bottom|smallest|minimum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average-of-range (ref `app/models/inference.py:151-213` reaches
+    * this shape only through LLM candidates): "the average D between an
+    * E's best and worst Vs" → inner grouped MAX/MIN on the entity key
+    * (partial+final — the only fact-sized pass, one shuffle on the fk),
+    * outer AVG collapsing |entities| rows to one. ROUND(…, 2) fixes the
+    * float so the answer is presentation-stable. */
+  def avgOfRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgOfRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
+          s"(SELECT MAX($numCol) AS mx, MIN($numCol) AS mn " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t",
+        0.9, "template_avg_of_range")).take(1)
+    }
+
+  // "departments where every course has an average score above 70" — a
+  // universal quantifier over PER-GROUP-MEMBER aggregates: the group is
+  // an attribute of the member's own dimension
+  private val universalGroupAggRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+has\s+an?\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Universal group aggregate: "As where every J has an avg V above N"
+    * → per-J aggregates from ONE fact-sized grouped pass keyed on
+    * (A-attribute, J-key) — the dimension joins broadcast, so the single
+    * corpus shuffle is that aggregate — then a second, |J|-row aggregate
+    * per A with a MIN-indicator encoding the ∀. The quantified entity's
+    * group attribute lives on its OWN dimension (dept on courses),
+    * distinguishing this from [[universalOtherRelativeCandidates]]
+    * where the bar is the row entity's own average. */
+  def universalGroupAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalGroupAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(3).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val op = if (Set("above", "over")(m.group(5).toLowerCase)) ">" else "<"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol FROM (" +
+          s"SELECT c.$groupCol AS $groupCol, c.${eJ.toColumn}, " +
+          s"$agg(s.$numCol) AS a FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$groupCol, c.${eJ.toColumn}) t " +
+          s"GROUP BY $groupCol " +
+          s"HAVING MIN(CASE WHEN a $op ${m.group(6)} THEN 1 ELSE 0 END) = 1 " +
+          s"ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_universal_group_agg")).take(1)
+    }
+
+  // "the student who improved the most between 2022 and 2023" — entity
+  // trend argmax: two-period conditional aggregates per entity, top-1
+  // by delta. No measure word appears, so the measure resolves from the
+  // fact's schema by elimination (see scaladoc).
+  private val trendArgmaxEntityRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+" +
+      raw"(improved|increased|grew|gained|declined|decreased|dropped|fell|worsened)\s+" +
+      raw"the\s+most\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
+
+  /** Entity trend argmax (ref `app/models/inference.py:151-213` LLM
+    * path): "the E who improved the most between Y1 and Y2" → one
+    * grouped pass over the fact with two conditional aggregates
+    * (AVG CASE per period — partial+final, one shuffle on the entity
+    * fk), delta ranked by TakeOrderedAndProject top-1 over |entities|
+    * rows. The question names no measure, so it resolves by
+    * elimination: fact columns minus key-ish names (`*_id`/`id`/
+    * `*key`), minus the year column, minus columns with a mined STRING
+    * value domain (categoricals like grade letters) — exactly one
+    * survivor or no candidate fires, the no-fabrication bar applied to
+    * an implicit column. Rising verbs rank the later-minus-earlier
+    * delta DESC; falling verbs ASC; entities absent from either period
+    * (NULL delta) are excluded — "improved" presumes both readings. */
+  def trendArgmaxEntityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    trendArgmaxEntityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val rising = Set("improved", "increased", "grew", "gained")(m.group(2).toLowerCase)
+      val dir = if (rising) "DESC" else "ASC"
+      val (y1, y2) = (m.group(3), m.group(4))
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(e.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(e.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty // ambiguous or none: fire nothing
+        }
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, " +
+          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
+          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"WHERE d IS NOT NULL ORDER BY d $dir, ${e.fromColumn} LIMIT 1",
+        0.9, "template_trend_argmax_entity")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3026,6 +3150,9 @@ object Templates {
       countVsExampleCandidates(slice, fks, question) ++
       dimRangeArgmaxCandidates(slice, fks, question) ++
       universalOtherRelativeCandidates(slice, fks, question) ++
+      avgOfRangeCandidates(slice, fks, question) ++
+      universalGroupAggCandidates(slice, fks, question) ++
+      trendArgmaxEntityCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

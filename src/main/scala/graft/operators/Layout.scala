@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
  * stats prune files and row groups for predicates on ANY clustered
  * column, not just the first sort key.
  *
- * The reference engine keeps per-table B-tree indexes for its filtered
- * scans (`app/db/introspect.py:41-68` reads them via pg catalog);
- * columnar Spark has no row index — clustered layout + stats pruning is
- * the idiomatic equivalent at scale.
+ * The reference engine records per-table B-tree indexes for its
+ * filtered scans (`app/schema/crawler.py:177-179` reads them via
+ * SQLAlchemy inspector); columnar Spark has no row index — clustered
+ * layout + stats pruning is the idiomatic equivalent at scale.
  *
  * Scale shape: one pass to sample quantile cutpoints
  * (`percentile_approx`, mergeable sketch, no shuffle of data rows), one

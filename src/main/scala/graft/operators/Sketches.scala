@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
  * (it must shuffle every distinct value).
  *
  * Extension surface (the reference has no sketch layer; its distinct
- * counting is exact SQL — `app/services/query_service.py` runs plain
- * COUNT DISTINCT): sized against the reference's analytics goals at
- * corpus scale.
+ * counting is exact SQL — `app/schema/crawler.py:244-246` runs plain
+ * COUNT DISTINCT per column): sized against the reference's analytics
+ * goals at corpus scale.
  *
  * Accuracy contracts (enforced by the x_sketch_* oracle queries and
  * SketchesSpec): HLL lgK=12 → ~0.8% RSE, contract ±5%; Theta default

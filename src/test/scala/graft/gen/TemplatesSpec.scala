@@ -850,4 +850,52 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_universal_other_relative").get
     assert(b.sql.contains("s.score < m.a"), b.sql)
   }
+
+  test("avg of range: inner per-entity MAX-MIN, outer AVG, rounded") {
+    val c = cands("the average gap between a student's best and worst scores")
+      .find(_.method == "template_avg_of_range").get
+    assert(c.sql.contains("ROUND(AVG(mx - mn), 2) AS agg_value"), c.sql)
+    assert(c.sql.contains("SELECT MAX(score) AS mx, MIN(score) AS mn"), c.sql)
+    assert(c.sql.contains("FROM scores GROUP BY student_id"), c.sql)
+    // synonym surface: "difference" and "each" read the same
+    assert(cands("the mean difference between each student's highest and lowest scores")
+      .exists(_.method == "template_avg_of_range"))
+  }
+
+  test("universal group aggregate: per-member averages, MIN-indicator per group attribute") {
+    val c = cands("departments where every course has an average score above 70")
+      .find(_.method == "template_universal_group_agg").get
+    // the group word resolves to courses.dept (abbreviation), the join
+    // bridges scores -> courses, the ∀ encodes as a grouped MIN
+    assert(c.sql.contains("SELECT c.dept AS dept, c.course_id"), c.sql)
+    assert(c.sql.contains("AVG(s.score) AS a"), c.sql)
+    assert(c.sql.contains("JOIN courses c ON c.course_id = s.course_id"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept, c.course_id"), c.sql)
+    assert(c.sql.contains("HAVING MIN(CASE WHEN a > 70 THEN 1 ELSE 0 END) = 1"), c.sql)
+    // "below" flips the indicator comparison
+    val b = cands("departments where every course has an average score below 70")
+      .find(_.method == "template_universal_group_agg").get
+    assert(b.sql.contains("CASE WHEN a < 70"), b.sql)
+  }
+
+  private val scoreDomains: String => Map[String, Seq[String]] = {
+    case "scores" => Map("grade" -> Seq("A", "B", "C", "D", "F"))
+    case _ => Map.empty
+  }
+
+  test("entity trend argmax: measure by elimination, two-period conditional aggregates") {
+    val c = Templates.trendArgmaxEntityCandidates(slice, fks,
+      "the student who improved the most between 2022 and 2023", scoreDomains).head
+    assert(c.sql.contains("AVG(CASE WHEN year = 2023 THEN score END) - " +
+      "AVG(CASE WHEN year = 2022 THEN score END) AS d"), c.sql)
+    assert(c.sql.contains("WHERE d IS NOT NULL ORDER BY d DESC, student_id LIMIT 1"), c.sql)
+    // falling verbs rank ASC (most-negative delta first)
+    val b = Templates.trendArgmaxEntityCandidates(slice, fks,
+      "the student who declined the most between 2022 and 2023", scoreDomains).head
+    assert(b.sql.contains("ORDER BY d ASC"), b.sql)
+    // without the mined string domain, grade stays a measure candidate,
+    // the elimination is ambiguous, and the no-fabrication bar fires nothing
+    assert(Templates.trendArgmaxEntityCandidates(slice, fks,
+      "the student who improved the most between 2022 and 2023").isEmpty)
+  }
 }

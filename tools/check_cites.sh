@@ -1,0 +1,18 @@
+#!/bin/sh
+# Verify every reference citation in scaladoc/comments points at a file
+# that actually exists in the reference tree (VERDICT r9 "What's wrong"
+# #1: a fabricated cite undermines per-file traceability). Cited paths
+# are rooted at NLP_SQLizer/ or NLP_SQLizer/backend/ (both spellings are
+# in use; `backend/...` cites resolve via the first root).
+REF=${1:-/root/reference/NLP_SQLizer}
+fail=0
+for f in $(grep -rhoE "(app|backend|frontend|Miscellaneous)/[A-Za-z0-9_/.-]+\.(py|js|txt|json|md)" \
+    src/main/scala src/test/scala | sort -u); do
+  if [ ! -e "$REF/$f" ] && [ ! -e "$REF/backend/$f" ]; then
+    echo "MISSING: $f"
+    grep -rln "$f" src/main/scala src/test/scala | sed 's/^/  cited in /'
+    fail=1
+  fi
+done
+[ $fail -eq 0 ] && echo "OK: all cited reference paths exist"
+exit $fail
