@@ -244,6 +244,12 @@ object Queries {
     "x_sketch_quantiles" ->
       ("SELECT event_type, COUNT(*) AS n, 1 AS p50_ok, 1 AS p95_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_serve_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, 1 AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_serve_quantile" ->
+      ("SELECT event_type, COUNT(*) AS n, 1 AS p95_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "x_cms_counts" ->
       ("SELECT event_type, COUNT(*) AS n_events, 1 AS est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
@@ -1576,6 +1582,43 @@ object ExtensionQueries {
           (col("freq_est") >= col("n_events") &&
             col("freq_est") <= col("n_events") + lit(0.001 * total).cast("long") + lit(1))
             .cast("int").as("est_ok"))
+        .orderBy("event_type")
+    }),
+    // sketch-SERVED queries (catalog/SketchCatalog.scala): same accuracy
+    // contracts as the x_sketch_* build queries, but the estimate comes
+    // through the ENGINE ROUTING path — an NL question with an
+    // approximation marker answered from the registered, persisted index
+    // (EngineSpec pins that the routed plan never rescans the corpus)
+    "x_serve_distinct" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.sql("SELECT event_type, user_id, to_date(ts) AS day FROM events")
+        .createOrReplaceTempView("events_keyed")
+      val cat = new graft.catalog.SketchCatalog(s)
+      cat.indexDistinct("events_keyed", "user_id", Seq("event_type", "day"))
+      val served = cat.route("roughly how many distinct user_id per event_type")
+        .getOrElse(sys.error("sketch route did not fire"))
+      val exact = s.table("events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(served, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("distinct_est") - col("n_users")) <= col("n_users") * 0.05)
+            .cast("int").as("est_ok"))
+        .orderBy("event_type")
+    }),
+    "x_serve_quantile" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.sql("SELECT event_type, value, to_date(ts) AS day FROM events")
+        .createOrReplaceTempView("events_keyed")
+      val cat = new graft.catalog.SketchCatalog(s)
+      cat.indexQuantiles("events_keyed", "value", Seq("event_type", "day"))
+      val served = cat.route("roughly the 95th percentile of value per event_type")
+        .getOrElse(sys.error("sketch route did not fire"))
+      s.table("events").join(served.select("event_type", "q_0_95"), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(when(col("value") <= col("q_0_95"), 1).otherwise(0)) / count(lit(1))).as("__r95"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__r95") - 0.95) <= 0.03).cast("int").as("p95_ok"))
         .orderBy("event_type")
     }),
     "x_sketch_quantiles" -> ((s, dir) => {

@@ -34,6 +34,13 @@ final class Engine(
   private def lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
+  /** Sketch-index registry for approx-tolerant serving: register
+    * indexes with `sketches.indexDistinct` / `indexQuantiles`, and
+    * approximation-marked questions ("roughly how many distinct …")
+    * are answered from the persisted index instead of a corpus scan
+    * (see [[graft.catalog.SketchCatalog]] for the routing contract). */
+  val sketches = new graft.catalog.SketchCatalog(spark)
+
   /** Memoized per-table categorical value domains (Profiler
     * `stringDomains`) for value linking: templates resolving an NL token
     * against DATA values ("all math courses" → `dept = 'math'`) call
@@ -193,6 +200,33 @@ final class Engine(
         case _ => // fall through to SQL generation
       }
     }
+    // Approx-tolerant serving: an approximation-marked question covered
+    // by a registered sketch index is answered from the index — a
+    // few-KB merge instead of a corpus scan. Guarded like every ask
+    // stage: any routing/execution failure falls through to exact
+    // generation (V14 always-answer), and unmarked questions never
+    // reach this path at all.
+    try {
+      sketches.route(question) match {
+        case Some(df) =>
+          val capped = df.limit(limit)
+          Executor.collectWithTimeout(spark, capped, timeoutMs) match {
+            case Right(rows) =>
+              return Right(QueryResult(
+                sql = s"-- approx: served from sketch index (no corpus scan)",
+                columns = capped.columns.toSeq,
+                rows = rows.toSeq.map(_.toSeq.map(Executor.jsonSafe)),
+                rowcount = rows.length,
+                explain = capped.queryExecution
+                  .explainString(org.apache.spark.sql.execution.SimpleMode),
+                explanation = "Approximate answer merged from a mergeable " +
+                  "sketch index (HLL/KLL); accuracy contract ±5% distinct / " +
+                  "±3 rank points."))
+            case Left(_) => // fall through to exact generation
+          }
+        case None => // not approx-marked or not covered: exact path
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val slice = Fuzzy.selectRelevant(question, schema)
     val analysis = Intent.analyze(question, tables)
 

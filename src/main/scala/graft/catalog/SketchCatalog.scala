@@ -1,0 +1,136 @@
+package graft.catalog
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/**
+ * Approx-tolerant query serving from mergeable sketch indexes: the
+ * round-9 sketch block (`operators/Sketches.scala`) built HLL/KLL
+ * indexes as operators; this catalog ROUTES engine questions to them.
+ *
+ * The reference has no approximate path — every distinct count is an
+ * exact scan (`app/schema/crawler.py:244-246`) and every NL question
+ * re-reads the corpus (`app/models/inference.py:151-213`). At 100 TB
+ * that is the wrong trade for "roughly how many distinct users":
+ * the index is built in ONE corpus pass (partial sketches merge
+ * map-side, only sketch bytes cross the shuffle), persisted at
+ * |partition keys| × ~KB, and every question after that merges a few
+ * thousand sketch rows — corpus-size-independent (the round-9 scaling
+ * probe measured exponent ≤ 0.05 for sketch rollups).
+ *
+ * Routing contract (mirrors the template layer's no-fabrication bar):
+ * a question is served ONLY when (a) it carries an explicit
+ * approximation marker ("roughly", "approximately", "about",
+ * "ballpark") — exact questions never silently degrade to estimates —
+ * and (b) exactly ONE registered index matches the value word, and the
+ * optional "per G" word resolves to one of that index's partition
+ * columns. Anything else returns None and the engine's exact
+ * generation path proceeds unchanged (V14 always-answer).
+ *
+ * Accuracy carried by the index (enforced end-to-end by the
+ * `x_serve_distinct` / `x_serve_quantile` oracle rows): HLL lgK=12 →
+ * ±5% contract on distinct counts; KLL k=200 → ±3 rank-point contract
+ * on quantiles.
+ */
+final class SketchCatalog(spark: SparkSession) {
+
+  /** A registered sketch index: the sketch frame is persisted and
+    * materialized at registration (the one corpus pass), so every
+    * routed query plans over the in-memory index relation only. */
+  final case class Entry(table: String, valueCol: String,
+      partCols: Seq[String], index: DataFrame)
+
+  private val hll = TrieMap.empty[(String, String), Entry]
+  private val kll = TrieMap.empty[(String, String), Entry]
+
+  /** Build + persist a distinct-count (HLL) index over
+    * `table.valueCol`, partitioned by `partCols`. */
+  def indexDistinct(table: String, valueCol: String, partCols: Seq[String],
+      lgK: Int = 12): Entry = {
+    val idx = Sketches.hllIndex(spark.table(table), partCols, valueCol, lgK).persist()
+    idx.count() // materialize: the single corpus pass happens HERE
+    val e = Entry(table, valueCol, partCols, idx)
+    hll.put((table, valueCol), e)
+    e
+  }
+
+  /** Build + persist a quantile (KLL) index over numeric
+    * `table.numCol`, partitioned by `partCols`. */
+  def indexQuantiles(table: String, numCol: String, partCols: Seq[String],
+      k: Int = 200): Entry = {
+    val idx = Sketches.kllIndex(spark.table(table), partCols, numCol, k).persist()
+    idx.count()
+    val e = Entry(table, numCol, partCols, idx)
+    kll.put((table, numCol), e)
+    e
+  }
+
+  /** Release persisted index frames (test hygiene). */
+  def clear(): Unit = {
+    (hll.values ++ kll.values).foreach(_.index.unpersist())
+    hll.clear(); kll.clear()
+  }
+
+  def registered: Seq[Entry] = (hll.values ++ kll.values).toSeq
+
+  // "roughly how many distinct users per event_type"
+  private val distinctRe =
+    (raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\s+how\s+many\s+" +
+      raw"(?:distinct|unique|different)\s+([a-z_][a-z0-9_]*)\b" +
+      raw"(?:.*?\bper\s+([a-z_][a-z0-9_]*))?").r
+
+  // "roughly the median value per event_type",
+  // "approximately the 95th percentile of value"
+  private val quantileRe =
+    (raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\s+the\s+" +
+      raw"(median|\d{1,2}(?:th|st|nd|rd)\s+percentile)\s+(?:of\s+)?" +
+      raw"([a-z_][a-z0-9_]*)\b(?:.*?\bper\s+([a-z_][a-z0-9_]*))?").r
+
+  private def strongMatch(word: String, entries: Iterable[Entry]): Option[Entry] =
+    entries.filter(e => graft.link.Fuzzy.nameScore(e.valueCol, word) >= 100).toSeq match {
+      case Seq(one) => Some(one) // exactly one index — the no-fabrication bar
+      case _ => None
+    }
+
+  private def groupCols(e: Entry, perWord: Option[String]): Option[Seq[String]] =
+    perWord match {
+      case None => Some(Seq.empty)
+      case Some(w) =>
+        e.partCols.filter(p => graft.link.Fuzzy.nameScore(p, w) >= 100) match {
+          case Seq(one) => Some(Seq(one))
+          case _ => None // "per" word not covered by this index's keys
+        }
+    }
+
+  /** Route an approximation-marked question to a sketch-served frame.
+    * None ⇒ not approx-marked / no unambiguous index ⇒ caller falls
+    * through to exact generation. The returned plan reads ONLY the
+    * persisted index (asserted by EngineSpec). */
+  def route(question: String): Option[DataFrame] = {
+    distinctRe.findFirstMatchIn(question).flatMap { m =>
+      for {
+        e <- strongMatch(m.group(1), hll.values)
+        gs <- groupCols(e, Option(m.group(2)))
+      } yield {
+        val est = Sketches.hllEstimate(e.index, gs)
+        if (gs.isEmpty) est else est.orderBy(gs.map(col): _*)
+      }
+    }.orElse(quantileRe.findFirstMatchIn(question).flatMap { m =>
+      val prob = m.group(1).toLowerCase match {
+        case "median" => 0.5
+        case p => p.takeWhile(_.isDigit).toInt / 100.0
+      }
+      for {
+        e <- strongMatch(m.group(2), kll.values)
+        gs <- groupCols(e, Option(m.group(3)))
+      } yield {
+        val q = Sketches.kllQuantiles(e.index, gs, Seq(prob))
+        if (gs.isEmpty) q else q.orderBy(gs.map(col): _*)
+      }
+    })
+  }
+}

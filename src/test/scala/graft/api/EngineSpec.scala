@@ -129,4 +129,48 @@ class EngineSpec extends SparkSpec {
     val rk = meta.tables("region").columns.find(_.name == "r_regionkey").get
     assert(rk.distinctCount.contains(5L))
   }
+
+  test("approx-marked questions serve from the sketch index; the routed plan never rescans the corpus") {
+    import org.apache.spark.sql.functions._
+    spark.sql("SELECT event_type, user_id, value, to_date(ts) AS day FROM events")
+      .createOrReplaceTempView("events_keyed")
+    try {
+      engine.sketches.indexDistinct("events_keyed", "user_id", Seq("event_type", "day"))
+      engine.sketches.indexQuantiles("events_keyed", "value", Seq("event_type", "day"))
+
+      // routed plan quality: the estimate reads ONLY the persisted index
+      // (InMemoryTableScan), never the parquet corpus
+      val df = engine.sketches.route("roughly how many distinct user_id per event_type").get
+      // leaf check, not a plan-string check: InMemoryRelation PRINTS its
+      // stored build plan (which names the parquet it was built from),
+      // and AQE wraps the physical tree — the optimized LOGICAL plan's
+      // leaves are what actually gets read: the cached index relation,
+      // never a parquet LogicalRelation
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.nodeName.contains("InMemoryRelation")),
+        leaves.map(_.nodeName).mkString(","))
+
+      // the engine answers through the envelope with the approx contract
+      val r = engine.ask("roughly how many distinct user_id per event_type").toOption.get
+      assert(r.columns == Seq("event_type", "distinct_est"), r.columns)
+      val exact = spark.table("events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n")).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r.rowcount == exact.size)
+      r.rows.foreach { row =>
+        val (et, est) = (row.head.toString, row(1).toString.toDouble)
+        assert(math.abs(est - exact(et)) <= exact(et) * 0.05, s"$et: $est vs ${exact(et)}")
+      }
+      assert(r.explanation.contains("sketch index"))
+
+      // quantile route: global median of value from the KLL index
+      val q = engine.ask("roughly the median value").toOption.get
+      assert(q.columns.contains("q_0_5"), q.columns)
+
+      // UNMARKED questions never reach the sketch path (no silent
+      // degradation to estimates): the exact ask path answers
+      val ex = engine.ask("how many distinct user_id values are in events").toOption.get
+      assert(!ex.sql.contains("approx"), ex.sql)
+    } finally engine.sketches.clear()
+  }
 }
