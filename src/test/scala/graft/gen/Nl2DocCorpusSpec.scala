@@ -156,6 +156,79 @@ class Nl2DocCorpusSpec extends SparkSpec {
     assert(gotLow(0).getString(0) == wantLow(0).getString(0))
   }
 
+  // --- round-10 additions: the reference's multi-stage pipeline shapes
+  //     (ref app/ai/nl2mongo.py:64-116 serves $match→$group pipelines and
+  //     nested dotted paths through its LLM; the deterministic builder
+  //     must produce the same stages) ---
+
+  test("$group after $match: average age per city for users with age over 30") {
+    val q = Nl2Doc.build("average age per city for users with age over 30", "users", fields)
+    // the filter stage precedes the group stage in the rendered pipeline
+    val r = q.render
+    assert(r.indexOf("\"$match\"") >= 0 && r.indexOf("\"$group\"") > r.indexOf("\"$match\""), r)
+    val got = run("average age per city for users with age over 30")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = users.where($"age" > 30).groupBy($"city").agg(avg($"age"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == want.keySet && got.forall { case (k, v) =>
+      math.abs(v - want(k)) < 1e-9 }, s"got=$got want=$want")
+  }
+
+  test("sort-on-aggregate with $match: top 1 cities by total age among users with age over 30") {
+    val q = Nl2Doc.build(
+      "top 1 cities by total age among users with age over 30", "users", fields)
+    val r = q.render
+    assert(r.indexOf("\"$match\"") >= 0 && r.contains("\"$sort\"") &&
+      r.contains("\"agg_value\": -1") && r.contains("\"$limit\": 1"), r)
+    val got = run("top 1 cities by total age among users with age over 30").collect()
+    val want = users.where($"age" > 30).groupBy($"city").agg(sum($"age").as("a"))
+      .orderBy($"a".desc, $"city").limit(1).collect()
+    assert(got.length == 1 && got(0).getString(0) == want(0).getString(0),
+      s"got=${got.toSeq} want=${want.toSeq}")
+  }
+
+  // nested collection: dotted leaf paths (the reference's Mongo adapter
+  // addresses array/struct members the same way, app/mongodb_adapter.py)
+  private lazy val people: DataFrame = (1 to 40).map { i =>
+    (i.toLong, s"P$i", 18 + (i * 11) % 40,
+      (if (i % 4 == 0) "lima" else "quito", 10000 + i % 3))
+  }.toDF("_id", "name", "age", "addr")
+    .withColumn("address", struct($"addr._1".as("city"), $"addr._2".as("zip")))
+    .drop("addr")
+  private val peopleFields = Seq("_id", "name", "age", "address.city", "address.zip")
+
+  private def runPeople(question: String): DataFrame = {
+    val q = Nl2Doc.build(question, "people", peopleFields)
+    q.spec match {
+      case Left(find) => DocSource.find(people, find)
+      case Right(stages) => DocSource.aggregate(people, stages)
+    }
+  }
+
+  test("nested-field filter: city links to the dotted address.city path") {
+    val q = Nl2Doc.build("people whose city is lima", "people", peopleFields)
+    assert(q.render.contains("\"address.city\""), q.render)
+    val got = runPeople("people whose city is lima")
+      .select("_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = people.where($"address.city" === "lima")
+      .select("_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"got=$got want=$want")
+  }
+
+  test("nested group key: count of people per zip groups on address.zip") {
+    val q = Nl2Doc.build("count of people per zip", "people", peopleFields)
+    assert(q.render.contains("\"_id\": \"$address.zip\""), q.render)
+    val got = runPeople("count of people per zip")
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val want = people.groupBy($"address.zip").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("nested no-fabrication: an unlinked word never lands on a nested path") {
+    assert(Nl2Doc.extractPreds("people whose street is elm", peopleFields).isEmpty)
+  }
+
   test("bottom-N: bottom 5 users by age sorts ascending with the limit") {
     val q = Nl2Doc.build("bottom 5 users by age", "users", fields)
     assert(q.render.contains("\"age\": 1") && q.render.contains("\"limit\": 5"), q.render)
