@@ -141,8 +141,15 @@ object ProductQuantization {
    * `cell` and each query's probed-cell filter becomes partition
    * pruning on a codes-only scan.
    */
+  /** `replicas` records the build's `assignReplicas`: with single
+    * assignment (the default) a vector appears in exactly one cell, so
+    * query paths can skip the candidate dedup — at force scale that
+    * dedup is a full shuffle of the scored frame (measured 2.2 GB /
+    * 64M rows for 1k queries against a 1M-row index, ProbeForceScale)
+    * for zero semantic effect. */
   final case class IvfPqIndex(codes: DataFrame,
-      centroids: Array[(Int, Array[Double])], model: PqModel)
+      centroids: Array[(Int, Array[Double])], model: PqModel,
+      replicas: Int = 1)
 
   /** Build the IVF-PQ index: IVF cell assignment ([[Similarity.ivfIndex]])
     * composed with one distributed [[encode]] pass — codes are computed
@@ -154,7 +161,7 @@ object ProductQuantization {
     val codes = ivf.assigned.select(col("id"), col("cell"),
       column(graft.functions.PqEncode(expression(col("emb")), model.codebooks,
         normalize = true)).as("codes"))
-    IvfPqIndex(codes, ivf.centroids, model)
+    IvfPqIndex(codes, ivf.centroids, model, assignReplicas)
   }
 
   /**
@@ -176,9 +183,10 @@ object ProductQuantization {
       while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
       (i, d)
     }.sortBy(_._2).take(nprobe).map(_._1)
-    val probed = index.codes
-      .where(col("cell").isin(cells.toSeq: _*))
-      .dropDuplicates("id") // multi-assigned vectors appear in 2+ probed cells
+    val inCells = index.codes.where(col("cell").isin(cells.toSeq: _*))
+    // multi-assigned vectors appear in 2+ probed cells; single-assigned
+    // indexes skip the dedup shuffle entirely
+    val probed = (if (index.replicas > 1) inCells.dropDuplicates("id") else inCells)
       .withColumnRenamed("id", idCol)
     searchEncoded(probed, df, idCol, embCol, index.model, query, k, nCand)
   }
@@ -209,6 +217,7 @@ object ProductQuantization {
     val codebooksJson = m.codebooks.map(cb => cb.map(arr2).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json = s"""{"m": ${m.m}, "k": ${m.k}, "subDim": ${m.subDim}, """ +
+      s""""replicas": ${index.replicas}, """ +
       s""""centroids": $centroidsJson, "codebooks": $codebooksJson}"""
     // the sidecar rides the SAME filesystem as the codes parquet (a
     // production index path is hdfs/s3a, not the driver's local disk)
@@ -229,7 +238,11 @@ object ProductQuantization {
     // the sidecar is engine-written (no foreign input) — parse with a
     // small recursive-descent reader over the fixed shape
     val parsed = ujsonLite(text)
-    IvfPqIndex(codes, parsed._1, parsed._2)
+    // older sidecars carry no replicas field → conservative multi-
+    // assignment reading (dedup stays on)
+    val replicas = """"replicas":\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(2)
+    IvfPqIndex(codes, parsed._1, parsed._2, replicas)
   }
 
   final case class CompactionStats(filesBefore: Long, filesAfter: Long,
@@ -353,12 +366,17 @@ object ProductQuantization {
         column(graft.functions.PqAdcLookup(expression(col("codes")),
           expression(col("__adc_table")), index.model.k)).as("__adc"))
       .where(col("__adc").isNotNull)
-      // multi-assigned vectors (assignReplicas > 1) can meet the same
-      // query in 2+ probed cells with the same adc — keep one
-      .dropDuplicates("query_id", "id")
+    // multi-assigned vectors (assignReplicas > 1) can meet the same
+    // query in 2+ probed cells with the same adc — keep one. With
+    // single assignment the dedup would be a full shuffle of the scored
+    // frame (the force-scale probe measured 2.2 GB for 64M scored rows)
+    // for no effect, so it is gated on the index's build setting.
+    val deduped =
+      if (index.replicas > 1) scored.dropDuplicates("query_id", "id") else scored
+    val heaped = deduped
       // bounded heap keeps the LARGEST ord; ADC is a distance
       .withColumn("__negadc", -col("__adc"))
-    val cands = GroupTopK.topKPerGroup(scored, Seq("query_id"), "__negadc", "id", nCand)
+    val cands = GroupTopK.topKPerGroup(heaped, Seq("query_id"), "__negadc", "id", nCand)
       .select(col("query_id"), col("id"))
     val qemb = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).cast("array<double>").as("__qemb"))
     // no broadcast hint on either join: the candidate side is

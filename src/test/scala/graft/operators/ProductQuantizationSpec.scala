@@ -151,6 +151,34 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(!codeScan.contains("emb"), codeScan)
   }
 
+  test("replicated index: knnJoin dedups multi-assigned candidates; single-assignment skips the dedup shuffle") {
+    val centers = embs.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"emb".as("cemb"))
+    val clustered = embs.join(broadcast(centers), pmod($"vec_id", lit(8)) === $"cid")
+      .select($"vec_id", zip_with($"cemb", $"emb", (c, x) => c + lit(0.05) * x).as("emb"))
+    val queries = clustered.where($"vec_id".isin(1, 2, 3))
+    val model = ProductQuantization.fit(clustered, "vec_id", "emb", m = 16, k = 16)
+    val single = ProductQuantization.ivfPqIndex(clustered, "vec_id", "emb", model, nlist = 8)
+    val replicated = ProductQuantization.ivfPqIndex(clustered, "vec_id", "emb", model,
+      nlist = 8, assignReplicas = 2)
+    assert(single.replicas == 1 && replicated.replicas == 2)
+    def rows(idx: ProductQuantization.IvfPqIndex) = ProductQuantization
+      .knnJoinIvfPq(idx, clustered, "vec_id", "emb", queries, "vec_id", "emb",
+        k = 5, nprobe = 2, candidates = 400)
+      .select($"query_id".cast("long"), $"id", round($"cosine", 6), $"rank")
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val r = rows(replicated)
+    // no duplicate (query, id) survives the replicated path, and both
+    // paths agree on the results (replication only widens probe reach)
+    assert(r.distinct == r)
+    assert(rows(single) == r)
+    // the sidecar round-trips the replica count (an old sidecar without
+    // the field loads conservatively, dedup stays on)
+    val dir = java.nio.file.Files.createTempDirectory("pq_rep_index").toString
+    ProductQuantization.writeIndex(replicated, dir)
+    assert(ProductQuantization.readIndex(spark, dir).replicas == 2)
+  }
+
   test("writeIndex/readIndex round-trip: cell-partitioned codes, partition pruning, identical results") {
     val model = ProductQuantization.fit(embs, "vec_id", "emb", m = 16, k = 16)
     val index = ProductQuantization.ivfPqIndex(embs, "vec_id", "emb", model, nlist = 8)
