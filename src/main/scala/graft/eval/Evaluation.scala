@@ -669,8 +669,8 @@ object Evaluation {
         "FROM scores GROUP BY student_id) t " +
         "WHERE d IS NOT NULL ORDER BY d DESC, student_id LIMIT 1",
       "trend_argmax_entity"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10 open cases, closed in round 10b (median-count-per /
+    //     universal rank / minimax argmax shapes) ---
     EvalCase("the median number of courses per student",
       "SELECT MEDIAN(c) AS agg_value FROM " +
         "(SELECT COUNT(DISTINCT course_id) AS c FROM scores " +
@@ -687,5 +687,21 @@ object Evaluation {
         "(SELECT course_id, AVG(score) AS a FROM scores " +
         "GROUP BY course_id) s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept) t ORDER BY best ASC, dept LIMIT 1",
-      "minimax_argmax"))
+      "minimax_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the correlation between student age and score",
+      "SELECT ROUND(CORR(st.age, sc.score), 4) AS agg_value FROM scores sc " +
+        "JOIN students st ON st.student_id = sc.student_id", "correlation"),
+    EvalCase("courses whose score spread is wider than the average course's spread",
+      "SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING STDDEV(score) > (SELECT AVG(s) FROM " +
+        "(SELECT STDDEV(score) AS s FROM scores GROUP BY course_id) t) " +
+        "ORDER BY course_id LIMIT 100", "stddev_vs_avg"),
+    EvalCase("for each dept, the share of its scores above the dept average",
+      "SELECT dept, ROUND(100.0 * SUM(CASE WHEN score > a THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM (SELECT c.dept AS dept, s.score, " +
+        "AVG(s.score) OVER (PARTITION BY c.dept) AS a FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id) t " +
+        "GROUP BY dept ORDER BY dept LIMIT 100", "group_self_beat_share"))
 }

@@ -3090,6 +3090,127 @@ object Templates {
         0.9, "template_trend_argmax_entity")).take(1)
     }
 
+  // "the median number of courses per student" — the median analogue of
+  // avgCountPerRe (kept separate: MEDIAN is a different outer aggregate
+  // with its own intent label)
+  private val medianCountPerRe =
+    (raw"(?i)\bmedian\s+(?:number|count)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Median count per entity: "the median number of Js per E" → inner
+    * grouped COUNT(DISTINCT fk-to-J) per entity key (partial+final, the
+    * one fact-sized shuffle), outer MEDIAN over |entities| rows —
+    * Spark's `median` is an exact sort-based aggregate, fine at group
+    * cardinality; a corpus-sized median would use the KLL path
+    * instead. */
+  def medianCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    medianCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimJ != dimE
+        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT MEDIAN(c) AS agg_value FROM " +
+          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_median_count_per")).take(1)
+    }
+
+  // "students ranked in the top 3 of every course they took" — a
+  // universal quantifier over the entity's WITHIN-GROUP RANK
+  private val universalRankRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:ranked|ranking)\s+in\s+the\s+top\s+(\d+)\s+" +
+      raw"(?:of|in)\s+(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Universal rank: "Es ranked in the top N of every J they took" →
+    * RANK over the fact partitioned by the J key ordered by the
+    * measure (the window input is the fact, but partitions are
+    * J-sized — Spark sorts within hash-partitioned groups, no global
+    * sort), then one grouped MAX(rank) per entity with the ∀ encoded
+    * as MAX <= N. The measure resolves by elimination exactly like
+    * [[trendArgmaxEntityCandidates]] — the question names no measure
+    * word. Display names join at survivor size. */
+  def universalRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    universalRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !l.contains("year") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM (" +
+          s"SELECT ${eE.fromColumn} FROM (" +
+          s"SELECT ${eE.fromColumn}, RANK() OVER (PARTITION BY ${eJ.fromColumn} " +
+          s"ORDER BY $measure DESC) AS r FROM ${eE.fromTable}) x " +
+          s"GROUP BY ${eE.fromColumn} HAVING MAX(r) <= ${m.group(2)}) m " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_universal_rank")).take(1)
+    }
+
+  // "the dept whose best course by average score is the weakest" — a
+  // minimax argmax: per-member aggregates, the group's extreme member,
+  // ranked across groups in the opposite direction
+  private val minimaxArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+(best|worst|strongest|weakest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+the\s+(weakest|lowest|worst|strongest|highest|best)\b").r
+
+  /** Minimax argmax: "the A whose best J by avg V is the weakest" →
+    * per-J aggregates (one fact-sized grouped pass, dims broadcast),
+    * MAX (best) or MIN (worst) of those per A-group — |J| rows in, |A|
+    * rows out — then TakeOrderedAndProject top-1 in the outer
+    * direction. The inner word picks the per-group extreme, the outer
+    * word ranks the extremes; the A attribute lives on J's own
+    * dimension (the [[universalGroupAggCandidates]] join shape with
+    * the ∀ swapped for a minimax). */
+  def minimaxArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    minimaxArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val innerBest = Set("best", "strongest")(m.group(2).toLowerCase)
+      val inner = if (innerBest) "MAX" else "MIN"
+      val outerDir =
+        if (Set("weakest", "lowest", "worst")(m.group(6).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol FROM (" +
+          s"SELECT c.$groupCol AS $groupCol, $inner(a) AS ext FROM (" +
+          s"SELECT ${eJ.fromColumn} AS jk, $agg($numCol) AS a " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.jk " +
+          s"GROUP BY c.$groupCol) t " +
+          s"ORDER BY ext $outerDir, $groupCol LIMIT 1",
+        0.9, "template_minimax_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3153,6 +3274,9 @@ object Templates {
       avgOfRangeCandidates(slice, fks, question) ++
       universalGroupAggCandidates(slice, fks, question) ++
       trendArgmaxEntityCandidates(slice, fks, question, values) ++
+      medianCountPerCandidates(slice, fks, question) ++
+      universalRankCandidates(slice, fks, question, values) ++
+      minimaxArgmaxCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -898,4 +898,34 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.trendArgmaxEntityCandidates(slice, fks,
       "the student who improved the most between 2022 and 2023").isEmpty)
   }
+
+  test("median count per: MEDIAN over per-entity distinct counts") {
+    val c = cands("the median number of courses per student")
+      .find(_.method == "template_median_count_per").get
+    assert(c.sql.contains("SELECT MEDIAN(c) AS agg_value"), c.sql)
+    assert(c.sql.contains("COUNT(DISTINCT course_id) AS c FROM scores GROUP BY student_id"), c.sql)
+  }
+
+  test("universal rank: within-group RANK, grouped MAX(r) encodes the for-all") {
+    val c = Templates.universalRankCandidates(slice, fks,
+      "students ranked in the top 3 of every course they took", scoreDomains).head
+    assert(c.sql.contains("RANK() OVER (PARTITION BY course_id ORDER BY score DESC)"), c.sql)
+    assert(c.sql.contains("GROUP BY student_id HAVING MAX(r) <= 3"), c.sql)
+    assert(c.sql.contains("JOIN students d"), c.sql)
+    // ambiguous measure (no mined domains) fires nothing
+    assert(Templates.universalRankCandidates(slice, fks,
+      "students ranked in the top 3 of every course they took").isEmpty)
+  }
+
+  test("minimax argmax: per-member aggregate, group extreme, opposite outer rank") {
+    val c = cands("the dept whose best course by average score is the weakest")
+      .find(_.method == "template_minimax_argmax").get
+    assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY course_id"), c.sql)
+    assert(c.sql.contains("MAX(a) AS ext"), c.sql)
+    assert(c.sql.contains("ORDER BY ext ASC, dept LIMIT 1"), c.sql)
+    // "worst ... is the strongest" flips both: MIN inner, DESC outer
+    val b = cands("the dept whose worst course by average score is the strongest")
+      .find(_.method == "template_minimax_argmax").get
+    assert(b.sql.contains("MIN(a) AS ext") && b.sql.contains("ORDER BY ext DESC"), b.sql)
+  }
 }
