@@ -250,6 +250,10 @@ object Queries {
     "x_serve_quantile" ->
       ("SELECT event_type, COUNT(*) AS n, 1 AS p95_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x_serve_overlap" ->
+      ("SELECT COUNT(*) AS n_both, 1 AS both_ok, 1 AS jaccard_ok FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'click') t"),
     "x_cms_counts" ->
       ("SELECT event_type, COUNT(*) AS n_events, 1 AS est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
@@ -1604,6 +1608,24 @@ object ExtensionQueries {
           (abs(col("distinct_est") - col("n_users")) <= col("n_users") * 0.05)
             .cast("int").as("est_ok"))
         .orderBy("event_type")
+    }),
+    "x_serve_overlap" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val cat = new graft.catalog.SketchCatalog(s)
+      cat.indexCohorts("events", "event_type", "user_id")
+      val served = cat.route("roughly how many user_id did both purchase and click")
+        .getOrElse(sys.error("cohort route did not fire"))
+      val events = s.table("events")
+      val exact = events.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+        .join(events.where(col("event_type") === "click")
+          .select("user_id").distinct(), "user_id")
+        .agg(count(lit(1)).as("n_both"))
+      exact.crossJoin(served).select(col("n_both"),
+        (abs(col("est_both") - col("n_both")) <= col("n_both") * 0.05)
+          .cast("int").as("both_ok"),
+        (col("jaccard") >= 0.0 && col("jaccard") <= 1.0)
+          .cast("int").as("jaccard_ok"))
     }),
     "x_serve_quantile" -> ((s, dir) => {
       Sources.register(s, dir)

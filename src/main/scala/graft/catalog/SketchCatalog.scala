@@ -47,6 +47,17 @@ final class SketchCatalog(spark: SparkSession) {
   private val hll = TrieMap.empty[(String, String), Entry]
   private val kll = TrieMap.empty[(String, String), Entry]
 
+  /** A cohort (Theta) index: one sketch per cohort value, so set
+    * algebra (intersection/union/difference) between cohorts answers
+    * "did both A and B" without a corpus self-join. `keys` caches the
+    * cohort domain (|cohorts| strings, read once from the index) for
+    * the routing no-fabrication check: a question naming a cohort the
+    * index doesn't carry is never served. */
+  final case class CohortEntry(table: String, cohortCol: String,
+      valueCol: String, index: DataFrame, keys: Set[String])
+
+  private val theta = TrieMap.empty[(String, String), CohortEntry]
+
   /** Build + persist a distinct-count (HLL) index over
     * `table.valueCol`, partitioned by `partCols`. */
   def indexDistinct(table: String, valueCol: String, partCols: Seq[String],
@@ -69,13 +80,32 @@ final class SketchCatalog(spark: SparkSession) {
     e
   }
 
+  /** Build + persist a cohort (Theta) index over `table`: one sketch
+    * of distinct `valueCol`s per `cohortCol` value. */
+  def indexCohorts(table: String, cohortCol: String, valueCol: String): CohortEntry = {
+    val idx = Sketches.thetaCohorts(spark.table(table), cohortCol, valueCol).persist()
+    val keys = idx.select(col(cohortCol).cast("string")).collect().map(_.getString(0)).toSet
+    val e = CohortEntry(table, cohortCol, valueCol, idx, keys)
+    theta.put((table, cohortCol), e)
+    e
+  }
+
   /** Release persisted index frames (test hygiene). */
   def clear(): Unit = {
     (hll.values ++ kll.values).foreach(_.index.unpersist())
-    hll.clear(); kll.clear()
+    theta.values.foreach(_.index.unpersist())
+    hll.clear(); kll.clear(); theta.clear()
   }
 
   def registered: Seq[Entry] = (hll.values ++ kll.values).toSeq
+
+  // "roughly how many users did both purchase and click" — cohort
+  // intersection via Theta set algebra
+  private val bothRe =
+    (raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\s+how\s+many\s+" +
+      raw"(?:distinct\s+|unique\s+)?([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:did|do|saw|have|had|with)\s+both\s+" +
+      raw"([A-Za-z0-9_-]+)\s+and\s+([A-Za-z0-9_-]+)\b").r
 
   // "roughly how many distinct users per event_type"
   private val distinctRe =
@@ -111,6 +141,22 @@ final class SketchCatalog(spark: SparkSession) {
     * through to exact generation. The returned plan reads ONLY the
     * persisted index (asserted by EngineSpec). */
   def route(question: String): Option[DataFrame] = {
+    // cohort intersection FIRST: its phrasing also matches distinctRe's
+    // prefix, and serving a global distinct estimate for a "both A and
+    // B" question would be wrong — if no cohort index covers it, the
+    // question falls to the exact path, never to the HLL route
+    val both = bothRe.findFirstMatchIn(question)
+    if (both.isDefined) return both.flatMap { m =>
+      val (a, b) = (m.group(2), m.group(3))
+      theta.values.filter(e =>
+        graft.link.Fuzzy.nameScore(e.valueCol, m.group(1)) >= 100 &&
+          e.keys.contains(a) && e.keys.contains(b)).toSeq match {
+        case Seq(e) => Some(
+          Sketches.thetaOverlap(e.index, e.cohortCol, a, b)
+            .select(col("est_both"), col("est_either"), col("jaccard")))
+        case _ => None
+      }
+    }
     distinctRe.findFirstMatchIn(question).flatMap { m =>
       for {
         e <- strongMatch(m.group(1), hll.values)

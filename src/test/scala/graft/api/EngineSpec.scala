@@ -167,6 +167,23 @@ class EngineSpec extends SparkSpec {
       val q = engine.ask("roughly the median value").toOption.get
       assert(q.columns.contains("q_0_5"), q.columns)
 
+      // cohort-overlap route: Theta intersection, still index-only
+      engine.sketches.indexCohorts("events", "event_type", "user_id")
+      val ov = engine.sketches
+        .route("roughly how many user_id did both purchase and click").get
+      assert(ov.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.nodeName.contains("InMemoryRelation")))
+      val both = ov.collect()(0).getLong(0).toDouble
+      val exactBoth = spark.table("events").where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+        .join(spark.table("events").where(col("event_type") === "click")
+          .select("user_id").distinct(), "user_id").count()
+      assert(math.abs(both - exactBoth) <= exactBoth * 0.05, s"$both vs $exactBoth")
+      // a cohort the index does not carry is never served (no
+      // fabrication) — the exact path answers instead
+      assert(engine.sketches
+        .route("roughly how many user_id did both purchase and refund").isEmpty)
+
       // UNMARKED questions never reach the sketch path (no silent
       // degradation to estimates): the exact ask path answers
       val ex = engine.ask("how many distinct user_id values are in events").toOption.get
