@@ -57,6 +57,7 @@ final class SketchCatalog(spark: SparkSession) {
       valueCol: String, index: DataFrame, keys: Set[String])
 
   private val theta = TrieMap.empty[(String, String), CohortEntry]
+  private val cms = TrieMap.empty[(String, String), Entry]
 
   /** Build + persist a distinct-count (HLL) index over
     * `table.valueCol`, partitioned by `partCols`. */
@@ -80,6 +81,21 @@ final class SketchCatalog(spark: SparkSession) {
     e
   }
 
+  /** Build + persist a frequency (Count-Min) index over
+    * `table.valueCol`, partitioned by `partCols`. CMS error is
+    * one-sided: estimate ≥ true count, ≤ true + ε·N at the configured
+    * confidence — and a key the corpus never held estimates ≈ 0, so
+    * frequency routing needs no cached key domain. */
+  def indexFrequencies(table: String, valueCol: String, partCols: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99): Entry = {
+    val idx = Sketches.cmsIndex(spark.table(table), partCols, valueCol,
+      eps, confidence).persist()
+    idx.count()
+    val e = Entry(table, valueCol, partCols, idx)
+    cms.put((table, valueCol), e)
+    e
+  }
+
   /** Build + persist a cohort (Theta) index over `table`: one sketch
     * of distinct `valueCol`s per `cohortCol` value. */
   def indexCohorts(table: String, cohortCol: String, valueCol: String): CohortEntry = {
@@ -92,12 +108,72 @@ final class SketchCatalog(spark: SparkSession) {
 
   /** Release persisted index frames (test hygiene). */
   def clear(): Unit = {
-    (hll.values ++ kll.values).foreach(_.index.unpersist())
+    (hll.values ++ kll.values ++ cms.values).foreach(_.index.unpersist())
     theta.values.foreach(_.index.unpersist())
-    hll.clear(); kll.clear(); theta.clear()
+    hll.clear(); kll.clear(); theta.clear(); cms.clear()
   }
 
-  def registered: Seq[Entry] = (hll.values ++ kll.values).toSeq
+  def registered: Seq[Entry] = (hll.values ++ kll.values ++ cms.values).toSeq
+
+  // ------------------------------------------------------- persistence
+
+  /** Persist every registered index as parquet (sketches are plain
+    * binary columns) plus a JSON manifest — the production lifecycle:
+    * BUILD at ingest (the one corpus pass), [[save]], then [[load]] in
+    * any later session and serve without ever touching the corpus
+    * again. Layout: `<path>/<kind>/<table>__<col>/` + `manifest.json`. */
+  def save(path: String): Unit = {
+    def dir(kind: String, t: String, c: String) = s"$path/$kind/${t}__$c"
+    hll.values.foreach(e => e.index.write.mode("overwrite")
+      .parquet(dir("hll", e.table, e.valueCol)))
+    kll.values.foreach(e => e.index.write.mode("overwrite")
+      .parquet(dir("kll", e.table, e.valueCol)))
+    cms.values.foreach(e => e.index.write.mode("overwrite")
+      .parquet(dir("cms", e.table, e.valueCol)))
+    theta.values.foreach(e => e.index.write.mode("overwrite")
+      .parquet(dir("theta", e.table, e.cohortCol)))
+    def entryJson(kind: String, t: String, vc: String, parts: Seq[String]) =
+      s"""{"kind": "$kind", "table": "$t", "col": "$vc", """ +
+        s""""partCols": ${parts.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val entries =
+      hll.values.map(e => entryJson("hll", e.table, e.valueCol, e.partCols)) ++
+        kll.values.map(e => entryJson("kll", e.table, e.valueCol, e.partCols)) ++
+        cms.values.map(e => entryJson("cms", e.table, e.valueCol, e.partCols)) ++
+        theta.values.map(e => entryJson("theta", e.table, e.cohortCol, Seq(e.valueCol)))
+    val manifest = entries.mkString("[", ",\n ", "]")
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a [[save]]d catalog: reads each index parquet, persists and
+    * re-registers it. The manifest is engine-written (fixed shape) —
+    * parsed with a small regex reader like the IVF-PQ sidecar. */
+  def load(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val entryRe = ("""\{"kind": "(\w+)", "table": "([^"]+)", "col": "([^"]+)", """ +
+      """"partCols": \[([^\]]*)\]\}""").r
+    entryRe.findAllMatchIn(text).foreach { m =>
+      val (kind, t, c) = (m.group(1), m.group(2), m.group(3))
+      val parts = m.group(4).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      val idx = spark.read.parquet(s"$path/$kind/${t}__$c").persist()
+      idx.count()
+      kind match {
+        case "hll" => hll.put((t, c), Entry(t, c, parts, idx))
+        case "kll" => kll.put((t, c), Entry(t, c, parts, idx))
+        case "cms" => cms.put((t, c), Entry(t, c, parts, idx))
+        case "theta" =>
+          val keys = idx.select(col(c).cast("string")).collect()
+            .map(_.getString(0)).toSet
+          theta.put((t, c), CohortEntry(t, c, parts.headOption.getOrElse(""), idx, keys))
+      }
+    }
+  }
 
   // "roughly how many users did both purchase and click" — cohort
   // intersection via Theta set algebra
@@ -106,6 +182,13 @@ final class SketchCatalog(spark: SparkSession) {
       raw"(?:distinct\s+|unique\s+)?([a-z_][a-z0-9_]*)\s+" +
       raw"(?:did|do|saw|have|had|with)\s+both\s+" +
       raw"([A-Za-z0-9_-]+)\s+and\s+([A-Za-z0-9_-]+)\b").r
+
+  // "roughly how many times did purchase occur" — frequency probe
+  // against the merged Count-Min sketch
+  private val freqRe =
+    (raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\s+how\s+" +
+      raw"(?:many\s+times|often)\s+(?:did|does|do|was|were|has|have)\s+" +
+      raw"([A-Za-z0-9_-]+)\s+(?:occur(?:red)?|appear(?:ed)?|happen(?:ed)?)\b").r
 
   // "roughly how many distinct users per event_type"
   private val distinctRe =
@@ -154,6 +237,23 @@ final class SketchCatalog(spark: SparkSession) {
         case Seq(e) => Some(
           Sketches.thetaOverlap(e.index, e.cohortCol, a, b)
             .select(col("est_both"), col("est_either"), col("jaccard")))
+        case _ => None
+      }
+    }
+    // frequency probe: serve only when exactly ONE CMS index is
+    // registered (the key is a data value, not a schema word, so index
+    // choice cannot disambiguate by name — two indexes decline)
+    val freq = freqRe.findFirstMatchIn(question)
+    if (freq.isDefined) return freq.flatMap { m =>
+      cms.values.toSeq match {
+        case Seq(e) =>
+          val merged = Sketches.cmsMerge(e.index, Seq.empty)
+          val key = spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(m.group(1))),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.StringType))))
+          Some(Sketches.cmsCounts(merged, key, "key"))
         case _ => None
       }
     }

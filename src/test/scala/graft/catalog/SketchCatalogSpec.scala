@@ -1,0 +1,83 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Serving-layer contracts beyond the EngineSpec routing case: the CMS
+  * frequency route, the catalog save/load lifecycle (build once, serve
+  * in a later session without the corpus), and the routing refusals. */
+class SketchCatalogSpec extends SparkSpec {
+
+  test("frequency route: CMS estimate within the one-sided contract; two indexes decline") {
+    graft.sources.Sources.register(spark, sfDir)
+    val cat = new SketchCatalog(spark)
+    spark.sql("SELECT event_type, to_date(ts) AS day FROM events")
+      .createOrReplaceTempView("events_freq")
+    cat.indexFrequencies("events_freq", "event_type", Seq("day"))
+    try {
+      val df = cat.route("roughly how many times did purchase occur").get
+      val est = df.collect()(0).getLong(1)
+      val exact = spark.table("events").where(col("event_type") === "purchase").count()
+      val total = spark.table("events").count()
+      // one-sided CMS error: never an undercount, over by <= eps*N + 1
+      assert(est >= exact && est <= exact + (0.001 * total).toLong + 1,
+        s"est=$est exact=$exact")
+      // a never-seen key estimates ~0 (bounded by eps*N) — no fabrication
+      // risk in serving arbitrary keys
+      val ghost = cat.route("roughly how many times did zzzghost occur").get
+        .collect()(0).getLong(1)
+      assert(ghost <= (0.001 * total).toLong + 1, s"ghost=$ghost")
+      // with TWO frequency indexes the key word cannot pick one — decline
+      spark.sql("SELECT user_id, to_date(ts) AS day FROM events")
+        .createOrReplaceTempView("events_freq2")
+      cat.indexFrequencies("events_freq2", "user_id", Seq("day"))
+      assert(cat.route("roughly how many times did purchase occur").isEmpty)
+    } finally cat.clear()
+  }
+
+  test("save/load lifecycle: a reloaded catalog serves identical estimates, corpus-free") {
+    graft.sources.Sources.register(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("sketch_catalog").toString
+    spark.sql("SELECT event_type, user_id, value, to_date(ts) AS day FROM events")
+      .createOrReplaceTempView("events_keyed")
+    val built = new SketchCatalog(spark)
+    built.indexDistinct("events_keyed", "user_id", Seq("event_type", "day"))
+    built.indexQuantiles("events_keyed", "value", Seq("event_type", "day"))
+    built.indexCohorts("events_keyed", "event_type", "user_id")
+    def serve(c: SketchCatalog): Seq[String] = Seq(
+      c.route("roughly how many distinct user_id per event_type").get
+        .collect().map(_.toString).mkString("|"),
+      c.route("roughly how many user_id did both purchase and click").get
+        .collect().map(_.toString).mkString("|"))
+    def median(c: SketchCatalog): Double =
+      c.route("roughly the median value").get.collect()(0).getDouble(0)
+    val before = serve(built)
+    val medianBefore = median(built)
+    built.save(dir)
+    built.clear()
+    val loaded = new SketchCatalog(spark)
+    loaded.load(dir)
+    try {
+      // HLL/Theta estimates are merge-order-independent: identical
+      // after the round-trip
+      assert(serve(loaded) == before)
+      // KLL compaction is randomized per merge order, so the reloaded
+      // rollup may differ slightly — both sides must sit within the
+      // index's ±3-rank-point contract at p50
+      def rankOf(v: Double): Double = {
+        val (below, total) = (
+          spark.table("events").where(col("value") <= v).count().toDouble,
+          spark.table("events").count().toDouble)
+        below / total
+      }
+      assert(math.abs(rankOf(medianBefore) - 0.5) <= 0.03, medianBefore)
+      assert(math.abs(rankOf(median(loaded)) - 0.5) <= 0.03, median(loaded))
+      // and the reloaded route still never touches a corpus table: its
+      // leaves are the persisted in-memory index relations
+      val leaves = loaded.route("roughly how many distinct user_id per event_type").get
+        .queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.nodeName.contains("InMemoryRelation")),
+        leaves.map(_.nodeName).mkString(","))
+    } finally loaded.clear()
+  }
+}
