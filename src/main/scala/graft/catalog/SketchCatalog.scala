@@ -106,6 +106,32 @@ final class SketchCatalog(spark: SparkSession) {
     e
   }
 
+  /** Adopt an EXTERNALLY-built distinct-count index frame — e.g.
+    * stream-maintained daily rows
+    * ([[graft.streaming.Streams.distinctSketchStream]]) unioned with
+    * batch history: HLL_8 union is lossless, so the adopted frame
+    * serves identically to a single batch pass (StreamsSpec pins the
+    * byte-compatibility). The frame must carry `partCols` + an `hll`
+    * column. */
+  def adoptDistinct(table: String, valueCol: String, partCols: Seq[String],
+      index: DataFrame): Entry = {
+    val idx = index.persist()
+    idx.count()
+    val e = Entry(table, valueCol, partCols, idx)
+    hll.put((table, valueCol), e)
+    e
+  }
+
+  /** [[adoptDistinct]] for a quantile (KLL) index frame (`kll` column). */
+  def adoptQuantiles(table: String, valueCol: String, partCols: Seq[String],
+      index: DataFrame): Entry = {
+    val idx = index.persist()
+    idx.count()
+    val e = Entry(table, valueCol, partCols, idx)
+    kll.put((table, valueCol), e)
+    e
+  }
+
   /** Release persisted index frames (test hygiene). */
   def clear(): Unit = {
     (hll.values ++ kll.values ++ cms.values).foreach(_.index.unpersist())

@@ -35,6 +35,31 @@ class SketchCatalogSpec extends SparkSpec {
     } finally cat.clear()
   }
 
+  test("adopted split-built index (the stream+history shape) serves like one batch pass") {
+    graft.sources.Sources.register(spark, sfDir)
+    import graft.operators.Sketches
+    val events = spark.sql(
+      "SELECT event_type, user_id, to_date(ts) AS day, event_id FROM events")
+    // two disjoint halves sketched separately (batch history + a
+    // stream-built tail are the same shape: independent daily rows)
+    val halfA = Sketches.hllIndex(
+      events.where(col("event_id") % 2 === 0), Seq("event_type", "day"), "user_id")
+    val halfB = Sketches.hllIndex(
+      events.where(col("event_id") % 2 === 1), Seq("event_type", "day"), "user_id")
+    val cat = new SketchCatalog(spark)
+    cat.adoptDistinct("events", "user_id", Seq("event_type", "day"), halfA.union(halfB))
+    try {
+      val served = cat.route("roughly how many distinct user_id per event_type").get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = spark.table("events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served.keySet == exact.keySet)
+      served.foreach { case (k, est) =>
+        assert(math.abs(est - exact(k)) <= exact(k) * 0.05, s"$k: $est vs ${exact(k)}") }
+    } finally cat.clear()
+  }
+
   test("save/load lifecycle: a reloaded catalog serves identical estimates, corpus-free") {
     graft.sources.Sources.register(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("sketch_catalog").toString
