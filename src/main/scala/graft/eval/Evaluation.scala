@@ -688,8 +688,8 @@ object Evaluation {
         "GROUP BY course_id) s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept) t ORDER BY best ASC, dept LIMIT 1",
       "minimax_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10b open cases, closed in round 10c (correlation /
+    //     spread-vs-average / group self-beat share shapes) ---
     EvalCase("the correlation between student age and score",
       "SELECT ROUND(CORR(st.age, sc.score), 4) AS agg_value FROM scores sc " +
         "JOIN students st ON st.student_id = sc.student_id", "correlation"),
@@ -703,5 +703,21 @@ object Evaluation {
         "/ COUNT(*), 2) AS agg_value FROM (SELECT c.dept AS dept, s.score, " +
         "AVG(s.score) OVER (PARTITION BY c.dept) AS a FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id) t " +
-        "GROUP BY dept ORDER BY dept LIMIT 100", "group_self_beat_share"))
+        "GROUP BY dept ORDER BY dept LIMIT 100", "group_self_beat_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the top 2 depts by number of students taught",
+      "SELECT c.dept, COUNT(DISTINCT s.student_id) AS agg_value FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept " +
+        "ORDER BY agg_value DESC, c.dept LIMIT 2", "joined_distinct_topn"),
+    EvalCase("the year in which the science dept had its highest average score",
+      "SELECT year FROM (SELECT s.year, AVG(s.score) AS a FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id WHERE c.dept = 'science' " +
+        "GROUP BY s.year) t ORDER BY a DESC, year LIMIT 1",
+      "filtered_period_argmax"),
+    EvalCase("the share of all scores contributed by the top 3 courses",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN rnk <= 3 THEN cnt ELSE 0 END) " +
+        "/ SUM(cnt), 2) AS agg_value FROM (SELECT course_id, COUNT(*) AS cnt, " +
+        "RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk FROM scores " +
+        "GROUP BY course_id) t", "topk_share"))
 }

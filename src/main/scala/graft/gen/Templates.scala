@@ -3211,6 +3211,118 @@ object Templates {
         0.9, "template_minimax_argmax")).take(1)
     }
 
+  // "the correlation between student age and score" — Pearson CORR of
+  // two measures, possibly living on different tables of one FK edge
+  private val correlationRe =
+    (raw"(?i)\bthe\s+correlation\s+between\s+" +
+      raw"(?:([a-z_][a-z0-9_]*)\s+)?([a-z_][a-z0-9_]*)\s+and\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Correlation: "the correlation between [E] A and B" → one CORR
+    * aggregate. Same-table measures need no join; a dimension-side
+    * measure (the optional entity qualifier resolves it: "student age"
+    * → students.age) joins through the fact's fk — one broadcast dim
+    * join, one fact-sized aggregate pass, a single output row.
+    * ROUND(…, 4) for presentation stability. */
+  def correlationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    correlationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (w1, w2) = (m.group(2), m.group(3))
+      val sameTable = for {
+        t <- slice.tables.keys.toSeq.sorted
+        a <- strongColumn(w1, slice.tables(t)).toSeq
+        b <- strongColumn(w2, slice.tables(t)).toSeq
+        if a != b
+      } yield Candidate(
+        s"SELECT ROUND(CORR($a, $b), 4) AS agg_value FROM $t",
+        0.9, "template_correlation")
+      val joined = for {
+        entityWord <- Option(m.group(1)).toSeq
+        dimE <- uniqueTable(slice, entityWord).toSeq
+        a <- strongColumn(w1, slice.tables(dimE)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        b <- strongColumn(w2, slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CORR(d.$a, f.$b), 4) AS agg_value " +
+          s"FROM ${e.fromTable} f JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn}",
+        0.9, "template_correlation")
+      (sameTable ++ joined).take(1)
+    }
+
+  // "courses whose score spread is wider than the average course's
+  // spread" — per-group dispersion vs the average group dispersion
+  private val stddevVsAvgRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(spread|variability|dispersion)\s+is\s+" +
+      raw"(wider|broader|larger|greater|narrower|smaller|tighter)\s+than\s+the\s+" +
+      raw"average\s+([a-z_][a-z0-9_]*)(?:'s)?\s+\3\b").r
+
+  /** Spread vs average spread: "Js whose V spread is wider than the
+    * average J's spread" → per-group STDDEV in one grouped pass, the
+    * bar a broadcast scalar subquery (AVG over the |J| group STDDEVs —
+    * group rows, never the corpus), threshold in HAVING. Both J words
+    * must name the same dimension; the answer key is the fact's fk
+    * (group identity), matching the grouped pass's key. */
+  def stddevVsAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    stddevVsAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("narrower", "smaller", "tighter")(m.group(4).toLowerCase)) "<" else ">"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        if uniqueTable(slice, m.group(5)).contains(dimJ)
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
+          s"HAVING STDDEV($numCol) $op (SELECT AVG(s) FROM " +
+          s"(SELECT STDDEV($numCol) AS s FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) t) " +
+          s"ORDER BY ${eJ.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_stddev_vs_avg")).take(1)
+    }
+
+  // "for each dept, the share of its scores above the dept average" —
+  // per-group share against the group's OWN aggregate bar
+  private val groupSelfBeatShareRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
+      raw"(share|percentage|percent|fraction)\s+of\s+its\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(above|over|below|under)\s+the\s+\1\s+(?:average|avg|mean)\b").r
+
+  /** Group self-beat share: "for each G, the share of its Vs above the
+    * G average" → per-G averages from ONE grouped pass through the
+    * broadcast dimension (|G| rows, broadcast back on the attribute
+    * key), each fact row compares to its own group's bar, and the
+    * share is a second grouped conditional aggregate — a
+    * join-then-aggregate plan, no corpus-wide WindowExec (same shape
+    * as [[universalSelfRelativeCandidates]], the ∀ swapped for a
+    * percentage). The G attribute resolves on a JOINED dimension of
+    * the fact carrying the measure. */
+  def groupSelfBeatShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupSelfBeatShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val measureWords = Seq(m.group(3), m.group(3).stripSuffix("s")).distinct
+      (for {
+        dimJ <- slice.tables.keys.toSeq.sorted
+        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        numCol <- measureWords.flatMap(w =>
+          strongColumn(w, slice.tables(eJ.fromTable))).headOption.toSeq
+      } yield Candidate(
+        s"SELECT c.$groupCol AS $groupCol, " +
+          s"ROUND(100.0 * SUM(CASE WHEN s.$numCol $op g.a THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"JOIN (SELECT c2.$groupCol AS gk, AVG(s2.$numCol) AS a " +
+          s"FROM ${eJ.fromTable} s2 " +
+          s"JOIN $dimJ c2 ON c2.${eJ.toColumn} = s2.${eJ.fromColumn} " +
+          s"GROUP BY c2.$groupCol) g ON g.gk = c.$groupCol " +
+          s"GROUP BY c.$groupCol " +
+          s"ORDER BY c.$groupCol LIMIT $DefaultLimit",
+        0.9, "template_group_self_beat_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3277,6 +3389,9 @@ object Templates {
       medianCountPerCandidates(slice, fks, question) ++
       universalRankCandidates(slice, fks, question, values) ++
       minimaxArgmaxCandidates(slice, fks, question) ++
+      correlationCandidates(slice, fks, question) ++
+      stddevVsAvgCandidates(slice, fks, question) ++
+      groupSelfBeatShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

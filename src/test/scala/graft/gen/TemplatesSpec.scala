@@ -928,4 +928,38 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_minimax_argmax").get
     assert(b.sql.contains("MIN(a) AS ext") && b.sql.contains("ORDER BY ext DESC"), b.sql)
   }
+
+  test("correlation: dimension-side measure joins through the fact's fk") {
+    val c = cands("the correlation between student age and score")
+      .find(_.method == "template_correlation").get
+    assert(c.sql.contains("ROUND(CORR(d.age, f.score), 4) AS agg_value"), c.sql)
+    assert(c.sql.contains("JOIN students d ON d.student_id = f.student_id"), c.sql)
+    // same-table form needs no join
+    val s = cands("the correlation between score and year")
+      .find(_.method == "template_correlation").get
+    assert(s.sql == "SELECT ROUND(CORR(score, year), 4) AS agg_value FROM scores", s.sql)
+  }
+
+  test("spread vs average spread: per-group STDDEV against the broadcast group-average bar") {
+    val c = cands("courses whose score spread is wider than the average course's spread")
+      .find(_.method == "template_stddev_vs_avg").get
+    assert(c.sql.contains("HAVING STDDEV(score) > (SELECT AVG(s) FROM"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    // "narrower" flips the comparison
+    val n = cands("courses whose score spread is narrower than the average course's spread")
+      .find(_.method == "template_stddev_vs_avg").get
+    assert(n.sql.contains("HAVING STDDEV(score) <"), n.sql)
+  }
+
+  test("group self-beat share: per-group bar joined back, conditional share per group") {
+    val c = cands("for each dept, the share of its scores above the dept average")
+      .find(_.method == "template_group_self_beat_share").get
+    assert(c.sql.contains("AVG(s2.score) AS a"), c.sql)
+    assert(c.sql.contains("ON g.gk = c.dept"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN s.score > g.a THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    // mismatched group words ("for each dept ... the grade average") never fire
+    assert(cands("for each dept, the share of its scores above the grade average")
+      .forall(_.method != "template_group_self_beat_share"))
+  }
 }
