@@ -704,8 +704,8 @@ object Evaluation {
         "AVG(s.score) OVER (PARTITION BY c.dept) AS a FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id) t " +
         "GROUP BY dept ORDER BY dept LIMIT 100", "group_self_beat_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10c open cases, closed in round 10d (joined distinct
+    //     top-N / filtered period argmax / top-k share shapes) ---
     EvalCase("the top 2 depts by number of students taught",
       "SELECT c.dept, COUNT(DISTINCT s.student_id) AS agg_value FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept " +
@@ -719,5 +719,30 @@ object Evaluation {
       "SELECT ROUND(100.0 * SUM(CASE WHEN rnk <= 3 THEN cnt ELSE 0 END) " +
         "/ SUM(cnt), 2) AS agg_value FROM (SELECT course_id, COUNT(*) AS cnt, " +
         "RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk FROM scores " +
-        "GROUP BY course_id) t", "topk_share"))
+        "GROUP BY course_id) t", "topk_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    // NOTE: "every department except X" is NOT usable headroom on this
+    // fixture — every student provably covers every dept (the (s+c)%3
+    // take rule cannot zero out a dept's course set), so the except-less
+    // division answer coincides with the gold and discriminates nothing.
+    EvalCase("students whose worst score came in a math course",
+      "SELECT DISTINCT d.student_name FROM (SELECT student_id, course_id, " +
+        "RANK() OVER (PARTITION BY student_id ORDER BY score ASC) AS r " +
+        "FROM scores) x JOIN courses c ON c.course_id = x.course_id " +
+        "JOIN students d ON d.student_id = x.student_id " +
+        "WHERE x.r = 1 AND c.dept = 'math' " +
+        "ORDER BY d.student_name LIMIT 100", "argmin_attribution"),
+    EvalCase("the number of years in which the average score increased",
+      "SELECT SUM(CASE WHEN a > p THEN 1 ELSE 0 END) AS agg_value FROM " +
+        "(SELECT year, AVG(score) AS a, LAG(AVG(score)) OVER (ORDER BY year) AS p " +
+        "FROM scores GROUP BY year) t", "count_increasing_periods"),
+    EvalCase("courses taken by more grade 9 students than grade 12 students",
+      "SELECT c.course_name FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_id, c.course_name " +
+        "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > " +
+        "SUM(CASE WHEN st.grade_level = 12 THEN 1 ELSE 0 END) " +
+        "ORDER BY c.course_name LIMIT 100", "comparative_cohort_count"))
 }

@@ -3323,6 +3323,113 @@ object Templates {
         0.9, "template_group_self_beat_share")).take(1)
     }
 
+  // "the top 2 depts by number of students taught" — top-N group
+  // attributes ranked by a joined DISTINCT entity count
+  private val joinedDistinctTopnRe =
+    (raw"(?i)\b(top|bottom)\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+by\s+" +
+      raw"(?:the\s+)?number\s+of\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Joined distinct top-N: "top N As by number of Es" → the fact joins
+    * its A-dimension (broadcast), one grouped COUNT(DISTINCT fk-to-E)
+    * on the attribute key, TakeOrderedAndProject cuts N — never a
+    * global sort. The attribute word resolves on a dimension the fact
+    * references; the counted word on ANOTHER dimension of the same
+    * fact (distinct fk), so "number of" counts entities, not fact
+    * rows — the row-count reading belongs to the popularity/most
+    * templates. */
+  def joinedDistinctTopnCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedDistinctTopnRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(1).equalsIgnoreCase("top")) "DESC" else "ASC"
+      (for {
+        dimA <- slice.tables.keys.toSeq.sorted
+        groupCol <- abbrevColumn(m.group(3), slice.tables(dimA)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimA
+        eA <- fks.filter(e => e.toTable == dimA && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eA.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT c.$groupCol, COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value " +
+          s"FROM ${eA.fromTable} s " +
+          s"JOIN $dimA c ON c.${eA.toColumn} = s.${eA.fromColumn} " +
+          s"GROUP BY c.$groupCol " +
+          s"ORDER BY agg_value $dir, c.$groupCol LIMIT ${m.group(2)}",
+        0.9, "template_joined_distinct_topn")).take(1)
+    }
+
+  // "the year in which the science dept had its highest average score"
+  // — argmax over periods WITHIN a value-filtered group
+  private val filteredPeriodArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+the\s+" +
+      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\s+had\s+its\s+" +
+      raw"(highest|best|largest|greatest|lowest|worst|smallest)\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Filtered period argmax: "the T in which the X A had its highest
+    * avg V" → the value X resolves through MINED VALUE DOMAINS against
+    * the attribute column A (the no-fabrication bar on data values,
+    * the [[divisionCandidates]] rule), the filter pushes to the
+    * broadcast dimension scan BEFORE its join, one grouped aggregate
+    * per period over the filtered fact, TakeOrderedAndProject top-1. */
+  def filteredPeriodArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    filteredPeriodArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("lowest", "worst", "smallest")(m.group(4).toLowerCase)) "ASC" else "DESC"
+      val agg = m.group(5).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimJ <- slice.tables.keys.toSeq.sorted
+        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+        if values(dimJ).get(attrCol).exists(_.contains(m.group(2)))
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        periodCol <- strongColumn(m.group(1), slice.tables(eJ.fromTable)).toSeq
+        numCol <- strongColumn(m.group(6), slice.tables(eJ.fromTable)).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT $periodCol FROM (" +
+          s"SELECT s.$periodCol AS $periodCol, $agg(s.$numCol) AS a " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"WHERE c.$attrCol = ${sqlLit(m.group(2))} " +
+          s"GROUP BY s.$periodCol) t " +
+          s"ORDER BY a $dir, $periodCol LIMIT 1",
+        0.9, "template_filtered_period_argmax")).take(1)
+    }
+
+  // "the share of all scores contributed by the top 3 courses" —
+  // concentration: the fraction of fact rows held by the k largest
+  // groups
+  private val topkShareRe =
+    (raw"(?i)\bthe\s+(share|percentage|percent|fraction)\s+of\s+all\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+top\s+(\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Top-k concentration share: "the share of all Fs contributed by
+    * the top N Js" → one grouped count on the fact's fk (partial+
+    * final), RANK over the |J| GROUP ROWS ONLY (never the fact — the
+    * window input is group-cardinality-sized), one summary row. The
+    * counted word must name the fact table itself; the ranked word
+    * the fk's dimension. */
+  def topkShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    topkShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        eJ <- fks.find(e => e.fromTable == fact && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(100.0 * SUM(CASE WHEN rnk <= ${m.group(3)} THEN cnt ELSE 0 END) " +
+          s"/ SUM(cnt), 2) AS agg_value FROM (" +
+          s"SELECT ${eJ.fromColumn}, COUNT(*) AS cnt, " +
+          s"RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk " +
+          s"FROM $fact GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_topk_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3392,6 +3499,9 @@ object Templates {
       correlationCandidates(slice, fks, question) ++
       stddevVsAvgCandidates(slice, fks, question) ++
       groupSelfBeatShareCandidates(slice, fks, question) ++
+      joinedDistinctTopnCandidates(slice, fks, question) ++
+      filteredPeriodArgmaxCandidates(slice, fks, question, values) ++
+      topkShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -78,7 +78,8 @@ class EvaluationSpec extends SparkSpec {
         "count_vs_example", "dim_range_argmax", "universal_other_relative",
         "avg_of_range", "universal_group_agg", "trend_argmax_entity",
         "median_count_per", "universal_rank", "minimax_argmax",
-        "correlation", "stddev_vs_avg", "group_self_beat_share"))
+        "correlation", "stddev_vs_avg", "group_self_beat_share",
+        "joined_distinct_topn", "filtered_period_argmax", "topk_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -962,4 +962,36 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("for each dept, the share of its scores above the grade average")
       .forall(_.method != "template_group_self_beat_share"))
   }
+
+  test("joined distinct top-N: attribute groups ranked by distinct second-entity count") {
+    val c = cands("the top 2 depts by number of students taught")
+      .find(_.method == "template_joined_distinct_topn").get
+    assert(c.sql.contains("COUNT(DISTINCT s.student_id) AS agg_value"), c.sql)
+    assert(c.sql.contains("JOIN courses c ON c.course_id = s.course_id"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY agg_value DESC, c.dept LIMIT 2"), c.sql)
+    // "bottom" flips the direction
+    val b = cands("the bottom 2 depts by number of students taught")
+      .find(_.method == "template_joined_distinct_topn").get
+    assert(b.sql.contains("ORDER BY agg_value ASC"), b.sql)
+  }
+
+  test("filtered period argmax: mined-domain value filter on the dimension, top-1 period") {
+    val c = candsV("the year in which the science dept had its highest average score")
+      .find(_.method == "template_filtered_period_argmax").get
+    assert(c.sql.contains("WHERE c.dept = 'science'"), c.sql)
+    assert(c.sql.contains("GROUP BY s.year"), c.sql)
+    assert(c.sql.contains("ORDER BY a DESC, year LIMIT 1"), c.sql)
+    // a value outside the mined domain never fires (no fabrication)
+    assert(candsV("the year in which the zzz dept had its highest average score")
+      .forall(_.method != "template_filtered_period_argmax"))
+  }
+
+  test("top-k share: group counts ranked over group rows only, one summary row") {
+    val c = cands("the share of all scores contributed by the top 3 courses")
+      .find(_.method == "template_topk_share").get
+    assert(c.sql.contains("RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk"), c.sql)
+    assert(c.sql.contains("CASE WHEN rnk <= 3 THEN cnt ELSE 0 END"), c.sql)
+    assert(c.sql.contains("FROM scores GROUP BY course_id"), c.sql)
+  }
 }
