@@ -720,8 +720,8 @@ object Evaluation {
         "/ SUM(cnt), 2) AS agg_value FROM (SELECT course_id, COUNT(*) AS cnt, " +
         "RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk FROM scores " +
         "GROUP BY course_id) t", "topk_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10d open cases, closed in round 10e (argmin attribution /
+    //     increasing-period count / comparative cohort count shapes) ---
     // NOTE: "every department except X" is NOT usable headroom on this
     // fixture — every student provably covers every dept (the (s+c)%3
     // take rule cannot zero out a dept's course set), so the except-less
@@ -744,5 +744,20 @@ object Evaluation {
         "GROUP BY c.course_id, c.course_name " +
         "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > " +
         "SUM(CASE WHEN st.grade_level = 12 THEN 1 ELSE 0 END) " +
-        "ORDER BY c.course_name LIMIT 100", "comparative_cohort_count"))
+        "ORDER BY c.course_name LIMIT 100", "comparative_cohort_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("which dept improved its average score the most between 2022 and 2023",
+      "SELECT dept FROM (SELECT c.dept AS dept, " +
+        "AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
+        "AVG(CASE WHEN s.year = 2022 THEN s.score END) AS d FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t " +
+        "WHERE d IS NOT NULL ORDER BY d DESC, dept LIMIT 1", "trend_argmax_attr"),
+    EvalCase("the minimum number of courses any student took",
+      "SELECT MIN(c) AS agg_value FROM (SELECT COUNT(DISTINCT course_id) AS c " +
+        "FROM scores GROUP BY student_id) t", "min_count_per"),
+    EvalCase("the percentage of students whose best score is above 95",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN mx > 95 THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM (SELECT MAX(score) AS mx " +
+        "FROM scores GROUP BY student_id) t", "share_entity_extreme"))
 }

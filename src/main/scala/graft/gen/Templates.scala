@@ -3430,6 +3430,121 @@ object Templates {
         0.9, "template_topk_share")).take(1)
     }
 
+  // "students whose worst score came in a math course" — which GROUP
+  // holds each entity's extreme row, filtered to a named group value
+  private val argminAttributionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(worst|lowest|best|highest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:came|was|happened|occurred)\s+in\s+an?\s+" +
+      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Extreme-row attribution: "Es whose worst V came in a X J" → RANK
+    * per entity over the fact (partitions are entity-sized; ties keep
+    * every co-extreme row, the only reading under which "came in"
+    * is well-defined for ties), rank-1 rows join the J dimension
+    * (broadcast) and filter on the MINED-DOMAIN value X — the
+    * no-fabrication bar on data values. DISTINCT display names because
+    * a tie can attribute one entity twice. */
+  def argminAttributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    argminAttributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("worst", "lowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(5)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(eE.fromTable)).toSeq
+        attrCol <- slice.tables(dimJ).find(c =>
+          values(dimJ).get(c).exists(_.contains(m.group(4)))).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.$nameCol FROM (" +
+          s"SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
+          s"RANK() OVER (PARTITION BY ${eE.fromColumn} ORDER BY $numCol $dir) AS r " +
+          s"FROM ${eE.fromTable}) x " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = x.${eJ.fromColumn} " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = x.${eE.fromColumn} " +
+          s"WHERE x.r = 1 AND c.$attrCol = ${sqlLit(m.group(4))} " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_argmin_attribution")).take(1)
+    }
+
+  // "the number of years in which the average score increased" — count
+  // of consecutive-period steps moving one direction
+  private val countIncreasingRe =
+    (raw"(?i)\bthe\s+(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+the\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(increased|rose|grew|improved|went\s+up|decreased|declined|fell|dropped|went\s+down)\b").r
+
+  /** Count of moving periods: "the number of Ts in which the avg V
+    * increased" → per-period aggregates first (the one fact-sized
+    * pass), LAG over the |periods| GROUP ROWS, one summary count. */
+  def countIncreasingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    countIncreasingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val up = Set("increased", "rose", "grew", "improved")(
+        m.group(4).toLowerCase) || m.group(4).toLowerCase.startsWith("went up")
+      val op = if (up) ">" else "<"
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
+            strongColumn(m.group(3), slice.tables(t)).isDefined).toSeq
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        numCol <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT SUM(CASE WHEN a $op p THEN 1 ELSE 0 END) AS agg_value FROM (" +
+          s"SELECT $periodCol, $agg($numCol) AS a, " +
+          s"LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS p " +
+          s"FROM $fact GROUP BY $periodCol) t",
+        0.9, "template_count_increasing_periods")).take(1)
+    }
+
+  // "courses taken by more grade 9 students than grade 12 students" —
+  // per-group comparison of two attribute-cohort counts
+  private val comparativeCohortRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+(more|fewer|less)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+than\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Comparative cohort count: "Js Ved by more A-N Es than A-M Es" →
+    * both cohort counts as CASE conditionals in ONE grouped pass
+    * through the two broadcast dimensions, compared in HAVING. The
+    * attribute word prefix-resolves on the entity dimension ("grade" →
+    * grade_level, the filteredPopularity rule) and must be the same on
+    * both sides of "than". */
+  def comparativeCohortCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    comparativeCohortRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).equalsIgnoreCase("more")) ">" else "<"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(5)).toSeq
+        if dimE != dimJ && uniqueTable(slice, m.group(8)).contains(dimE) &&
+          m.group(3).equalsIgnoreCase(m.group(6))
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        attrCol <- prefixColumn(m.group(3), slice.tables(dimE)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT c.$jName FROM ${eJ.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.${eJ.toColumn}, c.$jName " +
+          s"HAVING SUM(CASE WHEN st.$attrCol = ${m.group(4)} THEN 1 ELSE 0 END) $op " +
+          s"SUM(CASE WHEN st.$attrCol = ${m.group(7)} THEN 1 ELSE 0 END) " +
+          s"ORDER BY c.$jName LIMIT $DefaultLimit",
+        0.9, "template_comparative_cohort")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3502,6 +3617,9 @@ object Templates {
       joinedDistinctTopnCandidates(slice, fks, question) ++
       filteredPeriodArgmaxCandidates(slice, fks, question, values) ++
       topkShareCandidates(slice, fks, question) ++
+      argminAttributionCandidates(slice, fks, question, values) ++
+      countIncreasingCandidates(slice, fks, question) ++
+      comparativeCohortCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -79,7 +79,9 @@ class EvaluationSpec extends SparkSpec {
         "avg_of_range", "universal_group_agg", "trend_argmax_entity",
         "median_count_per", "universal_rank", "minimax_argmax",
         "correlation", "stddev_vs_avg", "group_self_beat_share",
-        "joined_distinct_topn", "filtered_period_argmax", "topk_share"))
+        "joined_distinct_topn", "filtered_period_argmax", "topk_share",
+        "argmin_attribution", "count_increasing_periods",
+        "comparative_cohort_count"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

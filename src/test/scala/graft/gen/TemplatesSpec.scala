@@ -994,4 +994,44 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("CASE WHEN rnk <= 3 THEN cnt ELSE 0 END"), c.sql)
     assert(c.sql.contains("FROM scores GROUP BY course_id"), c.sql)
   }
+
+  test("argmin attribution: per-entity extreme row, mined-domain group filter, tie-keeping RANK") {
+    val c = candsV("students whose worst score came in a math course")
+      .find(_.method == "template_argmin_attribution").get
+    assert(c.sql.contains("RANK() OVER (PARTITION BY student_id ORDER BY score ASC)"), c.sql)
+    assert(c.sql.contains("WHERE x.r = 1 AND c.dept = 'math'"), c.sql)
+    assert(c.sql.startsWith("SELECT DISTINCT d.student_name"), c.sql)
+    // "best" flips the rank direction
+    val b = candsV("students whose best score came in a math course")
+      .find(_.method == "template_argmin_attribution").get
+    assert(b.sql.contains("ORDER BY score DESC"), b.sql)
+    // unknown domain values never fire
+    assert(candsV("students whose worst score came in a zzz course")
+      .forall(_.method != "template_argmin_attribution"))
+  }
+
+  test("count increasing periods: LAG over period group rows, one summary count") {
+    val c = cands("the number of years in which the average score increased")
+      .find(_.method == "template_count_increasing_periods").get
+    assert(c.sql.contains("SUM(CASE WHEN a > p THEN 1 ELSE 0 END) AS agg_value"), c.sql)
+    assert(c.sql.contains("LAG(AVG(score)) OVER (ORDER BY year)"), c.sql)
+    // falling verbs flip the comparison
+    val d = cands("the number of years in which the average score declined")
+      .find(_.method == "template_count_increasing_periods").get
+    assert(d.sql.contains("CASE WHEN a < p"), d.sql)
+  }
+
+  test("comparative cohort count: both cohorts as conditionals in one grouped pass") {
+    val c = cands("courses taken by more grade 9 students than grade 12 students")
+      .find(_.method == "template_comparative_cohort").get
+    assert(c.sql.contains("SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) >"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN st.grade_level = 12 THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("GROUP BY c.course_id, c.course_name"), c.sql)
+    // "fewer" flips the comparison; mismatched attribute words never fire
+    val f = cands("courses taken by fewer grade 9 students than grade 12 students")
+      .find(_.method == "template_comparative_cohort").get
+    assert(f.sql.contains("END) <"), f.sql)
+    assert(cands("courses taken by more grade 9 students than age 12 students")
+      .forall(_.method != "template_comparative_cohort"))
+  }
 }
