@@ -31,7 +31,9 @@ object ProbeScaling {
       "x_bpe_pairs",
       // round-9 operators (sketch indexes + FK inference)
       "x_sketch_distinct", "x_sketch_overlap", "x_sketch_quantiles",
-      "x_fk_infer", "x_cms_counts")
+      "x_fk_infer", "x_cms_counts",
+      // round-10 operators (sketch-index query SERVING: build + route)
+      "x_serve_distinct", "x_serve_quantile", "x_serve_overlap")
     val sfs = Seq("sf0.001" -> 0.001, "sf0.01" -> 0.01, "sf0.1" -> 0.1)
     // warmup at smallest sf (JIT + codegen)
     for ((q, _) <- Seq(queries.head -> 0)) graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
