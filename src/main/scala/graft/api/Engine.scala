@@ -171,6 +171,40 @@ final class Engine(
       .getOrElse(Left(SqlSafetyError("No valid candidate generated")))
   }
 
+  /** Sketch-served answer as a QueryResult, or None to fall through to
+    * exact generation. Never throws (always-answer). */
+  private def serveFromSketches(question: String, limit: Int, timeoutMs: Long,
+      requireMarker: Boolean): Option[QueryResult] =
+    try {
+      sketches.route(question, requireMarker).flatMap { df =>
+        val capped = df.limit(limit)
+        Executor.collectWithTimeout(spark, capped, timeoutMs) match {
+          case Right(rows) => Some(QueryResult(
+            sql = "-- approx: served from sketch index (no corpus scan)",
+            columns = capped.columns.toSeq,
+            rows = rows.toSeq.map(_.toSeq.map(Executor.jsonSafe)),
+            rowcount = rows.length,
+            explain = capped.queryExecution
+              .explainString(org.apache.spark.sql.execution.SimpleMode),
+            explanation = "Approximate answer merged from a mergeable " +
+              "sketch index (HLL/KLL/Theta/CMS); accuracy contract ±5% " +
+              "distinct / ±3 rank points / one-sided frequency."))
+          case Left(_) => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Explicit approx-tolerant ask (the API-flag form of the marker
+    * routing): the method choice is the approximation consent, so a
+    * covered question serves from the sketch indexes WITHOUT needing a
+    * "roughly" marker; anything uncovered falls through to the exact
+    * [[ask]] pipeline unchanged. */
+  def askApprox(question: String, limit: Int = Executor.DefaultLimit,
+      timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] =
+    serveFromSketches(question, limit, timeoutMs, requireMarker = false)
+      .map(Right(_))
+      .getOrElse(ask(question, limit, timeoutMs))
+
   /** Full NL→SQL→result pipeline with candidate fallback chain
     * (ref routes_ai.py:150-317). Tries LLM candidates first when a client
     * is configured, then deterministic templates — executing the first
@@ -206,27 +240,8 @@ final class Engine(
     // stage: any routing/execution failure falls through to exact
     // generation (V14 always-answer), and unmarked questions never
     // reach this path at all.
-    try {
-      sketches.route(question) match {
-        case Some(df) =>
-          val capped = df.limit(limit)
-          Executor.collectWithTimeout(spark, capped, timeoutMs) match {
-            case Right(rows) =>
-              return Right(QueryResult(
-                sql = s"-- approx: served from sketch index (no corpus scan)",
-                columns = capped.columns.toSeq,
-                rows = rows.toSeq.map(_.toSeq.map(Executor.jsonSafe)),
-                rowcount = rows.length,
-                explain = capped.queryExecution
-                  .explainString(org.apache.spark.sql.execution.SimpleMode),
-                explanation = "Approximate answer merged from a mergeable " +
-                  "sketch index (HLL/KLL); accuracy contract ±5% distinct / " +
-                  "±3 rank points."))
-            case Left(_) => // fall through to exact generation
-          }
-        case None => // not approx-marked or not covered: exact path
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    serveFromSketches(question, limit, timeoutMs, requireMarker = true)
+      .foreach(r => return Right(r))
     val slice = Fuzzy.selectRelevant(question, schema)
     val analysis = Intent.analyze(question, tables)
 

@@ -209,6 +209,9 @@ final class SketchCatalog(spark: SparkSession) {
       raw"(?:did|do|saw|have|had|with)\s+both\s+" +
       raw"([A-Za-z0-9_-]+)\s+and\s+([A-Za-z0-9_-]+)\b").r
 
+  private val markerRe =
+    raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\b".r
+
   // "roughly how many times did purchase occur" — frequency probe
   // against the merged Count-Min sketch
   private val freqRe =
@@ -248,8 +251,15 @@ final class SketchCatalog(spark: SparkSession) {
   /** Route an approximation-marked question to a sketch-served frame.
     * None ⇒ not approx-marked / no unambiguous index ⇒ caller falls
     * through to exact generation. The returned plan reads ONLY the
-    * persisted index (asserted by EngineSpec). */
-  def route(question: String): Option[DataFrame] = {
+    * persisted index (asserted by EngineSpec).
+    *
+    * `requireMarker = false` is the EXPLICIT-API form (`Engine
+    * .askApprox`): the caller's method choice IS the approximation
+    * consent, so a marker-less question routes too — the index-match
+    * and no-fabrication rules are unchanged. */
+  def route(question: String, requireMarker: Boolean = true): Option[DataFrame] = {
+    if (!requireMarker && !markerRe.findFirstIn(question).isDefined)
+      return route("roughly " + question, requireMarker = true)
     // cohort intersection FIRST: its phrasing also matches distinctRe's
     // prefix, and serving a global distinct estimate for a "both A and
     // B" question would be wrong — if no cohort index covers it, the

@@ -184,6 +184,15 @@ class EngineSpec extends SparkSpec {
       assert(engine.sketches
         .route("roughly how many user_id did both purchase and refund").isEmpty)
 
+      // explicit-API form: askApprox serves a MARKER-LESS covered
+      // question (the method choice is the consent)...
+      val ap = engine.askApprox("how many distinct user_id per event_type").toOption.get
+      assert(ap.sql.contains("approx"), ap.sql)
+      assert(ap.columns == Seq("event_type", "distinct_est"), ap.columns)
+      // ...and an uncovered question falls through to the exact pipeline
+      val fallthrough = engine.askApprox("how many customers are there").toOption.get
+      assert(!fallthrough.sql.contains("approx"), fallthrough.sql)
+
       // UNMARKED questions never reach the sketch path (no silent
       // degradation to estimates): the exact ask path answers
       val ex = engine.ask("how many distinct user_id values are in events").toOption.get
