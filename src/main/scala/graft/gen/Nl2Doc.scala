@@ -266,8 +266,44 @@ object Nl2Doc {
       raw"(average|avg|mean|total|sum|maximum|max|highest|minimum|min|lowest)\s+" +
       raw"(?:of\s+)?([a-z_][a-z0-9_.]*)\b").r
 
+  // "cities with average age above 30" — a post-$group $match (the
+  // HAVING analogue; ref nl2mongo.py:64-116 serves it as
+  // [$group, $match] through the LLM)
+  private val groupHavingRe =
+    (raw"(?i)\b([a-z_][a-z0-9_.]*)\s+with\s+(?:an?\s+)?(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_.]*)\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
   /** Build the document query for a linked collection. */
   def build(question: String, collection: String, fields: Seq[String]): DocQuery = {
+    // post-group filter FIRST: its measure phrase ("average age above
+    // 30") would otherwise be read as a row-level range pred — the
+    // wrong stage order (filter-then-group instead of group-then-
+    // filter) with silently different semantics
+    for (m <- groupHavingRe.findFirstMatchIn(question)) {
+      def sing(w: String): Seq[String] =
+        Seq(w) ++ (if (w.endsWith("ies")) Seq(w.dropRight(3) + "y") else Nil) ++
+          (if (w.endsWith("es")) Seq(w.dropRight(2)) else Nil) ++
+          (if (w.endsWith("s")) Seq(w.dropRight(1)) else Nil)
+      val resolved = for {
+        groupF <- sing(m.group(1)).flatMap(strongField(_, fields)).headOption
+        aggF <- strongField(m.group(3), fields)
+        if aggF != groupF
+      } yield {
+        val op = m.group(2).toLowerCase match {
+          case "total" | "sum" => "sum"
+          case _ => "avg"
+        }
+        val bound = numeric(m.group(5))
+        val pred: Pred =
+          if (Set("above", "over")(m.group(4).toLowerCase)) Gt("agg_value", bound)
+          else Lt("agg_value", bound)
+        DocQuery(collection, Right(Seq(
+          GroupStage(Some(groupF), Seq(("agg_value", op, aggF))),
+          MatchStage(Seq(pred)),
+          SortStage(Seq(("_id", true))))))
+      }
+      resolved.foreach(q => return q)
+    }
     val preds = extractPreds(question, fields)
     // the group noun is naturally plural ("top 3 cities"); the field is
     // singular — link the word, then its naive singulars

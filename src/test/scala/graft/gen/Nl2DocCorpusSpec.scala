@@ -229,6 +229,23 @@ class Nl2DocCorpusSpec extends SparkSpec {
     assert(Nl2Doc.extractPreds("people whose street is elm", peopleFields).isEmpty)
   }
 
+  test("post-group $match (HAVING analogue): cities with average age above 30") {
+    val q = Nl2Doc.build("cities with average age above 30", "users", fields)
+    val r = q.render
+    // the $match FOLLOWS the $group — filter-then-group would be a
+    // silently different query
+    assert(r.indexOf("\"$group\"") >= 0 && r.indexOf("\"$match\"") > r.indexOf("\"$group\""), r)
+    assert(r.contains("\"agg_value\": {\"$gt\": 30}"), r)
+    val got = run("cities with average age above 30")
+      .select("_id").collect().map(_.getString(0)).sorted.toSeq
+    val want = users.groupBy($"city").agg(avg($"age").as("a"))
+      .where($"a" > 30).select("city").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty, s"got=$got want=$want")
+    // "below" flips the comparison; "total" reads as sum
+    val b = Nl2Doc.build("cities with total age below 500", "users", fields)
+    assert(b.render.contains("\"$sum\"") && b.render.contains("\"$lt\": 500"), b.render)
+  }
+
   test("bottom-N: bottom 5 users by age sorts ascending with the limit") {
     val q = Nl2Doc.build("bottom 5 users by age", "users", fields)
     assert(q.render.contains("\"age\": 1") && q.render.contains("\"limit\": 5"), q.render)
