@@ -745,8 +745,8 @@ object Evaluation {
         "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > " +
         "SUM(CASE WHEN st.grade_level = 12 THEN 1 ELSE 0 END) " +
         "ORDER BY c.course_name LIMIT 100", "comparative_cohort_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10e open cases, closed in round 10f (attribute trend
+    //     argmax / extreme count per / entity-extreme share shapes) ---
     EvalCase("which dept improved its average score the most between 2022 and 2023",
       "SELECT dept FROM (SELECT c.dept AS dept, " +
         "AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
@@ -759,5 +759,21 @@ object Evaluation {
     EvalCase("the percentage of students whose best score is above 95",
       "SELECT ROUND(100.0 * SUM(CASE WHEN mx > 95 THEN 1 ELSE 0 END) " +
         "/ COUNT(*), 2) AS agg_value FROM (SELECT MAX(score) AS mx " +
-        "FROM scores GROUP BY student_id) t", "share_entity_extreme"))
+        "FROM scores GROUP BY student_id) t", "share_entity_extreme"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("rank the depts by their share of A grades",
+      "SELECT c.dept, ROUND(100.0 * SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept " +
+        "ORDER BY agg_value DESC, c.dept LIMIT 100", "ranked_group_share"),
+    EvalCase("the difference between the best and worst course by average score",
+      "SELECT ROUND(MAX(a) - MIN(a), 2) AS agg_value FROM " +
+        "(SELECT AVG(score) AS a FROM scores GROUP BY course_id) t",
+      "range_of_group_aggs"),
+    EvalCase("students older than the average student in their grade level",
+      "SELECT st.student_name FROM students st JOIN (SELECT grade_level, " +
+        "AVG(age) AS a FROM students GROUP BY grade_level) g " +
+        "ON g.grade_level = st.grade_level WHERE st.age > g.a " +
+        "ORDER BY st.student_name LIMIT 100", "self_relative_dim"))
 }

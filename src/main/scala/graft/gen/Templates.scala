@@ -3545,6 +3545,110 @@ object Templates {
         0.9, "template_comparative_cohort")).take(1)
     }
 
+  // "which dept improved its average score the most between 2022 and
+  // 2023" — the attribute-group variant of the entity trend argmax
+  private val trendArgmaxAttrRe =
+    (raw"(?i)\bwhich\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(improved|increased|grew|gained|declined|decreased|dropped|fell|worsened)\s+" +
+      raw"its\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"the\s+most\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
+
+  /** Attribute-group trend argmax: "which A improved its avg V the most
+    * between Y1 and Y2" → [[trendArgmaxEntityCandidates]] with the
+    * grouping key swapped from the fact's fk to a JOINED dimension
+    * attribute (dept on courses): one grouped pass with two conditional
+    * aggregates through the broadcast dimension, |attribute-domain|
+    * rows, top-1 by delta. The measure is explicit here (unlike the
+    * entity form), so no elimination is needed. */
+  def trendArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trendArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val rising = Set("improved", "increased", "grew", "gained")(m.group(2).toLowerCase)
+      val dir = if (rising) "DESC" else "ASC"
+      val agg = m.group(3).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val (y1, y2) = (m.group(5), m.group(6))
+      (for {
+        dimJ <- slice.tables.keys.toSeq.sorted
+        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        numCol <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
+        periodCol <- slice.tables(eJ.fromTable).find(_.toLowerCase.contains("year")).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT $groupCol FROM (" +
+          s"SELECT c.$groupCol AS $groupCol, " +
+          s"$agg(CASE WHEN s.$periodCol = $y2 THEN s.$numCol END) - " +
+          s"$agg(CASE WHEN s.$periodCol = $y1 THEN s.$numCol END) AS d " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$groupCol) t " +
+          s"WHERE d IS NOT NULL ORDER BY d $dir, $groupCol LIMIT 1",
+        0.9, "template_trend_argmax_attr")).take(1)
+    }
+
+  // "the minimum number of courses any student took" — MIN/MAX over
+  // per-entity distinct counts (the extreme siblings of median/avg
+  // count-per)
+  private val extremeCountPerRe =
+    (raw"(?i)\bthe\s+(minimum|min|fewest|maximum|max|most)\s+(?:number|count)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:any|a|an|per|each|one)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Extreme count per entity: "the minimum number of Js any E took" →
+    * inner grouped COUNT(DISTINCT fk-to-J) per entity key, outer
+    * MIN/MAX over |entities| rows — the [[medianCountPerCandidates]]
+    * plan with the outer aggregate swapped. */
+  def extremeCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    extremeCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val outer =
+        if (Set("minimum", "min", "fewest")(m.group(1).toLowerCase)) "MIN" else "MAX"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        if dimJ != dimE
+        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT $outer(c) AS agg_value FROM " +
+          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_extreme_count_per")).take(1)
+    }
+
+  // "the percentage of students whose best score is above 95" — the
+  // share of entities whose per-entity EXTREME clears a threshold
+  private val shareEntityExtremeRe =
+    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+whose\s+(best|highest|top|worst|lowest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Share of entities by extreme: "the share of Es whose best V is
+    * above N" → per-entity MAX/MIN in one grouped pass (the only
+    * fact-sized shuffle), one summary share row over |entities|. The
+    * denominator is entities WITH fact rows — the only population for
+    * which "best V" is defined. */
+  def shareEntityExtremeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    shareEntityExtremeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val inner = if (Set("worst", "lowest")(m.group(3).toLowerCase)) "MIN" else "MAX"
+      val op = if (Set("above", "over")(m.group(5).toLowerCase)) ">" else "<"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(100.0 * SUM(CASE WHEN mx $op ${m.group(6)} THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value FROM " +
+          s"(SELECT $inner($numCol) AS mx FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn}) t",
+        0.9, "template_share_entity_extreme")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3620,6 +3724,9 @@ object Templates {
       argminAttributionCandidates(slice, fks, question, values) ++
       countIncreasingCandidates(slice, fks, question) ++
       comparativeCohortCandidates(slice, fks, question) ++
+      trendArgmaxAttrCandidates(slice, fks, question) ++
+      extremeCountPerCandidates(slice, fks, question) ++
+      shareEntityExtremeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -81,7 +81,8 @@ class EvaluationSpec extends SparkSpec {
         "correlation", "stddev_vs_avg", "group_self_beat_share",
         "joined_distinct_topn", "filtered_period_argmax", "topk_share",
         "argmin_attribution", "count_increasing_periods",
-        "comparative_cohort_count"))
+        "comparative_cohort_count", "trend_argmax_attr", "min_count_per",
+        "share_entity_extreme"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

