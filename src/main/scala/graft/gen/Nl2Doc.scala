@@ -52,6 +52,7 @@ object Nl2Doc {
           case LimitStage(n) => s"""{"$$limit": $n}"""
           case ProjectStage(ps) =>
             s"""{"$$project": ${ps.map(p => s""""$p": 1""").mkString("{", ", ", "}")}}"""
+          case UnwindStage(p) => s"""{"$$unwind": "$$$p"}"""
         }.mkString("[", ", ", "]")
         s"""{"collection": "$collection", "pipeline": $rendered}"""
     }

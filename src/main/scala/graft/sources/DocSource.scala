@@ -89,6 +89,11 @@ object DocSource {
   final case class ProjectStage(paths: Seq[String]) extends Stage
   final case class SortStage(keys: Seq[(String, Boolean)]) extends Stage
   final case class LimitStage(n: Int) extends Stage
+  /** `$unwind`: one output document per element of a TOP-LEVEL array
+    * field; documents whose array is null/empty are dropped (Mongo's
+    * default, matching Spark's `explode`). Dotted paths into the
+    * unwound elements then address struct members the usual way. */
+  final case class UnwindStage(path: String) extends Stage
 
   def aggregate(df: DataFrame, pipeline: Seq[Stage]): DataFrame = {
     // auto-append $limit when the pipeline lacks one (ref nl2mongo.py:168-176)
@@ -110,6 +115,10 @@ object DocSource {
           case None => d.groupBy(lit(null).cast("string").as("_id")).agg(aggs.head, aggs.tail: _*)
         }
       case (d, ProjectStage(paths)) => d.select(paths.map(col): _*)
+      case (d, UnwindStage(p)) =>
+        require(!p.contains('.'),
+          s"$$unwind supports top-level array fields, got '$p'")
+        d.withColumn(p, explode(col(p)))
       case (d, SortStage(keys)) =>
         d.orderBy(keys.map { case (p, asc) => if (asc) col(p).asc else col(p).desc }: _*)
       case (d, LimitStage(n)) => d.limit(n)

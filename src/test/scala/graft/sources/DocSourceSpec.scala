@@ -75,4 +75,29 @@ class DocSourceSpec extends SparkSpec {
   test("explain capture returns a physical plan") {
     assert(DocSource.explain(find(docs, FindSpec())).contains("== Physical Plan =="))
   }
+
+  test("$unwind: one row per array element, empty/missing arrays dropped, group over elements") {
+    // tag frequency across docs — the canonical $unwind → $group pipeline
+    val out = aggregate(docs, Seq(
+      UnwindStage("tags"),
+      GroupStage(Some("tags"), Seq(("agg_value", "count", "*"))),
+      SortStage(Seq(("_id", true)))))
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // a1 has [x, y], a2 has [y]; a3's empty array and a4's missing field
+    // contribute nothing (Mongo's default $unwind)
+    assert(rows == Seq("x" -> 1L, "y" -> 2L), rows.toSeq)
+    // a $match between unwind and group filters elements, not documents
+    val filtered = aggregate(docs, Seq(
+      UnwindStage("tags"),
+      MatchStage(Seq(Eq("tags", "y"))),
+      GroupStage(None, Seq(("agg_value", "count", "*")))))
+    assert(filtered.collect()(0).getLong(1) == 2L)
+    // dotted unwind paths are rejected loudly, not silently mis-executed
+    intercept[IllegalArgumentException] {
+      aggregate(docs, Seq(UnwindStage("user.name"))).collect()
+    }
+    // render echoes the Mongo stage shape
+    val q = graft.gen.Nl2Doc.DocQuery("people", Right(Seq(UnwindStage("tags"))))
+    assert(q.render.contains("""{"$unwind": "$tags"}"""), q.render)
+  }
 }
