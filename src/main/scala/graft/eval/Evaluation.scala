@@ -760,8 +760,8 @@ object Evaluation {
       "SELECT ROUND(100.0 * SUM(CASE WHEN mx > 95 THEN 1 ELSE 0 END) " +
         "/ COUNT(*), 2) AS agg_value FROM (SELECT MAX(score) AS mx " +
         "FROM scores GROUP BY student_id) t", "share_entity_extreme"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10f open cases, closed in round 10g (ranked group share /
+    //     range of group aggregates / dimension self-relative shapes) ---
     EvalCase("rank the depts by their share of A grades",
       "SELECT c.dept, ROUND(100.0 * SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) " +
         "/ COUNT(*), 2) AS agg_value FROM scores s " +
@@ -775,5 +775,29 @@ object Evaluation {
       "SELECT st.student_name FROM students st JOIN (SELECT grade_level, " +
         "AVG(age) AS a FROM students GROUP BY grade_level) g " +
         "ON g.grade_level = st.grade_level WHERE st.age > g.a " +
-        "ORDER BY st.student_name LIMIT 100", "self_relative_dim"))
+        "ORDER BY st.student_name LIMIT 100", "self_relative_dim"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the hardest course for each grade level by average score",
+      "SELECT grade_level, course_name FROM (SELECT st.grade_level, " +
+        "c.course_name, RANK() OVER (PARTITION BY st.grade_level " +
+        "ORDER BY AVG(s.score) ASC, c.course_name) AS rnk FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY st.grade_level, c.course_id, c.course_name) t " +
+        "WHERE rnk = 1 ORDER BY grade_level LIMIT 100", "superlative_adj_argmax"),
+    EvalCase("how many students improved in math but declined in science",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id WHERE c.dept IN ('math', 'science') " +
+        "GROUP BY s.student_id " +
+        "HAVING AVG(CASE WHEN c.dept = 'math' AND s.year = 2023 THEN s.score END) > " +
+        "AVG(CASE WHEN c.dept = 'math' AND s.year = 2022 THEN s.score END) " +
+        "AND AVG(CASE WHEN c.dept = 'science' AND s.year = 2023 THEN s.score END) < " +
+        "AVG(CASE WHEN c.dept = 'science' AND s.year = 2022 THEN s.score END)) t",
+      "conjunctive_trend_count"),
+    EvalCase("the middle student by average score",
+      "SELECT student_id FROM (SELECT student_id, AVG(score) AS a, " +
+        "COUNT(*) OVER () AS n, ROW_NUMBER() OVER (ORDER BY AVG(score), student_id) " +
+        "AS rn FROM scores GROUP BY student_id) t WHERE rn = CAST((n + 1) / 2 AS INT) " +
+        "LIMIT 1", "median_entity_argmax"))
 }

@@ -3649,6 +3649,108 @@ object Templates {
         0.9, "template_share_entity_extreme")).take(1)
     }
 
+  // "rank the depts by their share of A grades" — the full ranked
+  // listing of [[joinedRatioArgmaxCandidates]]'s top-1 shape
+  private val rankedGroupShareRe =
+    (raw"(?i)\brank\s+the\s+([a-z_][a-z0-9_]*)\s+by\s+their\s+" +
+      raw"(share|percentage|percent|ratio|fraction)\s+of\s+" +
+      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Ranked group share: "rank the As by their share of X Vs" → the
+    * conditional count and the total in ONE grouped pass through the
+    * broadcast dimension, every group returned ordered by the share —
+    * the ranked-listing form of the ratio argmax (which keeps only the
+    * top-1). Case-sensitive category value, attribute
+    * strong-or-abbreviation on the joined dimension. */
+  def rankedGroupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    rankedGroupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = {
+        val w = m.group(4)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
+        catCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
+        attrCol <- abbrevColumn(m.group(1), slice.tables(e.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT c.$attrCol, " +
+          s"ROUND(100.0 * SUM(CASE WHEN s.$catCol = ${sqlLit(m.group(3))} " +
+          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+          s"FROM ${e.fromTable} s JOIN ${e.toTable} c " +
+          s"ON c.${e.toColumn} = s.${e.fromColumn} GROUP BY c.$attrCol " +
+          s"ORDER BY agg_value DESC, c.$attrCol LIMIT $DefaultLimit",
+        0.9, "template_ranked_group_share")).take(1)
+    }
+
+  // "the difference between the best and worst course by average score"
+  // — the range OVER group aggregates (one summary row)
+  private val rangeOfGroupAggsRe =
+    (raw"(?i)\bthe\s+(difference|gap|spread)\s+between\s+the\s+" +
+      raw"(best|highest|top|largest)\s+and\s+(worst|lowest|bottom|smallest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Range of group aggregates: "the difference between the best and
+    * worst J by avg V" → per-J aggregates in one grouped pass (the
+    * fact-sized shuffle), MAX−MIN collapsing the |J| group rows to one.
+    * The dual of [[avgOfRangeCandidates]] (average of ranges vs range
+    * of aggregates). */
+  def rangeOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    rangeOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(5).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(6), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(6), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(MAX(a) - MIN(a), 2) AS agg_value FROM " +
+          s"(SELECT $agg($numCol) AS a FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_range_of_group_aggs")).take(1)
+    }
+
+  // "students older than the average student in their grade level" —
+  // dimension-side self-relative comparison (no fact at all)
+  private val selfRelativeDimRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(older|younger)\s+than\s+the\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+their\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Dimension self-relative: "Es older than the average E in their A"
+    * → per-A averages from one grouped pass over the DIMENSION (no
+    * fact scan at all — the whole query is dimension-sized), joined
+    * back on the attribute key, row-vs-group-bar filter. The adjective
+    * resolves its measure ("older" → age); both entity words must name
+    * the same dimension; the attribute phrase underscores like
+    * [[dimRangeArgmaxCandidates]]. */
+  def selfRelativeDimCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    selfRelativeDimRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).equalsIgnoreCase("older")) ">" else "<"
+      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        if uniqueTable(slice, m.group(3)).contains(dimE)
+        numCol <- strongColumn("age", slice.tables(dimE)).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
+        if attrCol != numCol
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM $dimE st JOIN (" +
+          s"SELECT $attrCol, AVG($numCol) AS a FROM $dimE GROUP BY $attrCol) g " +
+          s"ON g.$attrCol = st.$attrCol WHERE st.$numCol $op g.a " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_self_relative_dim")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3727,6 +3829,9 @@ object Templates {
       trendArgmaxAttrCandidates(slice, fks, question) ++
       extremeCountPerCandidates(slice, fks, question) ++
       shareEntityExtremeCandidates(slice, fks, question) ++
+      rankedGroupShareCandidates(slice, fks, question) ++
+      rangeOfGroupAggsCandidates(slice, fks, question) ++
+      selfRelativeDimCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -1072,4 +1072,32 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_share_entity_extreme").get
     assert(w.sql.contains("MIN(score)") && w.sql.contains("mx < 50"), w.sql)
   }
+
+  test("ranked group share: full listing ordered by the conditional share") {
+    val c = cands("rank the depts by their share of A grades")
+      .find(_.method == "template_ranked_group_share").get
+    assert(c.sql.contains("SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END)"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY agg_value DESC, c.dept LIMIT 100"), c.sql)
+  }
+
+  test("range of group aggregates: MAX-MIN over the per-group aggregate rows") {
+    val c = cands("the difference between the best and worst course by average score")
+      .find(_.method == "template_range_of_group_aggs").get
+    assert(c.sql.contains("ROUND(MAX(a) - MIN(a), 2) AS agg_value"), c.sql)
+    assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY course_id"), c.sql)
+  }
+
+  test("dimension self-relative: no fact scan, row vs its attribute group's average") {
+    val c = cands("students older than the average student in their grade level")
+      .find(_.method == "template_self_relative_dim").get
+    assert(c.sql.contains("FROM students st JOIN ("), c.sql)
+    assert(c.sql.contains("AVG(age) AS a FROM students GROUP BY grade_level"), c.sql)
+    assert(c.sql.contains("WHERE st.age > g.a"), c.sql)
+    assert(!c.sql.contains("scores"), c.sql) // dimension-only plan
+    // "younger" flips the comparison
+    val y = cands("students younger than the average student in their grade level")
+      .find(_.method == "template_self_relative_dim").get
+    assert(y.sql.contains("st.age < g.a"), y.sql)
+  }
 }
