@@ -776,8 +776,8 @@ object Evaluation {
         "AVG(age) AS a FROM students GROUP BY grade_level) g " +
         "ON g.grade_level = st.grade_level WHERE st.age > g.a " +
         "ORDER BY st.student_name LIMIT 100", "self_relative_dim"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10g open cases, closed in round 10h (superlative-adjective
+    //     argmax / conjunctive trend count / median entity shapes) ---
     EvalCase("the hardest course for each grade level by average score",
       "SELECT grade_level, course_name FROM (SELECT st.grade_level, " +
         "c.course_name, RANK() OVER (PARTITION BY st.grade_level " +
@@ -786,7 +786,7 @@ object Evaluation {
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY st.grade_level, c.course_id, c.course_name) t " +
         "WHERE rnk = 1 ORDER BY grade_level LIMIT 100", "superlative_adj_argmax"),
-    EvalCase("how many students improved in math but declined in science",
+    EvalCase("how many students improved in math but declined in science from 2022 to 2023",
       "SELECT COUNT(*) AS agg_value FROM (SELECT s.student_id FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id WHERE c.dept IN ('math', 'science') " +
         "GROUP BY s.student_id " +
@@ -799,5 +799,26 @@ object Evaluation {
       "SELECT student_id FROM (SELECT student_id, AVG(score) AS a, " +
         "COUNT(*) OVER () AS n, ROW_NUMBER() OVER (ORDER BY AVG(score), student_id) " +
         "AS rn FROM scores GROUP BY student_id) t WHERE rn = CAST((n + 1) / 2 AS INT) " +
-        "LIMIT 1", "median_entity_argmax"))
+        "LIMIT 1", "median_entity_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the two consecutive years with the biggest jump in total scores",
+      "SELECT prev_year, year FROM (SELECT year, " +
+        "LAG(year) OVER (ORDER BY year) AS prev_year, " +
+        "SUM(score) - LAG(SUM(score)) OVER (ORDER BY year) AS d " +
+        "FROM scores GROUP BY year) t WHERE d IS NOT NULL " +
+        "ORDER BY d DESC, year LIMIT 1", "adjacent_period_pair"),
+    EvalCase("students who only took math courses",
+      "SELECT d.student_name FROM scores f " +
+        "JOIN students d ON d.student_id = f.student_id " +
+        "JOIN courses c ON c.course_id = f.course_id " +
+        "GROUP BY d.student_id, d.student_name " +
+        "HAVING MIN(CASE WHEN c.dept = 'math' THEN 1 ELSE 0 END) = 1 " +
+        "ORDER BY d.student_name LIMIT 100", "exclusive_attr"),
+    EvalCase("what fraction of courses have no A grades",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM (SELECT c.course_id, " +
+        "SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS n_a FROM courses c " +
+        "LEFT JOIN scores s ON s.course_id = c.course_id " +
+        "GROUP BY c.course_id) t", "share_groups_lacking"))
 }

@@ -3751,6 +3751,145 @@ object Templates {
         0.9, "template_self_relative_dim")).take(1)
     }
 
+  // "the hardest course for each grade level by average score" — a
+  // superlative adjective ranking second-dimension members per group
+  private val superlativeAdjArgmaxRe =
+    (raw"(?i)\bthe\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"for\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+by\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Superlative-adjective grouped argmax: "the hardest J for each G by
+    * avg V" — hardest/toughest read as LOWEST aggregate (easiest as
+    * highest), otherwise the [[groupedArgmax2Candidates]] plan: one
+    * grouped aggregate on (G, J) through two broadcast dimensions,
+    * RANK over the GROUP ROWS ONLY, rank-1 per G with the display-name
+    * tiebreak stated in the ORDER BY. */
+  def superlativeAdjArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    superlativeAdjArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(1).equalsIgnoreCase("easiest")) "DESC" else "ASC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eG <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        groupCol <- abbrevColumn(attrWord, slice.tables(eG.toTable)).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT $groupCol, $jName FROM (" +
+          s"SELECT st.$groupCol, c.$jName, " +
+          s"RANK() OVER (PARTITION BY st.$groupCol " +
+          s"ORDER BY $agg(s.$numCol) $dir, c.$jName) AS rnk " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN ${eG.toTable} st ON st.${eG.toColumn} = s.${eG.fromColumn} " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY st.$groupCol, c.${eJ.toColumn}, c.$jName) t " +
+          s"WHERE rnk = 1 ORDER BY $groupCol LIMIT $DefaultLimit",
+        0.9, "template_superlative_adj_argmax")).take(1)
+    }
+
+  // "how many students improved in math but declined in science from
+  // 2022 to 2023" — a CONJUNCTION of per-group two-period trend
+  // conditions on one entity
+  private val conjunctiveTrendRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(improved|increased|grew|declined|decreased|dropped|fell)\s+in\s+" +
+      raw"([a-z0-9_+-]+)\s+(?:but|and)\s+" +
+      raw"(improved|increased|grew|declined|decreased|dropped|fell)\s+in\s+" +
+      raw"([a-z0-9_+-]+)\s+from\s+(\d{4})\s+to\s+(\d{4})\b").r
+
+  /** Conjunctive trend count: "how many Es improved in X but declined
+    * in Y from Y1 to Y2" → ALL FOUR period-group aggregates as CASE
+    * conditionals in ONE grouped pass per entity (fact filtered to the
+    * two groups, dims broadcast), both comparisons in HAVING, one
+    * summary count. Entities missing either period in a group have a
+    * NULL side — excluded, the only reading under which "improved"
+    * holds. Values resolve through mined domains on ONE attribute
+    * column (both must live in the same domain); the measure by schema
+    * elimination ([[trendArgmaxEntityCandidates]]). */
+  def conjunctiveTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    conjunctiveTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def op(verb: String) =
+        if (Set("improved", "increased", "grew")(verb.toLowerCase)) ">" else "<"
+      val (v1, v2) = (m.group(3), m.group(5))
+      val (y1, y2) = (m.group(6), m.group(7))
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- slice.tables(eJ.toTable).find(c =>
+          values(eJ.toTable).get(c).exists(d => d.contains(v1) && d.contains(v2))).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield {
+        def cond(v: String, o: String) =
+          s"AVG(CASE WHEN c.$attrCol = ${sqlLit(v)} AND s.$periodCol = $y2 " +
+            s"THEN s.$measure END) $o " +
+            s"AVG(CASE WHEN c.$attrCol = ${sqlLit(v)} AND s.$periodCol = $y1 " +
+            s"THEN s.$measure END)"
+        Candidate(
+          s"SELECT COUNT(*) AS agg_value FROM (" +
+            s"SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
+            s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+            s"WHERE c.$attrCol IN (${sqlLit(v1)}, ${sqlLit(v2)}) " +
+            s"GROUP BY s.${eE.fromColumn} " +
+            s"HAVING ${cond(v1, op(m.group(2)))} AND ${cond(v2, op(m.group(4)))}) t",
+          0.9, "template_conjunctive_trend")
+      }).take(1)
+    }
+
+  // "the middle student by average score" — the median-positioned
+  // entity under a per-entity aggregate ordering
+  private val medianEntityArgmaxRe =
+    (raw"(?i)\bthe\s+(middle|median)\s+([a-z_][a-z0-9_]*)\s+by\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Median entity argmax: "the middle E by avg V" → per-entity
+    * aggregates in one grouped pass, ROW_NUMBER + COUNT over the
+    * |entities| GROUP ROWS, the (n+1)/2 row. The global window runs
+    * over group rows only — at extreme entity cardinality the
+    * percentile-cutoff rewrite (`PERCENTILE_CONT` to find the median
+    * aggregate value, then an equality filter) replaces the window,
+    * the same scale path [[percentileRankCandidates]] documents. */
+  def medianEntityArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    medianEntityArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(3).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, $agg($numCol) AS a, COUNT(*) OVER () AS n, " +
+          s"ROW_NUMBER() OVER (ORDER BY $agg($numCol), ${e.fromColumn}) AS rn " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"WHERE rn = CAST((n + 1) / 2 AS INT) LIMIT 1",
+        0.9, "template_median_entity_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3832,6 +3971,9 @@ object Templates {
       rankedGroupShareCandidates(slice, fks, question) ++
       rangeOfGroupAggsCandidates(slice, fks, question) ++
       selfRelativeDimCandidates(slice, fks, question) ++
+      superlativeAdjArgmaxCandidates(slice, fks, question) ++
+      conjunctiveTrendCandidates(slice, fks, question, values) ++
+      medianEntityArgmaxCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -83,7 +83,8 @@ class EvaluationSpec extends SparkSpec {
         "argmin_attribution", "count_increasing_periods",
         "comparative_cohort_count", "trend_argmax_attr", "min_count_per",
         "share_entity_extreme", "ranked_group_share", "range_of_group_aggs",
-        "self_relative_dim"))
+        "self_relative_dim", "superlative_adj_argmax",
+        "conjunctive_trend_count", "median_entity_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

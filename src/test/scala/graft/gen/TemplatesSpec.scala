@@ -1100,4 +1100,39 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_self_relative_dim").get
     assert(y.sql.contains("st.age < g.a"), y.sql)
   }
+
+  test("superlative-adjective argmax: hardest reads as lowest aggregate, rank over group rows") {
+    val c = cands("the hardest course for each grade level by average score")
+      .find(_.method == "template_superlative_adj_argmax").get
+    assert(c.sql.contains("ORDER BY AVG(s.score) ASC, c.course_name"), c.sql)
+    assert(c.sql.contains("PARTITION BY st.grade_level"), c.sql)
+    assert(c.sql.contains("GROUP BY st.grade_level, c.course_id, c.course_name"), c.sql)
+    assert(c.sql.contains("WHERE rnk = 1"), c.sql)
+    // "easiest" flips to highest
+    val e = cands("the easiest course for each grade level by average score")
+      .find(_.method == "template_superlative_adj_argmax").get
+    assert(e.sql.contains("AVG(s.score) DESC"), e.sql)
+  }
+
+  test("conjunctive trend count: four conditional aggregates in one pass, both HAVING arms") {
+    val c = Templates.conjunctiveTrendCandidates(slice, fks,
+      "how many students improved in math but declined in science from 2022 to 2023",
+      t => courseDomains(t) ++ scoreDomains(t)).head
+    assert(c.sql.contains("WHERE c.dept IN ('math', 'science')"), c.sql)
+    assert(c.sql.contains("AVG(CASE WHEN c.dept = 'math' AND s.year = 2023 THEN s.score END) > " +
+      "AVG(CASE WHEN c.dept = 'math' AND s.year = 2022 THEN s.score END)"), c.sql)
+    assert(c.sql.contains("AVG(CASE WHEN c.dept = 'science' AND s.year = 2023 THEN s.score END) < " +
+      "AVG(CASE WHEN c.dept = 'science' AND s.year = 2022 THEN s.score END)"), c.sql)
+    // values from two different domains never fire (both must share one column)
+    assert(Templates.conjunctiveTrendCandidates(slice, fks,
+      "how many students improved in math but declined in zzz from 2022 to 2023",
+      t => courseDomains(t) ++ scoreDomains(t)).isEmpty)
+  }
+
+  test("median entity argmax: ROW_NUMBER over per-entity aggregate rows, (n+1)/2 cut") {
+    val c = cands("the middle student by average score")
+      .find(_.method == "template_median_entity_argmax").get
+    assert(c.sql.contains("ROW_NUMBER() OVER (ORDER BY AVG(score), student_id) AS rn"), c.sql)
+    assert(c.sql.contains("WHERE rn = CAST((n + 1) / 2 AS INT)"), c.sql)
+  }
 }
