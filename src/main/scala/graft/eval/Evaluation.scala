@@ -800,8 +800,8 @@ object Evaluation {
         "COUNT(*) OVER () AS n, ROW_NUMBER() OVER (ORDER BY AVG(score), student_id) " +
         "AS rn FROM scores GROUP BY student_id) t WHERE rn = CAST((n + 1) / 2 AS INT) " +
         "LIMIT 1", "median_entity_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10h open cases, closed in round 10i (adjacent-period
+    //     pair / exclusive attribute / groups-lacking share shapes) ---
     EvalCase("the two consecutive years with the biggest jump in total scores",
       "SELECT prev_year, year FROM (SELECT year, " +
         "LAG(year) OVER (ORDER BY year) AS prev_year, " +
@@ -820,5 +820,23 @@ object Evaluation {
         "/ COUNT(*), 2) AS agg_value FROM (SELECT c.course_id, " +
         "SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS n_a FROM courses c " +
         "LEFT JOIN scores s ON s.course_id = c.course_id " +
-        "GROUP BY c.course_id) t", "share_groups_lacking"))
+        "GROUP BY c.course_id) t", "share_groups_lacking"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose scores span all five grade letters",
+      "SELECT d.student_name FROM scores f " +
+        "JOIN students d ON d.student_id = f.student_id " +
+        "GROUP BY d.student_id, d.student_name " +
+        "HAVING COUNT(DISTINCT f.grade) = 5 " +
+        "ORDER BY d.student_name LIMIT 100", "attr_coverage_count"),
+    EvalCase("the average score of each student's three most recent scores",
+      "SELECT ROUND(AVG(score), 2) AS agg_value FROM (SELECT score, " +
+        "ROW_NUMBER() OVER (PARTITION BY student_id " +
+        "ORDER BY year DESC, score_id DESC) AS rn FROM scores) t " +
+        "WHERE rn <= 3", "recent_k_average"),
+    EvalCase("courses where the grade distribution is more than half A or B",
+      "SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING SUM(CASE WHEN grade IN ('A', 'B') THEN 1 ELSE 0 END) " +
+        "> COUNT(*) / 2.0 ORDER BY course_id LIMIT 100",
+      "category_majority"))
 }

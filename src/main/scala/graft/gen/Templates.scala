@@ -3890,6 +3890,120 @@ object Templates {
         0.9, "template_median_entity_argmax")).take(1)
     }
 
+  // "the two consecutive years with the biggest jump in total scores"
+  // — argmax over ADJACENT-period deltas, returning the pair
+  private val adjacentPeriodPairRe =
+    (raw"(?i)\bthe\s+two\s+consecutive\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(biggest|largest|greatest|smallest)\s+" +
+      raw"(jump|increase|rise|gain|drop|decline|fall)\s+in\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Adjacent-period pair argmax: "the two consecutive Ts with the
+    * biggest jump in total V" → per-period aggregates first (the one
+    * fact-sized pass), LAG over the |periods| group rows carries both
+    * the previous period LABEL and the delta, top-1 by delta returns
+    * the (prev, current) pair. Rising words rank DESC, falling ASC,
+    * "smallest" flips either. */
+  def adjacentPeriodPairCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    adjacentPeriodPairRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val falling = Set("drop", "decline", "fall")(m.group(3).toLowerCase)
+      val smallest = m.group(2).equalsIgnoreCase("smallest")
+      val dir = if (falling ^ smallest) "ASC" else "DESC"
+      val agg = m.group(4).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
+            strongColumn(m.group(5), slice.tables(t)).isDefined).toSeq
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        numCol <- strongColumn(m.group(5), slice.tables(fact)).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT prev_$periodCol, $periodCol FROM (" +
+          s"SELECT $periodCol, " +
+          s"LAG($periodCol) OVER (ORDER BY $periodCol) AS prev_$periodCol, " +
+          s"$agg($numCol) - LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS d " +
+          s"FROM $fact GROUP BY $periodCol) t WHERE d IS NOT NULL " +
+          s"ORDER BY d $dir, $periodCol LIMIT 1",
+        0.9, "template_adjacent_period_pair")).take(1)
+    }
+
+  // "students who only took math courses" — exclusive membership: ALL
+  // of the entity's fact rows land in one attribute value
+  private val exclusiveAttrRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+only\s+[a-z]+\s+" +
+      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Exclusive attribute membership: "Es who only Ved X Js" → ∀ over
+    * the entity's rows (grouped MIN indicator — the universalFilter
+    * encoding), the value X resolved through the J dimension's MINED
+    * DOMAINS. One grouped pass through two broadcast dims; entities
+    * with no rows are vacuously absent (they "took" nothing). */
+  def exclusiveAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    exclusiveAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        attrCol <- slice.tables(dimJ).find(c =>
+          values(dimJ).get(c).exists(_.contains(m.group(2)))).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM ${eE.fromTable} f " +
+          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
+          s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
+          s"HAVING MIN(CASE WHEN c.$attrCol = ${sqlLit(m.group(2))} " +
+          s"THEN 1 ELSE 0 END) = 1 " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_exclusive_attr")).take(1)
+    }
+
+  // "what fraction of courses have no A grades" — the share of groups
+  // whose category count is zero (absence, so the dimension LEFT-joins
+  // the fact: memberless groups lack the category too)
+  private val shareGroupsLackingRe =
+    (raw"(?i)\bwhat\s+(fraction|share|percentage|percent)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:have|has|had)\s+no\s+" +
+      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Share of groups lacking a category: "what fraction of Js have no
+    * X Vs" → per-J conditional counts with the DIMENSION on the left
+    * of a LEFT JOIN (a J with no fact rows at all has no X either —
+    * the inner-join reading silently drops it), one summary share over
+    * |J| group rows. Case-sensitive category value against the fact's
+    * category column. */
+  def shareGroupsLackingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    shareGroupsLackingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = {
+        val w = m.group(4)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
+        catCol <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(100.0 * SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END) " +
+          s"/ COUNT(*), 2) AS agg_value FROM (" +
+          s"SELECT c.${eJ.toColumn}, " +
+          s"SUM(CASE WHEN s.$catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) AS n_a " +
+          s"FROM $dimJ c LEFT JOIN ${eJ.fromTable} s " +
+          s"ON s.${eJ.fromColumn} = c.${eJ.toColumn} " +
+          s"GROUP BY c.${eJ.toColumn}) t",
+        0.9, "template_share_groups_lacking")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -3974,6 +4088,9 @@ object Templates {
       superlativeAdjArgmaxCandidates(slice, fks, question) ++
       conjunctiveTrendCandidates(slice, fks, question, values) ++
       medianEntityArgmaxCandidates(slice, fks, question) ++
+      adjacentPeriodPairCandidates(slice, fks, question) ++
+      exclusiveAttrCandidates(slice, fks, question, values) ++
+      shareGroupsLackingCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

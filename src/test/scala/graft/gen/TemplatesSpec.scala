@@ -1135,4 +1135,37 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("ROW_NUMBER() OVER (ORDER BY AVG(score), student_id) AS rn"), c.sql)
     assert(c.sql.contains("WHERE rn = CAST((n + 1) / 2 AS INT)"), c.sql)
   }
+
+  test("adjacent-period pair: LAG carries the previous label and the delta, top-1 pair") {
+    val c = cands("the two consecutive years with the biggest jump in total scores")
+      .find(_.method == "template_adjacent_period_pair").get
+    assert(c.sql.contains("LAG(year) OVER (ORDER BY year) AS prev_year"), c.sql)
+    assert(c.sql.contains("SUM(score) - LAG(SUM(score)) OVER (ORDER BY year) AS d"), c.sql)
+    assert(c.sql.contains("ORDER BY d DESC, year LIMIT 1"), c.sql)
+    // falling words rank ASC; "smallest drop" flips back to DESC
+    val f = cands("the two consecutive years with the biggest drop in total scores")
+      .find(_.method == "template_adjacent_period_pair").get
+    assert(f.sql.contains("ORDER BY d ASC"), f.sql)
+    val s = cands("the two consecutive years with the smallest drop in total scores")
+      .find(_.method == "template_adjacent_period_pair").get
+    assert(s.sql.contains("ORDER BY d DESC"), s.sql)
+  }
+
+  test("exclusive attribute: grouped MIN indicator over the mined-domain value") {
+    val c = candsV("students who only took math courses")
+      .find(_.method == "template_exclusive_attr").get
+    assert(c.sql.contains("HAVING MIN(CASE WHEN c.dept = 'math' THEN 1 ELSE 0 END) = 1"), c.sql)
+    assert(c.sql.contains("GROUP BY d.student_id, d.student_name"), c.sql)
+    // unknown values never fire
+    assert(candsV("students who only took zzz courses")
+      .forall(_.method != "template_exclusive_attr"))
+  }
+
+  test("share of groups lacking a category: dimension LEFT-joins the fact") {
+    val c = cands("what fraction of courses have no A grades")
+      .find(_.method == "template_share_groups_lacking").get
+    assert(c.sql.contains("FROM courses c LEFT JOIN scores s"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS n_a"), c.sql)
+    assert(c.sql.contains("SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END)"), c.sql)
+  }
 }
