@@ -821,8 +821,8 @@ object Evaluation {
         "SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS n_a FROM courses c " +
         "LEFT JOIN scores s ON s.course_id = c.course_id " +
         "GROUP BY c.course_id) t", "share_groups_lacking"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10i open cases, closed in round 10j (attribute coverage /
+    //     recent-k average / category majority shapes) ---
     EvalCase("students whose scores span all five grade letters",
       "SELECT d.student_name FROM scores f " +
         "JOIN students d ON d.student_id = f.student_id " +
@@ -838,5 +838,27 @@ object Evaluation {
       "SELECT course_id FROM scores GROUP BY course_id " +
         "HAVING SUM(CASE WHEN grade IN ('A', 'B') THEN 1 ELSE 0 END) " +
         "> COUNT(*) / 2.0 ORDER BY course_id LIMIT 100",
-      "category_majority"))
+      "category_majority"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the student whose scores vary the least across depts",
+      "SELECT student_id FROM (SELECT s.student_id, " +
+        "STDDEV(da) AS v FROM (SELECT s2.student_id, c.dept, " +
+        "AVG(s2.score) AS da FROM scores s2 " +
+        "JOIN courses c ON c.course_id = s2.course_id " +
+        "GROUP BY s2.student_id, c.dept) s GROUP BY s.student_id " +
+        "HAVING COUNT(*) > 1) t ORDER BY v ASC, student_id LIMIT 1",
+      "cross_group_stability_argmin"),
+    EvalCase("the running total of scores per year in order",
+      "SELECT year, SUM(SUM(score)) OVER (ORDER BY year) AS agg_value " +
+        "FROM scores GROUP BY year ORDER BY year LIMIT 100",
+      "running_period_total"),
+    EvalCase("students who beat their own previous year's average every year",
+      "SELECT st.student_name FROM (SELECT student_id FROM " +
+        "(SELECT student_id, year, AVG(score) AS a, " +
+        "LAG(AVG(score)) OVER (PARTITION BY student_id ORDER BY year) AS p " +
+        "FROM scores GROUP BY student_id, year) x GROUP BY student_id " +
+        "HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1 " +
+        "AND COUNT(*) >= 2) m JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "strict_improvement_streak"))
 }

@@ -4004,6 +4004,110 @@ object Templates {
         0.9, "template_share_groups_lacking")).take(1)
     }
 
+  private val numberWords = Map("one" -> 1, "two" -> 2, "three" -> 3,
+    "four" -> 4, "five" -> 5, "six" -> 6, "seven" -> 7, "eight" -> 8,
+    "nine" -> 9, "ten" -> 10)
+  private def wordToInt(w: String): Option[Int] =
+    numberWords.get(w.toLowerCase).orElse(
+      if (w.matches(raw"\d+")) Some(w.toInt) else None)
+
+  // "students whose scores span all five grade letters" — entities
+  // whose rows cover a stated number of category values
+  private val attrCoverageRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+span\s+all\s+" +
+      raw"(one|two|three|four|five|six|seven|eight|nine|ten|\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Attribute coverage count: "Es whose Vs span all N As" → grouped
+    * COUNT(DISTINCT category) per entity equal to the stated N — one
+    * fact-sized pass, display names joined at survivor size. The
+    * category column resolves on the FACT (grade letters live on the
+    * rows, not a dimension). */
+  def attrCoverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    attrCoverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        n <- wordToInt(m.group(3)).toSeq
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        catCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT d.$nameCol FROM ${e.fromTable} f " +
+          s"JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn} " +
+          s"GROUP BY d.${e.toColumn}, d.$nameCol " +
+          s"HAVING COUNT(DISTINCT f.$catCol) = $n " +
+          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_attr_coverage")).take(1)
+    }
+
+  // "the average score of each student's three most recent scores" —
+  // an aggregate over each entity's k most recent rows
+  private val recentKAverageRe =
+    (raw"(?i)\bthe\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
+      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
+      raw"(one|two|three|four|five|six|seven|eight|nine|ten|\d+)\s+" +
+      raw"most\s+recent\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Recent-k average: "the avg V of each E's k most recent Vs" →
+    * ROW_NUMBER partitioned by the entity fk (partitions are
+    * entity-sized — parallel, never a global sort), ordered by the
+    * period column then the fact's key-ish id as the recency
+    * tiebreak, one summary aggregate over the kept rows. */
+  def recentKAverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    recentKAverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(1).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        k <- wordToInt(m.group(4)).toSeq
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        numCol <- strongColumn(m.group(2), slice.tables(e.fromTable)).toSeq
+        periodCol <- slice.tables(e.fromTable)
+          .find(_.toLowerCase.contains("year")).toSeq
+        if periodCol != numCol
+      } yield {
+        val idCol = keyishColumn(e.fromTable, slice.tables(e.fromTable))
+        Candidate(
+          s"SELECT ROUND($agg($numCol), 2) AS agg_value FROM (" +
+            s"SELECT $numCol, ROW_NUMBER() OVER (PARTITION BY ${e.fromColumn} " +
+            s"ORDER BY $periodCol DESC, $idCol DESC) AS rn " +
+            s"FROM ${e.fromTable}) t WHERE rn <= $k",
+          0.9, "template_recent_k_average")
+      }).take(1)
+    }
+
+  // "courses where the grade distribution is more than half A or B" —
+  // groups where a category (set) holds the majority of rows
+  private val categoryMajorityRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"distribution\s+is\s+more\s+than\s+half\s+" +
+      raw"([A-Za-z0-9_+-]+)(?:\s+or\s+([A-Za-z0-9_+-]+))?\b").r
+
+  /** Category majority: "Js where the C distribution is more than half
+    * X [or Y]" → conditional count vs COUNT(*)/2 in one grouped pass
+    * on the fact's fk — no dimension join needed when the answer key
+    * IS the fk. Case-sensitive category values. */
+  def categoryMajorityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    categoryMajorityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vals = (Seq(m.group(3)) ++ Option(m.group(4)).toSeq).map(sqlLit)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
+        catCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
+          s"HAVING SUM(CASE WHEN $catCol IN (${vals.mkString(", ")}) " +
+          s"THEN 1 ELSE 0 END) > COUNT(*) / 2.0 " +
+          s"ORDER BY ${eJ.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_category_majority")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4091,6 +4195,9 @@ object Templates {
       adjacentPeriodPairCandidates(slice, fks, question) ++
       exclusiveAttrCandidates(slice, fks, question, values) ++
       shareGroupsLackingCandidates(slice, fks, question) ++
+      attrCoverageCandidates(slice, fks, question) ++
+      recentKAverageCandidates(slice, fks, question) ++
+      categoryMajorityCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

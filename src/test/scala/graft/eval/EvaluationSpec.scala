@@ -85,7 +85,8 @@ class EvaluationSpec extends SparkSpec {
         "share_entity_extreme", "ranked_group_share", "range_of_group_aggs",
         "self_relative_dim", "superlative_adj_argmax",
         "conjunctive_trend_count", "median_entity_argmax",
-        "adjacent_period_pair", "exclusive_attr", "share_groups_lacking"))
+        "adjacent_period_pair", "exclusive_attr", "share_groups_lacking",
+        "attr_coverage_count", "recent_k_average", "category_majority"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -1168,4 +1168,36 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS n_a"), c.sql)
     assert(c.sql.contains("SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END)"), c.sql)
   }
+
+  test("attribute coverage: number word parses, distinct-category count per entity") {
+    val c = cands("students whose scores span all five grade letters")
+      .find(_.method == "template_attr_coverage").get
+    assert(c.sql.contains("HAVING COUNT(DISTINCT f.grade) = 5"), c.sql)
+    assert(c.sql.contains("GROUP BY d.student_id, d.student_name"), c.sql)
+    // digits work the same
+    val d = cands("students whose scores span all 3 grade letters")
+      .find(_.method == "template_attr_coverage").get
+    assert(d.sql.contains("= 3"), d.sql)
+  }
+
+  test("recent-k average: per-entity recency window with key-ish tiebreak") {
+    val c = cands("the average score of each student's three most recent scores")
+      .find(_.method == "template_recent_k_average").get
+    assert(c.sql.contains("ROW_NUMBER() OVER (PARTITION BY student_id " +
+      "ORDER BY year DESC, score_id DESC)"), c.sql)
+    assert(c.sql.contains("WHERE rn <= 3"), c.sql)
+    assert(c.sql.contains("ROUND(AVG(score), 2) AS agg_value"), c.sql)
+  }
+
+  test("category majority: conditional count vs half the group, IN over both values") {
+    val c = cands("courses where the grade distribution is more than half A or B")
+      .find(_.method == "template_category_majority").get
+    assert(c.sql.contains("SUM(CASE WHEN grade IN ('A', 'B') THEN 1 ELSE 0 END) " +
+      "> COUNT(*) / 2.0"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    // single-value form
+    val s = cands("courses where the grade distribution is more than half F")
+      .find(_.method == "template_category_majority").get
+    assert(s.sql.contains("IN ('F')"), s.sql)
+  }
 }
