@@ -839,8 +839,8 @@ object Evaluation {
         "HAVING SUM(CASE WHEN grade IN ('A', 'B') THEN 1 ELSE 0 END) " +
         "> COUNT(*) / 2.0 ORDER BY course_id LIMIT 100",
       "category_majority"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10j open cases, closed in round 10k (cross-group
+    //     stability / running period total / strict improvement shapes) ---
     EvalCase("the student whose scores vary the least across depts",
       "SELECT student_id FROM (SELECT s.student_id, " +
         "STDDEV(da) AS v FROM (SELECT s2.student_id, c.dept, " +
@@ -860,5 +860,30 @@ object Evaluation {
         "FROM scores GROUP BY student_id, year) x GROUP BY student_id " +
         "HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1 " +
         "AND COUNT(*) >= 2) m JOIN students st ON st.student_id = m.student_id " +
-        "ORDER BY st.student_name LIMIT 100", "strict_improvement_streak"))
+        "ORDER BY st.student_name LIMIT 100", "strict_improvement_streak"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the pair of depts whose average scores differ the least",
+      "SELECT a_dept, b_dept FROM (SELECT a.dept AS a_dept, b.dept AS b_dept, " +
+        "ABS(a.av - b.av) AS d FROM (SELECT c.dept, AVG(s.score) AS av " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) a JOIN (SELECT c.dept, AVG(s.score) AS av " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) b ON a.dept < b.dept) t " +
+        "ORDER BY d ASC, a_dept, b_dept LIMIT 1", "attr_pair_argmin"),
+    EvalCase("how many students are above the dept average in every dept they took",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT sd.student_id FROM " +
+        "(SELECT s.student_id, c.dept, AVG(s.score) AS sa FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id, c.dept) sd JOIN (SELECT c2.dept, " +
+        "AVG(s2.score) AS da FROM scores s2 " +
+        "JOIN courses c2 ON c2.course_id = s2.course_id GROUP BY c2.dept) d " +
+        "ON d.dept = sd.dept GROUP BY sd.student_id " +
+        "HAVING MIN(CASE WHEN sa > da THEN 1 ELSE 0 END) = 1) t",
+      "universal_group_self_count"),
+    EvalCase("the share of scores within 5 points of their course average",
+      "SELECT ROUND(100.0 * SUM(CASE WHEN ABS(score - ca) <= 5 THEN 1 ELSE 0 END) " +
+        "/ COUNT(*), 2) AS agg_value FROM (SELECT score, " +
+        "AVG(score) OVER (PARTITION BY course_id) AS ca FROM scores) t",
+      "banded_share"))
 }

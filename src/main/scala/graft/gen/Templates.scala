@@ -4108,6 +4108,120 @@ object Templates {
         0.9, "template_category_majority")).take(1)
     }
 
+  // "the student whose scores vary the least across depts" — argmin of
+  // cross-group dispersion of PER-GROUP aggregates
+  private val crossGroupStabilityRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"vary\s+the\s+(least|most)\s+across\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Cross-group stability argmin: "the E whose Vs vary the least
+    * across As" → per-(entity, attribute) aggregates in one fact-sized
+    * pass through the broadcast dimension, STDDEV of those per entity
+    * (|entity × attribute| rows in, |entity| out), top-1. Entities
+    * present in a single group have no variation to measure —
+    * COUNT(*) > 1 keeps "across" meaningful. */
+  def crossGroupStabilityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    crossGroupStabilityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).equalsIgnoreCase("least")) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(4), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eE.fromColumn} FROM (" +
+          s"SELECT s.${eE.fromColumn}, STDDEV(da) AS v FROM (" +
+          s"SELECT s2.${eE.fromColumn}, c.$attrCol, AVG(s2.$numCol) AS da " +
+          s"FROM ${eE.fromTable} s2 " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s2.${eJ.fromColumn} " +
+          s"GROUP BY s2.${eE.fromColumn}, c.$attrCol) s " +
+          s"GROUP BY s.${eE.fromColumn} HAVING COUNT(*) > 1) t " +
+          s"ORDER BY v $dir, ${eE.fromColumn} LIMIT 1",
+        0.9, "template_cross_group_stability")).take(1)
+    }
+
+  // "the running total of scores per year in order" — cumulative
+  // aggregate over ordered periods
+  private val runningPeriodTotalRe =
+    (raw"(?i)\bthe\s+running\s+(total|sum|count|average|avg)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Running period total: "the running total of Vs per T" → per-period
+    * aggregates first (one fact pass), the cumulative window over the
+    * |periods| GROUP ROWS only — `SUM(SUM(v)) OVER (ORDER BY t)`,
+    * never a corpus-wide running sum. */
+  def runningPeriodTotalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    runningPeriodTotalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val inner = m.group(1).toLowerCase match {
+        case "count" => "COUNT"
+        case "average" | "avg" => "AVG"
+        case _ => "SUM"
+      }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+          .find(t => strongColumn(m.group(2), slice.tables(t)).isDefined &&
+            strongColumn(m.group(3), slice.tables(t)).isDefined).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+        periodCol <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        if periodCol != numCol
+      } yield Candidate(
+        s"SELECT $periodCol, SUM($inner($numCol)) OVER (ORDER BY $periodCol) " +
+          s"AS agg_value FROM $fact GROUP BY $periodCol " +
+          s"ORDER BY $periodCol LIMIT $DefaultLimit",
+        0.9, "template_running_period_total")).take(1)
+    }
+
+  // "students who beat their own previous year's average every year" —
+  // the monotonic-trend semantics under comparative phrasing
+  private val strictImprovementRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+(beat|exceeded|topped)\s+their\s+own\s+" +
+      raw"previous\s+([a-z_][a-z0-9_]*)(?:'s)?\s+(?:average|avg|mean)\s+" +
+      raw"(?:every|each)\s+\3\b").r
+
+  /** Strict improvement streak: "Es who beat their own previous T's
+    * average every T" — [[monotonicTrendCandidates]]' plan under
+    * comparative phrasing: (entity, period) aggregates first, LAG
+    * partitioned by the entity over the bounded period rows, grouped
+    * MIN over the step indicator, COUNT >= 2 so single-period entities
+    * don't qualify vacuously. The measure resolves by schema
+    * elimination (the phrase names only the period). */
+  def strictImprovementCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    strictImprovementRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(e.fromTable)
+        periodCol <- strongColumn(m.group(3), factCols).toSeq
+        stringCols = values(e.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, $periodCol, AVG($measure) AS a, " +
+          s"LAG(AVG($measure)) OVER (PARTITION BY ${e.fromColumn} " +
+          s"ORDER BY $periodCol) AS p " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) x " +
+          s"GROUP BY ${e.fromColumn} " +
+          s"HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1 " +
+          s"AND COUNT(*) >= 2) m " +
+          s"JOIN $dimE st ON st.${e.toColumn} = m.${e.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_strict_improvement")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4198,6 +4312,9 @@ object Templates {
       attrCoverageCandidates(slice, fks, question) ++
       recentKAverageCandidates(slice, fks, question) ++
       categoryMajorityCandidates(slice, fks, question) ++
+      crossGroupStabilityCandidates(slice, fks, question) ++
+      runningPeriodTotalCandidates(slice, fks, question) ++
+      strictImprovementCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -86,7 +86,9 @@ class EvaluationSpec extends SparkSpec {
         "self_relative_dim", "superlative_adj_argmax",
         "conjunctive_trend_count", "median_entity_argmax",
         "adjacent_period_pair", "exclusive_attr", "share_groups_lacking",
-        "attr_coverage_count", "recent_k_average", "category_majority"))
+        "attr_coverage_count", "recent_k_average", "category_majority",
+        "cross_group_stability_argmin", "running_period_total",
+        "strict_improvement_streak"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -1200,4 +1200,35 @@ class TemplatesSpec extends AnyFunSuite {
       .find(_.method == "template_category_majority").get
     assert(s.sql.contains("IN ('F')"), s.sql)
   }
+
+  test("cross-group stability: STDDEV over per-(entity, attribute) aggregates, argmin") {
+    val c = cands("the student whose scores vary the least across depts")
+      .find(_.method == "template_cross_group_stability").get
+    assert(c.sql.contains("STDDEV(da) AS v"), c.sql)
+    assert(c.sql.contains("GROUP BY s2.student_id, c.dept"), c.sql)
+    assert(c.sql.contains("HAVING COUNT(*) > 1"), c.sql)
+    assert(c.sql.contains("ORDER BY v ASC, student_id LIMIT 1"), c.sql)
+    // "most" flips the direction
+    val m = cands("the student whose scores vary the most across depts")
+      .find(_.method == "template_cross_group_stability").get
+    assert(m.sql.contains("ORDER BY v DESC"), m.sql)
+  }
+
+  test("running period total: cumulative window over period group rows only") {
+    val c = cands("the running total of scores per year in order")
+      .find(_.method == "template_running_period_total").get
+    assert(c.sql.contains("SUM(SUM(score)) OVER (ORDER BY year) AS agg_value"), c.sql)
+    assert(c.sql.contains("GROUP BY year"), c.sql)
+  }
+
+  test("strict improvement streak: monotonic-trend plan under comparative phrasing") {
+    val c = Templates.strictImprovementCandidates(slice, fks,
+      "students who beat their own previous year's average every year", scoreDomains).head
+    assert(c.sql.contains("LAG(AVG(score)) OVER (PARTITION BY student_id ORDER BY year)"), c.sql)
+    assert(c.sql.contains("HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1"), c.sql)
+    assert(c.sql.contains("AND COUNT(*) >= 2"), c.sql)
+    // measure elimination needs the mined string domains
+    assert(Templates.strictImprovementCandidates(slice, fks,
+      "students who beat their own previous year's average every year").isEmpty)
+  }
 }
