@@ -861,8 +861,8 @@ object Evaluation {
         "HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1 " +
         "AND COUNT(*) >= 2) m JOIN students st ON st.student_id = m.student_id " +
         "ORDER BY st.student_name LIMIT 100", "strict_improvement_streak"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10k open cases, closed in round 10l (attribute pair
+    //     argmin / universal group-self count / banded share shapes) ---
     EvalCase("the pair of depts whose average scores differ the least",
       "SELECT a_dept, b_dept FROM (SELECT a.dept AS a_dept, b.dept AS b_dept, " +
         "ABS(a.av - b.av) AS d FROM (SELECT c.dept, AVG(s.score) AS av " +
@@ -885,5 +885,26 @@ object Evaluation {
       "SELECT ROUND(100.0 * SUM(CASE WHEN ABS(score - ca) <= 5 THEN 1 ELSE 0 END) " +
         "/ COUNT(*), 2) AS agg_value FROM (SELECT score, " +
         "AVG(score) OVER (PARTITION BY course_id) AS ca FROM scores) t",
-      "banded_share"))
+      "banded_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the dept where the gap between its best and worst student averages is widest",
+      "SELECT dept FROM (SELECT c.dept, MAX(sa) - MIN(sa) AS g FROM " +
+        "(SELECT s.student_id, c2.dept AS d2, AVG(s.score) AS sa FROM scores s " +
+        "JOIN courses c2 ON c2.course_id = s.course_id " +
+        "GROUP BY s.student_id, c2.dept) x JOIN courses c ON c.dept = x.d2 " +
+        "GROUP BY c.dept) t ORDER BY g DESC, dept LIMIT 1",
+      "group_inner_range_argmax"),
+    EvalCase("students whose yearly average never dropped below 60",
+      "SELECT st.student_name FROM (SELECT student_id FROM " +
+        "(SELECT student_id, year, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id, year) x GROUP BY student_id " +
+        "HAVING MIN(a) >= 60) m JOIN students st " +
+        "ON st.student_id = m.student_id ORDER BY st.student_name LIMIT 100",
+      "floor_over_periods"),
+    EvalCase("the average share of each course's scores that are A grades",
+      "SELECT ROUND(AVG(r), 4) AS agg_value FROM (SELECT course_id, " +
+        "CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) AS r FROM scores GROUP BY course_id) t",
+      "avg_of_group_shares"))
 }

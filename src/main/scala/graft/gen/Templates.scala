@@ -4222,6 +4222,123 @@ object Templates {
         0.9, "template_strict_improvement")).take(1)
     }
 
+  // "the pair of depts whose average scores differ the least" — pair
+  // argmin over ATTRIBUTE-group aggregates
+  private val attrPairArgminRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+differ\s+the\s+" +
+      raw"(least|most)\b").r
+
+  /** Attribute pair argmin: "the pair of As whose avg Vs differ the
+    * least" → one grouped aggregate through the broadcast dimension
+    * (|domain| rows), then pairs over the GROUP ROWS via a `<`
+    * self-join — |domain|² comparisons of already-aggregated rows,
+    * never the corpus (the [[joinedPairArgmaxCandidates]] bound). */
+  def attrPairArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    attrPairArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(4).equalsIgnoreCase("least")) "ASC" else "DESC"
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        dimJ <- slice.tables.keys.toSeq.sorted
+        attrCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        numCol <- strongColumn(m.group(3), slice.tables(eJ.fromTable)).toSeq
+      } yield {
+        val grouped = s"SELECT c.$attrCol, $agg(s.$numCol) AS av " +
+          s"FROM ${eJ.fromTable} s JOIN $dimJ c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} GROUP BY c.$attrCol"
+        Candidate(
+          s"SELECT a_$attrCol, b_$attrCol FROM (" +
+            s"SELECT a.$attrCol AS a_$attrCol, b.$attrCol AS b_$attrCol, " +
+            s"ABS(a.av - b.av) AS d FROM ($grouped) a JOIN ($grouped) b " +
+            s"ON a.$attrCol < b.$attrCol) t " +
+            s"ORDER BY d $dir, a_$attrCol, b_$attrCol LIMIT 1",
+          0.9, "template_attr_pair_argmin")
+      }).take(1)
+    }
+
+  // "how many students are above the dept average in every dept they
+  // took" — COUNT of entities satisfying a ∀ over group-self bars
+  private val universalGroupSelfCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+are\s+(above|over|below|under)\s+" +
+      raw"the\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+in\s+" +
+      raw"(?:every|each)\s+\3\b").r
+
+  /** Universal group-self count: "how many Es are above the A average
+    * in every A they took" → per-(entity, A) aggregates and per-A bars
+    * each from one grouped pass (the bars |domain|-sized, broadcast
+    * back), the ∀ a grouped MIN indicator, one summary count. Measure
+    * by schema elimination — the phrase names only the group. */
+  def universalGroupSelfCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    universalGroupSelfCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<"
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(3), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !l.contains("year") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (" +
+          s"SELECT sd.${eE.fromColumn} FROM (" +
+          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS sa " +
+          s"FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) sd " +
+          s"JOIN (SELECT c2.$attrCol, AVG(s2.$measure) AS da " +
+          s"FROM ${eE.fromTable} s2 " +
+          s"JOIN ${eJ.toTable} c2 ON c2.${eJ.toColumn} = s2.${eJ.fromColumn} " +
+          s"GROUP BY c2.$attrCol) d ON d.$attrCol = sd.$attrCol " +
+          s"GROUP BY sd.${eE.fromColumn} " +
+          s"HAVING MIN(CASE WHEN sa $op da THEN 1 ELSE 0 END) = 1) t",
+        0.9, "template_universal_group_self_count")).take(1)
+    }
+
+  // "the share of scores within 5 points of their course average" —
+  // the fraction of rows inside a band around their group's bar
+  private val bandedShareRe =
+    (raw"(?i)\bthe\s+(share|percentage|percent|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+within\s+(\d+(?:\.\d+)?)\s+points?\s+of\s+" +
+      raw"their\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
+
+  /** Banded share: "the share of Vs within N points of their J
+    * average" → per-J bars from ONE grouped pass broadcast back on the
+    * fk, a single conditional-share aggregate over the fact — the
+    * join-then-aggregate form (equal values to the window phrasing,
+    * without a corpus WindowExec). */
+  def bandedShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    bandedShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(100.0 * SUM(CASE WHEN ABS(s.$numCol - g.a) <= ${m.group(3)} " +
+          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
+          s"FROM ${eJ.fromTable} s JOIN (" +
+          s"SELECT ${eJ.fromColumn}, AVG($numCol) AS a FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) g ON g.${eJ.fromColumn} = s.${eJ.fromColumn}",
+        0.9, "template_banded_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4315,6 +4432,9 @@ object Templates {
       crossGroupStabilityCandidates(slice, fks, question) ++
       runningPeriodTotalCandidates(slice, fks, question) ++
       strictImprovementCandidates(slice, fks, question, values) ++
+      attrPairArgminCandidates(slice, fks, question) ++
+      universalGroupSelfCountCandidates(slice, fks, question, values) ++
+      bandedShareCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

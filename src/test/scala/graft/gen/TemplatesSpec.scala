@@ -1231,4 +1231,38 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.strictImprovementCandidates(slice, fks,
       "students who beat their own previous year's average every year").isEmpty)
   }
+
+  test("attribute pair argmin: pairs over aggregated group rows via a < self-join") {
+    val c = cands("the pair of depts whose average scores differ the least")
+      .find(_.method == "template_attr_pair_argmin").get
+    assert(c.sql.contains("ABS(a.av - b.av) AS d"), c.sql)
+    assert(c.sql.contains("ON a.dept < b.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY d ASC, a_dept, b_dept LIMIT 1"), c.sql)
+    // "most" flips the direction
+    val m = cands("the pair of depts whose average scores differ the most")
+      .find(_.method == "template_attr_pair_argmin").get
+    assert(m.sql.contains("ORDER BY d DESC"), m.sql)
+  }
+
+  test("universal group-self count: per-(entity, group) vs per-group bars, MIN for-all, one count") {
+    val c = Templates.universalGroupSelfCountCandidates(slice, fks,
+      "how many students are above the dept average in every dept they took",
+      scoreDomains).head
+    assert(c.sql.contains("GROUP BY s.student_id, c.dept"), c.sql)
+    assert(c.sql.contains("HAVING MIN(CASE WHEN sa > da THEN 1 ELSE 0 END) = 1"), c.sql)
+    assert(c.sql.startsWith("SELECT COUNT(*) AS agg_value"), c.sql)
+    // "below" flips the comparison
+    val b = Templates.universalGroupSelfCountCandidates(slice, fks,
+      "how many students are below the dept average in every dept they took",
+      scoreDomains).head
+    assert(b.sql.contains("sa < da"), b.sql)
+  }
+
+  test("banded share: group bars joined back, conditional band share in one pass") {
+    val c = cands("the share of scores within 5 points of their course average")
+      .find(_.method == "template_banded_share").get
+    assert(c.sql.contains("ABS(s.score - g.a) <= 5"), c.sql)
+    assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY course_id"), c.sql)
+    assert(!c.sql.contains("OVER ("), c.sql) // no corpus WindowExec
+  }
 }
