@@ -886,8 +886,8 @@ object Evaluation {
         "/ COUNT(*), 2) AS agg_value FROM (SELECT score, " +
         "AVG(score) OVER (PARTITION BY course_id) AS ca FROM scores) t",
       "banded_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10l open cases, closed in round 10m (group inner-range
+    //     argmax / floor over periods / avg of group shares shapes) ---
     EvalCase("the dept where the gap between its best and worst student averages is widest",
       "SELECT dept FROM (SELECT c.dept, MAX(sa) - MIN(sa) AS g FROM " +
         "(SELECT s.student_id, c2.dept AS d2, AVG(s.score) AS sa FROM scores s " +
@@ -906,5 +906,24 @@ object Evaluation {
       "SELECT ROUND(AVG(r), 4) AS agg_value FROM (SELECT course_id, " +
         "CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
         "/ COUNT(*) AS r FROM scores GROUP BY course_id) t",
-      "avg_of_group_shares"))
+      "avg_of_group_shares"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the correlation between a student's age and their average score",
+      "SELECT ROUND(CORR(st.age, t.a), 4) AS agg_value FROM " +
+        "(SELECT student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id) t JOIN students st " +
+        "ON st.student_id = t.student_id", "entity_agg_correlation"),
+    EvalCase("courses whose average score beats every dept's overall average",
+      "SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING AVG(score) > (SELECT MAX(da) FROM (SELECT AVG(s.score) AS da " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) x) ORDER BY course_id LIMIT 100",
+      "cross_level_universal"),
+    EvalCase("the second most improved student between 2022 and 2023",
+      "SELECT student_id FROM (SELECT student_id, " +
+        "AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END) AS d " +
+        "FROM scores GROUP BY student_id) t WHERE d IS NOT NULL " +
+        "ORDER BY d DESC, student_id LIMIT 1 OFFSET 1", "nth_trend_argmax"))
 }

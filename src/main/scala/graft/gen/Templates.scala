@@ -4339,6 +4339,125 @@ object Templates {
         0.9, "template_banded_share")).take(1)
     }
 
+  // "the dept where the gap between its best and worst student
+  // averages is widest" — argmax over WITHIN-group ranges of
+  // per-member aggregates
+  private val groupInnerRangeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+where\s+the\s+gap\s+between\s+its\s+" +
+      raw"(?:best|highest)\s+and\s+(?:worst|lowest)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:averages|avgs)\s+is\s+(widest|largest|biggest|narrowest|smallest)\b").r
+
+  /** Group inner-range argmax: "the A where the gap between its best
+    * and worst E averages is widest" → per-(entity, A) aggregates in
+    * one fact pass through the broadcast dimension, MAX−MIN per A over
+    * those group rows, top-1. Measure by schema elimination (the
+    * phrase names only the member entity). */
+  def groupInnerRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    groupInnerRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !l.contains("year") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT $attrCol FROM (" +
+          s"SELECT x.$attrCol, MAX(sa) - MIN(sa) AS g FROM (" +
+          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS sa " +
+          s"FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) x " +
+          s"GROUP BY x.$attrCol) t " +
+          s"ORDER BY g $dir, $attrCol LIMIT 1",
+        0.9, "template_group_inner_range_argmax")).take(1)
+    }
+
+  // "students whose yearly average never dropped below 60" — a floor
+  // over every per-period aggregate
+  private val floorOverPeriodsRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)ly\s+" +
+      raw"(?:average|avg|mean)\s+never\s+(?:dropped|fell|went|dipped)\s+below\s+" +
+      raw"(\d+(?:\.\d+)?)\b").r
+
+  /** Floor over periods: "Es whose T-ly average never dropped below N"
+    * → per-(entity, period) aggregates in one fact pass, grouped
+    * MIN(a) >= N per entity — the ∀ collapses to a group extreme, no
+    * window at all. Measure by schema elimination. */
+  def floorOverPeriodsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    floorOverPeriodsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(e.fromTable)
+        periodCol <- strongColumn(m.group(2), factCols).toSeq
+        stringCols = values(e.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, $periodCol, AVG($measure) AS a " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) x " +
+          s"GROUP BY ${e.fromColumn} HAVING MIN(a) >= ${m.group(3)}) m " +
+          s"JOIN $dimE st ON st.${e.toColumn} = m.${e.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_floor_over_periods")).take(1)
+    }
+
+  // "the average share of each course's scores that are A grades" —
+  // the mean of per-group category ratios
+  private val avgOfGroupSharesRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+(?:share|percentage|fraction)\s+of\s+" +
+      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+([a-z_][a-z0-9_]*)\s+that\s+are\s+" +
+      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average of group shares: "the avg share of each J's Vs that are X
+    * Cs" → per-J conditional ratios in one grouped pass on the fact's
+    * fk, AVG collapsing the |J| group rows — a MACRO-average (each
+    * group weighs equally), deliberately distinct from the global
+    * share. */
+  def avgOfGroupSharesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgOfGroupSharesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val catWord = {
+        val w = m.group(4)
+        if (w.endsWith("s")) w.dropRight(1) else w
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
+          strongColumn(catWord, slice.tables(e.fromTable)).isDefined).toSeq
+        catCol <- strongColumn(catWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(r), 4) AS agg_value FROM (" +
+          s"SELECT ${eJ.fromColumn}, " +
+          s"CAST(SUM(CASE WHEN $catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*) AS r FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_avg_of_group_shares")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4435,6 +4554,9 @@ object Templates {
       attrPairArgminCandidates(slice, fks, question) ++
       universalGroupSelfCountCandidates(slice, fks, question, values) ++
       bandedShareCandidates(slice, fks, question) ++
+      groupInnerRangeArgmaxCandidates(slice, fks, question, values) ++
+      floorOverPeriodsCandidates(slice, fks, question, values) ++
+      avgOfGroupSharesCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

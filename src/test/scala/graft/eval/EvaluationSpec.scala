@@ -89,7 +89,9 @@ class EvaluationSpec extends SparkSpec {
         "attr_coverage_count", "recent_k_average", "category_majority",
         "cross_group_stability_argmin", "running_period_total",
         "strict_improvement_streak", "attr_pair_argmin",
-        "universal_group_self_count", "banded_share"))
+        "universal_group_self_count", "banded_share",
+        "group_inner_range_argmax", "floor_over_periods",
+        "avg_of_group_shares"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -1265,4 +1265,35 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY course_id"), c.sql)
     assert(!c.sql.contains("OVER ("), c.sql) // no corpus WindowExec
   }
+
+  test("group inner-range argmax: per-member aggregates, MAX-MIN per group, top-1") {
+    val c = Templates.groupInnerRangeArgmaxCandidates(slice, fks,
+      "the dept where the gap between its best and worst student averages is widest",
+      scoreDomains).head
+    assert(c.sql.contains("GROUP BY s.student_id, c.dept"), c.sql)
+    assert(c.sql.contains("MAX(sa) - MIN(sa) AS g"), c.sql)
+    assert(c.sql.contains("ORDER BY g DESC, dept LIMIT 1"), c.sql)
+    // "narrowest" flips the direction
+    val n = Templates.groupInnerRangeArgmaxCandidates(slice, fks,
+      "the dept where the gap between its best and worst student averages is narrowest",
+      scoreDomains).head
+    assert(n.sql.contains("ORDER BY g ASC"), n.sql)
+  }
+
+  test("floor over periods: per-period aggregates, grouped MIN as the for-all") {
+    val c = Templates.floorOverPeriodsCandidates(slice, fks,
+      "students whose yearly average never dropped below 60", scoreDomains).head
+    assert(c.sql.contains("GROUP BY student_id, year"), c.sql)
+    assert(c.sql.contains("HAVING MIN(a) >= 60"), c.sql)
+    assert(!c.sql.contains("OVER ("), c.sql) // no window needed for a floor
+  }
+
+  test("average of group shares: macro-average of per-group category ratios") {
+    val c = cands("the average share of each course's scores that are A grades")
+      .find(_.method == "template_avg_of_group_shares").get
+    assert(c.sql.contains("ROUND(AVG(r), 4) AS agg_value"), c.sql)
+    assert(c.sql.contains("CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) " +
+      "AS DOUBLE) / COUNT(*) AS r"), c.sql)
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+  }
 }
