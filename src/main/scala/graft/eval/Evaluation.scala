@@ -907,8 +907,8 @@ object Evaluation {
         "CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
         "/ COUNT(*) AS r FROM scores GROUP BY course_id) t",
       "avg_of_group_shares"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10m open cases, closed in round 10n (entity-aggregate
+    //     correlation / cross-level universal / nth trend argmax) ---
     EvalCase("the correlation between a student's age and their average score",
       "SELECT ROUND(CORR(st.age, t.a), 4) AS agg_value FROM " +
         "(SELECT student_id, AVG(score) AS a FROM scores " +
@@ -925,5 +925,27 @@ object Evaluation {
         "AVG(CASE WHEN year = 2023 THEN score END) - " +
         "AVG(CASE WHEN year = 2022 THEN score END) AS d " +
         "FROM scores GROUP BY student_id) t WHERE d IS NOT NULL " +
-        "ORDER BY d DESC, student_id LIMIT 1 OFFSET 1", "nth_trend_argmax"))
+        "ORDER BY d DESC, student_id LIMIT 1 OFFSET 1", "nth_trend_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of students per grade level whose overall average score is above 80",
+      "SELECT st.grade_level, COUNT(*) AS n FROM " +
+        "(SELECT student_id FROM scores GROUP BY student_id " +
+        "HAVING AVG(score) > 80) q JOIN students st " +
+        "ON st.student_id = q.student_id GROUP BY st.grade_level " +
+        "ORDER BY st.grade_level LIMIT 100", "qualifying_count_by_attr"),
+    EvalCase("the dept with the highest median student average",
+      "SELECT dept FROM (SELECT d2 AS dept, MEDIAN(a) AS md FROM " +
+        "(SELECT s.student_id, c.dept AS d2, AVG(s.score) AS a " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id, c.dept) x GROUP BY d2) t " +
+        "ORDER BY md DESC, dept LIMIT 1", "group_median_argmax"),
+    EvalCase("students whose average score in math is at least 10 points higher than in science",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "WHERE c.dept IN ('math', 'science') GROUP BY s.student_id " +
+        "HAVING AVG(CASE WHEN c.dept = 'math' THEN s.score END) - " +
+        "AVG(CASE WHEN c.dept = 'science' THEN s.score END) >= 10) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "cross_category_margin"))
 }

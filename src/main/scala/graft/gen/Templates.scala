@@ -4458,6 +4458,125 @@ object Templates {
         0.9, "template_avg_of_group_shares")).take(1)
     }
 
+  // "the correlation between a student's age and their average score" —
+  // CORR of a dimension attribute against a per-entity aggregate
+  private val entityAggCorrRe =
+    (raw"(?i)\bthe\s+correlation\s+between\s+an?\s+([a-z_][a-z0-9_]*)'s\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+and\s+(?:their|its)\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Entity-aggregate correlation (ref `app/models/inference.py:151-213`
+    * LLM path): "the correlation between an E's A and their average M"
+    * → per-entity AVG in one grouped fact pass (partial+final, one
+    * shuffle on the fk), |entities| rows joined to the broadcast
+    * dimension for the attribute, a single CORR over that small frame.
+    * Distinct from [[correlationCandidates]]: one side is an AGGREGATE,
+    * so a flat fact-side CORR (which would weight students by row
+    * count) is the wrong answer. ROUND(…, 4) for presentation
+    * stability. */
+  def entityAggCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    entityAggCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        attrCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CORR(d.$attrCol, t.a), 4) AS agg_value FROM (" +
+          s"SELECT ${e.fromColumn}, AVG($measure) AS a " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"JOIN $dimE d ON d.${e.toColumn} = t.${e.fromColumn}",
+        0.9, "template_entity_agg_correlation")).take(1)
+    }
+
+  // "courses whose average score beats every dept's overall average" —
+  // a per-fk-group aggregate compared against ALL aggregates one
+  // grouping level up
+  private val crossLevelUniversalRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:beats|exceeds|tops|is\s+above|trails|is\s+below)\s+" +
+      raw"every\s+([a-z_][a-z0-9_]*)(?:'s)?\s+overall\s+(?:average|avg|mean)\b").r
+
+  /** Cross-level universal comparison: "Js whose average M beats every
+    * D's overall average" → the ∀ collapses to a single scalar (beat
+    * every group ⟺ beat the MAX; trail every ⟺ under the MIN), so the
+    * plan is two grouped passes — per-J averages via HAVING, and the
+    * coarser per-D averages through the broadcast dimension join —
+    * plus a one-row scalar subquery; never a per-(J,D) crossJoin.
+    * D resolves as an attribute column of J's own dimension (the
+    * grouping one level up the same hierarchy). */
+  def crossLevelUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    crossLevelUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val above = !question.toLowerCase.matches(raw"(?s).*\b(trails|is\s+below)\b.*")
+      val (cmp, ext) = if (above) (">", "MAX") else ("<", "MIN")
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(e.fromTable)).toSeq
+        dCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn} HAVING AVG($measure) $cmp (" +
+          s"SELECT $ext(da) FROM (SELECT AVG(s.$measure) AS da " +
+          s"FROM ${e.fromTable} s JOIN $dimJ c ON c.${e.toColumn} = s.${e.fromColumn} " +
+          s"GROUP BY c.$dCol) x) " +
+          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_cross_level_universal")).take(1)
+    }
+
+  // "the second most improved student between 2022 and 2023" — the
+  // ordinal (nth) variant of the entity trend argmax
+  private val nthTrendArgmaxRe =
+    (raw"(?i)\bthe\s+(second|third|fourth|fifth|2nd|3rd|4th|5th)\s+most\s+" +
+      raw"(improved|increased|declined|decreased|worsened)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
+
+  private val ordinalOffsets = Map(
+    "second" -> 1, "2nd" -> 1, "third" -> 2, "3rd" -> 2,
+    "fourth" -> 3, "4th" -> 3, "fifth" -> 4, "5th" -> 4)
+
+  /** Nth trend argmax: "the second most improved E between Y1 and Y2"
+    * → the [[trendArgmaxEntityCandidates]] delta ranking with the
+    * ordinal as `LIMIT 1 OFFSET n-1` — still TakeOrderedAndProject
+    * over |entities| rows (Spark's SortExec+Limit keeps offset+1 rows
+    * per partition), never a corpus-wide WindowExec. Measure by the
+    * same elimination rule; rising participles rank DESC, falling
+    * ASC. */
+  def nthTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    nthTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val offset = ordinalOffsets(m.group(1).toLowerCase)
+      val rising = Set("improved", "increased")(m.group(2).toLowerCase)
+      val dir = if (rising) "DESC" else "ASC"
+      val (y1, y2) = (m.group(4), m.group(5))
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(e.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(e.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty // ambiguous or none: fire nothing
+        }
+      } yield Candidate(
+        s"SELECT ${e.fromColumn} FROM (" +
+          s"SELECT ${e.fromColumn}, " +
+          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
+          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
+          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
+          s"WHERE d IS NOT NULL ORDER BY d $dir, ${e.fromColumn} " +
+          s"LIMIT 1 OFFSET $offset",
+        0.9, "template_nth_trend_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4557,6 +4676,9 @@ object Templates {
       groupInnerRangeArgmaxCandidates(slice, fks, question, values) ++
       floorOverPeriodsCandidates(slice, fks, question, values) ++
       avgOfGroupSharesCandidates(slice, fks, question) ++
+      entityAggCorrCandidates(slice, fks, question) ++
+      crossLevelUniversalCandidates(slice, fks, question) ++
+      nthTrendArgmaxCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

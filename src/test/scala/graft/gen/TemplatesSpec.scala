@@ -1288,6 +1288,43 @@ class TemplatesSpec extends AnyFunSuite {
     assert(!c.sql.contains("OVER ("), c.sql) // no window needed for a floor
   }
 
+  test("entity-aggregate correlation: CORR of dim attribute vs per-entity AVG") {
+    val c = Templates.entityAggCorrCandidates(slice, fks,
+      "the correlation between a student's age and their average score").head
+    assert(c.sql.contains("ROUND(CORR(d.age, t.a), 4) AS agg_value"), c.sql)
+    assert(c.sql.contains("AVG(score) AS a FROM scores GROUP BY student_id"), c.sql)
+    assert(c.sql.contains("JOIN students d ON d.student_id = t.student_id"), c.sql)
+    // the flat same-table CORR template must not steal this question
+    assert(Templates.correlationCandidates(slice, fks,
+      "the correlation between a student's age and their average score").isEmpty)
+  }
+
+  test("cross-level universal: beat-every collapses to a scalar MAX subquery") {
+    val c = Templates.crossLevelUniversalCandidates(slice, fks,
+      "courses whose average score beats every dept's overall average").head
+    assert(c.sql.contains("GROUP BY course_id HAVING AVG(score) > (SELECT MAX(da)"), c.sql)
+    assert(c.sql.contains("GROUP BY c.dept"), c.sql)
+    assert(c.sql.contains("ORDER BY course_id LIMIT 100"), c.sql)
+    // trailing every group flips to < MIN
+    val b = Templates.crossLevelUniversalCandidates(slice, fks,
+      "courses whose average score is below every dept's overall average").head
+    assert(b.sql.contains("< (SELECT MIN(da)"), b.sql)
+  }
+
+  test("nth trend argmax: ordinal becomes LIMIT 1 OFFSET n-1 on the delta ranking") {
+    val c = Templates.nthTrendArgmaxCandidates(slice, fks,
+      "the second most improved student between 2022 and 2023", scoreDomains).head
+    assert(c.sql.contains("AVG(CASE WHEN year = 2023 THEN score END) - " +
+      "AVG(CASE WHEN year = 2022 THEN score END) AS d"), c.sql)
+    assert(c.sql.contains("ORDER BY d DESC, student_id LIMIT 1 OFFSET 1"), c.sql)
+    val t = Templates.nthTrendArgmaxCandidates(slice, fks,
+      "the third most declined student between 2022 and 2023", scoreDomains).head
+    assert(t.sql.contains("ORDER BY d ASC, student_id LIMIT 1 OFFSET 2"), t.sql)
+    // same no-fabrication elimination: ambiguous measure fires nothing
+    assert(Templates.nthTrendArgmaxCandidates(slice, fks,
+      "the second most improved student between 2022 and 2023").isEmpty)
+  }
+
   test("average of group shares: macro-average of per-group category ratios") {
     val c = cands("the average share of each course's scores that are A grades")
       .find(_.method == "template_avg_of_group_shares").get
