@@ -85,6 +85,23 @@ object Queries {
       "SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1995-06-01' - INTERVAL 30 DAY AND o_orderdate < DATE '1995-06-01' ORDER BY o_orderkey LIMIT 100",
     "d34_having" ->
       "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey LIMIT 100",
+    // --- multi-level aggregation (ROLLUP/CUBE/GROUPING SETS): one
+    // Expand+HashAggregate pass per level set, partial+final on the
+    // shuffle — never N separate scans. Group columns are non-null in
+    // the data, so COALESCE sentinels make the subtotal rows
+    // total-orderable identically on both engines (no NULLS FIRST/LAST
+    // divergence). ---
+    "d35_rollup" ->
+      "SELECT COALESCE(o_orderpriority, 'ALL') AS pri, COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY pri, status LIMIT 100",
+    "d36_cube" ->
+      "SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls LIMIT 100",
+    "d37_grouping_sets" ->
+      "SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY status, pri LIMIT 100",
+    // --- distribution windows, partitioned BY NATION (thousands of
+    // bounded partitions at scale, never a global sort): NTILE /
+    // PERCENT_RANK / CUME_DIST share one WindowExec over one shuffle ---
+    "d38_ntile" ->
+      "SELECT c_custkey, c_nationkey, NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile, ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS cd FROM customer ORDER BY c_custkey LIMIT 200",
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",
@@ -231,6 +248,25 @@ object Queries {
     "x_events_hourly" ->
       ("SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type, COUNT(*) AS cnt, " +
         "ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100"),
+    // pivot replica: conditional aggregation with the same explicit
+    // column-per-type layout the Spark pivot produces
+    "x_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"ROUND(SUM(CASE WHEN event_type = '$t' THEN value END), 2) AS $t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id LIMIT 200"),
+    // gap-fill replica: the same hour spine × type grid, zero-filled
+    "x_gap_fill" ->
+      ("WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx FROM events), " +
+        "spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c, SUM(value) AS sv " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT CAST(s.hour AS STRING) AS hour, t.event_type, COALESCE(h.c, 0) AS cnt, " +
+        "ROUND(COALESCE(h.sv, 0), 2) AS sum_value " +
+        "FROM spine s CROSS JOIN types t LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type " +
+        "ORDER BY hour, t.event_type LIMIT 500"),
     // sketch accuracy contracts: the DuckDB side computes the EXACT
     // value and asserts the in-contract flags are all 1 — the estimate
     // itself is engine-specific (DataSketches), the contract is not
@@ -1665,6 +1701,45 @@ object ExtensionQueries {
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("hour", "event_type").limit(100)
+    }),
+    // wide-format pivot (ref's result tables render long→wide client
+    // side; here it's the engine op): the explicit value list lowers to
+    // ONE grouped pass with 5 conditional aggregates — no distinct-scan
+    // to discover columns, and unlike Dataset.pivot (which pre-aggregates
+    // on (key, value) and shuffles AGAIN for pivotfirst) a single
+    // shuffle whose partials combine map-side like any groupBy
+    "x_pivot" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val wide = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        round(sum(when(col("event_type") === t, col("value"))), 2).as(t))
+      s.table("events")
+        .groupBy(col("user_id"))
+        .agg(wide.head, wide.tail: _*)
+        .orderBy("user_id").limit(200)
+    }),
+    // time-series gap-fill (resample): the hour spine derives from ONE
+    // min/max aggregate (map-side combinable), sequence+explode builds
+    // |hours|×|types| grid rows — bounded by the time range, never by
+    // corpus size — and the hourly counts LEFT-join onto the broadcast
+    // grid, zero-filled. The corpus-sized work is exactly one grouped
+    // pass; everything else is kilobytes.
+    "x_gap_fill" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val ev = s.table("events")
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"), col("value"))
+      val spine = ev.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+        .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+      val grid = spine.crossJoin(ev.select(col("event_type")).distinct())
+      val hourly = ev.groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("sv"))
+      // the aggregated hourly frame is |hours|×|types| rows — bounded by
+      // the time range, so it broadcasts as the right side of the left
+      // join (Spark cannot broadcast the preserved side)
+      grid.join(broadcast(hourly), Seq("hour", "event_type"), "left")
+        .select(col("hour").cast("string").as("hour"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("cnt"),
+          round(coalesce(col("sv"), lit(0.0)), 2).as("sum_value"))
+        .orderBy("hour", "event_type").limit(500)
     }),
     // per-user running total + gap-since-previous-event (the W1 surface
     // deepened with frame-running aggregates and LAG): the window

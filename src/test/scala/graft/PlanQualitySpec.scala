@@ -297,4 +297,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("2024-01-21"), p.take(3000))
     assert(p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("ROLLUP/CUBE/GROUPING SETS are one Expand over one scan, partial+final (d35-d37)") {
+    for (name <- Seq("d35_rollup", "d36_cube", "d37_grouping_sets")) {
+      val p = plan(name)
+      assert(p.contains("Expand"), s"$name: multi-level agg must plan as Expand: " + p.take(1500))
+      // one scan feeds every grouping level — never a scan per level
+      // (FormattedMode prints each node twice: tree + detail section)
+      assert("Scan parquet".r.findAllIn(p).size <= 2, s"$name: " + p.take(1500))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: expect partial + final HashAggregate")
+    }
+  }
+
+  test("distribution windows share one per-nation WindowExec — no global sort (d38)") {
+    val p = plan("d38_ntile")
+    // ntile/percent_rank/cume_dist over the same spec collapse into ONE
+    // Window node partitioned by nation (tree + detail = 2 prints)
+    assert("Window\\b".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(p.contains("c_nationkey"), p.take(2000))
+  }
+
+  test("pivot is one grouped pass — no distinct-scan for columns, no second shuffle (x_pivot)") {
+    val p = plan("x_pivot")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "explicit value list must keep pivot to the single groupBy shuffle: " + p.take(2000))
+  }
+
+  test("gap-fill joins the bounded grid broadcast — corpus side is one grouped pass (x_gap_fill)") {
+    val p = plan("x_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "bounded hourly frame must broadcast: " + p.take(2000))
+  }
 }
