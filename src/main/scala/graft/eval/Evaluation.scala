@@ -926,8 +926,8 @@ object Evaluation {
         "AVG(CASE WHEN year = 2022 THEN score END) AS d " +
         "FROM scores GROUP BY student_id) t WHERE d IS NOT NULL " +
         "ORDER BY d DESC, student_id LIMIT 1 OFFSET 1", "nth_trend_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10n open cases, closed in round 10o (qualifying count by
+    //     attribute / group median argmax / cross-category margin) ---
     EvalCase("the number of students per grade level whose overall average score is above 80",
       "SELECT st.grade_level, COUNT(*) AS n FROM " +
         "(SELECT student_id FROM scores GROUP BY student_id " +
@@ -947,5 +947,25 @@ object Evaluation {
         "HAVING AVG(CASE WHEN c.dept = 'math' THEN s.score END) - " +
         "AVG(CASE WHEN c.dept = 'science' THEN s.score END) >= 10) m " +
         "JOIN students st ON st.student_id = m.student_id " +
-        "ORDER BY st.student_name LIMIT 100", "cross_category_margin"))
+        "ORDER BY st.student_name LIMIT 100", "cross_category_margin"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("depts where the average score of every course fell from 2022 to 2023",
+      "SELECT dept FROM (SELECT c.dept, s.course_id, " +
+        "AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
+        "AVG(CASE WHEN s.year = 2022 THEN s.score END) AS d " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) x GROUP BY dept " +
+        "HAVING MAX(d) < 0 ORDER BY dept LIMIT 100", "universal_group_trend"),
+    EvalCase("the rank of Algebra among courses by average score",
+      "SELECT rnk FROM (SELECT c.course_name, " +
+        "RANK() OVER (ORDER BY AVG(s.score) DESC) AS rnk " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.course_name) t WHERE course_name = 'Algebra'",
+      "named_entity_rank"),
+    EvalCase("the percent change in average score from 2022 to 2023",
+      "SELECT ROUND((AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END)) / " +
+        "AVG(CASE WHEN year = 2022 THEN score END) * 100, 4) AS agg_value " +
+        "FROM scores", "percent_change"))
 }

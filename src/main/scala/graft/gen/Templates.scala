@@ -4577,6 +4577,133 @@ object Templates {
         0.9, "template_nth_trend_argmax")).take(1)
     }
 
+  // "the number of students per grade level whose overall average score
+  // is above 80" — count of qualifying entities, grouped by a dimension
+  // attribute
+  private val qualifyingCountByAttrRe =
+    (raw"(?i)\bthe\s+(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:per|by|for\s+each)\s+([a-z][a-z0-9_]*(?:\s+[a-z][a-z0-9_]*)?)\s+" +
+      raw"whose\s+overall\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
+      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Qualifying count by attribute: "the number of Es per A whose
+    * overall average M is above N" → qualifying entity KEYS from one
+    * grouped fact pass (HAVING on the per-entity average), then a count
+    * grouped by the dimension attribute through the broadcast dim join
+    * — the second aggregate runs over |qualifying entities| rows, never
+    * the fact. A multi-word attribute phrase resolves underscored
+    * ("grade level" → grade_level). */
+  def qualifyingCountByAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    qualifyingCountByAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cmp = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val attrWord = m.group(2).trim.replaceAll(raw"\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        attrCol <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT d.$attrCol AS $attrCol, COUNT(*) AS n FROM (" +
+          s"SELECT ${e.fromColumn} FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn} HAVING AVG($measure) $cmp ${m.group(5)}) q " +
+          s"JOIN $dimE d ON d.${e.toColumn} = q.${e.fromColumn} " +
+          s"GROUP BY d.$attrCol ORDER BY d.$attrCol LIMIT $DefaultLimit",
+        0.9, "template_qualifying_count_by_attr")).take(1)
+    }
+
+  // "the dept with the highest median student average" — argmax over
+  // per-group MEDIANS of per-entity averages
+  private val groupMedianArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(highest|largest|greatest|lowest|smallest)\s+median\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
+
+  /** Group median argmax: "the A with the highest median E average" →
+    * per-(entity, A) averages in one fact pass through the broadcast
+    * dimension (the only corpus-sized shuffle), exact MEDIAN per A over
+    * those |entities×A| group rows (sort-based but group-sized — a
+    * corpus median would use the KLL sketch path), top-1. Measure by
+    * schema elimination, as the phrase names none. */
+  def groupMedianArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    groupMedianArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("lowest", "smallest")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !l.contains("year") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT $attrCol FROM (" +
+          s"SELECT x.$attrCol, MEDIAN(a) AS md FROM (" +
+          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS a " +
+          s"FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) x " +
+          s"GROUP BY x.$attrCol) t " +
+          s"ORDER BY md $dir, $attrCol LIMIT 1",
+        0.9, "template_group_median_argmax")).take(1)
+    }
+
+  // "students whose average score in math is at least 10 points higher
+  // than in science" — a within-entity margin between two categorical
+  // slices
+  private val crossCategoryMarginRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+([A-Za-z][\w+-]*)\s+is\s+at\s+least\s+" +
+      raw"(\d+(?:\.\d+)?)\s+(?:points?\s+)?(higher|greater|better|lower|worse)\s+" +
+      raw"than\s+in\s+([A-Za-z][\w+-]*)\b").r
+
+  /** Cross-category margin: "Es whose average M in V1 is at least N
+    * higher than in V2" → V1/V2 resolve as DATA values of one dimension
+    * attribute (both must sit in the same mined domain — the
+    * no-fabrication bar on value linking), then one fact pass filtered
+    * to the two slices computes both conditional averages per entity;
+    * entities missing either slice fall out through the NULL
+    * comparison. "lower" swaps the margin's direction. */
+  def crossCategoryMarginCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    crossCategoryMarginRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (v1, v2) = (m.group(3), m.group(6))
+      val higher = Set("higher", "greater", "better")(m.group(5).toLowerCase)
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        catCol <- slice.tables(eJ.toTable).filter(c =>
+          values(eJ.toTable).get(c).exists(d => d.contains(v1) && d.contains(v2))).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield {
+        val (hi, lo) = if (higher) (v1, v2) else (v2, v1)
+        Candidate(
+          s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
+            s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+            s"WHERE c.$catCol IN (${sqlLit(v1)}, ${sqlLit(v2)}) " +
+            s"GROUP BY s.${eE.fromColumn} " +
+            s"HAVING AVG(CASE WHEN c.$catCol = ${sqlLit(hi)} THEN s.$measure END) - " +
+            s"AVG(CASE WHEN c.$catCol = ${sqlLit(lo)} THEN s.$measure END) >= ${m.group(4)}) m " +
+            s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+          0.9, "template_cross_category_margin")
+      }).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4679,6 +4806,9 @@ object Templates {
       entityAggCorrCandidates(slice, fks, question) ++
       crossLevelUniversalCandidates(slice, fks, question) ++
       nthTrendArgmaxCandidates(slice, fks, question, values) ++
+      qualifyingCountByAttrCandidates(slice, fks, question) ++
+      groupMedianArgmaxCandidates(slice, fks, question, values) ++
+      crossCategoryMarginCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -92,7 +92,9 @@ class EvaluationSpec extends SparkSpec {
         "universal_group_self_count", "banded_share",
         "group_inner_range_argmax", "floor_over_periods",
         "avg_of_group_shares", "entity_agg_correlation",
-        "cross_level_universal", "nth_trend_argmax"))
+        "cross_level_universal", "nth_trend_argmax",
+        "qualifying_count_by_attr", "group_median_argmax",
+        "cross_category_margin"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -1325,6 +1325,56 @@ class TemplatesSpec extends AnyFunSuite {
       "the second most improved student between 2022 and 2023").isEmpty)
   }
 
+  test("qualifying count by attribute: HAVING keys, then a dim-grouped count") {
+    val c = Templates.qualifyingCountByAttrCandidates(slice, fks,
+      "the number of students per grade level whose overall average score is above 80").head
+    assert(c.sql.contains("GROUP BY student_id HAVING AVG(score) > 80"), c.sql)
+    assert(c.sql.contains("SELECT d.grade_level AS grade_level, COUNT(*) AS n"), c.sql)
+    assert(c.sql.contains("GROUP BY d.grade_level"), c.sql)
+    // below flips the comparison
+    val b = Templates.qualifyingCountByAttrCandidates(slice, fks,
+      "the number of students per grade level whose overall average score is below 60").head
+    assert(b.sql.contains("HAVING AVG(score) < 60"), b.sql)
+  }
+
+  test("group median argmax: per-entity averages, MEDIAN per group, top-1") {
+    val c = Templates.groupMedianArgmaxCandidates(slice, fks,
+      "the dept with the highest median student average", scoreDomains).head
+    assert(c.sql.contains("GROUP BY s.student_id, c.dept"), c.sql)
+    assert(c.sql.contains("MEDIAN(a) AS md"), c.sql)
+    assert(c.sql.contains("ORDER BY md DESC, dept LIMIT 1"), c.sql)
+    val l = Templates.groupMedianArgmaxCandidates(slice, fks,
+      "the dept with the lowest median student average", scoreDomains).head
+    assert(l.sql.contains("ORDER BY md ASC"), l.sql)
+    // ambiguous measure (no mined domains) fires nothing
+    assert(Templates.groupMedianArgmaxCandidates(slice, fks,
+      "the dept with the highest median student average").isEmpty)
+  }
+
+  test("cross-category margin: both values must share one mined domain") {
+    val deptDomains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("dept" -> Seq("math", "science", "history", "arts"))
+      case "scores" => Map("grade" -> Seq("A", "B", "C", "D", "F"))
+      case _ => Map.empty
+    }
+    val c = Templates.crossCategoryMarginCandidates(slice, fks,
+      "students whose average score in math is at least 10 points higher than in science",
+      deptDomains).head
+    assert(c.sql.contains("WHERE c.dept IN ('math', 'science')"), c.sql)
+    assert(c.sql.contains("HAVING AVG(CASE WHEN c.dept = 'math' THEN s.score END) - " +
+      "AVG(CASE WHEN c.dept = 'science' THEN s.score END) >= 10"), c.sql)
+    // "lower" swaps the margin direction
+    val b = Templates.crossCategoryMarginCandidates(slice, fks,
+      "students whose average score in math is at least 5 points lower than in science",
+      deptDomains).head
+    assert(b.sql.contains("AVG(CASE WHEN c.dept = 'science' THEN s.score END) - " +
+      "AVG(CASE WHEN c.dept = 'math' THEN s.score END) >= 5"), b.sql)
+    // values outside every mined domain fire nothing (no fabrication)
+    assert(Templates.crossCategoryMarginCandidates(slice, fks,
+      "students whose average score in chemistry is at least 10 points higher than in magic",
+      deptDomains).isEmpty)
+  }
+
   test("average of group shares: macro-average of per-group category ratios") {
     val c = cands("the average share of each course's scores that are A grades")
       .find(_.method == "template_avg_of_group_shares").get
