@@ -948,8 +948,8 @@ object Evaluation {
         "AVG(CASE WHEN c.dept = 'science' THEN s.score END) >= 10) m " +
         "JOIN students st ON st.student_id = m.student_id " +
         "ORDER BY st.student_name LIMIT 100", "cross_category_margin"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10o open cases, closed in round 10p (universal group
+    //     trend / named-entity rank / percent change) ---
     EvalCase("depts where the average score of every course fell from 2022 to 2023",
       "SELECT dept FROM (SELECT c.dept, s.course_id, " +
         "AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
@@ -967,5 +967,25 @@ object Evaluation {
       "SELECT ROUND((AVG(CASE WHEN year = 2023 THEN score END) - " +
         "AVG(CASE WHEN year = 2022 THEN score END)) / " +
         "AVG(CASE WHEN year = 2022 THEN score END) * 100, 4) AS agg_value " +
-        "FROM scores", "percent_change"))
+        "FROM scores", "percent_change"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the share of each dept's scores that come from its busiest course",
+      "SELECT dept, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS share " +
+        "FROM (SELECT c.dept, s.course_id, COUNT(*) AS cnt " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) x GROUP BY dept " +
+        "ORDER BY dept LIMIT 100", "group_concentration"),
+    EvalCase("students who took courses in at least 3 different depts",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY s.student_id " +
+        "HAVING COUNT(DISTINCT c.dept) >= 3) m JOIN students st " +
+        "ON st.student_id = m.student_id ORDER BY st.student_name LIMIT 100",
+      "joined_distinct_having"),
+    EvalCase("the year when dept averages were closest together",
+      "SELECT yr FROM (SELECT x.yr, STDDEV_SAMP(a) AS sd FROM " +
+        "(SELECT s.year AS yr, c.dept, AVG(s.score) AS a FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.year, c.dept) x GROUP BY x.yr) t " +
+        "ORDER BY sd ASC, yr LIMIT 1", "period_balance_argmin"))
 }

@@ -4704,6 +4704,108 @@ object Templates {
       }).take(1)
     }
 
+  // "depts where the average score of every course fell from 2022 to
+  // 2023" — a universal quantifier over per-member trends
+  private val universalGroupTrendRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+(?:average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+of\s+every\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(fell|dropped|declined|decreased|rose|increased|improved)\s+" +
+      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
+
+  /** Universal group trend: "As where the average M of every E fell
+    * from Y1 to Y2" → per-(A, member) two-period conditional averages in
+    * ONE fact pass through the broadcast dimension, then the ∀ collapses
+    * to a group extreme over the member deltas — every-fell ⟺
+    * MAX(delta) < 0, every-rose ⟺ MIN(delta) > 0; no window, no second
+    * corpus pass. Members missing a period contribute a NULL delta,
+    * which the extreme ignores — "every" quantifies over members with
+    * both readings. */
+  def universalGroupTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalGroupTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val falling = Set("fell", "dropped", "declined", "decreased")(m.group(4).toLowerCase)
+      val cond = if (falling) "MAX(d) < 0" else "MIN(d) > 0"
+      val (y1, y2) = (m.group(5), m.group(6))
+      (for {
+        dimI <- uniqueTable(slice, m.group(3)).toSeq
+        eI <- fks.filter(e => e.toTable == dimI && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eI.fromTable && slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eI.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        measure <- strongColumn(m.group(2), factCols).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol FROM (" +
+          s"SELECT c.$attrCol, s.${eI.fromColumn}, " +
+          s"AVG(CASE WHEN s.$periodCol = $y2 THEN s.$measure END) - " +
+          s"AVG(CASE WHEN s.$periodCol = $y1 THEN s.$measure END) AS d " +
+          s"FROM ${eI.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol, s.${eI.fromColumn}) x " +
+          s"GROUP BY $attrCol HAVING $cond " +
+          s"ORDER BY $attrCol LIMIT $DefaultLimit",
+        0.9, "template_universal_group_trend")).take(1)
+    }
+
+  // "the rank of Algebra among courses by average score" — where a NAMED
+  // entity lands in the group ranking
+  private val namedEntityRankRe =
+    (raw"(?i)\bthe\s+rank\s+of\s+([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)\s+among\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Named-entity rank: "the rank of V among Js by average M" → per-J
+    * averages in one grouped fact pass, RANK over the |J| group rows
+    * (group-sized single-partition window — a corpus-sized ranking
+    * would use RankLimit's top-k shape instead), then the one named
+    * row. V must sit in the mined domain of J's display column — the
+    * no-fabrication bar on value linking. */
+  def namedEntityRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    namedEntityRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(1)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        e <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
+        if values(dimJ).get(nameCol).exists(_.contains(v))
+      } yield Candidate(
+        s"SELECT rnk FROM (SELECT c.$nameCol, " +
+          s"RANK() OVER (ORDER BY AVG(s.$measure) DESC) AS rnk " +
+          s"FROM ${e.fromTable} s JOIN $dimJ c ON c.${e.toColumn} = s.${e.fromColumn} " +
+          s"GROUP BY c.$nameCol) t WHERE $nameCol = ${sqlLit(v)}",
+        0.9, "template_named_entity_rank")).take(1)
+    }
+
+  // "the percent change in average score from 2022 to 2023" — relative
+  // delta between two period aggregates
+  private val percentChangeRe =
+    (raw"(?i)\bthe\s+(?:percent|percentage|pct)\s+change\s+in\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
+
+  /** Percent change: "the percent change in average M from Y1 to Y2" →
+    * both period averages as conditional aggregates in ONE grouped pass
+    * (partial+final, no self-join of two period scans), relative delta
+    * ×100, ROUND(…, 4). */
+  def percentChangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    percentChangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (y1, y2) = (m.group(2), m.group(3))
+      (for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        periodCol <- cols.find(_.toLowerCase.contains("year")).toSeq
+        measure <- strongColumn(m.group(1), cols).toSeq
+      } yield Candidate(
+        s"SELECT ROUND((AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
+          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END)) / " +
+          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) * 100, 4) AS agg_value " +
+          s"FROM $t",
+        0.9, "template_percent_change")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4809,6 +4911,9 @@ object Templates {
       qualifyingCountByAttrCandidates(slice, fks, question) ++
       groupMedianArgmaxCandidates(slice, fks, question, values) ++
       crossCategoryMarginCandidates(slice, fks, question, values) ++
+      universalGroupTrendCandidates(slice, fks, question) ++
+      namedEntityRankCandidates(slice, fks, question, values) ++
+      percentChangeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

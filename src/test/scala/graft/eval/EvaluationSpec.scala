@@ -94,7 +94,8 @@ class EvaluationSpec extends SparkSpec {
         "avg_of_group_shares", "entity_agg_correlation",
         "cross_level_universal", "nth_trend_argmax",
         "qualifying_count_by_attr", "group_median_argmax",
-        "cross_category_margin"))
+        "cross_category_margin", "universal_group_trend",
+        "named_entity_rank", "percent_change"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

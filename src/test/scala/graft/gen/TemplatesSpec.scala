@@ -1375,6 +1375,45 @@ class TemplatesSpec extends AnyFunSuite {
       deptDomains).isEmpty)
   }
 
+  test("universal group trend: every-member-fell collapses to MAX(delta) < 0") {
+    val c = Templates.universalGroupTrendCandidates(slice, fks,
+      "depts where the average score of every course fell from 2022 to 2023").head
+    assert(c.sql.contains("GROUP BY c.dept, s.course_id"), c.sql)
+    assert(c.sql.contains("AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
+      "AVG(CASE WHEN s.year = 2022 THEN s.score END) AS d"), c.sql)
+    assert(c.sql.contains("HAVING MAX(d) < 0"), c.sql)
+    // every-member-rose flips to MIN(delta) > 0
+    val b = Templates.universalGroupTrendCandidates(slice, fks,
+      "depts where the average score of every course rose from 2022 to 2023").head
+    assert(b.sql.contains("HAVING MIN(d) > 0"), b.sql)
+    assert(!c.sql.contains("OVER ("), c.sql) // no window for a for-all
+  }
+
+  test("named-entity rank: group ranking filtered to a domain-checked value") {
+    val courseDomains: String => Map[String, Seq[String]] = {
+      case "courses" => Map("course_name" -> Seq("Algebra", "Biology", "Painting"))
+      case _ => Map.empty
+    }
+    val c = Templates.namedEntityRankCandidates(slice, fks,
+      "the rank of Algebra among courses by average score", courseDomains).head
+    assert(c.sql.contains("RANK() OVER (ORDER BY AVG(s.score) DESC) AS rnk"), c.sql)
+    assert(c.sql.contains("GROUP BY c.course_name"), c.sql)
+    assert(c.sql.contains("WHERE course_name = 'Algebra'"), c.sql)
+    // a value outside the mined domain fires nothing (no fabrication)
+    assert(Templates.namedEntityRankCandidates(slice, fks,
+      "the rank of Wizardry among courses by average score", courseDomains).isEmpty)
+  }
+
+  test("percent change: both period averages in one pass, relative delta") {
+    val c = Templates.percentChangeCandidates(slice, fks,
+      "the percent change in average score from 2022 to 2023").head
+    assert(c.sql.contains("(AVG(CASE WHEN year = 2023 THEN score END) - " +
+      "AVG(CASE WHEN year = 2022 THEN score END)) / " +
+      "AVG(CASE WHEN year = 2022 THEN score END) * 100"), c.sql)
+    assert(c.sql.contains("AS agg_value"), c.sql)
+    assert(c.sql.contains("FROM scores"), c.sql)
+  }
+
   test("average of group shares: macro-average of per-group category ratios") {
     val c = cands("the average share of each course's scores that are A grades")
       .find(_.method == "template_avg_of_group_shares").get
