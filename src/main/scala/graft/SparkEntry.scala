@@ -102,6 +102,10 @@ object Queries {
     // PERCENT_RANK / CUME_DIST share one WindowExec over one shuffle ---
     "d38_ntile" ->
       "SELECT c_custkey, c_nationkey, NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile, ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS cd FROM customer ORDER BY c_custkey LIMIT 200",
+    // navigation window functions per customer partition (total order via
+    // the key tiebreak; LAST_VALUE needs the full-frame extension)
+    "d39_first_last" ->
+      "SELECT o_custkey, o_orderkey, FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price, LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200",
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",
@@ -256,6 +260,16 @@ object Queries {
           s"ROUND(SUM(CASE WHEN event_type = '$t' THEN value END), 2) AS $t")
           .mkString(", ") +
         " FROM events GROUP BY user_id ORDER BY user_id LIMIT 200"),
+    // hopping-window replica: each event lands in exactly the two
+    // 6h-wide, 3h-sliding windows starting at floor3h(ts) and
+    // floor3h(ts)-3h; day-aligned flooring ≡ Spark's epoch-aligned
+    // origin since 24 % 3 = 0
+    "x_sliding_window" ->
+      ("WITH e AS (SELECT event_type, value, date_trunc('day', ts) + " +
+        "INTERVAL 3 HOUR * CAST(floor(date_part('hour', ts) / 3) AS INT) AS w1 FROM events), " +
+        "x AS (SELECT event_type, value, unnest([w1, w1 - INTERVAL 3 HOUR]) AS ws FROM e) " +
+        "SELECT CAST(ws AS STRING) AS window_start, event_type, COUNT(*) AS cnt, " +
+        "ROUND(SUM(value), 2) AS sum_value FROM x GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500"),
     // gap-fill replica: the same hour spine × type grid, zero-filled
     "x_gap_fill" ->
       ("WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx FROM events), " +
@@ -1716,6 +1730,21 @@ object ExtensionQueries {
         .groupBy(col("user_id"))
         .agg(wide.head, wide.tail: _*)
         .orderBy("user_id").limit(200)
+    }),
+    // hopping (sliding) time window — the batch face of the Structured
+    // Streaming windowed aggregation (Streams.scala uses the same
+    // window() expression under a watermark): window() expands each
+    // event to its size/slide = 2 window assignments, then ONE grouped
+    // pass with map-side partials; state at scale is |windows×types|,
+    // bounded by the time range, never by corpus size
+    "x_sliding_window" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.table("events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type").limit(500)
     }),
     // time-series gap-fill (resample): the hour spine derives from ONE
     // min/max aggregate (map-side combinable), sequence+explode builds

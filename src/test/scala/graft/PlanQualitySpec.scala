@@ -325,6 +325,15 @@ class PlanQualitySpec extends SparkSpec {
       "explicit value list must keep pivot to the single groupBy shuffle: " + p.take(2000))
   }
 
+  test("hopping window expands to 2 assignments per row, one grouped pass (x_sliding_window)") {
+    val p = plan("x_sliding_window")
+    // window() lowers to Expand (size/slide = 2 rows per event), then
+    // ONE partial+final aggregate — no join, no per-window scans
+    assert(p.contains("Expand"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("gap-fill joins the bounded grid broadcast — corpus side is one grouped pass (x_gap_fill)") {
     val p = plan("x_gap_fill")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
