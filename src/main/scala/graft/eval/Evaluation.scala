@@ -968,8 +968,8 @@ object Evaluation {
         "AVG(CASE WHEN year = 2022 THEN score END)) / " +
         "AVG(CASE WHEN year = 2022 THEN score END) * 100, 4) AS agg_value " +
         "FROM scores", "percent_change"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10p open cases, closed in round 10q (group concentration
+    //     / joined distinct threshold / period balance) ---
     EvalCase("the share of each dept's scores that come from its busiest course",
       "SELECT dept, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS share " +
         "FROM (SELECT c.dept, s.course_id, COUNT(*) AS cnt " +
@@ -987,5 +987,23 @@ object Evaluation {
         "(SELECT s.year AS yr, c.dept, AVG(s.score) AS a FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY s.year, c.dept) x GROUP BY x.yr) t " +
-        "ORDER BY sd ASC, yr LIMIT 1", "period_balance_argmin"))
+        "ORDER BY sd ASC, yr LIMIT 1", "period_balance_argmin"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the grade letter whose students have the widest age range",
+      "SELECT grade FROM (SELECT s.grade, MAX(st.age) - MIN(st.age) AS r " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.grade) t ORDER BY r DESC, grade LIMIT 1",
+      "category_attr_range_argmax"),
+    EvalCase("courses where the top score was achieved by more than one student",
+      "SELECT s.course_id FROM scores s JOIN (SELECT course_id, " +
+        "MAX(score) AS mx FROM scores GROUP BY course_id) m " +
+        "ON m.course_id = s.course_id AND m.mx = s.score " +
+        "GROUP BY s.course_id HAVING COUNT(*) > 1 " +
+        "ORDER BY s.course_id LIMIT 100", "max_tie_count"),
+    EvalCase("the share of scores that are their student's best",
+      "SELECT ROUND(CAST(SUM(CASE WHEN score = mx THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM (SELECT score, " +
+        "MAX(score) OVER (PARTITION BY student_id) AS mx FROM scores) t",
+      "share_personal_best"))
 }

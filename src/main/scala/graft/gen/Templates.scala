@@ -4806,6 +4806,114 @@ object Templates {
         0.9, "template_percent_change")).take(1)
     }
 
+  // "the share of each dept's scores that come from its busiest course"
+  // — within-group concentration: the largest member's share of the
+  // group total
+  private val groupConcentrationRe =
+    (raw"(?i)\bthe\s+share\s+of\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+that\s+comes?\s+from\s+its\s+" +
+      raw"(?:busiest|most\s+active|largest|top)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Group concentration: "the share of each A's Fs that come from its
+    * busiest E" → per-(A, member) counts in ONE fact pass through the
+    * broadcast dimension, then MAX/SUM over each A's member rows — the
+    * concentration ratio needs no window and no second corpus pass.
+    * The counted noun must name the fact table itself (it counts
+    * rows). */
+  def groupConcentrationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupConcentrationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        dimI <- uniqueTable(slice, m.group(3)).toSeq
+        eI <- fks.filter(e => e.fromTable == fact && e.toTable == dimI)
+        eJ <- fks.filter(e => e.fromTable == fact)
+        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS share " +
+          s"FROM (SELECT c.$attrCol, s.${eI.fromColumn}, COUNT(*) AS cnt " +
+          s"FROM $fact s JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol, s.${eI.fromColumn}) x " +
+          s"GROUP BY $attrCol ORDER BY $attrCol LIMIT $DefaultLimit",
+        0.9, "template_group_concentration")).take(1)
+    }
+
+  // "students who took courses in at least 3 different depts" — a
+  // distinct-count threshold on a JOINED dimension attribute
+  private val joinedDistinctHavingRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"at\s+least\s+(\d+)\s+(?:different|distinct)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Joined distinct-count threshold: "Es who took Js in at least N
+    * different As" → COUNT(DISTINCT dim.attr) per entity through the
+    * broadcast dimension join (one fact-sized shuffle on the entity
+    * fk), HAVING the threshold, names resolved last over |qualifying|
+    * rows. */
+  def joinedDistinctHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedDistinctHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimJ != dimE
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable == dimJ)
+        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT c.$attrCol) >= ${m.group(3)}) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_joined_distinct_having")).take(1)
+    }
+
+  // "the year when dept averages were closest together" — dispersion of
+  // group aggregates per period, ranked
+  private val periodBalanceRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+when\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:averages|avgs)\s+were\s+" +
+      raw"(closest\s+together|most\s+similar|most\s+spread\s+out|furthest\s+apart)\b").r
+
+  /** Period balance argmin/argmax: "the T when A averages were closest
+    * together" → per-(period, A) averages in one fact pass through the
+    * broadcast dimension, STDDEV over each period's |A| group rows,
+    * top-1 — dispersion of aggregates, computed entirely on group-sized
+    * frames after the single corpus shuffle. Measure by schema
+    * elimination. */
+  def periodBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    periodBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase.matches(raw"closest\s+together|most\s+similar"))
+        "ASC" else "DESC"
+      (for {
+        eJ <- fks.filter(e => slice.tables.contains(e.fromTable) &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eJ.fromTable)
+        periodCol <- strongColumn(m.group(1), factCols).toSeq
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT yr FROM (SELECT x.yr, STDDEV_SAMP(a) AS sd FROM (" +
+          s"SELECT s.$periodCol AS yr, c.$attrCol, AVG(s.$measure) AS a " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.$periodCol, c.$attrCol) x GROUP BY x.yr) t " +
+          s"ORDER BY sd $dir, yr LIMIT 1",
+        0.9, "template_period_balance")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -4914,6 +5022,9 @@ object Templates {
       universalGroupTrendCandidates(slice, fks, question) ++
       namedEntityRankCandidates(slice, fks, question, values) ++
       percentChangeCandidates(slice, fks, question) ++
+      groupConcentrationCandidates(slice, fks, question) ++
+      joinedDistinctHavingCandidates(slice, fks, question) ++
+      periodBalanceCandidates(slice, fks, question, values) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

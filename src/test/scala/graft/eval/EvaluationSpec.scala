@@ -95,7 +95,8 @@ class EvaluationSpec extends SparkSpec {
         "cross_level_universal", "nth_trend_argmax",
         "qualifying_count_by_attr", "group_median_argmax",
         "cross_category_margin", "universal_group_trend",
-        "named_entity_rank", "percent_change"))
+        "named_entity_rank", "percent_change", "group_concentration",
+        "joined_distinct_having", "period_balance_argmin"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")

@@ -1414,6 +1414,37 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.sql.contains("FROM scores"), c.sql)
   }
 
+  test("group concentration: largest member's share of the group total, no window") {
+    val c = Templates.groupConcentrationCandidates(slice, fks,
+      "the share of each dept's scores that come from its busiest course").head
+    assert(c.sql.contains("GROUP BY c.dept, s.course_id"), c.sql)
+    assert(c.sql.contains("ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS share"), c.sql)
+    assert(!c.sql.contains("OVER ("), c.sql)
+  }
+
+  test("joined distinct threshold: COUNT(DISTINCT dim.attr) per entity with HAVING") {
+    val c = Templates.joinedDistinctHavingCandidates(slice, fks,
+      "students who took courses in at least 3 different depts").head
+    assert(c.sql.contains("HAVING COUNT(DISTINCT c.dept) >= 3"), c.sql)
+    assert(c.sql.contains("GROUP BY s.student_id"), c.sql)
+    assert(c.sql.contains("JOIN students st"), c.sql)
+  }
+
+  test("period balance: dispersion of group averages per period, ranked") {
+    val c = Templates.periodBalanceCandidates(slice, fks,
+      "the year when dept averages were closest together", scoreDomains).head
+    assert(c.sql.contains("GROUP BY s.year, c.dept"), c.sql)
+    assert(c.sql.contains("STDDEV_SAMP(a) AS sd"), c.sql)
+    assert(c.sql.contains("ORDER BY sd ASC, yr LIMIT 1"), c.sql)
+    // spread-out flips the direction
+    val b = Templates.periodBalanceCandidates(slice, fks,
+      "the year when dept averages were most spread out", scoreDomains).head
+    assert(b.sql.contains("ORDER BY sd DESC"), b.sql)
+    // ambiguous measure (no mined domains) fires nothing
+    assert(Templates.periodBalanceCandidates(slice, fks,
+      "the year when dept averages were closest together").isEmpty)
+  }
+
   test("average of group shares: macro-average of per-group category ratios") {
     val c = cands("the average share of each course's scores that are A grades")
       .find(_.method == "template_avg_of_group_shares").get
