@@ -988,8 +988,8 @@ object Evaluation {
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY s.year, c.dept) x GROUP BY x.yr) t " +
         "ORDER BY sd ASC, yr LIMIT 1", "period_balance_argmin"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10q open cases, closed in round 10r (category attribute
+    //     range argmax / extreme-tie count / personal-best share) ---
     EvalCase("the grade letter whose students have the widest age range",
       "SELECT grade FROM (SELECT s.grade, MAX(st.age) - MIN(st.age) AS r " +
         "FROM scores s JOIN students st ON st.student_id = s.student_id " +
@@ -1005,5 +1005,28 @@ object Evaluation {
       "SELECT ROUND(CAST(SUM(CASE WHEN score = mx THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM (SELECT score, " +
         "MAX(score) OVER (PARTITION BY student_id) AS mx FROM scores) t",
-      "share_personal_best"))
+      "share_personal_best"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the gap between the best and second-best course by average score",
+      "SELECT ROUND(MAX(CASE WHEN r = 1 THEN a END) - " +
+        "MAX(CASE WHEN r = 2 THEN a END), 2) AS agg_value FROM " +
+        "(SELECT a, ROW_NUMBER() OVER (ORDER BY a DESC) AS r FROM " +
+        "(SELECT AVG(score) AS a FROM scores GROUP BY course_id) t) x",
+      "top2_gap"),
+    EvalCase("the share of students whose best course is in math",
+      "SELECT ROUND(CAST(SUM(CASE WHEN dept = 'math' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+        "(SELECT s.student_id, c.dept, ROW_NUMBER() OVER " +
+        "(PARTITION BY s.student_id ORDER BY s.score DESC, s.course_id) AS r " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id) t " +
+        "WHERE r = 1", "best_course_membership_share"),
+    EvalCase("the longest streak of years in which the overall average score improved",
+      "WITH y AS (SELECT year, AVG(score) AS a FROM scores GROUP BY year), " +
+        "d AS (SELECT year, CASE WHEN a > LAG(a) OVER (ORDER BY year) " +
+        "THEN 1 ELSE 0 END AS up FROM y), " +
+        "g AS (SELECT year, up, year - SUM(up) OVER (ORDER BY year) AS grp FROM d) " +
+        "SELECT MAX(cnt) AS agg_value FROM " +
+        "(SELECT grp, SUM(up) AS cnt FROM g GROUP BY grp) t",
+      "longest_improvement_streak"))
 }

@@ -4914,6 +4914,109 @@ object Templates {
         0.9, "template_period_balance")).take(1)
     }
 
+  // "the grade letter whose students have the widest age range" — the
+  // category lives on the FACT table, the measured attribute on the
+  // joined entity dimension (the fact-side sibling of dimRangeArgmax)
+  private val categoryAttrRangeRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+" +
+      raw"(widest|largest|greatest|biggest|narrowest|smallest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+range\b").r
+
+  /** Category attribute-range argmax: "the A whose Es have the widest B
+    * range" where A is a fact-table category and B an attribute of the
+    * joined entity dimension. One fact pass through the broadcast
+    * dimension, grouped MAX−MIN per category, TakeOrderedAndProject
+    * top-1 — group-sized frames after the single corpus shuffle. Fires
+    * only when the category does NOT resolve on the dimension itself
+    * (that form is [[dimRangeArgmaxCandidates]]'s pure-dimension plan). */
+  def categoryAttrRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    categoryAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if abbrevColumn(attrWord, slice.tables(dimE)).isEmpty
+        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        catCol <- abbrevColumn(attrWord, slice.tables(e.fromTable)).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT $catCol FROM (SELECT s.$catCol, " +
+          s"MAX(st.$numCol) - MIN(st.$numCol) AS r FROM ${e.fromTable} s " +
+          s"JOIN $dimE st ON st.${e.toColumn} = s.${e.fromColumn} " +
+          s"GROUP BY s.$catCol) t ORDER BY r $dir, $catCol LIMIT 1",
+        0.9, "template_category_attr_range_argmax")).take(1)
+    }
+
+  // "courses where the top score was achieved by more than one student"
+  // — a tie-at-the-extreme count per group
+  private val maxTieCountRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
+      raw"(top|highest|best|maximum|max|lowest|worst|minimum|min)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+was\s+" +
+      raw"(?:achieved|earned|reached|attained|shared|scored|held)\s+by\s+" +
+      raw"(?:more\s+than\s+one|multiple|several)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Extreme-tie count: "Gs where the top M was achieved by more than
+    * one E" → per-group MAX in one grouped pass (map-side partial agg),
+    * joined back to the fact on the group key — AQE broadcasts the
+    * |groups|-sized aggregate side — then COUNT(DISTINCT entity) at the
+    * extreme, HAVING > 1. Never a corpus self-join: the max frame is
+    * group-cardinality-sized. */
+  def maxTieCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    maxTieCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("lowest", "worst", "minimum", "min")(m.group(2).toLowerCase))
+        "MIN" else "MAX"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimG
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eG.fromTable && e.toTable == dimE)
+        measure <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT s.${eG.fromColumn} FROM ${eG.fromTable} s " +
+          s"JOIN (SELECT ${eG.fromColumn}, $agg($measure) AS mx " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) m " +
+          s"ON m.${eG.fromColumn} = s.${eG.fromColumn} AND m.mx = s.$measure " +
+          s"GROUP BY s.${eG.fromColumn} " +
+          s"HAVING COUNT(DISTINCT s.${eE.fromColumn}) > 1 " +
+          s"ORDER BY s.${eG.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_max_tie_count")).take(1)
+    }
+
+  // "the share of scores that are their student's best" — share of fact
+  // rows sitting at their own entity's extreme
+  private val sharePersonalBestRe =
+    (raw"(?i)\bthe\s+(?:share|proportion|fraction|percentage)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+that\s+are\s+their\s+" +
+      raw"([a-z_][a-z0-9_]*)(?:'s)?\s+(best|worst|highest|lowest)\b").r
+
+  /** Personal-best share: "the share of Fs that are their E's best" →
+    * a per-entity window MAX (hash shuffle on the entity key, never a
+    * global window) and a single scalar ratio — one corpus pass, one
+    * row out. The measure resolves from the fact word itself
+    * ("scores" → column score via the plural-tolerant strong link). */
+  def sharePersonalBestCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    sharePersonalBestRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("worst", "lowest")(m.group(3).toLowerCase)) "MIN" else "MAX"
+      (for {
+        fact <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != fact
+        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN $measure = mx THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT $measure, $agg($measure) OVER " +
+          s"(PARTITION BY ${eE.fromColumn}) AS mx FROM $fact) t",
+        0.9, "template_share_personal_best")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5025,6 +5128,9 @@ object Templates {
       groupConcentrationCandidates(slice, fks, question) ++
       joinedDistinctHavingCandidates(slice, fks, question) ++
       periodBalanceCandidates(slice, fks, question, values) ++
+      categoryAttrRangeArgmaxCandidates(slice, fks, question) ++
+      maxTieCountCandidates(slice, fks, question) ++
+      sharePersonalBestCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

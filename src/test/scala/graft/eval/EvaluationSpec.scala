@@ -96,7 +96,9 @@ class EvaluationSpec extends SparkSpec {
         "qualifying_count_by_attr", "group_median_argmax",
         "cross_category_margin", "universal_group_trend",
         "named_entity_rank", "percent_change", "group_concentration",
-        "joined_distinct_having", "period_balance_argmin"))
+        "joined_distinct_having", "period_balance_argmin",
+        "category_attr_range_argmax", "max_tie_count",
+        "share_personal_best"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
