@@ -1006,8 +1006,8 @@ object Evaluation {
         "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM (SELECT score, " +
         "MAX(score) OVER (PARTITION BY student_id) AS mx FROM scores) t",
       "share_personal_best"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10r open cases, closed in round 10s (top-2 gap /
+    //     best-membership share / longest improvement streak) ---
     EvalCase("the gap between the best and second-best course by average score",
       "SELECT ROUND(MAX(CASE WHEN r = 1 THEN a END) - " +
         "MAX(CASE WHEN r = 2 THEN a END), 2) AS agg_value FROM " +
@@ -1028,5 +1028,36 @@ object Evaluation {
         "g AS (SELECT year, up, year - SUM(up) OVER (ORDER BY year) AS grp FROM d) " +
         "SELECT MAX(cnt) AS agg_value FROM " +
         "(SELECT grp, SUM(up) AS cnt FROM g GROUP BY grp) t",
-      "longest_improvement_streak"))
+      "longest_improvement_streak"),
+    // universal-vs-group turned out to be served by the existing
+    // universal machinery at F1 1.0 — kept as a labeled regression case
+    EvalCase("students who scored above the course average in every course they took",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN (SELECT course_id, AVG(score) AS ca FROM scores " +
+        "GROUP BY course_id) c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id " +
+        "HAVING MIN(CASE WHEN s.score > c.ca THEN 1 ELSE 0 END) = 1) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "universal_vs_group"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average number of students per course in each dept",
+      "SELECT dept, ROUND(AVG(n), 2) AS avg_students FROM " +
+        "(SELECT c.dept, s.course_id, COUNT(DISTINCT s.student_id) AS n " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) t " +
+        "GROUP BY dept ORDER BY dept LIMIT 100", "grouped_avg_count_per"),
+    EvalCase("the median score of each dept's most popular course",
+      "SELECT dept, med FROM (SELECT c.dept, s.course_id, " +
+        "MEDIAN(s.score) AS med, ROW_NUMBER() OVER (PARTITION BY c.dept " +
+        "ORDER BY COUNT(*) DESC, s.course_id) AS r " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) t WHERE r = 1 " +
+        "ORDER BY dept LIMIT 100", "dept_popular_median"),
+    EvalCase("the dept whose students have the widest age range",
+      "SELECT dept FROM (SELECT c.dept, MAX(st.age) - MIN(st.age) AS r " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept) t ORDER BY r DESC, dept LIMIT 1",
+      "joined_dim_range_argmax"))
 }

@@ -5017,6 +5017,127 @@ object Templates {
         0.9, "template_share_personal_best")).take(1)
     }
 
+  // "the gap between the best and second-best course by average score" —
+  // difference between the top two ranked group aggregates
+  private val top2GapRe =
+    (raw"(?i)\bthe\s+(?:gap|difference)\s+between\s+the\s+" +
+      raw"(?:best|top|highest)\s+and\s+(?:the\s+)?second[- ]best\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Top-2 gap: "the gap between the best and second-best G by avg V" →
+    * one grouped aggregate over the fact (the only corpus pass), a
+    * ROW_NUMBER window over the |G|-sized aggregate frame — group
+    * cardinality, never corpus-wide — and a single-row collapse of
+    * rank 1 minus rank 2. */
+  def top2GapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    top2GapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(MAX(CASE WHEN r = 1 THEN a END) - " +
+          s"MAX(CASE WHEN r = 2 THEN a END), 2) AS agg_value FROM " +
+          s"(SELECT a, ROW_NUMBER() OVER (ORDER BY a DESC) AS r FROM " +
+          s"(SELECT $agg($measure) AS a FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn}) t) x",
+        0.9, "template_top2_gap")).take(1)
+    }
+
+  // "the share of students whose best course is in math" — per-entity
+  // argmax row, membership test on the joined dimension attribute
+  private val bestMembershipShareRe =
+    (raw"(?i)\bthe\s+(?:share|proportion|fraction|percentage)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+whose\s+(best|worst)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+in\s+([A-Za-z][\w+-]*)\b").r
+
+  /** Best-membership share: "the share of Es whose best J is in M" →
+    * ROW_NUMBER partitioned by the entity key over the fact (hash
+    * shuffle on the entity, never a global window), rank-1 winners join
+    * the broadcast J dimension, one scalar ratio out. The measure is
+    * inferred by schema elimination (the fact's single free numeric
+    * column, the [[trendArgmaxEntityCandidates]] rule) and M must be a
+    * MINED DOMAIN VALUE of a J attribute — the no-fabrication bar. */
+  def bestMembershipShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    bestMembershipShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "worst") "ASC" else "DESC"
+      val value = m.group(4)
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        attrCol <- values(dimJ).collectFirst {
+          case (c, dom) if dom.contains(value) => c
+        }.toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN c.$attrCol = ${sqlLit(value)} " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
+          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $measure $dir, ${eJ.fromColumn}) AS r " +
+          s"FROM ${eE.fromTable}) t " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.${eJ.fromColumn} " +
+          s"WHERE t.r = 1",
+        0.9, "template_best_membership_share")).take(1)
+    }
+
+  // "the longest streak of years in which the overall average score
+  // improved" — gaps-and-islands over the period aggregate
+  private val longestStreakRe =
+    (raw"(?i)\bthe\s+longest\s+streak\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+which\s+the\s+overall\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+" +
+      raw"(improved|increased|grew|rose|declined|decreased|dropped|fell)\b").r
+
+  /** Longest streak: "the longest streak of Ps in which the overall avg
+    * V improved" → one grouped pass collapses the corpus to |P| period
+    * rows; LAG marks improving periods, the classic
+    * row_number−running_sum island key groups consecutive runs, MAX of
+    * the island sizes is the answer. All window work happens on the
+    * period-cardinality frame, never the corpus. */
+  def longestStreakCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    longestStreakRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
+      val cmp = if (Set("improved", "increased", "grew", "rose")(m.group(4).toLowerCase))
+        ">" else "<"
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        if measure != periodCol
+      } yield Candidate(
+        s"WITH y AS (SELECT $periodCol AS p, $agg($measure) AS a " +
+          s"FROM $fact GROUP BY $periodCol), " +
+          s"d AS (SELECT p, CASE WHEN a $cmp LAG(a) OVER (ORDER BY p) " +
+          s"THEN 1 ELSE 0 END AS up FROM y), " +
+          s"g AS (SELECT p, up, ROW_NUMBER() OVER (ORDER BY p) - " +
+          s"SUM(up) OVER (ORDER BY p) AS grp FROM d) " +
+          s"SELECT MAX(cnt) AS agg_value FROM " +
+          s"(SELECT grp, SUM(up) AS cnt FROM g GROUP BY grp) t",
+        0.9, "template_longest_streak")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5131,6 +5252,9 @@ object Templates {
       categoryAttrRangeArgmaxCandidates(slice, fks, question) ++
       maxTieCountCandidates(slice, fks, question) ++
       sharePersonalBestCandidates(slice, fks, question) ++
+      top2GapCandidates(slice, fks, question) ++
+      bestMembershipShareCandidates(slice, fks, question, values) ++
+      longestStreakCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -98,7 +98,8 @@ class EvaluationSpec extends SparkSpec {
         "named_entity_rank", "percent_change", "group_concentration",
         "joined_distinct_having", "period_balance_argmin",
         "category_attr_range_argmax", "max_tie_count",
-        "share_personal_best"))
+        "share_personal_best", "top2_gap", "best_course_membership_share",
+        "longest_improvement_streak", "universal_vs_group"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
