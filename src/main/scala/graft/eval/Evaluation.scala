@@ -1039,8 +1039,8 @@ object Evaluation {
         "HAVING MIN(CASE WHEN s.score > c.ca THEN 1 ELSE 0 END) = 1) m " +
         "JOIN students st ON st.student_id = m.student_id " +
         "ORDER BY st.student_name LIMIT 100", "universal_vs_group"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10s open cases, closed in round 10t (grouped avg-count,
+    //     group popular-member aggregate, joined-dim range argmax) ---
     EvalCase("the average number of students per course in each dept",
       "SELECT dept, ROUND(AVG(n), 2) AS avg_students FROM " +
         "(SELECT c.dept, s.course_id, COUNT(DISTINCT s.student_id) AS n " +
@@ -1059,5 +1059,35 @@ object Evaluation {
         "FROM scores s JOIN students st ON st.student_id = s.student_id " +
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept) t ORDER BY r DESC, dept LIMIT 1",
-      "joined_dim_range_argmax"))
+      "joined_dim_range_argmax"),
+    // cohort-attr argmin/aggregate turned out to be served by existing
+    // machinery at F1 1.0 — kept as labeled regression cases
+    EvalCase("the youngest student among those who averaged above 90",
+      "SELECT st.student_name FROM students st JOIN " +
+        "(SELECT student_id FROM scores GROUP BY student_id " +
+        "HAVING AVG(score) > 90) m ON m.student_id = st.student_id " +
+        "ORDER BY st.age ASC, st.student_name LIMIT 1", "cohort_attr_argmin"),
+    EvalCase("the average age of students who never scored below 70",
+      "SELECT ROUND(AVG(st.age), 2) AS agg_value FROM students st JOIN " +
+        "(SELECT student_id FROM scores GROUP BY student_id " +
+        "HAVING MIN(score) >= 70) m ON m.student_id = st.student_id",
+      "cohort_attr_aggregate"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the percentage of courses whose enrollment grew from 2022 to 2023",
+      "SELECT ROUND(CAST(SUM(CASE WHEN c23 > c22 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+        "(SELECT course_id, COUNT(CASE WHEN year = 2022 THEN 1 END) AS c22, " +
+        "COUNT(CASE WHEN year = 2023 THEN 1 END) AS c23 " +
+        "FROM scores GROUP BY course_id) t", "count_trend_share"),
+    EvalCase("the course with the most evenly distributed scores across grade levels",
+      "SELECT course_id FROM (SELECT x.course_id, STDDEV_SAMP(cnt) AS sd " +
+        "FROM (SELECT s.course_id, st.grade_level, COUNT(*) AS cnt " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.course_id, st.grade_level) x GROUP BY x.course_id) t " +
+        "ORDER BY sd ASC, course_id LIMIT 1", "distribution_balance_argmin"),
+    EvalCase("the largest score gap within a single course",
+      "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, " +
+        "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
+        "GROUP BY course_id) t", "max_group_range"))
 }

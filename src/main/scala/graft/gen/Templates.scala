@@ -970,9 +970,12 @@ object Templates {
 
   // "average number of courses per student" — the mean over entities of
   // each entity's DISTINCT count of a second entity, both FK-bridged
+  // the trailing lookahead leaves "per E in each A" questions to the
+  // grouped sibling [[groupedAvgCountPerCandidates]]
   private val avgCountPerRe =
     (raw"(?i)\b(?:average|avg|mean)\s+(?:number|count)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b").r
+      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b" +
+      raw"(?!\s+(?:in|for|by)\s+each\b)").r
 
   /** Average count per entity: "average number of Js per E" → inner
     * grouped `COUNT(DISTINCT fk-to-J)` per fk-to-E over the bridging
@@ -5138,6 +5141,100 @@ object Templates {
         0.9, "template_longest_streak")).take(1)
     }
 
+  // "the average number of students per course in each dept" — the
+  // grouped sibling of avgCountPer: averaged within a super-group
+  private val groupedAvgCountPerRe =
+    (raw"(?i)\b(?:the\s+)?(?:average|avg|mean)\s+(?:number|count)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:in|for|by)\s+each\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Grouped avg-count-per: "the avg number of E1s per E2 in each A" →
+    * COUNT(DISTINCT e1) per e2 key in one fact pass, the |E2|-sized
+    * count frame joins the broadcast E2 dimension, AVG per attribute.
+    * Both post-shuffle frames are group-cardinality-sized. */
+  def groupedAvgCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupedAvgCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT c.$attrCol, ROUND(AVG(n), 2) AS avg_cnt FROM " +
+          s"(SELECT ${eJ.fromColumn} AS jk, " +
+          s"COUNT(DISTINCT ${eE.fromColumn}) AS n FROM ${eE.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) t " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.jk " +
+          s"GROUP BY c.$attrCol ORDER BY c.$attrCol LIMIT $DefaultLimit",
+        0.9, "template_grouped_avg_count_per")).take(1)
+    }
+
+  // "the median score of each dept's most popular course" — per
+  // super-group argmax by popularity, then an aggregate of the winner
+  private val groupPopularAggRe =
+    (raw"(?i)\bthe\s+(median|average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
+      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+most\s+popular\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Group popular-member aggregate: "the median V of each A's most
+    * popular J" → one grouped pass computes COUNT(*) and the aggregate
+    * per (A, J) simultaneously, ROW_NUMBER partitioned by A over the
+    * group-sized frame picks each super-group's most popular member,
+    * its pre-computed aggregate rides along — no second corpus pass. */
+  def groupPopularAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupPopularAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(1).toLowerCase == "median") "MEDIAN" else "AVG"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+        measure <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT grp, med FROM (SELECT c.$attrCol AS grp, " +
+          s"s.${eJ.fromColumn}, $agg(s.$measure) AS med, " +
+          s"ROW_NUMBER() OVER (PARTITION BY c.$attrCol " +
+          s"ORDER BY COUNT(*) DESC, s.${eJ.fromColumn}) AS r " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) t WHERE r = 1 " +
+          s"ORDER BY grp LIMIT $DefaultLimit",
+        0.9, "template_group_popular_agg")).take(1)
+    }
+
+  /** Joined-dimension range argmax: "the A whose Es have the widest B
+    * range" where A lives on a SECOND dimension of the same fact (the
+    * two-hop sibling of [[categoryAttrRangeArgmaxCandidates]]). The fact
+    * joins both broadcast dimensions once, grouped MAX−MIN per category,
+    * top-1. Fires only when the category resolves on neither the entity
+    * dimension nor the fact. */
+  def joinedDimRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    categoryAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if abbrevColumn(attrWord, slice.tables(dimE)).isEmpty
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        if abbrevColumn(attrWord, slice.tables(eE.fromTable)).isEmpty
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable &&
+          e.toTable != dimE && slice.tables.contains(e.toTable))
+        catCol <- abbrevColumn(attrWord, slice.tables(eJ.toTable)).toSeq
+        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT $catCol FROM (SELECT c.$catCol, " +
+          s"MAX(st.$numCol) - MIN(st.$numCol) AS r FROM ${eE.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$catCol) t ORDER BY r $dir, $catCol LIMIT 1",
+        0.9, "template_joined_dim_range_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5255,6 +5352,9 @@ object Templates {
       top2GapCandidates(slice, fks, question) ++
       bestMembershipShareCandidates(slice, fks, question, values) ++
       longestStreakCandidates(slice, fks, question) ++
+      groupedAvgCountPerCandidates(slice, fks, question) ++
+      groupPopularAggCandidates(slice, fks, question) ++
+      joinedDimRangeArgmaxCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

@@ -99,7 +99,10 @@ class EvaluationSpec extends SparkSpec {
         "joined_distinct_having", "period_balance_argmin",
         "category_attr_range_argmax", "max_tie_count",
         "share_personal_best", "top2_gap", "best_course_membership_share",
-        "longest_improvement_streak", "universal_vs_group"))
+        "longest_improvement_streak", "universal_vs_group",
+        "grouped_avg_count_per", "dept_popular_median",
+        "joined_dim_range_argmax", "cohort_attr_argmin",
+        "cohort_attr_aggregate"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
