@@ -1072,8 +1072,8 @@ object Evaluation {
         "(SELECT student_id FROM scores GROUP BY student_id " +
         "HAVING MIN(score) >= 70) m ON m.student_id = st.student_id",
       "cohort_attr_aggregate"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10t open cases, closed in round 10u (count-trend share,
+    //     distribution balance, max within-group range) ---
     EvalCase("the percentage of courses whose enrollment grew from 2022 to 2023",
       "SELECT ROUND(CAST(SUM(CASE WHEN c23 > c22 THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
@@ -1089,5 +1089,23 @@ object Evaluation {
     EvalCase("the largest score gap within a single course",
       "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, " +
         "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
-        "GROUP BY course_id) t", "max_group_range"))
+        "GROUP BY course_id) t", "max_group_range"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the share of students who took the most popular course",
+      "SELECT ROUND(CAST(COUNT(DISTINCT CASE WHEN course_id = " +
+        "(SELECT course_id FROM scores GROUP BY course_id " +
+        "ORDER BY COUNT(*) DESC, course_id LIMIT 1) THEN student_id END) " +
+        "AS DOUBLE) / COUNT(DISTINCT student_id), 4) AS agg_value " +
+        "FROM scores", "popular_membership_share"),
+    EvalCase("courses with an above-average share of A grades",
+      "SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING AVG(CASE WHEN grade = 'A' THEN 1.0 ELSE 0 END) > " +
+        "(SELECT AVG(CASE WHEN grade = 'A' THEN 1.0 ELSE 0 END) FROM scores) " +
+        "ORDER BY course_id LIMIT 100", "category_share_vs_global"),
+    EvalCase("the average score in each student's final year",
+      "SELECT ROUND(AVG(score), 4) AS agg_value FROM " +
+        "(SELECT student_id, score, year, MAX(year) OVER " +
+        "(PARTITION BY student_id) AS my FROM scores) t WHERE year = my",
+      "last_period_avg"))
 }

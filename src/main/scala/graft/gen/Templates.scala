@@ -5235,6 +5235,108 @@ object Templates {
         0.9, "template_joined_dim_range_argmax")).take(1)
     }
 
+  // "the percentage of courses whose enrollment grew from 2022 to 2023"
+  // — the COUNT sibling of trendShare (enrollment is row count, not a
+  // measure column)
+  private val countTrendShareRe =
+    (raw"(?i)\bthe\s+(?:percentage|percent|share|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"(?:enrollment|enrolment|attendance|count|popularity)\s+" +
+      raw"(grew|increased|rose|improved|fell|declined|dropped|decreased)\s+" +
+      raw"from\s+(\d+)\s+to\s+(\d+)\b").r
+
+  /** Count-trend share: "the share of Gs whose enrollment grew from Y1
+    * to Y2" → both period counts as conditional COUNTs in ONE grouped
+    * pass over the fact, then a single-row collapse of the |G| group
+    * rows — the [[trendShareCandidates]] trick with COUNT instead of a
+    * measure aggregate. */
+  def countTrendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    countTrendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cmp = if (Set("grew", "increased", "rose", "improved")(m.group(2).toLowerCase))
+        ">" else "<"
+      val (y1, y2) = (m.group(3), m.group(4))
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        periodCol <- slice.tables(eG.fromTable)
+          .find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN c2 $cmp c1 THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT ${eG.fromColumn}, " +
+          s"COUNT(CASE WHEN $periodCol = $y1 THEN 1 END) AS c1, " +
+          s"COUNT(CASE WHEN $periodCol = $y2 THEN 1 END) AS c2 " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
+        0.9, "template_count_trend_share")).take(1)
+    }
+
+  // "the course with the most evenly distributed scores across grade
+  // levels" — dispersion of a group's count distribution over a joined
+  // dimension attribute
+  private val distributionBalanceRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(most|least)\s+(?:evenly|equally|uniformly)\s+distributed\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+across\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Distribution balance argmin/argmax: "the G with the most evenly
+    * distributed Fs across As" → (G, A) counts in one fact pass through
+    * the broadcast dimension carrying A, STDDEV of each G's count
+    * vector over the group-sized frame, top-1. "most evenly" = smallest
+    * dispersion. The counted noun must name the fact itself. */
+  def distributionBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    distributionBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "most") "ASC" else "DESC"
+      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        fact <- uniqueTable(slice, m.group(3)).toSeq
+        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
+        eA <- fks.filter(e => e.fromTable == fact && e.toTable != dimG &&
+          slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(attrWord, slice.tables(eA.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn} FROM (SELECT x.${eG.fromColumn}, " +
+          s"STDDEV_SAMP(cnt) AS sd FROM " +
+          s"(SELECT s.${eG.fromColumn}, st.$attrCol, COUNT(*) AS cnt " +
+          s"FROM $fact s JOIN ${eA.toTable} st " +
+          s"ON st.${eA.toColumn} = s.${eA.fromColumn} " +
+          s"GROUP BY s.${eG.fromColumn}, st.$attrCol) x " +
+          s"GROUP BY x.${eG.fromColumn}) t " +
+          s"ORDER BY sd $dir, ${eG.fromColumn} LIMIT 1",
+        0.9, "template_distribution_balance")).take(1)
+    }
+
+  // "the largest score gap within a single course" — the extreme of
+  // WITHIN-group ranges (rangeOfGroupAggs is the range ACROSS group
+  // aggregates; this is MAX over per-group MAX−MIN)
+  private val maxGroupRangeRe =
+    (raw"(?i)\bthe\s+(largest|biggest|widest|greatest|smallest|narrowest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:gap|range|spread)\s+within\s+" +
+      raw"(?:a\s+single|any|one)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Max group range: "the largest V gap within a single G" → per-group
+    * MAX and MIN in one grouped pass (map-side partial agg), extreme of
+    * the differences over the |G|-sized frame — one corpus pass, one
+    * row out. */
+  def maxGroupRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    maxGroupRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val outer = if (Set("smallest", "narrowest")(m.group(1).toLowerCase))
+        "MIN" else "MAX"
+      (for {
+        dimG <- uniqueTable(slice, m.group(3)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $outer(mx - mn) AS agg_value FROM " +
+          s"(SELECT ${eG.fromColumn}, MAX($measure) AS mx, MIN($measure) AS mn " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
+        0.9, "template_max_group_range")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5355,6 +5457,9 @@ object Templates {
       groupedAvgCountPerCandidates(slice, fks, question) ++
       groupPopularAggCandidates(slice, fks, question) ++
       joinedDimRangeArgmaxCandidates(slice, fks, question) ++
+      countTrendShareCandidates(slice, fks, question) ++
+      distributionBalanceCandidates(slice, fks, question) ++
+      maxGroupRangeCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

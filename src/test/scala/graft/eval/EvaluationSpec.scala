@@ -102,7 +102,8 @@ class EvaluationSpec extends SparkSpec {
         "longest_improvement_streak", "universal_vs_group",
         "grouped_avg_count_per", "dept_popular_median",
         "joined_dim_range_argmax", "cohort_attr_argmin",
-        "cohort_attr_aggregate"))
+        "cohort_attr_aggregate", "count_trend_share",
+        "distribution_balance_argmin", "max_group_range"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
