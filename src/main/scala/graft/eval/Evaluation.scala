@@ -1090,8 +1090,8 @@ object Evaluation {
       "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, " +
         "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
         "GROUP BY course_id) t", "max_group_range"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10u open cases, closed in round 10v (popular-membership
+    //     share, category share vs global, last-period aggregate) ---
     EvalCase("the share of students who took the most popular course",
       "SELECT ROUND(CAST(COUNT(DISTINCT CASE WHEN course_id = " +
         "(SELECT course_id FROM scores GROUP BY course_id " +
@@ -1107,5 +1107,41 @@ object Evaluation {
       "SELECT ROUND(AVG(score), 4) AS agg_value FROM " +
         "(SELECT student_id, score, year, MAX(year) OVER " +
         "(PARTITION BY student_id) AS my FROM scores) t WHERE year = my",
-      "last_period_avg"))
+      "last_period_avg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the most improved course in each dept between 2022 and 2023",
+      "SELECT dept, course_id FROM (SELECT dept, course_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY dept ORDER BY d DESC, course_id) AS r " +
+        "FROM (SELECT c.dept, s.course_id, " +
+        "AVG(CASE WHEN s.year = 2023 THEN s.score END) - " +
+        "AVG(CASE WHEN s.year = 2022 THEN s.score END) AS d " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) x WHERE d IS NOT NULL) t " +
+        "WHERE r = 1 ORDER BY dept LIMIT 100", "group_trend_argmax"),
+    EvalCase("students who took every math course",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id WHERE c.dept = 'math' " +
+        "GROUP BY s.student_id HAVING COUNT(DISTINCT s.course_id) = " +
+        "(SELECT COUNT(*) FROM courses WHERE dept = 'math')) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "filtered_division"),
+    // period-agg-range argmin turned out to be served by existing
+    // machinery at F1 1.0 — kept as a labeled regression case
+    EvalCase("the year in which the gap between the best and worst student averages was smallest",
+      "SELECT year FROM (SELECT x.year, MAX(a) - MIN(a) AS r FROM " +
+        "(SELECT year, student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY year, student_id) x GROUP BY x.year) t " +
+        "ORDER BY r ASC, year LIMIT 1", "period_agg_range_argmin"),
+    EvalCase("the number of courses taken by both Ada Adams and Ben Brown",
+      "SELECT COUNT(*) AS agg_value FROM (" +
+        "SELECT s.course_id FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id WHERE st.student_name = 'Ada Adams' " +
+        "INTERSECT " +
+        "SELECT s.course_id FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id WHERE st.student_name = 'Ben Brown') t",
+      "named_pair_overlap_count"),
+    EvalCase("the difference between the median and average score",
+      "SELECT ROUND(MEDIAN(score) - AVG(score), 4) AS agg_value FROM scores",
+      "median_mean_gap"))
 }

@@ -5337,6 +5337,102 @@ object Templates {
         0.9, "template_max_group_range")).take(1)
     }
 
+  // "the share of students who took the most popular course" —
+  // popularity argmax feeding a membership share
+  private val popularMembershipShareRe =
+    (raw"(?i)\bthe\s+(?:share|percentage|fraction|proportion)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+the\s+most\s+popular\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Popular-membership share: "the share of Es who took the most
+    * popular J" → the argmax J is a one-row scalar subquery (its own
+    * grouped pass, broadcast back), then one conditional
+    * COUNT(DISTINCT entity) over the fact — two corpus passes, both
+    * map-side-combined, no join explosion. */
+  def popularMembershipShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    popularMembershipShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(COUNT(DISTINCT CASE WHEN ${eJ.fromColumn} = " +
+          s"(SELECT ${eJ.fromColumn} FROM ${eE.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn} ORDER BY COUNT(*) DESC, " +
+          s"${eJ.fromColumn} LIMIT 1) THEN ${eE.fromColumn} END) " +
+          s"AS DOUBLE) / COUNT(DISTINCT ${eE.fromColumn}), 4) AS agg_value " +
+          s"FROM ${eE.fromTable}",
+        0.9, "template_popular_membership_share")).take(1)
+    }
+
+  // "courses with an above-average share of A grades" — a group's
+  // category share against the global share
+  private val categoryShareVsGlobalRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+with\s+an?\s+" +
+      raw"(above|below)[- ]average\s+(?:share|proportion|fraction)\s+of\s+" +
+      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Category share vs global: "Gs with an above-average share of M As"
+    * → the group's conditional-share HAVING against a one-row scalar
+    * subquery (broadcast), both from grouped passes over the fact. M
+    * must be a MINED DOMAIN VALUE of the category column — the
+    * no-fabrication bar. */
+  def categoryShareVsGlobalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    categoryShareVsGlobalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).toLowerCase == "above") ">" else "<"
+      val value = m.group(3)
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        catCol <- strongColumn(m.group(4), slice.tables(eG.fromTable)).toSeq
+        if values(eG.fromTable).get(catCol).exists(_.contains(value))
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn} FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn} " +
+          s"HAVING AVG(CASE WHEN $catCol = ${sqlLit(value)} THEN 1.0 " +
+          s"ELSE 0 END) $op (SELECT AVG(CASE WHEN $catCol = " +
+          s"${sqlLit(value)} THEN 1.0 ELSE 0 END) FROM ${eG.fromTable}) " +
+          s"ORDER BY ${eG.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_category_share_vs_global")).take(1)
+    }
+
+  // "the average score in each student's final year" — an aggregate
+  // restricted to each entity's extreme period
+  private val lastPeriodAggRe =
+    (raw"(?i)\bthe\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+(final|last|first)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Last-period aggregate: "the avg V in each E's final P" → a window
+    * MAX of the period partitioned by the entity key (hash shuffle on
+    * the entity, never global), rows at their own entity's extreme
+    * period survive, one scalar aggregate out. */
+  def lastPeriodAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    lastPeriodAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("total", "sum")(m.group(1).toLowerCase)) "SUM" else "AVG"
+      val ext = if (m.group(4).toLowerCase == "first") "MIN" else "MAX"
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eE.fromTable)
+        measure <- strongColumn(m.group(2), factCols).toSeq
+        periodCol <- strongColumn(m.group(5), factCols).toSeq
+        if periodCol != measure
+      } yield Candidate(
+        s"SELECT ROUND($agg($measure), 4) AS agg_value FROM " +
+          s"(SELECT $measure, $periodCol, $ext($periodCol) OVER " +
+          s"(PARTITION BY ${eE.fromColumn}) AS mp FROM ${eE.fromTable}) t " +
+          s"WHERE $periodCol = mp",
+        0.9, "template_last_period_agg")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5460,6 +5556,9 @@ object Templates {
       countTrendShareCandidates(slice, fks, question) ++
       distributionBalanceCandidates(slice, fks, question) ++
       maxGroupRangeCandidates(slice, fks, question) ++
+      popularMembershipShareCandidates(slice, fks, question) ++
+      categoryShareVsGlobalCandidates(slice, fks, question, values) ++
+      lastPeriodAggCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

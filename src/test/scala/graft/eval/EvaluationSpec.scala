@@ -103,7 +103,10 @@ class EvaluationSpec extends SparkSpec {
         "grouped_avg_count_per", "dept_popular_median",
         "joined_dim_range_argmax", "cohort_attr_argmin",
         "cohort_attr_aggregate", "count_trend_share",
-        "distribution_balance_argmin", "max_group_range"))
+        "distribution_balance_argmin", "max_group_range",
+        "popular_membership_share", "category_share_vs_global",
+        "last_period_avg", "period_agg_range_argmin",
+        "named_pair_overlap_count"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
