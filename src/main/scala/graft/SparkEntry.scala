@@ -209,7 +209,42 @@ object Queries {
     ("orders", "o_orderkey", "lineitem", "l_orderkey"),
     ("nation", "n_nationkey", "region", "r_regionkey"))
 
+  /** Shared CTE for the CDC oracles — the DuckDB replica of
+    * `ExtensionQueries.ordersChangelog`. */
+  private val cdcChangelogCte =
+    "SELECT o_orderkey % 997 AS k, CAST(o_orderkey AS BIGINT) AS ver, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+      "CAST(o_totalprice AS DOUBLE) AS val FROM orders"
+
   val extensionOracles: Map[String, String] = Map(
+    // CDC materialization replicas: last-writer-wins per key via the
+    // window rank (versions are unique per key by construction, so the
+    // rank-1 row is the same winner Spark's max(struct) picks)
+    "x_cdc_apply" ->
+      (s"WITH c AS ($cdcChangelogCte) " +
+        "SELECT k, ver, op, val FROM (SELECT k, ver, op, val, " +
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS r FROM c) t " +
+        "WHERE r = 1 AND op <> 'D' ORDER BY k"),
+    "x_cdc_asof" ->
+      (s"WITH c AS ($cdcChangelogCte) " +
+        "SELECT k, ver, op, val FROM (SELECT k, ver, op, val, " +
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS r FROM c " +
+        "WHERE ver <= 3000) t " +
+        "WHERE r = 1 AND op <> 'D' ORDER BY k"),
+    "x_cdc_diff" ->
+      (s"WITH c AS ($cdcChangelogCte), " +
+        "b AS (SELECT k, val FROM (SELECT k, op, val, ROW_NUMBER() OVER " +
+        "(PARTITION BY k ORDER BY ver DESC) AS r FROM c WHERE ver <= 3000) t " +
+        "WHERE r = 1 AND op <> 'D'), " +
+        "a AS (SELECT k, val FROM (SELECT k, op, val, ROW_NUMBER() OVER " +
+        "(PARTITION BY k ORDER BY ver DESC) AS r FROM c) t " +
+        "WHERE r = 1 AND op <> 'D') " +
+        "SELECT k, net_op, val FROM (SELECT COALESCE(a.k, b.k) AS k, " +
+        "CASE WHEN b.k IS NULL THEN 'I' WHEN a.k IS NULL THEN 'D' " +
+        "WHEN a.val IS DISTINCT FROM b.val THEN 'U' END AS net_op, " +
+        "COALESCE(a.val, b.val) AS val " +
+        "FROM b FULL OUTER JOIN a ON a.k = b.k) x " +
+        "WHERE net_op IS NOT NULL ORDER BY k"),
     // W2: k-bounded global rank. The Spark side is RankLimit.globalRankTopK
     // (TakeOrderedAndProject + positional rank — NO single-partition
     // WindowExec; see plans/RankLimit.scala); the ordering is total
@@ -967,7 +1002,34 @@ object ExtensionQueries {
     * overloads, whose GC-managed localCheckpoint sharing cannot leak). */
   private def harnessManaged(built: (DataFrame, () => Unit)): DataFrame = built._1
 
+  /** Deterministic changelog derived from orders for the CDC queries:
+    * key = o_orderkey mod 997 (forces ~15 versions per key at sf0.01),
+    * version = o_orderkey (unique — the determinism contract), op = D
+    * for every 11th record, payload = the total price as double. Both
+    * the Spark side and the DuckDB oracle derive the SAME changelog
+    * from the same table, so the materialization semantics are what is
+    * compared. */
+  private def ordersChangelog(s: SparkSession, dir: String): DataFrame = {
+    Sources.register(s, dir)
+    s.table("orders").select(
+      pmod(col("o_orderkey").cast("long"), lit(997L)).as("k"),
+      col("o_orderkey").cast("long").as("ver"),
+      when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+      col("o_totalprice").cast("double").as("val"))
+  }
+
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC / changelog materialization (operators/Cdc.scala) ---
+    "x_cdc_apply" -> ((s, dir) =>
+      graft.operators.Cdc.applyChangelog(
+        ordersChangelog(s, dir), Seq("k"), "ver", "op").orderBy("k")),
+    "x_cdc_asof" -> ((s, dir) =>
+      graft.operators.Cdc.snapshotAsOf(
+        ordersChangelog(s, dir), Seq("k"), "ver", "op", lit(3000L)).orderBy("k")),
+    "x_cdc_diff" -> ((s, dir) =>
+      graft.operators.Cdc.netChanges(
+        ordersChangelog(s, dir), Seq("k"), "ver", "op",
+        lit(3000L), lit(Long.MaxValue)).orderBy("k")),
     // --- W2 bounded global rank (no global WindowExec — RankLimit) ---
     "d14_window_rank" -> ((s, dir) => {
       Sources.register(s, dir)

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Changelog (CDC) materialization: turn an append-only stream of keyed
+ * upsert/delete records into table state — the ingestion shape of every
+ * large-scale curation pipeline that receives corrections (re-crawls,
+ * takedown requests, label fixes) after the first load. North-star
+ * extension beyond the reference (which only ever reads current table
+ * state, `app/services/query_service.py`-era snapshot queries); the
+ * semantics re-expressed here are the public Debezium changelog /
+ * lakehouse MERGE model (Armbrust et al., "Delta Lake: High-Performance
+ * ACID Table Storage over Cloud Object Stores", VLDB 2020, §4.1).
+ *
+ * Scale design: everything is ONE hash shuffle on the key. The
+ * last-writer-wins reduction is `max(struct(version, op, payload…))` —
+ * a declarative aggregate with a map-side partial, so a key touched by
+ * a million change records still ships one row per partition to the
+ * reducer (a window `ROW_NUMBER` would sort every change record of the
+ * key on one task instead). Net-diff joins two key-sized states, never
+ * the changelog against itself.
+ *
+ * Determinism contract: the winner per key is the lexicographic max of
+ * `(version, op, payload…)`, so ties on `version` break by op then
+ * payload bytes — stable across runs and engines. Producers SHOULD emit
+ * unique versions per key (Debezium LSNs / Kafka offsets do); the
+ * tie-break only exists so replays can never flap.
+ */
+object Cdc {
+
+  /**
+   * Materialize current state: the highest-version record per key wins;
+   * keys whose winner is a delete vanish. Output columns = input columns
+   * (the winning record), so a changelog of N columns materializes to
+   * the same N-column table.
+   */
+  def applyChangelog(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val payload = changes.columns.filterNot(keyCols.contains)
+    // version first, then op, then payload: last-writer-wins with a
+    // total deterministic tie-break
+    val ordered = (versionCol +: opCol +: payload.filterNot(c =>
+      c == versionCol || c == opCol)).map(col)
+    val winner = changes.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered: _*)).as("w"))
+    val restored = payload.foldLeft(winner) { (df, c) =>
+      df.withColumn(c, col(s"w.$c"))
+    }.drop("w")
+    restored.where(col(opCol) =!= lit(deleteOp))
+      .select(changes.columns.map(col): _*)
+  }
+
+  /** Table state as of `asOfVersion` (inclusive): identical reduction
+    * over the changelog prefix — time travel without stored snapshots.
+    * The version filter is a pushdown-friendly narrow predicate. */
+  def snapshotAsOf(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String, asOfVersion: Column, deleteOp: String = "D"): DataFrame =
+    applyChangelog(changes.where(col(versionCol) <= asOfVersion),
+      keyCols, versionCol, opCol, deleteOp)
+
+  /**
+   * Net effect between two versions, for incremental downstream
+   * refresh: full-outer join of the two as-of states on the key,
+   * classified `I` (new key), `U` (payload changed), `D` (key gone);
+   * unchanged keys drop out. Emits the key columns, a `net_op` column,
+   * and the NEW payload for I/U rows (the OLD payload for D rows, so a
+   * consumer can key its retraction). Both join sides are key-sized
+   * states, not changelogs, and join on the same key the reduction
+   * shuffled on — AQE plans a co-partitioned join with no extra
+   * exchange.
+   */
+  def netChanges(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String, fromVersion: Column, toVersion: Column,
+      deleteOp: String = "D"): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => keyCols.contains(c) || c == versionCol || c == opCol)
+    // explicit presence markers: a NULL payload value must not read as
+    // "key absent on this side"
+    val before = snapshotAsOf(changes, keyCols, versionCol, opCol, fromVersion, deleteOp)
+      .select((keyCols.map(col) ++ payload.map(c => col(c).as(s"b_$c")) :+
+        lit(true).as("b_present")): _*)
+    val after = snapshotAsOf(changes, keyCols, versionCol, opCol, toVersion, deleteOp)
+      .select((keyCols.map(col) ++ payload.map(c => col(c).as(s"a_$c")) :+
+        lit(true).as("a_present")): _*)
+    val joined = before.join(after, keyCols, "full_outer")
+    val inBefore = coalesce(col("b_present"), lit(false))
+    val inAfter = coalesce(col("a_present"), lit(false))
+    val changed = payload.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val netOp = when(inAfter && !inBefore, lit("I"))
+      .when(!inAfter && inBefore, lit("D"))
+      .when(changed, lit("U"))
+    val outPayload = payload.map(c =>
+      when(inAfter, col(s"a_$c")).otherwise(col(s"b_$c")).as(c))
+    joined.withColumn("net_op", netOp)
+      .where(col("net_op").isNotNull)
+      .select((keyCols.map(col) :+ col("net_op")) ++ outPayload: _*)
+  }
+}

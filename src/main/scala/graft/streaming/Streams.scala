@@ -425,6 +425,22 @@ object Streams {
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
         .as("cms"))
 
+  /**
+   * Streaming changelog materialization — the streaming half of
+   * [[graft.operators.Cdc.applyChangelog]], which is built ONLY from
+   * streaming-compatible operations (groupBy + max(struct) + stateless
+   * projection/filter), so the batch operator runs on a streaming frame
+   * unchanged: per-key state is ONE struct (bounded by key cardinality,
+   * not stream volume — a delete must out-version earlier upserts, so
+   * tombstones stay in state by design), and the materialized table in
+   * complete/update output mode equals the batch reduction over the
+   * same records (pinned in CdcSpec). This is the streaming MERGE shape
+   * of a CDC-fed lakehouse table.
+   */
+  def applyChangelogStream(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String, deleteOp: String = "D"): DataFrame =
+    graft.operators.Cdc.applyChangelog(changes, keyCols, versionCol, opCol, deleteOp)
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

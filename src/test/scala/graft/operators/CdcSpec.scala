@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, version, op, value)
+  private def changes(rows: (Long, Long, String, String)*) =
+    rows.toDF("k", "ver", "op", "val")
+
+  test("applyChangelog: last writer wins, deletes hide keys, reinsert after delete") {
+    val log = changes(
+      (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"), (1L, 2L, "U", "a2"), // out-of-order arrivals
+      (2L, 1L, "U", "b1"), (2L, 2L, "D", ""),                        // deleted
+      (3L, 1L, "U", "c1"), (3L, 2L, "D", ""), (3L, 5L, "U", "c5"))   // reinserted
+    val state = Cdc.applyChangelog(log, Seq("k"), "ver", "op")
+      .select("k", "ver", "val").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(state.toSeq == Seq((1L, 3L, "a3"), (3L, 5L, "c5")))
+  }
+
+  test("snapshotAsOf reconstructs historical state at any version cutoff") {
+    val log = changes(
+      (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"),
+      (2L, 2L, "U", "b2"), (2L, 3L, "D", ""))
+    def at(v: Long) = Cdc.snapshotAsOf(log, Seq("k"), "ver", "op", lit(v))
+      .select("k", "val").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(at(1) == Seq((1L, "a1")))
+    assert(at(2) == Seq((1L, "a1"), (2L, "b2")))
+    assert(at(3) == Seq((1L, "a1")))          // key 2 deleted at v3
+    assert(at(4) == Seq((1L, "a4")))
+  }
+
+  test("netChanges classifies insert/update/delete and drops unchanged keys") {
+    val log = changes(
+      (1L, 1L, "U", "same"),                  // unchanged across the window
+      (2L, 1L, "U", "old"), (2L, 5L, "U", "new"),   // updated
+      (3L, 5L, "U", "born"),                  // inserted after v2
+      (4L, 1L, "U", "gone"), (4L, 5L, "D", ""))     // deleted after v2
+    val net = Cdc.netChanges(log, Seq("k"), "ver", "op", lit(2L), lit(9L))
+      .select("k", "net_op", "val").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(net == Seq((2L, "U", "new"), (3L, "I", "born"), (4L, "D", "gone")))
+  }
+
+  test("null payload values do not read as key-absent in netChanges") {
+    val log = Seq(
+      (1L, 1L, "U", Option.empty[String]),    // present with NULL payload before and after
+      (2L, 3L, "U", Option("x")))             // inserted
+    .toDF("k", "ver", "op", "val")
+    val net = Cdc.netChanges(log, Seq("k"), "ver", "op", lit(2L), lit(9L))
+      .select("k", "net_op").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(net == Seq((2L, "I"))) // key 1 unchanged (NULL = NULL), not D/I
+  }
+
+  test("version ties break deterministically (op, then payload) and never flap") {
+    val log = changes((1L, 7L, "U", "alpha"), (1L, 7L, "U", "zeta"))
+    val r1 = Cdc.applyChangelog(log, Seq("k"), "ver", "op").select("val").as[String].head()
+    val r2 = Cdc.applyChangelog(log.orderBy(desc("val")), Seq("k"), "ver", "op")
+      .select("val").as[String].head()
+    assert(r1 == "zeta" && r2 == "zeta") // lexicographic max of the payload
+  }
+
+  test("streaming materialization equals the batch reduction over the same records") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"),
+      (2L, 1L, "U", "b1"), (2L, 2L, "D", ""),
+      (3L, 4L, "U", "c4"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, String)]
+    input.addData(rows: _*)
+    val q = graft.streaming.Streams.applyChangelogStream(
+        input.toDF().toDF("k", "ver", "op", "val"), Seq("k"), "ver", "op")
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cdc_stream")
+      .select("k", "ver", "val").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = Cdc.applyChangelog(changes(rows: _*), Seq("k"), "ver", "op")
+      .select("k", "ver", "val").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, 3L, "a3"), (3L, 4L, "c4")))
+  }
+
+  test("plan: materialization is one partial+final aggregate, no window sort of the changelog") {
+    val log = changes((1L, 1L, "U", "a"))
+    val plan = Cdc.applyChangelog(log, Seq("k"), "ver", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+  }
+}
