@@ -1108,8 +1108,8 @@ object Evaluation {
         "(SELECT student_id, score, year, MAX(year) OVER " +
         "(PARTITION BY student_id) AS my FROM scores) t WHERE year = my",
       "last_period_avg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10v open cases, closed in round 10w (group trend argmax,
+    //     filtered division, aggregate difference) ---
     EvalCase("the most improved course in each dept between 2022 and 2023",
       "SELECT dept, course_id FROM (SELECT dept, course_id, " +
         "ROW_NUMBER() OVER (PARTITION BY dept ORDER BY d DESC, course_id) AS r " +
@@ -1143,5 +1143,26 @@ object Evaluation {
       "named_pair_overlap_count"),
     EvalCase("the difference between the median and average score",
       "SELECT ROUND(MEDIAN(score) - AVG(score), 4) AS agg_value FROM scores",
-      "median_mean_gap"))
+      "median_mean_gap"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students whose average score is above their grade level's average",
+      "SELECT st.student_name FROM (SELECT s.student_id, AVG(s.score) AS a " +
+        "FROM scores s GROUP BY s.student_id) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "JOIN (SELECT st2.grade_level, AVG(s2.score) AS ga FROM scores s2 " +
+        "JOIN students st2 ON st2.student_id = s2.student_id " +
+        "GROUP BY st2.grade_level) g ON g.grade_level = st.grade_level " +
+        "WHERE m.a > g.ga ORDER BY st.student_name LIMIT 100",
+      "cohort_relative_avg"),
+    EvalCase("the number of distinct scores shared by all depts",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.score FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY s.score " +
+        "HAVING COUNT(DISTINCT c.dept) = " +
+        "(SELECT COUNT(DISTINCT dept) FROM courses)) t",
+      "value_universal_count"),
+    EvalCase("the average score of the three hardest courses",
+      "SELECT ROUND(AVG(a), 4) AS agg_value FROM (SELECT AVG(score) AS a " +
+        "FROM scores GROUP BY course_id ORDER BY a ASC LIMIT 3) t",
+      "bottomk_agg_avg"))
 }

@@ -5433,6 +5433,122 @@ object Templates {
         0.9, "template_last_period_agg")).take(1)
     }
 
+  // "the most improved course in each dept between 2022 and 2023" —
+  // the per-super-group selection of a two-period trend argmax
+  private val groupTrendArgmaxRe =
+    (raw"(?i)\bthe\s+most\s+(improved|declined)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+each\s+([a-z_][a-z0-9_]*)\s+between\s+(\d+)\s+and\s+(\d+)\b").r
+
+  /** Group trend argmax: "the most improved J in each A between Y1 and
+    * Y2" → both period aggregates as conditional CASE aggregates per
+    * (A, J) in ONE grouped pass, entities missing either period drop
+    * (no trend to state), ROW_NUMBER partitioned by A over the
+    * group-sized frame picks each super-group's winner. */
+  def groupTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    groupTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(1).toLowerCase == "improved") "DESC" else "ASC"
+      val (y1, y2) = (m.group(4), m.group(5))
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
+        factCols = slice.tables(eJ.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT grp, jk FROM (SELECT grp, jk, ROW_NUMBER() OVER " +
+          s"(PARTITION BY grp ORDER BY d $dir, jk) AS r FROM " +
+          s"(SELECT c.$attrCol AS grp, s.${eJ.fromColumn} AS jk, " +
+          s"AVG(CASE WHEN s.$periodCol = $y2 THEN s.$measure END) - " +
+          s"AVG(CASE WHEN s.$periodCol = $y1 THEN s.$measure END) AS d " +
+          s"FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) x WHERE d IS NOT NULL) t " +
+          s"WHERE r = 1 ORDER BY grp LIMIT $DefaultLimit",
+        0.9, "template_group_trend_argmax")).take(1)
+    }
+
+  // "students who took every math course" — division against the
+  // attribute-FILTERED subset of a dimension
+  private val filteredDivisionRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+([a-z]+)\s+every\s+" +
+      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Filtered division: "Es who V every M J" → relational division
+    * where the divisor is the M-valued SUBSET of the J dimension: one
+    * grouped COUNT(DISTINCT j) over the value-filtered fact (the
+    * broadcast dimension filter prunes before the shuffle), the divisor
+    * a one-row scalar subquery over the dimension alone. M must be a
+    * MINED DOMAIN VALUE of a J attribute — the no-fabrication bar
+    * ([[divisionCandidates]] serves the unfiltered "every J" form). */
+  def filteredDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    filteredDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val value = m.group(3)
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        attrCol <- values(dimJ).collectFirst {
+          case (c, dom) if dom.contains(value) => c
+        }.toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
+          s"${eE.fromTable} s JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"WHERE c.$attrCol = ${sqlLit(value)} " +
+          s"GROUP BY s.${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT s.${eJ.fromColumn}) = " +
+          s"(SELECT COUNT(*) FROM $dimJ WHERE $attrCol = ${sqlLit(value)})) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_filtered_division")).take(1)
+    }
+
+  // "the difference between the median and average score" — a scalar
+  // combination of two different aggregates of the same measure
+  private val aggDiffRe =
+    (raw"(?i)\bthe\s+difference\s+between\s+the\s+" +
+      raw"(median|average|avg|mean|max|maximum|min|minimum)\s+and\s+(?:the\s+)?" +
+      raw"(median|average|avg|mean|max|maximum|min|minimum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Aggregate difference: "the difference between the A1 and A2 V" →
+    * both aggregates in ONE grouped pass over whichever sliced table
+    * strongly carries the measure — a single corpus scan, single-row
+    * output. */
+  def aggDiffCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    aggDiffRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def aggOf(w: String) = w.toLowerCase match {
+        case "median" => "MEDIAN"
+        case "max" | "maximum" => "MAX"
+        case "min" | "minimum" => "MIN"
+        case _ => "AVG"
+      }
+      val (a1, a2) = (aggOf(m.group(1)), aggOf(m.group(2)))
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND($a1($measure) - $a2($measure), 4) AS agg_value FROM $fact",
+        0.9, "template_agg_diff")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5559,6 +5675,9 @@ object Templates {
       popularMembershipShareCandidates(slice, fks, question) ++
       categoryShareVsGlobalCandidates(slice, fks, question, values) ++
       lastPeriodAggCandidates(slice, fks, question) ++
+      groupTrendArgmaxCandidates(slice, fks, question, values) ++
+      filteredDivisionCandidates(slice, fks, question, values) ++
+      aggDiffCandidates(slice, fks, question) ++
       antiJoinCandidates(slice, fks, question) ++
       mostCandidates(slice, fks, question) ++
       intentCandidates(slice, analysis, question, fks) ++

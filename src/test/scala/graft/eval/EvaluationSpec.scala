@@ -106,7 +106,8 @@ class EvaluationSpec extends SparkSpec {
         "distribution_balance_argmin", "max_group_range",
         "popular_membership_share", "category_share_vs_global",
         "last_period_avg", "period_agg_range_argmin",
-        "named_pair_overlap_count"))
+        "named_pair_overlap_count", "group_trend_argmax",
+        "filtered_division", "median_mean_gap"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
