@@ -1144,8 +1144,8 @@ object Evaluation {
     EvalCase("the difference between the median and average score",
       "SELECT ROUND(MEDIAN(score) - AVG(score), 4) AS agg_value FROM scores",
       "median_mean_gap"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10w open cases, closed in round 10x (cohort-relative
+    //     average, value-universal count, bottom-k aggregate average) ---
     EvalCase("students whose average score is above their grade level's average",
       "SELECT st.student_name FROM (SELECT s.student_id, AVG(s.score) AS a " +
         "FROM scores s GROUP BY s.student_id) m " +
@@ -1164,5 +1164,19 @@ object Evaluation {
     EvalCase("the average score of the three hardest courses",
       "SELECT ROUND(AVG(a), 4) AS agg_value FROM (SELECT AVG(score) AS a " +
         "FROM scores GROUP BY course_id ORDER BY a ASC LIMIT 3) t",
-      "bottomk_agg_avg"))
+      "bottomk_agg_avg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the dept where the average age of students taking its courses is lowest",
+      "SELECT dept FROM (SELECT c.dept, AVG(st.age) AS a FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t " +
+        "ORDER BY a ASC, dept LIMIT 1", "two_dim_attr_agg_argmin"),
+    EvalCase("the number of students whose scores span at least three grade letters",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM scores " +
+        "GROUP BY student_id HAVING COUNT(DISTINCT grade) >= 3) t",
+      "count_threshold_entities"),
+    EvalCase("the median of each year's average score",
+      "SELECT MEDIAN(a) AS agg_value FROM (SELECT AVG(score) AS a " +
+        "FROM scores GROUP BY year) t", "median_of_group_aggs"))
 }

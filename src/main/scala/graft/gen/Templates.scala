@@ -5549,138 +5549,239 @@ object Templates {
         0.9, "template_agg_diff")).take(1)
     }
 
+  // "students whose average score is above their grade level's average"
+  // — entity aggregate vs the entity's own cohort aggregate
+  private val cohortRelativeAvgRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|below)\s+their\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)(?:'s)?\s+average\b").r
+
+  /** Cohort-relative average: "Es whose avg V is above their A's
+    * average" — the cohort A is an attribute of the ENTITY dimension,
+    * so both sides come from grouped passes over the fact (per-entity
+    * and per-cohort), each joining the broadcast dimension; the final
+    * comparison joins two group-sized frames. */
+  def cohortRelativeAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortRelativeAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(3).toLowerCase == "above") ">" else "<"
+      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"JOIN (SELECT st2.$attrCol, AVG(s2.$measure) AS ga " +
+          s"FROM ${eE.fromTable} s2 " +
+          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
+          s"GROUP BY st2.$attrCol) g ON g.$attrCol = st.$attrCol " +
+          s"WHERE m.a $op g.ga ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_cohort_relative_avg")).take(1)
+    }
+
+  // "the number of distinct scores shared by all depts" — values of a
+  // measure present in every group (division over VALUES)
+  private val valueUniversalCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+distinct\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"shared\s+by\s+(?:all|every)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Value-universal count: "the number of distinct Vs shared by all
+    * As" → group the fact by the VALUE, COUNT(DISTINCT joined attr) per
+    * value against the one-row attribute cardinality subquery — value
+    * division in one fact pass plus a dimension-only scalar. */
+  def valueUniversalCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    valueUniversalCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.$measure FROM $fact s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.$measure " +
+          s"HAVING COUNT(DISTINCT c.$attrCol) = " +
+          s"(SELECT COUNT(DISTINCT $attrCol) FROM ${eJ.toTable})) t",
+        0.9, "template_value_universal_count")).take(1)
+    }
+
+  // "the average score of the three hardest courses" — an aggregate
+  // over the bottom/top-k group aggregates
+  private val bottomkAggAvgRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+" +
+      raw"(two|three|four|five|\d+)\s+" +
+      raw"(hardest|easiest|best|worst|top|bottom|strongest|weakest)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Bottom/top-k aggregate average: "the avg V of the N hardest Gs" →
+    * per-group averages in one grouped pass, TakeOrderedAndProject
+    * top-N of the group frame, scalar AVG of N rows. */
+  def bottomkAggAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    bottomkAggAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(2).toLowerCase match {
+        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
+        case d => d.toInt
+      }
+      val dir = if (Set("hardest", "worst", "bottom", "weakest")(m.group(3).toLowerCase))
+        "ASC" else "DESC"
+      (for {
+        dimG <- uniqueTable(slice, m.group(4)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(1), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(a), 4) AS agg_value FROM " +
+          s"(SELECT AVG($measure) AS a FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn} ORDER BY a $dir LIMIT $n) t",
+        0.9, "template_bottomk_agg_avg")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
       values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    (bridgeCandidates(slice, fks, question) ++
-      nestedHavingCandidates(slice, fks, question) ++
-      aggOfAggCandidates(slice, fks, question) ++
-      groupwiseArgmaxCandidates(slice, fks, question) ++
-      havingScalarCandidates(slice, fks, question) ++
-      ratioAggCandidates(slice, question) ++
-      correlatedFilterCandidates(slice, question) ++
-      percentileAggCandidates(slice, fks, question) ++
-      bottomNCandidates(slice, fks, question) ++
-      avgCountPerCandidates(slice, fks, question) ++
-      filteredHavingCandidates(slice, fks, question) ++
-      havingExtremeCandidates(slice, fks, question) ++
-      deviationHavingCandidates(slice, fks, question) ++
-      rangeArgmaxCandidates(slice, fks, question) ++
-      groupedArgmax2Candidates(slice, fks, question) ++
-      divisionCandidates(slice, fks, question, values) ++
-      nthAggCandidates(slice, fks, question) ++
-      conditionalShareCandidates(slice, fks, question) ++
-      trendCompareCandidates(slice, fks, question) ++
-      groupShareCandidates(slice, fks, question) ++
-      coOccurrenceCandidates(slice, fks, question) ++
-      universalFilterCandidates(slice, fks, question) ++
-      pairCoOccurrenceCandidates(slice, fks, question) ++
-      selfRelativeCandidates(slice, fks, question, values) ++
-      attrDivisionCandidates(slice, fks, question) ++
-      variabilityCandidates(slice, fks, question) ++
-      groupSelfShareCandidates(slice, fks, question) ++
-      relativeDivisionCandidates(slice, fks, question) ++
-      groupTopkMembersCandidates(slice, fks, question) ++
-      deviationArgmaxCandidates(slice, fks, question) ++
-      monotonicTrendCandidates(slice, fks, question) ++
-      universalSelfRelativeCandidates(slice, fks, question) ++
-      sameDimArgmaxCandidates(slice, fks, question) ++
-      rangeHavingCandidates(slice, fks, question) ++
-      trendArgmaxCandidates(slice, fks, question) ++
-      divisionByExampleCandidates(slice, fks, question) ++
-      filteredPopularityCandidates(slice, fks, question) ++
-      argmaxAttrFilterCandidates(slice, fks, question) ++
-      pairArgminAggCandidates(slice, fks, question) ++
-      aggVsMedianCandidates(slice, fks, question) ++
-      setEqualityCandidates(slice, fks, question) ++
-      entityArgmaxAttrCandidates(slice, fks, question, values) ++
-      trendShareCandidates(slice, fks, question) ++
-      reverseAttrDivisionCandidates(slice, fks, question) ++
-      joinedPairArgmaxCandidates(slice, fks, question) ++
-      countVsAvgCountCandidates(slice, fks, question) ++
-      joinedCondShareCandidates(slice, fks, question) ++
-      joinedRatioArgmaxCandidates(slice, fks, question) ++
-      universalComparisonCandidates(slice, fks, question, values) ++
-      filteredScalarAggCandidates(slice, fks, question, values) ++
-      joinedDistinctArgmaxCandidates(slice, fks, question) ++
-      percentileRankCandidates(slice, fks, question) ++
-      nestedGroupDeviationCandidates(slice, fks, question) ++
-      countVsExampleCandidates(slice, fks, question) ++
-      dimRangeArgmaxCandidates(slice, fks, question) ++
-      universalOtherRelativeCandidates(slice, fks, question) ++
-      avgOfRangeCandidates(slice, fks, question) ++
-      universalGroupAggCandidates(slice, fks, question) ++
-      trendArgmaxEntityCandidates(slice, fks, question, values) ++
-      medianCountPerCandidates(slice, fks, question) ++
-      universalRankCandidates(slice, fks, question, values) ++
-      minimaxArgmaxCandidates(slice, fks, question) ++
-      correlationCandidates(slice, fks, question) ++
-      stddevVsAvgCandidates(slice, fks, question) ++
-      groupSelfBeatShareCandidates(slice, fks, question) ++
-      joinedDistinctTopnCandidates(slice, fks, question) ++
-      filteredPeriodArgmaxCandidates(slice, fks, question, values) ++
-      topkShareCandidates(slice, fks, question) ++
-      argminAttributionCandidates(slice, fks, question, values) ++
-      countIncreasingCandidates(slice, fks, question) ++
-      comparativeCohortCandidates(slice, fks, question) ++
-      trendArgmaxAttrCandidates(slice, fks, question) ++
-      extremeCountPerCandidates(slice, fks, question) ++
-      shareEntityExtremeCandidates(slice, fks, question) ++
-      rankedGroupShareCandidates(slice, fks, question) ++
-      rangeOfGroupAggsCandidates(slice, fks, question) ++
-      selfRelativeDimCandidates(slice, fks, question) ++
-      superlativeAdjArgmaxCandidates(slice, fks, question) ++
-      conjunctiveTrendCandidates(slice, fks, question, values) ++
-      medianEntityArgmaxCandidates(slice, fks, question) ++
-      adjacentPeriodPairCandidates(slice, fks, question) ++
-      exclusiveAttrCandidates(slice, fks, question, values) ++
-      shareGroupsLackingCandidates(slice, fks, question) ++
-      attrCoverageCandidates(slice, fks, question) ++
-      recentKAverageCandidates(slice, fks, question) ++
-      categoryMajorityCandidates(slice, fks, question) ++
-      crossGroupStabilityCandidates(slice, fks, question) ++
-      runningPeriodTotalCandidates(slice, fks, question) ++
-      strictImprovementCandidates(slice, fks, question, values) ++
-      attrPairArgminCandidates(slice, fks, question) ++
-      universalGroupSelfCountCandidates(slice, fks, question, values) ++
-      bandedShareCandidates(slice, fks, question) ++
-      groupInnerRangeArgmaxCandidates(slice, fks, question, values) ++
-      floorOverPeriodsCandidates(slice, fks, question, values) ++
-      avgOfGroupSharesCandidates(slice, fks, question) ++
-      entityAggCorrCandidates(slice, fks, question) ++
-      crossLevelUniversalCandidates(slice, fks, question) ++
-      nthTrendArgmaxCandidates(slice, fks, question, values) ++
-      qualifyingCountByAttrCandidates(slice, fks, question) ++
-      groupMedianArgmaxCandidates(slice, fks, question, values) ++
-      crossCategoryMarginCandidates(slice, fks, question, values) ++
-      universalGroupTrendCandidates(slice, fks, question) ++
-      namedEntityRankCandidates(slice, fks, question, values) ++
-      percentChangeCandidates(slice, fks, question) ++
-      groupConcentrationCandidates(slice, fks, question) ++
-      joinedDistinctHavingCandidates(slice, fks, question) ++
-      periodBalanceCandidates(slice, fks, question, values) ++
-      categoryAttrRangeArgmaxCandidates(slice, fks, question) ++
-      maxTieCountCandidates(slice, fks, question) ++
-      sharePersonalBestCandidates(slice, fks, question) ++
-      top2GapCandidates(slice, fks, question) ++
-      bestMembershipShareCandidates(slice, fks, question, values) ++
-      longestStreakCandidates(slice, fks, question) ++
-      groupedAvgCountPerCandidates(slice, fks, question) ++
-      groupPopularAggCandidates(slice, fks, question) ++
-      joinedDimRangeArgmaxCandidates(slice, fks, question) ++
-      countTrendShareCandidates(slice, fks, question) ++
-      distributionBalanceCandidates(slice, fks, question) ++
-      maxGroupRangeCandidates(slice, fks, question) ++
-      popularMembershipShareCandidates(slice, fks, question) ++
-      categoryShareVsGlobalCandidates(slice, fks, question, values) ++
-      lastPeriodAggCandidates(slice, fks, question) ++
-      groupTrendArgmaxCandidates(slice, fks, question, values) ++
-      filteredDivisionCandidates(slice, fks, question, values) ++
-      aggDiffCandidates(slice, fks, question) ++
-      antiJoinCandidates(slice, fks, question) ++
-      mostCandidates(slice, fks, question) ++
-      intentCandidates(slice, analysis, question, fks) ++
-      joinCandidates(slice, fks, question) ++ tableCandidates(slice))
+    // flat Seq literal, NOT a ++ chain: >100 chained concatenations
+    // nest deeply enough to overflow the compiler stack
+    Seq(
+      bridgeCandidates(slice, fks, question),
+      nestedHavingCandidates(slice, fks, question),
+      aggOfAggCandidates(slice, fks, question),
+      groupwiseArgmaxCandidates(slice, fks, question),
+      havingScalarCandidates(slice, fks, question),
+      ratioAggCandidates(slice, question),
+      correlatedFilterCandidates(slice, question),
+      percentileAggCandidates(slice, fks, question),
+      bottomNCandidates(slice, fks, question),
+      avgCountPerCandidates(slice, fks, question),
+      filteredHavingCandidates(slice, fks, question),
+      havingExtremeCandidates(slice, fks, question),
+      deviationHavingCandidates(slice, fks, question),
+      rangeArgmaxCandidates(slice, fks, question),
+      groupedArgmax2Candidates(slice, fks, question),
+      divisionCandidates(slice, fks, question, values),
+      nthAggCandidates(slice, fks, question),
+      conditionalShareCandidates(slice, fks, question),
+      trendCompareCandidates(slice, fks, question),
+      groupShareCandidates(slice, fks, question),
+      coOccurrenceCandidates(slice, fks, question),
+      universalFilterCandidates(slice, fks, question),
+      pairCoOccurrenceCandidates(slice, fks, question),
+      selfRelativeCandidates(slice, fks, question, values),
+      attrDivisionCandidates(slice, fks, question),
+      variabilityCandidates(slice, fks, question),
+      groupSelfShareCandidates(slice, fks, question),
+      relativeDivisionCandidates(slice, fks, question),
+      groupTopkMembersCandidates(slice, fks, question),
+      deviationArgmaxCandidates(slice, fks, question),
+      monotonicTrendCandidates(slice, fks, question),
+      universalSelfRelativeCandidates(slice, fks, question),
+      sameDimArgmaxCandidates(slice, fks, question),
+      rangeHavingCandidates(slice, fks, question),
+      trendArgmaxCandidates(slice, fks, question),
+      divisionByExampleCandidates(slice, fks, question),
+      filteredPopularityCandidates(slice, fks, question),
+      argmaxAttrFilterCandidates(slice, fks, question),
+      pairArgminAggCandidates(slice, fks, question),
+      aggVsMedianCandidates(slice, fks, question),
+      setEqualityCandidates(slice, fks, question),
+      entityArgmaxAttrCandidates(slice, fks, question, values),
+      trendShareCandidates(slice, fks, question),
+      reverseAttrDivisionCandidates(slice, fks, question),
+      joinedPairArgmaxCandidates(slice, fks, question),
+      countVsAvgCountCandidates(slice, fks, question),
+      joinedCondShareCandidates(slice, fks, question),
+      joinedRatioArgmaxCandidates(slice, fks, question),
+      universalComparisonCandidates(slice, fks, question, values),
+      filteredScalarAggCandidates(slice, fks, question, values),
+      joinedDistinctArgmaxCandidates(slice, fks, question),
+      percentileRankCandidates(slice, fks, question),
+      nestedGroupDeviationCandidates(slice, fks, question),
+      countVsExampleCandidates(slice, fks, question),
+      dimRangeArgmaxCandidates(slice, fks, question),
+      universalOtherRelativeCandidates(slice, fks, question),
+      avgOfRangeCandidates(slice, fks, question),
+      universalGroupAggCandidates(slice, fks, question),
+      trendArgmaxEntityCandidates(slice, fks, question, values),
+      medianCountPerCandidates(slice, fks, question),
+      universalRankCandidates(slice, fks, question, values),
+      minimaxArgmaxCandidates(slice, fks, question),
+      correlationCandidates(slice, fks, question),
+      stddevVsAvgCandidates(slice, fks, question),
+      groupSelfBeatShareCandidates(slice, fks, question),
+      joinedDistinctTopnCandidates(slice, fks, question),
+      filteredPeriodArgmaxCandidates(slice, fks, question, values),
+      topkShareCandidates(slice, fks, question),
+      argminAttributionCandidates(slice, fks, question, values),
+      countIncreasingCandidates(slice, fks, question),
+      comparativeCohortCandidates(slice, fks, question),
+      trendArgmaxAttrCandidates(slice, fks, question),
+      extremeCountPerCandidates(slice, fks, question),
+      shareEntityExtremeCandidates(slice, fks, question),
+      rankedGroupShareCandidates(slice, fks, question),
+      rangeOfGroupAggsCandidates(slice, fks, question),
+      selfRelativeDimCandidates(slice, fks, question),
+      superlativeAdjArgmaxCandidates(slice, fks, question),
+      conjunctiveTrendCandidates(slice, fks, question, values),
+      medianEntityArgmaxCandidates(slice, fks, question),
+      adjacentPeriodPairCandidates(slice, fks, question),
+      exclusiveAttrCandidates(slice, fks, question, values),
+      shareGroupsLackingCandidates(slice, fks, question),
+      attrCoverageCandidates(slice, fks, question),
+      recentKAverageCandidates(slice, fks, question),
+      categoryMajorityCandidates(slice, fks, question),
+      crossGroupStabilityCandidates(slice, fks, question),
+      runningPeriodTotalCandidates(slice, fks, question),
+      strictImprovementCandidates(slice, fks, question, values),
+      attrPairArgminCandidates(slice, fks, question),
+      universalGroupSelfCountCandidates(slice, fks, question, values),
+      bandedShareCandidates(slice, fks, question),
+      groupInnerRangeArgmaxCandidates(slice, fks, question, values),
+      floorOverPeriodsCandidates(slice, fks, question, values),
+      avgOfGroupSharesCandidates(slice, fks, question),
+      entityAggCorrCandidates(slice, fks, question),
+      crossLevelUniversalCandidates(slice, fks, question),
+      nthTrendArgmaxCandidates(slice, fks, question, values),
+      qualifyingCountByAttrCandidates(slice, fks, question),
+      groupMedianArgmaxCandidates(slice, fks, question, values),
+      crossCategoryMarginCandidates(slice, fks, question, values),
+      universalGroupTrendCandidates(slice, fks, question),
+      namedEntityRankCandidates(slice, fks, question, values),
+      percentChangeCandidates(slice, fks, question),
+      groupConcentrationCandidates(slice, fks, question),
+      joinedDistinctHavingCandidates(slice, fks, question),
+      periodBalanceCandidates(slice, fks, question, values),
+      categoryAttrRangeArgmaxCandidates(slice, fks, question),
+      maxTieCountCandidates(slice, fks, question),
+      sharePersonalBestCandidates(slice, fks, question),
+      top2GapCandidates(slice, fks, question),
+      bestMembershipShareCandidates(slice, fks, question, values),
+      longestStreakCandidates(slice, fks, question),
+      groupedAvgCountPerCandidates(slice, fks, question),
+      groupPopularAggCandidates(slice, fks, question),
+      joinedDimRangeArgmaxCandidates(slice, fks, question),
+      countTrendShareCandidates(slice, fks, question),
+      distributionBalanceCandidates(slice, fks, question),
+      maxGroupRangeCandidates(slice, fks, question),
+      popularMembershipShareCandidates(slice, fks, question),
+      categoryShareVsGlobalCandidates(slice, fks, question, values),
+      lastPeriodAggCandidates(slice, fks, question),
+      groupTrendArgmaxCandidates(slice, fks, question, values),
+      filteredDivisionCandidates(slice, fks, question, values),
+      aggDiffCandidates(slice, fks, question),
+      cohortRelativeAvgCandidates(slice, fks, question),
+      valueUniversalCountCandidates(slice, fks, question),
+      bottomkAggAvgCandidates(slice, fks, question),
+      antiJoinCandidates(slice, fks, question),
+      mostCandidates(slice, fks, question),
+      intentCandidates(slice, analysis, question, fks),
+      joinCandidates(slice, fks, question),
+      tableCandidates(slice)
+    ).flatten
       .sortBy(-_.confidence)
 }

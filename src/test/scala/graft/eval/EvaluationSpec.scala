@@ -107,7 +107,8 @@ class EvaluationSpec extends SparkSpec {
         "popular_membership_share", "category_share_vs_global",
         "last_period_avg", "period_agg_range_argmin",
         "named_pair_overlap_count", "group_trend_argmax",
-        "filtered_division", "median_mean_gap"))
+        "filtered_division", "median_mean_gap", "cohort_relative_avg",
+        "value_universal_count", "bottomk_agg_avg"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
