@@ -1165,8 +1165,9 @@ object Evaluation {
       "SELECT ROUND(AVG(a), 4) AS agg_value FROM (SELECT AVG(score) AS a " +
         "FROM scores GROUP BY course_id ORDER BY a ASC LIMIT 3) t",
       "bottomk_agg_avg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10x open cases, closed in round 10y (two-dim attribute
+    //     aggregate argmin, count-threshold entities, median of group
+    //     aggregates) ---
     EvalCase("the dept where the average age of students taking its courses is lowest",
       "SELECT dept FROM (SELECT c.dept, AVG(st.age) AS a FROM scores s " +
         "JOIN students st ON st.student_id = s.student_id " +
@@ -1178,5 +1179,32 @@ object Evaluation {
       "count_threshold_entities"),
     EvalCase("the median of each year's average score",
       "SELECT MEDIAN(a) AS agg_value FROM (SELECT AVG(score) AS a " +
-        "FROM scores GROUP BY year) t", "median_of_group_aggs"))
+        "FROM scores GROUP BY year) t", "median_of_group_aggs"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course whose enrollment is most balanced across years",
+      "SELECT course_id FROM (SELECT x.course_id, STDDEV_SAMP(cnt) AS sd " +
+        "FROM (SELECT course_id, year, COUNT(*) AS cnt FROM scores " +
+        "GROUP BY course_id, year) x GROUP BY x.course_id) t " +
+        "ORDER BY sd ASC, course_id LIMIT 1", "fact_distribution_balance"),
+    EvalCase("students who share a course with Ada Adams",
+      "SELECT DISTINCT st.student_name FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id WHERE s.course_id IN " +
+        "(SELECT s2.course_id FROM scores s2 JOIN students st2 " +
+        "ON st2.student_id = s2.student_id " +
+        "WHERE st2.student_name = 'Ada Adams') " +
+        "AND st.student_name <> 'Ada Adams' " +
+        "ORDER BY st.student_name LIMIT 100", "named_neighbor_entities"),
+    // (named-neighbor turned out to be served by existing machinery at
+    //  F1 1.0 — kept as a labeled regression case)
+    EvalCase("the longest gap in years between two scores for the same student",
+      "SELECT MAX(gap) AS agg_value FROM (SELECT year - LAG(year) OVER " +
+        "(PARTITION BY student_id ORDER BY year) AS gap FROM " +
+        "(SELECT DISTINCT student_id, year FROM scores) d) t",
+      "max_period_gap"),
+    EvalCase("the percentage of scores within 10 points of the course average",
+      "SELECT ROUND(CAST(SUM(CASE WHEN ABS(score - ca) <= 10 THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+        "(SELECT score, AVG(score) OVER (PARTITION BY course_id) AS ca " +
+        "FROM scores) t", "near_group_avg_share"))
 }

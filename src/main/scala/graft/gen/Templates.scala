@@ -5642,6 +5642,97 @@ object Templates {
         0.9, "template_bottomk_agg_avg")).take(1)
     }
 
+  // "the dept where the average age of students taking its courses is
+  // lowest" — an aggregate of ONE dimension's attribute grouped by
+  // ANOTHER dimension's attribute, bridged by the fact
+  private val twoDimAttrAggArgRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+its\s+([a-z_][a-z0-9_]*)\s+is\s+" +
+      raw"(lowest|highest|smallest|largest)\b").r
+
+  /** Two-dimension attribute-aggregate argmin/argmax: "the A where the
+    * avg B of Es taking its Js is lowest" → the fact joins both
+    * broadcast dimensions once, AVG of the entity attribute per
+    * category, top-1 over the group-sized frame. */
+  def twoDimAttrAggArgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    twoDimAttrAggArgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("lowest", "smallest")(m.group(5).toLowerCase)) "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        dimC <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimC
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimC))
+        eC <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimC).toSeq
+        catCol <- abbrevColumn(m.group(1), slice.tables(dimC)).toSeq
+        numCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT $catCol FROM (SELECT c.$catCol, AVG(st.$numCol) AS a " +
+          s"FROM ${eE.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"JOIN $dimC c ON c.${eC.toColumn} = s.${eC.fromColumn} " +
+          s"GROUP BY c.$catCol) t ORDER BY a $dir, $catCol LIMIT 1",
+        0.9, "template_two_dim_attr_agg_arg")).take(1)
+    }
+
+  // "the number of students whose scores span at least three grade
+  // letters" — a COUNT of entities passing a distinct-category threshold
+  private val countThresholdEntitiesRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+span\s+at\s+least\s+" +
+      raw"(two|three|four|five|\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Count of threshold entities: "the number of Es whose Fs span at
+    * least N As" → one grouped COUNT(DISTINCT category) per entity key
+    * over the fact, HAVING the threshold, single-row COUNT collapse —
+    * no dimension join needed since only the cardinality is asked. */
+  def countThresholdEntitiesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    countThresholdEntitiesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(3).toLowerCase match {
+        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
+        case d => d.toInt
+      }
+      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
+        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
+          s"FROM $fact GROUP BY ${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT $catCol) >= $n) t",
+        0.9, "template_count_threshold_entities")).take(1)
+    }
+
+  // "the median of each year's average score" — MEDIAN over group
+  // aggregates (the median sibling of aggOfAgg)
+  private val medianOfGroupAggsRe =
+    (raw"(?i)\bthe\s+median\s+of\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Median of group aggregates: "the median of each P's avg V" → one
+    * grouped pass collapses the corpus to |P| rows, MEDIAN over the
+    * group frame — corpus-size-independent outer aggregate. */
+  def medianOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    medianOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        if measure != periodCol
+      } yield Candidate(
+        s"SELECT MEDIAN(a) AS agg_value FROM (SELECT $agg($measure) AS a " +
+          s"FROM $fact GROUP BY $periodCol) t",
+        0.9, "template_median_of_group_aggs")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5777,6 +5868,9 @@ object Templates {
       cohortRelativeAvgCandidates(slice, fks, question),
       valueUniversalCountCandidates(slice, fks, question),
       bottomkAggAvgCandidates(slice, fks, question),
+      twoDimAttrAggArgCandidates(slice, fks, question),
+      countThresholdEntitiesCandidates(slice, fks, question),
+      medianOfGroupAggsCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
