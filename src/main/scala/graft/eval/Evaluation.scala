@@ -1180,8 +1180,8 @@ object Evaluation {
     EvalCase("the median of each year's average score",
       "SELECT MEDIAN(a) AS agg_value FROM (SELECT AVG(score) AS a " +
         "FROM scores GROUP BY year) t", "median_of_group_aggs"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10y open cases, closed in round 10z (fact distribution
+    //     balance, near-group-average share, max period gap) ---
     EvalCase("the course whose enrollment is most balanced across years",
       "SELECT course_id FROM (SELECT x.course_id, STDDEV_SAMP(cnt) AS sd " +
         "FROM (SELECT course_id, year, COUNT(*) AS cnt FROM scores " +
@@ -1206,5 +1206,20 @@ object Evaluation {
       "SELECT ROUND(CAST(SUM(CASE WHEN ABS(score - ca) <= 10 THEN 1 " +
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
         "(SELECT score, AVG(score) OVER (PARTITION BY course_id) AS ca " +
-        "FROM scores) t", "near_group_avg_share"))
+        "FROM scores) t", "near_group_avg_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average number of years between a student's first and last score",
+      "SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
+        "(SELECT MAX(year) AS mx, MIN(year) AS mn FROM scores " +
+        "GROUP BY student_id) t", "avg_period_span"),
+    EvalCase("the second most common grade",
+      "SELECT grade FROM (SELECT grade, ROW_NUMBER() OVER " +
+        "(ORDER BY COUNT(*) DESC, grade) AS r FROM scores GROUP BY grade) t " +
+        "WHERE r = 2", "freq_rank_nth"),
+    EvalCase("the dept with the highest share of its scores above 80",
+      "SELECT dept FROM (SELECT c.dept, AVG(CASE WHEN s.score > 80 " +
+        "THEN 1.0 ELSE 0 END) AS sh FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t " +
+        "ORDER BY sh DESC, dept LIMIT 1", "joined_cond_share_argmax"))
 }

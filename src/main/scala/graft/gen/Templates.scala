@@ -5733,6 +5733,92 @@ object Templates {
         0.9, "template_median_of_group_aggs")).take(1)
     }
 
+  // "the course whose enrollment is most balanced across years" — count
+  // distribution balance over a FACT period column (the fact-side
+  // sibling of distributionBalance)
+  private val factDistributionBalanceRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"(?:enrollment|enrolment|attendance|counts?)\s+(?:is|are)\s+" +
+      raw"(most|least)\s+balanced\s+across\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Fact distribution balance: "the G whose enrollment is most
+    * balanced across Ps" → (G, P) counts in one grouped fact pass, the
+    * STDDEV of each G's count vector over the group-sized frame, top-1.
+    * No dimension join — both keys live on the fact. */
+  def factDistributionBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    factDistributionBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "most") "ASC" else "DESC"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        periodCol <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
+        if periodCol != eG.fromColumn
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn} FROM (SELECT x.${eG.fromColumn}, " +
+          s"STDDEV_SAMP(cnt) AS sd FROM " +
+          s"(SELECT ${eG.fromColumn}, $periodCol, COUNT(*) AS cnt " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}, $periodCol) x " +
+          s"GROUP BY x.${eG.fromColumn}) t " +
+          s"ORDER BY sd $dir, ${eG.fromColumn} LIMIT 1",
+        0.9, "template_fact_distribution_balance")).take(1)
+    }
+
+  // "the percentage of scores within 10 points of the course average" —
+  // the share of rows inside a band around their own group's aggregate
+  private val nearGroupAvgShareRe =
+    (raw"(?i)\bthe\s+(?:percentage|share|fraction|proportion)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+within\s+(\d+(?:\.\d+)?)\s+" +
+      raw"(?:points?|units?)\s+of\s+the\s+([a-z_][a-z0-9_]*)\s+average\b").r
+
+  /** Near-group-average share: "the share of Fs within X points of the
+    * G average" → a window AVG partitioned by the group key (hash
+    * shuffle on the group, never global), one scalar band ratio out. */
+  def nearGroupAvgShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    nearGroupAvgShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(1)).toSeq
+        dimG <- uniqueTable(slice, m.group(3)).toSeq
+        if dimG != fact
+        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN ABS($measure - ca) <= ${m.group(2)} " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT $measure, AVG($measure) OVER " +
+          s"(PARTITION BY ${eG.fromColumn}) AS ca FROM $fact) t",
+        0.9, "template_near_group_avg_share")).take(1)
+    }
+
+  // "the longest gap in years between two scores for the same student"
+  // — the max consecutive-period gap within any entity's history
+  private val maxPeriodGapRe =
+    (raw"(?i)\bthe\s+longest\s+gap\s+in\s+([a-z_][a-z0-9_]*)\s+between\s+" +
+      raw"two\s+([a-z_][a-z0-9_]*)\s+for\s+the\s+same\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Max period gap: "the longest gap in Ps between two Fs for the same
+    * E" → distinct (entity, period) pairs in one grouped pass, LAG
+    * partitioned by the entity key over the deduplicated frame, scalar
+    * MAX of the consecutive differences. */
+  def maxPeriodGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    maxPeriodGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != fact
+        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT MAX(gap) AS agg_value FROM (SELECT $periodCol - " +
+          s"LAG($periodCol) OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $periodCol) AS gap FROM " +
+          s"(SELECT DISTINCT ${eE.fromColumn}, $periodCol FROM $fact) d) t",
+        0.9, "template_max_period_gap")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5871,6 +5957,9 @@ object Templates {
       twoDimAttrAggArgCandidates(slice, fks, question),
       countThresholdEntitiesCandidates(slice, fks, question),
       medianOfGroupAggsCandidates(slice, fks, question),
+      factDistributionBalanceCandidates(slice, fks, question),
+      nearGroupAvgShareCandidates(slice, fks, question),
+      maxPeriodGapCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -110,7 +110,9 @@ class EvaluationSpec extends SparkSpec {
         "filtered_division", "median_mean_gap", "cohort_relative_avg",
         "value_universal_count", "bottomk_agg_avg",
         "two_dim_attr_agg_argmin", "count_threshold_entities",
-        "median_of_group_aggs", "named_neighbor_entities"))
+        "median_of_group_aggs", "named_neighbor_entities",
+        "fact_distribution_balance", "near_group_avg_share",
+        "max_period_gap"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
