@@ -1207,8 +1207,8 @@ object Evaluation {
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
         "(SELECT score, AVG(score) OVER (PARTITION BY course_id) AS ca " +
         "FROM scores) t", "near_group_avg_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10z open cases, closed in round 10aa (average period
+    //     span, frequency-rank nth, joined conditional-share argmax) ---
     EvalCase("the average number of years between a student's first and last score",
       "SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
         "(SELECT MAX(year) AS mx, MIN(year) AS mn FROM scores " +
@@ -1221,5 +1221,20 @@ object Evaluation {
       "SELECT dept FROM (SELECT c.dept, AVG(CASE WHEN s.score > 80 " +
         "THEN 1.0 ELSE 0 END) AS sh FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t " +
-        "ORDER BY sh DESC, dept LIMIT 1", "joined_cond_share_argmax"))
+        "ORDER BY sh DESC, dept LIMIT 1", "joined_cond_share_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average rank of math courses by average score",
+      "SELECT ROUND(AVG(r), 2) AS agg_value FROM (SELECT c.dept, " +
+        "RANK() OVER (ORDER BY a DESC) AS r FROM (SELECT course_id, " +
+        "AVG(score) AS a FROM scores GROUP BY course_id) x " +
+        "JOIN courses c ON c.course_id = x.course_id) t WHERE dept = 'math'",
+      "avg_rank_of_subset"),
+    EvalCase("the number of score values that appear exactly once",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT score FROM scores " +
+        "GROUP BY score HAVING COUNT(*) = 1) t", "unique_value_count"),
+    EvalCase("the course whose scores are most skewed",
+      "SELECT course_id FROM (SELECT course_id, SKEWNESS(score) AS sk " +
+        "FROM scores GROUP BY course_id) t " +
+        "ORDER BY sk DESC, course_id LIMIT 1", "skewness_argmax"))
 }

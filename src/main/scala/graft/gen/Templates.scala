@@ -5819,6 +5819,89 @@ object Templates {
         0.9, "template_max_period_gap")).take(1)
     }
 
+  // "the average number of years between a student's first and last
+  // score" — the mean per-entity period span
+  private val avgPeriodSpanRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+number\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+between\s+a\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
+      raw"first\s+and\s+last\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average period span: "the avg number of Ps between an E's first
+    * and last F" → per-entity MAX−MIN of the period in one grouped
+    * pass, scalar AVG of the |E| group rows. */
+  def avgPeriodSpanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgPeriodSpanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(3)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != fact
+        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
+          s"(SELECT MAX($periodCol) AS mx, MIN($periodCol) AS mn " +
+          s"FROM $fact GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_avg_period_span")).take(1)
+    }
+
+  // "the second most common grade" — the Nth value by FREQUENCY rank
+  // (nth_value is the Nth DISTINCT value; this ranks by count)
+  private val freqRankNthRe =
+    (raw"(?i)\bthe\s+(second|third|fourth|fifth|2nd|3rd|4th|5th)\s+most\s+" +
+      raw"(?:common|frequent|popular)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Frequency-rank nth: "the Nth most common A" → grouped counts in
+    * one pass, ROW_NUMBER over the group-sized frame (count desc, value
+    * as the deterministic tie-break), the single rank-N row. */
+  def freqRankNthCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    freqRankNthRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(1).toLowerCase match {
+        case "second" | "2nd" => 2; case "third" | "3rd" => 3
+        case "fourth" | "4th" => 4; case _ => 5
+      }
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        catCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT $catCol FROM (SELECT $catCol, ROW_NUMBER() OVER " +
+          s"(ORDER BY COUNT(*) DESC, $catCol) AS r FROM $fact " +
+          s"GROUP BY $catCol) x WHERE r = $n",
+        0.9, "template_freq_rank_nth")).take(1)
+    }
+
+  // "the dept with the highest share of its scores above 80" — argmax
+  // over per-category conditional shares through the dimension join
+  private val joinedCondShareArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(highest|lowest|largest|smallest)\s+share\s+of\s+its\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(above|over|below|under)\s+" +
+      raw"(\d+(?:\.\d+)?)\b").r
+
+  /** Joined conditional-share argmax: "the A with the highest share of
+    * its Fs above X" → per-category conditional AVG in one fact pass
+    * through the broadcast dimension carrying A, top-1 over the
+    * group-sized frame. */
+  def joinedCondShareArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    joinedCondShareArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("highest", "largest")(m.group(2).toLowerCase)) "DESC" else "ASC"
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      (for {
+        fact <- uniqueTable(slice, m.group(3)).toSeq
+        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
+        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol FROM (SELECT c.$attrCol, " +
+          s"AVG(CASE WHEN s.$measure $op ${m.group(5)} THEN 1.0 ELSE 0 END) AS sh " +
+          s"FROM $fact s JOIN ${eJ.toTable} c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol) t ORDER BY sh $dir, $attrCol LIMIT 1",
+        0.9, "template_joined_cond_share_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -5960,6 +6043,9 @@ object Templates {
       factDistributionBalanceCandidates(slice, fks, question),
       nearGroupAvgShareCandidates(slice, fks, question),
       maxPeriodGapCandidates(slice, fks, question),
+      avgPeriodSpanCandidates(slice, fks, question),
+      freqRankNthCandidates(slice, fks, question),
+      joinedCondShareArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -112,7 +112,8 @@ class EvaluationSpec extends SparkSpec {
         "two_dim_attr_agg_argmin", "count_threshold_entities",
         "median_of_group_aggs", "named_neighbor_entities",
         "fact_distribution_balance", "near_group_avg_share",
-        "max_period_gap"))
+        "max_period_gap", "avg_period_span", "freq_rank_nth",
+        "joined_cond_share_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
