@@ -86,6 +86,37 @@ object ProbeForceScale {
       println(s"PROBE knn_check => rows=$n per_query_min=${perQuery.get(0)} max=${perQuery.get(1)}")
       assert(n == 1024L * 10, s"n=$n")
     }
+    // ---- CDC: 20M-record changelog over 2M keys (10 versions/key) ----
+    // winner per key k is version k+18M; ~1/7 of winners are deletes,
+    // so the exact expected state is computable in closed form and the
+    // check is a distributed anti-join, never a collect
+    timed("cdc_apply_20m_changes_2m_keys") {
+      val log = spark.range(0, 20000000L).select(
+        pmod(col("id"), lit(2000000L)).as("k"),
+        col("id").as("ver"),
+        when(pmod(col("id"), lit(7)) === 0, "D").otherwise("U").as("op"),
+        (col("id") * 2).cast("double").as("val"))
+      val state = graft.operators.Cdc.applyChangelog(log, Seq("k"), "ver", "op")
+      val expected = spark.range(0, 2000000L).select(
+        col("id").as("k"), (col("id") + 18000000L).as("ver"))
+        .where(pmod(col("ver"), lit(7)) =!= 0)
+      val n = state.count()
+      val bad = state.join(expected, Seq("k"))
+        .where(state("ver") =!= expected("ver")).count()
+      val missing = expected.join(state, Seq("k"), "left_anti").count()
+      println(s"PROBE cdc_check => rows=$n wrong_version=$bad missing=$missing")
+      assert(bad == 0 && missing == 0, s"bad=$bad missing=$missing")
+    }
+    timed("cdc_netdiff_20m") {
+      val log = spark.range(0, 20000000L).select(
+        pmod(col("id"), lit(2000000L)).as("k"),
+        col("id").as("ver"),
+        when(pmod(col("id"), lit(7)) === 0, "D").otherwise("U").as("op"),
+        (col("id") * 2).cast("double").as("val"))
+      val net = graft.operators.Cdc.netChanges(
+        log, Seq("k"), "ver", "op", lit(10000000L), lit(Long.MaxValue))
+      println(s"PROBE cdc_net => rows=${net.count()}")
+    }
     val _ = (labels, model)
     spark.stop()
   }
