@@ -1222,8 +1222,8 @@ object Evaluation {
         "THEN 1.0 ELSE 0 END) AS sh FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t " +
         "ORDER BY sh DESC, dept LIMIT 1", "joined_cond_share_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10aa open cases, closed in round 10ab (average rank of
+    //     subset, unique-value count, skewness argmax) ---
     EvalCase("the average rank of math courses by average score",
       "SELECT ROUND(AVG(r), 2) AS agg_value FROM (SELECT c.dept, " +
         "RANK() OVER (ORDER BY a DESC) AS r FROM (SELECT course_id, " +
@@ -1236,5 +1236,21 @@ object Evaluation {
     EvalCase("the course whose scores are most skewed",
       "SELECT course_id FROM (SELECT course_id, SKEWNESS(score) AS sk " +
         "FROM scores GROUP BY course_id) t " +
-        "ORDER BY sk DESC, course_id LIMIT 1", "skewness_argmax"))
+        "ORDER BY sk DESC, course_id LIMIT 1", "skewness_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the harmonic mean of course average scores",
+      "SELECT ROUND(1.0 / AVG(1.0 / a), 4) AS agg_value FROM " +
+        "(SELECT AVG(score) AS a FROM scores GROUP BY course_id) t",
+      "harmonic_mean_groups"),
+    EvalCase("students who took courses in exactly two different depts",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id HAVING COUNT(DISTINCT c.dept) = 2) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "joined_distinct_exact"),
+    EvalCase("the year when the number of distinct students scoring was highest",
+      "SELECT year FROM scores GROUP BY year " +
+        "ORDER BY COUNT(DISTINCT student_id) DESC, year LIMIT 1",
+      "period_distinct_argmax"))
 }

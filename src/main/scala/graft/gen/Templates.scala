@@ -5902,6 +5902,88 @@ object Templates {
         0.9, "template_joined_cond_share_argmax")).take(1)
     }
 
+  // "the average rank of math courses by average score" — the mean
+  // global rank of an attribute-filtered subset of groups
+  private val avgRankOfSubsetRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+rank\s+of\s+([\w+-]+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Average rank of subset: "the avg rank of M Js by avg V" → one
+    * grouped aggregate over the fact, RANK over the |J|-sized frame
+    * (all groups rank before the subset filter — the rank must be
+    * global), broadcast dimension join tags each group with the
+    * attribute, scalar AVG of the M rows. M must be a MINED DOMAIN
+    * VALUE of a J attribute. */
+  def avgRankOfSubsetCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    avgRankOfSubsetRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("total", "sum")(m.group(3).toLowerCase)) "SUM" else "AVG"
+      val value = m.group(1)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
+        attrCol <- values(dimJ).collectFirst {
+          case (c, dom) if dom.contains(value) => c
+        }.toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(r), 2) AS agg_value FROM " +
+          s"(SELECT c.$attrCol, RANK() OVER (ORDER BY a DESC) AS r FROM " +
+          s"(SELECT ${eJ.fromColumn}, $agg($measure) AS a FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) x " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = x.${eJ.fromColumn}) t " +
+          s"WHERE $attrCol = ${sqlLit(value)}",
+        0.9, "template_avg_rank_of_subset")).take(1)
+    }
+
+  // "the number of score values that appear exactly once" — count of
+  // frequency-1 values of a measure
+  private val uniqueValueCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+values\s+that\s+" +
+      raw"appear\s+exactly\s+once\b").r
+
+  /** Unique-value count: "the number of V values that appear exactly
+    * once" → grouped counts in one map-side-combined pass, HAVING the
+    * frequency, single-row collapse. */
+  def uniqueValueCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    uniqueValueCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT $measure FROM $fact " +
+          s"GROUP BY $measure HAVING COUNT(*) = 1) x",
+        0.9, "template_unique_value_count")).take(1)
+    }
+
+  // "the course whose scores are most skewed" — per-group skewness
+  // argmax
+  private val skewnessArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"are\s+(most|least)\s+skewed\b").r
+
+  /** Skewness argmax: "the G whose Fs are most skewed" → per-group
+    * SKEWNESS (a declarative three-moment aggregate with map-side
+    * partials) in one fact pass, top-1 over the group frame. */
+  def skewnessArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    skewnessArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase == "most") "DESC" else "ASC"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
+        measure <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn} FROM (SELECT ${eG.fromColumn}, " +
+          s"SKEWNESS($measure) AS sk FROM $fact GROUP BY ${eG.fromColumn}) t " +
+          s"ORDER BY sk $dir, ${eG.fromColumn} LIMIT 1",
+        0.9, "template_skewness_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6046,6 +6128,9 @@ object Templates {
       avgPeriodSpanCandidates(slice, fks, question),
       freqRankNthCandidates(slice, fks, question),
       joinedCondShareArgmaxCandidates(slice, fks, question),
+      avgRankOfSubsetCandidates(slice, fks, question, values),
+      uniqueValueCountCandidates(slice, fks, question),
+      skewnessArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
