@@ -1237,8 +1237,9 @@ object Evaluation {
       "SELECT course_id FROM (SELECT course_id, SKEWNESS(score) AS sk " +
         "FROM scores GROUP BY course_id) t " +
         "ORDER BY sk DESC, course_id LIMIT 1", "skewness_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ab open cases, closed in round 10ac (harmonic mean of
+    //     group averages, exact joined-distinct threshold, period
+    //     distinct argmax) ---
     EvalCase("the harmonic mean of course average scores",
       "SELECT ROUND(1.0 / AVG(1.0 / a), 4) AS agg_value FROM " +
         "(SELECT AVG(score) AS a FROM scores GROUP BY course_id) t",
@@ -1252,5 +1253,25 @@ object Evaluation {
     EvalCase("the year when the number of distinct students scoring was highest",
       "SELECT year FROM scores GROUP BY year " +
         "ORDER BY COUNT(DISTINCT student_id) DESC, year LIMIT 1",
-      "period_distinct_argmax"))
+      "period_distinct_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("courses ranked by how much their average improved between 2022 and 2023",
+      "SELECT course_id, ROUND(d, 4) AS delta FROM (SELECT course_id, " +
+        "AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END) AS d FROM scores " +
+        "GROUP BY course_id) t WHERE d IS NOT NULL " +
+        "ORDER BY d DESC, course_id LIMIT 100", "trend_rank_list"),
+    EvalCase("the age of the student with the third-highest average score",
+      "SELECT age FROM (SELECT st.age, ROW_NUMBER() OVER " +
+        "(ORDER BY a DESC, m.student_id) AS r FROM (SELECT student_id, " +
+        "AVG(score) AS a FROM scores GROUP BY student_id) m " +
+        "JOIN students st ON st.student_id = m.student_id) t WHERE r = 3",
+      "nth_entity_attr"),
+    EvalCase("the number of courses that no ninth grader has taken",
+      "SELECT COUNT(*) AS agg_value FROM courses c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id " +
+        "WHERE s.course_id = c.course_id AND st.grade_level = 9)",
+      "filtered_anti_count"))
 }

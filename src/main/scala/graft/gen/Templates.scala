@@ -4845,7 +4845,8 @@ object Templates {
   // distinct-count threshold on a JOINED dimension attribute
   private val joinedDistinctHavingRe =
     (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"at\s+least\s+(\d+)\s+(?:different|distinct)\s+([a-z_][a-z0-9_]*)\b").r
+      raw"(at\s+least|exactly|at\s+most)\s+(\d+|two|three|four|five)\s+" +
+      raw"(?:different|distinct)\s+([a-z_][a-z0-9_]*)\b").r
 
   /** Joined distinct-count threshold: "Es who took Js in at least N
     * different As" → COUNT(DISTINCT dim.attr) per entity through the
@@ -4855,19 +4856,28 @@ object Templates {
   def joinedDistinctHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String): Seq[Candidate] =
     joinedDistinctHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = m.group(3).toLowerCase.replaceAll("\\s+", " ") match {
+        case "exactly" => "="
+        case "at most" => "<="
+        case _ => ">="
+      }
+      val n = m.group(4).toLowerCase match {
+        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
+        case d => d.toInt
+      }
       (for {
         dimE <- uniqueTable(slice, m.group(1)).toSeq
         dimJ <- uniqueTable(slice, m.group(2)).toSeq
         if dimJ != dimE
         eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
         eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable == dimJ)
-        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
+        attrCol <- abbrevColumn(m.group(5), slice.tables(dimJ)).toSeq
         nameCol <- nameishColumn(slice.tables(dimE)).toSeq
       } yield Candidate(
         s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
           s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
           s"GROUP BY s.${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT c.$attrCol) >= ${m.group(3)}) m " +
+          s"HAVING COUNT(DISTINCT c.$attrCol) $op $n) m " +
           s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
           s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
         0.9, "template_joined_distinct_having")).take(1)
@@ -5984,6 +5994,53 @@ object Templates {
         0.9, "template_skewness_argmax")).take(1)
     }
 
+  // "the harmonic mean of course average scores" — a harmonic outer
+  // aggregate over per-group averages
+  private val harmonicMeanGroupsRe =
+    (raw"(?i)\bthe\s+harmonic\s+mean\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Harmonic mean of group averages: "the harmonic mean of G avg Vs"
+    * → per-group AVG in one pass, 1/AVG(1/a) over the |G|-sized frame
+    * — harmonic mean as plain declarative aggregates, no UDF. */
+  def harmonicMeanGroupsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    harmonicMeanGroupsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(1.0 / AVG(1.0 / a), 4) AS agg_value FROM " +
+          s"(SELECT AVG($measure) AS a FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn}) t",
+        0.9, "template_harmonic_mean_groups")).take(1)
+    }
+
+  // "the year when the number of distinct students scoring was highest"
+  // — period argmax by distinct-entity count
+  private val periodDistinctArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+when\s+the\s+number\s+of\s+" +
+      raw"distinct\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+was\s+" +
+      raw"(highest|lowest|largest|smallest)\b").r
+
+  /** Period distinct argmax: "the P when the number of distinct Es …
+    * was highest" → COUNT(DISTINCT entity fk) per period in one
+    * grouped pass, TakeOrderedAndProject top-1. */
+  def periodDistinctArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    periodDistinctArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("highest", "largest")(m.group(3).toLowerCase)) "DESC" else "ASC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        periodCol <- strongColumn(m.group(1), slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $periodCol FROM ${eE.fromTable} GROUP BY $periodCol " +
+          s"ORDER BY COUNT(DISTINCT ${eE.fromColumn}) $dir, $periodCol LIMIT 1",
+        0.9, "template_period_distinct_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6131,6 +6188,8 @@ object Templates {
       avgRankOfSubsetCandidates(slice, fks, question, values),
       uniqueValueCountCandidates(slice, fks, question),
       skewnessArgmaxCandidates(slice, fks, question),
+      harmonicMeanGroupsCandidates(slice, fks, question),
+      periodDistinctArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
