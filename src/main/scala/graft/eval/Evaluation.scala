@@ -1254,8 +1254,8 @@ object Evaluation {
       "SELECT year FROM scores GROUP BY year " +
         "ORDER BY COUNT(DISTINCT student_id) DESC, year LIMIT 1",
       "period_distinct_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ac open cases, closed in round 10ad (trend rank list,
+    //     nth-entity attribute, filtered anti-join count) ---
     EvalCase("courses ranked by how much their average improved between 2022 and 2023",
       "SELECT course_id, ROUND(d, 4) AS delta FROM (SELECT course_id, " +
         "AVG(CASE WHEN year = 2023 THEN score END) - " +
@@ -1273,5 +1273,30 @@ object Evaluation {
         "(SELECT 1 FROM scores s JOIN students st " +
         "ON st.student_id = s.student_id " +
         "WHERE s.course_id = c.course_id AND st.grade_level = 9)",
-      "filtered_anti_count"))
+      "filtered_anti_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course pair with the largest overlap in students",
+      "SELECT a.course_id AS c1, b.course_id AS c2 FROM scores a " +
+        "JOIN scores b ON a.student_id = b.student_id " +
+        "AND a.course_id < b.course_id GROUP BY a.course_id, b.course_id " +
+        "ORDER BY COUNT(*) DESC, c1, c2 LIMIT 1", "pair_overlap_argmax"),
+    EvalCase("the running total of distinct students by year of first score",
+      "SELECT year, SUM(c) OVER (ORDER BY year) AS cum FROM " +
+        "(SELECT first_year AS year, COUNT(*) AS c FROM " +
+        "(SELECT student_id, MIN(year) AS first_year FROM scores " +
+        "GROUP BY student_id) t GROUP BY first_year) x " +
+        "ORDER BY year LIMIT 100", "cumulative_distinct"),
+    EvalCase("the dept whose courses have the least variation in enrollment",
+      "SELECT dept FROM (SELECT c.dept, STDDEV_SAMP(cnt) AS sd FROM " +
+        "(SELECT s.course_id, COUNT(*) AS cnt FROM scores s " +
+        "GROUP BY s.course_id) x JOIN courses c ON c.course_id = x.course_id " +
+        "GROUP BY c.dept) t ORDER BY sd ASC, dept LIMIT 1",
+      "group_count_balance_argmin"),
+    // (group-count balance landed as a free closure of the existing
+    //  machinery — kept as a labeled regression case)
+    EvalCase("each grade letter's share of all scores",
+      "SELECT grade, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM scores), 4) AS pct FROM scores " +
+        "GROUP BY grade ORDER BY grade LIMIT 100", "distribution_pct"))
 }

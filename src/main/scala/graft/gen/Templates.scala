@@ -6041,6 +6041,118 @@ object Templates {
         0.9, "template_period_distinct_argmax")).take(1)
     }
 
+  // "courses ranked by how much their average improved between 2022 and
+  // 2023" — the full ranked trend list (trendArgmax returns top-1)
+  private val trendRankListRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+ranked\s+by\s+how\s+much\s+their\s+" +
+      raw"(?:average|avg|mean)\s+" +
+      raw"(improved|declined|changed|increased|decreased)\s+" +
+      raw"between\s+(\d+)\s+and\s+(\d+)\b").r
+
+  /** Trend rank list: "Gs ranked by how much their avg improved between
+    * Y1 and Y2" → both period aggregates as conditional CASE aggregates
+    * per group in ONE pass, groups missing either period drop, ordered
+    * full list with the delta exposed. */
+  def trendRankListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    trendRankListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("declined", "decreased")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      val (y1, y2) = (m.group(3), m.group(4))
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eG.fromTable)
+        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(eG.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn}, ROUND(d, 4) AS delta FROM " +
+          s"(SELECT ${eG.fromColumn}, " +
+          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
+          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t " +
+          s"WHERE d IS NOT NULL ORDER BY d $dir, ${eG.fromColumn} " +
+          s"LIMIT $DefaultLimit",
+        0.9, "template_trend_rank_list")).take(1)
+    }
+
+  // "the age of the student with the third-highest average score" — an
+  // attribute of the rank-N entity by aggregate
+  private val nthEntityAttrRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"with\s+the\s+(second|third|fourth|fifth)[- ]" +
+      raw"(highest|lowest)\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Nth-entity attribute: "the A of the E with the Nth-highest avg V"
+    * → per-entity averages in one grouped pass, ROW_NUMBER over the
+    * group frame (entity key as the deterministic tie-break), rank-N
+    * row joins the broadcast dimension for the attribute. */
+  def nthEntityAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    nthEntityAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(3).toLowerCase match {
+        case "second" => 2; case "third" => 3; case "fourth" => 4; case _ => 5
+      }
+      val dir = if (m.group(4).toLowerCase == "highest") "DESC" else "ASC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
+        attrCol <- strongColumn(m.group(1), slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT $attrCol FROM (SELECT st.$attrCol, ROW_NUMBER() OVER " +
+          s"(ORDER BY a $dir, m.${eE.fromColumn}) AS r FROM " +
+          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn}) t " +
+          s"WHERE r = $n",
+        0.9, "template_nth_entity_attr")).take(1)
+    }
+
+  // "the number of courses that no ninth grader has taken" — an
+  // attribute-filtered anti-join count (school-domain ordinal phrasing)
+  private val filteredAntiCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+that\s+no\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?grader(?:s)?\s+" +
+      raw"(?:has|have)\s+[a-z]+\b").r
+
+  /** Filtered anti-join count: "the number of Js that no Nth grader has
+    * taken" → NOT EXISTS against the fact restricted to the
+    * ordinal-valued grade attribute of the entity dimension (plans as a
+    * LeftAnti of the dimension against the filtered fact — the filter
+    * prunes before the join). The ordinal word maps to its numeral;
+    * "grader" resolves to the entity dimension's grade-stemmed column. */
+  def filteredAntiCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    filteredAntiCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM $dimJ c WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM ${eJ.fromTable} s " +
+          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"WHERE s.${eJ.fromColumn} = c.${eJ.toColumn} AND st.$gradeCol = $n)",
+        0.9, "template_filtered_anti_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6190,6 +6302,9 @@ object Templates {
       skewnessArgmaxCandidates(slice, fks, question),
       harmonicMeanGroupsCandidates(slice, fks, question),
       periodDistinctArgmaxCandidates(slice, fks, question),
+      trendRankListCandidates(slice, fks, question, values),
+      nthEntityAttrCandidates(slice, fks, question),
+      filteredAntiCountCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -115,7 +115,9 @@ class EvaluationSpec extends SparkSpec {
         "max_period_gap", "avg_period_span", "freq_rank_nth",
         "joined_cond_share_argmax", "avg_rank_of_subset",
         "unique_value_count", "skewness_argmax", "harmonic_mean_groups",
-        "joined_distinct_exact", "period_distinct_argmax"))
+        "joined_distinct_exact", "period_distinct_argmax",
+        "trend_rank_list", "nth_entity_attr", "filtered_anti_count",
+        "group_count_balance_argmin"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
