@@ -217,6 +217,23 @@ object Queries {
       "CAST(o_totalprice AS DOUBLE) AS val FROM orders"
 
   val extensionOracles: Map[String, String] = Map(
+    // expectations audit replica: the same five violation fractions as
+    // conditional aggregates over one scan, one report row per check
+    "x_audit" ->
+      ("WITH t AS (SELECT COUNT(*) AS total, " +
+        "SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_nn, " +
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uq, " +
+        "SUM(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 300000) THEN 1 ELSE 0 END) AS v_ir, " +
+        "SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_is, " +
+        "SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS v_re " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 'in_range' AS \"check\", 'o_totalprice' AS col_name, ROUND(v_ir*1.0/total, 6) AS observed, 0.0 AS threshold, v_ir*1.0/total <= 0.0 AS pass FROM t " +
+        "UNION ALL SELECT 'in_set', 'o_orderstatus', ROUND(v_is*1.0/total, 6), 0.0, v_is*1.0/total <= 0.0 FROM t " +
+        "UNION ALL SELECT 'matches_regex', 'o_orderpriority', ROUND(v_re*1.0/total, 6), 0.0, v_re*1.0/total <= 0.0 FROM t " +
+        "UNION ALL SELECT 'not_null', 'o_orderpriority', ROUND(v_nn*1.0/total, 6), 0.0, v_nn*1.0/total <= 0.0 FROM t " +
+        "UNION ALL SELECT 'unique', 'o_orderkey', ROUND(v_uq*1.0/total, 6), 0.0, v_uq*1.0/total <= 0.0 FROM t" +
+        ") x ORDER BY \"check\", col_name"),
     // CDC materialization replicas: last-writer-wins per key via the
     // window rank (versions are unique per key by construction, so the
     // rank-1 row is the same winner Spark's max(struct) picks)
@@ -1019,6 +1036,17 @@ object ExtensionQueries {
   }
 
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- data-quality expectations (operators/Expectations.scala) ---
+    "x_audit" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Expectations.audit(s.table("orders"), Seq(
+        graft.operators.Expectations.NotNull("o_orderpriority"),
+        graft.operators.Expectations.Unique("o_orderkey"),
+        graft.operators.Expectations.InRange("o_totalprice", 0, 300000),
+        graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
+        graft.operators.Expectations.MatchesRegex("o_orderpriority", "^[0-9]-")))
+        .orderBy("check", "col_name")
+    }),
     // --- CDC / changelog materialization (operators/Cdc.scala) ---
     "x_cdc_apply" -> ((s, dir) =>
       graft.operators.Cdc.applyChangelog(
