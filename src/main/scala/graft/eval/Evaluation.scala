@@ -1274,8 +1274,8 @@ object Evaluation {
         "ON st.student_id = s.student_id " +
         "WHERE s.course_id = c.course_id AND st.grade_level = 9)",
       "filtered_anti_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ad open cases, closed in round 10ae (pair overlap
+    //     argmax, cumulative distinct, distribution percentages) ---
     EvalCase("the course pair with the largest overlap in students",
       "SELECT a.course_id AS c1, b.course_id AS c2 FROM scores a " +
         "JOIN scores b ON a.student_id = b.student_id " +
@@ -1298,5 +1298,24 @@ object Evaluation {
     EvalCase("each grade letter's share of all scores",
       "SELECT grade, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
         "(SELECT COUNT(*) FROM scores), 4) AS pct FROM scores " +
-        "GROUP BY grade ORDER BY grade LIMIT 100", "distribution_pct"))
+        "GROUP BY grade ORDER BY grade LIMIT 100", "distribution_pct"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average gap between consecutive course averages when ranked",
+      "SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a - LAG(a) OVER " +
+        "(ORDER BY a) AS d FROM (SELECT AVG(score) AS a FROM scores " +
+        "GROUP BY course_id) t) x WHERE d IS NOT NULL",
+      "avg_rank_spacing"),
+    EvalCase("students whose score in Algebra beat their own average",
+      "SELECT st.student_name FROM scores s JOIN courses c " +
+        "ON c.course_id = s.course_id JOIN (SELECT student_id, " +
+        "AVG(score) AS a FROM scores GROUP BY student_id) m " +
+        "ON m.student_id = s.student_id JOIN students st " +
+        "ON st.student_id = s.student_id WHERE c.course_name = 'Algebra' " +
+        "AND s.score > m.a ORDER BY st.student_name LIMIT 100",
+      "named_value_self_relative"),
+    EvalCase("the year-over-year change in median score",
+      "SELECT year, ROUND(med - LAG(med) OVER (ORDER BY year), 4) AS chg " +
+        "FROM (SELECT year, MEDIAN(score) AS med FROM scores " +
+        "GROUP BY year) t ORDER BY year LIMIT 100", "yoy_median_change"))
 }

@@ -6153,6 +6153,92 @@ object Templates {
         0.9, "template_filtered_anti_count")).take(1)
     }
 
+  // "the course pair with the largest overlap in students" — pairwise
+  // co-membership argmax via the entity-keyed self-join
+  private val pairOverlapArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+pair\s+with\s+the\s+" +
+      raw"(largest|biggest|greatest|smallest)\s+overlap\s+in\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Pair-overlap argmax: "the J pair with the largest overlap in Es" →
+    * fact self-joined on the entity key (j1 < j2 halves the pairs),
+    * grouped count per pair, top-1. The join is entity-keyed, so the
+    * fanout per entity is (degree choose 2) — bounded by per-entity
+    * membership, not the corpus; the grouped frame is |J|²-sized at
+    * most. */
+  def pairOverlapArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    pairOverlapArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "smallest") "ASC" else "DESC"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT a.${eJ.fromColumn} AS c1, b.${eJ.fromColumn} AS c2 " +
+          s"FROM ${eJ.fromTable} a JOIN ${eJ.fromTable} b " +
+          s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn} " +
+          s"GROUP BY a.${eJ.fromColumn}, b.${eJ.fromColumn} " +
+          s"ORDER BY COUNT(*) $dir, c1, c2 LIMIT 1",
+        0.9, "template_pair_overlap_argmax")).take(1)
+    }
+
+  // "the running total of distinct students by year of first score" —
+  // cumulative distinct via the first-seen-period reduction
+  private val cumulativeDistinctRe =
+    (raw"(?i)\bthe\s+running\s+total\s+of\s+distinct\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+([a-z_][a-z0-9_]*)\s+of\s+first\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Cumulative distinct: "the running total of distinct Es by P of
+    * first F" → per-entity MIN(period) in one grouped pass (cumulative
+    * distinct = counting each entity once at its first appearance),
+    * counts per first-period, running SUM over the |P|-sized frame. */
+  def cumulativeDistinctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cumulativeDistinctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- uniqueTable(slice, m.group(3)).toSeq
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        if dimE != fact
+        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
+        periodCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT p, SUM(c) OVER (ORDER BY p) AS cum FROM " +
+          s"(SELECT fy AS p, COUNT(*) AS c FROM " +
+          s"(SELECT ${eE.fromColumn}, MIN($periodCol) AS fy FROM $fact " +
+          s"GROUP BY ${eE.fromColumn}) t GROUP BY fy) x " +
+          s"ORDER BY p LIMIT $DefaultLimit",
+        0.9, "template_cumulative_distinct")).take(1)
+    }
+
+  // "each grade letter's share of all scores" — the full category
+  // distribution as percentages
+  private val distributionPctRe =
+    (raw"(?i)\beach\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)(?:'s)?\s+" +
+      raw"share\s+of\s+all\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Distribution percentages: "each A's share of all Fs" → grouped
+    * counts against the one-row total subquery (broadcast), the whole
+    * distribution in one pass. */
+  def distributionPctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    distributionPctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        fact <- uniqueTable(slice, m.group(2)).toSeq
+        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT $catCol, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
+          s"(SELECT COUNT(*) FROM $fact), 4) AS pct FROM $fact " +
+          s"GROUP BY $catCol ORDER BY $catCol LIMIT $DefaultLimit",
+        0.9, "template_distribution_pct")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6305,6 +6391,9 @@ object Templates {
       trendRankListCandidates(slice, fks, question, values),
       nthEntityAttrCandidates(slice, fks, question),
       filteredAntiCountCandidates(slice, fks, question),
+      pairOverlapArgmaxCandidates(slice, fks, question),
+      cumulativeDistinctCandidates(slice, fks, question),
+      distributionPctCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
