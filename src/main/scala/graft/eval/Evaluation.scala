@@ -1299,8 +1299,8 @@ object Evaluation {
       "SELECT grade, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
         "(SELECT COUNT(*) FROM scores), 4) AS pct FROM scores " +
         "GROUP BY grade ORDER BY grade LIMIT 100", "distribution_pct"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ae open cases, closed in round 10af (average rank
+    //     spacing, named-value self-relative, period-over-period change) ---
     EvalCase("the average gap between consecutive course averages when ranked",
       "SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a - LAG(a) OVER " +
         "(ORDER BY a) AS d FROM (SELECT AVG(score) AS a FROM scores " +
@@ -1317,5 +1317,21 @@ object Evaluation {
     EvalCase("the year-over-year change in median score",
       "SELECT year, ROUND(med - LAG(med) OVER (ORDER BY year), 4) AS chg " +
         "FROM (SELECT year, MEDIAN(score) AS med FROM scores " +
-        "GROUP BY year) t ORDER BY year LIMIT 100", "yoy_median_change"))
+        "GROUP BY year) t ORDER BY year LIMIT 100", "yoy_median_change"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of students in the top quartile by average score",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT student_id, NTILE(4) " +
+        "OVER (ORDER BY a DESC) AS q FROM (SELECT student_id, " +
+        "AVG(score) AS a FROM scores GROUP BY student_id) t) x WHERE q = 1",
+      "quartile_cohort_count"),
+    EvalCase("the trimmed mean of scores excluding the top and bottom 10 percent",
+      "SELECT ROUND(AVG(score), 4) AS agg_value FROM (SELECT score, " +
+        "PERCENT_RANK() OVER (ORDER BY score) AS pr FROM scores) t " +
+        "WHERE pr >= 0.1 AND pr <= 0.9", "trimmed_mean"),
+    EvalCase("the most common score in math courses",
+      "SELECT score FROM scores s JOIN courses c " +
+        "ON c.course_id = s.course_id WHERE c.dept = 'math' " +
+        "GROUP BY score ORDER BY COUNT(*) DESC, score LIMIT 1",
+      "filtered_mode"))
 }

@@ -6239,6 +6239,115 @@ object Templates {
         0.9, "template_distribution_pct")).take(1)
     }
 
+  // "the average gap between consecutive course averages when ranked" —
+  // mean spacing of the sorted group-aggregate sequence
+  private val avgRankSpacingRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+gap\s+between\s+consecutive\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(?:averages|avgs)\s+when\s+ranked\b").r
+
+  /** Average rank spacing: "the avg gap between consecutive G averages
+    * when ranked" → per-group averages in one pass, LAG over the
+    * |G|-sized ordered frame, scalar AVG of the spacings. The measure
+    * is inferred by schema elimination. */
+  def avgRankSpacingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    avgRankSpacingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eG.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eG.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a - LAG(a) OVER " +
+          s"(ORDER BY a) AS d FROM (SELECT AVG($measure) AS a FROM " +
+          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t) x " +
+          s"WHERE d IS NOT NULL",
+        0.9, "template_avg_rank_spacing")).take(1)
+    }
+
+  // "students whose score in Algebra beat their own average" — a named
+  // dimension value filters the row compared against the entity's own
+  // aggregate
+  private val namedValueSelfRelativeRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)\s+" +
+      raw"(beat|exceeded|topped|was\s+above|was\s+below)\s+their\s+own\s+" +
+      raw"(?:average|avg|mean)\b").r
+
+  /** Named-value self-relative: "Es whose V in NAME beat their own
+    * average" → per-entity averages in one grouped pass, the NAME-valued
+    * rows (broadcast dimension filter) joined against the entity's own
+    * bar, names resolved last. NAME must be a MINED DOMAIN VALUE of a
+    * joined dimension attribute. */
+  def namedValueSelfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    namedValueSelfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(4).toLowerCase.endsWith("below")) "<" else ">"
+      val value = m.group(3)
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
+        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable))
+        attrCol <- values(eJ.toTable).collectFirst {
+          case (c, dom) if dom.contains(value) => c
+        }.toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"JOIN (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) m " +
+          s"ON m.${eE.fromColumn} = s.${eE.fromColumn} " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"WHERE c.$attrCol = ${sqlLit(value)} AND s.$measure $op m.a " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_named_value_self_relative")).take(1)
+    }
+
+  // "the year-over-year change in median score" — consecutive-period
+  // deltas of a period aggregate
+  private val yoyChangeRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)[- ]over[- ]\1\s+change\s+in\s+" +
+      raw"(median|average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Period-over-period change: "the P-over-P change in median V" → one
+    * grouped pass collapses the corpus to |P| rows, LAG over the
+    * ordered period frame exposes the deltas. */
+  def yoyChangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    yoyChangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "median" => "MEDIAN"
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
+        if measure != periodCol
+      } yield Candidate(
+        s"SELECT $periodCol, ROUND(med - LAG(med) OVER " +
+          s"(ORDER BY $periodCol), 4) AS chg FROM " +
+          s"(SELECT $periodCol, $agg($measure) AS med FROM $fact " +
+          s"GROUP BY $periodCol) t ORDER BY $periodCol LIMIT $DefaultLimit",
+        0.9, "template_yoy_change")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6394,6 +6503,9 @@ object Templates {
       pairOverlapArgmaxCandidates(slice, fks, question),
       cumulativeDistinctCandidates(slice, fks, question),
       distributionPctCandidates(slice, fks, question),
+      avgRankSpacingCandidates(slice, fks, question, values),
+      namedValueSelfRelativeCandidates(slice, fks, question, values),
+      yoyChangeCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -118,7 +118,8 @@ class EvaluationSpec extends SparkSpec {
         "joined_distinct_exact", "period_distinct_argmax",
         "trend_rank_list", "nth_entity_attr", "filtered_anti_count",
         "group_count_balance_argmin", "pair_overlap_argmax",
-        "cumulative_distinct", "distribution_pct"))
+        "cumulative_distinct", "distribution_pct", "avg_rank_spacing",
+        "named_value_self_relative", "yoy_median_change"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
