@@ -1318,8 +1318,8 @@ object Evaluation {
       "SELECT year, ROUND(med - LAG(med) OVER (ORDER BY year), 4) AS chg " +
         "FROM (SELECT year, MEDIAN(score) AS med FROM scores " +
         "GROUP BY year) t ORDER BY year LIMIT 100", "yoy_median_change"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10af open cases, closed in round 10ag (quartile cohort
+    //     count, trimmed mean, filtered mode) ---
     EvalCase("the number of students in the top quartile by average score",
       "SELECT COUNT(*) AS agg_value FROM (SELECT student_id, NTILE(4) " +
         "OVER (ORDER BY a DESC) AS q FROM (SELECT student_id, " +
@@ -1333,5 +1333,22 @@ object Evaluation {
       "SELECT score FROM scores s JOIN courses c " +
         "ON c.course_id = s.course_id WHERE c.dept = 'math' " +
         "GROUP BY score ORDER BY COUNT(*) DESC, score LIMIT 1",
-      "filtered_mode"))
+      "filtered_mode"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the interquartile range of scores",
+      "SELECT ROUND(PERCENTILE(score, 0.75) - PERCENTILE(score, 0.25), 4) " +
+        "AS agg_value FROM scores", "iqr"),
+    EvalCase("the share of courses where the median score exceeds the mean",
+      "SELECT ROUND(CAST(SUM(CASE WHEN med > mean THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM (SELECT course_id, " +
+        "MEDIAN(score) AS med, AVG(score) AS mean FROM scores " +
+        "GROUP BY course_id) t", "median_exceeds_mean_share"),
+    EvalCase("the number of times the yearly average score changed direction",
+      "WITH y AS (SELECT year, AVG(score) AS a FROM scores GROUP BY year), " +
+        "d AS (SELECT year, a - LAG(a) OVER (ORDER BY year) AS df FROM y), " +
+        "s AS (SELECT year, SIGN(df) AS sg FROM d WHERE df IS NOT NULL) " +
+        "SELECT COUNT(*) AS agg_value FROM (SELECT sg, LAG(sg) OVER " +
+        "(ORDER BY year) AS pg FROM s) t WHERE pg IS NOT NULL AND sg <> pg",
+      "direction_changes"))
 }

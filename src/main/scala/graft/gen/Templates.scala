@@ -6348,6 +6348,90 @@ object Templates {
         0.9, "template_yoy_change")).take(1)
     }
 
+  // "the number of students in the top quartile by average score" —
+  // NTILE cohort membership count
+  private val quartileCohortCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+the\s+" +
+      raw"(top|bottom)\s+(quartile|quintile|decile)\s+by\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Quartile cohort count: "the number of Es in the top quartile by
+    * avg V" → per-entity averages in one grouped pass, NTILE over the
+    * |E|-sized frame (group cardinality, never the corpus), single-row
+    * COUNT of the target bucket. */
+  def quartileCohortCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    quartileCohortCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(3).toLowerCase match {
+        case "quartile" => 4; case "quintile" => 5; case _ => 10
+      }
+      val target = if (m.group(2).toLowerCase == "top") 1 else n
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(4), slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn}, " +
+          s"NTILE($n) OVER (ORDER BY a DESC) AS q FROM " +
+          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t) x WHERE q = $target",
+        0.9, "template_quartile_cohort_count")).take(1)
+    }
+
+  // "the trimmed mean of scores excluding the top and bottom 10 percent"
+  private val trimmedMeanRe =
+    (raw"(?i)\bthe\s+trimmed\s+mean\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"excluding\s+the\s+top\s+and\s+bottom\s+(\d+)\s+percent\b").r
+
+  /** Trimmed mean: "the trimmed mean of Vs excluding the top and bottom
+    * N percent" → PERCENT_RANK band filter then AVG. The global window
+    * here mirrors the oracle exactly (tie semantics); a 100 TB serving
+    * variant would cut on two percentile_approx bounds instead — same
+    * answer away from ties, no global sort. */
+  def trimmedMeanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trimmedMeanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val frac = m.group(2).toInt / 100.0
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
+          s"(SELECT $measure, PERCENT_RANK() OVER (ORDER BY $measure) AS pr " +
+          s"FROM $fact) t WHERE pr >= $frac AND pr <= ${1 - frac}",
+        0.9, "template_trimmed_mean")).take(1)
+    }
+
+  // "the most common score in math courses" — the mode of a measure
+  // under a dimension-value filter
+  private val filteredModeRe =
+    (raw"(?i)\bthe\s+most\s+(?:common|frequent)\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Filtered mode: "the most common V in M Js" → the value-filtered
+    * fact (broadcast dimension filter prunes before the shuffle)
+    * grouped by the measure, top-1 by count. M must be a MINED DOMAIN
+    * VALUE of a J attribute. */
+  def filteredModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    filteredModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val value = m.group(2)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(1), slice.tables(eJ.fromTable)).toSeq
+        attrCol <- values(dimJ).collectFirst {
+          case (c, dom) if dom.contains(value) => c
+        }.toSeq
+      } yield Candidate(
+        s"SELECT $measure FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"WHERE c.$attrCol = ${sqlLit(value)} GROUP BY $measure " +
+          s"ORDER BY COUNT(*) DESC, $measure LIMIT 1",
+        0.9, "template_filtered_mode")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6506,6 +6590,9 @@ object Templates {
       avgRankSpacingCandidates(slice, fks, question, values),
       namedValueSelfRelativeCandidates(slice, fks, question, values),
       yoyChangeCandidates(slice, fks, question),
+      quartileCohortCountCandidates(slice, fks, question),
+      trimmedMeanCandidates(slice, fks, question),
+      filteredModeCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -119,7 +119,8 @@ class EvaluationSpec extends SparkSpec {
         "trend_rank_list", "nth_entity_attr", "filtered_anti_count",
         "group_count_balance_argmin", "pair_overlap_argmax",
         "cumulative_distinct", "distribution_pct", "avg_rank_spacing",
-        "named_value_self_relative", "yoy_median_change"))
+        "named_value_self_relative", "yoy_median_change",
+        "quartile_cohort_count", "trimmed_mean", "filtered_mode"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
