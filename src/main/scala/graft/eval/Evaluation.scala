@@ -1334,8 +1334,8 @@ object Evaluation {
         "ON c.course_id = s.course_id WHERE c.dept = 'math' " +
         "GROUP BY score ORDER BY COUNT(*) DESC, score LIMIT 1",
       "filtered_mode"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ag open cases, closed in round 10ah (interquartile
+    //     range, median-exceeds-mean share, direction changes) ---
     EvalCase("the interquartile range of scores",
       "SELECT ROUND(PERCENTILE(score, 0.75) - PERCENTILE(score, 0.25), 4) " +
         "AS agg_value FROM scores", "iqr"),
@@ -1350,5 +1350,26 @@ object Evaluation {
         "s AS (SELECT year, SIGN(df) AS sg FROM d WHERE df IS NOT NULL) " +
         "SELECT COUNT(*) AS agg_value FROM (SELECT sg, LAG(sg) OVER " +
         "(ORDER BY year) AS pg FROM s) t WHERE pg IS NOT NULL AND sg <> pg",
-      "direction_changes"))
+      "direction_changes"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the proportion of score variance explained by course membership",
+      "SELECT ROUND(SUM(n * POWER(ga - (SELECT AVG(score) FROM scores), 2)) " +
+        "/ (SELECT VAR_POP(score) * COUNT(*) FROM scores), 4) AS agg_value " +
+        "FROM (SELECT course_id, AVG(score) AS ga, COUNT(*) AS n " +
+        "FROM scores GROUP BY course_id) g", "variance_explained"),
+    EvalCase("students in the overall top 10 by average who are not in the top 3 of any course",
+      "SELECT st.student_name FROM ((SELECT student_id FROM " +
+        "(SELECT student_id, RANK() OVER (ORDER BY a DESC) AS r FROM " +
+        "(SELECT student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id) x) y WHERE r <= 10) " +
+        "EXCEPT (SELECT DISTINCT student_id FROM (SELECT student_id, " +
+        "RANK() OVER (PARTITION BY course_id ORDER BY score DESC) AS cr " +
+        "FROM scores) z WHERE cr <= 3)) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "rank_set_difference"),
+    EvalCase("the enrollment-weighted average of course median scores",
+      "SELECT ROUND(SUM(n * med) / SUM(n), 4) AS agg_value FROM " +
+        "(SELECT COUNT(*) AS n, MEDIAN(score) AS med FROM scores " +
+        "GROUP BY course_id) t", "weighted_group_median"))
 }

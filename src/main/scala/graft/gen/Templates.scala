@@ -6432,6 +6432,78 @@ object Templates {
         0.9, "template_filtered_mode")).take(1)
     }
 
+  // "the interquartile range of scores" — P75 − P25 in one aggregate
+  private val iqrRe =
+    raw"(?i)\bthe\s+interquartile\s+range\s+of\s+([a-z_][a-z0-9_]*)\b".r
+
+  /** Interquartile range: both percentiles in ONE aggregate pass (the
+    * same sort-based percentile computes both cutpoints). */
+  def iqrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    iqrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(PERCENTILE($measure, 0.75) - " +
+          s"PERCENTILE($measure, 0.25), 4) AS agg_value FROM $fact",
+        0.9, "template_iqr")).take(1)
+    }
+
+  // "the share of courses where the median score exceeds the mean" —
+  // a skew-indicator share over group aggregates
+  private val medianExceedsMeanShareRe =
+    (raw"(?i)\bthe\s+(?:share|percentage|fraction)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+where\s+the\s+median\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(exceeds|is\s+above|is\s+below)\s+the\s+" +
+      raw"(?:mean|average)\b").r
+
+  /** Median-exceeds-mean share: both aggregates per group in ONE pass,
+    * single-row collapse of the |G| group rows. */
+  def medianExceedsMeanShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    medianExceedsMeanShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(3).toLowerCase.endsWith("below")) "<" else ">"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN med $op mean THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT ${eG.fromColumn}, MEDIAN($measure) AS med, " +
+          s"AVG($measure) AS mean FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn}) t",
+        0.9, "template_median_exceeds_mean_share")).take(1)
+    }
+
+  // "the number of times the yearly average score changed direction" —
+  // sign flips in the period-aggregate series
+  private val directionChangesRe =
+    (raw"(?i)\bthe\s+number\s+of\s+times\s+the\s+([a-z_][a-z0-9_]*?)ly\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+changed\s+direction\b").r
+
+  /** Direction changes: one grouped pass collapses the corpus to |P|
+    * period rows; two LAG layers over the tiny frame expose the
+    * consecutive delta signs and count the flips. */
+  def directionChangesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    directionChangesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        measure <- strongColumn(m.group(2), slice.tables(fact)).toSeq
+        if measure != periodCol
+      } yield Candidate(
+        s"WITH y AS (SELECT $periodCol AS p, AVG($measure) AS a FROM $fact " +
+          s"GROUP BY $periodCol), " +
+          s"d AS (SELECT p, a - LAG(a) OVER (ORDER BY p) AS df FROM y), " +
+          s"s AS (SELECT p, SIGN(df) AS sg FROM d WHERE df IS NOT NULL) " +
+          s"SELECT COUNT(*) AS agg_value FROM (SELECT sg, LAG(sg) OVER " +
+          s"(ORDER BY p) AS pg FROM s) t WHERE pg IS NOT NULL AND sg <> pg",
+        0.9, "template_direction_changes")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6593,6 +6665,9 @@ object Templates {
       quartileCohortCountCandidates(slice, fks, question),
       trimmedMeanCandidates(slice, fks, question),
       filteredModeCandidates(slice, fks, question, values),
+      iqrCandidates(slice, fks, question),
+      medianExceedsMeanShareCandidates(slice, fks, question),
+      directionChangesCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
