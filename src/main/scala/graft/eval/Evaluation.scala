@@ -1351,8 +1351,8 @@ object Evaluation {
         "SELECT COUNT(*) AS agg_value FROM (SELECT sg, LAG(sg) OVER " +
         "(ORDER BY year) AS pg FROM s) t WHERE pg IS NOT NULL AND sg <> pg",
       "direction_changes"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ah open cases, closed in round 10ai (variance
+    //     explained, rank set difference, weighted group median) ---
     EvalCase("the proportion of score variance explained by course membership",
       "SELECT ROUND(SUM(n * POWER(ga - (SELECT AVG(score) FROM scores), 2)) " +
         "/ (SELECT VAR_POP(score) * COUNT(*) FROM scores), 4) AS agg_value " +
@@ -1371,5 +1371,28 @@ object Evaluation {
     EvalCase("the enrollment-weighted average of course median scores",
       "SELECT ROUND(SUM(n * med) / SUM(n), 4) AS agg_value FROM " +
         "(SELECT COUNT(*) AS n, MEDIAN(score) AS med FROM scores " +
-        "GROUP BY course_id) t", "weighted_group_median"))
+        "GROUP BY course_id) t", "weighted_group_median"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the gini coefficient of course enrollments",
+      "WITH e AS (SELECT COUNT(*) AS n FROM scores GROUP BY course_id), " +
+        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM e) " +
+        "SELECT ROUND(2.0 * SUM(i * n) / (COUNT(*) * SUM(n)) - " +
+        "(COUNT(*) + 1.0) / COUNT(*), 4) AS agg_value FROM r",
+      "gini_enrollment"),
+    EvalCase("the number of students whose course list is a subset of Ada Adams's",
+      "SELECT COUNT(DISTINCT s.student_id) AS agg_value FROM scores s " +
+        "WHERE s.student_id NOT IN (SELECT student_id FROM students " +
+        "WHERE student_name = 'Ada Adams') AND s.student_id NOT IN " +
+        "(SELECT s3.student_id FROM scores s3 WHERE s3.course_id NOT IN " +
+        "(SELECT s2.course_id FROM scores s2 JOIN students st2 " +
+        "ON st2.student_id = s2.student_id " +
+        "WHERE st2.student_name = 'Ada Adams'))",
+      "subset_containment_count"),
+    EvalCase("the number of depts where every course has at least 50 students",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT dept FROM " +
+        "(SELECT c.dept, s.course_id, COUNT(DISTINCT s.student_id) AS n " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) x GROUP BY dept " +
+        "HAVING MIN(n) >= 50) t", "universal_threshold_count"))
 }

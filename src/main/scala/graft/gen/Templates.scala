@@ -6504,6 +6504,102 @@ object Templates {
         0.9, "template_direction_changes")).take(1)
     }
 
+  // "the proportion of score variance explained by course membership" —
+  // eta-squared: between-group sum of squares over total
+  private val varianceExplainedRe =
+    (raw"(?i)\bthe\s+proportion\s+of\s+([a-z_][a-z0-9_]*)\s+variance\s+" +
+      raw"explained\s+by\s+([a-z_][a-z0-9_]*)\s+membership\b").r
+
+  /** Variance explained (η²): per-group means and sizes in one grouped
+    * pass; the grand mean and total sum of squares are one-row scalar
+    * subqueries (broadcast) — ANOVA between/total decomposition from
+    * two corpus passes, both map-side-combined. */
+  def varianceExplainedCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    varianceExplainedRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(2)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(1), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(SUM(n * POWER(ga - (SELECT AVG($measure) FROM " +
+          s"${eG.fromTable}), 2)) / (SELECT VAR_POP($measure) * COUNT(*) " +
+          s"FROM ${eG.fromTable}), 4) AS agg_value FROM " +
+          s"(SELECT ${eG.fromColumn}, AVG($measure) AS ga, COUNT(*) AS n " +
+          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) g",
+        0.9, "template_variance_explained")).take(1)
+    }
+
+  // "students in the overall top 10 by average who are not in the top 3
+  // of any course" — a set difference of two rank cohorts
+  private val rankSetDifferenceRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+in\s+the\s+overall\s+top\s+(\d+)\s+" +
+      raw"by\s+(?:average|avg|mean)\s+who\s+are\s+not\s+in\s+the\s+" +
+      raw"top\s+(\d+)\s+of\s+any\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Rank set difference: the global cohort ranks over the |E|-sized
+    * aggregate frame; the per-J cohort ranks inside J partitions (hash
+    * shuffle on J, never a global window over the corpus); EXCEPT of
+    * two key-sized sets, names resolved last. */
+  def rankSetDifferenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    rankSetDifferenceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM ((SELECT ${eE.fromColumn} FROM " +
+          s"(SELECT ${eE.fromColumn}, RANK() OVER (ORDER BY a DESC) AS r FROM " +
+          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) x) y WHERE r <= ${m.group(2)}) " +
+          s"EXCEPT (SELECT DISTINCT ${eE.fromColumn} FROM " +
+          s"(SELECT ${eE.fromColumn}, RANK() OVER (PARTITION BY " +
+          s"${eJ.fromColumn} ORDER BY $measure DESC) AS cr FROM " +
+          s"${eE.fromTable}) z WHERE cr <= ${m.group(3)})) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_rank_set_difference")).take(1)
+    }
+
+  // "the enrollment-weighted average of course median scores"
+  private val weightedGroupMedianRe =
+    (raw"(?i)\bthe\s+enrollment[- ]weighted\s+(?:average|avg|mean)\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+median\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Enrollment-weighted group median: counts and medians per group in
+    * ONE pass, the weighted collapse over the |G| frame. */
+  def weightedGroupMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    weightedGroupMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(SUM(n * med) / SUM(n), 4) AS agg_value FROM " +
+          s"(SELECT COUNT(*) AS n, MEDIAN($measure) AS med FROM " +
+          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
+        0.9, "template_weighted_group_median")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6668,6 +6764,9 @@ object Templates {
       iqrCandidates(slice, fks, question),
       medianExceedsMeanShareCandidates(slice, fks, question),
       directionChangesCandidates(slice, fks, question),
+      varianceExplainedCandidates(slice, fks, question),
+      rankSetDifferenceCandidates(slice, fks, question, values),
+      weightedGroupMedianCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

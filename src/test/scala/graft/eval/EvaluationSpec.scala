@@ -121,7 +121,9 @@ class EvaluationSpec extends SparkSpec {
         "cumulative_distinct", "distribution_pct", "avg_rank_spacing",
         "named_value_self_relative", "yoy_median_change",
         "quartile_cohort_count", "trimmed_mean", "filtered_mode",
-        "iqr", "median_exceeds_mean_share", "direction_changes"))
+        "iqr", "median_exceeds_mean_share", "direction_changes",
+        "variance_explained", "rank_set_difference",
+        "weighted_group_median"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
