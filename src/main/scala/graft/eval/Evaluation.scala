@@ -1372,8 +1372,8 @@ object Evaluation {
       "SELECT ROUND(SUM(n * med) / SUM(n), 4) AS agg_value FROM " +
         "(SELECT COUNT(*) AS n, MEDIAN(score) AS med FROM scores " +
         "GROUP BY course_id) t", "weighted_group_median"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ai open cases, closed in round 10aj (Gini of group
+    //     sizes, subset containment, universal-threshold count) ---
     EvalCase("the gini coefficient of course enrollments",
       "WITH e AS (SELECT COUNT(*) AS n FROM scores GROUP BY course_id), " +
         "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM e) " +
@@ -1394,5 +1394,30 @@ object Evaluation {
         "(SELECT c.dept, s.course_id, COUNT(DISTINCT s.student_id) AS n " +
         "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.course_id) x GROUP BY dept " +
-        "HAVING MIN(n) >= 50) t", "universal_threshold_count"))
+        "HAVING MIN(n) >= 50) t", "universal_threshold_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the entropy of the grade distribution",
+      "SELECT ROUND(-SUM(p * LN(p)), 4) AS agg_value FROM " +
+        "(SELECT CAST(COUNT(*) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM scores) AS p FROM scores GROUP BY grade) t",
+      "category_entropy"),
+    EvalCase("the average number of shared courses between pairs of students in the same grade level",
+      "SELECT ROUND(CAST(SUM(shared) AS DOUBLE) / SUM(pairs), 4) " +
+        "AS agg_value FROM (SELECT gl, COUNT(*) AS shared, 0 AS pairs " +
+        "FROM (SELECT st1.grade_level AS gl, a.student_id AS s1, " +
+        "b.student_id AS s2 FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "JOIN students st1 ON st1.student_id = a.student_id " +
+        "JOIN students st2 ON st2.student_id = b.student_id " +
+        "WHERE st1.grade_level = st2.grade_level) p GROUP BY gl " +
+        "UNION ALL SELECT grade_level AS gl, 0 AS shared, " +
+        "COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM students " +
+        "GROUP BY grade_level) u", "avg_shared_membership"),
+    EvalCase("courses where the score gap between ninth and tenth graders exceeds 5",
+      "SELECT s.course_id FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id GROUP BY s.course_id " +
+        "HAVING ABS(AVG(CASE WHEN st.grade_level = 9 THEN s.score END) - " +
+        "AVG(CASE WHEN st.grade_level = 10 THEN s.score END)) > 5 " +
+        "ORDER BY s.course_id LIMIT 100", "cohort_gap_filter"))
 }

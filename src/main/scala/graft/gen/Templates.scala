@@ -6600,6 +6600,98 @@ object Templates {
         0.9, "template_weighted_group_median")).take(1)
     }
 
+  // "the gini coefficient of course enrollments" — inequality of group
+  // sizes via the sorted-rank Gini formula
+  private val giniEnrollmentRe =
+    (raw"(?i)\bthe\s+gini\s+coefficient\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"enrollments?\b").r
+
+  /** Gini coefficient of group sizes: counts per group in one pass,
+    * ROW_NUMBER over the |G|-sized sorted frame, the closed-form
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — never the O(G²) pair form. */
+  def giniEnrollmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    giniEnrollmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"WITH e AS (SELECT COUNT(*) AS n FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn}), " +
+          s"r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM e) " +
+          s"SELECT ROUND(2.0 * SUM(i * n) / (COUNT(*) * SUM(n)) - " +
+          s"(COUNT(*) + 1.0) / COUNT(*), 4) AS agg_value FROM r",
+        0.9, "template_gini_enrollment")).take(1)
+    }
+
+  // "the number of students whose course list is a subset of Ada
+  // Adams's" — membership-set containment against a named example
+  private val subsetContainmentRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+list\s+is\s+a\s+subset\s+of\s+" +
+      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))(?:'s)?\s*$$").r
+
+  /** Subset containment count: "the number of Es whose J list is a
+    * subset of NAME's" → entities with no membership outside the named
+    * entity's set (double anti-membership: rows outside the example set
+    * disqualify their entity), the example excluded from its own count.
+    * Both NOT-IN sets are key-sized; the example set is broadcast. */
+  def subsetContainmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    subsetContainmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val name = m.group(3).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value " +
+          s"FROM ${eE.fromTable} s WHERE s.${eE.fromColumn} NOT IN " +
+          s"(SELECT ${eE.toColumn} FROM $dimE WHERE $nameCol = '$name') " +
+          s"AND s.${eE.fromColumn} NOT IN (SELECT s3.${eE.fromColumn} " +
+          s"FROM ${eE.fromTable} s3 WHERE s3.${eJ.fromColumn} NOT IN " +
+          s"(SELECT s2.${eJ.fromColumn} FROM ${eE.fromTable} s2 " +
+          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
+          s"WHERE st2.$nameCol = '$name'))",
+        0.9, "template_subset_containment")).take(1)
+    }
+
+  // "the number of depts where every course has at least 50 students" —
+  // a COUNT of groups passing a universal member threshold
+  private val universalThresholdCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+where\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+has\s+at\s+least\s+(\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Universal-threshold count: "the number of As where every J has at
+    * least N Es" → per-(A, J) distinct-entity counts in one fact pass
+    * through the broadcast dimension, the ∀ collapses to a grouped MIN,
+    * single-row COUNT. */
+  def universalThresholdCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalThresholdCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        attrCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT grp FROM " +
+          s"(SELECT c.$attrCol AS grp, s.${eJ.fromColumn}, " +
+          s"COUNT(DISTINCT s.${eE.fromColumn}) AS n FROM ${eJ.fromTable} s " +
+          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) x GROUP BY grp " +
+          s"HAVING MIN(n) >= ${m.group(3)}) t",
+        0.9, "template_universal_threshold_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6767,6 +6859,9 @@ object Templates {
       varianceExplainedCandidates(slice, fks, question),
       rankSetDifferenceCandidates(slice, fks, question, values),
       weightedGroupMedianCandidates(slice, fks, question),
+      giniEnrollmentCandidates(slice, fks, question),
+      subsetContainmentCandidates(slice, fks, question),
+      universalThresholdCountCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
