@@ -1395,8 +1395,8 @@ object Evaluation {
         "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.course_id) x GROUP BY dept " +
         "HAVING MIN(n) >= 50) t", "universal_threshold_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10aj open cases, closed in round 10ak (category entropy,
+    //     average shared membership, cohort-gap filter) ---
     EvalCase("the entropy of the grade distribution",
       "SELECT ROUND(-SUM(p * LN(p)), 4) AS agg_value FROM " +
         "(SELECT CAST(COUNT(*) AS DOUBLE) / " +
@@ -1419,5 +1419,26 @@ object Evaluation {
         "ON st.student_id = s.student_id GROUP BY s.course_id " +
         "HAVING ABS(AVG(CASE WHEN st.grade_level = 9 THEN s.score END) - " +
         "AVG(CASE WHEN st.grade_level = 10 THEN s.score END)) > 5 " +
-        "ORDER BY s.course_id LIMIT 100", "cohort_gap_filter"))
+        "ORDER BY s.course_id LIMIT 100", "cohort_gap_filter"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who beat Ada Adams in every course they share with her",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN (SELECT course_id, score FROM scores s2 JOIN students st2 " +
+        "ON st2.student_id = s2.student_id " +
+        "WHERE st2.student_name = 'Ada Adams') a " +
+        "ON a.course_id = s.course_id GROUP BY s.student_id " +
+        "HAVING MIN(CASE WHEN s.score > a.score THEN 1 ELSE 0 END) = 1) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "WHERE st.student_name <> 'Ada Adams' " +
+        "ORDER BY st.student_name LIMIT 100", "named_dominance"),
+    EvalCase("the 90th percentile of per-student average scores",
+      "SELECT ROUND(PERCENTILE(a, 0.9), 4) AS agg_value FROM " +
+        "(SELECT AVG(score) AS a FROM scores GROUP BY student_id) t",
+      "percentile_of_group_aggs"),
+    EvalCase("courses whose enrollment is above the median course enrollment",
+      "SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING COUNT(*) > (SELECT MEDIAN(c) FROM (SELECT COUNT(*) AS c " +
+        "FROM scores GROUP BY course_id) t) " +
+        "ORDER BY course_id LIMIT 100", "above_median_count"))
 }

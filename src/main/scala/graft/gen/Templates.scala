@@ -6692,6 +6692,109 @@ object Templates {
         0.9, "template_universal_threshold_count")).take(1)
     }
 
+  // "the entropy of the grade distribution" — Shannon entropy of a
+  // categorical column's frequency distribution
+  private val categoryEntropyRe =
+    (raw"(?i)\bthe\s+entropy\s+of\s+the\s+" +
+      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+distribution\b").r
+
+  /** Category entropy: grouped counts against the one-row total
+    * (broadcast scalar), −Σ p·ln p over the |domain|-sized frame. */
+  def categoryEntropyCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    categoryEntropyRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
+      (for {
+        fact <- slice.tables.keySet.toSeq.sorted
+        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(-SUM(p * LN(p)), 4) AS agg_value FROM " +
+          s"(SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM $fact) " +
+          s"AS p FROM $fact GROUP BY $catCol) t",
+        0.9, "template_category_entropy")).take(1)
+    }
+
+  // "the average number of shared courses between pairs of students in
+  // the same grade level" — mean pairwise set overlap within cohorts
+  private val avgSharedMembershipRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+number\s+of\s+shared\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+between\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+the\s+same\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
+
+  /** Average shared membership: "the avg number of shared Js between
+    * pairs of Es in the same A" → shared counts from the J-keyed fact
+    * self-join (degree-bounded fanout per J, never a corpus cross), the
+    * all-pairs denominator n·(n−1)/2 computed from the dimension alone,
+    * both per-cohort legs unioned into one weighted collapse. */
+  def avgSharedMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgSharedMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(shared) AS DOUBLE) / SUM(pairs), 4) " +
+          s"AS agg_value FROM (SELECT gl, COUNT(*) AS shared, 0 AS pairs " +
+          s"FROM (SELECT st1.$attrCol AS gl, a.${eE.fromColumn} AS s1, " +
+          s"b.${eE.fromColumn} AS s2 FROM ${eE.fromTable} a " +
+          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"JOIN $dimE st1 ON st1.${eE.toColumn} = a.${eE.fromColumn} " +
+          s"JOIN $dimE st2 ON st2.${eE.toColumn} = b.${eE.fromColumn} " +
+          s"WHERE st1.$attrCol = st2.$attrCol) p GROUP BY gl " +
+          s"UNION ALL SELECT $attrCol AS gl, 0 AS shared, " +
+          s"COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM $dimE " +
+          s"GROUP BY $attrCol) u",
+        0.9, "template_avg_shared_membership")).take(1)
+    }
+
+  // "courses where the score gap between ninth and tenth graders
+  // exceeds 5" — per-group two-cohort conditional gap filter
+  private val cohortGapFilterRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"gap\s+between\s+(first|second|third|fourth|fifth|sixth|seventh|" +
+      raw"eighth|ninth|tenth|eleventh|twelfth)\s+and\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth)\s+graders\s+" +
+      raw"(exceeds|is\s+above|is\s+below)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Cohort-gap filter: "Js where the V gap between N1 and N2 graders
+    * exceeds X" → both cohort averages as conditional CASE aggregates
+    * in ONE grouped pass through the broadcast entity dimension, the
+    * absolute gap in HAVING. */
+  def cohortGapFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortGapFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val (n1, n2) = (ordinals(m.group(3).toLowerCase), ordinals(m.group(4).toLowerCase))
+      val op = if (m.group(5).toLowerCase.endsWith("below")) "<" else ">"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
+          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn} " +
+          s"HAVING ABS(AVG(CASE WHEN st.$gradeCol = $n1 THEN s.$measure END) - " +
+          s"AVG(CASE WHEN st.$gradeCol = $n2 THEN s.$measure END)) " +
+          s"$op ${m.group(6)} " +
+          s"ORDER BY s.${eJ.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_cohort_gap_filter")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6862,6 +6965,9 @@ object Templates {
       giniEnrollmentCandidates(slice, fks, question),
       subsetContainmentCandidates(slice, fks, question),
       universalThresholdCountCandidates(slice, fks, question),
+      categoryEntropyCandidates(slice, fks, question),
+      avgSharedMembershipCandidates(slice, fks, question),
+      cohortGapFilterCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

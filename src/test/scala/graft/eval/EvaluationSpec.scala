@@ -124,7 +124,9 @@ class EvaluationSpec extends SparkSpec {
         "iqr", "median_exceeds_mean_share", "direction_changes",
         "variance_explained", "rank_set_difference",
         "weighted_group_median", "gini_enrollment",
-        "subset_containment_count", "universal_threshold_count"))
+        "subset_containment_count", "universal_threshold_count",
+        "category_entropy", "avg_shared_membership",
+        "cohort_gap_filter"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
