@@ -1420,8 +1420,8 @@ object Evaluation {
         "HAVING ABS(AVG(CASE WHEN st.grade_level = 9 THEN s.score END) - " +
         "AVG(CASE WHEN st.grade_level = 10 THEN s.score END)) > 5 " +
         "ORDER BY s.course_id LIMIT 100", "cohort_gap_filter"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ak open cases, closed in round 10al (named dominance,
+    //     percentile of group aggregates, above-median count) ---
     EvalCase("students who beat Ada Adams in every course they share with her",
       "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
         "JOIN (SELECT course_id, score FROM scores s2 JOIN students st2 " +
@@ -1440,5 +1440,25 @@ object Evaluation {
       "SELECT course_id FROM scores GROUP BY course_id " +
         "HAVING COUNT(*) > (SELECT MEDIAN(c) FROM (SELECT COUNT(*) AS c " +
         "FROM scores GROUP BY course_id) t) " +
-        "ORDER BY course_id LIMIT 100", "above_median_count"))
+        "ORDER BY course_id LIMIT 100", "above_median_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the pair of students with the most similar score profiles",
+      "SELECT s1, s2 FROM (SELECT a.student_id AS s1, b.student_id AS s2, " +
+        "AVG(ABS(a.score - b.score)) AS d FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "GROUP BY a.student_id, b.student_id HAVING COUNT(*) >= 5) t " +
+        "ORDER BY d ASC, s1, s2 LIMIT 1", "profile_similarity_argmin"),
+    EvalCase("the minimum score needed to be in the top 10 percent",
+      "SELECT MIN(score) AS agg_value FROM (SELECT score, PERCENT_RANK() " +
+        "OVER (ORDER BY score DESC) AS pr FROM scores) t WHERE pr <= 0.1",
+      "top_decile_threshold"),
+    EvalCase("the share of students whose rank improved between 2022 and 2023",
+      "WITH r AS (SELECT year, student_id, RANK() OVER (PARTITION BY year " +
+        "ORDER BY AVG(score) DESC) AS rk FROM scores " +
+        "WHERE year IN (2022, 2023) GROUP BY year, student_id) " +
+        "SELECT ROUND(CAST(SUM(CASE WHEN b.rk < a.rk THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM r a JOIN r b " +
+        "ON a.student_id = b.student_id AND a.year = 2022 AND b.year = 2023",
+      "rank_trend_share"))
 }

@@ -6795,6 +6795,108 @@ object Templates {
         0.9, "template_cohort_gap_filter")).take(1)
     }
 
+  // "students who beat Ada Adams in every course they share with her" —
+  // universal pairwise dominance against a named example
+  private val namedDominanceRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+(?:beat|outscored|outperformed)\s+" +
+      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))\s+in\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+they\s+share\s+with\s+(?:her|him|them)\b").r
+
+  /** Named dominance: "Es who beat NAME in every J they share" → the
+    * example's (J, V) rows are a key-sized broadcast frame; the fact
+    * joins it on J, the ∀ collapses to a grouped MIN indicator per
+    * entity (entities sharing nothing drop — no vacuous winners), the
+    * example excluded, names resolved last. */
+  def namedDominanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    namedDominanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val name = m.group(2).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
+          s"${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, $measure FROM " +
+          s"${eE.fromTable} s2 JOIN $dimE st2 " +
+          s"ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
+          s"WHERE st2.$nameCol = '$name') a " +
+          s"ON a.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn} " +
+          s"HAVING MIN(CASE WHEN s.$measure > a.$measure THEN 1 ELSE 0 END) = 1) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"WHERE st.$nameCol <> '$name' " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_named_dominance")).take(1)
+    }
+
+  // "the 90th percentile of per-student average scores" — a percentile
+  // over group aggregates
+  private val percentileOfGroupAggsRe =
+    (raw"(?i)\bthe\s+(\d+)(?:th|st|nd|rd)\s+percentile\s+of\s+" +
+      raw"per[- ]([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Percentile of group aggregates: per-entity averages in one pass,
+    * PERCENTILE over the group-sized frame. */
+  def percentileOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    percentileOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val p = m.group(1).toInt / 100.0
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(m.group(3), slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(PERCENTILE(a, $p), 4) AS agg_value FROM " +
+          s"(SELECT AVG($measure) AS a FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_percentile_of_group_aggs")).take(1)
+    }
+
+  // "courses whose enrollment is above the median course enrollment" —
+  // group count vs the median of group counts
+  private val aboveMedianCountRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+enrollment\s+is\s+" +
+      raw"(above|below)\s+the\s+median\s+(?:[a-z_][a-z0-9_]*\s+)?" +
+      raw"enrollment\b").r
+
+  /** Above-median count: per-group counts in one pass, the median of
+    * the count frame as a one-row scalar subquery broadcast into
+    * HAVING. */
+  def aboveMedianCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    aboveMedianCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(2).toLowerCase == "above") ">" else "<"
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"SELECT ${eG.fromColumn} FROM ${eG.fromTable} " +
+          s"GROUP BY ${eG.fromColumn} HAVING COUNT(*) $op " +
+          s"(SELECT MEDIAN(c) FROM (SELECT COUNT(*) AS c FROM " +
+          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t) " +
+          s"ORDER BY ${eG.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_above_median_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -6968,6 +7070,9 @@ object Templates {
       categoryEntropyCandidates(slice, fks, question),
       avgSharedMembershipCandidates(slice, fks, question),
       cohortGapFilterCandidates(slice, fks, question),
+      namedDominanceCandidates(slice, fks, question, values),
+      percentileOfGroupAggsCandidates(slice, fks, question),
+      aboveMedianCountCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -126,7 +126,8 @@ class EvaluationSpec extends SparkSpec {
         "weighted_group_median", "gini_enrollment",
         "subset_containment_count", "universal_threshold_count",
         "category_entropy", "avg_shared_membership",
-        "cohort_gap_filter"))
+        "cohort_gap_filter", "named_dominance",
+        "percentile_of_group_aggs", "above_median_count"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
