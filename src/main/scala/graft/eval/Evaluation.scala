@@ -1441,8 +1441,8 @@ object Evaluation {
         "HAVING COUNT(*) > (SELECT MEDIAN(c) FROM (SELECT COUNT(*) AS c " +
         "FROM scores GROUP BY course_id) t) " +
         "ORDER BY course_id LIMIT 100", "above_median_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10al open cases, closed in round 10am (profile
+    //     similarity, top-decile threshold, rank-trend share) ---
     EvalCase("the pair of students with the most similar score profiles",
       "SELECT s1, s2 FROM (SELECT a.student_id AS s1, b.student_id AS s2, " +
         "AVG(ABS(a.score - b.score)) AS d FROM scores a JOIN scores b " +
@@ -1460,5 +1460,30 @@ object Evaluation {
         "SELECT ROUND(CAST(SUM(CASE WHEN b.rk < a.rk THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM r a JOIN r b " +
         "ON a.student_id = b.student_id AND a.year = 2022 AND b.year = 2023",
-      "rank_trend_share"))
+      "rank_trend_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the share of scores within one standard deviation of the mean",
+      "SELECT ROUND(CAST(SUM(CASE WHEN ABS(score - " +
+        "(SELECT AVG(score) FROM scores)) <= " +
+        "(SELECT STDDEV_POP(score) FROM scores) THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM scores",
+      "zscore_band_share"),
+    EvalCase("the pair of courses sharing the largest fraction of their combined students",
+      "SELECT c1, c2 FROM (SELECT a.course_id AS c1, b.course_id AS c2, " +
+        "CAST(COUNT(*) AS DOUBLE) / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) AS j " +
+        "FROM scores a JOIN scores b ON a.student_id = b.student_id " +
+        "AND a.course_id < b.course_id " +
+        "JOIN (SELECT course_id, COUNT(*) AS n FROM scores GROUP BY course_id) ca " +
+        "ON ca.course_id = a.course_id " +
+        "JOIN (SELECT course_id, COUNT(*) AS n FROM scores GROUP BY course_id) cb " +
+        "ON cb.course_id = b.course_id " +
+        "GROUP BY a.course_id, b.course_id) t " +
+        "ORDER BY j DESC, c1, c2 LIMIT 1", "jaccard_pair_argmax"),
+    EvalCase("how many students are in the top 10 of more than one course",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM " +
+        "(SELECT student_id, course_id, RANK() OVER (PARTITION BY course_id " +
+        "ORDER BY score DESC) AS rk FROM scores) r WHERE rk <= 10 " +
+        "GROUP BY student_id HAVING COUNT(DISTINCT course_id) > 1) t",
+      "multi_top_rank_count"))
 }

@@ -6897,6 +6897,129 @@ object Templates {
         0.9, "template_above_median_count")).take(1)
     }
 
+  // "the pair of students with the most similar score profiles" —
+  // argmin of mean |Δ| over co-membership pairs
+  private val profileSimilarityRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"similar\s+([a-z_][a-z0-9_]*)\s+profiles?\b").r
+
+  /** Minimum shared co-membership for a profile comparison to count:
+    * pairs sharing fewer items are noise (one lucky overlap would beat
+    * every dense pair). A documented surface convention like
+    * DefaultLimit, not data-derived. */
+  val ProfileMinSupport = 5
+
+  /** Profile-similarity argmin: "the pair of Es with the most similar V
+    * profiles" → self-join the fact on its OTHER dimension key (the
+    * co-membership axis), mean |ΔV| per pair, keep pairs sharing >=
+    * ProfileMinSupport items, global top-1 with a deterministic id
+    * tiebreak. The self-join fans out per co-membership bucket (course
+    * enrollment), never all-pairs over entities — the exact
+    * small-cardinality analogue of the L1 profile distance; at corpus
+    * scale this routes to the LSH near-dup path (`Similarity.
+    * cosineNearDuplicates`) instead of the exact self-join. */
+  def profileSimilarityArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    profileSimilarityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        other <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE).toSeq
+      } yield Candidate(
+        s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
+          s"b.${eE.fromColumn} AS s2, AVG(ABS(a.$measure - b.$measure)) AS d " +
+          s"FROM ${eE.fromTable} a JOIN ${eE.fromTable} b " +
+          s"ON a.${other.fromColumn} = b.${other.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
+          s"HAVING COUNT(*) >= $ProfileMinSupport) t " +
+          s"ORDER BY d ASC, s1, s2 LIMIT 1",
+        0.9, "template_profile_similarity_argmin")).take(1)
+    }
+
+  // "the minimum score needed to be in the top 10 percent" — the
+  // boundary value of a global percentile band
+  private val topDecileThresholdRe =
+    (raw"(?i)\bthe\s+(minimum|maximum)\s+([a-z_][a-z0-9_]*)\s+needed\s+to\s+" +
+      raw"be\s+in\s+the\s+(top|bottom)\s+(\d+(?:\.\d+)?)\s+(?:percent|%)\b").r
+
+  /** Global percentile-band boundary: "the minimum V needed to be in
+    * the top N percent" → PERCENT_RANK over V descending, MIN over the
+    * band (ties included, exactly the rank semantics). The global
+    * window mirrors those tie semantics; at corpus scale the same
+    * boundary comes from `Sketches.kllQuantiles` /
+    * `Profiler.exactPercentiles` (one sketch merge, no global sort) —
+    * the same routing note as percentileRankCandidates. */
+  def topDecileThresholdCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    topDecileThresholdRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val minSide = m.group(1).toLowerCase == "minimum"
+      val top = m.group(3).toLowerCase == "top"
+      // "minimum … in the bottom N" is the corpus floor, not a
+      // threshold question — only the aligned phrasings are claimed
+      if (minSide != top) Seq.empty
+      else {
+        val f = m.group(4).toDouble / 100.0
+        val (agg, dir) = if (top) ("MIN", "DESC") else ("MAX", "ASC")
+        (for {
+          tbl <- slice.tables.keys.toSeq.sorted
+          measure <- strongColumn(m.group(2), slice.tables(tbl)).toSeq
+        } yield Candidate(
+          s"SELECT $agg($measure) AS agg_value FROM (SELECT $measure, " +
+            s"PERCENT_RANK() OVER (ORDER BY $measure $dir) AS pr FROM $tbl) t " +
+            s"WHERE pr <= $f",
+          0.9, "template_top_decile_threshold")).take(1)
+      }
+    }
+
+  // "the share of students whose rank improved between 2022 and 2023" —
+  // two-period rank comparison share
+  private val rankTrendShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+rank\s+" +
+      raw"(improved|rose|declined|dropped|worsened)\s+between\s+" +
+      raw"(\d{4})\s+and\s+(\d{4})\b").r
+
+  /** Rank-trend share: per-period entity ranks by average measure (the
+    * window partitions by period, so each sort covers one period's
+    * entity-aggregate frame — entity-count-sized, never the raw
+    * corpus), self-join the two key-sized rank frames on the entity,
+    * share with a lower (improved) rank in the later period. Measure
+    * by elimination as in namedDominanceCandidates. */
+  def rankTrendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    rankTrendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val improved = Set("improved", "rose").contains(m.group(2).toLowerCase)
+      val cmp = if (improved) "<" else ">"
+      val (y1, y2) = (m.group(3), m.group(4))
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eE.fromTable)
+        period <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH r AS (SELECT $period, ${eE.fromColumn}, RANK() OVER " +
+          s"(PARTITION BY $period ORDER BY AVG($measure) DESC) AS rk " +
+          s"FROM ${eE.fromTable} WHERE $period IN ($y1, $y2) " +
+          s"GROUP BY $period, ${eE.fromColumn}) " +
+          s"SELECT ROUND(CAST(SUM(CASE WHEN b.rk $cmp a.rk THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM r a JOIN r b " +
+          s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND a.$period = $y1 AND b.$period = $y2",
+        0.9, "template_rank_trend_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7073,6 +7196,9 @@ object Templates {
       namedDominanceCandidates(slice, fks, question, values),
       percentileOfGroupAggsCandidates(slice, fks, question),
       aboveMedianCountCandidates(slice, fks, question),
+      profileSimilarityArgminCandidates(slice, fks, question),
+      topDecileThresholdCandidates(slice, fks, question),
+      rankTrendShareCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -127,7 +127,9 @@ class EvaluationSpec extends SparkSpec {
         "subset_containment_count", "universal_threshold_count",
         "category_entropy", "avg_shared_membership",
         "cohort_gap_filter", "named_dominance",
-        "percentile_of_group_aggs", "above_median_count"))
+        "percentile_of_group_aggs", "above_median_count",
+        "profile_similarity_argmin", "top_decile_threshold",
+        "rank_trend_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
