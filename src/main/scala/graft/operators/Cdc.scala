@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
  * large-scale curation pipeline that receives corrections (re-crawls,
  * takedown requests, label fixes) after the first load. North-star
  * extension beyond the reference (which only ever reads current table
- * state, `app/services/query_service.py`-era snapshot queries); the
+ * state — every query runs against the live current snapshot via the
+ * SQLAlchemy engine, `app/db.py:5` / `app/routes_ai.py`); the
  * semantics re-expressed here are the public Debezium changelog /
  * lakehouse MERGE model (Armbrust et al., "Delta Lake: High-Performance
  * ACID Table Storage over Cloud Object Stores", VLDB 2020, §4.1).
