@@ -234,6 +234,55 @@ object Queries {
         "UNION ALL SELECT 'not_null', 'o_orderpriority', ROUND(v_nn*1.0/total, 6), 0.0, v_nn*1.0/total <= 0.0 FROM t " +
         "UNION ALL SELECT 'unique', 'o_orderkey', ROUND(v_uq*1.0/total, 6), 0.0, v_uq*1.0/total <= 0.0 FROM t" +
         ") x ORDER BY \"check\", col_name"),
+    // host-graph PageRank replica: the same edges via the shared URL
+    // augmentation, 3 unrolled power iterations with dangling-mass
+    // redistribution; every constant CAST to DOUBLE so the arithmetic
+    // is the same IEEE ops as the Spark side (then ROUND 6)
+    "x_pagerank" -> {
+      val base =
+        "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
+          "'.example.org/p/' || doc_id || ' and http://cdn' || (doc_id % 7) || '.example.net' ELSE text END AS text FROM documents), " +
+          s"u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlPattern}')) AS url FROM aug), " +
+          "h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u), " +
+          "e AS (SELECT DISTINCT s.host AS src, t.host AS dst FROM h s JOIN h t ON s.doc_id = t.doc_id " +
+          "WHERE s.host LIKE 'www.site%' AND t.host LIKE 'cdn%'), " +
+          "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "c0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nd), " +
+          "od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src), " +
+          "p0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT nn FROM c0) AS pr FROM nd)"
+      val iters = (1 to 3).map { i =>
+        val p = s"p${i - 1}"
+        s"w$i AS (SELECT e.dst AS node, SUM(p.pr / od.deg) AS w FROM e JOIN $p p ON p.node = e.src " +
+          "JOIN od ON od.src = e.src GROUP BY e.dst), " +
+          s"d$i AS (SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS dang FROM $p p " +
+          "LEFT JOIN od ON od.src = p.node WHERE od.src IS NULL), " +
+          s"p$i AS (SELECT nd.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM c0) + " +
+          s"CAST(0.85 AS DOUBLE) * (COALESCE(w$i.w, CAST(0 AS DOUBLE)) + (SELECT dang FROM d$i) / (SELECT nn FROM c0)) AS pr " +
+          s"FROM nd LEFT JOIN w$i ON w$i.node = nd.node)"
+      }.mkString(", ", ", ", " ")
+      base + iters + "SELECT node, ROUND(pr, 6) AS pr FROM p3 ORDER BY node"
+    },
+    "x_host_graph_degrees" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
+        "'.example.org/p/' || doc_id || ' and http://cdn' || (doc_id % 7) || '.example.net' ELSE text END AS text FROM documents), " +
+        s"u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlPattern}')) AS url FROM aug), " +
+        "h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u), " +
+        "e AS (SELECT DISTINCT s.host AS src, t.host AS dst FROM h s JOIN h t ON s.doc_id = t.doc_id " +
+        "WHERE s.host LIKE 'www.site%' AND t.host LIKE 'cdn%'), " +
+        "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src), " +
+        "i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst) " +
+        "SELECT nd.node, COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg " +
+        "FROM nd LEFT JOIN o ON o.node = nd.node LEFT JOIN i ON i.node = nd.node ORDER BY nd.node"),
+    // incremental-MV replica: the refreshed state must equal a direct
+    // aggregate over the post-change table
+    "x_mv_refresh" ->
+      ("SELECT o_custkey % 101 AS g, COUNT(*) AS n, " +
+        "CAST(SUM(o_orderkey % 1000) AS BIGINT) AS sum_v, " +
+        "CAST(MIN(o_orderkey % 1000) AS BIGINT) AS min_v, " +
+        "CAST(MAX(o_orderkey % 1000) AS BIGINT) AS max_v " +
+        "FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 <> 0 " +
+        "GROUP BY 1 ORDER BY g"),
     // CDC materialization replicas: last-writer-wins per key via the
     // window rank (versions are unique per key by construction, so the
     // rank-1 row is the same winner Spark's max(struct) picks)
@@ -1046,6 +1095,63 @@ object ExtensionQueries {
         graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
         graft.operators.Expectations.MatchesRegex("o_orderpriority", "^[0-9]-")))
         .orderBy("check", "col_name")
+    }),
+    // --- link-graph analytics (operators/Graphs.scala) ---
+    // Host graph from the deterministic URL augmentation shared with
+    // x_url_extract: each augmented doc links its site host to its cdn
+    // host. Both engines derive the SAME edges from the same text, so
+    // the comparison pins the PageRank algebra, not the fixture.
+    "x_pagerank" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" see https://www.site"), col("doc_id") % 20,
+            lit(".example.org/p/"), col("doc_id"), lit(" and http://cdn"),
+            col("doc_id") % 7, lit(".example.net")))
+          .otherwise(col("text")).as("text"))
+      val hosts = TextAnalysis.extractUrls(aug, "doc_id", "text")
+        .select(col("doc_id"), col("domain"))
+      val edges = hosts.where(col("domain").startsWith("www.site")).as("s")
+        .join(hosts.where(col("domain").startsWith("cdn")).as("t"), Seq("doc_id"))
+        .select(col("s.domain").as("src"), col("t.domain").as("dst"))
+      graft.operators.Graphs.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
+    "x_host_graph_degrees" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" see https://www.site"), col("doc_id") % 20,
+            lit(".example.org/p/"), col("doc_id"), lit(" and http://cdn"),
+            col("doc_id") % 7, lit(".example.net")))
+          .otherwise(col("text")).as("text"))
+      val hosts = TextAnalysis.extractUrls(aug, "doc_id", "text")
+        .select(col("doc_id"), col("domain"))
+      val edges = hosts.where(col("domain").startsWith("www.site")).as("s")
+        .join(hosts.where(col("domain").startsWith("cdn")).as("t"), Seq("doc_id"))
+        .select(col("s.domain").as("src"), col("t.domain").as("dst"))
+      graft.operators.Graphs.degreeStats(edges).orderBy("node")
+    }),
+    // --- incremental materialized aggregate (operators/MaterializedAgg.scala) ---
+    // Deterministic change partition of orders: rows with k%13=0 arrive
+    // as the insert batch, rows with k%17=0 (among the base) leave as
+    // the delete batch; the measure is integer-derived so incremental
+    // summation is bit-exact on both engines. The ORACLE recomputes the
+    // aggregate over the post-change table directly — what is compared
+    // is the refresh algebra, not the fixture.
+    "x_mv_refresh" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val o = s.table("orders").select(
+        pmod(col("o_custkey").cast("long"), lit(101L)).as("g"),
+        pmod(col("o_orderkey").cast("long"), lit(1000L)).as("v"),
+        col("o_orderkey").cast("long").as("k"))
+      val base = o.where(col("k") % 13 =!= 0)
+      val mv0 = graft.operators.MaterializedAgg.build(
+        base.select("g", "v"), Seq("g"), "v")
+      graft.operators.MaterializedAgg.refresh(mv0,
+        o.where(col("k") % 13 === 0).select("g", "v"),
+        base.where(col("k") % 17 === 0).select("g", "v"),
+        o.where(col("k") % 13 === 0 || col("k") % 17 =!= 0).select("g", "v"),
+        Seq("g"), "v").orderBy("g")
     }),
     // --- CDC / changelog materialization (operators/Cdc.scala) ---
     "x_cdc_apply" -> ((s, dir) =>

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph analytics for corpus curation: rank hosts/domains by the
+ * structure of who links to whom. Web-scale training corpora weight
+ * documents by source authority (the public Common Crawl curation
+ * recipe — PageRank, Page/Brin/Motwani/Winograd 1999; harmonic
+ * centrality in CC's own ranking releases) — a capability the
+ * reference's snapshot-query engine has no analogue for (its tables
+ * carry no link structure; `app/schema/crawler.py` crawls schema
+ * metadata, not content graphs). The host graph feeding this comes
+ * from the same URL extraction the oracle suite already pins
+ * (`TextAnalysis.extractUrls` / `x_url_extract`).
+ *
+ * Scale design: one iteration = one equi-join of the edge list with
+ * the key-sized rank frame on `src` (broadcast when ranks fit, shuffle
+ * hash otherwise — AQE picks) + one map-side-combined aggregation on
+ * `dst`. State between iterations is NODE-sized, never edge-sized;
+ * each round persists + `localCheckpoint`s the rank frame so the plan
+ * does not grow with iteration count (the same lineage-truncation
+ * discipline as [[Dedup.duplicateGroups]]' label propagation). The
+ * dangling-mass term is a single-row aggregate per round — a bounded
+ * scalar collect, not a corpus materialization.
+ */
+object Graphs {
+
+  /**
+   * PageRank with uniform teleport and dangling-mass redistribution,
+   * fixed iteration count (the deterministic form — convergence
+   * thresholds make results fixture-dependent):
+   *
+   *   pr'(v) = (1−d)/N + d · (Σ_{u→v} pr(u)/outdeg(u) + dangling/N)
+   *
+   * where `dangling` is the total rank held by nodes with no
+   * out-edges. Edges are deduplicated; multi-edges do not double a
+   * node's vote. Returns `(node, pr)` with Σ pr = 1 at every step.
+   */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count() // scalar: graph order, needed in the teleport term
+    if (n == 0) { e.unpersist(); nodes.unpersist()
+      return spark.emptyDataFrame.withColumn("node", lit("")).withColumn("pr", lit(0.0)).limit(0) }
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left_outer")
+      // rank held by nodes that link nowhere — redistributed uniformly
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contrib = e.join(pr, e("src") === pr("node"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("w"))
+      val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("w"), lit(0.0)) + lit(dangling / n)))
+            .as("pr"))
+        .localCheckpoint(true)
+      pr.unpersist()
+      pr = next
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    pr
+  }
+
+  /** Degree statistics per node: out-degree, in-degree — the cheap
+    * companion profile (one aggregation per direction, full-outer
+    * merged on the node key). */
+  def degreeStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (String, String)*) = es.toDF("src", "dst")
+
+  /** Reference implementation: dense driver-side PageRank with the same
+    * dangling-redistribution semantics, for cross-checking the
+    * distributed operator on small graphs. */
+  private def densePageRank(es: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val dedup = es.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = dedup.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(pr).sum
+      val contrib = dedup.groupBy(_._2).view.mapValues(
+        _.map(e => pr(e._1) / out(e._1)).sum).toMap
+      pr = nodes.map(v => v ->
+        ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    pr
+  }
+
+  private val diamond = Seq( // b,c feed d; d is dangling; a fans out
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+
+  test("pageRank matches the dense reference on a dangling diamond") {
+    val got = Graphs.pageRank(edges(diamond: _*), iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val want = densePageRank(diamond, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+  }
+
+  test("rank mass is conserved (sums to 1) with dangling redistribution") {
+    for (iters <- Seq(0, 1, 4)) {
+      val total = Graphs.pageRank(edges(diamond: _*), iters)
+        .agg(sum(col("pr"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"iters=$iters total=$total")
+    }
+  }
+
+  test("multi-edges are deduplicated: a repeated link is one vote") {
+    val noisy = diamond ++ Seq(("a", "b"), ("a", "b"))
+    val got = Graphs.pageRank(edges(noisy: _*), 2).as[(String, Double)].collect().toMap
+    val clean = Graphs.pageRank(edges(diamond: _*), 2).as[(String, Double)].collect().toMap
+    got.foreach { case (k, v) => assert(math.abs(v - clean(k)) < 1e-12) }
+  }
+
+  test("a cycle converges toward uniform; a sink pair accumulates from its feeder") {
+    val cycle = Seq(("x", "y"), ("y", "z"), ("z", "x"))
+    val pr = Graphs.pageRank(edges(cycle: _*), 10).as[(String, Double)].collect().toMap
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+    // feeder → sink: the sink must outrank the feeder
+    val pair = Graphs.pageRank(edges(("u", "v")), 5).as[(String, Double)].collect().toMap
+    assert(pair("v") > pair("u"))
+  }
+
+  test("degreeStats counts distinct in/out edges with zero-filled absences") {
+    val st = Graphs.degreeStats(edges(diamond :+ ("a", "b"): _*))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(st == Seq(("a", 2L, 0L), ("b", 1L, 1L), ("c", 1L, 1L), ("d", 0L, 2L)))
+  }
+
+  test("empty edge list yields an empty ranking") {
+    assert(Graphs.pageRank(edges(), 3).count() == 0)
+  }
+}
