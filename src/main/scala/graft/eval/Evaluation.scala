@@ -1461,8 +1461,8 @@ object Evaluation {
         "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM r a JOIN r b " +
         "ON a.student_id = b.student_id AND a.year = 2022 AND b.year = 2023",
       "rank_trend_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10am open cases, closed in round 10an (z-score band
+    //     share, Jaccard pair argmax, multi-top-rank count) ---
     EvalCase("the share of scores within one standard deviation of the mean",
       "SELECT ROUND(CAST(SUM(CASE WHEN ABS(score - " +
         "(SELECT AVG(score) FROM scores)) <= " +
@@ -1485,5 +1485,29 @@ object Evaluation {
         "(SELECT student_id, course_id, RANK() OVER (PARTITION BY course_id " +
         "ORDER BY score DESC) AS rk FROM scores) r WHERE rk <= 10 " +
         "GROUP BY student_id HAVING COUNT(DISTINCT course_id) > 1) t",
-      "multi_top_rank_count"))
+      "multi_top_rank_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average score students got in their hardest course",
+      "WITH ca AS (SELECT course_id, AVG(score) AS cavg FROM scores " +
+        "GROUP BY course_id) " +
+        "SELECT ROUND(AVG(score), 4) AS agg_value FROM (SELECT s.score, " +
+        "ROW_NUMBER() OVER (PARTITION BY s.student_id " +
+        "ORDER BY ca.cavg ASC, s.course_id) AS rn " +
+        "FROM scores s JOIN ca ON ca.course_id = s.course_id) t WHERE rn = 1",
+      "hardest_course_avg"),
+    EvalCase("departments where every course's top scorer is a ninth grader",
+      "WITH top AS (SELECT course_id, student_id FROM (SELECT course_id, " +
+        "student_id, ROW_NUMBER() OVER (PARTITION BY course_id " +
+        "ORDER BY score DESC, student_id) AS rn FROM scores) t WHERE rn = 1) " +
+        "SELECT c.dept FROM top JOIN students st " +
+        "ON st.student_id = top.student_id JOIN courses c " +
+        "ON c.course_id = top.course_id GROUP BY c.dept " +
+        "HAVING MIN(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) = 1 " +
+        "ORDER BY c.dept LIMIT 100", "universal_argmax_attr"),
+    EvalCase("the year with the biggest improvement in average score over the previous year",
+      "SELECT y FROM (SELECT year AS y, AVG(score) - LAG(AVG(score)) " +
+        "OVER (ORDER BY year) AS delta FROM scores GROUP BY year) t " +
+        "WHERE delta IS NOT NULL ORDER BY delta DESC, y LIMIT 1",
+      "yoy_delta_argmax"))
 }

@@ -7020,6 +7020,119 @@ object Templates {
         0.9, "template_rank_trend_share")).take(1)
     }
 
+  // "the share of scores within one standard deviation of the mean" —
+  // z-score band membership share
+  private val zscoreBandShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+within\s+" +
+      raw"(one|two|three|\d+)\s+standard\s+deviations?\s+of\s+the\s+mean\b").r
+
+  /** Z-score band share: one conditional-aggregate pass with the mean
+    * and population stddev as scalar subqueries (two tiny broadcast
+    * values, no window, no second shuffle of the fact). */
+  def zscoreBandShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    zscoreBandShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val k = m.group(2).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
+      }
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        tbl <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN ABS($measure - " +
+          s"(SELECT AVG($measure) FROM $tbl)) <= $k * " +
+          s"(SELECT STDDEV_POP($measure) FROM $tbl) THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM $tbl",
+        0.9, "template_zscore_band_share")).take(1)
+    }
+
+  // "the pair of courses sharing the largest fraction of their combined
+  // students" — Jaccard-normalized co-membership argmax
+  private val jaccardPairArgmaxRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+sharing\s+the\s+" +
+      raw"largest\s+fraction\s+of\s+their\s+combined\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Jaccard pair argmax: co-membership counts from the fact self-join
+    * on the member key (fan-out bounded per member, never all-pairs
+    * over groups), group sizes joined back from one grouped pass,
+    * |A∩B| / (|A|+|B|−|A∩B|) ranked with a deterministic id tiebreak.
+    * The exact small-cardinality form of MinHash set-similarity
+    * (`Dedup.minHashNearDuplicates` is the corpus-scale route). */
+  def jaccardPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    jaccardPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimG <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimG != dimE
+        eG <- fks.filter(e => e.toTable == dimG && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eG.fromTable && e.toTable == dimE).toSeq
+      } yield {
+        val (fact, g, mem) = (eG.fromTable, eG.fromColumn, eE.fromColumn)
+        Candidate(
+          s"SELECT c1, c2 FROM (SELECT a.$g AS c1, b.$g AS c2, " +
+            s"CAST(COUNT(*) AS DOUBLE) / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) AS j " +
+            s"FROM $fact a JOIN $fact b ON a.$mem = b.$mem AND a.$g < b.$g " +
+            s"JOIN (SELECT $g, COUNT(*) AS n FROM $fact GROUP BY $g) ca " +
+            s"ON ca.$g = a.$g " +
+            s"JOIN (SELECT $g, COUNT(*) AS n FROM $fact GROUP BY $g) cb " +
+            s"ON cb.$g = b.$g " +
+            s"GROUP BY a.$g, b.$g) t " +
+            s"ORDER BY j DESC, c1, c2 LIMIT 1",
+          0.9, "template_jaccard_pair_argmax")
+      }).take(1)
+    }
+
+  // "how many students are in the top 10 of more than one course" —
+  // entities holding a per-group rank in multiple groups
+  private val multiTopRankCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+are\s+in\s+the\s+top\s+" +
+      raw"(\d+)\s+of\s+more\s+than\s+(one|two|three|\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Multi-top-rank count: per-group RANK (each window sort is one
+    * group's membership, never the corpus), keep the top-N band,
+    * count entities present in more than K distinct groups. Measure by
+    * elimination as in namedDominanceCandidates. */
+  def multiTopRankCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    multiTopRankCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val n = m.group(2).toInt
+      val k = m.group(3).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimG <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimG
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimG))
+        eG <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimG).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} FROM " +
+          s"(SELECT ${eE.fromColumn}, ${eG.fromColumn}, RANK() OVER " +
+          s"(PARTITION BY ${eG.fromColumn} ORDER BY $measure DESC) AS rk " +
+          s"FROM ${eE.fromTable}) r WHERE rk <= $n " +
+          s"GROUP BY ${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT ${eG.fromColumn}) > $k) t",
+        0.9, "template_multi_top_rank_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7199,6 +7312,9 @@ object Templates {
       profileSimilarityArgminCandidates(slice, fks, question),
       topDecileThresholdCandidates(slice, fks, question),
       rankTrendShareCandidates(slice, fks, question, values),
+      zscoreBandShareCandidates(slice, fks, question),
+      jaccardPairArgmaxCandidates(slice, fks, question),
+      multiTopRankCountCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -129,7 +129,8 @@ class EvaluationSpec extends SparkSpec {
         "cohort_gap_filter", "named_dominance",
         "percentile_of_group_aggs", "above_median_count",
         "profile_similarity_argmin", "top_decile_threshold",
-        "rank_trend_share"))
+        "rank_trend_share", "zscore_band_share", "jaccard_pair_argmax",
+        "multi_top_rank_count"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
