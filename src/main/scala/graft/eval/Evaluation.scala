@@ -1486,8 +1486,8 @@ object Evaluation {
         "ORDER BY score DESC) AS rk FROM scores) r WHERE rk <= 10 " +
         "GROUP BY student_id HAVING COUNT(DISTINCT course_id) > 1) t",
       "multi_top_rank_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10an open cases, closed in round 10ao (hardest-course
+    //     average, universal argmax attribute, adjacent-period delta) ---
     EvalCase("the average score students got in their hardest course",
       "WITH ca AS (SELECT course_id, AVG(score) AS cavg FROM scores " +
         "GROUP BY course_id) " +
@@ -1509,5 +1509,27 @@ object Evaluation {
       "SELECT y FROM (SELECT year AS y, AVG(score) - LAG(AVG(score)) " +
         "OVER (ORDER BY year) AS delta FROM scores GROUP BY year) t " +
         "WHERE delta IS NOT NULL ORDER BY delta DESC, y LIMIT 1",
-      "yoy_delta_argmax"))
+      "yoy_delta_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the grade level whose students have the widest range of average scores",
+      "SELECT gl FROM (SELECT st.grade_level AS gl, MAX(a) - MIN(a) AS r " +
+        "FROM (SELECT student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id) p JOIN students st " +
+        "ON st.student_id = p.student_id GROUP BY st.grade_level) t " +
+        "ORDER BY r DESC, gl LIMIT 1", "cohort_agg_range_argmax"),
+    EvalCase("how many students scored above the course average in at least three courses",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.student_id FROM scores s " +
+        "JOIN (SELECT course_id, AVG(score) AS ca FROM scores " +
+        "GROUP BY course_id) c ON c.course_id = s.course_id " +
+        "WHERE s.score > c.ca GROUP BY s.student_id " +
+        "HAVING COUNT(*) >= 3) t", "above_avg_multi_count"),
+    EvalCase("the share of courses taken by both ninth and tenth graders",
+      "SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM courses), 4) AS agg_value FROM " +
+        "(SELECT s.course_id FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id GROUP BY s.course_id " +
+        "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > 0 " +
+        "AND SUM(CASE WHEN st.grade_level = 10 THEN 1 ELSE 0 END) > 0) t",
+      "dual_cohort_coverage"))
 }

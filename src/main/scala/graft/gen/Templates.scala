@@ -7133,6 +7133,131 @@ object Templates {
         0.9, "template_multi_top_rank_count")).take(1)
     }
 
+  // "the average score students got in their hardest course" — per-entity
+  // pick of the group with the lowest group-wide average
+  private val hardestCourseAvgRe =
+    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"got\s+in\s+their\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Hardest-course average: per-group averages from ONE grouped pass
+    * (group-count-sized, broadcast back onto the fact), each entity's
+    * row in its lowest-average group picked by a window partitioned on
+    * the ENTITY key (per-entity membership sort, never a corpus-wide
+    * window), then one scalar AVG. Deterministic group-id tiebreak. */
+  def hardestCourseAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    hardestCourseAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase == "easiest") "DESC" else "ASC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        measure <- strongColumn(m.group(1), slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH ca AS (SELECT ${eJ.fromColumn}, AVG($measure) AS cavg " +
+          s"FROM ${eE.fromTable} GROUP BY ${eJ.fromColumn}) " +
+          s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
+          s"(SELECT s.$measure, ROW_NUMBER() OVER " +
+          s"(PARTITION BY s.${eE.fromColumn} " +
+          s"ORDER BY ca.cavg $dir, s.${eJ.fromColumn}) AS rn " +
+          s"FROM ${eE.fromTable} s JOIN ca " +
+          s"ON ca.${eJ.fromColumn} = s.${eJ.fromColumn}) t WHERE rn = 1",
+        0.9, "template_hardest_course_avg")).take(1)
+    }
+
+  // "departments where every course's top scorer is a ninth grader" —
+  // a universal quantifier over per-group argmax entities' attributes
+  private val universalArgmaxAttrRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+top\s+([a-z]+)\s+is\s+an?\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?grader\b").r
+
+  /** Universal argmax attribute: each group's top entity by the
+    * elimination measure (ROW_NUMBER partitioned on the GROUP key with
+    * an entity-id tiebreak — per-group sorts, and at corpus scale the
+    * same frame comes from `GroupTopK.topK` with k=1, a bounded-heap
+    * aggregate with no window at all), the |groups|-sized winner frame
+    * joined to the entity dimension for the attribute, and the ∀ over
+    * the grouping attribute encoded as a grouped MIN indicator. */
+  def universalArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    universalArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(4).toLowerCase, m.group(4).toInt)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+        factCols = slice.tables(eJ.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH top AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn} FROM " +
+          s"(SELECT ${eJ.fromColumn}, ${eE.fromColumn}, ROW_NUMBER() OVER " +
+          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC, " +
+          s"${eE.fromColumn}) AS rn FROM ${eJ.fromTable}) t WHERE rn = 1) " +
+          s"SELECT c.$groupCol FROM top JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = top.${eE.fromColumn} JOIN $dimJ c " +
+          s"ON c.${eJ.toColumn} = top.${eJ.fromColumn} GROUP BY c.$groupCol " +
+          s"HAVING MIN(CASE WHEN st.$gradeCol = $n THEN 1 ELSE 0 END) = 1 " +
+          s"ORDER BY c.$groupCol LIMIT $DefaultLimit",
+        0.9, "template_universal_argmax_attr")).take(1)
+    }
+
+  // "the year with the biggest improvement in average score over the
+  // previous year" — adjacent-period delta argmax over period aggregates
+  private val yoyDeltaArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
+      raw"(biggest|largest|greatest|smallest)\s+" +
+      raw"(improvement|increase|gain|drop|decline|decrease)\s+in\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+over\s+the\s+" +
+      raw"previous\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Adjacent-period delta argmax: period averages in one grouped pass,
+    * LAG over the |periods|-sized frame (a window over aggregates,
+    * never the corpus), top-1 by delta with a deterministic period
+    * tiebreak. */
+  def yoyDeltaArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    yoyDeltaArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val positive = Set("improvement", "increase", "gain")(m.group(3).toLowerCase)
+      val smallest = m.group(2).toLowerCase == "smallest"
+      // biggest improvement = most positive delta; biggest drop = most
+      // negative; "smallest" flips either reading
+      val dir = if (positive ^ smallest) "DESC" else "ASC"
+      (for {
+        tbl <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(m.group(4), slice.tables(tbl)).toSeq
+        period <- slice.tables(tbl)
+          .find(_.toLowerCase.contains(m.group(1).toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT y FROM (SELECT $period AS y, AVG($measure) - " +
+          s"LAG(AVG($measure)) OVER (ORDER BY $period) AS delta " +
+          s"FROM $tbl GROUP BY $period) t WHERE delta IS NOT NULL " +
+          s"ORDER BY delta $dir, y LIMIT 1",
+        0.9, "template_yoy_delta_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7315,6 +7440,9 @@ object Templates {
       zscoreBandShareCandidates(slice, fks, question),
       jaccardPairArgmaxCandidates(slice, fks, question),
       multiTopRankCountCandidates(slice, fks, question, values),
+      hardestCourseAvgCandidates(slice, fks, question),
+      universalArgmaxAttrCandidates(slice, fks, question, values),
+      yoyDeltaArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -130,7 +130,8 @@ class EvaluationSpec extends SparkSpec {
         "percentile_of_group_aggs", "above_median_count",
         "profile_similarity_argmin", "top_decile_threshold",
         "rank_trend_share", "zscore_band_share", "jaccard_pair_argmax",
-        "multi_top_rank_count"))
+        "multi_top_rank_count", "hardest_course_avg",
+        "universal_argmax_attr", "yoy_delta_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
