@@ -441,6 +441,44 @@ object Streams {
       versionCol: String, opCol: String, deleteOp: String = "D"): DataFrame =
     graft.operators.Cdc.applyChangelog(changes, keyCols, versionCol, opCol, deleteOp)
 
+  /**
+   * Streaming materialized-aggregate maintenance — the `foreachBatch`
+   * form of [[graft.operators.MaterializedAgg]] (pure streaming
+   * aggregation cannot express delete retractions, so the fold runs on
+   * each micro-batch). Batches carry keyed change rows with an op
+   * column (`D` = retraction of an existing row, anything else =
+   * insert); the handler folds them into the running aggregate state
+   * with `MaterializedAgg.refresh` — CHANGE-sized delta work per batch
+   * — and advances the current-table frame the extreme-recompute path
+   * consults. In a lakehouse deployment that current table is the
+   * CDC-materialized sink the pipeline maintains anyway (see
+   * [[applyChangelogStream]]); the in-memory frame here is the
+   * harness-level stand-in. Both frames are `localCheckpoint`ed per
+   * batch so lineage does not grow with batch count (the same
+   * discipline as the label-propagation rounds).
+   */
+  final class AggMaintainer(initialTable: DataFrame, keyCols: Seq[String],
+      measure: String, opCol: String = "op") {
+    import graft.operators.MaterializedAgg
+    @volatile private var table: DataFrame = initialTable.localCheckpoint(true)
+    @volatile private var state: DataFrame =
+      MaterializedAgg.build(table, keyCols, measure).localCheckpoint(true)
+    /** Current aggregate state (keys ++ n/sum_v/min_v/max_v). */
+    def currentState: DataFrame = state
+    /** Current table as of the last processed batch. */
+    def currentTable: DataFrame = table
+    /** `foreachBatch` handler: fold one micro-batch of change rows. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val dataCols = table.columns.toSeq
+      val ins = batch.where(col(opCol) =!= "D").select(dataCols.map(col): _*)
+      val del = batch.where(col(opCol) === "D").select(dataCols.map(col): _*)
+      val next = table.exceptAll(del).unionAll(ins).localCheckpoint(true)
+      state = MaterializedAgg.refresh(state, ins, del, next, keyCols, measure)
+        .localCheckpoint(true)
+      table = next
+    }
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -478,4 +478,33 @@ class StreamsSpec extends SparkSpec {
     val exact = (batch1 ++ batch2).groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     assert(est == exact, s"stream CMS est=$est exact=$exact")
   }
+
+  test("streaming MV maintenance: foreachBatch refresh folds equal a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (g, v, op): inserts and delete-retractions across micro-batches
+    val base = Seq(("a", 1L), ("a", 5L), ("b", 7L), ("c", 2L)).toDF("g", "v")
+    val maintainer = new Streams.AggMaintainer(base, Seq("g"), "v")
+    val input = MemoryStream[(String, Long, String)]
+    val q = input.toDF().toDF("g", "v", "op")
+      .writeStream.foreachBatch(maintainer.onBatch _)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(("a", 2L, "I"), ("c", 2L, "D"))       // insert + full-group delete
+      q.processAllAvailable()
+      input.addData(("a", 1L, "D"), ("d", 9L, "I"))       // min retraction + new group
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalTable = Seq(("a", 5L), ("a", 2L), ("b", 7L), ("d", 9L)).toDF("g", "v")
+    val got = maintainer.currentState
+      .select("g", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = graft.operators.MaterializedAgg.build(finalTable, Seq("g"), "v")
+      .select("g", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, s"stream=$got batch=$want")
+    // the maintained table advanced to the post-change rows too
+    assert(maintainer.currentTable.count() == 4)
+  }
 }
