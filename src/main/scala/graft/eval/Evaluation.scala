@@ -1510,8 +1510,9 @@ object Evaluation {
         "OVER (ORDER BY year) AS delta FROM scores GROUP BY year) t " +
         "WHERE delta IS NOT NULL ORDER BY delta DESC, y LIMIT 1",
       "yoy_delta_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ao open cases, closed in round 10ap (cohort
+    //     aggregate-range argmax, above-average multi-count, dual-cohort
+    //     coverage) ---
     EvalCase("the grade level whose students have the widest range of average scores",
       "SELECT gl FROM (SELECT st.grade_level AS gl, MAX(a) - MIN(a) AS r " +
         "FROM (SELECT student_id, AVG(score) AS a FROM scores " +
@@ -1531,5 +1532,35 @@ object Evaluation {
         "ON st.student_id = s.student_id GROUP BY s.course_id " +
         "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > 0 " +
         "AND SUM(CASE WHEN st.grade_level = 10 THEN 1 ELSE 0 END) > 0) t",
-      "dual_cohort_coverage"))
+      "dual_cohort_coverage"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course with the longest run of years of rising average scores",
+      "WITH ya AS (SELECT course_id, year, AVG(score) AS a FROM scores " +
+        "GROUP BY course_id, year), " +
+        "d AS (SELECT course_id, year, CASE WHEN a > LAG(a) OVER " +
+        "(PARTITION BY course_id ORDER BY year) THEN 1 ELSE 0 END AS up " +
+        "FROM ya), " +
+        "g AS (SELECT course_id, up, SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY course_id ORDER BY year) AS grp FROM d), " +
+        "s AS (SELECT course_id, grp, SUM(up) AS len FROM g " +
+        "GROUP BY course_id, grp) " +
+        "SELECT course_id FROM s GROUP BY course_id " +
+        "ORDER BY MAX(len) DESC, course_id LIMIT 1", "course_streak_argmax"),
+    EvalCase("the share of students whose best and worst scores are in the same department",
+      "WITH r AS (SELECT student_id, course_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY student_id ORDER BY score DESC, course_id) AS rb, " +
+        "ROW_NUMBER() OVER (PARTITION BY student_id " +
+        "ORDER BY score ASC, course_id) AS rw FROM scores), " +
+        "x AS (SELECT student_id, MAX(CASE WHEN rb = 1 THEN course_id END) AS bc, " +
+        "MAX(CASE WHEN rw = 1 THEN course_id END) AS wc FROM r " +
+        "GROUP BY student_id) " +
+        "SELECT ROUND(CAST(SUM(CASE WHEN cb.dept = cw.dept THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM x " +
+        "JOIN courses cb ON cb.course_id = x.bc " +
+        "JOIN courses cw ON cw.course_id = x.wc", "extreme_same_group_share"),
+    EvalCase("the correlation between course enrollment and average score",
+      "SELECT ROUND(CORR(n, a), 4) AS agg_value FROM " +
+        "(SELECT course_id, COUNT(*) AS n, AVG(score) AS a FROM scores " +
+        "GROUP BY course_id) t", "group_size_performance_corr"))
 }

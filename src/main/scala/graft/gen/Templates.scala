@@ -7258,6 +7258,129 @@ object Templates {
         0.9, "template_yoy_delta_argmax")).take(1)
     }
 
+  // "the grade level whose students have the widest range of average
+  // scores" — spread of per-entity aggregates, grouped by an entity
+  // attribute, argmax
+  private val cohortAggRangeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+(widest|largest|greatest|" +
+      raw"narrowest|smallest)\s+range\s+of\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Cohort aggregate-range argmax: per-entity averages in one grouped
+    * pass (entity-count-sized), the entity dimension joined back
+    * (broadcast dim), MAX−MIN per attribute cohort over the key-sized
+    * frame, top-1. No corpus window anywhere. */
+  def cohortAggRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortAggRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
+      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
+      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT gl FROM (SELECT st.$attr AS gl, MAX(a) - MIN(a) AS r " +
+          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) p " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = p.${eE.fromColumn} " +
+          s"GROUP BY st.$attr) t ORDER BY r $dir, gl LIMIT 1",
+        0.9, "template_cohort_agg_range_argmax")).take(1)
+    }
+
+  // "how many students scored above the course average in at least
+  // three courses" — count of entities beating their group bar k times
+  private val aboveAvgMultiCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+" +
+      raw"(above|over|below|under)\s+the\s+([a-z_][a-z0-9_]*)\s+average\s+" +
+      raw"in\s+at\s+least\s+(one|two|three|four|five|\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Above-group-average multi-count: group averages from one grouped
+    * pass (group-count-sized, broadcast onto the fact), per-row
+    * comparison, qualifying-group count per entity with a HAVING
+    * threshold, COUNT of survivors. Two shuffles total, both keyed. */
+  def aboveAvgMultiCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    aboveAvgMultiCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<"
+      val k = m.group(4).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3
+        case "four" => 4; case "five" => 5; case d => d.toInt
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eE.fromColumn} " +
+          s"FROM ${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
+          s"AVG($measure) AS ca FROM ${eE.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) c " +
+          s"ON c.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"WHERE s.$measure $op c.ca GROUP BY s.${eE.fromColumn} " +
+          s"HAVING COUNT(*) >= $k) t",
+        0.9, "template_above_avg_multi_count")).take(1)
+    }
+
+  // "the share of courses taken by both ninth and tenth graders" —
+  // groups covered by two ordinal cohorts, over the full dimension
+  private val dualCohortCoverageRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+" +
+      raw"both\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
+      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?\s+and\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
+
+  /** Dual-cohort coverage: one grouped pass over the fact (entity
+    * dimension broadcast in) with two conditional-presence indicators,
+    * survivors counted against the FULL dimension count (untouched
+    * groups count in the denominator — a scalar subquery). */
+  def dualCohortCoverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    dualCohortCoverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n1 = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
+      val n2 = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / " +
+          s"(SELECT COUNT(*) FROM $dimJ), 4) AS agg_value FROM " +
+          s"(SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
+          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn} " +
+          s"HAVING SUM(CASE WHEN st.$gradeCol = $n1 THEN 1 ELSE 0 END) > 0 " +
+          s"AND SUM(CASE WHEN st.$gradeCol = $n2 THEN 1 ELSE 0 END) > 0) t",
+        0.9, "template_dual_cohort_coverage")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7443,6 +7566,9 @@ object Templates {
       hardestCourseAvgCandidates(slice, fks, question),
       universalArgmaxAttrCandidates(slice, fks, question, values),
       yoyDeltaArgmaxCandidates(slice, fks, question),
+      cohortAggRangeArgmaxCandidates(slice, fks, question),
+      aboveAvgMultiCountCandidates(slice, fks, question, values),
+      dualCohortCoverageCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

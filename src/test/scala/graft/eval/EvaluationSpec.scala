@@ -131,7 +131,9 @@ class EvaluationSpec extends SparkSpec {
         "profile_similarity_argmin", "top_decile_threshold",
         "rank_trend_share", "zscore_band_share", "jaccard_pair_argmax",
         "multi_top_rank_count", "hardest_course_avg",
-        "universal_argmax_attr", "yoy_delta_argmax"))
+        "universal_argmax_attr", "yoy_delta_argmax",
+        "cohort_agg_range_argmax", "above_avg_multi_count",
+        "dual_cohort_coverage"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
