@@ -585,6 +585,14 @@ object Queries {
       ("SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value, " +
         "ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value " +
         "FROM events GROUP BY user_id ORDER BY user_id LIMIT 100"),
+    // salted-join replica: the plain (unsalted) join — the salt must
+    // be invisible in the result
+    "x_skew_join" ->
+      ("SELECT nk, COUNT(*) AS n, ROUND(SUM(q), 2) AS sum_q FROM " +
+        "(SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS k, " +
+        "CAST(l_quantity AS DOUBLE) AS q FROM lineitem) p " +
+        "JOIN (SELECT s_suppkey AS k, s_nationkey AS nk FROM supplier) b " +
+        "USING (k) GROUP BY nk ORDER BY nk"),
     // range join: the Spark side is the binned equi-join operator
     // (operators/RangeJoin.scala — no BroadcastNestedLoopJoin on the main
     // path); DuckDB evaluates the plain inequality join
@@ -1626,6 +1634,24 @@ object ExtensionQueries {
         .select(col("user_id"), col("cnt"), round(col("sum"), 2).as("sum_value"),
           round(col("min"), 2).as("min_value"), round(col("max"), 2).as("max_value"))
         .orderBy("user_id").limit(100)
+    }),
+    // salted join under a manufactured hot key (every 3rd lineitem
+    // collapses onto supplier 1): the salt spreads the hot key across
+    // partitions, the build side replicates saltFactor×; the oracle is
+    // the PLAIN join — salting must be invisible in the result
+    "x_skew_join" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val probe = s.table("lineitem").select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")).as("k"),
+        col("l_quantity").cast("double").as("q"))
+      val build = s.table("supplier").select(
+        col("s_suppkey").cast("long").as("k"),
+        col("s_nationkey").cast("long").as("nk"))
+      graft.operators.Skew.saltedJoin(probe, build, "k", saltFactor = 8)
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n"), round(sum(col("q")), 2).as("sum_q"))
+        .orderBy("nk")
     }),
     // --- range join (binned point-in-interval; DuckDB inequality-join oracle) ---
     "x_range_join" -> ((s, dir) => {

@@ -300,7 +300,16 @@ final class Engine(
       graft.gen.Nl2Doc.linkCollection(question, ds) match {
         case None => Left(SqlSafetyError("No collection linked to the question"))
         case Some(c) =>
-          val q = graft.gen.Nl2Doc.build(question, c, ds(c))
+          // top-level arrays of scalars: the fields $unwind may target
+          val arrays = spark.table(c).schema.fields.collect {
+            case f => f.dataType match {
+              case a: org.apache.spark.sql.types.ArrayType
+                if !a.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+                Some(f.name)
+              case _ => None
+            }
+          }.flatten.toSet
+          val q = graft.gen.Nl2Doc.build(question, c, ds(c), arrays)
           val df = q.spec match {
             case Left(spec) =>
               graft.sources.DocSource.find(spark.table(c),

@@ -184,6 +184,12 @@ object Nl2Doc {
   private val aggRe =
     raw"(?i)\b(average|avg|mean|total|sum|maximum|max|highest|minimum|min|lowest)\s+(?:of\s+)?([a-z_][a-z0-9_.]*)\b".r
 
+  // "the most common tag" / "the most frequent city" → group-count
+  // argmax; array fields go through $unwind first (one document per
+  // element), scalar fields group directly
+  private val mostCommonRe =
+    raw"(?i)\bthe\s+most\s+(?:common|frequent)\s+([a-z_][a-z0-9_.]*)\b".r
+
   private def numeric(s: String): Any =
     if (s.contains('.')) s.toDouble else s.toLong
 
@@ -275,7 +281,33 @@ object Nl2Doc {
       raw"([a-z_][a-z0-9_.]*)\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
 
   /** Build the document query for a linked collection. */
-  def build(question: String, collection: String, fields: Seq[String]): DocQuery = {
+  def build(question: String, collection: String, fields: Seq[String]): DocQuery =
+    build(question, collection, fields, Set.empty)
+
+  /** Variant carrying the collection's top-level ARRAY fields: the
+    * most-common shape $unwinds an array field before grouping (the
+    * reference's tag-counting pipeline shape, ref
+    * app/ai/nl2mongo.py:64-116); a scalar field groups directly. The
+    * set gates fabrication — $unwind is only ever emitted for a field
+    * the inferred schema proves is an array. */
+  def build(question: String, collection: String, fields: Seq[String],
+      arrayFields: Set[String]): DocQuery = {
+    // most-common FIRST among the pipeline shapes that name a field
+    // word ("the most common tag among users" must not read "tag" as a
+    // projection or an aggregate target)
+    for (m <- mostCommonRe.findFirstMatchIn(question)) {
+      val w = m.group(1)
+      val cands = (Seq(w, w + "s", w + "es") ++
+        (if (w.endsWith("s")) Seq(w.dropRight(1)) else Nil)).distinct
+      for (f <- cands.flatMap(strongField(_, fields)).headOption) {
+        val unwind: Seq[Stage] =
+          if (arrayFields.contains(f)) Seq(UnwindStage(f)) else Nil
+        return DocQuery(collection, Right(unwind ++ Seq(
+          GroupStage(Some(f), Seq(("agg_value", "count", "*"))),
+          SortStage(Seq(("agg_value", false), ("_id", true))),
+          LimitStage(1))))
+      }
+    }
     // post-group filter FIRST: its measure phrase ("average age above
     // 30") would otherwise be read as a row-level range pred — the
     // wrong stage order (filter-then-group instead of group-then-

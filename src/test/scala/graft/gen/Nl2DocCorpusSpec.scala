@@ -259,4 +259,38 @@ class Nl2DocCorpusSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(gotAges == wantAges, s"got=$gotAges want=$wantAges")
   }
+
+  // tagged variant of the fixture: a top-level array field for the
+  // $unwind shapes (tag i%4 and tag i%3 per user — "t0" dominates)
+  private lazy val tagged: DataFrame = (1 to 60).map { i =>
+    (i.toLong, 20 + (i * 7) % 30, if (i % 5 == 0) "lima" else "quito",
+      Seq(s"t${i % 4}", s"u${i % 3}"))
+  }.toDF("_id", "age", "city", "tags")
+  private val taggedFields = Seq("_id", "age", "city", "tags")
+
+  test("most common over an ARRAY field serves $unwind -> $group -> sort/limit") {
+    val q = Nl2Doc.build("the most common tag among users", "users",
+      taggedFields, arrayFields = Set("tags"))
+    assert(q.render.contains("$unwind"), q.render)
+    val got = DocSource.aggregate(tagged, q.spec.toOption.get)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exploded tag counts: t0/t1/t2/t3 = 15 each, u0..u2 = 20 each ->
+    // winner is u0 (20) with the _id tiebreak
+    assert(got == Seq(("u0", 20L)), got.toString)
+  }
+
+  test("most common over a SCALAR field groups directly, no $unwind") {
+    val q = Nl2Doc.build("the most common city", "users",
+      taggedFields, arrayFields = Set("tags"))
+    assert(!q.render.contains("$unwind"), q.render)
+    val got = DocSource.aggregate(tagged, q.spec.toOption.get)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("quito", 48L)), got.toString)
+  }
+
+  test("most common never fabricates: an unlinked word falls through") {
+    val q = Nl2Doc.build("the most common flavor among users", "users",
+      taggedFields, arrayFields = Set("tags"))
+    assert(!q.render.contains("$unwind") && !q.render.contains("flavor"), q.render)
+  }
 }
