@@ -1533,8 +1533,8 @@ object Evaluation {
         "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > 0 " +
         "AND SUM(CASE WHEN st.grade_level = 10 THEN 1 ELSE 0 END) > 0) t",
       "dual_cohort_coverage"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ap open cases, closed in round 10aq (streak argmax,
+    //     extreme-same-group share, group-size correlation) ---
     EvalCase("the course with the longest run of years of rising average scores",
       "WITH ya AS (SELECT course_id, year, AVG(score) AS a FROM scores " +
         "GROUP BY course_id, year), " +
@@ -1562,5 +1562,25 @@ object Evaluation {
     EvalCase("the correlation between course enrollment and average score",
       "SELECT ROUND(CORR(n, a), 4) AS agg_value FROM " +
         "(SELECT course_id, COUNT(*) AS n, AVG(score) AS a FROM scores " +
-        "GROUP BY course_id) t", "group_size_performance_corr"))
+        "GROUP BY course_id) t", "group_size_performance_corr"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the youngest student among those with an average score above 75",
+      "SELECT student_name FROM (SELECT st.student_name, st.age " +
+        "FROM students st JOIN (SELECT student_id, AVG(score) AS a " +
+        "FROM scores GROUP BY student_id) p " +
+        "ON p.student_id = st.student_id WHERE p.a > 75) t " +
+        "ORDER BY age ASC, student_name LIMIT 1", "qualified_attr_argmin"),
+    EvalCase("the average gap between consecutive distinct scores",
+      "SELECT ROUND(AVG(score - prev), 4) AS agg_value FROM " +
+        "(SELECT score, LAG(score) OVER (ORDER BY score) AS prev FROM " +
+        "(SELECT DISTINCT score FROM scores) d) t WHERE prev IS NOT NULL",
+      "consecutive_gap_avg"),
+    EvalCase("for each grade level, the course taken by the most of its students",
+      "SELECT gl, course_id FROM (SELECT st.grade_level AS gl, s.course_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY st.grade_level " +
+        "ORDER BY COUNT(*) DESC, s.course_id) AS rn FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY st.grade_level, s.course_id) t WHERE rn = 1 ORDER BY gl",
+      "cohort_popular_course"))
 }

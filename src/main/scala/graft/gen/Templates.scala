@@ -7381,6 +7381,110 @@ object Templates {
         0.9, "template_dual_cohort_coverage")).take(1)
     }
 
+  // "the course with the longest run of years of rising average scores"
+  // — gaps-and-islands streak over per-(group, period) aggregates
+  private val courseStreakArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+longest\s+run\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+of\s+(rising|increasing|falling|declining)\s+" +
+      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Streak argmax: (group, period) averages in one grouped pass, the
+    * LAG/island windows partition on the GROUP key over that
+    * |groups|·|periods| frame — never the corpus — and the run length
+    * is a second tiny aggregate. Top-1 with a group-id tiebreak. */
+  def courseStreakArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    courseStreakArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cmp = if (Set("rising", "increasing")(m.group(3).toLowerCase)) ">" else "<"
+      val pWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+        period <- slice.tables(eJ.fromTable)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield {
+        val g = eJ.fromColumn
+        Candidate(
+          s"WITH ya AS (SELECT $g, $period, AVG($measure) AS a " +
+            s"FROM ${eJ.fromTable} GROUP BY $g, $period), " +
+            s"d AS (SELECT $g, $period, CASE WHEN a $cmp LAG(a) OVER " +
+            s"(PARTITION BY $g ORDER BY $period) THEN 1 ELSE 0 END AS up " +
+            s"FROM ya), " +
+            s"gi AS (SELECT $g, up, SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END) " +
+            s"OVER (PARTITION BY $g ORDER BY $period) AS grp FROM d), " +
+            s"s AS (SELECT $g, grp, SUM(up) AS len FROM gi GROUP BY $g, grp) " +
+            s"SELECT $g FROM s GROUP BY $g ORDER BY MAX(len) DESC, $g LIMIT 1",
+          0.9, "template_course_streak_argmax")
+      }).take(1)
+    }
+
+  // "the share of students whose best and worst scores are in the same
+  // department" — argmax/argmin attributes compared per entity
+  private val extremeSameGroupShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+best\s+and\s+" +
+      raw"worst\s+([a-z_][a-z0-9_]*)\s+are\s+in\s+the\s+same\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Extreme-same-group share: both extremes picked by windows
+    * partitioned on the ENTITY key (per-entity membership sorts with a
+    * deterministic group-id tiebreak), collapsed to one row per entity
+    * in the same pass, the two group attributes joined in from the
+    * broadcast dimension, share in a final scalar aggregate. */
+  def extremeSameGroupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    extremeSameGroupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(3), slice.tables(e.toTable)).isDefined).toSeq
+        attr <- abbrevColumn(m.group(3), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"WITH r AS (SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
+          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $measure DESC, ${eJ.fromColumn}) AS rb, " +
+          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $measure ASC, ${eJ.fromColumn}) AS rw " +
+          s"FROM ${eE.fromTable}), " +
+          s"x AS (SELECT ${eE.fromColumn}, " +
+          s"MAX(CASE WHEN rb = 1 THEN ${eJ.fromColumn} END) AS bc, " +
+          s"MAX(CASE WHEN rw = 1 THEN ${eJ.fromColumn} END) AS wc " +
+          s"FROM r GROUP BY ${eE.fromColumn}) " +
+          s"SELECT ROUND(CAST(SUM(CASE WHEN cb.$attr = cw.$attr " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value " +
+          s"FROM x JOIN ${eJ.toTable} cb ON cb.${eJ.toColumn} = x.bc " +
+          s"JOIN ${eJ.toTable} cw ON cw.${eJ.toColumn} = x.wc",
+        0.9, "template_extreme_same_group_share")).take(1)
+    }
+
+  // "the correlation between course enrollment and average score" —
+  // group-level size/performance correlation
+  private val groupSizeCorrRe =
+    (raw"(?i)\bthe\s+correlation\s+between\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"enrollment\s+and\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Group-size/performance correlation: per-group count and average
+    * from ONE grouped pass, CORR over the group-count-sized frame. */
+  def groupSizeCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupSizeCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CORR(n, a), 4) AS agg_value FROM " +
+          s"(SELECT ${eJ.fromColumn}, COUNT(*) AS n, AVG($measure) AS a " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_group_size_performance_corr")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7569,6 +7673,9 @@ object Templates {
       cohortAggRangeArgmaxCandidates(slice, fks, question),
       aboveAvgMultiCountCandidates(slice, fks, question, values),
       dualCohortCoverageCandidates(slice, fks, question),
+      courseStreakArgmaxCandidates(slice, fks, question),
+      extremeSameGroupShareCandidates(slice, fks, question),
+      groupSizeCorrCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
