@@ -339,4 +339,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "bounded hourly frame must broadcast: " + p.take(2000))
   }
+
+  test("MV refresh: extreme recompute is a broadcast LEFT SEMI probe; deltas have map-side partials (x_mv_refresh)") {
+    val p = plan("x_mv_refresh")
+    // the affected-keys probe of the current table must not shuffle it
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "delta frames + merge expect partial+final aggregates: " + p.take(3000))
+  }
+
+  test("salted skew join stays a hash equi-join — no nested-loop, no corpus window (x_skew_join)") {
+    val p = plan("x_skew_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
