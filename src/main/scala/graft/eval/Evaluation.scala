@@ -1563,8 +1563,8 @@ object Evaluation {
       "SELECT ROUND(CORR(n, a), 4) AS agg_value FROM " +
         "(SELECT course_id, COUNT(*) AS n, AVG(score) AS a FROM scores " +
         "GROUP BY course_id) t", "group_size_performance_corr"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10aq open cases, closed in round 10ar (qualified
+    //     attribute argmin, consecutive-gap average, cohort popularity) ---
     EvalCase("the youngest student among those with an average score above 75",
       "SELECT student_name FROM (SELECT st.student_name, st.age " +
         "FROM students st JOIN (SELECT student_id, AVG(score) AS a " +
@@ -1582,5 +1582,26 @@ object Evaluation {
         "ORDER BY COUNT(*) DESC, s.course_id) AS rn FROM scores s " +
         "JOIN students st ON st.student_id = s.student_id " +
         "GROUP BY st.grade_level, s.course_id) t WHERE rn = 1 ORDER BY gl",
-      "cohort_popular_course"))
+      "cohort_popular_course"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of students whose worst score is still above the overall average",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM scores " +
+        "GROUP BY student_id HAVING MIN(score) > " +
+        "(SELECT AVG(score) FROM scores)) t", "floor_above_avg_count"),
+    EvalCase("the average number of distinct grades per course",
+      "SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT course_id, " +
+        "COUNT(DISTINCT grade) AS d FROM scores GROUP BY course_id) t",
+      "avg_distinct_per_group"),
+    EvalCase("the student who shares the most courses with Ada Adams",
+      "SELECT student_name FROM (SELECT st.student_id, st.student_name, " +
+        "COUNT(*) AS c FROM scores s JOIN (SELECT s2.course_id " +
+        "FROM scores s2 JOIN students st2 ON st2.student_id = s2.student_id " +
+        "WHERE st2.student_name = 'Ada Adams') a " +
+        "ON a.course_id = s.course_id JOIN students st " +
+        "ON st.student_id = s.student_id " +
+        "WHERE st.student_name <> 'Ada Adams' " +
+        "GROUP BY st.student_id, st.student_name) t " +
+        "ORDER BY c DESC, student_name, student_id LIMIT 1",
+      "named_overlap_argmax"))
 }

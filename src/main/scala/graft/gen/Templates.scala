@@ -7485,6 +7485,95 @@ object Templates {
         0.9, "template_group_size_performance_corr")).take(1)
     }
 
+  // "the youngest student among those with an average score above 75" —
+  // attribute argmin over a qualifying-entity subquery
+  private val qualifiedAttrArgminRe =
+    (raw"(?i)\bthe\s+(youngest|oldest)\s+([a-z_][a-z0-9_]*)\s+among\s+" +
+      raw"those\s+with\s+an?\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Qualified attribute argmin: per-entity averages in one grouped
+    * pass, the qualifying filter applied on the entity-count-sized
+    * frame, the dimension joined (broadcast), top-1 by the age
+    * attribute with a deterministic name tiebreak. */
+  def qualifiedAttrArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    qualifiedAttrArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(1).toLowerCase == "youngest") "ASC" else "DESC"
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        ageCol <- slice.tables(dimE).find(_.toLowerCase == "age").toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $nameCol FROM (SELECT st.$nameCol, st.$ageCol " +
+          s"FROM $dimE st JOIN (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) p " +
+          s"ON p.${eE.fromColumn} = st.${eE.toColumn} " +
+          s"WHERE p.a $op ${m.group(5)}) t " +
+          s"ORDER BY $ageCol $dir, $nameCol LIMIT 1",
+        0.9, "template_qualified_attr_argmin")).take(1)
+    }
+
+  // "the average gap between consecutive distinct scores" — mean
+  // adjacent difference over the value domain
+  private val consecutiveGapAvgRe =
+    (raw"(?i)\bthe\s+average\s+gap\s+between\s+consecutive\s+distinct\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Consecutive-gap average: DISTINCT collapses the fact to its VALUE
+    * DOMAIN (one map-side-combined pass), the LAG window sorts that
+    * domain-sized frame only. */
+  def consecutiveGapAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    consecutiveGapAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        tbl <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG($measure - prev), 4) AS agg_value FROM " +
+          s"(SELECT $measure, LAG($measure) OVER (ORDER BY $measure) AS prev " +
+          s"FROM (SELECT DISTINCT $measure FROM $tbl) d) t " +
+          s"WHERE prev IS NOT NULL",
+        0.9, "template_consecutive_gap_avg")).take(1)
+    }
+
+  // "for each grade level, the course taken by the most of its
+  // students" — per-cohort popularity argmax list
+  private val cohortPopularRe =
+    (raw"(?i)\bfor\s+each\s+([a-z]+(?:[ _][a-z]+)?),\s+the\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+most\b").r
+
+  /** Cohort popularity argmax: one grouped pass keyed on (cohort
+    * attribute, group key) — the entity dimension broadcasts in — then
+    * ROW_NUMBER partitioned on the COHORT over that attribute-domain ×
+    * group frame (never the corpus), keep rank 1 per cohort. */
+  def cohortPopularCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortPopularRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable) &&
+          strongColumn(attrWord, slice.tables(e.toTable)).isDefined)
+        attr <- strongColumn(attrWord, slice.tables(eE.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT gl, ${eJ.fromColumn} FROM (SELECT st.$attr AS gl, " +
+          s"s.${eJ.fromColumn}, ROW_NUMBER() OVER (PARTITION BY st.$attr " +
+          s"ORDER BY COUNT(*) DESC, s.${eJ.fromColumn}) AS rn " +
+          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY st.$attr, s.${eJ.fromColumn}) t WHERE rn = 1 " +
+          s"ORDER BY gl",
+        0.9, "template_cohort_popular_course")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7676,6 +7765,9 @@ object Templates {
       courseStreakArgmaxCandidates(slice, fks, question),
       extremeSameGroupShareCandidates(slice, fks, question),
       groupSizeCorrCandidates(slice, fks, question),
+      qualifiedAttrArgminCandidates(slice, fks, question),
+      consecutiveGapAvgCandidates(slice, fks, question),
+      cohortPopularCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

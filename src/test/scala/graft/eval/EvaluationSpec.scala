@@ -134,7 +134,9 @@ class EvaluationSpec extends SparkSpec {
         "universal_argmax_attr", "yoy_delta_argmax",
         "cohort_agg_range_argmax", "above_avg_multi_count",
         "dual_cohort_coverage", "course_streak_argmax",
-        "extreme_same_group_share", "group_size_performance_corr"))
+        "extreme_same_group_share", "group_size_performance_corr",
+        "qualified_attr_argmin", "consecutive_gap_avg",
+        "cohort_popular_course"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
