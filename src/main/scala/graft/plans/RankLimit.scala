@@ -107,6 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new BoundedRankPrefilter)
     ext.injectOptimizerRule(_ => new NanosTimestampPushdown)
+    ext.injectOptimizerRule(session => new MvRewrite(session))
     ext.injectCheckRule(session => new ReadOnlyGuard(session))
   }
 }

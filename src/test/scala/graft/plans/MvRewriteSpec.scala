@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.MaterializedAgg
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+class MvRewriteSpec extends SparkSpec {
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst { case a: Aggregate => a }.isDefined
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def withMv[A](f: => A): A =
+    try f finally MvCatalog.clear(spark)
+
+  private lazy val setup: Unit = {
+    Sources.register(spark, sfDir)
+  }
+
+  test("matching GROUP BY serves from the MV state: no Aggregate in the optimized plan, same rows") {
+    setup
+    withMv {
+      val state = MaterializedAgg.build(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+      val sql = "SELECT o_orderpriority, COUNT(*) AS c, SUM(o_totalprice) AS s, " +
+        "MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx, " +
+        "AVG(o_totalprice) AS av FROM orders GROUP BY o_orderpriority"
+      val direct = rows(spark.sql(sql)) // before registration: plain aggregate
+      MvCatalog.register(spark, "orders", Seq("o_orderpriority"), "o_totalprice", state)
+      val served = spark.sql(sql)
+      assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+      assert(rows(served) == direct)
+    }
+  }
+
+  test("non-matching shapes are untouched: WHERE, different keys, DISTINCT, other measures") {
+    setup
+    withMv {
+      val state = MaterializedAgg.build(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+      MvCatalog.register(spark, "orders", Seq("o_orderpriority"), "o_totalprice", state)
+      val filtered = spark.sql("SELECT o_orderpriority, COUNT(*) AS c FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+      assert(hasAggregate(filtered), "a WHERE must not be served from whole-table state")
+      val otherKeys = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY o_orderstatus")
+      assert(hasAggregate(otherKeys))
+      val distinct = spark.sql("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS d " +
+        "FROM orders GROUP BY o_orderpriority")
+      assert(hasAggregate(distinct))
+      val otherMeasure = spark.sql("SELECT o_orderpriority, SUM(o_custkey) AS s " +
+        "FROM orders GROUP BY o_orderpriority")
+      assert(hasAggregate(otherMeasure))
+    }
+  }
+
+  test("re-registering a refreshed state advances the served snapshot") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", 1L), ("a", 5L), ("b", 7L)).toDF("g", "v")
+      base.createOrReplaceTempView("mv_rw_base")
+      MvCatalog.register(spark, "mv_rw_base", Seq("g"), "v",
+        MaterializedAgg.build(base, Seq("g"), "v"), mvName = "mv_rw_state")
+      val sql = "SELECT g, COUNT(*) AS c, SUM(v) AS s FROM mv_rw_base GROUP BY g"
+      assert(rows(spark.sql(sql)) == Seq("[a,2,6]", "[b,1,7]"))
+      // a batch lands: fold it and re-register
+      val inserts = Seq(("b", 3L)).toDF("g", "v")
+      val deletes = Seq(("a", 1L)).toDF("g", "v")
+      val current = base.exceptAll(deletes).unionAll(inserts)
+      val refreshed = MaterializedAgg.refresh(
+        MaterializedAgg.build(base, Seq("g"), "v"),
+        inserts, deletes, current, Seq("g"), "v")
+      MvCatalog.register(spark, "mv_rw_base", Seq("g"), "v", refreshed,
+        mvName = "mv_rw_state")
+      val served = spark.sql(sql)
+      assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+      // served numbers are the POST-change truth even though mv_rw_base
+      // (the registered base view) still holds the pre-change rows —
+      // the snapshot contract: the registered state IS the serving truth
+      assert(rows(served) == Seq("[a,1,5]", "[b,2,10]"))
+    }
+  }
+
+  test("clear() stops the rewrite") {
+    setup
+    withMv {
+      val state = MaterializedAgg.build(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+      MvCatalog.register(spark, "orders", Seq("o_orderpriority"), "o_totalprice", state)
+      MvCatalog.clear(spark)
+      val df = spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS c FROM orders GROUP BY o_orderpriority")
+      assert(hasAggregate(df))
+    }
+  }
+
+  test("group-key order and aliasing are preserved through the rewrite") {
+    setup
+    withMv {
+      val state = MaterializedAgg.build(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+      MvCatalog.register(spark, "orders", Seq("o_orderpriority"), "o_totalprice", state)
+      val served = spark.sql("SELECT COUNT(*) AS c, o_orderpriority AS prio " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY prio")
+      assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+      val direct = graft.operators.MaterializedAgg.build(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+        .select(col("n").as("c"), col("o_orderpriority").as("prio")).orderBy("prio")
+      assert(rows(served) == rows(direct))
+    }
+  }
+}
