@@ -1583,8 +1583,8 @@ object Evaluation {
         "JOIN students st ON st.student_id = s.student_id " +
         "GROUP BY st.grade_level, s.course_id) t WHERE rn = 1 ORDER BY gl",
       "cohort_popular_course"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ar open cases, closed in round 10as (floor vs global
+    //     average, average distinct per group, named overlap argmax) ---
     EvalCase("the number of students whose worst score is still above the overall average",
       "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM scores " +
         "GROUP BY student_id HAVING MIN(score) > " +
@@ -1603,5 +1603,22 @@ object Evaluation {
         "WHERE st.student_name <> 'Ada Adams' " +
         "GROUP BY st.student_id, st.student_name) t " +
         "ORDER BY c DESC, student_name, student_id LIMIT 1",
-      "named_overlap_argmax"))
+      "named_overlap_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average score in courses with more than 60 students",
+      "SELECT ROUND(AVG(score), 4) AS agg_value FROM scores WHERE " +
+        "course_id IN (SELECT course_id FROM scores GROUP BY course_id " +
+        "HAVING COUNT(*) > 60)", "size_filtered_avg"),
+    EvalCase("the percentage of total score points earned by ninth graders",
+      "SELECT ROUND(CAST(SUM(CASE WHEN st.grade_level = 9 THEN s.score " +
+        "ELSE 0 END) AS DOUBLE) / SUM(s.score), 4) AS agg_value " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id",
+      "cohort_sum_share"),
+    EvalCase("students who received every grade letter at least once",
+      "SELECT st.student_name FROM (SELECT student_id FROM scores " +
+        "GROUP BY student_id HAVING COUNT(DISTINCT grade) = " +
+        "(SELECT COUNT(DISTINCT grade) FROM scores)) m JOIN students st " +
+        "ON st.student_id = m.student_id ORDER BY st.student_name LIMIT 100",
+      "grade_domain_span"))
 }

@@ -7574,6 +7574,95 @@ object Templates {
         0.9, "template_cohort_popular_course")).take(1)
     }
 
+  // "the number of students whose worst score is still above the
+  // overall average" — per-entity floor vs a global scalar bar
+  private val floorAboveAvgCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"(worst|lowest|best|highest)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
+      raw"(?:still\s+)?(above|over|below|under)\s+the\s+overall\s+average\b").r
+
+  /** Floor-above-average count: per-entity MIN/MAX in one grouped pass,
+    * the global average as a one-row scalar subquery broadcast into
+    * HAVING, COUNT of survivors. */
+  def floorAboveAvgCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    floorAboveAvgCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (Set("worst", "lowest")(m.group(2).toLowerCase)) "MIN" else "MAX"
+      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
+      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn} " +
+          s"HAVING $agg($measure) $op " +
+          s"(SELECT AVG($measure) FROM ${eE.fromTable})) t",
+        0.9, "template_floor_above_avg_count")).take(1)
+    }
+
+  // "the average number of distinct grades per course" — mean per-group
+  // distinct cardinality
+  private val avgDistinctPerGroupRe =
+    (raw"(?i)\bthe\s+average\s+number\s+of\s+distinct\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average distinct per group: per-group COUNT(DISTINCT v) in one
+    * grouped pass (a two-phase distinct aggregate with map-side
+    * partials), AVG over the group-count-sized frame. */
+  def avgDistinctPerGroupCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgDistinctPerGroupRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        valueCol <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM " +
+          s"(SELECT ${eJ.fromColumn}, COUNT(DISTINCT $valueCol) AS d " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_avg_distinct_per_group")).take(1)
+    }
+
+  // "the student who shares the most courses with Ada Adams" — named
+  // co-membership overlap argmax
+  private val namedOverlapArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+who\s+shares\s+the\s+most\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+with\s+" +
+      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))\b").r
+
+  /** Named overlap argmax: the example's membership rows are a
+    * key-sized frame joined on the co-membership axis (per-group
+    * fan-out, never all-pairs), counts per entity, top-1 with
+    * name-then-id tiebreaks (fixture names can repeat). */
+  def namedOverlapArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    namedOverlapArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val name = m.group(3).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+      } yield Candidate(
+        s"SELECT $nameCol FROM (SELECT st.${eE.toColumn} AS sid, " +
+          s"st.$nameCol AS $nameCol, COUNT(*) AS c FROM ${eE.fromTable} s " +
+          s"JOIN (SELECT s2.${eJ.fromColumn} FROM ${eE.fromTable} s2 " +
+          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
+          s"WHERE st2.$nameCol = '$name') a " +
+          s"ON a.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"WHERE st.$nameCol <> '$name' " +
+          s"GROUP BY st.${eE.toColumn}, st.$nameCol) t " +
+          s"ORDER BY c DESC, $nameCol, sid LIMIT 1",
+        0.9, "template_named_overlap_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7768,6 +7857,9 @@ object Templates {
       qualifiedAttrArgminCandidates(slice, fks, question),
       consecutiveGapAvgCandidates(slice, fks, question),
       cohortPopularCandidates(slice, fks, question),
+      floorAboveAvgCountCandidates(slice, fks, question),
+      avgDistinctPerGroupCandidates(slice, fks, question),
+      namedOverlapArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -136,7 +136,8 @@ class EvaluationSpec extends SparkSpec {
         "dual_cohort_coverage", "course_streak_argmax",
         "extreme_same_group_share", "group_size_performance_corr",
         "qualified_attr_argmin", "consecutive_gap_avg",
-        "cohort_popular_course"))
+        "cohort_popular_course", "floor_above_avg_count",
+        "avg_distinct_per_group", "named_overlap_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
