@@ -1604,8 +1604,8 @@ object Evaluation {
         "GROUP BY st.student_id, st.student_name) t " +
         "ORDER BY c DESC, student_name, student_id LIMIT 1",
       "named_overlap_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10as open cases, closed in round 10at (size-filtered
+    //     average, cohort sum share, value-domain span) ---
     EvalCase("the average score in courses with more than 60 students",
       "SELECT ROUND(AVG(score), 4) AS agg_value FROM scores WHERE " +
         "course_id IN (SELECT course_id FROM scores GROUP BY course_id " +
@@ -1620,5 +1620,23 @@ object Evaluation {
         "GROUP BY student_id HAVING COUNT(DISTINCT grade) = " +
         "(SELECT COUNT(DISTINCT grade) FROM scores)) m JOIN students st " +
         "ON st.student_id = m.student_id ORDER BY st.student_name LIMIT 100",
-      "grade_domain_span"))
+      "grade_domain_span"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the ratio of A grades to F grades",
+      "SELECT ROUND(CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / SUM(CASE WHEN grade = 'F' THEN 1 ELSE 0 END), 4) " +
+        "AS agg_value FROM scores", "value_ratio"),
+    EvalCase("how many students achieved their personal best in each course",
+      "SELECT course_id, COUNT(*) AS n FROM (SELECT student_id, course_id " +
+        "FROM (SELECT student_id, course_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY student_id ORDER BY score DESC, course_id) AS rn " +
+        "FROM scores) r WHERE rn = 1) t GROUP BY course_id " +
+        "ORDER BY course_id", "best_course_distribution"),
+    EvalCase("how many courses have a unique top scorer",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.course_id FROM scores s " +
+        "JOIN (SELECT course_id AS cid, MAX(score) AS mx FROM scores " +
+        "GROUP BY course_id) m ON m.cid = s.course_id AND s.score = m.mx " +
+        "GROUP BY s.course_id HAVING COUNT(*) = 1) t",
+      "unique_argmax_count"))
 }

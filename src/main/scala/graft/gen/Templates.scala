@@ -7663,6 +7663,96 @@ object Templates {
         0.9, "template_named_overlap_argmax")).take(1)
     }
 
+  // "the average score in courses with more than 60 students" — an
+  // aggregate restricted to groups passing a size bar
+  private val sizeFilteredAvgRe =
+    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+with\s+(more|fewer|less)\s+than\s+(\d+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Size-filtered average: qualifying group keys from one grouped pass
+    * (group-count-sized), IN-subquery semi-join back onto the fact
+    * (plans as LeftSemi with the key frame broadcast), one scalar AVG. */
+  def sizeFilteredAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    sizeFilteredAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (m.group(3).toLowerCase == "more") ">" else "<"
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM ${eJ.fromTable} " +
+          s"WHERE ${eJ.fromColumn} IN (SELECT ${eJ.fromColumn} FROM " +
+          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
+          s"HAVING COUNT(*) $op ${m.group(4)})",
+        0.9, "template_size_filtered_avg")).take(1)
+    }
+
+  // "the percentage of total score points earned by ninth graders" —
+  // one cohort's share of a global SUM
+  private val cohortSumShareRe =
+    (raw"(?i)\bthe\s+percentage\s+of\s+total\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"points\s+[a-z]+\s+by\s+(first|second|third|fourth|fifth|sixth|" +
+      raw"seventh|eighth|ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?" +
+      raw"[- ]?graders\b").r
+
+  /** Cohort sum share: ONE pass over the fact (entity dimension
+    * broadcast in) with a conditional and an unconditional SUM — no
+    * second scan, no subquery. */
+  def cohortSumShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortSumShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(fact)).toSeq
+        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n THEN s.$measure " +
+          s"ELSE 0 END) AS DOUBLE) / SUM(s.$measure), 4) AS agg_value " +
+          s"FROM $fact s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn}",
+        0.9, "template_cohort_sum_share")).take(1)
+    }
+
+  // "students who received every grade letter at least once" —
+  // value-domain-complete entities (division over the value domain)
+  private val gradeDomainSpanRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+letter\s+at\s+least\s+once\b").r
+
+  /** Value-domain span: per-entity distinct-value counts in one grouped
+    * pass, the full domain cardinality as a one-row scalar subquery —
+    * relational division against the VALUE domain, no join of the fact
+    * with itself. */
+  def gradeDomainSpanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    gradeDomainSpanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        valueCol <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT $valueCol) = " +
+          s"(SELECT COUNT(DISTINCT $valueCol) FROM ${eE.fromTable})) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_grade_domain_span")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7860,6 +7950,9 @@ object Templates {
       floorAboveAvgCountCandidates(slice, fks, question),
       avgDistinctPerGroupCandidates(slice, fks, question),
       namedOverlapArgmaxCandidates(slice, fks, question),
+      sizeFilteredAvgCandidates(slice, fks, question),
+      cohortSumShareCandidates(slice, fks, question),
+      gradeDomainSpanCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
