@@ -1621,8 +1621,8 @@ object Evaluation {
         "(SELECT COUNT(DISTINCT grade) FROM scores)) m JOIN students st " +
         "ON st.student_id = m.student_id ORDER BY st.student_name LIMIT 100",
       "grade_domain_span"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10at open cases, closed in round 10au (value ratio,
+    //     personal-best distribution, unique-argmax count) ---
     EvalCase("the ratio of A grades to F grades",
       "SELECT ROUND(CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / SUM(CASE WHEN grade = 'F' THEN 1 ELSE 0 END), 4) " +
@@ -1638,5 +1638,23 @@ object Evaluation {
         "JOIN (SELECT course_id AS cid, MAX(score) AS mx FROM scores " +
         "GROUP BY course_id) m ON m.cid = s.course_id AND s.score = m.mx " +
         "GROUP BY s.course_id HAVING COUNT(*) = 1) t",
-      "unique_argmax_count"))
+      "unique_argmax_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the gap between the two most popular courses by enrollment",
+      "SELECT MAX(n) - MIN(n) AS agg_value FROM (SELECT COUNT(*) AS n " +
+        "FROM scores GROUP BY course_id ORDER BY n DESC LIMIT 2) t",
+      "top2_count_gap"),
+    EvalCase("students whose average in math courses beats their average in science courses",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY s.student_id " +
+        "HAVING AVG(CASE WHEN c.dept = 'math' THEN s.score END) > " +
+        "AVG(CASE WHEN c.dept = 'science' THEN s.score END)) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "category_self_compare"),
+    EvalCase("the average share of courses per student with a grade of C or better",
+      "SELECT ROUND(AVG(sh), 4) AS agg_value FROM (SELECT student_id, " +
+        "CAST(SUM(CASE WHEN grade IN ('A','B','C') THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*) AS sh FROM scores GROUP BY student_id) t",
+      "avg_entity_share"))
 }

@@ -7753,6 +7753,117 @@ object Templates {
         0.9, "template_grade_domain_span")).take(1)
     }
 
+  // "the ratio of A grades to F grades" — two conditional counts of the
+  // same categorical column, divided
+  private val valueRatioRe =
+    (raw"(?i)\bthe\s+ratio\s+of\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"to\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Value ratio: ONE conditional-aggregate pass, no subquery. The two
+    * category words must name the same linked column, and when a mined
+    * value domain exists both values must be in it (no-fabrication). */
+  def valueRatioCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    valueRatioRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      if (m.group(2).toLowerCase != m.group(4).toLowerCase) Seq.empty
+      else {
+        val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+        val (v1, v2) = (m.group(1), m.group(3))
+        (for {
+          tbl <- slice.tables.keys.toSeq.sorted
+          colName <- strongColumn(vWord, slice.tables(tbl)).toSeq
+          domain = values(tbl).getOrElse(colName, Seq.empty)
+          if domain.isEmpty || (domain.contains(v1) && domain.contains(v2))
+        } yield Candidate(
+          s"SELECT ROUND(CAST(SUM(CASE WHEN $colName = '$v1' THEN 1 ELSE 0 END) " +
+            s"AS DOUBLE) / SUM(CASE WHEN $colName = '$v2' THEN 1 ELSE 0 END), 4) " +
+            s"AS agg_value FROM $tbl",
+          0.9, "template_value_ratio")).take(1)
+      }
+    }
+
+  // "how many students achieved their personal best in each course" —
+  // the distribution of per-entity argmax rows over groups
+  private val bestCourseDistributionRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+their\s+" +
+      raw"personal\s+best\s+in\s+each\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Personal-best distribution: per-entity argmax via a window
+    * partitioned on the ENTITY key (per-entity membership sorts, id
+    * tiebreak), then one |entities|-sized grouped count per group.
+    * Measure by elimination as in namedDominanceCandidates. */
+  def bestCourseDistributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    bestCourseDistributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn}, COUNT(*) AS n FROM " +
+          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn} FROM " +
+          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn}, ROW_NUMBER() OVER " +
+          s"(PARTITION BY ${eE.fromColumn} ORDER BY $measure DESC, " +
+          s"${eJ.fromColumn}) AS rn FROM ${eE.fromTable}) r WHERE rn = 1) t " +
+          s"GROUP BY ${eJ.fromColumn} ORDER BY ${eJ.fromColumn}",
+        0.9, "template_best_course_distribution")).take(1)
+    }
+
+  // "how many courses have a unique top scorer" — groups whose maximum
+  // is achieved by exactly one row
+  private val uniqueArgmaxCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+have\s+a\s+unique\s+" +
+      raw"top\s+([a-z]+)\b").r
+
+  /** Unique-argmax count: group maxima from one grouped pass
+    * (group-count-sized, joined back — AQE broadcasts it), count rows
+    * AT the maximum per group, keep singletons. No window at all. */
+  def uniqueArgmaxCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    uniqueArgmaxCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eJ.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
+          s"FROM ${eJ.fromTable} s JOIN (SELECT ${eJ.fromColumn} AS cid, " +
+          s"MAX($measure) AS mx FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) m ON m.cid = s.${eJ.fromColumn} " +
+          s"AND s.$measure = m.mx GROUP BY s.${eJ.fromColumn} " +
+          s"HAVING COUNT(*) = 1) t",
+        0.9, "template_unique_argmax_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -7953,6 +8064,9 @@ object Templates {
       sizeFilteredAvgCandidates(slice, fks, question),
       cohortSumShareCandidates(slice, fks, question),
       gradeDomainSpanCandidates(slice, fks, question),
+      valueRatioCandidates(slice, fks, question, values),
+      bestCourseDistributionCandidates(slice, fks, question, values),
+      uniqueArgmaxCountCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
