@@ -190,6 +190,11 @@ object Nl2Doc {
   private val mostCommonRe =
     raw"(?i)\bthe\s+most\s+(?:common|frequent)\s+([a-z_][a-z0-9_.]*)\b".r
 
+  // "how many distinct cities" → two chained $group stages (the Mongo
+  // distinct-count idiom: group on the field, then count the groups)
+  private val distinctCountRe =
+    raw"(?i)\bhow\s+many\s+(?:distinct|different|unique)\s+([a-z_][a-z0-9_.]*)\b".r
+
   private def numeric(s: String): Any =
     if (s.contains('.')) s.toDouble else s.toLong
 
@@ -307,6 +312,18 @@ object Nl2Doc {
           SortStage(Seq(("agg_value", false), ("_id", true))),
           LimitStage(1))))
       }
+    }
+    // distinct-count BEFORE the generic count path ("how many" alone
+    // would read as a row count, silently ignoring the distinct word)
+    for (m <- distinctCountRe.findFirstMatchIn(question)) {
+      val w = m.group(1)
+      val cands = (Seq(w, w + "s", w + "es") ++
+        (if (w.endsWith("ies")) Seq(w.dropRight(3) + "y") else Nil) ++
+        (if (w.endsWith("s")) Seq(w.dropRight(1)) else Nil)).distinct
+      for (f <- cands.flatMap(strongField(_, fields)).headOption)
+        return DocQuery(collection, Right(Seq(
+          GroupStage(Some(f), Seq(("agg_value", "count", "*"))),
+          GroupStage(None, Seq(("agg_value", "count", "*"))))))
     }
     // post-group filter FIRST: its measure phrase ("average age above
     // 30") would otherwise be read as a row-level range pred — the

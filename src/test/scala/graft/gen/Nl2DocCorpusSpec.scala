@@ -288,6 +288,19 @@ class Nl2DocCorpusSpec extends SparkSpec {
     assert(got == Seq(("quito", 48L)), got.toString)
   }
 
+  test("distinct count chains two $group stages and counts the groups") {
+    val q = Nl2Doc.build("how many distinct cities among users", "users", fields)
+    assert(q.render.count(_ == '$') >= 2 && q.render.contains("$group"), q.render)
+    val got = DocSource.aggregate(users, q.spec.toOption.get)
+      .select("agg_value").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), got.toString) // lima + quito
+    // plain "how many users" still serves the row count, not a distinct
+    val plain = Nl2Doc.build("how many users", "users", fields)
+    val n = DocSource.aggregate(users, plain.spec.toOption.get)
+      .select("agg_value").collect()(0).getLong(0)
+    assert(n == 60L)
+  }
+
   test("most common never fabricates: an unlinked word falls through") {
     val q = Nl2Doc.build("the most common flavor among users", "users",
       taggedFields, arrayFields = Set("tags"))
