@@ -1639,8 +1639,8 @@ object Evaluation {
         "GROUP BY course_id) m ON m.cid = s.course_id AND s.score = m.mx " +
         "GROUP BY s.course_id HAVING COUNT(*) = 1) t",
       "unique_argmax_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10au open cases, closed in round 10av (top-2 count gap,
+    //     category self-compare, average entity share) ---
     EvalCase("the gap between the two most popular courses by enrollment",
       "SELECT MAX(n) - MIN(n) AS agg_value FROM (SELECT COUNT(*) AS n " +
         "FROM scores GROUP BY course_id ORDER BY n DESC LIMIT 2) t",
@@ -1656,5 +1656,28 @@ object Evaluation {
       "SELECT ROUND(AVG(sh), 4) AS agg_value FROM (SELECT student_id, " +
         "CAST(SUM(CASE WHEN grade IN ('A','B','C') THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / COUNT(*) AS sh FROM scores GROUP BY student_id) t",
-      "avg_entity_share"))
+      "avg_entity_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the hardest course for ninth graders",
+      "SELECT s.course_id FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id WHERE st.grade_level = 9 " +
+        "GROUP BY s.course_id ORDER BY AVG(s.score) ASC, s.course_id " +
+        "LIMIT 1", "cohort_group_argmin"),
+    EvalCase("how many students improved their average every year they were enrolled",
+      "WITH ya AS (SELECT student_id, year, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id, year), " +
+        "d AS (SELECT student_id, CASE WHEN a > LAG(a) OVER " +
+        "(PARTITION BY student_id ORDER BY year) THEN 1 ELSE 0 END AS up, " +
+        "ROW_NUMBER() OVER (PARTITION BY student_id ORDER BY year) AS rn " +
+        "FROM ya) " +
+        "SELECT COUNT(*) AS agg_value FROM (SELECT student_id FROM d " +
+        "GROUP BY student_id HAVING MIN(CASE WHEN rn = 1 THEN 1 ELSE up " +
+        "END) = 1 AND COUNT(*) > 1) t", "all_years_improving_count"),
+    EvalCase("the average course enrollment experienced by a typical student",
+      "WITH n AS (SELECT course_id, COUNT(*) AS en FROM scores " +
+        "GROUP BY course_id) " +
+        "SELECT ROUND(AVG(m), 4) AS agg_value FROM (SELECT s.student_id, " +
+        "AVG(n.en) AS m FROM scores s JOIN n ON n.course_id = s.course_id " +
+        "GROUP BY s.student_id) t", "avg_avg_group_size"))
 }

@@ -7864,6 +7864,116 @@ object Templates {
         0.9, "template_unique_argmax_count")).take(1)
     }
 
+  // "the gap between the two most popular courses by enrollment" —
+  // difference of the top-2 group counts
+  private val top2CountGapRe =
+    (raw"(?i)\bthe\s+gap\s+between\s+the\s+two\s+most\s+popular\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+by\s+enrollment\b").r
+
+  /** Top-2 count gap: group counts in one grouped pass, top-2 via
+    * TakeOrderedAndProject (k=2 heap, no full sort), MAX−MIN of the
+    * two survivors. */
+  def top2CountGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    top2CountGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"SELECT MAX(n) - MIN(n) AS agg_value FROM (SELECT COUNT(*) AS n " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
+          s"ORDER BY n DESC LIMIT 2) t",
+        0.9, "template_top2_count_gap")).take(1)
+    }
+
+  // "students whose average in math courses beats their average in
+  // science courses" — two category-conditional averages per entity
+  private val categorySelfCompareRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+average\s+in\s+([a-z0-9]+)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+(beats|exceeds|trails)\s+their\s+average\s+" +
+      raw"in\s+([a-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Category self-compare: ONE grouped pass per entity with two
+    * conditional AVGs (the category attribute broadcast in from its
+    * dimension), names resolved last. The two category values must
+    * both live in the mined domain of the same dimension column
+    * (no-fabrication). */
+  def categorySelfCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    categorySelfCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      if (m.group(3).toLowerCase != m.group(6).toLowerCase) Seq.empty
+      else {
+        val (v1, v2) = (m.group(2), m.group(5))
+        val op = if (m.group(4).toLowerCase == "trails") "<" else ">"
+        (for {
+          dimE <- uniqueTable(slice, m.group(1)).toSeq
+          dimJ <- uniqueTable(slice, m.group(3)).toSeq
+          if dimE != dimJ
+          eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+            e2.fromTable == e.fromTable && e2.toTable == dimJ))
+          eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+          attr <- values(dimJ).collectFirst {
+            case (c, dom) if dom.contains(v1) && dom.contains(v2) => c
+          }.toSeq
+          nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+          factCols = slice.tables(eE.fromTable)
+          stringCols = values(eE.fromTable).keySet
+          measure <- factCols.filter { c =>
+            val l = c.toLowerCase
+            !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
+              l != "id" && !l.endsWith("key") && !stringCols.contains(c)
+          } match {
+            case Seq(one) => Seq(one)
+            case _ => Seq.empty
+          }
+        } yield Candidate(
+          s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
+            s"${eE.fromTable} s JOIN $dimJ c " +
+            s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+            s"GROUP BY s.${eE.fromColumn} " +
+            s"HAVING AVG(CASE WHEN c.$attr = '$v1' THEN s.$measure END) $op " +
+            s"AVG(CASE WHEN c.$attr = '$v2' THEN s.$measure END)) m " +
+            s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+          0.9, "template_category_self_compare")).take(1)
+      }
+    }
+
+  // "the average share of courses per student with a grade of C or
+  // better" — mean per-entity share of qualifying rows
+  private val avgEntityShareRe =
+    (raw"(?i)\bthe\s+average\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+per\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+with\s+a\s+([a-z_][a-z0-9_]*)\s+of\s+" +
+      raw"([A-Za-z0-9]+)\s+or\s+better\b").r
+
+  /** Average entity share: per-entity conditional share in one grouped
+    * pass, AVG over the entity-count-sized frame. "Or better" reads
+    * against the mined single-letter grade domain (A best), so the
+    * qualifying set is explicit values — never a fabricated range. */
+  def avgEntityShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    avgEntityShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(4)
+      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        valueCol <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        domain = values(eE.fromTable).getOrElse(valueCol, Seq.empty)
+        if domain.nonEmpty && domain.forall(_.length == 1) && domain.contains(v)
+        qualifying = domain.filter(_ <= v).sorted
+        if qualifying.nonEmpty
+      } yield Candidate(
+        s"SELECT ROUND(AVG(sh), 4) AS agg_value FROM " +
+          s"(SELECT ${eE.fromColumn}, CAST(SUM(CASE WHEN $valueCol IN " +
+          s"(${qualifying.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*) AS sh FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_avg_entity_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8067,6 +8177,9 @@ object Templates {
       valueRatioCandidates(slice, fks, question, values),
       bestCourseDistributionCandidates(slice, fks, question, values),
       uniqueArgmaxCountCandidates(slice, fks, question, values),
+      top2CountGapCandidates(slice, fks, question),
+      categorySelfCompareCandidates(slice, fks, question, values),
+      avgEntityShareCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -139,7 +139,8 @@ class EvaluationSpec extends SparkSpec {
         "cohort_popular_course", "floor_above_avg_count",
         "avg_distinct_per_group", "named_overlap_argmax",
         "size_filtered_avg", "cohort_sum_share", "grade_domain_span",
-        "value_ratio", "best_course_distribution", "unique_argmax_count"))
+        "value_ratio", "best_course_distribution", "unique_argmax_count",
+        "top2_count_gap", "category_self_compare", "avg_entity_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
