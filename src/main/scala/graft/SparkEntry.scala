@@ -234,6 +234,16 @@ object Queries {
         "UNION ALL SELECT 'not_null', 'o_orderpriority', ROUND(v_nn*1.0/total, 6), 0.0, v_nn*1.0/total <= 0.0 FROM t " +
         "UNION ALL SELECT 'unique', 'o_orderkey', ROUND(v_uq*1.0/total, 6), 0.0, v_uq*1.0/total <= 0.0 FROM t" +
         ") x ORDER BY \"check\", col_name"),
+    // compaction-plan replica: identical running-sum bin assignment
+    "x_compaction_plan" ->
+      ("WITH f AS (SELECT o_orderkey % 499 AS file_id, " +
+        "CAST(SUM(o_orderkey % 1000) AS BIGINT) AS bytes FROM orders " +
+        "GROUP BY 1), " +
+        "c AS (SELECT file_id, bytes, SUM(bytes) OVER " +
+        "(ORDER BY bytes DESC, file_id ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM f) " +
+        "SELECT file_id, bytes, CAST(FLOOR((cum - bytes) / " +
+        "CAST(100000 AS DOUBLE)) AS BIGINT) AS bin FROM c ORDER BY file_id"),
     // host-graph PageRank replica: the same edges via the shared URL
     // augmentation, 3 unrolled power iterations with dangling-mass
     // redistribution; every constant CAST to DOUBLE so the arithmetic
@@ -1103,6 +1113,17 @@ object ExtensionQueries {
         graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
         graft.operators.Expectations.MatchesRegex("o_orderpriority", "^[0-9]-")))
         .orderBy("check", "col_name")
+    }),
+    // --- compaction planning (operators/Layout.scala) ---
+    // synthetic file stats from orders (499 "files" with skewed sizes);
+    // the plan itself — size-desc greedy bin assignment — is compared
+    "x_compaction_plan" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val files = s.table("orders").groupBy(
+        pmod(col("o_orderkey").cast("long"), lit(499L)).as("file_id"))
+        .agg(sum(pmod(col("o_orderkey").cast("long"), lit(1000L))).as("bytes"))
+      graft.operators.Layout.compactionPlan(files, "file_id", "bytes",
+        targetBytes = 100000L).orderBy("file_id")
     }),
     // --- link-graph analytics (operators/Graphs.scala) ---
     // Host graph from the deterministic URL augmentation shared with

@@ -96,4 +96,32 @@ object Layout {
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Compaction plan — the small-files half of lakehouse `OPTIMIZE`
+   * (Z-order above is the clustering half): assign files to
+   * target-sized rewrite bins. Greedy cumulative assignment over
+   * size-DESCENDING order: `bin = floor(bytes_before / target)`, where
+   * `bytes_before` is the running total of larger-or-equal files. Each
+   * bin closes within one file of the target; a file already at or
+   * above the target lands at a bin boundary and effectively keeps its
+   * own bin (it needs no rewrite). Deterministic (size then file-id
+   * tiebreak), so plans are replayable.
+   *
+   * The input is FILE METADATA — one row per file, ~1M rows for 100 TB
+   * of 100 MB files — so the single-partition running-sum window is a
+   * metadata-sized sort, not a data scan; the data itself moves only in
+   * the rewrite jobs the plan drives, one job per bin.
+   */
+  def compactionPlan(files: DataFrame, fileCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bytesCol).desc, col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    files.select(col(fileCol), col(bytesCol))
+      .withColumn("bin",
+        floor((sum(col(bytesCol)).over(w) - col(bytesCol)) /
+          targetBytes.toDouble).cast("long"))
+  }
 }

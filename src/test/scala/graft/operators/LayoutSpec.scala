@@ -110,4 +110,24 @@ class LayoutSpec extends SparkSpec {
     assert(fPart < total / 2, s"$fPart of $total")
     assert(fSupp < total / 2, s"$fSupp of $total")
   }
+
+  test("compactionPlan: bins close within one file of the target, big files stand apart, deterministic") {
+    import spark.implicits._
+    val files = Seq(("a", 70L), ("b", 60L), ("c", 50L), ("d", 40L),
+      ("e", 30L), ("f", 250L), ("g", 10L)).toDF("file", "bytes")
+    val byFile = Layout.compactionPlan(files, "file", "bytes", 100L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // size-desc order: f(250) cum_before 0 -> bin 0; a(70) before 250 -> bin 2;
+    // b(60) before 320 -> 3; c(50) before 380 -> 3; d(40) before 430 -> 4;
+    // e(30) before 470 -> 4; g(10) before 500 -> 5
+    assert(byFile == Map("f" -> 0L, "a" -> 2L, "b" -> 3L, "c" -> 3L,
+      "d" -> 4L, "e" -> 4L, "g" -> 5L), byFile.toString)
+    // the oversized file shares no bin; every other bin stays under
+    // target + largest member
+    val bins = Layout.compactionPlan(files, "file", "bytes", 100L)
+      .groupBy("bin").agg(sum("bytes").as("b"), count("*").as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(bins.find(_._1 == 0L).get._3 == 1L)
+    bins.filter(_._1 != 0L).foreach { case (_, b, _) => assert(b <= 170L, b.toString) }
+  }
 }
