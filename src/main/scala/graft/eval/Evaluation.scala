@@ -1657,8 +1657,8 @@ object Evaluation {
         "CAST(SUM(CASE WHEN grade IN ('A','B','C') THEN 1 ELSE 0 END) " +
         "AS DOUBLE) / COUNT(*) AS sh FROM scores GROUP BY student_id) t",
       "avg_entity_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10av open cases, closed in round 10aw (cohort group
+    //     argmin, all-periods-monotone count, average-of-average size) ---
     EvalCase("the hardest course for ninth graders",
       "SELECT s.course_id FROM scores s JOIN students st " +
         "ON st.student_id = s.student_id WHERE st.grade_level = 9 " +
@@ -1679,5 +1679,27 @@ object Evaluation {
         "GROUP BY course_id) " +
         "SELECT ROUND(AVG(m), 4) AS agg_value FROM (SELECT s.student_id, " +
         "AVG(n.en) AS m FROM scores s JOIN n ON n.course_id = s.course_id " +
-        "GROUP BY s.student_id) t", "avg_avg_group_size"))
+        "GROUP BY s.student_id) t", "avg_avg_group_size"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("how many pairs of courses share no students at all",
+      "SELECT CAST((SELECT COUNT(*) FROM courses) * " +
+        "((SELECT COUNT(*) FROM courses) - 1) / 2 AS BIGINT) - COUNT(*) " +
+        "AS agg_value FROM (SELECT DISTINCT a.course_id AS c1, " +
+        "b.course_id AS c2 FROM scores a JOIN scores b " +
+        "ON a.student_id = b.student_id AND a.course_id < b.course_id) t",
+      "disjoint_pair_count"),
+    EvalCase("students whose score in every course is within 10 points of their own average",
+      "SELECT st.student_name FROM (SELECT student_id FROM " +
+        "(SELECT student_id, score, AVG(score) OVER " +
+        "(PARTITION BY student_id) AS a FROM scores) x " +
+        "GROUP BY student_id HAVING MAX(ABS(score - a)) <= 10) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "self_band_universal"),
+    EvalCase("the average position of Algebra in each student's personal ranking of courses",
+      "SELECT ROUND(AVG(rk), 4) AS agg_value FROM (SELECT s.student_id, " +
+        "RANK() OVER (PARTITION BY s.student_id ORDER BY s.score DESC) AS rk, " +
+        "c.course_name FROM scores s JOIN courses c " +
+        "ON c.course_id = s.course_id) t WHERE course_name = 'Algebra'",
+      "named_group_avg_rank"))
 }

@@ -7974,6 +7974,124 @@ object Templates {
         0.9, "template_avg_entity_share")).take(1)
     }
 
+  // "the hardest course for ninth graders" — cohort-restricted group
+  // argmin by average measure
+  private val cohortGroupArgminRe =
+    (raw"(?i)\bthe\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"for\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
+      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
+
+  /** Cohort group argmin: the cohort filter prunes the fact BEFORE the
+    * single grouped pass (dimension broadcast in), top-1 by the group
+    * average with an id tiebreak. Measure by elimination. */
+  def cohortGroupArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    cohortGroupArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
+      val dir = if (m.group(1).toLowerCase == "easiest") "DESC" else "ASC"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+        factCols = slice.tables(eJ.fromTable)
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
+            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
+          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"WHERE st.$gradeCol = $n GROUP BY s.${eJ.fromColumn} " +
+          s"ORDER BY AVG(s.$measure) $dir, s.${eJ.fromColumn} LIMIT 1",
+        0.9, "template_cohort_group_argmin")).take(1)
+    }
+
+  // "how many students improved their average every year they were
+  // enrolled" — count of entities with strictly-monotone period series
+  private val allYearsImprovingRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+(improved|increased|" +
+      raw"declined|worsened)\s+their\s+average\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** All-periods-monotone count: (entity, period) averages in one
+    * grouped pass, the LAG/first-row windows partition on the ENTITY
+    * over that key-sized frame, MIN-indicator encodes the ∀; entities
+    * with a single period drop (no trend to claim). */
+  def allYearsImprovingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    allYearsImprovingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cmp = if (Set("improved", "increased")(m.group(2).toLowerCase)) ">" else "<"
+      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eE.fromTable)
+        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH ya AS (SELECT ${eE.fromColumn}, $period, AVG($measure) AS a " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}, $period), " +
+          s"d AS (SELECT ${eE.fromColumn}, CASE WHEN a $cmp LAG(a) OVER " +
+          s"(PARTITION BY ${eE.fromColumn} ORDER BY $period) THEN 1 ELSE 0 " +
+          s"END AS up, ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
+          s"ORDER BY $period) AS rn FROM ya) " +
+          s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
+          s"FROM d GROUP BY ${eE.fromColumn} " +
+          s"HAVING MIN(CASE WHEN rn = 1 THEN 1 ELSE up END) = 1 " +
+          s"AND COUNT(*) > 1) t",
+        0.9, "template_all_years_improving_count")).take(1)
+    }
+
+  // "the average course enrollment experienced by a typical student" —
+  // mean over entities of their groups' mean size
+  private val avgAvgGroupSizeRe =
+    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+enrollment\s+" +
+      raw"experienced\s+by\s+a\s+typical\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average-of-average group size: group sizes from one grouped pass
+    * (group-count-sized, broadcast back), per-entity mean over their
+    * memberships, one scalar AVG. Two keyed shuffles, both bounded. */
+  def avgAvgGroupSizeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgAvgGroupSizeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS en FROM " +
+          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) " +
+          s"SELECT ROUND(AVG(m), 4) AS agg_value FROM " +
+          s"(SELECT s.${eE.fromColumn}, AVG(n.en) AS m FROM " +
+          s"${eJ.fromTable} s JOIN n ON n.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}) t",
+        0.9, "template_avg_avg_group_size")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8180,6 +8298,9 @@ object Templates {
       top2CountGapCandidates(slice, fks, question),
       categorySelfCompareCandidates(slice, fks, question, values),
       avgEntityShareCandidates(slice, fks, question, values),
+      cohortGroupArgminCandidates(slice, fks, question, values),
+      allYearsImprovingCandidates(slice, fks, question, values),
+      avgAvgGroupSizeCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -140,7 +140,9 @@ class EvaluationSpec extends SparkSpec {
         "avg_distinct_per_group", "named_overlap_argmax",
         "size_filtered_avg", "cohort_sum_share", "grade_domain_span",
         "value_ratio", "best_course_distribution", "unique_argmax_count",
-        "top2_count_gap", "category_self_compare", "avg_entity_share"))
+        "top2_count_gap", "category_self_compare", "avg_entity_share",
+        "cohort_group_argmin", "all_years_improving_count",
+        "avg_avg_group_size"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
