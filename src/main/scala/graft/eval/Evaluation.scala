@@ -1680,8 +1680,8 @@ object Evaluation {
         "SELECT ROUND(AVG(m), 4) AS agg_value FROM (SELECT s.student_id, " +
         "AVG(n.en) AS m FROM scores s JOIN n ON n.course_id = s.course_id " +
         "GROUP BY s.student_id) t", "avg_avg_group_size"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10aw open cases, closed in round 10ax (disjoint pairs,
+    //     self-band universal, named-group average rank) ---
     EvalCase("how many pairs of courses share no students at all",
       "SELECT CAST((SELECT COUNT(*) FROM courses) * " +
         "((SELECT COUNT(*) FROM courses) - 1) / 2 AS BIGINT) - COUNT(*) " +
@@ -1701,5 +1701,22 @@ object Evaluation {
         "RANK() OVER (PARTITION BY s.student_id ORDER BY s.score DESC) AS rk, " +
         "c.course_name FROM scores s JOIN courses c " +
         "ON c.course_id = s.course_id) t WHERE course_name = 'Algebra'",
-      "named_group_avg_rank"))
+      "named_group_avg_rank"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of distinct score values that appear in only one course",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT score FROM " +
+        "(SELECT DISTINCT score, course_id FROM scores) t GROUP BY score " +
+        "HAVING COUNT(*) = 1) u", "exclusive_value_count"),
+    EvalCase("the grade level with the highest share of A grades",
+      "SELECT gl FROM (SELECT st.grade_level AS gl, " +
+        "CAST(SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) AS sh FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id GROUP BY st.grade_level) t " +
+        "ORDER BY sh DESC, gl LIMIT 1", "cohort_share_argmax"),
+    EvalCase("how many scores were recorded in each student's first year",
+      "SELECT COUNT(*) AS agg_value FROM scores s JOIN " +
+        "(SELECT student_id, MIN(year) AS y0 FROM scores " +
+        "GROUP BY student_id) f ON f.student_id = s.student_id " +
+        "AND f.y0 = s.year", "first_period_count"))
 }

@@ -8092,6 +8092,109 @@ object Templates {
         0.9, "template_avg_avg_group_size")).take(1)
     }
 
+  // "how many pairs of courses share no students at all" — complement
+  // of the co-membership pair set
+  private val disjointPairCountRe =
+    (raw"(?i)\bhow\s+many\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+share\s+no\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Disjoint-pair count: total pairs C(|J|,2) from two scalar
+    * subqueries minus the DISTINCT co-membership pairs (entity-keyed
+    * self-join, per-entity fan-out — never all-pairs over groups). */
+  def disjointPairCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    disjointPairCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT CAST((SELECT COUNT(*) FROM $dimJ) * " +
+          s"((SELECT COUNT(*) FROM $dimJ) - 1) / 2 AS BIGINT) - COUNT(*) " +
+          s"AS agg_value FROM (SELECT DISTINCT a.${eJ.fromColumn} AS c1, " +
+          s"b.${eJ.fromColumn} AS c2 FROM ${eJ.fromTable} a " +
+          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn}) t",
+        0.9, "template_disjoint_pair_count")).take(1)
+    }
+
+  // "students whose score in every course is within 10 points of their
+  // own average" — a universal band around the entity's own mean
+  private val selfBandUniversalRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
+      raw"every\s+([a-z_][a-z0-9_]*)\s+is\s+within\s+(\d+(?:\.\d+)?)\s+" +
+      raw"points\s+of\s+their\s+own\s+average\b").r
+
+  /** Self-band universal: the per-entity mean via a window PARTITIONED
+    * on the entity key (per-entity membership frames, no global sort),
+    * the ∀ as a grouped MAX-of-deviation bound, names resolved last. */
+  def selfBandUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    selfBandUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
+          s"(SELECT ${eE.fromColumn}, $measure, AVG($measure) OVER " +
+          s"(PARTITION BY ${eE.fromColumn}) AS a FROM ${eE.fromTable}) x " +
+          s"GROUP BY ${eE.fromColumn} " +
+          s"HAVING MAX(ABS($measure - a)) <= ${m.group(4)}) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_self_band_universal")).take(1)
+    }
+
+  // "the average position of Algebra in each student's personal ranking
+  // of courses" — a named group's mean rank across entities
+  private val namedGroupAvgRankRe =
+    (raw"(?i)\bthe\s+average\s+position\s+of\s+" +
+      raw"((?-i:[A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*))\s+in\s+each\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+personal\s+ranking\s+of\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Named-group average rank: RANK windows partition on the ENTITY key
+    * (per-entity membership sorts), the named group filtered AFTER
+    * ranking (the position is within the full personal list), one
+    * scalar AVG. Measure by elimination. */
+  def namedGroupAvgRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    namedGroupAvgRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(1).replace("'", "''")
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        jName <- nameishColumn(slice.tables(dimJ)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
+            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ROUND(AVG(rk), 4) AS agg_value FROM " +
+          s"(SELECT s.${eE.fromColumn}, RANK() OVER " +
+          s"(PARTITION BY s.${eE.fromColumn} ORDER BY s.$measure DESC) AS rk, " +
+          s"c.$jName FROM ${eE.fromTable} s JOIN $dimJ c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn}) t WHERE $jName = '$v'",
+        0.9, "template_named_group_avg_rank")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8301,6 +8404,9 @@ object Templates {
       cohortGroupArgminCandidates(slice, fks, question, values),
       allYearsImprovingCandidates(slice, fks, question, values),
       avgAvgGroupSizeCandidates(slice, fks, question),
+      disjointPairCountCandidates(slice, fks, question),
+      selfBandUniversalCandidates(slice, fks, question),
+      namedGroupAvgRankCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
