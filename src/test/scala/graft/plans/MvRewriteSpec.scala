@@ -87,6 +87,22 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("engine answers are unchanged by registration — the NL path serves through the rewrite transparently") {
+    setup
+    withMv {
+      val engine = graft.api.Engine.forFixtures(spark, sfDir)
+      val sql = "SELECT o_orderpriority, COUNT(*) AS c FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      val before = engine.run(sql).toOption.get.rows
+      MvCatalog.register(spark, "orders", Seq("o_orderpriority"), "o_totalprice",
+        MaterializedAgg.build(spark.table("orders"), Seq("o_orderpriority"), "o_totalprice"))
+      val after = engine.run(sql).toOption.get.rows
+      assert(after == before, s"served=$after direct=$before")
+      // and the equivalent plan is aggregate-free once registered
+      assert(!hasAggregate(spark.sql(sql)))
+    }
+  }
+
   test("clear() stops the rewrite") {
     setup
     withMv {
