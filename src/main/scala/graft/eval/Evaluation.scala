@@ -1702,8 +1702,8 @@ object Evaluation {
         "c.course_name FROM scores s JOIN courses c " +
         "ON c.course_id = s.course_id) t WHERE course_name = 'Algebra'",
       "named_group_avg_rank"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ax open cases, closed in round 10ay (exclusive
+    //     values, cohort share argmax, first-period count) ---
     EvalCase("the number of distinct score values that appear in only one course",
       "SELECT COUNT(*) AS agg_value FROM (SELECT score FROM " +
         "(SELECT DISTINCT score, course_id FROM scores) t GROUP BY score " +
@@ -1718,5 +1718,24 @@ object Evaluation {
       "SELECT COUNT(*) AS agg_value FROM scores s JOIN " +
         "(SELECT student_id, MIN(year) AS y0 FROM scores " +
         "GROUP BY student_id) f ON f.student_id = s.student_id " +
-        "AND f.y0 = s.year", "first_period_count"))
+        "AND f.y0 = s.year", "first_period_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course whose enrollment changed the most between 2022 and 2023",
+      "SELECT course_id FROM scores WHERE year IN (2022, 2023) " +
+        "GROUP BY course_id ORDER BY " +
+        "ABS(SUM(CASE WHEN year = 2023 THEN 1 ELSE 0 END) - " +
+        "SUM(CASE WHEN year = 2022 THEN 1 ELSE 0 END)) DESC, course_id " +
+        "LIMIT 1", "enrollment_trend_argmax"),
+    EvalCase("the share of students who never scored below 60",
+      "SELECT ROUND(CAST(SUM(CASE WHEN mn >= 60 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+        "(SELECT student_id, MIN(score) AS mn FROM scores " +
+        "GROUP BY student_id) t", "floor_threshold_share"),
+    EvalCase("the median enrollment among courses in each department",
+      "SELECT dept, CAST(MEDIAN(n) AS DOUBLE) AS med FROM " +
+        "(SELECT c.dept, s.course_id, COUNT(*) AS n FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.course_id) t GROUP BY dept ORDER BY dept",
+      "dept_median_enrollment"))
 }

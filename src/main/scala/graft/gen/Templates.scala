@@ -8195,6 +8195,94 @@ object Templates {
         0.9, "template_named_group_avg_rank")).take(1)
     }
 
+  // "the number of distinct score values that appear in only one
+  // course" — values exclusive to a single group
+  private val exclusiveValueCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+distinct\s+([a-z_][a-z0-9_]*)\s+values\s+" +
+      raw"that\s+appear\s+in\s+only\s+one\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Exclusive-value count: DISTINCT (value, group) collapses the fact
+    * once (map-side combined), per-value group counts over the
+    * domain-sized frame, keep singletons, COUNT. */
+  def exclusiveValueCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    exclusiveValueCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT $measure FROM " +
+          s"(SELECT DISTINCT $measure, ${eJ.fromColumn} FROM " +
+          s"${eJ.fromTable}) t GROUP BY $measure HAVING COUNT(*) = 1) u",
+        0.9, "template_exclusive_value_count")).take(1)
+    }
+
+  // "the grade level with the highest share of A grades" — cohort
+  // argmax by conditional share
+  private val cohortShareArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+with\s+the\s+" +
+      raw"(highest|largest|lowest|smallest)\s+share\s+of\s+" +
+      raw"([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Cohort share argmax: ONE grouped pass keyed on the cohort
+    * attribute (dimension broadcast in) with a conditional and an
+    * unconditional count, top-1 over the attribute-domain-sized frame.
+    * The category value must be in the mined domain (no-fabrication). */
+  def cohortShareArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    cohortShareArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
+      val dir = if (Set("highest", "largest")(m.group(2).toLowerCase)) "DESC" else "ASC"
+      val v = m.group(3)
+      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        valueCol <- strongColumn(vWord, slice.tables(fact)).toSeq
+        domain = values(fact).getOrElse(valueCol, Seq.empty)
+        if domain.contains(v)
+        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          strongColumn(attrWord, slice.tables(e.toTable)).isDefined)
+        attr <- strongColumn(attrWord, slice.tables(eE.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT gl FROM (SELECT st.$attr AS gl, " +
+          s"CAST(SUM(CASE WHEN s.$valueCol = '$v' THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*) AS sh FROM $fact s " +
+          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY st.$attr) t ORDER BY sh $dir, gl LIMIT 1",
+        0.9, "template_cohort_share_argmax")).take(1)
+    }
+
+  // "how many scores were recorded in each student's first year" —
+  // rows landing in their entity's earliest period
+  private val firstPeriodCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+were\s+recorded\s+in\s+" +
+      raw"each\s+([a-z_][a-z0-9_]*)'s\s+first\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** First-period count: per-entity MIN(period) in one grouped pass
+    * (entity-count-sized, joined back — AQE broadcasts it), count the
+    * rows whose period equals their entity's first. */
+  def firstPeriodCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    firstPeriodCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != fact
+        eE <- fks.find(e => e.fromTable == fact && e.toTable == dimE).toSeq
+        period <- slice.tables(fact)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM $fact s JOIN " +
+          s"(SELECT ${eE.fromColumn}, MIN($period) AS y0 FROM $fact " +
+          s"GROUP BY ${eE.fromColumn}) f " +
+          s"ON f.${eE.fromColumn} = s.${eE.fromColumn} AND f.y0 = s.$period",
+        0.9, "template_first_period_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8407,6 +8495,9 @@ object Templates {
       disjointPairCountCandidates(slice, fks, question),
       selfBandUniversalCandidates(slice, fks, question),
       namedGroupAvgRankCandidates(slice, fks, question, values),
+      exclusiveValueCountCandidates(slice, fks, question),
+      cohortShareArgmaxCandidates(slice, fks, question, values),
+      firstPeriodCountCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -143,7 +143,9 @@ class EvaluationSpec extends SparkSpec {
         "top2_count_gap", "category_self_compare", "avg_entity_share",
         "cohort_group_argmin", "all_years_improving_count",
         "avg_avg_group_size", "disjoint_pair_count",
-        "self_band_universal", "named_group_avg_rank"))
+        "self_band_universal", "named_group_avg_rank",
+        "exclusive_value_count", "cohort_share_argmax",
+        "first_period_count"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
