@@ -1719,8 +1719,8 @@ object Evaluation {
         "(SELECT student_id, MIN(year) AS y0 FROM scores " +
         "GROUP BY student_id) f ON f.student_id = s.student_id " +
         "AND f.y0 = s.year", "first_period_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ay open cases, closed in round 10az (enrollment-trend
+    //     argmax, floor-threshold share, per-attribute median size) ---
     EvalCase("the course whose enrollment changed the most between 2022 and 2023",
       "SELECT course_id FROM scores WHERE year IN (2022, 2023) " +
         "GROUP BY course_id ORDER BY " +
@@ -1737,5 +1737,25 @@ object Evaluation {
         "(SELECT c.dept, s.course_id, COUNT(*) AS n FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.course_id) t GROUP BY dept ORDER BY dept",
-      "dept_median_enrollment"))
+      "dept_median_enrollment"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the difference in average score between the most and least popular courses",
+      "WITH n AS (SELECT course_id, COUNT(*) AS en, AVG(score) AS a " +
+        "FROM scores GROUP BY course_id), " +
+        "hi AS (SELECT a FROM n ORDER BY en DESC, course_id LIMIT 1), " +
+        "lo AS (SELECT a FROM n ORDER BY en ASC, course_id LIMIT 1) " +
+        "SELECT ROUND((SELECT a FROM hi) - (SELECT a FROM lo), 4) " +
+        "AS agg_value", "popularity_extremes_gap"),
+    EvalCase("the number of courses where ninth graders outnumber tenth graders",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.course_id FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.course_id " +
+        "HAVING SUM(CASE WHEN st.grade_level = 9 THEN 1 ELSE 0 END) > " +
+        "SUM(CASE WHEN st.grade_level = 10 THEN 1 ELSE 0 END)) t",
+      "cohort_count_compare_count"),
+    EvalCase("the average of each student's median score",
+      "SELECT ROUND(AVG(md), 4) AS agg_value FROM (SELECT student_id, " +
+        "MEDIAN(score) AS md FROM scores GROUP BY student_id) t",
+      "avg_entity_median"))
 }

@@ -8283,6 +8283,96 @@ object Templates {
         0.9, "template_first_period_count")).take(1)
     }
 
+  // "the course whose enrollment changed the most between 2022 and
+  // 2023" — two-period group-count delta argmax
+  private val enrollmentTrendArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+enrollment\s+" +
+      raw"(changed|grew|increased|dropped|decreased)\s+the\s+most\s+" +
+      raw"between\s+(\d{4})\s+and\s+(\d{4})\b").r
+
+  /** Enrollment-trend argmax: the period filter prunes first, ONE
+    * grouped pass with two conditional counts, top-1 by the delta
+    * (absolute for "changed") with an id tiebreak. */
+  def enrollmentTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    enrollmentTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (y1, y2) = (m.group(3), m.group(4))
+      val delta = s"(SUM(CASE WHEN year = $y2 THEN 1 ELSE 0 END) - " +
+        s"SUM(CASE WHEN year = $y1 THEN 1 ELSE 0 END))"
+      val ord = m.group(2).toLowerCase match {
+        case "changed" => s"ABS$delta DESC"
+        case "grew" | "increased" => s"$delta DESC"
+        case _ => s"$delta ASC"
+      }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        period <- slice.tables(eJ.fromTable)
+          .find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} " +
+          s"WHERE $period IN ($y1, $y2) GROUP BY ${eJ.fromColumn} " +
+          s"ORDER BY ${ord.replace("year", period)}, ${eJ.fromColumn} LIMIT 1",
+        0.9, "template_enrollment_trend_argmax")).take(1)
+    }
+
+  // "the share of students who never scored below 60" — per-entity
+  // extreme against a threshold, as a share
+  private val floorThresholdShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+who\s+never\s+" +
+      raw"([a-z]+)\s+(below|under|above|over)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Floor/ceiling threshold share: per-entity MIN (never below) or MAX
+    * (never above) in one grouped pass, share over the entity-count-
+    * sized frame. The verb stems to the measure column. */
+  def floorThresholdShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    floorThresholdShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val below = Set("below", "under")(m.group(3).toLowerCase)
+      val verb = m.group(2).toLowerCase
+      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- stems.flatMap(strongColumn(_, slice.tables(eE.fromTable))).headOption.toSeq
+      } yield {
+        val (agg, cmp) = if (below) ("MIN", ">=") else ("MAX", "<=")
+        Candidate(
+          s"SELECT ROUND(CAST(SUM(CASE WHEN mn $cmp ${m.group(4)} THEN 1 " +
+            s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+            s"(SELECT ${eE.fromColumn}, $agg($measure) AS mn FROM " +
+            s"${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
+          0.9, "template_floor_threshold_share")
+      }).take(1)
+    }
+
+  // "the median enrollment among courses in each department" — median
+  // of group sizes per dimension attribute
+  private val deptMedianEnrollmentRe =
+    (raw"(?i)\bthe\s+median\s+enrollment\s+among\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+each\s+([a-z]+(?:[ _][a-z]+)?)\b").r
+
+  /** Median enrollment per attribute: (attribute, group) counts in one
+    * grouped pass, MEDIAN over the group-count-sized frame per
+    * attribute value. */
+  def deptMedianEnrollmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    deptMedianEnrollmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(2).toLowerCase.replace(' ', '_')
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        attr <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"SELECT $attr, CAST(MEDIAN(n) AS DOUBLE) AS med FROM " +
+          s"(SELECT c.$attr, s.${eJ.fromColumn}, COUNT(*) AS n FROM " +
+          s"${eJ.fromTable} s JOIN $dimJ c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr, s.${eJ.fromColumn}) t GROUP BY $attr " +
+          s"ORDER BY $attr",
+        0.9, "template_dept_median_enrollment")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8498,6 +8588,9 @@ object Templates {
       exclusiveValueCountCandidates(slice, fks, question),
       cohortShareArgmaxCandidates(slice, fks, question, values),
       firstPeriodCountCandidates(slice, fks, question),
+      enrollmentTrendArgmaxCandidates(slice, fks, question),
+      floorThresholdShareCandidates(slice, fks, question),
+      deptMedianEnrollmentCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

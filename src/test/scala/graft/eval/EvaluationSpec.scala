@@ -145,7 +145,8 @@ class EvaluationSpec extends SparkSpec {
         "avg_avg_group_size", "disjoint_pair_count",
         "self_band_universal", "named_group_avg_rank",
         "exclusive_value_count", "cohort_share_argmax",
-        "first_period_count"))
+        "first_period_count", "enrollment_trend_argmax",
+        "floor_threshold_share", "dept_median_enrollment"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
