@@ -1738,8 +1738,8 @@ object Evaluation {
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.course_id) t GROUP BY dept ORDER BY dept",
       "dept_median_enrollment"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10az open cases, closed in round 10ba (popularity
+    //     extremes gap, cohort count-compare, average entity median) ---
     EvalCase("the difference in average score between the most and least popular courses",
       "WITH n AS (SELECT course_id, COUNT(*) AS en, AVG(score) AS a " +
         "FROM scores GROUP BY course_id), " +
@@ -1757,5 +1757,25 @@ object Evaluation {
     EvalCase("the average of each student's median score",
       "SELECT ROUND(AVG(md), 4) AS agg_value FROM (SELECT student_id, " +
         "MEDIAN(score) AS md FROM scores GROUP BY student_id) t",
-      "avg_entity_median"))
+      "avg_entity_median"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("how many students scored within 5 points of the top score in at least one course",
+      "SELECT COUNT(DISTINCT s.student_id) AS agg_value FROM scores s " +
+        "JOIN (SELECT course_id, MAX(score) AS mx FROM scores " +
+        "GROUP BY course_id) m ON m.course_id = s.course_id " +
+        "AND s.score >= m.mx - 5", "near_max_membership_count"),
+    EvalCase("the most common margin between a student's best and second-best scores",
+      "WITH r AS (SELECT student_id, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY student_id ORDER BY score DESC, course_id) AS rn " +
+        "FROM scores), " +
+        "g AS (SELECT a.student_id, a.score - b.score AS gap FROM r a " +
+        "JOIN r b ON a.student_id = b.student_id AND a.rn = 1 AND b.rn = 2) " +
+        "SELECT gap FROM g GROUP BY gap ORDER BY COUNT(*) DESC, gap LIMIT 1",
+      "top2_gap_mode"),
+    EvalCase("the average age of the oldest student in each course",
+      "SELECT ROUND(AVG(mx), 4) AS agg_value FROM (SELECT s.course_id, " +
+        "MAX(st.age) AS mx FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id GROUP BY s.course_id) t",
+      "avg_group_attr_max"))
 }

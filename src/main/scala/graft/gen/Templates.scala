@@ -8373,6 +8373,98 @@ object Templates {
         0.9, "template_dept_median_enrollment")).take(1)
     }
 
+  // "the difference in average score between the most and least popular
+  // courses" — aggregate gap between popularity-extreme groups
+  private val popularityExtremesGapRe =
+    (raw"(?i)\bthe\s+difference\s+in\s+average\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"between\s+the\s+most\s+and\s+least\s+popular\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Popularity-extremes gap: per-group count and average in ONE
+    * grouped pass; the two extremes are k=1 orderBy+limit subqueries
+    * (TakeOrderedAndProject over the group-count-sized frame), their
+    * difference a scalar. Deterministic id tiebreaks at both ends. */
+  def popularityExtremesGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    popularityExtremesGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS en, " +
+          s"AVG($measure) AS a FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}), " +
+          s"hi AS (SELECT a FROM n ORDER BY en DESC, ${eJ.fromColumn} LIMIT 1), " +
+          s"lo AS (SELECT a FROM n ORDER BY en ASC, ${eJ.fromColumn} LIMIT 1) " +
+          s"SELECT ROUND((SELECT a FROM hi) - (SELECT a FROM lo), 4) " +
+          s"AS agg_value",
+        0.9, "template_popularity_extremes_gap")).take(1)
+    }
+
+  // "the number of courses where ninth graders outnumber tenth graders"
+  // — per-group cohort-count comparison
+  private val cohortCountCompareRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+where\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?\s+graders\s+" +
+      raw"outnumber\s+(first|second|third|fourth|fifth|sixth|seventh|" +
+      raw"eighth|ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?" +
+      raw"[- ]?graders\b").r
+
+  /** Cohort count-compare count: ONE grouped pass over the fact (the
+    * entity dimension broadcast in) with two conditional counts, a
+    * HAVING comparison, COUNT of surviving groups. */
+  def cohortCountCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortCountCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n1 = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
+      val n2 = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
+          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn} " +
+          s"HAVING SUM(CASE WHEN st.$gradeCol = $n1 THEN 1 ELSE 0 END) > " +
+          s"SUM(CASE WHEN st.$gradeCol = $n2 THEN 1 ELSE 0 END)) t",
+        0.9, "template_cohort_count_compare_count")).take(1)
+    }
+
+  // "the average of each student's median score" — mean of per-entity
+  // medians
+  private val avgEntityMedianRe =
+    (raw"(?i)\bthe\s+average\s+of\s+each\s+([a-z_][a-z0-9_]*)'s\s+" +
+      raw"median\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average entity median: per-entity MEDIAN in one grouped pass (an
+    * exact per-group percentile aggregate with map-side partials), AVG
+    * over the entity-count-sized frame. */
+  def avgEntityMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgEntityMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(md), 4) AS agg_value FROM " +
+          s"(SELECT ${eE.fromColumn}, MEDIAN($measure) AS md FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
+        0.9, "template_avg_entity_median")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8591,6 +8683,9 @@ object Templates {
       enrollmentTrendArgmaxCandidates(slice, fks, question),
       floorThresholdShareCandidates(slice, fks, question),
       deptMedianEnrollmentCandidates(slice, fks, question),
+      popularityExtremesGapCandidates(slice, fks, question),
+      cohortCountCompareCandidates(slice, fks, question),
+      avgEntityMedianCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -146,7 +146,9 @@ class EvaluationSpec extends SparkSpec {
         "self_band_universal", "named_group_avg_rank",
         "exclusive_value_count", "cohort_share_argmax",
         "first_period_count", "enrollment_trend_argmax",
-        "floor_threshold_share", "dept_median_enrollment"))
+        "floor_threshold_share", "dept_median_enrollment",
+        "popularity_extremes_gap", "cohort_count_compare_count",
+        "avg_entity_median"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
