@@ -205,6 +205,24 @@ final class Engine(
       .map(Right(_))
       .getOrElse(ask(question, limit, timeoutMs))
 
+  /**
+   * Materialize a grouped aggregate and register it for automatic
+   * serving: every engine query (NL-generated or direct [[run]]) whose
+   * plan is a matching whole-table GROUP BY is rewritten by
+   * [[graft.plans.MvRewrite]] onto the key-sized state instead of
+   * re-scanning the corpus — the serving half of incremental view
+   * maintenance (refresh the state with
+   * [[graft.operators.MaterializedAgg.refresh]] and call this again to
+   * advance the served snapshot). Returns the materialized state frame.
+   */
+  def materialize(table: String, keys: Seq[String], measure: String,
+      mvName: String = "graft_mv_state"): org.apache.spark.sql.DataFrame = {
+    val state = graft.operators.MaterializedAgg.build(
+      spark.table(table), keys, measure)
+    graft.plans.MvCatalog.register(spark, table, keys, measure, state, mvName)
+    spark.table(mvName)
+  }
+
   /** Full NL→SQL→result pipeline with candidate fallback chain
     * (ref routes_ai.py:150-317). Tries LLM candidates first when a client
     * is configured, then deterministic templates — executing the first

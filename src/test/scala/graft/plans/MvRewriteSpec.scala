@@ -103,6 +103,19 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("Engine.materialize registers and serves in one call") {
+    setup
+    withMv {
+      val engine = graft.api.Engine.forFixtures(spark, sfDir)
+      val state = engine.materialize("orders", Seq("o_orderstatus"), "o_totalprice")
+      assert(state.columns.toSeq ==
+        Seq("o_orderstatus", "n", "sum_v", "min_v", "max_v"))
+      val served = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY o_orderstatus")
+      assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("clear() stops the rewrite") {
     setup
     withMv {
