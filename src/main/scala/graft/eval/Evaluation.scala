@@ -1758,8 +1758,8 @@ object Evaluation {
       "SELECT ROUND(AVG(md), 4) AS agg_value FROM (SELECT student_id, " +
         "MEDIAN(score) AS md FROM scores GROUP BY student_id) t",
       "avg_entity_median"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10ba open cases, closed in round 10bb (near-max
+    //     membership, top-2 gap mode, average group attribute extreme) ---
     EvalCase("how many students scored within 5 points of the top score in at least one course",
       "SELECT COUNT(DISTINCT s.student_id) AS agg_value FROM scores s " +
         "JOIN (SELECT course_id, MAX(score) AS mx FROM scores " +
@@ -1777,5 +1777,24 @@ object Evaluation {
       "SELECT ROUND(AVG(mx), 4) AS agg_value FROM (SELECT s.course_id, " +
         "MAX(st.age) AS mx FROM scores s JOIN students st " +
         "ON st.student_id = s.student_id GROUP BY s.course_id) t",
-      "avg_group_attr_max"))
+      "avg_group_attr_max"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of years in which every course was offered",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT year FROM " +
+        "(SELECT DISTINCT year, course_id FROM scores) t GROUP BY year " +
+        "HAVING COUNT(*) = (SELECT COUNT(*) FROM courses)) u",
+      "full_coverage_period_count"),
+    EvalCase("the student with the most scores above their course's average",
+      "SELECT student_name FROM (SELECT s.student_id, COUNT(*) AS c " +
+        "FROM scores s JOIN (SELECT course_id, AVG(score) AS ca " +
+        "FROM scores GROUP BY course_id) m ON m.course_id = s.course_id " +
+        "WHERE s.score > m.ca GROUP BY s.student_id) t JOIN students st " +
+        "ON st.student_id = t.student_id " +
+        "ORDER BY c DESC, student_name, t.student_id LIMIT 1",
+      "above_avg_count_argmax"),
+    EvalCase("the average difference between a course's maximum and median score",
+      "SELECT ROUND(AVG(mx - md), 4) AS agg_value FROM " +
+        "(SELECT course_id, MAX(score) AS mx, MEDIAN(score) AS md " +
+        "FROM scores GROUP BY course_id) t", "avg_max_median_gap"))
 }

@@ -8465,6 +8465,100 @@ object Templates {
         0.9, "template_avg_entity_median")).take(1)
     }
 
+  // "how many students scored within 5 points of the top score in at
+  // least one course" — near-maximum membership count
+  private val nearMaxMembershipRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+within\s+" +
+      raw"(\d+(?:\.\d+)?)\s+points\s+of\s+the\s+top\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"in\s+at\s+least\s+one\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Near-max membership count: group maxima in one grouped pass
+    * (group-count-sized, joined back with the band predicate — AQE
+    * broadcasts it), COUNT(DISTINCT entity) over the qualifying rows. */
+  def nearMaxMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    nearMaxMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value FROM " +
+          s"${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
+          s"MAX($measure) AS mx FROM ${eE.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) m " +
+          s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"AND s.$measure >= m.mx - ${m.group(2)}",
+        0.9, "template_near_max_membership_count")).take(1)
+    }
+
+  // "the most common margin between a student's best and second-best
+  // scores" — mode of per-entity top-2 gaps
+  private val top2GapModeRe =
+    (raw"(?i)\bthe\s+most\s+common\s+margin\s+between\s+a\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+best\s+and\s+second-best\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Top-2 gap mode: ranks via a window partitioned on the ENTITY key
+    * (per-entity membership sorts, id tiebreak), the rank-1/rank-2
+    * self-join is between two entity-count-sized frames on the entity
+    * key, the mode one grouped top-1 over the gap domain. */
+  def top2GapModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    top2GapModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        other <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE).toSeq
+      } yield Candidate(
+        s"WITH r AS (SELECT ${eE.fromColumn}, $measure, ROW_NUMBER() OVER " +
+          s"(PARTITION BY ${eE.fromColumn} ORDER BY $measure DESC, " +
+          s"${other.fromColumn}) AS rn FROM ${eE.fromTable}), " +
+          s"g AS (SELECT a.${eE.fromColumn}, a.$measure - b.$measure AS gap " +
+          s"FROM r a JOIN r b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND a.rn = 1 AND b.rn = 2) " +
+          s"SELECT gap FROM g GROUP BY gap ORDER BY COUNT(*) DESC, gap LIMIT 1",
+        0.9, "template_top2_gap_mode")).take(1)
+    }
+
+  // "the average age of the oldest student in each course" — mean of
+  // per-group attribute extremes
+  private val avgGroupAttrMaxRe =
+    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+" +
+      raw"(oldest|youngest)\s+([a-z_][a-z0-9_]*)\s+in\s+each\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Average group attribute extreme: one grouped pass over the fact
+    * (entity dimension broadcast in) taking MAX/MIN of the attribute
+    * per group, AVG over the group-count-sized frame. */
+  def avgGroupAttrMaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgGroupAttrMaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(2).toLowerCase == "oldest") "MAX" else "MIN"
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        attr <- strongColumn(m.group(1), slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(mx), 4) AS agg_value FROM " +
+          s"(SELECT s.${eJ.fromColumn}, $agg(st.$attr) AS mx FROM " +
+          s"${eE.fromTable} s JOIN $dimE st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn}) t",
+        0.9, "template_avg_group_attr_max")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8686,6 +8780,9 @@ object Templates {
       popularityExtremesGapCandidates(slice, fks, question),
       cohortCountCompareCandidates(slice, fks, question),
       avgEntityMedianCandidates(slice, fks, question),
+      nearMaxMembershipCandidates(slice, fks, question),
+      top2GapModeCandidates(slice, fks, question),
+      avgGroupAttrMaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

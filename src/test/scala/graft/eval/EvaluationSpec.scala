@@ -148,7 +148,8 @@ class EvaluationSpec extends SparkSpec {
         "first_period_count", "enrollment_trend_argmax",
         "floor_threshold_share", "dept_median_enrollment",
         "popularity_extremes_gap", "cohort_count_compare_count",
-        "avg_entity_median"))
+        "avg_entity_median", "near_max_membership_count",
+        "top2_gap_mode", "avg_group_attr_max"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
