@@ -1778,8 +1778,8 @@ object Evaluation {
         "MAX(st.age) AS mx FROM scores s JOIN students st " +
         "ON st.student_id = s.student_id GROUP BY s.course_id) t",
       "avg_group_attr_max"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bb open cases, closed in round 10bc (full-coverage
+    //     periods, above-average count argmax, max-median gap) ---
     EvalCase("the number of years in which every course was offered",
       "SELECT COUNT(*) AS agg_value FROM (SELECT year FROM " +
         "(SELECT DISTINCT year, course_id FROM scores) t GROUP BY year " +
@@ -1796,5 +1796,27 @@ object Evaluation {
     EvalCase("the average difference between a course's maximum and median score",
       "SELECT ROUND(AVG(mx - md), 4) AS agg_value FROM " +
         "(SELECT course_id, MAX(score) AS mx, MEDIAN(score) AS md " +
-        "FROM scores GROUP BY course_id) t", "avg_max_median_gap"))
+        "FROM scores GROUP BY course_id) t", "avg_max_median_gap"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the year with the most balanced grade distribution",
+      "SELECT y FROM (SELECT year AS y, -SUM(p * LN(p)) AS e FROM " +
+        "(SELECT year, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER " +
+        "(PARTITION BY year) AS p FROM scores GROUP BY year, grade) t " +
+        "GROUP BY y) u ORDER BY e DESC, y LIMIT 1",
+      "period_entropy_argmax"),
+    EvalCase("students who took a course in every department but never got an A",
+      "SELECT st.student_name FROM (SELECT s.student_id FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id HAVING COUNT(DISTINCT c.dept) = " +
+        "(SELECT COUNT(DISTINCT dept) FROM courses) " +
+        "AND SUM(CASE WHEN s.grade = 'A' THEN 1 ELSE 0 END) = 0) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "division_with_negation"),
+    EvalCase("the average score of the middle 50 percent of students by average",
+      "WITH a AS (SELECT student_id, AVG(score) AS av FROM scores " +
+        "GROUP BY student_id), " +
+        "b AS (SELECT av, PERCENT_RANK() OVER (ORDER BY av) AS pr FROM a) " +
+        "SELECT ROUND(AVG(av), 4) AS agg_value FROM b " +
+        "WHERE pr >= 0.25 AND pr <= 0.75", "iqr_trimmed_entity_mean"))
 }

@@ -8559,6 +8559,92 @@ object Templates {
         0.9, "template_avg_group_attr_max")).take(1)
     }
 
+  // "the number of years in which every course was offered" — periods
+  // with full group coverage
+  private val fullCoveragePeriodRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+" +
+      raw"every\s+([a-z_][a-z0-9_]*)\s+was\s+[a-z]+\b").r
+
+  /** Full-coverage period count: DISTINCT (period, group) collapses the
+    * fact once, per-period group counts over the |periods|·|groups|
+    * frame, compared against the dimension count (scalar subquery). */
+  def fullCoveragePeriodCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    fullCoveragePeriodRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        period <- slice.tables(eJ.fromTable)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT $period FROM " +
+          s"(SELECT DISTINCT $period, ${eJ.fromColumn} FROM " +
+          s"${eJ.fromTable}) t GROUP BY $period " +
+          s"HAVING COUNT(*) = (SELECT COUNT(*) FROM $dimJ)) u",
+        0.9, "template_full_coverage_period_count")).take(1)
+    }
+
+  // "the student with the most scores above their course's average" —
+  // argmax by count of above-group-average rows
+  private val aboveAvgCountArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+above\s+their\s+([a-z_][a-z0-9_]*)'s\s+" +
+      raw"average\b").r
+
+  /** Above-average count argmax: group averages broadcast onto the fact
+    * (one grouped pass), per-entity qualifying counts, top-1 with
+    * name-then-id tiebreaks. */
+  def aboveAvgCountArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    aboveAvgCountArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $nameCol FROM (SELECT s.${eE.fromColumn}, COUNT(*) AS c " +
+          s"FROM ${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
+          s"AVG($measure) AS ca FROM ${eE.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) m " +
+          s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"WHERE s.$measure > m.ca GROUP BY s.${eE.fromColumn}) t " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = t.${eE.fromColumn} " +
+          s"ORDER BY c DESC, $nameCol, t.${eE.fromColumn} LIMIT 1",
+        0.9, "template_above_avg_count_argmax")).take(1)
+    }
+
+  // "the average difference between a course's maximum and median
+  // score" — mean per-group max-to-median spread
+  private val avgMaxMedianGapRe =
+    (raw"(?i)\bthe\s+average\s+difference\s+between\s+a\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+maximum\s+and\s+median\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Average max-median gap: per-group MAX and exact MEDIAN in one
+    * grouped pass, AVG of the spread over the group-count frame. */
+  def avgMaxMedianGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgMaxMedianGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(mx - md), 4) AS agg_value FROM " +
+          s"(SELECT ${eJ.fromColumn}, MAX($measure) AS mx, " +
+          s"MEDIAN($measure) AS md FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_avg_max_median_gap")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8783,6 +8869,9 @@ object Templates {
       nearMaxMembershipCandidates(slice, fks, question),
       top2GapModeCandidates(slice, fks, question),
       avgGroupAttrMaxCandidates(slice, fks, question),
+      fullCoveragePeriodCandidates(slice, fks, question),
+      aboveAvgCountArgmaxCandidates(slice, fks, question),
+      avgMaxMedianGapCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -149,7 +149,9 @@ class EvaluationSpec extends SparkSpec {
         "floor_threshold_share", "dept_median_enrollment",
         "popularity_extremes_gap", "cohort_count_compare_count",
         "avg_entity_median", "near_max_membership_count",
-        "top2_gap_mode", "avg_group_attr_max"))
+        "top2_gap_mode", "avg_group_attr_max",
+        "full_coverage_period_count", "above_avg_count_argmax",
+        "avg_max_median_gap"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
