@@ -1797,8 +1797,8 @@ object Evaluation {
       "SELECT ROUND(AVG(mx - md), 4) AS agg_value FROM " +
         "(SELECT course_id, MAX(score) AS mx, MEDIAN(score) AS md " +
         "FROM scores GROUP BY course_id) t", "avg_max_median_gap"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bc open cases, closed in round 10bd (period entropy
+    //     argmax, division with negation, IQR-trimmed entity mean) ---
     EvalCase("the year with the most balanced grade distribution",
       "SELECT y FROM (SELECT year AS y, -SUM(p * LN(p)) AS e FROM " +
         "(SELECT year, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER " +
@@ -1818,5 +1818,23 @@ object Evaluation {
         "GROUP BY student_id), " +
         "b AS (SELECT av, PERCENT_RANK() OVER (ORDER BY av) AS pr FROM a) " +
         "SELECT ROUND(AVG(av), 4) AS agg_value FROM b " +
-        "WHERE pr >= 0.25 AND pr <= 0.75", "iqr_trimmed_entity_mean"))
+        "WHERE pr >= 0.25 AND pr <= 0.75", "iqr_trimmed_entity_mean"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average number of courses taken per student in each grade level",
+      "SELECT gl, ROUND(AVG(c), 4) AS a FROM (SELECT st.grade_level AS gl, " +
+        "s.student_id, COUNT(*) AS c FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id " +
+        "GROUP BY st.grade_level, s.student_id) t GROUP BY gl ORDER BY gl",
+      "cohort_avg_membership"),
+    EvalCase("how many distinct scores did the best student record",
+      "WITH b AS (SELECT student_id FROM scores GROUP BY student_id " +
+        "ORDER BY AVG(score) DESC, student_id LIMIT 1) " +
+        "SELECT COUNT(DISTINCT score) AS agg_value FROM scores " +
+        "WHERE student_id = (SELECT student_id FROM b)",
+      "argmax_entity_distinct_count"),
+    EvalCase("the widest score range recorded in a single course in a single year",
+      "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, year, " +
+        "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
+        "GROUP BY course_id, year) t", "max_cell_range"))
 }

@@ -19,5 +19,11 @@ object Ranker {
   }
 
   def rank(cs: Seq[Templates.Candidate], relevantTables: Set[String]): Seq[(Templates.Candidate, Double)] =
-    cs.map(c => c -> score(c, relevantTables)).sortBy { case (c, s) => (-s, c.sql) }
+    // base confidence breaks ranked-score ties: the 1.0 cap would
+    // otherwise erase template specificity (a 0.92 conjunctive template
+    // and a 0.9 general one both cap at 1.0 with full bonuses, and the
+    // general one could win on the SQL-text tiebreak — serving a
+    // silently weaker reading of the question)
+    cs.map(c => c -> score(c, relevantTables))
+      .sortBy { case (c, s) => (-s, -c.confidence, c.sql) }
 }

@@ -8645,6 +8645,108 @@ object Templates {
         0.9, "template_avg_max_median_gap")).take(1)
     }
 
+  // "the year with the most balanced grade distribution" — per-period
+  // category entropy argmax
+  private val periodEntropyArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+balanced\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+distribution\b").r
+
+  /** Period entropy argmax: (period, category) counts in one grouped
+    * pass, per-period shares via a window over that tiny frame
+    * (|periods|·|categories| rows), Shannon entropy per period, top-1. */
+  def periodEntropyArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    periodEntropyArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      val cWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        period <- slice.tables(fact)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        catCol <- strongColumn(cWord, slice.tables(fact)).toSeq
+        if catCol != period
+      } yield Candidate(
+        s"SELECT y FROM (SELECT $period AS y, -SUM(p * LN(p)) AS e FROM " +
+          s"(SELECT $period, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) " +
+          s"OVER (PARTITION BY $period) AS p FROM $fact " +
+          s"GROUP BY $period, $catCol) t GROUP BY y) u " +
+          s"ORDER BY e DESC, y LIMIT 1",
+        0.9, "template_period_entropy_argmax")).take(1)
+    }
+
+  // "students who took a course in every department but never got an A"
+  // — relational division conjoined with a negated category filter
+  private val divisionWithNegationRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+a\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+every\s+([a-z_][a-z0-9_]*)\s+but\s+" +
+      raw"never\s+[a-z]+\s+an?\s+([A-Za-z0-9]+)\b").r
+
+  /** Division + negation: ONE grouped pass per entity carrying both the
+    * distinct-attribute coverage count (the ∀) and a zero-count
+    * indicator for the negated value — no second scan, no anti-join.
+    * Higher confidence than the plain division template: ignoring the
+    * "but never" clause silently over-answers, so the conjunctive read
+    * must win the ranking. The negated value must be in the mined
+    * domain of a fact column (no-fabrication). */
+  def divisionWithNegationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    divisionWithNegationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(4)
+      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        attr <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
+        negCol <- values(eE.fromTable).collectFirst {
+          case (c, dom) if dom.contains(v) => c
+        }.toSeq
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
+          s"${eE.fromTable} s JOIN $dimJ c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn} " +
+          s"HAVING COUNT(DISTINCT c.$attr) = " +
+          s"(SELECT COUNT(DISTINCT $attr) FROM $dimJ) " +
+          s"AND SUM(CASE WHEN s.$negCol = '$v' THEN 1 ELSE 0 END) = 0) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.92, "template_division_with_negation")).take(1)
+    }
+
+  // "the average score of the middle 50 percent of students by average"
+  // — trimmed mean over entity aggregates
+  private val iqrTrimmedMeanRe =
+    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+middle\s+" +
+      raw"(\d+)\s+percent\s+of\s+([a-z_][a-z0-9_]*)\s+by\s+average\b").r
+
+  /** IQR-trimmed entity mean: per-entity averages in one grouped pass,
+    * PERCENT_RANK over the entity-count-sized frame (never the raw
+    * corpus), mean of the symmetric middle band. */
+  def iqrTrimmedMeanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    iqrTrimmedMeanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val half = m.group(2).toInt / 200.0
+      val (lo, hi) = (0.5 - half, 0.5 + half)
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH a AS (SELECT ${eE.fromColumn}, AVG($measure) AS av FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}), " +
+          s"b AS (SELECT av, PERCENT_RANK() OVER (ORDER BY av) AS pr FROM a) " +
+          s"SELECT ROUND(AVG(av), 4) AS agg_value FROM b " +
+          s"WHERE pr >= $lo AND pr <= $hi",
+        0.9, "template_iqr_trimmed_entity_mean")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8872,6 +8974,9 @@ object Templates {
       fullCoveragePeriodCandidates(slice, fks, question),
       aboveAvgCountArgmaxCandidates(slice, fks, question),
       avgMaxMedianGapCandidates(slice, fks, question),
+      periodEntropyArgmaxCandidates(slice, fks, question),
+      divisionWithNegationCandidates(slice, fks, question, values),
+      iqrTrimmedMeanCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
