@@ -1819,8 +1819,8 @@ object Evaluation {
         "b AS (SELECT av, PERCENT_RANK() OVER (ORDER BY av) AS pr FROM a) " +
         "SELECT ROUND(AVG(av), 4) AS agg_value FROM b " +
         "WHERE pr >= 0.25 AND pr <= 0.75", "iqr_trimmed_entity_mean"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bd open cases, closed in round 10be (cohort average
+    //     membership, argmax-entity distinct count, max cell range) ---
     EvalCase("the average number of courses taken per student in each grade level",
       "SELECT gl, ROUND(AVG(c), 4) AS a FROM (SELECT st.grade_level AS gl, " +
         "s.student_id, COUNT(*) AS c FROM scores s JOIN students st " +
@@ -1836,5 +1836,23 @@ object Evaluation {
     EvalCase("the widest score range recorded in a single course in a single year",
       "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, year, " +
         "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
-        "GROUP BY course_id, year) t", "max_cell_range"))
+        "GROUP BY course_id, year) t", "max_cell_range"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the number of grade-level and department pairs with no enrollments",
+      "SELECT (SELECT COUNT(DISTINCT grade_level) FROM students) * " +
+        "(SELECT COUNT(DISTINCT dept) FROM courses) - COUNT(*) " +
+        "AS agg_value FROM (SELECT DISTINCT st.grade_level, c.dept " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id) t",
+      "empty_cell_count"),
+    EvalCase("the score most frequently recorded as a student's personal worst",
+      "SELECT mn FROM (SELECT student_id, MIN(score) AS mn FROM scores " +
+        "GROUP BY student_id) t GROUP BY mn ORDER BY COUNT(*) DESC, mn " +
+        "LIMIT 1", "entity_min_mode"),
+    EvalCase("the average score across each student's final year",
+      "SELECT ROUND(AVG(score), 4) AS agg_value FROM scores s JOIN " +
+        "(SELECT student_id, MAX(year) AS y1 FROM scores " +
+        "GROUP BY student_id) f ON f.student_id = s.student_id " +
+        "AND f.y1 = s.year", "entity_last_period_avg"))
 }

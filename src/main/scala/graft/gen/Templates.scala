@@ -8747,6 +8747,93 @@ object Templates {
         0.9, "template_iqr_trimmed_entity_mean")).take(1)
     }
 
+  // "the average number of courses taken per student in each grade
+  // level" — cohort-level mean membership count
+  private val cohortAvgMembershipRe =
+    (raw"(?i)\bthe\s+average\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"[a-z]+\s+per\s+([a-z_][a-z0-9_]*)\s+in\s+each\s+" +
+      raw"([a-z]+(?:[ _][a-z]+)?)\b").r
+
+  /** Cohort average membership: one grouped pass keyed on (cohort
+    * attribute, entity) — the dimension broadcast in — then a tiny
+    * second aggregate over the entity-count-sized frame per cohort. */
+  def cohortAvgMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortAvgMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+      } yield Candidate(
+        s"SELECT gl, ROUND(AVG(c), 4) AS a FROM (SELECT st.$attr AS gl, " +
+          s"s.${eE.fromColumn}, COUNT(*) AS c FROM ${eE.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY st.$attr, s.${eE.fromColumn}) t GROUP BY gl " +
+          s"ORDER BY gl",
+        0.9, "template_cohort_avg_membership")).take(1)
+    }
+
+  // "how many distinct scores did the best student record" — distinct
+  // cardinality of the argmax entity's rows
+  private val argmaxEntityDistinctRe =
+    (raw"(?i)\bhow\s+many\s+distinct\s+([a-z_][a-z0-9_]*)\s+did\s+the\s+" +
+      raw"(best|worst)\s+([a-z_][a-z0-9_]*)\s+[a-z]+\b").r
+
+  /** Argmax-entity distinct count: the best entity from a k=1
+    * orderBy+limit over per-entity averages (TakeOrderedAndProject),
+    * its rows filtered by a one-row scalar subquery, COUNT(DISTINCT). */
+  def argmaxEntityDistinctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    argmaxEntityDistinctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "best") "DESC" else "ASC"
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH b AS (SELECT ${eE.fromColumn} FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn} ORDER BY AVG($measure) $dir, " +
+          s"${eE.fromColumn} LIMIT 1) " +
+          s"SELECT COUNT(DISTINCT $measure) AS agg_value FROM " +
+          s"${eE.fromTable} WHERE ${eE.fromColumn} = " +
+          s"(SELECT ${eE.fromColumn} FROM b)",
+        0.9, "template_argmax_entity_distinct_count")).take(1)
+    }
+
+  // "the widest score range recorded in a single course in a single
+  // year" — max spread over (group, period) cells
+  private val maxCellRangeRe =
+    (raw"(?i)\bthe\s+(widest|narrowest)\s+([a-z_][a-z0-9_]*)\s+range\s+" +
+      raw"recorded\s+in\s+a\s+single\s+([a-z_][a-z0-9_]*)\s+in\s+a\s+" +
+      raw"single\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Max cell range: per-(group, period) MIN/MAX in one grouped pass,
+    * one scalar extreme over the cell-count-sized frame. */
+  def maxCellRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    maxCellRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(1).toLowerCase == "widest") "MAX" else "MIN"
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      val pWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+        period <- slice.tables(eJ.fromTable)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT $agg(mx - mn) AS agg_value FROM " +
+          s"(SELECT ${eJ.fromColumn}, $period, MAX($measure) AS mx, " +
+          s"MIN($measure) AS mn FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}, $period) t",
+        0.9, "template_max_cell_range")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -8977,6 +9064,9 @@ object Templates {
       periodEntropyArgmaxCandidates(slice, fks, question),
       divisionWithNegationCandidates(slice, fks, question, values),
       iqrTrimmedMeanCandidates(slice, fks, question),
+      cohortAvgMembershipCandidates(slice, fks, question),
+      argmaxEntityDistinctCandidates(slice, fks, question),
+      maxCellRangeCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -152,7 +152,9 @@ class EvaluationSpec extends SparkSpec {
         "top2_gap_mode", "avg_group_attr_max",
         "full_coverage_period_count", "above_avg_count_argmax",
         "avg_max_median_gap", "period_entropy_argmax",
-        "division_with_negation", "iqr_trimmed_entity_mean"))
+        "division_with_negation", "iqr_trimmed_entity_mean",
+        "cohort_avg_membership", "argmax_entity_distinct_count",
+        "max_cell_range"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
