@@ -1837,8 +1837,8 @@ object Evaluation {
       "SELECT MAX(mx - mn) AS agg_value FROM (SELECT course_id, year, " +
         "MAX(score) AS mx, MIN(score) AS mn FROM scores " +
         "GROUP BY course_id, year) t", "max_cell_range"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10be open cases, closed in round 10bf (empty-cell
+    //     count, entity extreme mode, entity last-period average) ---
     EvalCase("the number of grade-level and department pairs with no enrollments",
       "SELECT (SELECT COUNT(DISTINCT grade_level) FROM students) * " +
         "(SELECT COUNT(DISTINCT dept) FROM courses) - COUNT(*) " +
@@ -1854,5 +1854,30 @@ object Evaluation {
       "SELECT ROUND(AVG(score), 4) AS agg_value FROM scores s JOIN " +
         "(SELECT student_id, MAX(year) AS y1 FROM scores " +
         "GROUP BY student_id) f ON f.student_id = s.student_id " +
-        "AND f.y1 = s.year", "entity_last_period_avg"))
+        "AND f.y1 = s.year", "entity_last_period_avg"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the pair of departments with the most similar grade distributions",
+      "WITH d AS (SELECT c.dept, s.grade, COUNT(*) AS n FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.grade), " +
+        "p AS (SELECT dept, grade, CAST(n AS DOUBLE) / SUM(n) OVER " +
+        "(PARTITION BY dept) AS sh FROM d) " +
+        "SELECT d1, d2 FROM (SELECT a.dept AS d1, b.dept AS d2, " +
+        "SUM(ABS(a.sh - b.sh)) AS dist FROM p a JOIN p b " +
+        "ON a.grade = b.grade AND a.dept < b.dept " +
+        "GROUP BY a.dept, b.dept) t ORDER BY dist ASC, d1, d2 LIMIT 1",
+      "dept_distribution_similarity"),
+    EvalCase("students ranked in the top 3 of their grade level by average score",
+      "SELECT student_name FROM (SELECT st.student_name, ROW_NUMBER() " +
+        "OVER (PARTITION BY st.grade_level ORDER BY a DESC, p.student_id) " +
+        "AS rn FROM (SELECT student_id, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id) p JOIN students st " +
+        "ON st.student_id = p.student_id) t WHERE rn <= 3 " +
+        "ORDER BY student_name LIMIT 100", "cohort_topk_members"),
+    EvalCase("the year-over-year change in the number of active students",
+      "SELECT y, d FROM (SELECT year AS y, COUNT(DISTINCT student_id) - " +
+        "LAG(COUNT(DISTINCT student_id)) OVER (ORDER BY year) AS d " +
+        "FROM scores GROUP BY year) t WHERE d IS NOT NULL ORDER BY y",
+      "yoy_active_delta"))
 }

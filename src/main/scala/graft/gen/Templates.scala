@@ -8834,6 +8834,94 @@ object Templates {
         0.9, "template_max_cell_range")).take(1)
     }
 
+  // "the number of grade-level and department pairs with no
+  // enrollments" — empty cells of a two-attribute cross product
+  private val emptyCellCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z]+(?:[ _-][a-z]+)?)\s+and\s+" +
+      raw"([a-z]+(?:[ _-][a-z]+)?)\s+pairs\s+with\s+no\s+enrollments?\b").r
+
+  /** Empty-cell count: the occupied cells from one DISTINCT pass over
+    * the fact (both dimensions broadcast in), subtracted from the
+    * cross-product cardinality built from two scalar subqueries — the
+    * cross product itself is never materialized. */
+  def emptyCellCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    emptyCellCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val a1Word = m.group(1).toLowerCase.replaceAll("[ -]", "_")
+      val a2Word = m.group(2).toLowerCase.replaceAll("[ -]", "_")
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        e1 <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          strongColumn(a1Word, slice.tables(e.toTable)).isDefined)
+        a1 <- strongColumn(a1Word, slice.tables(e1.toTable)).toSeq
+        e2 <- fks.filter(e => e.fromTable == fact && e.toTable != e1.toTable &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(a2Word, slice.tables(e.toTable)).isDefined)
+        a2 <- abbrevColumn(a2Word, slice.tables(e2.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT (SELECT COUNT(DISTINCT $a1) FROM ${e1.toTable}) * " +
+          s"(SELECT COUNT(DISTINCT $a2) FROM ${e2.toTable}) - COUNT(*) " +
+          s"AS agg_value FROM (SELECT DISTINCT st.$a1, c.$a2 FROM $fact s " +
+          s"JOIN ${e1.toTable} st ON st.${e1.toColumn} = s.${e1.fromColumn} " +
+          s"JOIN ${e2.toTable} c ON c.${e2.toColumn} = s.${e2.fromColumn}) t",
+        0.9, "template_empty_cell_count")).take(1)
+    }
+
+  // "the score most frequently recorded as a student's personal worst"
+  // — mode of per-entity extremes
+  private val entityMinModeRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+most\s+frequently\s+recorded\s+" +
+      raw"as\s+a\s+([a-z_][a-z0-9_]*)'s\s+personal\s+(worst|best)\b").r
+
+  /** Entity extreme mode: per-entity MIN/MAX in one grouped pass, mode
+    * over the entity-count-sized frame with a value tiebreak. */
+  def entityMinModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    entityMinModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(3).toLowerCase == "worst") "MIN" else "MAX"
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT mn FROM (SELECT ${eE.fromColumn}, $agg($measure) AS mn " +
+          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) t GROUP BY mn " +
+          s"ORDER BY COUNT(*) DESC, mn LIMIT 1",
+        0.9, "template_entity_min_mode")).take(1)
+    }
+
+  // "the average score across each student's final year" — aggregate
+  // restricted to every entity's own last (or first) period
+  private val entityLastPeriodAvgRe =
+    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+across\s+each\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+(final|last|first)\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Entity last-period average: per-entity MAX/MIN(period) in one
+    * grouped pass (entity-count-sized, joined back — AQE broadcasts),
+    * one scalar AVG over the matching rows. */
+  def entityLastPeriodAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    entityLastPeriodAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(3).toLowerCase == "first") "MIN" else "MAX"
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      val pWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        period <- slice.tables(eE.fromTable)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
+          s"${eE.fromTable} s JOIN (SELECT ${eE.fromColumn}, " +
+          s"$agg($period) AS y1 FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}) f " +
+          s"ON f.${eE.fromColumn} = s.${eE.fromColumn} AND f.y1 = s.$period",
+        0.9, "template_entity_last_period_avg")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9067,6 +9155,9 @@ object Templates {
       cohortAvgMembershipCandidates(slice, fks, question),
       argmaxEntityDistinctCandidates(slice, fks, question),
       maxCellRangeCandidates(slice, fks, question),
+      emptyCellCountCandidates(slice, fks, question),
+      entityMinModeCandidates(slice, fks, question),
+      entityLastPeriodAvgCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
