@@ -1855,8 +1855,8 @@ object Evaluation {
         "(SELECT student_id, MAX(year) AS y1 FROM scores " +
         "GROUP BY student_id) f ON f.student_id = s.student_id " +
         "AND f.y1 = s.year", "entity_last_period_avg"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bf open cases, closed in round 10bg (distribution
+    //     similarity pair, cohort top-k members, YoY active delta) ---
     EvalCase("the pair of departments with the most similar grade distributions",
       "WITH d AS (SELECT c.dept, s.grade, COUNT(*) AS n FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
@@ -1879,5 +1879,34 @@ object Evaluation {
       "SELECT y, d FROM (SELECT year AS y, COUNT(DISTINCT student_id) - " +
         "LAG(COUNT(DISTINCT student_id)) OVER (ORDER BY year) AS d " +
         "FROM scores GROUP BY year) t WHERE d IS NOT NULL ORDER BY y",
-      "yoy_active_delta"))
+      "yoy_active_delta"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the student whose yearly average scores have the steepest upward trend",
+      "SELECT student_id FROM (SELECT student_id, REGR_SLOPE(a, year) AS sl " +
+        "FROM (SELECT student_id, year, AVG(score) AS a FROM scores " +
+        "GROUP BY student_id, year) t GROUP BY student_id " +
+        "HAVING COUNT(*) > 1) u ORDER BY sl DESC, student_id LIMIT 1",
+      "entity_slope_argmax"),
+    EvalCase("for each department, the share of its scores produced by its most active student",
+      "WITH cnt AS (SELECT c.dept, s.student_id, COUNT(*) AS n " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.student_id), " +
+        "tot AS (SELECT dept, SUM(n) AS tn FROM cnt GROUP BY dept), " +
+        "top AS (SELECT dept, n FROM (SELECT dept, n, ROW_NUMBER() OVER " +
+        "(PARTITION BY dept ORDER BY n DESC, student_id) AS rn FROM cnt) x " +
+        "WHERE rn = 1) " +
+        "SELECT t.dept, ROUND(CAST(t.n AS DOUBLE) / tot.tn, 4) AS sh " +
+        "FROM top t JOIN tot ON tot.dept = t.dept ORDER BY t.dept",
+      "dept_top_student_share"),
+    EvalCase("students whose scores include both a course maximum and a course minimum",
+      "SELECT st.student_name FROM (SELECT DISTINCT s.student_id " +
+        "FROM scores s JOIN (SELECT course_id, MAX(score) AS mx " +
+        "FROM scores GROUP BY course_id) m ON m.course_id = s.course_id " +
+        "AND s.score = m.mx) hi JOIN (SELECT DISTINCT s.student_id " +
+        "FROM scores s JOIN (SELECT course_id, MIN(score) AS mn " +
+        "FROM scores GROUP BY course_id) m ON m.course_id = s.course_id " +
+        "AND s.score = m.mn) lo ON lo.student_id = hi.student_id " +
+        "JOIN students st ON st.student_id = hi.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "dual_extreme_holders"))
 }

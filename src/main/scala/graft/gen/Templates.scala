@@ -8922,6 +8922,95 @@ object Templates {
         0.9, "template_entity_last_period_avg")).take(1)
     }
 
+  // "the pair of departments with the most similar grade distributions"
+  // — L1 distance between per-attribute category share vectors
+  private val deptDistributionSimilarityRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"similar\s+([a-z_][a-z0-9_]*)\s+distributions\b").r
+
+  /** Distribution-similarity pair: (attribute, category) counts in ONE
+    * grouped pass, shares via a window over that tiny frame, the pair
+    * join is category-keyed over |attrs|·|categories| rows (never the
+    * corpus), argmin with a deterministic pair tiebreak. */
+  def deptDistributionSimilarityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    deptDistributionSimilarityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        catCol <- strongColumn(cWord, slice.tables(fact)).toSeq
+        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
+        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"WITH d AS (SELECT c.$attr, s.$catCol, COUNT(*) AS n FROM $fact s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr, s.$catCol), " +
+          s"p AS (SELECT $attr, $catCol, CAST(n AS DOUBLE) / SUM(n) OVER " +
+          s"(PARTITION BY $attr) AS sh FROM d) " +
+          s"SELECT d1, d2 FROM (SELECT a.$attr AS d1, b.$attr AS d2, " +
+          s"SUM(ABS(a.sh - b.sh)) AS dist FROM p a JOIN p b " +
+          s"ON a.$catCol = b.$catCol AND a.$attr < b.$attr " +
+          s"GROUP BY a.$attr, b.$attr) t ORDER BY dist ASC, d1, d2 LIMIT 1",
+        0.9, "template_dept_distribution_similarity")).take(1)
+    }
+
+  // "students ranked in the top 3 of their grade level by average
+  // score" — per-cohort top-k membership list
+  private val cohortTopkMembersRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+ranked\s+in\s+the\s+top\s+(\d+)\s+of\s+" +
+      raw"their\s+([a-z]+(?:[ _][a-z]+)?)\s+by\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Cohort top-k members: per-entity averages in one grouped pass, the
+    * rank window partitions on the COHORT attribute over the
+    * entity-count-sized frame (id tiebreak), k-band filter, names out. */
+  def cohortTopkMembersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortTopkMembersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
+      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT $nameCol FROM (SELECT st.$nameCol, ROW_NUMBER() OVER " +
+          s"(PARTITION BY st.$attr ORDER BY a DESC, p.${eE.fromColumn}) AS rn " +
+          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) p JOIN $dimE st " +
+          s"ON st.${eE.toColumn} = p.${eE.fromColumn}) t " +
+          s"WHERE rn <= ${m.group(2)} ORDER BY $nameCol LIMIT $DefaultLimit",
+        0.9, "template_cohort_topk_members")).take(1)
+    }
+
+  // "the year-over-year change in the number of active students" —
+  // distinct-entity deltas over adjacent periods
+  private val yoyActiveDeltaRe =
+    (raw"(?i)\bthe\s+year-over-year\s+change\s+in\s+the\s+number\s+of\s+" +
+      raw"active\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** YoY active delta: per-period distinct-entity counts in one grouped
+    * pass, LAG over the |periods|-sized frame. */
+  def yoyActiveDeltaCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    yoyActiveDeltaRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        period <- slice.tables(eE.fromTable)
+          .find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT y, d FROM (SELECT $period AS y, " +
+          s"COUNT(DISTINCT ${eE.fromColumn}) - " +
+          s"LAG(COUNT(DISTINCT ${eE.fromColumn})) OVER (ORDER BY $period) " +
+          s"AS d FROM ${eE.fromTable} GROUP BY $period) t " +
+          s"WHERE d IS NOT NULL ORDER BY y",
+        0.9, "template_yoy_active_delta")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9158,6 +9247,9 @@ object Templates {
       emptyCellCountCandidates(slice, fks, question),
       entityMinModeCandidates(slice, fks, question),
       entityLastPeriodAvgCandidates(slice, fks, question),
+      deptDistributionSimilarityCandidates(slice, fks, question),
+      cohortTopkMembersCandidates(slice, fks, question),
+      yoyActiveDeltaCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
