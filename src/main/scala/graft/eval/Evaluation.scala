@@ -1880,8 +1880,8 @@ object Evaluation {
         "LAG(COUNT(DISTINCT student_id)) OVER (ORDER BY year) AS d " +
         "FROM scores GROUP BY year) t WHERE d IS NOT NULL ORDER BY y",
       "yoy_active_delta"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bg open cases, closed in round 10bh (entity slope
+    //     argmax, per-attribute top-contributor share, dual extremes) ---
     EvalCase("the student whose yearly average scores have the steepest upward trend",
       "SELECT student_id FROM (SELECT student_id, REGR_SLOPE(a, year) AS sl " +
         "FROM (SELECT student_id, year, AVG(score) AS a FROM scores " +
@@ -1908,5 +1908,31 @@ object Evaluation {
         "FROM scores GROUP BY course_id) m ON m.course_id = s.course_id " +
         "AND s.score = m.mn) lo ON lo.student_id = hi.student_id " +
         "JOIN students st ON st.student_id = hi.student_id " +
-        "ORDER BY st.student_name LIMIT 100", "dual_extreme_holders"))
+        "ORDER BY st.student_name LIMIT 100", "dual_extreme_holders"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the department where the top student's lead over the runner-up is largest",
+      "WITH a AS (SELECT c.dept, s.student_id, AVG(s.score) AS av " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.student_id), " +
+        "r AS (SELECT dept, av, ROW_NUMBER() OVER (PARTITION BY dept " +
+        "ORDER BY av DESC, student_id) AS rn FROM a) " +
+        "SELECT dept FROM (SELECT t1.dept, t1.av - t2.av AS margin " +
+        "FROM r t1 JOIN r t2 ON t1.dept = t2.dept AND t1.rn = 1 " +
+        "AND t2.rn = 2) x ORDER BY margin DESC, dept LIMIT 1",
+      "attr_top2_margin_argmax"),
+    EvalCase("students whose 2023 average beat their 2022 average by more than 5 points",
+      "SELECT st.student_name FROM (SELECT student_id FROM scores " +
+        "WHERE year IN (2022, 2023) GROUP BY student_id " +
+        "HAVING AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END) > 5) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "trend_threshold_entities"),
+    EvalCase("the share of courses whose hardest year was 2022",
+      "SELECT ROUND(CAST(SUM(CASE WHEN y0 = 2022 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM (SELECT course_id, " +
+        "y0 FROM (SELECT course_id, year AS y0, ROW_NUMBER() OVER " +
+        "(PARTITION BY course_id ORDER BY AVG(score) ASC, year) AS rn " +
+        "FROM scores GROUP BY course_id, year) t WHERE rn = 1) u",
+      "group_extreme_period_share"))
 }

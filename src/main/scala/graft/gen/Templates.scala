@@ -9011,6 +9011,110 @@ object Templates {
         0.9, "template_yoy_active_delta")).take(1)
     }
 
+  // "the student whose yearly average scores have the steepest upward
+  // trend" — per-entity regression slope argmax
+  private val entitySlopeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+yearly\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+steepest\s+" +
+      raw"(upward|downward)\s+trend\b").r
+
+  /** Entity slope argmax: (entity, period) averages in one grouped
+    * pass, REGR_SLOPE per entity over that key-sized frame (a
+    * declarative aggregate with partials — no window), single-period
+    * entities dropped (no trend to claim), top-1 with an id tiebreak. */
+  def entitySlopeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    entitySlopeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase == "upward") "DESC" else "ASC"
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+        period <- slice.tables(eE.fromTable)
+          .find(_.toLowerCase.contains("year")).toSeq
+      } yield Candidate(
+        s"SELECT ${eE.fromColumn} FROM (SELECT ${eE.fromColumn}, " +
+          s"REGR_SLOPE(a, $period) AS sl FROM (SELECT ${eE.fromColumn}, " +
+          s"$period, AVG($measure) AS a FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}, $period) t GROUP BY ${eE.fromColumn} " +
+          s"HAVING COUNT(*) > 1) u ORDER BY sl $dir, ${eE.fromColumn} LIMIT 1",
+        0.9, "template_entity_slope_argmax")).take(1)
+    }
+
+  // "for each department, the share of its scores produced by its most
+  // active student" — nested per-attribute argmax share
+  private val deptTopStudentShareRe =
+    (raw"(?i)\bfor\s+each\s+([a-z]+(?:[ _][a-z]+)?),\s+the\s+share\s+of\s+" +
+      raw"its\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+its\s+most\s+active\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Per-attribute top-contributor share: (attribute, entity) counts in
+    * one grouped pass, the per-attribute total a tiny second aggregate,
+    * the top contributor a ROW_NUMBER over the attribute-partitioned
+    * key-sized frame, share joined over |attrs| rows. */
+  def deptTopStudentShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    deptTopStudentShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(3)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined).toSeq
+        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"WITH cnt AS (SELECT c.$attr, s.${eE.fromColumn}, COUNT(*) AS n " +
+          s"FROM ${eE.fromTable} s JOIN ${eJ.toTable} c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr, s.${eE.fromColumn}), " +
+          s"tot AS (SELECT $attr, SUM(n) AS tn FROM cnt GROUP BY $attr), " +
+          s"top AS (SELECT $attr, n FROM (SELECT $attr, n, ROW_NUMBER() " +
+          s"OVER (PARTITION BY $attr ORDER BY n DESC, ${eE.fromColumn}) " +
+          s"AS rn FROM cnt) x WHERE rn = 1) " +
+          s"SELECT t.$attr, ROUND(CAST(t.n AS DOUBLE) / tot.tn, 4) AS sh " +
+          s"FROM top t JOIN tot ON tot.$attr = t.$attr ORDER BY t.$attr",
+        0.9, "template_dept_top_student_share")).take(1)
+    }
+
+  // "students whose scores include both a course maximum and a course
+  // minimum" — entities holding both per-group extremes somewhere
+  private val dualExtremeHoldersRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"include\s+both\s+a\s+([a-z_][a-z0-9_]*)\s+maximum\s+and\s+a\s+" +
+      raw"[a-z_]+\s+minimum\b").r
+
+  /** Dual-extreme holders: per-group maxima and minima from one grouped
+    * pass each (group-count-sized, joined back), the two qualifying
+    * entity sets intersected on the entity key, names resolved last. */
+  def dualExtremeHoldersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    dualExtremeHoldersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield {
+        def side(agg: String) =
+          s"(SELECT DISTINCT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
+            s"JOIN (SELECT ${eJ.fromColumn}, $agg($measure) AS v FROM " +
+            s"${eE.fromTable} GROUP BY ${eJ.fromColumn}) m " +
+            s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} AND s.$measure = m.v)"
+        Candidate(
+          s"SELECT st.$nameCol FROM ${side("MAX")} hi JOIN ${side("MIN")} lo " +
+            s"ON lo.${eE.fromColumn} = hi.${eE.fromColumn} " +
+            s"JOIN $dimE st ON st.${eE.toColumn} = hi.${eE.fromColumn} " +
+            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+          0.9, "template_dual_extreme_holders")
+      }).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9250,6 +9354,9 @@ object Templates {
       deptDistributionSimilarityCandidates(slice, fks, question),
       cohortTopkMembersCandidates(slice, fks, question),
       yoyActiveDeltaCandidates(slice, fks, question),
+      entitySlopeArgmaxCandidates(slice, fks, question),
+      deptTopStudentShareCandidates(slice, fks, question),
+      dualExtremeHoldersCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

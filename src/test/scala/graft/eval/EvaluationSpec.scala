@@ -156,7 +156,9 @@ class EvaluationSpec extends SparkSpec {
         "cohort_avg_membership", "argmax_entity_distinct_count",
         "max_cell_range", "empty_cell_count", "entity_min_mode",
         "entity_last_period_avg", "dept_distribution_similarity",
-        "cohort_topk_members", "yoy_active_delta"))
+        "cohort_topk_members", "yoy_active_delta",
+        "entity_slope_argmax", "dept_top_student_share",
+        "dual_extreme_holders"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
