@@ -1909,8 +1909,8 @@ object Evaluation {
         "AND s.score = m.mn) lo ON lo.student_id = hi.student_id " +
         "JOIN students st ON st.student_id = hi.student_id " +
         "ORDER BY st.student_name LIMIT 100", "dual_extreme_holders"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bh open cases, closed in round 10bi (attribute top-2
+    //     margin, trend-threshold entities, extreme-period share) ---
     EvalCase("the department where the top student's lead over the runner-up is largest",
       "WITH a AS (SELECT c.dept, s.student_id, AVG(s.score) AS av " +
         "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
@@ -1934,5 +1934,31 @@ object Evaluation {
         "y0 FROM (SELECT course_id, year AS y0, ROW_NUMBER() OVER " +
         "(PARTITION BY course_id ORDER BY AVG(score) ASC, year) AS rn " +
         "FROM scores GROUP BY course_id, year) t WHERE rn = 1) u",
-      "group_extreme_period_share"))
+      "group_extreme_period_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("pairs of students who rank within two places of each other in every shared course",
+      "WITH r AS (SELECT course_id, student_id, RANK() OVER " +
+        "(PARTITION BY course_id ORDER BY score DESC) AS rk FROM scores) " +
+        "SELECT s1, s2 FROM (SELECT a.student_id AS s1, b.student_id AS s2 " +
+        "FROM r a JOIN r b ON a.course_id = b.course_id " +
+        "AND a.student_id < b.student_id " +
+        "GROUP BY a.student_id, b.student_id " +
+        "HAVING COUNT(*) >= 5 AND MAX(ABS(a.rk - b.rk)) <= 2) t " +
+        "ORDER BY s1, s2 LIMIT 100", "rank_proximity_pairs"),
+    EvalCase("the average correlation between scores in pairs of courses sharing at least 20 students",
+      "SELECT ROUND(AVG(c), 4) AS agg_value FROM (SELECT " +
+        "CORR(a.score, b.score) AS c FROM scores a JOIN scores b " +
+        "ON a.student_id = b.student_id AND a.course_id < b.course_id " +
+        "GROUP BY a.course_id, b.course_id HAVING COUNT(*) >= 20) t",
+      "avg_pairwise_corr"),
+    EvalCase("for each year, the course that improved most over the previous year",
+      "WITH ya AS (SELECT course_id, year, AVG(score) AS a FROM scores " +
+        "GROUP BY course_id, year), " +
+        "d AS (SELECT course_id, year, a - LAG(a) OVER " +
+        "(PARTITION BY course_id ORDER BY year) AS delta FROM ya) " +
+        "SELECT year, course_id FROM (SELECT year, course_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY year ORDER BY delta DESC, " +
+        "course_id) AS rn FROM d WHERE delta IS NOT NULL) t " +
+        "WHERE rn = 1 ORDER BY year", "period_trend_argmax_list"))
 }

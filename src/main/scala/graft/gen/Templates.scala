@@ -9115,6 +9115,134 @@ object Templates {
       }).take(1)
     }
 
+  // "the department where the top student's lead over the runner-up is
+  // largest" — per-attribute top-2 margin argmax
+  private val attrTop2MarginArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+where\s+the\s+top\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\s+lead\s+over\s+the\s+runner-up\s+is\s+" +
+      raw"(largest|biggest|smallest)\b").r
+
+  /** Attribute top-2 margin argmax: (attribute, entity) averages in one
+    * grouped pass, ranks via a window partitioned on the ATTRIBUTE over
+    * that key-sized frame, the rank-1/rank-2 margin joined per
+    * attribute, top-1. Measure by elimination. */
+  def attrTop2MarginArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    attrTop2MarginArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase == "smallest") "ASC" else "DESC"
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined).toSeq
+        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
+            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH a AS (SELECT c.$attr, s.${eE.fromColumn}, " +
+          s"AVG(s.$measure) AS av FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr, s.${eE.fromColumn}), " +
+          s"r AS (SELECT $attr, av, ROW_NUMBER() OVER (PARTITION BY $attr " +
+          s"ORDER BY av DESC, ${eE.fromColumn}) AS rn FROM a) " +
+          s"SELECT $attr FROM (SELECT t1.$attr, t1.av - t2.av AS margin " +
+          s"FROM r t1 JOIN r t2 ON t1.$attr = t2.$attr AND t1.rn = 1 " +
+          s"AND t2.rn = 2) x ORDER BY margin $dir, $attr LIMIT 1",
+        0.9, "template_attr_top2_margin_argmax")).take(1)
+    }
+
+  // "students whose 2023 average beat their 2022 average by more than 5
+  // points" — two-period conditional averages against a threshold
+  private val trendThresholdEntitiesRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(\d{4})\s+average\s+" +
+      raw"(beat|exceeded|topped|trailed)\s+their\s+(\d{4})\s+average\s+" +
+      raw"by\s+more\s+than\s+(\d+(?:\.\d+)?)\s+points\b").r
+
+  /** Trend-threshold entities: ONE grouped pass with two conditional
+    * AVGs (the period filter prunes first), HAVING threshold, names
+    * resolved last. Measure by elimination. */
+  def trendThresholdEntitiesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    trendThresholdEntitiesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val trailed = m.group(3).toLowerCase == "trailed"
+      val (yA, yB) = if (trailed) (m.group(4), m.group(2)) else (m.group(2), m.group(4))
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eE.fromTable)
+        period <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
+          s"${eE.fromTable} WHERE $period IN (${m.group(2)}, ${m.group(4)}) " +
+          s"GROUP BY ${eE.fromColumn} " +
+          s"HAVING AVG(CASE WHEN $period = $yA THEN $measure END) - " +
+          s"AVG(CASE WHEN $period = $yB THEN $measure END) > ${m.group(5)}) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_trend_threshold_entities")).take(1)
+    }
+
+  // "the share of courses whose hardest year was 2022" — per-group
+  // extreme-period membership share
+  private val groupExtremePeriodShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"(hardest|easiest|best|worst)\s+([a-z_][a-z0-9_]*)\s+was\s+" +
+      raw"(\d{4})\b").r
+
+  /** Group extreme-period share: (group, period) averages in one
+    * grouped pass, each group's extreme period via a window over that
+    * cell-sized frame (period tiebreak), share in a scalar aggregate. */
+  def groupExtremePeriodShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    groupExtremePeriodShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (Set("hardest", "worst")(m.group(2).toLowerCase)) "ASC" else "DESC"
+      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eJ.fromTable)
+        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN y0 = ${m.group(4)} THEN 1 " +
+          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"(SELECT ${eJ.fromColumn}, y0 FROM (SELECT ${eJ.fromColumn}, " +
+          s"$period AS y0, ROW_NUMBER() OVER (PARTITION BY ${eJ.fromColumn} " +
+          s"ORDER BY AVG($measure) $dir, $period) AS rn FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}, $period) t WHERE rn = 1) u",
+        0.9, "template_group_extreme_period_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9357,6 +9485,9 @@ object Templates {
       entitySlopeArgmaxCandidates(slice, fks, question),
       deptTopStudentShareCandidates(slice, fks, question),
       dualExtremeHoldersCandidates(slice, fks, question),
+      attrTop2MarginArgmaxCandidates(slice, fks, question, values),
+      trendThresholdEntitiesCandidates(slice, fks, question, values),
+      groupExtremePeriodShareCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -158,7 +158,8 @@ class EvaluationSpec extends SparkSpec {
         "entity_last_period_avg", "dept_distribution_similarity",
         "cohort_topk_members", "yoy_active_delta",
         "entity_slope_argmax", "dept_top_student_share",
-        "dual_extreme_holders"))
+        "dual_extreme_holders", "attr_top2_margin_argmax",
+        "trend_threshold_entities", "group_extreme_period_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
