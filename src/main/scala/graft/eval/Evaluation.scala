@@ -1935,8 +1935,8 @@ object Evaluation {
         "(PARTITION BY course_id ORDER BY AVG(score) ASC, year) AS rn " +
         "FROM scores GROUP BY course_id, year) t WHERE rn = 1) u",
       "group_extreme_period_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bi open cases, closed in round 10bj (rank-proximity
+    //     pairs, average pairwise correlation, period trend argmax) ---
     EvalCase("pairs of students who rank within two places of each other in every shared course",
       "WITH r AS (SELECT course_id, student_id, RANK() OVER " +
         "(PARTITION BY course_id ORDER BY score DESC) AS rk FROM scores) " +
@@ -1960,5 +1960,25 @@ object Evaluation {
         "SELECT year, course_id FROM (SELECT year, course_id, " +
         "ROW_NUMBER() OVER (PARTITION BY year ORDER BY delta DESC, " +
         "course_id) AS rn FROM d WHERE delta IS NOT NULL) t " +
-        "WHERE rn = 1 ORDER BY year", "period_trend_argmax_list"))
+        "WHERE rn = 1 ORDER BY year", "period_trend_argmax_list"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the minimum number of enrollments to drop so no course exceeds 60",
+      "SELECT CAST(SUM(CASE WHEN n > 60 THEN n - 60 ELSE 0 END) " +
+        "AS BIGINT) AS agg_value FROM (SELECT COUNT(*) AS n FROM scores " +
+        "GROUP BY course_id) t", "overage_total"),
+    EvalCase("the student pair with the most years of shared enrollment in the same course",
+      "SELECT s1, s2 FROM (SELECT a.student_id AS s1, b.student_id AS s2, " +
+        "COUNT(DISTINCT a.year) AS y FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.year = b.year " +
+        "AND a.student_id < b.student_id " +
+        "GROUP BY a.student_id, b.student_id) t " +
+        "ORDER BY y DESC, s1, s2 LIMIT 1", "timed_pair_argmax"),
+    EvalCase("the year each department had its most A grades",
+      "SELECT dept, y FROM (SELECT c.dept, s.year AS y, ROW_NUMBER() " +
+        "OVER (PARTITION BY c.dept ORDER BY SUM(CASE WHEN s.grade = 'A' " +
+        "THEN 1 ELSE 0 END) DESC, s.year) AS rn FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY c.dept, s.year) t WHERE rn = 1 ORDER BY dept",
+      "attr_value_peak_period"))
 }

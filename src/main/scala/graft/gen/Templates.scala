@@ -9243,6 +9243,134 @@ object Templates {
         0.9, "template_group_extreme_period_share")).take(1)
     }
 
+  // "pairs of students who rank within two places of each other in
+  // every shared course" — universal rank proximity over co-memberships
+  private val rankProximityPairsRe =
+    (raw"(?i)\bpairs\s+of\s+([a-z_][a-z0-9_]*)\s+who\s+rank\s+within\s+" +
+      raw"(one|two|three|\d+)\s+places\s+of\s+each\s+other\s+in\s+every\s+" +
+      raw"shared\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Rank-proximity pairs: per-group ranks via group-partitioned
+    * windows, the pair join is group-keyed (per-group fan-out, never
+    * all-pairs over entities), the ∀ encoded as a grouped MAX bound
+    * with the ProfileMinSupport shared-membership floor. */
+  def rankProximityPairsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    rankProximityPairsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val k = m.group(2).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH r AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, RANK() " +
+          s"OVER (PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC) " +
+          s"AS rk FROM ${eE.fromTable}) " +
+          s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
+          s"b.${eE.fromColumn} AS s2 FROM r a JOIN r b " +
+          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
+          s"HAVING COUNT(*) >= $ProfileMinSupport " +
+          s"AND MAX(ABS(a.rk - b.rk)) <= $k) t ORDER BY s1, s2 " +
+          s"LIMIT $DefaultLimit",
+        0.9, "template_rank_proximity_pairs")).take(1)
+    }
+
+  // "the average correlation between scores in pairs of courses sharing
+  // at least 20 students" — mean pairwise correlation
+  private val avgPairwiseCorrRe =
+    (raw"(?i)\bthe\s+average\s+correlation\s+between\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"sharing\s+at\s+least\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Average pairwise correlation: the fact self-joined on the member
+    * key (per-member fan-out), CORR per group pair with a support
+    * floor, AVG over the |pairs|-sized frame. The exact
+    * small-cardinality form of feature-correlation mining. */
+  def avgPairwiseCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgPairwiseCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        dimE <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(c), 4) AS agg_value FROM (SELECT " +
+          s"CORR(a.$measure, b.$measure) AS c FROM ${eJ.fromTable} a " +
+          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn} " +
+          s"GROUP BY a.${eJ.fromColumn}, b.${eJ.fromColumn} " +
+          s"HAVING COUNT(*) >= ${m.group(3)}) t",
+        0.9, "template_avg_pairwise_corr")).take(1)
+    }
+
+  // "for each year, the course that improved most over the previous
+  // year" — per-period trend argmax list
+  private val periodTrendArgmaxListRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*),\s+the\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+that\s+(improved|declined)\s+most\s+over\s+" +
+      raw"the\s+previous\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Period trend argmax list: (group, period) averages in one grouped
+    * pass, LAG deltas via group-partitioned windows over that cell
+    * frame, per-period argmax via a period-partitioned ROW_NUMBER —
+    * all windows over the tiny aggregate frame, never the corpus. */
+  def periodTrendArgmaxListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    periodTrendArgmaxListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(3).toLowerCase == "improved") "DESC" else "ASC"
+      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eJ.fromTable)
+        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
+            !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH ya AS (SELECT ${eJ.fromColumn}, $period, AVG($measure) AS a " +
+          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}, $period), " +
+          s"d AS (SELECT ${eJ.fromColumn}, $period, a - LAG(a) OVER " +
+          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $period) AS delta FROM ya) " +
+          s"SELECT $period, ${eJ.fromColumn} FROM (SELECT $period, " +
+          s"${eJ.fromColumn}, ROW_NUMBER() OVER (PARTITION BY $period " +
+          s"ORDER BY delta $dir, ${eJ.fromColumn}) AS rn FROM d " +
+          s"WHERE delta IS NOT NULL) t WHERE rn = 1 ORDER BY $period",
+        0.9, "template_period_trend_argmax_list")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9488,6 +9616,9 @@ object Templates {
       attrTop2MarginArgmaxCandidates(slice, fks, question, values),
       trendThresholdEntitiesCandidates(slice, fks, question, values),
       groupExtremePeriodShareCandidates(slice, fks, question, values),
+      rankProximityPairsCandidates(slice, fks, question, values),
+      avgPairwiseCorrCandidates(slice, fks, question),
+      periodTrendArgmaxListCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -159,7 +159,9 @@ class EvaluationSpec extends SparkSpec {
         "cohort_topk_members", "yoy_active_delta",
         "entity_slope_argmax", "dept_top_student_share",
         "dual_extreme_holders", "attr_top2_margin_argmax",
-        "trend_threshold_entities", "group_extreme_period_share"))
+        "trend_threshold_entities", "group_extreme_period_share",
+        "rank_proximity_pairs", "avg_pairwise_corr",
+        "period_trend_argmax_list"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
