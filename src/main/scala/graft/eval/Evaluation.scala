@@ -1961,8 +1961,8 @@ object Evaluation {
         "ROW_NUMBER() OVER (PARTITION BY year ORDER BY delta DESC, " +
         "course_id) AS rn FROM d WHERE delta IS NOT NULL) t " +
         "WHERE rn = 1 ORDER BY year", "period_trend_argmax_list"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bj open cases, closed in round 10bk (overage total,
+    //     timed pair argmax, attribute value-peak period) ---
     EvalCase("the minimum number of enrollments to drop so no course exceeds 60",
       "SELECT CAST(SUM(CASE WHEN n > 60 THEN n - 60 ELSE 0 END) " +
         "AS BIGINT) AS agg_value FROM (SELECT COUNT(*) AS n FROM scores " +
@@ -1980,5 +1980,31 @@ object Evaluation {
         "THEN 1 ELSE 0 END) DESC, s.year) AS rn FROM scores s " +
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.year) t WHERE rn = 1 ORDER BY dept",
-      "attr_value_peak_period"))
+      "attr_value_peak_period"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("students who are the only one from their grade level in some course",
+      "SELECT DISTINCT st.student_name FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id JOIN (SELECT s2.course_id, " +
+        "st2.grade_level FROM scores s2 JOIN students st2 " +
+        "ON st2.student_id = s2.student_id " +
+        "GROUP BY s2.course_id, st2.grade_level HAVING COUNT(*) = 1) u " +
+        "ON u.course_id = s.course_id AND u.grade_level = st.grade_level " +
+        "ORDER BY st.student_name LIMIT 100", "sole_cohort_rep"),
+    EvalCase("the trimmed range of scores ignoring the top and bottom five values",
+      "WITH r AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score ASC, " +
+        "score_id) AS ra, ROW_NUMBER() OVER (ORDER BY score DESC, " +
+        "score_id) AS rd FROM scores) " +
+        "SELECT MAX(CASE WHEN rd > 5 THEN score END) - " +
+        "MIN(CASE WHEN ra > 5 THEN score END) AS agg_value FROM r",
+      "trimmed_range"),
+    EvalCase("the average share of a course's students who are in its modal grade level",
+      "WITH cc AS (SELECT s.course_id, st.grade_level, COUNT(*) AS n " +
+        "FROM scores s JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.course_id, st.grade_level), " +
+        "m AS (SELECT course_id, n, SUM(n) OVER (PARTITION BY course_id) " +
+        "AS tot, ROW_NUMBER() OVER (PARTITION BY course_id " +
+        "ORDER BY n DESC, grade_level) AS rn FROM cc) " +
+        "SELECT ROUND(AVG(CAST(n AS DOUBLE) / tot), 4) AS agg_value " +
+        "FROM m WHERE rn = 1", "modal_cohort_share"))
 }

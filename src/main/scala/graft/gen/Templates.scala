@@ -9371,6 +9371,100 @@ object Templates {
         0.9, "template_period_trend_argmax_list")).take(1)
     }
 
+  // "the minimum number of enrollments to drop so no course exceeds
+  // 60" — total overage above a per-group cap
+  private val overageTotalRe =
+    (raw"(?i)\bthe\s+minimum\s+number\s+of\s+enrollments\s+to\s+drop\s+" +
+      raw"so\s+no\s+([a-z_][a-z0-9_]*)\s+exceeds\s+(\d+)\b").r
+
+  /** Overage total: group counts in one grouped pass, the per-group
+    * excess clamped and summed over the group-count-sized frame. */
+  def overageTotalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    overageTotalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cap = m.group(2)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"SELECT CAST(SUM(CASE WHEN n > $cap THEN n - $cap ELSE 0 END) " +
+          s"AS BIGINT) AS agg_value FROM (SELECT COUNT(*) AS n FROM " +
+          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
+        0.9, "template_overage_total")).take(1)
+    }
+
+  // "the student pair with the most years of shared enrollment in the
+  // same course" — co-membership keyed on (group, period)
+  private val timedPairArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+pair\s+with\s+the\s+most\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+of\s+shared\s+enrollment\s+in\s+the\s+" +
+      raw"same\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Timed pair argmax: the self-join keys on (group, period) — the
+    * finer key only SHRINKS the per-bucket fan-out vs the plain
+    * co-membership join — distinct shared periods per pair, top-1. */
+  def timedPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    timedPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val pWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        period <- slice.tables(eE.fromTable)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+      } yield Candidate(
+        s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
+          s"b.${eE.fromColumn} AS s2, COUNT(DISTINCT a.$period) AS y " +
+          s"FROM ${eE.fromTable} a JOIN ${eE.fromTable} b " +
+          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.$period = b.$period " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}) t " +
+          s"ORDER BY y DESC, s1, s2 LIMIT 1",
+        0.9, "template_timed_pair_argmax")).take(1)
+    }
+
+  // "the year each department had its most A grades" — per-attribute
+  // peak period by conditional count
+  private val attrValuePeakPeriodRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+each\s+([a-z]+(?:[ _][a-z]+)?)\s+" +
+      raw"had\s+its\s+most\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Attribute value-peak period: (attribute, period) conditional
+    * counts in one grouped pass (dimension broadcast in), per-attribute
+    * argmax via an attribute-partitioned window over that tiny frame.
+    * The category value must be in the mined domain. */
+  def attrValuePeakPeriodCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    attrValuePeakPeriodRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      val v = m.group(3)
+      val cWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        valueCol <- strongColumn(cWord, slice.tables(fact)).toSeq
+        domain = values(fact).getOrElse(valueCol, Seq.empty)
+        if domain.contains(v)
+        period <- slice.tables(fact)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined)
+        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT $attr, y FROM (SELECT c.$attr, s.$period AS y, " +
+          s"ROW_NUMBER() OVER (PARTITION BY c.$attr ORDER BY " +
+          s"SUM(CASE WHEN s.$valueCol = '$v' THEN 1 ELSE 0 END) DESC, " +
+          s"s.$period) AS rn FROM $fact s JOIN ${eJ.toTable} c " +
+          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr, s.$period) t WHERE rn = 1 ORDER BY $attr",
+        0.9, "template_attr_value_peak_period")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9619,6 +9713,9 @@ object Templates {
       rankProximityPairsCandidates(slice, fks, question, values),
       avgPairwiseCorrCandidates(slice, fks, question),
       periodTrendArgmaxListCandidates(slice, fks, question, values),
+      overageTotalCandidates(slice, fks, question),
+      timedPairArgmaxCandidates(slice, fks, question),
+      attrValuePeakPeriodCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
