@@ -1981,8 +1981,8 @@ object Evaluation {
         "JOIN courses c ON c.course_id = s.course_id " +
         "GROUP BY c.dept, s.year) t WHERE rn = 1 ORDER BY dept",
       "attr_value_peak_period"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bk open cases, closed in round 10bl (sole cohort
+    //     representative, trimmed range, modal cohort share) ---
     EvalCase("students who are the only one from their grade level in some course",
       "SELECT DISTINCT st.student_name FROM scores s JOIN students st " +
         "ON st.student_id = s.student_id JOIN (SELECT s2.course_id, " +
@@ -2006,5 +2006,29 @@ object Evaluation {
         "AS tot, ROW_NUMBER() OVER (PARTITION BY course_id " +
         "ORDER BY n DESC, grade_level) AS rn FROM cc) " +
         "SELECT ROUND(AVG(CAST(n AS DOUBLE) / tot), 4) AS agg_value " +
-        "FROM m WHERE rn = 1", "modal_cohort_share"))
+        "FROM m WHERE rn = 1", "modal_cohort_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the expected score gap between two random classmates, averaged over courses",
+      "SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a.course_id, " +
+        "AVG(ABS(a.score - b.score)) AS d FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "GROUP BY a.course_id) t", "avg_pairwise_gap"),
+    EvalCase("students whose rank in every course is better than their overall rank",
+      "WITH o AS (SELECT student_id, RANK() OVER (ORDER BY AVG(score) " +
+        "DESC) AS ork FROM scores GROUP BY student_id), " +
+        "c AS (SELECT course_id, student_id, RANK() OVER (PARTITION BY " +
+        "course_id ORDER BY score DESC) AS crk FROM scores) " +
+        "SELECT st.student_name FROM (SELECT c.student_id FROM c JOIN o " +
+        "ON o.student_id = c.student_id GROUP BY c.student_id " +
+        "HAVING MAX(CASE WHEN c.crk < o.ork THEN 0 ELSE 1 END) = 0) m " +
+        "JOIN students st ON st.student_id = m.student_id " +
+        "ORDER BY st.student_name LIMIT 100", "cross_rank_universal"),
+    EvalCase("the Gini coefficient of total score points per student",
+      "WITH s AS (SELECT student_id, SUM(score) AS tot FROM scores " +
+        "GROUP BY student_id), " +
+        "r AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, student_id) " +
+        "AS i, COUNT(*) OVER () AS n, SUM(tot) OVER () AS st FROM s) " +
+        "SELECT ROUND(SUM((2.0 * i - n - 1) * tot) / (MAX(n) * MAX(st)), 4) " +
+        "AS agg_value FROM r", "entity_sum_gini"))
 }

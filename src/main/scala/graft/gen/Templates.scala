@@ -9465,6 +9465,111 @@ object Templates {
         0.9, "template_attr_value_peak_period")).take(1)
     }
 
+  // "students who are the only one from their grade level in some
+  // course" — singleton (group, cohort) cell membership
+  private val soleCohortRepRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+are\s+the\s+only\s+one\s+from\s+" +
+      raw"their\s+([a-z]+(?:[ _][a-z]+)?)\s+in\s+some\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Sole cohort representative: singleton (group, attribute) cells
+    * from one grouped pass, semi-joined back to the fact on the cell
+    * key (the cell frame is tiny — AQE broadcasts it), DISTINCT names. */
+  def soleCohortRepCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    soleCohortRepRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(2).toLowerCase.replace(' ', '_')
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT st.$nameCol FROM ${eE.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"JOIN (SELECT s2.${eJ.fromColumn}, st2.$attr FROM " +
+          s"${eE.fromTable} s2 JOIN $dimE st2 " +
+          s"ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
+          s"GROUP BY s2.${eJ.fromColumn}, st2.$attr HAVING COUNT(*) = 1) u " +
+          s"ON u.${eJ.fromColumn} = s.${eJ.fromColumn} " +
+          s"AND u.$attr = st.$attr " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_sole_cohort_rep")).take(1)
+    }
+
+  // "the trimmed range of scores ignoring the top and bottom five
+  // values" — range over order statistics minus the tails
+  private val trimmedRangeRe =
+    (raw"(?i)\bthe\s+trimmed\s+range\s+of\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"ignoring\s+the\s+top\s+and\s+bottom\s+" +
+      raw"(one|two|three|four|five|\d+)\s+values\b").r
+
+  /** Trimmed range: two global ROW_NUMBER passes with a unique-id
+    * tiebreak (at corpus scale the same boundary values come from
+    * `Sketches.kllQuantiles` rank queries — the global sort is the
+    * exact small-N form), tails clamped out by a conditional extreme. */
+  def trimmedRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    trimmedRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val k = m.group(2).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3
+        case "four" => 4; case "five" => 5; case d => d.toInt
+      }
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        tbl <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
+        idCol <- slice.tables(tbl).find(_.toLowerCase == s"${vWord.toLowerCase}_id")
+          .orElse(slice.tables(tbl).sorted.find(_.toLowerCase.endsWith("_id"))).toSeq
+      } yield Candidate(
+        s"WITH r AS (SELECT $measure, ROW_NUMBER() OVER (ORDER BY " +
+          s"$measure ASC, $idCol) AS ra, ROW_NUMBER() OVER (ORDER BY " +
+          s"$measure DESC, $idCol) AS rd FROM $tbl) " +
+          s"SELECT MAX(CASE WHEN rd > $k THEN $measure END) - " +
+          s"MIN(CASE WHEN ra > $k THEN $measure END) AS agg_value FROM r",
+        0.9, "template_trimmed_range")).take(1)
+    }
+
+  // "the average share of a course's students who are in its modal
+  // grade level" — mean share of the per-group majority cohort
+  private val modalCohortShareRe =
+    (raw"(?i)\bthe\s+average\s+share\s+of\s+a\s+([a-z_][a-z0-9_]*)'s\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+who\s+are\s+in\s+its\s+modal\s+" +
+      raw"([a-z]+(?:[ _][a-z]+)?)\b").r
+
+  /** Modal cohort share: (group, attribute) counts in one grouped pass,
+    * per-group totals and the modal cell via windows over the tiny cell
+    * frame, AVG of the modal share over the group-count frame. */
+  def modalCohortShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    modalCohortShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"WITH cc AS (SELECT s.${eJ.fromColumn}, st.$attr, COUNT(*) AS n " +
+          s"FROM ${eE.fromTable} s JOIN $dimE st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn}, st.$attr), " +
+          s"m AS (SELECT ${eJ.fromColumn}, n, SUM(n) OVER " +
+          s"(PARTITION BY ${eJ.fromColumn}) AS tot, ROW_NUMBER() OVER " +
+          s"(PARTITION BY ${eJ.fromColumn} ORDER BY n DESC, $attr) AS rn " +
+          s"FROM cc) " +
+          s"SELECT ROUND(AVG(CAST(n AS DOUBLE) / tot), 4) AS agg_value " +
+          s"FROM m WHERE rn = 1",
+        0.9, "template_modal_cohort_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9716,6 +9821,9 @@ object Templates {
       overageTotalCandidates(slice, fks, question),
       timedPairArgmaxCandidates(slice, fks, question),
       attrValuePeakPeriodCandidates(slice, fks, question, values),
+      soleCohortRepCandidates(slice, fks, question),
+      trimmedRangeCandidates(slice, fks, question),
+      modalCohortShareCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -162,7 +162,8 @@ class EvaluationSpec extends SparkSpec {
         "trend_threshold_entities", "group_extreme_period_share",
         "rank_proximity_pairs", "avg_pairwise_corr",
         "period_trend_argmax_list", "overage_total",
-        "timed_pair_argmax", "attr_value_peak_period"))
+        "timed_pair_argmax", "attr_value_peak_period",
+        "sole_cohort_rep", "trimmed_range", "modal_cohort_share"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
