@@ -2007,8 +2007,8 @@ object Evaluation {
         "ORDER BY n DESC, grade_level) AS rn FROM cc) " +
         "SELECT ROUND(AVG(CAST(n AS DOUBLE) / tot), 4) AS agg_value " +
         "FROM m WHERE rn = 1", "modal_cohort_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bl open cases, closed in round 10bm (average pairwise
+    //     gap, cross-rank universal, entity-sum Gini) ---
     EvalCase("the expected score gap between two random classmates, averaged over courses",
       "SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a.course_id, " +
         "AVG(ABS(a.score - b.score)) AS d FROM scores a JOIN scores b " +
@@ -2030,5 +2030,26 @@ object Evaluation {
         "r AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, student_id) " +
         "AS i, COUNT(*) OVER () AS n, SUM(tot) OVER () AS st FROM s) " +
         "SELECT ROUND(SUM((2.0 * i - n - 1) * tot) / (MAX(n) * MAX(st)), 4) " +
-        "AS agg_value FROM r", "entity_sum_gini"))
+        "AS agg_value FROM r", "entity_sum_gini"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course whose students have the most diverse set of other courses",
+      "SELECT a.course_id FROM scores a JOIN scores b " +
+        "ON a.student_id = b.student_id AND b.course_id <> a.course_id " +
+        "GROUP BY a.course_id " +
+        "ORDER BY COUNT(DISTINCT b.course_id) DESC, a.course_id LIMIT 1",
+      "twohop_diversity_argmax"),
+    EvalCase("the share of scores strictly between their course's quartiles",
+      "WITH q AS (SELECT course_id, PERCENTILE(score, 0.25) AS q1, " +
+        "PERCENTILE(score, 0.75) AS q3 FROM scores GROUP BY course_id) " +
+        "SELECT ROUND(CAST(SUM(CASE WHEN s.score > q.q1 AND " +
+        "s.score < q.q3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) " +
+        "AS agg_value FROM scores s JOIN q ON q.course_id = s.course_id",
+      "group_iqr_band_share"),
+    EvalCase("the student who most often lands in the top 10 percent of a course",
+      "WITH r AS (SELECT student_id, course_id, PERCENT_RANK() OVER " +
+        "(PARTITION BY course_id ORDER BY score DESC) AS pr FROM scores) " +
+        "SELECT student_id FROM r WHERE pr <= 0.1 GROUP BY student_id " +
+        "ORDER BY COUNT(*) DESC, student_id LIMIT 1",
+      "band_membership_argmax"))
 }

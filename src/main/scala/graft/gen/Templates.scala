@@ -9570,6 +9570,116 @@ object Templates {
         0.9, "template_modal_cohort_share")).take(1)
     }
 
+  // "the expected score gap between two random classmates, averaged
+  // over courses" — mean absolute pairwise difference per group
+  private val avgPairwiseGapRe =
+    (raw"(?i)\bthe\s+expected\s+([a-z_][a-z0-9_]*)\s+gap\s+between\s+two\s+" +
+      raw"random\s+classmates,?\s+averaged\s+over\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Average pairwise gap: the self-join keys on the GROUP (per-group
+    * fan-out, never all-pairs globally), mean |Δ| per group, macro
+    * average over the group-count frame. At corpus scale the same
+    * statistic comes from per-group moments (2·n·Σx²−2(Σx)² form) —
+    * the exact pair join is the small-N form. */
+  def avgPairwiseGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    avgPairwiseGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT " +
+          s"a.${eJ.fromColumn}, AVG(ABS(a.$measure - b.$measure)) AS d " +
+          s"FROM ${eJ.fromTable} a JOIN ${eJ.fromTable} b " +
+          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eJ.fromColumn}) t",
+        0.9, "template_avg_pairwise_gap")).take(1)
+    }
+
+  // "students whose rank in every course is better than their overall
+  // rank" — per-group vs global rank universal comparison
+  private val crossRankUniversalRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+rank\s+in\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+is\s+better\s+than\s+their\s+overall\s+" +
+      raw"rank\b").r
+
+  /** Cross-rank universal: the overall rank is a window over the
+    * entity-count-sized average frame, per-group ranks partition on the
+    * group; the ∀ is a grouped MAX-violation indicator over the joined
+    * key-sized frames. Measure by elimination. */
+  def crossRankUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    crossRankUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH o AS (SELECT ${eE.fromColumn}, RANK() OVER (ORDER BY " +
+          s"AVG($measure) DESC) AS ork FROM ${eE.fromTable} " +
+          s"GROUP BY ${eE.fromColumn}), " +
+          s"c AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, RANK() OVER " +
+          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC) AS crk " +
+          s"FROM ${eE.fromTable}) " +
+          s"SELECT st.$nameCol FROM (SELECT c.${eE.fromColumn} FROM c " +
+          s"JOIN o ON o.${eE.fromColumn} = c.${eE.fromColumn} " +
+          s"GROUP BY c.${eE.fromColumn} " +
+          s"HAVING MAX(CASE WHEN c.crk < o.ork THEN 0 ELSE 1 END) = 0) m " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
+          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
+        0.9, "template_cross_rank_universal")).take(1)
+    }
+
+  // "the Gini coefficient of total score points per student" —
+  // inequality of per-entity totals
+  private val entitySumGiniRe =
+    (raw"(?i)\bthe\s+gini\s+coefficient\s+of\s+total\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+points\s+per\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Entity-sum Gini: per-entity totals in one grouped pass, the Gini
+    * rank form over the entity-count-sized frame (the windows sort
+    * entities, never the corpus). */
+  def entitySumGiniCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    entitySumGiniRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH s AS (SELECT ${eE.fromColumn}, SUM($measure) AS tot FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}), " +
+          s"r AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, " +
+          s"${eE.fromColumn}) AS i, COUNT(*) OVER () AS n, " +
+          s"SUM(tot) OVER () AS st FROM s) " +
+          s"SELECT ROUND(SUM((2.0 * i - n - 1) * tot) / " +
+          s"(MAX(n) * MAX(st)), 4) AS agg_value FROM r",
+        0.9, "template_entity_sum_gini")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9824,6 +9934,9 @@ object Templates {
       soleCohortRepCandidates(slice, fks, question),
       trimmedRangeCandidates(slice, fks, question),
       modalCohortShareCandidates(slice, fks, question),
+      avgPairwiseGapCandidates(slice, fks, question),
+      crossRankUniversalCandidates(slice, fks, question, values),
+      entitySumGiniCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -163,7 +163,8 @@ class EvaluationSpec extends SparkSpec {
         "rank_proximity_pairs", "avg_pairwise_corr",
         "period_trend_argmax_list", "overage_total",
         "timed_pair_argmax", "attr_value_peak_period",
-        "sole_cohort_rep", "trimmed_range", "modal_cohort_share"))
+        "sole_cohort_rep", "trimmed_range", "modal_cohort_share",
+        "avg_pairwise_gap", "cross_rank_universal", "entity_sum_gini"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
