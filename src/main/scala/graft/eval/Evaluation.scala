@@ -2031,8 +2031,8 @@ object Evaluation {
         "AS i, COUNT(*) OVER () AS n, SUM(tot) OVER () AS st FROM s) " +
         "SELECT ROUND(SUM((2.0 * i - n - 1) * tot) / (MAX(n) * MAX(st)), 4) " +
         "AS agg_value FROM r", "entity_sum_gini"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bm open cases, closed in round 10bn (two-hop
+    //     diversity, group IQR band share, band-membership argmax) ---
     EvalCase("the course whose students have the most diverse set of other courses",
       "SELECT a.course_id FROM scores a JOIN scores b " +
         "ON a.student_id = b.student_id AND b.course_id <> a.course_id " +
@@ -2051,5 +2051,26 @@ object Evaluation {
         "(PARTITION BY course_id ORDER BY score DESC) AS pr FROM scores) " +
         "SELECT student_id FROM r WHERE pr <= 0.1 GROUP BY student_id " +
         "ORDER BY COUNT(*) DESC, student_id LIMIT 1",
-      "band_membership_argmax"))
+      "band_membership_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the share of each year's scores that came from ninth graders, listed by year",
+      "SELECT year, ROUND(CAST(SUM(CASE WHEN st.grade_level = 9 THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS sh FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY year ORDER BY year", "period_cohort_share_list"),
+    EvalCase("the biggest jump between consecutive ranked course averages",
+      "SELECT ROUND(MAX(a - prev), 4) AS agg_value FROM (SELECT a, " +
+        "LAG(a) OVER (ORDER BY a) AS prev FROM (SELECT AVG(score) AS a " +
+        "FROM scores GROUP BY course_id) t) u WHERE prev IS NOT NULL",
+      "ranked_agg_max_gap"),
+    EvalCase("the number of students whose course set is contained in another student's",
+      "SELECT COUNT(DISTINCT s1) AS agg_value FROM (SELECT a.student_id " +
+        "AS s1, b.student_id AS s2, COUNT(*) AS shared FROM scores a " +
+        "JOIN scores b ON a.course_id = b.course_id " +
+        "AND a.student_id <> b.student_id " +
+        "GROUP BY a.student_id, b.student_id) p " +
+        "JOIN (SELECT student_id, COUNT(*) AS n FROM scores " +
+        "GROUP BY student_id) c1 ON c1.student_id = p.s1 " +
+        "WHERE p.shared = c1.n", "course_subset_count"))
 }

@@ -9680,6 +9680,113 @@ object Templates {
         0.9, "template_entity_sum_gini")).take(1)
     }
 
+  // "the course whose students have the most diverse set of other
+  // courses" — two-hop distinct-neighbor argmax
+  private val twohopDiversityArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"have\s+the\s+most\s+diverse\s+set\s+of\s+other\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Two-hop diversity argmax: the entity-keyed self-join (per-entity
+    * membership fan-out), distinct co-groups per group, top-1 with an
+    * id tiebreak. The group words must agree (same dimension). */
+  def twohopDiversityArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    twohopDiversityArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def sing(w: String) = if (w.endsWith("s")) w.dropRight(1) else w
+      if (sing(m.group(1).toLowerCase) != sing(m.group(3).toLowerCase)) Seq.empty
+      else (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"SELECT a.${eJ.fromColumn} FROM ${eJ.fromTable} a " +
+          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+          s"AND b.${eJ.fromColumn} <> a.${eJ.fromColumn} " +
+          s"GROUP BY a.${eJ.fromColumn} " +
+          s"ORDER BY COUNT(DISTINCT b.${eJ.fromColumn}) DESC, " +
+          s"a.${eJ.fromColumn} LIMIT 1",
+        0.9, "template_twohop_diversity_argmax")).take(1)
+    }
+
+  // "the share of scores strictly between their course's quartiles" —
+  // per-group IQR band membership share
+  private val groupIqrBandShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+strictly\s+" +
+      raw"between\s+their\s+([a-z_][a-z0-9_]*)'s\s+quartiles\b").r
+
+  /** Group IQR band share: exact per-group quartiles in one grouped
+    * pass (group-count-sized, joined back — AQE broadcasts), one
+    * conditional scalar aggregate. At corpus scale the quartiles come
+    * from `Sketches.kllQuantiles` rollups instead of exact PERCENTILE. */
+  def groupIqrBandShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupIqrBandShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"WITH q AS (SELECT ${eJ.fromColumn}, PERCENTILE($measure, 0.25) " +
+          s"AS q1, PERCENTILE($measure, 0.75) AS q3 FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}) " +
+          s"SELECT ROUND(CAST(SUM(CASE WHEN s.$measure > q.q1 AND " +
+          s"s.$measure < q.q3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) " +
+          s"AS agg_value FROM ${eJ.fromTable} s JOIN q " +
+          s"ON q.${eJ.fromColumn} = s.${eJ.fromColumn}",
+        0.9, "template_group_iqr_band_share")).take(1)
+    }
+
+  // "the student who most often lands in the top 10 percent of a
+  // course" — percentile-band membership count argmax
+  private val bandMembershipArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+who\s+most\s+often\s+lands\s+" +
+      raw"in\s+the\s+(top|bottom)\s+(\d+)\s+percent\s+of\s+a\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Band-membership argmax: PERCENT_RANK windows partition on the
+    * GROUP key (per-group sorts), band filter, per-entity counts,
+    * top-1 with an id tiebreak. Measure by elimination. */
+  def bandMembershipArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    bandMembershipArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val top = m.group(2).toLowerCase == "top"
+      val f = m.group(3).toDouble / 100.0
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(4)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH r AS (SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
+          s"PERCENT_RANK() OVER (PARTITION BY ${eJ.fromColumn} ORDER BY " +
+          s"$measure ${if (top) "DESC" else "ASC"}) AS pr FROM " +
+          s"${eE.fromTable}) " +
+          s"SELECT ${eE.fromColumn} FROM r WHERE pr <= $f " +
+          s"GROUP BY ${eE.fromColumn} ORDER BY COUNT(*) DESC, " +
+          s"${eE.fromColumn} LIMIT 1",
+        0.9, "template_band_membership_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -9937,6 +10044,9 @@ object Templates {
       avgPairwiseGapCandidates(slice, fks, question),
       crossRankUniversalCandidates(slice, fks, question, values),
       entitySumGiniCandidates(slice, fks, question),
+      twohopDiversityArgmaxCandidates(slice, fks, question),
+      groupIqrBandShareCandidates(slice, fks, question),
+      bandMembershipArgmaxCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

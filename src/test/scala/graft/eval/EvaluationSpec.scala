@@ -164,7 +164,9 @@ class EvaluationSpec extends SparkSpec {
         "period_trend_argmax_list", "overage_total",
         "timed_pair_argmax", "attr_value_peak_period",
         "sole_cohort_rep", "trimmed_range", "modal_cohort_share",
-        "avg_pairwise_gap", "cross_rank_universal", "entity_sum_gini"))
+        "avg_pairwise_gap", "cross_rank_universal", "entity_sum_gini",
+        "twohop_diversity_argmax", "group_iqr_band_share",
+        "band_membership_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
