@@ -2052,8 +2052,8 @@ object Evaluation {
         "SELECT student_id FROM r WHERE pr <= 0.1 GROUP BY student_id " +
         "ORDER BY COUNT(*) DESC, student_id LIMIT 1",
       "band_membership_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bn open cases, closed in round 10bo (period cohort
+    //     share list, ranked-aggregate max gap, course-subset count) ---
     EvalCase("the share of each year's scores that came from ninth graders, listed by year",
       "SELECT year, ROUND(CAST(SUM(CASE WHEN st.grade_level = 9 THEN 1 " +
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS sh FROM scores s " +
@@ -2072,5 +2072,26 @@ object Evaluation {
         "GROUP BY a.student_id, b.student_id) p " +
         "JOIN (SELECT student_id, COUNT(*) AS n FROM scores " +
         "GROUP BY student_id) c1 ON c1.student_id = p.s1 " +
-        "WHERE p.shared = c1.n", "course_subset_count"))
+        "WHERE p.shared = c1.n", "course_subset_count"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the pair of years with the most students in common",
+      "SELECT y1, y2 FROM (SELECT a.year AS y1, b.year AS y2, " +
+        "COUNT(*) AS n FROM (SELECT DISTINCT student_id, year " +
+        "FROM scores) a JOIN (SELECT DISTINCT student_id, year " +
+        "FROM scores) b ON a.student_id = b.student_id AND a.year < b.year " +
+        "GROUP BY a.year, b.year) t ORDER BY n DESC, y1, y2 LIMIT 1",
+      "period_pair_overlap_argmax"),
+    EvalCase("how many courses would lose at least a quarter of their students if ninth graders left",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT s.course_id FROM " +
+        "scores s JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.course_id HAVING CAST(SUM(CASE WHEN " +
+        "st.grade_level = 9 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) " +
+        ">= 0.25) t", "removal_impact_count"),
+    EvalCase("the course with the most even spread of scores across grade letters",
+      "SELECT course_id FROM (SELECT course_id, -SUM(p * LN(p)) AS e " +
+        "FROM (SELECT course_id, CAST(COUNT(*) AS DOUBLE) / " +
+        "SUM(COUNT(*)) OVER (PARTITION BY course_id) AS p FROM scores " +
+        "GROUP BY course_id, grade) t GROUP BY course_id) u " +
+        "ORDER BY e DESC, course_id LIMIT 1", "group_entropy_argmax"))
 }

@@ -9787,6 +9787,116 @@ object Templates {
         0.9, "template_band_membership_argmax")).take(1)
     }
 
+  // "the share of each year's scores that came from ninth graders,
+  // listed by year" — cohort share per period
+  private val periodCohortShareListRe =
+    (raw"(?i)\bthe\s+share\s+of\s+each\s+([a-z_][a-z0-9_]*)'s\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+that\s+came\s+from\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
+
+  /** Period cohort-share list: ONE grouped pass keyed on the period
+    * (entity dimension broadcast in) with a conditional and an
+    * unconditional count per period. */
+  def periodCohortShareListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    periodCohortShareListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
+      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        period <- slice.tables(fact)
+          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT $period, ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS sh FROM " +
+          s"$fact s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY $period ORDER BY $period",
+        0.9, "template_period_cohort_share_list")).take(1)
+    }
+
+  // "the biggest jump between consecutive ranked course averages" —
+  // max adjacent gap in the sorted group-aggregate sequence
+  private val rankedAggMaxGapRe =
+    (raw"(?i)\bthe\s+(biggest|largest|smallest)\s+jump\s+between\s+" +
+      raw"consecutive\s+ranked\s+([a-z_][a-z0-9_]*)\s+averages\b").r
+
+  /** Ranked-aggregate max gap: group averages in one grouped pass, LAG
+    * over the group-count-sized sorted frame, one scalar extreme.
+    * Measure by elimination. */
+  def rankedAggMaxGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    rankedAggMaxGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = if (m.group(1).toLowerCase == "smallest") "MIN" else "MAX"
+      (for {
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        factCols = slice.tables(eJ.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eJ.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"SELECT ROUND($agg(a - prev), 4) AS agg_value FROM (SELECT a, " +
+          s"LAG(a) OVER (ORDER BY a) AS prev FROM (SELECT AVG($measure) " +
+          s"AS a FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t) u " +
+          s"WHERE prev IS NOT NULL",
+        0.9, "template_ranked_agg_max_gap")).take(1)
+    }
+
+  // "the number of students whose course set is contained in another
+  // student's" — membership-set containment count
+  private val courseSubsetCountRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+set\s+is\s+contained\s+in\s+another\s+" +
+      raw"([a-z_][a-z0-9_]*)'s\b").r
+
+  /** Course-subset count: pairwise shared-membership counts from the
+    * group-keyed self-join (per-group fan-out), compared against each
+    * entity's own membership size (entity-count-sized frame joined
+    * back) — containment ⟺ shared = |own|. DISTINCT contained
+    * entities counted once. */
+  def courseSubsetCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    courseSubsetCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def sing(w: String) = if (w.endsWith("s")) w.dropRight(1) else w
+      if (sing(m.group(1).toLowerCase) != sing(m.group(3).toLowerCase)) Seq.empty
+      else (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(DISTINCT s1) AS agg_value FROM (SELECT " +
+          s"a.${eE.fromColumn} AS s1, b.${eE.fromColumn} AS s2, " +
+          s"COUNT(*) AS shared FROM ${eE.fromTable} a " +
+          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} <> b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}) p " +
+          s"JOIN (SELECT ${eE.fromColumn}, COUNT(*) AS n FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) c1 " +
+          s"ON c1.${eE.fromColumn} = p.s1 WHERE p.shared = c1.n",
+        0.9, "template_course_subset_count")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10047,6 +10157,9 @@ object Templates {
       twohopDiversityArgmaxCandidates(slice, fks, question),
       groupIqrBandShareCandidates(slice, fks, question),
       bandMembershipArgmaxCandidates(slice, fks, question, values),
+      periodCohortShareListCandidates(slice, fks, question),
+      rankedAggMaxGapCandidates(slice, fks, question, values),
+      courseSubsetCountCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
