@@ -2073,8 +2073,8 @@ object Evaluation {
         "JOIN (SELECT student_id, COUNT(*) AS n FROM scores " +
         "GROUP BY student_id) c1 ON c1.student_id = p.s1 " +
         "WHERE p.shared = c1.n", "course_subset_count"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bo open cases, closed in round 10bp (period pair
+    //     overlap, removal impact count, group entropy argmax) ---
     EvalCase("the pair of years with the most students in common",
       "SELECT y1, y2 FROM (SELECT a.year AS y1, b.year AS y2, " +
         "COUNT(*) AS n FROM (SELECT DISTINCT student_id, year " +
@@ -2093,5 +2093,27 @@ object Evaluation {
         "FROM (SELECT course_id, CAST(COUNT(*) AS DOUBLE) / " +
         "SUM(COUNT(*)) OVER (PARTITION BY course_id) AS p FROM scores " +
         "GROUP BY course_id, grade) t GROUP BY course_id) u " +
-        "ORDER BY e DESC, course_id LIMIT 1", "group_entropy_argmax"))
+        "ORDER BY e DESC, course_id LIMIT 1", "group_entropy_argmax"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the longest stretch of consecutive score values with no gaps",
+      "WITH d AS (SELECT DISTINCT score FROM scores), " +
+        "g AS (SELECT score, score - ROW_NUMBER() OVER (ORDER BY score) " +
+        "AS grp FROM d) " +
+        "SELECT MAX(c) AS agg_value FROM (SELECT COUNT(*) AS c FROM g " +
+        "GROUP BY grp) t", "value_run_length"),
+    EvalCase("for each student the department they perform best in, tallied by department",
+      "WITH da AS (SELECT s.student_id, c.dept, AVG(s.score) AS a " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id, c.dept), " +
+        "b AS (SELECT student_id, dept FROM (SELECT student_id, dept, " +
+        "ROW_NUMBER() OVER (PARTITION BY student_id ORDER BY a DESC, " +
+        "dept) AS rn FROM da) x WHERE rn = 1) " +
+        "SELECT dept, COUNT(*) AS n FROM b GROUP BY dept ORDER BY dept",
+      "best_dept_distribution"),
+    EvalCase("the probability that a random A-grade score belongs to a ninth grader",
+      "SELECT ROUND(CAST(SUM(CASE WHEN st.grade_level = 9 THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+        "scores s JOIN students st ON st.student_id = s.student_id " +
+        "WHERE s.grade = 'A'", "conditional_cohort_prob"))
 }

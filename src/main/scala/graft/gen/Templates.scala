@@ -9897,6 +9897,110 @@ object Templates {
         0.9, "template_course_subset_count")).take(1)
     }
 
+  // "the pair of years with the most students in common" — co-presence
+  // overlap between PERIOD values (not a dimension pair)
+  private val periodPairOverlapRe =
+    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+in\s+common\b").r
+
+  /** Period-pair overlap argmax: DISTINCT (entity, period) collapses
+    * the fact once, the pair join keys on the ENTITY (per-entity
+    * period fan-out — |periods|² at most), counts per period pair,
+    * top-1. Fires only when the pair word is NOT a dimension table
+    * (the dimension-pair phrasing belongs to pairOverlapArgmax). */
+  def periodPairOverlapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    periodPairOverlapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      if (uniqueTable(slice, m.group(1)).isDefined) Seq.empty
+      else {
+        val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+        (for {
+          dimE <- uniqueTable(slice, m.group(2)).toSeq
+          eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+          period <- slice.tables(eE.fromTable)
+            .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
+        } yield Candidate(
+          s"SELECT y1, y2 FROM (SELECT a.$period AS y1, b.$period AS y2, " +
+            s"COUNT(*) AS n FROM (SELECT DISTINCT ${eE.fromColumn}, " +
+            s"$period FROM ${eE.fromTable}) a JOIN (SELECT DISTINCT " +
+            s"${eE.fromColumn}, $period FROM ${eE.fromTable}) b " +
+            s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
+            s"AND a.$period < b.$period GROUP BY a.$period, b.$period) t " +
+            s"ORDER BY n DESC, y1, y2 LIMIT 1",
+          0.9, "template_period_pair_overlap_argmax")).take(1)
+      }
+    }
+
+  // "how many courses would lose at least a quarter of their students
+  // if ninth graders left" — cohort-removal impact threshold count
+  private val removalImpactCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+would\s+lose\s+at\s+" +
+      raw"least\s+a\s+(quarter|third|half)\s+of\s+their\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+if\s+" +
+      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
+      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\s+" +
+      raw"left\b").r
+
+  /** Removal-impact count: ONE grouped pass with the cohort share per
+    * group (dimension broadcast in), HAVING threshold, COUNT. The
+    * fraction word maps to its exact double (gold SQL must use the
+    * same literal; "quarter"/"half" are exact binary doubles). */
+  def removalImpactCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    removalImpactCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val frac = m.group(2).toLowerCase match {
+        case "quarter" => 0.25; case "third" => 1.0 / 3; case _ => 0.5
+      }
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(4).toLowerCase, m.group(4).toInt)
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
+          slice.tables.contains(e.toTable))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
+          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.${eJ.fromColumn} " +
+          s"HAVING CAST(SUM(CASE WHEN st.$gradeCol = $n THEN 1 ELSE 0 " +
+          s"END) AS DOUBLE) / COUNT(*) >= $frac) t",
+        0.9, "template_removal_impact_count")).take(1)
+    }
+
+  // "the course with the most even spread of scores across grade
+  // letters" — per-group category entropy argmax
+  private val groupEntropyArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+even\s+" +
+      raw"spread\s+of\s+([a-z_][a-z0-9_]*)\s+across\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+letters\b").r
+
+  /** Group entropy argmax: (group, category) counts in one grouped
+    * pass, per-group shares via a window over the cell frame, Shannon
+    * entropy per group, top-1. */
+  def groupEntropyArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupEntropyArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        catCol <- strongColumn(cWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn} FROM (SELECT ${eJ.fromColumn}, " +
+          s"-SUM(p * LN(p)) AS e FROM (SELECT ${eJ.fromColumn}, " +
+          s"CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER " +
+          s"(PARTITION BY ${eJ.fromColumn}) AS p FROM ${eJ.fromTable} " +
+          s"GROUP BY ${eJ.fromColumn}, $catCol) t " +
+          s"GROUP BY ${eJ.fromColumn}) u ORDER BY e DESC, " +
+          s"${eJ.fromColumn} LIMIT 1",
+        0.9, "template_group_entropy_argmax")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10160,6 +10264,9 @@ object Templates {
       periodCohortShareListCandidates(slice, fks, question),
       rankedAggMaxGapCandidates(slice, fks, question, values),
       courseSubsetCountCandidates(slice, fks, question),
+      periodPairOverlapCandidates(slice, fks, question),
+      removalImpactCountCandidates(slice, fks, question),
+      groupEntropyArgmaxCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

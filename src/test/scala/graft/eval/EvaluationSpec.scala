@@ -167,7 +167,9 @@ class EvaluationSpec extends SparkSpec {
         "avg_pairwise_gap", "cross_rank_universal", "entity_sum_gini",
         "twohop_diversity_argmax", "group_iqr_band_share",
         "band_membership_argmax", "period_cohort_share_list",
-        "ranked_agg_max_gap", "course_subset_count"))
+        "ranked_agg_max_gap", "course_subset_count",
+        "period_pair_overlap_argmax", "removal_impact_count",
+        "group_entropy_argmax"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
