@@ -2094,8 +2094,9 @@ object Evaluation {
         "SUM(COUNT(*)) OVER (PARTITION BY course_id) AS p FROM scores " +
         "GROUP BY course_id, grade) t GROUP BY course_id) u " +
         "ORDER BY e DESC, course_id LIMIT 1", "group_entropy_argmax"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bp open cases, closed in round 10bq (value run
+    //     length, best-attribute distribution, conditional cohort
+    //     probability) ---
     EvalCase("the longest stretch of consecutive score values with no gaps",
       "WITH d AS (SELECT DISTINCT score FROM scores), " +
         "g AS (SELECT score, score - ROW_NUMBER() OVER (ORDER BY score) " +
@@ -2115,5 +2116,38 @@ object Evaluation {
       "SELECT ROUND(CAST(SUM(CASE WHEN st.grade_level = 9 THEN 1 " +
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
         "scores s JOIN students st ON st.student_id = s.student_id " +
-        "WHERE s.grade = 'A'", "conditional_cohort_prob"))
+        "WHERE s.grade = 'A'", "conditional_cohort_prob"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the average Jaccard similarity between course sets of same-grade students sharing at least one course",
+      "WITH p AS (SELECT a.student_id AS s1, b.student_id AS s2, " +
+        "COUNT(*) AS inter FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "JOIN students st1 ON st1.student_id = a.student_id " +
+        "JOIN students st2 ON st2.student_id = b.student_id " +
+        "WHERE st1.grade_level = st2.grade_level " +
+        "GROUP BY a.student_id, b.student_id), " +
+        "n AS (SELECT student_id, COUNT(*) AS cnt FROM scores " +
+        "GROUP BY student_id) " +
+        "SELECT ROUND(AVG(CAST(inter AS DOUBLE) / " +
+        "(n1.cnt + n2.cnt - inter)), 4) AS agg_value FROM p " +
+        "JOIN n n1 ON n1.student_id = p.s1 " +
+        "JOIN n n2 ON n2.student_id = p.s2", "cohort_jaccard_avg"),
+    EvalCase("the grade letter whose holders have the widest age range",
+      "SELECT g FROM (SELECT s.grade AS g, MAX(st.age) - MIN(st.age) " +
+        "AS r FROM scores s JOIN students st " +
+        "ON st.student_id = s.student_id GROUP BY s.grade) t " +
+        "ORDER BY r DESC, g LIMIT 1", "value_attr_range_argmax"),
+    EvalCase("the expected number of shared courses between two students from different grade levels",
+      "WITH p AS (SELECT a.student_id AS s1, b.student_id AS s2, " +
+        "COUNT(*) AS c FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "GROUP BY a.student_id, b.student_id), " +
+        "pairs AS (SELECT st1.student_id AS s1, st2.student_id AS s2 " +
+        "FROM students st1 JOIN students st2 " +
+        "ON st1.student_id < st2.student_id " +
+        "AND st1.grade_level <> st2.grade_level) " +
+        "SELECT ROUND(CAST(SUM(COALESCE(p.c, 0)) AS DOUBLE) / COUNT(*), 4) " +
+        "AS agg_value FROM pairs LEFT JOIN p ON p.s1 = pairs.s1 " +
+        "AND p.s2 = pairs.s2", "cross_cohort_avg_overlap"))
 }

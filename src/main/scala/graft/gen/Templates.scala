@@ -10001,6 +10001,118 @@ object Templates {
         0.9, "template_group_entropy_argmax")).take(1)
     }
 
+  // "the longest stretch of consecutive score values with no gaps" —
+  // gaps-and-islands over the value domain
+  private val valueRunLengthRe =
+    (raw"(?i)\bthe\s+longest\s+stretch\s+of\s+consecutive\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+values\s+with\s+no\s+gaps\b").r
+
+  /** Value run length: DISTINCT collapses the fact to its value domain
+    * (map-side combined), the island key and run counts operate on
+    * that domain-sized frame only. */
+  def valueRunLengthCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    valueRunLengthRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        tbl <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
+      } yield Candidate(
+        s"WITH d AS (SELECT DISTINCT $measure FROM $tbl), " +
+          s"g AS (SELECT $measure, $measure - ROW_NUMBER() OVER " +
+          s"(ORDER BY $measure) AS grp FROM d) " +
+          s"SELECT MAX(c) AS agg_value FROM (SELECT COUNT(*) AS c " +
+          s"FROM g GROUP BY grp) t",
+        0.9, "template_value_run_length")).take(1)
+    }
+
+  // "for each student the department they perform best in, tallied by
+  // department" — per-entity attribute argmax distribution
+  private val bestDeptDistributionRe =
+    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s+the\s+" +
+      raw"([a-z]+(?:[ _][a-z]+)?)\s+they\s+perform\s+best\s+in,?\s+" +
+      raw"tallied\s+by\b").r
+
+  /** Best-attribute distribution: (entity, attribute) averages in one
+    * grouped pass (dimension broadcast in), per-entity argmax via an
+    * entity-partitioned window over that key-sized frame, one tiny
+    * tally. Measure by elimination. */
+  def bestDeptDistributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    bestDeptDistributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined).toSeq
+        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH da AS (SELECT s.${eE.fromColumn}, c.$attr, " +
+          s"AVG(s.$measure) AS a FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}, c.$attr), " +
+          s"b AS (SELECT ${eE.fromColumn}, $attr FROM (SELECT " +
+          s"${eE.fromColumn}, $attr, ROW_NUMBER() OVER (PARTITION BY " +
+          s"${eE.fromColumn} ORDER BY a DESC, $attr) AS rn FROM da) x " +
+          s"WHERE rn = 1) " +
+          s"SELECT $attr, COUNT(*) AS n FROM b GROUP BY $attr " +
+          s"ORDER BY $attr",
+        0.9, "template_best_dept_distribution")).take(1)
+    }
+
+  // "the probability that a random A-grade score belongs to a ninth
+  // grader" — conditional cohort probability
+  private val conditionalCohortProbRe =
+    (raw"(?i)\bthe\s+probability\s+that\s+a\s+random\s+" +
+      raw"([A-Za-z0-9]+)-grade\s+([a-z_][a-z0-9_]*)\s+belongs\s+to\s+" +
+      raw"an?\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
+      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?" +
+      raw"grader\b").r
+
+  /** Conditional cohort probability: the category filter prunes first,
+    * one conditional scalar aggregate over the joined rows (dimension
+    * broadcast in). The category value must be in the mined domain. */
+  def conditionalCohortProbCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    conditionalCohortProbRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(1)
+      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
+        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
+        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
+      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        catCol <- values(fact).collectFirst {
+          case (c, dom) if dom.contains(v) => c
+        }.toSeq
+        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
+        gradeCol <- slice.tables(eE.toTable)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n THEN 1 " +
+          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
+          s"$fact s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"WHERE s.$catCol = '$v'",
+        0.9, "template_conditional_cohort_prob")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10267,6 +10379,9 @@ object Templates {
       periodPairOverlapCandidates(slice, fks, question),
       removalImpactCountCandidates(slice, fks, question),
       groupEntropyArgmaxCandidates(slice, fks, question),
+      valueRunLengthCandidates(slice, fks, question),
+      bestDeptDistributionCandidates(slice, fks, question, values),
+      conditionalCohortProbCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
