@@ -2117,8 +2117,8 @@ object Evaluation {
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
         "scores s JOIN students st ON st.student_id = s.student_id " +
         "WHERE s.grade = 'A'", "conditional_cohort_prob"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bq open cases, closed in round 10br (cohort Jaccard
+    //     average, value attribute-range argmax, cross-cohort overlap) ---
     EvalCase("the average Jaccard similarity between course sets of same-grade students sharing at least one course",
       "WITH p AS (SELECT a.student_id AS s1, b.student_id AS s2, " +
         "COUNT(*) AS inter FROM scores a JOIN scores b " +
@@ -2149,5 +2149,35 @@ object Evaluation {
         "AND st1.grade_level <> st2.grade_level) " +
         "SELECT ROUND(CAST(SUM(COALESCE(p.c, 0)) AS DOUBLE) / COUNT(*), 4) " +
         "AS agg_value FROM pairs LEFT JOIN p ON p.s1 = pairs.s1 " +
-        "AND p.s2 = pairs.s2", "cross_cohort_avg_overlap"))
+        "AND p.s2 = pairs.s2", "cross_cohort_avg_overlap"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the course in which scores are most spread out relative to their average",
+      "SELECT course_id FROM (SELECT course_id, STDDEV_POP(score) / " +
+        "AVG(score) AS cv FROM scores GROUP BY course_id) t " +
+        "ORDER BY cv DESC, course_id LIMIT 1", "group_cv_argmax"),
+    EvalCase("how many student pairs share exactly one course",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT a.student_id, " +
+        "b.student_id AS s2 FROM scores a JOIN scores b " +
+        "ON a.course_id = b.course_id AND a.student_id < b.student_id " +
+        "GROUP BY a.student_id, b.student_id HAVING COUNT(*) = 1) t",
+      "exact_overlap_pair_count"),
+    EvalCase("the share of students whose best department matches their grade level's most popular department",
+      "WITH da AS (SELECT s.student_id, c.dept, AVG(s.score) AS a " +
+        "FROM scores s JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY s.student_id, c.dept), " +
+        "best AS (SELECT student_id, dept FROM (SELECT student_id, dept, " +
+        "ROW_NUMBER() OVER (PARTITION BY student_id ORDER BY a DESC, " +
+        "dept) AS rn FROM da) x WHERE rn = 1), " +
+        "pop AS (SELECT gl, dept FROM (SELECT st.grade_level AS gl, " +
+        "c.dept, ROW_NUMBER() OVER (PARTITION BY st.grade_level " +
+        "ORDER BY COUNT(*) DESC, c.dept) AS rn FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "JOIN courses c ON c.course_id = s.course_id " +
+        "GROUP BY st.grade_level, c.dept) y WHERE rn = 1) " +
+        "SELECT ROUND(CAST(SUM(CASE WHEN b.dept = pop.dept THEN 1 " +
+        "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM best b " +
+        "JOIN students st ON st.student_id = b.student_id " +
+        "JOIN pop ON pop.gl = st.grade_level",
+      "best_matches_popular_share"))
 }

@@ -10113,6 +10113,119 @@ object Templates {
         0.9, "template_conditional_cohort_prob")).take(1)
     }
 
+  // "the average Jaccard similarity between course sets of same-grade
+  // students sharing at least one course" — cohort-restricted mean
+  // pairwise set similarity
+  private val cohortJaccardAvgRe =
+    (raw"(?i)\bthe\s+average\s+jaccard\s+similarity\s+between\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+sets\s+of\s+same-grade\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+sharing\s+at\s+least\s+one\b").r
+
+  /** Cohort Jaccard average: co-membership intersections from the
+    * group-keyed self-join (per-group fan-out), membership sizes from
+    * one grouped pass joined back, |A∩B|/(|A|+|B|−|A∩B|) averaged —
+    * the exact small-N form of `Dedup.minHashNearDuplicates`'s
+    * estimate. Pairs sharing nothing are excluded by construction
+    * (the question's "sharing at least one" clause). */
+  def cohortJaccardAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    cohortJaccardAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        gradeCol <- slice.tables(dimE)
+          .find(_.toLowerCase.startsWith("grade")).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"WITH p AS (SELECT a.${eE.fromColumn} AS s1, b.${eE.fromColumn} " +
+          s"AS s2, COUNT(*) AS inter FROM ${eJ.fromTable} a " +
+          s"JOIN ${eJ.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"JOIN $dimE st1 ON st1.${eE.toColumn} = a.${eE.fromColumn} " +
+          s"JOIN $dimE st2 ON st2.${eE.toColumn} = b.${eE.fromColumn} " +
+          s"WHERE st1.$gradeCol = st2.$gradeCol " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}), " +
+          s"n AS (SELECT ${eE.fromColumn}, COUNT(*) AS cnt FROM " +
+          s"${eJ.fromTable} GROUP BY ${eE.fromColumn}) " +
+          s"SELECT ROUND(AVG(CAST(inter AS DOUBLE) / " +
+          s"(n1.cnt + n2.cnt - inter)), 4) AS agg_value FROM p " +
+          s"JOIN n n1 ON n1.${eE.fromColumn} = p.s1 " +
+          s"JOIN n n2 ON n2.${eE.fromColumn} = p.s2",
+        0.9, "template_cohort_jaccard_avg")).take(1)
+    }
+
+  // "the grade letter whose holders have the widest age range" —
+  // category argmax by joined-attribute spread
+  private val valueAttrRangeArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+letter\s+whose\s+holders\s+" +
+      raw"have\s+the\s+(widest|narrowest)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"range\b").r
+
+  /** Value attribute-range argmax: one grouped pass keyed on the fact
+    * category (entity dimension broadcast in), MAX−MIN of the joined
+    * attribute per category value, top-1. */
+  def valueAttrRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    valueAttrRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val dir = if (m.group(2).toLowerCase == "widest") "DESC" else "ASC"
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        catCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
+        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          strongColumn(m.group(3), slice.tables(e.toTable)).isDefined)
+        attr <- strongColumn(m.group(3), slice.tables(eE.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT g FROM (SELECT s.$catCol AS g, MAX(st.$attr) - " +
+          s"MIN(st.$attr) AS r FROM $fact s JOIN ${eE.toTable} st " +
+          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"GROUP BY s.$catCol) t ORDER BY r $dir, g LIMIT 1",
+        0.9, "template_value_attr_range_argmax")).take(1)
+    }
+
+  // "the expected number of shared courses between two students from
+  // different grade levels" — cross-cohort mean pair overlap
+  private val crossCohortAvgOverlapRe =
+    (raw"(?i)\bthe\s+expected\s+number\s+of\s+shared\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+between\s+two\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"from\s+different\s+([a-z]+(?:[ _][a-z]+)?)s?\b").r
+
+  /** Cross-cohort average overlap: intersections from the group-keyed
+    * self-join; the denominator enumerates DIMENSION pairs (|E|² over
+    * the entity dimension — exact for catalog-sized dims; at corpus
+    * scale the same expectation decomposes into cohort-size algebra
+    * and never enumerates pairs), zero-overlap pairs kept via the
+    * LEFT join + COALESCE. */
+  def crossCohortAvgOverlapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    crossCohortAvgOverlapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        dimE <- uniqueTable(slice, m.group(2)).toSeq
+        if dimE != dimJ
+        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimE))
+        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
+      } yield Candidate(
+        s"WITH p AS (SELECT a.${eE.fromColumn} AS s1, b.${eE.fromColumn} " +
+          s"AS s2, COUNT(*) AS c FROM ${eJ.fromTable} a " +
+          s"JOIN ${eJ.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}), " +
+          s"pairs AS (SELECT st1.${eE.toColumn} AS s1, st2.${eE.toColumn} " +
+          s"AS s2 FROM $dimE st1 JOIN $dimE st2 " +
+          s"ON st1.${eE.toColumn} < st2.${eE.toColumn} " +
+          s"AND st1.$attr <> st2.$attr) " +
+          s"SELECT ROUND(CAST(SUM(COALESCE(p.c, 0)) AS DOUBLE) / " +
+          s"COUNT(*), 4) AS agg_value FROM pairs LEFT JOIN p " +
+          s"ON p.s1 = pairs.s1 AND p.s2 = pairs.s2",
+        0.9, "template_cross_cohort_avg_overlap")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10382,6 +10495,9 @@ object Templates {
       valueRunLengthCandidates(slice, fks, question),
       bestDeptDistributionCandidates(slice, fks, question, values),
       conditionalCohortProbCandidates(slice, fks, question, values),
+      cohortJaccardAvgCandidates(slice, fks, question),
+      valueAttrRangeArgmaxCandidates(slice, fks, question),
+      crossCohortAvgOverlapCandidates(slice, fks, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -170,7 +170,9 @@ class EvaluationSpec extends SparkSpec {
         "ranked_agg_max_gap", "course_subset_count",
         "period_pair_overlap_argmax", "removal_impact_count",
         "group_entropy_argmax", "value_run_length",
-        "best_dept_distribution", "conditional_cohort_prob"))
+        "best_dept_distribution", "conditional_cohort_prob",
+        "cohort_jaccard_avg", "value_attr_range_argmax",
+        "cross_cohort_avg_overlap"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
