@@ -2150,8 +2150,8 @@ object Evaluation {
         "SELECT ROUND(CAST(SUM(COALESCE(p.c, 0)) AS DOUBLE) / COUNT(*), 4) " +
         "AS agg_value FROM pairs LEFT JOIN p ON p.s1 = pairs.s1 " +
         "AND p.s2 = pairs.s2", "cross_cohort_avg_overlap"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10br open cases, closed in round 10bs (group CV argmax,
+    //     exact-overlap pair count, best-matches-popular share) ---
     EvalCase("the course in which scores are most spread out relative to their average",
       "SELECT course_id FROM (SELECT course_id, STDDEV_POP(score) / " +
         "AVG(score) AS cv FROM scores GROUP BY course_id) t " +
@@ -2179,5 +2179,28 @@ object Evaluation {
         "ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM best b " +
         "JOIN students st ON st.student_id = b.student_id " +
         "JOIN pop ON pop.gl = st.grade_level",
-      "best_matches_popular_share"))
+      "best_matches_popular_share"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the smallest number of courses that together account for half of all scores",
+      "WITH n AS (SELECT course_id, COUNT(*) AS c FROM scores " +
+        "GROUP BY course_id), " +
+        "r AS (SELECT course_id, c, SUM(c) OVER (ORDER BY c DESC, " +
+        "course_id ROWS UNBOUNDED PRECEDING) AS cum, SUM(c) OVER () " +
+        "AS tot FROM n) " +
+        "SELECT COUNT(*) AS agg_value FROM r WHERE cum - c < tot / 2.0",
+      "pareto_count"),
+    EvalCase("the median of the per-department score ranges",
+      "SELECT CAST(MEDIAN(r) AS DOUBLE) AS agg_value FROM (SELECT " +
+        "c.dept, MAX(s.score) - MIN(s.score) AS r FROM scores s " +
+        "JOIN courses c ON c.course_id = s.course_id GROUP BY c.dept) t",
+      "median_attr_range"),
+    EvalCase("the age of the top-half performer closest to the overall average age",
+      "WITH q AS (SELECT student_id FROM (SELECT student_id, " +
+        "PERCENT_RANK() OVER (ORDER BY a DESC) AS pr FROM (SELECT " +
+        "student_id, AVG(score) AS a FROM scores GROUP BY student_id) x) " +
+        "y WHERE pr <= 0.5) " +
+        "SELECT age FROM students st JOIN q ON q.student_id = st.student_id " +
+        "ORDER BY ABS(st.age - (SELECT AVG(age) FROM students)), " +
+        "st.student_id LIMIT 1", "nearest_avg_attr"))
 }

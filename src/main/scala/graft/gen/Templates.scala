@@ -10226,6 +10226,121 @@ object Templates {
         0.9, "template_cross_cohort_avg_overlap")).take(1)
     }
 
+  // "the course in which scores are most spread out relative to their
+  // average" — coefficient-of-variation argmax per group
+  private val groupCvArgmaxRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+are\s+most\s+spread\s+out\s+relative\s+" +
+      raw"to\s+their\s+average\b").r
+
+  /** Group CV argmax: per-group stddev/mean in one grouped pass, top-1
+    * over the group-count-sized frame. */
+  def groupCvArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    groupCvArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
+      } yield Candidate(
+        s"SELECT ${eJ.fromColumn} FROM (SELECT ${eJ.fromColumn}, " +
+          s"STDDEV_POP($measure) / AVG($measure) AS cv FROM " +
+          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t " +
+          s"ORDER BY cv DESC, ${eJ.fromColumn} LIMIT 1",
+        0.9, "template_group_cv_argmax")).take(1)
+    }
+
+  // "how many student pairs share exactly one course" — pair count at
+  // an exact co-membership cardinality
+  private val exactOverlapPairCountRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+pairs\s+share\s+" +
+      raw"exactly\s+(one|two|three|\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** Exact-overlap pair count: group-keyed self-join (per-group
+    * fan-out), per-pair counts, keep the exact cardinality, COUNT. */
+  def exactOverlapPairCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    exactOverlapPairCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val k = m.group(2).toLowerCase match {
+        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
+      }
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        dimJ <- uniqueTable(slice, m.group(3)).toSeq
+        if dimE != dimJ
+        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
+          e2.fromTable == e.fromTable && e2.toTable == dimJ))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(*) AS agg_value FROM (SELECT a.${eE.fromColumn}, " +
+          s"b.${eE.fromColumn} AS s2 FROM ${eE.fromTable} a " +
+          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
+          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
+          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
+          s"HAVING COUNT(*) = $k) t",
+        0.9, "template_exact_overlap_pair_count")).take(1)
+    }
+
+  // "the share of students whose best department matches their grade
+  // level's most popular department" — two chained argmaxes compared
+  private val bestMatchesPopularShareRe =
+    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+best\s+" +
+      raw"([a-z]+(?:[ _][a-z]+)?)\s+matches\s+their\s+" +
+      raw"([a-z]+(?:[ _][a-z]+)?)'s\s+most\s+popular\b").r
+
+  /** Best-matches-popular share: per-entity attribute argmax (entity-
+    * partitioned window over the (entity, attr) aggregate frame) and
+    * per-cohort popularity argmax (cohort-partitioned window over the
+    * (cohort, attr) counts), joined on the cohort, share in one scalar
+    * aggregate. Measure by elimination. */
+  def bestMatchesPopularShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    bestMatchesPopularShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val cohortWord = m.group(3).toLowerCase.replace(' ', '_')
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        cohortCol <- strongColumn(cohortWord, slice.tables(dimE)).toSeq
+        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
+        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
+          slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined).toSeq
+        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH da AS (SELECT s.${eE.fromColumn}, c.$attr, " +
+          s"AVG(s.$measure) AS a FROM ${eE.fromTable} s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY s.${eE.fromColumn}, c.$attr), " +
+          s"best AS (SELECT ${eE.fromColumn}, $attr FROM (SELECT " +
+          s"${eE.fromColumn}, $attr, ROW_NUMBER() OVER (PARTITION BY " +
+          s"${eE.fromColumn} ORDER BY a DESC, $attr) AS rn FROM da) x " +
+          s"WHERE rn = 1), " +
+          s"pop AS (SELECT gl, $attr FROM (SELECT st.$cohortCol AS gl, " +
+          s"c.$attr, ROW_NUMBER() OVER (PARTITION BY st.$cohortCol " +
+          s"ORDER BY COUNT(*) DESC, c.$attr) AS rn FROM ${eE.fromTable} s " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY st.$cohortCol, c.$attr) y WHERE rn = 1) " +
+          s"SELECT ROUND(CAST(SUM(CASE WHEN b.$attr = pop.$attr THEN 1 " +
+          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM best b " +
+          s"JOIN $dimE st ON st.${eE.toColumn} = b.${eE.fromColumn} " +
+          s"JOIN pop ON pop.gl = st.$cohortCol",
+        0.9, "template_best_matches_popular_share")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10498,6 +10613,9 @@ object Templates {
       cohortJaccardAvgCandidates(slice, fks, question),
       valueAttrRangeArgmaxCandidates(slice, fks, question),
       crossCohortAvgOverlapCandidates(slice, fks, question),
+      groupCvArgmaxCandidates(slice, fks, question),
+      exactOverlapPairCountCandidates(slice, fks, question),
+      bestMatchesPopularShareCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),
