@@ -2180,8 +2180,8 @@ object Evaluation {
         "JOIN students st ON st.student_id = b.student_id " +
         "JOIN pop ON pop.gl = st.grade_level",
       "best_matches_popular_share"),
-    // --- open headroom (capabilities not yet in the template layer;
-    //     these keep the metric unsaturated so rounds show movement) ---
+    // --- round-10bs open cases, closed in round 10bt (Pareto count,
+    //     median attribute range, nearest-to-average attribute) ---
     EvalCase("the smallest number of courses that together account for half of all scores",
       "WITH n AS (SELECT course_id, COUNT(*) AS c FROM scores " +
         "GROUP BY course_id), " +
@@ -2202,5 +2202,32 @@ object Evaluation {
         "y WHERE pr <= 0.5) " +
         "SELECT age FROM students st JOIN q ON q.student_id = st.student_id " +
         "ORDER BY ABS(st.age - (SELECT AVG(age) FROM students)), " +
-        "st.student_id LIMIT 1", "nearest_avg_attr"))
+        "st.student_id LIMIT 1", "nearest_avg_attr"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     these keep the metric unsaturated so rounds show movement) ---
+    EvalCase("the proportion of courses where the top scorer is older than the course's average age",
+      "WITH top AS (SELECT course_id, student_id FROM (SELECT course_id, " +
+        "student_id, ROW_NUMBER() OVER (PARTITION BY course_id " +
+        "ORDER BY score DESC, student_id) AS rn FROM scores) t " +
+        "WHERE rn = 1), " +
+        "ca AS (SELECT s.course_id, AVG(st.age) AS aa FROM scores s " +
+        "JOIN students st ON st.student_id = s.student_id " +
+        "GROUP BY s.course_id) " +
+        "SELECT ROUND(CAST(SUM(CASE WHEN st.age > ca.aa THEN 1 ELSE 0 " +
+        "END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM top " +
+        "JOIN students st ON st.student_id = top.student_id " +
+        "JOIN ca ON ca.course_id = top.course_id",
+      "argmax_attr_vs_mean_share"),
+    EvalCase("the number of departments where every year's average score was above 70",
+      "SELECT COUNT(*) AS agg_value FROM (SELECT dept FROM (SELECT " +
+        "c.dept, s.year, AVG(s.score) AS a FROM scores s JOIN courses c " +
+        "ON c.course_id = s.course_id GROUP BY c.dept, s.year) x " +
+        "GROUP BY dept HAVING MIN(CASE WHEN a > 70 THEN 1 ELSE 0 END) " +
+        "= 1) u", "attr_period_universal_count"),
+    EvalCase("the mean absolute change in each course's average between 2022 and 2023",
+      "SELECT ROUND(AVG(ABS(d)), 4) AS agg_value FROM (SELECT course_id, " +
+        "AVG(CASE WHEN year = 2023 THEN score END) - " +
+        "AVG(CASE WHEN year = 2022 THEN score END) AS d FROM scores " +
+        "WHERE year IN (2022, 2023) GROUP BY course_id) t " +
+        "WHERE d IS NOT NULL", "avg_abs_period_delta"))
 }

@@ -10341,6 +10341,106 @@ object Templates {
         0.9, "template_best_matches_popular_share")).take(1)
     }
 
+  // "the smallest number of courses that together account for half of
+  // all scores" — Pareto half-coverage count
+  private val paretoCountRe =
+    (raw"(?i)\bthe\s+smallest\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+that\s+" +
+      raw"together\s+account\s+for\s+half\s+of\s+all\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Pareto count: group counts in one grouped pass, the greedy
+    * (largest-first) cumulative sum over the group-count-sized frame,
+    * count of prefixes below the half bar — the same running-sum shape
+    * as the compaction planner. */
+  def paretoCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    paretoCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        dimJ <- uniqueTable(slice, m.group(1)).toSeq
+        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
+      } yield Candidate(
+        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS c FROM " +
+          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}), " +
+          s"r AS (SELECT ${eJ.fromColumn}, c, SUM(c) OVER (ORDER BY c DESC, " +
+          s"${eJ.fromColumn} ROWS UNBOUNDED PRECEDING) AS cum, " +
+          s"SUM(c) OVER () AS tot FROM n) " +
+          s"SELECT COUNT(*) AS agg_value FROM r WHERE cum - c < tot / 2.0",
+        0.9, "template_pareto_count")).take(1)
+    }
+
+  // "the median of the per-department score ranges" — median of
+  // per-attribute spreads
+  private val medianAttrRangeRe =
+    (raw"(?i)\bthe\s+median\s+of\s+the\s+per-([a-z]+(?:[ _][a-z]+)?)\s+" +
+      raw"([a-z_][a-z0-9_]*)\s+ranges\b").r
+
+  /** Median attribute range: per-attribute MAX−MIN in one grouped pass
+    * (dimension broadcast in), exact MEDIAN over the attribute-domain
+    * frame. */
+  def medianAttrRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    medianAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
+      (for {
+        fact <- slice.tables.keys.toSeq.sorted
+        measure <- strongColumn(vWord, slice.tables(fact)).toSeq
+        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
+          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
+        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
+      } yield Candidate(
+        s"SELECT CAST(MEDIAN(r) AS DOUBLE) AS agg_value FROM (SELECT " +
+          s"c.$attr, MAX(s.$measure) - MIN(s.$measure) AS r FROM $fact s " +
+          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
+          s"GROUP BY c.$attr) t",
+        0.9, "template_median_attr_range")).take(1)
+    }
+
+  // "the age of the top-half performer closest to the overall average
+  // age" — nearest-to-mean attribute within a performance band
+  private val nearestAvgAttrRe =
+    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+top-half\s+" +
+      raw"performer\s+closest\s+to\s+the\s+overall\s+average\s+" +
+      raw"([a-z_][a-z0-9_]*)\b").r
+
+  /** Nearest-to-average attribute: the performance band from a
+    * PERCENT_RANK over the entity-count-sized average frame, the mean
+    * attribute a scalar subquery, top-1 by absolute distance with an
+    * id tiebreak. Attribute words must agree. */
+  def nearestAvgAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    nearestAvgAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      if (m.group(1).toLowerCase != m.group(2).toLowerCase) Seq.empty
+      else (for {
+        eE <- fks.filter(e => slice.tables.contains(e.toTable) &&
+          slice.tables.contains(e.fromTable) &&
+          strongColumn(m.group(1), slice.tables(e.toTable)).isDefined)
+        attr <- strongColumn(m.group(1), slice.tables(eE.toTable)).toSeq
+        factCols = slice.tables(eE.fromTable)
+        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
+          c.toLowerCase.contains("date")).toSet
+        stringCols = values(eE.fromTable).keySet
+        measure <- factCols.filter { c =>
+          val l = c.toLowerCase
+          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
+            !l.endsWith("key") && !stringCols.contains(c)
+        } match {
+          case Seq(one) => Seq(one)
+          case _ => Seq.empty
+        }
+      } yield Candidate(
+        s"WITH q AS (SELECT ${eE.fromColumn} FROM (SELECT " +
+          s"${eE.fromColumn}, PERCENT_RANK() OVER (ORDER BY a DESC) AS pr " +
+          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
+          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) x) y " +
+          s"WHERE pr <= 0.5) " +
+          s"SELECT $attr FROM ${eE.toTable} st JOIN q " +
+          s"ON q.${eE.fromColumn} = st.${eE.toColumn} " +
+          s"ORDER BY ABS(st.$attr - (SELECT AVG($attr) FROM " +
+          s"${eE.toTable})), st.${eE.toColumn} LIMIT 1",
+        0.9, "template_nearest_avg_attr")).take(1)
+    }
+
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
@@ -10616,6 +10716,9 @@ object Templates {
       groupCvArgmaxCandidates(slice, fks, question),
       exactOverlapPairCountCandidates(slice, fks, question),
       bestMatchesPopularShareCandidates(slice, fks, question, values),
+      paretoCountCandidates(slice, fks, question),
+      medianAttrRangeCandidates(slice, fks, question),
+      nearestAvgAttrCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

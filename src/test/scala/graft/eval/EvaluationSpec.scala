@@ -173,7 +173,8 @@ class EvaluationSpec extends SparkSpec {
         "best_dept_distribution", "conditional_cohort_prob",
         "cohort_jaccard_avg", "value_attr_range_argmax",
         "cross_cohort_avg_overlap", "group_cv_argmax",
-        "exact_overlap_pair_count", "best_matches_popular_share"))
+        "exact_overlap_pair_count", "best_matches_popular_share",
+        "pareto_count", "median_attr_range", "nearest_avg_attr"))
       assert(report.byIntent(intent).macroF1 == 1.0, s"$intent regressed: ${report.byIntent(intent)}")
     // ...while the deliberate-headroom cases keep the metric unsaturated
     assert(report.macroF1 < 1.0, "corpus saturated - add harder cases")
