@@ -15,6 +15,12 @@ run / fork := true
 // driver tails stdout and parses the LAST line as JSON — Bench prints
 // its one-line JSON result last, and this keeps it last.
 Global / showSuccess := false
+// Forked run output passes straight through to stdout/stderr instead of
+// sbt's logger: the logger frames every program line with an "[info] "
+// prefix, which is exactly what kept the bench driver's last-line JSON
+// parse from seeing bare JSON (BENCH "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -270,7 +270,10 @@ object Queries {
           s"CAST(0.85 AS DOUBLE) * (COALESCE(w$i.w, CAST(0 AS DOUBLE)) + (SELECT dang FROM d$i) / (SELECT nn FROM c0)) AS pr " +
           s"FROM nd LEFT JOIN w$i ON w$i.node = nd.node)"
       }.mkString(", ", ", ", " ")
-      base + iters + "SELECT node, ROUND(pr, 6) AS pr FROM p3 ORDER BY node"
+      // ROUND at 4 decimals, not 6: double SUM accumulation order is
+      // engine- and partitioning-dependent (~1e-15 relative drift), and
+      // a coarser grid keeps that drift far from any rounding boundary
+      base + iters + "SELECT node, ROUND(pr, 4) AS pr FROM p3 ORDER BY node"
     },
     "x_host_graph_degrees" ->
       ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
@@ -288,11 +291,38 @@ object Queries {
     // aggregate over the post-change table
     "x_mv_refresh" ->
       ("SELECT o_custkey % 101 AS g, COUNT(*) AS n, " +
+        "COUNT(o_orderkey % 1000) AS cnt_v, " +
         "CAST(SUM(o_orderkey % 1000) AS BIGINT) AS sum_v, " +
         "CAST(MIN(o_orderkey % 1000) AS BIGINT) AS min_v, " +
         "CAST(MAX(o_orderkey % 1000) AS BIGINT) AS max_v " +
         "FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 <> 0 " +
         "GROUP BY 1 ORDER BY g"),
+    // multi-measure incremental MV: one shared refresh pass maintains
+    // per-measure cnt/sum/min/max; v2 carries NULLs so the non-null
+    // count diverges from n (the column AVG serving divides by)
+    "x_mv_multi" ->
+      ("WITH o AS (SELECT o_custkey % 101 AS g, o_orderkey % 1000 AS v1, " +
+        "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey % 97 END AS v2 " +
+        "FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 <> 0) " +
+        "SELECT g, COUNT(*) AS n, " +
+        "COUNT(v1) AS cnt_v1, CAST(SUM(v1) AS BIGINT) AS sum_v1, " +
+        "CAST(MIN(v1) AS BIGINT) AS min_v1, CAST(MAX(v1) AS BIGINT) AS max_v1, " +
+        "COUNT(v2) AS cnt_v2, CAST(SUM(v2) AS BIGINT) AS sum_v2, " +
+        "CAST(MIN(v2) AS BIGINT) AS min_v2, CAST(MAX(v2) AS BIGINT) AS max_v2 " +
+        "FROM o GROUP BY g ORDER BY g"),
+    // MV SERVING with a HAVING clause, a key-only WHERE, and a
+    // NULL-bearing measure: the oracle recomputes directly; the Spark
+    // side answers through the MvRewrite path (MvRewriteSpec pins the
+    // served plan is aggregate-free), so what is compared is that the
+    // served numbers — including AVG = sum / NON-NULL count — equal the
+    // direct aggregate
+    "x_mv_serve_having" ->
+      ("WITH b AS (SELECT o_custkey % 101 AS g, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 1000 END AS v " +
+        "FROM orders) " +
+        "SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, CAST(SUM(v) AS BIGINT) AS s, " +
+        "AVG(v) AS av FROM b WHERE g < 50 GROUP BY g " +
+        "HAVING COUNT(*) > 2 ORDER BY g"),
     // CDC materialization replicas: last-writer-wins per key via the
     // window rank (versions are unique per key by construction, so the
     // rank-1 row is the same winner Spark's max(struct) picks)
@@ -1143,7 +1173,7 @@ object ExtensionQueries {
         .join(hosts.where(col("domain").startsWith("cdn")).as("t"), Seq("doc_id"))
         .select(col("s.domain").as("src"), col("t.domain").as("dst"))
       graft.operators.Graphs.pageRank(edges, iterations = 3)
-        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
     }),
     "x_host_graph_degrees" -> ((s, dir) => {
@@ -1181,6 +1211,48 @@ object ExtensionQueries {
         base.where(col("k") % 17 === 0).select("g", "v"),
         o.where(col("k") % 13 === 0 || col("k") % 17 =!= 0).select("g", "v"),
         Seq("g"), "v").orderBy("g")
+    }),
+    // multi-measure MV: one shared refresh pass maintains two measures'
+    // cnt/sum/min/max under the same insert/delete classes; v2 carries
+    // NULLs so cnt_v2 genuinely diverges from n
+    "x_mv_multi" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val o = s.table("orders").select(
+        pmod(col("o_custkey").cast("long"), lit(101L)).as("g"),
+        pmod(col("o_orderkey").cast("long"), lit(1000L)).as("v1"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("o_custkey").cast("long"), lit(97L))).as("v2"),
+        col("o_orderkey").cast("long").as("k"))
+      val base = o.where(col("k") % 13 =!= 0)
+      val mv0 = graft.operators.MaterializedAgg.buildMulti(
+        base.select("g", "v1", "v2"), Seq("g"), Seq("v1", "v2"))
+      graft.operators.MaterializedAgg.refreshMulti(mv0,
+        o.where(col("k") % 13 === 0).select("g", "v1", "v2"),
+        base.where(col("k") % 17 === 0).select("g", "v1", "v2"),
+        o.where(col("k") % 13 === 0 || col("k") % 17 =!= 0).select("g", "v1", "v2"),
+        Seq("g"), Seq("v1", "v2")).orderBy("g")
+    }),
+    // MV SERVING through the Catalyst rewrite with a key-only WHERE, a
+    // HAVING on served outputs, and a NULL-bearing measure — the AVG
+    // column is the regression pin for the sum/NON-NULL-count serving
+    // (dividing by the row count is silently wrong under NULLs). The
+    // base is materialized (localCheckpoint) as a stand-in for the
+    // stored table a lakehouse deployment serves against; MvRewriteSpec
+    // pins that this exact shape optimizes to an aggregate-free plan.
+    "x_mv_serve_having" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val base = s.table("orders").select(
+        pmod(col("o_custkey").cast("long"), lit(101L)).as("g"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("o_orderkey").cast("long"), lit(1000L))).as("v"))
+        .localCheckpoint(true)
+      base.createOrReplaceTempView("mv_serve_base")
+      graft.plans.MvCatalog.register(s, "mv_serve_base", Seq("g"), "v",
+        graft.operators.MaterializedAgg.build(base, Seq("g"), "v"),
+        mvName = "mv_serve_state")
+      s.sql("SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, SUM(v) AS s, " +
+        "AVG(v) AS av FROM mv_serve_base WHERE g < 50 GROUP BY g " +
+        "HAVING COUNT(*) > 2 ORDER BY g")
     }),
     // --- CDC / changelog materialization (operators/Cdc.scala) ---
     "x_cdc_apply" -> ((s, dir) =>

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
  * each round persists + `localCheckpoint`s the rank frame so the plan
  * does not grow with iteration count (the same lineage-truncation
  * discipline as [[Dedup.duplicateGroups]]' label propagation). The
- * dangling-mass term is a single-row aggregate per round — a bounded
- * scalar collect, not a corpus materialization.
+ * dangling-mass term is a single-row aggregate folded into the same
+ * job through a broadcast cross join — one action per iteration, no
+ * separate driver-side collect.
  */
 object Graphs {
 
@@ -53,18 +54,23 @@ object Graphs {
 
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val withDeg = pr.join(outDeg, pr("node") === outDeg("src"), "left_outer")
-      // rank held by nodes that link nowhere — redistributed uniformly
-      val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      // rank held by nodes that link nowhere — redistributed uniformly.
+      // A single-row frame folded into the next-rank job via a
+      // broadcast cross join, NOT a separate driver action: one Spark
+      // action per iteration (the eager checkpoint), so the per-round
+      // fixed scheduling latency is paid once, not three times.
+      val dangling = pr.join(outDeg, pr("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dangling"))
       val contrib = e.join(pr, e("src") === pr("node"))
         .join(outDeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("w"))
       val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("w"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("w"), lit(0.0)) +
+              col("__dangling") / lit(n.toDouble)))
             .as("pr"))
         .localCheckpoint(true)
       pr.unpersist()

@@ -59,14 +59,21 @@ object Sampling {
    * proportions stay ≈ `weights` (groups are a tiny fraction of a
    * deduplicated corpus).
    *
-   * Scale: `groups` carries duplicate MEMBERS only (≪ corpus) — the
-   * left join back is broadcastable; the split rule itself stays the
-   * one narrow hash expression of [[split]], applied to the group key.
+   * Scale: `groups` carries duplicate MEMBERS only — small on a clean
+   * corpus, but at web-scale dup rates (30–60% of a crawl) it is a
+   * corpus-scale frame, so the join back carries NO broadcast hint:
+   * AQE broadcasts it when it actually fits (pinned at fixture scale
+   * in PlanQualitySpec) and falls back to a key-partitioned shuffle
+   * join when it does not (pinned at force scale in ProbeForceScale's
+   * dup-heavy corpus) — a forced broadcast would OOM executors at
+   * exactly the scale this operator exists for. The split rule itself
+   * stays the one narrow hash expression of [[split]], applied to the
+   * group key.
    */
   def leakageSafeSplit(df: DataFrame, idCol: String, groups: DataFrame,
       weights: Seq[(String, Double)]): DataFrame = {
     val g = groups.select(col("id").as("__gm_id"), col("group_id").as("__group"))
-    val keyed = df.join(broadcast(g), df(idCol) === col("__gm_id"), "left")
+    val keyed = df.join(g, df(idCol) === col("__gm_id"), "left")
       .withColumn("__split_key", coalesce(col("__group"), col(idCol)))
       .drop("__gm_id", "__group")
     split(keyed, "__split_key", weights).drop("__split_key")

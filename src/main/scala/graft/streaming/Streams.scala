@@ -463,19 +463,75 @@ object Streams {
     @volatile private var table: DataFrame = initialTable.localCheckpoint(true)
     @volatile private var state: DataFrame =
       MaterializedAgg.build(table, keyCols, measure).localCheckpoint(true)
-    /** Current aggregate state (keys ++ n/sum_v/min_v/max_v). */
+    private var serving: Option[(String, String)] = None
+    /** Current aggregate state (keys ++ n/cnt_v/sum_v/min_v/max_v). */
     def currentState: DataFrame = state
     /** Current table as of the last processed batch. */
     def currentTable: DataFrame = table
-    /** `foreachBatch` handler: fold one micro-batch of change rows. */
+    /** Close the serving-staleness loop: register the current state
+      * with [[graft.plans.MvCatalog]] as the serving source for
+      * matching aggregates over `baseTable`, and RE-REGISTER after
+      * every processed batch — the snapshot advances on batch commit,
+      * so an engine question answered after N streamed batches equals
+      * the batch rebuild over the same records (pinned in EngineSpec)
+      * with no manual re-registration step. */
+    def serveThrough(baseTable: String,
+        mvName: String = "graft_mv_maintained"): this.type = synchronized {
+      serving = Some((baseTable, mvName))
+      advanceSnapshot()
+      this
+    }
+    private def advanceSnapshot(): Unit = serving.foreach { case (bt, mv) =>
+      graft.plans.MvCatalog.register(
+        table.sparkSession, bt, keyCols, measure, state, mv)
+    }
+    /** `foreachBatch` handler: fold one micro-batch of change rows.
+      * `op` = "D" retracts; anything else — INCLUDING a null op from a
+      * source that only marks deletes — is an insert (three-valued
+      * logic would silently drop null-op rows from both classes). */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       val dataCols = table.columns.toSeq
-      val ins = batch.where(col(opCol) =!= "D").select(dataCols.map(col): _*)
+      val ins = batch.where(col(opCol).isNull || col(opCol) =!= "D")
+        .select(dataCols.map(col): _*)
       val del = batch.where(col(opCol) === "D").select(dataCols.map(col): _*)
       val next = table.exceptAll(del).unionAll(ins).localCheckpoint(true)
       state = MaterializedAgg.refresh(state, ins, del, next, keyCols, measure)
         .localCheckpoint(true)
       table = next
+      advanceSnapshot()
+    }
+  }
+
+  /**
+   * Close the sketch-serving staleness loop the same way: a
+   * `foreachBatch` handler that folds each micro-batch of events into
+   * a maintained distinct-count index (the [[distinctSketchStream]]
+   * aggregation shape, run per batch and merged with the running
+   * index — HLL union is lossless, so the maintained frame equals the
+   * batch build over everything seen) and RE-ADOPTS it into the
+   * [[graft.catalog.SketchCatalog]] on every commit, so `Engine.ask`
+   * approx routing serves the post-batch snapshot automatically.
+   */
+  final class DistinctIndexMaintainer(cat: graft.catalog.SketchCatalog,
+      table: String, valueCol: String, partCols: Seq[String],
+      tsCol: String = "ts", lgK: Int = 12) {
+    @volatile private var index: Option[DataFrame] = None
+    def currentIndex: Option[DataFrame] = index
+    /** `foreachBatch` handler: fold one micro-batch of event rows. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val part = distinctSketchStream(batch, tsCol, partCols, valueCol, lgK)
+      val merged = index match {
+        case None => part
+        case Some(prev) => prev.unionByName(part)
+          .groupBy((partCols :+ "day").map(col): _*)
+          .agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
+      }
+      val next = merged.localCheckpoint(true)
+      index.foreach(_.unpersist())
+      index = Some(next)
+      // the maintained frame carries partCols + day (the stream grain);
+      // adoption registers that full grain so serving rolls up over it
+      cat.adoptDistinct(table, valueCol, partCols :+ "day", next)
     }
   }
 

@@ -353,4 +353,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("leakage-safe split: group-map join carries NO broadcast hint; the planner still broadcasts it when it fits") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val groups = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), (col("doc_id") % 13).as("group_id"))
+    val df = graft.operators.Sampling.leakageSafeSplit(
+      docs, "doc_id", groups, Seq("train" -> 0.8, "test" -> 0.2))
+    // at web-scale dup rates the group map is corpus-sized: a FORCED
+    // broadcast hint would OOM exactly where the operator matters, so
+    // the choice is left to stats/AQE (ProbeForceScale pins the
+    // shuffle-join fallback above the broadcast threshold)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      df.queryExecution.optimizedPlan.toString.take(1500))
+    df.count() // materialize so AQE finalizes the join strategy
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("PageRank runs ONE job per iteration — the dangling-mass scalar is folded in, not a separate action (x_pagerank)") {
+    val sc = spark.sparkContext
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    // AQE splits one action into per-stage jobs, which would swamp the
+    // count being pinned (actions, not stages) — disable it here only
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.addSparkListener(listener)
+    try {
+      graft.operators.Graphs.pageRank(edges, iterations = 3)
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(500)
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    // setup = nodes.count + initial-rank checkpoint; each iteration =
+    // ONE checkpoint action plus its in-plan broadcast submissions
+    // (dangling scalar, small join sides — measured 16/3 iterations on
+    // this fixture). The pre-fix form with a separate driver-side
+    // dangling head() per iteration measures >= 24 here; the bound
+    // sits between the two so a reverted fold-in fails the pin.
+    assert(jobs.get() <= 19,
+      s"pageRank(3 iters) launched ${jobs.get()} jobs — dangling mass must fold into the iteration job")
+  }
 }

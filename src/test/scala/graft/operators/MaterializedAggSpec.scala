@@ -75,6 +75,39 @@ class MaterializedAggSpec extends SparkSpec {
     assert(collectState(refreshed) == Seq(("a", 1L, 3L, 3L, 3L)))
   }
 
+  test("state carries the non-null measure count (cnt_v) and refresh keeps it retractable") {
+    val base = Seq(("a", Option(3L)), ("a", Option.empty[Long]), ("a", Option(5L)))
+      .toDF("g", "v")
+    val st = MaterializedAgg.build(base, Seq("g"), "v")
+    assert(st.columns.toSeq == Seq("g") ++ MaterializedAgg.StateCols)
+    assert(st.select("n", "cnt_v").as[(Long, Long)].collect().toSeq == Seq((3L, 2L)))
+    // delete a null row and a non-null row: n drops by 2, cnt by 1
+    val deletes = Seq(("a", Option.empty[Long]), ("a", Option(3L))).toDF("g", "v")
+    val current = Seq(("a", Option(5L))).toDF("g", "v")
+    val refreshed = MaterializedAgg.refresh(
+      st, current.limit(0), deletes, current, Seq("g"), "v")
+    assert(refreshed.select("n", "cnt_v", "sum_v")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 1L, 5L)))
+  }
+
+  test("multi-measure refresh equals a full rebuild (per-measure cnt/sum/min/max, shared recompute)") {
+    val mk = (rs: Seq[(String, Long, Option[Long])]) => rs.toDF("g", "v1", "v2")
+    val base = mk(Seq(("a", 1L, Some(10L)), ("a", 5L, None), ("a", 9L, Some(2L)),
+      ("b", 7L, Some(7L)), ("c", 3L, None), ("c", 4L, Some(1L))))
+    val inserts = mk(Seq(("a", 2L, Some(20L)), ("d", 11L, None)))
+    val deletes = mk(Seq(("a", 1L, Some(10L)), ("c", 3L, None), ("c", 4L, Some(1L))))
+    val current = base.exceptAll(deletes).unionAll(inserts)
+    val refreshed = MaterializedAgg.refreshMulti(
+      MaterializedAgg.buildMulti(base, Seq("g"), Seq("v1", "v2")),
+      inserts, deletes, current, Seq("g"), Seq("v1", "v2"))
+    val rebuilt = MaterializedAgg.buildMulti(current, Seq("g"), Seq("v1", "v2"))
+    assert(refreshed.columns.toSeq == rebuilt.columns.toSeq)
+    val cols = refreshed.columns.map(col)
+    def dump(df: DataFrame) =
+      df.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted.toSeq
+    assert(dump(refreshed) == dump(rebuilt), s"${dump(refreshed)} vs ${dump(rebuilt)}")
+  }
+
   test("composes with Cdc snapshots: refresh across a version window matches the later snapshot's rebuild") {
     val log = Seq(
       (1L, 1L, "U", 10L), (2L, 1L, "U", 20L), (3L, 1L, "U", 30L),

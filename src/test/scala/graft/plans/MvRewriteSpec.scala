@@ -109,10 +109,111 @@ class MvRewriteSpec extends SparkSpec {
       val engine = graft.api.Engine.forFixtures(spark, sfDir)
       val state = engine.materialize("orders", Seq("o_orderstatus"), "o_totalprice")
       assert(state.columns.toSeq ==
-        Seq("o_orderstatus", "n", "sum_v", "min_v", "max_v"))
+        Seq("o_orderstatus", "n", "cnt_v", "sum_v", "min_v", "max_v"))
       val served = spark.sql(
         "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY o_orderstatus")
       assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+    }
+  }
+
+  test("AVG serves sum over the NON-NULL count: correct under NULL measures, NULL for all-NULL groups") {
+    setup
+    withMv {
+      import spark.implicits._
+      // a: one null among values; b: ALL null — SQL AVG must be 5.0 and NULL
+      val base = Seq(("a", Option(4L)), ("a", Option(6L)), ("a", Option.empty[Long]),
+        ("b", Option.empty[Long]), ("b", Option.empty[Long])).toDF("g", "v")
+        .localCheckpoint(true)
+      base.createOrReplaceTempView("mv_null_base")
+      MvCatalog.register(spark, "mv_null_base", Seq("g"), "v",
+        MaterializedAgg.build(base, Seq("g"), "v"), mvName = "mv_null_state")
+      val sql = "SELECT g, COUNT(*) AS n, COUNT(v) AS c, AVG(v) AS av " +
+        "FROM mv_null_base GROUP BY g"
+      val served = spark.sql(sql)
+      assert(!hasAggregate(served), served.queryExecution.optimizedPlan.toString)
+      assert(rows(served) == Seq("[a,3,2,5.0]", "[b,2,0,null]"))
+    }
+  }
+
+  test("COUNT(NULL) is never served (it is 0 per group, not n); COUNT(1) is") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", 1L), ("b", 2L)).toDF("g", "v").localCheckpoint(true)
+      base.createOrReplaceTempView("mv_cntnull_base")
+      MvCatalog.register(spark, "mv_cntnull_base", Seq("g"), "v",
+        MaterializedAgg.build(base, Seq("g"), "v"), mvName = "mv_cntnull_state")
+      val cntNull = spark.sql(
+        "SELECT g, COUNT(NULL) AS c FROM mv_cntnull_base GROUP BY g")
+      assert(hasAggregate(cntNull), "COUNT(NULL) must fall through")
+      assert(rows(cntNull) == Seq("[a,0]", "[b,0]"))
+      val cntOne = spark.sql(
+        "SELECT g, COUNT(1) AS c FROM mv_cntnull_base GROUP BY g")
+      assert(!hasAggregate(cntOne), cntOne.queryExecution.optimizedPlan.toString)
+      assert(rows(cntOne) == Seq("[a,1]", "[b,1]"))
+    }
+  }
+
+  test("two served aggregates in one query get independent attribute ids (self-join of the same GROUP BY)") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", 1L), ("a", 3L), ("b", 7L)).toDF("g", "v")
+        .localCheckpoint(true)
+      base.createOrReplaceTempView("mv_dual_base")
+      MvCatalog.register(spark, "mv_dual_base", Seq("g"), "v",
+        MaterializedAgg.build(base, Seq("g"), "v"), mvName = "mv_dual_state")
+      val df = spark.sql(
+        "SELECT x.g, x.c, y.s FROM " +
+          "(SELECT g, COUNT(*) AS c FROM mv_dual_base GROUP BY g) x JOIN " +
+          "(SELECT g, SUM(v) AS s FROM mv_dual_base GROUP BY g) y ON x.g = y.g")
+      assert(!hasAggregate(df), df.queryExecution.optimizedPlan.toString)
+      val out = df.queryExecution.optimizedPlan.output.map(_.exprId)
+      assert(out.distinct.size == out.size, s"duplicate ids in $out")
+      assert(rows(df) == Seq("[a,2,4]", "[b,1,7]"))
+    }
+  }
+
+  test("HAVING on served outputs and a key-only WHERE are served; a non-key WHERE is not") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", 1L), ("a", 3L), ("a", 8L), ("b", 7L), ("c", 2L))
+        .toDF("g", "v").localCheckpoint(true)
+      base.createOrReplaceTempView("mv_having_base")
+      MvCatalog.register(spark, "mv_having_base", Seq("g"), "v",
+        MaterializedAgg.build(base, Seq("g"), "v"), mvName = "mv_having_state")
+      val having = spark.sql("SELECT g, COUNT(*) AS c, AVG(v) AS av " +
+        "FROM mv_having_base GROUP BY g HAVING COUNT(*) > 1")
+      assert(!hasAggregate(having), having.queryExecution.optimizedPlan.toString)
+      assert(rows(having) == Seq("[a,3,4.0]"))
+      val keyWhere = spark.sql("SELECT g, SUM(v) AS s FROM mv_having_base " +
+        "WHERE g <> 'b' GROUP BY g")
+      assert(!hasAggregate(keyWhere), keyWhere.queryExecution.optimizedPlan.toString)
+      assert(rows(keyWhere) == Seq("[a,12]", "[c,2]"))
+      // a predicate over the MEASURE changes group contents: fall through
+      val measureWhere = spark.sql("SELECT g, SUM(v) AS s FROM mv_having_base " +
+        "WHERE v > 2 GROUP BY g")
+      assert(hasAggregate(measureWhere), "non-key WHERE must not be served")
+      assert(rows(measureWhere) == Seq("[a,11]", "[b,7]"))
+    }
+  }
+
+  test("multi-measure registration serves per-measure aggregates from one state") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", 1L, Option(10L)), ("a", 3L, Option.empty[Long]),
+        ("b", 7L, Option(2L))).toDF("g", "v1", "v2").localCheckpoint(true)
+      base.createOrReplaceTempView("mv_multi_base")
+      MvCatalog.registerMulti(spark, "mv_multi_base", Seq("g"), Seq("v1", "v2"),
+        MaterializedAgg.buildMulti(base, Seq("g"), Seq("v1", "v2")),
+        mvName = "mv_multi_state")
+      val df = spark.sql("SELECT g, COUNT(*) AS n, SUM(v1) AS s1, " +
+        "COUNT(v2) AS c2, AVG(v2) AS av2, MAX(v1) AS mx1 " +
+        "FROM mv_multi_base GROUP BY g")
+      assert(!hasAggregate(df), df.queryExecution.optimizedPlan.toString)
+      assert(rows(df) == Seq("[a,2,4,1,10.0,3]", "[b,1,7,1,2.0,7]"))
     }
   }
 

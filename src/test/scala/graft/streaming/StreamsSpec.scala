@@ -507,4 +507,61 @@ class StreamsSpec extends SparkSpec {
     // the maintained table advanced to the post-change rows too
     assert(maintainer.currentTable.count() == 4)
   }
+
+  test("AggMaintainer treats a NULL op as an insert (not silently dropped by 3VL)") {
+    import spark.implicits._
+    val base = Seq(("a", 1L)).toDF("g", "v")
+    val maintainer = new Streams.AggMaintainer(base, Seq("g"), "v")
+    val batch = Seq(("a", 2L, Option("I")), ("b", 9L, Option.empty[String]),
+      ("a", 1L, Option("D"))).toDF("g", "v", "op")
+    maintainer.onBatch(batch, 0L)
+    val got = maintainer.currentState.select("g", "n", "sum_v")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 2L), ("b", 1L, 9L)), got.toString)
+  }
+
+  test("serveThrough auto-advances the served MV snapshot on every batch commit") {
+    import spark.implicits._
+    try {
+      val base = Seq(("a", 1L), ("a", 5L), ("b", 7L)).toDF("g", "v")
+      base.createOrReplaceTempView("mv_stream_base")
+      val maintainer = new Streams.AggMaintainer(base, Seq("g"), "v")
+        .serveThrough("mv_stream_base", mvName = "mv_stream_state")
+      val sql = "SELECT g, COUNT(*) AS c, SUM(v) AS s FROM mv_stream_base GROUP BY g"
+      def served = spark.sql(sql)
+      def noAgg(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty
+      assert(noAgg(served), served.queryExecution.optimizedPlan.toString)
+      // two batches land: no manual re-registration anywhere below
+      maintainer.onBatch(Seq(("a", 2L, "I"), ("b", 7L, "D")).toDF("g", "v", "op"), 0L)
+      maintainer.onBatch(Seq(("c", 4L, "I")).toDF("g", "v", "op"), 1L)
+      val after = served
+      assert(noAgg(after), after.queryExecution.optimizedPlan.toString)
+      val got = after.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      // equals the batch rebuild over the post-batch records, even though
+      // the mv_stream_base VIEW still holds the pre-change rows — the
+      // registered state is the serving truth and it advanced per commit
+      assert(got == Seq(("a", 3L, 8L), ("c", 1L, 4L)), got.toString)
+    } finally graft.plans.MvCatalog.clear(spark)
+  }
+
+  test("DistinctIndexMaintainer re-adopts the sketch index per batch; estimates track everything seen") {
+    import spark.implicits._
+    val cat = new graft.catalog.SketchCatalog(spark)
+    try {
+      val mk = (ids: Seq[Int]) => ids.map(i =>
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", i.toLong))
+        .toDF("ts", "event_type", "user_id")
+      val m = new Streams.DistinctIndexMaintainer(
+        cat, "events_m", "user_id", Seq("event_type"))
+      m.onBatch(mk(1 to 60), 0L)
+      m.onBatch(mk(40 to 100), 1L) // overlaps batch 0: distinct = 100
+      val served = cat.route("roughly how many distinct user_id per event_type",
+        requireMarker = false).getOrElse(fail("route did not fire"))
+      val est = served.select("distinct_est").as[Double].collect()(0)
+      assert(math.abs(est - 100.0) <= 5.0, s"est $est vs exact 100")
+    } finally cat.clear()
+  }
 }
