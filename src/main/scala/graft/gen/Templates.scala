@@ -10,7 +10,8 @@ import graft.link.Intent.Analysis
  * the offline-testable generation path the reference falls back to when no
  * LLM is configured.
  */
-object Templates {
+object Templates extends TemplatesShapes1 with TemplatesShapes2
+    with TemplatesShapes3 with TemplatesShapes4 {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -61,7 +62,7 @@ object Templates {
       }
   }
 
-  private val perPhraseRe =
+  private[gen] val perPhraseRe =
     raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b)\s+([a-z0-9_ ]+)$$".r
 
   // ------------------------------------------------- filter extraction
@@ -73,21 +74,21 @@ object Templates {
   //   "with a C grade"         -> grade = 'C'   (value case preserved)
   //   "grade is C" / "= C"     -> grade = 'C'
   //   "in year 2023"           -> year = 2023
-  private val cmpRe =
+  private[gen] val cmpRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?(greater|more|higher|larger|bigger|less|fewer|lower|smaller)\s+than\s+(\d+(?:\.\d+)?)".r
-  private val atRe =
+  private[gen] val atRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?at\s+(least|most)\s+(\d+(?:\.\d+)?)".r
-  private val withValRe =
+  private[gen] val withValRe =
     raw"(?i)\bwith\s+(?:an?\s+)?([A-Za-z0-9][\w+-]*)\s+([a-z_][a-z0-9_]*)\b".r
-  private val aboveRe =
+  private[gen] val aboveRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?(above|over|below|under)\s+(\d+(?:\.\d+)?)".r
-  private val betweenRe =
+  private[gen] val betweenRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is\s+)?between\s+(\d+(?:\.\d+)?)\s+and\s+(\d+(?:\.\d+)?)".r
-  private val eqRe =
+  private[gen] val eqRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:is|equals|=)\s+'?(?!(?:above|below|over|under|between|not|greater|less|more|fewer)\b)([\w+-]+)'?".r
-  private val numEqRe =
+  private[gen] val numEqRe =
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
-  private val aggByRe =
+  private[gen] val aggByRe =
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
   // "the second highest score" — the nth distinct value of a column:
   // DISTINCT + ORDER BY + LIMIT 1 OFFSET n-1 (never a global window)
@@ -95,40 +96,40 @@ object Templates {
   // "second highest AVERAGE score" is the nth-ranked-AGGREGATE shape
   // (nthAggCandidates), not the nth raw value of a column fuzzy-matched
   // from "average" (which mis-linked to `age` before the guard)
-  private val nthRe =
+  private[gen] val nthRe =
     (raw"(?i)\b(?:the\s+)?(second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+" +
       raw"(highest|largest|biggest|greatest|lowest|smallest)\s+" +
       raw"(?!(?:average|avg|mean|total|sum)\b)([a-z_][a-z0-9_]*)\b").r
-  private val ordinalWords = Map(
+  private[gen] val ordinalWords = Map(
     "second" -> 2, "third" -> 3, "fourth" -> 4, "fifth" -> 5)
   /** "second"/"23rd" → 0-based OFFSET. Covers every numeric ordinal the
     * intent layer's superlative-suppression regex matches — a question it
     * suppresses the aggregate for must always reach a serving template
     * (the round-4 advisor found "6th highest" losing both paths). */
-  private def ordinalOffset(word: String): Int = {
+  private[gen] def ordinalOffset(word: String): Int = {
     val w = word.toLowerCase
     ordinalWords.get(w).orElse(raw"(\d+)".r.findFirstIn(w).map(_.toInt))
       .map(n => math.max(0, n - 1)).getOrElse(1)
   }
   // "scores above the average score" — rows compared against a scalar
   // aggregate of the same column: col OP (SELECT AVG(col) FROM t)
-  private val scalarAvgRe =
+  private[gen] val scalarAvgRe =
     raw"(?i)\b(above|over|below|under)\s+(?:the\s+)?(?:overall\s+)?(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b".r
   // "student name with the most scores" — a grouped count (local or
   // across an FK edge) ranked to its extreme row
-  private val mostRe =
+  private[gen] val mostRe =
     raw"(?i)\b([a-z_][a-z0-9_ ]*?)\s+with\s+the\s+(most|fewest|least)\s+([a-z_][a-z0-9_]*)\b".r
   // "in the science dept" — a categorical equality phrased value-first
-  private val inTheValColRe =
+  private[gen] val inTheValColRe =
     raw"(?i)\bin\s+the\s+([A-Za-z0-9+-]+)\s+([a-z_][a-z0-9_]*)\b".r
   // "number of courses that have no scores" — an anti-join count across
   // an FK edge (entity rows with no referencing fact rows)
-  private val antiJoinRe =
+  private[gen] val antiJoinRe =
     (raw"(?i)\b(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
       raw"(?:(?:that|which|who)\s+)?(?:have|has|with)\s+no\s+([a-z_][a-z0-9_]*)\b").r
   // "course ids whose average score is above 80" — a condition on a GROUP
   // aggregate, not on rows: GROUP BY the entity, HAVING agg(col) OP n
-  private val havingRe =
+  private[gen] val havingRe =
     (raw"(?i)\b(?:whose|with|where|having)\s+(average|avg|mean|sum|total|count|min|minimum|max|maximum)\s+(?:of\s+)?([a-z_][a-z0-9_]*)\s+" +
       raw"(?:is\s+)?(above|over|greater than|more than|at least|below|under|less than|fewer than|at most)\s+(\d+(?:\.\d+)?)").r
   // date literals: "orders after 1995-06-01", "shipped before 1997-01-01",
@@ -136,29 +137,29 @@ object Templates {
   // date-ish column (name contains date/time/ts) rather than a fuzzy
   // match on the preceding noun, mirroring the reference's date-filter
   // hint (query_intent.py:183-195 "use date functions in WHERE").
-  private val dateCmpRe =
+  private[gen] val dateCmpRe =
     raw"(?i)\b(after|since|before|until)\s+(\d{4}-\d{2}-\d{2}|\d{4})\b".r
   // relative-date phrases (ref query_intent.py:183-195 detects these and
   // hints "use date functions in WHERE"; here they render as concrete
   // DATE literals from the `now` parameter): "in the last 30 days",
   // "past 2 weeks" — a rolling lower bound...
-  private val relSpanRe =
+  private[gen] val relSpanRe =
     raw"(?i)\b(?:last|past)\s+(\d+)\s+(day|week|month|year)s?\b".r
   // ...and calendar units: "last month" = the previous calendar month
   // (a half-open [first, first-of-current) range), "this year" = since
   // Jan 1, "yesterday" = that one day
-  private val relNamedRe =
+  private[gen] val relNamedRe =
     raw"(?i)\b(?:(last|this)\s+(week|month|year)|(today|yesterday))\b".r
   // LIKE shapes: "names starting with A" -> student_name LIKE 'A%';
   // "ending with X" / "containing X" -> suffix / infix patterns. The
   // column link uses only the word directly before the phrase ("names"),
   // which scores the full-name column uniquely where the whole noun
   // phrase ("student names") would tie student_name with student_id.
-  private val likePrefixRe =
+  private[gen] val likePrefixRe =
     raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+(?:starting|beginning)\s+with\s+([A-Za-z0-9][\w%+-]*)".r
-  private val likeSuffixRe =
+  private[gen] val likeSuffixRe =
     raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+ending\s+(?:with|in)\s+([A-Za-z0-9][\w%+-]*)".r
-  private val likeInfixRe =
+  private[gen] val likeInfixRe =
     raw"(?i)\b((?:[a-z_][a-z0-9_]*\s+)?[a-z_][a-z0-9_]*)\s+containing\s+([A-Za-z0-9][\w%+-]*)".r
 
   /** Deterministic key-ish ordering column for a table: a column named
@@ -180,7 +181,7 @@ object Templates {
 
   /** Strong link: the word names exactly one column (full-word match,
     * score >= 100 with a clear margin over the runner-up). */
-  private def strongColumn(word: String, cols: Seq[String]): Option[String] = {
+  private[gen] def strongColumn(word: String, cols: Seq[String]): Option[String] = {
     if (word.isEmpty) return None
     val scored = cols.map(c => c -> graft.link.Fuzzy.nameScore(c, word)).sortBy(-_._2)
     scored.headOption.filter { case (_, s) =>
@@ -188,7 +189,7 @@ object Templates {
     }.map(_._1)
   }
 
-  private def sqlLit(v: String): String =
+  private[gen] def sqlLit(v: String): String =
     if (v.matches(raw"\d+(\.\d+)?")) v else "'" + v.replace("'", "''") + "'"
 
   /** Extract `col OP literal` conditions from the question (original
@@ -635,7 +636,7 @@ object Templates {
 
   /** The question word names exactly one sliced table (strictly unique
     * argmax at >= 100, same bar as antiJoinCandidates). */
-  private def uniqueTable(slice: SchemaSlice, word: String): Option[String] = {
+  private[gen] def uniqueTable(slice: SchemaSlice, word: String): Option[String] = {
     val scored = slice.tables.keySet.toSeq
       .map(t => t -> graft.link.Fuzzy.nameScore(t, word))
       .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }
@@ -646,9800 +647,8 @@ object Templates {
 
   /** The display column of a dimension: a column whose name contains
     * "name" (students → student_name); the shape is skipped without one. */
-  private def nameishColumn(cols: Seq[String]): Option[String] =
+  private[gen] def nameishColumn(cols: Seq[String]): Option[String] =
     cols.find(_.toLowerCase.contains("name"))
-
-  // "students who scored above 90 in Biology" — entity dimension + fact
-  // numeric filter + second dimension categorical value, joined across
-  // the two FK edges of the bridging fact table
-  private val bridgeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+([a-z]+)\s+" +
-      raw"(above|over|below|under|more than|greater than|less than)\s+(\d+(?:\.\d+)?)\s+" +
-      raw"in\s+([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)").r
-
-  /** Three-table bridge: "students who scored above 90 in Biology" →
-    * DISTINCT entity names whose fact rows pass a numeric filter AND
-    * reference the named second dimension. All three links must resolve
-    * strongly (entity noun → table, verb stem → fact column, a name-ish
-    * column on each dimension) or no candidate is produced; the
-    * CAPITALIZED trailing value (checked case-sensitively — the (?i)
-    * regex alone would let "in total" fabricate a filter) fills the
-    * dimension's display-column equality. The entity table may be
-    * referenced by several fact tables, so every FK edge into it is
-    * tried and the first edge whose fact resolves the verb column wins.
-    * Catalyst plans the FK chain as two broadcast hash joins at
-    * dimension size. */
-  def bridgeCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    bridgeRe.findFirstMatchIn(question).toSeq
-      .flatMap { m =>
-        // the (?i) regex matches lowercase tails too — keep only the run
-        // of genuinely capitalized words ("Biology this semester" →
-        // "Biology"; "total" → nothing, no fabricated filter)
-        val value = m.group(5).split("\\s+")
-          .takeWhile(_.matches(raw"[A-Z][\w+-]*")).mkString(" ")
-        if (value.isEmpty) Nil
-        else bridgeResolved(slice, fks, m, value)
-      }
-
-  private def bridgeResolved(slice: SchemaSlice, fks: Seq[FkEdge],
-      m: scala.util.matching.Regex.Match, value: String): Seq[Candidate] = {
-        val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
-        (for {
-          dim1 <- uniqueTable(slice, m.group(1)).toSeq
-          e1 <- fks.filter(e => e.toTable == dim1 && slice.tables.contains(e.fromTable))
-          fact = e1.fromTable
-          numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-          e2 <- fks.filter(e => e.fromTable == fact && e.toTable != dim1 &&
-            slice.tables.contains(e.toTable)).take(1)
-          valCol <- nameishColumn(slice.tables(e2.toTable)).toSeq
-          proj <- nameishColumn(slice.tables(dim1)).toSeq
-        } yield Candidate(
-          s"SELECT DISTINCT d.$proj FROM $fact f " +
-            s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
-            s"JOIN ${e2.toTable} j ON f.${e2.fromColumn} = j.${e2.toColumn} " +
-            s"WHERE j.$valCol = ${sqlLit(value)} AND f.$numCol $op ${m.group(4)} " +
-            s"ORDER BY d.$proj LIMIT $DefaultLimit",
-          0.9, "template_join3")).take(1)
-  }
-
-  // "number of students who take more than 5 courses" — a COUNT over the
-  // groups that pass a per-group distinct-count threshold
-  private val countWhoMoreRe =
-    (raw"(?i)\b(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
-      raw"(more|fewer|less)\s+than\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Nested HAVING count: "number of students who take more than 5
-    * courses" → COUNT of fact-side groups whose DISTINCT second-entity
-    * count passes the threshold. Both nouns must name sliced tables
-    * bridged by one fact's FK edges. The inner aggregate shuffles once
-    * on the group key with partial aggregation; the outer COUNT is a
-    * scalar over group cardinality. */
-  def nestedHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    countWhoMoreRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).equalsIgnoreCase("more")) ">" else "<"
-      for {
-        dim1 <- uniqueTable(slice, m.group(1)).toSeq
-        dim2 <- uniqueTable(slice, m.group(4)).toSeq
-        if dim1 != dim2
-        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
-        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT f.${e1.fromColumn} FROM ${e1.fromTable} f " +
-          s"GROUP BY f.${e1.fromColumn} HAVING COUNT(DISTINCT f.${e2.fromColumn}) $op ${m.group(3)}) t",
-        0.9, "template_nested_having")
-    }
-
-  // "highest average score among courses" — the extreme of a grouped
-  // aggregate (max-of-avg), not an aggregate of rows
-  private val aggOfAggRe =
-    (raw"(?i)\b(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:among|across|over|per|by)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Aggregate-of-aggregate: "highest average score among courses" →
-    * MAX over the per-group AVG. The group noun resolves to a sliced
-    * table reached by an FK edge from the fact (group key = the fact's
-    * FK column) or directly to a fact column. Plans as one grouped
-    * aggregate plus a scalar aggregate over group cardinality — no
-    * window, no second shuffle of the base rows. */
-  def aggOfAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    aggOfAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val outer = if (Set("lowest", "smallest", "minimum", "min")(m.group(1).toLowerCase)) "MIN" else "MAX"
-      val inner = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      slice.tables.toSeq.flatMap { case (t, cols) =>
-        for {
-          aggCol <- strongColumn(m.group(3), cols).toSeq
-          groupCol <- uniqueTable(slice, m.group(4))
-            .flatMap(g => fks.find(e => e.fromTable == t && e.toTable == g).map(_.fromColumn))
-            .orElse(strongColumn(m.group(4), cols.filterNot(_ == aggCol))).toSeq
-        } yield Candidate(
-          s"SELECT $outer(a) AS agg_value FROM " +
-            s"(SELECT $inner($aggCol) AS a FROM $t GROUP BY $groupCol) t",
-          0.9, "template_agg_of_agg")
-      }
-    }
-
-  // "for each dept the course with the highest average score" — a
-  // group-wise argmax: rank second-entity rows within each group by a
-  // grouped aggregate, keep rank 1
-  private val groupwiseArgmaxRe =
-    (raw"(?i)\bfor each\s+([a-z_][a-z0-9_]*)\s+the\s+([a-z_][a-z0-9_]*)\s+with the\s+" +
-      raw"(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
-      raw"(?:(average|avg|mean|total|sum)\s+)?([a-z_][a-z0-9_]*)\b").r
-
-  /** Group-wise argmax (ref `app/models/inference.py:151-213` serves this
-    * shape through LLM candidates): "for each G the E with the highest
-    * [avg] V" → rank E within G by the grouped aggregate of V, keep
-    * rn = 1 (ties to the lower display name, stated in the ORDER BY so
-    * the result is deterministic). The group word must resolve to a
-    * column ON the entity's dimension table and V to a column on a fact
-    * referencing it. Plan: one grouped aggregate (partial+final), then a
-    * window over the GROUP ROWS ONLY — |groups| rows, not the fact
-    * table — which the BoundedRankPrefilter rule further caps. */
-  def groupwiseArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupwiseArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
-      val dir = if (lowest) "ASC" else "DESC"
-      val inner = Option(m.group(4)).map(_.toLowerCase) match {
-        case Some("total") | Some("sum") => "SUM"
-        case Some(_) => "AVG"
-        // bare "the course with the highest/lowest score": the group's
-        // extreme value in the SAME direction as the ranking — MAX+ASC
-        // would rank "lowest" groups by their maximum
-        case None => if (lowest) "MIN" else "MAX"
-      }
-      (for {
-        dim <- uniqueTable(slice, m.group(2)).toSeq
-        groupCol <- strongColumn(m.group(1), slice.tables(dim)).toSeq
-        nameCol <- nameishColumn(slice.tables(dim)).toSeq
-        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
-        aggCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol, $nameCol FROM (SELECT d.$groupCol, d.$nameCol, " +
-          s"ROW_NUMBER() OVER (PARTITION BY d.$groupCol ORDER BY $inner(f.$aggCol) $dir, d.$nameCol) AS rn " +
-          s"FROM ${e.fromTable} f JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
-          s"GROUP BY d.$groupCol, d.$nameCol) t WHERE rn = 1 " +
-          s"ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_groupwise_argmax")).take(1)
-    }
-
-  // "students whose average score is above the overall average" — a
-  // per-group aggregate compared against the ungrouped (scalar) one
-  private val havingScalarRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
-      raw"(above|over|more than|greater than|below|under|less than)\s+the\s+overall\s+" +
-      raw"(average|avg|mean|total|sum)\b").r
-
-  /** HAVING vs scalar subquery: "Es whose avg V is above the overall
-    * avg" → group the fact by the entity's display column, HAVING the
-    * group aggregate compared to the ungrouped scalar. The scalar
-    * subquery is one extra scan reduced to a single row and broadcast
-    * into the HAVING filter; the grouped side shuffles once with
-    * partial aggregation. */
-  def havingScalarCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    havingScalarRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def aggOf(word: String) = word.toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      // group side and scalar side carry their OWN aggregate words:
-      // "whose TOTAL score is above the overall AVERAGE" compares each
-      // group's SUM to the ungrouped AVG — collapsing both onto the
-      // group-side word would compare one group's total against the
-      // whole table's total (vacuously false for positive values)
-      val groupAgg = aggOf(m.group(2))
-      val scalarAgg = aggOf(m.group(5))
-      val op = if (Set("above", "over", "more than", "greater than")(m.group(4).toLowerCase)) ">" else "<"
-      (for {
-        dim <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dim)).toSeq
-        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
-        aggCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol AS $nameCol FROM ${e.fromTable} f " +
-          s"JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
-          s"GROUP BY d.$nameCol HAVING $groupAgg(f.$aggCol) $op (SELECT $scalarAgg($aggCol) FROM ${e.fromTable}) " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_having_scalar")).take(1)
-    }
-
-  // "percentage of scores with grade A" — a conditional share of rows
-  private val ratioAggRe =
-    (raw"(?i)\b(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+([A-Za-z0-9][\w+-]*)").r
-
-  /** Ratio aggregate: "percentage of T with C = v" → 100·SUM(CASE WHEN
-    * C = v)/COUNT(*) in ONE pass over the table (a conditional sum, not
-    * two scans joined). The value token must be capitalized or numeric
-    * (checked case-sensitively, like bridgeCandidates) so "fraction of
-    * scores with problems" fabricates nothing. */
-  def ratioAggCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
-    ratioAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val value = m.group(4)
-      if (!value.matches(raw"[A-Z][\w+-]*|\d+(?:\.\d+)?")) Nil
-      else {
-        val scale = if (m.group(1).toLowerCase.startsWith("percent")) "100.0" else "1.0"
-        for {
-          t <- uniqueTable(slice, m.group(2)).toSeq
-          c <- strongColumn(m.group(3), slice.tables(t)).toSeq
-        } yield Candidate(
-          s"SELECT ROUND($scale * SUM(CASE WHEN $c = ${sqlLit(value)} THEN 1 ELSE 0 END) / COUNT(*), 2) " +
-            s"AS agg_value FROM $t",
-          0.9, "template_ratio_agg")
-      }
-    }
-
-  // "students older than the average age of their grade level" — a
-  // row filter against the row's OWN group aggregate
-  private val correlatedFilterRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(older|younger|taller|shorter|higher|lower|bigger|" +
-      raw"smaller|greater|larger|longer|heavier|lighter|more|less)\s+than\s+the\s+" +
-      raw"(average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+their\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Correlated per-group filter (ref `app/models/inference.py:151-213`
-    * serves this shape through LLM candidates): "Es CMP than the average
-    * V of their G" → `V op (SELECT AVG(V) FROM T t2 WHERE t2.G = t.G)`.
-    * Catalyst decorrelates the equality-correlated scalar subquery into
-    * one grouped aggregate joined back on G — two scans of T, one
-    * shuffle on G, never a per-row subquery execution. */
-  def correlatedFilterCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
-    correlatedFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("older", "taller", "higher", "bigger", "greater", "larger",
-        "longer", "heavier", "more")(m.group(2).toLowerCase)) ">" else "<"
-      val groupWord = m.group(5).trim.replaceAll("\\s+", "_")
-      for {
-        t <- uniqueTable(slice, m.group(1)).toSeq
-        aggCol <- strongColumn(m.group(4), slice.tables(t)).toSeq
-        groupCol <- strongColumn(groupWord, slice.tables(t).filterNot(_ == aggCol)).toSeq
-        nameCol <- nameishColumn(slice.tables(t)).toSeq
-      } yield Candidate(
-        s"SELECT $nameCol FROM $t s WHERE $aggCol $op " +
-          s"(SELECT AVG($aggCol) FROM $t s2 WHERE s2.$groupCol = s.$groupCol) " +
-          s"ORDER BY $nameCol LIMIT $DefaultLimit",
-        0.9, "template_correlated_filter")
-    }
-
-  // "median score per course" / "90th percentile score per course" — an
-  // exact distribution statistic per group
-  private val percentileAggRe =
-    (raw"(?i)\b(?:(median)|(\d{1,2})(?:st|nd|rd|th)\s+percentile(?:\s+of)?)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:per|by|for\s+each)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Median / percentile per group: `MEDIAN(V)` (or `PERCENTILE(V, q)`)
-    * grouped by the resolved key. Spark's exact percentile is a single
-    * ObjectHashAggregate pass (per-group value buffers), one shuffle on
-    * the group key — the same plan family as `Profiler.exactPercentiles`;
-    * for quantile-sketch scale (huge groups) `approx_percentile` is the
-    * documented relaxation, not needed at the template surface. */
-  def percentileAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    percentileAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val aggExpr: String => String =
-        if (m.group(1) != null) c => s"MEDIAN($c)"
-        else { val q = m.group(2).toInt / 100.0; c => s"PERCENTILE($c, $q)" }
-      slice.tables.toSeq.flatMap { case (t, cols) =>
-        for {
-          aggCol <- strongColumn(m.group(3), cols).toSeq
-          groupCol <- uniqueTable(slice, m.group(4))
-            .flatMap(g => fks.find(e => e.fromTable == t && e.toTable == g).map(_.fromColumn))
-            .orElse(strongColumn(m.group(4), cols.filterNot(_ == aggCol))).toSeq
-        } yield Candidate(
-          s"SELECT $groupCol, ${aggExpr(aggCol)} AS agg_value FROM $t " +
-            s"GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
-          0.9, "template_percentile_agg")
-      }.take(1)
-    }
-
-  // "the 3 courses with the fewest students" — bottom-N (or top-N) of
-  // one entity by its DISTINCT count of another, bridged by a fact
-  private val bottomNRe =
-    (raw"(?i)\bthe\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(fewest|least|most)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Bottom-N by joined count: "the N Es with the fewest Js" → group the
-    * bridging fact by E's display column, COUNT(DISTINCT fk-to-J),
-    * ascending ORDER BY + LIMIT n (ties to the name so the cut is
-    * deterministic). Plans as one partial+final aggregate and a
-    * TakeOrderedAndProject — no full sort. NOTE: entities with ZERO
-    * joined rows can't appear (no fact row to group); the anti-join
-    * template covers the "have no Js" phrasing explicitly. */
-  def bottomNCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    bottomNRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).equalsIgnoreCase("most")) "DESC" else "ASC"
-      (for {
-        dim1 <- uniqueTable(slice, m.group(2)).toSeq
-        dim2 <- uniqueTable(slice, m.group(4)).toSeq
-        if dim1 != dim2
-        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
-        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
-        nameCol <- nameishColumn(slice.tables(dim1)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol AS $nameCol, COUNT(DISTINCT f.${e2.fromColumn}) AS agg_value " +
-          s"FROM ${e1.fromTable} f JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
-          s"GROUP BY d.$nameCol ORDER BY agg_value $dir, d.$nameCol LIMIT ${m.group(1)}",
-        0.9, "template_bottom_n")).take(1)
-    }
-
-  // "average number of courses per student" — the mean over entities of
-  // each entity's DISTINCT count of a second entity, both FK-bridged
-  // the trailing lookahead leaves "per E in each A" questions to the
-  // grouped sibling [[groupedAvgCountPerCandidates]]
-  private val avgCountPerRe =
-    (raw"(?i)\b(?:average|avg|mean)\s+(?:number|count)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b" +
-      raw"(?!\s+(?:in|for|by)\s+each\b)").r
-
-  /** Average count per entity: "average number of Js per E" → inner
-    * grouped `COUNT(DISTINCT fk-to-J)` per fk-to-E over the bridging
-    * fact, outer scalar `AVG` over the group rows (ref
-    * `app/models/inference.py:151-213` reaches this shape via LLM
-    * candidates). Both counted and grouping keys are FK columns OF the
-    * fact, so the plan is two chained hash aggregates — one shuffle on
-    * the E key, then a tiny scalar reduce — with no join at all. */
-  def avgCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    avgCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimJ != dimE
-        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT AVG(c) AS agg_value FROM " +
-          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_avg_count_per")).take(1)
-    }
-
-  // "students who scored above 90 in at least 3 courses" — the bridge
-  // shape with a per-group distinct-count threshold instead of a named
-  // second-dimension value (bridgeRe requires a capitalized value, so
-  // the two regexes never both fire)
-  private val filteredHavingRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+([a-z]+)\s+" +
-      raw"(above|over|below|under|more than|greater than|less than)\s+(\d+(?:\.\d+)?)\s+" +
-      raw"in\s+at\s+least\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Filtered HAVING count: "Es who Ved CMP X in at least K Js" → join
-    * fact→E, filter rows on the verb-resolved measure, group by E's
-    * display name, keep groups with `COUNT(DISTINCT fk-to-J) >= K`.
-    * The row filter lands BEFORE the aggregate (WHERE, pushed to the
-    * fact scan) and the threshold after (HAVING) — partial+final
-    * distinct-count aggregate, one shuffle on the display key. */
-  def filteredHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    filteredHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over", "more than", "greater than")(m.group(3).toLowerCase)) ">" else "<"
-      (for {
-        dim1 <- uniqueTable(slice, m.group(1)).toSeq
-        dim2 <- uniqueTable(slice, m.group(6)).toSeq
-        if dim1 != dim2
-        e1 <- fks.find(e => e.toTable == dim1 && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dim2)).toSeq
-        e2 <- fks.find(e => e.fromTable == e1.fromTable && e.toTable == dim2).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(e1.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dim1)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol AS $nameCol FROM ${e1.fromTable} f " +
-          s"JOIN $dim1 d ON f.${e1.fromColumn} = d.${e1.toColumn} " +
-          s"WHERE f.$numCol $op ${m.group(4)} GROUP BY d.$nameCol " +
-          s"HAVING COUNT(DISTINCT f.${e2.fromColumn}) >= ${m.group(5)} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_filtered_having")).take(1)
-    }
-
-  // "courses where the best score is below 95" — groups kept by a
-  // threshold on the group EXTREME (not the count)
-  private val havingExtremeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
-      raw"(best|highest|top|maximum|max|worst|lowest|minimum|min)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+(below|under|above|over|at\s+least|at\s+most)\s+" +
-      raw"(\d+(?:\.\d+)?)\b").r
-
-  /** HAVING on a group extreme: "Es where the best V is below X" →
-    * group the fact by its fk-to-E, keep groups with `MAX(V) < X`
-    * (MIN for worst/lowest). Stays entirely on the fact table — the
-    * fk column IS the answer key, so no dimension join; a single
-    * partial+final hash aggregate with the HAVING applied post-merge. */
-  def havingExtremeCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    havingExtremeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("best", "highest", "top", "maximum", "max")(m.group(2).toLowerCase)) "MAX" else "MIN"
-      val op = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
-        case "below" | "under" => "<"
-        case "above" | "over"  => ">"
-        case "at least"        => ">="
-        case _                 => "<="
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
-          s"HAVING $agg($numCol) $op ${m.group(5)} " +
-          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_having_extreme")).take(1)
-    }
-
-  // "students whose average score is at least 10 points above the
-  // overall average" — the HAVING-vs-scalar shape with a NUMERIC OFFSET
-  // from the global aggregate (havingScalarRe requires the comparator
-  // word directly before "the overall", so the two never both fire)
-  private val deviationHavingRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
-      raw"(at\s+least|at\s+most|more\s+than|over)\s+(\d+(?:\.\d+)?)\s+points?\s+" +
-      raw"(above|below)\s+the\s+overall\s+(average|avg|mean|total|sum)\b").r
-
-  /** Deviation-from-global HAVING: "Es whose avg V is at least N points
-    * above the overall avg" → group the fact by the entity's display
-    * column, HAVING the group aggregate vs `(scalar subquery) ± N`.
-    * Same plan as the offset-free shape ([[havingScalarCandidates]]):
-    * the scalar side reduces to one row, the `+ N` folds into the
-    * broadcast HAVING filter, the grouped side shuffles once with
-    * partial aggregation. Direction flips the comparator: "at least N
-    * above" keeps groups ≥ scalar+N, "at least N below" ≤ scalar−N. */
-  def deviationHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    deviationHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def aggOf(word: String) = word.toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val groupAgg = aggOf(m.group(2))
-      val scalarAgg = aggOf(m.group(7))
-      val above = m.group(6).toLowerCase == "above"
-      val strict = Set("more than", "over")(m.group(4).toLowerCase.replaceAll("\\s+", " "))
-      val op = (above, strict) match {
-        case (true, true)   => ">"
-        case (true, false)  => ">="
-        case (false, true)  => "<"
-        case (false, false) => "<="
-      }
-      val sign = if (above) "+" else "-"
-      (for {
-        dim <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dim)).toSeq
-        e <- fks.filter(e => e.toTable == dim && slice.tables.contains(e.fromTable))
-        aggCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol AS $nameCol FROM ${e.fromTable} f " +
-          s"JOIN $dim d ON f.${e.fromColumn} = d.${e.toColumn} " +
-          s"GROUP BY d.$nameCol " +
-          s"HAVING $groupAgg(f.$aggCol) $op (SELECT $scalarAgg($aggCol) FROM ${e.fromTable}) $sign ${m.group(5)} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_deviation_having")).take(1)
-    }
-
-  // "the course with the largest gap between the highest and lowest
-  // score" — argmax over a per-group RANGE (max - min)
-  private val rangeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(largest|biggest|widest|greatest|smallest|narrowest)\s+" +
-      raw"(?:gap|difference|spread|range)\s+between\s+(?:the\s+)?" +
-      raw"(?:highest|best|maximum|top)\s+and\s+(?:the\s+)?(?:lowest|worst|minimum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Per-group range argmax: "the E with the largest gap between the
-    * highest and lowest V" → group the fact by its fk-to-E, rank by
-    * `MAX(V) - MIN(V)`, keep the top row. MAX and MIN share one
-    * partial+final hash aggregate pass (one shuffle on the fk), and the
-    * ORDER BY … LIMIT 1 is a TakeOrderedAndProject over the group rows
-    * — never a global sort. The fk column is the answer key, so no
-    * dimension join. */
-  def rangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    rangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("smallest", "narrowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn}, MAX($numCol) - MIN($numCol) AS agg_value " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
-          s"ORDER BY agg_value $dir, ${e.fromColumn} LIMIT 1",
-        0.9, "template_range_argmax")).take(1)
-    }
-
-  // "for each grade level, the course with the highest average score" —
-  // two-level grouped argmax: the GROUP attribute lives on one dimension
-  // (students.grade_level), the RANKED entity is the fact's fk to a
-  // DIFFERENT dimension (scores.course_id → courses)
-  private val groupedArgmax2Re =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s*,?\s+the\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(highest|largest|biggest|greatest|maximum|max|lowest|smallest|minimum|min)\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Two-level grouped argmax: "for each G, the E with the highest avg
-    * V" where G is a column on dimension A and E is the fact's fk to
-    * dimension B — both bridged by the same fact. Defers to
-    * [[groupwiseArgmaxCandidates]] when G resolves on E's own dimension
-    * (the round-6 single-dimension shape). Plan: fact ⋈ broadcast dim A
-    * (the group side only — the entity needs no join, its fk IS the
-    * answer key), one grouped aggregate on (G, fk) with partial
-    * aggregation, then RANK over the GROUP ROWS ONLY — |A-groups ×
-    * B-entities| rows, never the fact — with the deterministic fk
-    * tiebreak stated in the ORDER BY. */
-  def groupedArgmax2Candidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    groupedArgmax2Re.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
-      val dir = if (lowest) "ASC" else "DESC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        // single-dimension questions belong to the round-6 template
-        if strongColumn(m.group(1), slice.tables(dimE)).isEmpty
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eG <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        groupCol <- strongColumn(m.group(1), slice.tables(eG.toTable)).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol, ${eE.fromColumn} FROM (" +
-          s"SELECT d.$groupCol, f.${eE.fromColumn}, " +
-          s"RANK() OVER (PARTITION BY d.$groupCol ORDER BY $agg(f.$numCol) $dir, f.${eE.fromColumn}) AS rnk " +
-          s"FROM ${eE.fromTable} f JOIN ${eG.toTable} d ON f.${eG.fromColumn} = d.${eG.toColumn} " +
-          s"GROUP BY d.$groupCol, f.${eE.fromColumn}) t WHERE rnk = 1 " +
-          s"ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_grouped_argmax2")).take(1)
-    }
-
-  // "students who took all math courses" — relational division: the
-  // entities whose fact rows cover EVERY member of a (possibly
-  // filtered) dimension
-  private val divisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+(?:have\s+|has\s+)?[a-z]+\s+all\s+" +
-      raw"(?:the\s+)?(?:([a-z0-9_+-]+)\s+)?([a-z_][a-z0-9_]*)\b").r
-
-  /** Relational division (ref `app/models/inference.py:151-213` serves
-    * this only through its LLM path): "Es who V all [m] Js" → group the
-    * fact by the entity KEY (two same-named entities must qualify
-    * individually), compare each group's DISTINCT J count to the
-    * divisor `(SELECT COUNT(*) FROM J [WHERE …])`. The optional
-    * modifier m ("math") resolves against the J dimension's MINED VALUE
-    * DOMAINS (`values`, Profiler.stringDomains): it must appear in
-    * exactly one column's domain or no candidate is produced — the
-    * no-fabrication bar, extended from names to data values. Plan: fact
-    * ⋈ two broadcast dims, one grouped aggregate on the entity key, the
-    * divisor a one-row scalar subquery broadcast into the HAVING
-    * filter. */
-  def divisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String,
-      values: String => Map[String, Seq[String]]): Seq[Candidate] =
-    divisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        whereSql <- Option(m.group(2)).map(_.trim).filter(_.nonEmpty) match {
-          case None => Seq("")
-          case Some(v) =>
-            // the modifier must be a mined domain value of exactly one
-            // dimension column (and not resolve as a column name itself)
-            val hits = values(dimJ).collect {
-              case (c, dom) if slice.tables(dimJ).contains(c) && dom.contains(v) => c
-            }.toSeq
-            if (hits.size == 1 && strongColumn(v, slice.tables(dimJ)).isEmpty)
-              Seq(s" WHERE ${hits.head} = ${sqlLit(v)}")
-            else Nil
-        }
-      } yield Candidate(
-        s"SELECT DISTINCT d.$nameCol FROM ${eE.fromTable} f " +
-          s"JOIN $dimE d ON f.${eE.fromColumn} = d.${eE.toColumn} " +
-          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn}" +
-          whereSql.replace(" WHERE ", " WHERE j.") +
-          s" GROUP BY d.${eE.toColumn}, d.$nameCol " +
-          s"HAVING COUNT(DISTINCT f.${eJ.fromColumn}) = " +
-          s"(SELECT COUNT(*) FROM $dimJ$whereSql) " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_division")).take(1)
-    }
-
-  // "the course with the second highest average score" — an ordinal
-  // rank over a GROUPED aggregate (nthRe handles the rank over raw
-  // distinct values; this shape has an agg word between rank and column)
-  private val nthAggRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(second|third|fourth|fifth|\d+(?:st|nd|rd|th))[-\s]+" +
-      raw"(highest|largest|biggest|greatest|lowest|smallest)\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Nth-ranked aggregate: "the E with the second highest avg V" →
-    * RANK over the GROUP ROWS of one grouped aggregate, keep rank n
-    * (RANK, not OFFSET: ties at rank n all belong in the answer). The
-    * window runs over |entities| group rows, never the fact — the same
-    * group-rows-only contract as [[groupedArgmax2Candidates]]; the fk
-    * column is the answer key, so no dimension join. */
-  def nthAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
-    nthAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = ordinalOffset(m.group(2)) + 1
-      val dir = if (Set("lowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
-          s"RANK() OVER (ORDER BY $agg($numCol) $dir, ${e.fromColumn}) AS rnk " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t WHERE rnk = $n " +
-          s"LIMIT $DefaultLimit",
-        0.9, "template_nth_agg")).take(1)
-    }
-
-  // "for each course, the percentage of scores of at least 90" — a
-  // per-group conditional share (ratioAggRe serves the global
-  // categorical form; this one is grouped with a numeric threshold)
-  private val conditionalShareRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
-      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:of|with|scoring|at)?\s*(at\s+least|at\s+most|above|over|below|under)\s+" +
-      raw"(\d+(?:\.\d+)?)\b").r
-
-  /** Per-group conditional share: "for each G, the percentage of Ts of
-    * at least N" → `100·COUNT(CASE WHEN V op N)/COUNT(*)` grouped by
-    * G's key — the conditional count and the total share ONE
-    * partial+final aggregate pass (one shuffle on the group key), never
-    * two scans joined. The measured column is the counted noun's
-    * singular ("scores" → `score`), resolved strongly on the fact. */
-  def conditionalShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    conditionalShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
-        case "at least" => ">="
-        case "above" | "over" => ">"
-        case "at most" => "<="
-        case _ => "<"
-      }
-      val scale = if (m.group(2).toLowerCase.startsWith("percent")) "100.0" else "1.0"
-      val noun = m.group(3)
-      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
-      (for {
-        fact <- uniqueTable(slice, noun).toSeq
-        numCol <- strongColumn(valueWord, slice.tables(fact)).toSeq
-        groupCol <- uniqueTable(slice, m.group(1))
-          .flatMap(g => fks.find(e => e.fromTable == fact && e.toTable == g).map(_.fromColumn))
-          .orElse(strongColumn(m.group(1), slice.tables(fact).filterNot(_ == numCol))).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol, $scale * COUNT(CASE WHEN $numCol $op ${m.group(5)} THEN 1 END) " +
-          s"/ COUNT(*) AS agg_value FROM $fact GROUP BY $groupCol " +
-          s"ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_conditional_share")).take(1)
-    }
-
-  // "students whose average score improved from 2022 to 2023" — a
-  // two-period trend comparison inside one grouped aggregate
-  private val trendCompareRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(improved|increased|rose|went\s+up|decreased|declined|dropped|fell)\s+" +
-      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
-
-  /** Two-period trend compare: "Es whose avg V improved from Y1 to Y2"
-    * → both periods' conditional aggregates (`AGG(CASE WHEN year = Yi
-    * THEN V END)`) share ONE partial+final pass over the fact grouped
-    * by the fk to E (one shuffle; never two per-year scans joined),
-    * HAVING compares them, and the surviving keys broadcast-join to
-    * the dimension for display names. Needs a year-named column on the
-    * fact; "improved/increased/rose/went up" reads as to-year > from-
-    * year, the falling verbs as <. */
-  def trendCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trendCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val cmp = m.group(4).toLowerCase.replaceAll("\\s+", " ") match {
-        case "decreased" | "declined" | "dropped" | "fell" => "<"
-        case _ => ">"
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined &&
-          slice.tables(e.fromTable).exists(_.toLowerCase.contains("year"))).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-        yearCol <- slice.tables(e.fromTable).find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM ${e.toTable} d JOIN (" +
-          s"SELECT ${e.fromColumn} FROM ${e.fromTable} GROUP BY ${e.fromColumn} " +
-          s"HAVING $agg(CASE WHEN $yearCol = ${m.group(6)} THEN $numCol END) $cmp " +
-          s"$agg(CASE WHEN $yearCol = ${m.group(5)} THEN $numCol END)) q " +
-          s"ON q.${e.fromColumn} = d.${e.toColumn} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_trend_compare")).take(1)
-    }
-
-  // "the percentage of students who take more than 5 courses" — a
-  // global share over a per-entity distinct count (ratioAggRe is the
-  // "of T with C v" categorical form; this one has a counted second
-  // entity behind a verb, so the two never both fire)
-  private val groupShareRe =
-    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
-      raw"(more\s+than|at\s+least|fewer\s+than|less\s+than|at\s+most)\s+" +
-      raw"(\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Global share over a per-entity count: "the percentage of Es who V
-    * more than N Js" → inner grouped `COUNT(DISTINCT fk-to-J)` per E
-    * key (one shuffle on the fact's fk to E), outer single-row share —
-    * the second aggregate collapses |E| group rows, so the global pass
-    * is trivially cheap. No dimension join: both the numerator and the
-    * denominator live on the fact's keys. */
-  def groupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = m.group(3).toLowerCase.replaceAll("\\s+", " ") match {
-        case "more than" => ">"
-        case "at least" => ">="
-        case "at most" => "<="
-        case _ => "<"
-      }
-      val scale = if (m.group(1).toLowerCase.startsWith("percent")) "100.0" else "1.0"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        dimJ <- uniqueTable(slice, m.group(5)).toSeq
-        if dimE != dimJ
-        eE <- fks.find(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ)).toSeq
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT ROUND($scale * SUM(CASE WHEN c $op ${m.group(4)} THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value FROM " +
-          s"(SELECT ${eE.fromColumn}, COUNT(DISTINCT ${eJ.fromColumn}) AS c " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_group_share")).take(1)
-    }
-
-  // "students who share a course with Ada Adams" — entity
-  // co-occurrence through the bridging fact's second FK, anchored on a
-  // capitalized display-name value
-  private val coOccurRe =
-    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+(?i:shares?)\s+(?i:an?\s+)?" +
-      raw"([a-z_][a-z0-9_]*)\s+(?i:with)\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)").r
-
-  /** Entity co-occurrence: "Es who share a J with NAME" → the anchor's
-    * fact rows are isolated FIRST (fact ⋈ broadcast dim filtered to
-    * NAME — a few rows), then joined back to the fact on the J-fk, so
-    * the fact-to-fact step is anchor-rows × per-J peers, never the
-    * quadratic self-join of the naive form. The anchor itself (same
-    * entity key, or a different key sharing the display name) is
-    * excluded from the answer. */
-  def coOccurrenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    coOccurRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val name = m.group(3).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.find(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ)).toSeq
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d2.$nameCol FROM " +
-          s"(SELECT f.${eJ.fromColumn} AS jk, f.${eE.fromColumn} AS ek " +
-          s"FROM ${eE.fromTable} f JOIN $dimE d1 ON d1.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"WHERE d1.$nameCol = '$name') a " +
-          s"JOIN ${eE.fromTable} f2 ON f2.${eJ.fromColumn} = a.jk " +
-          s"AND f2.${eE.fromColumn} <> a.ek " +
-          s"JOIN $dimE d2 ON d2.${eE.toColumn} = f2.${eE.fromColumn} " +
-          s"WHERE d2.$nameCol <> '$name' " +
-          s"ORDER BY d2.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_co_occurrence")).take(1)
-    }
-
-  // "courses where no student scored below 60" — a universal condition
-  // per group, phrased as a negated existential
-  private val universalFilterRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+no\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"([a-z]+)\s+(below|under|above|over)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Universal per-group condition: "Es where no J Ved below N" — the
-    * negated existential IS a group extreme ("no row below N" ⟺
-    * `MIN(V) >= N`, "no row above N" ⟺ `MAX(V) <= N`), so the plan is
-    * one partial+final aggregate on the fact joined to the broadcast
-    * dimension for display names — never an anti-join against the
-    * offending rows. The "no"-noun must name a table connected to the
-    * same fact (or the fact itself) so the shape can't fire on an
-    * unrelated entity word. */
-  def universalFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val (agg, op) =
-        if (Set("below", "under")(m.group(4).toLowerCase)) ("MIN", ">=") else ("MAX", "<=")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-        noTable <- uniqueTable(slice, m.group(2)).toSeq
-        if noTable == e.fromTable || fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == noTable)
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM $dimE d " +
-          s"JOIN ${e.fromTable} f ON f.${e.fromColumn} = d.${e.toColumn} " +
-          s"GROUP BY d.$nameCol HAVING $agg(f.$numCol) $op ${m.group(5)} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_universal_filter")).take(1)
-    }
-
-  // "the two courses most often taken together" — the top co-occurring
-  // pair through the fact's other FK
-  private val pairCoOccurRe =
-    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+most\s+" +
-      raw"(?:often|frequently|commonly)\s+([a-z]+)\s+together\b").r
-
-  // "the two courses with the most students in common" — same top pair,
-  // phrased through the shared entity; the entity word must resolve to
-  // the fact's co-occurrence key dimension
-  private val pairInCommonRe =
-    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+common\b").r
-
-  /** Top co-occurring pair: "the two Js most often Ved together" →
-    * fact self-joined on its OTHER fk (the co-occurrence key) with
-    * `jfk1 < jfk2` so each unordered pair appears once, grouped by the
-    * pair, top-1 by count via TakeOrderedAndProject. Per co-occurrence
-    * key the join emits k·(k−1)/2 pairs — bounded by the per-entity
-    * fan-out (a student's courses), not the corpus; the dimension join
-    * for display names happens AFTER pair counting would be wrong
-    * (names are the group key in the gold), so both fact sides join the
-    * broadcast dimension first and the aggregate groups on names. */
-  def pairCoOccurrenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] = {
-    // two phrasings, one plan: "most often taken together" leaves the
-    // co-occurrence key implicit (any other FK of the fact); "with the
-    // most Es in common" NAMES it, so the E word must resolve to that
-    // dimension or the shape stays silent
-    val matched: Option[(String, Option[String])] =
-      pairCoOccurRe.findFirstMatchIn(question).map(m => (m.group(1), None))
-        .orElse(pairInCommonRe.findFirstMatchIn(question)
-          .map(m => (m.group(1), Some(m.group(2)))))
-    matched.toSeq.flatMap { case (jWord, eWord) =>
-      (for {
-        dimJ <- uniqueTable(slice, jWord).toSeq
-        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable != dimJ &&
-            eWord.forall(w => uniqueTable(slice, w).contains(e2.toTable)))).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          eWord.forall(w => uniqueTable(slice, w).contains(e.toTable))).toSeq
-      } yield Candidate(
-        s"SELECT j1.$nameCol AS ${nameCol}_a, j2.$nameCol AS ${nameCol}_b " +
-          s"FROM ${eJ.fromTable} f1 JOIN ${eJ.fromTable} f2 " +
-          s"ON f1.${eE.fromColumn} = f2.${eE.fromColumn} " +
-          s"AND f1.${eJ.fromColumn} < f2.${eJ.fromColumn} " +
-          s"JOIN $dimJ j1 ON j1.${eJ.toColumn} = f1.${eJ.fromColumn} " +
-          s"JOIN $dimJ j2 ON j2.${eJ.toColumn} = f2.${eJ.fromColumn} " +
-          s"GROUP BY j1.$nameCol, j2.$nameCol " +
-          s"ORDER BY COUNT(*) DESC, ${nameCol}_a, ${nameCol}_b LIMIT 1",
-        0.9, "template_pair_cooccurrence")).take(1)
-    }
-  }
-
-  // "students whose score in Algebra is above their average score" — a
-  // row compared against the row's OWN entity aggregate, anchored on a
-  // capitalized second-dimension value
-  // case-sensitive [A-Z] anchor (inline (?i:) groups, like coOccurRe):
-  // a lowercase word after "in" must never read as a display-name value
-  private val selfRelativeRe =
-    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:whose)\s+([a-z_][a-z0-9_]*)\s+(?i:in)\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\s+(?i:is)\s+(?i:(above|over|below|under))\s+" +
-      raw"(?i:their)\s+(?i:own\s+)?(?i:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Self-relative comparison: "Es whose V in NAME is above their avg
-    * V" → per-entity averages come from ONE grouped pass over the fact
-    * (shuffle on the fk to E), joined back on the same key; the NAME
-    * filter lands on the broadcast second dimension BEFORE the
-    * aggregate join, so only the anchor rows (one per entity) meet the
-    * per-entity averages. Both measure words must resolve to the same
-    * fact column — "score in Algebra ... average grade" fires
-    * nothing. The anchor dimension is chosen by MINED VALUE DOMAINS
-    * (the divisionCandidates rule): among the fact's other dimensions
-    * with a display column, prefer one whose domain contains NAME; with
-    * no domain hit the shape only proceeds when a single candidate
-    * dimension exists — a multi-dimension fact must never anchor NAME
-    * on the wrong table. */
-  def selfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    selfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val name = m.group(3).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eName <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        numCol2 <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
-        if numCol == numCol2
-        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          nameishColumn(slice.tables(e.toTable)).isDefined)
-        eJ <- {
-          val domainHit = candidateDims.filter(e =>
-            nameishColumn(slice.tables(e.toTable)).exists(nc =>
-              values(e.toTable).get(nc).exists(_.contains(m.group(3)))))
-          (if (domainHit.nonEmpty) domainHit.headOption
-           else if (candidateDims.size == 1) candidateDims.headOption
-           else None).toSeq
-        }
-        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$eName FROM ${eE.fromTable} f " +
-          s"JOIN ${eJ.toTable} j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"JOIN (SELECT ${eE.fromColumn} AS k, AVG($numCol) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) m ON m.k = f.${eE.fromColumn} " +
-          s"WHERE j.$jName = '$name' AND f.$numCol $op m.a " +
-          s"ORDER BY d.$eName LIMIT $DefaultLimit",
-        0.9, "template_self_relative")).take(1)
-    }
-
-  /** [[strongColumn]], falling back to a unique ABBREVIATION match:
-    * the column name shares the word's first three letters and its
-    * remaining letters appear in order inside the word ("dept" ⊑
-    * "department"). Both constraints plus uniqueness so a loose stem
-    * can never steal a resolution from a full-word hit. */
-  private def abbrevColumn(word: String, cols: Seq[String]): Option[String] =
-    strongColumn(word, cols).orElse {
-      val w = word.toLowerCase
-      def subseq(c: String): Boolean = {
-        var i = 0
-        w.foreach(ch => if (i < c.length && c(i) == ch) i += 1)
-        i == c.length
-      }
-      cols.filter { col =>
-        val c = col.toLowerCase
-        c.length >= 4 && w.length > c.length &&
-          w.startsWith(c.take(3)) && subseq(c)
-      } match {
-        case Seq(one) => Some(one)
-        case _ => None
-      }
-    }
-
-  // "students who took a course in every department" — division against
-  // the distinct values of a dimension ATTRIBUTE, not its rows
-  private val attrDivisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
-      raw"(?:a|an|some)\s+([a-z_][a-z0-9_]*)\s+(?:in|from|of)\s+" +
-      raw"(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Attribute division: "Es who Ved a J in every A" — the divisor is
-    * the DISTINCT COUNT of an attribute of the J dimension (every
-    * department), not the J rows themselves ([[divisionCandidates]]
-    * serves that form). Same plan shape: fact ⋈ two broadcast dims, one
-    * grouped aggregate on the entity KEY (same-named entities qualify
-    * individually), the divisor a one-row scalar subquery broadcast
-    * into HAVING. The attribute word resolves strong-or-abbreviation
-    * against the J dimension only ("department" → courses.dept) — a
-    * word matching nothing, or two columns, fires no candidate. */
-  def attrDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    attrDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM ${eE.fromTable} f " +
-          s"JOIN $dimE d ON f.${eE.fromColumn} = d.${eE.toColumn} " +
-          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn} " +
-          s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
-          s"HAVING COUNT(DISTINCT j.$attrCol) = " +
-          s"(SELECT COUNT(DISTINCT $attrCol) FROM $dimJ) " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_attr_division")).take(1)
-    }
-
-  // "the student with the most consistent scores" — an argmin/argmax
-  // over per-entity dispersion
-  private val variabilityRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+(most|least)\s+" +
-      raw"(consistent|stable|uniform|variable|volatile|erratic|inconsistent)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Dispersion argmin/argmax: "the E with the most consistent Vs" →
-    * rank entities by per-group `STDDEV_SAMP` ("most consistent" =
-    * smallest). Single-row groups are excluded (`HAVING COUNT(*) >= 2`
-    * — sample stddev is NULL there, and "consistency" of one value is
-    * meaningless); the aggregate is one partial+final pass on the fact,
-    * top-1 via TakeOrderedAndProject with the entity key breaking
-    * ties. The answer is the fact's fk column — no dimension join. */
-  def variabilityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    variabilityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val lowDispersion = Set("consistent", "stable", "uniform")(m.group(3).toLowerCase)
-      val dir = if ((m.group(2).toLowerCase == "most") == lowDispersion) "ASC" else "DESC"
-      val noun = m.group(4)
-      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(valueWord, slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(valueWord, slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
-          s"STDDEV_SAMP($numCol) AS sd FROM ${e.fromTable} " +
-          s"GROUP BY ${e.fromColumn} HAVING COUNT(*) >= 2) t " +
-          s"ORDER BY sd $dir, ${e.fromColumn} LIMIT 1",
-        0.9, "template_variability")).take(1)
-    }
-
-  // "for each course, the share of scores above the course average" — a
-  // per-group share measured against the group's OWN average
-  private val groupSelfShareRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
-      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(above|over|below|under)\s+(?:the|its|their)\s+" +
-      raw"(?:\1\s+|own\s+|group\s+)?(?:average|avg|mean)\b").r
-
-  /** Per-group self-relative share: "for each G, the share of Ts above
-    * the G average" — the threshold is the group's own `AVG`, so the
-    * plan is one window pass (`AVG OVER (PARTITION BY G)`) feeding one
-    * grouped aggregate on the SAME key: Spark exchanges on G once and
-    * the aggregate reuses that partitioning — never two scans joined.
-    * [[conditionalShareCandidates]] serves the numeric-threshold form;
-    * this one requires the group word (or own/group) before
-    * "average", backreferenced so "the course average" can't fire on an
-    * unrelated grouping. */
-  def groupSelfShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupSelfShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val scale = if (m.group(2).toLowerCase == "fraction") "1.0" else "100.0"
-      val noun = m.group(3)
-      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
-      (for {
-        fact <- uniqueTable(slice, noun).toSeq
-        numCol <- strongColumn(valueWord, slice.tables(fact)).toSeq
-        groupCol <- uniqueTable(slice, m.group(1))
-          .flatMap(g => fks.find(e => e.fromTable == fact && e.toTable == g).map(_.fromColumn))
-          .orElse(strongColumn(m.group(1), slice.tables(fact).filterNot(_ == numCol))).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol, ROUND($scale * SUM(CASE WHEN $numCol $op a THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value FROM (SELECT $groupCol, $numCol, " +
-          s"AVG($numCol) OVER (PARTITION BY $groupCol) AS a FROM $fact) t " +
-          s"GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_group_self_share")).take(1)
-    }
-
-  // "courses taken by at least half of the students" — division against
-  // a FRACTION of the divisor dimension, not all of it
-  private val relativeDivisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+(at\s+least|more\s+than|over)\s+" +
-      raw"(half|a\s+quarter|three\s+quarters|\d+(?:\.\d+)?\s*(?:%|percent))\s+of\s+" +
-      raw"(?:the\s+|all\s+)?([a-z_][a-z0-9_]*)\b").r
-
-  /** Relative division: "Js Ved by at least half of the Es" — like
-    * [[divisionCandidates]] but the divisor is a FRACTION of the E
-    * dimension's row count and the ANSWER is the J dimension. One
-    * grouped aggregate on the J key (fact joined to J for the display
-    * name only — E's members are counted through the fact's fk, no E
-    * join), the fractional divisor a one-row scalar folded into the
-    * broadcast HAVING filter. Fraction words map to exact decimals
-    * (half → 0.5); an unmappable fraction fires no candidate rather
-    * than approximating. */
-  def relativeDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    relativeDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).toLowerCase.replaceAll("\\s+", " ") == "at least") ">=" else ">"
-      val fracWord = m.group(3).toLowerCase.replaceAll("\\s+", " ")
-      val frac: Option[String] = fracWord match {
-        case "half" => Some("0.5")
-        case "a quarter" => Some("0.25")
-        case "three quarters" => Some("0.75")
-        case p if p.endsWith("%") || p.endsWith("percent") =>
-          Some((p.replaceAll(raw"\s*(%|percent)$$", "").toDouble / 100.0).toString)
-        case _ => None
-      }
-      (for {
-        f <- frac.toSeq
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT j.$nameCol FROM ${eJ.fromTable} f " +
-          s"JOIN $dimJ j ON f.${eJ.fromColumn} = j.${eJ.toColumn} " +
-          s"GROUP BY j.${eJ.toColumn}, j.$nameCol " +
-          s"HAVING COUNT(DISTINCT f.${eE.fromColumn}) $op $f * " +
-          s"(SELECT COUNT(*) FROM $dimE) " +
-          s"ORDER BY j.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_relative_division")).take(1)
-    }
-
-  // "students ranked in the top 3 of each course by score" — the
-  // MEMBERS of every group's top-k, not the per-group winners
-  private val groupTopkMembersRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:ranked\s+|ranking\s+|who\s+rank(?:ed)?\s+)?" +
-      raw"in\s+the\s+(top|bottom)\s+(\d+)\s+(?:of|in|for)\s+(?:each|every)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Group-top-k membership: "Es ranked in the top N of each G by V" →
-    * RANK partitioned by the fact's fk-to-G over V, keep rnk <= N,
-    * DISTINCT display names of the surviving entity keys. RANK (not
-    * ROW_NUMBER) so ties at the boundary all qualify — membership must
-    * not depend on partition delivery order. The window runs over the
-    * fact partitioned by group (bounded per-partition by
-    * `BoundedRankPrefilter`, plans/RankLimit.scala); the entity
-    * dimension joins AFTER the rank filter, at |survivors| size. */
-  def groupTopkMembersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupTopkMembersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "top") "DESC" else "ASC"
-      val noun = m.group(5)
-      val valueWord = if (noun.endsWith("s")) noun.dropRight(1) else noun
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimG <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimG
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimG))
-        eG <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimG).toSeq
-        numCol <- strongColumn(valueWord, slice.tables(eE.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$nameCol FROM (SELECT ${eE.fromColumn}, " +
-          s"RANK() OVER (PARTITION BY ${eG.fromColumn} ORDER BY $numCol $dir) AS rnk " +
-          s"FROM ${eE.fromTable}) t " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
-          s"WHERE t.rnk <= ${m.group(3)} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_group_topk_members")).take(1)
-    }
-
-  // "the course whose average score differs most from the overall
-  // average" — argmax over |group aggregate − global aggregate|
-  private val deviationArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:differs|deviates)\s+(?:the\s+)?(most|least)\s+" +
-      raw"from\s+the\s+overall\s+(average|avg|mean|total|sum)\b").r
-
-  /** Deviation argmax: "the E whose avg V differs most from the overall
-    * avg" → rank groups by `ABS(agg − scalar)`. The global aggregate is
-    * a one-row scalar subquery broadcast into every group row; the
-    * grouped side is one partial+final pass over the fact, then top-1
-    * via TakeOrderedAndProject with the fk key breaking ties — the
-    * answer is the fact's fk column, no dimension join (same contract
-    * as [[nthAggCandidates]]). "least" flips to ASC. */
-  def deviationArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    deviationArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def aggOf(word: String) = word.toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val dir = if (m.group(4).toLowerCase == "most") "DESC" else "ASC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, " +
-          s"ABS(${aggOf(m.group(2))}($numCol) - " +
-          s"(SELECT ${aggOf(m.group(5))}($numCol) FROM ${e.fromTable})) AS dev " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"ORDER BY dev $dir, ${e.fromColumn} LIMIT 1",
-        0.9, "template_deviation_argmax")).take(1)
-    }
-
-  /** Same-dimension grouped argmax: "for each A, the J with the highest
-    * avg V" where A is an ATTRIBUTE of the ranked entity's OWN dimension
-    * ("for each department, the course with the highest average score" —
-    * dept and course_name both live on courses). The cross-dimension
-    * form is [[groupedArgmax2Candidates]]; this variant joins the single
-    * broadcast dimension for both the group attribute and the display
-    * name, aggregates on (attr, name), and ranks the GROUP ROWS ONLY —
-    * |attr × entities| rows, never the fact. The attribute resolves
-    * strong-or-abbreviation ("department" → dept) against the entity
-    * dimension alone. Listed AFTER the cross-dimension template so an
-    * attr word resolving on another dimension keeps its round-7c
-    * serving. */
-  def sameDimArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupedArgmax2Re.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val lowest = Set("lowest", "smallest", "minimum", "min")(m.group(3).toLowerCase)
-      val dir = if (lowest) "ASC" else "DESC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
-        if nameCol != attrCol
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined)
-        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol, $nameCol FROM (" +
-          s"SELECT d.$attrCol AS $attrCol, d.$nameCol AS $nameCol, " +
-          s"RANK() OVER (PARTITION BY d.$attrCol ORDER BY $agg(f.$numCol) $dir, d.$nameCol) AS rnk " +
-          s"FROM ${eJ.fromTable} f JOIN $dimJ d ON f.${eJ.fromColumn} = d.${eJ.toColumn} " +
-          s"GROUP BY d.$attrCol, d.$nameCol) t WHERE rnk = 1 " +
-          s"ORDER BY $attrCol LIMIT $DefaultLimit",
-        0.9, "template_same_dim_argmax")).take(1)
-    }
-
-  // "students whose scores span more than 40 points" — a per-entity
-  // range (MAX − MIN) threshold
-  private val rangeHavingRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)s?\s+" +
-      raw"(?:span|vary\s+by|range\s+over)\s+(more\s+than|over|at\s+least)\s+" +
-      raw"(\d+(?:\.\d+)?)(?:\s+points?)?\b").r
-
-  /** Range HAVING: "Es whose Vs span more than N points" → one grouped
-    * pass on the fact's fk computes MAX and MIN together (one
-    * partial+final aggregate, one shuffle), the range threshold filters
-    * in HAVING, display names join at survivor size. "at least" keeps
-    * equality. */
-  def rangeHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    rangeHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(3).toLowerCase.replaceAll("\\s+", " ") == "at least") ">=" else ">"
-      val word = m.group(2)
-      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM ${e.fromTable} f " +
-          s"JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn} " +
-          s"GROUP BY d.${e.toColumn}, d.$nameCol " +
-          s"HAVING MAX(f.$numCol) - MIN(f.$numCol) $op ${m.group(4)} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_range_having")).take(1)
-    }
-
-  // "the year with the biggest improvement in average score" — argmax
-  // over the consecutive-period DELTA of a per-period aggregate
-  private val trendArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(biggest|largest|greatest|smallest)\s+" +
-      raw"(improvement|increase|rise|jump|gain|drop|decrease|decline|fall)\s+in\s+" +
-      raw"(?:the\s+)?(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Trend argmax: "the T with the biggest improvement in avg V" → the
-    * fact collapses to one aggregate per period (partial+final, the
-    * only corpus pass), LAG over the |periods| group rows computes the
-    * consecutive delta, top-1 by delta. The single-partition window is
-    * over PERIODS (years, months — intrinsically bounded), never the
-    * fact. Falling words ("drop") rank the most NEGATIVE delta first;
-    * "smallest improvement" the least positive. */
-  def trendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val falling = Set("drop", "decrease", "decline", "fall")(m.group(3).toLowerCase)
-      val smallest = m.group(2).toLowerCase == "smallest"
-      // rising words rank delta DESC (biggest positive change first);
-      // falling words ASC; "smallest" flips either reading
-      val dir = (falling, smallest) match {
-        case (false, false) => "DESC"
-        case (false, true) => "ASC"
-        case (true, false) => "ASC"
-        case (true, true) => "DESC"
-      }
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
-            strongColumn(m.group(5), slice.tables(t)).isDefined).toSeq
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(fact)).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT $periodCol FROM (" +
-          s"SELECT $periodCol, $agg($numCol) - " +
-          s"LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS delta " +
-          s"FROM $fact GROUP BY $periodCol) t " +
-          s"WHERE delta IS NOT NULL ORDER BY delta $dir, $periodCol LIMIT 1",
-        0.9, "template_trend_argmax")).take(1)
-    }
-
-  // "students whose average score improved every year" — a per-period
-  // aggregate that must move in one direction across ALL consecutive
-  // periods of the entity
-  private val monotonicTrendRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(improved|increased|rose|grew|went\s+up|" +
-      raw"decreased|declined|dropped|fell|went\s+down)\s+" +
-      raw"(?:in\s+)?(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Monotonic trend: "Es whose avg V improved every T" → the fact
-    * collapses to one row per (entity, period) FIRST (partial+final
-    * aggregate — the only corpus-sized pass), then LAG partitioned by
-    * the entity key orders the handful of period rows per entity, and a
-    * grouped MIN over the step indicator keeps entities whose every
-    * consecutive step moves the right way (single-period entities have
-    * no step to satisfy, so COUNT(*) >= 2 keeps "every" meaningful).
-    * The window input is |entities|·|periods|, never the fact, so the
-    * WindowExec is bounded; display names join at survivor size. */
-  def monotonicTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    monotonicTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val up = Set("improved", "increased", "rose", "grew")(
-        m.group(4).toLowerCase.replaceAll("\\s+", " ")) ||
-        m.group(4).toLowerCase.startsWith("went up")
-      val op = if (up) ">" else "<"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined &&
-          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-        periodCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
-        if periodCol != numCol
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM (" +
-          s"SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, $agg($numCol) AS a, " +
-          s"LAG($agg($numCol)) OVER (PARTITION BY ${e.fromColumn} ORDER BY $periodCol) AS prev " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) t " +
-          s"GROUP BY ${e.fromColumn} " +
-          s"HAVING MIN(CASE WHEN prev IS NULL OR a $op prev THEN 1 ELSE 0 END) = 1 " +
-          s"AND COUNT(*) >= 2) m " +
-          s"JOIN $dimE d ON d.${e.toColumn} = m.${e.fromColumn} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_monotonic_trend")).take(1)
-    }
-
-  // "students who scored above the course average in every course they
-  // took" — a universal quantifier over the row-vs-its-GROUP-average
-  // comparison (the group is the fact's other dimension)
-  private val universalSelfRelativeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+([a-z]+)\s+(above|over|below|under)\s+" +
-      raw"the\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+in\s+" +
-      raw"(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Universal self-relative: "Es who Ved above the J average in every
-    * J" → per-J averages come from ONE grouped pass over the fact
-    * (|J| rows, broadcast back), each fact row compares against its
-    * group's average, and a grouped MIN over the indicator keeps
-    * entities whose EVERY row clears the bar — a join-then-aggregate
-    * shape, not a WindowExec over the corpus (the grouped side is
-    * dimension-sized, so Catalyst broadcasts it and the only corpus
-    * shuffle is the final entity aggregate). The measure resolves from
-    * the verb's stem ("scored" → score); both J words must name the
-    * same dimension. */
-  def universalSelfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalSelfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(3).toLowerCase)) ">" else "<"
-      val verb = m.group(2).toLowerCase
-      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ && uniqueTable(slice, m.group(5)).contains(dimJ)
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          fks.exists(e2 => e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eE.fromTable))).headOption.toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM (" +
-          s"SELECT f.${eE.fromColumn} FROM ${eE.fromTable} f " +
-          s"JOIN (SELECT ${eJ.fromColumn} AS k, AVG($numCol) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eJ.fromColumn}) g ON g.k = f.${eJ.fromColumn} " +
-          s"GROUP BY f.${eE.fromColumn} " +
-          s"HAVING MIN(CASE WHEN f.$numCol $op g.a THEN 1 ELSE 0 END) = 1) m " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_universal_self_relative")).take(1)
-    }
-
-  // "students who took every course taken by Ada Adams" — division
-  // where the divisor is the J-set of a NAMED EXAMPLE entity
-  // (case-sensitive name anchor, like selfRelativeRe)
-  private val divisionByExampleRe =
-    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+(?i:every|each|all)\s+" +
-      raw"([a-z_][a-z0-9_]*)s?\s+[a-z]+\s+(?i:by)\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
-
-  /** Division by example: "Es who Ved every J Ved by NAME" → the
-    * divisor is the DISTINCT J-set of the entities named NAME (several
-    * rows may share the display name — the divisor unions their Js, the
-    * only reading that keeps "every J taken by NAME" well-defined).
-    * Both the IN-filter and the HAVING divisor reuse the same
-    * name-anchored subquery; the anchor subquery is entity-sized and
-    * broadcast, the outer pass is one grouped distinct-count on the
-    * fact — the [[divisionCandidates]] plan with the divisor swapped
-    * from a dimension count to an example-entity count. */
-  def divisionByExampleCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    divisionByExampleRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val name = m.group(3).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield {
-        val anchor = s"FROM ${eE.fromTable} af JOIN $dimE a " +
-          s"ON a.${eE.toColumn} = af.${eE.fromColumn} WHERE a.$nameCol = '$name'"
-        Candidate(
-          s"SELECT d.$nameCol FROM $dimE d " +
-            s"JOIN ${eE.fromTable} f ON f.${eE.fromColumn} = d.${eE.toColumn} " +
-            s"WHERE f.${eJ.fromColumn} IN (SELECT af.${eJ.fromColumn} $anchor) " +
-            s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
-            s"HAVING COUNT(DISTINCT f.${eJ.fromColumn}) = " +
-            s"(SELECT COUNT(DISTINCT af.${eJ.fromColumn}) $anchor) " +
-            s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-          0.9, "template_division_by_example")
-      }).take(1)
-    }
-
-  // "the most popular course among grade 9 students" — fact-popularity
-  // argmax under an entity-attribute filter
-  private val filteredPopularityRe =
-    (raw"(?i)\bthe\s+most\s+popular\s+([a-z_][a-z0-9_]*)\s+among\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(\d+(?:\.\d+)?)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** A column of `cols` the word resolves to strongly OR as the unique
-    * name PREFIX ("grade" → grade_level) — attribute phrases routinely
-    * shorten compound column names. */
-  private def prefixColumn(word: String, cols: Seq[String]): Option[String] =
-    strongColumn(word, cols).orElse {
-      cols.filter(_.toLowerCase.startsWith(word.toLowerCase + "_")) match {
-        case Seq(one) => Some(one)
-        case _ => None
-      }
-    }
-
-  /** Filtered popularity: "the most popular J among A-N Es" ("grade 9
-    * students") → the attribute phrase filters the ENTITY dimension
-    * (prefix-resolved: "grade" → grade_level), popularity is the fact
-    * row count per J under that filter, top-1 via
-    * TakeOrderedAndProject. Both dimensions broadcast; the filter
-    * pushes to the entity dimension scan BEFORE its join. */
-  def filteredPopularityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    filteredPopularityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        attrCol <- prefixColumn(m.group(2), slice.tables(dimE)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
-          s"JOIN $dimE e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"WHERE e.$attrCol = ${m.group(3)} " +
-          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
-          s"ORDER BY COUNT(*) DESC, j.$jName LIMIT 1",
-        0.9, "template_filtered_popularity")).take(1)
-    }
-
-  // "courses where the top scorer is younger than 16" — per-group
-  // argmax entity, filtered by an entity attribute
-  private val argmaxAttrFilterRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+(top|best|bottom|worst)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+(younger|older)\s+than\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Argmax-attribute filter: "Js where the top Ver is younger than N"
-    * → RANK per J over the fact by the verb-stem measure ("scorer" →
-    * score), keep rank 1 (ties: ANY top scorer qualifying keeps the J —
-    * the DISTINCT group-by), join the entity dimension at
-    * top-rows size for the age comparison ("younger" < / "older" >,
-    * resolved against an age-named entity column). The window is
-    * per-group over the fact with a rank-1 bound —
-    * `BoundedRankPrefilter` (plans/RankLimit.scala) caps each
-    * partition's input. */
-  def argmaxAttrFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    argmaxAttrFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("top", "best")(m.group(2).toLowerCase)) "DESC" else "ASC"
-      val cmp = if (m.group(4).toLowerCase == "younger") "<" else ">"
-      val verb = m.group(3).toLowerCase
-      val stems = Seq(verb, verb.stripSuffix("r"), verb.stripSuffix("er"),
-        verb.stripSuffix("rs"), verb.stripSuffix("ers")).distinct
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          stems.exists(s => strongColumn(s, slice.tables(e.fromTable)).isDefined))
-        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eJ.fromTable))).headOption.toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn("age", slice.tables(e.toTable)).isDefined).toSeq
-        ageCol <- strongColumn("age", slice.tables(eE.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT j.$jName FROM (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, " +
-          s"RANK() OVER (PARTITION BY ${eJ.fromColumn} ORDER BY $numCol $dir) AS r " +
-          s"FROM ${eJ.fromTable}) t " +
-          s"JOIN ${eE.toTable} e ON e.${eE.toColumn} = t.${eE.fromColumn} " +
-          s"JOIN $dimJ j ON j.${eJ.toColumn} = t.${eJ.fromColumn} " +
-          s"WHERE t.r = 1 AND e.$ageCol $cmp ${m.group(5)} " +
-          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
-          s"ORDER BY j.$jName LIMIT $DefaultLimit",
-        0.9, "template_argmax_attr_filter")).take(1)
-    }
-
-  // "the pair of students with the most similar average scores" —
-  // argmin over pairwise aggregate differences
-  private val pairArgminAggRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"similar\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)s?\b").r
-
-  /** Pair argmin over aggregates: "the pair of Es with the most similar
-    * avg V" → NOT a pairwise self-join: in one dimension the closest
-    * pair is always ADJACENT in sorted order, so the plan is one
-    * grouped aggregate (the only corpus pass), a window over the
-    * |entities| GROUP ROWS sorted by (aggregate, key), LAG for the
-    * adjacent delta, top-1. Entity-count work is linear, not quadratic.
-    * Ties normalize through LEAST/GREATEST + the (delta, a, b) order,
-    * which selects the same pair as the quadratic definition: with
-    * distinct aggregates every minimal pair is adjacent (1-D closest
-    * pair), and with ties the lexicographically-first zero-delta pair
-    * is two id-consecutive members of the same aggregate group —
-    * adjacent under the (aggregate, key) sort. */
-  def pairArgminAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    pairArgminAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val word = m.group(3)
-      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-      } yield {
-        val k = e.fromColumn
-        Candidate(
-          s"SELECT ${k}_a, ${k}_b FROM (" +
-            s"SELECT LEAST(k, LAG(k) OVER (ORDER BY a, k)) AS ${k}_a, " +
-            s"GREATEST(k, LAG(k) OVER (ORDER BY a, k)) AS ${k}_b, " +
-            s"ABS(a - LAG(a) OVER (ORDER BY a, k)) AS delta " +
-            s"FROM (SELECT $k AS k, $agg($numCol) AS a " +
-            s"FROM ${e.fromTable} GROUP BY $k) g) t " +
-            s"WHERE delta IS NOT NULL " +
-            s"ORDER BY delta ASC, ${k}_a, ${k}_b LIMIT 1",
-          0.9, "template_pair_argmin_agg")
-      }).take(1)
-    }
-
-  // "courses whose average score is above the median course average" —
-  // per-group aggregate vs the MEDIAN of all group aggregates
-  private val aggVsMedianRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|over|below|under)\s+the\s+median\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
-
-  /** Aggregate vs median-of-aggregates: "Js whose avg V is above the
-    * median J average" → the group rows compute once (one corpus pass,
-    * partial+final), the median of those |J| aggregates is a one-row
-    * scalar subquery broadcast into the filter. Catalyst evaluates the
-    * CTE-free double reference as two aggregates over the same scan —
-    * both group-rows-sized, the filter never touches the fact again. */
-  def aggVsMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    aggVsMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        if uniqueTable(slice, m.group(5)).contains(dimJ)
-        e <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (SELECT ${e.fromColumn}, AVG($numCol) AS a " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"WHERE a $op (SELECT MEDIAN(a) FROM (SELECT AVG($numCol) AS a " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) m) " +
-          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_agg_vs_median")).take(1)
-    }
-
-  // "students who share every course with another student" — entities
-  // with an IDENTICAL J-set to some other entity
-  private val setEqualityRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+share\s+(?:every|all(?:\s+of)?\s+their)\s+" +
-      raw"([a-z_][a-z0-9_]*)s?\s+with\s+another\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Set equality: "Es who share every J with another E" → each
-    * entity's J-set collapses to ONE sorted-array SIGNATURE (a grouped
-    * collect_set — the only corpus pass), and entities join ON THE
-    * SIGNATURE: the shuffle key is the set itself, so only
-    * identical-set entities ever meet — no pairwise subset testing, no
-    * quadratic join. Display names join at survivor size. */
-  def setEqualityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    setEqualityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val jWord = m.group(2)
-      val jSingular = if (jWord.endsWith("s")) jWord.dropRight(1) else jWord
-      val eSingular = {
-        val w = m.group(1)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        // "another X" must name the same entity
-        if uniqueTable(slice, m.group(3)).contains(dimE) ||
-          eSingular == m.group(3).toLowerCase
-        dimJ <- uniqueTable(slice, jSingular).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"WITH sets AS (SELECT ${eE.fromColumn} AS k, " +
-          s"sort_array(collect_set(${eJ.fromColumn})) AS cs " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) " +
-          s"SELECT DISTINCT d.$nameCol FROM sets a JOIN sets b " +
-          s"ON a.cs = b.cs AND a.k <> b.k " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = a.k " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_set_equality")).take(1)
-    }
-
-  // "students whose best course by average score is in the math
-  // department" — per-entity argmax over joined aggregates, the winner
-  // filtered by a dimension attribute VALUE
-  private val entityArgmaxAttrRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(best|worst)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"by\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+is\s+in\s+" +
-      raw"(?:the\s+)?([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Per-entity argmax with attribute filter: "Es whose best J by avg V
-    * is in the M A" → one grouped aggregate per (E, J) pair (the only
-    * corpus pass), RANK partitioned by the entity key over those group
-    * rows, rank-1 winners join the broadcast J dimension where the
-    * attribute value filters them ("math" must be a MINED DOMAIN VALUE
-    * of the attribute column, resolved like [[divisionCandidates]]'s
-    * modifier — the no-fabrication bar; the attribute word
-    * abbreviation-resolves: "department" → dept). "worst" flips the
-    * rank direction. */
-  def entityArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    entityArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "best") "DESC" else "ASC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val value = m.group(6)
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
-        attrCol <- abbrevColumn(m.group(7), slice.tables(dimJ)).toSeq
-        // the value must belong to the attribute column's mined domain
-        if values(dimJ).get(attrCol).exists(_.contains(value))
-        eName <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$eName FROM (" +
-          s"SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
-          s"RANK() OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $agg($numCol) $dir, ${eJ.fromColumn}) AS r " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}, ${eJ.fromColumn}) t " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.${eJ.fromColumn} " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
-          s"WHERE t.r = 1 AND c.$attrCol = ${sqlLit(value)} " +
-          s"ORDER BY d.$eName LIMIT $DefaultLimit",
-        0.9, "template_entity_argmax_attr")).take(1)
-    }
-
-  // "the percentage of students who improved their average score from
-  // 2022 to 2023" — a global share over a per-entity two-period trend
-  private val trendShareRe =
-    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+who\s+" +
-      raw"(improved|increased|raised|grew|decreased|declined|dropped|lowered)\s+" +
-      raw"their\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"from\s+(\d+)\s+to\s+(\d+)\b").r
-
-  /** Trend share: "the percentage of Es who improved their avg V from
-    * Y1 to Y2" → both period aggregates as conditional CASE aggregates
-    * in ONE grouped pass (the [[trendCompareCandidates]] trick), the
-    * share computed over entities present in BOTH periods (an entity
-    * absent from either has no trend to state — the NULL filter defines
-    * the denominator). Two aggregates total: the grouped pass over the
-    * fact and a single-row collapse of the |E| group rows. */
-  def trendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val cmp = m.group(3).toLowerCase match {
-        case "decreased" | "declined" | "dropped" | "lowered" => "<"
-        case _ => ">"
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined &&
-          slice.tables(e.fromTable).exists(_.toLowerCase.contains("year"))).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(e.fromTable)).toSeq
-        yearCol <- slice.tables(e.fromTable).find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(100.0 * SUM(CASE WHEN a2 $cmp a1 THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value FROM (" +
-          s"SELECT ${e.fromColumn}, " +
-          s"$agg(CASE WHEN $yearCol = ${m.group(6)} THEN $numCol END) AS a1, " +
-          s"$agg(CASE WHEN $yearCol = ${m.group(7)} THEN $numCol END) AS a2 " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"WHERE a1 IS NOT NULL AND a2 IS NOT NULL",
-        0.9, "template_trend_share")).take(1)
-    }
-
-  // "courses taken by students in every grade level" — division where
-  // the divisor is the attribute domain of the ENTITY dimension
-  private val reverseAttrDivisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:in|from|of)\s+(?:every|each)\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Reverse attribute division: "Js Ved by Es in every A" where A is
-    * an attribute of the E dimension ("courses taken by students in
-    * every grade level") — the mirror of [[attrDivisionCandidates]]:
-    * group the fact by the J key, count DISTINCT E-attribute values
-    * through the broadcast E dimension, compare to the one-row domain
-    * cardinality subquery in HAVING. The attribute word
-    * abbreviation-resolves with spaces collapsed ("grade level" →
-    * grade_level). */
-  def reverseAttrDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    reverseAttrDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
-          s"JOIN $dimE e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
-          s"HAVING COUNT(DISTINCT e.$attrCol) = " +
-          s"(SELECT COUNT(DISTINCT $attrCol) FROM $dimE) " +
-          s"ORDER BY j.$jName LIMIT $DefaultLimit",
-        0.9, "template_reverse_attr_division")).take(1)
-    }
-
-  // "the two departments with the most different average scores" —
-  // pair argmax over the aggregates of a JOINED-attribute grouping
-  private val joinedPairArgmaxRe =
-    (raw"(?i)\bthe\s+two\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"(?:different|dissimilar)\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)s?\b").r
-
-  /** Joined pair argmax: "the two As with the most different avg Vs"
-    * where A is an attribute of a dimension joined to the fact
-    * ("department" → courses.dept) → ONE grouped aggregate through the
-    * broadcast dimension (the only corpus pass), then the pair argmax
-    * runs over the GROUP ROWS — |attribute domain|² pairs, inherently
-    * bounded by the domain (departments, categories), never the corpus.
-    * The unordered pair appears once via `a.k < b.k`; ties resolve
-    * lexicographically, matching the quadratic definition exactly. */
-  def joinedPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val aWord = {
-        val w = m.group(1)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      val vWord = {
-        val w = m.group(3)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
-          abbrevColumn(aWord, slice.tables(e.toTable)).isDefined)
-        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        attrCol <- abbrevColumn(aWord, slice.tables(e.toTable)).toSeq
-      } yield Candidate(
-        s"WITH g AS (SELECT c.$attrCol AS k, $agg(f.$numCol) AS av " +
-          s"FROM ${e.fromTable} f JOIN ${e.toTable} c " +
-          s"ON c.${e.toColumn} = f.${e.fromColumn} GROUP BY c.$attrCol) " +
-          s"SELECT a.k AS ${attrCol}_a, b.k AS ${attrCol}_b " +
-          s"FROM g a JOIN g b ON a.k < b.k " +
-          s"ORDER BY ABS(a.av - b.av) DESC, ${attrCol}_a, ${attrCol}_b LIMIT 1",
-        0.9, "template_joined_pair_argmax")).take(1)
-    }
-
-  // "students who took more courses than the average student" —
-  // per-entity distinct count vs the average of all such counts
-  private val countVsAvgCountRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+[a-z]+\s+" +
-      raw"(more|fewer|less)\s+([a-z_][a-z0-9_]*)\s+than\s+the\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Count vs average count: "Es who V more Js than the average E" →
-    * the per-entity DISTINCT J count computes once per entity key (one
-    * grouped pass over the fact), the average of those |E| counts is a
-    * one-row scalar subquery broadcast into the filter, and display
-    * names join at survivor size. The comparison entity ("the average
-    * student") must name the SAME dimension. */
-  def countVsAvgCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    countVsAvgCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).toLowerCase == "more") ">" else "<"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        if uniqueTable(slice, m.group(4)).contains(dimE)
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield {
-        val grouped = s"SELECT ${eE.fromColumn}, COUNT(DISTINCT ${eJ.fromColumn}) AS n " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}"
-        Candidate(
-          s"SELECT d.$nameCol FROM ($grouped) t " +
-            s"JOIN $dimE d ON d.${eE.toColumn} = t.${eE.fromColumn} " +
-            s"WHERE t.n $op (SELECT AVG(n) FROM ($grouped) m) " +
-            s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-          0.9, "template_count_vs_avg_count")
-      }).take(1)
-    }
-
-  // "for each grade level, the percentage of scores above 80" — a
-  // conditional share within groups defined by a JOINED attribute
-  private val joinedCondShareRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s*,?\s+the\s+" +
-      raw"(percentage|percent|share|fraction)\s+of\s+([a-z_][a-z0-9_]*)s?\s+" +
-      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Joined conditional share: "for each A, the percentage of Vs above
-    * N" where A is an attribute on a dimension joined to the fact
-    * ("grade level" → students.grade_level) → the conditional count and
-    * the total share ONE grouped pass through the broadcast dimension
-    * join; group keys are the attribute values. The same-table group
-    * form belongs to [[conditionalShareCandidates]] — this fires only
-    * when the group word resolves on a JOINED dimension, so the two
-    * never compete. */
-  def joinedCondShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedCondShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      val vWord = {
-        val w = m.group(3)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
-          abbrevColumn(attrWord, slice.tables(e.toTable)).isDefined)
-        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(e.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT e.$attrCol, ROUND(100.0 * SUM(CASE WHEN f.$numCol $op ${m.group(5)} " +
-          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
-          s"FROM ${e.fromTable} f JOIN ${e.toTable} e " +
-          s"ON e.${e.toColumn} = f.${e.fromColumn} " +
-          s"GROUP BY e.$attrCol ORDER BY e.$attrCol LIMIT $DefaultLimit",
-        0.9, "template_joined_cond_share")).take(1)
-    }
-
-  // "the department with the highest ratio of A grades" — argmax over a
-  // conditional ratio within joined-attribute groups
-  private val joinedRatioArgmaxRe =
-    (raw"\bthe\s+([a-z_][a-z0-9_]*)\s+(?i:with)\s+(?i:the)\s+(?i:(highest|lowest))\s+" +
-      raw"(?i:ratio|share|percentage|fraction)\s+(?i:of)\s+" +
-      raw"([A-Z][\w'-]*|\d+)\s+([a-z_][a-z0-9_]*)s?\b").r
-
-  /** Joined ratio argmax: "the A with the highest ratio of X Vs" ("the
-    * department with the highest ratio of A grades") → conditional
-    * count and total in ONE grouped pass through the broadcast
-    * dimension join, argmax over the |attribute domain| group rows via
-    * TakeOrderedAndProject. The matched value X is CASE-SENSITIVE
-    * (capitalized or numeric — "a grades" never reads as a value); the
-    * category column strong-resolves on the fact, the attribute
-    * abbreviation-resolves on a joined dimension. */
-  def joinedRatioArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedRatioArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "highest") "DESC" else "ASC"
-      val vWord = {
-        val w = m.group(4)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
-        catCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        attrCol <- abbrevColumn(m.group(1), slice.tables(e.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol FROM (SELECT c.$attrCol AS $attrCol, " +
-          s"CAST(SUM(CASE WHEN f.$catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*) AS r " +
-          s"FROM ${e.fromTable} f JOIN ${e.toTable} c " +
-          s"ON c.${e.toColumn} = f.${e.fromColumn} GROUP BY c.$attrCol) t " +
-          s"ORDER BY r $dir, $attrCol LIMIT 1",
-        0.9, "template_joined_ratio_argmax")).take(1)
-    }
-
-  // "students with a score at least as high as every score in Algebra"
-  // — a >= ALL / <= ALL comparison against a name-anchored subset
-  private val universalComparisonRe =
-    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:with)\s+(?i:a|an)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?i:at\s+least\s+as\s+(high|large|great|big)|at\s+most\s+as\s+(low|small|little))\s+" +
-      raw"(?i:as)\s+(?i:every|each|any)\s+([a-z_][a-z0-9_]*)\s+(?i:in)\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
-
-  /** Universal comparison: "Es with a V at least as high as every V in
-    * NAME" → `V >= ALL (subset)` ⟺ `V >= (SELECT MAX(V) FROM subset)` —
-    * the quantifier collapses to a one-row extreme broadcast into the
-    * filter, never a per-row ALL comparison. The NAME anchors the
-    * second dimension (mined domains first, single candidate
-    * otherwise, like [[selfRelativeCandidates]]); both V words must
-    * resolve to the same fact column. */
-  def universalComparisonCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    universalComparisonRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val high = m.group(3) != null
-      val (op, ext) = if (high) (">=", "MAX") else ("<=", "MIN")
-      val name = m.group(6).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eName <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined)
-        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        numCol2 <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
-        if numCol == numCol2
-        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          nameishColumn(slice.tables(e.toTable)).isDefined)
-        eJ <- {
-          val domainHit = candidateDims.filter(e =>
-            nameishColumn(slice.tables(e.toTable)).exists(nc =>
-              values(e.toTable).get(nc).exists(_.contains(m.group(6)))))
-          (if (domainHit.nonEmpty) domainHit.headOption
-           else if (candidateDims.size == 1) candidateDims.headOption
-           else None).toSeq
-        }
-        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$eName FROM ${eE.fromTable} f " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"WHERE f.$numCol $op (SELECT $ext(f2.$numCol) FROM ${eE.fromTable} f2 " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = f2.${eJ.fromColumn} " +
-          s"WHERE c.$jName = '$name') " +
-          s"ORDER BY d.$eName LIMIT $DefaultLimit",
-        0.9, "template_universal_comparison")).take(1)
-    }
-
-  // "the median age of students who took Biology" — a scalar aggregate
-  // over entities selected through a name-anchored join
-  private val filteredScalarAggRe =
-    (raw"\bthe\s+(?i:(median|average|avg|mean))\s+([a-z_][a-z0-9_]*)\s+(?i:of)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
-
-  /** Filtered scalar aggregate: "the median A of Es who Ved NAME" → the
-    * qualifying entity keys come from an IN-subquery (fact ⋈ broadcast
-    * second dimension, name-filtered — Catalyst plans a semi-join), and
-    * the aggregate runs over the surviving DIMENSION rows — entity
-    * attribute values never join through the fact, so each qualifying
-    * entity counts ONCE regardless of its fact fan-out. The attribute
-    * strong-resolves on the entity dimension, the NAME anchors the
-    * second dimension by mined domains (single candidate otherwise). */
-  def filteredScalarAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    filteredScalarAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(1).toLowerCase match {
-        case "median" => "MEDIAN"
-        case _ => "AVG"
-      }
-      val name = m.group(4).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        attrCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        candidateDims = fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          nameishColumn(slice.tables(e.toTable)).isDefined)
-        eJ <- {
-          val domainHit = candidateDims.filter(e =>
-            nameishColumn(slice.tables(e.toTable)).exists(nc =>
-              values(e.toTable).get(nc).exists(_.contains(m.group(4)))))
-          (if (domainHit.nonEmpty) domainHit.headOption
-           else if (candidateDims.size == 1) candidateDims.headOption
-           else None).toSeq
-        }
-        jName <- nameishColumn(slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT $agg(d.$attrCol) AS agg_value FROM $dimE d " +
-          s"WHERE d.${eE.toColumn} IN (SELECT f.${eE.fromColumn} " +
-          s"FROM ${eE.fromTable} f JOIN ${eJ.toTable} c " +
-          s"ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"WHERE c.$jName = '$name')",
-        0.9, "template_filtered_scalar_agg")).take(1)
-    }
-
-  // "the course taken by the widest range of grade levels" — argmax by
-  // the DISTINCT count of a joined attribute
-  private val joinedDistinctArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+" +
-      raw"(widest|broadest|largest|greatest|smallest|narrowest)\s+" +
-      raw"(?:range|variety|number|spread)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Joined distinct argmax: "the J Ved by the widest range of As" →
-    * group the fact by the J key, count DISTINCT attribute values
-    * through the broadcast entity dimension, top-1 via
-    * TakeOrderedAndProject over the group rows. The attribute phrase
-    * singularizes its last word and abbreviation-resolves ("grade
-    * levels" → grade_level) against a dimension joined to the fact. */
-  def joinedDistinctArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedDistinctArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("smallest", "narrowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      val attrWord = {
-        val parts = m.group(3).trim.split("\\s+")
-        val last = parts.last
-        (parts.init :+ (if (last.endsWith("s")) last.dropRight(1) else last))
-          .mkString("_")
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(attrWord, slice.tables(e.toTable)).isDefined).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(eE.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT j.$jName FROM ${eJ.fromTable} f " +
-          s"JOIN ${eE.toTable} e ON e.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"JOIN $dimJ j ON j.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY j.${eJ.toColumn}, j.$jName " +
-          s"ORDER BY COUNT(DISTINCT e.$attrCol) $dir, j.$jName LIMIT 1",
-        0.9, "template_joined_distinct_argmax")).take(1)
-    }
-
-  // "students whose scores rank in the top 10 percent overall" — a
-  // global percentile-rank threshold
-  private val percentileRankRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)s?\s+rank\s+in\s+" +
-      raw"the\s+(top|bottom)\s+(\d+(?:\.\d+)?)\s+(?:percent|%)\s+overall\b").r
-
-  /** Percentile-rank filter: "Es whose Vs rank in the top N percent
-    * overall" → PERCENT_RANK over the fact ordered by V, keep
-    * `pr >= 1 − N/100` ("bottom" keeps `pr <= N/100`), DISTINCT
-    * display names at survivor size. The global window mirrors the
-    * semantics exactly; at corpus scale the same answer comes from a
-    * precomputed quantile CUTOFF (`Sketches.kllQuantiles` /
-    * `Profiler.exactPercentiles`) broadcast into a plain filter —
-    * trading the global sort for one sketch merge when tie-boundary
-    * subtleties allow. */
-  def percentileRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    percentileRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val top = m.group(3).toLowerCase == "top"
-      val frac = m.group(4).toDouble / 100.0
-      val cond = if (top) s"t.pr >= ${1 - frac}" else s"t.pr <= $frac"
-      val word = m.group(2)
-      val vWord = if (word.endsWith("s")) word.dropRight(1) else word
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$nameCol FROM (SELECT ${e.fromColumn}, " +
-          s"PERCENT_RANK() OVER (ORDER BY $numCol) AS pr FROM ${e.fromTable}) t " +
-          s"JOIN $dimE d ON d.${e.toColumn} = t.${e.fromColumn} " +
-          s"WHERE $cond ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_percentile_rank")).take(1)
-    }
-
-  // "for each course, the gap between its average score and the
-  // department average" — per-group deviation from its PARENT group
-  private val nestedGroupDeviationRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
-      raw"(?:gap|difference)\s+between\s+its\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+and\s+the\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:average|avg|mean|total|sum)\b").r
-
-  /** Nested group deviation: "for each J, the gap between its avg V
-    * and the A average" where A is a coarser attribute on J's own
-    * dimension ("department" groups courses) → TWO aggregates over the
-    * same scan (fine: (J, A); coarse: A — the parent level aggregates
-    * ALL fact rows of the parent, not an average of averages), joined
-    * on the parent key: |J| × |A| group rows, the fact scans twice at
-    * worst (Catalyst reuses the exchange when it can), never a window
-    * over the corpus. */
-  def nestedGroupDeviationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    nestedGroupDeviationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
-        if attrCol != jName
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(3), slice.tables(e.fromTable)).isDefined)
-        numCol <- strongColumn(m.group(3), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $jName, ROUND(ca - da, 2) AS agg_value FROM (" +
-          s"SELECT c.$jName AS $jName, c.$attrCol AS attr_k, $agg(f.$numCol) AS ca " +
-          s"FROM ${eJ.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY c.$jName, c.$attrCol) x " +
-          s"JOIN (SELECT c.$attrCol AS attr_k, $agg(f.$numCol) AS da " +
-          s"FROM ${eJ.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol) y USING (attr_k) " +
-          s"ORDER BY $jName LIMIT $DefaultLimit",
-        0.9, "template_nested_group_deviation")).take(1)
-    }
-
-  // "students who took courses in more departments than Ada Adams" —
-  // per-entity distinct joined-attribute count vs a NAMED example's
-  private val countVsExampleRe =
-    (raw"\b([a-z_][a-z0-9_]*)\s+(?i:who|that|which)\s+[a-z]+\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?i:in)\s+(?i:(more|fewer))\s+" +
-      raw"([a-z_][a-z0-9_]*)s\s+(?i:than)\s+" +
-      raw"([A-Z][\w'-]*(?:\s+[A-Z][\w'-]*)*)\b").r
-
-  /** Count vs example: "Es who Ved Js in more As than NAME" → each
-    * entity's DISTINCT count of the attribute A (reached through the
-    * fact's J join) compared to the NAMED entity's own count — the
-    * example's count is a one-row scalar subquery broadcast into the
-    * filter (name-sharing rows union, as in
-    * [[divisionByExampleCandidates]]); the grouped pass over the fact
-    * runs once. */
-  def countVsExampleCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    countVsExampleRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(3).toLowerCase == "more") ">" else "<"
-      val name = m.group(5).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attrCol <- abbrevColumn(m.group(4), slice.tables(dimJ)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM (SELECT f.${eE.fromColumn} AS k, " +
-          s"COUNT(DISTINCT c.$attrCol) AS n FROM ${eE.fromTable} f " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY f.${eE.fromColumn}) t " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = t.k " +
-          s"WHERE t.n $op (SELECT COUNT(DISTINCT c.$attrCol) " +
-          s"FROM ${eE.fromTable} f JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"JOIN $dimE a ON a.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"WHERE a.$nameCol = '$name') " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_count_vs_example")).take(1)
-    }
-
-  // "the grade level whose students have the widest age range" — a
-  // purely dimension-side grouped range argmax
-  private val dimRangeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+" +
-      raw"(widest|largest|greatest|biggest|narrowest|smallest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+range\b").r
-
-  /** Dimension range argmax: "the A whose Es have the widest B range" —
-    * both the group attribute and the measured attribute live on the
-    * SAME dimension table, so the whole query is one grouped MAX−MIN
-    * pass over the dimension (no fact scan at all) with a
-    * TakeOrderedAndProject top-1. */
-  def dimRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    dimRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
-        if numCol != attrCol
-      } yield Candidate(
-        s"SELECT $attrCol FROM $dimE GROUP BY $attrCol " +
-          s"ORDER BY MAX($numCol) - MIN($numCol) $dir, $attrCol LIMIT 1",
-        0.9, "template_dim_range_argmax")).take(1)
-    }
-
-  // "courses where every student scored above their own average" — a
-  // universal quantifier where each row compares against the ROW
-  // ENTITY's aggregate, grouped by the OTHER dimension
-  private val universalOtherRelativeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+([a-z]+)\s+(above|over|below|under)\s+" +
-      raw"their\s+own\s+(?:average|avg|mean)\b").r
-
-  /** Universal other-relative: "Js where every E Ved above their own
-    * average" → per-ENTITY averages from one grouped pass (broadcast
-    * back on the entity key), each fact row compares against its OWN
-    * entity's bar, and a grouped MIN over the indicator — grouped by
-    * the J key this time — keeps the Js where EVERY row clears it. The
-    * dual of [[universalSelfRelativeCandidates]]: same two-aggregate
-    * plan, quantifier and comparison group swapped. */
-  def universalOtherRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalOtherRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val verb = m.group(3).toLowerCase
-      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        numCol <- stems.flatMap(s => strongColumn(s, slice.tables(eJ.fromTable))).headOption.toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT c.$jName FROM ${eJ.fromTable} s " +
-          s"JOIN (SELECT ${eE.fromColumn} AS k, AVG($numCol) AS a " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eE.fromColumn}) m ON m.k = s.${eE.fromColumn} " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.${eJ.toColumn}, c.$jName " +
-          s"HAVING MIN(CASE WHEN s.$numCol $op m.a THEN 1 ELSE 0 END) = 1 " +
-          s"ORDER BY c.$jName LIMIT $DefaultLimit",
-        0.9, "template_universal_other_relative")).take(1)
-    }
-
-  // "the average gap between a student's best and worst scores" —
-  // AVG over a per-entity MAX−MIN: two chained aggregates
-  private val avgOfRangeRe =
-    (raw"(?i)\bthe\s+(average|avg|mean)\s+(gap|difference|spread|range)\s+between\s+" +
-      raw"(?:a|an|each|every)\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
-      raw"(?:best|highest|top|largest|maximum)\s+and\s+" +
-      raw"(?:worst|lowest|bottom|smallest|minimum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average-of-range (ref `app/models/inference.py:151-213` reaches
-    * this shape only through LLM candidates): "the average D between an
-    * E's best and worst Vs" → inner grouped MAX/MIN on the entity key
-    * (partial+final — the only fact-sized pass, one shuffle on the fk),
-    * outer AVG collapsing |entities| rows to one. ROUND(…, 2) fixes the
-    * float so the answer is presentation-stable. */
-  def avgOfRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgOfRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
-          s"(SELECT MAX($numCol) AS mx, MIN($numCol) AS mn " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t",
-        0.9, "template_avg_of_range")).take(1)
-    }
-
-  // "departments where every course has an average score above 70" — a
-  // universal quantifier over PER-GROUP-MEMBER aggregates: the group is
-  // an attribute of the member's own dimension
-  private val universalGroupAggRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+has\s+an?\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Universal group aggregate: "As where every J has an avg V above N"
-    * → per-J aggregates from ONE fact-sized grouped pass keyed on
-    * (A-attribute, J-key) — the dimension joins broadcast, so the single
-    * corpus shuffle is that aggregate — then a second, |J|-row aggregate
-    * per A with a MIN-indicator encoding the ∀. The quantified entity's
-    * group attribute lives on its OWN dimension (dept on courses),
-    * distinguishing this from [[universalOtherRelativeCandidates]]
-    * where the bar is the row entity's own average. */
-  def universalGroupAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalGroupAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(3).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val op = if (Set("above", "over")(m.group(5).toLowerCase)) ">" else "<"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol FROM (" +
-          s"SELECT c.$groupCol AS $groupCol, c.${eJ.toColumn}, " +
-          s"$agg(s.$numCol) AS a FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$groupCol, c.${eJ.toColumn}) t " +
-          s"GROUP BY $groupCol " +
-          s"HAVING MIN(CASE WHEN a $op ${m.group(6)} THEN 1 ELSE 0 END) = 1 " +
-          s"ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_universal_group_agg")).take(1)
-    }
-
-  // "the student who improved the most between 2022 and 2023" — entity
-  // trend argmax: two-period conditional aggregates per entity, top-1
-  // by delta. No measure word appears, so the measure resolves from the
-  // fact's schema by elimination (see scaladoc).
-  private val trendArgmaxEntityRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+" +
-      raw"(improved|increased|grew|gained|declined|decreased|dropped|fell|worsened)\s+" +
-      raw"the\s+most\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
-
-  /** Entity trend argmax (ref `app/models/inference.py:151-213` LLM
-    * path): "the E who improved the most between Y1 and Y2" → one
-    * grouped pass over the fact with two conditional aggregates
-    * (AVG CASE per period — partial+final, one shuffle on the entity
-    * fk), delta ranked by TakeOrderedAndProject top-1 over |entities|
-    * rows. The question names no measure, so it resolves by
-    * elimination: fact columns minus key-ish names (`*_id`/`id`/
-    * `*key`), minus the year column, minus columns with a mined STRING
-    * value domain (categoricals like grade letters) — exactly one
-    * survivor or no candidate fires, the no-fabrication bar applied to
-    * an implicit column. Rising verbs rank the later-minus-earlier
-    * delta DESC; falling verbs ASC; entities absent from either period
-    * (NULL delta) are excluded — "improved" presumes both readings. */
-  def trendArgmaxEntityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    trendArgmaxEntityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val rising = Set("improved", "increased", "grew", "gained")(m.group(2).toLowerCase)
-      val dir = if (rising) "DESC" else "ASC"
-      val (y1, y2) = (m.group(3), m.group(4))
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(e.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(e.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty // ambiguous or none: fire nothing
-        }
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, " +
-          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
-          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"WHERE d IS NOT NULL ORDER BY d $dir, ${e.fromColumn} LIMIT 1",
-        0.9, "template_trend_argmax_entity")).take(1)
-    }
-
-  // "the median number of courses per student" — the median analogue of
-  // avgCountPerRe (kept separate: MEDIAN is a different outer aggregate
-  // with its own intent label)
-  private val medianCountPerRe =
-    (raw"(?i)\bmedian\s+(?:number|count)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:per|for\s+each|by)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Median count per entity: "the median number of Js per E" → inner
-    * grouped COUNT(DISTINCT fk-to-J) per entity key (partial+final, the
-    * one fact-sized shuffle), outer MEDIAN over |entities| rows —
-    * Spark's `median` is an exact sort-based aggregate, fine at group
-    * cardinality; a corpus-sized median would use the KLL path
-    * instead. */
-  def medianCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    medianCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimJ != dimE
-        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT MEDIAN(c) AS agg_value FROM " +
-          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_median_count_per")).take(1)
-    }
-
-  // "students ranked in the top 3 of every course they took" — a
-  // universal quantifier over the entity's WITHIN-GROUP RANK
-  private val universalRankRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:ranked|ranking)\s+in\s+the\s+top\s+(\d+)\s+" +
-      raw"(?:of|in)\s+(?:every|each)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Universal rank: "Es ranked in the top N of every J they took" →
-    * RANK over the fact partitioned by the J key ordered by the
-    * measure (the window input is the fact, but partitions are
-    * J-sized — Spark sorts within hash-partitioned groups, no global
-    * sort), then one grouped MAX(rank) per entity with the ∀ encoded
-    * as MAX <= N. The measure resolves by elimination exactly like
-    * [[trendArgmaxEntityCandidates]] — the question names no measure
-    * word. Display names join at survivor size. */
-  def universalRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    universalRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !l.contains("year") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM (" +
-          s"SELECT ${eE.fromColumn} FROM (" +
-          s"SELECT ${eE.fromColumn}, RANK() OVER (PARTITION BY ${eJ.fromColumn} " +
-          s"ORDER BY $measure DESC) AS r FROM ${eE.fromTable}) x " +
-          s"GROUP BY ${eE.fromColumn} HAVING MAX(r) <= ${m.group(2)}) m " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_universal_rank")).take(1)
-    }
-
-  // "the dept whose best course by average score is the weakest" — a
-  // minimax argmax: per-member aggregates, the group's extreme member,
-  // ranked across groups in the opposite direction
-  private val minimaxArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+(best|worst|strongest|weakest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+the\s+(weakest|lowest|worst|strongest|highest|best)\b").r
-
-  /** Minimax argmax: "the A whose best J by avg V is the weakest" →
-    * per-J aggregates (one fact-sized grouped pass, dims broadcast),
-    * MAX (best) or MIN (worst) of those per A-group — |J| rows in, |A|
-    * rows out — then TakeOrderedAndProject top-1 in the outer
-    * direction. The inner word picks the per-group extreme, the outer
-    * word ranks the extremes; the A attribute lives on J's own
-    * dimension (the [[universalGroupAggCandidates]] join shape with
-    * the ∀ swapped for a minimax). */
-  def minimaxArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    minimaxArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val innerBest = Set("best", "strongest")(m.group(2).toLowerCase)
-      val inner = if (innerBest) "MAX" else "MIN"
-      val outerDir =
-        if (Set("weakest", "lowest", "worst")(m.group(6).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(5), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol FROM (" +
-          s"SELECT c.$groupCol AS $groupCol, $inner(a) AS ext FROM (" +
-          s"SELECT ${eJ.fromColumn} AS jk, $agg($numCol) AS a " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.jk " +
-          s"GROUP BY c.$groupCol) t " +
-          s"ORDER BY ext $outerDir, $groupCol LIMIT 1",
-        0.9, "template_minimax_argmax")).take(1)
-    }
-
-  // "the correlation between student age and score" — Pearson CORR of
-  // two measures, possibly living on different tables of one FK edge
-  private val correlationRe =
-    (raw"(?i)\bthe\s+correlation\s+between\s+" +
-      raw"(?:([a-z_][a-z0-9_]*)\s+)?([a-z_][a-z0-9_]*)\s+and\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Correlation: "the correlation between [E] A and B" → one CORR
-    * aggregate. Same-table measures need no join; a dimension-side
-    * measure (the optional entity qualifier resolves it: "student age"
-    * → students.age) joins through the fact's fk — one broadcast dim
-    * join, one fact-sized aggregate pass, a single output row.
-    * ROUND(…, 4) for presentation stability. */
-  def correlationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    correlationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val (w1, w2) = (m.group(2), m.group(3))
-      val sameTable = for {
-        t <- slice.tables.keys.toSeq.sorted
-        a <- strongColumn(w1, slice.tables(t)).toSeq
-        b <- strongColumn(w2, slice.tables(t)).toSeq
-        if a != b
-      } yield Candidate(
-        s"SELECT ROUND(CORR($a, $b), 4) AS agg_value FROM $t",
-        0.9, "template_correlation")
-      val joined = for {
-        entityWord <- Option(m.group(1)).toSeq
-        dimE <- uniqueTable(slice, entityWord).toSeq
-        a <- strongColumn(w1, slice.tables(dimE)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        b <- strongColumn(w2, slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CORR(d.$a, f.$b), 4) AS agg_value " +
-          s"FROM ${e.fromTable} f JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn}",
-        0.9, "template_correlation")
-      (sameTable ++ joined).take(1)
-    }
-
-  // "courses whose score spread is wider than the average course's
-  // spread" — per-group dispersion vs the average group dispersion
-  private val stddevVsAvgRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(spread|variability|dispersion)\s+is\s+" +
-      raw"(wider|broader|larger|greater|narrower|smaller|tighter)\s+than\s+the\s+" +
-      raw"average\s+([a-z_][a-z0-9_]*)(?:'s)?\s+\3\b").r
-
-  /** Spread vs average spread: "Js whose V spread is wider than the
-    * average J's spread" → per-group STDDEV in one grouped pass, the
-    * bar a broadcast scalar subquery (AVG over the |J| group STDDEVs —
-    * group rows, never the corpus), threshold in HAVING. Both J words
-    * must name the same dimension; the answer key is the fact's fk
-    * (group identity), matching the grouped pass's key. */
-  def stddevVsAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    stddevVsAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("narrower", "smaller", "tighter")(m.group(4).toLowerCase)) "<" else ">"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        if uniqueTable(slice, m.group(5)).contains(dimJ)
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
-          s"HAVING STDDEV($numCol) $op (SELECT AVG(s) FROM " +
-          s"(SELECT STDDEV($numCol) AS s FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) t) " +
-          s"ORDER BY ${eJ.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_stddev_vs_avg")).take(1)
-    }
-
-  // "for each dept, the share of its scores above the dept average" —
-  // per-group share against the group's OWN aggregate bar
-  private val groupSelfBeatShareRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s*,?\s+the\s+" +
-      raw"(share|percentage|percent|fraction)\s+of\s+its\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(above|over|below|under)\s+the\s+\1\s+(?:average|avg|mean)\b").r
-
-  /** Group self-beat share: "for each G, the share of its Vs above the
-    * G average" → per-G averages from ONE grouped pass through the
-    * broadcast dimension (|G| rows, broadcast back on the attribute
-    * key), each fact row compares to its own group's bar, and the
-    * share is a second grouped conditional aggregate — a
-    * join-then-aggregate plan, no corpus-wide WindowExec (same shape
-    * as [[universalSelfRelativeCandidates]], the ∀ swapped for a
-    * percentage). The G attribute resolves on a JOINED dimension of
-    * the fact carrying the measure. */
-  def groupSelfBeatShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupSelfBeatShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val measureWords = Seq(m.group(3), m.group(3).stripSuffix("s")).distinct
-      (for {
-        dimJ <- slice.tables.keys.toSeq.sorted
-        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        numCol <- measureWords.flatMap(w =>
-          strongColumn(w, slice.tables(eJ.fromTable))).headOption.toSeq
-      } yield Candidate(
-        s"SELECT c.$groupCol AS $groupCol, " +
-          s"ROUND(100.0 * SUM(CASE WHEN s.$numCol $op g.a THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"JOIN (SELECT c2.$groupCol AS gk, AVG(s2.$numCol) AS a " +
-          s"FROM ${eJ.fromTable} s2 " +
-          s"JOIN $dimJ c2 ON c2.${eJ.toColumn} = s2.${eJ.fromColumn} " +
-          s"GROUP BY c2.$groupCol) g ON g.gk = c.$groupCol " +
-          s"GROUP BY c.$groupCol " +
-          s"ORDER BY c.$groupCol LIMIT $DefaultLimit",
-        0.9, "template_group_self_beat_share")).take(1)
-    }
-
-  // "the top 2 depts by number of students taught" — top-N group
-  // attributes ranked by a joined DISTINCT entity count
-  private val joinedDistinctTopnRe =
-    (raw"(?i)\b(top|bottom)\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+by\s+" +
-      raw"(?:the\s+)?number\s+of\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Joined distinct top-N: "top N As by number of Es" → the fact joins
-    * its A-dimension (broadcast), one grouped COUNT(DISTINCT fk-to-E)
-    * on the attribute key, TakeOrderedAndProject cuts N — never a
-    * global sort. The attribute word resolves on a dimension the fact
-    * references; the counted word on ANOTHER dimension of the same
-    * fact (distinct fk), so "number of" counts entities, not fact
-    * rows — the row-count reading belongs to the popularity/most
-    * templates. */
-  def joinedDistinctTopnCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedDistinctTopnRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(1).equalsIgnoreCase("top")) "DESC" else "ASC"
-      (for {
-        dimA <- slice.tables.keys.toSeq.sorted
-        groupCol <- abbrevColumn(m.group(3), slice.tables(dimA)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimA
-        eA <- fks.filter(e => e.toTable == dimA && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eA.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT c.$groupCol, COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value " +
-          s"FROM ${eA.fromTable} s " +
-          s"JOIN $dimA c ON c.${eA.toColumn} = s.${eA.fromColumn} " +
-          s"GROUP BY c.$groupCol " +
-          s"ORDER BY agg_value $dir, c.$groupCol LIMIT ${m.group(2)}",
-        0.9, "template_joined_distinct_topn")).take(1)
-    }
-
-  // "the year in which the science dept had its highest average score"
-  // — argmax over periods WITHIN a value-filtered group
-  private val filteredPeriodArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+the\s+" +
-      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\s+had\s+its\s+" +
-      raw"(highest|best|largest|greatest|lowest|worst|smallest)\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Filtered period argmax: "the T in which the X A had its highest
-    * avg V" → the value X resolves through MINED VALUE DOMAINS against
-    * the attribute column A (the no-fabrication bar on data values,
-    * the [[divisionCandidates]] rule), the filter pushes to the
-    * broadcast dimension scan BEFORE its join, one grouped aggregate
-    * per period over the filtered fact, TakeOrderedAndProject top-1. */
-  def filteredPeriodArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    filteredPeriodArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("lowest", "worst", "smallest")(m.group(4).toLowerCase)) "ASC" else "DESC"
-      val agg = m.group(5).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimJ <- slice.tables.keys.toSeq.sorted
-        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-        if values(dimJ).get(attrCol).exists(_.contains(m.group(2)))
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        periodCol <- strongColumn(m.group(1), slice.tables(eJ.fromTable)).toSeq
-        numCol <- strongColumn(m.group(6), slice.tables(eJ.fromTable)).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT $periodCol FROM (" +
-          s"SELECT s.$periodCol AS $periodCol, $agg(s.$numCol) AS a " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"WHERE c.$attrCol = ${sqlLit(m.group(2))} " +
-          s"GROUP BY s.$periodCol) t " +
-          s"ORDER BY a $dir, $periodCol LIMIT 1",
-        0.9, "template_filtered_period_argmax")).take(1)
-    }
-
-  // "the share of all scores contributed by the top 3 courses" —
-  // concentration: the fraction of fact rows held by the k largest
-  // groups
-  private val topkShareRe =
-    (raw"(?i)\bthe\s+(share|percentage|percent|fraction)\s+of\s+all\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+top\s+(\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Top-k concentration share: "the share of all Fs contributed by
-    * the top N Js" → one grouped count on the fact's fk (partial+
-    * final), RANK over the |J| GROUP ROWS ONLY (never the fact — the
-    * window input is group-cardinality-sized), one summary row. The
-    * counted word must name the fact table itself; the ranked word
-    * the fk's dimension. */
-  def topkShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    topkShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        eJ <- fks.find(e => e.fromTable == fact && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(100.0 * SUM(CASE WHEN rnk <= ${m.group(3)} THEN cnt ELSE 0 END) " +
-          s"/ SUM(cnt), 2) AS agg_value FROM (" +
-          s"SELECT ${eJ.fromColumn}, COUNT(*) AS cnt, " +
-          s"RANK() OVER (ORDER BY COUNT(*) DESC) AS rnk " +
-          s"FROM $fact GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_topk_share")).take(1)
-    }
-
-  // "students whose worst score came in a math course" — which GROUP
-  // holds each entity's extreme row, filtered to a named group value
-  private val argminAttributionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(worst|lowest|best|highest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:came|was|happened|occurred)\s+in\s+an?\s+" +
-      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Extreme-row attribution: "Es whose worst V came in a X J" → RANK
-    * per entity over the fact (partitions are entity-sized; ties keep
-    * every co-extreme row, the only reading under which "came in"
-    * is well-defined for ties), rank-1 rows join the J dimension
-    * (broadcast) and filter on the MINED-DOMAIN value X — the
-    * no-fabrication bar on data values. DISTINCT display names because
-    * a tie can attribute one entity twice. */
-  def argminAttributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    argminAttributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("worst", "lowest")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(5)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(eE.fromTable)).toSeq
-        attrCol <- slice.tables(dimJ).find(c =>
-          values(dimJ).get(c).exists(_.contains(m.group(4)))).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT d.$nameCol FROM (" +
-          s"SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
-          s"RANK() OVER (PARTITION BY ${eE.fromColumn} ORDER BY $numCol $dir) AS r " +
-          s"FROM ${eE.fromTable}) x " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = x.${eJ.fromColumn} " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = x.${eE.fromColumn} " +
-          s"WHERE x.r = 1 AND c.$attrCol = ${sqlLit(m.group(4))} " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_argmin_attribution")).take(1)
-    }
-
-  // "the number of years in which the average score increased" — count
-  // of consecutive-period steps moving one direction
-  private val countIncreasingRe =
-    (raw"(?i)\bthe\s+(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+the\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(increased|rose|grew|improved|went\s+up|decreased|declined|fell|dropped|went\s+down)\b").r
-
-  /** Count of moving periods: "the number of Ts in which the avg V
-    * increased" → per-period aggregates first (the one fact-sized
-    * pass), LAG over the |periods| GROUP ROWS, one summary count. */
-  def countIncreasingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    countIncreasingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val up = Set("increased", "rose", "grew", "improved")(
-        m.group(4).toLowerCase) || m.group(4).toLowerCase.startsWith("went up")
-      val op = if (up) ">" else "<"
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
-            strongColumn(m.group(3), slice.tables(t)).isDefined).toSeq
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        numCol <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT SUM(CASE WHEN a $op p THEN 1 ELSE 0 END) AS agg_value FROM (" +
-          s"SELECT $periodCol, $agg($numCol) AS a, " +
-          s"LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS p " +
-          s"FROM $fact GROUP BY $periodCol) t",
-        0.9, "template_count_increasing_periods")).take(1)
-    }
-
-  // "courses taken by more grade 9 students than grade 12 students" —
-  // per-group comparison of two attribute-cohort counts
-  private val comparativeCohortRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+(more|fewer|less)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(\d+)\s+([a-z_][a-z0-9_]*)\s+than\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Comparative cohort count: "Js Ved by more A-N Es than A-M Es" →
-    * both cohort counts as CASE conditionals in ONE grouped pass
-    * through the two broadcast dimensions, compared in HAVING. The
-    * attribute word prefix-resolves on the entity dimension ("grade" →
-    * grade_level, the filteredPopularity rule) and must be the same on
-    * both sides of "than". */
-  def comparativeCohortCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    comparativeCohortRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).equalsIgnoreCase("more")) ">" else "<"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(5)).toSeq
-        if dimE != dimJ && uniqueTable(slice, m.group(8)).contains(dimE) &&
-          m.group(3).equalsIgnoreCase(m.group(6))
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        attrCol <- prefixColumn(m.group(3), slice.tables(dimE)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT c.$jName FROM ${eJ.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.${eJ.toColumn}, c.$jName " +
-          s"HAVING SUM(CASE WHEN st.$attrCol = ${m.group(4)} THEN 1 ELSE 0 END) $op " +
-          s"SUM(CASE WHEN st.$attrCol = ${m.group(7)} THEN 1 ELSE 0 END) " +
-          s"ORDER BY c.$jName LIMIT $DefaultLimit",
-        0.9, "template_comparative_cohort")).take(1)
-    }
-
-  // "which dept improved its average score the most between 2022 and
-  // 2023" — the attribute-group variant of the entity trend argmax
-  private val trendArgmaxAttrRe =
-    (raw"(?i)\bwhich\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(improved|increased|grew|gained|declined|decreased|dropped|fell|worsened)\s+" +
-      raw"its\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"the\s+most\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
-
-  /** Attribute-group trend argmax: "which A improved its avg V the most
-    * between Y1 and Y2" → [[trendArgmaxEntityCandidates]] with the
-    * grouping key swapped from the fact's fk to a JOINED dimension
-    * attribute (dept on courses): one grouped pass with two conditional
-    * aggregates through the broadcast dimension, |attribute-domain|
-    * rows, top-1 by delta. The measure is explicit here (unlike the
-    * entity form), so no elimination is needed. */
-  def trendArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trendArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val rising = Set("improved", "increased", "grew", "gained")(m.group(2).toLowerCase)
-      val dir = if (rising) "DESC" else "ASC"
-      val agg = m.group(3).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val (y1, y2) = (m.group(5), m.group(6))
-      (for {
-        dimJ <- slice.tables.keys.toSeq.sorted
-        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        numCol <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
-        periodCol <- slice.tables(eJ.fromTable).find(_.toLowerCase.contains("year")).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT $groupCol FROM (" +
-          s"SELECT c.$groupCol AS $groupCol, " +
-          s"$agg(CASE WHEN s.$periodCol = $y2 THEN s.$numCol END) - " +
-          s"$agg(CASE WHEN s.$periodCol = $y1 THEN s.$numCol END) AS d " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$groupCol) t " +
-          s"WHERE d IS NOT NULL ORDER BY d $dir, $groupCol LIMIT 1",
-        0.9, "template_trend_argmax_attr")).take(1)
-    }
-
-  // "the minimum number of courses any student took" — MIN/MAX over
-  // per-entity distinct counts (the extreme siblings of median/avg
-  // count-per)
-  private val extremeCountPerRe =
-    (raw"(?i)\bthe\s+(minimum|min|fewest|maximum|max|most)\s+(?:number|count)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:any|a|an|per|each|one)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Extreme count per entity: "the minimum number of Js any E took" →
-    * inner grouped COUNT(DISTINCT fk-to-J) per entity key, outer
-    * MIN/MAX over |entities| rows — the [[medianCountPerCandidates]]
-    * plan with the outer aggregate swapped. */
-  def extremeCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    extremeCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val outer =
-        if (Set("minimum", "min", "fewest")(m.group(1).toLowerCase)) "MIN" else "MAX"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        if dimJ != dimE
-        eJ <- fks.find(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE)).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT $outer(c) AS agg_value FROM " +
-          s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_extreme_count_per")).take(1)
-    }
-
-  // "the percentage of students whose best score is above 95" — the
-  // share of entities whose per-entity EXTREME clears a threshold
-  private val shareEntityExtremeRe =
-    (raw"(?i)\bthe\s+(percentage|percent|share|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+whose\s+(best|highest|top|worst|lowest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Share of entities by extreme: "the share of Es whose best V is
-    * above N" → per-entity MAX/MIN in one grouped pass (the only
-    * fact-sized shuffle), one summary share row over |entities|. The
-    * denominator is entities WITH fact rows — the only population for
-    * which "best V" is defined. */
-  def shareEntityExtremeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    shareEntityExtremeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val inner = if (Set("worst", "lowest")(m.group(3).toLowerCase)) "MIN" else "MAX"
-      val op = if (Set("above", "over")(m.group(5).toLowerCase)) ">" else "<"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(100.0 * SUM(CASE WHEN mx $op ${m.group(6)} THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value FROM " +
-          s"(SELECT $inner($numCol) AS mx FROM ${e.fromTable} " +
-          s"GROUP BY ${e.fromColumn}) t",
-        0.9, "template_share_entity_extreme")).take(1)
-    }
-
-  // "rank the depts by their share of A grades" — the full ranked
-  // listing of [[joinedRatioArgmaxCandidates]]'s top-1 shape
-  private val rankedGroupShareRe =
-    (raw"(?i)\brank\s+the\s+([a-z_][a-z0-9_]*)\s+by\s+their\s+" +
-      raw"(share|percentage|percent|ratio|fraction)\s+of\s+" +
-      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Ranked group share: "rank the As by their share of X Vs" → the
-    * conditional count and the total in ONE grouped pass through the
-    * broadcast dimension, every group returned ordered by the share —
-    * the ranked-listing form of the ratio argmax (which keeps only the
-    * top-1). Case-sensitive category value, attribute
-    * strong-or-abbreviation on the joined dimension. */
-  def rankedGroupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    rankedGroupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = {
-        val w = m.group(4)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        e <- fks.filter(e => slice.tables.contains(e.fromTable) &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
-        catCol <- strongColumn(vWord, slice.tables(e.fromTable)).toSeq
-        attrCol <- abbrevColumn(m.group(1), slice.tables(e.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT c.$attrCol, " +
-          s"ROUND(100.0 * SUM(CASE WHEN s.$catCol = ${sqlLit(m.group(3))} " +
-          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
-          s"FROM ${e.fromTable} s JOIN ${e.toTable} c " +
-          s"ON c.${e.toColumn} = s.${e.fromColumn} GROUP BY c.$attrCol " +
-          s"ORDER BY agg_value DESC, c.$attrCol LIMIT $DefaultLimit",
-        0.9, "template_ranked_group_share")).take(1)
-    }
-
-  // "the difference between the best and worst course by average score"
-  // — the range OVER group aggregates (one summary row)
-  private val rangeOfGroupAggsRe =
-    (raw"(?i)\bthe\s+(difference|gap|spread)\s+between\s+the\s+" +
-      raw"(best|highest|top|largest)\s+and\s+(worst|lowest|bottom|smallest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Range of group aggregates: "the difference between the best and
-    * worst J by avg V" → per-J aggregates in one grouped pass (the
-    * fact-sized shuffle), MAX−MIN collapsing the |J| group rows to one.
-    * The dual of [[avgOfRangeCandidates]] (average of ranges vs range
-    * of aggregates). */
-  def rangeOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    rangeOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(5).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(6), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(6), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(MAX(a) - MIN(a), 2) AS agg_value FROM " +
-          s"(SELECT $agg($numCol) AS a FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_range_of_group_aggs")).take(1)
-    }
-
-  // "students older than the average student in their grade level" —
-  // dimension-side self-relative comparison (no fact at all)
-  private val selfRelativeDimRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(older|younger)\s+than\s+the\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+their\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Dimension self-relative: "Es older than the average E in their A"
-    * → per-A averages from one grouped pass over the DIMENSION (no
-    * fact scan at all — the whole query is dimension-sized), joined
-    * back on the attribute key, row-vs-group-bar filter. The adjective
-    * resolves its measure ("older" → age); both entity words must name
-    * the same dimension; the attribute phrase underscores like
-    * [[dimRangeArgmaxCandidates]]. */
-  def selfRelativeDimCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    selfRelativeDimRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).equalsIgnoreCase("older")) ">" else "<"
-      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        if uniqueTable(slice, m.group(3)).contains(dimE)
-        numCol <- strongColumn("age", slice.tables(dimE)).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
-        if attrCol != numCol
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM $dimE st JOIN (" +
-          s"SELECT $attrCol, AVG($numCol) AS a FROM $dimE GROUP BY $attrCol) g " +
-          s"ON g.$attrCol = st.$attrCol WHERE st.$numCol $op g.a " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_self_relative_dim")).take(1)
-    }
-
-  // "the hardest course for each grade level by average score" — a
-  // superlative adjective ranking second-dimension members per group
-  private val superlativeAdjArgmaxRe =
-    (raw"(?i)\bthe\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"for\s+each\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+by\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Superlative-adjective grouped argmax: "the hardest J for each G by
-    * avg V" — hardest/toughest read as LOWEST aggregate (easiest as
-    * highest), otherwise the [[groupedArgmax2Candidates]] plan: one
-    * grouped aggregate on (G, J) through two broadcast dimensions,
-    * RANK over the GROUP ROWS ONLY, rank-1 per G with the display-name
-    * tiebreak stated in the ORDER BY. */
-  def superlativeAdjArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    superlativeAdjArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(1).equalsIgnoreCase("easiest")) "DESC" else "ASC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eG <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        groupCol <- abbrevColumn(attrWord, slice.tables(eG.toTable)).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(eJ.fromTable)).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT $groupCol, $jName FROM (" +
-          s"SELECT st.$groupCol, c.$jName, " +
-          s"RANK() OVER (PARTITION BY st.$groupCol " +
-          s"ORDER BY $agg(s.$numCol) $dir, c.$jName) AS rnk " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN ${eG.toTable} st ON st.${eG.toColumn} = s.${eG.fromColumn} " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY st.$groupCol, c.${eJ.toColumn}, c.$jName) t " +
-          s"WHERE rnk = 1 ORDER BY $groupCol LIMIT $DefaultLimit",
-        0.9, "template_superlative_adj_argmax")).take(1)
-    }
-
-  // "how many students improved in math but declined in science from
-  // 2022 to 2023" — a CONJUNCTION of per-group two-period trend
-  // conditions on one entity
-  private val conjunctiveTrendRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(improved|increased|grew|declined|decreased|dropped|fell)\s+in\s+" +
-      raw"([a-z0-9_+-]+)\s+(?:but|and)\s+" +
-      raw"(improved|increased|grew|declined|decreased|dropped|fell)\s+in\s+" +
-      raw"([a-z0-9_+-]+)\s+from\s+(\d{4})\s+to\s+(\d{4})\b").r
-
-  /** Conjunctive trend count: "how many Es improved in X but declined
-    * in Y from Y1 to Y2" → ALL FOUR period-group aggregates as CASE
-    * conditionals in ONE grouped pass per entity (fact filtered to the
-    * two groups, dims broadcast), both comparisons in HAVING, one
-    * summary count. Entities missing either period in a group have a
-    * NULL side — excluded, the only reading under which "improved"
-    * holds. Values resolve through mined domains on ONE attribute
-    * column (both must live in the same domain); the measure by schema
-    * elimination ([[trendArgmaxEntityCandidates]]). */
-  def conjunctiveTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    conjunctiveTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def op(verb: String) =
-        if (Set("improved", "increased", "grew")(verb.toLowerCase)) ">" else "<"
-      val (v1, v2) = (m.group(3), m.group(5))
-      val (y1, y2) = (m.group(6), m.group(7))
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- slice.tables(eJ.toTable).find(c =>
-          values(eJ.toTable).get(c).exists(d => d.contains(v1) && d.contains(v2))).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield {
-        def cond(v: String, o: String) =
-          s"AVG(CASE WHEN c.$attrCol = ${sqlLit(v)} AND s.$periodCol = $y2 " +
-            s"THEN s.$measure END) $o " +
-            s"AVG(CASE WHEN c.$attrCol = ${sqlLit(v)} AND s.$periodCol = $y1 " +
-            s"THEN s.$measure END)"
-        Candidate(
-          s"SELECT COUNT(*) AS agg_value FROM (" +
-            s"SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
-            s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-            s"WHERE c.$attrCol IN (${sqlLit(v1)}, ${sqlLit(v2)}) " +
-            s"GROUP BY s.${eE.fromColumn} " +
-            s"HAVING ${cond(v1, op(m.group(2)))} AND ${cond(v2, op(m.group(4)))}) t",
-          0.9, "template_conjunctive_trend")
-      }).take(1)
-    }
-
-  // "the middle student by average score" — the median-positioned
-  // entity under a per-entity aggregate ordering
-  private val medianEntityArgmaxRe =
-    (raw"(?i)\bthe\s+(middle|median)\s+([a-z_][a-z0-9_]*)\s+by\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Median entity argmax: "the middle E by avg V" → per-entity
-    * aggregates in one grouped pass, ROW_NUMBER + COUNT over the
-    * |entities| GROUP ROWS, the (n+1)/2 row. The global window runs
-    * over group rows only — at extreme entity cardinality the
-    * percentile-cutoff rewrite (`PERCENTILE_CONT` to find the median
-    * aggregate value, then an equality filter) replaces the window,
-    * the same scale path [[percentileRankCandidates]] documents. */
-  def medianEntityArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    medianEntityArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(3).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(4), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, $agg($numCol) AS a, COUNT(*) OVER () AS n, " +
-          s"ROW_NUMBER() OVER (ORDER BY $agg($numCol), ${e.fromColumn}) AS rn " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"WHERE rn = CAST((n + 1) / 2 AS INT) LIMIT 1",
-        0.9, "template_median_entity_argmax")).take(1)
-    }
-
-  // "the two consecutive years with the biggest jump in total scores"
-  // — argmax over ADJACENT-period deltas, returning the pair
-  private val adjacentPeriodPairRe =
-    (raw"(?i)\bthe\s+two\s+consecutive\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(biggest|largest|greatest|smallest)\s+" +
-      raw"(jump|increase|rise|gain|drop|decline|fall)\s+in\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Adjacent-period pair argmax: "the two consecutive Ts with the
-    * biggest jump in total V" → per-period aggregates first (the one
-    * fact-sized pass), LAG over the |periods| group rows carries both
-    * the previous period LABEL and the delta, top-1 by delta returns
-    * the (prev, current) pair. Rising words rank DESC, falling ASC,
-    * "smallest" flips either. */
-  def adjacentPeriodPairCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    adjacentPeriodPairRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val falling = Set("drop", "decline", "fall")(m.group(3).toLowerCase)
-      val smallest = m.group(2).equalsIgnoreCase("smallest")
-      val dir = if (falling ^ smallest) "ASC" else "DESC"
-      val agg = m.group(4).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-          .find(t => strongColumn(m.group(1), slice.tables(t)).isDefined &&
-            strongColumn(m.group(5), slice.tables(t)).isDefined).toSeq
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        numCol <- strongColumn(m.group(5), slice.tables(fact)).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT prev_$periodCol, $periodCol FROM (" +
-          s"SELECT $periodCol, " +
-          s"LAG($periodCol) OVER (ORDER BY $periodCol) AS prev_$periodCol, " +
-          s"$agg($numCol) - LAG($agg($numCol)) OVER (ORDER BY $periodCol) AS d " +
-          s"FROM $fact GROUP BY $periodCol) t WHERE d IS NOT NULL " +
-          s"ORDER BY d $dir, $periodCol LIMIT 1",
-        0.9, "template_adjacent_period_pair")).take(1)
-    }
-
-  // "students who only took math courses" — exclusive membership: ALL
-  // of the entity's fact rows land in one attribute value
-  private val exclusiveAttrRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+only\s+[a-z]+\s+" +
-      raw"([a-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Exclusive attribute membership: "Es who only Ved X Js" → ∀ over
-    * the entity's rows (grouped MIN indicator — the universalFilter
-    * encoding), the value X resolved through the J dimension's MINED
-    * DOMAINS. One grouped pass through two broadcast dims; entities
-    * with no rows are vacuously absent (they "took" nothing). */
-  def exclusiveAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    exclusiveAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        attrCol <- slice.tables(dimJ).find(c =>
-          values(dimJ).get(c).exists(_.contains(m.group(2)))).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM ${eE.fromTable} f " +
-          s"JOIN $dimE d ON d.${eE.toColumn} = f.${eE.fromColumn} " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = f.${eJ.fromColumn} " +
-          s"GROUP BY d.${eE.toColumn}, d.$nameCol " +
-          s"HAVING MIN(CASE WHEN c.$attrCol = ${sqlLit(m.group(2))} " +
-          s"THEN 1 ELSE 0 END) = 1 " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_exclusive_attr")).take(1)
-    }
-
-  // "what fraction of courses have no A grades" — the share of groups
-  // whose category count is zero (absence, so the dimension LEFT-joins
-  // the fact: memberless groups lack the category too)
-  private val shareGroupsLackingRe =
-    (raw"(?i)\bwhat\s+(fraction|share|percentage|percent)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:have|has|had)\s+no\s+" +
-      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Share of groups lacking a category: "what fraction of Js have no
-    * X Vs" → per-J conditional counts with the DIMENSION on the left
-    * of a LEFT JOIN (a J with no fact rows at all has no X either —
-    * the inner-join reading silently drops it), one summary share over
-    * |J| group rows. Case-sensitive category value against the fact's
-    * category column. */
-  def shareGroupsLackingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    shareGroupsLackingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = {
-        val w = m.group(4)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(vWord, slice.tables(e.fromTable)).isDefined).toSeq
-        catCol <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(100.0 * SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END) " +
-          s"/ COUNT(*), 2) AS agg_value FROM (" +
-          s"SELECT c.${eJ.toColumn}, " +
-          s"SUM(CASE WHEN s.$catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) AS n_a " +
-          s"FROM $dimJ c LEFT JOIN ${eJ.fromTable} s " +
-          s"ON s.${eJ.fromColumn} = c.${eJ.toColumn} " +
-          s"GROUP BY c.${eJ.toColumn}) t",
-        0.9, "template_share_groups_lacking")).take(1)
-    }
-
-  private val numberWords = Map("one" -> 1, "two" -> 2, "three" -> 3,
-    "four" -> 4, "five" -> 5, "six" -> 6, "seven" -> 7, "eight" -> 8,
-    "nine" -> 9, "ten" -> 10)
-  private def wordToInt(w: String): Option[Int] =
-    numberWords.get(w.toLowerCase).orElse(
-      if (w.matches(raw"\d+")) Some(w.toInt) else None)
-
-  // "students whose scores span all five grade letters" — entities
-  // whose rows cover a stated number of category values
-  private val attrCoverageRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+span\s+all\s+" +
-      raw"(one|two|three|four|five|six|seven|eight|nine|ten|\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Attribute coverage count: "Es whose Vs span all N As" → grouped
-    * COUNT(DISTINCT category) per entity equal to the stated N — one
-    * fact-sized pass, display names joined at survivor size. The
-    * category column resolves on the FACT (grade letters live on the
-    * rows, not a dimension). */
-  def attrCoverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    attrCoverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        n <- wordToInt(m.group(3)).toSeq
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        catCol <- strongColumn(m.group(4), slice.tables(e.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT d.$nameCol FROM ${e.fromTable} f " +
-          s"JOIN $dimE d ON d.${e.toColumn} = f.${e.fromColumn} " +
-          s"GROUP BY d.${e.toColumn}, d.$nameCol " +
-          s"HAVING COUNT(DISTINCT f.$catCol) = $n " +
-          s"ORDER BY d.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_attr_coverage")).take(1)
-    }
-
-  // "the average score of each student's three most recent scores" —
-  // an aggregate over each entity's k most recent rows
-  private val recentKAverageRe =
-    (raw"(?i)\bthe\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
-      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
-      raw"(one|two|three|four|five|six|seven|eight|nine|ten|\d+)\s+" +
-      raw"most\s+recent\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Recent-k average: "the avg V of each E's k most recent Vs" →
-    * ROW_NUMBER partitioned by the entity fk (partitions are
-    * entity-sized — parallel, never a global sort), ordered by the
-    * period column then the fact's key-ish id as the recency
-    * tiebreak, one summary aggregate over the kept rows. */
-  def recentKAverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    recentKAverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(1).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        k <- wordToInt(m.group(4)).toSeq
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        numCol <- strongColumn(m.group(2), slice.tables(e.fromTable)).toSeq
-        periodCol <- slice.tables(e.fromTable)
-          .find(_.toLowerCase.contains("year")).toSeq
-        if periodCol != numCol
-      } yield {
-        val idCol = keyishColumn(e.fromTable, slice.tables(e.fromTable))
-        Candidate(
-          s"SELECT ROUND($agg($numCol), 2) AS agg_value FROM (" +
-            s"SELECT $numCol, ROW_NUMBER() OVER (PARTITION BY ${e.fromColumn} " +
-            s"ORDER BY $periodCol DESC, $idCol DESC) AS rn " +
-            s"FROM ${e.fromTable}) t WHERE rn <= $k",
-          0.9, "template_recent_k_average")
-      }).take(1)
-    }
-
-  // "courses where the grade distribution is more than half A or B" —
-  // groups where a category (set) holds the majority of rows
-  private val categoryMajorityRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"distribution\s+is\s+more\s+than\s+half\s+" +
-      raw"([A-Za-z0-9_+-]+)(?:\s+or\s+([A-Za-z0-9_+-]+))?\b").r
-
-  /** Category majority: "Js where the C distribution is more than half
-    * X [or Y]" → conditional count vs COUNT(*)/2 in one grouped pass
-    * on the fact's fk — no dimension join needed when the answer key
-    * IS the fk. Case-sensitive category values. */
-  def categoryMajorityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    categoryMajorityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vals = (Seq(m.group(3)) ++ Option(m.group(4)).toSeq).map(sqlLit)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
-        catCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
-          s"HAVING SUM(CASE WHEN $catCol IN (${vals.mkString(", ")}) " +
-          s"THEN 1 ELSE 0 END) > COUNT(*) / 2.0 " +
-          s"ORDER BY ${eJ.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_category_majority")).take(1)
-    }
-
-  // "the student whose scores vary the least across depts" — argmin of
-  // cross-group dispersion of PER-GROUP aggregates
-  private val crossGroupStabilityRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"vary\s+the\s+(least|most)\s+across\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Cross-group stability argmin: "the E whose Vs vary the least
-    * across As" → per-(entity, attribute) aggregates in one fact-sized
-    * pass through the broadcast dimension, STDDEV of those per entity
-    * (|entity × attribute| rows in, |entity| out), top-1. Entities
-    * present in a single group have no variation to measure —
-    * COUNT(*) > 1 keeps "across" meaningful. */
-  def crossGroupStabilityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    crossGroupStabilityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).equalsIgnoreCase("least")) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        numCol <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(4), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eE.fromColumn} FROM (" +
-          s"SELECT s.${eE.fromColumn}, STDDEV(da) AS v FROM (" +
-          s"SELECT s2.${eE.fromColumn}, c.$attrCol, AVG(s2.$numCol) AS da " +
-          s"FROM ${eE.fromTable} s2 " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s2.${eJ.fromColumn} " +
-          s"GROUP BY s2.${eE.fromColumn}, c.$attrCol) s " +
-          s"GROUP BY s.${eE.fromColumn} HAVING COUNT(*) > 1) t " +
-          s"ORDER BY v $dir, ${eE.fromColumn} LIMIT 1",
-        0.9, "template_cross_group_stability")).take(1)
-    }
-
-  // "the running total of scores per year in order" — cumulative
-  // aggregate over ordered periods
-  private val runningPeriodTotalRe =
-    (raw"(?i)\bthe\s+running\s+(total|sum|count|average|avg)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Running period total: "the running total of Vs per T" → per-period
-    * aggregates first (one fact pass), the cumulative window over the
-    * |periods| GROUP ROWS only — `SUM(SUM(v)) OVER (ORDER BY t)`,
-    * never a corpus-wide running sum. */
-  def runningPeriodTotalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    runningPeriodTotalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val inner = m.group(1).toLowerCase match {
-        case "count" => "COUNT"
-        case "average" | "avg" => "AVG"
-        case _ => "SUM"
-      }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-          .find(t => strongColumn(m.group(2), slice.tables(t)).isDefined &&
-            strongColumn(m.group(3), slice.tables(t)).isDefined).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-        periodCol <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        if periodCol != numCol
-      } yield Candidate(
-        s"SELECT $periodCol, SUM($inner($numCol)) OVER (ORDER BY $periodCol) " +
-          s"AS agg_value FROM $fact GROUP BY $periodCol " +
-          s"ORDER BY $periodCol LIMIT $DefaultLimit",
-        0.9, "template_running_period_total")).take(1)
-    }
-
-  // "students who beat their own previous year's average every year" —
-  // the monotonic-trend semantics under comparative phrasing
-  private val strictImprovementRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+(beat|exceeded|topped)\s+their\s+own\s+" +
-      raw"previous\s+([a-z_][a-z0-9_]*)(?:'s)?\s+(?:average|avg|mean)\s+" +
-      raw"(?:every|each)\s+\3\b").r
-
-  /** Strict improvement streak: "Es who beat their own previous T's
-    * average every T" — [[monotonicTrendCandidates]]' plan under
-    * comparative phrasing: (entity, period) aggregates first, LAG
-    * partitioned by the entity over the bounded period rows, grouped
-    * MIN over the step indicator, COUNT >= 2 so single-period entities
-    * don't qualify vacuously. The measure resolves by schema
-    * elimination (the phrase names only the period). */
-  def strictImprovementCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    strictImprovementRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(e.fromTable)
-        periodCol <- strongColumn(m.group(3), factCols).toSeq
-        stringCols = values(e.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, $periodCol, AVG($measure) AS a, " +
-          s"LAG(AVG($measure)) OVER (PARTITION BY ${e.fromColumn} " +
-          s"ORDER BY $periodCol) AS p " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) x " +
-          s"GROUP BY ${e.fromColumn} " +
-          s"HAVING MIN(CASE WHEN p IS NULL OR a > p THEN 1 ELSE 0 END) = 1 " +
-          s"AND COUNT(*) >= 2) m " +
-          s"JOIN $dimE st ON st.${e.toColumn} = m.${e.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_strict_improvement")).take(1)
-    }
-
-  // "the pair of depts whose average scores differ the least" — pair
-  // argmin over ATTRIBUTE-group aggregates
-  private val attrPairArgminRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+differ\s+the\s+" +
-      raw"(least|most)\b").r
-
-  /** Attribute pair argmin: "the pair of As whose avg Vs differ the
-    * least" → one grouped aggregate through the broadcast dimension
-    * (|domain| rows), then pairs over the GROUP ROWS via a `<`
-    * self-join — |domain|² comparisons of already-aggregated rows,
-    * never the corpus (the [[joinedPairArgmaxCandidates]] bound). */
-  def attrPairArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    attrPairArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(4).equalsIgnoreCase("least")) "ASC" else "DESC"
-      val agg = m.group(2).toLowerCase match {
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        dimJ <- slice.tables.keys.toSeq.sorted
-        attrCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        numCol <- strongColumn(m.group(3), slice.tables(eJ.fromTable)).toSeq
-      } yield {
-        val grouped = s"SELECT c.$attrCol, $agg(s.$numCol) AS av " +
-          s"FROM ${eJ.fromTable} s JOIN $dimJ c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} GROUP BY c.$attrCol"
-        Candidate(
-          s"SELECT a_$attrCol, b_$attrCol FROM (" +
-            s"SELECT a.$attrCol AS a_$attrCol, b.$attrCol AS b_$attrCol, " +
-            s"ABS(a.av - b.av) AS d FROM ($grouped) a JOIN ($grouped) b " +
-            s"ON a.$attrCol < b.$attrCol) t " +
-            s"ORDER BY d $dir, a_$attrCol, b_$attrCol LIMIT 1",
-          0.9, "template_attr_pair_argmin")
-      }).take(1)
-    }
-
-  // "how many students are above the dept average in every dept they
-  // took" — COUNT of entities satisfying a ∀ over group-self bars
-  private val universalGroupSelfCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+are\s+(above|over|below|under)\s+" +
-      raw"the\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+in\s+" +
-      raw"(?:every|each)\s+\3\b").r
-
-  /** Universal group-self count: "how many Es are above the A average
-    * in every A they took" → per-(entity, A) aggregates and per-A bars
-    * each from one grouped pass (the bars |domain|-sized, broadcast
-    * back), the ∀ a grouped MIN indicator, one summary count. Measure
-    * by schema elimination — the phrase names only the group. */
-  def universalGroupSelfCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    universalGroupSelfCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<"
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(3), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !l.contains("year") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (" +
-          s"SELECT sd.${eE.fromColumn} FROM (" +
-          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS sa " +
-          s"FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) sd " +
-          s"JOIN (SELECT c2.$attrCol, AVG(s2.$measure) AS da " +
-          s"FROM ${eE.fromTable} s2 " +
-          s"JOIN ${eJ.toTable} c2 ON c2.${eJ.toColumn} = s2.${eJ.fromColumn} " +
-          s"GROUP BY c2.$attrCol) d ON d.$attrCol = sd.$attrCol " +
-          s"GROUP BY sd.${eE.fromColumn} " +
-          s"HAVING MIN(CASE WHEN sa $op da THEN 1 ELSE 0 END) = 1) t",
-        0.9, "template_universal_group_self_count")).take(1)
-    }
-
-  // "the share of scores within 5 points of their course average" —
-  // the fraction of rows inside a band around their group's bar
-  private val bandedShareRe =
-    (raw"(?i)\bthe\s+(share|percentage|percent|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+within\s+(\d+(?:\.\d+)?)\s+points?\s+of\s+" +
-      raw"their\s+([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
-
-  /** Banded share: "the share of Vs within N points of their J
-    * average" → per-J bars from ONE grouped pass broadcast back on the
-    * fk, a single conditional-share aggregate over the fact — the
-    * join-then-aggregate form (equal values to the window phrasing,
-    * without a corpus WindowExec). */
-  def bandedShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    bandedShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(2), slice.tables(e.fromTable)).isDefined).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(100.0 * SUM(CASE WHEN ABS(s.$numCol - g.a) <= ${m.group(3)} " +
-          s"THEN 1 ELSE 0 END) / COUNT(*), 2) AS agg_value " +
-          s"FROM ${eJ.fromTable} s JOIN (" +
-          s"SELECT ${eJ.fromColumn}, AVG($numCol) AS a FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) g ON g.${eJ.fromColumn} = s.${eJ.fromColumn}",
-        0.9, "template_banded_share")).take(1)
-    }
-
-  // "the dept where the gap between its best and worst student
-  // averages is widest" — argmax over WITHIN-group ranges of
-  // per-member aggregates
-  private val groupInnerRangeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+where\s+the\s+gap\s+between\s+its\s+" +
-      raw"(?:best|highest)\s+and\s+(?:worst|lowest)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:averages|avgs)\s+is\s+(widest|largest|biggest|narrowest|smallest)\b").r
-
-  /** Group inner-range argmax: "the A where the gap between its best
-    * and worst E averages is widest" → per-(entity, A) aggregates in
-    * one fact pass through the broadcast dimension, MAX−MIN per A over
-    * those group rows, top-1. Measure by schema elimination (the
-    * phrase names only the member entity). */
-  def groupInnerRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    groupInnerRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !l.contains("year") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT $attrCol FROM (" +
-          s"SELECT x.$attrCol, MAX(sa) - MIN(sa) AS g FROM (" +
-          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS sa " +
-          s"FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) x " +
-          s"GROUP BY x.$attrCol) t " +
-          s"ORDER BY g $dir, $attrCol LIMIT 1",
-        0.9, "template_group_inner_range_argmax")).take(1)
-    }
-
-  // "students whose yearly average never dropped below 60" — a floor
-  // over every per-period aggregate
-  private val floorOverPeriodsRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)ly\s+" +
-      raw"(?:average|avg|mean)\s+never\s+(?:dropped|fell|went|dipped)\s+below\s+" +
-      raw"(\d+(?:\.\d+)?)\b").r
-
-  /** Floor over periods: "Es whose T-ly average never dropped below N"
-    * → per-(entity, period) aggregates in one fact pass, grouped
-    * MIN(a) >= N per entity — the ∀ collapses to a group extreme, no
-    * window at all. Measure by schema elimination. */
-  def floorOverPeriodsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    floorOverPeriodsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(e.fromTable)
-        periodCol <- strongColumn(m.group(2), factCols).toSeq
-        stringCols = values(e.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, $periodCol, AVG($measure) AS a " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}, $periodCol) x " +
-          s"GROUP BY ${e.fromColumn} HAVING MIN(a) >= ${m.group(3)}) m " +
-          s"JOIN $dimE st ON st.${e.toColumn} = m.${e.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_floor_over_periods")).take(1)
-    }
-
-  // "the average share of each course's scores that are A grades" —
-  // the mean of per-group category ratios
-  private val avgOfGroupSharesRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+(?:share|percentage|fraction)\s+of\s+" +
-      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+([a-z_][a-z0-9_]*)\s+that\s+are\s+" +
-      raw"([A-Za-z0-9_+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average of group shares: "the avg share of each J's Vs that are X
-    * Cs" → per-J conditional ratios in one grouped pass on the fact's
-    * fk, AVG collapsing the |J| group rows — a MACRO-average (each
-    * group weighs equally), deliberately distinct from the global
-    * share. */
-  def avgOfGroupSharesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgOfGroupSharesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val catWord = {
-        val w = m.group(4)
-        if (w.endsWith("s")) w.dropRight(1) else w
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.find(e => e.toTable == dimJ && slice.tables.contains(e.fromTable) &&
-          strongColumn(catWord, slice.tables(e.fromTable)).isDefined).toSeq
-        catCol <- strongColumn(catWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(r), 4) AS agg_value FROM (" +
-          s"SELECT ${eJ.fromColumn}, " +
-          s"CAST(SUM(CASE WHEN $catCol = ${sqlLit(m.group(3))} THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*) AS r FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_avg_of_group_shares")).take(1)
-    }
-
-  // "the correlation between a student's age and their average score" —
-  // CORR of a dimension attribute against a per-entity aggregate
-  private val entityAggCorrRe =
-    (raw"(?i)\bthe\s+correlation\s+between\s+an?\s+([a-z_][a-z0-9_]*)'s\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+and\s+(?:their|its)\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Entity-aggregate correlation (ref `app/models/inference.py:151-213`
-    * LLM path): "the correlation between an E's A and their average M"
-    * → per-entity AVG in one grouped fact pass (partial+final, one
-    * shuffle on the fk), |entities| rows joined to the broadcast
-    * dimension for the attribute, a single CORR over that small frame.
-    * Distinct from [[correlationCandidates]]: one side is an AGGREGATE,
-    * so a flat fact-side CORR (which would weight students by row
-    * count) is the wrong answer. ROUND(…, 4) for presentation
-    * stability. */
-  def entityAggCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    entityAggCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        attrCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CORR(d.$attrCol, t.a), 4) AS agg_value FROM (" +
-          s"SELECT ${e.fromColumn}, AVG($measure) AS a " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"JOIN $dimE d ON d.${e.toColumn} = t.${e.fromColumn}",
-        0.9, "template_entity_agg_correlation")).take(1)
-    }
-
-  // "courses whose average score beats every dept's overall average" —
-  // a per-fk-group aggregate compared against ALL aggregates one
-  // grouping level up
-  private val crossLevelUniversalRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:beats|exceeds|tops|is\s+above|trails|is\s+below)\s+" +
-      raw"every\s+([a-z_][a-z0-9_]*)(?:'s)?\s+overall\s+(?:average|avg|mean)\b").r
-
-  /** Cross-level universal comparison: "Js whose average M beats every
-    * D's overall average" → the ∀ collapses to a single scalar (beat
-    * every group ⟺ beat the MAX; trail every ⟺ under the MIN), so the
-    * plan is two grouped passes — per-J averages via HAVING, and the
-    * coarser per-D averages through the broadcast dimension join —
-    * plus a one-row scalar subquery; never a per-(J,D) crossJoin.
-    * D resolves as an attribute column of J's own dimension (the
-    * grouping one level up the same hierarchy). */
-  def crossLevelUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    crossLevelUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val above = !question.toLowerCase.matches(raw"(?s).*\b(trails|is\s+below)\b.*")
-      val (cmp, ext) = if (above) (">", "MAX") else ("<", "MIN")
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        e <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(e.fromTable)).toSeq
-        dCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM ${e.fromTable} " +
-          s"GROUP BY ${e.fromColumn} HAVING AVG($measure) $cmp (" +
-          s"SELECT $ext(da) FROM (SELECT AVG(s.$measure) AS da " +
-          s"FROM ${e.fromTable} s JOIN $dimJ c ON c.${e.toColumn} = s.${e.fromColumn} " +
-          s"GROUP BY c.$dCol) x) " +
-          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_cross_level_universal")).take(1)
-    }
-
-  // "the second most improved student between 2022 and 2023" — the
-  // ordinal (nth) variant of the entity trend argmax
-  private val nthTrendArgmaxRe =
-    (raw"(?i)\bthe\s+(second|third|fourth|fifth|2nd|3rd|4th|5th)\s+most\s+" +
-      raw"(improved|increased|declined|decreased|worsened)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
-
-  private val ordinalOffsets = Map(
-    "second" -> 1, "2nd" -> 1, "third" -> 2, "3rd" -> 2,
-    "fourth" -> 3, "4th" -> 3, "fifth" -> 4, "5th" -> 4)
-
-  /** Nth trend argmax: "the second most improved E between Y1 and Y2"
-    * → the [[trendArgmaxEntityCandidates]] delta ranking with the
-    * ordinal as `LIMIT 1 OFFSET n-1` — still TakeOrderedAndProject
-    * over |entities| rows (Spark's SortExec+Limit keeps offset+1 rows
-    * per partition), never a corpus-wide WindowExec. Measure by the
-    * same elimination rule; rising participles rank DESC, falling
-    * ASC. */
-  def nthTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    nthTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val offset = ordinalOffsets(m.group(1).toLowerCase)
-      val rising = Set("improved", "increased")(m.group(2).toLowerCase)
-      val dir = if (rising) "DESC" else "ASC"
-      val (y1, y2) = (m.group(4), m.group(5))
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(e.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(e.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty // ambiguous or none: fire nothing
-        }
-      } yield Candidate(
-        s"SELECT ${e.fromColumn} FROM (" +
-          s"SELECT ${e.fromColumn}, " +
-          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
-          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
-          s"FROM ${e.fromTable} GROUP BY ${e.fromColumn}) t " +
-          s"WHERE d IS NOT NULL ORDER BY d $dir, ${e.fromColumn} " +
-          s"LIMIT 1 OFFSET $offset",
-        0.9, "template_nth_trend_argmax")).take(1)
-    }
-
-  // "the number of students per grade level whose overall average score
-  // is above 80" — count of qualifying entities, grouped by a dimension
-  // attribute
-  private val qualifyingCountByAttrRe =
-    (raw"(?i)\bthe\s+(?:number|count)\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:per|by|for\s+each)\s+([a-z][a-z0-9_]*(?:\s+[a-z][a-z0-9_]*)?)\s+" +
-      raw"whose\s+overall\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
-      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Qualifying count by attribute: "the number of Es per A whose
-    * overall average M is above N" → qualifying entity KEYS from one
-    * grouped fact pass (HAVING on the per-entity average), then a count
-    * grouped by the dimension attribute through the broadcast dim join
-    * — the second aggregate runs over |qualifying entities| rows, never
-    * the fact. A multi-word attribute phrase resolves underscored
-    * ("grade level" → grade_level). */
-  def qualifyingCountByAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    qualifyingCountByAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cmp = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val attrWord = m.group(2).trim.replaceAll(raw"\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        attrCol <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT d.$attrCol AS $attrCol, COUNT(*) AS n FROM (" +
-          s"SELECT ${e.fromColumn} FROM ${e.fromTable} " +
-          s"GROUP BY ${e.fromColumn} HAVING AVG($measure) $cmp ${m.group(5)}) q " +
-          s"JOIN $dimE d ON d.${e.toColumn} = q.${e.fromColumn} " +
-          s"GROUP BY d.$attrCol ORDER BY d.$attrCol LIMIT $DefaultLimit",
-        0.9, "template_qualifying_count_by_attr")).take(1)
-    }
-
-  // "the dept with the highest median student average" — argmax over
-  // per-group MEDIANS of per-entity averages
-  private val groupMedianArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(highest|largest|greatest|lowest|smallest)\s+median\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\b").r
-
-  /** Group median argmax: "the A with the highest median E average" →
-    * per-(entity, A) averages in one fact pass through the broadcast
-    * dimension (the only corpus-sized shuffle), exact MEDIAN per A over
-    * those |entities×A| group rows (sort-based but group-sized — a
-    * corpus median would use the KLL sketch path), top-1. Measure by
-    * schema elimination, as the phrase names none. */
-  def groupMedianArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    groupMedianArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("lowest", "smallest")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !l.contains("year") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT $attrCol FROM (" +
-          s"SELECT x.$attrCol, MEDIAN(a) AS md FROM (" +
-          s"SELECT s.${eE.fromColumn}, c.$attrCol, AVG(s.$measure) AS a " +
-          s"FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}, c.$attrCol) x " +
-          s"GROUP BY x.$attrCol) t " +
-          s"ORDER BY md $dir, $attrCol LIMIT 1",
-        0.9, "template_group_median_argmax")).take(1)
-    }
-
-  // "students whose average score in math is at least 10 points higher
-  // than in science" — a within-entity margin between two categorical
-  // slices
-  private val crossCategoryMarginRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+([A-Za-z][\w+-]*)\s+is\s+at\s+least\s+" +
-      raw"(\d+(?:\.\d+)?)\s+(?:points?\s+)?(higher|greater|better|lower|worse)\s+" +
-      raw"than\s+in\s+([A-Za-z][\w+-]*)\b").r
-
-  /** Cross-category margin: "Es whose average M in V1 is at least N
-    * higher than in V2" → V1/V2 resolve as DATA values of one dimension
-    * attribute (both must sit in the same mined domain — the
-    * no-fabrication bar on value linking), then one fact pass filtered
-    * to the two slices computes both conditional averages per entity;
-    * entities missing either slice fall out through the NULL
-    * comparison. "lower" swaps the margin's direction. */
-  def crossCategoryMarginCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    crossCategoryMarginRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val (v1, v2) = (m.group(3), m.group(6))
-      val higher = Set("higher", "greater", "better")(m.group(5).toLowerCase)
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        catCol <- slice.tables(eJ.toTable).filter(c =>
-          values(eJ.toTable).get(c).exists(d => d.contains(v1) && d.contains(v2))).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield {
-        val (hi, lo) = if (higher) (v1, v2) else (v2, v1)
-        Candidate(
-          s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
-            s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-            s"WHERE c.$catCol IN (${sqlLit(v1)}, ${sqlLit(v2)}) " +
-            s"GROUP BY s.${eE.fromColumn} " +
-            s"HAVING AVG(CASE WHEN c.$catCol = ${sqlLit(hi)} THEN s.$measure END) - " +
-            s"AVG(CASE WHEN c.$catCol = ${sqlLit(lo)} THEN s.$measure END) >= ${m.group(4)}) m " +
-            s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-          0.9, "template_cross_category_margin")
-      }).take(1)
-    }
-
-  // "depts where the average score of every course fell from 2022 to
-  // 2023" — a universal quantifier over per-member trends
-  private val universalGroupTrendRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+(?:average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+of\s+every\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(fell|dropped|declined|decreased|rose|increased|improved)\s+" +
-      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
-
-  /** Universal group trend: "As where the average M of every E fell
-    * from Y1 to Y2" → per-(A, member) two-period conditional averages in
-    * ONE fact pass through the broadcast dimension, then the ∀ collapses
-    * to a group extreme over the member deltas — every-fell ⟺
-    * MAX(delta) < 0, every-rose ⟺ MIN(delta) > 0; no window, no second
-    * corpus pass. Members missing a period contribute a NULL delta,
-    * which the extreme ignores — "every" quantifies over members with
-    * both readings. */
-  def universalGroupTrendCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalGroupTrendRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val falling = Set("fell", "dropped", "declined", "decreased")(m.group(4).toLowerCase)
-      val cond = if (falling) "MAX(d) < 0" else "MIN(d) > 0"
-      val (y1, y2) = (m.group(5), m.group(6))
-      (for {
-        dimI <- uniqueTable(slice, m.group(3)).toSeq
-        eI <- fks.filter(e => e.toTable == dimI && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eI.fromTable && slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eI.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        measure <- strongColumn(m.group(2), factCols).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol FROM (" +
-          s"SELECT c.$attrCol, s.${eI.fromColumn}, " +
-          s"AVG(CASE WHEN s.$periodCol = $y2 THEN s.$measure END) - " +
-          s"AVG(CASE WHEN s.$periodCol = $y1 THEN s.$measure END) AS d " +
-          s"FROM ${eI.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol, s.${eI.fromColumn}) x " +
-          s"GROUP BY $attrCol HAVING $cond " +
-          s"ORDER BY $attrCol LIMIT $DefaultLimit",
-        0.9, "template_universal_group_trend")).take(1)
-    }
-
-  // "the rank of Algebra among courses by average score" — where a NAMED
-  // entity lands in the group ranking
-  private val namedEntityRankRe =
-    (raw"(?i)\bthe\s+rank\s+of\s+([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)\s+among\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Named-entity rank: "the rank of V among Js by average M" → per-J
-    * averages in one grouped fact pass, RANK over the |J| group rows
-    * (group-sized single-partition window — a corpus-sized ranking
-    * would use RankLimit's top-k shape instead), then the one named
-    * row. V must sit in the mined domain of J's display column — the
-    * no-fabrication bar on value linking. */
-  def namedEntityRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    namedEntityRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val v = m.group(1)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        e <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(3), slice.tables(e.fromTable)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimJ)).toSeq
-        if values(dimJ).get(nameCol).exists(_.contains(v))
-      } yield Candidate(
-        s"SELECT rnk FROM (SELECT c.$nameCol, " +
-          s"RANK() OVER (ORDER BY AVG(s.$measure) DESC) AS rnk " +
-          s"FROM ${e.fromTable} s JOIN $dimJ c ON c.${e.toColumn} = s.${e.fromColumn} " +
-          s"GROUP BY c.$nameCol) t WHERE $nameCol = ${sqlLit(v)}",
-        0.9, "template_named_entity_rank")).take(1)
-    }
-
-  // "the percent change in average score from 2022 to 2023" — relative
-  // delta between two period aggregates
-  private val percentChangeRe =
-    (raw"(?i)\bthe\s+(?:percent|percentage|pct)\s+change\s+in\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"from\s+(\d{4})\s+to\s+(\d{4})\b").r
-
-  /** Percent change: "the percent change in average M from Y1 to Y2" →
-    * both period averages as conditional aggregates in ONE grouped pass
-    * (partial+final, no self-join of two period scans), relative delta
-    * ×100, ROUND(…, 4). */
-  def percentChangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    percentChangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val (y1, y2) = (m.group(2), m.group(3))
-      (for {
-        t <- slice.tables.keys.toSeq.sorted
-        cols = slice.tables(t)
-        periodCol <- cols.find(_.toLowerCase.contains("year")).toSeq
-        measure <- strongColumn(m.group(1), cols).toSeq
-      } yield Candidate(
-        s"SELECT ROUND((AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
-          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END)) / " +
-          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) * 100, 4) AS agg_value " +
-          s"FROM $t",
-        0.9, "template_percent_change")).take(1)
-    }
-
-  // "the share of each dept's scores that come from its busiest course"
-  // — within-group concentration: the largest member's share of the
-  // group total
-  private val groupConcentrationRe =
-    (raw"(?i)\bthe\s+share\s+of\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+that\s+comes?\s+from\s+its\s+" +
-      raw"(?:busiest|most\s+active|largest|top)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Group concentration: "the share of each A's Fs that come from its
-    * busiest E" → per-(A, member) counts in ONE fact pass through the
-    * broadcast dimension, then MAX/SUM over each A's member rows — the
-    * concentration ratio needs no window and no second corpus pass.
-    * The counted noun must name the fact table itself (it counts
-    * rows). */
-  def groupConcentrationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupConcentrationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        dimI <- uniqueTable(slice, m.group(3)).toSeq
-        eI <- fks.filter(e => e.fromTable == fact && e.toTable == dimI)
-        eJ <- fks.filter(e => e.fromTable == fact)
-        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS share " +
-          s"FROM (SELECT c.$attrCol, s.${eI.fromColumn}, COUNT(*) AS cnt " +
-          s"FROM $fact s JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol, s.${eI.fromColumn}) x " +
-          s"GROUP BY $attrCol ORDER BY $attrCol LIMIT $DefaultLimit",
-        0.9, "template_group_concentration")).take(1)
-    }
-
-  // "students who took courses in at least 3 different depts" — a
-  // distinct-count threshold on a JOINED dimension attribute
-  private val joinedDistinctHavingRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"(at\s+least|exactly|at\s+most)\s+(\d+|two|three|four|five)\s+" +
-      raw"(?:different|distinct)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Joined distinct-count threshold: "Es who took Js in at least N
-    * different As" → COUNT(DISTINCT dim.attr) per entity through the
-    * broadcast dimension join (one fact-sized shuffle on the entity
-    * fk), HAVING the threshold, names resolved last over |qualifying|
-    * rows. */
-  def joinedDistinctHavingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedDistinctHavingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = m.group(3).toLowerCase.replaceAll("\\s+", " ") match {
-        case "exactly" => "="
-        case "at most" => "<="
-        case _ => ">="
-      }
-      val n = m.group(4).toLowerCase match {
-        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
-        case d => d.toInt
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimJ != dimE
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable == dimJ)
-        attrCol <- abbrevColumn(m.group(5), slice.tables(dimJ)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT c.$attrCol) $op $n) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_joined_distinct_having")).take(1)
-    }
-
-  // "the year when dept averages were closest together" — dispersion of
-  // group aggregates per period, ranked
-  private val periodBalanceRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+when\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:averages|avgs)\s+were\s+" +
-      raw"(closest\s+together|most\s+similar|most\s+spread\s+out|furthest\s+apart)\b").r
-
-  /** Period balance argmin/argmax: "the T when A averages were closest
-    * together" → per-(period, A) averages in one fact pass through the
-    * broadcast dimension, STDDEV over each period's |A| group rows,
-    * top-1 — dispersion of aggregates, computed entirely on group-sized
-    * frames after the single corpus shuffle. Measure by schema
-    * elimination. */
-  def periodBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    periodBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase.matches(raw"closest\s+together|most\s+similar"))
-        "ASC" else "DESC"
-      (for {
-        eJ <- fks.filter(e => slice.tables.contains(e.fromTable) &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eJ.fromTable)
-        periodCol <- strongColumn(m.group(1), factCols).toSeq
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT yr FROM (SELECT x.yr, STDDEV_SAMP(a) AS sd FROM (" +
-          s"SELECT s.$periodCol AS yr, c.$attrCol, AVG(s.$measure) AS a " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.$periodCol, c.$attrCol) x GROUP BY x.yr) t " +
-          s"ORDER BY sd $dir, yr LIMIT 1",
-        0.9, "template_period_balance")).take(1)
-    }
-
-  // "the grade letter whose students have the widest age range" — the
-  // category lives on the FACT table, the measured attribute on the
-  // joined entity dimension (the fact-side sibling of dimRangeArgmax)
-  private val categoryAttrRangeRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+" +
-      raw"(widest|largest|greatest|biggest|narrowest|smallest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+range\b").r
-
-  /** Category attribute-range argmax: "the A whose Es have the widest B
-    * range" where A is a fact-table category and B an attribute of the
-    * joined entity dimension. One fact pass through the broadcast
-    * dimension, grouped MAX−MIN per category, TakeOrderedAndProject
-    * top-1 — group-sized frames after the single corpus shuffle. Fires
-    * only when the category does NOT resolve on the dimension itself
-    * (that form is [[dimRangeArgmaxCandidates]]'s pure-dimension plan). */
-  def categoryAttrRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    categoryAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if abbrevColumn(attrWord, slice.tables(dimE)).isEmpty
-        e <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        catCol <- abbrevColumn(attrWord, slice.tables(e.fromTable)).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT $catCol FROM (SELECT s.$catCol, " +
-          s"MAX(st.$numCol) - MIN(st.$numCol) AS r FROM ${e.fromTable} s " +
-          s"JOIN $dimE st ON st.${e.toColumn} = s.${e.fromColumn} " +
-          s"GROUP BY s.$catCol) t ORDER BY r $dir, $catCol LIMIT 1",
-        0.9, "template_category_attr_range_argmax")).take(1)
-    }
-
-  // "courses where the top score was achieved by more than one student"
-  // — a tie-at-the-extreme count per group
-  private val maxTieCountRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
-      raw"(top|highest|best|maximum|max|lowest|worst|minimum|min)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+was\s+" +
-      raw"(?:achieved|earned|reached|attained|shared|scored|held)\s+by\s+" +
-      raw"(?:more\s+than\s+one|multiple|several)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Extreme-tie count: "Gs where the top M was achieved by more than
-    * one E" → per-group MAX in one grouped pass (map-side partial agg),
-    * joined back to the fact on the group key — AQE broadcasts the
-    * |groups|-sized aggregate side — then COUNT(DISTINCT entity) at the
-    * extreme, HAVING > 1. Never a corpus self-join: the max frame is
-    * group-cardinality-sized. */
-  def maxTieCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    maxTieCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("lowest", "worst", "minimum", "min")(m.group(2).toLowerCase))
-        "MIN" else "MAX"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimG
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eG.fromTable && e.toTable == dimE)
-        measure <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT s.${eG.fromColumn} FROM ${eG.fromTable} s " +
-          s"JOIN (SELECT ${eG.fromColumn}, $agg($measure) AS mx " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) m " +
-          s"ON m.${eG.fromColumn} = s.${eG.fromColumn} AND m.mx = s.$measure " +
-          s"GROUP BY s.${eG.fromColumn} " +
-          s"HAVING COUNT(DISTINCT s.${eE.fromColumn}) > 1 " +
-          s"ORDER BY s.${eG.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_max_tie_count")).take(1)
-    }
-
-  // "the share of scores that are their student's best" — share of fact
-  // rows sitting at their own entity's extreme
-  private val sharePersonalBestRe =
-    (raw"(?i)\bthe\s+(?:share|proportion|fraction|percentage)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+that\s+are\s+their\s+" +
-      raw"([a-z_][a-z0-9_]*)(?:'s)?\s+(best|worst|highest|lowest)\b").r
-
-  /** Personal-best share: "the share of Fs that are their E's best" →
-    * a per-entity window MAX (hash shuffle on the entity key, never a
-    * global window) and a single scalar ratio — one corpus pass, one
-    * row out. The measure resolves from the fact word itself
-    * ("scores" → column score via the plural-tolerant strong link). */
-  def sharePersonalBestCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    sharePersonalBestRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("worst", "lowest")(m.group(3).toLowerCase)) "MIN" else "MAX"
-      (for {
-        fact <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != fact
-        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN $measure = mx THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT $measure, $agg($measure) OVER " +
-          s"(PARTITION BY ${eE.fromColumn}) AS mx FROM $fact) t",
-        0.9, "template_share_personal_best")).take(1)
-    }
-
-  // "the gap between the best and second-best course by average score" —
-  // difference between the top two ranked group aggregates
-  private val top2GapRe =
-    (raw"(?i)\bthe\s+(?:gap|difference)\s+between\s+the\s+" +
-      raw"(?:best|top|highest)\s+and\s+(?:the\s+)?second[- ]best\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Top-2 gap: "the gap between the best and second-best G by avg V" →
-    * one grouped aggregate over the fact (the only corpus pass), a
-    * ROW_NUMBER window over the |G|-sized aggregate frame — group
-    * cardinality, never corpus-wide — and a single-row collapse of
-    * rank 1 minus rank 2. */
-  def top2GapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    top2GapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(MAX(CASE WHEN r = 1 THEN a END) - " +
-          s"MAX(CASE WHEN r = 2 THEN a END), 2) AS agg_value FROM " +
-          s"(SELECT a, ROW_NUMBER() OVER (ORDER BY a DESC) AS r FROM " +
-          s"(SELECT $agg($measure) AS a FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn}) t) x",
-        0.9, "template_top2_gap")).take(1)
-    }
-
-  // "the share of students whose best course is in math" — per-entity
-  // argmax row, membership test on the joined dimension attribute
-  private val bestMembershipShareRe =
-    (raw"(?i)\bthe\s+(?:share|proportion|fraction|percentage)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+whose\s+(best|worst)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+in\s+([A-Za-z][\w+-]*)\b").r
-
-  /** Best-membership share: "the share of Es whose best J is in M" →
-    * ROW_NUMBER partitioned by the entity key over the fact (hash
-    * shuffle on the entity, never a global window), rank-1 winners join
-    * the broadcast J dimension, one scalar ratio out. The measure is
-    * inferred by schema elimination (the fact's single free numeric
-    * column, the [[trendArgmaxEntityCandidates]] rule) and M must be a
-    * MINED DOMAIN VALUE of a J attribute — the no-fabrication bar. */
-  def bestMembershipShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    bestMembershipShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "worst") "ASC" else "DESC"
-      val value = m.group(4)
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        attrCol <- values(dimJ).collectFirst {
-          case (c, dom) if dom.contains(value) => c
-        }.toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN c.$attrCol = ${sqlLit(value)} " +
-          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
-          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $measure $dir, ${eJ.fromColumn}) AS r " +
-          s"FROM ${eE.fromTable}) t " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.${eJ.fromColumn} " +
-          s"WHERE t.r = 1",
-        0.9, "template_best_membership_share")).take(1)
-    }
-
-  // "the longest streak of years in which the overall average score
-  // improved" — gaps-and-islands over the period aggregate
-  private val longestStreakRe =
-    (raw"(?i)\bthe\s+longest\s+streak\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+which\s+the\s+overall\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+" +
-      raw"(improved|increased|grew|rose|declined|decreased|dropped|fell)\b").r
-
-  /** Longest streak: "the longest streak of Ps in which the overall avg
-    * V improved" → one grouped pass collapses the corpus to |P| period
-    * rows; LAG marks improving periods, the classic
-    * row_number−running_sum island key groups consecutive runs, MAX of
-    * the island sizes is the answer. All window work happens on the
-    * period-cardinality frame, never the corpus. */
-  def longestStreakCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    longestStreakRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
-      val cmp = if (Set("improved", "increased", "grew", "rose")(m.group(4).toLowerCase))
-        ">" else "<"
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        if measure != periodCol
-      } yield Candidate(
-        s"WITH y AS (SELECT $periodCol AS p, $agg($measure) AS a " +
-          s"FROM $fact GROUP BY $periodCol), " +
-          s"d AS (SELECT p, CASE WHEN a $cmp LAG(a) OVER (ORDER BY p) " +
-          s"THEN 1 ELSE 0 END AS up FROM y), " +
-          s"g AS (SELECT p, up, ROW_NUMBER() OVER (ORDER BY p) - " +
-          s"SUM(up) OVER (ORDER BY p) AS grp FROM d) " +
-          s"SELECT MAX(cnt) AS agg_value FROM " +
-          s"(SELECT grp, SUM(up) AS cnt FROM g GROUP BY grp) t",
-        0.9, "template_longest_streak")).take(1)
-    }
-
-  // "the average number of students per course in each dept" — the
-  // grouped sibling of avgCountPer: averaged within a super-group
-  private val groupedAvgCountPerRe =
-    (raw"(?i)\b(?:the\s+)?(?:average|avg|mean)\s+(?:number|count)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:in|for|by)\s+each\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Grouped avg-count-per: "the avg number of E1s per E2 in each A" →
-    * COUNT(DISTINCT e1) per e2 key in one fact pass, the |E2|-sized
-    * count frame joins the broadcast E2 dimension, AVG per attribute.
-    * Both post-shuffle frames are group-cardinality-sized. */
-  def groupedAvgCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupedAvgCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT c.$attrCol, ROUND(AVG(n), 2) AS avg_cnt FROM " +
-          s"(SELECT ${eJ.fromColumn} AS jk, " +
-          s"COUNT(DISTINCT ${eE.fromColumn}) AS n FROM ${eE.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) t " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = t.jk " +
-          s"GROUP BY c.$attrCol ORDER BY c.$attrCol LIMIT $DefaultLimit",
-        0.9, "template_grouped_avg_count_per")).take(1)
-    }
-
-  // "the median score of each dept's most popular course" — per
-  // super-group argmax by popularity, then an aggregate of the winner
-  private val groupPopularAggRe =
-    (raw"(?i)\bthe\s+(median|average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
-      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+most\s+popular\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Group popular-member aggregate: "the median V of each A's most
-    * popular J" → one grouped pass computes COUNT(*) and the aggregate
-    * per (A, J) simultaneously, ROW_NUMBER partitioned by A over the
-    * group-sized frame picks each super-group's most popular member,
-    * its pre-computed aggregate rides along — no second corpus pass. */
-  def groupPopularAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupPopularAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(1).toLowerCase == "median") "MEDIAN" else "AVG"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-        measure <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT grp, med FROM (SELECT c.$attrCol AS grp, " +
-          s"s.${eJ.fromColumn}, $agg(s.$measure) AS med, " +
-          s"ROW_NUMBER() OVER (PARTITION BY c.$attrCol " +
-          s"ORDER BY COUNT(*) DESC, s.${eJ.fromColumn}) AS r " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) t WHERE r = 1 " +
-          s"ORDER BY grp LIMIT $DefaultLimit",
-        0.9, "template_group_popular_agg")).take(1)
-    }
-
-  /** Joined-dimension range argmax: "the A whose Es have the widest B
-    * range" where A lives on a SECOND dimension of the same fact (the
-    * two-hop sibling of [[categoryAttrRangeArgmaxCandidates]]). The fact
-    * joins both broadcast dimensions once, grouped MAX−MIN per category,
-    * top-1. Fires only when the category resolves on neither the entity
-    * dimension nor the fact. */
-  def joinedDimRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    categoryAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if abbrevColumn(attrWord, slice.tables(dimE)).isEmpty
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        if abbrevColumn(attrWord, slice.tables(eE.fromTable)).isEmpty
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable &&
-          e.toTable != dimE && slice.tables.contains(e.toTable))
-        catCol <- abbrevColumn(attrWord, slice.tables(eJ.toTable)).toSeq
-        numCol <- strongColumn(m.group(4), slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT $catCol FROM (SELECT c.$catCol, " +
-          s"MAX(st.$numCol) - MIN(st.$numCol) AS r FROM ${eE.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$catCol) t ORDER BY r $dir, $catCol LIMIT 1",
-        0.9, "template_joined_dim_range_argmax")).take(1)
-    }
-
-  // "the percentage of courses whose enrollment grew from 2022 to 2023"
-  // — the COUNT sibling of trendShare (enrollment is row count, not a
-  // measure column)
-  private val countTrendShareRe =
-    (raw"(?i)\bthe\s+(?:percentage|percent|share|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"(?:enrollment|enrolment|attendance|count|popularity)\s+" +
-      raw"(grew|increased|rose|improved|fell|declined|dropped|decreased)\s+" +
-      raw"from\s+(\d+)\s+to\s+(\d+)\b").r
-
-  /** Count-trend share: "the share of Gs whose enrollment grew from Y1
-    * to Y2" → both period counts as conditional COUNTs in ONE grouped
-    * pass over the fact, then a single-row collapse of the |G| group
-    * rows — the [[trendShareCandidates]] trick with COUNT instead of a
-    * measure aggregate. */
-  def countTrendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    countTrendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cmp = if (Set("grew", "increased", "rose", "improved")(m.group(2).toLowerCase))
-        ">" else "<"
-      val (y1, y2) = (m.group(3), m.group(4))
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        periodCol <- slice.tables(eG.fromTable)
-          .find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN c2 $cmp c1 THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT ${eG.fromColumn}, " +
-          s"COUNT(CASE WHEN $periodCol = $y1 THEN 1 END) AS c1, " +
-          s"COUNT(CASE WHEN $periodCol = $y2 THEN 1 END) AS c2 " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
-        0.9, "template_count_trend_share")).take(1)
-    }
-
-  // "the course with the most evenly distributed scores across grade
-  // levels" — dispersion of a group's count distribution over a joined
-  // dimension attribute
-  private val distributionBalanceRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(most|least)\s+(?:evenly|equally|uniformly)\s+distributed\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+across\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Distribution balance argmin/argmax: "the G with the most evenly
-    * distributed Fs across As" → (G, A) counts in one fact pass through
-    * the broadcast dimension carrying A, STDDEV of each G's count
-    * vector over the group-sized frame, top-1. "most evenly" = smallest
-    * dispersion. The counted noun must name the fact itself. */
-  def distributionBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    distributionBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "most") "ASC" else "DESC"
-      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        fact <- uniqueTable(slice, m.group(3)).toSeq
-        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
-        eA <- fks.filter(e => e.fromTable == fact && e.toTable != dimG &&
-          slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(attrWord, slice.tables(eA.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn} FROM (SELECT x.${eG.fromColumn}, " +
-          s"STDDEV_SAMP(cnt) AS sd FROM " +
-          s"(SELECT s.${eG.fromColumn}, st.$attrCol, COUNT(*) AS cnt " +
-          s"FROM $fact s JOIN ${eA.toTable} st " +
-          s"ON st.${eA.toColumn} = s.${eA.fromColumn} " +
-          s"GROUP BY s.${eG.fromColumn}, st.$attrCol) x " +
-          s"GROUP BY x.${eG.fromColumn}) t " +
-          s"ORDER BY sd $dir, ${eG.fromColumn} LIMIT 1",
-        0.9, "template_distribution_balance")).take(1)
-    }
-
-  // "the largest score gap within a single course" — the extreme of
-  // WITHIN-group ranges (rangeOfGroupAggs is the range ACROSS group
-  // aggregates; this is MAX over per-group MAX−MIN)
-  private val maxGroupRangeRe =
-    (raw"(?i)\bthe\s+(largest|biggest|widest|greatest|smallest|narrowest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:gap|range|spread)\s+within\s+" +
-      raw"(?:a\s+single|any|one)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Max group range: "the largest V gap within a single G" → per-group
-    * MAX and MIN in one grouped pass (map-side partial agg), extreme of
-    * the differences over the |G|-sized frame — one corpus pass, one
-    * row out. */
-  def maxGroupRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    maxGroupRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val outer = if (Set("smallest", "narrowest")(m.group(1).toLowerCase))
-        "MIN" else "MAX"
-      (for {
-        dimG <- uniqueTable(slice, m.group(3)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $outer(mx - mn) AS agg_value FROM " +
-          s"(SELECT ${eG.fromColumn}, MAX($measure) AS mx, MIN($measure) AS mn " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
-        0.9, "template_max_group_range")).take(1)
-    }
-
-  // "the share of students who took the most popular course" —
-  // popularity argmax feeding a membership share
-  private val popularMembershipShareRe =
-    (raw"(?i)\bthe\s+(?:share|percentage|fraction|proportion)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+the\s+most\s+popular\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Popular-membership share: "the share of Es who took the most
-    * popular J" → the argmax J is a one-row scalar subquery (its own
-    * grouped pass, broadcast back), then one conditional
-    * COUNT(DISTINCT entity) over the fact — two corpus passes, both
-    * map-side-combined, no join explosion. */
-  def popularMembershipShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    popularMembershipShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(COUNT(DISTINCT CASE WHEN ${eJ.fromColumn} = " +
-          s"(SELECT ${eJ.fromColumn} FROM ${eE.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn} ORDER BY COUNT(*) DESC, " +
-          s"${eJ.fromColumn} LIMIT 1) THEN ${eE.fromColumn} END) " +
-          s"AS DOUBLE) / COUNT(DISTINCT ${eE.fromColumn}), 4) AS agg_value " +
-          s"FROM ${eE.fromTable}",
-        0.9, "template_popular_membership_share")).take(1)
-    }
-
-  // "courses with an above-average share of A grades" — a group's
-  // category share against the global share
-  private val categoryShareVsGlobalRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+with\s+an?\s+" +
-      raw"(above|below)[- ]average\s+(?:share|proportion|fraction)\s+of\s+" +
-      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Category share vs global: "Gs with an above-average share of M As"
-    * → the group's conditional-share HAVING against a one-row scalar
-    * subquery (broadcast), both from grouped passes over the fact. M
-    * must be a MINED DOMAIN VALUE of the category column — the
-    * no-fabrication bar. */
-  def categoryShareVsGlobalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    categoryShareVsGlobalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).toLowerCase == "above") ">" else "<"
-      val value = m.group(3)
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        catCol <- strongColumn(m.group(4), slice.tables(eG.fromTable)).toSeq
-        if values(eG.fromTable).get(catCol).exists(_.contains(value))
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn} FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn} " +
-          s"HAVING AVG(CASE WHEN $catCol = ${sqlLit(value)} THEN 1.0 " +
-          s"ELSE 0 END) $op (SELECT AVG(CASE WHEN $catCol = " +
-          s"${sqlLit(value)} THEN 1.0 ELSE 0 END) FROM ${eG.fromTable}) " +
-          s"ORDER BY ${eG.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_category_share_vs_global")).take(1)
-    }
-
-  // "the average score in each student's final year" — an aggregate
-  // restricted to each entity's extreme period
-  private val lastPeriodAggRe =
-    (raw"(?i)\bthe\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+(final|last|first)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Last-period aggregate: "the avg V in each E's final P" → a window
-    * MAX of the period partitioned by the entity key (hash shuffle on
-    * the entity, never global), rows at their own entity's extreme
-    * period survive, one scalar aggregate out. */
-  def lastPeriodAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    lastPeriodAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("total", "sum")(m.group(1).toLowerCase)) "SUM" else "AVG"
-      val ext = if (m.group(4).toLowerCase == "first") "MIN" else "MAX"
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eE.fromTable)
-        measure <- strongColumn(m.group(2), factCols).toSeq
-        periodCol <- strongColumn(m.group(5), factCols).toSeq
-        if periodCol != measure
-      } yield Candidate(
-        s"SELECT ROUND($agg($measure), 4) AS agg_value FROM " +
-          s"(SELECT $measure, $periodCol, $ext($periodCol) OVER " +
-          s"(PARTITION BY ${eE.fromColumn}) AS mp FROM ${eE.fromTable}) t " +
-          s"WHERE $periodCol = mp",
-        0.9, "template_last_period_agg")).take(1)
-    }
-
-  // "the most improved course in each dept between 2022 and 2023" —
-  // the per-super-group selection of a two-period trend argmax
-  private val groupTrendArgmaxRe =
-    (raw"(?i)\bthe\s+most\s+(improved|declined)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+each\s+([a-z_][a-z0-9_]*)\s+between\s+(\d+)\s+and\s+(\d+)\b").r
-
-  /** Group trend argmax: "the most improved J in each A between Y1 and
-    * Y2" → both period aggregates as conditional CASE aggregates per
-    * (A, J) in ONE grouped pass, entities missing either period drop
-    * (no trend to state), ROW_NUMBER partitioned by A over the
-    * group-sized frame picks each super-group's winner. */
-  def groupTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    groupTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(1).toLowerCase == "improved") "DESC" else "ASC"
-      val (y1, y2) = (m.group(4), m.group(5))
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        attrCol <- abbrevColumn(m.group(3), slice.tables(dimJ)).toSeq
-        factCols = slice.tables(eJ.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT grp, jk FROM (SELECT grp, jk, ROW_NUMBER() OVER " +
-          s"(PARTITION BY grp ORDER BY d $dir, jk) AS r FROM " +
-          s"(SELECT c.$attrCol AS grp, s.${eJ.fromColumn} AS jk, " +
-          s"AVG(CASE WHEN s.$periodCol = $y2 THEN s.$measure END) - " +
-          s"AVG(CASE WHEN s.$periodCol = $y1 THEN s.$measure END) AS d " +
-          s"FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) x WHERE d IS NOT NULL) t " +
-          s"WHERE r = 1 ORDER BY grp LIMIT $DefaultLimit",
-        0.9, "template_group_trend_argmax")).take(1)
-    }
-
-  // "students who took every math course" — division against the
-  // attribute-FILTERED subset of a dimension
-  private val filteredDivisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+([a-z]+)\s+every\s+" +
-      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Filtered division: "Es who V every M J" → relational division
-    * where the divisor is the M-valued SUBSET of the J dimension: one
-    * grouped COUNT(DISTINCT j) over the value-filtered fact (the
-    * broadcast dimension filter prunes before the shuffle), the divisor
-    * a one-row scalar subquery over the dimension alone. M must be a
-    * MINED DOMAIN VALUE of a J attribute — the no-fabrication bar
-    * ([[divisionCandidates]] serves the unfiltered "every J" form). */
-  def filteredDivisionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    filteredDivisionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val value = m.group(3)
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        attrCol <- values(dimJ).collectFirst {
-          case (c, dom) if dom.contains(value) => c
-        }.toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
-          s"${eE.fromTable} s JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"WHERE c.$attrCol = ${sqlLit(value)} " +
-          s"GROUP BY s.${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT s.${eJ.fromColumn}) = " +
-          s"(SELECT COUNT(*) FROM $dimJ WHERE $attrCol = ${sqlLit(value)})) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_filtered_division")).take(1)
-    }
-
-  // "the difference between the median and average score" — a scalar
-  // combination of two different aggregates of the same measure
-  private val aggDiffRe =
-    (raw"(?i)\bthe\s+difference\s+between\s+the\s+" +
-      raw"(median|average|avg|mean|max|maximum|min|minimum)\s+and\s+(?:the\s+)?" +
-      raw"(median|average|avg|mean|max|maximum|min|minimum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Aggregate difference: "the difference between the A1 and A2 V" →
-    * both aggregates in ONE grouped pass over whichever sliced table
-    * strongly carries the measure — a single corpus scan, single-row
-    * output. */
-  def aggDiffCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    aggDiffRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def aggOf(w: String) = w.toLowerCase match {
-        case "median" => "MEDIAN"
-        case "max" | "maximum" => "MAX"
-        case "min" | "minimum" => "MIN"
-        case _ => "AVG"
-      }
-      val (a1, a2) = (aggOf(m.group(1)), aggOf(m.group(2)))
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND($a1($measure) - $a2($measure), 4) AS agg_value FROM $fact",
-        0.9, "template_agg_diff")).take(1)
-    }
-
-  // "students whose average score is above their grade level's average"
-  // — entity aggregate vs the entity's own cohort aggregate
-  private val cohortRelativeAvgRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(?:average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+(above|below)\s+their\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)(?:'s)?\s+average\b").r
-
-  /** Cohort-relative average: "Es whose avg V is above their A's
-    * average" — the cohort A is an attribute of the ENTITY dimension,
-    * so both sides come from grouped passes over the fact (per-entity
-    * and per-cohort), each joining the broadcast dimension; the final
-    * comparison joins two group-sized frames. */
-  def cohortRelativeAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortRelativeAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(3).toLowerCase == "above") ">" else "<"
-      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"JOIN (SELECT st2.$attrCol, AVG(s2.$measure) AS ga " +
-          s"FROM ${eE.fromTable} s2 " +
-          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
-          s"GROUP BY st2.$attrCol) g ON g.$attrCol = st.$attrCol " +
-          s"WHERE m.a $op g.ga ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_cohort_relative_avg")).take(1)
-    }
-
-  // "the number of distinct scores shared by all depts" — values of a
-  // measure present in every group (division over VALUES)
-  private val valueUniversalCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+distinct\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"shared\s+by\s+(?:all|every)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Value-universal count: "the number of distinct Vs shared by all
-    * As" → group the fact by the VALUE, COUNT(DISTINCT joined attr) per
-    * value against the one-row attribute cardinality subquery — value
-    * division in one fact pass plus a dimension-only scalar. */
-  def valueUniversalCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    valueUniversalCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.$measure FROM $fact s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.$measure " +
-          s"HAVING COUNT(DISTINCT c.$attrCol) = " +
-          s"(SELECT COUNT(DISTINCT $attrCol) FROM ${eJ.toTable})) t",
-        0.9, "template_value_universal_count")).take(1)
-    }
-
-  // "the average score of the three hardest courses" — an aggregate
-  // over the bottom/top-k group aggregates
-  private val bottomkAggAvgRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+" +
-      raw"(two|three|four|five|\d+)\s+" +
-      raw"(hardest|easiest|best|worst|top|bottom|strongest|weakest)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Bottom/top-k aggregate average: "the avg V of the N hardest Gs" →
-    * per-group averages in one grouped pass, TakeOrderedAndProject
-    * top-N of the group frame, scalar AVG of N rows. */
-  def bottomkAggAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    bottomkAggAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(2).toLowerCase match {
-        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
-        case d => d.toInt
-      }
-      val dir = if (Set("hardest", "worst", "bottom", "weakest")(m.group(3).toLowerCase))
-        "ASC" else "DESC"
-      (for {
-        dimG <- uniqueTable(slice, m.group(4)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(1), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(a), 4) AS agg_value FROM " +
-          s"(SELECT AVG($measure) AS a FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn} ORDER BY a $dir LIMIT $n) t",
-        0.9, "template_bottomk_agg_avg")).take(1)
-    }
-
-  // "the dept where the average age of students taking its courses is
-  // lowest" — an aggregate of ONE dimension's attribute grouped by
-  // ANOTHER dimension's attribute, bridged by the fact
-  private val twoDimAttrAggArgRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+where\s+the\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+its\s+([a-z_][a-z0-9_]*)\s+is\s+" +
-      raw"(lowest|highest|smallest|largest)\b").r
-
-  /** Two-dimension attribute-aggregate argmin/argmax: "the A where the
-    * avg B of Es taking its Js is lowest" → the fact joins both
-    * broadcast dimensions once, AVG of the entity attribute per
-    * category, top-1 over the group-sized frame. */
-  def twoDimAttrAggArgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    twoDimAttrAggArgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("lowest", "smallest")(m.group(5).toLowerCase)) "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        dimC <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimC
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimC))
-        eC <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimC).toSeq
-        catCol <- abbrevColumn(m.group(1), slice.tables(dimC)).toSeq
-        numCol <- strongColumn(m.group(2), slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT $catCol FROM (SELECT c.$catCol, AVG(st.$numCol) AS a " +
-          s"FROM ${eE.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"JOIN $dimC c ON c.${eC.toColumn} = s.${eC.fromColumn} " +
-          s"GROUP BY c.$catCol) t ORDER BY a $dir, $catCol LIMIT 1",
-        0.9, "template_two_dim_attr_agg_arg")).take(1)
-    }
-
-  // "the number of students whose scores span at least three grade
-  // letters" — a COUNT of entities passing a distinct-category threshold
-  private val countThresholdEntitiesRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+span\s+at\s+least\s+" +
-      raw"(two|three|four|five|\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Count of threshold entities: "the number of Es whose Fs span at
-    * least N As" → one grouped COUNT(DISTINCT category) per entity key
-    * over the fact, HAVING the threshold, single-row COUNT collapse —
-    * no dimension join needed since only the cardinality is asked. */
-  def countThresholdEntitiesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    countThresholdEntitiesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(3).toLowerCase match {
-        case "two" => 2; case "three" => 3; case "four" => 4; case "five" => 5
-        case d => d.toInt
-      }
-      val attrWord = m.group(4).trim.replaceAll("\\s+", "_")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
-        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
-          s"FROM $fact GROUP BY ${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT $catCol) >= $n) t",
-        0.9, "template_count_threshold_entities")).take(1)
-    }
-
-  // "the median of each year's average score" — MEDIAN over group
-  // aggregates (the median sibling of aggOfAgg)
-  private val medianOfGroupAggsRe =
-    (raw"(?i)\bthe\s+median\s+of\s+each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
-      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Median of group aggregates: "the median of each P's avg V" → one
-    * grouped pass collapses the corpus to |P| rows, MEDIAN over the
-    * group frame — corpus-size-independent outer aggregate. */
-  def medianOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    medianOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("total", "sum")(m.group(2).toLowerCase)) "SUM" else "AVG"
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        if measure != periodCol
-      } yield Candidate(
-        s"SELECT MEDIAN(a) AS agg_value FROM (SELECT $agg($measure) AS a " +
-          s"FROM $fact GROUP BY $periodCol) t",
-        0.9, "template_median_of_group_aggs")).take(1)
-    }
-
-  // "the course whose enrollment is most balanced across years" — count
-  // distribution balance over a FACT period column (the fact-side
-  // sibling of distributionBalance)
-  private val factDistributionBalanceRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"(?:enrollment|enrolment|attendance|counts?)\s+(?:is|are)\s+" +
-      raw"(most|least)\s+balanced\s+across\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Fact distribution balance: "the G whose enrollment is most
-    * balanced across Ps" → (G, P) counts in one grouped fact pass, the
-    * STDDEV of each G's count vector over the group-sized frame, top-1.
-    * No dimension join — both keys live on the fact. */
-  def factDistributionBalanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    factDistributionBalanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "most") "ASC" else "DESC"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        periodCol <- strongColumn(m.group(3), slice.tables(eG.fromTable)).toSeq
-        if periodCol != eG.fromColumn
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn} FROM (SELECT x.${eG.fromColumn}, " +
-          s"STDDEV_SAMP(cnt) AS sd FROM " +
-          s"(SELECT ${eG.fromColumn}, $periodCol, COUNT(*) AS cnt " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}, $periodCol) x " +
-          s"GROUP BY x.${eG.fromColumn}) t " +
-          s"ORDER BY sd $dir, ${eG.fromColumn} LIMIT 1",
-        0.9, "template_fact_distribution_balance")).take(1)
-    }
-
-  // "the percentage of scores within 10 points of the course average" —
-  // the share of rows inside a band around their own group's aggregate
-  private val nearGroupAvgShareRe =
-    (raw"(?i)\bthe\s+(?:percentage|share|fraction|proportion)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+within\s+(\d+(?:\.\d+)?)\s+" +
-      raw"(?:points?|units?)\s+of\s+the\s+([a-z_][a-z0-9_]*)\s+average\b").r
-
-  /** Near-group-average share: "the share of Fs within X points of the
-    * G average" → a window AVG partitioned by the group key (hash
-    * shuffle on the group, never global), one scalar band ratio out. */
-  def nearGroupAvgShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    nearGroupAvgShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(1)).toSeq
-        dimG <- uniqueTable(slice, m.group(3)).toSeq
-        if dimG != fact
-        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN ABS($measure - ca) <= ${m.group(2)} " +
-          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT $measure, AVG($measure) OVER " +
-          s"(PARTITION BY ${eG.fromColumn}) AS ca FROM $fact) t",
-        0.9, "template_near_group_avg_share")).take(1)
-    }
-
-  // "the longest gap in years between two scores for the same student"
-  // — the max consecutive-period gap within any entity's history
-  private val maxPeriodGapRe =
-    (raw"(?i)\bthe\s+longest\s+gap\s+in\s+([a-z_][a-z0-9_]*)\s+between\s+" +
-      raw"two\s+([a-z_][a-z0-9_]*)\s+for\s+the\s+same\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Max period gap: "the longest gap in Ps between two Fs for the same
-    * E" → distinct (entity, period) pairs in one grouped pass, LAG
-    * partitioned by the entity key over the deduplicated frame, scalar
-    * MAX of the consecutive differences. */
-  def maxPeriodGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    maxPeriodGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != fact
-        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT MAX(gap) AS agg_value FROM (SELECT $periodCol - " +
-          s"LAG($periodCol) OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $periodCol) AS gap FROM " +
-          s"(SELECT DISTINCT ${eE.fromColumn}, $periodCol FROM $fact) d) t",
-        0.9, "template_max_period_gap")).take(1)
-    }
-
-  // "the average number of years between a student's first and last
-  // score" — the mean per-entity period span
-  private val avgPeriodSpanRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+number\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+between\s+a\s+([a-z_][a-z0-9_]*)(?:'s)?\s+" +
-      raw"first\s+and\s+last\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average period span: "the avg number of Ps between an E's first
-    * and last F" → per-entity MAX−MIN of the period in one grouped
-    * pass, scalar AVG of the |E| group rows. */
-  def avgPeriodSpanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgPeriodSpanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(3)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != fact
-        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(mx - mn), 2) AS agg_value FROM " +
-          s"(SELECT MAX($periodCol) AS mx, MIN($periodCol) AS mn " +
-          s"FROM $fact GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_avg_period_span")).take(1)
-    }
-
-  // "the second most common grade" — the Nth value by FREQUENCY rank
-  // (nth_value is the Nth DISTINCT value; this ranks by count)
-  private val freqRankNthRe =
-    (raw"(?i)\bthe\s+(second|third|fourth|fifth|2nd|3rd|4th|5th)\s+most\s+" +
-      raw"(?:common|frequent|popular)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Frequency-rank nth: "the Nth most common A" → grouped counts in
-    * one pass, ROW_NUMBER over the group-sized frame (count desc, value
-    * as the deterministic tie-break), the single rank-N row. */
-  def freqRankNthCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    freqRankNthRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(1).toLowerCase match {
-        case "second" | "2nd" => 2; case "third" | "3rd" => 3
-        case "fourth" | "4th" => 4; case _ => 5
-      }
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        catCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT $catCol FROM (SELECT $catCol, ROW_NUMBER() OVER " +
-          s"(ORDER BY COUNT(*) DESC, $catCol) AS r FROM $fact " +
-          s"GROUP BY $catCol) x WHERE r = $n",
-        0.9, "template_freq_rank_nth")).take(1)
-    }
-
-  // "the dept with the highest share of its scores above 80" — argmax
-  // over per-category conditional shares through the dimension join
-  private val joinedCondShareArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(highest|lowest|largest|smallest)\s+share\s+of\s+its\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(above|over|below|under)\s+" +
-      raw"(\d+(?:\.\d+)?)\b").r
-
-  /** Joined conditional-share argmax: "the A with the highest share of
-    * its Fs above X" → per-category conditional AVG in one fact pass
-    * through the broadcast dimension carrying A, top-1 over the
-    * group-sized frame. */
-  def joinedCondShareArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    joinedCondShareArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("highest", "largest")(m.group(2).toLowerCase)) "DESC" else "ASC"
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      (for {
-        fact <- uniqueTable(slice, m.group(3)).toSeq
-        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
-        attrCol <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol FROM (SELECT c.$attrCol, " +
-          s"AVG(CASE WHEN s.$measure $op ${m.group(5)} THEN 1.0 ELSE 0 END) AS sh " +
-          s"FROM $fact s JOIN ${eJ.toTable} c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol) t ORDER BY sh $dir, $attrCol LIMIT 1",
-        0.9, "template_joined_cond_share_argmax")).take(1)
-    }
-
-  // "the average rank of math courses by average score" — the mean
-  // global rank of an attribute-filtered subset of groups
-  private val avgRankOfSubsetRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+rank\s+of\s+([\w+-]+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+(average|avg|mean|total|sum)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Average rank of subset: "the avg rank of M Js by avg V" → one
-    * grouped aggregate over the fact, RANK over the |J|-sized frame
-    * (all groups rank before the subset filter — the rank must be
-    * global), broadcast dimension join tags each group with the
-    * attribute, scalar AVG of the M rows. M must be a MINED DOMAIN
-    * VALUE of a J attribute. */
-  def avgRankOfSubsetCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    avgRankOfSubsetRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("total", "sum")(m.group(3).toLowerCase)) "SUM" else "AVG"
-      val value = m.group(1)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(4), slice.tables(eJ.fromTable)).toSeq
-        attrCol <- values(dimJ).collectFirst {
-          case (c, dom) if dom.contains(value) => c
-        }.toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(r), 2) AS agg_value FROM " +
-          s"(SELECT c.$attrCol, RANK() OVER (ORDER BY a DESC) AS r FROM " +
-          s"(SELECT ${eJ.fromColumn}, $agg($measure) AS a FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) x " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = x.${eJ.fromColumn}) t " +
-          s"WHERE $attrCol = ${sqlLit(value)}",
-        0.9, "template_avg_rank_of_subset")).take(1)
-    }
-
-  // "the number of score values that appear exactly once" — count of
-  // frequency-1 values of a measure
-  private val uniqueValueCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+values\s+that\s+" +
-      raw"appear\s+exactly\s+once\b").r
-
-  /** Unique-value count: "the number of V values that appear exactly
-    * once" → grouped counts in one map-side-combined pass, HAVING the
-    * frequency, single-row collapse. */
-  def uniqueValueCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    uniqueValueCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT $measure FROM $fact " +
-          s"GROUP BY $measure HAVING COUNT(*) = 1) x",
-        0.9, "template_unique_value_count")).take(1)
-    }
-
-  // "the course whose scores are most skewed" — per-group skewness
-  // argmax
-  private val skewnessArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"are\s+(most|least)\s+skewed\b").r
-
-  /** Skewness argmax: "the G whose Fs are most skewed" → per-group
-    * SKEWNESS (a declarative three-moment aggregate with map-side
-    * partials) in one fact pass, top-1 over the group frame. */
-  def skewnessArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    skewnessArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase == "most") "DESC" else "ASC"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        eG <- fks.filter(e => e.fromTable == fact && e.toTable == dimG)
-        measure <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn} FROM (SELECT ${eG.fromColumn}, " +
-          s"SKEWNESS($measure) AS sk FROM $fact GROUP BY ${eG.fromColumn}) t " +
-          s"ORDER BY sk $dir, ${eG.fromColumn} LIMIT 1",
-        0.9, "template_skewness_argmax")).take(1)
-    }
-
-  // "the harmonic mean of course average scores" — a harmonic outer
-  // aggregate over per-group averages
-  private val harmonicMeanGroupsRe =
-    (raw"(?i)\bthe\s+harmonic\s+mean\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Harmonic mean of group averages: "the harmonic mean of G avg Vs"
-    * → per-group AVG in one pass, 1/AVG(1/a) over the |G|-sized frame
-    * — harmonic mean as plain declarative aggregates, no UDF. */
-  def harmonicMeanGroupsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    harmonicMeanGroupsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(1.0 / AVG(1.0 / a), 4) AS agg_value FROM " +
-          s"(SELECT AVG($measure) AS a FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn}) t",
-        0.9, "template_harmonic_mean_groups")).take(1)
-    }
-
-  // "the year when the number of distinct students scoring was highest"
-  // — period argmax by distinct-entity count
-  private val periodDistinctArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+when\s+the\s+number\s+of\s+" +
-      raw"distinct\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+was\s+" +
-      raw"(highest|lowest|largest|smallest)\b").r
-
-  /** Period distinct argmax: "the P when the number of distinct Es …
-    * was highest" → COUNT(DISTINCT entity fk) per period in one
-    * grouped pass, TakeOrderedAndProject top-1. */
-  def periodDistinctArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    periodDistinctArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("highest", "largest")(m.group(3).toLowerCase)) "DESC" else "ASC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        periodCol <- strongColumn(m.group(1), slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $periodCol FROM ${eE.fromTable} GROUP BY $periodCol " +
-          s"ORDER BY COUNT(DISTINCT ${eE.fromColumn}) $dir, $periodCol LIMIT 1",
-        0.9, "template_period_distinct_argmax")).take(1)
-    }
-
-  // "courses ranked by how much their average improved between 2022 and
-  // 2023" — the full ranked trend list (trendArgmax returns top-1)
-  private val trendRankListRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+ranked\s+by\s+how\s+much\s+their\s+" +
-      raw"(?:average|avg|mean)\s+" +
-      raw"(improved|declined|changed|increased|decreased)\s+" +
-      raw"between\s+(\d+)\s+and\s+(\d+)\b").r
-
-  /** Trend rank list: "Gs ranked by how much their avg improved between
-    * Y1 and Y2" → both period aggregates as conditional CASE aggregates
-    * per group in ONE pass, groups missing either period drop, ordered
-    * full list with the delta exposed. */
-  def trendRankListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    trendRankListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("declined", "decreased")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      val (y1, y2) = (m.group(3), m.group(4))
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eG.fromTable)
-        periodCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(eG.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != periodCol && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn}, ROUND(d, 4) AS delta FROM " +
-          s"(SELECT ${eG.fromColumn}, " +
-          s"AVG(CASE WHEN $periodCol = $y2 THEN $measure END) - " +
-          s"AVG(CASE WHEN $periodCol = $y1 THEN $measure END) AS d " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) t " +
-          s"WHERE d IS NOT NULL ORDER BY d $dir, ${eG.fromColumn} " +
-          s"LIMIT $DefaultLimit",
-        0.9, "template_trend_rank_list")).take(1)
-    }
-
-  // "the age of the student with the third-highest average score" — an
-  // attribute of the rank-N entity by aggregate
-  private val nthEntityAttrRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"with\s+the\s+(second|third|fourth|fifth)[- ]" +
-      raw"(highest|lowest)\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Nth-entity attribute: "the A of the E with the Nth-highest avg V"
-    * → per-entity averages in one grouped pass, ROW_NUMBER over the
-    * group frame (entity key as the deterministic tie-break), rank-N
-    * row joins the broadcast dimension for the attribute. */
-  def nthEntityAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    nthEntityAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(3).toLowerCase match {
-        case "second" => 2; case "third" => 3; case "fourth" => 4; case _ => 5
-      }
-      val dir = if (m.group(4).toLowerCase == "highest") "DESC" else "ASC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(5), slice.tables(eE.fromTable)).toSeq
-        attrCol <- strongColumn(m.group(1), slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT $attrCol FROM (SELECT st.$attrCol, ROW_NUMBER() OVER " +
-          s"(ORDER BY a $dir, m.${eE.fromColumn}) AS r FROM " +
-          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn}) t " +
-          s"WHERE r = $n",
-        0.9, "template_nth_entity_attr")).take(1)
-    }
-
-  // "the number of courses that no ninth grader has taken" — an
-  // attribute-filtered anti-join count (school-domain ordinal phrasing)
-  private val filteredAntiCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+that\s+no\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?grader(?:s)?\s+" +
-      raw"(?:has|have)\s+[a-z]+\b").r
-
-  /** Filtered anti-join count: "the number of Js that no Nth grader has
-    * taken" → NOT EXISTS against the fact restricted to the
-    * ordinal-valued grade attribute of the entity dimension (plans as a
-    * LeftAnti of the dimension against the filtered fact — the filter
-    * prunes before the join). The ordinal word maps to its numeral;
-    * "grader" resolves to the entity dimension's grade-stemmed column. */
-  def filteredAntiCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    filteredAntiCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM $dimJ c WHERE NOT EXISTS " +
-          s"(SELECT 1 FROM ${eJ.fromTable} s " +
-          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"WHERE s.${eJ.fromColumn} = c.${eJ.toColumn} AND st.$gradeCol = $n)",
-        0.9, "template_filtered_anti_count")).take(1)
-    }
-
-  // "the course pair with the largest overlap in students" — pairwise
-  // co-membership argmax via the entity-keyed self-join
-  private val pairOverlapArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+pair\s+with\s+the\s+" +
-      raw"(largest|biggest|greatest|smallest)\s+overlap\s+in\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Pair-overlap argmax: "the J pair with the largest overlap in Es" →
-    * fact self-joined on the entity key (j1 < j2 halves the pairs),
-    * grouped count per pair, top-1. The join is entity-keyed, so the
-    * fanout per entity is (degree choose 2) — bounded by per-entity
-    * membership, not the corpus; the grouped frame is |J|²-sized at
-    * most. */
-  def pairOverlapArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    pairOverlapArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "smallest") "ASC" else "DESC"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT a.${eJ.fromColumn} AS c1, b.${eJ.fromColumn} AS c2 " +
-          s"FROM ${eJ.fromTable} a JOIN ${eJ.fromTable} b " +
-          s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn} " +
-          s"GROUP BY a.${eJ.fromColumn}, b.${eJ.fromColumn} " +
-          s"ORDER BY COUNT(*) $dir, c1, c2 LIMIT 1",
-        0.9, "template_pair_overlap_argmax")).take(1)
-    }
-
-  // "the running total of distinct students by year of first score" —
-  // cumulative distinct via the first-seen-period reduction
-  private val cumulativeDistinctRe =
-    (raw"(?i)\bthe\s+running\s+total\s+of\s+distinct\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+([a-z_][a-z0-9_]*)\s+of\s+first\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Cumulative distinct: "the running total of distinct Es by P of
-    * first F" → per-entity MIN(period) in one grouped pass (cumulative
-    * distinct = counting each entity once at its first appearance),
-    * counts per first-period, running SUM over the |P|-sized frame. */
-  def cumulativeDistinctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cumulativeDistinctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- uniqueTable(slice, m.group(3)).toSeq
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        if dimE != fact
-        eE <- fks.filter(e => e.fromTable == fact && e.toTable == dimE)
-        periodCol <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT p, SUM(c) OVER (ORDER BY p) AS cum FROM " +
-          s"(SELECT fy AS p, COUNT(*) AS c FROM " +
-          s"(SELECT ${eE.fromColumn}, MIN($periodCol) AS fy FROM $fact " +
-          s"GROUP BY ${eE.fromColumn}) t GROUP BY fy) x " +
-          s"ORDER BY p LIMIT $DefaultLimit",
-        0.9, "template_cumulative_distinct")).take(1)
-    }
-
-  // "each grade letter's share of all scores" — the full category
-  // distribution as percentages
-  private val distributionPctRe =
-    (raw"(?i)\beach\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)(?:'s)?\s+" +
-      raw"share\s+of\s+all\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Distribution percentages: "each A's share of all Fs" → grouped
-    * counts against the one-row total subquery (broadcast), the whole
-    * distribution in one pass. */
-  def distributionPctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    distributionPctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        fact <- uniqueTable(slice, m.group(2)).toSeq
-        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT $catCol, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
-          s"(SELECT COUNT(*) FROM $fact), 4) AS pct FROM $fact " +
-          s"GROUP BY $catCol ORDER BY $catCol LIMIT $DefaultLimit",
-        0.9, "template_distribution_pct")).take(1)
-    }
-
-  // "the average gap between consecutive course averages when ranked" —
-  // mean spacing of the sorted group-aggregate sequence
-  private val avgRankSpacingRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+gap\s+between\s+consecutive\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(?:averages|avgs)\s+when\s+ranked\b").r
-
-  /** Average rank spacing: "the avg gap between consecutive G averages
-    * when ranked" → per-group averages in one pass, LAG over the
-    * |G|-sized ordered frame, scalar AVG of the spacings. The measure
-    * is inferred by schema elimination. */
-  def avgRankSpacingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    avgRankSpacingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eG.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eG.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT a - LAG(a) OVER " +
-          s"(ORDER BY a) AS d FROM (SELECT AVG($measure) AS a FROM " +
-          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t) x " +
-          s"WHERE d IS NOT NULL",
-        0.9, "template_avg_rank_spacing")).take(1)
-    }
-
-  // "students whose score in Algebra beat their own average" — a named
-  // dimension value filters the row compared against the entity's own
-  // aggregate
-  private val namedValueSelfRelativeRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"([A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*)\s+" +
-      raw"(beat|exceeded|topped|was\s+above|was\s+below)\s+their\s+own\s+" +
-      raw"(?:average|avg|mean)\b").r
-
-  /** Named-value self-relative: "Es whose V in NAME beat their own
-    * average" → per-entity averages in one grouped pass, the NAME-valued
-    * rows (broadcast dimension filter) joined against the entity's own
-    * bar, names resolved last. NAME must be a MINED DOMAIN VALUE of a
-    * joined dimension attribute. */
-  def namedValueSelfRelativeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    namedValueSelfRelativeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(4).toLowerCase.endsWith("below")) "<" else ">"
-      val value = m.group(3)
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eE.fromTable)).toSeq
-        eJ <- fks.filter(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable))
-        attrCol <- values(eJ.toTable).collectFirst {
-          case (c, dom) if dom.contains(value) => c
-        }.toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"JOIN (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) m " +
-          s"ON m.${eE.fromColumn} = s.${eE.fromColumn} " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"WHERE c.$attrCol = ${sqlLit(value)} AND s.$measure $op m.a " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_named_value_self_relative")).take(1)
-    }
-
-  // "the year-over-year change in median score" — consecutive-period
-  // deltas of a period aggregate
-  private val yoyChangeRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)[- ]over[- ]\1\s+change\s+in\s+" +
-      raw"(median|average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Period-over-period change: "the P-over-P change in median V" → one
-    * grouped pass collapses the corpus to |P| rows, LAG over the
-    * ordered period frame exposes the deltas. */
-  def yoyChangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    yoyChangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = m.group(2).toLowerCase match {
-        case "median" => "MEDIAN"
-        case "total" | "sum" => "SUM"
-        case _ => "AVG"
-      }
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        measure <- strongColumn(m.group(3), slice.tables(fact)).toSeq
-        if measure != periodCol
-      } yield Candidate(
-        s"SELECT $periodCol, ROUND(med - LAG(med) OVER " +
-          s"(ORDER BY $periodCol), 4) AS chg FROM " +
-          s"(SELECT $periodCol, $agg($measure) AS med FROM $fact " +
-          s"GROUP BY $periodCol) t ORDER BY $periodCol LIMIT $DefaultLimit",
-        0.9, "template_yoy_change")).take(1)
-    }
-
-  // "the number of students in the top quartile by average score" —
-  // NTILE cohort membership count
-  private val quartileCohortCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+the\s+" +
-      raw"(top|bottom)\s+(quartile|quintile|decile)\s+by\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Quartile cohort count: "the number of Es in the top quartile by
-    * avg V" → per-entity averages in one grouped pass, NTILE over the
-    * |E|-sized frame (group cardinality, never the corpus), single-row
-    * COUNT of the target bucket. */
-  def quartileCohortCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    quartileCohortCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(3).toLowerCase match {
-        case "quartile" => 4; case "quintile" => 5; case _ => 10
-      }
-      val target = if (m.group(2).toLowerCase == "top") 1 else n
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(4), slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn}, " +
-          s"NTILE($n) OVER (ORDER BY a DESC) AS q FROM " +
-          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t) x WHERE q = $target",
-        0.9, "template_quartile_cohort_count")).take(1)
-    }
-
-  // "the trimmed mean of scores excluding the top and bottom 10 percent"
-  private val trimmedMeanRe =
-    (raw"(?i)\bthe\s+trimmed\s+mean\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"excluding\s+the\s+top\s+and\s+bottom\s+(\d+)\s+percent\b").r
-
-  /** Trimmed mean: "the trimmed mean of Vs excluding the top and bottom
-    * N percent" → PERCENT_RANK band filter then AVG. The global window
-    * here mirrors the oracle exactly (tie semantics); a 100 TB serving
-    * variant would cut on two percentile_approx bounds instead — same
-    * answer away from ties, no global sort. */
-  def trimmedMeanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trimmedMeanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val frac = m.group(2).toInt / 100.0
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
-          s"(SELECT $measure, PERCENT_RANK() OVER (ORDER BY $measure) AS pr " +
-          s"FROM $fact) t WHERE pr >= $frac AND pr <= ${1 - frac}",
-        0.9, "template_trimmed_mean")).take(1)
-    }
-
-  // "the most common score in math courses" — the mode of a measure
-  // under a dimension-value filter
-  private val filteredModeRe =
-    (raw"(?i)\bthe\s+most\s+(?:common|frequent)\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"([\w+-]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Filtered mode: "the most common V in M Js" → the value-filtered
-    * fact (broadcast dimension filter prunes before the shuffle)
-    * grouped by the measure, top-1 by count. M must be a MINED DOMAIN
-    * VALUE of a J attribute. */
-  def filteredModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    filteredModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val value = m.group(2)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(1), slice.tables(eJ.fromTable)).toSeq
-        attrCol <- values(dimJ).collectFirst {
-          case (c, dom) if dom.contains(value) => c
-        }.toSeq
-      } yield Candidate(
-        s"SELECT $measure FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"WHERE c.$attrCol = ${sqlLit(value)} GROUP BY $measure " +
-          s"ORDER BY COUNT(*) DESC, $measure LIMIT 1",
-        0.9, "template_filtered_mode")).take(1)
-    }
-
-  // "the interquartile range of scores" — P75 − P25 in one aggregate
-  private val iqrRe =
-    raw"(?i)\bthe\s+interquartile\s+range\s+of\s+([a-z_][a-z0-9_]*)\b".r
-
-  /** Interquartile range: both percentiles in ONE aggregate pass (the
-    * same sort-based percentile computes both cutpoints). */
-  def iqrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    iqrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        measure <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(PERCENTILE($measure, 0.75) - " +
-          s"PERCENTILE($measure, 0.25), 4) AS agg_value FROM $fact",
-        0.9, "template_iqr")).take(1)
-    }
-
-  // "the share of courses where the median score exceeds the mean" —
-  // a skew-indicator share over group aggregates
-  private val medianExceedsMeanShareRe =
-    (raw"(?i)\bthe\s+(?:share|percentage|fraction)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+where\s+the\s+median\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(exceeds|is\s+above|is\s+below)\s+the\s+" +
-      raw"(?:mean|average)\b").r
-
-  /** Median-exceeds-mean share: both aggregates per group in ONE pass,
-    * single-row collapse of the |G| group rows. */
-  def medianExceedsMeanShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    medianExceedsMeanShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(3).toLowerCase.endsWith("below")) "<" else ">"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN med $op mean THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT ${eG.fromColumn}, MEDIAN($measure) AS med, " +
-          s"AVG($measure) AS mean FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn}) t",
-        0.9, "template_median_exceeds_mean_share")).take(1)
-    }
-
-  // "the number of times the yearly average score changed direction" —
-  // sign flips in the period-aggregate series
-  private val directionChangesRe =
-    (raw"(?i)\bthe\s+number\s+of\s+times\s+the\s+([a-z_][a-z0-9_]*?)ly\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+changed\s+direction\b").r
-
-  /** Direction changes: one grouped pass collapses the corpus to |P|
-    * period rows; two LAG layers over the tiny frame expose the
-    * consecutive delta signs and count the flips. */
-  def directionChangesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    directionChangesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        periodCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        measure <- strongColumn(m.group(2), slice.tables(fact)).toSeq
-        if measure != periodCol
-      } yield Candidate(
-        s"WITH y AS (SELECT $periodCol AS p, AVG($measure) AS a FROM $fact " +
-          s"GROUP BY $periodCol), " +
-          s"d AS (SELECT p, a - LAG(a) OVER (ORDER BY p) AS df FROM y), " +
-          s"s AS (SELECT p, SIGN(df) AS sg FROM d WHERE df IS NOT NULL) " +
-          s"SELECT COUNT(*) AS agg_value FROM (SELECT sg, LAG(sg) OVER " +
-          s"(ORDER BY p) AS pg FROM s) t WHERE pg IS NOT NULL AND sg <> pg",
-        0.9, "template_direction_changes")).take(1)
-    }
-
-  // "the proportion of score variance explained by course membership" —
-  // eta-squared: between-group sum of squares over total
-  private val varianceExplainedRe =
-    (raw"(?i)\bthe\s+proportion\s+of\s+([a-z_][a-z0-9_]*)\s+variance\s+" +
-      raw"explained\s+by\s+([a-z_][a-z0-9_]*)\s+membership\b").r
-
-  /** Variance explained (η²): per-group means and sizes in one grouped
-    * pass; the grand mean and total sum of squares are one-row scalar
-    * subqueries (broadcast) — ANOVA between/total decomposition from
-    * two corpus passes, both map-side-combined. */
-  def varianceExplainedCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    varianceExplainedRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(2)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(1), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(SUM(n * POWER(ga - (SELECT AVG($measure) FROM " +
-          s"${eG.fromTable}), 2)) / (SELECT VAR_POP($measure) * COUNT(*) " +
-          s"FROM ${eG.fromTable}), 4) AS agg_value FROM " +
-          s"(SELECT ${eG.fromColumn}, AVG($measure) AS ga, COUNT(*) AS n " +
-          s"FROM ${eG.fromTable} GROUP BY ${eG.fromColumn}) g",
-        0.9, "template_variance_explained")).take(1)
-    }
-
-  // "students in the overall top 10 by average who are not in the top 3
-  // of any course" — a set difference of two rank cohorts
-  private val rankSetDifferenceRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+in\s+the\s+overall\s+top\s+(\d+)\s+" +
-      raw"by\s+(?:average|avg|mean)\s+who\s+are\s+not\s+in\s+the\s+" +
-      raw"top\s+(\d+)\s+of\s+any\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Rank set difference: the global cohort ranks over the |E|-sized
-    * aggregate frame; the per-J cohort ranks inside J partitions (hash
-    * shuffle on J, never a global window over the corpus); EXCEPT of
-    * two key-sized sets, names resolved last. */
-  def rankSetDifferenceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    rankSetDifferenceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM ((SELECT ${eE.fromColumn} FROM " +
-          s"(SELECT ${eE.fromColumn}, RANK() OVER (ORDER BY a DESC) AS r FROM " +
-          s"(SELECT ${eE.fromColumn}, AVG($measure) AS a FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) x) y WHERE r <= ${m.group(2)}) " +
-          s"EXCEPT (SELECT DISTINCT ${eE.fromColumn} FROM " +
-          s"(SELECT ${eE.fromColumn}, RANK() OVER (PARTITION BY " +
-          s"${eJ.fromColumn} ORDER BY $measure DESC) AS cr FROM " +
-          s"${eE.fromTable}) z WHERE cr <= ${m.group(3)})) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_rank_set_difference")).take(1)
-    }
-
-  // "the enrollment-weighted average of course median scores"
-  private val weightedGroupMedianRe =
-    (raw"(?i)\bthe\s+enrollment[- ]weighted\s+(?:average|avg|mean)\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+median\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Enrollment-weighted group median: counts and medians per group in
-    * ONE pass, the weighted collapse over the |G| frame. */
-  def weightedGroupMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    weightedGroupMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eG.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(SUM(n * med) / SUM(n), 4) AS agg_value FROM " +
-          s"(SELECT COUNT(*) AS n, MEDIAN($measure) AS med FROM " +
-          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t",
-        0.9, "template_weighted_group_median")).take(1)
-    }
-
-  // "the gini coefficient of course enrollments" — inequality of group
-  // sizes via the sorted-rank Gini formula
-  private val giniEnrollmentRe =
-    (raw"(?i)\bthe\s+gini\s+coefficient\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"enrollments?\b").r
-
-  /** Gini coefficient of group sizes: counts per group in one pass,
-    * ROW_NUMBER over the |G|-sized sorted frame, the closed-form
-    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — never the O(G²) pair form. */
-  def giniEnrollmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    giniEnrollmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"WITH e AS (SELECT COUNT(*) AS n FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn}), " +
-          s"r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM e) " +
-          s"SELECT ROUND(2.0 * SUM(i * n) / (COUNT(*) * SUM(n)) - " +
-          s"(COUNT(*) + 1.0) / COUNT(*), 4) AS agg_value FROM r",
-        0.9, "template_gini_enrollment")).take(1)
-    }
-
-  // "the number of students whose course list is a subset of Ada
-  // Adams's" — membership-set containment against a named example
-  private val subsetContainmentRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+list\s+is\s+a\s+subset\s+of\s+" +
-      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))(?:'s)?\s*$$").r
-
-  /** Subset containment count: "the number of Es whose J list is a
-    * subset of NAME's" → entities with no membership outside the named
-    * entity's set (double anti-membership: rows outside the example set
-    * disqualify their entity), the example excluded from its own count.
-    * Both NOT-IN sets are key-sized; the example set is broadcast. */
-  def subsetContainmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    subsetContainmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val name = m.group(3).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value " +
-          s"FROM ${eE.fromTable} s WHERE s.${eE.fromColumn} NOT IN " +
-          s"(SELECT ${eE.toColumn} FROM $dimE WHERE $nameCol = '$name') " +
-          s"AND s.${eE.fromColumn} NOT IN (SELECT s3.${eE.fromColumn} " +
-          s"FROM ${eE.fromTable} s3 WHERE s3.${eJ.fromColumn} NOT IN " +
-          s"(SELECT s2.${eJ.fromColumn} FROM ${eE.fromTable} s2 " +
-          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
-          s"WHERE st2.$nameCol = '$name'))",
-        0.9, "template_subset_containment")).take(1)
-    }
-
-  // "the number of depts where every course has at least 50 students" —
-  // a COUNT of groups passing a universal member threshold
-  private val universalThresholdCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+where\s+every\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+has\s+at\s+least\s+(\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Universal-threshold count: "the number of As where every J has at
-    * least N Es" → per-(A, J) distinct-entity counts in one fact pass
-    * through the broadcast dimension, the ∀ collapses to a grouped MIN,
-    * single-row COUNT. */
-  def universalThresholdCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    universalThresholdCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        attrCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT grp FROM " +
-          s"(SELECT c.$attrCol AS grp, s.${eJ.fromColumn}, " +
-          s"COUNT(DISTINCT s.${eE.fromColumn}) AS n FROM ${eJ.fromTable} s " +
-          s"JOIN $dimJ c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attrCol, s.${eJ.fromColumn}) x GROUP BY grp " +
-          s"HAVING MIN(n) >= ${m.group(3)}) t",
-        0.9, "template_universal_threshold_count")).take(1)
-    }
-
-  // "the entropy of the grade distribution" — Shannon entropy of a
-  // categorical column's frequency distribution
-  private val categoryEntropyRe =
-    (raw"(?i)\bthe\s+entropy\s+of\s+the\s+" +
-      raw"([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\s+distribution\b").r
-
-  /** Category entropy: grouped counts against the one-row total
-    * (broadcast scalar), −Σ p·ln p over the |domain|-sized frame. */
-  def categoryEntropyCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    categoryEntropyRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(1).trim.replaceAll("\\s+", "_")
-      (for {
-        fact <- slice.tables.keySet.toSeq.sorted
-        catCol <- abbrevColumn(attrWord, slice.tables(fact)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(-SUM(p * LN(p)), 4) AS agg_value FROM " +
-          s"(SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM $fact) " +
-          s"AS p FROM $fact GROUP BY $catCol) t",
-        0.9, "template_category_entropy")).take(1)
-    }
-
-  // "the average number of shared courses between pairs of students in
-  // the same grade level" — mean pairwise set overlap within cohorts
-  private val avgSharedMembershipRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+number\s+of\s+shared\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+between\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+the\s+same\s+([a-z_][a-z0-9_]*(?:\s+[a-z_][a-z0-9_]*)?)\b").r
-
-  /** Average shared membership: "the avg number of shared Js between
-    * pairs of Es in the same A" → shared counts from the J-keyed fact
-    * self-join (degree-bounded fanout per J, never a corpus cross), the
-    * all-pairs denominator n·(n−1)/2 computed from the dimension alone,
-    * both per-cohort legs unioned into one weighted collapse. */
-  def avgSharedMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgSharedMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).trim.replaceAll("\\s+", "_")
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        attrCol <- abbrevColumn(attrWord, slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(shared) AS DOUBLE) / SUM(pairs), 4) " +
-          s"AS agg_value FROM (SELECT gl, COUNT(*) AS shared, 0 AS pairs " +
-          s"FROM (SELECT st1.$attrCol AS gl, a.${eE.fromColumn} AS s1, " +
-          s"b.${eE.fromColumn} AS s2 FROM ${eE.fromTable} a " +
-          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"JOIN $dimE st1 ON st1.${eE.toColumn} = a.${eE.fromColumn} " +
-          s"JOIN $dimE st2 ON st2.${eE.toColumn} = b.${eE.fromColumn} " +
-          s"WHERE st1.$attrCol = st2.$attrCol) p GROUP BY gl " +
-          s"UNION ALL SELECT $attrCol AS gl, 0 AS shared, " +
-          s"COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM $dimE " +
-          s"GROUP BY $attrCol) u",
-        0.9, "template_avg_shared_membership")).take(1)
-    }
-
-  // "courses where the score gap between ninth and tenth graders
-  // exceeds 5" — per-group two-cohort conditional gap filter
-  private val cohortGapFilterRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+the\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"gap\s+between\s+(first|second|third|fourth|fifth|sixth|seventh|" +
-      raw"eighth|ninth|tenth|eleventh|twelfth)\s+and\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth)\s+graders\s+" +
-      raw"(exceeds|is\s+above|is\s+below)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Cohort-gap filter: "Js where the V gap between N1 and N2 graders
-    * exceeds X" → both cohort averages as conditional CASE aggregates
-    * in ONE grouped pass through the broadcast entity dimension, the
-    * absolute gap in HAVING. */
-  def cohortGapFilterCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortGapFilterRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val (n1, n2) = (ordinals(m.group(3).toLowerCase), ordinals(m.group(4).toLowerCase))
-      val op = if (m.group(5).toLowerCase.endsWith("below")) "<" else ">"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(2), slice.tables(eJ.fromTable)).toSeq
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
-          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn} " +
-          s"HAVING ABS(AVG(CASE WHEN st.$gradeCol = $n1 THEN s.$measure END) - " +
-          s"AVG(CASE WHEN st.$gradeCol = $n2 THEN s.$measure END)) " +
-          s"$op ${m.group(6)} " +
-          s"ORDER BY s.${eJ.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_cohort_gap_filter")).take(1)
-    }
-
-  // "students who beat Ada Adams in every course they share with her" —
-  // universal pairwise dominance against a named example
-  private val namedDominanceRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+(?:beat|outscored|outperformed)\s+" +
-      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))\s+in\s+every\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+they\s+share\s+with\s+(?:her|him|them)\b").r
-
-  /** Named dominance: "Es who beat NAME in every J they share" → the
-    * example's (J, V) rows are a key-sized broadcast frame; the fact
-    * joins it on J, the ∀ collapses to a grouped MIN indicator per
-    * entity (entities sharing nothing drop — no vacuous winners), the
-    * example excluded, names resolved last. */
-  def namedDominanceCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    namedDominanceRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val name = m.group(2).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
-          s"${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, $measure FROM " +
-          s"${eE.fromTable} s2 JOIN $dimE st2 " +
-          s"ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
-          s"WHERE st2.$nameCol = '$name') a " +
-          s"ON a.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn} " +
-          s"HAVING MIN(CASE WHEN s.$measure > a.$measure THEN 1 ELSE 0 END) = 1) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"WHERE st.$nameCol <> '$name' " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_named_dominance")).take(1)
-    }
-
-  // "the 90th percentile of per-student average scores" — a percentile
-  // over group aggregates
-  private val percentileOfGroupAggsRe =
-    (raw"(?i)\bthe\s+(\d+)(?:th|st|nd|rd)\s+percentile\s+of\s+" +
-      raw"per[- ]([a-z_][a-z0-9_]*)\s+(?:average|avg|mean)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Percentile of group aggregates: per-entity averages in one pass,
-    * PERCENTILE over the group-sized frame. */
-  def percentileOfGroupAggsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    percentileOfGroupAggsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val p = m.group(1).toInt / 100.0
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(m.group(3), slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(PERCENTILE(a, $p), 4) AS agg_value FROM " +
-          s"(SELECT AVG($measure) AS a FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_percentile_of_group_aggs")).take(1)
-    }
-
-  // "courses whose enrollment is above the median course enrollment" —
-  // group count vs the median of group counts
-  private val aboveMedianCountRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+enrollment\s+is\s+" +
-      raw"(above|below)\s+the\s+median\s+(?:[a-z_][a-z0-9_]*\s+)?" +
-      raw"enrollment\b").r
-
-  /** Above-median count: per-group counts in one pass, the median of
-    * the count frame as a one-row scalar subquery broadcast into
-    * HAVING. */
-  def aboveMedianCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    aboveMedianCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(2).toLowerCase == "above") ">" else "<"
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        eG <- fks.filter(e => e.toTable == dimG && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"SELECT ${eG.fromColumn} FROM ${eG.fromTable} " +
-          s"GROUP BY ${eG.fromColumn} HAVING COUNT(*) $op " +
-          s"(SELECT MEDIAN(c) FROM (SELECT COUNT(*) AS c FROM " +
-          s"${eG.fromTable} GROUP BY ${eG.fromColumn}) t) " +
-          s"ORDER BY ${eG.fromColumn} LIMIT $DefaultLimit",
-        0.9, "template_above_median_count")).take(1)
-    }
-
-  // "the pair of students with the most similar score profiles" —
-  // argmin of mean |Δ| over co-membership pairs
-  private val profileSimilarityRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"similar\s+([a-z_][a-z0-9_]*)\s+profiles?\b").r
-
-  /** Minimum shared co-membership for a profile comparison to count:
-    * pairs sharing fewer items are noise (one lucky overlap would beat
-    * every dense pair). A documented surface convention like
-    * DefaultLimit, not data-derived. */
-  val ProfileMinSupport = 5
-
-  /** Profile-similarity argmin: "the pair of Es with the most similar V
-    * profiles" → self-join the fact on its OTHER dimension key (the
-    * co-membership axis), mean |ΔV| per pair, keep pairs sharing >=
-    * ProfileMinSupport items, global top-1 with a deterministic id
-    * tiebreak. The self-join fans out per co-membership bucket (course
-    * enrollment), never all-pairs over entities — the exact
-    * small-cardinality analogue of the L1 profile distance; at corpus
-    * scale this routes to the LSH near-dup path (`Similarity.
-    * cosineNearDuplicates`) instead of the exact self-join. */
-  def profileSimilarityArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    profileSimilarityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        other <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE).toSeq
-      } yield Candidate(
-        s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
-          s"b.${eE.fromColumn} AS s2, AVG(ABS(a.$measure - b.$measure)) AS d " +
-          s"FROM ${eE.fromTable} a JOIN ${eE.fromTable} b " +
-          s"ON a.${other.fromColumn} = b.${other.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
-          s"HAVING COUNT(*) >= $ProfileMinSupport) t " +
-          s"ORDER BY d ASC, s1, s2 LIMIT 1",
-        0.9, "template_profile_similarity_argmin")).take(1)
-    }
-
-  // "the minimum score needed to be in the top 10 percent" — the
-  // boundary value of a global percentile band
-  private val topDecileThresholdRe =
-    (raw"(?i)\bthe\s+(minimum|maximum)\s+([a-z_][a-z0-9_]*)\s+needed\s+to\s+" +
-      raw"be\s+in\s+the\s+(top|bottom)\s+(\d+(?:\.\d+)?)\s+(?:percent|%)\b").r
-
-  /** Global percentile-band boundary: "the minimum V needed to be in
-    * the top N percent" → PERCENT_RANK over V descending, MIN over the
-    * band (ties included, exactly the rank semantics). The global
-    * window mirrors those tie semantics; at corpus scale the same
-    * boundary comes from `Sketches.kllQuantiles` /
-    * `Profiler.exactPercentiles` (one sketch merge, no global sort) —
-    * the same routing note as percentileRankCandidates. */
-  def topDecileThresholdCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    topDecileThresholdRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val minSide = m.group(1).toLowerCase == "minimum"
-      val top = m.group(3).toLowerCase == "top"
-      // "minimum … in the bottom N" is the corpus floor, not a
-      // threshold question — only the aligned phrasings are claimed
-      if (minSide != top) Seq.empty
-      else {
-        val f = m.group(4).toDouble / 100.0
-        val (agg, dir) = if (top) ("MIN", "DESC") else ("MAX", "ASC")
-        (for {
-          tbl <- slice.tables.keys.toSeq.sorted
-          measure <- strongColumn(m.group(2), slice.tables(tbl)).toSeq
-        } yield Candidate(
-          s"SELECT $agg($measure) AS agg_value FROM (SELECT $measure, " +
-            s"PERCENT_RANK() OVER (ORDER BY $measure $dir) AS pr FROM $tbl) t " +
-            s"WHERE pr <= $f",
-          0.9, "template_top_decile_threshold")).take(1)
-      }
-    }
-
-  // "the share of students whose rank improved between 2022 and 2023" —
-  // two-period rank comparison share
-  private val rankTrendShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+rank\s+" +
-      raw"(improved|rose|declined|dropped|worsened)\s+between\s+" +
-      raw"(\d{4})\s+and\s+(\d{4})\b").r
-
-  /** Rank-trend share: per-period entity ranks by average measure (the
-    * window partitions by period, so each sort covers one period's
-    * entity-aggregate frame — entity-count-sized, never the raw
-    * corpus), self-join the two key-sized rank frames on the entity,
-    * share with a lower (improved) rank in the later period. Measure
-    * by elimination as in namedDominanceCandidates. */
-  def rankTrendShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    rankTrendShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val improved = Set("improved", "rose").contains(m.group(2).toLowerCase)
-      val cmp = if (improved) "<" else ">"
-      val (y1, y2) = (m.group(3), m.group(4))
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eE.fromTable)
-        period <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH r AS (SELECT $period, ${eE.fromColumn}, RANK() OVER " +
-          s"(PARTITION BY $period ORDER BY AVG($measure) DESC) AS rk " +
-          s"FROM ${eE.fromTable} WHERE $period IN ($y1, $y2) " +
-          s"GROUP BY $period, ${eE.fromColumn}) " +
-          s"SELECT ROUND(CAST(SUM(CASE WHEN b.rk $cmp a.rk THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM r a JOIN r b " +
-          s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND a.$period = $y1 AND b.$period = $y2",
-        0.9, "template_rank_trend_share")).take(1)
-    }
-
-  // "the share of scores within one standard deviation of the mean" —
-  // z-score band membership share
-  private val zscoreBandShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+within\s+" +
-      raw"(one|two|three|\d+)\s+standard\s+deviations?\s+of\s+the\s+mean\b").r
-
-  /** Z-score band share: one conditional-aggregate pass with the mean
-    * and population stddev as scalar subqueries (two tiny broadcast
-    * values, no window, no second shuffle of the fact). */
-  def zscoreBandShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    zscoreBandShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val k = m.group(2).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
-      }
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        tbl <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN ABS($measure - " +
-          s"(SELECT AVG($measure) FROM $tbl)) <= $k * " +
-          s"(SELECT STDDEV_POP($measure) FROM $tbl) THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*), 4) AS agg_value FROM $tbl",
-        0.9, "template_zscore_band_share")).take(1)
-    }
-
-  // "the pair of courses sharing the largest fraction of their combined
-  // students" — Jaccard-normalized co-membership argmax
-  private val jaccardPairArgmaxRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+sharing\s+the\s+" +
-      raw"largest\s+fraction\s+of\s+their\s+combined\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Jaccard pair argmax: co-membership counts from the fact self-join
-    * on the member key (fan-out bounded per member, never all-pairs
-    * over groups), group sizes joined back from one grouped pass,
-    * |A∩B| / (|A|+|B|−|A∩B|) ranked with a deterministic id tiebreak.
-    * The exact small-cardinality form of MinHash set-similarity
-    * (`Dedup.minHashNearDuplicates` is the corpus-scale route). */
-  def jaccardPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    jaccardPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimG <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimG != dimE
-        eG <- fks.filter(e => e.toTable == dimG && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eG.fromTable && e.toTable == dimE).toSeq
-      } yield {
-        val (fact, g, mem) = (eG.fromTable, eG.fromColumn, eE.fromColumn)
-        Candidate(
-          s"SELECT c1, c2 FROM (SELECT a.$g AS c1, b.$g AS c2, " +
-            s"CAST(COUNT(*) AS DOUBLE) / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) AS j " +
-            s"FROM $fact a JOIN $fact b ON a.$mem = b.$mem AND a.$g < b.$g " +
-            s"JOIN (SELECT $g, COUNT(*) AS n FROM $fact GROUP BY $g) ca " +
-            s"ON ca.$g = a.$g " +
-            s"JOIN (SELECT $g, COUNT(*) AS n FROM $fact GROUP BY $g) cb " +
-            s"ON cb.$g = b.$g " +
-            s"GROUP BY a.$g, b.$g) t " +
-            s"ORDER BY j DESC, c1, c2 LIMIT 1",
-          0.9, "template_jaccard_pair_argmax")
-      }).take(1)
-    }
-
-  // "how many students are in the top 10 of more than one course" —
-  // entities holding a per-group rank in multiple groups
-  private val multiTopRankCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+are\s+in\s+the\s+top\s+" +
-      raw"(\d+)\s+of\s+more\s+than\s+(one|two|three|\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Multi-top-rank count: per-group RANK (each window sort is one
-    * group's membership, never the corpus), keep the top-N band,
-    * count entities present in more than K distinct groups. Measure by
-    * elimination as in namedDominanceCandidates. */
-  def multiTopRankCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    multiTopRankCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val n = m.group(2).toInt
-      val k = m.group(3).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimG <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimG
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimG))
-        eG <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimG).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} FROM " +
-          s"(SELECT ${eE.fromColumn}, ${eG.fromColumn}, RANK() OVER " +
-          s"(PARTITION BY ${eG.fromColumn} ORDER BY $measure DESC) AS rk " +
-          s"FROM ${eE.fromTable}) r WHERE rk <= $n " +
-          s"GROUP BY ${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT ${eG.fromColumn}) > $k) t",
-        0.9, "template_multi_top_rank_count")).take(1)
-    }
-
-  // "the average score students got in their hardest course" — per-entity
-  // pick of the group with the lowest group-wide average
-  private val hardestCourseAvgRe =
-    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"got\s+in\s+their\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Hardest-course average: per-group averages from ONE grouped pass
-    * (group-count-sized, broadcast back onto the fact), each entity's
-    * row in its lowest-average group picked by a window partitioned on
-    * the ENTITY key (per-entity membership sort, never a corpus-wide
-    * window), then one scalar AVG. Deterministic group-id tiebreak. */
-  def hardestCourseAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    hardestCourseAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase == "easiest") "DESC" else "ASC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        measure <- strongColumn(m.group(1), slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH ca AS (SELECT ${eJ.fromColumn}, AVG($measure) AS cavg " +
-          s"FROM ${eE.fromTable} GROUP BY ${eJ.fromColumn}) " +
-          s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
-          s"(SELECT s.$measure, ROW_NUMBER() OVER " +
-          s"(PARTITION BY s.${eE.fromColumn} " +
-          s"ORDER BY ca.cavg $dir, s.${eJ.fromColumn}) AS rn " +
-          s"FROM ${eE.fromTable} s JOIN ca " +
-          s"ON ca.${eJ.fromColumn} = s.${eJ.fromColumn}) t WHERE rn = 1",
-        0.9, "template_hardest_course_avg")).take(1)
-    }
-
-  // "departments where every course's top scorer is a ninth grader" —
-  // a universal quantifier over per-group argmax entities' attributes
-  private val universalArgmaxAttrRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+where\s+(?:every|each)\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+top\s+([a-z]+)\s+is\s+an?\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?grader\b").r
-
-  /** Universal argmax attribute: each group's top entity by the
-    * elimination measure (ROW_NUMBER partitioned on the GROUP key with
-    * an entity-id tiebreak — per-group sorts, and at corpus scale the
-    * same frame comes from `GroupTopK.topK` with k=1, a bounded-heap
-    * aggregate with no window at all), the |groups|-sized winner frame
-    * joined to the entity dimension for the attribute, and the ∀ over
-    * the grouping attribute encoded as a grouped MIN indicator. */
-  def universalArgmaxAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    universalArgmaxAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(4).toLowerCase, m.group(4).toInt)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        groupCol <- abbrevColumn(m.group(1), slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-        factCols = slice.tables(eJ.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH top AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn} FROM " +
-          s"(SELECT ${eJ.fromColumn}, ${eE.fromColumn}, ROW_NUMBER() OVER " +
-          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC, " +
-          s"${eE.fromColumn}) AS rn FROM ${eJ.fromTable}) t WHERE rn = 1) " +
-          s"SELECT c.$groupCol FROM top JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = top.${eE.fromColumn} JOIN $dimJ c " +
-          s"ON c.${eJ.toColumn} = top.${eJ.fromColumn} GROUP BY c.$groupCol " +
-          s"HAVING MIN(CASE WHEN st.$gradeCol = $n THEN 1 ELSE 0 END) = 1 " +
-          s"ORDER BY c.$groupCol LIMIT $DefaultLimit",
-        0.9, "template_universal_argmax_attr")).take(1)
-    }
-
-  // "the year with the biggest improvement in average score over the
-  // previous year" — adjacent-period delta argmax over period aggregates
-  private val yoyDeltaArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+" +
-      raw"(biggest|largest|greatest|smallest)\s+" +
-      raw"(improvement|increase|gain|drop|decline|decrease)\s+in\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+over\s+the\s+" +
-      raw"previous\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Adjacent-period delta argmax: period averages in one grouped pass,
-    * LAG over the |periods|-sized frame (a window over aggregates,
-    * never the corpus), top-1 by delta with a deterministic period
-    * tiebreak. */
-  def yoyDeltaArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    yoyDeltaArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val positive = Set("improvement", "increase", "gain")(m.group(3).toLowerCase)
-      val smallest = m.group(2).toLowerCase == "smallest"
-      // biggest improvement = most positive delta; biggest drop = most
-      // negative; "smallest" flips either reading
-      val dir = if (positive ^ smallest) "DESC" else "ASC"
-      (for {
-        tbl <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(m.group(4), slice.tables(tbl)).toSeq
-        period <- slice.tables(tbl)
-          .find(_.toLowerCase.contains(m.group(1).toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT y FROM (SELECT $period AS y, AVG($measure) - " +
-          s"LAG(AVG($measure)) OVER (ORDER BY $period) AS delta " +
-          s"FROM $tbl GROUP BY $period) t WHERE delta IS NOT NULL " +
-          s"ORDER BY delta $dir, y LIMIT 1",
-        0.9, "template_yoy_delta_argmax")).take(1)
-    }
-
-  // "the grade level whose students have the widest range of average
-  // scores" — spread of per-entity aggregates, grouped by an entity
-  // attribute, argmax
-  private val cohortAggRangeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+(widest|largest|greatest|" +
-      raw"narrowest|smallest)\s+range\s+of\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Cohort aggregate-range argmax: per-entity averages in one grouped
-    * pass (entity-count-sized), the entity dimension joined back
-    * (broadcast dim), MAX−MIN per attribute cohort over the key-sized
-    * frame, top-1. No corpus window anywhere. */
-  def cohortAggRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortAggRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("narrowest", "smallest")(m.group(3).toLowerCase)) "ASC" else "DESC"
-      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
-      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT gl FROM (SELECT st.$attr AS gl, MAX(a) - MIN(a) AS r " +
-          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) p " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = p.${eE.fromColumn} " +
-          s"GROUP BY st.$attr) t ORDER BY r $dir, gl LIMIT 1",
-        0.9, "template_cohort_agg_range_argmax")).take(1)
-    }
-
-  // "how many students scored above the course average in at least
-  // three courses" — count of entities beating their group bar k times
-  private val aboveAvgMultiCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+" +
-      raw"(above|over|below|under)\s+the\s+([a-z_][a-z0-9_]*)\s+average\s+" +
-      raw"in\s+at\s+least\s+(one|two|three|four|five|\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Above-group-average multi-count: group averages from one grouped
-    * pass (group-count-sized, broadcast onto the fact), per-row
-    * comparison, qualifying-group count per entity with a HAVING
-    * threshold, COUNT of survivors. Two shuffles total, both keyed. */
-  def aboveAvgMultiCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    aboveAvgMultiCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (Set("above", "over")(m.group(2).toLowerCase)) ">" else "<"
-      val k = m.group(4).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3
-        case "four" => 4; case "five" => 5; case d => d.toInt
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eE.fromColumn} " +
-          s"FROM ${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
-          s"AVG($measure) AS ca FROM ${eE.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) c " +
-          s"ON c.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"WHERE s.$measure $op c.ca GROUP BY s.${eE.fromColumn} " +
-          s"HAVING COUNT(*) >= $k) t",
-        0.9, "template_above_avg_multi_count")).take(1)
-    }
-
-  // "the share of courses taken by both ninth and tenth graders" —
-  // groups covered by two ordinal cohorts, over the full dimension
-  private val dualCohortCoverageRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+" +
-      raw"both\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
-      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?\s+and\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
-
-  /** Dual-cohort coverage: one grouped pass over the fact (entity
-    * dimension broadcast in) with two conditional-presence indicators,
-    * survivors counted against the FULL dimension count (untouched
-    * groups count in the denominator — a scalar subquery). */
-  def dualCohortCoverageCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    dualCohortCoverageRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n1 = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
-      val n2 = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / " +
-          s"(SELECT COUNT(*) FROM $dimJ), 4) AS agg_value FROM " +
-          s"(SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
-          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn} " +
-          s"HAVING SUM(CASE WHEN st.$gradeCol = $n1 THEN 1 ELSE 0 END) > 0 " +
-          s"AND SUM(CASE WHEN st.$gradeCol = $n2 THEN 1 ELSE 0 END) > 0) t",
-        0.9, "template_dual_cohort_coverage")).take(1)
-    }
-
-  // "the course with the longest run of years of rising average scores"
-  // — gaps-and-islands streak over per-(group, period) aggregates
-  private val courseStreakArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+longest\s+run\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+of\s+(rising|increasing|falling|declining)\s+" +
-      raw"(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Streak argmax: (group, period) averages in one grouped pass, the
-    * LAG/island windows partition on the GROUP key over that
-    * |groups|·|periods| frame — never the corpus — and the run length
-    * is a second tiny aggregate. Top-1 with a group-id tiebreak. */
-  def courseStreakArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    courseStreakArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cmp = if (Set("rising", "increasing")(m.group(3).toLowerCase)) ">" else "<"
-      val pWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-        period <- slice.tables(eJ.fromTable)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield {
-        val g = eJ.fromColumn
-        Candidate(
-          s"WITH ya AS (SELECT $g, $period, AVG($measure) AS a " +
-            s"FROM ${eJ.fromTable} GROUP BY $g, $period), " +
-            s"d AS (SELECT $g, $period, CASE WHEN a $cmp LAG(a) OVER " +
-            s"(PARTITION BY $g ORDER BY $period) THEN 1 ELSE 0 END AS up " +
-            s"FROM ya), " +
-            s"gi AS (SELECT $g, up, SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END) " +
-            s"OVER (PARTITION BY $g ORDER BY $period) AS grp FROM d), " +
-            s"s AS (SELECT $g, grp, SUM(up) AS len FROM gi GROUP BY $g, grp) " +
-            s"SELECT $g FROM s GROUP BY $g ORDER BY MAX(len) DESC, $g LIMIT 1",
-          0.9, "template_course_streak_argmax")
-      }).take(1)
-    }
-
-  // "the share of students whose best and worst scores are in the same
-  // department" — argmax/argmin attributes compared per entity
-  private val extremeSameGroupShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+best\s+and\s+" +
-      raw"worst\s+([a-z_][a-z0-9_]*)\s+are\s+in\s+the\s+same\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Extreme-same-group share: both extremes picked by windows
-    * partitioned on the ENTITY key (per-entity membership sorts with a
-    * deterministic group-id tiebreak), collapsed to one row per entity
-    * in the same pass, the two group attributes joined in from the
-    * broadcast dimension, share in a final scalar aggregate. */
-  def extremeSameGroupShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    extremeSameGroupShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(3), slice.tables(e.toTable)).isDefined).toSeq
-        attr <- abbrevColumn(m.group(3), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"WITH r AS (SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
-          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $measure DESC, ${eJ.fromColumn}) AS rb, " +
-          s"ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $measure ASC, ${eJ.fromColumn}) AS rw " +
-          s"FROM ${eE.fromTable}), " +
-          s"x AS (SELECT ${eE.fromColumn}, " +
-          s"MAX(CASE WHEN rb = 1 THEN ${eJ.fromColumn} END) AS bc, " +
-          s"MAX(CASE WHEN rw = 1 THEN ${eJ.fromColumn} END) AS wc " +
-          s"FROM r GROUP BY ${eE.fromColumn}) " +
-          s"SELECT ROUND(CAST(SUM(CASE WHEN cb.$attr = cw.$attr " +
-          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value " +
-          s"FROM x JOIN ${eJ.toTable} cb ON cb.${eJ.toColumn} = x.bc " +
-          s"JOIN ${eJ.toTable} cw ON cw.${eJ.toColumn} = x.wc",
-        0.9, "template_extreme_same_group_share")).take(1)
-    }
-
-  // "the correlation between course enrollment and average score" —
-  // group-level size/performance correlation
-  private val groupSizeCorrRe =
-    (raw"(?i)\bthe\s+correlation\s+between\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"enrollment\s+and\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Group-size/performance correlation: per-group count and average
-    * from ONE grouped pass, CORR over the group-count-sized frame. */
-  def groupSizeCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupSizeCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CORR(n, a), 4) AS agg_value FROM " +
-          s"(SELECT ${eJ.fromColumn}, COUNT(*) AS n, AVG($measure) AS a " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_group_size_performance_corr")).take(1)
-    }
-
-  // "the youngest student among those with an average score above 75" —
-  // attribute argmin over a qualifying-entity subquery
-  private val qualifiedAttrArgminRe =
-    (raw"(?i)\bthe\s+(youngest|oldest)\s+([a-z_][a-z0-9_]*)\s+among\s+" +
-      raw"those\s+with\s+an?\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"(above|over|below|under)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Qualified attribute argmin: per-entity averages in one grouped
-    * pass, the qualifying filter applied on the entity-count-sized
-    * frame, the dimension joined (broadcast), top-1 by the age
-    * attribute with a deterministic name tiebreak. */
-  def qualifiedAttrArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    qualifiedAttrArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(1).toLowerCase == "youngest") "ASC" else "DESC"
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        ageCol <- slice.tables(dimE).find(_.toLowerCase == "age").toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $nameCol FROM (SELECT st.$nameCol, st.$ageCol " +
-          s"FROM $dimE st JOIN (SELECT ${eE.fromColumn}, AVG($measure) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) p " +
-          s"ON p.${eE.fromColumn} = st.${eE.toColumn} " +
-          s"WHERE p.a $op ${m.group(5)}) t " +
-          s"ORDER BY $ageCol $dir, $nameCol LIMIT 1",
-        0.9, "template_qualified_attr_argmin")).take(1)
-    }
-
-  // "the average gap between consecutive distinct scores" — mean
-  // adjacent difference over the value domain
-  private val consecutiveGapAvgRe =
-    (raw"(?i)\bthe\s+average\s+gap\s+between\s+consecutive\s+distinct\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Consecutive-gap average: DISTINCT collapses the fact to its VALUE
-    * DOMAIN (one map-side-combined pass), the LAG window sorts that
-    * domain-sized frame only. */
-  def consecutiveGapAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    consecutiveGapAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        tbl <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG($measure - prev), 4) AS agg_value FROM " +
-          s"(SELECT $measure, LAG($measure) OVER (ORDER BY $measure) AS prev " +
-          s"FROM (SELECT DISTINCT $measure FROM $tbl) d) t " +
-          s"WHERE prev IS NOT NULL",
-        0.9, "template_consecutive_gap_avg")).take(1)
-    }
-
-  // "for each grade level, the course taken by the most of its
-  // students" — per-cohort popularity argmax list
-  private val cohortPopularRe =
-    (raw"(?i)\bfor\s+each\s+([a-z]+(?:[ _][a-z]+)?),\s+the\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+the\s+most\b").r
-
-  /** Cohort popularity argmax: one grouped pass keyed on (cohort
-    * attribute, group key) — the entity dimension broadcasts in — then
-    * ROW_NUMBER partitioned on the COHORT over that attribute-domain ×
-    * group frame (never the corpus), keep rank 1 per cohort. */
-  def cohortPopularCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortPopularRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable) &&
-          strongColumn(attrWord, slice.tables(e.toTable)).isDefined)
-        attr <- strongColumn(attrWord, slice.tables(eE.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT gl, ${eJ.fromColumn} FROM (SELECT st.$attr AS gl, " +
-          s"s.${eJ.fromColumn}, ROW_NUMBER() OVER (PARTITION BY st.$attr " +
-          s"ORDER BY COUNT(*) DESC, s.${eJ.fromColumn}) AS rn " +
-          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY st.$attr, s.${eJ.fromColumn}) t WHERE rn = 1 " +
-          s"ORDER BY gl",
-        0.9, "template_cohort_popular_course")).take(1)
-    }
-
-  // "the number of students whose worst score is still above the
-  // overall average" — per-entity floor vs a global scalar bar
-  private val floorAboveAvgCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"(worst|lowest|best|highest)\s+([a-z_][a-z0-9_]*)\s+is\s+" +
-      raw"(?:still\s+)?(above|over|below|under)\s+the\s+overall\s+average\b").r
-
-  /** Floor-above-average count: per-entity MIN/MAX in one grouped pass,
-    * the global average as a one-row scalar subquery broadcast into
-    * HAVING, COUNT of survivors. */
-  def floorAboveAvgCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    floorAboveAvgCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (Set("worst", "lowest")(m.group(2).toLowerCase)) "MIN" else "MAX"
-      val op = if (Set("above", "over")(m.group(4).toLowerCase)) ">" else "<"
-      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn} " +
-          s"HAVING $agg($measure) $op " +
-          s"(SELECT AVG($measure) FROM ${eE.fromTable})) t",
-        0.9, "template_floor_above_avg_count")).take(1)
-    }
-
-  // "the average number of distinct grades per course" — mean per-group
-  // distinct cardinality
-  private val avgDistinctPerGroupRe =
-    (raw"(?i)\bthe\s+average\s+number\s+of\s+distinct\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+per\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average distinct per group: per-group COUNT(DISTINCT v) in one
-    * grouped pass (a two-phase distinct aggregate with map-side
-    * partials), AVG over the group-count-sized frame. */
-  def avgDistinctPerGroupCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgDistinctPerGroupRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        valueCol <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM " +
-          s"(SELECT ${eJ.fromColumn}, COUNT(DISTINCT $valueCol) AS d " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_avg_distinct_per_group")).take(1)
-    }
-
-  // "the student who shares the most courses with Ada Adams" — named
-  // co-membership overlap argmax
-  private val namedOverlapArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+who\s+shares\s+the\s+most\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+with\s+" +
-      raw"((?-i:[A-Z][\w-]*(?:\s+[A-Z][\w-]*)*))\b").r
-
-  /** Named overlap argmax: the example's membership rows are a
-    * key-sized frame joined on the co-membership axis (per-group
-    * fan-out, never all-pairs), counts per entity, top-1 with
-    * name-then-id tiebreaks (fixture names can repeat). */
-  def namedOverlapArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    namedOverlapArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val name = m.group(3).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-      } yield Candidate(
-        s"SELECT $nameCol FROM (SELECT st.${eE.toColumn} AS sid, " +
-          s"st.$nameCol AS $nameCol, COUNT(*) AS c FROM ${eE.fromTable} s " +
-          s"JOIN (SELECT s2.${eJ.fromColumn} FROM ${eE.fromTable} s2 " +
-          s"JOIN $dimE st2 ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
-          s"WHERE st2.$nameCol = '$name') a " +
-          s"ON a.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"WHERE st.$nameCol <> '$name' " +
-          s"GROUP BY st.${eE.toColumn}, st.$nameCol) t " +
-          s"ORDER BY c DESC, $nameCol, sid LIMIT 1",
-        0.9, "template_named_overlap_argmax")).take(1)
-    }
-
-  // "the average score in courses with more than 60 students" — an
-  // aggregate restricted to groups passing a size bar
-  private val sizeFilteredAvgRe =
-    (raw"(?i)\bthe\s+(?:average|avg|mean)\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+with\s+(more|fewer|less)\s+than\s+(\d+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Size-filtered average: qualifying group keys from one grouped pass
-    * (group-count-sized), IN-subquery semi-join back onto the fact
-    * (plans as LeftSemi with the key frame broadcast), one scalar AVG. */
-  def sizeFilteredAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    sizeFilteredAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val op = if (m.group(3).toLowerCase == "more") ">" else "<"
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM ${eJ.fromTable} " +
-          s"WHERE ${eJ.fromColumn} IN (SELECT ${eJ.fromColumn} FROM " +
-          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
-          s"HAVING COUNT(*) $op ${m.group(4)})",
-        0.9, "template_size_filtered_avg")).take(1)
-    }
-
-  // "the percentage of total score points earned by ninth graders" —
-  // one cohort's share of a global SUM
-  private val cohortSumShareRe =
-    (raw"(?i)\bthe\s+percentage\s+of\s+total\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"points\s+[a-z]+\s+by\s+(first|second|third|fourth|fifth|sixth|" +
-      raw"seventh|eighth|ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?" +
-      raw"[- ]?graders\b").r
-
-  /** Cohort sum share: ONE pass over the fact (entity dimension
-    * broadcast in) with a conditional and an unconditional SUM — no
-    * second scan, no subquery. */
-  def cohortSumShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortSumShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(fact)).toSeq
-        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n THEN s.$measure " +
-          s"ELSE 0 END) AS DOUBLE) / SUM(s.$measure), 4) AS agg_value " +
-          s"FROM $fact s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn}",
-        0.9, "template_cohort_sum_share")).take(1)
-    }
-
-  // "students who received every grade letter at least once" —
-  // value-domain-complete entities (division over the value domain)
-  private val gradeDomainSpanRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+every\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+letter\s+at\s+least\s+once\b").r
-
-  /** Value-domain span: per-entity distinct-value counts in one grouped
-    * pass, the full domain cardinality as a one-row scalar subquery —
-    * relational division against the VALUE domain, no join of the fact
-    * with itself. */
-  def gradeDomainSpanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    gradeDomainSpanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        valueCol <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT $valueCol) = " +
-          s"(SELECT COUNT(DISTINCT $valueCol) FROM ${eE.fromTable})) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_grade_domain_span")).take(1)
-    }
-
-  // "the ratio of A grades to F grades" — two conditional counts of the
-  // same categorical column, divided
-  private val valueRatioRe =
-    (raw"(?i)\bthe\s+ratio\s+of\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"to\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Value ratio: ONE conditional-aggregate pass, no subquery. The two
-    * category words must name the same linked column, and when a mined
-    * value domain exists both values must be in it (no-fabrication). */
-  def valueRatioCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    valueRatioRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      if (m.group(2).toLowerCase != m.group(4).toLowerCase) Seq.empty
-      else {
-        val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-        val (v1, v2) = (m.group(1), m.group(3))
-        (for {
-          tbl <- slice.tables.keys.toSeq.sorted
-          colName <- strongColumn(vWord, slice.tables(tbl)).toSeq
-          domain = values(tbl).getOrElse(colName, Seq.empty)
-          if domain.isEmpty || (domain.contains(v1) && domain.contains(v2))
-        } yield Candidate(
-          s"SELECT ROUND(CAST(SUM(CASE WHEN $colName = '$v1' THEN 1 ELSE 0 END) " +
-            s"AS DOUBLE) / SUM(CASE WHEN $colName = '$v2' THEN 1 ELSE 0 END), 4) " +
-            s"AS agg_value FROM $tbl",
-          0.9, "template_value_ratio")).take(1)
-      }
-    }
-
-  // "how many students achieved their personal best in each course" —
-  // the distribution of per-entity argmax rows over groups
-  private val bestCourseDistributionRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+their\s+" +
-      raw"personal\s+best\s+in\s+each\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Personal-best distribution: per-entity argmax via a window
-    * partitioned on the ENTITY key (per-entity membership sorts, id
-    * tiebreak), then one |entities|-sized grouped count per group.
-    * Measure by elimination as in namedDominanceCandidates. */
-  def bestCourseDistributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    bestCourseDistributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn}, COUNT(*) AS n FROM " +
-          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn} FROM " +
-          s"(SELECT ${eE.fromColumn}, ${eJ.fromColumn}, ROW_NUMBER() OVER " +
-          s"(PARTITION BY ${eE.fromColumn} ORDER BY $measure DESC, " +
-          s"${eJ.fromColumn}) AS rn FROM ${eE.fromTable}) r WHERE rn = 1) t " +
-          s"GROUP BY ${eJ.fromColumn} ORDER BY ${eJ.fromColumn}",
-        0.9, "template_best_course_distribution")).take(1)
-    }
-
-  // "how many courses have a unique top scorer" — groups whose maximum
-  // is achieved by exactly one row
-  private val uniqueArgmaxCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+have\s+a\s+unique\s+" +
-      raw"top\s+([a-z]+)\b").r
-
-  /** Unique-argmax count: group maxima from one grouped pass
-    * (group-count-sized, joined back — AQE broadcasts it), count rows
-    * AT the maximum per group, keep singletons. No window at all. */
-  def uniqueArgmaxCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    uniqueArgmaxCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eJ.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
-          s"FROM ${eJ.fromTable} s JOIN (SELECT ${eJ.fromColumn} AS cid, " +
-          s"MAX($measure) AS mx FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) m ON m.cid = s.${eJ.fromColumn} " +
-          s"AND s.$measure = m.mx GROUP BY s.${eJ.fromColumn} " +
-          s"HAVING COUNT(*) = 1) t",
-        0.9, "template_unique_argmax_count")).take(1)
-    }
-
-  // "the gap between the two most popular courses by enrollment" —
-  // difference of the top-2 group counts
-  private val top2CountGapRe =
-    (raw"(?i)\bthe\s+gap\s+between\s+the\s+two\s+most\s+popular\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+by\s+enrollment\b").r
-
-  /** Top-2 count gap: group counts in one grouped pass, top-2 via
-    * TakeOrderedAndProject (k=2 heap, no full sort), MAX−MIN of the
-    * two survivors. */
-  def top2CountGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    top2CountGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"SELECT MAX(n) - MIN(n) AS agg_value FROM (SELECT COUNT(*) AS n " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn} " +
-          s"ORDER BY n DESC LIMIT 2) t",
-        0.9, "template_top2_count_gap")).take(1)
-    }
-
-  // "students whose average in math courses beats their average in
-  // science courses" — two category-conditional averages per entity
-  private val categorySelfCompareRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+average\s+in\s+([a-z0-9]+)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+(beats|exceeds|trails)\s+their\s+average\s+" +
-      raw"in\s+([a-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Category self-compare: ONE grouped pass per entity with two
-    * conditional AVGs (the category attribute broadcast in from its
-    * dimension), names resolved last. The two category values must
-    * both live in the mined domain of the same dimension column
-    * (no-fabrication). */
-  def categorySelfCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    categorySelfCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      if (m.group(3).toLowerCase != m.group(6).toLowerCase) Seq.empty
-      else {
-        val (v1, v2) = (m.group(2), m.group(5))
-        val op = if (m.group(4).toLowerCase == "trails") "<" else ">"
-        (for {
-          dimE <- uniqueTable(slice, m.group(1)).toSeq
-          dimJ <- uniqueTable(slice, m.group(3)).toSeq
-          if dimE != dimJ
-          eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-            e2.fromTable == e.fromTable && e2.toTable == dimJ))
-          eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-          attr <- values(dimJ).collectFirst {
-            case (c, dom) if dom.contains(v1) && dom.contains(v2) => c
-          }.toSeq
-          nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-          factCols = slice.tables(eE.fromTable)
-          stringCols = values(eE.fromTable).keySet
-          measure <- factCols.filter { c =>
-            val l = c.toLowerCase
-            !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
-              l != "id" && !l.endsWith("key") && !stringCols.contains(c)
-          } match {
-            case Seq(one) => Seq(one)
-            case _ => Seq.empty
-          }
-        } yield Candidate(
-          s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
-            s"${eE.fromTable} s JOIN $dimJ c " +
-            s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-            s"GROUP BY s.${eE.fromColumn} " +
-            s"HAVING AVG(CASE WHEN c.$attr = '$v1' THEN s.$measure END) $op " +
-            s"AVG(CASE WHEN c.$attr = '$v2' THEN s.$measure END)) m " +
-            s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-          0.9, "template_category_self_compare")).take(1)
-      }
-    }
-
-  // "the average share of courses per student with a grade of C or
-  // better" — mean per-entity share of qualifying rows
-  private val avgEntityShareRe =
-    (raw"(?i)\bthe\s+average\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+per\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+with\s+a\s+([a-z_][a-z0-9_]*)\s+of\s+" +
-      raw"([A-Za-z0-9]+)\s+or\s+better\b").r
-
-  /** Average entity share: per-entity conditional share in one grouped
-    * pass, AVG over the entity-count-sized frame. "Or better" reads
-    * against the mined single-letter grade domain (A best), so the
-    * qualifying set is explicit values — never a fabricated range. */
-  def avgEntityShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    avgEntityShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val v = m.group(4)
-      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        valueCol <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        domain = values(eE.fromTable).getOrElse(valueCol, Seq.empty)
-        if domain.nonEmpty && domain.forall(_.length == 1) && domain.contains(v)
-        qualifying = domain.filter(_ <= v).sorted
-        if qualifying.nonEmpty
-      } yield Candidate(
-        s"SELECT ROUND(AVG(sh), 4) AS agg_value FROM " +
-          s"(SELECT ${eE.fromColumn}, CAST(SUM(CASE WHEN $valueCol IN " +
-          s"(${qualifying.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*) AS sh FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_avg_entity_share")).take(1)
-    }
-
-  // "the hardest course for ninth graders" — cohort-restricted group
-  // argmin by average measure
-  private val cohortGroupArgminRe =
-    (raw"(?i)\bthe\s+(hardest|toughest|easiest)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"for\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
-      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
-
-  /** Cohort group argmin: the cohort filter prunes the fact BEFORE the
-    * single grouped pass (dimension broadcast in), top-1 by the group
-    * average with an id tiebreak. Measure by elimination. */
-  def cohortGroupArgminCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    cohortGroupArgminRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
-      val dir = if (m.group(1).toLowerCase == "easiest") "DESC" else "ASC"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-        factCols = slice.tables(eJ.fromTable)
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
-            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT s.${eJ.fromColumn} FROM ${eJ.fromTable} s " +
-          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"WHERE st.$gradeCol = $n GROUP BY s.${eJ.fromColumn} " +
-          s"ORDER BY AVG(s.$measure) $dir, s.${eJ.fromColumn} LIMIT 1",
-        0.9, "template_cohort_group_argmin")).take(1)
-    }
-
-  // "how many students improved their average every year they were
-  // enrolled" — count of entities with strictly-monotone period series
-  private val allYearsImprovingRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+(improved|increased|" +
-      raw"declined|worsened)\s+their\s+average\s+every\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** All-periods-monotone count: (entity, period) averages in one
-    * grouped pass, the LAG/first-row windows partition on the ENTITY
-    * over that key-sized frame, MIN-indicator encodes the ∀; entities
-    * with a single period drop (no trend to claim). */
-  def allYearsImprovingCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    allYearsImprovingRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cmp = if (Set("improved", "increased")(m.group(2).toLowerCase)) ">" else "<"
-      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eE.fromTable)
-        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH ya AS (SELECT ${eE.fromColumn}, $period, AVG($measure) AS a " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}, $period), " +
-          s"d AS (SELECT ${eE.fromColumn}, CASE WHEN a $cmp LAG(a) OVER " +
-          s"(PARTITION BY ${eE.fromColumn} ORDER BY $period) THEN 1 ELSE 0 " +
-          s"END AS up, ROW_NUMBER() OVER (PARTITION BY ${eE.fromColumn} " +
-          s"ORDER BY $period) AS rn FROM ya) " +
-          s"SELECT COUNT(*) AS agg_value FROM (SELECT ${eE.fromColumn} " +
-          s"FROM d GROUP BY ${eE.fromColumn} " +
-          s"HAVING MIN(CASE WHEN rn = 1 THEN 1 ELSE up END) = 1 " +
-          s"AND COUNT(*) > 1) t",
-        0.9, "template_all_years_improving_count")).take(1)
-    }
-
-  // "the average course enrollment experienced by a typical student" —
-  // mean over entities of their groups' mean size
-  private val avgAvgGroupSizeRe =
-    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+enrollment\s+" +
-      raw"experienced\s+by\s+a\s+typical\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average-of-average group size: group sizes from one grouped pass
-    * (group-count-sized, broadcast back), per-entity mean over their
-    * memberships, one scalar AVG. Two keyed shuffles, both bounded. */
-  def avgAvgGroupSizeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgAvgGroupSizeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS en FROM " +
-          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) " +
-          s"SELECT ROUND(AVG(m), 4) AS agg_value FROM " +
-          s"(SELECT s.${eE.fromColumn}, AVG(n.en) AS m FROM " +
-          s"${eJ.fromTable} s JOIN n ON n.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}) t",
-        0.9, "template_avg_avg_group_size")).take(1)
-    }
-
-  // "how many pairs of courses share no students at all" — complement
-  // of the co-membership pair set
-  private val disjointPairCountRe =
-    (raw"(?i)\bhow\s+many\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+share\s+no\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Disjoint-pair count: total pairs C(|J|,2) from two scalar
-    * subqueries minus the DISTINCT co-membership pairs (entity-keyed
-    * self-join, per-entity fan-out — never all-pairs over groups). */
-  def disjointPairCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    disjointPairCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT CAST((SELECT COUNT(*) FROM $dimJ) * " +
-          s"((SELECT COUNT(*) FROM $dimJ) - 1) / 2 AS BIGINT) - COUNT(*) " +
-          s"AS agg_value FROM (SELECT DISTINCT a.${eJ.fromColumn} AS c1, " +
-          s"b.${eJ.fromColumn} AS c2 FROM ${eJ.fromTable} a " +
-          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn}) t",
-        0.9, "template_disjoint_pair_count")).take(1)
-    }
-
-  // "students whose score in every course is within 10 points of their
-  // own average" — a universal band around the entity's own mean
-  private val selfBandUniversalRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+in\s+" +
-      raw"every\s+([a-z_][a-z0-9_]*)\s+is\s+within\s+(\d+(?:\.\d+)?)\s+" +
-      raw"points\s+of\s+their\s+own\s+average\b").r
-
-  /** Self-band universal: the per-entity mean via a window PARTITIONED
-    * on the entity key (per-entity membership frames, no global sort),
-    * the ∀ as a grouped MAX-of-deviation bound, names resolved last. */
-  def selfBandUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    selfBandUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
-          s"(SELECT ${eE.fromColumn}, $measure, AVG($measure) OVER " +
-          s"(PARTITION BY ${eE.fromColumn}) AS a FROM ${eE.fromTable}) x " +
-          s"GROUP BY ${eE.fromColumn} " +
-          s"HAVING MAX(ABS($measure - a)) <= ${m.group(4)}) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_self_band_universal")).take(1)
-    }
-
-  // "the average position of Algebra in each student's personal ranking
-  // of courses" — a named group's mean rank across entities
-  private val namedGroupAvgRankRe =
-    (raw"(?i)\bthe\s+average\s+position\s+of\s+" +
-      raw"((?-i:[A-Z][\w+-]*(?:\s+[A-Z][\w+-]*)*))\s+in\s+each\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+personal\s+ranking\s+of\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Named-group average rank: RANK windows partition on the ENTITY key
-    * (per-entity membership sorts), the named group filtered AFTER
-    * ranking (the position is within the full personal list), one
-    * scalar AVG. Measure by elimination. */
-  def namedGroupAvgRankCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    namedGroupAvgRankRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val v = m.group(1).replace("'", "''")
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        jName <- nameishColumn(slice.tables(dimJ)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
-            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ROUND(AVG(rk), 4) AS agg_value FROM " +
-          s"(SELECT s.${eE.fromColumn}, RANK() OVER " +
-          s"(PARTITION BY s.${eE.fromColumn} ORDER BY s.$measure DESC) AS rk, " +
-          s"c.$jName FROM ${eE.fromTable} s JOIN $dimJ c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn}) t WHERE $jName = '$v'",
-        0.9, "template_named_group_avg_rank")).take(1)
-    }
-
-  // "the number of distinct score values that appear in only one
-  // course" — values exclusive to a single group
-  private val exclusiveValueCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+distinct\s+([a-z_][a-z0-9_]*)\s+values\s+" +
-      raw"that\s+appear\s+in\s+only\s+one\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Exclusive-value count: DISTINCT (value, group) collapses the fact
-    * once (map-side combined), per-value group counts over the
-    * domain-sized frame, keep singletons, COUNT. */
-  def exclusiveValueCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    exclusiveValueCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT $measure FROM " +
-          s"(SELECT DISTINCT $measure, ${eJ.fromColumn} FROM " +
-          s"${eJ.fromTable}) t GROUP BY $measure HAVING COUNT(*) = 1) u",
-        0.9, "template_exclusive_value_count")).take(1)
-    }
-
-  // "the grade level with the highest share of A grades" — cohort
-  // argmax by conditional share
-  private val cohortShareArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+with\s+the\s+" +
-      raw"(highest|largest|lowest|smallest)\s+share\s+of\s+" +
-      raw"([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Cohort share argmax: ONE grouped pass keyed on the cohort
-    * attribute (dimension broadcast in) with a conditional and an
-    * unconditional count, top-1 over the attribute-domain-sized frame.
-    * The category value must be in the mined domain (no-fabrication). */
-  def cohortShareArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    cohortShareArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(1).toLowerCase.replace(' ', '_')
-      val dir = if (Set("highest", "largest")(m.group(2).toLowerCase)) "DESC" else "ASC"
-      val v = m.group(3)
-      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        valueCol <- strongColumn(vWord, slice.tables(fact)).toSeq
-        domain = values(fact).getOrElse(valueCol, Seq.empty)
-        if domain.contains(v)
-        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          strongColumn(attrWord, slice.tables(e.toTable)).isDefined)
-        attr <- strongColumn(attrWord, slice.tables(eE.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT gl FROM (SELECT st.$attr AS gl, " +
-          s"CAST(SUM(CASE WHEN s.$valueCol = '$v' THEN 1 ELSE 0 END) " +
-          s"AS DOUBLE) / COUNT(*) AS sh FROM $fact s " +
-          s"JOIN ${eE.toTable} st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY st.$attr) t ORDER BY sh $dir, gl LIMIT 1",
-        0.9, "template_cohort_share_argmax")).take(1)
-    }
-
-  // "how many scores were recorded in each student's first year" —
-  // rows landing in their entity's earliest period
-  private val firstPeriodCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+were\s+recorded\s+in\s+" +
-      raw"each\s+([a-z_][a-z0-9_]*)'s\s+first\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** First-period count: per-entity MIN(period) in one grouped pass
-    * (entity-count-sized, joined back — AQE broadcasts it), count the
-    * rows whose period equals their entity's first. */
-  def firstPeriodCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    firstPeriodCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != fact
-        eE <- fks.find(e => e.fromTable == fact && e.toTable == dimE).toSeq
-        period <- slice.tables(fact)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM $fact s JOIN " +
-          s"(SELECT ${eE.fromColumn}, MIN($period) AS y0 FROM $fact " +
-          s"GROUP BY ${eE.fromColumn}) f " +
-          s"ON f.${eE.fromColumn} = s.${eE.fromColumn} AND f.y0 = s.$period",
-        0.9, "template_first_period_count")).take(1)
-    }
-
-  // "the course whose enrollment changed the most between 2022 and
-  // 2023" — two-period group-count delta argmax
-  private val enrollmentTrendArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+enrollment\s+" +
-      raw"(changed|grew|increased|dropped|decreased)\s+the\s+most\s+" +
-      raw"between\s+(\d{4})\s+and\s+(\d{4})\b").r
-
-  /** Enrollment-trend argmax: the period filter prunes first, ONE
-    * grouped pass with two conditional counts, top-1 by the delta
-    * (absolute for "changed") with an id tiebreak. */
-  def enrollmentTrendArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    enrollmentTrendArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val (y1, y2) = (m.group(3), m.group(4))
-      val delta = s"(SUM(CASE WHEN year = $y2 THEN 1 ELSE 0 END) - " +
-        s"SUM(CASE WHEN year = $y1 THEN 1 ELSE 0 END))"
-      val ord = m.group(2).toLowerCase match {
-        case "changed" => s"ABS$delta DESC"
-        case "grew" | "increased" => s"$delta DESC"
-        case _ => s"$delta ASC"
-      }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        period <- slice.tables(eJ.fromTable)
-          .find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn} FROM ${eJ.fromTable} " +
-          s"WHERE $period IN ($y1, $y2) GROUP BY ${eJ.fromColumn} " +
-          s"ORDER BY ${ord.replace("year", period)}, ${eJ.fromColumn} LIMIT 1",
-        0.9, "template_enrollment_trend_argmax")).take(1)
-    }
-
-  // "the share of students who never scored below 60" — per-entity
-  // extreme against a threshold, as a share
-  private val floorThresholdShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+who\s+never\s+" +
-      raw"([a-z]+)\s+(below|under|above|over)\s+(\d+(?:\.\d+)?)\b").r
-
-  /** Floor/ceiling threshold share: per-entity MIN (never below) or MAX
-    * (never above) in one grouped pass, share over the entity-count-
-    * sized frame. The verb stems to the measure column. */
-  def floorThresholdShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    floorThresholdShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val below = Set("below", "under")(m.group(3).toLowerCase)
-      val verb = m.group(2).toLowerCase
-      val stems = Seq(verb, verb.stripSuffix("d"), verb.stripSuffix("ed")).distinct
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- stems.flatMap(strongColumn(_, slice.tables(eE.fromTable))).headOption.toSeq
-      } yield {
-        val (agg, cmp) = if (below) ("MIN", ">=") else ("MAX", "<=")
-        Candidate(
-          s"SELECT ROUND(CAST(SUM(CASE WHEN mn $cmp ${m.group(4)} THEN 1 " +
-            s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-            s"(SELECT ${eE.fromColumn}, $agg($measure) AS mn FROM " +
-            s"${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
-          0.9, "template_floor_threshold_share")
-      }).take(1)
-    }
-
-  // "the median enrollment among courses in each department" — median
-  // of group sizes per dimension attribute
-  private val deptMedianEnrollmentRe =
-    (raw"(?i)\bthe\s+median\s+enrollment\s+among\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+each\s+([a-z]+(?:[ _][a-z]+)?)\b").r
-
-  /** Median enrollment per attribute: (attribute, group) counts in one
-    * grouped pass, MEDIAN over the group-count-sized frame per
-    * attribute value. */
-  def deptMedianEnrollmentCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    deptMedianEnrollmentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(2).toLowerCase.replace(' ', '_')
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        attr <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"SELECT $attr, CAST(MEDIAN(n) AS DOUBLE) AS med FROM " +
-          s"(SELECT c.$attr, s.${eJ.fromColumn}, COUNT(*) AS n FROM " +
-          s"${eJ.fromTable} s JOIN $dimJ c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr, s.${eJ.fromColumn}) t GROUP BY $attr " +
-          s"ORDER BY $attr",
-        0.9, "template_dept_median_enrollment")).take(1)
-    }
-
-  // "the difference in average score between the most and least popular
-  // courses" — aggregate gap between popularity-extreme groups
-  private val popularityExtremesGapRe =
-    (raw"(?i)\bthe\s+difference\s+in\s+average\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"between\s+the\s+most\s+and\s+least\s+popular\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Popularity-extremes gap: per-group count and average in ONE
-    * grouped pass; the two extremes are k=1 orderBy+limit subqueries
-    * (TakeOrderedAndProject over the group-count-sized frame), their
-    * difference a scalar. Deterministic id tiebreaks at both ends. */
-  def popularityExtremesGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    popularityExtremesGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS en, " +
-          s"AVG($measure) AS a FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}), " +
-          s"hi AS (SELECT a FROM n ORDER BY en DESC, ${eJ.fromColumn} LIMIT 1), " +
-          s"lo AS (SELECT a FROM n ORDER BY en ASC, ${eJ.fromColumn} LIMIT 1) " +
-          s"SELECT ROUND((SELECT a FROM hi) - (SELECT a FROM lo), 4) " +
-          s"AS agg_value",
-        0.9, "template_popularity_extremes_gap")).take(1)
-    }
-
-  // "the number of courses where ninth graders outnumber tenth graders"
-  // — per-group cohort-count comparison
-  private val cohortCountCompareRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+where\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?\s+graders\s+" +
-      raw"outnumber\s+(first|second|third|fourth|fifth|sixth|seventh|" +
-      raw"eighth|ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?" +
-      raw"[- ]?graders\b").r
-
-  /** Cohort count-compare count: ONE grouped pass over the fact (the
-    * entity dimension broadcast in) with two conditional counts, a
-    * HAVING comparison, COUNT of surviving groups. */
-  def cohortCountCompareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortCountCompareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n1 = ordinals.getOrElse(m.group(2).toLowerCase, m.group(2).toInt)
-      val n2 = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
-          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn} " +
-          s"HAVING SUM(CASE WHEN st.$gradeCol = $n1 THEN 1 ELSE 0 END) > " +
-          s"SUM(CASE WHEN st.$gradeCol = $n2 THEN 1 ELSE 0 END)) t",
-        0.9, "template_cohort_count_compare_count")).take(1)
-    }
-
-  // "the average of each student's median score" — mean of per-entity
-  // medians
-  private val avgEntityMedianRe =
-    (raw"(?i)\bthe\s+average\s+of\s+each\s+([a-z_][a-z0-9_]*)'s\s+" +
-      raw"median\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average entity median: per-entity MEDIAN in one grouped pass (an
-    * exact per-group percentile aggregate with map-side partials), AVG
-    * over the entity-count-sized frame. */
-  def avgEntityMedianCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgEntityMedianRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(md), 4) AS agg_value FROM " +
-          s"(SELECT ${eE.fromColumn}, MEDIAN($measure) AS md FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) t",
-        0.9, "template_avg_entity_median")).take(1)
-    }
-
-  // "how many students scored within 5 points of the top score in at
-  // least one course" — near-maximum membership count
-  private val nearMaxMembershipRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+within\s+" +
-      raw"(\d+(?:\.\d+)?)\s+points\s+of\s+the\s+top\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"in\s+at\s+least\s+one\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Near-max membership count: group maxima in one grouped pass
-    * (group-count-sized, joined back with the band predicate — AQE
-    * broadcasts it), COUNT(DISTINCT entity) over the qualifying rows. */
-  def nearMaxMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    nearMaxMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(DISTINCT s.${eE.fromColumn}) AS agg_value FROM " +
-          s"${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
-          s"MAX($measure) AS mx FROM ${eE.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) m " +
-          s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"AND s.$measure >= m.mx - ${m.group(2)}",
-        0.9, "template_near_max_membership_count")).take(1)
-    }
-
-  // "the most common margin between a student's best and second-best
-  // scores" — mode of per-entity top-2 gaps
-  private val top2GapModeRe =
-    (raw"(?i)\bthe\s+most\s+common\s+margin\s+between\s+a\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+best\s+and\s+second-best\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Top-2 gap mode: ranks via a window partitioned on the ENTITY key
-    * (per-entity membership sorts, id tiebreak), the rank-1/rank-2
-    * self-join is between two entity-count-sized frames on the entity
-    * key, the mode one grouped top-1 over the gap domain. */
-  def top2GapModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    top2GapModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        other <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE).toSeq
-      } yield Candidate(
-        s"WITH r AS (SELECT ${eE.fromColumn}, $measure, ROW_NUMBER() OVER " +
-          s"(PARTITION BY ${eE.fromColumn} ORDER BY $measure DESC, " +
-          s"${other.fromColumn}) AS rn FROM ${eE.fromTable}), " +
-          s"g AS (SELECT a.${eE.fromColumn}, a.$measure - b.$measure AS gap " +
-          s"FROM r a JOIN r b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND a.rn = 1 AND b.rn = 2) " +
-          s"SELECT gap FROM g GROUP BY gap ORDER BY COUNT(*) DESC, gap LIMIT 1",
-        0.9, "template_top2_gap_mode")).take(1)
-    }
-
-  // "the average age of the oldest student in each course" — mean of
-  // per-group attribute extremes
-  private val avgGroupAttrMaxRe =
-    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+" +
-      raw"(oldest|youngest)\s+([a-z_][a-z0-9_]*)\s+in\s+each\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Average group attribute extreme: one grouped pass over the fact
-    * (entity dimension broadcast in) taking MAX/MIN of the attribute
-    * per group, AVG over the group-count-sized frame. */
-  def avgGroupAttrMaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgGroupAttrMaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(2).toLowerCase == "oldest") "MAX" else "MIN"
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        attr <- strongColumn(m.group(1), slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(mx), 4) AS agg_value FROM " +
-          s"(SELECT s.${eJ.fromColumn}, $agg(st.$attr) AS mx FROM " +
-          s"${eE.fromTable} s JOIN $dimE st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn}) t",
-        0.9, "template_avg_group_attr_max")).take(1)
-    }
-
-  // "the number of years in which every course was offered" — periods
-  // with full group coverage
-  private val fullCoveragePeriodRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+" +
-      raw"every\s+([a-z_][a-z0-9_]*)\s+was\s+[a-z]+\b").r
-
-  /** Full-coverage period count: DISTINCT (period, group) collapses the
-    * fact once, per-period group counts over the |periods|·|groups|
-    * frame, compared against the dimension count (scalar subquery). */
-  def fullCoveragePeriodCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    fullCoveragePeriodRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        period <- slice.tables(eJ.fromTable)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT $period FROM " +
-          s"(SELECT DISTINCT $period, ${eJ.fromColumn} FROM " +
-          s"${eJ.fromTable}) t GROUP BY $period " +
-          s"HAVING COUNT(*) = (SELECT COUNT(*) FROM $dimJ)) u",
-        0.9, "template_full_coverage_period_count")).take(1)
-    }
-
-  // "the student with the most scores above their course's average" —
-  // argmax by count of above-group-average rows
-  private val aboveAvgCountArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+above\s+their\s+([a-z_][a-z0-9_]*)'s\s+" +
-      raw"average\b").r
-
-  /** Above-average count argmax: group averages broadcast onto the fact
-    * (one grouped pass), per-entity qualifying counts, top-1 with
-    * name-then-id tiebreaks. */
-  def aboveAvgCountArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    aboveAvgCountArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $nameCol FROM (SELECT s.${eE.fromColumn}, COUNT(*) AS c " +
-          s"FROM ${eE.fromTable} s JOIN (SELECT ${eJ.fromColumn}, " +
-          s"AVG($measure) AS ca FROM ${eE.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) m " +
-          s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"WHERE s.$measure > m.ca GROUP BY s.${eE.fromColumn}) t " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = t.${eE.fromColumn} " +
-          s"ORDER BY c DESC, $nameCol, t.${eE.fromColumn} LIMIT 1",
-        0.9, "template_above_avg_count_argmax")).take(1)
-    }
-
-  // "the average difference between a course's maximum and median
-  // score" — mean per-group max-to-median spread
-  private val avgMaxMedianGapRe =
-    (raw"(?i)\bthe\s+average\s+difference\s+between\s+a\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+maximum\s+and\s+median\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Average max-median gap: per-group MAX and exact MEDIAN in one
-    * grouped pass, AVG of the spread over the group-count frame. */
-  def avgMaxMedianGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgMaxMedianGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(mx - md), 4) AS agg_value FROM " +
-          s"(SELECT ${eJ.fromColumn}, MAX($measure) AS mx, " +
-          s"MEDIAN($measure) AS md FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_avg_max_median_gap")).take(1)
-    }
-
-  // "the year with the most balanced grade distribution" — per-period
-  // category entropy argmax
-  private val periodEntropyArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+balanced\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+distribution\b").r
-
-  /** Period entropy argmax: (period, category) counts in one grouped
-    * pass, per-period shares via a window over that tiny frame
-    * (|periods|·|categories| rows), Shannon entropy per period, top-1. */
-  def periodEntropyArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    periodEntropyArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      val cWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        period <- slice.tables(fact)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        catCol <- strongColumn(cWord, slice.tables(fact)).toSeq
-        if catCol != period
-      } yield Candidate(
-        s"SELECT y FROM (SELECT $period AS y, -SUM(p * LN(p)) AS e FROM " +
-          s"(SELECT $period, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) " +
-          s"OVER (PARTITION BY $period) AS p FROM $fact " +
-          s"GROUP BY $period, $catCol) t GROUP BY y) u " +
-          s"ORDER BY e DESC, y LIMIT 1",
-        0.9, "template_period_entropy_argmax")).take(1)
-    }
-
-  // "students who took a course in every department but never got an A"
-  // — relational division conjoined with a negated category filter
-  private val divisionWithNegationRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+[a-z]+\s+a\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+every\s+([a-z_][a-z0-9_]*)\s+but\s+" +
-      raw"never\s+[a-z]+\s+an?\s+([A-Za-z0-9]+)\b").r
-
-  /** Division + negation: ONE grouped pass per entity carrying both the
-    * distinct-attribute coverage count (the ∀) and a zero-count
-    * indicator for the negated value — no second scan, no anti-join.
-    * Higher confidence than the plain division template: ignoring the
-    * "but never" clause silently over-answers, so the conjunctive read
-    * must win the ranking. The negated value must be in the mined
-    * domain of a fact column (no-fabrication). */
-  def divisionWithNegationCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    divisionWithNegationRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val v = m.group(4)
-      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        attr <- abbrevColumn(attrWord, slice.tables(dimJ)).toSeq
-        negCol <- values(eE.fromTable).collectFirst {
-          case (c, dom) if dom.contains(v) => c
-        }.toSeq
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT s.${eE.fromColumn} FROM " +
-          s"${eE.fromTable} s JOIN $dimJ c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn} " +
-          s"HAVING COUNT(DISTINCT c.$attr) = " +
-          s"(SELECT COUNT(DISTINCT $attr) FROM $dimJ) " +
-          s"AND SUM(CASE WHEN s.$negCol = '$v' THEN 1 ELSE 0 END) = 0) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.92, "template_division_with_negation")).take(1)
-    }
-
-  // "the average score of the middle 50 percent of students by average"
-  // — trimmed mean over entity aggregates
-  private val iqrTrimmedMeanRe =
-    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+middle\s+" +
-      raw"(\d+)\s+percent\s+of\s+([a-z_][a-z0-9_]*)\s+by\s+average\b").r
-
-  /** IQR-trimmed entity mean: per-entity averages in one grouped pass,
-    * PERCENT_RANK over the entity-count-sized frame (never the raw
-    * corpus), mean of the symmetric middle band. */
-  def iqrTrimmedMeanCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    iqrTrimmedMeanRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val half = m.group(2).toInt / 200.0
-      val (lo, hi) = (0.5 - half, 0.5 + half)
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH a AS (SELECT ${eE.fromColumn}, AVG($measure) AS av FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}), " +
-          s"b AS (SELECT av, PERCENT_RANK() OVER (ORDER BY av) AS pr FROM a) " +
-          s"SELECT ROUND(AVG(av), 4) AS agg_value FROM b " +
-          s"WHERE pr >= $lo AND pr <= $hi",
-        0.9, "template_iqr_trimmed_entity_mean")).take(1)
-    }
-
-  // "the average number of courses taken per student in each grade
-  // level" — cohort-level mean membership count
-  private val cohortAvgMembershipRe =
-    (raw"(?i)\bthe\s+average\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"[a-z]+\s+per\s+([a-z_][a-z0-9_]*)\s+in\s+each\s+" +
-      raw"([a-z]+(?:[ _][a-z]+)?)\b").r
-
-  /** Cohort average membership: one grouped pass keyed on (cohort
-    * attribute, entity) — the dimension broadcast in — then a tiny
-    * second aggregate over the entity-count-sized frame per cohort. */
-  def cohortAvgMembershipCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortAvgMembershipRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-      } yield Candidate(
-        s"SELECT gl, ROUND(AVG(c), 4) AS a FROM (SELECT st.$attr AS gl, " +
-          s"s.${eE.fromColumn}, COUNT(*) AS c FROM ${eE.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY st.$attr, s.${eE.fromColumn}) t GROUP BY gl " +
-          s"ORDER BY gl",
-        0.9, "template_cohort_avg_membership")).take(1)
-    }
-
-  // "how many distinct scores did the best student record" — distinct
-  // cardinality of the argmax entity's rows
-  private val argmaxEntityDistinctRe =
-    (raw"(?i)\bhow\s+many\s+distinct\s+([a-z_][a-z0-9_]*)\s+did\s+the\s+" +
-      raw"(best|worst)\s+([a-z_][a-z0-9_]*)\s+[a-z]+\b").r
-
-  /** Argmax-entity distinct count: the best entity from a k=1
-    * orderBy+limit over per-entity averages (TakeOrderedAndProject),
-    * its rows filtered by a one-row scalar subquery, COUNT(DISTINCT). */
-  def argmaxEntityDistinctCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    argmaxEntityDistinctRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "best") "DESC" else "ASC"
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH b AS (SELECT ${eE.fromColumn} FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn} ORDER BY AVG($measure) $dir, " +
-          s"${eE.fromColumn} LIMIT 1) " +
-          s"SELECT COUNT(DISTINCT $measure) AS agg_value FROM " +
-          s"${eE.fromTable} WHERE ${eE.fromColumn} = " +
-          s"(SELECT ${eE.fromColumn} FROM b)",
-        0.9, "template_argmax_entity_distinct_count")).take(1)
-    }
-
-  // "the widest score range recorded in a single course in a single
-  // year" — max spread over (group, period) cells
-  private val maxCellRangeRe =
-    (raw"(?i)\bthe\s+(widest|narrowest)\s+([a-z_][a-z0-9_]*)\s+range\s+" +
-      raw"recorded\s+in\s+a\s+single\s+([a-z_][a-z0-9_]*)\s+in\s+a\s+" +
-      raw"single\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Max cell range: per-(group, period) MIN/MAX in one grouped pass,
-    * one scalar extreme over the cell-count-sized frame. */
-  def maxCellRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    maxCellRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(1).toLowerCase == "widest") "MAX" else "MIN"
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      val pWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-        period <- slice.tables(eJ.fromTable)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT $agg(mx - mn) AS agg_value FROM " +
-          s"(SELECT ${eJ.fromColumn}, $period, MAX($measure) AS mx, " +
-          s"MIN($measure) AS mn FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}, $period) t",
-        0.9, "template_max_cell_range")).take(1)
-    }
-
-  // "the number of grade-level and department pairs with no
-  // enrollments" — empty cells of a two-attribute cross product
-  private val emptyCellCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z]+(?:[ _-][a-z]+)?)\s+and\s+" +
-      raw"([a-z]+(?:[ _-][a-z]+)?)\s+pairs\s+with\s+no\s+enrollments?\b").r
-
-  /** Empty-cell count: the occupied cells from one DISTINCT pass over
-    * the fact (both dimensions broadcast in), subtracted from the
-    * cross-product cardinality built from two scalar subqueries — the
-    * cross product itself is never materialized. */
-  def emptyCellCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    emptyCellCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val a1Word = m.group(1).toLowerCase.replaceAll("[ -]", "_")
-      val a2Word = m.group(2).toLowerCase.replaceAll("[ -]", "_")
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        e1 <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          strongColumn(a1Word, slice.tables(e.toTable)).isDefined)
-        a1 <- strongColumn(a1Word, slice.tables(e1.toTable)).toSeq
-        e2 <- fks.filter(e => e.fromTable == fact && e.toTable != e1.toTable &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(a2Word, slice.tables(e.toTable)).isDefined)
-        a2 <- abbrevColumn(a2Word, slice.tables(e2.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT (SELECT COUNT(DISTINCT $a1) FROM ${e1.toTable}) * " +
-          s"(SELECT COUNT(DISTINCT $a2) FROM ${e2.toTable}) - COUNT(*) " +
-          s"AS agg_value FROM (SELECT DISTINCT st.$a1, c.$a2 FROM $fact s " +
-          s"JOIN ${e1.toTable} st ON st.${e1.toColumn} = s.${e1.fromColumn} " +
-          s"JOIN ${e2.toTable} c ON c.${e2.toColumn} = s.${e2.fromColumn}) t",
-        0.9, "template_empty_cell_count")).take(1)
-    }
-
-  // "the score most frequently recorded as a student's personal worst"
-  // — mode of per-entity extremes
-  private val entityMinModeRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+most\s+frequently\s+recorded\s+" +
-      raw"as\s+a\s+([a-z_][a-z0-9_]*)'s\s+personal\s+(worst|best)\b").r
-
-  /** Entity extreme mode: per-entity MIN/MAX in one grouped pass, mode
-    * over the entity-count-sized frame with a value tiebreak. */
-  def entityMinModeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    entityMinModeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(3).toLowerCase == "worst") "MIN" else "MAX"
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT mn FROM (SELECT ${eE.fromColumn}, $agg($measure) AS mn " +
-          s"FROM ${eE.fromTable} GROUP BY ${eE.fromColumn}) t GROUP BY mn " +
-          s"ORDER BY COUNT(*) DESC, mn LIMIT 1",
-        0.9, "template_entity_min_mode")).take(1)
-    }
-
-  // "the average score across each student's final year" — aggregate
-  // restricted to every entity's own last (or first) period
-  private val entityLastPeriodAvgRe =
-    (raw"(?i)\bthe\s+average\s+([a-z_][a-z0-9_]*)\s+across\s+each\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+(final|last|first)\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Entity last-period average: per-entity MAX/MIN(period) in one
-    * grouped pass (entity-count-sized, joined back — AQE broadcasts),
-    * one scalar AVG over the matching rows. */
-  def entityLastPeriodAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    entityLastPeriodAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(3).toLowerCase == "first") "MIN" else "MAX"
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      val pWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        period <- slice.tables(eE.fromTable)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG($measure), 4) AS agg_value FROM " +
-          s"${eE.fromTable} s JOIN (SELECT ${eE.fromColumn}, " +
-          s"$agg($period) AS y1 FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}) f " +
-          s"ON f.${eE.fromColumn} = s.${eE.fromColumn} AND f.y1 = s.$period",
-        0.9, "template_entity_last_period_avg")).take(1)
-    }
-
-  // "the pair of departments with the most similar grade distributions"
-  // — L1 distance between per-attribute category share vectors
-  private val deptDistributionSimilarityRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"similar\s+([a-z_][a-z0-9_]*)\s+distributions\b").r
-
-  /** Distribution-similarity pair: (attribute, category) counts in ONE
-    * grouped pass, shares via a window over that tiny frame, the pair
-    * join is category-keyed over |attrs|·|categories| rows (never the
-    * corpus), argmin with a deterministic pair tiebreak. */
-  def deptDistributionSimilarityCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    deptDistributionSimilarityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        catCol <- strongColumn(cWord, slice.tables(fact)).toSeq
-        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
-        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"WITH d AS (SELECT c.$attr, s.$catCol, COUNT(*) AS n FROM $fact s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr, s.$catCol), " +
-          s"p AS (SELECT $attr, $catCol, CAST(n AS DOUBLE) / SUM(n) OVER " +
-          s"(PARTITION BY $attr) AS sh FROM d) " +
-          s"SELECT d1, d2 FROM (SELECT a.$attr AS d1, b.$attr AS d2, " +
-          s"SUM(ABS(a.sh - b.sh)) AS dist FROM p a JOIN p b " +
-          s"ON a.$catCol = b.$catCol AND a.$attr < b.$attr " +
-          s"GROUP BY a.$attr, b.$attr) t ORDER BY dist ASC, d1, d2 LIMIT 1",
-        0.9, "template_dept_distribution_similarity")).take(1)
-    }
-
-  // "students ranked in the top 3 of their grade level by average
-  // score" — per-cohort top-k membership list
-  private val cohortTopkMembersRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+ranked\s+in\s+the\s+top\s+(\d+)\s+of\s+" +
-      raw"their\s+([a-z]+(?:[ _][a-z]+)?)\s+by\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Cohort top-k members: per-entity averages in one grouped pass, the
-    * rank window partitions on the COHORT attribute over the
-    * entity-count-sized frame (id tiebreak), k-band filter, names out. */
-  def cohortTopkMembersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortTopkMembersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
-      val vWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT $nameCol FROM (SELECT st.$nameCol, ROW_NUMBER() OVER " +
-          s"(PARTITION BY st.$attr ORDER BY a DESC, p.${eE.fromColumn}) AS rn " +
-          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) p JOIN $dimE st " +
-          s"ON st.${eE.toColumn} = p.${eE.fromColumn}) t " +
-          s"WHERE rn <= ${m.group(2)} ORDER BY $nameCol LIMIT $DefaultLimit",
-        0.9, "template_cohort_topk_members")).take(1)
-    }
-
-  // "the year-over-year change in the number of active students" —
-  // distinct-entity deltas over adjacent periods
-  private val yoyActiveDeltaRe =
-    (raw"(?i)\bthe\s+year-over-year\s+change\s+in\s+the\s+number\s+of\s+" +
-      raw"active\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** YoY active delta: per-period distinct-entity counts in one grouped
-    * pass, LAG over the |periods|-sized frame. */
-  def yoyActiveDeltaCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    yoyActiveDeltaRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        period <- slice.tables(eE.fromTable)
-          .find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT y, d FROM (SELECT $period AS y, " +
-          s"COUNT(DISTINCT ${eE.fromColumn}) - " +
-          s"LAG(COUNT(DISTINCT ${eE.fromColumn})) OVER (ORDER BY $period) " +
-          s"AS d FROM ${eE.fromTable} GROUP BY $period) t " +
-          s"WHERE d IS NOT NULL ORDER BY y",
-        0.9, "template_yoy_active_delta")).take(1)
-    }
-
-  // "the student whose yearly average scores have the steepest upward
-  // trend" — per-entity regression slope argmax
-  private val entitySlopeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+yearly\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+have\s+the\s+steepest\s+" +
-      raw"(upward|downward)\s+trend\b").r
-
-  /** Entity slope argmax: (entity, period) averages in one grouped
-    * pass, REGR_SLOPE per entity over that key-sized frame (a
-    * declarative aggregate with partials — no window), single-period
-    * entities dropped (no trend to claim), top-1 with an id tiebreak. */
-  def entitySlopeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    entitySlopeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase == "upward") "DESC" else "ASC"
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-        period <- slice.tables(eE.fromTable)
-          .find(_.toLowerCase.contains("year")).toSeq
-      } yield Candidate(
-        s"SELECT ${eE.fromColumn} FROM (SELECT ${eE.fromColumn}, " +
-          s"REGR_SLOPE(a, $period) AS sl FROM (SELECT ${eE.fromColumn}, " +
-          s"$period, AVG($measure) AS a FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}, $period) t GROUP BY ${eE.fromColumn} " +
-          s"HAVING COUNT(*) > 1) u ORDER BY sl $dir, ${eE.fromColumn} LIMIT 1",
-        0.9, "template_entity_slope_argmax")).take(1)
-    }
-
-  // "for each department, the share of its scores produced by its most
-  // active student" — nested per-attribute argmax share
-  private val deptTopStudentShareRe =
-    (raw"(?i)\bfor\s+each\s+([a-z]+(?:[ _][a-z]+)?),\s+the\s+share\s+of\s+" +
-      raw"its\s+([a-z_][a-z0-9_]*)\s+[a-z]+\s+by\s+its\s+most\s+active\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Per-attribute top-contributor share: (attribute, entity) counts in
-    * one grouped pass, the per-attribute total a tiny second aggregate,
-    * the top contributor a ROW_NUMBER over the attribute-partitioned
-    * key-sized frame, share joined over |attrs| rows. */
-  def deptTopStudentShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    deptTopStudentShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(3)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined).toSeq
-        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"WITH cnt AS (SELECT c.$attr, s.${eE.fromColumn}, COUNT(*) AS n " +
-          s"FROM ${eE.fromTable} s JOIN ${eJ.toTable} c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr, s.${eE.fromColumn}), " +
-          s"tot AS (SELECT $attr, SUM(n) AS tn FROM cnt GROUP BY $attr), " +
-          s"top AS (SELECT $attr, n FROM (SELECT $attr, n, ROW_NUMBER() " +
-          s"OVER (PARTITION BY $attr ORDER BY n DESC, ${eE.fromColumn}) " +
-          s"AS rn FROM cnt) x WHERE rn = 1) " +
-          s"SELECT t.$attr, ROUND(CAST(t.n AS DOUBLE) / tot.tn, 4) AS sh " +
-          s"FROM top t JOIN tot ON tot.$attr = t.$attr ORDER BY t.$attr",
-        0.9, "template_dept_top_student_share")).take(1)
-    }
-
-  // "students whose scores include both a course maximum and a course
-  // minimum" — entities holding both per-group extremes somewhere
-  private val dualExtremeHoldersRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"include\s+both\s+a\s+([a-z_][a-z0-9_]*)\s+maximum\s+and\s+a\s+" +
-      raw"[a-z_]+\s+minimum\b").r
-
-  /** Dual-extreme holders: per-group maxima and minima from one grouped
-    * pass each (group-count-sized, joined back), the two qualifying
-    * entity sets intersected on the entity key, names resolved last. */
-  def dualExtremeHoldersCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    dualExtremeHoldersRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield {
-        def side(agg: String) =
-          s"(SELECT DISTINCT s.${eE.fromColumn} FROM ${eE.fromTable} s " +
-            s"JOIN (SELECT ${eJ.fromColumn}, $agg($measure) AS v FROM " +
-            s"${eE.fromTable} GROUP BY ${eJ.fromColumn}) m " +
-            s"ON m.${eJ.fromColumn} = s.${eJ.fromColumn} AND s.$measure = m.v)"
-        Candidate(
-          s"SELECT st.$nameCol FROM ${side("MAX")} hi JOIN ${side("MIN")} lo " +
-            s"ON lo.${eE.fromColumn} = hi.${eE.fromColumn} " +
-            s"JOIN $dimE st ON st.${eE.toColumn} = hi.${eE.fromColumn} " +
-            s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-          0.9, "template_dual_extreme_holders")
-      }).take(1)
-    }
-
-  // "the department where the top student's lead over the runner-up is
-  // largest" — per-attribute top-2 margin argmax
-  private val attrTop2MarginArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z]+(?:[ _][a-z]+)?)\s+where\s+the\s+top\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\s+lead\s+over\s+the\s+runner-up\s+is\s+" +
-      raw"(largest|biggest|smallest)\b").r
-
-  /** Attribute top-2 margin argmax: (attribute, entity) averages in one
-    * grouped pass, ranks via a window partitioned on the ATTRIBUTE over
-    * that key-sized frame, the rank-1/rank-2 margin joined per
-    * attribute, top-1. Measure by elimination. */
-  def attrTop2MarginArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    attrTop2MarginArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase == "smallest") "ASC" else "DESC"
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined).toSeq
-        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !l.contains("year") && !l.contains("date") && !l.endsWith("_id") &&
-            l != "id" && !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH a AS (SELECT c.$attr, s.${eE.fromColumn}, " +
-          s"AVG(s.$measure) AS av FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr, s.${eE.fromColumn}), " +
-          s"r AS (SELECT $attr, av, ROW_NUMBER() OVER (PARTITION BY $attr " +
-          s"ORDER BY av DESC, ${eE.fromColumn}) AS rn FROM a) " +
-          s"SELECT $attr FROM (SELECT t1.$attr, t1.av - t2.av AS margin " +
-          s"FROM r t1 JOIN r t2 ON t1.$attr = t2.$attr AND t1.rn = 1 " +
-          s"AND t2.rn = 2) x ORDER BY margin $dir, $attr LIMIT 1",
-        0.9, "template_attr_top2_margin_argmax")).take(1)
-    }
-
-  // "students whose 2023 average beat their 2022 average by more than 5
-  // points" — two-period conditional averages against a threshold
-  private val trendThresholdEntitiesRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+(\d{4})\s+average\s+" +
-      raw"(beat|exceeded|topped|trailed)\s+their\s+(\d{4})\s+average\s+" +
-      raw"by\s+more\s+than\s+(\d+(?:\.\d+)?)\s+points\b").r
-
-  /** Trend-threshold entities: ONE grouped pass with two conditional
-    * AVGs (the period filter prunes first), HAVING threshold, names
-    * resolved last. Measure by elimination. */
-  def trendThresholdEntitiesCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    trendThresholdEntitiesRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val trailed = m.group(3).toLowerCase == "trailed"
-      val (yA, yB) = if (trailed) (m.group(4), m.group(2)) else (m.group(2), m.group(4))
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eE.fromTable)
-        period <- factCols.find(_.toLowerCase.contains("year")).toSeq
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT st.$nameCol FROM (SELECT ${eE.fromColumn} FROM " +
-          s"${eE.fromTable} WHERE $period IN (${m.group(2)}, ${m.group(4)}) " +
-          s"GROUP BY ${eE.fromColumn} " +
-          s"HAVING AVG(CASE WHEN $period = $yA THEN $measure END) - " +
-          s"AVG(CASE WHEN $period = $yB THEN $measure END) > ${m.group(5)}) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_trend_threshold_entities")).take(1)
-    }
-
-  // "the share of courses whose hardest year was 2022" — per-group
-  // extreme-period membership share
-  private val groupExtremePeriodShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"(hardest|easiest|best|worst)\s+([a-z_][a-z0-9_]*)\s+was\s+" +
-      raw"(\d{4})\b").r
-
-  /** Group extreme-period share: (group, period) averages in one
-    * grouped pass, each group's extreme period via a window over that
-    * cell-sized frame (period tiebreak), share in a scalar aggregate. */
-  def groupExtremePeriodShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    groupExtremePeriodShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (Set("hardest", "worst")(m.group(2).toLowerCase)) "ASC" else "DESC"
-      val pWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eJ.fromTable)
-        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN y0 = ${m.group(4)} THEN 1 " +
-          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"(SELECT ${eJ.fromColumn}, y0 FROM (SELECT ${eJ.fromColumn}, " +
-          s"$period AS y0, ROW_NUMBER() OVER (PARTITION BY ${eJ.fromColumn} " +
-          s"ORDER BY AVG($measure) $dir, $period) AS rn FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}, $period) t WHERE rn = 1) u",
-        0.9, "template_group_extreme_period_share")).take(1)
-    }
-
-  // "pairs of students who rank within two places of each other in
-  // every shared course" — universal rank proximity over co-memberships
-  private val rankProximityPairsRe =
-    (raw"(?i)\bpairs\s+of\s+([a-z_][a-z0-9_]*)\s+who\s+rank\s+within\s+" +
-      raw"(one|two|three|\d+)\s+places\s+of\s+each\s+other\s+in\s+every\s+" +
-      raw"shared\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Rank-proximity pairs: per-group ranks via group-partitioned
-    * windows, the pair join is group-keyed (per-group fan-out, never
-    * all-pairs over entities), the ∀ encoded as a grouped MAX bound
-    * with the ProfileMinSupport shared-membership floor. */
-  def rankProximityPairsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    rankProximityPairsRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val k = m.group(2).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH r AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, RANK() " +
-          s"OVER (PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC) " +
-          s"AS rk FROM ${eE.fromTable}) " +
-          s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
-          s"b.${eE.fromColumn} AS s2 FROM r a JOIN r b " +
-          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
-          s"HAVING COUNT(*) >= $ProfileMinSupport " +
-          s"AND MAX(ABS(a.rk - b.rk)) <= $k) t ORDER BY s1, s2 " +
-          s"LIMIT $DefaultLimit",
-        0.9, "template_rank_proximity_pairs")).take(1)
-    }
-
-  // "the average correlation between scores in pairs of courses sharing
-  // at least 20 students" — mean pairwise correlation
-  private val avgPairwiseCorrRe =
-    (raw"(?i)\bthe\s+average\s+correlation\s+between\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+pairs\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"sharing\s+at\s+least\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Average pairwise correlation: the fact self-joined on the member
-    * key (per-member fan-out), CORR per group pair with a support
-    * floor, AVG over the |pairs|-sized frame. The exact
-    * small-cardinality form of feature-correlation mining. */
-  def avgPairwiseCorrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgPairwiseCorrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        dimE <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(c), 4) AS agg_value FROM (SELECT " +
-          s"CORR(a.$measure, b.$measure) AS c FROM ${eJ.fromTable} a " +
-          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND a.${eJ.fromColumn} < b.${eJ.fromColumn} " +
-          s"GROUP BY a.${eJ.fromColumn}, b.${eJ.fromColumn} " +
-          s"HAVING COUNT(*) >= ${m.group(3)}) t",
-        0.9, "template_avg_pairwise_corr")).take(1)
-    }
-
-  // "for each year, the course that improved most over the previous
-  // year" — per-period trend argmax list
-  private val periodTrendArgmaxListRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*),\s+the\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+that\s+(improved|declined)\s+most\s+over\s+" +
-      raw"the\s+previous\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Period trend argmax list: (group, period) averages in one grouped
-    * pass, LAG deltas via group-partitioned windows over that cell
-    * frame, per-period argmax via a period-partitioned ROW_NUMBER —
-    * all windows over the tiny aggregate frame, never the corpus. */
-  def periodTrendArgmaxListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    periodTrendArgmaxListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(3).toLowerCase == "improved") "DESC" else "ASC"
-      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eJ.fromTable)
-        period <- factCols.find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          c != period && !l.endsWith("_id") && l != "id" && !l.endsWith("key") &&
-            !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH ya AS (SELECT ${eJ.fromColumn}, $period, AVG($measure) AS a " +
-          s"FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}, $period), " +
-          s"d AS (SELECT ${eJ.fromColumn}, $period, a - LAG(a) OVER " +
-          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $period) AS delta FROM ya) " +
-          s"SELECT $period, ${eJ.fromColumn} FROM (SELECT $period, " +
-          s"${eJ.fromColumn}, ROW_NUMBER() OVER (PARTITION BY $period " +
-          s"ORDER BY delta $dir, ${eJ.fromColumn}) AS rn FROM d " +
-          s"WHERE delta IS NOT NULL) t WHERE rn = 1 ORDER BY $period",
-        0.9, "template_period_trend_argmax_list")).take(1)
-    }
-
-  // "the minimum number of enrollments to drop so no course exceeds
-  // 60" — total overage above a per-group cap
-  private val overageTotalRe =
-    (raw"(?i)\bthe\s+minimum\s+number\s+of\s+enrollments\s+to\s+drop\s+" +
-      raw"so\s+no\s+([a-z_][a-z0-9_]*)\s+exceeds\s+(\d+)\b").r
-
-  /** Overage total: group counts in one grouped pass, the per-group
-    * excess clamped and summed over the group-count-sized frame. */
-  def overageTotalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    overageTotalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cap = m.group(2)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"SELECT CAST(SUM(CASE WHEN n > $cap THEN n - $cap ELSE 0 END) " +
-          s"AS BIGINT) AS agg_value FROM (SELECT COUNT(*) AS n FROM " +
-          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t",
-        0.9, "template_overage_total")).take(1)
-    }
-
-  // "the student pair with the most years of shared enrollment in the
-  // same course" — co-membership keyed on (group, period)
-  private val timedPairArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+pair\s+with\s+the\s+most\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+of\s+shared\s+enrollment\s+in\s+the\s+" +
-      raw"same\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Timed pair argmax: the self-join keys on (group, period) — the
-    * finer key only SHRINKS the per-bucket fan-out vs the plain
-    * co-membership join — distinct shared periods per pair, top-1. */
-  def timedPairArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    timedPairArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val pWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        period <- slice.tables(eE.fromTable)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-      } yield Candidate(
-        s"SELECT s1, s2 FROM (SELECT a.${eE.fromColumn} AS s1, " +
-          s"b.${eE.fromColumn} AS s2, COUNT(DISTINCT a.$period) AS y " +
-          s"FROM ${eE.fromTable} a JOIN ${eE.fromTable} b " +
-          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.$period = b.$period " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}) t " +
-          s"ORDER BY y DESC, s1, s2 LIMIT 1",
-        0.9, "template_timed_pair_argmax")).take(1)
-    }
-
-  // "the year each department had its most A grades" — per-attribute
-  // peak period by conditional count
-  private val attrValuePeakPeriodRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+each\s+([a-z]+(?:[ _][a-z]+)?)\s+" +
-      raw"had\s+its\s+most\s+([A-Za-z0-9]+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Attribute value-peak period: (attribute, period) conditional
-    * counts in one grouped pass (dimension broadcast in), per-attribute
-    * argmax via an attribute-partitioned window over that tiny frame.
-    * The category value must be in the mined domain. */
-  def attrValuePeakPeriodCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    attrValuePeakPeriodRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      val v = m.group(3)
-      val cWord = { val w = m.group(4); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        valueCol <- strongColumn(cWord, slice.tables(fact)).toSeq
-        domain = values(fact).getOrElse(valueCol, Seq.empty)
-        if domain.contains(v)
-        period <- slice.tables(fact)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined)
-        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT $attr, y FROM (SELECT c.$attr, s.$period AS y, " +
-          s"ROW_NUMBER() OVER (PARTITION BY c.$attr ORDER BY " +
-          s"SUM(CASE WHEN s.$valueCol = '$v' THEN 1 ELSE 0 END) DESC, " +
-          s"s.$period) AS rn FROM $fact s JOIN ${eJ.toTable} c " +
-          s"ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr, s.$period) t WHERE rn = 1 ORDER BY $attr",
-        0.9, "template_attr_value_peak_period")).take(1)
-    }
-
-  // "students who are the only one from their grade level in some
-  // course" — singleton (group, cohort) cell membership
-  private val soleCohortRepRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+who\s+are\s+the\s+only\s+one\s+from\s+" +
-      raw"their\s+([a-z]+(?:[ _][a-z]+)?)\s+in\s+some\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Sole cohort representative: singleton (group, attribute) cells
-    * from one grouped pass, semi-joined back to the fact on the cell
-    * key (the cell frame is tiny — AQE broadcasts it), DISTINCT names. */
-  def soleCohortRepCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    soleCohortRepRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(2).toLowerCase.replace(' ', '_')
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT DISTINCT st.$nameCol FROM ${eE.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"JOIN (SELECT s2.${eJ.fromColumn}, st2.$attr FROM " +
-          s"${eE.fromTable} s2 JOIN $dimE st2 " +
-          s"ON st2.${eE.toColumn} = s2.${eE.fromColumn} " +
-          s"GROUP BY s2.${eJ.fromColumn}, st2.$attr HAVING COUNT(*) = 1) u " +
-          s"ON u.${eJ.fromColumn} = s.${eJ.fromColumn} " +
-          s"AND u.$attr = st.$attr " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_sole_cohort_rep")).take(1)
-    }
-
-  // "the trimmed range of scores ignoring the top and bottom five
-  // values" — range over order statistics minus the tails
-  private val trimmedRangeRe =
-    (raw"(?i)\bthe\s+trimmed\s+range\s+of\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"ignoring\s+the\s+top\s+and\s+bottom\s+" +
-      raw"(one|two|three|four|five|\d+)\s+values\b").r
-
-  /** Trimmed range: two global ROW_NUMBER passes with a unique-id
-    * tiebreak (at corpus scale the same boundary values come from
-    * `Sketches.kllQuantiles` rank queries — the global sort is the
-    * exact small-N form), tails clamped out by a conditional extreme. */
-  def trimmedRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    trimmedRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val k = m.group(2).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3
-        case "four" => 4; case "five" => 5; case d => d.toInt
-      }
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        tbl <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
-        idCol <- slice.tables(tbl).find(_.toLowerCase == s"${vWord.toLowerCase}_id")
-          .orElse(slice.tables(tbl).sorted.find(_.toLowerCase.endsWith("_id"))).toSeq
-      } yield Candidate(
-        s"WITH r AS (SELECT $measure, ROW_NUMBER() OVER (ORDER BY " +
-          s"$measure ASC, $idCol) AS ra, ROW_NUMBER() OVER (ORDER BY " +
-          s"$measure DESC, $idCol) AS rd FROM $tbl) " +
-          s"SELECT MAX(CASE WHEN rd > $k THEN $measure END) - " +
-          s"MIN(CASE WHEN ra > $k THEN $measure END) AS agg_value FROM r",
-        0.9, "template_trimmed_range")).take(1)
-    }
-
-  // "the average share of a course's students who are in its modal
-  // grade level" — mean share of the per-group majority cohort
-  private val modalCohortShareRe =
-    (raw"(?i)\bthe\s+average\s+share\s+of\s+a\s+([a-z_][a-z0-9_]*)'s\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+who\s+are\s+in\s+its\s+modal\s+" +
-      raw"([a-z]+(?:[ _][a-z]+)?)\b").r
-
-  /** Modal cohort share: (group, attribute) counts in one grouped pass,
-    * per-group totals and the modal cell via windows over the tiny cell
-    * frame, AVG of the modal share over the group-count frame. */
-  def modalCohortShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    modalCohortShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"WITH cc AS (SELECT s.${eJ.fromColumn}, st.$attr, COUNT(*) AS n " +
-          s"FROM ${eE.fromTable} s JOIN $dimE st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn}, st.$attr), " +
-          s"m AS (SELECT ${eJ.fromColumn}, n, SUM(n) OVER " +
-          s"(PARTITION BY ${eJ.fromColumn}) AS tot, ROW_NUMBER() OVER " +
-          s"(PARTITION BY ${eJ.fromColumn} ORDER BY n DESC, $attr) AS rn " +
-          s"FROM cc) " +
-          s"SELECT ROUND(AVG(CAST(n AS DOUBLE) / tot), 4) AS agg_value " +
-          s"FROM m WHERE rn = 1",
-        0.9, "template_modal_cohort_share")).take(1)
-    }
-
-  // "the expected score gap between two random classmates, averaged
-  // over courses" — mean absolute pairwise difference per group
-  private val avgPairwiseGapRe =
-    (raw"(?i)\bthe\s+expected\s+([a-z_][a-z0-9_]*)\s+gap\s+between\s+two\s+" +
-      raw"random\s+classmates,?\s+averaged\s+over\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Average pairwise gap: the self-join keys on the GROUP (per-group
-    * fan-out, never all-pairs globally), mean |Δ| per group, macro
-    * average over the group-count frame. At corpus scale the same
-    * statistic comes from per-group moments (2·n·Σx²−2(Σx)² form) —
-    * the exact pair join is the small-N form. */
-  def avgPairwiseGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    avgPairwiseGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable != dimJ).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(AVG(d), 4) AS agg_value FROM (SELECT " +
-          s"a.${eJ.fromColumn}, AVG(ABS(a.$measure - b.$measure)) AS d " +
-          s"FROM ${eJ.fromTable} a JOIN ${eJ.fromTable} b " +
-          s"ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eJ.fromColumn}) t",
-        0.9, "template_avg_pairwise_gap")).take(1)
-    }
-
-  // "students whose rank in every course is better than their overall
-  // rank" — per-group vs global rank universal comparison
-  private val crossRankUniversalRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+whose\s+rank\s+in\s+every\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+is\s+better\s+than\s+their\s+overall\s+" +
-      raw"rank\b").r
-
-  /** Cross-rank universal: the overall rank is a window over the
-    * entity-count-sized average frame, per-group ranks partition on the
-    * group; the ∀ is a grouped MAX-violation indicator over the joined
-    * key-sized frames. Measure by elimination. */
-  def crossRankUniversalCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    crossRankUniversalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        nameCol <- nameishColumn(slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH o AS (SELECT ${eE.fromColumn}, RANK() OVER (ORDER BY " +
-          s"AVG($measure) DESC) AS ork FROM ${eE.fromTable} " +
-          s"GROUP BY ${eE.fromColumn}), " +
-          s"c AS (SELECT ${eJ.fromColumn}, ${eE.fromColumn}, RANK() OVER " +
-          s"(PARTITION BY ${eJ.fromColumn} ORDER BY $measure DESC) AS crk " +
-          s"FROM ${eE.fromTable}) " +
-          s"SELECT st.$nameCol FROM (SELECT c.${eE.fromColumn} FROM c " +
-          s"JOIN o ON o.${eE.fromColumn} = c.${eE.fromColumn} " +
-          s"GROUP BY c.${eE.fromColumn} " +
-          s"HAVING MAX(CASE WHEN c.crk < o.ork THEN 0 ELSE 1 END) = 0) m " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = m.${eE.fromColumn} " +
-          s"ORDER BY st.$nameCol LIMIT $DefaultLimit",
-        0.9, "template_cross_rank_universal")).take(1)
-    }
-
-  // "the Gini coefficient of total score points per student" —
-  // inequality of per-entity totals
-  private val entitySumGiniRe =
-    (raw"(?i)\bthe\s+gini\s+coefficient\s+of\s+total\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+points\s+per\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Entity-sum Gini: per-entity totals in one grouped pass, the Gini
-    * rank form over the entity-count-sized frame (the windows sort
-    * entities, never the corpus). */
-  def entitySumGiniCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    entitySumGiniRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eE.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH s AS (SELECT ${eE.fromColumn}, SUM($measure) AS tot FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}), " +
-          s"r AS (SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, " +
-          s"${eE.fromColumn}) AS i, COUNT(*) OVER () AS n, " +
-          s"SUM(tot) OVER () AS st FROM s) " +
-          s"SELECT ROUND(SUM((2.0 * i - n - 1) * tot) / " +
-          s"(MAX(n) * MAX(st)), 4) AS agg_value FROM r",
-        0.9, "template_entity_sum_gini")).take(1)
-    }
-
-  // "the course whose students have the most diverse set of other
-  // courses" — two-hop distinct-neighbor argmax
-  private val twohopDiversityArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+whose\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"have\s+the\s+most\s+diverse\s+set\s+of\s+other\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Two-hop diversity argmax: the entity-keyed self-join (per-entity
-    * membership fan-out), distinct co-groups per group, top-1 with an
-    * id tiebreak. The group words must agree (same dimension). */
-  def twohopDiversityArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    twohopDiversityArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def sing(w: String) = if (w.endsWith("s")) w.dropRight(1) else w
-      if (sing(m.group(1).toLowerCase) != sing(m.group(3).toLowerCase)) Seq.empty
-      else (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"SELECT a.${eJ.fromColumn} FROM ${eJ.fromTable} a " +
-          s"JOIN ${eJ.fromTable} b ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-          s"AND b.${eJ.fromColumn} <> a.${eJ.fromColumn} " +
-          s"GROUP BY a.${eJ.fromColumn} " +
-          s"ORDER BY COUNT(DISTINCT b.${eJ.fromColumn}) DESC, " +
-          s"a.${eJ.fromColumn} LIMIT 1",
-        0.9, "template_twohop_diversity_argmax")).take(1)
-    }
-
-  // "the share of scores strictly between their course's quartiles" —
-  // per-group IQR band membership share
-  private val groupIqrBandShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+strictly\s+" +
-      raw"between\s+their\s+([a-z_][a-z0-9_]*)'s\s+quartiles\b").r
-
-  /** Group IQR band share: exact per-group quartiles in one grouped
-    * pass (group-count-sized, joined back — AQE broadcasts), one
-    * conditional scalar aggregate. At corpus scale the quartiles come
-    * from `Sketches.kllQuantiles` rollups instead of exact PERCENTILE. */
-  def groupIqrBandShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupIqrBandShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"WITH q AS (SELECT ${eJ.fromColumn}, PERCENTILE($measure, 0.25) " +
-          s"AS q1, PERCENTILE($measure, 0.75) AS q3 FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}) " +
-          s"SELECT ROUND(CAST(SUM(CASE WHEN s.$measure > q.q1 AND " +
-          s"s.$measure < q.q3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) " +
-          s"AS agg_value FROM ${eJ.fromTable} s JOIN q " +
-          s"ON q.${eJ.fromColumn} = s.${eJ.fromColumn}",
-        0.9, "template_group_iqr_band_share")).take(1)
-    }
-
-  // "the student who most often lands in the top 10 percent of a
-  // course" — percentile-band membership count argmax
-  private val bandMembershipArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+who\s+most\s+often\s+lands\s+" +
-      raw"in\s+the\s+(top|bottom)\s+(\d+)\s+percent\s+of\s+a\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Band-membership argmax: PERCENT_RANK windows partition on the
-    * GROUP key (per-group sorts), band filter, per-entity counts,
-    * top-1 with an id tiebreak. Measure by elimination. */
-  def bandMembershipArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    bandMembershipArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val top = m.group(2).toLowerCase == "top"
-      val f = m.group(3).toDouble / 100.0
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(4)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH r AS (SELECT ${eE.fromColumn}, ${eJ.fromColumn}, " +
-          s"PERCENT_RANK() OVER (PARTITION BY ${eJ.fromColumn} ORDER BY " +
-          s"$measure ${if (top) "DESC" else "ASC"}) AS pr FROM " +
-          s"${eE.fromTable}) " +
-          s"SELECT ${eE.fromColumn} FROM r WHERE pr <= $f " +
-          s"GROUP BY ${eE.fromColumn} ORDER BY COUNT(*) DESC, " +
-          s"${eE.fromColumn} LIMIT 1",
-        0.9, "template_band_membership_argmax")).take(1)
-    }
-
-  // "the share of each year's scores that came from ninth graders,
-  // listed by year" — cohort share per period
-  private val periodCohortShareListRe =
-    (raw"(?i)\bthe\s+share\s+of\s+each\s+([a-z_][a-z0-9_]*)'s\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+that\s+came\s+from\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\b").r
-
-  /** Period cohort-share list: ONE grouped pass keyed on the period
-    * (entity dimension broadcast in) with a conditional and an
-    * unconditional count per period. */
-  def periodCohortShareListCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    periodCohortShareListRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
-      val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        period <- slice.tables(fact)
-          .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT $period, ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n " +
-          s"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS sh FROM " +
-          s"$fact s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY $period ORDER BY $period",
-        0.9, "template_period_cohort_share_list")).take(1)
-    }
-
-  // "the biggest jump between consecutive ranked course averages" —
-  // max adjacent gap in the sorted group-aggregate sequence
-  private val rankedAggMaxGapRe =
-    (raw"(?i)\bthe\s+(biggest|largest|smallest)\s+jump\s+between\s+" +
-      raw"consecutive\s+ranked\s+([a-z_][a-z0-9_]*)\s+averages\b").r
-
-  /** Ranked-aggregate max gap: group averages in one grouped pass, LAG
-    * over the group-count-sized sorted frame, one scalar extreme.
-    * Measure by elimination. */
-  def rankedAggMaxGapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    rankedAggMaxGapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val agg = if (m.group(1).toLowerCase == "smallest") "MIN" else "MAX"
-      (for {
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        factCols = slice.tables(eJ.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eJ.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"SELECT ROUND($agg(a - prev), 4) AS agg_value FROM (SELECT a, " +
-          s"LAG(a) OVER (ORDER BY a) AS prev FROM (SELECT AVG($measure) " +
-          s"AS a FROM ${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t) u " +
-          s"WHERE prev IS NOT NULL",
-        0.9, "template_ranked_agg_max_gap")).take(1)
-    }
-
-  // "the number of students whose course set is contained in another
-  // student's" — membership-set containment count
-  private val courseSubsetCountRe =
-    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+set\s+is\s+contained\s+in\s+another\s+" +
-      raw"([a-z_][a-z0-9_]*)'s\b").r
-
-  /** Course-subset count: pairwise shared-membership counts from the
-    * group-keyed self-join (per-group fan-out), compared against each
-    * entity's own membership size (entity-count-sized frame joined
-    * back) — containment ⟺ shared = |own|. DISTINCT contained
-    * entities counted once. */
-  def courseSubsetCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    courseSubsetCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      def sing(w: String) = if (w.endsWith("s")) w.dropRight(1) else w
-      if (sing(m.group(1).toLowerCase) != sing(m.group(3).toLowerCase)) Seq.empty
-      else (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(DISTINCT s1) AS agg_value FROM (SELECT " +
-          s"a.${eE.fromColumn} AS s1, b.${eE.fromColumn} AS s2, " +
-          s"COUNT(*) AS shared FROM ${eE.fromTable} a " +
-          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} <> b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}) p " +
-          s"JOIN (SELECT ${eE.fromColumn}, COUNT(*) AS n FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) c1 " +
-          s"ON c1.${eE.fromColumn} = p.s1 WHERE p.shared = c1.n",
-        0.9, "template_course_subset_count")).take(1)
-    }
-
-  // "the pair of years with the most students in common" — co-presence
-  // overlap between PERIOD values (not a dimension pair)
-  private val periodPairOverlapRe =
-    (raw"(?i)\bthe\s+pair\s+of\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+in\s+common\b").r
-
-  /** Period-pair overlap argmax: DISTINCT (entity, period) collapses
-    * the fact once, the pair join keys on the ENTITY (per-entity
-    * period fan-out — |periods|² at most), counts per period pair,
-    * top-1. Fires only when the pair word is NOT a dimension table
-    * (the dimension-pair phrasing belongs to pairOverlapArgmax). */
-  def periodPairOverlapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    periodPairOverlapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      if (uniqueTable(slice, m.group(1)).isDefined) Seq.empty
-      else {
-        val pWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-        (for {
-          dimE <- uniqueTable(slice, m.group(2)).toSeq
-          eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-          period <- slice.tables(eE.fromTable)
-            .find(_.toLowerCase.contains(pWord.toLowerCase)).toSeq
-        } yield Candidate(
-          s"SELECT y1, y2 FROM (SELECT a.$period AS y1, b.$period AS y2, " +
-            s"COUNT(*) AS n FROM (SELECT DISTINCT ${eE.fromColumn}, " +
-            s"$period FROM ${eE.fromTable}) a JOIN (SELECT DISTINCT " +
-            s"${eE.fromColumn}, $period FROM ${eE.fromTable}) b " +
-            s"ON a.${eE.fromColumn} = b.${eE.fromColumn} " +
-            s"AND a.$period < b.$period GROUP BY a.$period, b.$period) t " +
-            s"ORDER BY n DESC, y1, y2 LIMIT 1",
-          0.9, "template_period_pair_overlap_argmax")).take(1)
-      }
-    }
-
-  // "how many courses would lose at least a quarter of their students
-  // if ninth graders left" — cohort-removal impact threshold count
-  private val removalImpactCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+would\s+lose\s+at\s+" +
-      raw"least\s+a\s+(quarter|third|half)\s+of\s+their\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+if\s+" +
-      raw"(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|" +
-      raw"tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?graders\s+" +
-      raw"left\b").r
-
-  /** Removal-impact count: ONE grouped pass with the cohort share per
-    * group (dimension broadcast in), HAVING threshold, COUNT. The
-    * fraction word maps to its exact double (gold SQL must use the
-    * same literal; "quarter"/"half" are exact binary doubles). */
-  def removalImpactCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    removalImpactCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val frac = m.group(2).toLowerCase match {
-        case "quarter" => 0.25; case "third" => 1.0 / 3; case _ => 0.5
-      }
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(4).toLowerCase, m.group(4).toInt)
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        eE <- fks.filter(e => e.fromTable == eJ.fromTable && e.toTable != dimJ &&
-          slice.tables.contains(e.toTable))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT s.${eJ.fromColumn} " +
-          s"FROM ${eJ.fromTable} s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.${eJ.fromColumn} " +
-          s"HAVING CAST(SUM(CASE WHEN st.$gradeCol = $n THEN 1 ELSE 0 " +
-          s"END) AS DOUBLE) / COUNT(*) >= $frac) t",
-        0.9, "template_removal_impact_count")).take(1)
-    }
-
-  // "the course with the most even spread of scores across grade
-  // letters" — per-group category entropy argmax
-  private val groupEntropyArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+with\s+the\s+most\s+even\s+" +
-      raw"spread\s+of\s+([a-z_][a-z0-9_]*)\s+across\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+letters\b").r
-
-  /** Group entropy argmax: (group, category) counts in one grouped
-    * pass, per-group shares via a window over the cell frame, Shannon
-    * entropy per group, top-1. */
-  def groupEntropyArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupEntropyArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cWord = { val w = m.group(3); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        catCol <- strongColumn(cWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn} FROM (SELECT ${eJ.fromColumn}, " +
-          s"-SUM(p * LN(p)) AS e FROM (SELECT ${eJ.fromColumn}, " +
-          s"CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER " +
-          s"(PARTITION BY ${eJ.fromColumn}) AS p FROM ${eJ.fromTable} " +
-          s"GROUP BY ${eJ.fromColumn}, $catCol) t " +
-          s"GROUP BY ${eJ.fromColumn}) u ORDER BY e DESC, " +
-          s"${eJ.fromColumn} LIMIT 1",
-        0.9, "template_group_entropy_argmax")).take(1)
-    }
-
-  // "the longest stretch of consecutive score values with no gaps" —
-  // gaps-and-islands over the value domain
-  private val valueRunLengthRe =
-    (raw"(?i)\bthe\s+longest\s+stretch\s+of\s+consecutive\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+values\s+with\s+no\s+gaps\b").r
-
-  /** Value run length: DISTINCT collapses the fact to its value domain
-    * (map-side combined), the island key and run counts operate on
-    * that domain-sized frame only. */
-  def valueRunLengthCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    valueRunLengthRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(1); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        tbl <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(tbl)).toSeq
-      } yield Candidate(
-        s"WITH d AS (SELECT DISTINCT $measure FROM $tbl), " +
-          s"g AS (SELECT $measure, $measure - ROW_NUMBER() OVER " +
-          s"(ORDER BY $measure) AS grp FROM d) " +
-          s"SELECT MAX(c) AS agg_value FROM (SELECT COUNT(*) AS c " +
-          s"FROM g GROUP BY grp) t",
-        0.9, "template_value_run_length")).take(1)
-    }
-
-  // "for each student the department they perform best in, tallied by
-  // department" — per-entity attribute argmax distribution
-  private val bestDeptDistributionRe =
-    (raw"(?i)\bfor\s+each\s+([a-z_][a-z0-9_]*)\s+the\s+" +
-      raw"([a-z]+(?:[ _][a-z]+)?)\s+they\s+perform\s+best\s+in,?\s+" +
-      raw"tallied\s+by\b").r
-
-  /** Best-attribute distribution: (entity, attribute) averages in one
-    * grouped pass (dimension broadcast in), per-entity argmax via an
-    * entity-partitioned window over that key-sized frame, one tiny
-    * tally. Measure by elimination. */
-  def bestDeptDistributionCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    bestDeptDistributionRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined).toSeq
-        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH da AS (SELECT s.${eE.fromColumn}, c.$attr, " +
-          s"AVG(s.$measure) AS a FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}, c.$attr), " +
-          s"b AS (SELECT ${eE.fromColumn}, $attr FROM (SELECT " +
-          s"${eE.fromColumn}, $attr, ROW_NUMBER() OVER (PARTITION BY " +
-          s"${eE.fromColumn} ORDER BY a DESC, $attr) AS rn FROM da) x " +
-          s"WHERE rn = 1) " +
-          s"SELECT $attr, COUNT(*) AS n FROM b GROUP BY $attr " +
-          s"ORDER BY $attr",
-        0.9, "template_best_dept_distribution")).take(1)
-    }
-
-  // "the probability that a random A-grade score belongs to a ninth
-  // grader" — conditional cohort probability
-  private val conditionalCohortProbRe =
-    (raw"(?i)\bthe\s+probability\s+that\s+a\s+random\s+" +
-      raw"([A-Za-z0-9]+)-grade\s+([a-z_][a-z0-9_]*)\s+belongs\s+to\s+" +
-      raw"an?\s+(first|second|third|fourth|fifth|sixth|seventh|eighth|" +
-      raw"ninth|tenth|eleventh|twelfth|\d+)(?:th|st|nd|rd)?[- ]?" +
-      raw"grader\b").r
-
-  /** Conditional cohort probability: the category filter prunes first,
-    * one conditional scalar aggregate over the joined rows (dimension
-    * broadcast in). The category value must be in the mined domain. */
-  def conditionalCohortProbCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    conditionalCohortProbRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val v = m.group(1)
-      val ordinals = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4,
-        "fifth" -> 5, "sixth" -> 6, "seventh" -> 7, "eighth" -> 8, "ninth" -> 9,
-        "tenth" -> 10, "eleventh" -> 11, "twelfth" -> 12)
-      val n = ordinals.getOrElse(m.group(3).toLowerCase, m.group(3).toInt)
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        catCol <- values(fact).collectFirst {
-          case (c, dom) if dom.contains(v) => c
-        }.toSeq
-        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          slice.tables(e.toTable).exists(_.toLowerCase.startsWith("grade")))
-        gradeCol <- slice.tables(eE.toTable)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-      } yield Candidate(
-        s"SELECT ROUND(CAST(SUM(CASE WHEN st.$gradeCol = $n THEN 1 " +
-          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM " +
-          s"$fact s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"WHERE s.$catCol = '$v'",
-        0.9, "template_conditional_cohort_prob")).take(1)
-    }
-
-  // "the average Jaccard similarity between course sets of same-grade
-  // students sharing at least one course" — cohort-restricted mean
-  // pairwise set similarity
-  private val cohortJaccardAvgRe =
-    (raw"(?i)\bthe\s+average\s+jaccard\s+similarity\s+between\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+sets\s+of\s+same-grade\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+sharing\s+at\s+least\s+one\b").r
-
-  /** Cohort Jaccard average: co-membership intersections from the
-    * group-keyed self-join (per-group fan-out), membership sizes from
-    * one grouped pass joined back, |A∩B|/(|A|+|B|−|A∩B|) averaged —
-    * the exact small-N form of `Dedup.minHashNearDuplicates`'s
-    * estimate. Pairs sharing nothing are excluded by construction
-    * (the question's "sharing at least one" clause). */
-  def cohortJaccardAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    cohortJaccardAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        gradeCol <- slice.tables(dimE)
-          .find(_.toLowerCase.startsWith("grade")).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"WITH p AS (SELECT a.${eE.fromColumn} AS s1, b.${eE.fromColumn} " +
-          s"AS s2, COUNT(*) AS inter FROM ${eJ.fromTable} a " +
-          s"JOIN ${eJ.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"JOIN $dimE st1 ON st1.${eE.toColumn} = a.${eE.fromColumn} " +
-          s"JOIN $dimE st2 ON st2.${eE.toColumn} = b.${eE.fromColumn} " +
-          s"WHERE st1.$gradeCol = st2.$gradeCol " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}), " +
-          s"n AS (SELECT ${eE.fromColumn}, COUNT(*) AS cnt FROM " +
-          s"${eJ.fromTable} GROUP BY ${eE.fromColumn}) " +
-          s"SELECT ROUND(AVG(CAST(inter AS DOUBLE) / " +
-          s"(n1.cnt + n2.cnt - inter)), 4) AS agg_value FROM p " +
-          s"JOIN n n1 ON n1.${eE.fromColumn} = p.s1 " +
-          s"JOIN n n2 ON n2.${eE.fromColumn} = p.s2",
-        0.9, "template_cohort_jaccard_avg")).take(1)
-    }
-
-  // "the grade letter whose holders have the widest age range" —
-  // category argmax by joined-attribute spread
-  private val valueAttrRangeArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+letter\s+whose\s+holders\s+" +
-      raw"have\s+the\s+(widest|narrowest)\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"range\b").r
-
-  /** Value attribute-range argmax: one grouped pass keyed on the fact
-    * category (entity dimension broadcast in), MAX−MIN of the joined
-    * attribute per category value, top-1. */
-  def valueAttrRangeArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    valueAttrRangeArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val dir = if (m.group(2).toLowerCase == "widest") "DESC" else "ASC"
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        catCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        eE <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          strongColumn(m.group(3), slice.tables(e.toTable)).isDefined)
-        attr <- strongColumn(m.group(3), slice.tables(eE.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT g FROM (SELECT s.$catCol AS g, MAX(st.$attr) - " +
-          s"MIN(st.$attr) AS r FROM $fact s JOIN ${eE.toTable} st " +
-          s"ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"GROUP BY s.$catCol) t ORDER BY r $dir, g LIMIT 1",
-        0.9, "template_value_attr_range_argmax")).take(1)
-    }
-
-  // "the expected number of shared courses between two students from
-  // different grade levels" — cross-cohort mean pair overlap
-  private val crossCohortAvgOverlapRe =
-    (raw"(?i)\bthe\s+expected\s+number\s+of\s+shared\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+between\s+two\s+([a-z_][a-z0-9_]*)\s+" +
-      raw"from\s+different\s+([a-z]+(?:[ _][a-z]+)?)s?\b").r
-
-  /** Cross-cohort average overlap: intersections from the group-keyed
-    * self-join; the denominator enumerates DIMENSION pairs (|E|² over
-    * the entity dimension — exact for catalog-sized dims; at corpus
-    * scale the same expectation decomposes into cohort-size algebra
-    * and never enumerates pairs), zero-overlap pairs kept via the
-    * LEFT join + COALESCE. */
-  def crossCohortAvgOverlapCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    crossCohortAvgOverlapRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val attrWord = m.group(3).toLowerCase.replace(' ', '_')
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        dimE <- uniqueTable(slice, m.group(2)).toSeq
-        if dimE != dimJ
-        attr <- strongColumn(attrWord, slice.tables(dimE)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimE))
-        eE <- fks.find(e => e.fromTable == eJ.fromTable && e.toTable == dimE).toSeq
-      } yield Candidate(
-        s"WITH p AS (SELECT a.${eE.fromColumn} AS s1, b.${eE.fromColumn} " +
-          s"AS s2, COUNT(*) AS c FROM ${eJ.fromTable} a " +
-          s"JOIN ${eJ.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn}), " +
-          s"pairs AS (SELECT st1.${eE.toColumn} AS s1, st2.${eE.toColumn} " +
-          s"AS s2 FROM $dimE st1 JOIN $dimE st2 " +
-          s"ON st1.${eE.toColumn} < st2.${eE.toColumn} " +
-          s"AND st1.$attr <> st2.$attr) " +
-          s"SELECT ROUND(CAST(SUM(COALESCE(p.c, 0)) AS DOUBLE) / " +
-          s"COUNT(*), 4) AS agg_value FROM pairs LEFT JOIN p " +
-          s"ON p.s1 = pairs.s1 AND p.s2 = pairs.s2",
-        0.9, "template_cross_cohort_avg_overlap")).take(1)
-    }
-
-  // "the course in which scores are most spread out relative to their
-  // average" — coefficient-of-variation argmax per group
-  private val groupCvArgmaxRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+in\s+which\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+are\s+most\s+spread\s+out\s+relative\s+" +
-      raw"to\s+their\s+average\b").r
-
-  /** Group CV argmax: per-group stddev/mean in one grouped pass, top-1
-    * over the group-count-sized frame. */
-  def groupCvArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    groupCvArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-        measure <- strongColumn(vWord, slice.tables(eJ.fromTable)).toSeq
-      } yield Candidate(
-        s"SELECT ${eJ.fromColumn} FROM (SELECT ${eJ.fromColumn}, " +
-          s"STDDEV_POP($measure) / AVG($measure) AS cv FROM " +
-          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}) t " +
-          s"ORDER BY cv DESC, ${eJ.fromColumn} LIMIT 1",
-        0.9, "template_group_cv_argmax")).take(1)
-    }
-
-  // "how many student pairs share exactly one course" — pair count at
-  // an exact co-membership cardinality
-  private val exactOverlapPairCountRe =
-    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\s+pairs\s+share\s+" +
-      raw"exactly\s+(one|two|three|\d+)\s+([a-z_][a-z0-9_]*)\b").r
-
-  /** Exact-overlap pair count: group-keyed self-join (per-group
-    * fan-out), per-pair counts, keep the exact cardinality, COUNT. */
-  def exactOverlapPairCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    exactOverlapPairCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val k = m.group(2).toLowerCase match {
-        case "one" => 1; case "two" => 2; case "three" => 3; case d => d.toInt
-      }
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        dimJ <- uniqueTable(slice, m.group(3)).toSeq
-        if dimE != dimJ
-        eE <- fks.filter(e => e.toTable == dimE && fks.exists(e2 =>
-          e2.fromTable == e.fromTable && e2.toTable == dimJ))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable == dimJ).toSeq
-      } yield Candidate(
-        s"SELECT COUNT(*) AS agg_value FROM (SELECT a.${eE.fromColumn}, " +
-          s"b.${eE.fromColumn} AS s2 FROM ${eE.fromTable} a " +
-          s"JOIN ${eE.fromTable} b ON a.${eJ.fromColumn} = b.${eJ.fromColumn} " +
-          s"AND a.${eE.fromColumn} < b.${eE.fromColumn} " +
-          s"GROUP BY a.${eE.fromColumn}, b.${eE.fromColumn} " +
-          s"HAVING COUNT(*) = $k) t",
-        0.9, "template_exact_overlap_pair_count")).take(1)
-    }
-
-  // "the share of students whose best department matches their grade
-  // level's most popular department" — two chained argmaxes compared
-  private val bestMatchesPopularShareRe =
-    (raw"(?i)\bthe\s+share\s+of\s+([a-z_][a-z0-9_]*)\s+whose\s+best\s+" +
-      raw"([a-z]+(?:[ _][a-z]+)?)\s+matches\s+their\s+" +
-      raw"([a-z]+(?:[ _][a-z]+)?)'s\s+most\s+popular\b").r
-
-  /** Best-matches-popular share: per-entity attribute argmax (entity-
-    * partitioned window over the (entity, attr) aggregate frame) and
-    * per-cohort popularity argmax (cohort-partitioned window over the
-    * (cohort, attr) counts), joined on the cohort, share in one scalar
-    * aggregate. Measure by elimination. */
-  def bestMatchesPopularShareCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    bestMatchesPopularShareRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val cohortWord = m.group(3).toLowerCase.replace(' ', '_')
-      (for {
-        dimE <- uniqueTable(slice, m.group(1)).toSeq
-        cohortCol <- strongColumn(cohortWord, slice.tables(dimE)).toSeq
-        eE <- fks.filter(e => e.toTable == dimE && slice.tables.contains(e.fromTable))
-        eJ <- fks.find(e => e.fromTable == eE.fromTable && e.toTable != dimE &&
-          slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(2), slice.tables(e.toTable)).isDefined).toSeq
-        attr <- abbrevColumn(m.group(2), slice.tables(eJ.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH da AS (SELECT s.${eE.fromColumn}, c.$attr, " +
-          s"AVG(s.$measure) AS a FROM ${eE.fromTable} s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY s.${eE.fromColumn}, c.$attr), " +
-          s"best AS (SELECT ${eE.fromColumn}, $attr FROM (SELECT " +
-          s"${eE.fromColumn}, $attr, ROW_NUMBER() OVER (PARTITION BY " +
-          s"${eE.fromColumn} ORDER BY a DESC, $attr) AS rn FROM da) x " +
-          s"WHERE rn = 1), " +
-          s"pop AS (SELECT gl, $attr FROM (SELECT st.$cohortCol AS gl, " +
-          s"c.$attr, ROW_NUMBER() OVER (PARTITION BY st.$cohortCol " +
-          s"ORDER BY COUNT(*) DESC, c.$attr) AS rn FROM ${eE.fromTable} s " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = s.${eE.fromColumn} " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY st.$cohortCol, c.$attr) y WHERE rn = 1) " +
-          s"SELECT ROUND(CAST(SUM(CASE WHEN b.$attr = pop.$attr THEN 1 " +
-          s"ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS agg_value FROM best b " +
-          s"JOIN $dimE st ON st.${eE.toColumn} = b.${eE.fromColumn} " +
-          s"JOIN pop ON pop.gl = st.$cohortCol",
-        0.9, "template_best_matches_popular_share")).take(1)
-    }
-
-  // "the smallest number of courses that together account for half of
-  // all scores" — Pareto half-coverage count
-  private val paretoCountRe =
-    (raw"(?i)\bthe\s+smallest\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+that\s+" +
-      raw"together\s+account\s+for\s+half\s+of\s+all\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Pareto count: group counts in one grouped pass, the greedy
-    * (largest-first) cumulative sum over the group-count-sized frame,
-    * count of prefixes below the half bar — the same running-sum shape
-    * as the compaction planner. */
-  def paretoCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    paretoCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
-        dimJ <- uniqueTable(slice, m.group(1)).toSeq
-        eJ <- fks.filter(e => e.toTable == dimJ && slice.tables.contains(e.fromTable))
-      } yield Candidate(
-        s"WITH n AS (SELECT ${eJ.fromColumn}, COUNT(*) AS c FROM " +
-          s"${eJ.fromTable} GROUP BY ${eJ.fromColumn}), " +
-          s"r AS (SELECT ${eJ.fromColumn}, c, SUM(c) OVER (ORDER BY c DESC, " +
-          s"${eJ.fromColumn} ROWS UNBOUNDED PRECEDING) AS cum, " +
-          s"SUM(c) OVER () AS tot FROM n) " +
-          s"SELECT COUNT(*) AS agg_value FROM r WHERE cum - c < tot / 2.0",
-        0.9, "template_pareto_count")).take(1)
-    }
-
-  // "the median of the per-department score ranges" — median of
-  // per-attribute spreads
-  private val medianAttrRangeRe =
-    (raw"(?i)\bthe\s+median\s+of\s+the\s+per-([a-z]+(?:[ _][a-z]+)?)\s+" +
-      raw"([a-z_][a-z0-9_]*)\s+ranges\b").r
-
-  /** Median attribute range: per-attribute MAX−MIN in one grouped pass
-    * (dimension broadcast in), exact MEDIAN over the attribute-domain
-    * frame. */
-  def medianAttrRangeCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    medianAttrRangeRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val vWord = { val w = m.group(2); if (w.endsWith("s")) w.dropRight(1) else w }
-      (for {
-        fact <- slice.tables.keys.toSeq.sorted
-        measure <- strongColumn(vWord, slice.tables(fact)).toSeq
-        eJ <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable) &&
-          abbrevColumn(m.group(1), slice.tables(e.toTable)).isDefined)
-        attr <- abbrevColumn(m.group(1), slice.tables(eJ.toTable)).toSeq
-      } yield Candidate(
-        s"SELECT CAST(MEDIAN(r) AS DOUBLE) AS agg_value FROM (SELECT " +
-          s"c.$attr, MAX(s.$measure) - MIN(s.$measure) AS r FROM $fact s " +
-          s"JOIN ${eJ.toTable} c ON c.${eJ.toColumn} = s.${eJ.fromColumn} " +
-          s"GROUP BY c.$attr) t",
-        0.9, "template_median_attr_range")).take(1)
-    }
-
-  // "the age of the top-half performer closest to the overall average
-  // age" — nearest-to-mean attribute within a performance band
-  private val nearestAvgAttrRe =
-    (raw"(?i)\bthe\s+([a-z_][a-z0-9_]*)\s+of\s+the\s+top-half\s+" +
-      raw"performer\s+closest\s+to\s+the\s+overall\s+average\s+" +
-      raw"([a-z_][a-z0-9_]*)\b").r
-
-  /** Nearest-to-average attribute: the performance band from a
-    * PERCENT_RANK over the entity-count-sized average frame, the mean
-    * attribute a scalar subquery, top-1 by absolute distance with an
-    * id tiebreak. Attribute words must agree. */
-  def nearestAvgAttrCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
-    nearestAvgAttrRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      if (m.group(1).toLowerCase != m.group(2).toLowerCase) Seq.empty
-      else (for {
-        eE <- fks.filter(e => slice.tables.contains(e.toTable) &&
-          slice.tables.contains(e.fromTable) &&
-          strongColumn(m.group(1), slice.tables(e.toTable)).isDefined)
-        attr <- strongColumn(m.group(1), slice.tables(eE.toTable)).toSeq
-        factCols = slice.tables(eE.fromTable)
-        periodCols = factCols.filter(c => c.toLowerCase.contains("year") ||
-          c.toLowerCase.contains("date")).toSet
-        stringCols = values(eE.fromTable).keySet
-        measure <- factCols.filter { c =>
-          val l = c.toLowerCase
-          !periodCols.contains(c) && !l.endsWith("_id") && l != "id" &&
-            !l.endsWith("key") && !stringCols.contains(c)
-        } match {
-          case Seq(one) => Seq(one)
-          case _ => Seq.empty
-        }
-      } yield Candidate(
-        s"WITH q AS (SELECT ${eE.fromColumn} FROM (SELECT " +
-          s"${eE.fromColumn}, PERCENT_RANK() OVER (ORDER BY a DESC) AS pr " +
-          s"FROM (SELECT ${eE.fromColumn}, AVG($measure) AS a FROM " +
-          s"${eE.fromTable} GROUP BY ${eE.fromColumn}) x) y " +
-          s"WHERE pr <= 0.5) " +
-          s"SELECT $attr FROM ${eE.toTable} st JOIN q " +
-          s"ON q.${eE.fromColumn} = st.${eE.toColumn} " +
-          s"ORDER BY ABS(st.$attr - (SELECT AVG($attr) FROM " +
-          s"${eE.toTable})), st.${eE.toColumn} LIMIT 1",
-        0.9, "template_nearest_avg_attr")).take(1)
-    }
 
   /** Full deterministic candidate set, ordered by confidence desc. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
