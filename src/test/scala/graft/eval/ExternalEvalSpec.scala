@@ -1,0 +1,61 @@
+package graft.eval
+
+import graft.SparkSpec
+
+/**
+ * Structural honesty checks for the externally-sourced eval set. These
+ * deliberately do NOT gate on the quality numbers: the set exists to
+ * measure generalization to questions the builder didn't write, and a
+ * spec that failed when F1 dropped would pressure exactly the
+ * template-tuning the set is meant to escape. What IS pinned:
+ * provenance discipline, runnable gold, and the reference's
+ * always-answer contract (V13 — every question gets an answer
+ * envelope, however far from gold).
+ */
+class ExternalEvalSpec extends SparkSpec {
+
+  test("every case carries provenance, a unique id, and a class label") {
+    val cs = ExternalEval.cases
+    assert(cs.nonEmpty)
+    assert(cs.map(_.id).distinct.size == cs.size)
+    assert(cs.forall(_.provenance.nonEmpty))
+    assert(cs.map(_.clazz).toSet ==
+      Set("verbatim", "template-instantiated", "phrase-derived"))
+    // verbatim+template cases dominate: the least-external class stays
+    // a minority of the set
+    assert(cs.count(_.clazz == "phrase-derived") * 2 <= cs.size)
+  }
+
+  test("all gold SQL executes on its fixture and every question is answered (always-answer)") {
+    val report = ExternalEval.run(spark) // sys.errors if any gold fails
+    assert(report.n == ExternalEval.cases.size)
+    assert(report.execSuccessRate == 1.0,
+      report.cases.filterNot(_.executed).map(_.question).mkString("; "))
+    assert(report.execOnlyAnswered == report.execOnlyN)
+    // aligned F1 can only relax the strict name-ordered comparison
+    assert(report.scoredAlignedF1 >= report.scoredMacroF1 - 1e-9)
+    // the three classes all report stats
+    assert(report.byClass.keySet ==
+      Set("verbatim", "template-instantiated", "phrase-derived"))
+  }
+
+  test("fixture invariants the published questions depend on hold") {
+    import org.apache.spark.sql.functions._
+    ReferenceSchemas.registerSchool(spark)
+    // Report 1 §5: course X / Fall 2015 / grade C / score < 75 is non-empty
+    val v2 = spark.table("enrollments").as("e")
+      .join(spark.table("courses").as("c"), col("e.course_id") === col("c.id"))
+      .where(col("c.title") === "X" && col("e.term") === "Fall" &&
+        col("e.year") === 2015 && col("e.grade_letter") === "C" &&
+        col("e.numeric_score") < 75)
+    assert(v2.count() > 0, "Report-1 pilot question must have a non-empty answer")
+    // README:170: grade C with score above 75 is non-empty
+    val v1 = spark.table("enrollments")
+      .where(col("grade_letter") === "C" && col("numeric_score") > 75)
+    assert(v1.count() > 0)
+    // one student with no enrollments exists (anti-join question)
+    val lonely = spark.table("students").join(spark.table("enrollments"),
+      col("id") === col("student_id"), "left_anti")
+    assert(lonely.count() == 1)
+  }
+}
