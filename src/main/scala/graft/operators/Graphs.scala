@@ -40,7 +40,8 @@ object Graphs {
    * node's vote. Returns `(node, pr)` with Σ pr = 1 at every step.
    */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      smallGraphThreshold: Long = 200000L): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
@@ -50,6 +51,18 @@ object Graphs {
     val n = nodes.count() // scalar: graph order, needed in the teleport term
     if (n == 0) { e.unpersist(); nodes.unpersist()
       return spark.emptyDataFrame.withColumn("node", lit("")).withColumn("pr", lit(0.0)).limit(0) }
+    // Small-graph fast path: below the threshold the per-iteration cost
+    // is pure job-scheduling latency, not data — same hybrid as
+    // [[Dedup.duplicateGroups]]' driver union-find. Host graphs are
+    // node-sized (hosts, not pages), so fixture-scale graphs take this
+    // path; the distributed loop below is the 100 TB path (force-scaled
+    // at 10M edges in ProbeForceScale11, pinned distributed in
+    // PlanQualitySpec via smallGraphThreshold = 0).
+    if (e.count() <= smallGraphThreshold) {
+      val pr = pageRankLocal(e, nodes, n.toInt, iterations, damping)
+      e.unpersist(); nodes.unpersist()
+      return pr
+    }
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
 
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
@@ -78,6 +91,37 @@ object Graphs {
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     pr
+  }
+
+  /** Driver-side power iteration for sub-threshold graphs: identical
+    * algebra to the distributed loop (teleport + damped contributions +
+    * uniform dangling-mass redistribution), O(edges) per round on
+    * collected arrays. Double accumulation order differs from the
+    * distributed path by ~1e-15 relative — callers comparing across
+    * paths round (the x_pagerank oracle rounds at 4 decimals). */
+  private def pageRankLocal(e: DataFrame, nodes: DataFrame, n: Int,
+      iterations: Int, damping: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = e.sparkSession
+    val nodeRows = nodes.collect()
+    val idx = nodeRows.iterator.map(_.get(0)).zipWithIndex.toMap
+    val es = e.collect().map(r => (idx(r.get(0)), idx(r.get(1))))
+    val out = new Array[Int](n)
+    es.foreach { case (s, _) => out(s) += 1 }
+    var pr = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      var dangling = 0.0
+      var i = 0
+      while (i < n) { if (out(i) == 0) dangling += pr(i); i += 1 }
+      val contrib = new Array[Double](n)
+      es.foreach { case (s, d) => contrib(d) += pr(s) / out(s) }
+      pr = Array.tabulate(n)(j =>
+        (1.0 - damping) / n + damping * (contrib(j) + dangling / n))
+    }
+    val schema = StructType(nodes.schema.fields :+ StructField("pr", DoubleType, nullable = false))
+    val rows = nodeRows.zipWithIndex.map { case (r, j) =>
+      org.apache.spark.sql.Row(r.get(0), pr(j)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   /** Degree statistics per node: out-degree, in-degree — the cheap

@@ -388,20 +388,23 @@ class PlanQualitySpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.addSparkListener(listener)
     try {
-      graft.operators.Graphs.pageRank(edges, iterations = 3)
+      // threshold 0 forces the DISTRIBUTED loop (the small-graph driver
+      // path would trivially pass; this pins the 100 TB path's shape)
+      graft.operators.Graphs.pageRank(edges, iterations = 3, smallGraphThreshold = 0L)
       // listener events are async; give the bus a moment to drain
       Thread.sleep(500)
     } finally {
       sc.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
-    // setup = nodes.count + initial-rank checkpoint; each iteration =
-    // ONE checkpoint action plus its in-plan broadcast submissions
-    // (dangling scalar, small join sides — measured 16/3 iterations on
-    // this fixture). The pre-fix form with a separate driver-side
-    // dangling head() per iteration measures >= 24 here; the bound
-    // sits between the two so a reverted fold-in fails the pin.
-    assert(jobs.get() <= 19,
+    // setup = nodes.count + edge-count threshold check + initial-rank
+    // checkpoint; each iteration = ONE checkpoint action plus its
+    // in-plan broadcast submissions (dangling scalar, small join
+    // sides — measured 16/3 iterations on this fixture). The pre-fix
+    // form with a separate driver-side dangling head() per iteration
+    // measures >= 24 here; the bound sits between the two so a
+    // reverted fold-in fails the pin.
+    assert(jobs.get() <= 20,
       s"pageRank(3 iters) launched ${jobs.get()} jobs — dangling mass must fold into the iteration job")
   }
 }

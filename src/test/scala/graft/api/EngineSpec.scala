@@ -199,4 +199,39 @@ class EngineSpec extends SparkSpec {
       assert(!ex.sql.contains("approx"), ex.sql)
     } finally engine.sketches.clear()
   }
+
+  test("engine answers track the stream-maintained MV snapshot with no manual re-registration") {
+    import org.apache.spark.sql.functions._
+    try {
+      val maintainer = new graft.streaming.Streams.AggMaintainer(
+        spark.table("orders"), Seq("o_orderpriority"), "o_totalprice")
+        .serveThrough("orders", mvName = "engine_mv_stream")
+      val sql = "SELECT o_orderpriority, COUNT(*) AS c, SUM(o_totalprice) AS s " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      // a change batch lands through the foreachBatch handler: three
+      // deletes of existing rows, two inserts with fresh keys
+      val del = spark.table("orders").orderBy("o_orderkey").limit(3)
+        .withColumn("op", lit("D"))
+      val ins = spark.table("orders").orderBy("o_orderkey").limit(2)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("I"))
+      maintainer.onBatch(del.unionByName(ins), 0L)
+      // the ENGINE path (validate → rewrite → execute) must return the
+      // POST-batch truth even though the registered base table still
+      // holds the pre-change parquet rows — the snapshot advanced on
+      // batch commit, and the plan is served (no Aggregate)
+      assert(spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, "the engine query must serve from the maintained state")
+      val got = engine.run(sql).toOption.get.rows
+        .map(r => (String.valueOf(r(0)), String.valueOf(r(1)),
+          math.round(r(2).toString.toDouble)))
+      val want = maintainer.currentTable.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("c"), sum(col("o_totalprice")).as("s"))
+        .orderBy("o_orderpriority").collect()
+        .map(r => (r.getString(0), String.valueOf(r.getLong(1)),
+          math.round(r.getDouble(2))))
+      assert(got == want.toSeq, s"served=$got rebuilt=${want.toSeq}")
+    } finally graft.plans.MvCatalog.clear(spark)
+  }
 }

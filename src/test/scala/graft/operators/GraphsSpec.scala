@@ -47,6 +47,15 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("distributed path (threshold 0) equals the small-graph driver path") {
+    val dist = Graphs.pageRank(edges(diamond: _*), 3, smallGraphThreshold = 0L)
+      .as[(String, Double)].collect().toMap
+    val local = Graphs.pageRank(edges(diamond: _*), 3)
+      .as[(String, Double)].collect().toMap
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-12, s"$k") }
+  }
+
   test("multi-edges are deduplicated: a repeated link is one vote") {
     val noisy = diamond ++ Seq(("a", "b"), ("a", "b"))
     val got = Graphs.pageRank(edges(noisy: _*), 2).as[(String, Double)].collect().toMap

@@ -6,7 +6,7 @@
 # in use; `backend/...` cites resolve via the first root).
 REF=${1:-/root/reference/NLP_SQLizer}
 fail=0
-for f in $(grep -rhoE "(app|backend|frontend|Miscellaneous)/[A-Za-z0-9_/.-]+\.(py|js|txt|json|md)" \
+for f in $(grep -rhoE "(app|backend|frontend|Miscellaneous)/[A-Za-z0-9_/.-]+\.(py|jsx|js|txt|json|md)" \
     src/main/scala src/test/scala | sort -u); do
   if [ ! -e "$REF/$f" ] && [ ! -e "$REF/backend/$f" ]; then
     echo "MISSING: $f"
