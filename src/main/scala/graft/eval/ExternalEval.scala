@@ -187,10 +187,15 @@ object ExternalEval {
     case other => sys.error(s"unknown fixture $other")
   }
 
-  /** Run the full external set; per-fixture engines, one pass. */
+  /** Run the full external set. Each fixture gets its own ISOLATED
+    * session (`newSession()` — separate temp-view catalog on the shared
+    * context): the reference's crawled table names (`orders`,
+    * `customer`) collide with the TPC-H fixture views, and registering
+    * them on the caller's session would clobber every later query
+    * against the memoized fixture registry. */
   def run(spark: SparkSession): ExternalReport = {
     val engines = cases.map(_.fixture).distinct
-      .map(f => f -> engineFor(spark, f)).toMap
+      .map(f => f -> engineFor(spark.newSession(), f)).toMap
     val outcomes = cases.map { c =>
       val engine = engines(c.fixture)
       val t0 = System.nanoTime()

@@ -11,7 +11,7 @@ import graft.link.Intent.Analysis
  * LLM is configured.
  */
 object Templates extends TemplatesShapes1 with TemplatesShapes2
-    with TemplatesShapes3 with TemplatesShapes4 {
+    with TemplatesShapes3 with TemplatesShapes4 with TemplatesConjunctive {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -62,8 +62,11 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       }
   }
 
+  // "each" without "for" covers the reference UI's own sample phrasing
+  // "Count how many items are in each category" (frontend/src/pages/
+  // Chat.jsx:84) — anchored at $ like the other group-phrase heads
   private[gen] val perPhraseRe =
-    raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b)\s+([a-z0-9_ ]+)$$".r
+    raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b|\beach\b)\s+([a-z0-9_ ]+)$$".r
 
   // ------------------------------------------------- filter extraction
   // The reference DETECTS filter intent and hands literal extraction to
@@ -928,6 +931,10 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       paretoCountCandidates(slice, fks, question),
       medianAttrRangeCandidates(slice, fks, question),
       nearestAvgAttrCandidates(slice, fks, question, values),
+      conjunctiveConstraintsCandidates(slice, fks, question, values),
+      countPerFkCandidates(slice, fks, question),
+      antiJoinListCandidates(slice, fks, question),
+      showTableCandidates(slice, question),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

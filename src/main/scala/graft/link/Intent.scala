@@ -52,8 +52,9 @@ object Intent {
     "MIN" -> Seq("min", "minimum", "lowest", "smallest", "least", "bottom"))
 
   private val groupKeywords = Seq(
-    "grouped by", "group by", "per ", "for each", "by company", "by category",
-    "by month", "by year", "by department", "by type", "by status")
+    "grouped by", "group by", "per ", "for each", "each ", "by company",
+    "by category", "by month", "by year", "by department", "by type",
+    "by status")
 
   private val windowKeywords = Seq(
     "along with", "with their", "with the average", "with the total",

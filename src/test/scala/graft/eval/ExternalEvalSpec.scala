@@ -41,20 +41,23 @@ class ExternalEvalSpec extends SparkSpec {
 
   test("fixture invariants the published questions depend on hold") {
     import org.apache.spark.sql.functions._
-    ReferenceSchemas.registerSchool(spark)
+    // isolated session: the reference schema names collide with the
+    // TPC-H fixture views on the shared test session
+    val s = spark.newSession()
+    ReferenceSchemas.registerSchool(s)
     // Report 1 §5: course X / Fall 2015 / grade C / score < 75 is non-empty
-    val v2 = spark.table("enrollments").as("e")
-      .join(spark.table("courses").as("c"), col("e.course_id") === col("c.id"))
+    val v2 = s.table("enrollments").as("e")
+      .join(s.table("courses").as("c"), col("e.course_id") === col("c.id"))
       .where(col("c.title") === "X" && col("e.term") === "Fall" &&
         col("e.year") === 2015 && col("e.grade_letter") === "C" &&
         col("e.numeric_score") < 75)
     assert(v2.count() > 0, "Report-1 pilot question must have a non-empty answer")
     // README:170: grade C with score above 75 is non-empty
-    val v1 = spark.table("enrollments")
+    val v1 = s.table("enrollments")
       .where(col("grade_letter") === "C" && col("numeric_score") > 75)
     assert(v1.count() > 0)
     // one student with no enrollments exists (anti-join question)
-    val lonely = spark.table("students").join(spark.table("enrollments"),
+    val lonely = s.table("students").join(s.table("enrollments"),
       col("id") === col("student_id"), "left_anti")
     assert(lonely.count() == 1)
   }
