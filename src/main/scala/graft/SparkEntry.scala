@@ -357,6 +357,25 @@ object Queries {
     // (s_suppkey unique) so rank ≡ row position.
     "d14_window_rank" ->
       "SELECT * FROM (SELECT s_suppkey, s_name, RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk FROM supplier) t WHERE rnk <= 10 ORDER BY rnk, s_suppkey LIMIT 100",
+    // entity-resolution replica: identical blocking (2-char normalized
+    // prefix, 1000-row block cap), identical Jaro-Winkler (DuckDB's
+    // jaro_winkler_similarity matches the classic definition with the
+    // 0.7 boost threshold and empty->0 — verified pairwise), identical
+    // best-match ranking; the right source is a deterministic
+    // perturbation (all 'e's dropped) of the left
+    "x_entity_match" ->
+      ("WITH l AS (SELECT p_partkey AS l_id, lower(p_name) AS l_name, " +
+        "substr(regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g'), 1, 2) AS bk FROM part), " +
+        "r AS (SELECT p_partkey + 10000000 AS r_id, " +
+        "regexp_replace(lower(p_name), 'e', '', 'g') AS r_name, " +
+        "substr(regexp_replace(regexp_replace(lower(p_name), 'e', '', 'g'), '[^a-z0-9]', '', 'g'), 1, 2) AS bk FROM part), " +
+        "lc AS (SELECT * FROM l WHERE bk IN (SELECT bk FROM l GROUP BY bk HAVING COUNT(*) <= 1000)), " +
+        "rc AS (SELECT * FROM r WHERE bk IN (SELECT bk FROM r GROUP BY bk HAVING COUNT(*) <= 1000)), " +
+        "p AS (SELECT l_id, r_id, jaro_winkler_similarity(l_name, r_name) AS sim " +
+        "FROM lc JOIN rc USING (bk)), " +
+        "ranked AS (SELECT l_id, r_id, sim, ROW_NUMBER() OVER " +
+        "(PARTITION BY l_id ORDER BY sim DESC, r_id) AS rk FROM p WHERE sim >= 0.9) " +
+        "SELECT l_id, r_id, ROUND(sim, 4) AS sim FROM ranked WHERE rk = 1 ORDER BY l_id"),
     // Morton z-value replica: the same fixed-width rank buckets (list
     // comprehension over the 255 exact cutpoints — integer ranges and a
     // power-of-two divide make every cut an exact double) and the same
@@ -2117,6 +2136,24 @@ object ExtensionQueries {
     }),
     // multi-dimensional clustered layout: the Morton z-value that drives
     // Layout.zorderWrite, computed distributed over two clustering
+    // --- cross-source entity resolution (operators/EntityResolution.scala) ---
+    // The right source is the part table with every 'e' dropped from the
+    // name and shifted ids — a deterministic stand-in for a second crawl
+    // snapshot. Both engines run the SAME blocking, Jaro-Winkler scoring
+    // and best-match ranking, so the comparison pins the whole linkage
+    // pipeline, not the fixture.
+    "x_entity_match" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val left = s.table("part")
+        .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
+      val right = s.table("part")
+        .select((col("p_partkey") + 10000000L).as("id"),
+          regexp_replace(lower(col("p_name")), "e", "").as("name"))
+      graft.operators.EntityResolution.resolve(left, "id", "name",
+          right, "id", "name", threshold = 0.9, topPerLeft = 1)
+        .select(col("l_id"), col("r_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("l_id")
+    }),
     // columns and oracled bit-for-bit. Fixed-width rank buckets here
     // (min/max from one tiny aggregate) instead of the write path's
     // percentile_approx cuts, because the oracle must reproduce the

@@ -33,6 +33,9 @@ package object functions {
   def hamming64(a: Column, b: Column): Column =
     column(HammingDistance64(expression(a), expression(b)))
 
+  def jaro_winkler(a: Column, b: Column): Column =
+    column(JaroWinklerSimilarity(expression(a), expression(b)))
+
   def doc_fingerprint(text: Column, k: Int = 16): Column =
     column(RollingHashFingerprint(expression(text), k))
 
