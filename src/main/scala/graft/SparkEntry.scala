@@ -323,6 +323,15 @@ object Queries {
         "SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, CAST(SUM(v) AS BIGINT) AS s, " +
         "AVG(v) AS av FROM b WHERE g < 50 GROUP BY g " +
         "HAVING COUNT(*) > 2 ORDER BY g"),
+    // roll-up serving: the MV is keyed (g, h) but the question groups by
+    // g alone — served by re-aggregating the key-sized state (aggregate
+    // navigation); the oracle recomputes directly from the base rows
+    "x_mv_serve_rollup" ->
+      ("WITH b AS (SELECT o_custkey % 101 AS g, o_custkey % 7 AS h, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 1000 END AS v " +
+        "FROM orders) " +
+        "SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, CAST(SUM(v) AS BIGINT) AS s, " +
+        "AVG(v) AS av FROM b WHERE g < 50 GROUP BY g ORDER BY g"),
     // CDC materialization replicas: last-writer-wins per key via the
     // window rank (versions are unique per key by construction, so the
     // rank-1 row is the same winner Spark's max(struct) picks)
@@ -1272,6 +1281,24 @@ object ExtensionQueries {
       s.sql("SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, SUM(v) AS s, " +
         "AVG(v) AS av FROM mv_serve_base WHERE g < 50 GROUP BY g " +
         "HAVING COUNT(*) > 2 ORDER BY g")
+    }),
+    // roll-up SERVING: MV keyed (g, h), question groups by g alone with
+    // a key-only WHERE — answered by re-aggregating the key-sized state
+    // (MvRewriteSpec pins the plan never rescans the base)
+    "x_mv_serve_rollup" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val base = s.table("orders").select(
+        pmod(col("o_custkey").cast("long"), lit(101L)).as("g"),
+        pmod(col("o_custkey").cast("long"), lit(7L)).as("h"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("o_orderkey").cast("long"), lit(1000L))).as("v"))
+        .localCheckpoint(true)
+      base.createOrReplaceTempView("mv_serve_rollup_base")
+      graft.plans.MvCatalog.register(s, "mv_serve_rollup_base", Seq("g", "h"), "v",
+        graft.operators.MaterializedAgg.build(base, Seq("g", "h"), "v"),
+        mvName = "mv_serve_rollup_state")
+      s.sql("SELECT g, COUNT(*) AS n, COUNT(v) AS cnt, SUM(v) AS s, " +
+        "AVG(v) AS av FROM mv_serve_rollup_base WHERE g < 50 GROUP BY g ORDER BY g")
     }),
     // --- CDC / changelog materialization (operators/Cdc.scala) ---
     "x_cdc_apply" -> ((s, dir) =>

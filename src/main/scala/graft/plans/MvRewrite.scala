@@ -27,7 +27,13 @@ import org.apache.spark.sql.types.DoubleType
  *    predicate keeps or drops whole groups, so applying it to the
  *    key-sized state is exact; any predicate touching a non-key column
  *    changes group contents and must not be served);
- *  - grouping expressions are exactly the MV's key attributes;
+ *  - grouping expressions are a SUBSET of the MV's key attributes: the
+ *    exact key set maps state rows through directly; a strict subset —
+ *    including the empty set, i.e. a global aggregate — serves by
+ *    RE-AGGREGATING the key-sized state (aggregate navigation:
+ *    COUNT → SUM of partial counts, SUM → SUM, MIN/MAX → MIN/MAX of
+ *    partial extremes — exact for these distributive functions, and a
+ *    state-sized job instead of a corpus scan);
  *  - every output is a group key or a non-DISTINCT, unfiltered
  *    COUNT(*) / COUNT(measure) / SUM / MIN / MAX / AVG over one of the
  *    registered measure columns — AVG is derived as sum over the
@@ -133,13 +139,19 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       child: LogicalPlan, r: MvCatalog.Registered): Option[LogicalPlan] = {
     val (cond, inner) = strip(child, None).getOrElse(return None)
     if (!inner.sameResult(r.basePlan)) return None
-    // grouping must be exactly the MV keys (attributes, no expressions)
+    // grouping must be a SUBSET of the MV keys (attributes, no
+    // expressions): the exact key set serves state rows directly; a
+    // strict subset — including the empty set, a global aggregate —
+    // serves by RE-AGGREGATING the key-sized state (COUNT(*) → SUM(n),
+    // SUM → SUM, MIN → MIN, MAX → MAX, AVG → SUM(sum)/SUM(cnt) — the
+    // classic aggregate-navigation roll-up, exact for these functions)
     val groupAttrs = groupExprs.map {
       case a: AttributeReference => a
       case _ => return None
     }
     val keySet = r.keys.map(_.toLowerCase).toSet
-    if (groupAttrs.map(_.name.toLowerCase).toSet != keySet) return None
+    if (!groupAttrs.map(_.name.toLowerCase).toSet.subsetOf(keySet)) return None
+    val exactKeys = groupAttrs.map(_.name.toLowerCase).toSet == keySet
     // a below-aggregate Filter is exact on the state iff it is a
     // deterministic, subquery-free predicate over the group keys alone
     cond.foreach { c =>
@@ -193,6 +205,37 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+    // roll-up mapping for a key-SUBSET grouping: re-aggregate the
+    // key-sized state instead of the corpus. Exact for these functions
+    // (COUNT/SUM are distributive over the partial counts/sums; MIN/MAX
+    // over partial extremes; AVG from total sum over total non-null
+    // count). COUNT coalesces to 0 so a global count of an empty base
+    // stays 0, not NULL. Decimal SUMs widen precision on re-summation
+    // and fail the dataType check below — they fall through untouched.
+    def rollupAgg(fn: AggregateFunction): Option[Expression] = fn match {
+      case c: Count if c.children.forall {
+          case l: Literal => l.value != null
+          case _ => false
+        } =>
+        Some(Coalesce(Seq(Sum(mvAttr("n")).toAggregateExpression(), Literal(0L))))
+      case c: Count if c.children.sizeIs == 1 =>
+        measureOf(c.children.head).map { case (cnt, _, _, _) =>
+          Coalesce(Seq(Sum(mvAttr(cnt)).toAggregateExpression(), Literal(0L)))
+        }
+      case s: Sum => measureOf(s.child).map { case (_, sm, _, _) =>
+        Sum(mvAttr(sm)).toAggregateExpression() }
+      case mn: Min => measureOf(mn.child).map { case (_, _, m, _) =>
+        Min(mvAttr(m)).toAggregateExpression() }
+      case mx: Max => measureOf(mx.child).map { case (_, _, _, m) =>
+        Max(mvAttr(m)).toAggregateExpression() }
+      case av: Average => measureOf(av.child).map { case (cnt, sm, _, _) =>
+        val c = Cast(Sum(mvAttr(cnt)).toAggregateExpression(), DoubleType)
+        If(GreaterThan(c, Literal(0.0d)),
+          Divide(Cast(Sum(mvAttr(sm)).toAggregateExpression(), DoubleType), c),
+          Literal(null, DoubleType))
+      }
+      case _ => None
+    }
     val served: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
@@ -201,7 +244,8 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name), name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name)
         if !ae.isDistinct && ae.filter.isEmpty =>
-        serveAgg(ae.aggregateFunction) match {
+        (if (exactKeys) serveAgg(ae.aggregateFunction)
+         else rollupAgg(ae.aggregateFunction)) match {
           case Some(e) if e.dataType == al.dataType =>
             Alias(e, name)(exprId = al.exprId)
           case _ => return None
@@ -213,6 +257,7 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Filter(c.transform { case a: AttributeReference => mvAttr(a.name) }, mvPlan)
       case None => mvPlan
     }
-    Some(Project(served, source))
+    if (exactKeys) Some(Project(served, source))
+    else Some(Aggregate(groupAttrs.map(a => mvAttr(a.name)), served, source))
   }
 }

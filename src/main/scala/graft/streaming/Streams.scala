@@ -535,6 +535,40 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming entity resolution — arriving records link against a
+   * STATIC master table through the same blocked candidate generation
+   * and native Jaro-Winkler scoring as
+   * [[graft.operators.EntityResolution.resolve]]. The stream side is
+   * stateless (blocking key is a narrow projection; the stream-static
+   * join probes the master per micro-batch), and the per-record
+   * best-match ranking runs in the bounded-heap streaming aggregate —
+   * O(k) state per seen left record, so an unbounded stream keeps a
+   * bounded live match table. The block-size cap applies to the MASTER
+   * side only (a streaming self-aggregate-join is not expressible, and
+   * the master is where stopword-key blowup lives).
+   *
+   * Output (Update/Complete modes): `(l_id, topk)` — the ranked
+   * (similarity, master id) heap, best first.
+   */
+  def resolveStream(stream: DataFrame, streamId: String, streamName: String,
+      master: DataFrame, masterId: String, masterName: String,
+      threshold: Double = 0.9, k: Int = 1,
+      prefixLen: Int = 2, maxBlockSize: Int = 1000): DataFrame = {
+    import graft.operators.EntityResolution.blockKey
+    val l = stream.select(col(streamId).as("l_id"), col(streamName).as("l_name"),
+      blockKey(col(streamName), prefixLen).as("bk"))
+    val r = master.select(col(masterId).as("r_id"), col(masterName).as("r_name"),
+      blockKey(col(masterName), prefixLen).as("bk"))
+    val rCapped = r.join(
+      r.groupBy("bk").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBlockSize).select("bk"), "bk")
+    val scored = l.join(rCapped, "bk")
+      .withColumn("sim", graft.functions.jaro_winkler(col("l_name"), col("r_name")))
+      .where(col("sim") >= threshold)
+    topKPerGroupStream(scored, Seq("l_id"), "sim", "r_id", k)
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

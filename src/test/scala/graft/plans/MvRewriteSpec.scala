@@ -217,6 +217,38 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("key-subset and global aggregates serve by re-aggregating the state, never rescanning the base") {
+    setup
+    withMv {
+      import spark.implicits._
+      val base = Seq(("a", "x", 1L), ("a", "y", 3L), ("a", "y", Option.empty[Long].getOrElse(5L)),
+        ("b", "x", 7L), ("b", "y", 2L)).toDF("g1", "g2", "v").localCheckpoint(true)
+      base.createOrReplaceTempView("mv_rollup_base")
+      MvCatalog.register(spark, "mv_rollup_base", Seq("g1", "g2"), "v",
+        MaterializedAgg.build(base, Seq("g1", "g2"), "v"), mvName = "mv_rollup_state")
+      val basePlan = spark.table("mv_rollup_base").queryExecution.optimizedPlan
+      def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists(_.sameResult(basePlan))
+      // subset grouping: GROUP BY g1 rolls up the (g1, g2) state
+      val sub = spark.sql("SELECT g1, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn, " +
+        "MAX(v) AS mx, AVG(v) AS av FROM mv_rollup_base GROUP BY g1")
+      assert(!scansBase(sub), sub.queryExecution.optimizedPlan.toString)
+      assert(rows(sub) == Seq("[a,3,9,1,5,3.0]", "[b,2,9,2,7,4.5]"))
+      // global aggregate: no grouping at all
+      val global = spark.sql("SELECT COUNT(*) AS c, SUM(v) AS s, AVG(v) AS av " +
+        "FROM mv_rollup_base")
+      assert(!scansBase(global), global.queryExecution.optimizedPlan.toString)
+      assert(rows(global) == Seq("[5,18,3.6]"))
+      // a NON-key grouping column still falls through to the base
+      val nonKey = spark.sql("SELECT v, COUNT(*) AS c FROM mv_rollup_base GROUP BY v")
+      assert(scansBase(nonKey), "grouping outside the key set must not be served")
+      // DISTINCT aggregates are not distributive over the state
+      val distinct = spark.sql(
+        "SELECT g1, COUNT(DISTINCT v) AS d FROM mv_rollup_base GROUP BY g1")
+      assert(scansBase(distinct))
+    }
+  }
+
   test("clear() stops the rewrite") {
     setup
     withMv {

@@ -547,6 +547,39 @@ class StreamsSpec extends SparkSpec {
     } finally graft.plans.MvCatalog.clear(spark)
   }
 
+  test("streaming entity resolution links arriving records like the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val master = Seq((11L, "lavender chiffon"), (12L, "goldenrod spring"),
+      (13L, "midnight azure")).toDF("id", "name")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.resolveStream(input.toDF().toDF("id", "name"), "id", "name",
+        master, "id", "name", threshold = 0.9, k = 1)
+      .writeStream.format("memory").queryName("t_resolve")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData((1L, "lavendr chiffon"), (2L, "goldnrod spring"))
+      q.processAllAvailable()
+      input.addData((3L, "midnght azure"), (4L, "zzz unrelated"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_resolve")
+      .select($"l_id",
+        org.apache.spark.sql.functions.element_at($"topk", 1)
+          .getField("id").as("r_id"))
+      .as[(Long, Long)].collect().toMap
+    // matches the batch operator's links; the unrelated record never
+    // crosses the threshold so it holds no match state row
+    val batch = graft.operators.EntityResolution.resolve(
+      Seq((1L, "lavendr chiffon"), (2L, "goldnrod spring"), (3L, "midnght azure"),
+        (4L, "zzz unrelated")).toDF("id", "name"), "id", "name",
+      master, "id", "name", threshold = 0.9, topPerLeft = 1)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got == Map(1L -> 11L, 2L -> 12L, 3L -> 13L))
+  }
+
   test("DistinctIndexMaintainer re-adopts the sketch index per batch; estimates track everything seen") {
     import spark.implicits._
     val cat = new graft.catalog.SketchCatalog(spark)
