@@ -223,6 +223,18 @@ final class Engine(
     spark.table(mvName)
   }
 
+  /** [[materialize]] over several measure columns — one shared state
+    * pass, every listed measure's COUNT/SUM/MIN/MAX/AVG served, plus
+    * key-subset roll-ups and global aggregates (aggregate navigation
+    * over the key-sized state). */
+  def materializeMulti(table: String, keys: Seq[String], measures: Seq[String],
+      mvName: String = "graft_mv_state"): org.apache.spark.sql.DataFrame = {
+    val state = graft.operators.MaterializedAgg.buildMulti(
+      spark.table(table), keys, measures)
+    graft.plans.MvCatalog.registerMulti(spark, table, keys, measures, state, mvName)
+    spark.table(mvName)
+  }
+
   /** Full NL→SQL→result pipeline with candidate fallback chain
     * (ref routes_ai.py:150-317). Tries LLM candidates first when a client
     * is configured, then deterministic templates — executing the first

@@ -143,7 +143,37 @@ object ExternalEval {
       "phrases: query_intent.py:225 ranking ('top N by')",
       "Top 5 users by total flight price",
       Some("SELECT usercode, SUM(fprice) AS s FROM flights GROUP BY usercode " +
-        "ORDER BY s DESC LIMIT 5")))
+        "ORDER BY s DESC LIMIT 5")),
+    // ------------------------------------------------------ paraphrase
+    // Robustness probes for the shapes the verbatim questions demanded:
+    // REWORDINGS of the reference's published pilot questions (content
+    // theirs, wording here — the class exists to show the general
+    // mechanisms aren't overfit to the two published sentences)
+    ExternalCase("r1", "paraphrase", "school",
+      "paraphrase of reference README.md:170 (content theirs, wording varied)",
+      "Show students that got a C with a numeric score over 75",
+      Some("SELECT s.id, s.name, e.course_id, e.term, e.year, e.grade_letter, " +
+        "e.numeric_score FROM enrollments e JOIN students s ON s.id = e.student_id " +
+        "WHERE e.grade_letter = 'C' AND e.numeric_score > 75 ORDER BY s.id")),
+    ExternalCase("r2", "paraphrase", "school",
+      "paraphrase of reference README.md:170 (different letter and bound)",
+      "List students who received a B but have a numeric score above 85.",
+      Some("SELECT s.id, s.name, e.course_id, e.term, e.year, e.grade_letter, " +
+        "e.numeric_score FROM enrollments e JOIN students s ON s.id = e.student_id " +
+        "WHERE e.grade_letter = 'B' AND e.numeric_score > 85 ORDER BY s.id")),
+    ExternalCase("r3", "paraphrase", "school",
+      "paraphrase of reference Report 1 §5 (dimension literal + comparator)",
+      "Which students scored below 60 in Biology?",
+      Some("SELECT s.id, s.name, e.course_id, e.term, e.year, e.grade_letter, " +
+        "e.numeric_score FROM enrollments e " +
+        "JOIN students s ON s.id = e.student_id " +
+        "JOIN courses c ON c.id = e.course_id " +
+        "WHERE c.title = 'Biology' AND e.numeric_score < 60 ORDER BY s.id")),
+    ExternalCase("r4", "paraphrase", "school",
+      "paraphrase of the anti-join phrasing (p5) with a trailing modifier",
+      "students who have no enrollments at all",
+      Some("SELECT s.id, s.name FROM students s WHERE s.id NOT IN " +
+        "(SELECT student_id FROM enrollments)")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       alignedF1: Double)

@@ -354,6 +354,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("entity resolution: blocked equi-join (no cartesian), per-left window, no ScalaUDF (x_entity_match)") {
+    val p = plan("x_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), "Jaro-Winkler must be the native expression")
+  }
+
   test("leakage-safe split: group-map join carries NO broadcast hint; the planner still broadcasts it when it fits") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")

@@ -20,8 +20,8 @@ class ExternalEvalSpec extends SparkSpec {
     assert(cs.map(_.id).distinct.size == cs.size)
     assert(cs.forall(_.provenance.nonEmpty))
     assert(cs.map(_.clazz).toSet ==
-      Set("verbatim", "template-instantiated", "phrase-derived"))
-    // verbatim+template cases dominate: the least-external class stays
+      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase"))
+    // verbatim+template cases dominate: the builder-worded classes stay
     // a minority of the set
     assert(cs.count(_.clazz == "phrase-derived") * 2 <= cs.size)
   }
@@ -34,9 +34,9 @@ class ExternalEvalSpec extends SparkSpec {
     assert(report.execOnlyAnswered == report.execOnlyN)
     // aligned F1 can only relax the strict name-ordered comparison
     assert(report.scoredAlignedF1 >= report.scoredMacroF1 - 1e-9)
-    // the three classes all report stats
+    // every class reports stats
     assert(report.byClass.keySet ==
-      Set("verbatim", "template-instantiated", "phrase-derived"))
+      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase"))
   }
 
   test("fixture invariants the published questions depend on hold") {
