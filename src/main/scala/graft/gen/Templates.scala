@@ -935,6 +935,7 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       countPerFkCandidates(slice, fks, question),
       antiJoinListCandidates(slice, fks, question),
       showTableCandidates(slice, question),
+      fromToCandidates(slice, fks, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -144,6 +144,40 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
       }
     }
 
+  /** "Show flights FROM Paris TO Rome" — route questions over tables
+    * whose endpoint columns follow the from-/to- abbreviation
+    * convention the reference documents for its own travel schema
+    * ("fcity" not "fromCity", "tcity" not "toCity" —
+    * `app/ai/nl2sql.py:75`). Both endpoint literals must sit in the
+    * VALUE DOMAIN of a from-ish and a to-ish column of the same table
+    * (initial 'f'/'t' or src/origin/depart vs dst/dest/arriv naming),
+    * so the shape never fabricates a route filter over unrelated
+    * capitalized words. */
+  private[gen] val fromToRe =
+    raw"\bfrom\s+([A-Z][\w-]*)\s+to\s+([A-Z][\w-]*)".r
+
+  def fromToCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    fromToRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (v1, v2) = (m.group(1), m.group(2))
+      def fromish(c: String) = c.toLowerCase.startsWith("f") ||
+        Seq("src", "origin", "depart").exists(c.toLowerCase.contains)
+      def toish(c: String) = c.toLowerCase.startsWith("t") ||
+        Seq("dst", "dest", "arriv").exists(c.toLowerCase.contains)
+      slice.tables.keySet.toSeq.sorted.flatMap { t =>
+        val dom = values(t)
+        for {
+          cf <- slice.tables(t).find(c => fromish(c) && dom.get(c).exists(_.contains(v1)))
+          ct <- slice.tables(t).find(c => c != cf && toish(c) &&
+            dom.get(c).exists(_.contains(v2)))
+        } yield Candidate(
+          // SELECT * — the slice may have pruned columns, and a route
+          // listing answers with the full record
+          s"SELECT * FROM $t WHERE $cf = ${sqlLit(v1)} AND $ct = ${sqlLit(v2)}",
+          0.88, "template_from_to")
+      }.take(1)
+    }
+
   def conjunctiveConstraintsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String,
       values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] = {
@@ -174,7 +208,11 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
             .contains(w.toLowerCase))
         val phrase2 = colWords.takeRight(2).mkString(" ")
         val phrase1 = colWords.takeRight(1).mkString
-        val hit = Seq(phrase2, phrase1).filter(_.nonEmpty).distinct.iterator
+        // verb-form tolerance: "scored below 60" must reach the noun
+        // column ("score") — try the raw phrase, then light de-inflection
+        val hit = Seq(phrase2, phrase1).filter(_.nonEmpty)
+          .flatMap(p => Seq(p, p.stripSuffix("ed"), p.stripSuffix("d")))
+          .distinct.iterator
           .map { p =>
             strongColumn(p, factCols).map((fact, _))
               .orElse(strongColumn(p, entityCols).map((entity, _)))
