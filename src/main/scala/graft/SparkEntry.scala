@@ -1116,7 +1116,38 @@ object Queries {
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST((1000 + (length(text) * 7) % 4000) // 1000 AS INT)) ELSE 1 END AS frames_sampled " +
-        "FROM documents ORDER BY media_id LIMIT 100"))
+        "FROM documents ORDER BY media_id LIMIT 100"),
+    // filtered vector search: cosine top-10 over embeddings whose
+    // document row passes the metadata predicate (selection by rounded
+    // cosine is boundary-safe — see the Spark-side comment)
+    "x_ann_filtered" ->
+      ("SELECT e.vec_id, round(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine " +
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id " +
+        "WHERE d.lang = 'en' AND d.source IN ('src0', 'src1', 'src2', 'src3', 'src4') " +
+        "ORDER BY cosine DESC, e.vec_id LIMIT 10"),
+    // hybrid retrieval: BM25 top-50 (same scoring CTEs as x_bm25) and
+    // cosine top-50 (same rounding as x_ann_topk), fused by
+    // 1/(60+rank); each list ranks by (rounded score DESC, doc_id)
+    "x_hybrid_rrf" ->
+      (raw"WITH d AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        raw"ELSE length(string_split_regex(trim(text), '\s+')) END AS dl FROM documents), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d), " +
+        raw"tk AS (SELECT doc_id, dl, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM d), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tk WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * 2.2 / " +
+        "(tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS s " +
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st GROUP BY tf.doc_id), " +
+        "bm AS (SELECT doc_id, round(s, 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 50), " +
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm), " +
+        "ce AS (SELECT vec_id AS doc_id, round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cosine FROM embeddings), " +
+        "ct AS (SELECT doc_id, cosine FROM ce ORDER BY cosine DESC, doc_id LIMIT 50), " +
+        "cr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM ct), " +
+        "u AS (SELECT * FROM bmr UNION ALL SELECT * FROM cr) " +
+        "SELECT doc_id, round(SUM(1.0 / (60 + rank)), 6) AS rrf, COUNT(*) AS n_lists " +
+        "FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"))
 }
 
 /** Extension-operator queries (north-star: dedup, similarity search,
@@ -2199,6 +2230,35 @@ object ExtensionQueries {
         graft.operators.Layout.bucketOf(col("l_suppkey"), cuts(r.getLong(2), r.getLong(3)))))
       li.select(col("l_orderkey"), col("l_linenumber"), z.as("zval"))
         .orderBy(desc("zval"), col("l_orderkey"), col("l_linenumber")).limit(500)
+    }),
+    // metadata-FILTERED vector search: the predicate reaches the
+    // documents scan (pushed filter) and prunes BEFORE scoring — only
+    // filter-surviving vectors are ever scored (Similarity.filteredTopK;
+    // boundary safety: rank-10/11 cosine gap is >=0.009 at both SFs,
+    // far above the 4dp rounding grid, so full-precision selection and
+    // the oracle's rounded selection pick the same set)
+    "x_ann_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val d = docs(s, dir)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.filteredTopK(e, "vec_id", "embedding", d, "doc_id",
+          col("lang") === "en" &&
+            col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          query, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+    // hybrid BM25 + cosine retrieval fused by reciprocal rank — every
+    // list selected and ranked by its 4dp-rounded score with id
+    // tiebreak on BOTH engines, so membership and ranks are exact
+    "x_hybrid_rrf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val query = e.where(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray.map(_.toDouble)
+      graft.operators.HybridSearch.searchDocuments(
+        docs(s, dir), "doc_id", "text", e, "vec_id", "embedding",
+        Seq("spark", "window", "merge"), query, nPerList = 50, k = 10)
     }))
 }
 

@@ -175,6 +175,67 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Metadata-FILTERED exact vector search: cosine top-k restricted to
+   * vectors whose metadata row satisfies `predicate` — the filtered-
+   * retrieval shape serving stacks need (lang / source / license
+   * constraints applied at query time, reference `app/routes/ai.py`'s
+   * constrained-answer surface re-expressed over vectors).
+   *
+   * Scale: the predicate is applied to the METADATA frame before any
+   * join or scoring, so it reaches the metadata parquet scan as a
+   * pushed filter and only surviving ids meet the embedding frame.
+   * No broadcast hint — AQE broadcasts the survivor id set when it
+   * fits and falls back to a key-partitioned shuffle join when the
+   * filter is unselective (the leakageSafeSplit lesson). Vectors
+   * outside the filter are NEVER scored; the ranking is scan →
+   * TakeOrderedAndProject, never a corpus-wide window.
+   */
+  def filteredTopK(emb: DataFrame, idCol: String, embCol: String,
+      meta: DataFrame, metaIdCol: String, predicate: org.apache.spark.sql.Column,
+      query: Array[Double], k: Int): DataFrame = {
+    val allowed = meta.where(predicate).select(col(metaIdCol).as(idCol))
+    topK(emb.join(allowed, idCol), idCol, embCol, query, k)
+  }
+
+  /** Float-query variant of [[filteredTopK]]. */
+  def filteredTopK(emb: DataFrame, idCol: String, embCol: String,
+      meta: DataFrame, metaIdCol: String, predicate: org.apache.spark.sql.Column,
+      query: Array[Float], k: Int): DataFrame =
+    filteredTopK(emb, idCol, embCol, meta, metaIdCol, predicate, query.map(_.toDouble), k)
+
+  /**
+   * Filtered IVF search: probe the query's `nprobe` nearest cells,
+   * LeftSemi-join the cell candidates against the allowed-id frame,
+   * then rank exactly — the filter prunes candidates AFTER the
+   * cell-level pruning, so per-query work stays
+   * (nprobe/nlist)·|base| regardless of filter selectivity, and the
+   * semi-join never widens rows. Callers with highly selective
+   * filters should raise `nprobe` (the standard filtered-ANN recall
+   * dial: a filter that removes most of a probed cell leaves fewer
+   * than k candidates unless more cells are probed).
+   */
+  def ivfTopKFiltered(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int,
+      allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val cells = index.centroids.map { case (i, c) =>
+      var d = 0.0
+      val n = math.min(c.length, query.length)
+      var j = 0
+      while (j < n) { val diff = c(j) - query(j); d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    val allow = allowed.select(col(allowedIdCol).cast("long").as("id"))
+    index.assigned
+      .where(col("cell").isin(cells.toSeq: _*))
+      .join(allow, Seq("id"), "left_semi")
+      .select(col("id"), cosine_sim(col("emb"), q).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .dropDuplicates("id")
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Sign-bit signature of a query vector against the same deterministic
     * hyperplanes as [[signBits]]. */
   private[operators] def querySignature(query: Array[Float], numBits: Int, seed: Long): Long = {
