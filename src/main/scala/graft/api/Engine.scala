@@ -156,6 +156,15 @@ final class Engine(
       .map(r => r.copy(explanation = Validator.parse(spark, sql).toOption
         .map(Explainer.explain).getOrElse("")))
 
+  /** Column-level lineage of an ADMITTED statement: the Validator's
+    * full safety chain runs first (denylist / table allow-list), then
+    * the analyzed plan is traversed WITHOUT executing anything — a
+    * provenance surface alongside [[run]]'s explanation
+    * (`explain/Lineage.scala`). */
+  def lineage(sql: String): Either[EngineError, Seq[graft.explain.Lineage.ColumnLineage]] =
+    Validator.validate(spark, sql, tables.toSet)
+      .map(_ => graft.explain.Lineage.of(spark, sql))
+
   /** Generation without execution (ref main.py:262-296). */
   def nl2sql(question: String): Either[EngineError, (String, SchemaSlice)] = {
     val slice = Fuzzy.selectRelevant(question, lightweightSchema)
