@@ -1117,6 +1117,37 @@ object Queries {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST((1000 + (length(text) * 7) % 4000) // 1000 AS INT)) ELSE 1 END AS frames_sampled " +
         "FROM documents ORDER BY media_id LIMIT 100"),
+    // ordered funnel: step i's reach = users with a step-i event
+    // strictly after their earliest step-(i-1) completion time
+    "x_funnel" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "c AS (SELECT 1 AS step, 'signup' AS step_name, (SELECT COUNT(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) " +
+        "SELECT step, step_name, n_users, " +
+        "round(CAST(n_users AS DOUBLE) / GREATEST((SELECT n_users FROM c WHERE step = 1), 1), 4) AS conv " +
+        "FROM c ORDER BY step"),
+    // retention cohorts: first-seen day x day offset, retained share
+    "x_retention_cohort" ->
+      ("WITH fs AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort FROM events GROUP BY 1), " +
+        "cs AS (SELECT cohort, COUNT(*) AS n FROM fs GROUP BY 1), " +
+        "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "r AS (SELECT fs.cohort, date_diff('day', fs.cohort, act.day) AS day_offset, COUNT(*) AS n_active " +
+        "FROM act JOIN fs USING (user_id) GROUP BY 1, 2) " +
+        "SELECT CAST(r.cohort AS STRING) AS cohort_day, CAST(day_offset AS INT) AS day_offset, n_active, " +
+        "round(CAST(n_active AS DOUBLE) / cs.n, 4) AS retention " +
+        "FROM r JOIN cs ON r.cohort = cs.cohort ORDER BY cohort_day, day_offset LIMIT 2000"),
+    // per-type z-score anomalies (sample stddev on both engines)
+    "x_anomaly_zscore" ->
+      ("WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, e.value, round((e.value - st.mu) / st.sd, 4) AS zscore " +
+        "FROM events e JOIN st USING (event_type) " +
+        "WHERE st.sd > 0 AND ABS((e.value - st.mu) / st.sd) > 2.5 " +
+        "ORDER BY event_id LIMIT 500"),
     // filtered vector search: cosine top-10 over embeddings whose
     // document row passes the metadata predicate (selection by rounded
     // cosine is boundary-safe — see the Spark-side comment)
@@ -2248,6 +2279,31 @@ object ExtensionQueries {
           query, k = 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+    // ordered funnel signup → click → purchase: per-step reach is a
+    // filtered scan + min-aggregate joined on the user key against the
+    // previous step's reach frame (EventAnalytics.funnel)
+    "x_funnel" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.funnel(s.table("events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("step")
+    }),
+    // retention cohorts by first-seen day: user-keyed aggregates +
+    // distinct user-days, shuffle rows bounded by |users|+|user-days|
+    "x_retention_cohort" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.retentionCohorts(s.table("events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset").limit(2000)
+    }),
+    // per-type z-score anomalies: one stats pass, broadcast back onto
+    // the scan — no user-keyed shuffle (threshold 2.5: nearest |z| is
+    // 1.4e-4 away at sf0.1, far above engine drift)
+    "x_anomaly_zscore" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.anomalyZscores(s.table("events"),
+        "event_type", "value", Seq("event_id"), threshold = 2.5)
+        .orderBy("event_id").limit(500)
     }),
     // hybrid BM25 + cosine retrieval fused by reciprocal rank — every
     // list selected and ranked by its 4dp-rounded score with id

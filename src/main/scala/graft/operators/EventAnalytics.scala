@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-analytics operators over a (user, timestamp, type, value)
+ * event stream: funnels, retention cohorts, anomaly flagging — the
+ * product-analytics family the reference's dashboard surface implies
+ * (ref `app/routes/ai.py` ask-over-events, `frontend/src/components/
+ * Dashboard.jsx` metric panels) re-expressed as declarative Spark
+ * plans that survive 100 TB event logs.
+ *
+ * Scale posture shared by all three: every pass is a filtered scan +
+ * partial-aggregated groupBy on the user (or type) key — shuffles
+ * carry one row per user per step, never raw events; joins are
+ * user-key-partitioned (AQE broadcasts the per-type stats frame,
+ * which is |types| rows). No windows over the full corpus, no
+ * driver-side loops over data.
+ */
+object EventAnalytics {
+
+  /**
+   * Ordered-funnel analysis: for the step sequence `steps`, a user
+   * reaches step i when they have an event of type `steps(i)` STRICTLY
+   * AFTER their earliest qualifying time for step i-1. Output one row
+   * per step: (step 1-based, step_name, n_users, conv — fraction of
+   * step-1 users, 4 dp).
+   *
+   * Plan: step i is one filtered scan + min-aggregate joined on the
+   * user key against step i-1's reach frame — k small user-keyed
+   * shuffles for a k-step funnel, each carrying ≤ one row per
+   * surviving user. The per-step counts are single-row aggregates
+   * unioned driver-side (k rows total).
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    // reach(i): per-user earliest completion time of the step prefix
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val stepEvents = events.where(col(typeCol) === step)
+        val reached = prev match {
+          case None =>
+            stepEvents.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+          case Some(p) =>
+            stepEvents.join(p.withColumnRenamed("__t", "__tprev"), userCol)
+              .where(col(tsCol) > col("__tprev"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        }
+        // materialize each reach frame (≤ one row per user): step k
+        // must not recompute the whole step-1..k-1 chain, and the
+        // per-step counts below re-read every frame
+        Some(reached.localCheckpoint())
+    }.flatten
+    val counts = reaches.map(_.count())
+    val base = math.max(counts.head, 1L)
+    import spark.implicits._
+    steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s, counts(i),
+        BigDecimal(counts(i).toDouble / base)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("step", "step_name", "n_users", "conv")
+  }
+
+  /**
+   * Retention cohorts: users grouped by FIRST-SEEN day; for every
+   * (cohort_day, day_offset) with activity, the number of cohort
+   * users active that day and the retained fraction of the cohort.
+   * Output: (cohort_day string, day_offset, n_active, retention 4 dp).
+   *
+   * Plan: first-seen is one user-keyed aggregate; per-day activity is
+   * one DISTINCT over (user, day) — both partial-aggregated; the join
+   * back is user-key-partitioned; cohort sizing reuses the first-seen
+   * frame. Shuffle rows are ≤ |users| + |user-days|, never raw events.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("__cohort"))
+    val cohortSize = firstSeen.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("__cohort_n"))
+    val active = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    active.join(firstSeen, userCol)
+      .groupBy(col("__cohort"), datediff(col("__day"), col("__cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, "__cohort")
+      .select(col("__cohort").cast("string").as("cohort_day"),
+        col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("__cohort_n"), 4).as("retention"))
+  }
+
+  /**
+   * Per-key z-score anomaly flagging: events whose value sits more
+   * than `threshold` sample standard deviations from their key's
+   * mean. Output: the anomalous events with their z-score (4 dp).
+   *
+   * Plan: per-key mean/stddev is ONE partial-aggregated pass; the
+   * stats frame (|keys| rows) broadcasts back onto the scan, so
+   * flagging is a second narrow pass with no user-keyed shuffle at
+   * all — the shape that holds when |keys| ≪ |events| at any scale.
+   */
+  def anomalyZscores(events: DataFrame, keyCol: String, valueCol: String,
+      idCols: Seq[String], threshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    val z = (col(valueCol) - col("__mu")) / col("__sd")
+    events.join(broadcast(stats), keyCol)
+      .where(col("__sd") > 0 && abs(z) > threshold)
+      .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
+        round(z, 4).as("zscore")): _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1 completes the whole funnel in order; user 2 does the steps
+  // OUT of order (click before signup — must not count past step 1);
+  // user 3 signs up only; user 4 never signs up
+  lazy val fixture = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "signup", 1.0),
+    (1L, ts("2024-01-02 10:00:00"), "click", 1.0),
+    (1L, ts("2024-01-03 10:00:00"), "purchase", 1.0),
+    (2L, ts("2024-01-01 09:00:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:00:00"), "signup", 1.0),
+    (2L, ts("2024-01-02 10:00:00"), "purchase", 1.0),
+    (3L, ts("2024-01-05 10:00:00"), "signup", 1.0),
+    (4L, ts("2024-01-01 10:00:00"), "view", 1.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("funnel: strict ordering — out-of-order steps do not count") {
+    val out = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // step1: users 1,2,3 signed up; step2: only user 1 clicked AFTER
+    // signup (user 2's click preceded it); step3: only user 1
+    assert(out.toSeq == Seq(
+      (1, "signup", 3L, 1.0), (2, "click", 1L, 0.3333), (3, "purchase", 1L, 0.3333)))
+  }
+
+  test("funnel with an unreachable first step returns zero rows per step, conv 0") {
+    val out = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
+      Seq("refund", "signup")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("retentionCohorts: offsets and retained fractions are exact") {
+    val out = EventAnalytics.retentionCohorts(fixture, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // cohort 2024-01-01 = users 1,2,4 (3 users): day0 all 3 active,
+    // day1 users 1,2, day2 user 1; cohort 2024-01-05 = user 3 day0
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 3L, 1.0), ("2024-01-01", 1, 2L, 0.6667),
+      ("2024-01-01", 2, 1L, 0.3333), ("2024-01-05", 0, 1L, 1.0)))
+  }
+
+  test("anomalyZscores flags exactly the planted outlier") {
+    val base = (1 to 50).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1))
+    val df = (base :+ (99L, "click", 1000.0)).toDF("event_id", "event_type", "value")
+    val out = EventAnalytics.anomalyZscores(df, "event_type", "value",
+      Seq("event_id"), threshold = 3.0).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 99L)
+    assert(out(0).getDouble(2) == 1000.0 && out(0).getDouble(3) > 3.0)
+  }
+
+  test("anomalyZscores plan: stats broadcast back, no sort-merge join") {
+    val df = (1 to 100).map(i => (i.toLong, s"t${i % 3}", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val plan = EventAnalytics.anomalyZscores(df, "event_type", "value",
+      Seq("event_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("funnel reach joins are user-keyed equi-joins (no cartesian)") {
+    val reach = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
+      Seq("signup", "click"))
+    assert(reach.count() == 2)
+  }
+}
