@@ -536,6 +536,57 @@ object Streams {
   }
 
   /**
+   * Streaming analogue of
+   * [[graft.operators.EventAnalytics.anomalyZscores]]: per-key moment
+   * state (n, Σv, Σv²) folded per micro-batch — the three moments are
+   * MERGEABLE (plain sums), so the maintained frame equals the batch
+   * aggregate over everything seen, exactly like the sketch/MV
+   * maintainers; state is |keys| rows regardless of stream volume.
+   * `flag` scores a frame (typically the arriving batch) against the
+   * CURRENT stats — the serving contract: anomalies are judged
+   * against the distribution as of the last commit. Caveat vs batch:
+   * Σv² loses ~1e-10 relative precision to catastrophic cancellation
+   * against Spark's shifted-moment stddev; the spec pins agreement at
+   * that tolerance and thresholds sit far above it.
+   */
+  final class AnomalyStatsMaintainer(keyCol: String, valueCol: String) {
+    @volatile private var stats: Option[DataFrame] = None
+    /** Current per-key stats (key, n, mu, sd). */
+    def currentStats: Option[DataFrame] = stats.map(_.select(col(keyCol),
+      col("__n").as("n"), (col("__s1") / col("__n")).as("mu"),
+      sqrt(greatest(lit(0.0),
+        (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+          (col("__n") - 1))).as("sd")))
+    /** `foreachBatch` handler: fold one micro-batch of events. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val part = batch.groupBy(col(keyCol)).agg(
+        count(col(valueCol)).as("__n"), sum(col(valueCol)).as("__s1"),
+        sum(col(valueCol) * col(valueCol)).as("__s2"))
+      val merged = stats match {
+        case None => part
+        case Some(prev) => prev.unionByName(part).groupBy(col(keyCol))
+          .agg(sum(col("__n")).as("__n"), sum(col("__s1")).as("__s1"),
+            sum(col("__s2")).as("__s2"))
+      }
+      val next = merged.localCheckpoint(true)
+      stats.foreach(_.unpersist())
+      stats = Some(next)
+    }
+    /** Score `df` against the current stats; same output shape as the
+      * batch operator (idCols ++ key ++ value ++ zscore). */
+    def flag(df: DataFrame, idCols: Seq[String], threshold: Double): DataFrame =
+      currentStats match {
+        case None => df.sparkSession.emptyDataFrame
+        case Some(st) =>
+          val z = (col(valueCol) - col("mu")) / col("sd")
+          df.join(broadcast(st), keyCol)
+            .where(col("sd") > 0 && abs(z) > threshold)
+            .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
+              round(z, 4).as("zscore")): _*)
+      }
+  }
+
+  /**
    * Streaming entity resolution — arriving records link against a
    * STATIC master table through the same blocked candidate generation
    * and native Jaro-Winkler scoring as

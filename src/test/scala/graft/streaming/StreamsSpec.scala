@@ -520,6 +520,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 2L), ("b", 1L, 9L)), got.toString)
   }
 
+  test("streaming anomaly stats: folded moments equal batch mean/stddev; flags match batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, count, lit, pmod, stddev_samp}
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_id", $"event_type", $"value".cast("double").as("value"))
+    val m = new Streams.AnomalyStatsMaintainer("event_type", "value")
+    // feed in three micro-batches split by id hash
+    (0 until 3).foreach(i => m.onBatch(events.where(pmod($"event_id", lit(3)) === i), i.toLong))
+    val streamed = m.currentStats.get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = events.groupBy("event_type")
+      .agg(count("value").as("n"), avg("value").as("mu"), stddev_samp("value").as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, (n, mu, sd)) =>
+      val (sn, smu, ssd) = streamed(k)
+      assert(sn == n)
+      assert(math.abs(smu - mu) / math.abs(mu) < 1e-9, s"$k mu $smu vs $mu")
+      assert(math.abs(ssd - sd) / sd < 1e-6, s"$k sd $ssd vs $sd")
+    }
+    // flagging everything seen against the maintained stats picks the
+    // same events as the batch operator (boundary margin ~1e-3 >> 1e-6)
+    val streamFlags = m.flag(events, Seq("event_id"), 2.5)
+      .select("event_id").as[Long].collect().toSet
+    val batchFlags = graft.operators.EventAnalytics.anomalyZscores(
+      events, "event_type", "value", Seq("event_id"), 2.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamFlags == batchFlags)
+  }
+
   test("serveThrough auto-advances the served MV snapshot on every batch commit") {
     import spark.implicits._
     try {
