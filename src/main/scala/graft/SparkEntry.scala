@@ -1141,6 +1141,21 @@ object Queries {
         "SELECT CAST(r.cohort AS STRING) AS cohort_day, CAST(day_offset AS INT) AS day_offset, n_active, " +
         "round(CAST(n_active AS DOUBLE) / cs.n, 4) AS retention " +
         "FROM r JOIN cs ON r.cohort = cs.cohort ORDER BY cohort_day, day_offset LIMIT 2000"),
+    // rolling retention replica: exact day-pair user intersections
+    // (the sketch side is exact below 4096 users/day per its contract)
+    "x_retention_sketch" ->
+      ("WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "a AS (SELECT day, COUNT(*) AS n FROM act GROUP BY 1), " +
+        "pairs AS (SELECT a1.day AS day, date_diff('day', a1.day, a2.day) AS k, a1.n AS n_day " +
+        "FROM a a1 JOIN a a2 ON date_diff('day', a1.day, a2.day) IN (1, 7)), " +
+        "i AS (SELECT x.day, date_diff('day', x.day, y.day) AS k, COUNT(*) AS n_both " +
+        "FROM act x JOIN act y ON x.user_id = y.user_id AND date_diff('day', x.day, y.day) IN (1, 7) " +
+        "GROUP BY 1, 2) " +
+        "SELECT CAST(p.day AS STRING) AS day, CAST(p.k AS INT) AS day_offset, p.n_day, " +
+        "COALESCE(i.n_both, 0) AS n_retained, " +
+        "round(CAST(COALESCE(i.n_both, 0) AS DOUBLE) / p.n_day, 4) AS retention " +
+        "FROM pairs p LEFT JOIN i ON p.day = i.day AND p.k = i.k " +
+        "ORDER BY day, day_offset LIMIT 500"),
     // per-type z-score anomalies (sample stddev on both engines)
     "x_anomaly_zscore" ->
       ("WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events GROUP BY 1) " +
@@ -2295,6 +2310,16 @@ object ExtensionQueries {
       Sources.register(s, dir)
       graft.operators.EventAnalytics.retentionCohorts(s.table("events"), "user_id", "ts")
         .orderBy("cohort_day", "day_offset").limit(2000)
+    }),
+    // sketch-based rolling retention: |days| theta sketches from ONE
+    // corpus pass, then pure set algebra per (day, offset) cell —
+    // exact below 4096 users/day (both fixture SFs), so the DuckDB
+    // exact side must agree row-for-row
+    "x_retention_sketch" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.rollingRetentionSketch(
+        s.table("events"), "user_id", "ts", Seq(1, 7))
+        .orderBy("day", "day_offset").limit(500)
     }),
     // per-type z-score anomalies: one stats pass, broadcast back onto
     // the scan — no user-keyed shuffle (threshold 2.5: nearest |z| is

@@ -92,6 +92,39 @@ object EventAnalytics {
   }
 
   /**
+   * Approximate ROLLING retention from daily activity sketches:
+   * retention(d, k) ≈ |A_d ∩ A_{d+k}| / |A_d| over Theta sketches of
+   * the users active each day. ONE corpus pass builds |days| kilobyte
+   * sketch rows (partial+final ObjectHashAggregate — sketch bytes on
+   * the shuffle, never user ids); every (day, offset) cell afterwards
+   * is set algebra on the tiny daily frame — the 100 TB path where
+   * [[retentionCohorts]]' |user-days| shuffle becomes the bottleneck.
+   * Accuracy rides the Theta contract (operators/Sketches.scala):
+   * EXACT below 4096 distinct users per day, ±5% above.
+   * Output: (day string, day_offset, n_day, n_retained, retention 4dp).
+   */
+  def rollingRetentionSketch(events: DataFrame, userCol: String, tsCol: String,
+      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty, "need at least one day offset")
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .groupBy("day").agg(theta_sketch_agg(col("__u")).as("__theta"))
+      .localCheckpoint() // |days| rows; built once, probed per offset
+    val a = daily.select(col("day"), col("__theta").as("__ta"))
+    offsets.map { k =>
+      val b = daily.select(col("day").as("__day2"), col("__theta").as("__tb"))
+      a.join(b, col("__day2") === date_add(col("day"), k))
+        .select(col("day").cast("string").as("day"),
+          lit(k).as("day_offset"),
+          round(theta_sketch_estimate(col("__ta"))).cast("long").as("n_day"),
+          round(theta_sketch_estimate(
+            theta_intersection(col("__ta"), col("__tb")))).cast("long").as("n_retained"))
+    }.reduce(_ unionByName _)
+      .withColumn("retention",
+        round(col("n_retained").cast("double") / col("n_day"), 4))
+  }
+
+  /**
    * Per-key z-score anomaly flagging: events whose value sits more
    * than `threshold` sample standard deviations from their key's
    * mean. Output: the anomalous events with their z-score (4 dp).

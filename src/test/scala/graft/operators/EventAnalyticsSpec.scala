@@ -54,6 +54,31 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 2, 1L, 0.3333), ("2024-01-05", 0, 1L, 1.0)))
   }
 
+  test("rollingRetentionSketch equals the exact day-pair intersections on the fixture") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"user_id", $"ts")
+    val got = EventAnalytics.rollingRetentionSketch(events, "user_id", "ts", Seq(1, 7))
+      .orderBy("day", "day_offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // exact gold: distinct (day, user) self-joined at the same offsets
+    val act = events.select(to_date($"ts").as("day"), $"user_id").distinct()
+      .localCheckpoint()
+    val exact = Seq(1, 7).flatMap { k =>
+      val b = act.select(col("day").as("day2"), col("user_id").as("uid2"))
+      act.join(b, col("day2") === date_add(col("day"), k) && col("user_id") === col("uid2"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n_both"))
+        .collect().map(r => (r.getDate(0).toString, k) -> r.getLong(1))
+    }.toMap
+    val dayN = act.groupBy("day").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (day, k, nDay, nRet, ret) =>
+      assert(nDay == dayN(day), s"$day n_day")
+      assert(nRet == exact.getOrElse((day, k), 0L), s"$day+$k n_retained")
+      assert(math.abs(ret - nRet.toDouble / nDay) < 1e-4)
+    }
+  }
+
   test("anomalyZscores flags exactly the planted outlier") {
     val base = (1 to 50).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1))
     val df = (base :+ (99L, "click", 1000.0)).toDF("event_id", "event_type", "value")
