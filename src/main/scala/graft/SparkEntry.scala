@@ -1156,6 +1156,19 @@ object Queries {
         "round(CAST(COALESCE(i.n_both, 0) AS DOUBLE) / p.n_day, 4) AS retention " +
         "FROM pairs p LEFT JOIN i ON p.day = i.day AND p.k = i.k " +
         "ORDER BY day, day_offset LIMIT 500"),
+    // trailing-7-day rolling stats over (type, day) totals; RANGE
+    // interval frame ≡ Spark's day-ordinal range frame
+    "x_rolling_stats" ->
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS day_total " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(day AS STRING) AS day, round(day_total, 4) AS day_total, " +
+        "round(SUM(day_total) OVER w, 4) AS rolling_sum, " +
+        "round(AVG(day_total) OVER w, 4) AS rolling_avg, " +
+        "round(MAX(day_total) OVER w, 4) AS rolling_max, " +
+        "COUNT(*) OVER w AS n_days_in_window " +
+        "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_type, day LIMIT 500"),
     // per-type z-score anomalies (sample stddev on both engines)
     "x_anomaly_zscore" ->
       ("WITH st AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events GROUP BY 1) " +
@@ -2320,6 +2333,15 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.rollingRetentionSketch(
         s.table("events"), "user_id", "ts", Seq(1, 7))
         .orderBy("day", "day_offset").limit(500)
+    }),
+    // per-key trailing-7-day rolling stats: one corpus-sized
+    // pre-aggregation to (type, day), then a RANGE-frame window over
+    // the tiny per-key day series (gap days age out)
+    "x_rolling_stats" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.rollingDailyStats(
+        s.table("events"), "event_type", "ts", "value", windowDays = 7)
+        .orderBy("event_type", "day").limit(500)
     }),
     // per-type z-score anomalies: one stats pass, broadcast back onto
     // the scan — no user-keyed shuffle (threshold 2.5: nearest |z| is

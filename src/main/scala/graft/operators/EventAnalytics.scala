@@ -125,6 +125,34 @@ object EventAnalytics {
   }
 
   /**
+   * Per-key daily rolling statistics: events pre-aggregate to one row
+   * per (key, day) — the ONLY corpus-sized pass, partial-aggregated —
+   * then a trailing `windowDays`-day window (RANGE frame over the day
+   * ordinal, so gap days genuinely age out) computes rolling
+   * sum/avg/max over the tiny per-key day series. The window
+   * partitions BY KEY over ≤ |days| rows per key: never a corpus-wide
+   * or single-partition sort, and adding keys adds partitions, not
+   * skew. Output: (key, day string, day_total, rolling_sum,
+   * rolling_avg 4 dp, rolling_max, n_days_in_window).
+   */
+  def rollingDailyStats(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol)).as("day_total"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(datediff(col("__day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily.select(col(keyCol), col("__day").cast("string").as("day"),
+      round(col("day_total"), 4).as("day_total"),
+      round(sum(col("day_total")).over(w), 4).as("rolling_sum"),
+      round(avg(col("day_total")).over(w), 4).as("rolling_avg"),
+      round(max(col("day_total")).over(w), 4).as("rolling_max"),
+      count(lit(1)).over(w).as("n_days_in_window"))
+  }
+
+  /**
    * Per-key z-score anomaly flagging: events whose value sits more
    * than `threshold` sample standard deviations from their key's
    * mean. Output: the anomalous events with their z-score (4 dp).

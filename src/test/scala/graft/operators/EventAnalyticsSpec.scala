@@ -79,6 +79,27 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rollingDailyStats: RANGE frame ages out gap days (hand-computed)") {
+    // key 'a': days 1,2,3 then a GAP to day 12 — the day-12 window
+    // must contain only day 12 (range frame, not a 3-row frame)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 10.0),
+      ("a", ts("2024-01-02 10:00:00"), 20.0),
+      ("a", ts("2024-01-03 10:00:00"), 30.0),
+      ("a", ts("2024-01-12 10:00:00"), 40.0),
+      ("b", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("event_type", "ts", "value")
+    val out = EventAnalytics.rollingDailyStats(df, "event_type", "ts", "value", windowDays = 7)
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3), r.getDouble(4), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 10.0, 10.0, 1L),
+      ("a", "2024-01-02", 30.0, 15.0, 2L),
+      ("a", "2024-01-03", 60.0, 20.0, 3L),
+      ("a", "2024-01-12", 40.0, 40.0, 1L),   // gap aged the first three out
+      ("b", "2024-01-01", 5.0, 5.0, 1L)))
+  }
+
   test("anomalyZscores flags exactly the planted outlier") {
     val base = (1 to 50).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1))
     val df = (base :+ (99L, "click", 1000.0)).toDF("event_id", "event_type", "value")
