@@ -1141,6 +1141,28 @@ object Queries {
         "SELECT CAST(r.cohort AS STRING) AS cohort_day, CAST(day_offset AS INT) AS day_offset, n_active, " +
         "round(CAST(n_active AS DOUBLE) / cs.n, 4) AS retention " +
         "FROM r JOIN cs ON r.cohort = cs.cohort ORDER BY cohort_day, day_offset LIMIT 2000"),
+    // funnel timing: hours between consecutive step completions
+    // (unix-second truncation ≡ date_diff('second') boundary counting)
+    "x_funnel_timing" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "t1 AS (SELECT date_diff('second', s1.t, s2.t) / 3600.0 AS h FROM s1 JOIN s2 USING (user_id)), " +
+        "t2 AS (SELECT date_diff('second', s2.t, s3.t) / 3600.0 AS h FROM s2 JOIN s3 USING (user_id)) " +
+        "SELECT 'signup→click' AS transition, COUNT(*) AS n_users, " +
+        "round(AVG(h), 4) AS avg_hours, round(quantile_cont(h, 0.5), 4) AS p50_hours FROM t1 " +
+        "UNION ALL SELECT 'click→purchase', COUNT(*), round(AVG(h), 4), round(quantile_cont(h, 0.5), 4) FROM t2 " +
+        "ORDER BY transition"),
+    // per-user next-event transition counts and P(next | current)
+    "x_event_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+        "c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.from_type, c.to_type, c.n, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
     // rolling retention replica: exact day-pair user intersections
     // (the sketch side is exact below 4096 users/day per its contract)
     "x_retention_sketch" ->
@@ -2323,6 +2345,22 @@ object ExtensionQueries {
       Sources.register(s, dir)
       graft.operators.EventAnalytics.retentionCohorts(s.table("events"), "user_id", "ts")
         .orderBy("cohort_day", "day_offset").limit(2000)
+    }),
+    // time-to-convert per funnel transition (same reach frames as
+    // x_funnel, joined pairwise on the user key; exact percentile)
+    "x_funnel_timing" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.funnelTiming(s.table("events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("transition")
+    }),
+    // Markov transition matrix over per-user event sequences: one
+    // window pass partitioned BY USER, then |types|²-row aggregates
+    "x_event_transitions" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.eventTransitions(s.table("events"),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
     }),
     // sketch-based rolling retention: |days| theta sketches from ONE
     // corpus pass, then pure set algebra per (day, offset) cell —

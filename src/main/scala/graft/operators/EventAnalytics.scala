@@ -33,12 +33,13 @@ object EventAnalytics {
    * surviving user. The per-step counts are single-row aggregates
    * unioned driver-side (k rows total).
    */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    // reach(i): per-user earliest completion time of the step prefix
-    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+  /** Per-user earliest completion time of each step prefix — the
+    * shared skeleton of [[funnel]] and [[funnelTiming]]. Frames are
+    * localCheckpointed (≤ one row per user each): step k must not
+    * recompute the step-1..k-1 chain, and callers re-read every frame. */
+  private def reachFrames(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): Seq[DataFrame] =
+    steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val stepEvents = events.where(col(typeCol) === step)
         val reached = prev match {
@@ -49,11 +50,14 @@ object EventAnalytics {
               .where(col(tsCol) > col("__tprev"))
               .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
         }
-        // materialize each reach frame (≤ one row per user): step k
-        // must not recompute the whole step-1..k-1 chain, and the
-        // per-step counts below re-read every frame
         Some(reached.localCheckpoint())
     }.flatten
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val reaches = reachFrames(events, userCol, tsCol, typeCol, steps)
     val counts = reaches.map(_.count())
     val base = math.max(counts.head, 1L)
     import spark.implicits._
@@ -62,6 +66,64 @@ object EventAnalytics {
         BigDecimal(counts(i).toDouble / base)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("step", "step_name", "n_users", "conv")
+  }
+
+  /**
+   * Time-to-convert per funnel transition: for users completing step
+   * i → i+1, the count and the mean / exact-median hours between
+   * their step-i and step-(i+1) completion times. Output:
+   * (transition "a→b", n_users, avg_hours 4 dp, p50_hours 4 dp).
+   *
+   * Plan: the same materialized reach frames as [[funnel]] (≤ one row
+   * per user each) joined pairwise on the user key; the percentile is
+   * Spark's exact `percentile` (PERCENTILE_CONT interpolation) over
+   * the ≤|users|-row delta frame.
+   */
+  def funnelTiming(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelTiming needs at least two steps")
+    val reaches = reachFrames(events, userCol, tsCol, typeCol, steps)
+    steps.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val prev = reaches(i).withColumnRenamed("__t", "__ta")
+      val next = reaches(i + 1).withColumnRenamed("__t", "__tb")
+      val hours = (unix_timestamp(col("__tb")) - unix_timestamp(col("__ta")))
+        .cast("double") / 3600.0
+      prev.join(next, userCol)
+        .select(hours.as("__h"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("__h")), 4).as("avg_hours"),
+          round(expr("percentile(__h, 0.5)"), 4).as("p50_hours"))
+        .select(lit(s"$a→$b").as("transition"), col("n_users"),
+          col("avg_hours"), col("p50_hours"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Markov transition matrix over a user's event sequence: for every
+   * consecutive (type → next type) pair in each user's time-ordered
+   * stream, the corpus-wide count and the conditional probability
+   * P(next | current). Output: (from_type, to_type, n, p 6 dp).
+   *
+   * Plan: ONE window pass partitioned BY USER (per-partition rows =
+   * that user's events — adding users adds partitions, never skew on
+   * a global sort) computes `lead`; the pair counts are a
+   * partial-aggregated groupBy; the row totals reuse the pair-count
+   * frame (|type|² rows), not the corpus. Ties on the timestamp break
+   * by the id column so both engines order identically.
+   */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
   }
 
   /**

@@ -79,6 +79,40 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelTiming: hours between step completions, hand-computed") {
+    val out = EventAnalytics.funnelTiming(fixture, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase")).orderBy("transition").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // only user 1 converts in order: signup→click 24h, click→purchase 24h
+    assert(out.toSeq == Seq(
+      ("click→purchase", 1L, 24.0, 24.0), ("signup→click", 1L, 24.0, 24.0)))
+  }
+
+  test("eventTransitions: per-user ordered pairs with conditional probabilities") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "a", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 11:00:00"), "c", 5L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // a→b (user1), a→c (user2), b→a (user1): P(b|a)=P(c|a)=0.5, P(a|b)=1
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("eventTransitions breaks timestamp ties by the id column") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val df = Seq((1L, t0, "x", 2L), (1L, t0, "y", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("y", "x"))) // id 1 ('y') precedes id 2 ('x')
+  }
+
   test("rollingDailyStats: RANGE frame ages out gap days (hand-computed)") {
     // key 'a': days 1,2,3 then a GAP to day 12 — the day-12 window
     // must contain only day 12 (range frame, not a 3-row frame)
