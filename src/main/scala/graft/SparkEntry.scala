@@ -275,6 +275,21 @@ object Queries {
       // a coarser grid keeps that drift far from any rounding boundary
       base + iters + "SELECT node, ROUND(pr, 4) AS pr FROM p3 ORDER BY node"
     },
+    // triangle census by independent id-ordered enumeration (the
+    // Spark side orients by degree — same exact count either way)
+    "x_triangles" ->
+      ("WITH raw AS (SELECT doc_id % 31 AS x, (doc_id * 7 + 3) % 31 AS y FROM documents " +
+        "UNION ALL SELECT doc_id % 31, (doc_id * 13 + 5) % 31 FROM documents " +
+        "UNION ALL SELECT doc_id % 31, (doc_id * 3 + 11) % 31 FROM documents), " +
+        "und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw WHERE x <> y), " +
+        "nd AS (SELECT a AS node FROM und UNION SELECT b FROM und), " +
+        "dg AS (SELECT node, COUNT(*) AS deg FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "tri AS (SELECT COUNT(*) AS n_triangles FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "wg AS (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS w FROM dg) " +
+        "SELECT (SELECT COUNT(*) FROM nd) AS n_nodes, (SELECT COUNT(*) FROM und) AS n_edges, " +
+        "tri.n_triangles, round(CASE WHEN wg.w > 0 THEN 3.0 * tri.n_triangles / wg.w ELSE 0.0 END, 6) AS global_clustering " +
+        "FROM tri CROSS JOIN wg"),
     "x_host_graph_degrees" ->
       ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://www.site' || (doc_id % 20) || " +
         "'.example.org/p/' || doc_id || ' and http://cdn' || (doc_id % 7) || '.example.net' ELSE text END AS text FROM documents), " +
@@ -1315,6 +1330,18 @@ object ExtensionQueries {
       graft.operators.Graphs.pageRank(edges, iterations = 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
+    }),
+    // exact triangle census over a deterministic synthetic graph
+    // derived from doc ids (the host graph is bipartite — no
+    // triangles); the ORACLE counts triangles by independent
+    // id-ordered enumeration while the operator uses degree-ordered
+    // orientation — both must land on the same exact census
+    "x_triangles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val raw = d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 7 + 3) % 31).as("dst"))
+        .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 13 + 5) % 31).as("dst")))
+        .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 3 + 11) % 31).as("dst")))
+      graft.operators.Graphs.triangleStats(raw)
     }),
     "x_host_graph_degrees" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"),

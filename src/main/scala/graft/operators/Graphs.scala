@@ -137,4 +137,57 @@ object Graphs {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /**
+   * Exact triangle census of the UNDIRECTED simple graph underlying
+   * `edges` (direction ignored, self-loops and duplicates dropped):
+   * (n_nodes, n_edges, n_triangles, global_clustering) where
+   * global_clustering = 3·triangles / wedges (Newman's transitivity).
+   *
+   * Scale: the degree-ORDERED edge orientation (each edge points to
+   * its (degree, id)-larger endpoint) is the standard skew bound —
+   * oriented out-degree is O(√m) on any graph, so the wedge join's
+   * per-node fan-out never explodes on hubs (a celebrity node of
+   * degree 10⁶ contributes wedges only through its ~√m oriented
+   * out-edges, not deg² pairs). Both joins shuffle on node keys;
+   * wedges close via one LeftSemi probe — each unordered wedge
+   * (v,w)/(w,v) matches the orientation total order exactly once, so
+   * the count is exact without a post-hoc division. Wedge totals for
+   * the clustering coefficient come from the degree frame (|nodes|
+   * rows), not from materializing wedges.
+   */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // read 4× below (degrees, both join sides, counts)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val higher = // orientation: true when b is the (deg, id)-larger endpoint
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(higher, col("a")).otherwise(col("b")).as("u"),
+        when(higher, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), "u")
+      .where(col("v") =!= col("w"))
+    val closed = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+    val triangles = closed.agg((count(lit(1))).as("n_triangles"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("__wedges"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    totals.crossJoin(nEdges).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(when(col("__wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("__wedges")).otherwise(0.0), 6)
+          .as("global_clustering"))
+  }
 }

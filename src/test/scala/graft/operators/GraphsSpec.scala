@@ -81,4 +81,24 @@ class GraphsSpec extends SparkSpec {
   test("empty edge list yields an empty ranking") {
     assert(Graphs.pageRank(edges(), 3).count() == 0)
   }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1.0") {
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b) yield (a, b)
+    val r = Graphs.triangleStats(edges(k4: _*)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (4L, 6L, 4L, 1.0))
+  }
+
+  test("triangleStats ignores direction, duplicates and self-loops") {
+    // triangle a-b-c plus a pendant d, written with reversals/dups/loops
+    val r = Graphs.triangleStats(edges(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("c", "d"), ("c", "d"))).collect()(0)
+    // wedges: deg a=2,b=2,c=3,d=1 → 1+1+3+0 = 5; clustering = 3/5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (4L, 4L, 1L, 0.6))
+  }
+
+  test("triangleStats: triangle-free bipartite graph reports zero") {
+    val bip = for (a <- Seq("l1", "l2"); b <- Seq("r1", "r2")) yield (a, b)
+    val r = Graphs.triangleStats(edges(bip: _*)).collect()(0)
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+  }
 }
