@@ -275,6 +275,17 @@ object Queries {
       // a coarser grid keeps that drift far from any rounding boundary
       base + iters + "SELECT node, ROUND(pr, 4) AS pr FROM p3 ORDER BY node"
     },
+    // referential audit replica: planted-orphan counts + rate
+    "x_fk_orphans" ->
+      ("WITH p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "c AS (SELECT l_orderkey FROM lineitem), " +
+        "o AS (SELECT COUNT(*) AS n_orphans FROM c LEFT JOIN p ON c.l_orderkey = p.o_orderkey " +
+        "WHERE c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL) " +
+        "SELECT (SELECT COUNT(*) FROM c) AS n_child, " +
+        "(SELECT COUNT(*) FROM c WHERE l_orderkey IS NULL) AS n_null_fk, " +
+        "o.n_orphans, " +
+        "round(CAST(o.n_orphans AS DOUBLE) / (SELECT COUNT(*) FROM c), 6) AS orphan_rate, " +
+        "CAST(o.n_orphans AS DOUBLE) / (SELECT COUNT(*) FROM c) <= 0.0 AS pass FROM o"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
     "x_triangles" ->
@@ -1330,6 +1341,15 @@ object ExtensionQueries {
       graft.operators.Graphs.pageRank(edges, iterations = 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
+    }),
+    // referential-integrity audit with PLANTED orphans: the parent
+    // side drops orders with o_orderkey % 7 == 0, so their lineitems
+    // dangle; both join sides project only key columns (LeftAnti)
+    "x_fk_orphans" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Expectations.referentialAudit(
+        s.table("lineitem"), Seq("l_orderkey"),
+        s.table("orders").where(col("o_orderkey") % 7 =!= 0), Seq("o_orderkey"))
     }),
     // exact triangle census over a deterministic synthetic graph
     // derived from doc ids (the host graph is bipartite — no

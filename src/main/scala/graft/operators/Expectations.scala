@@ -97,4 +97,38 @@ object Expectations {
   /** True iff every expectation passes — the pipeline gate form. */
   def holds(df: DataFrame, expectations: Seq[Expectation]): Boolean =
     audit(df, expectations).where(!col("pass")).isEmpty
+
+  /**
+   * Referential-integrity audit: child rows whose FK has no matching
+   * parent key. Output one row: (n_child, n_orphans, orphan_rate 6 dp,
+   * pass) against `threshold` (allowed orphan fraction, default 0).
+   *
+   * Scale: a LeftAnti join on the key — both sides project ONLY the
+   * key columns before the join (the parent side additionally
+   * dedupes, so the shuffle carries distinct parent keys, not parent
+   * rows); AQE broadcasts the parent key set when it fits, falls back
+   * to a key-partitioned shuffle when it doesn't. Null FKs are not
+   * orphans (SQL FK semantics: a null reference is absent, not
+   * dangling) and are reported separately as n_null_fk.
+   */
+  def referentialAudit(child: DataFrame, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String],
+      threshold: Double = 0.0): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size)
+    val ck = child.select(childKeys.map(col): _*)
+    val pk = parent.select(parentKeys.zip(childKeys)
+      .map { case (p, c) => col(p).as(c) }: _*).distinct()
+    val nonNull = ck.where(childKeys.map(col(_).isNotNull).reduce(_ && _))
+    val orphans = nonNull.join(pk, childKeys, "left_anti")
+    val totals = ck.agg(count(lit(1)).as("n_child"),
+      sum(when(childKeys.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+        .as("n_null_fk"))
+    totals.crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(col("n_child"), coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+        col("n_orphans"),
+        round(when(col("n_child") > 0,
+          col("n_orphans").cast("double") / col("n_child")).otherwise(0.0), 6)
+          .as("orphan_rate"))
+      .withColumn("pass", col("orphan_rate") <= threshold)
+  }
 }

@@ -57,4 +57,25 @@ class ExpectationsSpec extends SparkSpec {
       .head().getDouble(2)
     assert(math.abs(observed - expected) < 1e-6, s"$observed vs $expected")
   }
+
+  test("referentialAudit: planted orphans counted exactly; null FKs reported, not orphaned") {
+    val parent = Seq(10L, 20L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(30L), None).toDF("fk")
+    val r = referentialAudit(child, Seq("fk"), parent, Seq("pk"), threshold = 0.0)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)) ==
+      (4L, 1L, 1L, 0.25, false))
+    // intact references pass at threshold 0
+    val ok = referentialAudit(Seq(10L, 20L).toDF("fk"), Seq("fk"), parent, Seq("pk"))
+      .collect()(0)
+    assert(ok.getLong(2) == 0L && ok.getBoolean(4))
+  }
+
+  test("referentialAudit dedupes the parent key projection (composite keys)") {
+    val parent = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k1", "k2")
+    val child = Seq((1L, "a"), (2L, "b"), (2L, "a")).toDF("fk1", "fk2")
+    val r = referentialAudit(child, Seq("fk1", "fk2"), parent, Seq("k1", "k2"))
+      .collect()(0)
+    assert(r.getLong(2) == 1L) // only (2, 'a') dangles
+  }
 }
