@@ -275,6 +275,30 @@ object Queries {
       // a coarser grid keeps that drift far from any rounding boundary
       base + iters + "SELECT node, ROUND(pr, 4) AS pr FROM p3 ORDER BY node"
     },
+    // A/B replica: same counts, same expression tree for the z stat
+    "x_ab_test" ->
+      ("WITH u AS (SELECT user_id, user_id % 2 AS v, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT v, CASE WHEN np >= 14 THEN 1 ELSE 0 END AS cv FROM u), " +
+        "s AS (SELECT SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a, " +
+        "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b, " +
+        "SUM(CASE WHEN v = 0 THEN cv ELSE 0 END) AS c_a, " +
+        "SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS c_b FROM c) " +
+        "SELECT n_a, n_b, c_a, c_b, " +
+        "round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a, " +
+        "round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b, " +
+        "round(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6) AS lift, " +
+        "round(CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) > 0 " +
+        "THEN (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) / " +
+        "sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) " +
+        "ELSE 0.0 END, 4) AS zscore FROM s"),
+    // JSON-props replica by an INDEPENDENT extraction method (regex,
+    // not a JSON parser) — same typed aggregate must come out
+    "x_json_props" ->
+      ("WITH p AS (SELECT event_type, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k FROM events) " +
+        "SELECT event_type, COUNT(k) AS n, COUNT(DISTINCT k) AS n_distinct, " +
+        "round(AVG(k), 4) AS avg_k, MIN(k) AS min_k, MAX(k) AS max_k " +
+        "FROM p GROUP BY event_type ORDER BY event_type"),
     // referential audit replica: planted-orphan counts + rate
     "x_fk_orphans" ->
       ("WITH p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0), " +
@@ -1341,6 +1365,31 @@ object ExtensionQueries {
       graft.operators.Graphs.pageRank(edges, iterations = 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
+    }),
+    // A/B conversion test: hash-bucket variant (user_id % 2), convert
+    // at >= 14 purchases; exact-integer inputs + mirrored expression
+    // tree make the z statistic engine-identical
+    "x_ab_test" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Experiments.abConversion(s.table("events"), "user_id",
+        pmod(col("user_id"), lit(2)), col("event_type") === "purchase",
+        minConversions = 14L)
+    }),
+    // typed JSON processing of the props column: ONE from_json parse
+    // into a struct (codegen-friendly — never get_json_object-per-field
+    // re-parsing), then plain columnar aggregation
+    "x_json_props" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val parsed = s.table("events").select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      parsed.groupBy("event_type").agg(
+        count(col("k")).as("n"),
+        countDistinct(col("k")).as("n_distinct"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
     }),
     // referential-integrity audit with PLANTED orphans: the parent
     // side drops orders with o_orderkey % 7 == 0, so their lineitems

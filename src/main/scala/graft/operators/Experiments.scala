@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Experiment (A/B) analysis over an event stream: deterministic
+ * variant assignment, per-user conversion, two-proportion z-test —
+ * the measurement side of the product-analytics family
+ * (`EventAnalytics`). Assignment must be a pure function of the user
+ * key (hash-bucket style, the same determinism discipline as
+ * `Sampling`), so re-runs and late-arriving events never flip a
+ * user's variant.
+ *
+ * Scale: ONE user-keyed partial-aggregated pass reduces the corpus
+ * to per-user conversion rows, then a single-row conditional
+ * aggregate — no second corpus scan, no broadcast, nothing keyed
+ * finer than the user. The z statistic computes from exact integer
+ * counts with a fixed expression tree, so IEEE evaluation is
+ * engine-independent (the oracle mirrors the same parenthesization).
+ */
+object Experiments {
+
+  /**
+   * Two-proportion conversion test. `variantCol` assigns 0 (control)
+   * or 1 (treatment) per event as a pure function of the user;
+   * a user converts when at least `minConversions` of their events
+   * satisfy `isConversion`. Output one row: (n_a, n_b, c_a, c_b,
+   * rate_a, rate_b, lift = rate_b − rate_a, zscore — pooled-SE
+   * two-proportion z, 0 when the pooled variance is 0).
+   */
+  def abConversion(events: DataFrame, userCol: String, variantCol: Column,
+      isConversion: Column, minConversions: Long = 1L): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol), variantCol.as("__v"))
+      .agg(sum(when(isConversion, 1L).otherwise(0L)).as("__nc"))
+      .select(col("__v"),
+        when(col("__nc") >= minConversions, 1L).otherwise(0L).as("__c"))
+    val s = perUser.agg(
+      sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__v") === 0, col("__c")).otherwise(0L)).as("c_a"),
+      sum(when(col("__v") === 1, col("__c")).otherwise(0L)).as("c_b"))
+    val ra = col("c_a").cast("double") / col("n_a")
+    val rb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    s.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+      round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+      round(rb - ra, 6).as("lift"),
+      round(when(se > 0, (rb - ra) / se).otherwise(0.0), 4).as("zscore"))
+  }
+}
