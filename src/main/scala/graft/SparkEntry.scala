@@ -275,6 +275,39 @@ object Queries {
       // a coarser grid keeps that drift far from any rounding boundary
       base + iters + "SELECT node, ROUND(pr, 4) AS pr FROM p3 ORDER BY node"
     },
+    // co-occurrence replica over the same (user, day) baskets
+    "x_cooccurrence" ->
+      ("WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type AS t FROM events), " +
+        "nb AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, d FROM b)), " +
+        "pt AS (SELECT t, COUNT(*) AS n1 FROM b GROUP BY 1), " +
+        "pr AS (SELECT b1.t AS type_a, b2.t AS type_b, COUNT(*) AS n_both FROM b b1 " +
+        "JOIN b b2 ON b1.user_id = b2.user_id AND b1.d = b2.d AND b1.t < b2.t GROUP BY 1, 2) " +
+        "SELECT pr.type_a, pr.type_b, pr.n_both, " +
+        "round(pr.n_both / (SELECT CAST(n AS DOUBLE) FROM nb), 6) AS support, " +
+        "round(CAST(pr.n_both AS DOUBLE) / pa.n1, 6) AS confidence, " +
+        "round((CAST(pr.n_both AS DOUBLE) / pa.n1) / (pb.n1 / (SELECT CAST(n AS DOUBLE) FROM nb)), 6) AS lift " +
+        "FROM pr JOIN pt pa ON pa.t = pr.type_a JOIN pt pb ON pb.t = pr.type_b " +
+        "ORDER BY type_a, type_b"),
+    // PSI replica: identical fixed-width buckets, 1e-6 floor, ln fold
+    "x_psi_drift" ->
+      ("WITH r0 AS (SELECT event_type, LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket " +
+        "FROM events WHERE date_part('day', ts) <= 15), " +
+        "c0 AS (SELECT event_type, LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket " +
+        "FROM events WHERE date_part('day', ts) >= 16), " +
+        "r AS (SELECT event_type, bucket, COUNT(*) AS nr FROM r0 GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, bucket, COUNT(*) AS nc FROM c0 GROUP BY 1, 2), " +
+        "tr AS (SELECT event_type, SUM(nr) AS t FROM r GROUP BY 1), " +
+        "tc AS (SELECT event_type, SUM(nc) AS t FROM c GROUP BY 1), " +
+        "f AS (SELECT COALESCE(r.event_type, c.event_type) AS event_type, " +
+        "COALESCE(r.bucket, c.bucket) AS bucket, COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc " +
+        "FROM r FULL OUTER JOIN c ON r.event_type = c.event_type AND r.bucket = c.bucket), " +
+        "p AS (SELECT f.event_type, GREATEST(CAST(nr AS DOUBLE) / tr.t, 0.000001) AS pr, " +
+        "GREATEST(CAST(nc AS DOUBLE) / tc.t, 0.000001) AS pc " +
+        "FROM f JOIN tr USING (event_type) JOIN tc USING (event_type)) " +
+        "SELECT event_type, round(SUM((pc - pr) * ln(pc / pr)), 6) AS psi, COUNT(*) AS n_cells, " +
+        "CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable' " +
+        "WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict " +
+        "FROM p GROUP BY event_type ORDER BY event_type"),
     // A/B replica: same counts, same expression tree for the z stat
     "x_ab_test" ->
       ("WITH u AS (SELECT user_id, user_id % 2 AS v, " +
@@ -1365,6 +1398,26 @@ object ExtensionQueries {
       graft.operators.Graphs.pageRank(edges, iterations = 3)
         .select(col("node"), round(col("pr"), 4).as("pr"))
         .orderBy("node")
+    }),
+    // market-basket co-occurrence over (user, day) baskets: self-join
+    // on the basket key only (fan-out bounded by |types|² per basket)
+    "x_cooccurrence" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.typeCooccurrence(
+        s.table("events"), "user_id", "ts", "event_type")
+        .orderBy("type_a", "type_b")
+    }),
+    // PSI drift between the two month halves: each snapshot reduces
+    // to a (type, bucket) histogram in one pass; fixed-width integer
+    // buckets are engine-deterministic (no quantile fitting)
+    "x_psi_drift" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val e = s.table("events")
+      graft.operators.Drift.psi(
+        e.where(dayofmonth(col("ts")) <= 15),
+        e.where(dayofmonth(col("ts")) >= 16),
+        "event_type", "value")
+        .orderBy("event_type")
     }),
     // A/B conversion test: hash-bucket variant (user_id % 2), convert
     // at >= 14 purchases; exact-integer inputs + mirrored expression

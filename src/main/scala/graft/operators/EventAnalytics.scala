@@ -187,6 +187,42 @@ object EventAnalytics {
   }
 
   /**
+   * Market-basket co-occurrence over (user, day) baskets: for every
+   * unordered pair of event types sharing a basket, support,
+   * confidence(a→b) and lift. Output: (type_a, type_b, n_both,
+   * support 6 dp, confidence 6 dp, lift 6 dp).
+   *
+   * Plan: baskets are the DISTINCT (user, day, type) projection
+   * (partial-aggregated); the pair join is a self-join ON THE BASKET
+   * KEY with `type_a < type_b`, so fan-out per basket is bounded by
+   * |types|² — never a corpus×corpus join; supports come from
+   * |types|-row and single-row aggregates reused across the output.
+   */
+  def typeCooccurrence(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val baskets = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"),
+        col(typeCol).as("__t"))
+      .distinct()
+      .localCheckpoint() // read three times below
+    val nBaskets = baskets.select("__u", "__d").distinct().count().toDouble
+    val perType = baskets.groupBy(col("__t")).agg(count(lit(1)).as("__n1"))
+    val pairs = baskets.join(
+        baskets.select(col("__u"), col("__d"), col("__t").as("__t2")),
+        Seq("__u", "__d"))
+      .where(col("__t") < col("__t2"))
+      .groupBy(col("__t"), col("__t2")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(perType.select(col("__t"), col("__n1").as("__na")), "__t")
+      .join(perType.select(col("__t").as("__t2"), col("__n1").as("__nb")), "__t2")
+      .select(col("__t").as("type_a"), col("__t2").as("type_b"), col("n_both"),
+        round(col("n_both") / nBaskets, 6).as("support"),
+        round(col("n_both").cast("double") / col("__na"), 6).as("confidence"),
+        round((col("n_both").cast("double") / col("__na")) /
+          (col("__nb") / nBaskets), 6).as("lift"))
+  }
+
+  /**
    * Per-key daily rolling statistics: events pre-aggregate to one row
    * per (key, day) — the ONLY corpus-sized pass, partial-aggregated —
    * then a trailing `windowDays`-day window (RANGE frame over the day

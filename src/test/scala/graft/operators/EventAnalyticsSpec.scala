@@ -113,6 +113,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("y", "x"))) // id 1 ('y') precedes id 2 ('x')
   }
 
+  test("typeCooccurrence: hand-computed support/confidence/lift over (user, day) baskets") {
+    // baskets: (1, d1)={a,b}, (1, d2)={a}, (2, d1)={a,b,c} → 3 baskets
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1.0), (1L, ts("2024-01-01 11:00:00"), "b", 1.0),
+      (1L, ts("2024-01-01 11:30:00"), "b", 1.0), // dup type in basket: ignored
+      (1L, ts("2024-01-02 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 10:00:00"), "a", 1.0), (2L, ts("2024-01-01 11:00:00"), "b", 1.0),
+      (2L, ts("2024-01-01 12:00:00"), "c", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.typeCooccurrence(df, "user_id", "ts", "event_type")
+      .orderBy("type_a", "type_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // n(a)=3, n(b)=2, n(c)=1, baskets=3; ab in 2, ac in 1, bc in 1
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 0.666667, 0.666667, 1.0),
+      ("a", "c", 1L, 0.333333, 0.333333, 1.0),
+      ("b", "c", 1L, 0.333333, 0.5, 1.5)))
+  }
+
+  test("Drift.psi: identical snapshots score ~0 stable; shifted snapshot flags") {
+    val ref = (1 to 1000).map(i => ("t", (i % 100).toDouble)).toDF("k", "value")
+    val same = Drift.psi(ref, ref, "k", "value").collect()(0)
+    assert(same.getDouble(1) == 0.0 && same.getString(3) == "stable")
+    // shift everything up 50: mass moves across buckets → large PSI
+    val cur = (1 to 1000).map(i => ("t", (i % 100).toDouble + 50)).toDF("k", "value")
+    val shifted = Drift.psi(ref, cur, "k", "value").collect()(0)
+    assert(shifted.getDouble(1) > 0.25 && shifted.getString(3) == "shifted")
+  }
+
   test("rollingDailyStats: RANGE frame ages out gap days (hand-computed)") {
     // key 'a': days 1,2,3 then a GAP to day 12 — the day-12 window
     // must contain only day 12 (range frame, not a 3-row frame)
