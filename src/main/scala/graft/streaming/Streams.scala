@@ -536,6 +536,66 @@ object Streams {
   }
 
   /**
+   * Streaming funnel maintenance — the `foreachBatch` analogue of
+   * [[graft.operators.EventAnalytics.funnel]]: per-user state is the
+   * vector of earliest step-completion times (one row per user who
+   * started the funnel, k timestamp columns — bounded by |users|,
+   * independent of stream volume). Each batch folds with k small
+   * user-keyed join+min passes.
+   *
+   * Exactness contract: under TIME-ORDERED batch arrival (every event
+   * in batch b+1 is no earlier than batch b — the append-log ingest
+   * pattern), completion times never decrease once set, so the fold
+   * equals the batch funnel over everything seen (pinned). Out-of-
+   * order arrivals can under-count multi-step conversions that
+   * straddle the disorder — callers with unordered sources should
+   * re-run the batch operator on the materialized log instead.
+   */
+  final class FunnelMaintainer(userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]) {
+    require(steps.nonEmpty)
+    @volatile private var state: Option[DataFrame] = None
+    private def tCol(i: Int) = s"__t$i"
+    /** Current per-user state (userCol, __t0..__tk-1). */
+    def currentState: Option[DataFrame] = state
+    /** Per-step reach counts, like the batch funnel's n_users column. */
+    def currentCounts: Seq[Long] = state match {
+      case None => steps.map(_ => 0L)
+      case Some(st) =>
+        val row = st.agg(count(col(tCol(0))).as("c0"),
+          steps.indices.tail.map(i => count(col(tCol(i))).as(s"c$i")): _*).collect()(0)
+        steps.indices.map(i => row.getLong(i))
+    }
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val empty = steps.indices.foldLeft(
+        batch.select(col(userCol)).where(lit(false))) {
+        (df, i) => df.withColumn(tCol(i), lit(null).cast("timestamp"))
+      }
+      var st = state.getOrElse(empty)
+      steps.zipWithIndex.foreach { case (step, i) =>
+        val stepEvents = batch.where(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__bt"))
+        val qualified =
+          if (i == 0) stepEvents
+          else stepEvents.join(
+              st.select(col(userCol), col(tCol(i - 1)).as("__tprev"))
+                .where(col(tCol(i - 1)).isNotNull), userCol)
+            .where(col("__bt") > col("__tprev"))
+            .select(col(userCol), col("__bt"))
+        val mins = qualified.groupBy(col(userCol)).agg(min(col("__bt")).as("__bmin"))
+        st = st.join(mins, Seq(userCol), "full_outer")
+          .withColumn(tCol(i), least(col(tCol(i)), col("__bmin")))
+          .drop("__bmin")
+        // full_outer introduces nulls in the OTHER step columns for
+        // brand-new users — they are genuinely null (not yet reached)
+      }
+      val next = st.localCheckpoint(true)
+      state.foreach(_.unpersist())
+      state = Some(next)
+    }
+  }
+
+  /**
    * Streaming analogue of
    * [[graft.operators.EventAnalytics.anomalyZscores]]: per-key moment
    * state (n, Σv, Σv²) folded per micro-batch — the three moments are

@@ -520,6 +520,26 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 2L), ("b", 1L, 9L)), got.toString)
   }
 
+  test("streaming funnel: time-ordered batch folds equal the batch funnel") {
+    import org.apache.spark.sql.functions.{col, dayofmonth}
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val steps = Seq("signup", "click", "purchase")
+    val m = new Streams.FunnelMaintainer("user_id", "ts", "event_type", steps)
+    // three time-ordered micro-batches (append-log ingest contract)
+    m.onBatch(events.where(dayofmonth(col("ts")) <= 10), 0L)
+    m.onBatch(events.where(dayofmonth(col("ts")).between(11, 20)), 1L)
+    m.onBatch(events.where(dayofmonth(col("ts")) > 20), 2L)
+    val batch = graft.operators.EventAnalytics.funnel(
+      events, "user_id", "ts", "event_type", steps)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(m.currentCounts == batch, s"stream=${m.currentCounts} batch=$batch")
+    // multi-step advance within ONE batch also works
+    val m2 = new Streams.FunnelMaintainer("user_id", "ts", "event_type", steps)
+    m2.onBatch(events, 0L)
+    assert(m2.currentCounts == batch)
+  }
+
   test("streaming anomaly stats: folded moments equal batch mean/stddev; flags match batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{avg, count, lit, pmod, stddev_samp}
