@@ -71,6 +71,20 @@ object ProbeEventScale {
         "value", windowDays = 7).count()
     }
     println(f"PROBE rolling_stats n=$n wall=$t5%.2fs rows=$ro")
+
+    // window-per-user at 1M partitions over 50M rows
+    val (tr, t6) = time {
+      graft.operators.EventAnalytics.eventTransitions(events, "user_id", "ts",
+        "event_type", "event_id").count()
+    }
+    println(f"PROBE transitions n=$n wall=$t6%.2fs pairs=$tr")
+
+    // basket self-join keyed on (user, day): ~50M distinct basket rows
+    val (co, t7) = time {
+      graft.operators.EventAnalytics.typeCooccurrence(events, "user_id", "ts",
+        "event_type").count()
+    }
+    println(f"PROBE cooccurrence n=$n wall=$t7%.2fs pairs=$co")
     spark.stop()
   }
 }
