@@ -536,6 +536,45 @@ object Streams {
   }
 
   /**
+   * Incremental duplicate-group maintenance — closes the staleness
+   * loop between [[nearDupStream]]'s arriving candidate pairs and the
+   * batch group labels ([[graft.operators.Dedup.duplicateGroups]]):
+   * each batch of new pairs folds into the existing labels by running
+   * connected components over the CONTRACTED graph — one (id → label)
+   * edge per already-grouped node plus the new pairs — never the full
+   * pair history. Labels are canonical component-min ids and the
+   * contracted min equals the global min, so the maintained frame
+   * EQUALS the batch CC over every pair seen (pinned, including
+   * batch-straddling chains that merge existing groups). Cost per
+   * batch ∝ labeled nodes + batch pairs; the contracted graph's
+   * diameter collapses toward 2 regardless of original chain lengths,
+   * so label-propagation rounds stay few even as history grows.
+   */
+  final class DupGroupsMaintainer {
+    @volatile private var labels: Option[DataFrame] = None
+    /** Current (id, group_id) labels over every pair member seen. */
+    def currentLabels: Option[DataFrame] = labels
+    /** `foreachBatch` handler: fold one micro-batch of (id_a, id_b)
+      * candidate pairs. */
+    def onBatch(pairs: DataFrame, batchId: Long): Unit = synchronized {
+      val newPairs = pairs.select(col("id_a"), col("id_b"))
+      val edges = labels match {
+        case None => newPairs
+        case Some(l) =>
+          // contracted edges: skip each group's self-labeled min node —
+          // its mates still reference it, so it cannot drop out (every
+          // group has ≥2 members by construction from pairs)
+          l.where(col("id") =!= col("group_id"))
+            .select(col("id").as("id_a"), col("group_id").as("id_b"))
+            .unionByName(newPairs)
+      }
+      val next = graft.operators.Dedup.duplicateGroups(edges).localCheckpoint(true)
+      labels.foreach(_.unpersist())
+      labels = Some(next)
+    }
+  }
+
+  /**
    * Streaming funnel maintenance — the `foreachBatch` analogue of
    * [[graft.operators.EventAnalytics.funnel]]: per-user state is the
    * vector of earliest step-completion times (one row per user who

@@ -520,6 +520,21 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 2L), ("b", 1L, 9L)), got.toString)
   }
 
+  test("incremental duplicate groups: contracted-graph folds equal batch CC, merges included") {
+    import spark.implicits._
+    val b1 = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val b2 = Seq((2L, 3L), (20L, 21L)).toDF("id_a", "id_b") // extends {1,2}
+    val b3 = Seq((3L, 10L)).toDF("id_a", "id_b")            // MERGES {1,2,3} with {10,11}
+    val m = new Streams.DupGroupsMaintainer
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) => m.onBatch(b, i.toLong) }
+    val got = m.currentLabels.get.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Dedup.duplicateGroups(b1.union(b2).union(b3))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == batch, s"inc=$got batch=$batch")
+    // the merged component is labeled by the global min (1)
+    assert(got.filter(_._1 >= 10L).filter(_._1 <= 11L).forall(_._2 == 1L))
+  }
+
   test("streaming funnel: time-ordered batch folds equal the batch funnel") {
     import org.apache.spark.sql.functions.{col, dayofmonth}
     val events = spark.read.parquet(s"$sfDir/events.parquet")
