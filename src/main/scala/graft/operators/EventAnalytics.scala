@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
  * Event-analytics operators over a (user, timestamp, type, value)
  * event stream: funnels, retention cohorts, anomaly flagging — the
  * product-analytics family the reference's dashboard surface implies
- * (ref `app/routes/ai.py` ask-over-events, `frontend/src/components/
- * Dashboard.jsx` metric panels) re-expressed as declarative Spark
+ * (ref `app/routes_ai.py:91` ask-over-data, `frontend/src/pages/
+ * Database.jsx` metric surfaces) re-expressed as declarative Spark
  * plans that survive 100 TB event logs.
  *
  * Scale posture shared by all three: every pass is a filtered scan +

@@ -13,8 +13,9 @@ import graft.functions.cosine_sim
  * alone and needs no score calibration between BM25's unbounded sums
  * and cosine's [-1,1]). The reference's retrieval surface is lexical
  * candidate ranking plus embedding top-k
- * (`app/models/trainer.py:194-230`, `app/routes/ai.py` candidate
- * ranking); fusing them rank-wise is the standard composition.
+ * (`app/models/trainer.py:194-230`, `app/routes_ai.py:91` ask-path
+ * candidate ranking); fusing them rank-wise is the standard
+ * composition.
  *
  * Scale: each list is produced by its own pruned plan (BM25's
  * query-term-filtered aggregate, cosine's scan →

@@ -179,8 +179,8 @@ object Similarity {
    * Metadata-FILTERED exact vector search: cosine top-k restricted to
    * vectors whose metadata row satisfies `predicate` — the filtered-
    * retrieval shape serving stacks need (lang / source / license
-   * constraints applied at query time, reference `app/routes/ai.py`'s
-   * constrained-answer surface re-expressed over vectors).
+   * constraints applied at query time, reference `app/routes_ai.py:91`'s
+   * ask surface re-expressed over vectors).
    *
    * Scale: the predicate is applied to the METADATA frame before any
    * join or scoring, so it reaches the metadata parquet scan as a
