@@ -78,6 +78,19 @@ class LineageSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 10.0)
   }
 
+  test("lineage resolves every declared d-series query to base columns") {
+    Sources.register(spark, sfDir)
+    graft.Queries.byName.foreach { case (name, sql) =>
+      val cols = Lineage.of(spark, sql)
+      assert(cols.nonEmpty, s"$name produced no output columns")
+      // COUNT(*) is the one legitimately source-free output (it counts
+      // row existence, no column feeds the value)
+      if (name != "d23_profile_count")
+        assert(cols.exists(_.sources.nonEmpty),
+          s"$name: no output column traces to any base column")
+    }
+  }
+
   test("Engine.lineage runs the safety chain first") {
     val eng = graft.api.Engine.forFixtures(spark, sfDir)
     val ok = eng.lineage("SELECT c_name FROM customer")
