@@ -235,6 +235,13 @@ object Queries {
         "UNION ALL SELECT 'unique', 'o_orderkey', ROUND(v_uq*1.0/total, 6), 0.0, v_uq*1.0/total <= 0.0 FROM t" +
         ") x ORDER BY \"check\", col_name"),
     // compaction-plan replica: identical running-sum bin assignment
+    "x_file_pruning" ->
+      ("WITH f AS (SELECT CAST(FLOOR(l_partkey / 53.0) AS BIGINT) AS file_id, " +
+        "MIN(CAST(l_partkey AS DOUBLE)) AS pk_min, " +
+        "MAX(CAST(l_partkey AS DOUBLE)) AS pk_max FROM lineitem GROUP BY 1) " +
+        "SELECT file_id, pk_min, pk_max FROM f " +
+        "WHERE (pk_max IS NULL OR pk_max >= 500) AND (pk_min IS NULL OR pk_min <= 1200) " +
+        "ORDER BY file_id"),
     "x_compaction_plan" ->
       ("WITH f AS (SELECT o_orderkey % 499 AS file_id, " +
         "CAST(SUM(o_orderkey % 1000) AS BIGINT) AS bytes FROM orders " +
@@ -967,6 +974,11 @@ object Queries {
         "clean AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
         "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM clean) ORDER BY doc_id LIMIT 2000"),
+    // deterministic export shuffle: multiplicative-hash permutation key
+    "x_det_shuffle" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "(o_orderkey * 2654435761 + 17) % 1000003 AS shuffle_key " +
+        "FROM orders ORDER BY shuffle_key, o_orderkey LIMIT 200"),
     // deterministic train/val/test split: id-hash per-mille buckets
     "x_split" ->
       ("SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
@@ -1370,6 +1382,19 @@ object ExtensionQueries {
     // --- compaction planning (operators/Layout.scala) ---
     // synthetic file stats from orders (499 "files" with skewed sizes);
     // the plan itself — size-desc greedy bin assignment — is compared
+    // zone-map file pruning (Layout.pruneFiles): file_id simulates the
+    // parquet file a row landed in, contiguous in l_partkey so the
+    // spans are tight and the range predicate actually drops files;
+    // the comparison pins the null-safe interval-overlap plan logic
+    "x_file_pruning" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val spans = s.table("lineitem")
+        .groupBy(floor(col("l_partkey") / lit(53.0)).cast("long").as("file_id"))
+        .agg(min(col("l_partkey").cast("double")).as("pk_min"),
+          max(col("l_partkey").cast("double")).as("pk_max"))
+      graft.operators.Layout.pruneFiles(spans, "file_id", "pk", 500.0, 1200.0)
+        .orderBy("file_id")
+    }),
     "x_compaction_plan" -> ((s, dir) => {
       Sources.register(s, dir)
       val files = s.table("orders").groupBy(
@@ -1701,6 +1726,17 @@ object ExtensionQueries {
       graft.operators.Sampling.split(docs(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)),
+    // deterministic training-export shuffle: the first 200 rows of the
+    // hash-keyed pseudo-random permutation — pins that the permutation
+    // is pure integer arithmetic any engine reproduces (vs rand())
+    "x_det_shuffle" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Sampling.deterministicShuffle(
+          s.table("orders").select("o_orderkey", "o_custkey"), "o_orderkey")
+        .withColumn("shuffle_key",
+          graft.operators.Sampling.shuffleKey(col("o_orderkey")))
+        .limit(200)
+    }),
     // split-leakage AUDIT: near-dup pairs straddling the PLAIN hash
     // split (the violation list leakageSafeSplit exists to empty —
     // running the audit on the naive split quantifies the leakage)

@@ -98,6 +98,49 @@ object Layout {
   }
 
   /**
+   * File-pruning plan from zone-map spans: the files a range predicate
+   * `lo <= col <= hi` could possibly touch. Pure METADATA logic — the
+   * spans frame has one row per file (~1M rows for 100 TB of 100 MB
+   * files), so the plan is computed without listing, opening, or
+   * footer-reading a single data file. This is the metadata-layer scan
+   * planning of lakehouse formats (Delta/Iceberg keep per-file column
+   * stats for exactly this; parquet footers alone give row-group
+   * skipping only AFTER every footer is opened — at 1M files that is
+   * 1M reads before the first data byte).
+   *
+   * Interval-overlap test (`max >= lo AND min <= hi`), null-safe: a
+   * file whose span is unknown (all-null column chunk) must be kept —
+   * pruning may only drop files PROVEN disjoint.
+   */
+  def pruneFiles(spans: DataFrame, fileCol: String, colName: String,
+      lo: Double, hi: Double): DataFrame =
+    spans.where(
+      (col(s"${colName}_max").isNull || col(s"${colName}_max") >= lo) &&
+      (col(s"${colName}_min").isNull || col(s"${colName}_min") <= hi))
+      .select(col(fileCol), col(s"${colName}_min"), col(s"${colName}_max"))
+
+  /**
+   * Pruned read: scan ONLY the files a materialized spans frame (from
+   * [[fileSpans]], persisted at write time — recomputing it would read
+   * the data and defeat the point) says can match, then re-apply the
+   * predicate for row-level exactness. The surviving path list is
+   * collected to the driver — legitimate at scale: it is strictly
+   * smaller than the file listing Spark's own `InMemoryFileIndex`
+   * already holds on the driver for ANY parquet read of the directory.
+   */
+  def prunedRead(spark: SparkSession, dir: String, spans: DataFrame,
+      fileCol: String, colName: String, lo: Double, hi: Double): DataFrame = {
+    val paths = pruneFiles(spans, fileCol, colName, lo, hi)
+      .select(fileCol).collect().map(_.getString(0))
+    if (paths.isEmpty)
+      // no file can match: empty result with the table's schema
+      // (schema comes from footers of the listed dir; no data read)
+      spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(paths.toIndexedSeq: _*)
+      .where(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /**
    * Compaction plan — the small-files half of lakehouse `OPTIMIZE`
    * (Z-order above is the clustering half): assign files to
    * target-sized rewrite bins. Greedy cumulative assignment over

@@ -23,6 +23,42 @@ object Sampling {
   /** Per-mille hash bucket in [0, 1000) of an integral id column. */
   def hashBucket(id: Column): Column = pmod(id.cast("long") * HashK, lit(1000L))
 
+  /** Pseudo-random but reproducible ordering key: multiplicative hash
+    * of the id over a prime modulus. Pure integer arithmetic — the same
+    * permutation in any engine, any run, any partitioning. */
+  def shuffleKey(id: Column, seed: Long = 17L): Column =
+    pmod(id.cast("long") * HashK + seed, lit(1000003L))
+
+  /**
+   * Deterministic global shuffle for training export. LM training wants
+   * examples decorrelated from ingest order — source, crawl date, and
+   * URL locality all correlate with content, and a corpus written in
+   * that order trains on hours of one distribution at a time. Ordering
+   * by [[shuffleKey]] (id tiebreak) is a stable pseudo-random
+   * permutation: ONE range-partitioned sort, the same shuffle any
+   * global sort pays, absorbed by the export write that follows it.
+   * Reproducible across runs and engines by construction, unlike
+   * `ORDER BY rand()`.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 17L): DataFrame =
+    df.orderBy(shuffleKey(col(idCol), seed), col(idCol))
+
+  /**
+   * Partition-local variant: hash-distribute rows to `numFiles` output
+   * partitions, shuffle-order WITHIN each. No total order — and no
+   * range-exchange or cutpoint sampling either — but every output file
+   * is an unbiased, ingest-order-free sample of the corpus, which is
+   * what a training data loader that itself interleaves files needs.
+   * At 100 TB this is the cheaper export: the repartition hash shuffle
+   * replaces the global sort's skew-sensitive range exchange.
+   */
+  def shuffledExport(df: DataFrame, idCol: String, numFiles: Int,
+      seed: Long = 17L): DataFrame = {
+    require(numFiles > 0)
+    df.repartition(numFiles, shuffleKey(col(idCol), seed) % numFiles)
+      .sortWithinPartitions(shuffleKey(col(idCol), seed), col(idCol))
+  }
+
   /** Deterministic Bernoulli sample: keep ≈ `rate` of rows by id hash. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0)

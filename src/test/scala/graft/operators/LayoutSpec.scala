@@ -111,6 +111,47 @@ class LayoutSpec extends SparkSpec {
     assert(fSupp < total / 2, s"$fSupp of $total")
   }
 
+  test("pruneFiles: null-safe interval overlap keeps unknown spans, drops proven-disjoint") {
+    import spark.implicits._
+    val spans = Seq(
+      ("f0", Some(0.0), Some(9.0)),     // below range -> drop
+      ("f1", Some(5.0), Some(15.0)),    // straddles lo -> keep
+      ("f2", Some(10.0), Some(20.0)),   // inside -> keep
+      ("f3", Some(18.0), Some(40.0)),   // straddles hi -> keep
+      ("f4", Some(25.0), Some(99.0)),   // above range -> drop
+      ("f5", None, None))               // unknown span -> MUST keep
+      .toDF("file", "c_min", "c_max")
+    val kept = Layout.pruneFiles(spans, "file", "c", 10.0, 20.0)
+      .select("file").as[String].collect().sorted
+    assert(kept.sameElements(Array("f1", "f2", "f3", "f5")), kept.mkString(","))
+  }
+
+  test("prunedRead: content ≡ full-scan filter; plan touches a strict file subset; empty range keeps schema") {
+    val dir = java.nio.file.Files.createTempDirectory("prune_read").toString
+    Layout.zorderWrite(lineitem, Seq("l_partkey", "l_suppkey"), dir, numFiles = 16)
+    val spans = Layout.fileSpans(spark, dir, Seq("l_partkey"))
+    val total = spans.count()
+    val maxPart = lineitem.agg(max("l_partkey")).head().getLong(0)
+    val (lo, hi) = (1.0, maxPart / 10.0)
+    // the plan itself reads fewer files than exist
+    val planned = Layout.pruneFiles(spans, "file", "l_partkey", lo, hi).count()
+    info(s"pruned plan: $planned of $total files")
+    assert(planned < total, s"$planned of $total")
+    // content equality against the unpruned filtered scan
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(l_orderkey, l_partkey, " +
+        "l_suppkey, l_quantity, l_returnflag))")).head()
+    val pruned = Layout.prunedRead(spark, dir, spans, "file", "l_partkey", lo, hi)
+    val full = spark.read.parquet(dir)
+      .where(col("l_partkey") >= lo && col("l_partkey") <= hi)
+    assert(sig(pruned) == sig(full))
+    // a range no span overlaps: zero rows, schema preserved
+    val none = Layout.prunedRead(spark, dir, spans, "file", "l_partkey",
+      maxPart + 1e6, maxPart + 2e6)
+    assert(none.count() == 0L)
+    assert(none.columns.contains("l_suppkey"))
+  }
+
   test("compactionPlan: bins close within one file of the target, big files stand apart, deterministic") {
     import spark.implicits._
     val files = Seq(("a", 70L), ("b", 60L), ("c", 50L), ("d", 40L),

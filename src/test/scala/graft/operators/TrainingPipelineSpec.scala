@@ -153,6 +153,40 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(Sampling.split(df, "id", Seq("sample" -> 0.2)).count() < 300)
   }
 
+  test("deterministicShuffle: stable pseudo-random permutation — reproducible, order-free, complete") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val p1 = Sampling.deterministicShuffle(df, "id").select("id").collect().map(_.getLong(0))
+    val p2 = Sampling.deterministicShuffle(df, "id").select("id").collect().map(_.getLong(0))
+    assert(p1.sameElements(p2), "same permutation on rerun")
+    assert(p1.sorted.sameElements(1L to 2000L), "a permutation: every row exactly once")
+    assert(!p1.sameElements(1L to 2000L), "not ingest order")
+    // decorrelated from ingest order: adjacent output ids are far apart
+    val adjacentGap = p1.zip(p1.tail).map { case (a, b) => math.abs(b - a) }
+    assert(adjacentGap.count(_ <= 2) < 100, s"${adjacentGap.count(_ <= 2)} near-adjacent pairs")
+    // a different seed is a different permutation
+    val p3 = Sampling.deterministicShuffle(df, "id", seed = 99L)
+      .select("id").collect().map(_.getLong(0))
+    assert(!p1.sameElements(p3))
+  }
+
+  test("shuffledExport: every partition is an unbiased ingest-order-free slice; rows complete") {
+    val df = (1L to 4000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val out = Sampling.shuffledExport(df, "id", numFiles = 8)
+    val withPart = out.withColumn("p", spark_partition_id())
+      .select("p", "id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(withPart.map(_._2).sorted.sameElements(1L to 4000L))
+    // each partition holds a hash-routed (not contiguous) id slice whose
+    // mean sits near the corpus mean — an unbiased sample per file
+    val byPart = withPart.groupBy(_._1).map { case (_, rows) => rows.map(_._2.toDouble) }
+    byPart.foreach { ids =>
+      assert(ids.size > 4000 / 8 / 2, s"balanced-ish: ${ids.size}")
+      val mean = ids.sum / ids.size
+      assert(math.abs(mean - 2000.0) < 400, s"partition mean $mean biased")
+      val span = ids.max - ids.min
+      assert(span > 3000, s"partition covers the id range, not a contiguous block: $span")
+    }
+  }
+
   test("leakageSafeSplit: duplicate groups never straddle splits; singletons match the plain split") {
     val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
     // planted near-dup groups spanning ids whose plain-split assignments
