@@ -350,6 +350,38 @@ object Queries {
         "o.n_orphans, " +
         "round(CAST(o.n_orphans AS DOUBLE) / (SELECT COUNT(*) FROM c), 6) AS orphan_rate, " +
         "CAST(o.n_orphans AS DOUBLE) / (SELECT COUNT(*) FROM c) <= 0.0 AS pass FROM o"),
+    // k-anonymity replica: class sizes from a plain GROUP BY, gate
+    // report as conditional aggregates over the class frame
+    "x_k_anonymity" ->
+      ("WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows, COUNT(*) AS n_classes, " +
+        "CAST(MIN(class_size) AS BIGINT) AS anonymity_k, " +
+        "CAST(SUM(CASE WHEN class_size < 8 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes, " +
+        "CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS BIGINT) AS exposed_rows, " +
+        "ROUND(CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS DOUBLE) / SUM(class_size), 6) AS exposed_rate, " +
+        "MIN(class_size) >= 8 AS pass FROM c"),
+    // l-diversity replica: distinct banded balances per class, HAVING
+    // below the diversity floor
+    "x_l_diversity" ->
+      ("WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band FROM customer) " +
+        "SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size, " +
+        "COUNT(DISTINCT bal_band) AS distinct_sensitive " +
+        "FROM b GROUP BY 1, 2 HAVING COUNT(DISTINCT bal_band) < 4 " +
+        "ORDER BY c_nationkey, c_mktsegment"),
+    // suppression replica: keep only classes >= k, re-audit — the gate
+    // must pass with zero exposure by construction
+    "x_k_suppress" ->
+      ("WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size " +
+        "FROM customer GROUP BY 1, 2), " +
+        "k AS (SELECT * FROM c WHERE class_size >= 8) " +
+        "SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows, COUNT(*) AS n_classes, " +
+        "CAST(MIN(class_size) AS BIGINT) AS anonymity_k, " +
+        "CAST(SUM(CASE WHEN class_size < 8 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes, " +
+        "CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS BIGINT) AS exposed_rows, " +
+        "ROUND(CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS DOUBLE) / SUM(class_size), 6) AS exposed_rate, " +
+        "MIN(class_size) >= 8 AS pass FROM k"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
     "x_triangles" ->
@@ -1477,6 +1509,33 @@ object ExtensionQueries {
       graft.operators.Expectations.referentialAudit(
         s.table("lineitem"), Seq("l_orderkey"),
         s.table("orders").where(col("o_orderkey") % 7 =!= 0), Seq("o_orderkey"))
+    }),
+    // --- privacy governance (operators/Governance.scala) ---
+    // k-anonymity release gate over (nation, segment) quasi-identifiers:
+    // one |classes|-sized hash aggregation, one report row
+    "x_k_anonymity" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.Governance.kAnonymityStats(
+        s.table("customer"), Seq("c_nationkey", "c_mktsegment"), k = 8)
+    }),
+    // l-diversity over the same classes with a banded balance as the
+    // sensitive attribute (homogeneity-attack audit)
+    "x_l_diversity" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val c = s.table("customer").select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+      graft.operators.Governance.lDiversityViolations(
+        c, Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+    // suppression remediation: the surviving corpus must audit clean
+    // at the same k by construction (anti-join on the quasi key)
+    "x_k_suppress" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val kept = graft.operators.Governance.suppressBelowK(
+        s.table("customer"), Seq("c_nationkey", "c_mktsegment"), k = 8)
+      graft.operators.Governance.kAnonymityStats(
+        kept, Seq("c_nationkey", "c_mktsegment"), k = 8)
     }),
     // exact triangle census over a deterministic synthetic graph
     // derived from doc ids (the host graph is bipartite — no

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy-governance audits for training-data release: k-anonymity and
+ * l-diversity over quasi-identifier columns, plus the standard
+ * remediation (suppression of under-sized equivalence classes).
+ *
+ * Re-expresses the public definitions — k-anonymity (Sweeney,
+ * "k-Anonymity: a model for protecting privacy", IJUFKS 2002) and
+ * l-diversity (Machanavajjhala et al., "l-Diversity: privacy beyond
+ * k-anonymity", ICDE 2006) — as Spark aggregation plans. The
+ * reference's closest surface is its per-column profiling pass
+ * (`app/schema/crawler.py:244-246`), which measures distributions but
+ * has no release-gate semantics; PII string redaction is the sibling
+ * operator (`PiiRedaction`), this one governs RE-IDENTIFICATION risk
+ * from column combinations that survive redaction.
+ *
+ * Scale design: every audit lowers to ONE hash aggregation over the
+ * quasi-identifier key (map-side partial combine, |classes|-sized
+ * state, never |rows|). Suppression is the aggregation plus a
+ * key-partitioned join back to the corpus — no broadcast hint, so AQE
+ * broadcasts the violating-class frame only when it actually fits
+ * (the lesson of `Sampling.leakageSafeSplit`: at web scale the
+ * violation set can be corpus-sized, and a forced broadcast would OOM
+ * exactly where the operator matters).
+ */
+object Governance {
+
+  /** Equivalence classes over the quasi-identifier columns with their
+   * sizes — the frame every other audit derives from. One shuffle. */
+  def equivalenceClasses(df: DataFrame, quasiCols: Seq[String]): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1L)).as("class_size"))
+
+  /** Classes smaller than `k` — each is a re-identification risk: an
+   * attacker who knows a subject's quasi-identifiers narrows them to
+   * fewer than k candidate rows. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    equivalenceClasses(df, quasiCols).where(col("class_size") < k)
+
+  /** One-row release-gate report: the dataset's achieved anonymity
+   * (min class size), how many classes violate `k`, and how many rows
+   * they expose. Driver cost is one collected row. */
+  def kAnonymityStats(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    equivalenceClasses(df, quasiCols).agg(
+      sum(col("class_size")).as("n_rows"),
+      count(lit(1L)).as("n_classes"),
+      min(col("class_size")).as("anonymity_k"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L)).as("violating_classes"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L)).as("exposed_rows"))
+      .select(col("n_rows"), col("n_classes"), col("anonymity_k"),
+        col("violating_classes"), col("exposed_rows"),
+        round(col("exposed_rows").cast("double") / col("n_rows"), 6).as("exposed_rate"),
+        (col("anonymity_k") >= k).as("pass"))
+
+  /** Classes whose NON-NULL distinct `sensitiveCol` count is below `l`
+   * — k-anonymity alone fails when everyone in a class shares the same
+   * sensitive value (the homogeneity attack l-diversity exists for).
+   * NULL sensitive values carry no disclosure, so they do not count
+   * toward diversity (matching COUNT(DISTINCT)'s null semantics). */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1L)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .where(col("distinct_sensitive") < l)
+
+  /** Suppression remediation: drop every row belonging to a class
+   * smaller than `k`. The surviving frame is k-anonymous over
+   * `quasiCols` by construction. Left-anti join on the quasi key —
+   * key-partitioned, AQE decides broadcast. NULL-safe equality so a
+   * violating class keyed by NULL quasi values is suppressed too
+   * (GROUP BY groups nulls; a plain equi-join would leak them back). */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val violating = kAnonymityViolations(df, quasiCols, k)
+      .select(quasiCols.map(c => col(c).as(s"__viol_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__viol_$c")).reduce(_ && _)
+    df.join(violating, cond, "left_anti")
+  }
+}
