@@ -1061,6 +1061,41 @@ object Queries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
         "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
+    // Moore-Lewis replica: identical add-one-smoothed unigram LMs over
+    // the union vocabulary, same ln expression tree, ROUND 6
+    "x_moore_lewis" ->
+      ("WITH rt AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "rtk AS (SELECT * FROM rt WHERE len(token) > 0), " +
+        "ttk AS (SELECT token FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents WHERE lang = 'en') WHERE len(token) > 0), " +
+        "cr AS (SELECT token, COUNT(*) AS c_r FROM rtk GROUP BY 1), " +
+        "ct AS (SELECT token, COUNT(*) AS c_t FROM ttk GROUP BY 1), " +
+        "f AS (SELECT COALESCE(cr.token, ct.token) AS token, COALESCE(c_r, 0) AS c_r, " +
+        "COALESCE(c_t, 0) AS c_t FROM cr FULL OUTER JOIN ct ON cr.token = ct.token), " +
+        "tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t, COUNT(*) AS v FROM f), " +
+        "sc AS (SELECT token, ln((c_t + 1.0) / (t_t + 1.0 * v)) - ln((c_r + 1.0) / (t_r + 1.0 * v)) AS log_ratio " +
+        "FROM f, tot) " +
+        "SELECT r.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(sc.log_ratio), 6) AS ce_diff, " +
+        "ROUND(AVG(sc.log_ratio), 6) > 0 AS selected " +
+        "FROM rtk r JOIN sc USING (token) GROUP BY r.doc_id ORDER BY r.doc_id"),
+    // line-level corpus dedup replica: same deterministic multi-line
+    // augmentation, per-line doc frequency, anti-join, ordered rebuild
+    "x_line_dedup" ->
+      ("WITH aug AS (SELECT doc_id, text " +
+        "|| CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'cookie notice applies' ELSE '' END " +
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END " +
+        "|| CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'doc ' || doc_id || ' footer' ELSE '' END AS text " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos FROM aug), " +
+        "b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50), " +
+        "k AS (SELECT l.* FROM l ANTI JOIN b USING (line)), " +
+        "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, " +
+        "COUNT(*) AS n_kept FROM k GROUP BY doc_id), " +
+        "n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM aug) " +
+        "SELECT n.doc_id, COALESCE(r.clean_text, '') AS clean_text, " +
+        "CAST(n.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed " +
+        "FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
     // per-document duplicated-span fraction (Lee et al. ExactSubstr
     // signal as an inverted n-gram index): spans shared with >= 1 other
     // document, counted per document — no pair generation on either side
@@ -1863,6 +1898,27 @@ object ExtensionQueries {
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
         .orderBy("source").limit(100)),
+    // Moore-Lewis cross-entropy-difference selection: target LM = the
+    // English slice, raw LM = the whole corpus; positive gap selects
+    "x_moore_lewis" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.crossEntropyDiff(d, d.where(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // line-level corpus dedup (RefinedWeb-style) over deterministically
+    // injected shared lines (the fixture's texts are single-line): the
+    // cookie / newsletter lines cross the 50-doc threshold and must
+    // vanish from EVERY document; the per-doc footer stays
+    "x_line_dedup" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\ncookie notice applies")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\ndoc "), col("doc_id").cast("string"), lit(" footer")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.removeBoilerplateLines(aug, "doc_id", "text", minDocs = 50)
+        .orderBy("doc_id")
+    }),
     // per-document duplicated-span statistics (inverted n-gram index)
     "x_span_dup" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(docs(s, dir), "doc_id", "text", n = 3)

@@ -320,6 +320,94 @@ object TextAnalysis {
         round(col("__cd.char_entropy"), 4).as("char_entropy"),
         col("__cd.n_distinct_chars").as("n_distinct_chars"))
 
+  /**
+   * Corpus-frequency boilerplate line removal: drop every line that
+   * appears in at least `minDocs` DISTINCT documents (cookie banners,
+   * nav menus, license footers), keeping each document's remaining
+   * lines in their original order. The cleaning step of the C4 recipe
+   * (Raffel et al., "Exploring the Limits of Transfer Learning…",
+   * JMLR 2020, §2.2 line filtering) and RefinedWeb's line-level
+   * corpus dedup (Penedo et al., 2023). The reference has no
+   * corpus-global text cleaning; its closest surface is per-value
+   * profiling (`app/schema/crawler.py:244-246`).
+   *
+   * Scale: one posexplode scan, one hash aggregation keyed by line
+   * text (two-phase distinct on (line, doc) — partial aggregation
+   * absorbs hot boilerplate lines before the shuffle), one anti-join
+   * (the boilerplate frame holds only lines over the threshold —
+   * typically tiny, AQE broadcasts it when it fits; no forced hint),
+   * and one doc-keyed reassembly. Per-doc reassembly state is one
+   * document's lines — the same bound every text op here assumes.
+   *
+   * Output: (idCol, clean_text, n_removed); a document whose every
+   * line was boilerplate survives with empty text, never vanishes.
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean_text"),
+      count(lit(1L)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
+   * Cross-entropy-difference data selection: score every raw document
+   * by the average per-token log-probability gap between a
+   * target-domain unigram LM and the raw-corpus unigram LM (both
+   * add-one smoothed over the union vocabulary); positive scores mean
+   * "more target-like than the corpus average" and are the classic
+   * selection signal. Re-expresses Moore & Lewis, "Intelligent
+   * Selection of Language Model Training Data" (ACL 2010) — the
+   * ancestor of hashed-n-gram DSIR (Xie et al., NeurIPS 2023). The
+   * reference has no data-selection surface; its training-data
+   * generator samples uniformly (`app/models/trainer.py:275-303`).
+   *
+   * Scale: two token-keyed count aggregations (map-side combine), a
+   * vocab-sized full-outer merge, one 1-row totals broadcast, and a
+   * token-keyed scoring join back to the corpus followed by a doc-keyed
+   * average. Production corpora bound the vocab by hashing features
+   * into B buckets (the DSIR trick); here features are exact tokens so
+   * the oracle can replicate the model bit-for-bit.
+   */
+  def crossEntropyDiff(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, smoothing: Double = 1.0): DataFrame = {
+    def tokens(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(split(lower(trim(col(textCol))), "\\s+")).as("token"): _*)
+        .where(length(col("token")) > 0)
+    val rawToks = tokens(raw, Seq(col(idCol)))
+    val cr = rawToks.groupBy("token").agg(count(lit(1L)).as("c_r"))
+    val ct = tokens(target, Seq.empty).groupBy("token").agg(count(lit(1L)).as("c_t"))
+    val feats = cr.join(ct, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val tot = feats.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"),
+      count(lit(1L)).as("v"))
+    val scored = feats.crossJoin(tot).select(col("token"),
+      (log((col("c_t") + smoothing) / (col("t_t") + lit(smoothing) * col("v"))) -
+        log((col("c_r") + smoothing) / (col("t_r") + lit(smoothing) * col("v"))))
+        .as("log_ratio"))
+    rawToks.join(scored, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_tokens"), avg(col("log_ratio")).as("__ce"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__ce"), 6).as("ce_diff"),
+        (round(col("__ce"), 6) > 0).as("selected"))
+  }
+
   /** Full per-document analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

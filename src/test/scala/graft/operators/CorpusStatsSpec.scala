@@ -259,4 +259,53 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("eval_id"))).toSet
     assert(r == Set((1L, 100L), (3L, 200L)), r.toString)
   }
+
+  test("crossEntropyDiff: target-like docs score positive, off-domain negative") {
+    val raw = Seq(
+      (1L, "spark shuffle codegen spark shuffle"),     // target-like
+      (2L, "pasta recipe garlic olive pasta garlic"),  // off-domain
+      (3L, "spark recipe")                             // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      Tuple1("spark shuffle codegen catalyst spark"),
+      Tuple1("shuffle codegen spark partitions")).toDF("text")
+    val out = graft.operators.TextAnalysis
+      .crossEntropyDiff(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") === 5L)
+    assert(out(0).getAs[Boolean]("selected"))      // spark-heavy -> selected
+    assert(!out(1).getAs[Boolean]("selected"))     // pasta -> not selected
+    assert(out(0).getAs[Double]("ce_diff") > out(2).getAs[Double]("ce_diff"))
+    assert(out(2).getAs[Double]("ce_diff") > out(1).getAs[Double]("ce_diff"))
+  }
+
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order, never drops a doc") {
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nsolo line two"),
+      (3L, "cookie banner"), // entirely boilerplate -> survives empty
+      (4L, "final doc\ncookie banner\nlast words")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "unique alpha\nunique beta", 1L)))
+    assert(out(1) === ((2L, "solo line two", 1L)))
+    assert(out(2) === ((3L, "", 1L))) // doc kept, text emptied
+    assert(out(3) === ((4L, "final doc\nlast words", 1L)))
+  }
+
+  test("removeBoilerplateLines counts DISTINCT docs (repeats within one doc don't trip the threshold)") {
+    val docs = Seq(
+      (1L, "chorus\nchorus\nchorus\nchorus\nverse one"),
+      (2L, "other text")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    // "chorus" appears 4x but in only ONE doc -> not boilerplate
+    assert(out(0).getString(1) === "chorus\nchorus\nchorus\nchorus\nverse one")
+    assert(out(0).getLong(2) === 0L)
+  }
 }
