@@ -1075,7 +1075,7 @@ object Queries {
         "tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t, COUNT(*) AS v FROM f), " +
         "sc AS (SELECT token, ln((c_t + 1.0) / (t_t + 1.0 * v)) - ln((c_r + 1.0) / (t_r + 1.0 * v)) AS log_ratio " +
         "FROM f, tot) " +
-        "SELECT r.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(sc.log_ratio), 6) AS ce_diff, " +
+        "SELECT r.doc_id, COUNT(*) AS n_tokens, ROUND(AVG(sc.log_ratio), 6) + 0.0 AS ce_diff, " +
         "ROUND(AVG(sc.log_ratio), 6) > 0 AS selected " +
         "FROM rtk r JOIN sc USING (token) GROUP BY r.doc_id ORDER BY r.doc_id"),
     // line-level corpus dedup replica: same deterministic multi-line

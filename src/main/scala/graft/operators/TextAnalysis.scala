@@ -404,7 +404,10 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1L)).as("n_tokens"), avg(col("log_ratio")).as("__ce"))
       .select(col(idCol), col("n_tokens"),
-        round(col("__ce"), 6).as("ce_diff"),
+        // + 0.0 normalizes IEEE negative zero (a tiny negative average
+        // rounds to -0.0 in one engine and +0.0 in the other — equal
+        // numerically, different bytes under result hashing)
+        (round(col("__ce"), 6) + lit(0.0)).as("ce_diff"),
         (round(col("__ce"), 6) > 0).as("selected"))
   }
 
