@@ -381,7 +381,11 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
           .filterNot(tok => cols.exists(_.equalsIgnoreCase(tok))) ++
         (0 to 100).map(_.toString)
       def strip(s: String): String =
-        s.split("[^a-z0-9_]+").filterNot(fillers).mkString(" ")
+        // drop the empty token a LEADING separator leaves behind —
+        // substring(m.end) phrases start with a space, and the stray
+        // "" re-joined as a leading space broke the exact-window
+        // (>= 100) column-fit test for every by-aggregate phrase
+        s.split("[^a-z0-9_]+").filter(_.nonEmpty).filterNot(fillers).mkString(" ")
       val perPhrase = perPhraseRe.findFirstMatchIn(q).map(m => strip(m.group(1))).getOrElse(strip(q))
       val prePhrase = perPhraseRe.findFirstMatchIn(q).map(m => strip(q.take(m.start))).getOrElse(strip(q))
       def best(candidates: Seq[String], phrase: String, default: String): String =
@@ -537,7 +541,12 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
             if (f != "COUNT" || countsThisTable) && filters.isEmpty
             (jCol, s) <- slice.tables(e.toTable).filterNot(_ == e.toColumn)
               .map(c => c -> graft.link.Fuzzy.nameScore(c, fullPhrase)).sortBy(-_._2).headOption
-            if s >= 100 && s > graft.link.Fuzzy.nameScore(groupCol, fullPhrase)
+            // WORD-level evidence required, not a bare substring window:
+            // "age" sitting inside "percentage" partial-matches at 100
+            // and must not pull in a students join the question never
+            // asked for
+            if s >= 100 && graft.link.Fuzzy.wordHit(jCol, fullPhrase) &&
+              s > graft.link.Fuzzy.nameScore(groupCol, fullPhrase)
           } yield {
             // filters naming the DIMENSION's columns ("in the science
             // dept" → courses.dept) attach to the joined side; the
@@ -547,11 +556,16 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
               slice.tables(e.toTable).filterNot(_ == e.toColumn).filterNot(_ == jCol))
             val whereJ =
               if (dimFilters.isEmpty) "" else dimFilters.map("j." + _).mkString(" WHERE ", " AND ", "")
+            // base 0.88, above the local grouped-agg's fit-passing 0.87:
+            // the jCol guard (>= 100 AND > groupCol's own fit) proves the
+            // question demands the DIMENSION column ("course NAMES …"),
+            // which only the join can serve — the local candidate cannot
+            // produce course_name from the fact table at any confidence
             Candidate(
               s"SELECT j.$jCol, ${if (f == "COUNT") "COUNT(*)" else s"$f(f.$numericish)"} AS agg_value " +
                 s"FROM $t f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn}$whereJ " +
                 s"GROUP BY j.$jCol ORDER BY j.$jCol LIMIT $DefaultLimit",
-              conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_join_group")
+              conf(0.88, numericish, prePhrase, needsFit = f != "COUNT"), "template_join_group")
           }
           local +: joined
         case Intent.DistinctIntent =>

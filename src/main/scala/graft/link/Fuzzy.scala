@@ -78,6 +78,21 @@ object Fuzzy {
     "value", "values", "id", "ids", "name", "names", "type", "types",
     "date", "dates", "time", "times", "row", "rows", "data", "key", "keys")
 
+  /** True when the phrase carries WORD-level evidence for the name: the
+    * full name or a >=4-char underscore segment appears as a whole word
+    * (singular/plural tolerated, generic words excluded). Substring
+    * windows alone ("age" inside "percentage") do NOT count — callers
+    * gating expensive readings (e.g. a join) on a column mention should
+    * require this, not a bare partial-ratio band. */
+  def wordHit(name: String, question: String): Boolean = {
+    val words = question.toLowerCase.split("[^a-z0-9_]+").toSet
+    val n = name.toLowerCase
+    def hit(p: String) = words.contains(p) || words.contains(p + "s") ||
+      (p.endsWith("s") && words.contains(p.dropRight(1)))
+    (n.length >= 4 && !genericWords(n) && hit(n)) ||
+      n.split('_').toSeq.filter(_.length >= 4).filterNot(genericWords).exists(hit)
+  }
+
   def nameScore(name: String, question: String): Int = {
     val base = partialRatio(name, question)
     val damped = if (name.length >= 3) base else base * name.length / 3
