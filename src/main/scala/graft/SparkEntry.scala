@@ -1360,6 +1360,19 @@ object Queries {
         "FROM events e JOIN st USING (event_type) " +
         "WHERE st.sd > 0 AND ABS((e.value - st.mu) / st.sd) > 2.5 " +
         "ORDER BY event_id LIMIT 500"),
+    // robust MAD outliers: medians and MAD replicated with
+    // quantile_cont (Spark's exact percentile interpolates identically);
+    // flag margin measured 0.0018 at sf0.1 — far above engine drift
+    "x_anomaly_mad" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), " +
+        "dev AS (SELECT e.event_id, e.event_type, e.value, ABS(e.value - m.med) AS adev, m.med " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1) " +
+        "SELECT d.event_id, d.event_type, d.value, " +
+        "round((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z " +
+        "FROM dev d JOIN mad m USING (event_type) " +
+        "WHERE m.mad > 0 AND d.adev > 3.0 * 1.4826 * m.mad " +
+        "ORDER BY event_id LIMIT 500"),
     // filtered vector search: cosine top-10 over embeddings whose
     // document row passes the metadata predicate (selection by rounded
     // cosine is boundary-safe — see the Spark-side comment)
@@ -2688,6 +2701,14 @@ object ExtensionQueries {
       Sources.register(s, dir)
       graft.operators.EventAnalytics.anomalyZscores(s.table("events"),
         "event_type", "value", Seq("event_id"), threshold = 2.5)
+        .orderBy("event_id").limit(500)
+    }),
+    // robust median/MAD outliers (two broadcast stats passes, no
+    // event-keyed shuffle — same plan family as the z-score op)
+    "x_anomaly_mad" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.anomalyMad(s.table("events"),
+        "event_type", "value", Seq("event_id"), threshold = 3.0)
         .orderBy("event_id").limit(500)
     }),
     // hybrid BM25 + cosine retrieval fused by reciprocal rank — every

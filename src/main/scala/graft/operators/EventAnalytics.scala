@@ -270,4 +270,35 @@ object EventAnalytics {
       .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
         round(z, 4).as("zscore")): _*)
   }
+
+  /**
+   * Robust per-key outlier flagging via median/MAD: flag events whose
+   * absolute deviation from their key's MEDIAN exceeds
+   * `threshold · 1.4826 · MAD` (1.4826 scales MAD to σ under
+   * normality). Immune to the contamination problem z-scores have —
+   * the outliers inflate the very stddev they are judged against
+   * (Leys et al., "Detecting outliers: do not use standard deviation
+   * around the mean, use absolute deviation around the median",
+   * JESP 2013). The reference profiles plain min/max/avg only
+   * (`app/schema/crawler.py:244-246`).
+   *
+   * Plan: two |keys|-sized exact-percentile aggregation passes
+   * (medians, then MAD of deviations), each broadcast back onto the
+   * scan — like [[anomalyZscores]], no event-keyed shuffle at any
+   * size, the shape that holds while |keys| ≪ |events|.
+   */
+  def anomalyMad(events: DataFrame, keyCol: String, valueCol: String,
+      idCols: Seq[String], threshold: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withDev = events.join(broadcast(med), keyCol)
+      .withColumn("__adev", abs(col(valueCol) - col("__med")))
+    val madF = withDev.groupBy(col(keyCol))
+      .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+    withDev.join(broadcast(madF), keyCol)
+      .where(col("__mad") > 0 && col("__adev") > lit(threshold) * 1.4826 * col("__mad"))
+      .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
+        round((col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")), 4)
+          .as("robust_z")): _*)
+  }
 }

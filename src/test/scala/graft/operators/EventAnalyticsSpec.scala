@@ -181,6 +181,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("anomalyMad flags the planted outlier and survives contamination that breaks z-scores") {
+    // 20 inliers at 10±0.2 plus FIVE planted outliers at 1000: the
+    // outliers inflate the stddev enough that z-scores miss them at
+    // threshold 3 (masking), while median/MAD still flags all five
+    val base = (1 to 20).map(i => (i.toLong, "click", 10.0 + (i % 5) * 0.1))
+    val outliers = (91 to 95).map(i => (i.toLong, "click", 1000.0))
+    val df = (base ++ outliers).toDF("event_id", "event_type", "value")
+    val z = EventAnalytics.anomalyZscores(df, "event_type", "value",
+      Seq("event_id"), threshold = 3.0).collect()
+    assert(z.isEmpty, s"z-scores masked by contamination, got ${z.length}")
+    val m = EventAnalytics.anomalyMad(df, "event_type", "value",
+      Seq("event_id"), threshold = 3.0).collect()
+    assert(m.map(_.getLong(0)).sorted.toSeq == (91L to 95L), m.mkString(","))
+    assert(m.forall(_.getDouble(3) > 3.0))
+  }
+
+  test("anomalyMad plan: both stats passes broadcast back, no event-keyed shuffle join") {
+    val df = (1 to 100).map(i => (i.toLong, s"t${i % 3}", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val plan = EventAnalytics.anomalyMad(df, "event_type", "value",
+      Seq("event_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("funnel reach joins are user-keyed equi-joins (no cartesian)") {
     val reach = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
       Seq("signup", "click"))
