@@ -344,19 +344,32 @@ object TextAnalysis {
    */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long): DataFrame = {
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lines = explodeLines(df, idCol, textCol)
     val boiler = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .where(col("ndocs") >= minDocs)
       .select("line")
     val kept = lines.join(boiler, Seq("line"), "left_anti")
+    reassemble(df, kept, idCol, textCol)
+  }
+
+  /** (idCol, pos, line) frame of a documents table. */
+  private[graft] def explodeLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+
+  /** Rebuild (idCol, clean_text, n_removed) from surviving
+    * (idCol, pos, line) rows — ordered reassembly; a document whose
+    * every line was dropped survives with empty text. */
+  private[graft] def reassemble(original: DataFrame, kept: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val rebuilt = kept.groupBy(col(idCol)).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
         x => x.getField("line")), "\n").as("clean_text"),
       count(lit(1L)).as("n_kept"))
-    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+    original.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

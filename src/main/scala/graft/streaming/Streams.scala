@@ -686,6 +686,61 @@ object Streams {
   }
 
   /**
+   * Streaming boilerplate-line detection — the ingest-time analogue of
+   * [[graft.operators.TextAnalysis.removeBoilerplateLines]]. The batch
+   * operator needs the corpus-wide per-line doc frequency; exact
+   * streaming state would be one row per distinct line ever seen
+   * (unbounded). The maintainer instead folds every micro-batch's
+   * DISTINCT (doc, line) pairs into ONE merged Count-Min sketch —
+   * state is a single kilobyte-scale sketch row, independent of stream
+   * volume — and [[clean]] drops lines whose ESTIMATED doc frequency
+   * crosses the threshold. CMS error is one-sided (estimate ≥ true
+   * count, over by ≤ ε·N w.p. ≥ confidence), so true boilerplate is
+   * NEVER missed; a rare line can be over-dropped only when ε·N
+   * approaches `minDocs` — pick ε so ε·(line instances) ≪ minDocs.
+   * Per-doc line dedup inside each batch keeps the estimate a DOC
+   * frequency (a chorus repeated in one doc counts once), matching the
+   * batch operator's countDistinct semantics for docs that arrive in
+   * one batch.
+   */
+  final class BoilerplateMaintainer(idCol: String, textCol: String,
+      eps: Double = 0.00001, confidence: Double = 0.99, seed: Int = 42) {
+    @volatile private var sketch: Option[DataFrame] = None
+    /** One-row (cms) frame, or None before the first batch. */
+    def currentSketch: Option[DataFrame] = sketch
+    /** `foreachBatch` handler: fold one micro-batch of documents. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val lines = graft.operators.TextAnalysis
+        .explodeLines(batch, idCol, textCol)
+        .select(col(idCol), col("line")).distinct()
+      val part = lines.agg(count_min_sketch(col("line"),
+        lit(eps), lit(confidence), lit(seed)).as("cms"))
+      val merged = sketch match {
+        case None => part
+        case Some(prev) => prev.unionByName(part)
+          .agg(graft.functions.cms_merge(col("cms")).as("cms"))
+      }
+      val next = merged.localCheckpoint(true)
+      sketch.foreach(_.unpersist())
+      sketch = Some(next)
+    }
+    /** Clean `docs` against everything seen so far; same output shape
+      * as the batch operator (idCol, clean_text, n_removed). Before
+      * any batch, documents pass through untouched. */
+    def clean(docs: DataFrame, minDocs: Long): DataFrame = sketch match {
+      case None => docs.select(col(idCol), col(textCol).as("clean_text"),
+        lit(0L).as("n_removed"))
+      case Some(sk) =>
+        val lines = graft.operators.TextAnalysis
+          .explodeLines(docs, idCol, textCol)
+        val kept = lines.crossJoin(broadcast(sk))
+          .where(graft.functions.cms_estimate(col("cms"), col("line")) < minDocs)
+          .select(col(idCol), col("pos"), col("line"))
+        graft.operators.TextAnalysis.reassemble(docs, kept, idCol, textCol)
+    }
+  }
+
+  /**
    * Streaming entity resolution — arriving records link against a
    * STATIC master table through the same blocked candidate generation
    * and native Jaro-Winkler scoring as

@@ -555,6 +555,37 @@ class StreamsSpec extends SparkSpec {
     assert(m2.currentCounts == batch)
   }
 
+  test("streaming boilerplate maintainer: sketch-folded cleaning equals the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, col => fcol}
+    // 60 docs: a shared cookie line on every doc (boilerplate), a shared
+    // nav line on every third doc (20 docs, still over threshold), and
+    // a unique body line per doc
+    val docs = (1 to 60).map { i =>
+      val nav = if (i % 3 == 0) "\nnav menu home about" else ""
+      (i.toLong, s"body text $i alpha\ncookie notice applies$nav")
+    }.toDF("doc_id", "text")
+    val m = new Streams.BoilerplateMaintainer("doc_id", "text")
+    // before any batch: pass-through
+    assert(m.clean(docs, 10).where($"n_removed" > 0).count() == 0)
+    // fold three micro-batches split by id hash
+    (0 until 3).foreach(i => m.onBatch(docs.where(pmod($"doc_id", lit(3)) === i), i.toLong))
+    // state is ONE sketch row regardless of volume
+    assert(m.currentSketch.get.count() == 1)
+    val streamed = m.clean(docs, 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = graft.operators.TextAnalysis
+      .removeBoilerplateLines(docs, "doc_id", "text", minDocs = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // at this size the CMS estimates are exact, so the sketch path must
+    // reproduce the exact operator row-for-row (one-sided error means
+    // at scale it can only ever over-drop, never miss boilerplate)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.forall { case (_, t, _) => !t.contains("cookie") && !t.contains("nav") })
+    assert(streamed.forall { case (id, t, _) => t.contains(s"body text $id") })
+  }
+
   test("streaming anomaly stats: folded moments equal batch mean/stddev; flags match batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{avg, count, lit, pmod, stddev_samp}
