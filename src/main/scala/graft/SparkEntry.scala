@@ -930,6 +930,19 @@ object Queries {
     },
     // stratified deterministic sampling by token-length band: per-mille
     // id-hash buckets, exact integer arithmetic on both sides
+    // normalized-dedup replica: identical augmentation and the same
+    // lower/translate/regexp_replace/md5 normalization pipeline (the
+    // accent table is interpolated from the ONE Scala constant)
+    "x_normalized_dedup" ->
+      (s"WITH aug AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, " +
+        "upper(translate(text, 'aeio', '\u00e1\u00e9\u00ec\u00f6')) " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "n AS (SELECT doc_id, md5(trim(regexp_replace(translate(lower(text), " +
+        s"'${graft.operators.TextAnalysis.AccentFrom}', '${graft.operators.TextAnalysis.AccentTo}'), " +
+        "'\\s+', ' ', 'g'))) AS nfp FROM aug) " +
+        "SELECT nfp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM n GROUP BY nfp HAVING COUNT(*) > 1 ORDER BY first_doc"),
     "x_stratified_sample" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents), " +
         "s AS (SELECT doc_id, CASE WHEN n_tokens < 50 THEN 'short' WHEN n_tokens < 200 THEN 'medium' ELSE 'long' END AS stratum FROM t) " +
@@ -1814,6 +1827,17 @@ object ExtensionQueries {
         .orderBy("doc_id").limit(100)
     }),
     // stratified deterministic sampling by token-length band
+    // accent/case-insensitive normalized dedup: planted variant docs
+    // (accent-translated + upper-cased copies) must land in the same
+    // group as their originals via the CCNet normalization fingerprint
+    "x_normalized_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(translate(col("text"), "aeio", "\u00e1\u00e9\u00ec\u00f6")).as("text"))
+      TextAnalysis.normalizedDuplicateGroups(base.unionAll(variants), "doc_id", "text")
+        .where(col("n_docs") > 1).orderBy("first_doc")
+    }),
     "x_stratified_sample" -> ((s, dir) => {
       val n = TextAnalysis.tokenCount(col("text"))
       val stratum = when(n < 50, "short").when(n < 200, "medium").otherwise("long")

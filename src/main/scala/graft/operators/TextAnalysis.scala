@@ -430,6 +430,45 @@ object TextAnalysis {
         (round(col("__ce"), 6) > 0).as("selected"))
   }
 
+  /** Latin accent-fold table (built from pairs so the from/to strings
+    * can never drift out of alignment). Lowercase only — [[normalizeText]]
+    * lower-cases first. */
+  private val AccentPairs: Seq[(Char, Char)] = Seq(
+    "áàâäãåā" -> 'a', "éèêëē" -> 'e', "íìîïī" -> 'i', "óòôöõō" -> 'o',
+    "úùûüū" -> 'u', "ñ" -> 'n', "ç" -> 'c', "ýÿ" -> 'y', "š" -> 's', "ž" -> 'z')
+    .flatMap { case (cs, to) => cs.map(_ -> to) }
+  val AccentFrom: String = AccentPairs.map(_._1).mkString
+  val AccentTo: String = AccentPairs.map(_._2).mkString
+
+  /**
+   * CCNet-style text normalization for dedup keys (Wenzek et al.,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data", LREC 2020 — its dedup hashes lower-cased, accent-stripped,
+   * whitespace-collapsed text): lower-case, fold Latin accents, collapse
+   * runs of whitespace, trim. Pure built-in composition (lower /
+   * translate / regexp_replace) — codegen'd in the scan's span, no UDF,
+   * and byte-identical across engines (translate has the same
+   * semantics in DuckDB, which is what makes the fingerprint oracle
+   * exact).
+   */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(translate(lower(text), AccentFrom, AccentTo), "\\s+", " "))
+
+  /** Dedup key of the normalized text (md5 — hex-identical across
+    * engines, unlike xxhash64). */
+  def normalizedFingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Accent/case/whitespace-insensitive exact-duplicate groups: one
+    * hash aggregation on the normalized fingerprint — the CCNet dedup
+    * pass that catches "Café" vs "cafe" re-crawls plain exact dedup
+    * misses. Output: (nfp, n_docs, first_doc, last_doc). */
+  def normalizedDuplicateGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), normalizedFingerprint(col(textCol)).as("nfp"))
+      .groupBy("nfp")
+      .agg(count(lit(1L)).as("n_docs"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+
   /** Full per-document analysis projection over a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -279,6 +279,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ce_diff") > out(1).getAs[Double]("ce_diff"))
   }
 
+  test("normalizeText folds case, accents and whitespace; variant docs share a fingerprint") {
+    val df = Seq(
+      (1L, "Café  au   lait"),
+      (2L, "café AU LAIT"),
+      (3L, "cafe au lait"),
+      (4L, "completely different")
+    ).toDF("doc_id", "text")
+    val n = df.select($"doc_id",
+      graft.operators.TextAnalysis.normalizeText($"text").as("nt")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(1L) === "cafe au lait")
+    assert(n(2L) === "cafe au lait")
+    assert(n(3L) === "cafe au lait")
+    val g = graft.operators.TextAnalysis
+      .normalizedDuplicateGroups(df, "doc_id", "text")
+      .where($"n_docs" > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("n_docs") === 3L)
+    assert(g(0).getAs[Long]("first_doc") === 1L && g(0).getAs[Long]("last_doc") === 3L)
+  }
+
   test("removeBoilerplateLines drops corpus-frequent lines, keeps order, never drops a doc") {
     val docs = Seq(
       (1L, "unique alpha\ncookie banner\nunique beta"),
