@@ -1209,6 +1209,19 @@ object Queries {
         "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
         "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
         "ORDER BY query_id, rank LIMIT 100"),
+    // hard negatives replica: same cosine ranking with the label
+    // mismatch applied before ranking
+    "x_hard_negatives" ->
+      ("WITH e AS (SELECT m.vec_id, CAST(m.embedding AS DOUBLE[]) AS emb, d.source " +
+        "FROM embeddings m JOIN documents d ON d.doc_id = m.vec_id), " +
+        "a AS (SELECT vec_id AS anchor_id, emb AS aemb, source AS albl FROM e WHERE vec_id < 4), " +
+        "x AS (SELECT a.anchor_id, e.vec_id, e.source AS neg_label, " +
+        "CAST(list_cosine_similarity(e.emb, a.aemb) AS DOUBLE) AS cos " +
+        "FROM e, a WHERE e.source <> a.albl), " +
+        "r AS (SELECT anchor_id, vec_id, neg_label, cos, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
+        "SELECT anchor_id, vec_id, neg_label, round(cos, 4) AS cosine, rank FROM r " +
+        "WHERE rank <= 5 ORDER BY anchor_id, rank LIMIT 100"),
     // IVF-pruned k-NN join: gold is the brute-force per-query top-5 over
     // the planted-cluster frame (cell pruning must lose nothing there)
     "x_knn_join_ivf" ->
@@ -2021,6 +2034,20 @@ object ExtensionQueries {
         .select(col("query_id"), col("id").as("vec_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank").limit(100)
+    }),
+    // contrastive hard negatives: top-5 most-similar DIFFERENT-source
+    // vectors per anchor (label mismatch filters before scoring)
+    "x_hard_negatives" -> ((s, dir) => {
+      val lbl = docs(s, dir).select(col("doc_id").as("vec_id"), col("source"))
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .join(lbl, "vec_id")
+      val anchors = e.where(col("vec_id") < 4)
+      Similarity.hardNegatives(e, "vec_id", "emb", "source",
+        anchors, "vec_id", "emb", "source", k = 5)
+        .select(col("anchor_id"), col("id").as("vec_id"), col("neg_label"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("anchor_id", "rank").limit(100)
     }),
     // IVF-pruned k-NN join on the planted-cluster frame (the big-query-
     // set scale path: queries equi-join their probed cells, never the

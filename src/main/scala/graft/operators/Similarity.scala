@@ -414,6 +414,37 @@ object Similarity {
   }
 
   /**
+   * Contrastive hard-negative mining: for each anchor, the k most
+   * cosine-similar corpus vectors carrying a DIFFERENT label — the
+   * negatives hardest to distinguish from the anchor, the mining step
+   * of contrastive training (ANCE, Xiong et al. ICLR 2021; the
+   * in-batch-negatives upgrade SimCSE-style pipelines use). Same
+   * broadcast-fan-out contract as [[knnJoin]] (anchors are the bounded
+   * working set of one mining round; corpus side streams); the label
+   * mismatch filters BEFORE scoring, so same-label neighbors never
+   * consume negative slots and their cosines are never computed. For
+   * corpus-scale anchor sets, compose the same filter with
+   * [[knnJoinIvf]]'s cell-pruned equi-join instead.
+   */
+  def hardNegatives(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, anchors: DataFrame, aIdCol: String, aEmbCol: String,
+      aLabelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = broadcast(anchors.select(col(aIdCol).as("anchor_id"),
+      col(aEmbCol).as("__aemb"), col(aLabelCol).as("__albl")))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("id"))
+    corpus.select(col(idCol).as("id"), col(embCol).as("__cemb"),
+      col(labelCol).as("__clbl"))
+      .crossJoin(a)
+      .where(col("__clbl") =!= col("__albl"))
+      .select(col("anchor_id"), col("id"), col("__clbl").as("neg_label"),
+        cosine_sim(col("__cemb"), col("__aemb")).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * IVF-PRUNED k-NN join: the scale path for LARGE query sets, where
    * [[knnJoin]]'s broadcast fan-out (|queries| × corpus cosines) stops
    * being affordable. Each query maps to its `nprobe` nearest IVF cells

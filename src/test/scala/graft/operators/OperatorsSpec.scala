@@ -142,6 +142,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sortBy(-_.toDouble)))
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vectors only, never a same-label one") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0), "a"),   // anchor
+      (2L, Array(0.99, 0.14), "a"), // same label, nearest overall -> excluded
+      (3L, Array(0.9, 0.44), "b"),  // different label, near -> rank 1
+      (4L, Array(0.0, 1.0), "b"),   // different label, far -> rank 2
+      (5L, Array(0.95, 0.31), "a")  // same label -> excluded
+    ).toDF("vec_id", "emb", "lbl")
+    val anchors = df.where($"vec_id" === 1)
+    val out = Similarity.hardNegatives(df, "vec_id", "emb", "lbl",
+      anchors, "vec_id", "emb", "lbl", k = 5).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L))
+    assert(out.forall(_.getString(2) == "b"))
+    assert(out(0).getInt(4) == 1 && out(1).getInt(4) == 2)
+  }
+
   test("lsh topK returns a subset consistent with brute force ranking") {
     val q = embeddings.where($"vec_id" === 7).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
