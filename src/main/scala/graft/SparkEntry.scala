@@ -992,6 +992,20 @@ object Queries {
         "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(mx AS DOUBLE) / tot END, 4) AS top_bigram_frac " +
         "FROM words JOIN m ON words.doc_id = m.doc_id ORDER BY words.doc_id LIMIT 100"),
     // per-source statistics + temperature-scaled mixing weights
+    // dataset-card replica: the shared quality CTEs provide n_tokens
+    // and the 4dp quality; duplicate exposure via (source, md5) groups
+    "x_corpus_report" ->
+      (s"WITH $qualityCtes, " +
+        "fpx AS (SELECT d.doc_id, d.source, d.lang, md5(d.text) AS fp, " +
+        "sc.n_tokens, sc.quality FROM documents d JOIN scored sc USING (doc_id)), " +
+        "dg AS (SELECT source, fp, COUNT(*) AS n FROM fpx GROUP BY 1, 2), " +
+        "dd AS (SELECT source, CAST(SUM(n) AS BIGINT) AS dup_docs FROM dg WHERE n > 1 GROUP BY 1), " +
+        "b AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "ROUND(AVG(quality), 4) AS avg_quality, COUNT(DISTINCT lang) AS n_langs FROM fpx GROUP BY 1) " +
+        "SELECT b.source, b.n_docs, b.sum_tokens, b.avg_quality, b.n_langs, " +
+        "COALESCE(dd.dup_docs, 0) AS dup_docs, " +
+        "ROUND(CAST(COALESCE(dd.dup_docs, 0) AS DOUBLE) / b.n_docs, 4) AS dup_rate " +
+        "FROM b LEFT JOIN dd USING (source) ORDER BY source LIMIT 100"),
     "x_source_mix" ->
       ("WITH t AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
         "g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens, AVG(n) AS avg_raw FROM t GROUP BY source), " +
@@ -1945,6 +1959,11 @@ object ExtensionQueries {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id").limit(100)),
     // per-source stats + temperature-scaled mixing weights
+    // per-source dataset card: volumes, mean quality, language spread,
+    // exact-dup exposure — one enrichment projection + two aggregations
+    "x_corpus_report" -> ((s, dir) =>
+      graft.operators.Pipelines.corpusReport(docs(s, dir), "doc_id", "text",
+        "lang", "source").orderBy("source").limit(100)),
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
         .orderBy("source").limit(100)),

@@ -225,4 +225,38 @@ object Pipelines {
         TextAnalysis.qualityScore(t) >= minQuality &&
         TextAnalysis.tokenCount(t).between(minTokens, maxTokens))
   }
+
+  /**
+   * Per-source dataset card: the summary row a corpus release ships
+   * with ("Datasheets for Datasets", Gebru et al., CACM 2021) — doc and
+   * token volumes, mean quality, language spread, and exact-duplicate
+   * exposure, one row per source. One enrichment projection inside the
+   * scan's codegen span (token count, quality, md5 fingerprint — no
+   * UDF), then two source-keyed aggregations (the duplicate exposure
+   * needs the (source, fingerprint) grain first) joined on the
+   * |sources|-row frame. Shuffles carry fingerprints and counters,
+   * never text.
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val enriched = docs.select(col(sourceCol).as("source"), col(langCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
+      TextAnalysis.qualityScore(col(textCol)).as("__q"),
+      md5(col(textCol)).as("__fp"))
+    val dupDocs = enriched.groupBy("source", "__fp")
+      .agg(count(lit(1L)).as("n"))
+      .where(col("n") > 1)
+      .groupBy("source").agg(sum("n").as("__dup"))
+    enriched.groupBy("source")
+      .agg(count(lit(1L)).as("n_docs"),
+        sum("__tok").as("sum_tokens"),
+        round(avg("__q"), 4).as("avg_quality"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .join(dupDocs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("avg_quality"), col("n_langs"),
+        coalesce(col("__dup"), lit(0L)).as("dup_docs"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+  }
 }
