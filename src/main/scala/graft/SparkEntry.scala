@@ -902,6 +902,21 @@ object Queries {
         "reach AS (SELECT src AS id, src AS peer FROM edges " +
         "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src) " +
         "SELECT id, MIN(peer) AS group_id FROM reach GROUP BY id ORDER BY id LIMIT 1000"),
+    // canonical-selection replica: the same recursive CC labels joined
+    // to the shared quality CTEs, winner by (quality DESC, id ASC)
+    "x_dedup_canonical" ->
+      (s"WITH RECURSIVE ${jaccardPairsCte()}, " +
+        "gold AS (SELECT id_a, id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM gold UNION SELECT id_b, id_a FROM gold), " +
+        "reach AS (SELECT src AS id, src AS peer FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src), " +
+        "labels AS (SELECT id, MIN(peer) AS group_id FROM reach GROUP BY id), " +
+        s"$qualityCtes, " +
+        "sel AS (SELECT l.group_id, l.id, sc.quality, " +
+        "row_number() OVER (PARTITION BY l.group_id ORDER BY sc.quality DESC, l.id ASC) AS rn " +
+        "FROM labels l JOIN scored sc ON sc.doc_id = l.id) " +
+        "SELECT group_id, id AS keep_id, quality AS score FROM sel WHERE rn = 1 " +
+        "ORDER BY group_id LIMIT 1000"),
     // benchmark decontamination: docs sharing >= 5 distinct 3-gram
     // shingles with the pseudo-benchmark (doc_id % 97 = 0) drop; the
     // Spark side broadcast-joins the benchmark shingle set
@@ -1819,6 +1834,17 @@ object ExtensionQueries {
         .select(col("id_a"), col("id_b"))
       Dedup.duplicateGroups(pairs)
         .orderBy("id").limit(1000)
+    }),
+    // canonical-member selection: per near-dup group, keep the member
+    // maximizing quality (min-id tiebreak) — not the first-crawled copy
+    "x_dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val scored = d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      Dedup.canonicalPerGroup(Dedup.duplicateGroups(pairs), "id", "group_id",
+        scored, "doc_id", "q")
+        .orderBy("group_id").limit(1000)
     }),
     // benchmark decontamination: pseudo-benchmark = doc_id % 97 == 0
     "x_decontam" -> ((s, dir) => {

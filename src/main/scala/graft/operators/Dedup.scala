@@ -61,6 +61,30 @@ object Dedup {
       .select(df.columns.map(col): _*)
   }
 
+  /**
+   * Canonical-member selection for duplicate groups: instead of
+   * [[dedupExact]]'s min-id survivor, keep the member that maximizes a
+   * caller-supplied score (quality, length, recency) — the refinement
+   * real curation pipelines want, since the first-crawled copy of a
+   * page is often the worst one. Same map-side-combining hash aggregate
+   * as [[dedupExact]] (`max_by` with an id tiebreak folded into the
+   * score struct so the winner is deterministic under score ties), so
+   * duplicates still collapse before the shuffle — never a window sort.
+   *
+   * `labels`: (idCol, groupCol) membership — exact-dup keys or the
+   * near-dup connected-component labels from [[duplicateGroups]].
+   * Output: one (groupCol, keep_id, score) row per group.
+   */
+  def canonicalPerGroup(labels: DataFrame, idCol: String, groupCol: String,
+      scored: DataFrame, sIdCol: String, scoreCol: String): DataFrame =
+    labels.join(scored.select(col(sIdCol).as(idCol), col(scoreCol)), idCol)
+      .groupBy(col(groupCol))
+      // struct comparison orders by score, then by NEGATED id: under a
+      // score tie the SMALLEST id wins, deterministically
+      .agg(max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("__nid")))
+        .as("keep_id"),
+        max(col(scoreCol)).as("score"))
+
   // ------------------------------------------------------------- minhash
 
   final case class LshConfig(

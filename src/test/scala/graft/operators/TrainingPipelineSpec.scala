@@ -274,4 +274,17 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(top(0).getString(0) == "alpha" && top(0).getLong(1) == 2 && top(0).getLong(2) == 3)
     assert(top(1).getString(0) == "beta" && top(1).getLong(1) == 2 && top(1).getLong(2) == 3)
   }
+
+  test("canonicalPerGroup keeps the highest-scored member; min id breaks score ties") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "group_id")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (7L, 0.4), (9L, 0.4))
+      .toDF("doc_id", "q")
+    val out = graft.operators.Dedup.canonicalPerGroup(
+        labels, "id", "group_id", scored, "doc_id", "q")
+      .orderBy("group_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.9), (7L, 7L, 0.4))) // group 7: tie -> min id
+  }
 }
