@@ -652,6 +652,16 @@ object Queries {
         "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, COUNT(*) AS n_urls, " +
         "COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM u " +
         "GROUP BY host ORDER BY host LIMIT 100"),
+    // PCA covariance pass replica: same one-pass sums over cast-to-
+    // double embeddings, sample covariance, upper triangle, ROUND 6
+    "x_embed_cov" ->
+      ("WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "p AS (SELECT emb, unnest(range(1, len(emb) + 1)) AS i FROM e), " +
+        "q AS (SELECT emb, i, unnest(range(i, len(emb) + 1)) AS j FROM p), " +
+        "g AS (SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, COUNT(*) AS n, " +
+        "SUM(emb[i]) AS sx, SUM(emb[j]) AS sy, SUM(emb[i] * emb[j]) AS sxy FROM q GROUP BY 1, 2) " +
+        "SELECT i, j, ROUND((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov " +
+        "FROM g ORDER BY i, j"),
     // int8 symmetric quantization: scale = max|x|/127, codes = round(x/scale)
     // clamped; qnorm is an exact integer, rmse the reconstruction error
     "x_embed_quantize" ->
@@ -1103,6 +1113,80 @@ object Queries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
         "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
+    // DSIR replica: word unigrams+bigrams (WordShingles semantics:
+    // short texts collapse to one whole-text shingle, blanks to none),
+    // md5-digit bucket hash, add-one smoothing over the FULL 4096-
+    // bucket space, same ln expression tree, ROUND 6
+    "x_dsir" ->
+      (raw"WITH w AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents), " +
+        "ng AS (SELECT doc_id, lang, list_concat(" +
+        "CASE WHEN len(w) = 1 AND w[1] = '' THEN CAST([] AS VARCHAR[]) ELSE w END, " +
+        "CASE WHEN len(w) = 1 AND w[1] = '' THEN CAST([] AS VARCHAR[]) " +
+        "WHEN len(w) <= 2 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS ngrams FROM w), " +
+        "fe AS (SELECT doc_id, lang, " +
+        "(strpos('0123456789abcdef', md5(ngram)[1:1]) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', md5(ngram)[2:2]) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', md5(ngram)[3:3]) - 1) AS bucket " +
+        "FROM (SELECT doc_id, lang, unnest(ngrams) AS ngram FROM ng)), " +
+        "cr AS (SELECT bucket, COUNT(*) AS c_r FROM fe GROUP BY 1), " +
+        "ct AS (SELECT bucket, COUNT(*) AS c_t FROM fe WHERE lang = 'en' GROUP BY 1), " +
+        "f AS (SELECT COALESCE(cr.bucket, ct.bucket) AS bucket, COALESCE(c_r, 0) AS c_r, " +
+        "COALESCE(c_t, 0) AS c_t FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket), " +
+        "tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM f), " +
+        "sc AS (SELECT bucket, ln((c_t + 1.0) / (t_t + 4096.0)) - ln((c_r + 1.0) / (t_r + 4096.0)) AS log_ratio " +
+        "FROM f, tot) " +
+        "SELECT fe.doc_id, COUNT(*) AS n_feats, " +
+        "ROUND(SUM(sc.log_ratio), 6) + 0.0 AS dsir_logw, " +
+        "ROUND(AVG(sc.log_ratio), 6) + 0.0 AS avg_logw, " +
+        "ROUND(AVG(sc.log_ratio), 6) > 0 AS selected " +
+        "FROM fe JOIN sc USING (bucket) GROUP BY fe.doc_id ORDER BY fe.doc_id"),
+    // token-window chunking replica: same tokens, same chunk-count
+    // formula (1 + ceil((n-64)/48) capped below at 1), same slices
+    "x_chunk_tokens" ->
+      (raw"WITH t AS (SELECT doc_id, CASE WHEN len(w) = 1 AND w[1] = '' THEN CAST([] AS VARCHAR[]) ELSE w END AS t " +
+        raw"FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)), " +
+        "n AS (SELECT doc_id, t, CASE WHEN len(t) <= 64 THEN 1 " +
+        "ELSE CAST(CEIL((len(t) - 64) / 48.0) AS INT) + 1 END AS n_chunks FROM t), " +
+        "c AS (SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_idx FROM n) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "CAST(chunk_idx * 48 AS BIGINT) AS start_token, " +
+        "CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_chunk_tokens, " +
+        "array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_idx LIMIT 500"),
+    // LR gradient-step replica: same feature formulas (the
+    // x_text_analyze CTE arithmetic, features rounded 4 BEFORE the
+    // sigmoid so both engines feed identical inputs), same margin,
+    // grad = mean((sigma(z) - y) * x), ROUND 6
+    "x_lr_step" ->
+      (raw"WITH f AS (SELECT " +
+        raw"CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 100.0 AS tok_norm, " +
+        "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS punct, " +
+        "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS digit, " +
+        "CAST(lang = 'en' AS DOUBLE) AS y FROM documents), " +
+        "e AS (SELECT tok_norm, punct, digit, " +
+        "1.0 / (1.0 + exp(-(0.8 * tok_norm + -2.0 * punct + 1.5 * digit + -0.5))) - y AS err FROM f) " +
+        "SELECT * FROM (" +
+        "SELECT '__bias' AS feature, ROUND(AVG(err), 6) + 0.0 AS grad FROM e " +
+        "UNION ALL SELECT 'tok_norm', ROUND(AVG(err * tok_norm), 6) + 0.0 FROM e " +
+        "UNION ALL SELECT 'punct', ROUND(AVG(err * punct), 6) + 0.0 FROM e " +
+        "UNION ALL SELECT 'digit', ROUND(AVG(err * digit), 6) + 0.0 FROM e" +
+        ") ORDER BY feature"),
+    // Gumbel top-k replica: same md5-digit 24-bit uniform, same
+    // log-weight, same key expression, ROUND 6 after the order
+    "x_gumbel_topk" ->
+      (raw"WITH d AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        raw"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents), " +
+        "g AS (SELECT doc_id, n_tokens, ln(n_tokens + 1.0) - ln(-ln(((" +
+        "(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[1:1]) - 1) * 1048576.0 " +
+        "+ (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[2:2]) - 1) * 65536.0 " +
+        "+ (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[3:3]) - 1) * 4096.0 " +
+        "+ (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[4:4]) - 1) * 256.0 " +
+        "+ (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[5:5]) - 1) * 16.0 " +
+        "+ (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || ':17')[6:6]) - 1) " +
+        ") + 0.5) / 16777216.0)) AS key FROM d) " +
+        "SELECT doc_id, n_tokens, ROUND(key, 6) + 0.0 AS gumbel_key " +
+        "FROM g ORDER BY key DESC, doc_id LIMIT 50"),
     // Moore-Lewis replica: identical add-one-smoothed unigram LMs over
     // the union vocabulary, same ln expression tree, ROUND 6
     "x_moore_lewis" ->
@@ -1993,6 +2077,41 @@ object ExtensionQueries {
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
         .orderBy("source").limit(100)),
+    // DSIR hashed-n-gram importance weights: target = the English
+    // slice, raw = the whole corpus, 4096 md5-derived buckets
+    "x_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.dsirWeightsWhere(d, col("lang") === "en", "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // token-window chunking (64-token chunks, 16-token overlap):
+    // deterministic per-doc windows; LIMIT keeps the dump bounded
+    "x_chunk_tokens" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByTokens(docs(s, dir), "doc_id", "text",
+          size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx").limit(500)),
+    // logistic-regression gradient step (quality-classifier training):
+    // fixed weights, text-stat features, label = lang='en'; the
+    // x_kmeans_step precedent — pin one exactly-reproducible step
+    "x_lr_step" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        (TextAnalysis.tokenCount(col("text")).cast("double") / 100.0).as("tok_norm"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct"),
+        round(TextAnalysis.digitRatio(col("text")), 4).as("digit"),
+        (col("lang") === "en").cast("double").as("y"))
+      graft.ml.LogReg.gradientFrame(d, Seq("tok_norm", "punct", "digit"), "y",
+        Array(0.8, -2.0, 1.5, -0.5)).orderBy("feature")
+    }),
+    // Gumbel top-k importance resampling: 50 docs drawn without
+    // replacement ∝ (n_tokens + 1), deterministic md5-derived noise
+    "x_gumbel_topk" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.gumbelTopK(d, "doc_id",
+          log(col("n_tokens") + 1.0), k = 50)
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("gumbel_key"), 6) + 0.0).as("gumbel_key"))
+    }),
     // Moore-Lewis cross-entropy-difference selection: target LM = the
     // English slice, raw LM = the whole corpus; positive gap selects
     "x_moore_lewis" -> ((s, dir) => {
@@ -2143,6 +2262,11 @@ object ExtensionQueries {
         .select(col("id").as("vec_id"), col("cluster"), round(col("cosine"), 4).as("cosine"))
         .orderBy("vec_id").limit(2000)
     }),
+    // PCA covariance pass: one-shot distributed second-moment sums →
+    // upper-triangle sample covariance of the embedding dimensions
+    "x_embed_cov" -> ((s, dir) =>
+      graft.operators.Pca.covarianceLong(embs(s, dir), "embedding")
+        .orderBy("i", "j")),
     // SemDeDup: within-cluster semantic near-dup pairs over planted
     // perturbed copies (cosine ≈ 0.97); fixed probe centroids (vec_id<8)
     // keep the assignment — and therefore the cluster scoping — oracle-

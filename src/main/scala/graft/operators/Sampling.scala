@@ -174,6 +174,44 @@ object Sampling {
     df.where(hashBucket(col(idCol)) <
       (least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1000).cast("long"))
 
+  /** Deterministic per-row Gumbel perturbation of a log-weight: the
+    * Gumbel-max key `logw − ln(−ln(u))` with `u ∈ (0,1)` derived from
+    * the row id and seed through md5's first six hex digits (an exact
+    * 24-bit integer — bit-identical in any engine with md5, so the
+    * oracle replicates the whole key digit-for-digit). */
+  def gumbelKey(id: Column, logWeight: Column, seed: Long = 17L): Column = {
+    val h = md5(concat(id.cast("string"), lit(":"), lit(seed.toString)))
+    val v = (1 to 6).map { j =>
+      (instr(lit("0123456789abcdef"), substring(h, j, 1)) - 1).cast("double") *
+        math.pow(16, 6 - j)
+    }.reduce(_ + _)
+    val u = (v + 0.5) / 16777216.0
+    logWeight.cast("double") - log(-log(u))
+  }
+
+  /**
+   * Gumbel top-k: sample `k` rows WITHOUT replacement with probability
+   * proportional to `exp(logWeight)` — the selection step of
+   * importance resampling (Xie et al., NeurIPS 2023 use exactly this
+   * to draw the training subset from DSIR log-weights; Vieira 2014
+   * popularized the trick). Adding independent Gumbel noise to each
+   * log-weight and taking the arg-top-k IS a weighted sample, and
+   * because the noise is a deterministic hash of (id, seed) the draw
+   * is reproducible across runs, partitionings, and engines.
+   *
+   * Scale: one narrow projection over the scan, then a
+   * TakeOrderedAndProject — per-partition heaps of size k and a
+   * k-row driver merge, never a global sort. Output keeps the input
+   * columns plus `gumbel_key` (the perturbed weight, highest first).
+   */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeight: Column, k: Int,
+      seed: Long = 17L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("gumbel_key", gumbelKey(col(idCol), logWeight, seed))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Length-bucketed inference batching: group documents whose token
    * counts fall in the same `bucketWidth`-token band, order each band by

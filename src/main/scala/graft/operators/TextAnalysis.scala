@@ -430,6 +430,135 @@ object TextAnalysis {
         (round(col("__ce"), 6) > 0).as("selected"))
   }
 
+  /** DSIR hashed-feature bucket of a word n-gram: the first three hex
+    * digits of md5 as a base-16 integer, mod `buckets` — uniform over
+    * the 4096-value digit space, and replicable in any engine with md5
+    * (the oracle recomputes it digit-for-digit; xxhash64 would be
+    * faster but exists only in Spark). */
+  private[graft] def dsirBucket(ngram: Column, buckets: Int): Column = {
+    val h = md5(ngram)
+    def digit(k: Int): Column =
+      instr(lit("0123456789abcdef"), substring(h, k, 1)) - 1
+    pmod(digit(1) * 256 + digit(2) * 16 + digit(3), lit(buckets))
+  }
+
+  /**
+   * DSIR importance weights (Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", NeurIPS 2023): score every raw
+   * document by `log p_target(z) - log p_raw(z)` under bag-of-hashed-
+   * n-gram models — word unigrams + bigrams hashed into a FIXED
+   * `buckets`-sized feature space, add-one smoothing over that fixed
+   * space. The hashing is the scale move over [[crossEntropyDiff]]:
+   * the model is `buckets` rows BY CONSTRUCTION regardless of corpus
+   * size, so the scoring join back to the corpus is a guaranteed
+   * broadcast (an open-vocabulary LM's score table grows with the
+   * corpus and must be checked), and model fitting shuffles at most
+   * `buckets` rows per map partition. The reference samples training
+   * data uniformly (`app/models/trainer.py:275-303`); this is the
+   * importance-weighted upgrade its pipeline would need at corpus
+   * scale.
+   *
+   * Output: (id, n_feats, dsir_logw = Σ log-ratio, avg_logw, selected
+   * = avg > 0). The sum is the paper's sampling weight (Gumbel top-k
+   * consumes it); the length-normalized average is the thresholdable
+   * signal, immune to long documents dominating. Documents with zero
+   * features (blank text) carry no evidence and are absent, exactly
+   * like [[crossEntropyDiff]].
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      smoothing: Double = 1.0): DataFrame = {
+    import graft.functions.word_shingles
+    def feats(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(concat(
+          coalesce(word_shingles(col(textCol), 1), array()),
+          coalesce(word_shingles(col(textCol), 2), array()))).as("__ngram"): _*)
+        .select(keep :+ dsirBucket(col("__ngram"), buckets).as("bucket"): _*)
+    val rawFeats = feats(raw, Seq(col(idCol)))
+    val cr = rawFeats.groupBy("bucket").agg(count(lit(1L)).as("c_r"))
+    val ct = feats(target, Seq.empty).groupBy("bucket").agg(count(lit(1L)).as("c_t"))
+    dsirScore(rawFeats.withColumn("cnt", lit(1L)), cr, ct, idCol, buckets, smoothing)
+  }
+
+  /** [[dsirWeights]] when the target is a PREDICATE over the raw corpus
+    * itself (the common in-domain/out-of-domain split): tokenizes and
+    * hashes the corpus ONCE into a compact (id, bucket, cnt) profile
+    * that feeds BOTH the model fit and the per-document scores — the
+    * expensive pass (n-gram explode + portable md5 bucketing) runs a
+    * single time instead of once per consumer. The profile is
+    * persisted (MEMORY_AND_DISK, the [[Pipelines.dedupCorpus]]
+    * discipline — the session/bench harness owns release); it carries
+    * one row per (document, distinct bucket), i.e. ≤ min(buckets,
+    * n-grams) per document, compacted map-side before its one shuffle. */
+  def dsirWeightsWhere(raw: DataFrame, targetFilter: Column, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      smoothing: Double = 1.0): DataFrame = {
+    import graft.functions.word_shingles
+    def instances = raw
+      .select(col(idCol), targetFilter.as("__is_t"), explode(concat(
+        coalesce(word_shingles(col(textCol), 1), array()),
+        coalesce(word_shingles(col(textCol), 2), array()))).as("__ngram"))
+      .select(col(idCol), col("__is_t"),
+        dsirBucket(col("__ngram"), buckets).as("bucket"))
+    // Fit: one pass ending in a bucket-keyed aggregate — the shuffle
+    // carries ≤ buckets rows per map split, and the model (≤ `buckets`
+    // rows BY CONSTRUCTION) collects to the driver. Two corpus passes
+    // total (fit, then score) with ZERO corpus-scale state — no
+    // persist pressure, the recompute-over-materialize call a 100 TB
+    // corpus forces anyway; the driver math is the same IEEE
+    // expression tree the SQL form evaluates.
+    val rows = instances.groupBy("bucket").agg(
+      count(lit(1L)).as("c_r"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t")).collect()
+    val cR = new Array[Long](buckets); val cT = new Array[Long](buckets)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket"); cR(b) = r.getAs[Long]("c_r"); cT(b) = r.getAs[Long]("c_t")
+    }
+    val tR = cR.sum.toDouble; val tT = cT.sum.toDouble
+    val logRatio = Array.tabulate(buckets) { b =>
+      math.log((cT(b) + smoothing) / (tT + smoothing * buckets)) -
+        math.log((cR(b) + smoothing) / (tR + smoothing * buckets))
+    }
+    // Score: the per-bucket log-ratios ride as ONE array literal, so
+    // the pass is explode → element_at → doc-keyed aggregate — a
+    // single shuffle of one row per document, no join stages at all.
+    instances
+      .select(col(idCol),
+        element_at(typedLit(logRatio.toSeq), col("bucket") + 1).as("log_ratio"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_feats"), sum(col("log_ratio")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (round(col("__s"), 6) + lit(0.0)).as("dsir_logw"),
+        (round(col("__s") / col("n_feats"), 6) + lit(0.0)).as("avg_logw"),
+        (round(col("__s") / col("n_feats"), 6) > 0).as("selected"))
+  }
+
+  /** Scoring tail shared by both fit paths: `feats` carries one row
+    * per (document, bucket) with its instance count `cnt`. */
+  private def dsirScore(feats: DataFrame, cr: DataFrame, ct: DataFrame,
+      idCol: String, buckets: Int, smoothing: Double): DataFrame = {
+    val f = cr.join(ct, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val tot = f.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"))
+    // smoothing denominator is the FULL fixed bucket space (unseen
+    // buckets implicitly hold probability smoothing/(t + s*B)), so the
+    // model is independent of which buckets happened to be observed
+    val scored = f.crossJoin(tot).select(col("bucket"),
+      (log((col("c_t") + smoothing) / (col("t_t") + lit(smoothing * buckets))) -
+        log((col("c_r") + smoothing) / (col("t_r") + lit(smoothing * buckets))))
+        .as("log_ratio"))
+    feats.join(broadcast(scored), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("log_ratio") * col("cnt")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (round(col("__s"), 6) + lit(0.0)).as("dsir_logw"),
+        (round(col("__s") / col("n_feats"), 6) + lit(0.0)).as("avg_logw"),
+        (round(col("__s") / col("n_feats"), 6) > 0).as("selected"))
+  }
+
   /** Latin accent-fold table (built from pairs so the from/to strings
     * can never drift out of alignment). Lowercase only — [[normalizeText]]
     * lower-cases first. */
