@@ -1058,6 +1058,32 @@ object Queries {
         "clean AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
         "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM clean) ORDER BY doc_id LIMIT 2000"),
+    // curation-audit replica: the x_curate chain with CASE staging in
+    // pipeline precedence instead of the final filter
+    "x_curation_audit" ->
+      (s"WITH $qualityCtes, " +
+        "kept AS (SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id IN (SELECT doc_id FROM qkept) GROUP BY text), " +
+        jaccardPairsCte(" WHERE doc_id IN (SELECT doc_id FROM kept)") + ", " +
+        "losers AS (SELECT DISTINCT id_b FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.85), " +
+        "surv AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers)), " +
+        "ewords AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents WHERE doc_id % 97 = 0), " +
+        "esh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS s FROM ewords), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM esh), " +
+        "cont AS (SELECT p.doc_id FROM (SELECT sh.doc_id, unnest(sh.s) AS shingle FROM sh " +
+        "WHERE sh.doc_id IN (SELECT doc_id FROM surv)) p " +
+        "JOIN ev USING (shingle) GROUP BY p.doc_id HAVING COUNT(*) >= 5) " +
+        "SELECT d.doc_id, CASE " +
+        "WHEN s.lang_pred <> 'en' THEN 'lang' " +
+        "WHEN s.quality < 0.3 THEN 'quality' " +
+        "WHEN s.n_tokens NOT BETWEEN 5 AND 100000 THEN 'length' " +
+        "WHEN d.doc_id NOT IN (SELECT doc_id FROM kept) THEN 'exact_dup' " +
+        "WHEN d.doc_id IN (SELECT id_b FROM losers) THEN 'near_dup' " +
+        "WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'decontam' " +
+        "WHEN (d.doc_id * 2654435761) % 1000 < 900 THEN 'kept:train' " +
+        "WHEN (d.doc_id * 2654435761) % 1000 < 950 THEN 'kept:val' " +
+        "ELSE 'kept:test' END AS stage " +
+        "FROM documents d JOIN scored s USING (doc_id) ORDER BY d.doc_id LIMIT 2000"),
     // deterministic export shuffle: multiplicative-hash permutation key
     "x_det_shuffle" ->
       ("SELECT o_orderkey, o_custkey, " +
@@ -1988,6 +2014,15 @@ object ExtensionQueries {
       graft.operators.Pipelines.curateCorpus(d, "doc_id", "text",
         d.where(col("doc_id") % 97 === 0), "text")
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
+    }),
+    // per-document curation audit: the first stage that dropped each
+    // doc (lang/quality/length/exact_dup/near_dup/decontam) or its
+    // split when kept — one row per INPUT document
+    "x_curation_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipelines.curationAudit(d, "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "text")
+        .orderBy("doc_id").limit(2000)
     }),
     // deterministic train/val/test split
     "x_split" -> ((s, dir) =>

@@ -184,6 +184,68 @@ object Pipelines {
   }
 
   /**
+   * Per-document curation AUDIT: the lineage view of [[curateCorpus]] —
+   * one row per INPUT document naming the first pipeline stage that
+   * dropped it (`lang` / `quality` / `length` / `exact_dup` /
+   * `near_dup` / `decontam`) or its split when kept. A release without
+   * this is undebuggable: "why is my document missing from the corpus"
+   * must be answerable per id, not from aggregate counts (the
+   * "Datasheets for Datasets" audit-trail discipline the
+   * [[corpusReport]] card summarizes). Stage precedence follows the
+   * pipeline order, and the stage sets are computed on the SAME frames
+   * the pipeline filters, so the audit agrees with [[curateCorpus]] row
+   * for row (kept ids ≡ curated ids — spec-pinned).
+   *
+   * Scale: the gate flags are row-local expressions; the dedup /
+   * decontam stage sets reuse the pipeline's own shapes (hash groupBy,
+   * LSH pairs, broadcast eval postings) and join back BY ID — narrow
+   * frames, AQE-decided broadcasts, never a text-keyed shuffle beyond
+   * what the pipeline itself pays.
+   */
+  def curationAudit(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      nearThreshold: Double = DefaultNearThreshold,
+      minOverlap: Int = 5,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val t = col(textCol)
+    val langOk = TextAnalysis.langId(t) === "en"
+    val qualOk = TextAnalysis.qualityScore(t) >= 0.3
+    val lenOk = TextAnalysis.tokenCount(t).between(5, 100000)
+    val qpass = qualityFilter(docs, idCol, textCol)
+    val exact = Dedup.dedupExact(qpass, idCol, Seq(textCol))
+    val exactLosers = qpass.select(col(idCol))
+      .join(exact.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("__exact", lit(true))
+    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold)
+    val nearLosers = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__near", lit(true))
+    val deduped = exact.join(nearLosers.select(col(idCol)), Seq(idCol), "left_anti")
+    val contam = Decontamination.overlaps(
+        deduped, idCol, textCol, evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+      .select(col(idCol)).withColumn("__cont", lit(true))
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + (w * 1000).toLong }
+    val splitExpr = splits.zipWithIndex.foldLeft(lit("dropped:remainder")) {
+      case (acc, ((name, _), i)) =>
+        when(Sampling.hashBucket(col(idCol)) >= bounds(i) &&
+          Sampling.hashBucket(col(idCol)) < bounds(i + 1), lit(s"kept:$name"))
+          .otherwise(acc)
+    }
+    docs.select(col(idCol), langOk.as("__lang"), qualOk.as("__qual"), lenOk.as("__len"))
+      .join(exactLosers, Seq(idCol), "left")
+      .join(nearLosers, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+      .select(col(idCol),
+        when(!col("__lang"), "lang")
+          .when(!col("__qual"), "quality")
+          .when(!col("__len"), "length")
+          .when(col("__exact"), "exact_dup")
+          .when(col("__near"), "near_dup")
+          .when(col("__cont"), "decontam")
+          .otherwise(splitExpr).as("stage"))
+  }
+
+  /**
    * Per-source corpus statistics + mixing weights: document counts,
    * token volumes, and a temperature-scaled sampling weight
    * `n_docs^alpha / Σ n_docs^alpha` (the multinomial source-mixing

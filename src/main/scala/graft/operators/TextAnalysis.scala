@@ -493,13 +493,6 @@ object TextAnalysis {
   def dsirWeightsWhere(raw: DataFrame, targetFilter: Column, idCol: String,
       textCol: String, buckets: Int = 4096,
       smoothing: Double = 1.0): DataFrame = {
-    import graft.functions.word_shingles
-    def instances = raw
-      .select(col(idCol), targetFilter.as("__is_t"), explode(concat(
-        coalesce(word_shingles(col(textCol), 1), array()),
-        coalesce(word_shingles(col(textCol), 2), array()))).as("__ngram"))
-      .select(col(idCol), col("__is_t"),
-        dsirBucket(col("__ngram"), buckets).as("bucket"))
     // Fit: one pass ending in a bucket-keyed aggregate — the shuffle
     // carries ≤ buckets rows per map split, and the model (≤ `buckets`
     // rows BY CONSTRUCTION) collects to the driver. Two corpus passes
@@ -507,22 +500,46 @@ object TextAnalysis {
     // persist pressure, the recompute-over-materialize call a 100 TB
     // corpus forces anyway; the driver math is the same IEEE
     // expression tree the SQL form evaluates.
-    val rows = instances.groupBy("bucket").agg(
-      count(lit(1L)).as("c_r"),
-      sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t")).collect()
+    val (cR, cT) = dsirBucketCounts(raw, targetFilter, idCol, textCol, buckets)
+    dsirScoreWithModel(raw, idCol, textCol,
+      dsirLogRatios(cR, cT, smoothing), buckets)
+  }
+
+  /** One fit pass: (raw count, target count) per bucket, driver-sized. */
+  private[graft] def dsirBucketCounts(df: DataFrame, targetFilter: Column,
+      idCol: String, textCol: String,
+      buckets: Int): (Array[Long], Array[Long]) = {
+    val rows = dsirInstances(df, targetFilter, idCol, textCol, buckets)
+      .groupBy("bucket").agg(
+        count(lit(1L)).as("c_r"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t")).collect()
     val cR = new Array[Long](buckets); val cT = new Array[Long](buckets)
     rows.foreach { r =>
       val b = r.getAs[Int]("bucket"); cR(b) = r.getAs[Long]("c_r"); cT(b) = r.getAs[Long]("c_t")
     }
+    (cR, cT)
+  }
+
+  /** Per-bucket `ln p_target − ln p_raw` from count vectors (add-one
+    * smoothing over the full fixed bucket space). */
+  private[graft] def dsirLogRatios(cR: Array[Long], cT: Array[Long],
+      smoothing: Double = 1.0): Array[Double] = {
+    val buckets = cR.length
     val tR = cR.sum.toDouble; val tT = cT.sum.toDouble
-    val logRatio = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       math.log((cT(b) + smoothing) / (tT + smoothing * buckets)) -
         math.log((cR(b) + smoothing) / (tR + smoothing * buckets))
     }
-    // Score: the per-bucket log-ratios ride as ONE array literal, so
-    // the pass is explode → element_at → doc-keyed aggregate — a
-    // single shuffle of one row per document, no join stages at all.
-    instances
+  }
+
+  /** Score a corpus under a FIXED model: the per-bucket log-ratios ride
+    * as ONE array literal, so the pass is explode → element_at →
+    * doc-keyed aggregate — a single shuffle of one row per document,
+    * no join stages at all. Shared by the batch fit and the streaming
+    * model maintainer. */
+  private[graft] def dsirScoreWithModel(df: DataFrame, idCol: String,
+      textCol: String, logRatio: Array[Double], buckets: Int): DataFrame =
+    dsirInstances(df, lit(false), idCol, textCol, buckets)
       .select(col(idCol),
         element_at(typedLit(logRatio.toSeq), col("bucket") + 1).as("log_ratio"))
       .groupBy(col(idCol))
@@ -531,6 +548,17 @@ object TextAnalysis {
         (round(col("__s"), 6) + lit(0.0)).as("dsir_logw"),
         (round(col("__s") / col("n_feats"), 6) + lit(0.0)).as("avg_logw"),
         (round(col("__s") / col("n_feats"), 6) > 0).as("selected"))
+
+  /** (id, is_target, bucket) n-gram instance frame — the shared
+    * tokenize+hash pass of every DSIR face. */
+  private[graft] def dsirInstances(df: DataFrame, targetFilter: Column,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    import graft.functions.word_shingles
+    df.select(col(idCol), targetFilter.as("__is_t"), explode(concat(
+        coalesce(word_shingles(col(textCol), 1), array()),
+        coalesce(word_shingles(col(textCol), 2), array()))).as("__ngram"))
+      .select(col(idCol), col("__is_t"),
+        dsirBucket(col("__ngram"), buckets).as("bucket"))
   }
 
   /** Scoring tail shared by both fit paths: `feats` carries one row

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -772,6 +772,44 @@ object Streams {
       .withColumn("sim", graft.functions.jaro_winkler(col("l_name"), col("r_name")))
       .where(col("sim") >= threshold)
     topKPerGroupStream(scored, Seq("l_id"), "sim", "r_id", k)
+  }
+
+  /**
+   * Streaming DSIR model maintenance: the importance-weight model of
+   * [[graft.operators.TextAnalysis.dsirWeightsWhere]] is two
+   * `buckets`-sized count vectors — KILOBYTES, independent of stream
+   * volume — so a document stream can keep it fresh with one
+   * bucket-keyed aggregate per micro-batch folded into driver arrays
+   * (counts are associative: fold ≡ one batch fit over everything
+   * seen, exactly — spec-pinned). [[score]] then weighs any corpus
+   * under the CURRENT model through the same literal-array scoring
+   * pass as the batch operator, so stream-maintained and batch-fit
+   * answers are identical once the same documents have been folded.
+   */
+  final class DsirModelMaintainer(idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 4096, smoothing: Double = 1.0) {
+    private val cR = new Array[Long](buckets)
+    private val cT = new Array[Long](buckets)
+    /** (raw, target) n-gram instance totals folded so far. */
+    def currentTotals: (Long, Long) = synchronized((cR.sum, cT.sum))
+    /** `foreachBatch` handler: fold one micro-batch of documents. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val rows = graft.operators.TextAnalysis
+        .dsirInstances(batch, targetFilter, idCol, textCol, buckets)
+        .groupBy("bucket").agg(
+          count(lit(1L)).as("c_r"),
+          sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t")).collect()
+      rows.foreach { r =>
+        val b = r.getAs[Int]("bucket")
+        cR(b) += r.getAs[Long]("c_r"); cT(b) += r.getAs[Long]("c_t")
+      }
+    }
+    /** Importance-weigh `docs` under everything folded so far — same
+      * output shape and math as the batch operator. */
+    def score(docs: DataFrame): DataFrame = synchronized {
+      graft.operators.TextAnalysis.dsirScoreWithModel(docs, idCol, textCol,
+        graft.operators.TextAnalysis.dsirLogRatios(cR, cT, smoothing), buckets)
+    }
   }
 
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */

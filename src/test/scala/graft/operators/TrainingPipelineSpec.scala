@@ -264,6 +264,48 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out.forall(r => quality.contains(r.getLong(0))))
   }
 
+  test("curationAudit agrees with curateCorpus row for row and covers every input") {
+    graft.sources.Sources.register(spark, sfDir)
+    val d = spark.table("documents")
+    val evalSet = d.where(col("doc_id") % 97 === 0)
+    val audit = Pipelines.curationAudit(d, "doc_id", "text", evalSet, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one row per INPUT document
+    assert(audit.size == d.count())
+    // kept:* ids are exactly the pipeline's output, split labels included
+    val curated = Pipelines.curateCorpus(d, "doc_id", "text", evalSet, "text")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> s"kept:${r.getString(1)}").toMap
+    val keptAudit = audit.filter(_._2.startsWith("kept:"))
+    assert(keptAudit == curated,
+      s"audit kept ${keptAudit.size} vs pipeline ${curated.size}")
+    // every drop carries a named stage in pipeline vocabulary
+    val stages = Set("lang", "quality", "length", "exact_dup", "near_dup", "decontam")
+    assert(audit.values.filterNot(_.startsWith("kept:")).forall(stages.contains))
+    // benchmark members that survive the earlier gates are decontam drops
+    assert(audit.exists { case (id, s) => id % 97 == 0 && s == "decontam" })
+  }
+
+  test("curationAudit stage precedence on a crafted fixture") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, good), // kept
+      (2L, good), // exact dup of 1 -> exact_dup
+      (3L, "le chat et le chien sont dans la maison avec les enfants ce soir"), // lang
+      // detectably English (3 en-only stopwords), quality >= 0.3 via the
+      // word-length bonus, but only 4 tokens -> the LENGTH gate fires
+      (4L, "that understanding with this"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((99L, "no overlap here at all")).toDF("doc_id", "text")
+    val audit = Pipelines.curationAudit(docs, "doc_id", "text", evalSet, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit(1L).startsWith("kept:"), audit(1L))
+    assert(audit(2L) == "exact_dup", audit(2L))
+    assert(audit(3L) == "lang", audit(3L))
+    assert(audit(4L) == "length", audit(4L))
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),

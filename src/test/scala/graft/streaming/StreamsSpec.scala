@@ -586,6 +586,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.forall { case (id, t, _) => t.contains(s"body text $id") })
   }
 
+  test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    graft.sources.Sources.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val m = new Streams.DsirModelMaintainer("doc_id", "text", col("lang") === "en")
+    assert(m.currentTotals == (0L, 0L))
+    // fold three micro-batches split by id hash
+    (0 until 3).foreach(i => m.onBatch(docs.where(pmod($"doc_id", lit(3)) === i), i.toLong))
+    val streamed = m.score(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val batch = graft.operators.TextAnalysis
+      .dsirWeightsWhere(docs, col("lang") === "en", "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    // counts are associative, the scoring pass is shared — fold ≡ fit
+    assert(streamed.toSeq == batch.toSeq)
+    assert(m.currentTotals._1 > m.currentTotals._2 && m.currentTotals._2 > 0)
+  }
+
   test("streaming anomaly stats: folded moments equal batch mean/stddev; flags match batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{avg, count, lit, pmod, stddev_samp}
