@@ -1348,6 +1348,23 @@ object Queries {
         "r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x) " +
         "SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5 " +
         "ORDER BY query_id, rank LIMIT 100"),
+    // retrieval-metrics replica: same shard top-10 window, same
+    // threshold gold, same recall/MRR arithmetic, ROUND 6
+    "x_retrieval_metrics" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20), " +
+        "x AS (SELECT q.query_id, s.vec_id AS id, CAST(list_cosine_similarity(s.emb, q.qemb) AS DOUBLE) AS cos " +
+        "FROM (SELECT * FROM e WHERE vec_id % 2 = 0) s, q), " +
+        "p AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM x), " +
+        "pk AS (SELECT query_id, id, rank FROM p WHERE rank <= 10), " +
+        "g AS (SELECT q.query_id, e.vec_id AS id FROM e, q " +
+        "WHERE CAST(list_cosine_similarity(e.emb, q.qemb) AS DOUBLE) >= 0.97 AND e.vec_id <> q.query_id), " +
+        "gc AS (SELECT query_id, COUNT(*) AS n_gold FROM g GROUP BY 1), " +
+        "h AS (SELECT pk.query_id, COUNT(*) AS n_hit, MIN(rank) AS frst FROM pk JOIN g USING (query_id, id) GROUP BY 1) " +
+        "SELECT gc.query_id, gc.n_gold, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+        "ROUND(COALESCE(h.n_hit, 0) * 1.0 / gc.n_gold, 6) AS recall, " +
+        "ROUND(CASE WHEN h.frst IS NULL THEN 0.0 ELSE 1.0 / h.frst END, 6) AS rr " +
+        "FROM gc LEFT JOIN h USING (query_id) ORDER BY query_id"),
     // hard negatives replica: same cosine ranking with the label
     // mismatch applied before ranking
     "x_hard_negatives" ->
@@ -2233,6 +2250,24 @@ object ExtensionQueries {
         .select(col("query_id"), col("id").as("vec_id"),
           round(col("cosine"), 4).as("cosine"), col("rank"))
         .orderBy("query_id", "rank").limit(100)
+    }),
+    // retrieval metrics: recall@10 + MRR of an even-id index shard's
+    // top-10 against the >= 0.97-cosine gold twins over ALL vectors —
+    // recall drops below 1 exactly when a twin carries an odd id
+    "x_retrieval_metrics" -> ((s, dir) => {
+      import graft.functions.cosine_sim
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") < 20)
+      val pred = Similarity.knnJoin(e.where(col("vec_id") % 2 === 0),
+        "vec_id", "emb", q, "vec_id", "emb", k = 10)
+      val gold = broadcast(q.select(col("vec_id").as("query_id"), col("emb").as("__q")))
+        .crossJoin(e.select(col("vec_id").as("id"), col("emb").as("__e")))
+        .where(cosine_sim(col("__e"), col("__q")) >= 0.97 &&
+          col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"))
+      graft.operators.RetrievalMetrics
+        .perQuery(pred, "query_id", "id", "rank", gold, "query_id", "id", k = 10)
+        .orderBy("query_id")
     }),
     // contrastive hard negatives: top-5 most-similar DIFFERENT-source
     // vectors per anchor (label mismatch filters before scoring)
