@@ -1037,6 +1037,17 @@ object Queries {
         "tot AS (SELECT SUM(pow(n_docs, 0.7)) AS total FROM g) " +
         "SELECT source, n_docs, sum_tokens, round(avg_raw, 4) AS avg_tokens, " +
         "round(pow(n_docs, 0.7) / total, 6) AS mix_weight FROM g, tot ORDER BY source LIMIT 100"),
+    // token-budget mixing-plan replica: same temperature weights, same
+    // half-up target rounding, same floor-to-per-mille rate
+    "x_source_budget" ->
+      ("WITH t AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "g AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens FROM t GROUP BY source), " +
+        "tot AS (SELECT SUM(pow(n_docs, 0.7)) AS total FROM g) " +
+        "SELECT source, n_docs, sum_tokens, " +
+        "round(pow(n_docs, 0.7) / total, 6) AS mix_weight, " +
+        "CAST(round(50000.0 * pow(n_docs, 0.7) / total, 0) AS BIGINT) AS target_tokens, " +
+        "floor(least(1.0, 50000.0 * pow(n_docs, 0.7) / total / sum_tokens) * 1000) / 1000 AS rate " +
+        "FROM g, tot ORDER BY source LIMIT 100"),
     // END-TO-END curation pipeline: quality gate -> exact dedup ->
     // near-dup removal (recall contract: the LSH pass must surface every
     // exact-Jaccard>=0.85 pair among survivors) -> benchmark
@@ -2128,6 +2139,12 @@ object ExtensionQueries {
         "lang", "source").orderBy("source").limit(100)),
     "x_source_mix" -> ((s, dir) =>
       graft.operators.Pipelines.sourceMix(docs(s, dir), "doc_id", "text", "source", alpha = 0.7)
+        .orderBy("source").limit(100)),
+    // token-budget mixing plan: per-source target allocation under a
+    // 50k-token budget and the per-mille rate that realizes it
+    "x_source_budget" -> ((s, dir) =>
+      graft.operators.Pipelines.sourceBudgetPlan(docs(s, dir), "doc_id", "text",
+          "source", budgetTokens = 50000L)
         .orderBy("source").limit(100)),
     // DSIR hashed-n-gram importance weights: target = the English
     // slice, raw = the whole corpus, 4096 md5-derived buckets

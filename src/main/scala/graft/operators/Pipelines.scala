@@ -289,6 +289,53 @@ object Pipelines {
   }
 
   /**
+   * Token-budget mixing plan: given a total training-token budget and
+   * the [[sourceMix]] temperature weights, compute each source's
+   * target token allocation and the deterministic per-mille sampling
+   * rate that realizes it (capped at 1.0 — a source smaller than its
+   * allocation contributes everything it has; the remainder is
+   * reported, not silently redistributed). The planning face of the
+   * "sample sources to a budget" step every pretraining data recipe
+   * runs after weighting (the GPT-3/Pile-style table of
+   * tokens-per-source); [[sampleToBudget]] enforces it.
+   *
+   * One corpus-pass groupBy (map-side combined) + a broadcast scalar —
+   * the [[sourceMix]] shape with the budget arithmetic appended.
+   */
+  def sourceBudgetPlan(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long,
+      alpha: Double = 0.7): DataFrame = {
+    require(budgetTokens > 0)
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val grouped = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(n.cast("long")).as("sum_tokens"))
+    val total = grouped.agg(sum(pow(col("n_docs"), alpha)).as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        round(pow(col("n_docs"), alpha) / col("__total"), 6).as("mix_weight"),
+        round(lit(budgetTokens.toDouble) * pow(col("n_docs"), alpha) / col("__total"), 0)
+          .cast("long").as("target_tokens"),
+        // per-mille granularity: the rate the hash filter can actually
+        // realize (floor, so the budget is never overshot)
+        (floor(least(lit(1.0),
+          lit(budgetTokens.toDouble) * pow(col("n_docs"), alpha) /
+            col("__total") / col("sum_tokens")) * 1000) / 1000).as("rate"))
+  }
+
+  /** Enforce a [[sourceBudgetPlan]]: keep each document iff its id-hash
+    * per-mille bucket falls under its source's planned rate — one
+    * id-keyed hash filter after a |sources|-row broadcast join,
+    * deterministic across runs/partitionings/engines. */
+  def sampleToBudget(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long, alpha: Double = 0.7): DataFrame = {
+    val plan = sourceBudgetPlan(docs, idCol, textCol, sourceCol, budgetTokens, alpha)
+      .select(col("source").as("__mix_source"), col("rate").as("__mix_rate"))
+    docs.join(broadcast(plan), docs(sourceCol) === plan("__mix_source"))
+      .where(Sampling.hashBucket(col(idCol)) < (col("__mix_rate") * 1000).cast("long"))
+      .drop("__mix_source", "__mix_rate")
+  }
+
+  /**
    * Per-source dataset card: the summary row a corpus release ships
    * with ("Datasheets for Datasets", Gebru et al., CACM 2021) — doc and
    * token volumes, mean quality, language spread, and exact-duplicate

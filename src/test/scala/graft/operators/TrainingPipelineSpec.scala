@@ -306,6 +306,36 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(audit(4L) == "length", audit(4L))
   }
 
+  test("sourceBudgetPlan + sampleToBudget: caps at 1.0, honors the budget, keeps tiny sources whole") {
+    import spark.implicits._
+    // big: 1000 docs x 20 tokens = 20k tokens; tiny: 10 docs x 20 = 200
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = ((0 until 1000).map(i => (i.toLong, text, "big")) ++
+      (1000 until 1010).map(i => (i.toLong, text, "tiny")))
+      .toDF("doc_id", "text", "source")
+    val plan = Pipelines.sourceBudgetPlan(docs, "doc_id", "text", "source",
+        budgetTokens = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getAs[Double]("rate"))).toMap
+    // tiny's temperature-weighted target (10000 * w_tiny) far exceeds
+    // its 200 tokens -> rate caps at 1.0 (everything contributes)
+    assert(plan("tiny")._3 == 1.0, plan("tiny").toString)
+    // big is capped below 1: its target is less than its 20k tokens
+    val (bigTokens, bigTarget, bigRate) = plan("big")
+    assert(bigTokens == 20000L && bigTarget < 20000L && bigRate < 1.0)
+    // floor-to-per-mille: rate never overshoots target/sum
+    assert(bigRate <= bigTarget.toDouble / bigTokens)
+    val sampled = Pipelines.sampleToBudget(docs, "doc_id", "text", "source",
+      budgetTokens = 10000L)
+    val byarr = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byarr("tiny") == 10L, "tiny source fully kept")
+    // realized big count tracks rate·1000 docs (hash per-mille buckets)
+    val expectBig = (bigRate * 1000 * 1000).toLong / 1000
+    assert(math.abs(byarr("big") - expectBig) < 0.2 * expectBig,
+      s"big: ${byarr("big")} vs ~$expectBig")
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
