@@ -1069,6 +1069,22 @@ object Queries {
         "clean AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)) " +
         "SELECT doc_id, CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM (SELECT doc_id, (doc_id * 2654435761) % 1000 AS b FROM clean) ORDER BY doc_id LIMIT 2000"),
+    // span-removal replica: same raw-token 3-gram spans, same
+    // cross-document sharing rule, same covered-position cut and
+    // ordered reassembly
+    "x_span_remove" ->
+      (raw"WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 THEN ' please accept all cookies to continue' ELSE '' END AS text FROM documents), " +
+        raw"w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS w FROM aug), " +
+        "sp AS (SELECT doc_id, unnest(range(0, greatest(len(w) - 2, 0))) AS pos, w FROM w), " +
+        "sp2 AS (SELECT doc_id, pos, array_to_string(w[pos+1:pos+3], ' ') AS span FROM sp), " +
+        "shared AS (SELECT span FROM sp2 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT s.doc_id, s.pos + d.d AS cp FROM sp2 s JOIN shared USING (span), (SELECT unnest([0, 1, 2]) AS d) d), " +
+        "tok AS (SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS cp FROM w), " +
+        "kept AS (SELECT t.doc_id, t.cp, t.tok FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.cp = c.cp), " +
+        "r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY cp) AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT w.doc_id, COALESCE(r.clean_text, '') AS clean_text, " +
+        "CAST(len(w.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed " +
+        "FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id LIMIT 2000"),
     // curation-audit replica: the x_curate chain with CASE staging in
     // pipeline precedence instead of the final filter
     "x_curation_audit" ->
@@ -2042,6 +2058,17 @@ object ExtensionQueries {
       graft.operators.Pipelines.curateCorpus(d, "doc_id", "text",
         d.where(col("doc_id") % 97 === 0), "text")
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
+    }),
+    // duplicated-span removal (ExactSubstr discipline): every token
+    // covered by a cross-document 3-gram is cut, text rebuilt in order;
+    // a known boilerplate clause is injected into even docs
+    "x_span_remove" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit(" please accept all cookies to continue")).otherwise(lit("")))
+        .as("text"))
+      graft.operators.Dedup.removeDuplicatedSpans(aug, "doc_id", "text")
+        .orderBy("doc_id").limit(2000)
     }),
     // per-document curation audit: the first stage that dropped each
     // doc (lang/quality/length/exact_dup/near_dup/decontam) or its

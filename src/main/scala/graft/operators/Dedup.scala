@@ -438,6 +438,64 @@ object Dedup {
           .otherwise(col("n_shared").cast("double") / col("n_spans")), 4))
   }
 
+  /**
+   * Duplicated-span REMOVAL — the enforcement half of
+   * [[duplicatedSpanStats]]: cut every token covered by a word n-gram
+   * that appears in `minDocs`+ DISTINCT documents, and rebuild the text
+   * from the surviving tokens in order. This is the ExactSubstr
+   * discipline (Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better", ACL 2022) at word-n-gram granularity:
+   * boilerplate fragments shorter than a line (the line-dedup pass
+   * misses them) vanish from EVERY document instead of dropping whole
+   * documents. Tokens are raw (case-sensitive) whitespace words;
+   * documents with fewer than `n` tokens carry no spans and pass
+   * through untouched.
+   *
+   * Output: (idCol, clean_text, n_removed) — one row per input
+   * document, `n_removed` counting cut tokens.
+   *
+   * Scale: spans explode to one row per token position (the
+   * [[TextAnalysis.removeBoilerplateLines]] shape one level finer);
+   * the doc-frequency aggregate is map-side combined and keyed on the
+   * span hash, the shared-span semi-join returns only covered
+   * positions (≈ duplication volume), and the final anti-join +
+   * ordered reassembly are keyed on (doc, position). Nothing
+   * corpus-scale concentrates; the heavy key is span text, the same
+   * inherent cost the stats operator already pays.
+   */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol), toks.as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    // (id, pos, span) for every n-gram start; docs with < n tokens emit none
+    val spans = base
+      .where(col("__nt") >= n)
+      .select(col(idCol), col("__nt"),
+        posexplode(transform(sequence(lit(0), col("__nt") - n),
+          i => array_join(slice(col("__t"), i + 1, lit(n)), " "))).as(Seq("pos", "__span")))
+      .select(col(idCol), col("pos"), xxhash64(col("__span")).as("span"))
+    val shared = spans.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("d"))
+      .where(col("d") >= minDocs).select("span")
+    val covered = spans.join(shared, "span")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("__t")).as(Seq("cp", "tok")))
+      .join(covered, Seq(idCol, "cp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("cp"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"),
+      count(lit(1L)).as("__n_kept"))
+    base.select(col(idCol), col("__nt").cast("long").as("__nt"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__nt") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Attach a 64-bit SimHash to each document. */

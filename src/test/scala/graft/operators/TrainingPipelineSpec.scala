@@ -336,6 +336,39 @@ class TrainingPipelineSpec extends SparkSpec {
       s"big: ${byarr("big")} vs ~$expectBig")
   }
 
+  test("removeDuplicatedSpans: cross-document 3-grams cut, unique text survives in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one two"),
+      (2L, "prefix words alpha beta gamma delta suffix"),
+      (3L, "totally different text with nothing shared"),
+      (4L, "tiny doc"), // < 3 tokens: no spans, untouched
+      (5L, "")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    // "alpha beta gamma delta" is shared between docs 1 and 2: its two
+    // 3-grams cover those 4 tokens in both documents
+    assert(r(1L) == (("unique one two", 4L)), r(1L).toString)
+    assert(r(2L) == (("prefix words suffix", 4L)), r(2L).toString)
+    // nothing shared -> untouched, order preserved
+    assert(r(3L) == (("totally different text with nothing shared", 0L)))
+    // sub-n documents carry no spans and pass through
+    assert(r(4L) == (("tiny doc", 0L)))
+    assert(r(5L) == (("", 0L)))
+  }
+
+  test("removeDuplicatedSpans: within-document repetition alone is not shared") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "echo echo echo echo echo echo"), // repeats only inside itself
+      (2L, "other words entirely here")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0L, "single-doc repetition must survive")
+    assert(r(1).getLong(2) == 0L)
+  }
+
   test("topTerms ranks by document frequency with total term counts") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
