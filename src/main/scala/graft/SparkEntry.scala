@@ -308,9 +308,9 @@ object Queries {
         "f AS (SELECT COALESCE(r.event_type, c.event_type) AS event_type, " +
         "COALESCE(r.bucket, c.bucket) AS bucket, COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc " +
         "FROM r FULL OUTER JOIN c ON r.event_type = c.event_type AND r.bucket = c.bucket), " +
-        "p AS (SELECT f.event_type, GREATEST(CAST(nr AS DOUBLE) / tr.t, 0.000001) AS pr, " +
-        "GREATEST(CAST(nc AS DOUBLE) / tc.t, 0.000001) AS pc " +
-        "FROM f JOIN tr USING (event_type) JOIN tc USING (event_type)) " +
+        "p AS (SELECT f.event_type, GREATEST(COALESCE(CAST(nr AS DOUBLE) / tr.t, 0.0), 0.000001) AS pr, " +
+        "GREATEST(COALESCE(CAST(nc AS DOUBLE) / tc.t, 0.0), 0.000001) AS pc " +
+        "FROM f LEFT JOIN tr USING (event_type) LEFT JOIN tc USING (event_type)) " +
         "SELECT event_type, round(SUM((pc - pr) * ln(pc / pr)), 6) AS psi, COUNT(*) AS n_cells, " +
         "CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable' " +
         "WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict " +
@@ -323,15 +323,22 @@ object Queries {
         "s AS (SELECT SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a, " +
         "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b, " +
         "SUM(CASE WHEN v = 0 THEN cv ELSE 0 END) AS c_a, " +
-        "SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS c_b FROM c) " +
+        "SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS c_b FROM c), " +
+        // rate/lift via exact integer micro-units (half-up div) + ONE
+        // IEEE division; z snapped with floor(z*1e4 + 0.5)/1e4 — no
+        // engine round(), no -0.0 (mirrors Experiments.abConversion)
+        "s2 AS (SELECT n_a, n_b, c_a, c_b, " +
+        "CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS ra_u, " +
+        "CASE WHEN n_b > 0 THEN (2 * c_b * 1000000 + n_b) // (2 * n_b) ELSE 0 END AS rb_u FROM s) " +
         "SELECT n_a, n_b, c_a, c_b, " +
-        "round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a, " +
-        "round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b, " +
-        "round(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6) AS lift, " +
-        "round(CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) > 0 " +
-        "THEN (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) / " +
+        "CAST(ra_u AS DOUBLE) / 1000000.0 AS rate_a, " +
+        "CAST(rb_u AS DOUBLE) / 1000000.0 AS rate_b, " +
+        "CAST(rb_u - ra_u AS DOUBLE) / 1000000.0 AS lift, " +
+        "CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) > 0 " +
+        "THEN FLOOR((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) / " +
         "sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) " +
-        "ELSE 0.0 END, 4) AS zscore FROM s"),
+        "* 10000.0 + 0.5) / 10000.0 " +
+        "ELSE 0.0 END AS zscore FROM s2"),
     // JSON-props replica by an INDEPENDENT extraction method (regex,
     // not a JSON parser) — same typed aggregate must come out
     "x_json_props" ->

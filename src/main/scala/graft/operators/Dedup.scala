@@ -13,9 +13,10 @@ import graft.functions.{hamming64, minhash_signature, simhash64}
  *    map-side partial aggregation; no driver-side state.
  *  - MinHash LSH: per-row signature (narrow), explode to `bands` rows per
  *    doc (bounded blowup, e.g. 16×), shuffle on (band, bucket), pair
- *    generation INSIDE each bucket only. Oversized buckets (degenerate
- *    shingles — boilerplate) are capped and reported rather than allowed
- *    to produce O(n²) pairs.
+ *    generation INSIDE each bucket only. Buckets larger than
+ *    `LshConfig.maxBucketSize` (degenerate shingles — boilerplate) are
+ *    DROPPED rather than allowed to produce O(n²) pairs; the recall
+ *    loss is measurable via [[minhashDroppedBuckets]], not silent.
  *  - SimHash: 64-bit signature; banding the hash into 4×16-bit chunks
  *    guarantees recall for Hamming distance ≤ 3; one shuffle per table.
  *  - N-gram Jaccard verification joins only LSH candidate pairs, never
@@ -76,14 +77,23 @@ object Dedup {
    * Output: one (groupCol, keep_id, score) row per group.
    */
   def canonicalPerGroup(labels: DataFrame, idCol: String, groupCol: String,
-      scored: DataFrame, sIdCol: String, scoreCol: String): DataFrame =
-    labels.join(scored.select(col(sIdCol).as(idCol), col(scoreCol)), idCol)
-      .groupBy(col(groupCol))
-      // struct comparison orders by score, then by NEGATED id: under a
-      // score tie the SMALLEST id wins, deterministically
-      .agg(max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("__nid")))
-        .as("keep_id"),
-        max(col(scoreCol)).as("score"))
+      scored: DataFrame, sIdCol: String, scoreCol: String): DataFrame = {
+    val joined = labels.join(scored.select(col(sIdCol).as(idCol), col(scoreCol)), idCol)
+    // struct comparison orders by score first, id second; under a score
+    // tie the SMALLEST id wins, deterministically. Negating the id only
+    // works for numeric ids (a negated string silently casts to a NULL
+    // double / ANSI error), so string ids negate the SCORE instead and
+    // take the min — the score column is numeric by contract.
+    val idIsNumeric = joined.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val keep =
+      if (idIsNumeric)
+        max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("__nid")))
+      else
+        min_by(col(idCol), struct((-col(scoreCol)).as("__ns"), col(idCol)))
+    joined.groupBy(col(groupCol))
+      .agg(keep.as("keep_id"), max(col(scoreCol)).as("score"))
+  }
 
   // ------------------------------------------------------------- minhash
 
@@ -112,8 +122,26 @@ object Dedup {
   }
 
   /**
+   * Diagnostic companion to the `maxBucketSize` cap: per band, how many
+   * LSH buckets were DROPPED (size over the cap) and the largest bucket
+   * seen, so the recall loss from degenerate boilerplate buckets is
+   * measurable. Same (band, bucket) aggregate as
+   * [[minhashCandidatePairs]] but counting only — run it when auditing
+   * a corpus, not on every dedup pass.
+   */
+  def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame =
+    minhashBuckets(df, idCol, textCol, cfg)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") > cfg.maxBucketSize)
+      .groupBy("band")
+      .agg(count(lit(1)).as("dropped_buckets"), max(col("n")).as("largest_bucket"))
+
+  /**
    * Candidate near-duplicate pairs from MinHash LSH: documents sharing at
    * least one (band, bucket). Returns distinct (id_a < id_b) pairs.
+   * Buckets over `cfg.maxBucketSize` are dropped (see
+   * [[minhashDroppedBuckets]] to measure how many).
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
     val b = minhashBuckets(df, idCol, textCol, cfg)
@@ -454,62 +482,106 @@ object Dedup {
    * Output: (idCol, clean_text, n_removed) — one row per input
    * document, `n_removed` counting cut tokens.
    *
-   * Scale: spans explode to one row per token position (the
+   * Scale: spans explode to one row per n-gram START (the
    * [[TextAnalysis.removeBoilerplateLines]] shape one level finer);
    * the doc-frequency aggregate is map-side combined and keyed on the
-   * span hash, and the shared-span semi-join returns only covered
-   * positions (≈ duplication volume). The expensive part — exploding
-   * tokens and reassembling them in order — runs ONLY for documents
-   * that actually have a covered position: untouched documents emit
-   * their (whitespace-normalized) text through a narrow projection
-   * with zero shuffle, so on a sparsely-duplicated corpus the
-   * reassembly cost is proportional to the DUPLICATION volume, not
-   * the corpus (measured 137s → 90s at 2M docs with a 50% touch
-   * rate; the win grows as the touch rate falls). The covered-position
-   * frame is persisted (duplication-sized, the [[minhashNearDuplicatesWithCleanup]]
-   * discipline — the session owns release).
+   * span hash. Covered positions never explode to rows: the matched
+   * span STARTS aggregate per document into one array row
+   * (duplication-doc-sized — one row per touched document), and the
+   * rebuild is a single narrow projection — kept positions via
+   * `array_except` (hash-set, O(tokens)) and O(1) `element_at` token
+   * lookup — after ONE id-keyed join of the tokenized corpus against
+   * that small frame. No token-level posexplode, no collect_list
+   * reassembly sort, no persist: the whole operator is one DAG whose
+   * only corpus-sized shuffles are the span aggregate and the final
+   * join (which AQE turns into a broadcast when the touched frame is
+   * small). Untouched documents pass through the same join as NULL
+   * matches and emit their whitespace-normalized text unchanged.
+   * (The r11 touched-docs-only rebuild measured 89.6s at 2M docs /
+   * 50% touch but 5.2s at sf0.1 — the exploded covered-position
+   * persist and fourfold tokenization dominated fixture scale; this
+   * form removes both.)
    */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minDocs: Int = 2): DataFrame = {
+      n: Int = 3, minDocs: Int = 2): DataFrame =
+    spanRemovalPlan(df, idCol, textCol, n, minDocs, persistTokens = false)._1
+
+  /**
+   * [[removeDuplicatedSpans]] with the tokenized corpus projection
+   * persisted so it is computed ONCE across the span-frequency and
+   * rebuild subtrees (instead of twice), plus a cleanup handle the
+   * caller MUST invoke after consuming the result — the
+   * [[minhashNearDuplicatesWithCleanup]] discipline. Worth it when
+   * tokenization dominates (very long documents) and executor storage
+   * can hold the token arrays.
+   */
+  def removeDuplicatedSpansWithCleanup(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minDocs: Int = 2): (DataFrame, () => Unit) =
+    spanRemovalPlan(df, idCol, textCol, n, minDocs, persistTokens = true)
+
+  private def spanRemovalPlan(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int, persistTokens: Boolean): (DataFrame, () => Unit) = {
     require(n >= 1 && minDocs >= 2)
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol), toks.as("__t"))
-      .withColumn("__nt", size(col("__t")).cast("long"))
-    // (id, pos, span) for every n-gram start; docs with < n tokens emit none
-    val spans = base
-      .where(col("__nt") >= n)
-      .select(col(idCol), col("__nt"),
-        posexplode(transform(sequence(lit(0), (col("__nt") - n).cast("int")),
-          i => array_join(slice(col("__t"), i + 1, lit(n)), " "))).as(Seq("pos", "__span")))
-      .select(col(idCol), col("pos"), xxhash64(col("__span")).as("span"))
-    val shared = spans.groupBy("span")
-      .agg(countDistinct(col(idCol)).as("d"))
+    val base0 = df.select(col(idCol), toks.as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    val base =
+      if (persistTokens) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    // Per-doc span-hash array for every n-gram start; docs with < n
+    // tokens emit none. The span key hashes the token-array SLICE
+    // directly (xxhash64 over array<string>) — no n-gram string
+    // concatenation (string building ran twice over the corpus at
+    // force scale and dominated CPU).
+    val spanArr = transform(sequence(lit(0), col("__nt") - n),
+      i => xxhash64(slice(col("__t"), i + 1, lit(n))))
+    val withSpans = base.where(col("__nt") >= n)
+    // Doc frequency WITHOUT a distinct aggregate: spans dedupe
+    // per-document NARROWLY (array_distinct), after which a plain
+    // count ≡ countDistinct(doc) — one exchange keyed by span with
+    // effective map-side combine on hot (boilerplate) spans, instead
+    // of countDistinct's two-level (span, id)-then-(span) shuffle
+    // that carried every occurrence to the wire.
+    val shared = withSpans
+      .select(explode(array_distinct(spanArr)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("d"))
       .where(col("d") >= minDocs).select("span")
-    val covered = spans.join(shared, "span")
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = covered.select(col(idCol)).distinct()
-    // reassembly pass over TOUCHED documents only
-    val kept = base.join(touched, Seq(idCol), "left_semi")
-      .select(col(idCol), posexplode(col("__t")).as(Seq("cp", "tok")))
-      .join(covered, Seq(idCol, "cp"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      array_join(transform(array_sort(collect_list(struct(col("cp"), col("tok")))),
-        x => x.getField("tok")), " ").as("clean_text"),
-      count(lit(1L)).as("__n_kept"))
-    val touchedOut = base.select(col(idCol), col("__nt"))
-      .join(touched, Seq(idCol), "left_semi")
-      .join(rebuilt, Seq(idCol), "left") // fully-covered docs rebuild to ""
+    val spans = withSpans
+      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span")))
+    // one row per TOUCHED document: its sorted distinct covered positions
+    val coveredPerDoc = spans.join(shared, "span")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__starts"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("__nt") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
-    // untouched documents: same whitespace-normalized form, no shuffle
-    val untouchedOut = base.join(touched, Seq(idCol), "left_anti")
+        array_sort(array_distinct(flatten(transform(col("__starts"),
+          p => sequence(p, p + (n - 1)))))).as("__cov"))
+    // Rebuild joins the RAW (id, text) projection — not the token
+    // arrays — so when coveredPerDoc is too big for an AQE broadcast
+    // and the corpus must shuffle, the shuffle carries compact strings
+    // instead of array<string> rows (~40% fewer bytes), and the rebuild
+    // side tokenizes once AFTER the join. Narrow per-row rebuild: kept
+    // positions via array_except (hash-set, O(tokens)), O(1) element_at
+    // token lookup; CASE branches evaluate lazily, so the touched arm
+    // never sees a NULL __cov.
+    // (persistTokens reuses the cached token arrays instead — the
+    // tokenize-once promise of the WithCleanup variant)
+    val joined =
+      if (persistTokens)
+        base.select(col(idCol), col("__t")).join(coveredPerDoc, Seq(idCol), "left")
+      else
+        df.select(col(idCol), col(textCol))
+          .join(coveredPerDoc, Seq(idCol), "left")
+          .select(col(idCol), toks.as("__t"), col("__cov"))
+    val keptPos = array_except(sequence(lit(0), size(col("__t")) - 1), col("__cov"))
+    val out = joined
       .select(col(idCol),
-        array_join(col("__t"), " ").as("clean_text"),
-        lit(0L).as("n_removed"))
-    touchedOut.unionByName(untouchedOut)
+        when(col("__cov").isNull, array_join(col("__t"), " "))
+          .otherwise(array_join(
+            transform(keptPos, p => element_at(col("__t"), p + 1)), " "))
+          .as("clean_text"),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"))
+    (out, () => { if (persistTokens) { base.unpersist(); () } })
   }
 
   // ------------------------------------------------------------- simhash

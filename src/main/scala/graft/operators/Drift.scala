@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
  * `numBuckets` — deterministic across engines and runs, no
  * quantile-fitting step that would itself drift between snapshots.
  * Empty cells floor at p = 1e-6 (the standard PSI guard), so the
- * statistic is finite even under disjoint supports.
+ * statistic is finite even under disjoint supports — including keys
+ * present in only one snapshot, which report a large finite PSI
+ * ('shifted') rather than dropping out of the report.
  */
 object Drift {
 
@@ -34,12 +36,21 @@ object Drift {
     val c = bucketed(current, "__nc")
     val tr = r.groupBy(col(keyCol)).agg(sum("__nr").as("__tr"))
     val tc = c.groupBy(col(keyCol)).agg(sum("__nc").as("__tc"))
+    // LEFT joins against the per-side totals: a key present in only ONE
+    // snapshot (brand-new or vanished segment — the maximally drifted
+    // case) keeps its cells, and the missing side's probabilities floor
+    // at 1e-6, so PSI comes out ≈ Σ p·ln(p·1e6) — large, finite, and
+    // verdict 'shifted' — instead of the key silently vanishing from
+    // the report (cells is full-outer over r∪c, so every key reaches
+    // at least one total row).
     val cells = r.join(c, Seq(keyCol, "bucket"), "full_outer")
-      .join(tr, keyCol).join(tc, keyCol)
+      .join(tr, Seq(keyCol), "left").join(tc, Seq(keyCol), "left")
       .select(col(keyCol),
-        greatest(coalesce(col("__nr"), lit(0L)).cast("double") / col("__tr"),
+        greatest(coalesce(
+          coalesce(col("__nr"), lit(0L)).cast("double") / col("__tr"), lit(0.0)),
           lit(1e-6)).as("__pr"),
-        greatest(coalesce(col("__nc"), lit(0L)).cast("double") / col("__tc"),
+        greatest(coalesce(
+          coalesce(col("__nc"), lit(0L)).cast("double") / col("__tc"), lit(0.0)),
           lit(1e-6)).as("__pc"))
     cells.groupBy(col(keyCol))
       .agg(round(sum((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))), 6)

@@ -256,16 +256,19 @@ object EventAnalytics {
    * mean. Output: the anomalous events with their z-score (4 dp).
    *
    * Plan: per-key mean/stddev is ONE partial-aggregated pass; the
-   * stats frame (|keys| rows) broadcasts back onto the scan, so
-   * flagging is a second narrow pass with no user-keyed shuffle at
-   * all — the shape that holds when |keys| ≪ |events| at any scale.
+   * stats frame (|keys| rows) joins back onto the scan with NO
+   * broadcast hint — AQE broadcasts it whenever it fits (the usual
+   * |keys| ≪ |events| case, pinned in PlanQualitySpec), and falls back
+   * to a shuffle join when a caller keys by something user-grained,
+   * instead of OOMing on a forced hint (the r10 `leakageSafeSplit`
+   * lesson).
    */
   def anomalyZscores(events: DataFrame, keyCol: String, valueCol: String,
       idCols: Seq[String], threshold: Double = 3.0): DataFrame = {
     val stats = events.groupBy(col(keyCol))
       .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
     val z = (col(valueCol) - col("__mu")) / col("__sd")
-    events.join(broadcast(stats), keyCol)
+    events.join(stats, keyCol)
       .where(col("__sd") > 0 && abs(z) > threshold)
       .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
         round(z, 4).as("zscore")): _*)
@@ -283,19 +286,20 @@ object EventAnalytics {
    * (`app/schema/crawler.py:244-246`).
    *
    * Plan: two |keys|-sized exact-percentile aggregation passes
-   * (medians, then MAD of deviations), each broadcast back onto the
-   * scan — like [[anomalyZscores]], no event-keyed shuffle at any
-   * size, the shape that holds while |keys| ≪ |events|.
+   * (medians, then MAD of deviations), each joined back onto the
+   * scan with no broadcast hint — like [[anomalyZscores]], AQE
+   * broadcasts the stats frames when they fit and degrades to a
+   * shuffle join (not an OOM) when a caller keys at user grain.
    */
   def anomalyMad(events: DataFrame, keyCol: String, valueCol: String,
       idCols: Seq[String], threshold: Double = 3.0): DataFrame = {
     val med = events.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val withDev = events.join(broadcast(med), keyCol)
+    val withDev = events.join(med, keyCol)
       .withColumn("__adev", abs(col(valueCol) - col("__med")))
     val madF = withDev.groupBy(col(keyCol))
       .agg(expr("percentile(__adev, 0.5)").as("__mad"))
-    withDev.join(broadcast(madF), keyCol)
+    withDev.join(madF, keyCol)
       .where(col("__mad") > 0 && col("__adev") > lit(threshold) * 1.4826 * col("__mad"))
       .select((idCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
         round((col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")), 4)

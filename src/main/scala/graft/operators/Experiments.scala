@@ -28,6 +28,17 @@ object Experiments {
    * satisfy `isConversion`. Output one row: (n_a, n_b, c_a, c_b,
    * rate_a, rate_b, lift = rate_b − rate_a, zscore — pooled-SE
    * two-proportion z, 0 when the pooled variance is 0).
+   *
+   * Numeric determinism: rates and lift are NOT computed via engine
+   * `round()` — they derive from exact integer micro-units,
+   * `round(c/n, 6) = (2·c·10⁶ + n) div (2·n)` (half-up on exact
+   * integers), followed by ONE IEEE division by the exactly-
+   * representable 10⁶. The z statistic keeps the mirrored double tree
+   * but snaps to its 4-dp grid with `floor(z·10⁴ + 0.5) / 10⁴` — pure
+   * IEEE ops with identical semantics in every engine, no engine
+   * `round()` mode and no −0.0 (a tiny-negative z floors to +0). The
+   * r11 `x_ab_test` hash miss was exactly this representation-level
+   * fragility (same class as the Moore-Lewis −0.0 fix, 57da6cc).
    */
   def abConversion(events: DataFrame, userCol: String, variantCol: Column,
       isConversion: Column, minConversions: Long = 1L): DataFrame = {
@@ -46,9 +57,16 @@ object Experiments {
     val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val raU = when(col("n_a") > 0,
+      expr("(2 * c_a * 1000000 + n_a) div (2 * n_a)")).otherwise(lit(0L))
+    val rbU = when(col("n_b") > 0,
+      expr("(2 * c_b * 1000000 + n_b) div (2 * n_b)")).otherwise(lit(0L))
+    val z = (rb - ra) / se
     s.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
-      round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
-      round(rb - ra, 6).as("lift"),
-      round(when(se > 0, (rb - ra) / se).otherwise(0.0), 4).as("zscore"))
+      (raU.cast("double") / lit(1000000.0)).as("rate_a"),
+      (rbU.cast("double") / lit(1000000.0)).as("rate_b"),
+      ((rbU - raU).cast("double") / lit(1000000.0)).as("lift"),
+      when(se > 0, floor(z * lit(10000.0) + lit(0.5)) / lit(10000.0))
+        .otherwise(lit(0.0)).as("zscore"))
   }
 }

@@ -128,7 +128,10 @@ object Similarity {
    */
   private[operators] def trainingSample(df: DataFrame, idCol: String,
       embCol: String, n: Int): Array[Array[Double]] =
-    df.select(col(idCol), col(embCol).cast("array<double>").as("__emb"),
+    // NULL embeddings are excluded up front (a single null row would
+    // NPE the collect — the query paths null-guard cosine the same way)
+    df.where(col(embCol).isNotNull)
+      .select(col(idCol), col(embCol).cast("array<double>").as("__emb"),
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"), col(idCol))
       .limit(n)
@@ -324,7 +327,10 @@ object Similarity {
     val bc = df.sparkSession.sparkContext.broadcast(cents)
     val k = assignReplicas
     import df.sparkSession.implicits._
+    // null embeddings are unindexable — drop them here rather than NPE
+    // in the assignment loop (query paths null-guard cosine the same way)
     val assigned = df
+      .where(col(embCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(embCol).cast("array<double>").as("emb"))
       .as[(Long, Array[Double])]
       .mapPartitions { rows =>

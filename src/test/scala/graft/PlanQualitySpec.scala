@@ -415,4 +415,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(jobs.get() <= 20,
       s"pageRank(3 iters) launched ${jobs.get()} jobs — dangling mass must fold into the iteration job")
   }
+
+  test("anomaly stats frames broadcast at fixture scale via AQE, not a forced hint (x_anomaly_zscore, x_anomaly_mad)") {
+    // The operators carry NO broadcast() hint (a caller keying at user
+    // grain must degrade to a shuffle join, not OOM — the r10
+    // leakageSafeSplit lesson); this pins that AQE still broadcasts the
+    // |keys|-sized stats frames when they fit, so the common case keeps
+    // its narrow second pass.
+    for (name <- Seq("x_anomaly_zscore", "x_anomaly_mad")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count() // materialize so AQE finalizes the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: AQE should broadcast the per-key stats frame:\n" + p.take(2000))
+    }
+  }
 }

@@ -73,6 +73,21 @@ class IvfSpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sortBy(-_.toDouble)))
   }
 
+  test("ivfIndex survives NULL embedding rows (skipped, not NPE)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // r11 ADVICE: a single null embedding crashed the training-sample
+    // collect and the assignment mapPartitions; both now filter nulls
+    val withNulls = embeddings.withColumn("embedding",
+      when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding")))
+    val q = embeddings.where(col("vec_id") === 11).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val idx = Similarity.ivfIndex(withNulls, "vec_id", "embedding", nlist = 4)
+    val ivf = Similarity.ivfTopK(idx, q, k = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(withNulls, "vec_id", "embedding", q, 5).collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+    assert(!ivf.exists(_ % 7 == 0), "nulled ids must not be indexed")
+  }
+
   test("IVF with full probe matches brute force top-k") {
     import org.apache.spark.sql.functions.col
     val q = embeddings.where(col("vec_id") === 11).select("embedding")

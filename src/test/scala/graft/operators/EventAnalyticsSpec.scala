@@ -142,6 +142,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(shifted.getDouble(1) > 0.25 && shifted.getString(3) == "shifted")
   }
 
+  test("Drift.psi: a key present in only one snapshot surfaces as shifted, not dropped") {
+    // r11 ADVICE: the totals inner-join silently dropped brand-new and
+    // vanished keys — the maximally drifted cases
+    val ref = ((1 to 100).map(i => ("stays", (i % 100).toDouble)) ++
+      (1 to 50).map(i => ("vanished", (i % 100).toDouble))).toDF("k", "value")
+    val cur = ((1 to 100).map(i => ("stays", (i % 100).toDouble)) ++
+      (1 to 50).map(i => ("brand_new", (i % 100).toDouble))).toDF("k", "value")
+    val out = Drift.psi(ref, cur, "k", "value").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq("brand_new", "stays", "vanished"))
+    val byKey = out.map(t => t._1 -> t).toMap
+    assert(byKey("stays")._2 == 0.0 && byKey("stays")._3 == "stable")
+    assert(byKey("brand_new")._2 > 0.25 && byKey("brand_new")._3 == "shifted")
+    assert(byKey("vanished")._2 > 0.25 && byKey("vanished")._3 == "shifted")
+  }
+
   test("rollingDailyStats: RANGE frame ages out gap days (hand-computed)") {
     // key 'a': days 1,2,3 then a GAP to day 12 — the day-12 window
     // must contain only day 12 (range frame, not a 3-row frame)

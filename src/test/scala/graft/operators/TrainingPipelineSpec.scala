@@ -392,4 +392,61 @@ class TrainingPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 2L, 0.9), (7L, 7L, 0.4))) // group 7: tie -> min id
   }
+
+  test("canonicalPerGroup: STRING ids keep the deterministic smallest-id tie-break") {
+    import spark.implicits._
+    // r11 ADVICE: (-col(id)) on a string id cast to a NULL double and
+    // silently lost the documented tie-break; string ids now negate the
+    // numeric score and take the min over (-score, id)
+    val labels = Seq(("docB", "g1"), ("docA", "g1"), ("docC", "g1"), ("x2", "g2"), ("x1", "g2"))
+      .toDF("id", "group_id")
+    val scored = Seq(("docA", 0.4), ("docB", 0.4), ("docC", 0.1), ("x1", 0.7), ("x2", 0.9))
+      .toDF("doc_id", "q")
+    val out = graft.operators.Dedup.canonicalPerGroup(
+        labels, "id", "group_id", scored, "doc_id", "q")
+      .orderBy("group_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // g1: score tie 0.4/0.4 -> lexicographically smallest id docA wins
+    assert(out.toSeq == Seq(("g1", "docA", 0.4), ("g2", "x2", 0.9)))
+  }
+
+  test("minhashDroppedBuckets reports oversized LSH buckets; cap drops them from pairs") {
+    import spark.implicits._
+    // 8 identical boilerplate docs -> every band's bucket has 8 members;
+    // cap at 4 drops them all, and the diagnostic must say so
+    val docs = (1L to 8L).map(i => (i, "the same boilerplate sentence repeated verbatim here"))
+      .toDF("doc_id", "text")
+    val cfg = graft.operators.Dedup.LshConfig(maxBucketSize = 4)
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text", cfg)
+    assert(pairs.count() == 0, "capped buckets must produce no pairs")
+    val stats = graft.operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text", cfg)
+      .agg(org.apache.spark.sql.functions.sum("dropped_buckets"),
+        org.apache.spark.sql.functions.max("largest_bucket")).collect()(0)
+    assert(stats.getLong(0) == cfg.bands.toLong, s"expect one dropped bucket per band: $stats")
+    assert(stats.getLong(1) == 8L, s"largest bucket should be 8: $stats")
+  }
+
+  test("removeDuplicatedSpansWithCleanup matches the plain variant; cleanup releases the cache") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta shared span here omega"),
+      (2L, "uno dos shared span here tres quatro"),
+      (3L, "totally unique words nothing repeats at all"))
+      .toDF("doc_id", "text")
+    val plain = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // other suites' GC-owned localCheckpoint blocks may linger in the
+    // shared session — assert on the DELTA, not the absolute registry
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (df, cleanup) = Dedup.removeDuplicatedSpansWithCleanup(docs, "doc_id", "text")
+    val cached = df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cached.toSeq == plain.toSeq)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "WithCleanup should persist the token projection")
+    cleanup()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "cleanup() must release the persisted tokens")
+    // the shared 3-grams "shared span here" cover 3 tokens in docs 1 and 2
+    assert(plain.map(_._3).toSeq == Seq(3L, 3L, 0L))
+  }
 }
