@@ -141,6 +141,7 @@ final class Engine(
       ranked.view.map { case (c, _) =>
         Validator.validate(spark, c.sql, tables.toSet)
           .flatMap(v => Executor.run(spark, v, limit))
+          .map(res => res.copy(lineage = lineageOf(c.sql)))
       }.collectFirst { case Right(res) => Right(res) }
         .getOrElse(ask(question, limit))
     } catch {
@@ -148,13 +149,20 @@ final class Engine(
     }
   }
 
+  /** Per-column provenance for the answer envelope — guarded: lineage
+    * is an enrichment, never a reason to fail an answered question
+    * (always-answer, V13). */
+  private def lineageOf(sql: String): Seq[(String, Seq[String])] =
+    try graft.explain.Lineage.of(spark, sql).map(c => (c.column, c.sources))
+    catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** Direct SQL execution with the full safety chain (ref main.py:298-331). */
   def run(sql: String, limit: Int = Executor.DefaultLimit,
       timeoutMs: Long = Executor.DefaultTimeoutMs): Either[EngineError, QueryResult] =
     Validator.validate(spark, sql, tables.toSet)
       .flatMap(v => Executor.run(spark, v, limit, timeoutMs))
       .map(r => r.copy(explanation = Validator.parse(spark, sql).toOption
-        .map(Explainer.explain).getOrElse("")))
+        .map(Explainer.explain).getOrElse(""), lineage = lineageOf(sql)))
 
   /** Column-level lineage of an ADMITTED statement: the Validator's
     * full safety chain runs first (denylist / table allow-list), then
@@ -305,7 +313,7 @@ final class Engine(
         .flatMap(v => Executor.run(spark, v, limit, timeoutMs)) match {
         case Right(r) =>
           return Right(r.copy(explanation = Validator.parse(spark, c.sql).toOption
-            .map(Explainer.explain).getOrElse("")))
+            .map(Explainer.explain).getOrElse(""), lineage = lineageOf(c.sql)))
         case Left(err) => lastErr = err
       }
     }

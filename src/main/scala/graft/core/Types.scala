@@ -61,11 +61,18 @@ final case class TimeoutError(message: String) extends EngineError { val kind = 
 
 /** `{sql, columns, rows, rowcount, explain}` (ref: main.py:298-331,
   * nl2sql.py:325-360). Rows are JSON-safe driver-side values; only ever
-  * materialized under a LIMIT cap. */
+  * materialized under a LIMIT cap.
+  *
+  * `lineage` upgrades the reference's prose `explanation`
+  * (routes_ai.py:210-220) to column provenance: each output column with
+  * the sorted `table.column` base columns feeding it (plan-derived, see
+  * `explain/Lineage.scala`); empty when the answer did not come from a
+  * SQL plan (sketch serving, document pipelines). */
 final case class QueryResult(
     sql: String,
     columns: Seq[String],
     rows: Seq[Seq[Any]],
     rowcount: Int,
     explain: String,
-    explanation: String = "")
+    explanation: String = "",
+    lineage: Seq[(String, Seq[String])] = Nil)

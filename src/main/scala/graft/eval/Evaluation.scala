@@ -225,8 +225,15 @@ object Evaluation {
     // --- demo-script hard cases (joins / compound filters / agg top-N) ---
     EvalCase("scores with a C grade and score greater than 75",
       "SELECT * FROM scores WHERE grade = 'C' AND score > 75 ORDER BY score_id LIMIT 100", "filter_and"),
+    // gold upgraded in round 12 alongside the cross-FK top-N template:
+    // "top 5 COURSES" ranks the course entities, and the demo script
+    // (Project_Plan.txt:60-62) displays them by NAME — the course_id
+    // grouping this gold carried before the join capability existed was
+    // the weaker reading, not a different correct one
     EvalCase("top 5 courses by average score",
-      "SELECT course_id, AVG(score) AS agg_value FROM scores GROUP BY course_id ORDER BY agg_value DESC LIMIT 5", "agg_topn"),
+      "SELECT c.course_name, AVG(sc.score) AS agg_value FROM scores sc " +
+        "JOIN courses c ON c.course_id = sc.course_id " +
+        "GROUP BY c.course_name ORDER BY agg_value DESC LIMIT 5", "agg_topn"),
     EvalCase("student names with their scores",
       "SELECT st.student_name, sc.score FROM scores sc JOIN students st ON st.student_id = sc.student_id ORDER BY sc.score_id LIMIT 100", "join"),
     EvalCase("course names with average score per course",

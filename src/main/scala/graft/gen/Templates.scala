@@ -64,9 +64,14 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
 
   // "each" without "for" covers the reference UI's own sample phrasing
   // "Count how many items are in each category" (frontend/src/pages/
-  // Chat.jsx:84) — anchored at $ like the other group-phrase heads
+  // Chat.jsx:84); "every" is its natural-speech twin ("items in every
+  // category") — anchored at $ like the other group-phrase heads
+  // trailing punctuation is tolerated before the anchor: "orders per
+  // customer?" must still yield group noun "customer", not fall back to
+  // whole-question stripping (which mis-ranked the group column whenever
+  // a measure word survived the filler pass)
   private[gen] val perPhraseRe =
-    raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b|\beach\b)\s+([a-z0-9_ ]+)$$".r
+    raw"(?:\bper\b|\bfor each\b|\bgrouped by\b|\bby\b|\beach\b|\bevery\b)\s+([a-z0-9_ ]+?)\s*[?.!]*$$".r
 
   // ------------------------------------------------- filter extraction
   // The reference DETECTS filter intent and hands literal extraction to
@@ -93,6 +98,8 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
     raw"(?i)\b([a-z_][a-z0-9_]*)\s+(\d{1,6})\b".r
   private[gen] val aggByRe =
     raw"(?i)\bby\s+(average|avg|mean|sum|total|count)\b".r
+  // bare "in 2015" (no "year" noun) — year-column equality
+  private[gen] val inBareYearRe = raw"(?i)\bin\s+((?:19|20)\d{2})\b".r
   // "the second highest score" — the nth distinct value of a column:
   // DISTINCT + ORDER BY + LIMIT 1 OFFSET n-1 (never a global window)
   // the negative lookahead keeps agg words out of the column slot:
@@ -249,29 +256,44 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
     }
     consume(relSpanMs)
+    val yearCol = cols.find(_.equalsIgnoreCase("year"))
     val relNamedMs = relNamedRe.findAllMatchIn(masked).toSeq
-    for (m <- relNamedMs; c <- dateishCol) {
-      import java.time.DayOfWeek
-      import java.time.temporal.TemporalAdjusters.previousOrSame
-      val monday = now.`with`(previousOrSame(DayOfWeek.MONDAY))
-      // (from, until): until = None leaves an open-ended "since" filter
-      val (from, until) = (Option(m.group(1)).map(_.toLowerCase),
-          Option(m.group(2)).map(_.toLowerCase), Option(m.group(3)).map(_.toLowerCase)) match {
-        case (Some("last"), Some("week"), _) => (monday.minusWeeks(1), Some(monday))
-        case (Some("last"), Some("month"), _) =>
-          (now.withDayOfMonth(1).minusMonths(1), Some(now.withDayOfMonth(1)))
-        case (Some("last"), Some("year"), _) =>
-          (now.withDayOfYear(1).minusYears(1), Some(now.withDayOfYear(1)))
-        case (Some("this"), Some("week"), _) => (monday, None)
-        case (Some("this"), Some("month"), _) => (now.withDayOfMonth(1), None)
-        case (Some("this"), Some("year"), _) => (now.withDayOfYear(1), None)
-        case (_, _, Some("yesterday")) => (now.minusDays(1), Some(now))
-        case _ => (now, Some(now.plusDays(1))) // today
-      }
-      out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
-      until.foreach(u => out.getOrElseUpdate(s"$c <", s"$c < DATE '$u'"))
+    for (m <- relNamedMs) dateishCol match {
+      case Some(c) =>
+        import java.time.DayOfWeek
+        import java.time.temporal.TemporalAdjusters.previousOrSame
+        val monday = now.`with`(previousOrSame(DayOfWeek.MONDAY))
+        // (from, until): until = None leaves an open-ended "since" filter
+        val (from, until) = (Option(m.group(1)).map(_.toLowerCase),
+            Option(m.group(2)).map(_.toLowerCase), Option(m.group(3)).map(_.toLowerCase)) match {
+          case (Some("last"), Some("week"), _) => (monday.minusWeeks(1), Some(monday))
+          case (Some("last"), Some("month"), _) =>
+            (now.withDayOfMonth(1).minusMonths(1), Some(now.withDayOfMonth(1)))
+          case (Some("last"), Some("year"), _) =>
+            (now.withDayOfYear(1).minusYears(1), Some(now.withDayOfYear(1)))
+          case (Some("this"), Some("week"), _) => (monday, None)
+          case (Some("this"), Some("month"), _) => (now.withDayOfMonth(1), None)
+          case (Some("this"), Some("year"), _) => (now.withDayOfYear(1), None)
+          case (_, _, Some("yesterday")) => (now.minusDays(1), Some(now))
+          case _ => (now, Some(now.plusDays(1))) // today
+        }
+        out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
+        until.foreach(u => out.getOrElseUpdate(s"$c <", s"$c < DATE '$u'"))
+      case None =>
+        // schemas carrying a plain INTEGER `year` column (the reference
+        // school fixture): "last/this year" resolves to a year equality
+        (Option(m.group(1)).map(_.toLowerCase), Option(m.group(2)).map(_.toLowerCase)) match {
+          case (Some("last"), Some("year")) => yearCol.foreach(put(_, "=", (now.getYear - 1).toString))
+          case (Some("this"), Some("year")) => yearCol.foreach(put(_, "=", now.getYear.toString))
+          case _ => ()
+        }
     }
     consume(relNamedMs)
+    // "in 2015" against an integer year column — the demo script's
+    // anchored-year phrasing ("top 5 courses by average score in 2015")
+    val inYearMs = inBareYearRe.findAllMatchIn(masked).toSeq
+    for (m <- inYearMs; c <- yearCol) put(c, "=", m.group(1))
+    if (yearCol.isDefined) consume(inYearMs)
     val betweenMs = betweenRe.findAllMatchIn(masked).toSeq
     for (m <- betweenMs; c <- strongColumn(m.group(1), cols))
       out.getOrElseUpdate(s"$c BETWEEN", s"$c BETWEEN ${m.group(2)} AND ${m.group(3)}")
@@ -373,10 +395,13 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
         "rows", "are", "there", "on", "from", "show", "me", "per", "each",
         "for", "by", "top", "bottom", "first", "last", "highest", "lowest",
         "sorted", "order", "ordered", "sort", "newest", "oldest", "latest",
-        "earliest", "best", "worst") ++
-        // the table's own name is filler ("how many customers") — UNLESS
-        // the token is also a column of the table ("maximum score" on
-        // scores(score, ...) must keep "score" as column signal)
+        "earliest", "best", "worst")
+        // a filler that is ALSO a column of this table stays column
+        // signal, not filler: "maximum score" on scores(score, …) keeps
+        // "score"; "the total of all orders" on orders(…, total) keeps
+        // "total" — stripping it left nothing and the aggregate fell to
+        // SUM(id). Same rule for the table's own name tokens.
+        .filterNot(tok => cols.exists(_.equalsIgnoreCase(tok))) ++
         Seq(t, if (t.endsWith("s")) t.dropRight(1) else t + "s")
           .filterNot(tok => cols.exists(_.equalsIgnoreCase(tok))) ++
         (0 to 100).map(_.toString)
@@ -478,14 +503,43 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
           case "sum" | "total" => "SUM"
           case _ => "COUNT"
         }
-        val entityCol = best(cols, strip(q.take(m.start)), groupCol)
+        val entityPhrase = strip(q.take(m.start))
+        val entityCol = best(cols, entityPhrase, groupCol)
         val aggPhrase = strip(q.substring(m.end))
         val aggCol = best(cols, aggPhrase, numericish)
         val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
-        Seq(Candidate(
+        // "bottom 5 users by total price" ranks ascending — the limit
+        // keyword carries the direction, not the agg keyword
+        val dir = if (raw"\b(bottom|lowest|worst)\b".r.findFirstIn(q).isDefined) "ASC" else "DESC"
+        val local = Candidate(
           s"SELECT $entityCol, $expr AS agg_value FROM $t$whereSql GROUP BY $entityCol " +
-            s"ORDER BY agg_value DESC LIMIT ${analysis.limitN.get}",
-          conf(0.86, aggCol, aggPhrase, needsFit = f != "COUNT"), "template_agg_topn"))
+            s"ORDER BY agg_value $dir LIMIT ${analysis.limitN.get}",
+          conf(0.86, aggCol, aggPhrase, needsFit = f != "COUNT"), "template_agg_topn")
+        // Cross-FK variant: when the ranked ENTITY names a dimension
+        // table this fact FK-references ("top 5 COURSES by average
+        // score" from enrollments), group by the dimension's label
+        // column — the demo script shows course NAMES, which the local
+        // candidate cannot produce from the fact table (the same
+        // reasoning as the joined grouped-aggregate above). Fact-side
+        // filters ("in 2015") qualify with the fact alias.
+        val joined = for {
+          e <- fks.filter(e => e.fromTable == t && slice.tables.contains(e.toTable)).take(2)
+          if f != "COUNT" &&
+            graft.link.Fuzzy.nameScore(e.toTable, entityPhrase) >= 100 &&
+            graft.link.Fuzzy.wordHit(e.toTable, entityPhrase)
+        } yield {
+          val dimCols = slice.tables(e.toTable).filterNot(_ == e.toColumn)
+          val jCol = dimCols.find(c => Seq("name", "title", "label")
+            .exists(c.toLowerCase.contains)).orElse(dimCols.headOption).getOrElse(e.toColumn)
+          val whereF = if (filters.isEmpty) ""
+            else filters.map("f." + _).mkString(" WHERE ", " AND ", "")
+          Candidate(
+            s"SELECT j.$jCol, $f(f.$aggCol) AS agg_value " +
+              s"FROM $t f JOIN ${e.toTable} j ON f.${e.fromColumn} = j.${e.toColumn}$whereF " +
+              s"GROUP BY j.$jCol ORDER BY agg_value $dir LIMIT ${analysis.limitN.get}",
+            conf(0.88, aggCol, aggPhrase, needsFit = true), "template_agg_topn_join")
+        }
+        local +: joined
       } else if (topN) {
         val sortCol = best(cols, prePhrase, cols.headOption.getOrElse("*"))
         val dir = if (analysis.sortDescending) "DESC" else "ASC"
@@ -516,9 +570,19 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
         case Intent.GroupedAggregation =>
           val f = analysis.aggFunction.getOrElse("COUNT")
           val expr = if (f == "COUNT") "COUNT(*)" else s"$f($numericish)"
+          // The GROUP column must fit the group phrase too: "count of
+          // students per grade letter" used to serve GROUP BY age from
+          // the name-matched students table because COUNT candidates
+          // carried no fit signal at all — the enrollments candidate
+          // whose grade_letter column actually matches must outrank it.
+          val groupFitAdj =
+            if (perPhrase.trim.isEmpty) 0.0
+            else if (graft.link.Fuzzy.nameScore(groupCol, perPhrase) >= 100) 0.005
+            else -0.015
           val local = Candidate(
             s"SELECT $groupCol, $expr AS agg_value FROM $t$whereSql GROUP BY $groupCol ORDER BY $groupCol LIMIT $DefaultLimit",
-            conf(0.85, numericish, prePhrase, needsFit = f != "COUNT"), "template_group")
+            conf(0.85, numericish, prePhrase, needsFit = f != "COUNT") + groupFitAdj,
+            "template_group")
           // Grouped aggregation ACROSS an FK edge ("course names with
           // average score per course" groups scores by courses.course_name):
           // emitted only when a non-key column of the joined dimension
@@ -950,6 +1014,7 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       antiJoinListCandidates(slice, fks, question),
       showTableCandidates(slice, question),
       fromToCandidates(slice, fks, question, values),
+      fromOnlyCandidates(slice, question, values),
       antiJoinCandidates(slice, fks, question),
       mostCandidates(slice, fks, question),
       intentCandidates(slice, analysis, question, fks),

@@ -178,6 +178,32 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
       }.take(1)
     }
 
+  /** Single-sided route filter: "flights FROM Paris" / "how many flights
+    * from Paris" — the from-endpoint literal must sit in the value
+    * domain of a from-ish column (same evidence bar as [[fromToCandidates]],
+    * one endpoint). Count questions get the COUNT shape; others list. */
+  private[gen] val fromOnlyRe = raw"\bfrom\s+([A-Z][\w-]*)\b(?!\s+to\b)".r
+
+  def fromOnlyCandidates(slice: SchemaSlice, question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    fromOnlyRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val v = m.group(1)
+      def fromish(c: String) = c.toLowerCase.startsWith("f") ||
+        Seq("src", "origin", "depart").exists(c.toLowerCase.contains)
+      val isCount = raw"(?i)\b(how many|count|number of)\b".r.findFirstIn(question).isDefined
+      slice.tables.keySet.toSeq.sorted.flatMap { t =>
+        val dom = values(t)
+        slice.tables(t).find(c => fromish(c) && dom.get(c).exists(_.contains(v))).map { cf =>
+          if (isCount)
+            Candidate(s"SELECT COUNT(*) AS agg_value FROM $t WHERE $cf = ${sqlLit(v)}",
+              0.88, "template_from_only")
+          else
+            Candidate(s"SELECT * FROM $t WHERE $cf = ${sqlLit(v)}",
+              0.87, "template_from_only")
+        }
+      }.take(1)
+    }
+
   def conjunctiveConstraintsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String,
       values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] = {

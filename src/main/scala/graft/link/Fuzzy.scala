@@ -127,9 +127,24 @@ object Fuzzy {
    * appending `id` / `{table}_id` when present (ref nl2sql.py:23-46).
    */
   def selectRelevant(question: String, schema: Map[String, Seq[String]]): SchemaSlice = {
+    val qWords = question.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSet
     val tables = schema.toSeq
       .map { case (t, cols) => (t, cols, tableScore(question, t, cols)) }
-      .sortBy { case (t, _, score) => (-score, t) }
+      // Tied link scores break by (1) EXACT question-word presence of the
+      // table name — "records in customers?" must pick `customers`, not
+      // its singular sibling `customer`, which the plural-tolerant
+      // nameScore ties at 140 — then (2) the fuzzy table-name score
+      // ("count how many items per category" names `items`), then (3)
+      // table WIDTH: when only shared COLUMNS matched ("average price
+      // per category" over items(id, category, price) AND
+      // sales(invoiceno, …, category, quantity, price, invoicedate,
+      // mall)), the measure the question aggregates lives in the
+      // transactional fact table, and fact tables are wide while
+      // lookup/dimension tables are narrow. Alphabetical order used to
+      // answer such questions from the dimension.
+      .sortBy { case (t, cols, score) =>
+        (-score, if (qWords.contains(t.toLowerCase)) 0 else 1,
+          -nameScore(t, question), -cols.length, t) }
       .take(TopTables)
     val sliced = tables.map { case (t, cols, _) =>
       val ranked = cols
@@ -140,6 +155,9 @@ object Fuzzy {
       val ids = cols.filter(c => c == "id" || c == s"${t}_id").filterNot(ranked.contains)
       t -> (ranked ++ ids)
     }
-    SchemaSlice(sliced.toMap)
+    // ListMap preserves the relevance ranking: template generators decay
+    // confidence by slice position (intentCandidates' tableRank), so a
+    // plain Map's hash order silently re-ranked tied candidates.
+    SchemaSlice(scala.collection.immutable.ListMap(sliced: _*))
   }
 }

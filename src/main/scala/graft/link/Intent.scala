@@ -52,9 +52,9 @@ object Intent {
     "MIN" -> Seq("min", "minimum", "lowest", "smallest", "least", "bottom"))
 
   private val groupKeywords = Seq(
-    "grouped by", "group by", "per ", "for each", "each ", "by company",
-    "by category", "by month", "by year", "by department", "by type",
-    "by status")
+    "grouped by", "group by", "per ", "for each", "each ", "every ",
+    "by company", "by category", "by month", "by year", "by department",
+    "by type", "by status")
 
   private val windowKeywords = Seq(
     "along with", "with their", "with the average", "with the total",
@@ -110,7 +110,7 @@ object Intent {
   private val conditionalKeywords = Seq(
     "if ", "case", "categorize", "classify", "label", "depending on", "band")
 
-  private val limitNumRe = raw"\b(?:top|first|last)\s+(\d+)".r
+  private val limitNumRe = raw"\b(?:top|first|last|bottom)\s+(\d+)".r
   private val isoDateRe = raw"\d{4}-\d{2}-\d{2}|\d{2}/\d{2}/\d{4}".r
 
   /** Keyword containment. The reference uses raw substring containment

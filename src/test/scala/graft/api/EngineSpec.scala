@@ -46,6 +46,26 @@ class EngineSpec extends SparkSpec {
     assert(qr.sql.toLowerCase.contains("count"))
   }
 
+  test("run/ask envelopes carry per-column lineage for a joined aggregate") {
+    val r = engine.run(
+      "SELECT n.n_name, sum(c.c_acctbal) AS total_bal " +
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name")
+    val qr = r.toOption.get
+    val lin = qr.lineage.toMap
+    assert(lin("n_name") == Seq("nation.n_name"), qr.lineage.toString)
+    assert(lin("total_bal") == Seq("customer.c_acctbal"), qr.lineage.toString)
+    // the NL path carries it too (column provenance is part of the
+    // answer envelope, not only the raw-SQL surface); COUNT(*) derives
+    // from no column values, so its source set is legitimately empty —
+    // the envelope must still cover every output column
+    val asked = engine.ask("how many customers are there").toOption.get
+    assert(asked.lineage.map(_._1) == asked.columns, asked.lineage.toString)
+    val askedCol = engine.ask("average account balance per market segment").toOption.get
+    assert(askedCol.lineage.exists(_._2.contains("customer.c_acctbal")),
+      askedCol.lineage.toString + " sql=" + askedCol.sql)
+  }
+
   test("LLM candidates are tried first, validated, and fall through on bad SQL") {
     // canned client: first candidate is unsafe, second is valid - the
     // reference's fallback chain must skip the bad one and run the good one
