@@ -2225,6 +2225,8 @@ object Evaluation {
         "JOIN students st ON st.student_id = top.student_id " +
         "JOIN ca ON ca.course_id = top.course_id",
       "argmax_attr_vs_mean_share"),
+    // --- round-12: the two shapes below left open headroom; closed by
+    //     template_universal_period_count / template_abs_period_delta ---
     EvalCase("the number of departments where every year's average score was above 70",
       "SELECT COUNT(*) AS agg_value FROM (SELECT dept FROM (SELECT " +
         "c.dept, s.year, AVG(s.score) AS a FROM scores s JOIN courses c " +
@@ -2236,5 +2238,20 @@ object Evaluation {
         "AVG(CASE WHEN year = 2023 THEN score END) - " +
         "AVG(CASE WHEN year = 2022 THEN score END) AS d FROM scores " +
         "WHERE year IN (2022, 2023) GROUP BY course_id) t " +
-        "WHERE d IS NOT NULL", "avg_abs_period_delta"))
+        "WHERE d IS NOT NULL", "avg_abs_period_delta"),
+    // --- open headroom (capabilities not yet in the template layer;
+    //     replenished in round 12 so the metric stays unsaturated) ---
+    EvalCase("the correlation between score and student age",
+      "SELECT ROUND(CORR(sc.score, st.age), 4) AS agg_value FROM scores sc " +
+        "JOIN students st ON st.student_id = sc.student_id", "corr_attr"),
+    EvalCase("students whose scores vary less than their department's typical spread",
+      "WITH sv AS (SELECT sc.student_id, STDDEV_SAMP(sc.score) AS sd, " +
+        "MIN(c.dept) AS dept FROM scores sc JOIN courses c " +
+        "ON c.course_id = sc.course_id GROUP BY sc.student_id " +
+        "HAVING COUNT(*) > 1), " +
+        "dv AS (SELECT dept, AVG(sd) AS dsd FROM sv GROUP BY dept) " +
+        "SELECT st.student_name FROM sv JOIN dv ON dv.dept = sv.dept " +
+        "JOIN students st ON st.student_id = sv.student_id " +
+        "WHERE sv.sd < dv.dsd ORDER BY st.student_name LIMIT 100",
+      "stddev_vs_group"))
 }

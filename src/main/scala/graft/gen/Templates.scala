@@ -757,6 +757,8 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       nthAggCandidates(slice, fks, question),
       conditionalShareCandidates(slice, fks, question),
       trendCompareCandidates(slice, fks, question),
+      absPeriodDeltaCandidates(slice, fks, question),
+      universalPeriodCountCandidates(slice, fks, question),
       groupShareCandidates(slice, fks, question),
       coOccurrenceCandidates(slice, fks, question),
       universalFilterCandidates(slice, fks, question),

@@ -851,6 +851,128 @@ private[gen] trait TemplatesShapes1 { this: Templates.type =>
         0.9, "template_universal_filter")).take(1)
     }
 
+  // "the mean absolute change in each course's average between 2022 and
+  // 2023" — a per-entity two-period delta folded to one global mean.
+  // The measure may be explicit ("average SCORE between") or implicit
+  // ("…course's average between"), where it resolves to the fact
+  // table's self-named column (scores → score), the convention the
+  // reference's crawled schemas follow.
+  private[gen] val absDeltaRe =
+    (raw"(?i)\bthe\s+(?:mean|average)\s+absolute\s+(?:change|difference|delta)\s+in\s+" +
+      raw"each\s+([a-z_][a-z0-9_]*)(?:'s)?\s+(average|avg|mean|total|sum)" +
+      raw"(?:\s+(?!between\b)([a-z_][a-z0-9_]*))?\s+between\s+(\d{4})\s+and\s+(\d{4})\b").r
+
+  /** Per-entity period delta, globally averaged: both periods'
+    * conditional aggregates share ONE partial+final pass over the fact
+    * grouped by the entity fk (one shuffle), the outer mean collapses
+    * |E| rows — the trendCompare plan shape with an ABS-delta fold
+    * instead of a HAVING. Entities present in only one period drop out
+    * (their delta is NULL), matching "change between" semantics. */
+  def absPeriodDeltaCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    absDeltaRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val (y1, y2) = (m.group(4), m.group(5))
+      (for {
+        dimE <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.find(e => e.toTable == dimE && slice.tables.contains(e.fromTable) &&
+          slice.tables(e.fromTable).exists(_.toLowerCase.contains("year"))).toSeq
+        factCols = slice.tables(e.fromTable)
+        yearCol <- factCols.find(_.toLowerCase.contains("year")).toSeq
+        factStem = if (e.fromTable.endsWith("s")) e.fromTable.dropRight(1) else e.fromTable
+        measure <- Option(m.group(3)).flatMap(w => strongColumn(w, factCols))
+          .orElse(strongColumn(factStem, factCols)).toSeq
+      } yield Candidate(
+        s"SELECT ROUND(AVG(ABS(d)), 4) AS agg_value FROM (" +
+          s"SELECT ${e.fromColumn}, $agg(CASE WHEN $yearCol = $y2 THEN $measure END) - " +
+          s"$agg(CASE WHEN $yearCol = $y1 THEN $measure END) AS d " +
+          s"FROM ${e.fromTable} WHERE $yearCol IN ($y1, $y2) " +
+          s"GROUP BY ${e.fromColumn}) t WHERE d IS NOT NULL",
+        0.9, "template_abs_period_delta")).take(1)
+    }
+
+  // "the number of departments where every year's average score was
+  // above 70" — a universal condition over PERIOD-grained aggregates:
+  // the entity is an ATTRIBUTE (courses.dept), the period a fact
+  // column, and "every P" folds to HAVING MIN(indicator) = 1
+  private[gen] val universalPeriodRe =
+    (raw"(?i)\bthe\s+number\s+of\s+([a-z_][a-z0-9_]*)\s+where\s+every\s+" +
+      raw"([a-z_][a-z0-9_]*)(?:'s)?\s+(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:was|is|were|are|stayed|remained)\s+" +
+      raw"(above|over|at\s+least|below|under|at\s+most)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** Universal period condition count: "the number of Es where every
+    * P's AGG(M) was above N" → inner (entity, period) aggregate (one
+    * shuffle over the fact ⋈ broadcast dimension), HAVING
+    * MIN(CASE a > N) = 1 collapses "every" without an anti-join, outer
+    * COUNT over the survivors. The entity resolves as a fact column
+    * first, else an attribute of an FK-joined dimension — "departments"
+    * lives on courses, not in the question's fact table. */
+  def universalPeriodCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    universalPeriodRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(3).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val op = m.group(5).toLowerCase.replaceAll("\\s+", " ") match {
+        case "above" | "over" => ">"
+        case "at least" => ">="
+        case "at most" => "<="
+        case _ => "<"
+      }
+      val n = m.group(6)
+      // the fact: any sliced table carrying BOTH the measure and a
+      // period-ish column matching the "every P" noun
+      val facts = slice.tables.toSeq.filter { case (_, cols) =>
+        strongColumn(m.group(4), cols).isDefined &&
+          cols.exists(_.toLowerCase.contains(m.group(2).toLowerCase))
+      }
+      facts.flatMap { case (fact, factCols) =>
+        val measure = strongColumn(m.group(4), factCols).get
+        val pCol = factCols.find(_.toLowerCase.contains(m.group(2).toLowerCase)).get
+        // schemas ABBREVIATE entity attributes (dept ← departments,
+        // qty ← quantity): the column is an initial-anchored
+        // SUBSEQUENCE of the question noun, which neither a substring
+        // window nor a prefix test sees ("dept" skips the 'ar' of
+        // "department"). The resolver accepts a unique ≥4-char
+        // first-letter-anchored subsequence. Scoped HERE, not in
+        // nameScore: a global abbreviation bonus re-ranked unrelated
+        // links across every template.
+        def isAbbrev(n: String, w: String): Boolean =
+          n.length >= 4 && w.length > n.length && n.head == w.head && {
+            var i = 0; var j = 0
+            while (i < n.length && j < w.length) { if (n(i) == w(j)) i += 1; j += 1 }
+            i == n.length
+          }
+        def entityColumn(word: String, cols: Seq[String]): Option[String] =
+          strongColumn(word, cols).orElse {
+            val w = word.toLowerCase
+            val pref = cols.filter(c => isAbbrev(c.toLowerCase, w))
+            if (pref.size == 1) pref.headOption else None
+          }
+        val inner = entityColumn(m.group(1), factCols.filterNot(Set(measure, pCol))) match {
+          case Some(eCol) => // entity is a fact column: no join
+            Some(s"SELECT $eCol AS e, $pCol, $agg($measure) AS a FROM $fact GROUP BY $eCol, $pCol")
+          case None => // entity is an attribute of an FK-joined dimension
+            (for {
+              e <- fks.filter(e => e.fromTable == fact && slice.tables.contains(e.toTable))
+              eCol <- entityColumn(m.group(1),
+                slice.tables(e.toTable).filterNot(_ == e.toColumn)).toSeq
+            } yield s"SELECT d.$eCol AS e, f.$pCol, $agg(f.$measure) AS a " +
+              s"FROM $fact f JOIN ${e.toTable} d ON f.${e.fromColumn} = d.${e.toColumn} " +
+              s"GROUP BY d.$eCol, f.$pCol").headOption
+        }
+        inner.map(i => Candidate(
+          s"SELECT COUNT(*) AS agg_value FROM (SELECT e FROM ($i) x " +
+            s"GROUP BY e HAVING MIN(CASE WHEN a $op $n THEN 1 ELSE 0 END) = 1) u",
+          0.9, "template_universal_period_count"))
+      }.take(1)
+    }
+
   // "the two courses most often taken together" — the top co-occurring
   // pair through the fact's other FK
   private[gen] val pairCoOccurRe =
