@@ -1173,6 +1173,44 @@ object Queries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
         "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
+    // vocabulary divergence replica: same union-vocab add-0.5 smoothing,
+    // same p/q/m expression trees, ln fold, ROUND 6
+    "x_vocab_divergence" ->
+      (raw"WITH ta AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'en'), " +
+        raw"tb AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'es'), " +
+        "va AS (SELECT tok, COUNT(*) AS ca FROM ta GROUP BY tok), " +
+        "vb AS (SELECT tok, COUNT(*) AS cb FROM tb GROUP BY tok), " +
+        "j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM va FULL OUTER JOIN vb ON va.tok = vb.tok), " +
+        "t AS (SELECT SUM(ca) AS ta2, SUM(cb) AS tb2, COUNT(*) AS v, " +
+        "SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a, " +
+        "SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b, " +
+        "SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vocab_shared FROM j), " +
+        "s AS (SELECT (CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p, " +
+        "(CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS q FROM j, t) " +
+        "SELECT t.vocab_a, t.vocab_b, t.vocab_shared, " +
+        "round(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS jsd, " +
+        "round(SUM(p * ln(p / q)), 6) AS kl_ab, " +
+        "round(SUM(q * ln(q / p)), 6) AS kl_ba " +
+        "FROM s, t GROUP BY 1, 2, 3"),
+    // per-token divergence attribution: same smoothed log-ratio, total
+    // order (|log_ratio| desc, token asc), top 20
+    "x_divergent_tokens" ->
+      (raw"WITH ta AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'en'), " +
+        raw"tb AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'es'), " +
+        "va AS (SELECT tok, COUNT(*) AS ca FROM ta GROUP BY tok), " +
+        "vb AS (SELECT tok, COUNT(*) AS cb FROM tb GROUP BY tok), " +
+        "j AS (SELECT COALESCE(va.tok, vb.tok) AS tok, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM va FULL OUTER JOIN vb ON va.tok = vb.tok), " +
+        "t AS (SELECT SUM(ca) AS ta2, SUM(cb) AS tb2, COUNT(*) AS v FROM j) " +
+        "SELECT tok AS token, ca AS cnt_a, cb AS cnt_b, " +
+        "round(ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) / " +
+        "((CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS log_ratio " +
+        "FROM j, t ORDER BY abs(log_ratio) DESC, token LIMIT 20"),
+    // per-stratum quantile cut: exact interpolated percentile threshold
+    // (quantile_cont ≡ Spark percentile), boundary ties kept
+    "x_quantile_cut" ->
+      ("WITH thr AS (SELECT source, quantile_cont(n_chars, 0.7) AS t FROM documents GROUP BY source) " +
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN thr ON thr.source = d.source " +
+        "WHERE d.n_chars >= thr.t ORDER BY d.doc_id"),
     // DSIR replica: word unigrams+bigrams (WordShingles semantics:
     // short texts collapse to one whole-text shingle, blanks to none),
     // md5-digit bucket hash, add-one smoothing over the FULL 4096-
@@ -2140,6 +2178,27 @@ object ExtensionQueries {
     // corpus vocabulary (top-100 tokens by document frequency)
     "x_vocab_top" -> ((s, dir) =>
       TextAnalysis.topTerms(docs(s, dir), "doc_id", "text", k = 100)),
+    // corpus-pair vocabulary divergence (JSD + both KLs) between the
+    // en and es slices — the pre-mixing "how different are these
+    // sources" check; vocab-sized shuffles only
+    "x_vocab_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.vocabDivergence(
+        d.where(col("lang") === "en"), d.where(col("lang") === "es"), "text")
+    }),
+    // the tokens driving that divergence: top-20 by |smoothed log-ratio|
+    "x_divergent_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.divergentTokens(
+        d.where(col("lang") === "en"), d.where(col("lang") === "es"), "text", k = 20)
+    }),
+    // per-stratum quantile curation cut: keep each source's top 30% by
+    // n_chars — one |strata|-sized percentile pass, no corpus sort
+    "x_quantile_cut" -> ((s, dir) =>
+      graft.operators.Sampling.selectTopQuantilePerStratum(
+        docs(s, dir), "source", "n_chars", keepFraction = 0.3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
     // BPE tokenizer training statistics: the first-iteration adjacent
     // char-pair counts (word-boundary-restricted), top 40
     "x_bpe_pairs" -> ((s, dir) =>

@@ -174,6 +174,42 @@ object Sampling {
     df.where(hashBucket(col(idCol)) <
       (least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1000).cast("long"))
 
+  /**
+   * Keep the top `keepFraction` of each stratum BY SCORE — the
+   * quantile-threshold curation cut ("keep the best 30% of every
+   * source") real pipelines run between quality scoring and mixing.
+   * Unlike [[stratifiedSample]] (uniform within a stratum) or
+   * [[weightedSample]] (per-row independent coin), the survivor set
+   * here is the score-ordered TOP of each stratum: the per-stratum
+   * threshold is the exact interpolated `percentile(score, 1 − f)` and
+   * rows with `score >= threshold` survive (ties at the boundary are
+   * all kept — deterministic, slightly over `f`).
+   *
+   * Scale: ONE |strata|-sized percentile aggregation pass over the
+   * corpus, joined back with no broadcast hint — AQE broadcasts the
+   * tiny threshold frame when it fits and degrades to a shuffle join at
+   * pathological stratum cardinality (the anomaly-operator discipline).
+   * Never a global or per-stratum sort of the corpus. `exact = true`
+   * (the oracle-matched default) buffers a STRATUM'S VALUES in the
+   * aggregation buffer — fine to ~10⁷ rows per stratum; at 100 TB with
+   * few strata pass `exact = false` for the Greenwald-Khanna sketch
+   * (`approx_percentile`), whose memory is bounded by `accuracy`, not
+   * the stratum.
+   */
+  def selectTopQuantilePerStratum(df: DataFrame, stratumCol: String,
+      scoreCol: String, keepFraction: Double, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0)
+    val pct =
+      if (exact) s"percentile($scoreCol, ${1.0 - keepFraction})"
+      else s"approx_percentile($scoreCol, ${1.0 - keepFraction}, $accuracy)"
+    val thresholds = df.groupBy(col(stratumCol))
+      .agg(expr(pct).cast("double").as("__thr"))
+    df.join(thresholds, stratumCol)
+      .where(col(scoreCol) >= col("__thr"))
+      .select(df.columns.map(col): _*) // using-join reorders; restore input order
+  }
+
   /** Deterministic per-row Gumbel perturbation of a log-weight: the
     * Gumbel-max key `logw − ln(−ln(u))` with `u ∈ (0,1)` derived from
     * the row id and seed through md5's first six hex digits (an exact

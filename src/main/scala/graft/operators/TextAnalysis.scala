@@ -430,6 +430,83 @@ object TextAnalysis {
         (round(col("__ce"), 6) > 0).as("selected"))
   }
 
+  /**
+   * Exact vocabulary-level divergence between two corpora: Jensen-
+   * Shannon divergence plus both directed KLs over add-α-smoothed
+   * unigram distributions, with vocabulary sizes. The corpus-drift
+   * question [[crossEntropyDiff]]/DSIR answer per-DOCUMENT, answered
+   * once per corpus PAIR — the number a mixing pipeline checks before
+   * deciding two sources need separate treatment ("how different is
+   * source A's language from B's"), and a training-data drift monitor
+   * tracks across snapshots (the text analogue of `Drift.psi`).
+   *
+   * Output: ONE row (vocab_a, vocab_b, vocab_shared, jsd, kl_ab,
+   * kl_ba), divergences at 6 dp. α-smoothing over the UNION vocabulary
+   * keeps both KLs finite under partial vocabulary overlap.
+   *
+   * Scale: each corpus reduces to a vocabulary histogram in one
+   * partial-aggregated pass (hot tokens collapse map-side; the shuffle
+   * is vocabulary-sized, never corpus-sized), the full-outer join and
+   * the final fold are vocab-sized, and the totals frame is ONE row
+   * (broadcast). Nothing is ever collected per token.
+   */
+  def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    def vocab(df: DataFrame, cnt: String): DataFrame =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1L)).as(cnt))
+    val j = vocab(a, "ca").join(vocab(b, "cb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = j.agg(sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1L)).as("v"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+      sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("vocab_shared"))
+    val p = (col("ca").cast("double") + alpha) /
+      (col("ta").cast("double") + lit(alpha) * col("v").cast("double"))
+    val q = (col("cb").cast("double") + alpha) /
+      (col("tb").cast("double") + lit(alpha) * col("v").cast("double"))
+    val m = (p + q) / 2.0
+    j.crossJoin(tot)
+      .agg(max(col("vocab_a")).as("vocab_a"), max(col("vocab_b")).as("vocab_b"),
+        max(col("vocab_shared")).as("vocab_shared"),
+        round(sum(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)), 6).as("jsd"),
+        round(sum(p * log(p / q)), 6).as("kl_ab"),
+        round(sum(q * log(q / p)), 6).as("kl_ba"))
+  }
+
+  /**
+   * The tokens DRIVING the divergence [[vocabDivergence]] summarizes:
+   * top-k by absolute smoothed log-ratio `ln(p/q)`, the per-token
+   * attribution a curator reads to see WHAT changed between corpora
+   * (new jargon, vanished boilerplate) rather than just how much.
+   * Output: (token, cnt_a, cnt_b, log_ratio 6 dp), |log_ratio| desc,
+   * token asc for a total order. Same vocab-histogram plan shape as
+   * [[vocabDivergence]]; the top-k is a TakeOrderedAndProject, never a
+   * full sort.
+   */
+  def divergentTokens(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 20, alpha: Double = 0.5): DataFrame = {
+    def vocab(df: DataFrame, cnt: String): DataFrame =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1L)).as(cnt))
+    val j = vocab(a, "ca").join(vocab(b, "cb"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = j.agg(sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1L)).as("v"))
+    val p = (col("ca").cast("double") + alpha) /
+      (col("ta").cast("double") + lit(alpha) * col("v").cast("double"))
+    val q = (col("cb").cast("double") + alpha) /
+      (col("tb").cast("double") + lit(alpha) * col("v").cast("double"))
+    j.crossJoin(tot)
+      .select(col("tok").as("token"), col("ca").as("cnt_a"), col("cb").as("cnt_b"),
+        round(log(p / q), 6).as("log_ratio"))
+      .orderBy(abs(col("log_ratio")).desc, col("token"))
+      .limit(k)
+  }
+
   /** DSIR hashed-feature bucket of a word n-gram: the first three hex
     * digits of md5 as a base-16 integer, mod `buckets` — uniform over
     * the 4096-value digit space, and replicable in any engine with md5

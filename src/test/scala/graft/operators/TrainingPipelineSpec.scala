@@ -393,6 +393,61 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0.9), (7L, 7L, 0.4))) // group 7: tie -> min id
   }
 
+  test("vocabDivergence: identical corpora diverge 0; disjoint corpora diverge symmetrically") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val same = TextAnalysis.vocabDivergence(a, a, "text").collect()(0)
+    assert(same.getLong(0) == 3 && same.getLong(1) == 3 && same.getLong(2) == 3)
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0)
+    val b = Seq((3L, "delta epsilon")).toDF("doc_id", "text")
+    val diff = TextAnalysis.vocabDivergence(a, b, "text").collect()(0)
+    assert(diff.getLong(0) == 3 && diff.getLong(1) == 2 && diff.getLong(2) == 0)
+    // α=0.5 smoothing over 5 union tokens with counts this small caps
+    // the JSD well under ln 2 — the signal is the ORDERING, not scale
+    assert(diff.getDouble(3) > 0.15, s"disjoint corpora must diverge: $diff")
+    // exact per-token recomputation with p = (c+0.5)/(tot+0.5·V), V=5:
+    // counts (alpha, beta, gamma, delta, epsilon) = A(2,2,1,0,0), B(0,0,0,1,1)
+    val v = 5.0
+    def p(c: Long, tot: Long) = (c + 0.5) / (tot + 0.5 * v)
+    val tokens = Seq((2L, 0L), (2L, 0L), (1L, 0L), (0L, 1L), (0L, 1L))
+    val expKlAb = tokens.map { case (ca, cb) =>
+      val pa = p(ca, 5L); val qb = p(cb, 2L)
+      pa * math.log(pa / qb)
+    }.sum
+    assert(math.abs(diff.getDouble(4) - (math.rint(expKlAb * 1e6) / 1e6)) < 2e-6,
+      s"kl_ab ${diff.getDouble(4)} vs expected $expKlAb")
+  }
+
+  test("divergentTokens ranks by |log ratio| with a total order") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha alpha alpha shared")).toDF("doc_id", "text")
+    val b = Seq((2L, "omega omega omega shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.divergentTokens(a, b, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // alpha (3 vs 0) and omega (0 vs 3) are the extremes, tie on |ratio|
+    // -> token asc; shared (1 vs 1) is least divergent
+    assert(out.take(2).map(_._1).toSeq == Seq("alpha", "omega"), out.mkString(","))
+    assert(out(2)._1 == "shared")
+  }
+
+  test("selectTopQuantilePerStratum keeps each stratum's top fraction by score, ties kept") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "s1", i * 10)) ++
+      (11 to 14).map(i => (i.toLong, "s2", 7))).toDF("id", "src", "score")
+    val kept = graft.operators.Sampling
+      .selectTopQuantilePerStratum(df, "src", "score", keepFraction = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // s1: percentile(score, 0.7) over 10..100 = 73 -> keep 80,90,100 (ids 8,9,10)
+    assert(kept.filter(_._2 == "s1").map(_._1).toSeq == Seq(8L, 9L, 10L))
+    // s2: all scores tie at 7 = threshold -> ALL kept (boundary ties kept)
+    assert(kept.filter(_._2 == "s2").map(_._1).toSeq == Seq(11L, 12L, 13L, 14L))
+    // the sketch path (the 100 TB default) agrees on this fixture
+    val approx = graft.operators.Sampling
+      .selectTopQuantilePerStratum(df, "src", "score", 0.3, exact = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(approx.filter(_._2 == "s2").map(_._1).toSeq == Seq(11L, 12L, 13L, 14L))
+  }
+
   test("canonicalPerGroup: STRING ids keep the deterministic smallest-id tie-break") {
     import spark.implicits._
     // r11 ADVICE: (-col(id)) on a string id cast to a NULL double and
