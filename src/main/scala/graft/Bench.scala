@@ -53,7 +53,12 @@ object Bench {
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
     val commit = git("rev-parse", "--short", "HEAD").filter(_.nonEmpty).getOrElse("unknown")
-    val dirty = git("status", "--porcelain").exists(_.nonEmpty)
+    // the bench's own artifact files churn every run — a stale record
+    // from the previous invocation must not read as "code is dirty"
+    val ownArtifacts = Set("bench_out.json", "bench_summary.json",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val dirty = git("status", "--porcelain").exists(_.linesIterator
+      .map(_.drop(3).trim).exists(f => f.nonEmpty && !ownArtifacts(f)))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")
