@@ -57,8 +57,11 @@ object Bench {
     // from the previous invocation must not read as "code is dirty"
     val ownArtifacts = Set("bench_out.json", "bench_summary.json",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // parse by splitting off the status token — fixed offsets break on
+    // the first line because git() trims the output's leading space
     val dirty = git("status", "--porcelain").exists(_.linesIterator
-      .map(_.drop(3).trim).exists(f => f.nonEmpty && !ownArtifacts(f)))
+      .map(_.trim.split("\\s+", 2).last.trim)
+      .exists(f => f.nonEmpty && !ownArtifacts(f)))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")
