@@ -1205,6 +1205,16 @@ object Queries {
         "round(ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) / " +
         "((CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS log_ratio " +
         "FROM j, t ORDER BY abs(log_ratio) DESC, token LIMIT 20"),
+    // OOV replica: same top-500 vocabulary (freq desc, token asc), same
+    // coverage fold and 1 − covered/total expression, ROUND 6
+    "x_oov_rate" ->
+      (raw"WITH toks AS (SELECT lang AS grp, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents), " +
+        "c AS (SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2), " +
+        "v AS (SELECT tok FROM (SELECT tok, SUM(c) AS tc FROM c GROUP BY tok ORDER BY tc DESC, tok LIMIT 500) t0) " +
+        "SELECT c.grp AS lang, SUM(c.c) AS n_tokens, " +
+        "SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS covered, " +
+        "round(1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS DOUBLE) / SUM(c.c), 6) AS oov_rate " +
+        "FROM c LEFT JOIN v ON v.tok = c.tok GROUP BY 1 ORDER BY 1"),
     // per-stratum quantile cut: exact interpolated percentile threshold
     // (quantile_cont ≡ Spark percentile), boundary ties kept
     "x_quantile_cut" ->
@@ -2192,6 +2202,10 @@ object ExtensionQueries {
       TextAnalysis.divergentTokens(
         d.where(col("lang") === "en"), d.where(col("lang") === "es"), "text", k = 20)
     }),
+    // vocabulary coverage per language at a 500-token vocab — the
+    // tokenizer-sizing report; (groups × vocab)-bounded shuffle
+    "x_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), "text", "lang", vocabSize = 500)),
     // per-stratum quantile curation cut: keep each source's top 30% by
     // n_chars — one |strata|-sized percentile pass, no corpus sort
     "x_quantile_cut" -> ((s, dir) =>

@@ -507,6 +507,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Vocabulary-coverage (OOV) report: build the corpus's top
+   * `vocabSize` tokens by total frequency (deterministic total order:
+   * frequency desc, token asc) and report, per `byCol` group, how many
+   * token occurrences that vocabulary covers — the tokenizer-sizing
+   * question ("does a 32k vocabulary cover the zh slice?") asked before
+   * committing to a vocab size. Output: (byCol, n_tokens, covered,
+   * oov_rate 6 dp) ordered by group.
+   *
+   * Scale: one corpus pass reduces to (group, token) counts — the
+   * shuffle is |groups|·|vocab|-bounded with map-side combine, never
+   * corpus-sized; the global vocabulary derives from those counts with
+   * a second vocab-sized aggregate and a TakeOrderedAndProject (no full
+   * sort), and joins back by token (AQE broadcasts a bounded-k vocab).
+   */
+  def oovRate(df: DataFrame, textCol: String, byCol: String,
+      vocabSize: Int): DataFrame = {
+    val counts = df
+      .select(col(byCol).as("__grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("__grp", "tok").agg(count(lit(1L)).as("__c"))
+    val vocab = counts.groupBy("tok").agg(sum("__c").as("__tc"))
+      .orderBy(col("__tc").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("__in"))
+    counts.join(vocab, Seq("tok"), "left")
+      .groupBy("__grp").agg(
+        sum("__c").as("n_tokens"),
+        sum(when(col("__in").isNotNull, col("__c")).otherwise(0L)).as("covered"))
+      .select(col("__grp").as(byCol), col("n_tokens"), col("covered"),
+        round(lit(1.0) - col("covered").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(byCol)
+  }
+
   /** DSIR hashed-feature bucket of a word n-gram: the first three hex
     * digits of md5 as a base-16 integer, mod `buckets` — uniform over
     * the 4096-value digit space, and replicable in any engine with md5

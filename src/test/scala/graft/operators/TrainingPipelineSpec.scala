@@ -418,6 +418,21 @@ class TrainingPipelineSpec extends SparkSpec {
       s"kl_ab ${diff.getDouble(4)} vs expected $expKlAb")
   }
 
+  test("oovRate: vocabulary covers the frequent tokens; rare-token groups show higher OOV") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "common common common word"),
+      (2L, "en", "common word word"),
+      (3L, "zh", "rare unique tokens common"))
+      .toDF("doc_id", "lang", "text")
+    // vocab size 2 = {common(5), word(3)} (freq desc, token asc)
+    val out = TextAnalysis.oovRate(df, "text", "lang", vocabSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("en", 7L, 7L, 0.0),          // all en tokens in vocab
+      ("zh", 4L, 1L, 0.75)))        // only 'common' covered
+  }
+
   test("divergentTokens ranks by |log ratio| with a total order") {
     import spark.implicits._
     val a = Seq((1L, "alpha alpha alpha shared")).toDF("doc_id", "text")
