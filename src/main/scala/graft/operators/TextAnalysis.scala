@@ -451,12 +451,24 @@ object TextAnalysis {
    * (broadcast). Nothing is ever collected per token.
    */
   def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String,
-      alpha: Double = 0.5): DataFrame = {
-    def vocab(df: DataFrame, cnt: String): DataFrame =
-      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .groupBy("tok").agg(count(lit(1L)).as(cnt))
-    val j = vocab(a, "ca").join(vocab(b, "cb"), Seq("tok"), "full_outer")
+      alpha: Double = 0.5): DataFrame =
+    divergenceFromHists(vocabHist(a, textCol), vocabHist(b, textCol), alpha)
+
+  /** Unigram histogram of a corpus: (tok, cnt) — the shared input of
+    * the divergence computations and the streaming drift maintainer. */
+  private[graft] def vocabHist(df: DataFrame, textCol: String,
+      cnt: String = "cnt"): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1L)).as(cnt))
+
+  /** [[vocabDivergence]] from two PRE-AGGREGATED (tok, cnt) histograms —
+    * the exact same fold, so a stream-maintained histogram diverges
+    * identically to the batch operator over the same documents. */
+  private[graft] def divergenceFromHists(va: DataFrame, vb: DataFrame,
+      alpha: Double): DataFrame = {
+    val j = va.withColumnRenamed("cnt", "ca")
+      .join(vb.withColumnRenamed("cnt", "cb"), Seq("tok"), "full_outer")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val tot = j.agg(sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1L)).as("v"),

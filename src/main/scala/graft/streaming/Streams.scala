@@ -812,6 +812,48 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming vocabulary-drift maintainer: fold each micro-batch's
+   * unigram histogram into driver state and ask, at any point, how far
+   * the stream's language has drifted from a FIXED reference corpus —
+   * the text analogue of `Drift.psi` for an ingest pipeline ("is this
+   * crawl still the distribution we mixed for?"). The divergence
+   * computes through the SAME fold as the batch operator
+   * (`TextAnalysis.divergenceFromHists`), so stream-maintained and
+   * batch answers are identical once the same documents have been
+   * folded (pinned in StreamsSpec).
+   *
+   * State: one (token → count) map per maintainer, vocabulary-sized —
+   * natural-language vocabularies are 10⁶–10⁷ entries and fit a driver
+   * comfortably; for unbounded token spaces (code, URLs) use the
+   * bucket-bounded [[DsirModelMaintainer]] discipline instead. Each
+   * micro-batch collects only ITS OWN histogram (batch-vocab-sized),
+   * mirroring the DSIR maintainer's per-batch fold.
+   */
+  final class VocabDriftMaintainer(textCol: String, alpha: Double = 0.5) {
+    private val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    /** Distinct tokens folded so far. */
+    def vocabSize: Int = synchronized(counts.size)
+    /** `foreachBatch` handler: fold one micro-batch of documents. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      graft.operators.TextAnalysis.vocabHist(batch, textCol).collect()
+        .foreach { r =>
+          val t = r.getString(0)
+          counts.update(t, counts.getOrElse(t, 0L) + r.getLong(1))
+        }
+    }
+    /** Divergence of everything folded so far vs `reference` — same
+      * one-row schema and math as `TextAnalysis.vocabDivergence`
+      * (reference is side A, the stream side B). */
+    def divergenceFrom(reference: DataFrame, refTextCol: String): DataFrame = synchronized {
+      val spark = reference.sparkSession
+      import spark.implicits._
+      val cur = counts.toSeq.toDF("tok", "cnt")
+      graft.operators.TextAnalysis.divergenceFromHists(
+        graft.operators.TextAnalysis.vocabHist(reference, refTextCol), cur, alpha)
+    }
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

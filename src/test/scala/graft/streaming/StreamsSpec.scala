@@ -586,6 +586,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.forall { case (id, t, _) => t.contains(s"body text $id") })
   }
 
+  test("streaming vocab-drift maintainer: folded divergence equals the batch operator exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    graft.sources.Sources.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val ref = docs.where(col("lang") === "en")
+    val stream = docs.where(col("lang") =!= "en")
+    val m = new Streams.VocabDriftMaintainer("text")
+    assert(m.vocabSize == 0)
+    // fold three micro-batches split by id hash; unigram counts are
+    // associative, and the divergence computes through the same fold as
+    // the batch operator, so stream-maintained == batch
+    (0 until 3).foreach(i => m.onBatch(stream.where(pmod($"doc_id", lit(3)) === i), i.toLong))
+    val streamed = m.divergenceFrom(ref, "text").collect()(0)
+    val batch = graft.operators.TextAnalysis.vocabDivergence(ref, stream, "text").collect()(0)
+    assert(streamed.toSeq == batch.toSeq, s"$streamed vs $batch")
+    assert(m.vocabSize > 0 && streamed.getDouble(3) > 0.0)
+  }
+
   test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
