@@ -416,6 +416,27 @@ class PlanQualitySpec extends SparkSpec {
       s"pageRank(3 iters) launched ${jobs.get()} jobs — dangling mass must fold into the iteration job")
   }
 
+  test("vocab divergence aggregates with a partial phase; divergent-tokens top-k never full-sorts (x_vocab_divergence, x_divergent_tokens)") {
+    // the vocabulary histogram must collapse map-side (partial + final
+    // HashAggregate) so the shuffle is vocab-sized, never corpus-sized
+    val pd = plan("x_vocab_divergence")
+    assert("HashAggregate".r.findAllIn(pd).size >= 2, pd.take(1500))
+    val pt = plan("x_divergent_tokens")
+    assert(pt.contains("TakeOrderedAndProject"), pt.take(1500))
+    assert(!pt.contains("CartesianProduct") ||
+      pt.contains("BroadcastNestedLoopJoin"), // the 1-row totals frame
+      pt.take(1500))
+  }
+
+  test("quantile cut is one |strata|-sized percentile pass; the threshold join broadcasts via AQE (x_quantile_cut)") {
+    val df = SparkEntry.queries("x_quantile_cut")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE should broadcast the per-stratum threshold frame:\n" + p.take(2000))
+    assert(!p.contains("WindowExec"), "no per-stratum window sort:\n" + p.take(2000))
+  }
+
   test("anomaly stats frames broadcast at fixture scale via AQE, not a forced hint (x_anomaly_zscore, x_anomaly_mad)") {
     // The operators carry NO broadcast() hint (a caller keying at user
     // grain must degrade to a shuffle join, not OOM — the r10
