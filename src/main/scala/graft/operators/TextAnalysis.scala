@@ -499,12 +499,16 @@ object TextAnalysis {
    * full sort.
    */
   def divergentTokens(a: DataFrame, b: DataFrame, textCol: String,
-      k: Int = 20, alpha: Double = 0.5): DataFrame = {
-    def vocab(df: DataFrame, cnt: String): DataFrame =
-      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .groupBy("tok").agg(count(lit(1L)).as(cnt))
-    val j = vocab(a, "ca").join(vocab(b, "cb"), Seq("tok"), "full_outer")
+      k: Int = 20, alpha: Double = 0.5): DataFrame =
+    divergentTokensFromHists(vocabHist(a, textCol), vocabHist(b, textCol), k, alpha)
+
+  /** [[divergentTokens]] from two PRE-AGGREGATED (tok, cnt) histograms —
+    * shared with the streaming drift maintainer, same guarantee as
+    * [[divergenceFromHists]]. */
+  private[graft] def divergentTokensFromHists(va: DataFrame, vb: DataFrame,
+      k: Int, alpha: Double): DataFrame = {
+    val j = va.withColumnRenamed("cnt", "ca")
+      .join(vb.withColumnRenamed("cnt", "cb"), Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val tot = j.agg(sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1L)).as("v"))

@@ -846,11 +846,21 @@ object Streams {
       * one-row schema and math as `TextAnalysis.vocabDivergence`
       * (reference is side A, the stream side B). */
     def divergenceFrom(reference: DataFrame, refTextCol: String): DataFrame = synchronized {
-      val spark = reference.sparkSession
-      import spark.implicits._
-      val cur = counts.toSeq.toDF("tok", "cnt")
       graft.operators.TextAnalysis.divergenceFromHists(
-        graft.operators.TextAnalysis.vocabHist(reference, refTextCol), cur, alpha)
+        graft.operators.TextAnalysis.vocabHist(reference, refTextCol),
+        currentHist(reference.sparkSession), alpha)
+    }
+    /** The tokens driving the drift — same output as
+      * `TextAnalysis.divergentTokens(reference, streamedSoFar, …)`. */
+    def topDivergentFrom(reference: DataFrame, refTextCol: String,
+        k: Int = 20): DataFrame = synchronized {
+      graft.operators.TextAnalysis.divergentTokensFromHists(
+        graft.operators.TextAnalysis.vocabHist(reference, refTextCol),
+        currentHist(reference.sparkSession), k, alpha)
+    }
+    private def currentHist(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      counts.toSeq.toDF("tok", "cnt")
     }
   }
 

@@ -603,6 +603,11 @@ class StreamsSpec extends SparkSpec {
     val batch = graft.operators.TextAnalysis.vocabDivergence(ref, stream, "text").collect()(0)
     assert(streamed.toSeq == batch.toSeq, s"$streamed vs $batch")
     assert(m.vocabSize > 0 && streamed.getDouble(3) > 0.0)
+    // the attribution half shares the guarantee
+    val topS = m.topDivergentFrom(ref, "text", k = 10).collect().map(_.toSeq)
+    val topB = graft.operators.TextAnalysis.divergentTokens(ref, stream, "text", k = 10)
+      .collect().map(_.toSeq)
+    assert(topS.toSeq == topB.toSeq)
   }
 
   test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
