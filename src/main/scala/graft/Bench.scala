@@ -92,16 +92,19 @@ object Bench {
     val mins = results.map(_._2).sorted
     val median = if (mins.isEmpty) 0.0 else mins(mins.size / 2)
     val outliers = results.filter { case (_, m, _) => m > 3 * median && m > 0.5 }.map(_._1).toSet
-    val retried = results.map {
+    val results2 = results.map {
       case (name, m, first) if outliers(name) =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
+        // a FAILED retry must keep the original measurement — recording
+        // the time-to-failure would silently erase the very outlier the
+        // retry exists to double-check
+        val t =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
         spark.catalog.clearCache()
         (name, math.min(m, t), first)
       case r => r
     }
-    val results2 = retried
     val total = if (results2.nonEmpty) results2.map(_._2).sum else 0.0
     val firstTotal = if (results2.nonEmpty) results2.map(_._3).sum else 0.0
     // The driver captures only a small tail of the sbt output, and at

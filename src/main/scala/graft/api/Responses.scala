@@ -5,8 +5,10 @@ import graft.core.{EngineError, QueryResult}
 /**
  * JSON response envelopes matching the reference's HTTP payload shapes
  * (V13; ref `app/routes_ai.py:210-220,254-306`): success carries
- * `{ok, sql, columns, rows, rowcount, explain, explanation}`; failure is
- * the always-answer error envelope
+ * `{ok, sql, columns, rows, rowcount, explain, explanation, lineage}`
+ * — lineage extends the reference's prose `explanation` with
+ * per-column `table.column` provenance (`{column: [sources…]}`);
+ * failure is the always-answer error envelope
  * `{ok: false, error, message, sql: null, columns: [], rows: [], rowcount: 0}`.
  */
 object Responses {
@@ -42,9 +44,12 @@ object Responses {
   def success(r: QueryResult): String = {
     val cols = r.columns.map(c => "\"" + esc(c) + "\"").mkString("[", ", ", "]")
     val rows = r.rows.map(_.map(jsonValue).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val lineage = r.lineage.map { case (c, srcs) =>
+      jsonString(c) + ": " + srcs.map(jsonString).mkString("[", ", ", "]")
+    }.mkString("{", ", ", "}")
     s"""{"ok": true, "sql": "${esc(r.sql)}", "columns": $cols, "rows": $rows, """ +
       s""""rowcount": ${r.rowcount}, "explain": "${esc(r.explain)}", """ +
-      s""""explanation": "${esc(r.explanation)}"}"""
+      s""""explanation": "${esc(r.explanation)}", "lineage": $lineage}"""
   }
 
   def failure(e: EngineError): String =

@@ -218,7 +218,18 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
     * CORRECTNESS oracle, cached query logs) pin `now`; `ask`-path
     * callers get wall-clock behavior from the 2-arg overload. */
   def extractFilters(question: String, cols: Seq[String],
-      now: java.time.LocalDate): Seq[String] = {
+      now: java.time.LocalDate): Seq[String] =
+    extractFiltersMasked(question, cols, now)._1
+
+  /** [[extractFilters]] plus the question with every consumed filter
+    * span BLANKED (length-preserving, so regex offsets computed on the
+    * original question stay valid). Column/measure linking must score
+    * against this masked form: "top 5 courses by average score last
+    * year" once aggregated AVG(year) because the already-extracted
+    * "last year" leaked into the aggregate-column phrase and the exact
+    * word `year` outranked the segment hit on `numeric_score`. */
+  private[gen] def extractFiltersMasked(question: String, cols: Seq[String],
+      now: java.time.LocalDate): (Seq[String], String) = {
     // rendered conditions keyed by (col, op); `=` keys render last-minute
     // from eqVals so repeated values fold into IN — the LinkedHashMap
     // preserves first-appearance order either way
@@ -348,18 +359,27 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
            !Set("first", "second", "third", "last", "next", "previous", "same")(m.group(1).toLowerCase))
       put(c, "=", m.group(1))
     consume(inTheMs)
-    for (m <- eqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
-      put(c, "=", m.group(2))
-    for (m <- numEqRe.findAllMatchIn(masked); c <- strongColumn(m.group(1), cols))
-      put(c, "=", m.group(2))
-    for (m <- dateCmpRe.findAllMatchIn(masked);
+    // the trailing extractors blank only the matches that RESOLVED —
+    // an unresolved "score above 70" span may still be aggregate
+    // signal for the caller reading the mask
+    val eqMs = eqRe.findAllMatchIn(masked).toSeq
+    consume(for (m <- eqMs; c <- strongColumn(m.group(1), cols)) yield {
+      put(c, "=", m.group(2)); m
+    })
+    val numEqMs = numEqRe.findAllMatchIn(masked).toSeq
+    consume(for (m <- numEqMs; c <- strongColumn(m.group(1), cols)) yield {
+      put(c, "=", m.group(2)); m
+    })
+    val dateCmpMs = dateCmpRe.findAllMatchIn(masked).toSeq
+    consume(for (m <- dateCmpMs;
          c <- cols.find(n => { val l = n.toLowerCase
-           l.contains("date") || l.endsWith("_ts") || l == "ts" || l.contains("time") })) {
+           l.contains("date") || l.endsWith("_ts") || l == "ts" || l.contains("time") }).toSeq) yield {
       val day = if (m.group(2).length == 4) s"${m.group(2)}-01-01" else m.group(2)
       val op = if (Set("after", "since")(m.group(1).toLowerCase)) ">=" else "<"
       out.getOrElseUpdate(s"$c $op", s"$c $op DATE '$day'")
-    }
-    out.map { case (k, rendered) =>
+      m
+    })
+    val filters = out.map { case (k, rendered) =>
       if (rendered.nonEmpty) rendered
       else {
         val c = k.stripSuffix(" =")
@@ -367,6 +387,7 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
         if (vs.size == 1) s"$c = ${vs.head}" else s"$c IN (${vs.mkString(", ")})"
       }
     }.toSeq
+    (filters, masked)
   }
 
   /** Intent-shaped candidates: aggregation / group-by / distinct patterns
@@ -431,7 +452,10 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
         (analysis.allIntents.contains(Intent.Sorted) || analysis.allIntents.contains(Intent.Limited))
       // Extracted literal filters ("score greater than 75", "with a C
       // grade", "in year 2023") apply to every shape as a WHERE clause.
-      val filters = extractFilters(question, cols)
+      // masked form: extracted filter spans blanked (length-preserving,
+      // so offsets from regexes over `q` stay valid in `mq`)
+      val (filters, maskedQ) = extractFiltersMasked(question, cols, java.time.LocalDate.now())
+      val mq = maskedQ.toLowerCase
       val whereSql = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
       // Fit-scaled confidence: a table whose aggregate column genuinely
       // matches the question outranks the slice's head table; later
@@ -503,9 +527,12 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
           case "sum" | "total" => "SUM"
           case _ => "COUNT"
         }
-        val entityPhrase = strip(q.take(m.start))
+        // phrases come from the FILTER-MASKED question: "average score
+        // last year" must link `score`, not the filter's `year` (whose
+        // exact-word 140 outranked numeric_score's segment 125)
+        val entityPhrase = strip(mq.take(m.start))
         val entityCol = best(cols, entityPhrase, groupCol)
-        val aggPhrase = strip(q.substring(m.end))
+        val aggPhrase = strip(mq.substring(m.end))
         val aggCol = best(cols, aggPhrase, numericish)
         val expr = if (f == "COUNT") "COUNT(*)" else s"$f($aggCol)"
         // "bottom 5 users by total price" ranks ascending — the limit

@@ -185,7 +185,15 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
   private[gen] val fromOnlyRe = raw"\bfrom\s+([A-Z][\w-]*)\b(?!\s+to\b)".r
 
   def fromOnlyCandidates(slice: SchemaSlice, question: String,
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] = {
+    // a destination ANYWHERE after the origin ("from Paris To Rome",
+    // "from Paris arriving to Rome") makes this a two-endpoint route
+    // question — answering it with the origin filter alone would be a
+    // confident wrong answer, so this shape stays silent and the
+    // fromTo template (or nothing) owns it. The destination literal is
+    // capitalized (same evidence bar as fromToRe); 'to'/'To' both count
+    // (the adjacent-only lookahead missed a capitalized 'To').
+    if (raw"\b[Tt]o\s+[A-Z]".r.findFirstIn(question).isDefined) return Seq.empty
     fromOnlyRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val v = m.group(1)
       def fromish(c: String) = c.toLowerCase.startsWith("f") ||
@@ -203,6 +211,7 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
         }
       }.take(1)
     }
+  }
 
   def conjunctiveConstraintsCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String,

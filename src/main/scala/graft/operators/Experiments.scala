@@ -39,6 +39,10 @@ object Experiments {
    * `round()` mode and no −0.0 (a tiny-negative z floors to +0). The
    * r11 `x_ab_test` hash miss was exactly this representation-level
    * fragility (same class as the Moore-Lewis −0.0 fix, 57da6cc).
+   * Bound: `2·c·10⁶` stays inside a signed 64-bit long for conversion
+   * counts up to ~4.6×10¹² users — beyond any population; an engine
+   * whose SUM widens further (DuckDB's HUGEINT) agrees everywhere
+   * below that bound.
    */
   def abConversion(events: DataFrame, userCol: String, variantCol: Column,
       isConversion: Column, minConversions: Long = 1L): DataFrame = {

@@ -205,9 +205,14 @@ object Sampling {
       else s"approx_percentile($scoreCol, ${1.0 - keepFraction}, $accuracy)"
     val thresholds = df.groupBy(col(stratumCol))
       .agg(expr(pct).cast("double").as("__thr"))
-    df.join(thresholds, stratumCol)
+      .withColumnRenamed(stratumCol, "__strat")
+    // null-SAFE stratum match: a NULL stratum is a real group (groupBy
+    // emits its threshold row) and must not silently vanish through an
+    // equi-join; rows with a NULL SCORE are dropped by the comparison —
+    // a score the percentile itself ignored cannot clear the cut
+    df.join(thresholds, df(stratumCol) <=> col("__strat"))
       .where(col(scoreCol) >= col("__thr"))
-      .select(df.columns.map(col): _*) // using-join reorders; restore input order
+      .select(df.columns.map(df(_)): _*)
   }
 
   /** Deterministic per-row Gumbel perturbation of a log-weight: the

@@ -14,7 +14,10 @@ class ResponsesSpec extends SparkSpec {
     val row = parsed.collect()(0)
     assert(row.getAs[Boolean]("ok"))
     assert(row.getAs[Long]("rowcount") == 2)
-    assert(parsed.columns.toSet == Set("ok", "sql", "columns", "rows", "rowcount", "explain", "explanation"))
+    assert(parsed.columns.toSet ==
+      Set("ok", "sql", "columns", "rows", "rowcount", "explain", "explanation", "lineage"))
+    // the provenance enrichment reaches the WIRE, not just QueryResult
+    assert(json.contains(""""lineage": {"c_name": ["customer.c_name"]}"""), json)
   }
 
   test("failure envelope is the always-answer error shape") {

@@ -461,6 +461,16 @@ class TrainingPipelineSpec extends SparkSpec {
       .selectTopQuantilePerStratum(df, "src", "score", 0.3, exact = false)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(approx.filter(_._2 == "s2").map(_._1).toSeq == Seq(11L, 12L, 13L, 14L))
+    // a NULL stratum is a real group: it must get its own threshold and
+    // survive the (null-safe) join rather than silently vanish
+    val withNull = ((1 to 10).map(i => (i.toLong, Option("s1"), i * 10)) ++
+      (21 to 24).map(i => (i.toLong, Option.empty[String], i)))
+      .toDF("id", "src", "score")
+    val keptNull = graft.operators.Sampling
+      .selectTopQuantilePerStratum(withNull, "src", "score", keepFraction = 0.3)
+      .collect().map(_.getLong(0)).sorted
+    // null stratum scores 21..24: percentile 0.7 = 23.1 -> keep 24
+    assert(keptNull.toSeq == Seq(8L, 9L, 10L, 24L), keptNull.mkString(","))
   }
 
   test("canonicalPerGroup: STRING ids keep the deterministic smallest-id tie-break") {
