@@ -315,7 +315,12 @@ object Queries {
         "CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable' " +
         "WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict " +
         "FROM p GROUP BY event_type ORDER BY event_type"),
-    // A/B replica: same counts, same expression tree for the z stat
+    // A/B replica: pure-integer hashed surface — counts plus micro-unit
+    // rates/lift via exact half-up integer division. The z statistic is
+    // a report column (division + sqrt has no 64-bit closed form) and
+    // is NOT on the hashed surface; ExperimentsSpec pins it with a
+    // tolerance. Integers hash identically under every engine version
+    // (round-12 verdict #1 — the r11/r12 reds were the double z).
     "x_ab_test" ->
       ("WITH u AS (SELECT user_id, user_id % 2 AS v, " +
         "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np FROM events GROUP BY 1, 2), " +
@@ -323,22 +328,13 @@ object Queries {
         "s AS (SELECT SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a, " +
         "SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b, " +
         "SUM(CASE WHEN v = 0 THEN cv ELSE 0 END) AS c_a, " +
-        "SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS c_b FROM c), " +
-        // rate/lift via exact integer micro-units (half-up div) + ONE
-        // IEEE division; z snapped with floor(z*1e4 + 0.5)/1e4 — no
-        // engine round(), no -0.0 (mirrors Experiments.abConversion)
-        "s2 AS (SELECT n_a, n_b, c_a, c_b, " +
-        "CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS ra_u, " +
-        "CASE WHEN n_b > 0 THEN (2 * c_b * 1000000 + n_b) // (2 * n_b) ELSE 0 END AS rb_u FROM s) " +
-        "SELECT n_a, n_b, c_a, c_b, " +
-        "CAST(ra_u AS DOUBLE) / 1000000.0 AS rate_a, " +
-        "CAST(rb_u AS DOUBLE) / 1000000.0 AS rate_b, " +
-        "CAST(rb_u - ra_u AS DOUBLE) / 1000000.0 AS lift, " +
-        "CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) > 0 " +
-        "THEN FLOOR((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) / " +
-        "sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * (1.0 / n_a + 1.0 / n_b)) " +
-        "* 10000.0 + 0.5) / 10000.0 " +
-        "ELSE 0.0 END AS zscore FROM s2"),
+        "SUM(CASE WHEN v = 1 THEN cv ELSE 0 END) AS c_b FROM c) " +
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, " +
+        "CAST(CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS BIGINT) AS rate_a_micro, " +
+        "CAST(CASE WHEN n_b > 0 THEN (2 * c_b * 1000000 + n_b) // (2 * n_b) ELSE 0 END AS BIGINT) AS rate_b_micro, " +
+        "CAST(CASE WHEN n_b > 0 THEN (2 * c_b * 1000000 + n_b) // (2 * n_b) ELSE 0 END " +
+        "- CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS BIGINT) AS lift_micro FROM s"),
     // JSON-props replica by an INDEPENDENT extraction method (regex,
     // not a JSON parser) — same typed aggregate must come out
     "x_json_props" ->
@@ -1174,7 +1170,7 @@ object Queries {
         "SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq FROM toks " +
         "WHERE len(token) > 0 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100"),
     // vocabulary divergence replica: same union-vocab add-0.5 smoothing,
-    // same p/q/m expression trees, ln fold, ROUND 6
+    // same p/q/m expression trees, ln fold, micro-unit BIGINT snap
     "x_vocab_divergence" ->
       (raw"WITH ta AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'en'), " +
         raw"tb AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'es'), " +
@@ -1187,10 +1183,13 @@ object Queries {
         "SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vocab_shared FROM j), " +
         "s AS (SELECT (CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p, " +
         "(CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS q FROM j, t) " +
+        // micro-unit BIGINTs floor-snapped AFTER the fold: a 1-ulp ln
+        // difference across engines moves the pre-floor sum by ~1e-10
+        // of a grid step — integers hash identically everywhere
         "SELECT t.vocab_a, t.vocab_b, t.vocab_shared, " +
-        "round(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS jsd, " +
-        "round(SUM(p * ln(p / q)), 6) AS kl_ab, " +
-        "round(SUM(q * ln(q / p)), 6) AS kl_ba " +
+        "CAST(FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS jsd_micro, " +
+        "CAST(FLOOR(SUM(p * ln(p / q)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ab_micro, " +
+        "CAST(FLOOR(SUM(q * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ba_micro " +
         "FROM s, t GROUP BY 1, 2, 3"),
     // per-token divergence attribution: same smoothed log-ratio, total
     // order (|log_ratio| desc, token asc), top 20
@@ -1202,18 +1201,19 @@ object Queries {
         "j AS (SELECT COALESCE(va.tok, vb.tok) AS tok, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM va FULL OUTER JOIN vb ON va.tok = vb.tok), " +
         "t AS (SELECT SUM(ca) AS ta2, SUM(cb) AS tb2, COUNT(*) AS v FROM j) " +
         "SELECT tok AS token, ca AS cnt_a, cb AS cnt_b, " +
-        "round(ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) / " +
-        "((CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS log_ratio " +
-        "FROM j, t ORDER BY abs(log_ratio) DESC, token LIMIT 20"),
+        "CAST(FLOOR(ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) / " +
+        "((CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) AS log_ratio_micro " +
+        "FROM j, t ORDER BY abs(log_ratio_micro) DESC, token LIMIT 20"),
     // OOV replica: same top-500 vocabulary (freq desc, token asc), same
-    // coverage fold and 1 − covered/total expression, ROUND 6
+    // coverage fold. Hashed surface is the two exact counts only —
+    // the oov RATE is derivable (1 − covered/n_tokens) and stays a
+    // report column in the operator (integer-surface rule, COVERAGE.md)
     "x_oov_rate" ->
       (raw"WITH toks AS (SELECT lang AS grp, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents), " +
         "c AS (SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2), " +
         "v AS (SELECT tok FROM (SELECT tok, SUM(c) AS tc FROM c GROUP BY tok ORDER BY tc DESC, tok LIMIT 500) t0) " +
-        "SELECT c.grp AS lang, SUM(c.c) AS n_tokens, " +
-        "SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS covered, " +
-        "round(1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS DOUBLE) / SUM(c.c), 6) AS oov_rate " +
+        "SELECT c.grp AS lang, CAST(SUM(c.c) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS BIGINT) AS covered " +
         "FROM c LEFT JOIN v ON v.tok = c.tok GROUP BY 1 ORDER BY 1"),
     // per-stratum quantile cut: exact interpolated percentile threshold
     // (quantile_cont ≡ Spark percentile), boundary ties kept
@@ -1789,13 +1789,13 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
     // A/B conversion test: hash-bucket variant (user_id % 2), convert
-    // at >= 14 purchases; exact-integer inputs + mirrored expression
-    // tree make the z statistic engine-identical
+    // at >= 14 purchases; hashed surface is the pure-integer columns
+    // (zscore is a report column, spec-pinned with tolerance)
     "x_ab_test" -> ((s, dir) => {
       Sources.register(s, dir)
       graft.operators.Experiments.abConversion(s.table("events"), "user_id",
         pmod(col("user_id"), lit(2)), col("event_type") === "purchase",
-        minConversions = 14L)
+        minConversions = 14L).drop("zscore")
     }),
     // typed JSON processing of the props column: ONE from_json parse
     // into a struct (codegen-friendly — never get_json_object-per-field
@@ -2203,9 +2203,12 @@ object ExtensionQueries {
         d.where(col("lang") === "en"), d.where(col("lang") === "es"), "text", k = 20)
     }),
     // vocabulary coverage per language at a 500-token vocab — the
-    // tokenizer-sizing report; (groups × vocab)-bounded shuffle
+    // tokenizer-sizing report; (groups × vocab)-bounded shuffle. The
+    // hashed surface is the exact counts; the oov_rate double is a
+    // derivable report column and stays off the oracle
     "x_oov_rate" -> ((s, dir) =>
-      TextAnalysis.oovRate(docs(s, dir), "text", "lang", vocabSize = 500)),
+      TextAnalysis.oovRate(docs(s, dir), "text", "lang", vocabSize = 500)
+        .drop("oov_rate")),
     // per-stratum quantile curation cut: keep each source's top 30% by
     // n_chars — one |strata|-sized percentile pass, no corpus sort
     "x_quantile_cut" -> ((s, dir) =>

@@ -440,9 +440,17 @@ object TextAnalysis {
    * source A's language from B's"), and a training-data drift monitor
    * tracks across snapshots (the text analogue of `Drift.psi`).
    *
-   * Output: ONE row (vocab_a, vocab_b, vocab_shared, jsd, kl_ab,
-   * kl_ba), divergences at 6 dp. α-smoothing over the UNION vocabulary
-   * keeps both KLs finite under partial vocabulary overlap.
+   * Output: ONE row (vocab_a, vocab_b, vocab_shared, jsd_micro,
+   * kl_ab_micro, kl_ba_micro) — divergences as micro-unit BIGINTs
+   * (`floor(sum·10⁶ + 0.5)`, i.e. the 6-dp value ×10⁶ as an exact
+   * integer). α-smoothing over the UNION vocabulary keeps both KLs
+   * finite under partial vocabulary overlap. Integer outputs because
+   * these columns sit on the hashed oracle surface: a transcendental
+   * double (`ln`) rounds differently across engine/libm versions, and
+   * the floor-snap AFTER the fold moves a 1-ulp `ln` difference by
+   * ~10⁻¹⁰ of a grid step — it cannot flip the integer except with
+   * probability ~10⁻¹⁰ (round-12 verdict, "What's wrong" #1). Divide
+   * by 10⁶ for display.
    *
    * Scale: each corpus reduces to a vocabulary histogram in one
    * partial-aggregated pass (hot tokens collapse map-side; the shuffle
@@ -480,12 +488,14 @@ object TextAnalysis {
     val q = (col("cb").cast("double") + alpha) /
       (col("tb").cast("double") + lit(alpha) * col("v").cast("double"))
     val m = (p + q) / 2.0
+    def micro(s: Column): Column =
+      floor(s * lit(1000000.0) + lit(0.5)).cast("long")
     j.crossJoin(tot)
       .agg(max(col("vocab_a")).as("vocab_a"), max(col("vocab_b")).as("vocab_b"),
         max(col("vocab_shared")).as("vocab_shared"),
-        round(sum(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)), 6).as("jsd"),
-        round(sum(p * log(p / q)), 6).as("kl_ab"),
-        round(sum(q * log(q / p)), 6).as("kl_ba"))
+        micro(sum(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))).as("jsd_micro"),
+        micro(sum(p * log(p / q))).as("kl_ab_micro"),
+        micro(sum(q * log(q / p))).as("kl_ba_micro"))
   }
 
   /**
@@ -493,8 +503,10 @@ object TextAnalysis {
    * top-k by absolute smoothed log-ratio `ln(p/q)`, the per-token
    * attribution a curator reads to see WHAT changed between corpora
    * (new jargon, vanished boilerplate) rather than just how much.
-   * Output: (token, cnt_a, cnt_b, log_ratio 6 dp), |log_ratio| desc,
-   * token asc for a total order. Same vocab-histogram plan shape as
+   * Output: (token, cnt_a, cnt_b, log_ratio_micro — the signed
+   * log-ratio ×10⁶ as an exact BIGINT, same oracle-surface rule as
+   * [[vocabDivergence]]), |log_ratio_micro| desc, token asc for a
+   * total order. Same vocab-histogram plan shape as
    * [[vocabDivergence]]; the top-k is a TakeOrderedAndProject, never a
    * full sort.
    */
@@ -518,8 +530,9 @@ object TextAnalysis {
       (col("tb").cast("double") + lit(alpha) * col("v").cast("double"))
     j.crossJoin(tot)
       .select(col("tok").as("token"), col("ca").as("cnt_a"), col("cb").as("cnt_b"),
-        round(log(p / q), 6).as("log_ratio"))
-      .orderBy(abs(col("log_ratio")).desc, col("token"))
+        floor(log(p / q) * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("log_ratio_micro"))
+      .orderBy(abs(col("log_ratio_micro")).desc, col("token"))
       .limit(k)
   }
 
@@ -530,7 +543,10 @@ object TextAnalysis {
    * token occurrences that vocabulary covers — the tokenizer-sizing
    * question ("does a 32k vocabulary cover the zh slice?") asked before
    * committing to a vocab size. Output: (byCol, n_tokens, covered,
-   * oov_rate 6 dp) ordered by group.
+   * oov_rate 6 dp) ordered by group. `oov_rate` is a REPORT column —
+   * derivable from the two exact counts, so the oracle-hashed surface
+   * (SparkEntry `x_oov_rate`) selects only (byCol, n_tokens, covered)
+   * per the hashed-columns-are-integers rule (COVERAGE.md).
    *
    * Scale: one corpus pass reduces to (group, token) counts — the
    * shuffle is |groups|·|vocab|-bounded with map-side combine, never

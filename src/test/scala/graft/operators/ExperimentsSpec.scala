@@ -20,13 +20,14 @@ class ExperimentsSpec extends SparkSpec {
       pmod(col("user_id"), lit(2)), col("event_type") === "buy",
       minConversions = 2L).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (2L, 2L, 1L, 1L))
-    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.0)
+    // micro-unit BIGINT rates (the hashed surface is pure-integer)
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 500000L && r.getLong(6) == 0L)
     assert(r.getDouble(7) == 0.0) // identical rates → z = 0
     // plant a difference: make user 3 convert too → lift 0.5
     val boosted = events.union(Seq((3L, "buy"), (3L, "buy")).toDF("user_id", "event_type"))
     val r2 = Experiments.abConversion(boosted, "user_id",
       pmod(col("user_id"), lit(2)), col("event_type") === "buy", 2L).collect()(0)
-    assert(r2.getDouble(6) == 0.5)
+    assert(r2.getLong(6) == 500000L)
     // z = 0.5 / sqrt(0.75*0.25*(1/2+1/2)) = 1.1547
     assert(math.abs(r2.getDouble(7) - 1.1547) < 1e-4)
   }
@@ -35,7 +36,7 @@ class ExperimentsSpec extends SparkSpec {
     val all = Seq((0L, "buy"), (1L, "buy")).toDF("user_id", "event_type")
     val r = Experiments.abConversion(all, "user_id",
       pmod(col("user_id"), lit(2)), col("event_type") === "buy").collect()(0)
-    assert(r.getDouble(7) == 0.0 && r.getDouble(6) == 0.0)
+    assert(r.getDouble(7) == 0.0 && r.getLong(6) == 0L)
   }
 
   test("abConversion is one pass: single user-keyed aggregate, no join") {

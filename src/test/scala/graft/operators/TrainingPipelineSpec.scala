@@ -398,13 +398,14 @@ class TrainingPipelineSpec extends SparkSpec {
     val a = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
     val same = TextAnalysis.vocabDivergence(a, a, "text").collect()(0)
     assert(same.getLong(0) == 3 && same.getLong(1) == 3 && same.getLong(2) == 3)
-    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0)
+    assert(same.getLong(3) == 0L && same.getLong(4) == 0L && same.getLong(5) == 0L)
     val b = Seq((3L, "delta epsilon")).toDF("doc_id", "text")
     val diff = TextAnalysis.vocabDivergence(a, b, "text").collect()(0)
     assert(diff.getLong(0) == 3 && diff.getLong(1) == 2 && diff.getLong(2) == 0)
     // α=0.5 smoothing over 5 union tokens with counts this small caps
     // the JSD well under ln 2 — the signal is the ORDERING, not scale
-    assert(diff.getDouble(3) > 0.15, s"disjoint corpora must diverge: $diff")
+    // (divergences are micro-unit BIGINTs: value × 10⁶)
+    assert(diff.getLong(3) > 150000L, s"disjoint corpora must diverge: $diff")
     // exact per-token recomputation with p = (c+0.5)/(tot+0.5·V), V=5:
     // counts (alpha, beta, gamma, delta, epsilon) = A(2,2,1,0,0), B(0,0,0,1,1)
     val v = 5.0
@@ -414,8 +415,8 @@ class TrainingPipelineSpec extends SparkSpec {
       val pa = p(ca, 5L); val qb = p(cb, 2L)
       pa * math.log(pa / qb)
     }.sum
-    assert(math.abs(diff.getDouble(4) - (math.rint(expKlAb * 1e6) / 1e6)) < 2e-6,
-      s"kl_ab ${diff.getDouble(4)} vs expected $expKlAb")
+    assert(math.abs(diff.getLong(4) - math.floor(expKlAb * 1e6 + 0.5)) <= 1,
+      s"kl_ab_micro ${diff.getLong(4)} vs expected $expKlAb")
   }
 
   test("oovRate: vocabulary covers the frequent tokens; rare-token groups show higher OOV") {

@@ -601,8 +601,16 @@ class StreamsSpec extends SparkSpec {
     (0 until 3).foreach(i => m.onBatch(stream.where(pmod($"doc_id", lit(3)) === i), i.toLong))
     val streamed = m.divergenceFrom(ref, "text").collect()(0)
     val batch = graft.operators.TextAnalysis.vocabDivergence(ref, stream, "text").collect()(0)
-    assert(streamed.toSeq == batch.toSeq, s"$streamed vs $batch")
-    assert(m.vocabSize > 0 && streamed.getDouble(3) > 0.0)
+    // histograms are integer-exact, so the vocab counts must match
+    // exactly; the divergence fold sums per-token DOUBLE terms whose
+    // partial-aggregation order differs between the driver-built and
+    // corpus histograms, so allow the micro grid's ±1 boundary cell
+    // (ADVICE r12 #4 — don't let a rounding-boundary sum flake this)
+    assert((0 to 2).forall(i => streamed.getLong(i) == batch.getLong(i)),
+      s"$streamed vs $batch")
+    assert((3 to 5).forall(i => math.abs(streamed.getLong(i) - batch.getLong(i)) <= 1),
+      s"$streamed vs $batch")
+    assert(m.vocabSize > 0 && streamed.getLong(3) > 0L)
     // the attribution half shares the guarantee
     val topS = m.topDivergentFrom(ref, "text", k = 10).collect().map(_.toSeq)
     val topB = graft.operators.TextAnalysis.divergentTokens(ref, stream, "text", k = 10)

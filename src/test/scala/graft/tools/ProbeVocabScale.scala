@@ -50,7 +50,7 @@ object ProbeVocabScale {
     val mb = (shuffleWrite - w0) / 1e6
     println(f"PROBE vocab_divergence_10m_docs => wall=$secs%.1fs shuffle_write=$mb%.0fMB")
     println(s"PROBE vocab_check => vocab_a=${div.getLong(0)} vocab_b=${div.getLong(1)} " +
-      s"shared=${div.getLong(2)} jsd=${div.getDouble(3)} top=${top.head.getString(0)}")
+      s"shared=${div.getLong(2)} jsd_micro=${div.getLong(3)} top=${top.head.getString(0)}")
     // 50k shared + 1k exclusive per side (every bucket hit at these sizes)
     assert(div.getLong(0) == 51000 && div.getLong(1) == 51000 && div.getLong(2) == 50000,
       s"vocab counts wrong: $div")
