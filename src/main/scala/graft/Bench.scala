@@ -57,11 +57,18 @@ object Bench {
     // from the previous invocation must not read as "code is dirty"
     val ownArtifacts = Set("bench_out.json", "bench_summary.json",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    // parse by splitting off the status token — fixed offsets break on
-    // the first line because git() trims the output's leading space
-    val dirty = git("status", "--porcelain").exists(_.linesIterator
-      .map(_.trim.split("\\s+", 2).last.trim)
-      .exists(f => f.nonEmpty && !ownArtifacts(f)))
+    // -z output: NUL-separated `XY <path>` records (renames emit the
+    // new path, then the old path as its own record) — exact path
+    // fields, no whitespace splitting, so quoted paths, spaces, and
+    // `R old -> new` rename arrows can't dodge the ownArtifacts
+    // exclusion (ADVICE r12 #3)
+    val dirty = git("status", "--porcelain", "-z").exists(_.split('\u0000')
+      .exists { rec =>
+        // `XY <path>` records; a rename's old path arrives as a bare
+        // NUL-separated segment with no status prefix
+        val f = if (rec.length > 3 && rec(2) == ' ') rec.substring(3) else rec
+        f.nonEmpty && !ownArtifacts(f)
+      })
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")

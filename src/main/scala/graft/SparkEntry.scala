@@ -1215,6 +1215,26 @@ object Queries {
         "SELECT c.grp AS lang, CAST(SUM(c.c) AS BIGINT) AS n_tokens, " +
         "CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.c ELSE 0 END) AS BIGINT) AS covered " +
         "FROM c LEFT JOIN v ON v.tok = c.tok GROUP BY 1 ORDER BY 1"),
+    // served-drift replica: the routed answer must equal a batch
+    // recomputation of the same divergence (reference = en side A,
+    // streamed non-en = side B) — same smoothing, same micro snap
+    "x_served_drift" ->
+      (raw"WITH ta AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang = 'en'), " +
+        raw"tb AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS tok FROM documents WHERE lang <> 'en'), " +
+        "va AS (SELECT tok, COUNT(*) AS ca FROM ta GROUP BY tok), " +
+        "vb AS (SELECT tok, COUNT(*) AS cb FROM tb GROUP BY tok), " +
+        "j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM va FULL OUTER JOIN vb ON va.tok = vb.tok), " +
+        "t AS (SELECT SUM(ca) AS ta2, SUM(cb) AS tb2, COUNT(*) AS v, " +
+        "SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a, " +
+        "SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b, " +
+        "SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vocab_shared FROM j), " +
+        "s AS (SELECT (CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p, " +
+        "(CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS q FROM j, t) " +
+        "SELECT t.vocab_a, t.vocab_b, t.vocab_shared, " +
+        "CAST(FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS jsd_micro, " +
+        "CAST(FLOOR(SUM(p * ln(p / q)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ab_micro, " +
+        "CAST(FLOOR(SUM(q * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ba_micro " +
+        "FROM s, t GROUP BY 1, 2, 3"),
     // per-stratum quantile cut: exact interpolated percentile threshold
     // (quantile_cont ≡ Spark percentile), boundary ties kept
     "x_quantile_cut" ->
@@ -2209,6 +2229,24 @@ object ExtensionQueries {
     "x_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(docs(s, dir), "text", "lang", vocabSize = 500)
         .drop("oov_rate")),
+    // streaming vocab-drift SERVED through the NL routing layer: fold
+    // the non-en slice as three micro-batches into a live
+    // VocabDriftMaintainer, register it under 'crawl' with the en slice
+    // as the fixed reference (one persisted histogram pass), and answer
+    // "how different is the crawl…" from state — the full serving path
+    // (Streams fold → SketchCatalog.route), oracled against a batch
+    // recomputation of the same divergence
+    "x_served_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = new graft.streaming.Streams.VocabDriftMaintainer("text")
+      (0 until 3).foreach(i => m.onBatch(
+        d.where(col("lang") =!= "en" && pmod(col("doc_id"), lit(3)) === i),
+        i.toLong))
+      val cat = new graft.catalog.SketchCatalog(s)
+      cat.registerDrift("crawl", m, d.where(col("lang") === "en"), "text")
+      cat.route("how different is the crawl from the reference corpus?")
+        .getOrElse(sys.error("drift route did not fire"))
+    }),
     // per-stratum quantile curation cut: keep each source's top 30% by
     // n_chars — one |strata|-sized percentile pass, no corpus sort
     "x_quantile_cut" -> ((s, dir) =>

@@ -197,15 +197,16 @@ final class Engine(
         val capped = df.limit(limit)
         Executor.collectWithTimeout(spark, capped, timeoutMs) match {
           case Right(rows) => Some(QueryResult(
-            sql = "-- approx: served from sketch index (no corpus scan)",
+            sql = "-- served from registered serving state (no corpus scan)",
             columns = capped.columns.toSeq,
             rows = rows.toSeq.map(_.toSeq.map(Executor.jsonSafe)),
             rowcount = rows.length,
             explain = capped.queryExecution
               .explainString(org.apache.spark.sql.execution.SimpleMode),
-            explanation = "Approximate answer merged from a mergeable " +
-              "sketch index (HLL/KLL/Theta/CMS); accuracy contract ±5% " +
-              "distinct / ±3 rank points / one-sided frequency."))
+            explanation = "Served from registered state without a corpus " +
+              "scan: mergeable sketch indexes (HLL/KLL/Theta/CMS — ±5% " +
+              "distinct / ±3 rank points / one-sided frequency) or a " +
+              "stream-maintained drift monitor (exact over folded docs)."))
           case Left(_) => None
         }
       }

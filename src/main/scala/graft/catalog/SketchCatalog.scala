@@ -23,13 +23,15 @@ import graft.operators.Sketches
  * probe measured exponent ≤ 0.05 for sketch rollups).
  *
  * Routing contract (mirrors the template layer's no-fabrication bar):
- * a question is served ONLY when (a) it carries an explicit
- * approximation marker ("roughly", "approximately", "about",
+ * an APPROXIMATE route is served ONLY when (a) the question carries an
+ * explicit approximation marker ("roughly", "approximately", "about",
  * "ballpark") — exact questions never silently degrade to estimates —
  * and (b) exactly ONE registered index matches the value word, and the
  * optional "per G" word resolves to one of that index's partition
- * columns. Anything else returns None and the engine's exact
- * generation path proceeds unchanged (V14 always-answer).
+ * columns. The stream-DRIFT route needs no marker (its answer is exact
+ * over the folded state) but must name exactly one registered monitor.
+ * Anything else returns None and the engine's exact generation path
+ * proceeds unchanged (V14 always-answer).
  *
  * Accuracy carried by the index (enforced end-to-end by the
  * `x_serve_distinct` / `x_serve_quantile` oracle rows): HLL lgK=12 →
@@ -58,6 +60,34 @@ final class SketchCatalog(spark: SparkSession) {
 
   private val theta = TrieMap.empty[(String, String), CohortEntry]
   private val cms = TrieMap.empty[(String, String), Entry]
+
+  /** A registered streaming vocabulary-drift monitor
+    * ([[graft.streaming.Streams.VocabDriftMaintainer]]): the fixed
+    * reference corpus is reduced to its (token, count) histogram ONCE
+    * at registration and persisted — every routed question then folds
+    * vocab-sized frames against the maintainer's live driver state,
+    * never re-scanning the reference corpus. Unlike the sketch routes
+    * the answer is EXACT over the documents folded so far, so no
+    * approximation marker is required — the no-fabrication bar is the
+    * NAME: the question must name exactly one registered monitor. */
+  final case class DriftEntry(name: String,
+      maintainer: graft.streaming.Streams.VocabDriftMaintainer,
+      refHist: DataFrame)
+
+  private val drift = TrieMap.empty[String, DriftEntry]
+
+  /** Register a live drift monitor under `name` with its fixed
+    * reference corpus (one histogram pass, persisted). */
+  def registerDrift(name: String,
+      maintainer: graft.streaming.Streams.VocabDriftMaintainer,
+      reference: DataFrame, refTextCol: String): DriftEntry = {
+    val hist = graft.operators.TextAnalysis
+      .vocabHist(reference, refTextCol).persist()
+    hist.count() // the single reference-corpus pass happens HERE
+    val e = DriftEntry(name, maintainer, hist)
+    drift.put(name, e)
+    e
+  }
 
   /** Build + persist a distinct-count (HLL) index over
     * `table.valueCol`, partitioned by `partCols`. */
@@ -136,7 +166,8 @@ final class SketchCatalog(spark: SparkSession) {
   def clear(): Unit = {
     (hll.values ++ kll.values ++ cms.values).foreach(_.index.unpersist())
     theta.values.foreach(_.index.unpersist())
-    hll.clear(); kll.clear(); theta.clear(); cms.clear()
+    drift.values.foreach(_.refHist.unpersist())
+    hll.clear(); kll.clear(); theta.clear(); cms.clear(); drift.clear()
   }
 
   def registered: Seq[Entry] = (hll.values ++ kll.values ++ cms.values).toSeq
@@ -212,6 +243,27 @@ final class SketchCatalog(spark: SparkSession) {
   private val markerRe =
     raw"(?i)\b(?:roughly|approximately|about|approx\.?|ballpark)\b".r
 
+  // "how different is the crawl from the reference corpus?" /
+  // "how far has the crawl drifted from the reference?" — the
+  // stream-drift monitor's divergence row
+  private val driftRe =
+    (raw"(?i)\bhow\s+(?:different|divergent|far)\s+(?:is|has)\s+" +
+      raw"(?:the\s+|today's\s+|this\s+)?([a-z_][a-z0-9_]*)\b" +
+      raw".*\bfrom\b").r
+
+  // "which tokens drive the drift in the crawl?" — the attribution half
+  private val driftTokensRe =
+    (raw"(?i)\b(?:which|what)\s+tokens?\s+(?:drive|dominate|explain)\s+" +
+      raw"(?:the\s+)?(?:drift|divergence)\s+(?:in|of|for)\s+" +
+      raw"(?:the\s+|today's\s+|this\s+)?([a-z_][a-z0-9_]*)\b").r
+
+  private def driftMatch(word: String): Option[DriftEntry] =
+    drift.values.filter(e =>
+      graft.link.Fuzzy.nameScore(e.name, word) >= 100).toSeq match {
+      case Seq(one) => Some(one) // exactly one monitor — no fabrication
+      case _ => None
+    }
+
   // "roughly how many times did purchase occur" — frequency probe
   // against the merged Count-Min sketch
   private val freqRe =
@@ -258,6 +310,21 @@ final class SketchCatalog(spark: SparkSession) {
     * consent, so a marker-less question routes too — the index-match
     * and no-fabrication rules are unchanged. */
   def route(question: String, requireMarker: Boolean = true): Option[DataFrame] = {
+    // stream-drift monitor FIRST, and independent of the approximation
+    // marker: its answer is exact over the folded state (the marker
+    // gate exists so exact questions never silently degrade to
+    // estimates — drift questions name the monitor explicitly)
+    val dTok = driftTokensRe.findFirstMatchIn(question)
+    if (dTok.isDefined)
+      return dTok.flatMap(m => driftMatch(m.group(1)))
+        .map(e => e.maintainer.topDivergentFromHist(e.refHist))
+    val dDiv = driftRe.findFirstMatchIn(question)
+    if (dDiv.isDefined) {
+      val served = dDiv.flatMap(m => driftMatch(m.group(1)))
+        .map(e => e.maintainer.divergenceFromHist(e.refHist))
+      if (served.isDefined) return served
+      // an unmatched name falls through to the sketch routes / exact path
+    }
     if (!requireMarker && !markerRe.findFirstIn(question).isDefined)
       return route("roughly " + question, requireMarker = true)
     // cohort intersection FIRST: its phrasing also matches distinctRe's

@@ -17,11 +17,18 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
 
   val DefaultLimit = 100
 
-  /** Per-table template: first 5 columns, LIMIT 100 (conf 0.5). */
+  /** Per-table template: first 5 columns, LIMIT 100 (conf 0.5), with a
+    * deterministic total order (key-ish column first, then the
+    * projection) so the LIMIT window is well-defined — an unordered
+    * LIMIT returns an engine-dependent subset, which made the fallback
+    * answers unscoreable against any gold (round-12 verdict #5). */
   def tableCandidates(slice: SchemaSlice): Seq[Candidate] =
     slice.tables.toSeq.sortBy(_._1).map { case (t, cols) =>
       val proj = if (cols.isEmpty) "*" else cols.take(5).mkString(", ")
-      Candidate(s"SELECT $proj FROM $t LIMIT $DefaultLimit", 0.5, "template")
+      val order = if (cols.isEmpty) ""
+        else " ORDER BY " +
+          (Seq(keyishColumn(t, cols)) ++ cols.take(5)).distinct.mkString(", ")
+      Candidate(s"SELECT $proj FROM $t$order LIMIT $DefaultLimit", 0.5, "template")
     }
 
   /** FK-join template from the first edge connecting two sliced tables
@@ -55,8 +62,13 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
           val fromCols = slice.tables(e.fromTable).take(3).map(c => s"f.$c")
           val toCols = slice.tables(e.toTable).take(3).map(c => s"t.$c")
           val proj = (fromCols ++ toCols).mkString(", ")
+          // same total-order discipline as the strong branch: key-ish
+          // fact column first, then the projection, so the LIMIT
+          // window is deterministic and the preview is gold-scoreable
+          val order = (Seq(s"f.$keyish") ++ fromCols ++ toCols).distinct.mkString(", ")
           Candidate(
-            s"SELECT $proj FROM ${e.fromTable} f JOIN ${e.toTable} t ON f.${e.fromColumn} = t.${e.toColumn} LIMIT $DefaultLimit",
+            s"SELECT $proj FROM ${e.fromTable} f JOIN ${e.toTable} t ON f.${e.fromColumn} = t.${e.toColumn} " +
+              s"ORDER BY $order LIMIT $DefaultLimit",
             0.6, "template_join")
         }
       }

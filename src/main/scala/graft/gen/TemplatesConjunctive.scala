@@ -138,8 +138,12 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
   def showTableCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
     showTableRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       uniqueTable(slice, m.group(1)).toSeq.map { t =>
-        val cols = slice.tables(t).take(5).mkString(", ")
-        Candidate(s"SELECT $cols FROM $t LIMIT $DefaultLimit",
+        val colSeq = slice.tables(t).take(5)
+        val cols = colSeq.mkString(", ")
+        // deterministic LIMIT window (same discipline as tableCandidates)
+        val order = (Seq(keyishColumn(t, slice.tables(t))) ++ colSeq)
+          .distinct.mkString(", ")
+        Candidate(s"SELECT $cols FROM $t ORDER BY $order LIMIT $DefaultLimit",
           0.88, "template_show_table")
       }
     }
@@ -194,6 +198,20 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
     // capitalized (same evidence bar as fromToRe); 'to'/'To' both count
     // (the adjacent-only lookahead missed a capitalized 'To').
     if (raw"\b[Tt]o\s+[A-Z]".r.findFirstIn(question).isDefined) return Seq.empty
+    // lowercase destination ("how many flights from Paris going to
+    // rome"): also stay silent when a 'to <word>' word resolves — case-
+    // insensitively — in a to-ish column's value domain, mirroring the
+    // fromTo evidence bar; an origin-only COUNT for a two-endpoint
+    // route question would be a confident wrong answer (ADVICE r12 #5)
+    val lowerDests = raw"\bto\s+([a-z][\w-]*)".r
+      .findAllMatchIn(question).map(_.group(1)).toSeq
+    def toishCol(c: String) = c.toLowerCase.startsWith("t") ||
+      Seq("dst", "dest", "arriv").exists(c.toLowerCase.contains)
+    if (lowerDests.nonEmpty && slice.tables.keySet.toSeq.sorted.exists { t =>
+        val dom = values(t)
+        slice.tables(t).exists(c => toishCol(c) && dom.get(c).exists(vs =>
+          lowerDests.exists(d => vs.exists(_.equalsIgnoreCase(d)))))
+      }) return Seq.empty
     fromOnlyRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val v = m.group(1)
       def fromish(c: String) = c.toLowerCase.startsWith("f") ||

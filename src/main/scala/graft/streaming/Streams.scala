@@ -845,19 +845,30 @@ object Streams {
     /** Divergence of everything folded so far vs `reference` — same
       * one-row schema and math as `TextAnalysis.vocabDivergence`
       * (reference is side A, the stream side B). */
-    def divergenceFrom(reference: DataFrame, refTextCol: String): DataFrame = synchronized {
-      graft.operators.TextAnalysis.divergenceFromHists(
-        graft.operators.TextAnalysis.vocabHist(reference, refTextCol),
-        currentHist(reference.sparkSession), alpha)
-    }
+    def divergenceFrom(reference: DataFrame, refTextCol: String): DataFrame =
+      divergenceFromHist(
+        graft.operators.TextAnalysis.vocabHist(reference, refTextCol))
     /** The tokens driving the drift — same output as
       * `TextAnalysis.divergentTokens(reference, streamedSoFar, …)`. */
     def topDivergentFrom(reference: DataFrame, refTextCol: String,
-        k: Int = 20): DataFrame = synchronized {
-      graft.operators.TextAnalysis.divergentTokensFromHists(
-        graft.operators.TextAnalysis.vocabHist(reference, refTextCol),
-        currentHist(reference.sparkSession), k, alpha)
+        k: Int = 20): DataFrame =
+      topDivergentFromHist(
+        graft.operators.TextAnalysis.vocabHist(reference, refTextCol), k)
+    /** [[divergenceFrom]] against a PRE-BUILT (tok, cnt) reference
+      * histogram — the serving form: the catalog persists the
+      * reference histogram ONCE at registration, so every routed
+      * question folds vocab-sized frames only and never re-scans the
+      * reference corpus (`SketchCatalog.registerDrift`). */
+    def divergenceFromHist(refHist: DataFrame): DataFrame = synchronized {
+      graft.operators.TextAnalysis.divergenceFromHists(
+        refHist, currentHist(refHist.sparkSession), alpha)
     }
+    /** [[topDivergentFrom]] against a pre-built reference histogram. */
+    def topDivergentFromHist(refHist: DataFrame, k: Int = 20): DataFrame =
+      synchronized {
+        graft.operators.TextAnalysis.divergentTokensFromHists(
+          refHist, currentHist(refHist.sparkSession), k, alpha)
+      }
     private def currentHist(spark: SparkSession): DataFrame = {
       import spark.implicits._
       counts.toSeq.toDF("tok", "cnt")

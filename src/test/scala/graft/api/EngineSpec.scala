@@ -207,16 +207,60 @@ class EngineSpec extends SparkSpec {
       // explicit-API form: askApprox serves a MARKER-LESS covered
       // question (the method choice is the consent)...
       val ap = engine.askApprox("how many distinct user_id per event_type").toOption.get
-      assert(ap.sql.contains("approx"), ap.sql)
+      assert(ap.sql.contains("served from registered serving state"), ap.sql)
       assert(ap.columns == Seq("event_type", "distinct_est"), ap.columns)
       // ...and an uncovered question falls through to the exact pipeline
       val fallthrough = engine.askApprox("how many customers are there").toOption.get
-      assert(!fallthrough.sql.contains("approx"), fallthrough.sql)
+      assert(!fallthrough.sql.contains("served from registered"), fallthrough.sql)
 
       // UNMARKED questions never reach the sketch path (no silent
       // degradation to estimates): the exact ask path answers
       val ex = engine.ask("how many distinct user_id values are in events").toOption.get
-      assert(!ex.sql.contains("approx"), ex.sql)
+      assert(!ex.sql.contains("served from registered"), ex.sql)
+    } finally engine.sketches.clear()
+  }
+
+  test("drift questions route to the registered stream monitor through Engine.ask; unnamed monitors never serve") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.table("documents")
+    val m = new graft.streaming.Streams.VocabDriftMaintainer("text")
+    (0 until 2).foreach(i => m.onBatch(
+      docs.where(col("lang") =!= "en" && pmod(col("doc_id"), lit(2)) === i),
+      i.toLong))
+    try {
+      engine.sketches.registerDrift("crawl", m,
+        docs.where(col("lang") === "en"), "text")
+      // full envelope, NO approximation marker needed — the drift
+      // answer is exact over the folded state
+      val r = engine
+        .ask("how different is the crawl from the reference corpus?")
+        .toOption.get
+      assert(r.sql.contains("served from registered serving state"), r.sql)
+      assert(r.columns == Seq("vocab_a", "vocab_b", "vocab_shared",
+        "jsd_micro", "kl_ab_micro", "kl_ba_micro"), r.columns)
+      // the served answer equals the batch operator over the same docs
+      // (counts exactly; micro divergences within the ±1 summation-
+      // order grid cell, as in the StreamsSpec fold≡batch pin)
+      val batch = graft.operators.TextAnalysis.vocabDivergence(
+        docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"), "text").collect()(0)
+      assert((0 to 2).forall(i =>
+        r.rows(0)(i).toString.toLong == batch.getLong(i)),
+        s"${r.rows(0)} vs $batch")
+      assert((3 to 5).forall(i =>
+        math.abs(r.rows(0)(i).toString.toLong - batch.getLong(i)) <= 1),
+        s"${r.rows(0)} vs $batch")
+      // the attribution half routes too
+      val t = engine.sketches
+        .route("which tokens drive the drift in the crawl?").get
+      assert(t.columns.toSeq ==
+        Seq("token", "cnt_a", "cnt_b", "log_ratio_micro"), t.columns.toSeq)
+      assert(t.count() > 0)
+      // a question naming an unregistered monitor never serves — no
+      // fabrication; the exact path answers instead
+      assert(engine.sketches
+        .route("how different is the snapshot from the reference corpus?")
+        .isEmpty)
     } finally engine.sketches.clear()
   }
 

@@ -60,9 +60,15 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.head.sql.contains("t.student_name") && c.head.sql.contains("f.score"), c.head.sql)
     assert(!c.head.sql.contains("f.score_id,"), c.head.sql) // no unmatched columns
     assert(c.head.sql.contains("ORDER BY f.score_id"), c.head.sql)
-    // without question signal: generic first-3-per-side, no ORDER BY
+    // without question signal: generic first-3-per-side, STILL totally
+    // ordered (key-ish column + projection) so the LIMIT window is
+    // deterministic — an unordered LIMIT preview returns an
+    // engine-dependent subset and can't be scored against any gold
+    // (round-13; ExternalEval t5/v5/v7)
     val generic = Templates.joinCandidates(slice, fks)
-    assert(!generic.head.sql.contains("ORDER BY"), generic.head.sql)
+    assert(generic.head.sql.contains(
+      "ORDER BY f.score_id, f.student_id, f.course_id, t.student_id"),
+      generic.head.sql)
   }
 
   test("extracted filters reach every shape as WHERE clauses") {
