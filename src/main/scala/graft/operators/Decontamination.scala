@@ -37,6 +37,28 @@ object Decontamination {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /** [[overlaps]] over a corpus frame that ALREADY carries its distinct
+    * shingle array in `shCol` (the shared-tokenization form for
+    * composed pipelines — `Pipelines.curateCorpus` shingles the corpus
+    * once for LSH + decontamination): corpus side explodes the existing
+    * arrays, eval side (tiny, broadcast) still shingles its own text.
+    * Result-identical to [[overlaps]] when `shCol` holds
+    * `array_distinct(Dedup.shingles(textCol, n))`. */
+  def overlapsPreShingled(docs: DataFrame, idCol: String, shCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("__sh"))
+      .select(xxhash64(col("__sh")).as("sh"))
+      .distinct()
+    docs.select(col(idCol), explode(col(shCol)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
   /**
    * Contamination ATTRIBUTION: which benchmark document does each
    * contaminated training document overlap, and by how much — the

@@ -183,6 +183,51 @@ object Dedup {
    * caches accumulate across queries until eviction churn dominates
    * (BENCH_r04: 65s for a 2s pipeline).
    */
+  /**
+   * [[minhashNearDuplicates]] over a frame that ALREADY carries its
+   * distinct-shingle array in `shCol` — the shared-tokenization form
+   * for composed pipelines (`Pipelines.curateCorpus`): the corpus is
+   * shingled ONCE (ideally on a checkpointed projection) and the same
+   * arrays feed the LSH banding, the verify-side exact Jaccard, and
+   * the caller's other shingle consumers (decontamination), instead of
+   * three independent full-text shingle passes. Result-identical to
+   * the text form: MinHash is duplicate-invariant, so distinct arrays
+   * band exactly like raw shingles, and the verify side always used
+   * the distinct arrays.
+   */
+  def minhashNearDuplicatesPreShingled(
+      df: DataFrame, idCol: String, shCol: String,
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame = {
+    val b = df.select(col(idCol).as("doc_id"),
+        graft.functions.minhash_buckets(col(shCol), cfg.numHashes,
+          cfg.bands, cfg.seed).as("buckets"))
+      .where(col("buckets").isNotNull)
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val sized = b.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
+    val pairs = sized
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+      .localCheckpoint(eager = false) // shared by candIds + verify join
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), col(shCol).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .where(size(col("sh_a")) >= size(col("sh_b")) * threshold &&
+        size(col("sh_b")) >= size(col("sh_a")) * threshold)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def minhashNearDuplicatesWithCleanup(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {

@@ -166,6 +166,16 @@ object Pipelines {
    * behalf — long-lived sessions should `spark.catalog.clearCache()` (or
    * unpersist via [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]])
    * after materializing the result.
+   *
+   * Composition choice is MEASURED, not assumed (round 13, ProbeCurate
+   * interleaved A/B at sf0.1): a shared-tokenization variant (shingle
+   * once, thread the distinct-shingle arrays through LSH + decontam)
+   * LOSES here — 2.05s vs 1.95s min-of-5, and 4.8s when the shared
+   * projection is checkpointed — because carrying shingle arrays
+   * through the anti-join/decontam exchanges costs more than
+   * recomputing them inside each stage's codegen span. The audit twin
+   * ([[curationAudit]]), whose shared frame feeds FOUR consumers, keeps
+   * the shared form (2.02s vs 2.24s). See COVERAGE.md round-13 notes.
    */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,
@@ -214,15 +224,28 @@ object Pipelines {
     val lenOk = TextAnalysis.tokenCount(t).between(5, 100000)
     val qpass = qualityFilter(docs, idCol, textCol)
     val exact = Dedup.dedupExact(qpass, idCol, Seq(textCol))
+    // shared-tokenization projection (one shingle pass, lazily
+    // checkpointed): FOUR consumers read it (exact-loser anti-join,
+    // LSH, near-dup anti-join, decontam), which amortizes the
+    // materialization — measured 2.02s vs 2.24s for the unshared
+    // composition (ProbeCurate interleaved A/B, sf0.1 min-of-5).
+    // curateCorpus, with fewer consumers, measured the OTHER way and
+    // keeps the unshared form; the stage math is identical in both
+    // (MinHash is duplicate-invariant), so audit ≡ pipeline row for
+    // row stays spec-pinned
+    val shared = exact
+      .withColumn("__sh", array_distinct(Dedup.shingles(col(textCol), 3)))
+      .localCheckpoint(eager = false)
     val exactLosers = qpass.select(col(idCol))
-      .join(exact.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(shared.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("__exact", lit(true))
-    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold)
+    val pairs = Dedup.minhashNearDuplicatesPreShingled(
+      shared, idCol, "__sh", nearThreshold)
     val nearLosers = pairs.select(col("id_b").as(idCol)).distinct()
       .withColumn("__near", lit(true))
-    val deduped = exact.join(nearLosers.select(col(idCol)), Seq(idCol), "left_anti")
-    val contam = Decontamination.overlaps(
-        deduped, idCol, textCol, evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+    val deduped = shared.join(nearLosers.select(col(idCol)), Seq(idCol), "left_anti")
+    val contam = Decontamination.overlapsPreShingled(
+        deduped, idCol, "__sh", evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
       .select(col(idCol)).withColumn("__cont", lit(true))
     val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + (w * 1000).toLong }
     val splitExpr = splits.zipWithIndex.foldLeft(lit("dropped:remainder")) {

@@ -35,17 +35,91 @@ object ProbeCurate {
       out.get
     }
 
-    time("x_curate_full") {
+    // Head-to-head: the shipped composition vs the r12 baseline
+    // (hand-inlined text-based stages), INTERLEAVED in one session so
+    // the ±1s session noise hits both arms equally.
+    def baselineCurate(): Int = {
+      val quality = graft.operators.Pipelines.qualityFilter(docs, "doc_id", "text")
+      val exact = graft.operators.Dedup.dedupExact(quality, "doc_id", Seq("text"))
+      val pairs = graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
+      val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+      val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      val clean = graft.operators.Decontamination.decontaminate(
+        deduped, "doc_id", "text", evalDocs, "text", n = 3, minOverlap = 5)
+      graft.operators.Sampling.split(clean, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
+        .collect().length
+    }
+    def shippedCurate(): Int =
       graft.operators.Pipelines.curateCorpus(docs, "doc_id", "text",
         evalDocs, "text")
         .select(col("doc_id"), col("split")).orderBy("doc_id").limit(2000)
         .collect().length
+    var (bBase, bShip) = (Double.MaxValue, Double.MaxValue)
+    (1 to 5).foreach { _ =>
+      spark.catalog.clearCache()
+      var t0 = System.nanoTime(); baselineCurate()
+      bBase = math.min(bBase, (System.nanoTime() - t0) / 1e9)
+      spark.catalog.clearCache()
+      t0 = System.nanoTime(); shippedCurate()
+      bShip = math.min(bShip, (System.nanoTime() - t0) / 1e9)
     }
-    time("x_curation_audit_full") {
+    println(f"PROBE x_curate_ab => baseline=$bBase%.2fs shipped=$bShip%.2fs")
+    def baselineAudit(): Int = {
+      import graft.operators.{Dedup, Decontamination, Sampling, TextAnalysis}
+      val t = col("text")
+      val langOk = TextAnalysis.langId(t) === "en"
+      val qualOk = TextAnalysis.qualityScore(t) >= 0.3
+      val lenOk = TextAnalysis.tokenCount(t).between(5, 100000)
+      val qpass = graft.operators.Pipelines.qualityFilter(docs, "doc_id", "text")
+      val exact = Dedup.dedupExact(qpass, "doc_id", Seq("text"))
+      val exactLosers = qpass.select(col("doc_id"))
+        .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("__exact", lit(true))
+      val pairs = Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
+      val nearLosers = pairs.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__near", lit(true))
+      val deduped = exact.join(nearLosers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val contam = Decontamination.overlaps(
+          deduped, "doc_id", "text", evalDocs, "text", n = 3, minOverlap = 5)
+        .select(col("doc_id")).withColumn("__cont", lit(true))
+      val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + (w * 1000).toLong }
+      val splitExpr = splits.zipWithIndex.foldLeft(lit("dropped:remainder")) {
+        case (acc, ((name, _), i)) =>
+          when(Sampling.hashBucket(col("doc_id")) >= bounds(i) &&
+            Sampling.hashBucket(col("doc_id")) < bounds(i + 1), lit(s"kept:$name"))
+            .otherwise(acc)
+      }
+      docs.select(col("doc_id"), langOk.as("__lang"), qualOk.as("__qual"), lenOk.as("__len"))
+        .join(exactLosers, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("__lang"), "lang")
+            .when(!col("__qual"), "quality")
+            .when(!col("__len"), "length")
+            .when(col("__exact"), "exact_dup")
+            .when(col("__near"), "near_dup")
+            .when(col("__cont"), "decontam")
+            .otherwise(splitExpr).as("stage"))
+        .orderBy("doc_id").limit(2000).collect().length
+    }
+    def shippedAudit(): Int =
       graft.operators.Pipelines.curationAudit(docs, "doc_id", "text",
         evalDocs, "text")
         .orderBy("doc_id").limit(2000).collect().length
+    var (aBase, aShip) = (Double.MaxValue, Double.MaxValue)
+    (1 to 5).foreach { _ =>
+      spark.catalog.clearCache()
+      var t0 = System.nanoTime(); baselineAudit()
+      aBase = math.min(aBase, (System.nanoTime() - t0) / 1e9)
+      spark.catalog.clearCache()
+      t0 = System.nanoTime(); shippedAudit()
+      aShip = math.min(aShip, (System.nanoTime() - t0) / 1e9)
     }
+    println(f"PROBE x_audit_ab => baseline=$aBase%.2fs shipped=$aShip%.2fs")
     // cumulative stage costs (each includes its predecessors)
     val quality = graft.operators.Pipelines.qualityFilter(docs, "doc_id", "text")
     time("s1_quality")(quality.count())
