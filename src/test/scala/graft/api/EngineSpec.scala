@@ -250,12 +250,20 @@ class EngineSpec extends SparkSpec {
       assert((3 to 5).forall(i =>
         math.abs(r.rows(0)(i).toString.toLong - batch.getLong(i)) <= 1),
         s"${r.rows(0)} vs $batch")
-      // the attribution half routes too
+      // the attribution half routes too — and the served plan reads
+      // ONLY the persisted reference histogram + the driver-local
+      // state frame, never the documents corpus (same leaf discipline
+      // as the sketch routes)
       val t = engine.sketches
         .route("which tokens drive the drift in the crawl?").get
       assert(t.columns.toSeq ==
         Seq("token", "cnt_a", "cnt_b", "log_ratio_micro"), t.columns.toSeq)
       assert(t.count() > 0)
+      val leaves = t.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(l =>
+        l.nodeName.contains("InMemoryRelation") ||
+          l.nodeName.contains("LocalRelation")),
+        leaves.map(_.nodeName).mkString(","))
       // a question naming an unregistered monitor never serves — no
       // fabrication; the exact path answers instead
       assert(engine.sketches
