@@ -402,9 +402,9 @@ object ExternalEval {
       return Evaluation.resultF1(gen, gold)
     val k = gen.columns.size
     if (k > 7) return Evaluation.resultF1(gen, gold)
+    val sb = gold.rows.map(row => row.map(String.valueOf(_)).toSeq).toSet
     def f1(order: Seq[Int]): Double = {
       val sa = gen.rows.map(row => order.map(i => String.valueOf(row(i)))).toSet
-      val sb = gold.rows.map(row => row.map(String.valueOf(_)).toSeq).toSet
       if (sa.isEmpty || sb.isEmpty) return 0.0
       val inter = (sa intersect sb).size.toDouble
       val p = inter / sa.size
