@@ -171,7 +171,8 @@ class EngineSpec extends SparkSpec {
         leaves.map(_.nodeName).mkString(","))
 
       // the engine answers through the envelope with the approx contract
-      val r = engine.ask("roughly how many distinct user_id per event_type").toOption.get
+      val r = engine.ask("roughly how many distinct user_id per event_type",
+        timeoutMs = 60000L).toOption.get
       assert(r.columns == Seq("event_type", "distinct_est"), r.columns)
       val exact = spark.table("events").groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n")).collect()
@@ -184,7 +185,7 @@ class EngineSpec extends SparkSpec {
       assert(r.explanation.contains("sketch index"))
 
       // quantile route: global median of value from the KLL index
-      val q = engine.ask("roughly the median value").toOption.get
+      val q = engine.ask("roughly the median value", timeoutMs = 60000L).toOption.get
       assert(q.columns.contains("q_0_5"), q.columns)
 
       // cohort-overlap route: Theta intersection, still index-only
@@ -206,16 +207,19 @@ class EngineSpec extends SparkSpec {
 
       // explicit-API form: askApprox serves a MARKER-LESS covered
       // question (the method choice is the consent)...
-      val ap = engine.askApprox("how many distinct user_id per event_type").toOption.get
+      val ap = engine.askApprox("how many distinct user_id per event_type",
+        timeoutMs = 60000L).toOption.get
       assert(ap.sql.contains("served from registered serving state"), ap.sql)
       assert(ap.columns == Seq("event_type", "distinct_est"), ap.columns)
       // ...and an uncovered question falls through to the exact pipeline
-      val fallthrough = engine.askApprox("how many customers are there").toOption.get
+      val fallthrough = engine.askApprox("how many customers are there",
+        timeoutMs = 60000L).toOption.get
       assert(!fallthrough.sql.contains("served from registered"), fallthrough.sql)
 
       // UNMARKED questions never reach the sketch path (no silent
       // degradation to estimates): the exact ask path answers
-      val ex = engine.ask("how many distinct user_id values are in events").toOption.get
+      val ex = engine.ask("how many distinct user_id values are in events",
+        timeoutMs = 60000L).toOption.get
       assert(!ex.sql.contains("served from registered"), ex.sql)
     } finally engine.sketches.clear()
   }
@@ -232,8 +236,12 @@ class EngineSpec extends SparkSpec {
         docs.where(col("lang") === "en"), "text")
       // full envelope, NO approximation marker needed — the drift
       // answer is exact over the folded state
+      // 60s timeout: these tests pin ROUTING correctness, not latency —
+      // under the full 71-suite JVM a GC pause can blow the 5s default
+      // and flake the envelope .get (observed once in a full run)
       val r = engine
-        .ask("how different is the crawl from the reference corpus?")
+        .ask("how different is the crawl from the reference corpus?",
+          timeoutMs = 60000L)
         .toOption.get
       assert(r.sql.contains("served from registered serving state"), r.sql)
       assert(r.columns == Seq("vocab_a", "vocab_b", "vocab_shared",
