@@ -58,17 +58,15 @@ object Bench {
     val ownArtifacts = Set("bench_out.json", "bench_summary.json",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     // -z output: NUL-separated `XY <path>` records (renames emit the
-    // new path, then the old path as its own record) — exact path
-    // fields, no whitespace splitting, so quoted paths, spaces, and
-    // `R old -> new` rename arrows can't dodge the ownArtifacts
-    // exclusion (ADVICE r12 #3)
+    // new path, then the old path as its own record). Rather than
+    // parsing the status prefix — which git()'s trim can clip off the
+    // FIRST record (" M x" → "M x"), exactly the unstaged-artifact case
+    // this guard exists for — match each record by SUFFIX against the
+    // artifact names: the path always ends the record, for plain,
+    // quoted-path, spaced-path and both rename segments alike
+    // (ADVICE r12 #3, round-13 self-review)
     val dirty = git("status", "--porcelain", "-z").exists(_.split('\u0000')
-      .exists { rec =>
-        // `XY <path>` records; a rename's old path arrives as a bare
-        // NUL-separated segment with no status prefix
-        val f = if (rec.length > 3 && rec(2) == ' ') rec.substring(3) else rec
-        f.nonEmpty && !ownArtifacts(f)
-      })
+      .exists(rec => rec.nonEmpty && !ownArtifacts.exists(rec.endsWith)))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")

@@ -85,7 +85,7 @@ final class SketchCatalog(spark: SparkSession) {
       .vocabHist(reference, refTextCol).persist()
     hist.count() // the single reference-corpus pass happens HERE
     val e = DriftEntry(name, maintainer, hist)
-    drift.put(name, e)
+    drift.put(name, e).foreach(_.refHist.unpersist(blocking = false))
     e
   }
 
@@ -96,7 +96,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.hllIndex(spark.table(table), partCols, valueCol, lgK).persist()
     idx.count() // materialize: the single corpus pass happens HERE
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e)
+    hll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -107,7 +107,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.kllIndex(spark.table(table), partCols, numCol, k).persist()
     idx.count()
     val e = Entry(table, numCol, partCols, idx)
-    kll.put((table, numCol), e)
+    kll.put((table, numCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -122,7 +122,7 @@ final class SketchCatalog(spark: SparkSession) {
       eps, confidence).persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    cms.put((table, valueCol), e)
+    cms.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -132,7 +132,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.thetaCohorts(spark.table(table), cohortCol, valueCol).persist()
     val keys = idx.select(col(cohortCol).cast("string")).collect().map(_.getString(0)).toSet
     val e = CohortEntry(table, cohortCol, valueCol, idx, keys)
-    theta.put((table, cohortCol), e)
+    theta.put((table, cohortCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -148,7 +148,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e)
+    hll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -158,7 +158,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    kll.put((table, valueCol), e)
+    kll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
     e
   }
 
@@ -258,8 +258,13 @@ final class SketchCatalog(spark: SparkSession) {
       raw"(?:the\s+|today's\s+|this\s+)?([a-z_][a-z0-9_]*)\b").r
 
   private def driftMatch(word: String): Option[DriftEntry] =
-    drift.values.filter(e =>
-      graft.link.Fuzzy.nameScore(e.name, word) >= 100).toSeq match {
+    // EXACT name equality, not fuzzy: the drift route is marker-less
+    // (its answer is exact), so the name is the ONLY gate — a fuzzy
+    // substring bar (nameScore's partialRatio scores "data" vs
+    // "database" at 100) would serve a monitor for a question about an
+    // unrelated entity, a confidently wrong answer on the plain ask()
+    // path (round-13 self-review)
+    drift.values.filter(_.name.equalsIgnoreCase(word)).toSeq match {
       case Seq(one) => Some(one) // exactly one monitor — no fabrication
       case _ => None
     }

@@ -21,7 +21,18 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
     * deterministic total order (key-ish column first, then the
     * projection) so the LIMIT window is well-defined — an unordered
     * LIMIT returns an engine-dependent subset, which made the fallback
-    * answers unscoreable against any gold (round-12 verdict #5). */
+    * answers unscoreable against any gold (round-12 verdict #5) and
+    * unreproducible run to run.
+    *
+    * Cost trade (deliberate): ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject — a per-partition top-K heap over the
+    * projected columns and a driver merge, never a global sort, but it
+    * does READ the whole table where an unordered LIMIT's CollectLimit
+    * early-exits after a few partitions. For the interactive NL path
+    * this is bounded by the executor's timeout guard
+    * (`Executor.collectWithTimeout`); a deployment previewing
+    * petabyte-scale tables should register a sampled view for the
+    * browse surface rather than trade away answer determinism. */
   def tableCandidates(slice: SchemaSlice): Seq[Candidate] =
     slice.tables.toSeq.sortBy(_._1).map { case (t, cols) =>
       val proj = if (cols.isEmpty) "*" else cols.take(5).mkString(", ")

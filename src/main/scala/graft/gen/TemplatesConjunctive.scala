@@ -203,7 +203,8 @@ private[gen] trait TemplatesConjunctive { this: Templates.type =>
     // insensitively — in a to-ish column's value domain, mirroring the
     // fromTo evidence bar; an origin-only COUNT for a two-endpoint
     // route question would be a confident wrong answer (ADVICE r12 #5)
-    val lowerDests = raw"\bto\s+([a-z][\w-]*)".r
+    // 'to'/'To' both count (same note as the capitalized guard above)
+    val lowerDests = raw"\b[Tt]o\s+([a-z][\w-]*)".r
       .findAllMatchIn(question).map(_.group(1)).toSeq
     def toishCol(c: String) = c.toLowerCase.startsWith("t") ||
       Seq("dst", "dest", "arriv").exists(c.toLowerCase.contains)

@@ -38,11 +38,12 @@ object Decontamination {
   }
 
   /** [[overlaps]] over a corpus frame that ALREADY carries its distinct
-    * shingle array in `shCol` (the shared-tokenization form for
-    * composed pipelines — `Pipelines.curateCorpus` shingles the corpus
-    * once for LSH + decontamination): corpus side explodes the existing
-    * arrays, eval side (tiny, broadcast) still shingles its own text.
-    * Result-identical to [[overlaps]] when `shCol` holds
+    * shingle array in `shCol` — the shared-tokenization form used by
+    * `Pipelines.curationAudit` (whose shared projection feeds four
+    * consumers; `curateCorpus` measured the other way and keeps the
+    * text form — round-13 A/B in COVERAGE.md): corpus side explodes the
+    * existing arrays, eval side (tiny, broadcast) still shingles its
+    * own text. Result-identical to [[overlaps]] when `shCol` holds
     * `array_distinct(Dedup.shingles(textCol, n))`. */
   def overlapsPreShingled(docs: DataFrame, idCol: String, shCol: String,
       evalDocs: DataFrame, evalTextCol: String,

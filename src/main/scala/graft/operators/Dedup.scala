@@ -143,17 +143,8 @@ object Dedup {
    * Buckets over `cfg.maxBucketSize` are dropped (see
    * [[minhashDroppedBuckets]] to measure how many).
    */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
-    val b = minhashBuckets(df, idCol, textCol, cfg)
-    val sized = b.groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
-      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
-    sized
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
-  }
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String, cfg: LshConfig = LshConfig()): DataFrame =
+    pairsFromBuckets(minhashBuckets(df, idCol, textCol, cfg), cfg)
 
   /**
    * Verified near-duplicates: LSH candidates filtered by exact shingle
@@ -183,17 +174,29 @@ object Dedup {
    * caches accumulate across queries until eviction churn dominates
    * (BENCH_r04: 65s for a 2s pipeline).
    */
+  def minhashNearDuplicatesWithCleanup(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    minhashCore(df, idCol, textCol, threshold, cfg,
+      d => d.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /**
    * [[minhashNearDuplicates]] over a frame that ALREADY carries its
    * distinct-shingle array in `shCol` — the shared-tokenization form
-   * for composed pipelines (`Pipelines.curateCorpus`): the corpus is
-   * shingled ONCE (ideally on a checkpointed projection) and the same
+   * for composed pipelines: the corpus is shingled ONCE and the same
    * arrays feed the LSH banding, the verify-side exact Jaccard, and
-   * the caller's other shingle consumers (decontamination), instead of
-   * three independent full-text shingle passes. Result-identical to
-   * the text form: MinHash is duplicate-invariant, so distinct arrays
-   * band exactly like raw shingles, and the verify side always used
-   * the distinct arrays.
+   * the caller's other shingle consumers (decontamination). Used by
+   * `Pipelines.curationAudit`, whose shared projection feeds four
+   * consumers; `curateCorpus` measured the OTHER way and keeps the
+   * text form — see the round-13 A/B in COVERAGE.md before switching
+   * either. Result-identical to the text form: MinHash is
+   * duplicate-invariant, so distinct arrays band exactly like raw
+   * shingles, and the verify side always used the distinct arrays
+   * (banding/cap/verify code is SHARED with the text form via
+   * [[pairsFromBuckets]]/[[verifyByShingles]], so the two cannot
+   * drift).
    */
   def minhashNearDuplicatesPreShingled(
       df: DataFrame, idCol: String, shCol: String,
@@ -203,19 +206,35 @@ object Dedup {
           cfg.bands, cfg.seed).as("buckets"))
       .where(col("buckets").isNotNull)
       .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val sized = b.groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
-      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
-    val pairs = sized
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs = pairsFromBuckets(b, cfg)
       .localCheckpoint(eager = false) // shared by candIds + verify join
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), col(shCol).as("sh"))
+    verifyByShingles(pairs, sh, threshold)
+  }
+
+  /** Bucket-capped candidate pairs from a (doc_id, band, bucket) frame —
+    * the single implementation of the bucket-size cap and in-bucket pair
+    * explosion, shared by the text and pre-shingled entry points. */
+  private def pairsFromBuckets(b: DataFrame, cfg: LshConfig): DataFrame =
+    b.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against a
+    * (id, sh: array<string>) distinct-shingle frame — the single
+    * implementation of the size-ratio prefilter and the intersection
+    * check, shared by the text and pre-shingled entry points.
+    * Length filter: J >= t needs size ratio >= t (see ngramJaccardPairs)
+    * — skip the exact intersection for candidates that cannot pass. */
+  private def verifyByShingles(pairs: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -226,15 +245,6 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
-
-  def minhashNearDuplicatesWithCleanup(
-      df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
-    import org.apache.spark.storage.StorageLevel
-    minhashCore(df, idCol, textCol, threshold, cfg,
-      d => d.persist(StorageLevel.MEMORY_AND_DISK))
-  }
 
   /** Shared LSH-verify pipeline; `share` decides how the reused
     * candidate-pair frame materializes (persist vs lazy localCheckpoint —
@@ -254,20 +264,8 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
-    val verified = pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      // length filter: J >= t needs size ratio >= t (see
-      // ngramJaccardPairs) — skip the exact intersection for
-      // candidates that cannot possibly pass
-      .where(size(col("sh_a")) >= size(col("sh_b")) * threshold &&
-        size(col("sh_b")) >= size(col("sh_a")) * threshold)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    (verified, () => { pairs.unpersist(blocking = false); () })
+    (verifyByShingles(pairs, sh, threshold),
+      () => { pairs.unpersist(blocking = false); () })
   }
 
   /**

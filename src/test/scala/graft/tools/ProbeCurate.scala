@@ -126,16 +126,16 @@ object ProbeCurate {
     val exact = graft.operators.Dedup.dedupExact(quality, "doc_id", Seq("text"))
     time("s2_exact")(exact.count())
     time("s3_pairs") {
-      graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.8)
+      graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
         .count()
     }
     time("s4_antijoin") {
-      val pairs = graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.8)
+      val pairs = graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
       val losers = pairs.select(col("id_b").as("doc_id")).distinct()
       exact.join(losers, Seq("doc_id"), "left_anti").count()
     }
     time("s5_decontam") {
-      val pairs = graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.8)
+      val pairs = graft.operators.Dedup.minhashNearDuplicates(exact, "doc_id", "text", 0.85)
       val losers = pairs.select(col("id_b").as("doc_id")).distinct()
       val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
       graft.operators.Decontamination.decontaminate(
