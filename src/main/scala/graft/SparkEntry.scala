@@ -1533,6 +1533,17 @@ object Queries {
         "JOIN e e1 ON e1.vec_id = a1.vec_id JOIN e e2 ON e2.vec_id = a2.vec_id) " +
         "SELECT id_a, id_b, cluster, round(cos, 4) AS cosine FROM pr WHERE cos >= 0.95 " +
         "ORDER BY id_a, id_b LIMIT 100"),
+    // semantic-decontamination replica: same perturbed eval set, same
+    // cosine, same >= 0.9 gate and (cos desc, eval_id) argmax; the
+    // hashed cosine is a floor-snapped x1e4 BIGINT (oracle rule)
+    "x_sem_decontam" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "ev AS (SELECT vec_id AS eval_id, list_concat([emb[1] + 0.1], emb[2:]) AS emb FROM e WHERE vec_id % 11 = 0), " +
+        "x AS (SELECT e.vec_id, ev.eval_id, CAST(list_cosine_similarity(e.emb, ev.emb) AS DOUBLE) AS cos FROM e, ev), " +
+        "f AS (SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn " +
+        "FROM x WHERE cos >= 0.9) " +
+        "SELECT vec_id, eval_id, CAST(FLOOR(cos * 10000.0 + 0.5) AS BIGINT) AS cos_x1e4 " +
+        "FROM f WHERE rn = 1 ORDER BY vec_id"),
     // contamination attribution: (training doc, eval doc) pairs sharing
     // >= 5 distinct 3-gram shingles (postings CTE comes distinct per doc)
     "x_decontam_report" ->
@@ -2516,6 +2527,25 @@ object ExtensionQueries {
         cents, "vec_id", "emb", threshold = 0.95)
         .select(col("id_a"), col("id_b"), col("cluster"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b").limit(100)
+    }),
+    // semantic decontamination: eval set = every 11th vector PERTURBED
+    // (+0.1 on the first component) — a rephrased-benchmark stand-in
+    // (near, not identical; n-gram overlap would be zero). Contaminated
+    // = each eval item's unperturbed origin (cos ≈ 0.99 ≫ the 0.51
+    // organic ceiling); hashed surface integer per the oracle rule
+    "x_sem_decontam" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val ev = e.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("eval_id"),
+          concat(array(element_at(col("emb"), 1) + lit(0.1)),
+            slice(col("emb"), 2, 63)).as("emb"))
+      graft.operators.Decontamination.semanticOverlaps(
+        e, "vec_id", "emb", ev, "eval_id", "emb", threshold = 0.9)
+        .select(col("vec_id"), col("eval_id"),
+          floor(col("cosine") * lit(10000.0) + lit(0.5)).cast("long")
+            .as("cos_x1e4"))
+        .orderBy("vec_id")
     }),
     // --- similarity search ---
     "x_ann_topk" -> ((s, dir) => {

@@ -90,6 +90,62 @@ object Decontamination {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /**
+   * SEMANTIC contamination screen: benchmark leakage the n-gram pass
+   * ([[overlaps]]) cannot see — rephrased, templated or translated eval
+   * items keep almost no shingle overlap with their training-set twin
+   * but stay nearly identical in embedding space (the
+   * "rephrased-samples" contamination class; SemDeDup's cosine
+   * machinery pointed at the EVAL set instead of the corpus itself).
+   * One row per CONTAMINATED training document: its closest eval item
+   * at cosine ≥ `threshold` — (idCol, eval_id, cosine), deterministic
+   * argmax (highest cosine, then smallest eval id).
+   *
+   * Scale: the eval side is benchmark-sized (10³–10⁵ rows) and
+   * BROADCASTS; the corpus side is one narrow scan through a broadcast
+   * nested-loop join whose cosine + threshold filter run INSIDE the
+   * scan stage (codegen'd custom expression, no UDF), so rows reach the
+   * argmax shuffle only for documents that are actually contaminated
+   * (≈ contamination volume, rare) — the same cost shape as the
+   * Bloom-screened n-gram pass. For eval sets too large to broadcast,
+   * the batch IVF k-NN join (`Similarity` — oracled by
+   * x_knn_join_ivf/x_knn_join_ivfpq) is the prescreen: cluster-bucketed
+   * candidates, same cosine verify.
+   */
+  def semanticOverlaps(docs: DataFrame, idCol: String, embCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalEmbCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val ev = evalDocs.select(col(evalIdCol).as("eval_id"),
+      col(evalEmbCol).as("__ee"))
+    // deterministic argmax under ties: highest cosine, then smallest
+    // eval id (numeric ids negate the id; string ids negate the SCORE —
+    // the same type branch as Dedup.canonicalPerGroup)
+    val idIsNumeric = ev.schema("eval_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val pick =
+      if (idIsNumeric)
+        max_by(col("eval_id"), struct(col("__cos"), (-col("eval_id")).as("__ni")))
+      else
+        min_by(col("eval_id"), struct((-col("__cos")).as("__nc"), col("eval_id")))
+    docs.select(col(idCol), col(embCol).as("__de"))
+      .crossJoin(broadcast(ev))
+      .withColumn("__cos", graft.functions.cosine_sim(col("__de"), col("__ee")))
+      .where(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(pick.as("eval_id"), max(col("__cos")).as("cosine"))
+  }
+
+  /** The semantically clean corpus: anti-join against
+    * [[semanticOverlaps]] (the embedding-space analogue of
+    * [[decontaminate]]). */
+  def semanticDecontaminate(docs: DataFrame, idCol: String, embCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalEmbCol: String,
+      threshold: Double = 0.95): DataFrame =
+    docs.join(
+      semanticOverlaps(docs, idCol, embCol, evalDocs, evalIdCol,
+        evalEmbCol, threshold).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** The clean corpus: documents whose benchmark shingle overlap stays
     * below `minOverlap` (anti-join against [[overlaps]]). */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,

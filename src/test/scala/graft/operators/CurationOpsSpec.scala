@@ -34,6 +34,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("semantic decontamination flags rephrased-twin embeddings, not organic neighbors; clean corpus drops exactly them") {
+    // corpus of near-orthogonal-ish vectors + an eval set built as
+    // PERTURBED copies of every 5th vector (a rephrased benchmark:
+    // no shingle overlap, near-identical embedding)
+    val dim = 32
+    val corpus = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(dim)(rnd.nextGaussian()))
+    }.toDF("id", "emb")
+    val evalSet = corpus.where($"id" % 5 === 0)
+      .select(($"id" + 1000).as("eid"),
+        concat(array(element_at($"emb", 1) + lit(0.05)), slice($"emb", 2, dim - 1))
+          .as("eemb"))
+    val hits = Decontamination.semanticOverlaps(
+      corpus, "id", "emb", evalSet, "eid", "eemb", threshold = 0.95)
+      .orderBy("id").collect()
+    // exactly the perturbation origins are contaminated, each matched
+    // to ITS eval twin at cosine ~1
+    assert(hits.map(_.getLong(0)).toSeq == (0L until 40L by 5).toSeq,
+      hits.mkString(","))
+    assert(hits.forall(r => r.getLong(1) == r.getLong(0) + 1000), hits.mkString(","))
+    assert(hits.forall(_.getDouble(2) > 0.99))
+    val clean = Decontamination.semanticDecontaminate(
+      corpus, "id", "emb", evalSet, "eid", "eemb", threshold = 0.95)
+    assert(clean.count() == 32)
+    assert(clean.where($"id" % 5 === 0).count() == 0)
+    // plan shape: the eval side broadcasts into a nested-loop join and
+    // the threshold filter runs BEFORE the argmax aggregate, so only
+    // contaminated rows reach the shuffle
+    val plan = Decontamination.semanticOverlaps(
+      corpus, "id", "emb", evalSet, "eid", "eemb", threshold = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("char distribution: entropy matches a hand computation, handles edge cases") {
     val df = Seq(
       (1L, "aaaa"),        // zero entropy
