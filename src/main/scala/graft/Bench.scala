@@ -65,8 +65,14 @@ object Bench {
     // artifact names: the path always ends the record, for plain,
     // quoted-path, spaced-path and both rename segments alike
     // (ADVICE r12 #3, round-13 self-review)
+    // boundary-aware match: bare record (rename old path), "XY <name>"
+    // status prefix, or a directory-qualified artifact — but NOT an
+    // unrelated file that merely ends with an artifact name
+    // ("r13_bench_out.json" must still read dirty)
+    def isArtifact(rec: String): Boolean = ownArtifacts.exists(a =>
+      rec == a || rec.endsWith(" " + a) || rec.endsWith("/" + a))
     val dirty = git("status", "--porcelain", "-z").exists(_.split('\u0000')
-      .exists(rec => rec.nonEmpty && !ownArtifacts.exists(rec.endsWith)))
+      .exists(rec => rec.nonEmpty && !isArtifact(rec)))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")

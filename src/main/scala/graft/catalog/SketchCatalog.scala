@@ -76,6 +76,18 @@ final class SketchCatalog(spark: SparkSession) {
 
   private val drift = TrieMap.empty[String, DriftEntry]
 
+  /** Release a replaced entry's persisted frame UNLESS it shares the
+    * new frame's logical plan: Spark's cache is PLAN-keyed, so an
+    * idempotent re-registration (same table/col/config) produces a
+    * sameResult twin whose persist() was a no-op on the shared cache
+    * entry — unpersisting the old frame there would uncache the NEW
+    * registration and silently turn every routed answer back into a
+    * corpus pass (round-13 self-review #2). Only a genuinely different
+    * plan (refreshed reference, new config) releases the old entry. */
+  private def releaseReplaced(oldFrame: DataFrame, newFrame: DataFrame): Unit =
+    if (!oldFrame.queryExecution.analyzed.sameResult(newFrame.queryExecution.analyzed))
+      oldFrame.unpersist(blocking = false)
+
   /** Register a live drift monitor under `name` with its fixed
     * reference corpus (one histogram pass, persisted). */
   def registerDrift(name: String,
@@ -85,7 +97,7 @@ final class SketchCatalog(spark: SparkSession) {
       .vocabHist(reference, refTextCol).persist()
     hist.count() // the single reference-corpus pass happens HERE
     val e = DriftEntry(name, maintainer, hist)
-    drift.put(name, e).foreach(_.refHist.unpersist(blocking = false))
+    drift.put(name, e).foreach(o => releaseReplaced(o.refHist, hist))
     e
   }
 
@@ -96,7 +108,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.hllIndex(spark.table(table), partCols, valueCol, lgK).persist()
     idx.count() // materialize: the single corpus pass happens HERE
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
+    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -107,7 +119,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.kllIndex(spark.table(table), partCols, numCol, k).persist()
     idx.count()
     val e = Entry(table, numCol, partCols, idx)
-    kll.put((table, numCol), e).foreach(_.index.unpersist(blocking = false))
+    kll.put((table, numCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -122,7 +134,7 @@ final class SketchCatalog(spark: SparkSession) {
       eps, confidence).persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    cms.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
+    cms.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -132,7 +144,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.thetaCohorts(spark.table(table), cohortCol, valueCol).persist()
     val keys = idx.select(col(cohortCol).cast("string")).collect().map(_.getString(0)).toSet
     val e = CohortEntry(table, cohortCol, valueCol, idx, keys)
-    theta.put((table, cohortCol), e).foreach(_.index.unpersist(blocking = false))
+    theta.put((table, cohortCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -148,7 +160,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
+    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -158,7 +170,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    kll.put((table, valueCol), e).foreach(_.index.unpersist(blocking = false))
+    kll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
     e
   }
 
@@ -221,13 +233,20 @@ final class SketchCatalog(spark: SparkSession) {
       val idx = spark.read.parquet(s"$path/$kind/${t}__$c").persist()
       idx.count()
       kind match {
+        // same replaced-entry release discipline as the register/adopt
+        // sites (a reload must not leak the previous session's frames,
+        // nor uncache a sameResult twin)
         case "hll" => hll.put((t, c), Entry(t, c, parts, idx))
+          .foreach(o => releaseReplaced(o.index, idx))
         case "kll" => kll.put((t, c), Entry(t, c, parts, idx))
+          .foreach(o => releaseReplaced(o.index, idx))
         case "cms" => cms.put((t, c), Entry(t, c, parts, idx))
+          .foreach(o => releaseReplaced(o.index, idx))
         case "theta" =>
           val keys = idx.select(col(c).cast("string")).collect()
             .map(_.getString(0)).toSet
           theta.put((t, c), CohortEntry(t, c, parts.headOption.getOrElse(""), idx, keys))
+            .foreach(o => releaseReplaced(o.index, idx))
       }
     }
   }

@@ -115,24 +115,26 @@ object Decontamination {
   def semanticOverlaps(docs: DataFrame, idCol: String, embCol: String,
       evalDocs: DataFrame, evalIdCol: String, evalEmbCol: String,
       threshold: Double = 0.95): DataFrame = {
+    // the output schema is (idCol, eval_id, cosine) — a corpus id
+    // column literally named like an output column would make the
+    // cross-joined frame ambiguous, so refuse loudly (round-13 review)
+    require(idCol != "eval_id" && idCol != "cosine",
+      s"idCol '$idCol' collides with semanticOverlaps output columns")
     val ev = evalDocs.select(col(evalIdCol).as("eval_id"),
       col(evalEmbCol).as("__ee"))
     // deterministic argmax under ties: highest cosine, then smallest
-    // eval id (numeric ids negate the id; string ids negate the SCORE —
-    // the same type branch as Dedup.canonicalPerGroup)
+    // eval id (Dedup.pickTopByScore — the one shared tie-break impl)
     val idIsNumeric = ev.schema("eval_id").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val pick =
-      if (idIsNumeric)
-        max_by(col("eval_id"), struct(col("__cos"), (-col("eval_id")).as("__ni")))
-      else
-        min_by(col("eval_id"), struct((-col("__cos")).as("__nc"), col("eval_id")))
-    docs.select(col(idCol), col(embCol).as("__de"))
+    docs.select(col(idCol).as("__cid"), col(embCol).as("__de"))
       .crossJoin(broadcast(ev))
       .withColumn("__cos", graft.functions.cosine_sim(col("__de"), col("__ee")))
       .where(col("__cos") >= threshold)
-      .groupBy(col(idCol))
-      .agg(pick.as("eval_id"), max(col("__cos")).as("cosine"))
+      .groupBy(col("__cid"))
+      .agg(
+        Dedup.pickTopByScore(col("eval_id"), idIsNumeric, col("__cos")).as("eval_id"),
+        max(col("__cos")).as("cosine"))
+      .withColumnRenamed("__cid", idCol)
   }
 
   /** The semantically clean corpus: anti-join against

@@ -79,21 +79,25 @@ object Dedup {
   def canonicalPerGroup(labels: DataFrame, idCol: String, groupCol: String,
       scored: DataFrame, sIdCol: String, scoreCol: String): DataFrame = {
     val joined = labels.join(scored.select(col(sIdCol).as(idCol), col(scoreCol)), idCol)
-    // struct comparison orders by score first, id second; under a score
-    // tie the SMALLEST id wins, deterministically. Negating the id only
-    // works for numeric ids (a negated string silently casts to a NULL
-    // double / ANSI error), so string ids negate the SCORE instead and
-    // take the min — the score column is numeric by contract.
     val idIsNumeric = joined.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val keep =
-      if (idIsNumeric)
-        max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("__nid")))
-      else
-        min_by(col(idCol), struct((-col(scoreCol)).as("__ns"), col(idCol)))
     joined.groupBy(col(groupCol))
-      .agg(keep.as("keep_id"), max(col(scoreCol)).as("score"))
+      .agg(pickTopByScore(col(idCol), idIsNumeric, col(scoreCol)).as("keep_id"),
+        max(col(scoreCol)).as("score"))
   }
+
+  /** Deterministic "id with the highest score, smallest id under ties"
+    * aggregate for NUMERIC and STRING ids alike: struct comparison
+    * orders by score first, id second. Negating the id only works for
+    * numeric ids (a negated string silently casts to a NULL double /
+    * ANSI error), so string ids negate the SCORE instead and take the
+    * min — the score column is numeric by contract. Shared by
+    * [[canonicalPerGroup]] and `Decontamination.semanticOverlaps` (one
+    * implementation of the tie-break, so the two cannot drift). */
+  private[operators] def pickTopByScore(id: Column, idIsNumeric: Boolean,
+      score: Column): Column =
+    if (idIsNumeric) max_by(id, struct(score, (-id).as("__nid")))
+    else min_by(id, struct((-score).as("__ns"), id))
 
   // ------------------------------------------------------------- minhash
 
