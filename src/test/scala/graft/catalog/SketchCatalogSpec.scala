@@ -35,6 +35,44 @@ class SketchCatalogSpec extends SparkSpec {
     } finally cat.clear()
   }
 
+  test("idempotent re-registration keeps the shared cache entry; a changed plan releases the old one") {
+    import graft.streaming.Streams
+    graft.sources.Sources.register(spark, sfDir)
+    val cat = new SketchCatalog(spark)
+    spark.sql("SELECT event_type, user_id FROM events")
+      .createOrReplaceTempView("events_rereg")
+    // fresh QueryExecution per check (select("*")) so cache
+    // substitution reflects the CURRENT cache state, not a memoized one
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.select(col("*")).queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.nonEmpty
+    try {
+      // Spark's cache is PLAN-keyed: re-registering with identical args
+      // yields a sameResult twin sharing ONE cache entry — releasing the
+      // replaced entry's frame there would uncache the NEW registration
+      // and silently turn every routed answer back into a corpus pass
+      val e1 = cat.indexDistinct("events_rereg", "user_id", Seq("event_type"))
+      val e2 = cat.indexDistinct("events_rereg", "user_id", Seq("event_type"))
+      assert(cached(e2.index), "idempotent re-registration must stay cached")
+      // the routed plan still reads the in-memory index only
+      val routed = cat.route("roughly how many distinct user_id").get
+      assert(routed.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.nodeName.contains("InMemoryRelation")))
+      // drift monitors: same contract — and a genuinely NEW reference
+      // plan releases the replaced histogram while the new one serves
+      val docs = spark.table("documents")
+      val m = new Streams.VocabDriftMaintainer("text")
+      m.onBatch(docs.where(col("lang") =!= "en"), 0L)
+      val d1 = cat.registerDrift("crawl", m, docs.where(col("lang") === "en"), "text")
+      val d2 = cat.registerDrift("crawl", m, docs.where(col("lang") === "en"), "text")
+      assert(cached(d2.refHist), "idempotent drift re-registration must stay cached")
+      val d3 = cat.registerDrift("crawl", m, docs.where(col("lang") === "es"), "text")
+      assert(cached(d3.refHist), "refreshed reference must be cached")
+      assert(!cached(d1.refHist), "the replaced (different-plan) histogram must be released")
+    } finally cat.clear()
+  }
+
   test("adopted split-built index (the stream+history shape) serves like one batch pass") {
     graft.sources.Sources.register(spark, sfDir)
     import graft.operators.Sketches
