@@ -59,6 +59,30 @@ object ProbeVocabScale {
         top.map(_.getString(0)).mkString(","))
     assert(mb < 500, f"vocab histogram shuffle must be vocab-sized, got $mb%.0fMB")
 
+    // oovRate on the same 5M-doc corpus (round 13): 4 groups × a 32k
+    // vocabulary head over 100M token occurrences — the shuffle is
+    // (groups × vocab)-bounded with map-side combine, never
+    // corpus-sized. The 32k head covers 32k of the ~51k word types
+    // (50k hash-uniform shared words ≈ 1.9k occurrences each, 1k
+    // exclusive ≈ 5k each), so OOV lands near the uncovered shared
+    // mass ≈ 18k/50k·0.95 ≈ 0.35, uniform across the hash groups
+    // (measured 0.3527±0.0001)
+    val grouped = a.withColumn("grp", pmod(col("doc_id"), lit(4L)).cast("string"))
+    val w1 = shuffleWrite
+    val t1 = System.nanoTime()
+    val oov = graft.operators.TextAnalysis
+      .oovRate(grouped, "text", "grp", vocabSize = 32000)
+      .collect()
+    val oovSecs = (System.nanoTime() - t1) / 1e9
+    val oovMb = (shuffleWrite - w1) / 1e6
+    println(f"PROBE oov_rate_5m_docs => wall=$oovSecs%.1fs shuffle_write=$oovMb%.0fMB " +
+      s"groups=${oov.length} rates=${oov.map(_.getDouble(3)).mkString(",")}")
+    assert(oov.length == 4)
+    assert(oov.map(_.getLong(1)).sum == nDocs * 20, "token accounting must be exact")
+    assert(oov.forall(r => r.getDouble(3) > 0.3 && r.getDouble(3) < 0.4),
+      oov.mkString(","))
+    assert(oovMb < 500, f"oov shuffle must be (groups x vocab)-bounded, got $oovMb%.0fMB")
+
     spark.stop()
   }
 }
