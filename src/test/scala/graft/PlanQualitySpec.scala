@@ -14,6 +14,12 @@ class PlanQualitySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution
       .explainString(FormattedMode)
 
+  test("driver smoke contract: entry() answers with rows on the sf0.001 fixture") {
+    // the driver's first check each round — pin it in-suite so a
+    // regression surfaces here before the round gate does
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("filters and column pruning are pushed to the parquet scan (d03)") {
     val p = plan("d03_filter_and")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30.0)"), p.take(1500))
