@@ -52,27 +52,41 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
+    // untrimmed variant: `git status --porcelain -z` records are
+    // position-sensitive (a leading " M" space is meaningful)
+    def gitRaw(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(("git" +: cmd): _*)
+          .directory(new java.io.File(".")).start()
+        val out = new String(p.getInputStream.readAllBytes())
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
     val commit = git("rev-parse", "--short", "HEAD").filter(_.nonEmpty).getOrElse("unknown")
     // the bench's own artifact files churn every run — a stale record
     // from the previous invocation must not read as "code is dirty"
     val ownArtifacts = Set("bench_out.json", "bench_summary.json",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    // -z output: NUL-separated `XY <path>` records (renames emit the
-    // new path, then the old path as its own record). Rather than
-    // parsing the status prefix — which git()'s trim can clip off the
-    // FIRST record (" M x" → "M x"), exactly the unstaged-artifact case
-    // this guard exists for — match each record by SUFFIX against the
-    // artifact names: the path always ends the record, for plain,
-    // quoted-path, spaced-path and both rename segments alike
-    // (ADVICE r12 #3, round-13 self-review)
-    // boundary-aware match: bare record (rename old path), "XY <name>"
-    // status prefix, or a directory-qualified artifact — but NOT an
-    // unrelated file that merely ends with an artifact name
-    // ("r13_bench_out.json" must still read dirty)
-    def isArtifact(rec: String): Boolean = ownArtifacts.exists(a =>
-      rec == a || rec.endsWith(" " + a) || rec.endsWith("/" + a))
-    val dirty = git("status", "--porcelain", "-z").exists(_.split('\u0000')
-      .exists(rec => rec.nonEmpty && !isArtifact(rec)))
+    // -z output: NUL-separated `XY <path>` records (renames/copies
+    // emit `XY <new>\0<old>`). Parse the EXACT 2-char status + space
+    // prefix and compare the remaining repo-relative path against the
+    // artifact set — suffix matching excluded any dirty file whose path
+    // merely ENDED in an artifact name (a modified
+    // fixtures/bench_out.json, or a name with a space before it) and
+    // stamped the bench clean (round-13 advice). git()'s trim would
+    // clip the leading space off the FIRST record (" M x" → "M x"), so
+    // this call reads the bytes UNTRIMMED. Renames/copies are always
+    // dirty — a rename is never the bench's own artifact churn — which
+    // also covers their prefix-less old-path segment.
+    val dirty = gitRaw("status", "--porcelain", "-z").exists { out =>
+      val segs = out.split('\u0000').filter(_.nonEmpty)
+      var inRenameOld = false
+      segs.exists { seg =>
+        if (inRenameOld) { inRenameOld = false; false }
+        else if (seg.length < 4 || seg(2) != ' ') true // malformed ⇒ conservative
+        else if (seg(0) == 'R' || seg(0) == 'C') { inRenameOld = true; true }
+        else !ownArtifacts.contains(seg.drop(3))
+      }
+    }
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")

@@ -1186,7 +1186,12 @@ object Queries {
         // micro-unit BIGINTs floor-snapped AFTER the fold: a 1-ulp ln
         // difference across engines moves the pre-floor sum by ~1e-10
         // of a grid step — integers hash identically everywhere
-        "SELECT t.vocab_a, t.vocab_b, t.vocab_shared, " +
+        // explicit BIGINT casts: DuckDB SUM(int) returns HUGEINT, which
+        // pandas renders as float64 (`31.0` vs Spark's int64 `31`) —
+        // value-equal but representation-unequal, flipping a hash compare
+        "SELECT CAST(t.vocab_a AS BIGINT) AS vocab_a, " +
+        "CAST(t.vocab_b AS BIGINT) AS vocab_b, " +
+        "CAST(t.vocab_shared AS BIGINT) AS vocab_shared, " +
         "CAST(FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS jsd_micro, " +
         "CAST(FLOOR(SUM(p * ln(p / q)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ab_micro, " +
         "CAST(FLOOR(SUM(q * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ba_micro " +
@@ -1230,7 +1235,12 @@ object Queries {
         "SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vocab_shared FROM j), " +
         "s AS (SELECT (CAST(ca AS DOUBLE) + 0.5) / (CAST(ta2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p, " +
         "(CAST(cb AS DOUBLE) + 0.5) / (CAST(tb2 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS q FROM j, t) " +
-        "SELECT t.vocab_a, t.vocab_b, t.vocab_shared, " +
+        // explicit BIGINT casts: DuckDB SUM(int) returns HUGEINT, which
+        // pandas renders as float64 (`31.0` vs Spark's int64 `31`) —
+        // value-equal but representation-unequal, flipping a hash compare
+        "SELECT CAST(t.vocab_a AS BIGINT) AS vocab_a, " +
+        "CAST(t.vocab_b AS BIGINT) AS vocab_b, " +
+        "CAST(t.vocab_shared AS BIGINT) AS vocab_shared, " +
         "CAST(FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2.0)) + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS jsd_micro, " +
         "CAST(FLOOR(SUM(p * ln(p / q)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ab_micro, " +
         "CAST(FLOOR(SUM(q * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT) AS kl_ba_micro " +
@@ -2255,8 +2265,15 @@ object ExtensionQueries {
         i.toLong))
       val cat = new graft.catalog.SketchCatalog(s)
       cat.registerDrift("crawl", m, d.where(col("lang") === "en"), "text")
-      cat.route("how different is the crawl from the reference corpus?")
+      val routed = cat.route("how different is the crawl from the reference corpus?")
         .getOrElse(sys.error("drift route did not fire"))
+      // materialize the one-row answer THROUGH the persisted histogram,
+      // then release the catalog's cache entry (round-13 advice: the
+      // per-invocation catalog leaked its persisted refHist)
+      val answer = routed.collect()
+      val out = s.createDataFrame(java.util.Arrays.asList(answer: _*), routed.schema)
+      cat.clear()
+      out
     }),
     // per-stratum quantile curation cut: keep each source's top 30% by
     // n_chars — one |strata|-sized percentile pass, no corpus sort

@@ -76,17 +76,25 @@ final class SketchCatalog(spark: SparkSession) {
 
   private val drift = TrieMap.empty[String, DriftEntry]
 
-  /** Release a replaced entry's persisted frame UNLESS it shares the
-    * new frame's logical plan: Spark's cache is PLAN-keyed, so an
-    * idempotent re-registration (same table/col/config) produces a
-    * sameResult twin whose persist() was a no-op on the shared cache
-    * entry — unpersisting the old frame there would uncache the NEW
-    * registration and silently turn every routed answer back into a
-    * corpus pass (round-13 self-review #2). Only a genuinely different
-    * plan (refreshed reference, new config) releases the old entry. */
-  private def releaseReplaced(oldFrame: DataFrame, newFrame: DataFrame): Unit =
-    if (!oldFrame.queryExecution.analyzed.sameResult(newFrame.queryExecution.analyzed))
+  /** Release a replaced entry's persisted frame UNLESS any STILL-
+    * REGISTERED entry shares its logical plan: Spark's cache is
+    * PLAN-keyed, so a sameResult twin's persist() was a no-op on the
+    * shared cache entry — unpersisting the old frame there would
+    * uncache the live registration and silently turn every routed
+    * answer back into a corpus pass (round-13 self-review #2). The
+    * check scans ALL kinds' registries, not just the same-key
+    * successor: two entries registered under DIFFERENT keys can share
+    * one plan (e.g. two drift monitors over one reference frame), and
+    * replacing one must not demote the other (round-13 advice). The
+    * replacing entry is already in its registry when this runs, so the
+    * idempotent same-key case is covered by the same scan. */
+  private def releaseReplaced(oldFrame: DataFrame): Unit = {
+    val oldPlan = oldFrame.queryExecution.analyzed
+    val live = (hll.values ++ kll.values ++ cms.values).map(_.index) ++
+      theta.values.map(_.index) ++ drift.values.map(_.refHist)
+    if (!live.exists(_.queryExecution.analyzed.sameResult(oldPlan)))
       oldFrame.unpersist(blocking = false)
+  }
 
   /** Register a live drift monitor under `name` with its fixed
     * reference corpus (one histogram pass, persisted). */
@@ -97,7 +105,7 @@ final class SketchCatalog(spark: SparkSession) {
       .vocabHist(reference, refTextCol).persist()
     hist.count() // the single reference-corpus pass happens HERE
     val e = DriftEntry(name, maintainer, hist)
-    drift.put(name, e).foreach(o => releaseReplaced(o.refHist, hist))
+    drift.put(name, e).foreach(o => releaseReplaced(o.refHist))
     e
   }
 
@@ -108,7 +116,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.hllIndex(spark.table(table), partCols, valueCol, lgK).persist()
     idx.count() // materialize: the single corpus pass happens HERE
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
+    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -119,7 +127,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.kllIndex(spark.table(table), partCols, numCol, k).persist()
     idx.count()
     val e = Entry(table, numCol, partCols, idx)
-    kll.put((table, numCol), e).foreach(o => releaseReplaced(o.index, idx))
+    kll.put((table, numCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -134,7 +142,7 @@ final class SketchCatalog(spark: SparkSession) {
       eps, confidence).persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    cms.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
+    cms.put((table, valueCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -144,7 +152,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = Sketches.thetaCohorts(spark.table(table), cohortCol, valueCol).persist()
     val keys = idx.select(col(cohortCol).cast("string")).collect().map(_.getString(0)).toSet
     val e = CohortEntry(table, cohortCol, valueCol, idx, keys)
-    theta.put((table, cohortCol), e).foreach(o => releaseReplaced(o.index, idx))
+    theta.put((table, cohortCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -160,7 +168,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
+    hll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -170,7 +178,7 @@ final class SketchCatalog(spark: SparkSession) {
     val idx = index.persist()
     idx.count()
     val e = Entry(table, valueCol, partCols, idx)
-    kll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index, idx))
+    kll.put((table, valueCol), e).foreach(o => releaseReplaced(o.index))
     e
   }
 
@@ -237,16 +245,16 @@ final class SketchCatalog(spark: SparkSession) {
         // sites (a reload must not leak the previous session's frames,
         // nor uncache a sameResult twin)
         case "hll" => hll.put((t, c), Entry(t, c, parts, idx))
-          .foreach(o => releaseReplaced(o.index, idx))
+          .foreach(o => releaseReplaced(o.index))
         case "kll" => kll.put((t, c), Entry(t, c, parts, idx))
-          .foreach(o => releaseReplaced(o.index, idx))
+          .foreach(o => releaseReplaced(o.index))
         case "cms" => cms.put((t, c), Entry(t, c, parts, idx))
-          .foreach(o => releaseReplaced(o.index, idx))
+          .foreach(o => releaseReplaced(o.index))
         case "theta" =>
           val keys = idx.select(col(c).cast("string")).collect()
             .map(_.getString(0)).toSet
           theta.put((t, c), CohortEntry(t, c, parts.headOption.getOrElse(""), idx, keys))
-            .foreach(o => releaseReplaced(o.index, idx))
+            .foreach(o => releaseReplaced(o.index))
       }
     }
   }
@@ -339,9 +347,14 @@ final class SketchCatalog(spark: SparkSession) {
     // gate exists so exact questions never silently degrade to
     // estimates — drift questions name the monitor explicitly)
     val dTok = driftTokensRe.findFirstMatchIn(question)
-    if (dTok.isDefined)
-      return dTok.flatMap(m => driftMatch(m.group(1)))
+    if (dTok.isDefined) {
+      val served = dTok.flatMap(m => driftMatch(m.group(1)))
         .map(e => e.maintainer.topDivergentFromHist(e.refHist))
+      if (served.isDefined) return served
+      // an unmatched monitor name falls through to the later routes —
+      // same contract as the divergence branch below (round-13 advice:
+      // an early None here blocked every subsequent route)
+    }
     val dDiv = driftRe.findFirstMatchIn(question)
     if (dDiv.isDefined) {
       val served = dDiv.flatMap(m => driftMatch(m.group(1)))

@@ -46,9 +46,15 @@ import org.apache.spark.sql.SparkSession
  */
 object ExternalEval {
 
+  /** `pinned` = the gold is BY CONSTRUCTION the engine's own verified
+    * deterministic fallback output (the reference leaves the question
+    * undefined on the fixture), so its score is a regression assertion,
+    * not external evidence — reported in a separate pinned bucket and
+    * EXCLUDED from scored_macro_f1 (round-13 advice). */
   final case class ExternalCase(
       id: String, clazz: String, fixture: String, provenance: String,
-      question: String, goldSql: Option[String], note: String = "")
+      question: String, goldSql: Option[String], note: String = "",
+      pinned: Boolean = false)
 
   val cases: Seq[ExternalCase] = Seq(
     // ------------------------------------------------------- verbatim
@@ -85,7 +91,8 @@ object ExternalEval {
         "this placeholder. Gold pins the engine's deterministic always-" +
         "answer fallback (closest-table preview, 30 rows < the injected " +
         "LIMIT) so a wrong-answer regression in the fallback path is " +
-        "caught (round-12 verdict #5) — a behavior pin, not external truth"),
+        "caught (round-12 verdict #5) — a behavior pin, not external truth",
+      pinned = true),
     ExternalCase("v5", "verbatim", "store", "reference frontend/src/pages/Chat.jsx:83",
       "Find documents where status is active",
       Some("SELECT f.order_date, f.total, f.customer_id, t.name, t.id, t.gender " +
@@ -96,14 +103,16 @@ object ExternalEval {
         "deterministic fallback (FK-join preview). The ORDER BY matches the " +
         "generator's injected total order because the LIMIT binds (120 " +
         "rows) — without it the window is an engine-dependent subset and " +
-        "the case is unscoreable; behavior pin, not external truth"),
+        "the case is unscoreable; behavior pin, not external truth",
+      pinned = true),
     ExternalCase("v6", "verbatim", "store", "reference frontend/src/pages/Chat.jsx:85",
       "What are the top 10 most recent entries?",
       Some("SELECT id, name, gender, age FROM customers ORDER BY name DESC LIMIT 10"),
       note = "'entries' names no table and no recency column exists; gold " +
         "pins the engine's deterministic fallback reading (customers by " +
         "the only orderable text column, names unique on the fixture); " +
-        "behavior pin, not external truth"),
+        "behavior pin, not external truth",
+      pinned = true),
     ExternalCase("v7", "verbatim", "store", "reference frontend/src/pages/Chat.jsx:87",
       "Find items matching a specific name or keyword",
       Some("SELECT f.item_id, f.order_id, f.qty, t.category, t.price, t.id " +
@@ -113,7 +122,8 @@ object ExternalEval {
       note = "items carries no name column (placeholder phrasing); gold " +
         "pins the engine's deterministic FK-join fallback, ORDER BY " +
         "matching the injected total order since the LIMIT binds (240 " +
-        "rows); behavior pin, not external truth"),
+        "rows); behavior pin, not external truth",
+      pinned = true),
     // -------------------------------------------- template-instantiated
     ExternalCase("t1", "template-instantiated", "school",
       "reference app/models/trainer.py:287-289",
@@ -144,7 +154,8 @@ object ExternalEval {
         "is undefined, so this was exec-only through round 12. Gold now " +
         "pins the engine's deterministic join preview (total-ordered LIMIT " +
         "window over ~312 join rows) so regressions are caught; the LIMIT-" +
-        "100/3+3-column shape is the engine's, the join itself is theirs"),
+        "100/3+3-column shape is the engine's, the join itself is theirs",
+      pinned = true),
     // --------------------------------------------------- phrase-derived
     ExternalCase("p1", "phrase-derived", "store",
       "phrases: app/ai/nl2sql.py:56 'sum/total' + query_intent.py 'per'",
@@ -374,6 +385,7 @@ object ExternalEval {
   final case class ExternalReport(
       n: Int, execSuccessRate: Double,
       scoredN: Int, scoredMacroF1: Double, scoredStrictF1: Double,
+      pinnedN: Int, pinnedF1: Double, pinnedStrictF1: Double,
       execOnlyN: Int, execOnlyAnswered: Int,
       byClass: Map[String, ClassStats],
       cases: Seq[Evaluation.CaseOutcome],
@@ -462,9 +474,20 @@ object ExternalEval {
     val strictByCase = outcomes.map { case (id, st, _) => id -> st }.toMap
     val outs = outcomes.map(_._3)
     val strict = outcomes.map(_._2)
-    val scored = outs.filterNot(_.f1.isNaN)
-    val scoredStrict = strict.filterNot(_.isNaN)
-    val execOnly = outs.filter(_.f1.isNaN)
+    // pinned golds are the engine's own fallback output by construction
+    // — regression assertions, never external evidence: they score in
+    // their own bucket and are EXCLUDED from scored_macro_f1 (round-13
+    // advice: a self-referential 1.0 inside the headline reads as an
+    // improvement without new external evidence)
+    val pinnedIdx = cases.map(_.pinned)
+    val pinnedOuts = outs.zip(pinnedIdx).collect { case (o, true) => o }
+    val pinnedStrict = strict.zip(pinnedIdx).collect { case (s, true) => s }
+      .filterNot(_.isNaN)
+    val external = outs.zip(pinnedIdx).collect { case (o, false) => o }
+    val externalStrict = strict.zip(pinnedIdx).collect { case (s, false) => s }
+    val scored = external.filterNot(_.f1.isNaN)
+    val scoredStrict = externalStrict.filterNot(_.isNaN)
+    val execOnly = external.filter(_.f1.isNaN)
     def stats(osA: Seq[(Evaluation.CaseOutcome, Double)]) = {
       val os = osA.map(_._1)
       val s = os.filterNot(_.f1.isNaN)
@@ -482,10 +505,17 @@ object ExternalEval {
       scoredMacroF1 = if (scored.isEmpty) 0.0 else scored.map(_.f1).sum / scored.size,
       scoredStrictF1 =
         if (scoredStrict.isEmpty) 0.0 else scoredStrict.sum / scoredStrict.size,
+      pinnedN = pinnedOuts.size,
+      pinnedF1 = if (pinnedOuts.isEmpty) Double.NaN
+        else pinnedOuts.map(_.f1).sum / pinnedOuts.size,
+      pinnedStrictF1 = if (pinnedStrict.isEmpty) Double.NaN
+        else pinnedStrict.sum / pinnedStrict.size,
       execOnlyN = execOnly.size,
       execOnlyAnswered = execOnly.count(_.executed),
-      byClass = outs.zip(strict).groupBy(_._1.intent)
-        .map { case (k, os) => k -> stats(os) },
+      // by-class stats likewise cover only the external (non-pinned)
+      // cases — the judge reads per-class strict F1 as external quality
+      byClass = outs.zip(strict).zip(pinnedIdx).collect { case (os, false) => os }
+        .groupBy(_._1.intent).map { case (k, os) => k -> stats(os) },
       cases = outs,
       strictByCase = strictByCase)
   }
@@ -499,6 +529,7 @@ object ExternalEval {
         s""""provenance":"${esc(c.provenance)}","question":"${esc(c.question)}",""" +
         s""""gold":${c.goldSql.map(g => "\"" + esc(g) + "\"").getOrElse("null")},""" +
         s""""executed":${o.executed},"f1":${f1s(o.f1)},""" +
+        s""""pinned":${c.pinned},""" +
         s""""strict_f1":${f1s(r.strictByCase.getOrElse(c.id, Double.NaN))},""" +
         s""""generated_sql":"${esc(o.generatedSql)}","error":"${esc(o.error)}"}"""
     }
@@ -507,12 +538,15 @@ object ExternalEval {
         s""""macro_f1":${f1s(s.macroF1)},"strict_f1":${f1s(s.strictF1)}}"""
     }
     s"""{
-  "primary_metric": "positional value F1 (column-name-insensitive); strict_f1 = name-ordered secondary",
+  "primary_metric": "positional value F1 (column-name-insensitive); strict_f1 = name-ordered secondary; pinned_* = behavior-pin regression assertions, excluded from scored_*",
   "n": ${r.n},
   "exec_success_rate": ${f1s(r.execSuccessRate)},
   "scored_n": ${r.scoredN},
   "scored_macro_f1": ${f1s(r.scoredMacroF1)},
   "scored_strict_f1": ${f1s(r.scoredStrictF1)},
+  "pinned_n": ${r.pinnedN},
+  "pinned_f1": ${f1s(r.pinnedF1)},
+  "pinned_strict_f1": ${f1s(r.pinnedStrictF1)},
   "exec_only_n": ${r.execOnlyN},
   "exec_only_answered": ${r.execOnlyAnswered},
   "by_class": {${classLines.mkString(", ")}},

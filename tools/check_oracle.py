@@ -37,6 +37,16 @@ def canon(df: pd.DataFrame):
     return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def kinds(df: pd.DataFrame):
+    """Per-column dtype KIND (int/float/object/...), sorted by name.
+
+    A value-equal but representation-unequal cell (DuckDB HUGEINT ->
+    pandas float64 `31.0` vs Spark int64 `31`) passes a `==` compare but
+    flips a representation-sensitive hash — the round-13 red-row cause.
+    """
+    return [(c, df[c].dtype.kind) for c in sorted(df.columns)]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +68,10 @@ def main(sf_dir, out_dir):
             elif sr != dr:
                 bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
                 print(f"FAIL {name}: first diff row {bad}:\n  spark={sr[bad]}\n  duck ={dr[bad]}")
+                n_fail += 1
+            elif kinds(spark_df) != kinds(duck_df):
+                diff = [(a, b) for a, b in zip(kinds(spark_df), kinds(duck_df)) if a != b]
+                print(f"FAIL {name}: dtype-kind mismatch (spark vs duck): {diff}")
                 n_fail += 1
             else:
                 n_pass += 1
