@@ -905,6 +905,29 @@ object Queries {
         "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, n_tokens, shard, CAST(shard AS BIGINT) * 1000000 + CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id " +
         "FROM c ORDER BY doc_id LIMIT 500"),
+    // global concat-and-chunk replica: exclusive running token sum over
+    // the doc_id order, integer div/mod spans — every column cast
+    "x_pack_offsets" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t) " +
+        "SELECT doc_id, n_tokens, o AS global_off, " +
+        "CAST(o // 256 AS BIGINT) AS first_seq, " +
+        "CAST((o + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS last_seq, " +
+        "CAST(o % 256 AS BIGINT) AS seq_off FROM c ORDER BY doc_id"),
+    // packing scorecard replica: same ceil-div in exact integers
+    "x_pack_stats" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t) " +
+        "SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_seqs, " +
+        "CAST(((SUM(n_tokens) + 255) // 256) * 256 - SUM(n_tokens) AS BIGINT) AS pad_tokens, " +
+        "CAST(SUM(CASE WHEN o // 256 <> (o + greatest(n_tokens, 1) - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM c"),
+    // token-budget prefix replica: running sum over (n_chars desc, id)
+    "x_token_budget" ->
+      ("WITH t AS (SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(COALESCE(SUM(n) OVER (ORDER BY n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t) " +
+        "SELECT doc_id, n_tokens, o AS global_off FROM c " +
+        "WHERE o + n_tokens <= 20000 AND n_tokens > 0 ORDER BY doc_id"),
     // duplicate GROUPS: connected components over the exact-Jaccard≥0.8
     // pair graph, labeled by component-minimum id (DuckDB: recursive
     // min-reachability; Spark: distributed min-label propagation)
@@ -2078,6 +2101,24 @@ object ExtensionQueries {
       graft.operators.Pipelines.packSequences(docs(s, dir), "doc_id", "text",
         capacityTokens = 256, shards = 8)
         .orderBy("doc_id").limit(500)),
+    // GLOBAL concat-and-chunk packing (docs split across sequence
+    // boundaries): distributed prefix sum over the doc_id order —
+    // range exchange + per-partition windows + a cluster-sized totals
+    // frame; all columns exact BIGINTs
+    "x_pack_offsets" -> ((s, dir) =>
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        seqLen = 256).orderBy("doc_id")),
+    // corpus packing scorecard: totals / ceil sequences / tail padding /
+    // boundary-straddling docs
+    "x_pack_stats" -> ((s, dir) =>
+      graft.operators.Packing.packingStats(docs(s, dir), "doc_id", "text",
+        seqLen = 256)),
+    // token-budget curation: the maximal quality-ordered prefix
+    // (n_chars desc, id tiebreak) fitting 20k tokens — curation by
+    // TOKENS, not documents
+    "x_token_budget" -> ((s, dir) =>
+      graft.operators.Packing.selectByTokenBudget(docs(s, dir), "doc_id",
+        "text", "n_chars", budgetTokens = 20000L).orderBy("doc_id")),
     // duplicate groups over the exact-Jaccard pair graph (min-label CC)
     "x_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)

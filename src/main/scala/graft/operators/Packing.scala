@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Global sequence packing — the concat-and-chunk step between a curated
+ * corpus and a pretraining run: concatenate every document's token
+ * stream in one deterministic total order and slice the stream into
+ * fixed-length training sequences, letting documents SPLIT across
+ * sequence boundaries. [[Pipelines.packSequences]] is the bin-packing
+ * sibling (whole docs into per-shard bins, no splitting); this operator
+ * is the zero-padding-except-tail layout GPT-style pipelines use. The
+ * reference has no packing surface (its pipeline returns whole records,
+ * `app/ai/nl2mongo.py:66-67`); training-data extension per the north
+ * star.
+ *
+ * The core is a DISTRIBUTED PREFIX SUM over the document order — the
+ * one part that does not compose from a plain groupBy:
+ *
+ *   1. `repartitionByRange(idCol)` — the same sampled range exchange a
+ *      global `orderBy` plans, so ordered key runs land in ordered
+ *      partitions (skew handled by the range sampler);
+ *   2. per-partition running sum via a window PARTITIONED by
+ *      `spark_partition_id()` — parallel, no single-partition window;
+ *   3. per-partition totals (a |partitions|-row frame) prefix-summed on
+ *      the tiny frame and broadcast-joined back as each partition's
+ *      base offset.
+ *
+ * The partition BOUNDARIES are sampled (nondeterministic), but the
+ * output is partition-invariant: prefix(base) + local running sum
+ * telescopes to the same global offset under ANY contiguous split of
+ * the order, so results are deterministic given unique `idCol`. The
+ * tiny-frame prefix uses an unpartitioned window over |partitions|
+ * rows — bounded by cluster size, never by data (the documented
+ * bounded-frame window pattern). Two corpus-order exchanges feed steps
+ * 2-3 from ONE repartition; AQE's ReusedExchange collapses them when
+ * the plan is reused, and the frame is narrow (id + count) either way.
+ *
+ * Every output column is an exact BIGINT (hashed-oracle-surface rule,
+ * COVERAGE.md): token counts, global offsets, sequence ids, in-sequence
+ * offsets — no doubles anywhere.
+ *
+ * At 100 TB: the corpus crosses the wire once as (id, n_tokens) — two
+ * narrow columns, not text; the range exchange is the same cost as any
+ * global sort of the id column; everything after is per-partition
+ * window arithmetic plus a cluster-sized side frame.
+ */
+object Packing {
+
+  /** Exclusive global token offset of each row under the total order
+    * `orderCol` (must be unique): (columns of `df`) + `__off`.
+    * `nTokensCol` must be a non-negative BIGINT.
+    *
+    * The ranged frame is persisted internally: the per-partition window
+    * and the per-partition totals both key on `spark_partition_id()`,
+    * and the RangePartitioner samples its boundaries per physical
+    * exchange — two independently-planned exchanges could sample
+    * DIFFERENT boundaries and silently misalign base offsets against
+    * local sums. One cached materialization pins one partitioning for
+    * both consumers (same contract as the LSH candidate persist,
+    * `Dedup.minhashNearDuplicates`); the frame is narrow (key + count).
+    * Long-lived sessions release it via `spark.catalog.clearCache()`
+    * after materializing the result. */
+  private[graft] def globalPrefixSum(df: DataFrame, orderCol: String,
+      nTokensCol: String, partitions: Int): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__local",
+      coalesce(sum(col(nTokensCol)).over(localW), lit(0L)))
+    // |partitions|-row totals frame: prefix on the tiny frame only —
+    // an unpartitioned window over a cluster-sized (never data-sized)
+    // frame, the documented bounded-frame pattern
+    val baseW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("__pid"))
+      .agg(sum(col(nTokensCol)).as("__ptotal"))
+      .withColumn("__base", coalesce(sum(col("__ptotal")).over(baseW), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    local.join(broadcast(bases), Seq("__pid"))
+      .withColumn("__off", col("__base") + col("__local"))
+      .drop("__pid", "__local", "__base")
+  }
+
+  /**
+   * Pre-tokenized form — the actual engine: `df` carries `idCol`
+   * (unique, orderable) and `nTokensCol` (non-negative BIGINT). Output
+   * one row per document, all BIGINT:
+   *
+   *   - `n_tokens`    — the document's token count;
+   *   - `global_off`  — tokens before this document in the stream;
+   *   - `first_seq`   — sequence index of the document's first token
+   *                     (`global_off div seqLen`);
+   *   - `last_seq`    — sequence index of its last token; an EMPTY
+   *                     document occupies no tokens and reports
+   *                     `last_seq = first_seq` (it "sits at" its
+   *                     stream position);
+   *   - `seq_off`     — offset of the first token inside `first_seq`.
+   */
+  def packOffsetsFromCounts(df: DataFrame, idCol: String,
+      nTokensCol: String, seqLen: Int, partitions: Int = 64,
+      base: Long = 0L): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // `base` shifts the whole stream: the streaming maintainer packs
+    // each arriving batch CONTINUING from the tokens already ingested
+    // (`Streams.PackingMaintainer`), so fold ≡ batch under ordered
+    // arrival.
+    // `div`, not `/`: long/long division in Spark returns DOUBLE, and a
+    // 100 TB stream's offsets exceed the 2^53 exact-double range
+    globalPrefixSum(
+      df.select(col(idCol), col(nTokensCol).cast("long").as("n_tokens")),
+      idCol, "n_tokens", partitions)
+      .withColumn("__off", col("__off") + lit(base))
+      .select(col(idCol), col("n_tokens"),
+        col("__off").as("global_off"),
+        expr(s"__off div ${seqLen}L").as("first_seq"),
+        expr(s"(__off + greatest(n_tokens, 1L) - 1L) div ${seqLen}L")
+          .as("last_seq"),
+        pmod(col("__off"), lit(seqLen.toLong)).as("seq_off"))
+  }
+
+  /** [[packOffsetsFromCounts]] over raw text: whitespace token counts
+    * ([[TextAnalysis.tokenCount]] semantics — blank text counts 0). */
+  def packOffsets(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 64): DataFrame =
+    packOffsetsFromCounts(
+      docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqLen, partitions)
+
+  /**
+   * One-row packing summary, all BIGINT: total token count, number of
+   * `seqLen` sequences (ceiling), padding tokens in the final partial
+   * sequence, and how many documents straddle a sequence boundary —
+   * the fragmentation number an attention-masking design reads (a
+   * split doc needs cross-boundary masking or suffers context
+   * truncation). Derivable per-doc spans come from [[packOffsets]];
+   * this is the corpus-level scorecard.
+   */
+  def packingStats(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 64): DataFrame = {
+    val packed = packOffsets(docs, idCol, textCol, seqLen, partitions)
+    // ceil-div in exact longs: (a + L - 1) div L
+    val nSeqs = expr(s"(total_tokens + ${seqLen.toLong - 1}L) div ${seqLen}L")
+    packed.agg(
+      coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+      coalesce(sum(when(col("first_seq") =!= col("last_seq"), 1L)
+        .otherwise(0L)), lit(0L)).as("split_docs"))
+      .select(col("total_tokens"), nSeqs.as("n_seqs"),
+        (nSeqs * lit(seqLen.toLong) - col("total_tokens")).as("pad_tokens"),
+        col("split_docs"))
+  }
+
+  /**
+   * Token-budget prefix selection — curation by TOKENS, not documents:
+   * order the corpus by (`rankCol` desc, `idCol` asc — quality first,
+   * id as the deterministic tiebreak) and keep the maximal prefix whose
+   * token count fits `budgetTokens`. "Take the best 10B tokens" is the
+   * budgeted form of every quality cut; a per-document top-k keeps the
+   * wrong amount whenever length and quality correlate. A document is
+   * kept iff it fits ENTIRELY (exclusive prefix + its own count ≤
+   * budget) — documents are never truncated, and because the running
+   * offset is monotone the kept set is exactly the maximal PREFIX of
+   * the quality order that fits (nothing after the first overflow can
+   * fit; a prefix cut, not bin packing). Zero-token documents are
+   * never selected — they contribute nothing to a token budget.
+   *
+   * Same distributed prefix sum as [[packOffsets]], ordered by the
+   * rank key instead of the id. Output: (idCol, n_tokens, global_off)
+   * for kept documents — all BIGINT.
+   */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      rankCol: String, budgetTokens: Long, partitions: Int = 64): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    // rank desc ≡ range-partition asc on a negated sort key; idCol
+    // breaks rank ties so the prefix order (and thus the kept set) is
+    // total. The struct key keeps ONE range exchange for the pair.
+    val keyed = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      struct((col(rankCol) * -1).as("r"), col(idCol).as("i")).as("__key"))
+    globalPrefixSum(keyed, "__key", "n_tokens", partitions)
+      .where(col("__off") + col("n_tokens") <= budgetTokens
+        && col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("__off").as("global_off"))
+  }
+}

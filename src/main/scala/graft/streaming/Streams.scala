@@ -875,6 +875,47 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming sequence packing: assign each arriving micro-batch its
+   * global concat-and-chunk offsets CONTINUING from the tokens already
+   * ingested — the ingest-time form of [[graft.operators.Packing
+   * .packOffsets]], so a corpus landing as a stream is packed into
+   * training sequences as it arrives instead of in a terminal batch
+   * pass. State: ONE long (the running token total) — byte-sized,
+   * volume-independent. Under ordered arrival (append-log ingest,
+   * batches in id order) the folded assignment EQUALS the batch
+   * operator over everything seen (pinned in StreamsSpec); out-of-order
+   * arrival packs in ARRIVAL order — documented, deterministic given
+   * the arrival sequence, and exactly what an append-only ingest wants
+   * (the stream IS the concatenation order).
+   */
+  final class PackingMaintainer(idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 64) {
+    private var total: Long = 0L
+    /** Tokens ingested so far. */
+    def totalTokens: Long = synchronized(total)
+    /** `foreachBatch` handler: pack one micro-batch at the current
+      * stream offset and advance it. Returns the packed batch (same
+      * schema as the batch operator) — the caller writes it to the
+      * training-shard sink. Only the batch's token TOTAL (one long)
+      * crosses to the driver; the packed rows stay distributed, reading
+      * the prefix-sum's internal cache (release with `clearCache` after
+      * the sink write, per the batch operator's contract). The base
+      * offset is baked into the returned plan as a literal, so the
+      * frame stays correct even if materialized after later batches
+      * advance the state. */
+    def onBatch(batch: DataFrame, batchId: Long): DataFrame = synchronized {
+      val counted = batch.select(col(idCol),
+        graft.operators.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("n_tokens"))
+      val packed = graft.operators.Packing.packOffsetsFromCounts(
+        counted, idCol, "n_tokens", seqLen, partitions, base = total)
+      total += packed.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .first().getLong(0)
+      packed
+    }
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -73,6 +73,57 @@ class SketchCatalogSpec extends SparkSpec {
     } finally cat.clear()
   }
 
+  test("cross-key plan sharing: replacing one drift monitor never demotes its twin") {
+    import graft.streaming.Streams
+    graft.sources.Sources.register(spark, sfDir)
+    val cat = new SketchCatalog(spark)
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.select(col("*")).queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.nonEmpty
+    try {
+      val docs = spark.table("documents")
+      val ref = docs.where(col("lang") === "en")
+      // two monitors under DIFFERENT names sharing ONE reference plan —
+      // the plan-keyed cache gives them one shared entry
+      val m1 = new Streams.VocabDriftMaintainer("text")
+      val m2 = new Streams.VocabDriftMaintainer("text")
+      m1.onBatch(docs.where(col("lang") === "es"), 0L)
+      m2.onBatch(docs.where(col("lang") === "de"), 0L)
+      val e1 = cat.registerDrift("crawl_es", m1, ref, "text")
+      cat.registerDrift("crawl_de", m2, ref, "text")
+      // replacing crawl_es with a DIFFERENT reference must release e1's
+      // claim WITHOUT uncaching crawl_de's shared entry (round-13
+      // advice: the old check compared only the same-key successor)
+      val e3 = cat.registerDrift("crawl_es", m1, docs.where(col("lang") === "fr"), "text")
+      assert(cached(e3.refHist), "the new reference must be cached")
+      assert(cached(e1.refHist),
+        "the shared-plan twin (crawl_de's histogram) must stay cached")
+      // and the surviving twin still serves from the index
+      val served = cat.route("how different is the crawl_de from the reference corpus?")
+      assert(served.isDefined && served.get.collect().length == 1)
+    } finally cat.clear()
+  }
+
+  test("unregistered drift-token name falls through to later routes") {
+    import graft.streaming.Streams
+    graft.sources.Sources.register(spark, sfDir)
+    spark.sql("SELECT event_type, user_id FROM events")
+      .createOrReplaceTempView("events_ft")
+    val cat = new SketchCatalog(spark)
+    cat.indexDistinct("events_ft", "user_id", Seq("event_type"))
+    try {
+      // matches driftTokensRe but names no registered monitor — must NOT
+      // block the question's sketch route (round-13 advice: the early
+      // None returned before any later route could serve)
+      val q = "which tokens drive the drift in the nosuchmonitor, " +
+        "and roughly how many distinct user_id per event_type"
+      val served = cat.route(q)
+      assert(served.isDefined, "sketch route must still fire after an unmatched drift name")
+      assert(served.get.columns.contains("event_type"))
+    } finally cat.clear()
+  }
+
   test("adopted split-built index (the stream+history shape) serves like one batch pass") {
     graft.sources.Sources.register(spark, sfDir)
     import graft.operators.Sketches

@@ -618,6 +618,27 @@ class StreamsSpec extends SparkSpec {
     assert(topS.toSeq == topB.toSeq)
   }
 
+  test("streaming packing maintainer: ordered-arrival fold equals the batch pack") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t t t"), (2L, "t t t t t"), (3L, ""), (4L, "t t t t"),
+      (5L, "t t"), (6L, "t t t t t t t")).toDF("doc_id", "text")
+    val m = new Streams.PackingMaintainer("doc_id", "text", seqLen = 4,
+      partitions = 2)
+    assert(m.totalTokens == 0L)
+    // three micro-batches in id order (append-log ingest): the folded
+    // assignment must equal the terminal batch pack over everything
+    val folded = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)).zipWithIndex
+      .flatMap { case (ids, i) =>
+        m.onBatch(docs.where($"doc_id".isin(ids: _*)), i.toLong).collect()
+      }.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.operators.Packing.packOffsets(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(folded == batch.toSeq, s"$folded vs ${batch.toSeq}")
+    assert(m.totalTokens == 21L)
+    spark.catalog.clearCache()
+  }
+
   test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
