@@ -922,6 +922,18 @@ object Queries {
         "CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_seqs, " +
         "CAST(((SUM(n_tokens) + 255) // 256) * 256 - SUM(n_tokens) AS BIGINT) AS pad_tokens, " +
         "CAST(SUM(CASE WHEN o // 256 <> (o + greatest(n_tokens, 1) - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM c"),
+    // materialized-sequence replica: same prefix sum, per-sequence
+    // slices rebuilt with inclusive-end list slicing, ordered string_agg
+    "x_pack_materialize" ->
+      (raw"WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t), " +
+        "c AS (SELECT doc_id, tk, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t2), " +
+        "e AS (SELECT tk, n, o, CAST(unnest(range(o // 256, (o + n - 1) // 256 + 1)) AS BIGINT) AS seq_id FROM c WHERE n > 0), " +
+        "p AS (SELECT seq_id, greatest(seq_id * 256 - o, 0) AS s, least(n, (seq_id + 1) * 256 - o) AS e2, o, tk FROM e), " +
+        "p2 AS (SELECT seq_id, o + s AS gpos, tk[s + 1 : e2] AS piece FROM p) " +
+        "SELECT seq_id, CAST(SUM(len(piece)) AS BIGINT) AS n_tokens, " +
+        "string_agg(array_to_string(piece, ' '), ' ' ORDER BY gpos) AS seq_text " +
+        "FROM p2 GROUP BY seq_id ORDER BY seq_id"),
     // token-budget prefix replica: running sum over (n_chars desc, id)
     "x_token_budget" ->
       ("WITH t AS (SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
@@ -2119,6 +2131,12 @@ object ExtensionQueries {
     "x_token_budget" -> ((s, dir) =>
       graft.operators.Packing.selectByTokenBudget(docs(s, dir), "doc_id",
         "text", "n_chars", budgetTokens = 20000L).orderBy("doc_id")),
+    // the write path: MATERIALIZED training sequences (ordered token
+    // slices regrouped per sequence) — one seq_id-keyed exchange;
+    // hashed surface is strings + BIGINTs only
+    "x_pack_materialize" -> ((s, dir) =>
+      graft.operators.Packing.materializeSequences(docs(s, dir), "doc_id",
+        "text", seqLen = 256).orderBy("seq_id")),
     // duplicate groups over the exact-Jaccard pair graph (min-label CC)
     "x_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)

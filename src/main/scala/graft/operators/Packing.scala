@@ -156,6 +156,49 @@ object Packing {
   }
 
   /**
+   * Materialize the packed training sequences themselves — the write
+   * path consuming [[packOffsets]]' layout: every sequence `s` is the
+   * ordered concatenation of the token slices that land in
+   * `[s·seqLen, (s+1)·seqLen)`. Output one row per sequence, all
+   * hashable-exact types: (`seq_id` BIGINT, `n_tokens` BIGINT — seqLen
+   * everywhere except the final partial sequence, `seq_text` the
+   * space-joined tokens).
+   *
+   * Scale: after the prefix sum, each document explodes into one row
+   * per sequence it touches (≤ n/seqLen + 1 — output-sized, not
+   * quadratic), and the regroup is ONE corpus-sized exchange keyed by
+   * `seq_id` — the unavoidable write-path shuffle, and the only one.
+   * Per-sequence state is bounded by `seqLen` tokens regardless of
+   * document sizes (a 1M-token doc contributes 1-token-to-seqLen
+   * slices, never itself), so no group can blow an executor.
+   */
+  def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, partitions: Int = 64): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val l = seqLen.toLong
+    val toks = docs.select(col(idCol),
+      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+    val withSeqs = globalPrefixSum(toks, idCol, "__n", partitions)
+      .where(col("__n") > 0) // empty docs occupy no tokens in any sequence
+      .select(col("__t"), col("__n"), col("__off"),
+        explode(sequence(expr(s"__off div ${l}L"),
+          expr(s"(__off + __n - 1) div ${l}L"))).as("seq_id"))
+    val pieces = withSeqs.select(col("seq_id"),
+      greatest(col("seq_id") * l - col("__off"), lit(0L)).as("__s"),
+      least(col("__n"), (col("seq_id") + 1L) * l - col("__off")).as("__e"),
+      col("__off"), col("__t"))
+      .select(col("seq_id"), (col("__off") + col("__s")).as("__gpos"),
+        slice(col("__t"), (col("__s") + 1L).cast("int"),
+          (col("__e") - col("__s")).cast("int")).as("__piece"))
+    pieces.groupBy("seq_id").agg(
+      sum(size(col("__piece")).cast("long")).as("n_tokens"),
+      array_join(flatten(transform(
+        array_sort(collect_list(struct(col("__gpos").as("p"), col("__piece").as("w")))),
+        x => x("w"))), " ").as("seq_text"))
+  }
+
+  /**
    * Token-budget prefix selection — curation by TOKENS, not documents:
    * order the corpus by (`rankCol` desc, `idCol` asc — quality first,
    * id as the deterministic tiebreak) and keep the maximal prefix whose

@@ -87,6 +87,42 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("materializeSequences: sequences reconstruct the concatenated stream exactly") {
+    val docs = Seq(
+      (1L, "a1 a2 a3"), (2L, "b1 b2 b3 b4 b5"), (3L, ""), (4L, "c1 c2 c3 c4"),
+      (5L, "d1 d2"), (6L, "e1 e2 e3 e4 e5 e6 e7")).toDF("doc_id", "text")
+    val r = Packing.materializeSequences(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+    // stream: a1 a2 a3 | b1..b5 | c1..c4 | d1 d2 | e1..e7 = 21 tokens → 6 seqs
+    val expected = Seq(
+      "a1 a2 a3 b1", "b2 b3 b4 b5", "c1 c2 c3 c4",
+      "d1 d2 e1 e2", "e3 e4 e5 e6", "e7")
+    assert(r.map(_.getAs[Long]("seq_id")).toSeq == (0L to 5L))
+    assert(r.map(_.getAs[String]("seq_text")).toSeq == expected)
+    // every sequence is exactly seqLen except the final partial one
+    assert(r.dropRight(1).forall(_.getAs[Long]("n_tokens") == 4L) &&
+      r.last.getAs[Long]("n_tokens") == 1L)
+    // cross-check: the joined sequences ARE the original stream
+    assert(r.map(_.getAs[String]("seq_text")).mkString(" ") ==
+      "a1 a2 a3 b1 b2 b3 b4 b5 c1 c2 c3 c4 d1 d2 e1 e2 e3 e4 e5 e6 e7")
+    spark.catalog.clearCache()
+  }
+
+  test("materializeSequences agrees with packOffsets spans") {
+    // a long doc spanning 3+ sequences: its slices land where the
+    // offsets table says they do
+    val docs = Seq((1L, "x x"), (2L, (1 to 11).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqs = Packing.materializeSequences(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+    val offs = Packing.packOffsets(docs, "doc_id", "text", seqLen = 4)
+      .where($"doc_id" === 2L).collect()(0)
+    assert(offs.getAs[Long]("first_seq") == 0L && offs.getAs[Long]("last_seq") == 3L)
+    assert(seqs.map(_.getAs[String]("seq_text")).toSeq ==
+      Seq("x x y1 y2", "y3 y4 y5 y6", "y7 y8 y9 y10", "y11"))
+    spark.catalog.clearCache()
+  }
+
   test("selectByTokenBudget: zero-token docs are never selected") {
     val docs = Seq((1L, "t t", 5.0), (2L, "", 9.0)).toDF("doc_id", "text", "q")
     val kept = Packing.selectByTokenBudget(docs, "doc_id", "text", "q", 10L)
