@@ -72,6 +72,29 @@ object ProbePackingScale {
     // (plus the window's cache traffic) — NOT text-sized
     assert(mb < 2500, f"prefix-sum shuffle should be narrow, got $mb%.0fMB")
     spark.catalog.clearCache()
+
+    // write path: materialize 2M short docs (~40M tokens) into
+    // 2048-token sequences — the one corpus-sized seq_id exchange
+    val nText = 2000000L
+    val text = spark.range(0, nText).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 20).map(k => concat(lit("w"),
+        pmod(xxhash64(col("id") * 13 + k), lit(30000L)).cast("string"))): _*)
+        .as("text"))
+    text.persist().count()
+    val t1 = System.nanoTime()
+    val seqs = graft.operators.Packing.materializeSequences(
+      text, "doc_id", "text", seqLen = 2048, partitions = 64)
+    val sInv = seqs.agg(sum("n_tokens").as("total"), count(lit(1L)).as("n_seqs"),
+      sum(when(col("n_tokens") === 2048L, 1L).otherwise(0L)).as("full")).collect()(0)
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    val totalT = sInv.getAs[Long]("total")
+    println(f"PROBE materialize_2m_docs => wall=$secs2%.1fs " +
+      s"total_tokens=$totalT n_seqs=${sInv.getAs[Long]("n_seqs")}")
+    assert(totalT == nText * 20, s"token loss: $totalT")
+    assert(sInv.getAs[Long]("n_seqs") == (totalT + 2047) / 2048)
+    // every sequence except at most the final partial one is full
+    assert(sInv.getAs[Long]("full") >= sInv.getAs[Long]("n_seqs") - 1)
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
