@@ -922,6 +922,16 @@ object Queries {
         "CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_seqs, " +
         "CAST(((SUM(n_tokens) + 255) // 256) * 256 - SUM(n_tokens) AS BIGINT) AS pad_tokens, " +
         "CAST(SUM(CASE WHEN o // 256 <> (o + greatest(n_tokens, 1) - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM c"),
+    // streamed-packing replica: ordered id-contiguous batches fold to
+    // exactly the batch assignment, so the oracle IS the global
+    // running sum (same SQL shape as x_pack_offsets)
+    "x_pack_streamed" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t) " +
+        "SELECT doc_id, n_tokens, o AS global_off, " +
+        "CAST(o // 256 AS BIGINT) AS first_seq, " +
+        "CAST((o + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS last_seq, " +
+        "CAST(o % 256 AS BIGINT) AS seq_off FROM c ORDER BY doc_id"),
     // materialized-sequence replica: same prefix sum, per-sequence
     // slices rebuilt with inclusive-end list slicing, ordered string_agg
     "x_pack_materialize" ->
@@ -2137,6 +2147,22 @@ object ExtensionQueries {
     "x_pack_materialize" -> ((s, dir) =>
       graft.operators.Packing.materializeSequences(docs(s, dir), "doc_id",
         "text", seqLen = 256).orderBy("seq_id")),
+    // ingest-time packing SERVED end-to-end: three id-contiguous
+    // micro-batches fold through the streaming maintainer (one long of
+    // driver state), and the union must equal the terminal batch pack —
+    // oracled against the same global running sum
+    "x_pack_streamed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = new graft.streaming.Streams.PackingMaintainer(
+        "doc_id", "text", seqLen = 256)
+      val mx = d.agg(max("doc_id")).collect()(0).getLong(0)
+      val batches = Seq(
+        d.where(col("doc_id") <= mx / 3),
+        d.where(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+        d.where(col("doc_id") > 2 * mx / 3))
+      batches.zipWithIndex.map { case (b, i) => m.onBatch(b, i.toLong) }
+        .reduce(_ unionByName _).orderBy("doc_id")
+    }),
     // duplicate groups over the exact-Jaccard pair graph (min-label CC)
     "x_dedup_groups" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
