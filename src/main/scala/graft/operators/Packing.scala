@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
  * the order, so results are deterministic given unique `idCol`. The
  * tiny-frame prefix uses an unpartitioned window over |partitions|
  * rows — bounded by cluster size, never by data (the documented
- * bounded-frame window pattern). Two corpus-order exchanges feed steps
- * 2-3 from ONE repartition; AQE's ReusedExchange collapses them when
- * the plan is reused, and the frame is narrow (id + count) either way.
+ * bounded-frame window pattern). Steps 2-3 both consume ONE persisted
+ * materialization of the ranged frame (see [[globalPrefixSum]] — the
+ * PackingSpec plan pin asserts both consumers read the cache), and the
+ * frame is narrow (id + count) either way.
  *
  * Every output column is an exact BIGINT (hashed-oracle-surface rule,
  * COVERAGE.md): token counts, global offsets, sequence ids, in-sequence

@@ -138,6 +138,14 @@ class PackingSpec extends SparkSpec {
     // unpartitioned window runs on the |partitions|-row totals frame
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"base-offset join did not broadcast:\n$plan")
+    // BOTH consumers of the ranged frame (the per-partition window and
+    // the totals aggregate) must read the ONE cached materialization —
+    // that shared cache is what pins a single sampled partitioning for
+    // base/local alignment. Two InMemoryTableScans = both substituted;
+    // rangepartitioning lines beyond those are the cache's printed
+    // build lineage, not live exchanges.
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) == 2,
+      s"both prefix-sum consumers must read the persisted ranged frame:\n$plan")
     spark.catalog.clearCache()
   }
 }
