@@ -639,6 +639,35 @@ class StreamsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming packing maintainer through a real foreachBatch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq((1L, "t t t"), (2L, "t t t t t"), (3L, "t t t t"),
+      (4L, "t t"), (5L, "t t t t t t t"))
+    val m = new Streams.PackingMaintainer("doc_id", "text", seqLen = 4,
+      partitions = 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        out ++= m.onBatch(b, id).collect().map(_.toSeq)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(docs.take(2): _*); q.processAllAvailable()
+      input.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Packing.packOffsets(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(out.sortBy(_.head.asInstanceOf[Long]).toSeq == batch,
+      s"stream=$out batch=$batch")
+    assert(m.totalTokens == 21L)
+    spark.catalog.clearCache()
+  }
+
   test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
