@@ -165,10 +165,14 @@ object Packing {
    * everywhere except the final partial sequence, `seq_text` the
    * space-joined tokens).
    *
-   * Scale: after the prefix sum, each document explodes into one row
-   * per sequence it touches (≤ n/seqLen + 1 — output-sized, not
-   * quadratic), and the regroup is ONE corpus-sized exchange keyed by
-   * `seq_id` — the unavoidable write-path shuffle, and the only one.
+   * Scale: the prefix sum runs on the NARROW (id, count) projection —
+   * the internal cache and the range exchange never carry token
+   * arrays — and the arrays join back by id afterwards (one hash
+   * exchange; re-tokenizing the source scan is codegen-cheap, caching
+   * a tokenized 100 TB corpus is not). After that, each document
+   * explodes into one row per sequence it touches (≤ n/seqLen + 1 —
+   * output-sized, not quadratic), and the regroup is ONE corpus-sized
+   * exchange keyed by `seq_id` — the unavoidable write-path shuffle.
    * Per-sequence state is bounded by `seqLen` tokens regardless of
    * document sizes (a 1M-token doc contributes 1-token-to-seqLen
    * slices, never itself), so no group can blow an executor.
@@ -177,12 +181,21 @@ object Packing {
       seqLen: Int, partitions: Int = 64): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val l = seqLen.toLong
-    val toks = docs.select(col(idCol),
-      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("__t"))
-      .withColumn("__n", size(col("__t")).cast("long"))
-    val withSeqs = globalPrefixSum(toks, idCol, "__n", partitions)
+    // counts branch: the allocation-free counting expression — same
+    // whitespace semantics as the array build (blank → 0), no array
+    // materialized just to take its size
+    val offs = globalPrefixSum(
+      docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n")),
+      idCol, "__n", partitions)
+      .select(col(idCol), col("__n"), col("__off"))
+    // join RAW TEXT back (one compact string beats a per-element
+    // string array on the wire) and tokenize ONCE, after the join
+    val withSeqs = docs.select(col(idCol), col(textCol)).join(offs, Seq(idCol))
       .where(col("__n") > 0) // empty docs occupy no tokens in any sequence
-      .select(col("__t"), col("__n"), col("__off"),
+      .select(
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("__t"),
+        col("__n"), col("__off"),
         explode(sequence(expr(s"__off div ${l}L"),
           expr(s"(__off + __n - 1) div ${l}L"))).as("seq_id"))
     val pieces = withSeqs.select(col("seq_id"),
