@@ -31,6 +31,30 @@ import org.apache.spark.sql.SparkSession
   * kills one-off cache/GC/IO spikes that would otherwise read as
   * regressions. Retried names land in the JSON under `retried`. */
 object Bench {
+
+  /** True when `git status --porcelain -z` output shows anything beyond
+    * the bench's own artifact churn. Records are NUL-separated
+    * `XY <path>` (renames/copies emit `XY <new>\0<old>`): parse the
+    * EXACT 2-char status + space prefix and compare the remaining
+    * repo-relative path against the artifact set — suffix matching
+    * excluded any dirty file whose path merely ENDED in an artifact
+    * name (a modified fixtures/bench_out.json, or a name with a space
+    * before it) and stamped the bench clean (round-13 advice). The
+    * caller must pass UNTRIMMED bytes (a leading " M" space is
+    * meaningful). Renames/copies are always dirty — a rename is never
+    * the bench's own artifact churn — which also covers their
+    * prefix-less old-path segment; malformed records read dirty
+    * (conservative). Unit-pinned in BenchDirtySpec. */
+  private[graft] def porcelainDirty(out: String, artifacts: Set[String]): Boolean = {
+    val segs = out.split('\u0000').filter(_.nonEmpty)
+    var inRenameOld = false
+    segs.exists { seg =>
+      if (inRenameOld) { inRenameOld = false; false }
+      else if (seg.length < 4 || seg(2) != ' ') true // malformed => conservative
+      else if (seg(0) == 'R' || seg(0) == 'C') { inRenameOld = true; true }
+      else !artifacts.contains(seg.drop(3))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,16 +101,8 @@ object Bench {
     // this call reads the bytes UNTRIMMED. Renames/copies are always
     // dirty — a rename is never the bench's own artifact churn — which
     // also covers their prefix-less old-path segment.
-    val dirty = gitRaw("status", "--porcelain", "-z").exists { out =>
-      val segs = out.split('\u0000').filter(_.nonEmpty)
-      var inRenameOld = false
-      segs.exists { seg =>
-        if (inRenameOld) { inRenameOld = false; false }
-        else if (seg.length < 4 || seg(2) != ' ') true // malformed ⇒ conservative
-        else if (seg(0) == 'R' || seg(0) == 'C') { inRenameOld = true; true }
-        else !ownArtifacts.contains(seg.drop(3))
-      }
-    }
+    val dirty = gitRaw("status", "--porcelain", "-z")
+      .exists(porcelainDirty(_, ownArtifacts))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")
