@@ -135,6 +135,17 @@ object Queries {
     * inverted-index postings → candidate pairs with intersection counts
     * (DuckDB replica of WordShingles + Dedup.ngramJaccardPairs).
     * `docFilter` (e.g. " WHERE doc_id IN (…)") restricts the doc set. */
+  /** DuckDB expression for the 48-bit integer held in `md5(doc_id)`'s
+    * hex digits [from, from+12) — the x_dsir strpos-digit ladder,
+    * mirroring Spark's `conv(substring(md5(...), from, 12), 16, 10)`.
+    * All terms are exact BIGINT arithmetic (max 15·16¹¹ < 2⁴⁸). */
+  private def md5KeySql(from: Int): String =
+    (0 until 12).map { j =>
+      val pos = from + j
+      val pw = 1L << (4 * (11 - j)) // 16^(11-j)
+      s"(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[$pos:$pos]) - 1) * $pw"
+    }.mkString("(", " + ", ")")
+
   private def jaccardPairsCte(docFilter: String = ""): String =
     s"words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents$docFilter), " +
       // empty/whitespace-only text splits to [''] in DuckDB — map it to NO
@@ -922,6 +933,18 @@ object Queries {
         "CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_seqs, " +
         "CAST(((SUM(n_tokens) + 255) // 256) * 256 - SUM(n_tokens) AS BIGINT) AS pad_tokens, " +
         "CAST(SUM(CASE WHEN o // 256 <> (o + greatest(n_tokens, 1) - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs FROM c"),
+    // transfer-integrity manifest replica: per-shard counts, id range,
+    // two order-independent md5-derived XOR fingerprints, token totals
+    // — every fingerprint from the one hash both engines compute
+    // identically (md5 digit ladder, the x_dsir precedent)
+    "x_shard_manifest" ->
+      (s"WITH k AS (SELECT doc_id % 8 AS shard, doc_id, ${md5KeySql(1)} AS klo, ${md5KeySql(17)} AS khi, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt FROM documents) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id, " +
+        "CAST(bit_xor(CAST(klo AS BIGINT)) AS BIGINT) AS xor_lo, " +
+        "CAST(bit_xor(CAST(khi AS BIGINT)) AS BIGINT) AS xor_hi, " +
+        "CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM k GROUP BY 1 ORDER BY 1"),
     // streamed-packing replica: ordered id-contiguous batches fold to
     // exactly the batch assignment, so the oracle IS the global
     // running sum (same SQL shape as x_pack_offsets)
@@ -2147,6 +2170,12 @@ object ExtensionQueries {
     "x_pack_materialize" -> ((s, dir) =>
       graft.operators.Packing.materializeSequences(docs(s, dir), "doc_id",
         "text", seqLen = 256).orderBy("seq_id")),
+    // transfer-integrity manifest: per-shard order-independent content
+    // fingerprints the receiver of a 100 TB copy recomputes to verify
+    // arrival — one partial-aggregated pass, |shards| rows shuffled
+    "x_shard_manifest" -> ((s, dir) =>
+      graft.operators.Layout.integrityManifest(docs(s, dir), "doc_id",
+        pmod(col("doc_id"), lit(8L)), Some("text")).orderBy("shard")),
     // ingest-time packing SERVED end-to-end: three id-contiguous
     // micro-batches fold through the streaming maintainer (one long of
     // driver state), and the union must equal the terminal batch pack —

@@ -167,4 +167,68 @@ object Layout {
         floor((sum(col(bytesCol)).over(w) - col(bytesCol)) /
           targetBytes.toDouble).cast("long"))
   }
+
+  /**
+   * Transfer-integrity manifest — the validation companion of every
+   * export path ([[zorderWrite]], `Sinks`, the packed-sequence writer):
+   * per shard, an order-independent content fingerprint a receiver
+   * recomputes after copying 100 TB to confirm every row arrived intact.
+   * Output one row per shard, all exact BIGINTs:
+   *
+   *   - `n_rows`, `min_id`, `max_id` — cardinality + key-range bounds;
+   *   - `xor_lo` / `xor_hi` — XOR folds of two independent 48-bit keys
+   *     derived from `md5(id)` (hex digits 1-12 and 17-28). XOR is
+   *     commutative, associative and overflow-free, so the fold is
+   *     row-order-independent, map-side combinable, and NEVER overflows
+   *     under ANSI arithmetic — an additive checksum over 10¹² rows
+   *     would (long SUM throws on overflow in ANSI mode). Two
+   *     independent folds because XOR alone cancels duplicate PAIRS;
+   *     a pair would have to collide in both 48-bit keys AND leave
+   *     n_rows even to slip through;
+   *   - `sum_tokens` — token-count total when `textCol` is given
+   *     (token counts are small; their sum is overflow-safe).
+   *
+   * md5, not xxhash: the two engines' native hash functions differ, so
+   * an oracle-checkable fingerprint must come from the one hash both
+   * compute identically (the x_dsir precedent).
+   *
+   * Scale: one partial-aggregated pass; only |shards| rows cross the
+   * shuffle. Compare sender vs receiver with [[manifestDiff]].
+   */
+  def integrityManifest(df: DataFrame, idCol: String, shardCol: Column,
+      textCol: Option[String] = None): DataFrame = {
+    def key(from: Int): Column =
+      conv(substring(md5(col(idCol).cast("string")), from, 12), 16, 10)
+        .cast("long")
+    df.select(shardCol.as("shard"), col(idCol).as("__id"),
+      key(1).as("__klo"), key(17).as("__khi"),
+      textCol.map(t => TextAnalysis.tokenCount(col(t)).cast("long"))
+        .getOrElse(lit(0L)).as("__nt"))
+      .groupBy("shard")
+      .agg(count(lit(1L)).as("n_rows"),
+        min("__id").as("min_id"), max("__id").as("max_id"),
+        expr("bit_xor(__klo)").as("xor_lo"),
+        expr("bit_xor(__khi)").as("xor_hi"),
+        sum("__nt").as("sum_tokens"))
+  }
+
+  /**
+   * Shards whose manifests disagree between a sender (`a`) and a
+   * receiver (`b`): full-outer join on the shard key, keep rows where
+   * any field differs or a side is missing entirely. Empty result =
+   * transfer verified. Output: (shard, present_a, present_b,
+   * n_rows_a, n_rows_b) — booleans + BIGINTs, metadata-sized.
+   */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val fields = Seq("n_rows", "min_id", "max_id", "xor_lo", "xor_hi", "sum_tokens")
+    val l = fields.foldLeft(a)((d, f) => d.withColumnRenamed(f, s"${f}_a"))
+    val r = fields.foldLeft(b)((d, f) => d.withColumnRenamed(f, s"${f}_b"))
+    l.join(r, Seq("shard"), "full_outer")
+      .where(fields.map(f => !(col(s"${f}_a") <=> col(s"${f}_b")))
+        .reduce(_ || _))
+      .select(col("shard"),
+        col("n_rows_a").isNotNull.as("present_a"),
+        col("n_rows_b").isNotNull.as("present_b"),
+        col("n_rows_a"), col("n_rows_b"))
+  }
 }

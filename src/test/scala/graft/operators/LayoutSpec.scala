@@ -171,4 +171,64 @@ class LayoutSpec extends SparkSpec {
     assert(bins.find(_._1 == 0L).get._3 == 1L)
     bins.filter(_._1 != 0L).foreach { case (_, b, _) => assert(b <= 170L, b.toString) }
   }
+
+  private def md5Key(id: Long, from: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(from - 1, from - 1 + 12), 16)
+  }
+
+  test("integrityManifest: exact fields against hand-computed md5 keys") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (9L, ""), (10L, "x"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Layout
+      .integrityManifest(docs, "doc_id", pmod($"doc_id", lit(8L)), Some("text"))
+      .orderBy("shard").collect()
+    // shards: 1 -> {1, 9}, 2 -> {2, 10}
+    assert(m.map(_.getAs[Long]("shard")).toSeq == Seq(1L, 2L))
+    val s1 = m(0)
+    assert(s1.getAs[Long]("n_rows") == 2L && s1.getAs[Long]("min_id") == 1L &&
+      s1.getAs[Long]("max_id") == 9L && s1.getAs[Long]("sum_tokens") == 3L)
+    assert(s1.getAs[Long]("xor_lo") == (md5Key(1L, 1) ^ md5Key(9L, 1)))
+    assert(s1.getAs[Long]("xor_hi") == (md5Key(1L, 17) ^ md5Key(9L, 17)))
+    val s2 = m(1)
+    assert(s2.getAs[Long]("n_rows") == 2L && s2.getAs[Long]("sum_tokens") == 3L)
+    assert(s2.getAs[Long]("xor_lo") == (md5Key(2L, 1) ^ md5Key(10L, 1)))
+  }
+
+  test("integrityManifest is row-order and partitioning independent") {
+    val docs = (1L to 100L).map(i => (i, s"w$i w${i * 7}")).toDF("doc_id", "text")
+    val a = graft.operators.Layout
+      .integrityManifest(docs.repartition(7), "doc_id", pmod($"doc_id", lit(4L)), Some("text"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    val b = graft.operators.Layout
+      .integrityManifest(docs.orderBy($"doc_id".desc).coalesce(1), "doc_id",
+        pmod($"doc_id", lit(4L)), Some("text"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("manifestDiff: verified transfer is empty; loss, corruption, missing shard flagged") {
+    val docs = (1L to 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def mf(d: org.apache.spark.sql.DataFrame) = graft.operators.Layout
+      .integrityManifest(d, "doc_id", pmod($"doc_id", lit(4L)), Some("text"))
+    assert(graft.operators.Layout.manifestDiff(mf(docs), mf(docs)).count() == 0L)
+    // one lost row: only its shard flagged, via n_rows
+    val lost = graft.operators.Layout
+      .manifestDiff(mf(docs), mf(docs.where($"doc_id" =!= 6L))).collect()
+    assert(lost.map(_.getAs[Long]("shard")).toSeq == Seq(2L))
+    assert(lost(0).getAs[Long]("n_rows_a") == 10L && lost(0).getAs[Long]("n_rows_b") == 9L)
+    // one corrupted id (same count): caught by the xor fingerprints
+    val corrupt = docs.withColumn("doc_id",
+      when($"doc_id" === 6L, 46L).otherwise($"doc_id"))
+    val cd = graft.operators.Layout.manifestDiff(mf(docs), mf(corrupt)).collect()
+    assert(cd.map(_.getAs[Long]("shard")).toSeq == Seq(2L))
+    assert(cd(0).getAs[Long]("n_rows_a") == cd(0).getAs[Long]("n_rows_b"))
+    // a receiver missing a whole shard
+    val missing = graft.operators.Layout
+      .manifestDiff(mf(docs), mf(docs.where(pmod($"doc_id", lit(4L)) =!= 3L))).collect()
+    assert(missing.map(_.getAs[Long]("shard")).toSeq == Seq(3L))
+    assert(!missing(0).getAs[Boolean]("present_b"))
+  }
 }
