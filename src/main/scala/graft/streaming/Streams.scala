@@ -916,6 +916,50 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming integrity ledger: fold each micro-batch's
+   * [[graft.operators.Layout.integrityManifest]] into driver state so
+   * an ingest pipeline always has the current per-shard fingerprint of
+   * everything landed — the sender-side half of transfer validation,
+   * maintained as data arrives instead of recomputed over the corpus.
+   * Every field is commutative/associative (count and token sums, min/
+   * max, XOR folds), so the fold EQUALS the batch manifest over
+   * everything seen under ANY batch split or arrival order (pinned in
+   * StreamsSpec) — no ordered-arrival caveat needed. State: |shards|
+   * rows of six longs.
+   */
+  final class ManifestMaintainer(idCol: String, textCol: Option[String] = None) {
+    private val state = scala.collection.mutable.HashMap
+      .empty[Long, (Long, Long, Long, Long, Long, Long)]
+    /** `foreachBatch` handler: fold one micro-batch's manifest. The
+      * per-batch frame is |shards|-sized — only it crosses the driver. */
+    def onBatch(batch: DataFrame, shardCol: Column, batchId: Long): Unit =
+      synchronized {
+        graft.operators.Layout.integrityManifest(batch, idCol, shardCol, textCol)
+          .collect().foreach { r =>
+            val k = r.getAs[Long]("shard")
+            val add = (r.getAs[Long]("n_rows"), r.getAs[Long]("min_id"),
+              r.getAs[Long]("max_id"), r.getAs[Long]("xor_lo"),
+              r.getAs[Long]("xor_hi"), r.getAs[Long]("sum_tokens"))
+            state.update(k, state.get(k) match {
+              case None => add
+              case Some((n, mn, mx, xl, xh, nt)) =>
+                (n + add._1, math.min(mn, add._2), math.max(mx, add._3),
+                  xl ^ add._4, xh ^ add._5, nt + add._6)
+            })
+          }
+      }
+    /** The manifest of everything folded so far — same schema and
+      * values as the batch operator over the same rows. */
+    def current(spark: SparkSession): DataFrame = synchronized {
+      import spark.implicits._
+      state.toSeq.map { case (s, (n, mn, mx, xl, xh, nt)) =>
+        (s, n, mn, mx, xl, xh, nt) }
+        .toDF("shard", "n_rows", "min_id", "max_id", "xor_lo", "xor_hi",
+          "sum_tokens")
+    }
+  }
+
   /** Stream → parquet sink with checkpointing (exactly-once file sink). */
   def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -668,6 +668,25 @@ class StreamsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming manifest maintainer: any batch split folds to the batch manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = (1L to 60L).map(i => (i, s"w$i w${i * 3} w${i * 7}"))
+      .toDF("doc_id", "text")
+    val shard = pmod(col("doc_id"), lit(4L))
+    val batch = graft.operators.Layout
+      .integrityManifest(docs, "doc_id", shard, Some("text"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    // UNORDERED, uneven split — every manifest field is commutative/
+    // associative, so no ordered-arrival caveat applies
+    val m = new Streams.ManifestMaintainer("doc_id", Some("text"))
+    m.onBatch(docs.where(col("doc_id") % 3 === 1), shard, 0L)
+    m.onBatch(docs.where(col("doc_id") % 3 === 2), shard, 1L)
+    m.onBatch(docs.where(col("doc_id") % 3 === 0), shard, 2L)
+    val folded = m.current(spark).orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(folded == batch, s"fold=$folded batch=$batch")
+  }
+
   test("streaming DSIR maintainer: folded model scores equal the batch fit exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
