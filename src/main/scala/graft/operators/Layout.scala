@@ -212,6 +212,50 @@ object Layout {
         sum("__nt").as("sum_tokens"))
   }
 
+  /** Hadoop `Configuration` is not `Serializable`; Spark's own shim is
+    * `private[spark]`, so [[footerRowCounts]] carries this minimal one
+    * (write/readFields round-trip) to the executors. */
+  private class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      conf.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /**
+   * Per-file row counts from parquet FOOTERS only — the metadata-only
+   * first-line receiver check of a transfer: row counts come from each
+   * file's footer (a few KB read per file), so a 100 TB directory
+   * validates its cardinality without scanning a single data byte.
+   * When counts disagree, [[integrityManifest]]/[[manifestDiff]] is the
+   * content-level second line. Footer reads are DISTRIBUTED (one task
+   * per batch of files — at 1M files the driver holds only the path
+   * list, which Spark's own file index holds for any read anyway);
+   * imperative parquet-API access is exactly the per-partition
+   * I/O-bound work `parallelize` exists for. Output: (file, n_rows).
+   */
+  def footerRowCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf.conf)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), hconf.conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (p, r.getRecordCount) finally r.close()
+      }.toDF("file", "n_rows")
+  }
+
   /**
    * Shards whose manifests disagree between a sender (`a`) and a
    * receiver (`b`): full-outer join on the shard key, keep rows where

@@ -231,4 +231,19 @@ class LayoutSpec extends SparkSpec {
     assert(missing.map(_.getAs[Long]("shard")).toSeq == Seq(3L))
     assert(!missing(0).getAs[Boolean]("present_b"))
   }
+
+  test("footerRowCounts: cardinality from footers matches the data and the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("footer_counts").toString
+    val docs = (1L to 123L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val counts = graft.operators.Layout.footerRowCounts(spark, dir).collect()
+    assert(counts.length == 3)
+    assert(counts.map(_.getAs[Long]("n_rows")).sum == 123L)
+    assert(counts.forall(_.getAs[String]("file").endsWith(".parquet")))
+    // agrees with the content-level manifest's total
+    val manifestTotal = graft.operators.Layout
+      .integrityManifest(spark.read.parquet(dir), "doc_id", lit(0L))
+      .collect().map(_.getAs[Long]("n_rows")).sum
+    assert(manifestTotal == 123L)
+  }
 }
