@@ -243,9 +243,16 @@ object Layout {
     val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf.conf)
-    val files = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted.toSeq
+    // recursive: partitioned layouts (writeDatePartitioned, zorderWrite
+    // under partition dirs) keep their files in subdirectories
+    val it = fs.listFiles(root, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        buf += s.getPath.toString
+    }
+    val files = buf.result().sorted
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { p =>

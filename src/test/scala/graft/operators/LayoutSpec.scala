@@ -245,5 +245,11 @@ class LayoutSpec extends SparkSpec {
       .integrityManifest(spark.read.parquet(dir), "doc_id", lit(0L))
       .collect().map(_.getAs[Long]("n_rows")).sum
     assert(manifestTotal == 123L)
+    // partitioned layout: files live in subdirectories -> recursive list
+    val pdir = java.nio.file.Files.createTempDirectory("footer_part").toString
+    docs.withColumn("part", pmod($"doc_id", lit(2L)))
+      .write.partitionBy("part").mode("overwrite").parquet(pdir)
+    val pcounts = graft.operators.Layout.footerRowCounts(spark, pdir).collect()
+    assert(pcounts.map(_.getAs[Long]("n_rows")).sum == 123L)
   }
 }
