@@ -396,6 +396,32 @@ object Queries {
         "CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS BIGINT) AS exposed_rows, " +
         "ROUND(CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS DOUBLE) / SUM(class_size), 6) AS exposed_rate, " +
         "MIN(class_size) >= 8 AS pass FROM k"),
+    // t-closeness replica: exact-integer TVD numerator per class —
+    // Σ_v |c_gv·N − c_v·n_g| with the absent-value tail folded in as
+    // n_g·(N − Σ_present c_v); gate by cross-multiplied integers
+    // (t = 1/10), so the hashed surface is BIGINT/BOOLEAN only
+    "x_t_closeness" ->
+      ("WITH b AS (SELECT c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS v FROM customer), " +
+        "cgv AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c_gv FROM b GROUP BY 1, 2, 3), " +
+        "cg AS (SELECT *, SUM(c_gv) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_g FROM cgv), " +
+        "g AS (SELECT v, COUNT(*) AS c_v FROM b GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n FROM b), " +
+        "j AS (SELECT cg.*, g.c_v, t.n FROM cg JOIN g ON cg.v IS NOT DISTINCT FROM g.v CROSS JOIN tot t), " +
+        "per AS (SELECT c_nationkey, c_mktsegment, MAX(n_g) AS n_g, MAX(n) AS n, " +
+        "SUM(ABS(c_gv * n - c_v * n_g)) AS a, SUM(c_v) AS cpres FROM j GROUP BY 1, 2) " +
+        "SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS class_size, " +
+        "CAST(a + n_g * (n - cpres) AS BIGINT) AS tvd_num, " +
+        "(a + n_g * (n - cpres)) * 10 > 2 * n_g * n AS violating " +
+        "FROM per ORDER BY c_nationkey, c_mktsegment"),
+    // stream-stream interval join replica: the batch interval join —
+    // inner-join emission makes the bounded streaming replay equal it
+    "x_stream_join" ->
+      ("SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id, " +
+        "CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS lag_us " +
+        "FROM events v JOIN events p ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY view_id, buy_id"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
     "x_triangles" ->
@@ -1958,6 +1984,18 @@ object ExtensionQueries {
       graft.operators.Governance.kAnonymityStats(
         kept, Seq("c_nationkey", "c_mktsegment"), k = 8)
     }),
+    // t-closeness over the same classes: exact-integer TVD between
+    // each class's banded-balance distribution and the global one
+    // (skewness-attack audit; t = 1/10 compared cross-multiplied, so
+    // no doubles reach the hashed surface)
+    "x_t_closeness" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val c = s.table("customer").select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+      graft.operators.Governance.tClosenessStats(
+        c, Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 1, tDen = 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
     // exact triangle census over a deterministic synthetic graph
     // derived from doc ids (the host graph is bipartite — no
     // triangles); the ORACLE counts triangles by independent
@@ -2842,6 +2880,39 @@ object ExtensionQueries {
       graft.operators.RangeJoin.pointInInterval(points, intervals, "c_acctbal", "lo", "hi")
         .select(col("c_custkey"), col("s_suppkey"))
         .orderBy("c_custkey", "s_suppkey").limit(100)
+    }),
+    // --- stream-stream interval join: two LIVE MemoryStreams joined
+    // with watermarked state (Streams.intervalJoinStream), the whole
+    // streaming query run to completion inside the row — oracled
+    // end-to-end against DuckDB's batch interval join (inner-join
+    // emission makes the bounded replay equal the batch answer)
+    "x_stream_join" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.table("events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      val vs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val ps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      vs.addData(ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).toSeq: _*)
+      ps.addData(ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).toSeq: _*)
+      val joined = graft.streaming.Streams.intervalJoinStream(
+        vs.toDF().toDF("view_id", "user_id", "v_ts"),
+        ps.toDF().toDF("buy_id", "user_id", "b_ts"),
+        "user_id", "v_ts", "b_ts", horizon = "30 minutes")
+      s.catalog.dropTempView("x_stream_join_sink")
+      val q = joined.writeStream.format("memory").queryName("x_stream_join_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("x_stream_join_sink")
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .orderBy("view_id", "buy_id")
     }),
     // --- sessionization (session_window; oracled via DuckDB gaps-and-islands) ---
     "x_events_sessions" -> ((s, dir) => {

@@ -68,6 +68,73 @@ object Governance {
         countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
       .where(col("distinct_sensitive") < l)
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
+   * privacy beyond k-anonymity and l-diversity", ICDE 2007): a class
+   * is t-close when the distance between its sensitive-value
+   * distribution and the GLOBAL distribution is at most t — the
+   * skewness/similarity attacks l-diversity misses. For a categorical
+   * sensitive attribute the distance is total variation:
+   * TVD_g = (1/2) * Σ_v |c_gv/n_g − c_v/N|.
+   *
+   * EXACT INTEGER arithmetic (round-13 rule: no doubles on a hashed
+   * surface): multiplying through by n_g*N,
+   *   TVD_g = Σ_v |c_gv*N − c_v*n_g| / (2*n_g*N)
+   * and the absent-value tail (v in the global domain but not the
+   * class, where c_gv = 0) telescopes to n_g*(N − Σ_present c_v) — so
+   * NO class×domain cross join is needed: one pass over the observed
+   * (class, value) cells joined to the |domain|-sized global counts.
+   * The report carries the integer numerator `tvd_num` (class size and
+   * N reconstruct the denominator 2*n_g*N) and the gate compares
+   * cross-multiplied integers: violating ⇔ tvd_num*tDen > 2*n_g*N*tNum.
+   *
+   * Scale: the first aggregation is the only |rows|-sized pass; the
+   * (class × observed-value) frame and the global-domain frame are
+   * aggregate-sized, and the domain/total joins broadcast (explicit
+   * hint — a sensitive attribute's domain is small by definition,
+   * else t-closeness over it is meaningless). NULL sensitive values
+   * form their own category (GROUP BY groups nulls identically in
+   * Spark and the oracle), unlike l-diversity where NULL carries no
+   * disclosure — here the FREQUENCY of null itself can skew. */
+  def tClosenessStats(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0, "threshold t must be a positive fraction")
+    val qc = quasiCols.map(col)
+    // per-(class, value) cells — the single corpus-sized aggregation
+    val cells = df.groupBy(qc :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1L)).as("__c_gv"))
+    // global per-value counts and the corpus total (domain-sized)
+    val global = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1L)).as("__c_v"))
+    val total = df.agg(count(lit(1L)).as("__n"))
+    // class sizes via a window over the aggregate-sized cells frame
+    // (partitioned by the quasi key — never a single-partition window).
+    // NULL-SAFE join: a NULL sensitive category is a real cell on both
+    // frames, and a plain equi-join would silently drop it (and its
+    // count from n_g) — the oracle mirrors with IS NOT DISTINCT FROM.
+    val ng = org.apache.spark.sql.expressions.Window.partitionBy(qc: _*)
+    val joined = cells
+      .join(broadcast(global.withColumnRenamed("__v", "__gv")),
+        col("__v") <=> col("__gv"))
+      .drop("__gv")
+      .crossJoin(broadcast(total))
+      .withColumn("__n_g", sum(col("__c_gv")).over(ng))
+    joined.groupBy(qc: _*)
+      .agg(
+        max(col("__n_g")).as("class_size"),
+        max(col("__n")).as("__n"),
+        // present-value term of the numerator
+        sum(abs(col("__c_gv") * col("__n") - col("__c_v") * col("__n_g")))
+          .as("__a"),
+        sum(col("__c_v")).as("__cpres"))
+      .select(qc ++ Seq(
+        col("class_size"),
+        (col("__a") + col("class_size") * (col("__n") - col("__cpres")))
+          .as("tvd_num"),
+        ((col("__a") + col("class_size") * (col("__n") - col("__cpres")))
+          * tDen > lit(2L) * col("class_size") * col("__n") * tNum)
+          .as("violating")): _*)
+  }
+
   /** Suppression remediation: drop every row belonging to a class
    * smaller than `k`. The surviving frame is k-anonymous over
    * `quasiCols` by construction. Left-anti join on the quasi key —

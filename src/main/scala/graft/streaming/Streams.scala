@@ -132,6 +132,48 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Watermarked STREAM-STREAM interval join — two live event streams
+   * joined on an equi-key plus an event-time range (the attribution
+   * shape: every right-side event within `horizon` AFTER its matching
+   * left-side event). This is the one join family Structured Streaming
+   * treats specially: both sides buffer state, and the time-range
+   * conjunct is what lets the engine EVICT it — left rows older than
+   * `watermark + horizon` and right rows older than `watermark` can
+   * never match again and are dropped from the state store. Without
+   * the range conjunct both states grow forever; with it, state is
+   * bounded by (ingest rate × horizon) per side regardless of total
+   * stream length — the only viable shape at 100 TB/day.
+   *
+   * Inputs must not share payload column names (key/ts columns are
+   * renamed internally). Inner join: results are emitted as soon as
+   * both sides arrive, so the output of a bounded replay equals the
+   * batch interval join over the same data (`RangeJoin` is the batch
+   * sibling) — the spec and the `x_stream_join` oracle pin exactly
+   * that equality. `joinType` admits "leftOuter" for the
+   * watermark-driven null-emission variant (unmatched left rows emit
+   * once the watermark passes their join window; spec-only, since
+   * null emission timing depends on watermark advancement).
+   */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      horizon: String = "30 minutes", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    val l = left
+      .withColumnRenamed(keyCol, "__lk")
+      .withWatermark(leftTs, watermark)
+    val r = right
+      .withColumnRenamed(keyCol, "__rk")
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+        col("__lk") === col("__rk") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
+        joinType)
+      .withColumnRenamed("__lk", keyCol)
+      .drop("__rk")
+  }
+
   final case class BucketMember(id: Long, sig: Array[Long])
   final case class BucketState(members: Seq[BucketMember])
   final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)

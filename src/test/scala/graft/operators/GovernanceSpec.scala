@@ -52,6 +52,59 @@ class GovernanceSpec extends SparkSpec {
     assert(audit.getAs[Long]("exposed_rows") === 0L)
   }
 
+  test("tClosenessStats computes the exact integer TVD numerator per class") {
+    // hand computation (N=7; global s1:4, s2:1, s3:1, s9:1):
+    //   (us,a) n_g=4: |2·7−4·4|+|7−4|+|7−4|+|0−4| = 2+3+3+4 = 12
+    //   (us,b) n_g=2: |2·7−4·2|+2+2+2            = 6+6     = 12
+    //   (eu,a) n_g=1: |1·7−1·1|+4+1+1            = 6+6     = 12
+    // gate t=1/2: violating ⇔ num > 7·n_g ⇔ only the singleton class
+    val out = Governance.tClosenessStats(
+      corpus, Seq("region", "segment"), "diagnosis", tNum = 1, tDen = 2)
+      .orderBy("region", "segment").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("class_size"), r.getAs[Long]("tvd_num"),
+      r.getAs[Boolean]("violating"))).toSeq === Seq(
+      ("eu", "a", 1L, 12L, true),
+      ("us", "a", 4L, 12L, false),
+      ("us", "b", 2L, 12L, false)))
+  }
+
+  test("tClosenessStats: classes mirroring the global distribution score zero") {
+    val uniform = Seq(
+      ("us", "x"), ("us", "y"), ("eu", "x"), ("eu", "y")
+    ).toDF("region", "diagnosis")
+    val out = Governance.tClosenessStats(uniform, Seq("region"), "diagnosis", 1, 10)
+      .collect()
+    assert(out.forall(_.getAs[Long]("tvd_num") === 0L))
+    assert(out.forall(!_.getAs[Boolean]("violating")))
+  }
+
+  test("tClosenessStats: NULL sensitive values form their own category") {
+    // (us): {s, null}; (eu): {s, s} — global {s:3, null:1}, N=4, n_g=2
+    //   (us): |1·4−3·2| + |1·4−1·2| = 2+2 = 4
+    //   (eu): |2·4−3·2| + (absent null: 1·2) = 2+2 = 4
+    val withNull = Seq(
+      ("us", "s"), ("us", null.asInstanceOf[String]),
+      ("eu", "s"), ("eu", "s")
+    ).toDF("region", "diagnosis")
+    val out = Governance.tClosenessStats(withNull, Seq("region"), "diagnosis", 1, 2)
+      .orderBy("region").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("tvd_num"))).toSeq ===
+      Seq(("eu", 4L), ("us", 4L)))
+  }
+
+  test("tCloseness plan: domain/total joins broadcast; no UDF; aggregate-sized shuffles only") {
+    val plan = Governance.tClosenessStats(
+      corpus, Seq("region", "segment"), "diagnosis", 1, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // corpus-sized: the (class,value) cells agg; the global agg and the
+    // quasi-key window are aggregate-sized; final groupBy reuses the
+    // window's partitioning — no fourth hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3)
+  }
+
   test("audits lower to one hash aggregation — no extra shuffle, no UDF") {
     val plan = Governance.kAnonymityStats(corpus, Seq("region", "segment"), k = 3)
       .queryExecution.executedPlan.toString

@@ -63,6 +63,69 @@ class StreamsSpec extends SparkSpec {
     assert(u100(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = Seq((1L, 100L, ts(0)), (2L, 100L, ts(40)), (3L, 200L, ts(5)))
+    val buys = Seq((10L, 100L, ts(10)), (11L, 100L, ts(45)), (12L, 200L, ts(50)))
+    val vs = MemoryStream[(Long, Long, Timestamp)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    vs.addData(views: _*)
+    ps.addData(buys: _*)
+    val q = Streams.intervalJoinStream(
+      vs.toDF().toDF("view_id", "user_id", "v_ts"),
+      ps.toDF().toDF("buy_id", "user_id", "b_ts"),
+      "user_id", "v_ts", "b_ts", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_ssjoin").select("view_id", "buy_id")
+      .orderBy("view_id", "buy_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // view1@10:00–buy10@10:10 and view2@10:40–buy11@10:45 match;
+    // view3@10:05 sees buy12@10:50 only, 45min past the horizon
+    assert(streamed.toSeq === Seq((1L, 10L), (2L, 11L)))
+    // the unified API runs the same operator on batch frames
+    // (EliminateEventTimeWatermark drops the no-op watermark)
+    val batch = Streams.intervalJoinStream(
+      views.toDF("view_id", "user_id", "v_ts"),
+      buys.toDF("buy_id", "user_id", "b_ts"),
+      "user_id", "v_ts", "b_ts", horizon = "30 minutes")
+      .select("view_id", "buy_id").orderBy("view_id", "buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("left-outer interval join emits unmatched views once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vs = MemoryStream[(Long, Long, Timestamp)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.intervalJoinStream(
+      vs.toDF().toDF("view_id", "user_id", "v_ts"),
+      ps.toDF().toDF("buy_id", "user_id", "b_ts"),
+      "user_id", "v_ts", "b_ts", horizon = "10 minutes",
+      watermark = "5 minutes", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("t_ssjoin_outer")
+      .outputMode("append").start()
+    vs.addData((1L, 100L, ts(0)), (2L, 200L, ts(0)))
+    ps.addData((10L, 100L, ts(5)))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past view 2's join window so the
+    // no-data batch emits its null row
+    val far = Timestamp.valueOf("2024-01-01 12:00:00")
+    vs.addData((99L, 999L, far))
+    ps.addData((98L, 998L, far))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_ssjoin_outer").where($"view_id" === 2L).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("buy_id")))
+    // the matched row emitted eagerly, not at watermark time
+    val matched = spark.table("t_ssjoin_outer").where($"view_id" === 1L).collect()
+    assert(matched.length === 1 && matched(0).getAs[Long]("buy_id") === 10L)
+  }
+
   test("flatMapGroupsWithState accumulates per-user running state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
