@@ -2904,11 +2904,20 @@ object ExtensionQueries {
         ps.toDF().toDF("buy_id", "user_id", "b_ts"),
         "user_id", "v_ts", "b_ts", horizon = "30 minutes")
       s.catalog.dropTempView("x_stream_join_sink")
-      val q = joined.writeStream.format("memory").queryName("x_stream_join_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
+      // the stream-stream join's cost at this size is state-store
+      // CHECKPOINTING, not compute: each shuffle partition carries four
+      // HDFS-backed stores (2 sides × keyToNumValues/keyWithIndexToValue),
+      // each writing delta files per batch — scope the partition count to
+      // the streaming query (it is captured at query START) and restore
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.format("memory").queryName("x_stream_join_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("x_stream_join_sink")
         .select(col("user_id"), col("view_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
