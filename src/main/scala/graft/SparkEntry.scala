@@ -413,6 +413,25 @@ object Queries {
         "CAST(a + n_g * (n - cpres) AS BIGINT) AS tvd_num, " +
         "(a + n_g * (n - cpres)) * 10 > 2 * n_g * n AS violating " +
         "FROM per ORDER BY c_nationkey, c_mktsegment"),
+    // ordered t-closeness replica: per-class EMD numerator — running
+    // sum of (c_gv·N − c_v·n_g) over the ordered domain grid (the
+    // cumulative telescopes to 0 at v_m, so summing |cum| over the
+    // whole domain equals the i<m definition); gate t = 1/20
+    "x_t_closeness_emd" ->
+      ("WITH b AS (SELECT c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS v FROM customer WHERE c_acctbal IS NOT NULL), " +
+        "cgv AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c_gv FROM b GROUP BY 1, 2, 3), " +
+        "cls AS (SELECT c_nationkey, c_mktsegment, SUM(c_gv) AS n_g FROM cgv GROUP BY 1, 2), " +
+        "g AS (SELECT v, COUNT(*) AS c_v FROM b GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT v) AS m FROM b), " +
+        "grid AS (SELECT cls.*, g.v, g.c_v, t.n, t.m FROM cls CROSS JOIN g CROSS JOIN tot t), " +
+        "d AS (SELECT grid.*, COALESCE(cgv.c_gv, 0) * grid.n - grid.c_v * grid.n_g AS diff " +
+        "FROM grid LEFT JOIN cgv ON grid.c_nationkey = cgv.c_nationkey AND grid.c_mktsegment = cgv.c_mktsegment AND grid.v = cgv.v), " +
+        "c AS (SELECT *, SUM(diff) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM d), " +
+        "per AS (SELECT c_nationkey, c_mktsegment, MAX(n_g) AS n_g, MAX(n) AS n, MAX(m) AS m, SUM(ABS(cum)) AS emd_num FROM c GROUP BY 1, 2) " +
+        "SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS class_size, " +
+        "CAST(emd_num AS BIGINT) AS emd_num, " +
+        "emd_num * 20 > n_g * n * (m - 1) AS violating " +
+        "FROM per ORDER BY c_nationkey, c_mktsegment"),
     // stream-stream interval join replica: the batch interval join —
     // inner-join emission makes the bounded streaming replay equal it
     "x_stream_join" ->
@@ -1994,6 +2013,17 @@ object ExtensionQueries {
         floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
       graft.operators.Governance.tClosenessStats(
         c, Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 1, tDen = 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+    // ordered t-closeness (EMD with unit adjacent-category distance)
+    // over the same classes — the distance that catches mass sitting
+    // FAR from the global distribution along the band axis
+    "x_t_closeness_emd" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val c = s.table("customer").select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+      graft.operators.Governance.tClosenessOrderedStats(
+        c, Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 1, tDen = 20)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
     // exact triangle census over a deterministic synthetic graph

@@ -135,6 +135,69 @@ object Governance {
           .as("violating")): _*)
   }
 
+  /** Ordered t-closeness (the same ICDE 2007 paper's metric for an
+   * ORDERED sensitive attribute): distance is the earth-mover's
+   * distance with unit ground distance between adjacent categories,
+   *   EMD_g = (1/(m−1)) Σ_{i<m} |Σ_{j≤i} (p_g(v_j) − p(v_j))|
+   * — a class whose mass sits FAR from the global mass scores high
+   * even when the supports barely overlap (where TVD saturates).
+   *
+   * Exact integers again: with diff_j = c_gv_j·N − c_v_j·n_g, the
+   * cumulative Σ_{j≤i} diff_j telescopes to 0 at i = m (both sides
+   * total n_g·N), so summing |cum| over the WHOLE domain equals the
+   * i<m sum and EMD_g = emd_num / (n_g·N·(m−1)). Unlike the nominal
+   * variant the cumulative needs the value's POSITION, so absent
+   * cells matter mid-stream: the frame is the |classes|×|domain| grid
+   * — classes-sized times a small constant (an ordered sensitive
+   * domain is small by definition), built from a broadcast cross join,
+   * never |rows|×anything. The per-class running sum is a window over
+   * m rows partitioned by the quasi key.
+   *
+   * NULL sensitive values are EXCLUDED (filtered before counting):
+   * an ordered attribute gives null no position, and Spark and SQL
+   * engines disagree on default NULL sort placement — the nominal
+   * variant is the right tool when null frequency itself matters. */
+  def tClosenessOrderedStats(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0, "threshold t must be a positive fraction")
+    val qc = quasiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+    val cells = base.groupBy(qc :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1L)).as("__c_gv"))
+    val classes = cells.groupBy(qc: _*).agg(sum(col("__c_gv")).as("__n_g"))
+    val domain = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1L)).as("__c_v"))
+    val totals = base.agg(count(lit(1L)).as("__n"),
+      countDistinct(col(sensitiveCol)).as("__m"))
+    val grid = classes
+      .crossJoin(broadcast(domain))
+      .crossJoin(broadcast(totals))
+    val cellsR = cells.select(
+      quasiCols.map(c => col(c).as(s"__cq_$c")) ++
+        Seq(col("__v").as("__cv"), col("__c_gv")): _*)
+    val onGrid = quasiCols.map(c => col(c) <=> col(s"__cq_$c"))
+      .reduce(_ && _) && col("__v") === col("__cv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(cellsR, onGrid, "left")
+      .withColumn("__diff",
+        coalesce(col("__c_gv"), lit(0L)) * col("__n") - col("__c_v") * col("__n_g"))
+      .withColumn("__cum", sum(col("__diff")).over(w))
+      .groupBy(qc: _*)
+      .agg(
+        max(col("__n_g")).as("class_size"),
+        max(col("__n")).as("__n"),
+        max(col("__m")).as("__m"),
+        sum(abs(col("__cum"))).as("emd_num"))
+      .select(qc ++ Seq(
+        col("class_size"),
+        col("emd_num"),
+        (col("emd_num") * tDen >
+          col("class_size") * col("__n") * (col("__m") - 1) * tNum)
+          .as("violating")): _*)
+  }
+
   /** Suppression remediation: drop every row belonging to a class
    * smaller than `k`. The surviving frame is k-anonymous over
    * `quasiCols` by construction. Left-anti join on the quasi key —

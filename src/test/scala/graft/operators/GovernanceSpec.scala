@@ -93,6 +93,41 @@ class GovernanceSpec extends SparkSpec {
       Seq(("eu", 4L), ("us", 4L)))
   }
 
+  test("tClosenessOrderedStats computes the exact integer EMD numerator") {
+    // (us): {1,3}, (eu): {2,2}; global {1:1, 2:2, 3:1}, N=4, m=3
+    //   (us) n_g=2: diffs (2,−4,2) → cums (2,−2,0) → emd_num 4
+    //   (eu) n_g=2: diffs (−2,4,−2) → cums (−2,2,0) → emd_num 4
+    // denominator n_g·N·(m−1) = 16: t=1/5 ⇒ 20>16 violating,
+    // t=1/4 ⇒ 16>16 not
+    val ordered = Seq(
+      ("us", 1L), ("us", 3L), ("eu", 2L), ("eu", 2L)
+    ).toDF("region", "severity")
+    val atFifth = Governance.tClosenessOrderedStats(
+      ordered, Seq("region"), "severity", 1, 5)
+      .orderBy("region").collect()
+    assert(atFifth.map(r => (r.getString(0), r.getAs[Long]("class_size"),
+      r.getAs[Long]("emd_num"), r.getAs[Boolean]("violating"))).toSeq ===
+      Seq(("eu", 2L, 4L, true), ("us", 2L, 4L, true)))
+    val atQuarter = Governance.tClosenessOrderedStats(
+      ordered, Seq("region"), "severity", 1, 4).collect()
+    assert(atQuarter.forall(!_.getAs[Boolean]("violating")))
+  }
+
+  test("tClosenessOrderedStats: mirrored classes score zero; NULLs are excluded") {
+    val uniform = Seq(
+      ("us", 1L), ("us", 2L), ("eu", 1L), ("eu", 2L)
+    ).toDF("region", "severity")
+    val out = Governance.tClosenessOrderedStats(uniform, Seq("region"), "severity", 1, 10)
+      .collect()
+    assert(out.forall(_.getAs[Long]("emd_num") === 0L))
+    // a NULL severity row changes nothing — no position on an ordered axis
+    val withNull = uniform.union(
+      Seq(("us", null.asInstanceOf[java.lang.Long])).toDF("region", "severity"))
+    val out2 = Governance.tClosenessOrderedStats(withNull, Seq("region"), "severity", 1, 10)
+      .orderBy("region").collect().map(r => (r.getString(0), r.getAs[Long]("emd_num"))).toSeq
+    assert(out2 === out.map(r => (r.getString(0), r.getAs[Long]("emd_num"))).toSeq.sorted)
+  }
+
   test("tCloseness plan: domain/total joins broadcast; no UDF; aggregate-sized shuffles only") {
     val plan = Governance.tClosenessStats(
       corpus, Seq("region", "segment"), "diagnosis", 1, 10)
