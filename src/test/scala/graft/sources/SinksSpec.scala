@@ -47,4 +47,27 @@ class SinksSpec extends SparkSpec {
     // pruned scan reads strictly fewer files than the full table
     assert(pruned.count() < orders.count() && pruned.count() > 0)
   }
+
+  test("dynamic partition pruning: a filtered broadcast dim prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val orders = spark.table("orders")
+    Sinks.writeDatePartitioned(orders, dir, "o_orderdate")
+    val fact = spark.read.parquet(dir)
+    // dim must be a FILTERED SCAN (not a local relation) for DPP's
+    // selectivity heuristic to fire: persist the month dimension, read
+    // it back, filter ONE month — the fact's partition set is only
+    // knowable at runtime from the dim's surviving rows
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    fact.select(col("part_date")).distinct()
+      .withColumn("label", date_format(col("part_date"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(dimDir)
+    val picked = spark.read.parquet(dimDir).where(col("label") === "1995-03")
+    val joined = fact.join(broadcast(picked), Seq("part_date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(1500))
+    val expected = fact
+      .where(date_format(col("part_date"), "yyyy-MM") === "1995-03").count()
+    assert(expected > 0 && joined.count() === expected)
+  }
 }

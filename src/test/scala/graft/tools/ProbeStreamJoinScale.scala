@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
 object ProbeStreamJoinScale {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    // arg 2: state store provider — "hdfs" (default) or "rocksdb" (the
+    // production choice for large state: changelog-checkpointed native
+    // store instead of rewriting the whole map as a delta file)
+    val provider =
+      if (args.length > 1 && args(1) == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val users = 100000L
     val spanSec = 30L * 86400
     val chunks = 8
@@ -31,8 +38,10 @@ object ProbeStreamJoinScale {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    println(s"PROBE provider=${provider.split('.').last}")
     spark.sparkContext.setLogLevel("ERROR")
 
     // deterministic, time-ORDERED synthetic streams (ts monotone in id)
