@@ -106,6 +106,41 @@ object Queries {
     // the key tiebreak; LAST_VALUE needs the full-frame extension)
     "d39_first_last" ->
       "SELECT o_custkey, o_orderkey, FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price, LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200",
+    // --- TPC-H-shaped classics (round 14) — the canonical OLAP
+    // shapes, run VERBATIM through the full safety path in both
+    // engines (dates adapted to the fixture's 1995-2001 range;
+    // o_orderpriority stands in for the fixture-absent
+    // o_shippriority). Q1: one wide scan-aggregate; Q3: selective
+    // 3-way join + grouped top-k by revenue; Q5: 6-table snowflake
+    // with the nation-colocation conjunct ---
+    "d40_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price, " +
+        "ROUND(AVG(l_discount), 4) AS avg_disc, CAST(COUNT(*) AS BIGINT) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "d41_tpch_q3" ->
+      ("SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_odate, o_orderpriority " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "d42_tpch_q5" ->
+      ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY n_name LIMIT 100"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",

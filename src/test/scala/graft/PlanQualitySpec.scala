@@ -34,6 +34,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p8.contains("SortMergeJoin"), "dim chain must not sort-merge")
   }
 
+  test("TPC-H shapes: Q1 partial-aggregates one scan; Q3/Q5 broadcast dims, never cartesian (d40-d42)") {
+    val p1 = plan("d40_tpch_q1")
+    assert(p1.contains("partial_"), "Q1 must map-side combine")
+    assert(!p1.contains("Join"), "Q1 is a single-table scan-aggregate")
+    // at fixture scale AQE broadcasts every join side (q3: 4 BHJ,
+    // q5: 10 incl. reused exchanges, 0 SMJ); at real scale the
+    // lineitem-orders spine would sort-merge — the pin is only
+    // "dims broadcast, nothing degenerates to all-pairs"
+    Seq(plan("d41_tpch_q3"), plan("d42_tpch_q5")).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("BroadcastHashJoin"), "dimension sides must broadcast")
+    }
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort (d15, d03)") {
     assert(plan("d15_topn").contains("TakeOrderedAndProject"))
     assert(plan("d03_filter_and").contains("TakeOrderedAndProject"))
