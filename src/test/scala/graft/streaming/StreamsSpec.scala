@@ -126,6 +126,86 @@ class StreamsSpec extends SparkSpec {
     assert(matched.length === 1 && matched(0).getAs[Long]("buy_id") === 10L)
   }
 
+  test("transformWithState running totals: two-batch fold equals the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = Streams.runningTotalsStream(input.toDS())
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      input.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      input.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      // update mode emits one row per user per batch; totals are
+      // monotone (positive values), so max() picks the final state
+      val streamed = spark.table("t_tws").groupBy("user_id")
+        .agg(max("events").as("events"), max("total_value").as("total_value"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val batch = sample.toDS().groupBy($"user_id")
+        .agg(count(lit(1)).as("events"), sum($"value").as("total_value"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("transformWithState TTL: idle state vanishes without timer bookkeeping") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ProcessingTime mode keeps scheduling batches (TTL sweep), so
+      // processAllAvailable never sees the engine idle — run two
+      // AvailableNow queries over ONE checkpoint instead: state (and
+      // its TTL clock) persists across the restart
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_ttl").toString
+      val input = MemoryStream[Event]
+      val got = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      def runOnce(): Unit = {
+        // foreachBatch sink: the memory sink cannot RECOVER from a
+        // checkpoint, and restart is exactly what this test exercises
+        val q = Streams.runningTotalsStream(input.toDS(),
+            ttl = java.time.Duration.ofMillis(1))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserTotal], _: Long) =>
+            got.synchronized {
+              got ++= b.collect().map(t => (t.events, t.total_value))
+            }; ()
+          }
+          .start()
+        q.awaitTermination(120000); q.stop()
+      }
+      input.addData(Event(1, ts(0), 100, "click", 1.0))
+      runOnce()
+      assert(got.toSeq === Seq((1L, 1.0)))
+      Thread.sleep(300) // processing-time TTL of 1ms is long expired
+      input.addData(Event(2, ts(1), 100, "click", 2.0))
+      runOnce() // same checkpoint: state (and its TTL clock) persists
+      // the restarted query read batch 2 against EXPIRED state:
+      // (1, 2.0), not the accumulated (2, 3.0)
+      assert(got.toSeq === Seq((1L, 1.0), (1L, 2.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState accumulates per-user running state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
