@@ -476,6 +476,12 @@ object Queries {
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
         "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, buy_id"),
+    // transformWithState totals replica: the single-batch update-mode
+    // emission is exactly the final per-user state = the batch GROUP BY
+    "x_tws_totals" ->
+      ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS events, " +
+        "ROUND(SUM(value), 2) AS total_value FROM events " +
+        "GROUP BY user_id ORDER BY user_id"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
     "x_triangles" ->
@@ -2987,6 +2993,47 @@ object ExtensionQueries {
         .select(col("user_id"), col("view_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
         .orderBy("view_id", "buy_id")
+    }),
+    // transformWithState end-to-end: the Spark-4 typed-state processor
+    // (RunningTotalProcessor) folds per-user totals inside a REAL
+    // streaming query (RocksDB store — the API requires it — scoped to
+    // the query and restored); single AvailableNow batch in update
+    // mode emits exactly the final per-user state, oracled against the
+    // batch GROUP BY
+    "x_tws_totals" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.table("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streams.Event]
+      in.addData(ev.toSeq: _*)
+      s.catalog.dropTempView("x_tws_totals_sink")
+      val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.runningTotalsStream(in.toDS())
+          .writeStream.format("memory").queryName("x_tws_totals_sink")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally {
+        prevProv match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table("x_tws_totals_sink")
+        .select(col("user_id"), col("events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
     }),
     // --- sessionization (session_window; oracled via DuckDB gaps-and-islands) ---
     "x_events_sessions" -> ((s, dir) => {
