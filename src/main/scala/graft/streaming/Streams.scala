@@ -150,6 +150,81 @@ object Streams {
     }
   }
 
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      session_value: Double, start_ms: Long, end_ms: Long)
+
+  /**
+   * Event-time sessionization on `transformWithState` with TIMERS —
+   * the full arbitrary-state surface: `ValueState` holds the open
+   * session, in-batch gap SPLITS emit closed sessions synchronously
+   * (rows inside a micro-batch are unordered, so they are sorted and
+   * walked), and the trailing session is closed asynchronously by an
+   * event-time timer registered at `lastSeen + gap` — it fires when
+   * the WATERMARK passes that instant, i.e. exactly when no
+   * in-order event can extend the session any more. `session_window`
+   * (see `sessionize`) is the declarative sibling; this processor is
+   * the shape to reach for when per-session logic outgrows an
+   * aggregation (e.g. emitting mid-session milestones or consulting
+   * other state variables).
+   *
+   * Timer hygiene: one live timer per key — re-registration deletes
+   * the stale timer first (`listTimers`), since the engine keys timers
+   * by (key, timestamp) and would otherwise fire BOTH; a stale fire
+   * would close a session the next batch already extended.
+   */
+  class EventTimeSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSummary] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    // (n_events, sum_value, start_ms, last_ms) of the open session
+    @transient private var open: ss.ValueState[(Long, Double, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Double, Long, Long)]("open",
+        Encoders.product[(Long, Double, Long, Long)], ss.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: ss.TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some((n, s, st, last)) if t - last > gapMs =>
+            closed += SessionSummary(key, n, s, st, last)
+            cur = Some((1L, e.value, t, t))
+          case Some((n, s, st, last)) =>
+            cur = Some((n + 1, s + e.value, st, math.max(last, t)))
+          case None =>
+            cur = Some((1L, e.value, t, t))
+        }
+      }
+      cur.foreach { c =>
+        open.update(c)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(c._4 + gapMs)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: ss.TimerValues,
+        expiredTimerInfo: ss.ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (open.exists()) {
+        val (n, s, st, last) = open.get()
+        open.clear()
+        Iterator.single(SessionSummary(key, n, s, st, last))
+      } else Iterator.empty
+  }
+
+  /** `transformWithState` sessionizer wrapper (event-time mode; input
+    * gets the watermark the timers are clocked by). RocksDB-only. */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** `transformWithState` wrapper: one updated `UserTotal` row per
     * user per micro-batch (Update mode). Callers must run with the
     * RocksDB state store provider. */

@@ -206,6 +206,56 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: in-batch gap splits emit now, the tail closes on the timer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the tail-close fires in the trailing NO-DATA batch (timers expire
+    // against the watermark advanced by the previous batch) — make sure
+    // the userActivity quirk-guard hasn't disabled no-data batches
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      val input = MemoryStream[Event]
+      val q = Streams.sessionizeTws(input.toDS(), gapMs = 10L * 60 * 1000,
+          lateness = "10 seconds")
+        .writeStream.format("memory").queryName("t_tws_sess")
+        .outputMode("append").start()
+      // user 100: minutes 0,1 then 31 — the 30min hop splits IN-batch;
+      // user 200: minute 2 — stays open until the watermark passes
+      input.addData(
+        Event(1, ts(0), 100, "click", 1.0), Event(2, ts(1), 100, "click", 2.0),
+        Event(3, ts(31), 100, "click", 4.0), Event(4, ts(2), 200, "view", 3.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("t_tws_sess")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value"))).toSet
+      // the split session emitted synchronously; user 200's tail ALSO
+      // closed already — batch 1's own watermark (minute 31 − 10s)
+      // passed its 10:12 timer, and the trailing no-data batch fired
+      // it. Only user 100's tail (timer 10:41) is still open.
+      assert(afterBatch1 === Set((100L, 2L, 3.0), (200L, 1L, 3.0)))
+      // watermark jump: a far-future event closes both open sessions
+      input.addData(Event(9, Timestamp.valueOf("2024-01-01 13:00:00"), 300, "click", 9.0))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("t_tws_sess")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"))).toSet
+      assert(all === Set(
+        (100L, 2L, 3.0, ts(0).getTime, ts(1).getTime),
+        (100L, 1L, 4.0, ts(31).getTime, ts(31).getTime),
+        (200L, 1L, 3.0, ts(2).getTime, ts(2).getTime)))
+      // user 300's session is still open — not emitted
+      assert(!all.exists(_._1 == 300L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState accumulates per-user running state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
