@@ -2962,6 +2962,7 @@ object ExtensionQueries {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ev = s.table("events")
+        .where(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         .as[(Long, Long, java.sql.Timestamp, String)].collect()
       val vs = org.apache.spark.sql.execution.streaming.runtime

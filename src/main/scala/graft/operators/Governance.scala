@@ -91,7 +91,11 @@ object Governance {
    * (class × observed-value) frame and the global-domain frame are
    * aggregate-sized, and the domain/total joins broadcast (explicit
    * hint — a sensitive attribute's domain is small by definition,
-   * else t-closeness over it is meaningless). NULL sensitive values
+   * else t-closeness over it is meaningless). Exactness bound: the
+   * largest integer term is c_v·n_g ≤ N², so the arithmetic is exact
+   * while N < ~3·10^9 rows per audit scope — beyond that, audit per
+   * shard/snapshot (which a 100 TB release gate does anyway) or widen
+   * to DecimalType. NULL sensitive values
    * form their own category (GROUP BY groups nulls identically in
    * Spark and the oracle), unlike l-diversity where NULL carries no
    * disclosure — here the FREQUENCY of null itself can skew. */
@@ -151,7 +155,9 @@ object Governance {
    * — classes-sized times a small constant (an ordered sensitive
    * domain is small by definition), built from a broadcast cross join,
    * never |rows|×anything. The per-class running sum is a window over
-   * m rows partitioned by the quasi key.
+   * m rows partitioned by the quasi key. Same exactness bound as the
+   * nominal variant: |cum| ≤ n_g·N ≤ N², exact while N < ~3·10^9 rows
+   * per audit scope.
    *
    * NULL sensitive values are EXCLUDED (filtered before counting):
    * an ordered attribute gives null no position, and Spark and SQL
