@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, LogicalPlan}
 
 /**
  * Session-level read-only guardrail (defense in depth under
@@ -20,7 +20,13 @@ class ReadOnlyGuard(session: SparkSession) extends (LogicalPlan => Unit) {
       try session.conf.get("spark.graft.readOnly", "false") == "true"
       catch { case _: Exception => false }
     if (readOnly) {
-      val offending = plan.collectFirst { case c: Command => c }
+      // InsertIntoDir is a filesystem write that is NOT a Command
+      // (the Validator denylist and this guard both carry the case —
+      // round-14 adversarial wave)
+      val offending = plan.collectFirst {
+        case c: Command => c
+        case d: InsertIntoDir => d
+      }
       offending.foreach { c =>
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3100",

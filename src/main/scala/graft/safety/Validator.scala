@@ -87,6 +87,12 @@ object Validator {
         // denylist must not depend on that staying true)
         val bad = withCteDefs(plan).flatMap(_.collectWithSubqueries {
           case _: InsertIntoStatement => "INSERT"
+          // NOT an InsertIntoStatement and NOT a Command: the
+          // round-14 adversarial wave found `INSERT OVERWRITE
+          // DIRECTORY '/path' SELECT …` parses to this plain
+          // UnaryNode and walked straight through — a filesystem
+          // write/exfiltration as a "select"
+          case _: InsertIntoDir => "INSERT OVERWRITE DIRECTORY"
           case _: UpdateTable => "UPDATE"
           case _: DeleteFromTable => "DELETE"
           case _: MergeIntoTable => "MERGE"

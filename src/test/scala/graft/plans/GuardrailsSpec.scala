@@ -19,6 +19,16 @@ class GuardrailsSpec extends SparkSpec {
     }
   }
 
+  test("read-only session rejects INSERT OVERWRITE DIRECTORY (not a Command node)") {
+    graft.sources.Sources.register(spark, sfDir)
+    withReadOnly {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE DIRECTORY '/tmp/guardrail_exfil' USING parquet SELECT * FROM nation")
+      }
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    }
+  }
+
   test("read-only session still answers SELECTs") {
     graft.sources.Sources.register(spark, sfDir)
     withReadOnly {

@@ -29,6 +29,34 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  /** Second adversarial wave (round 14): obfuscated and INDIRECT
+    * mutations — comment cloaking, case mangling, trailing-statement
+    * smuggling, write-shaped "selects" (INSERT OVERWRITE DIRECTORY),
+    * and session/metadata commands that are not writes but are not
+    * SELECTs either (SET, CACHE, ADD JAR, REFRESH, ANALYZE: each can
+    * change engine behavior or leak state across tenants). */
+  val obfuscatedStatements = Seq(
+    "/* harmless cleanup */ DROP TABLE customer -- routine",
+    "dRoP tAbLe customer",
+    "SELECT 1; DROP TABLE customer",
+    "WITH d AS (DELETE FROM orders) SELECT 1",
+    "INSERT OVERWRITE DIRECTORY '/tmp/exfil' SELECT * FROM customer",
+    "CREATE TEMPORARY VIEW v AS SELECT * FROM customer",
+    "CACHE TABLE t AS SELECT * FROM customer",
+    "SET spark.sql.shuffle.partitions=1",
+    "ADD JAR 'file:///tmp/evil.jar'",
+    "REFRESH TABLE customer",
+    "ANALYZE TABLE customer COMPUTE STATISTICS",
+    "EXPLAIN DROP TABLE customer")
+
+  test("obfuscated and indirect mutations are rejected (round-14 wave)") {
+    obfuscatedStatements.foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+      assert(r.swap.exists(e => e.isInstanceOf[SqlSafetyError] || e.isInstanceOf[ParseError]))
+    }
+  }
+
   test("select statements with subqueries/CTEs/unions are admitted") {
     Seq(
       "SELECT * FROM customer LIMIT 5",
