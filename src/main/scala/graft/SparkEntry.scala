@@ -511,6 +511,12 @@ object Queries {
         "FROM nd LEFT JOIN o ON o.node = nd.node LEFT JOIN i ON i.node = nd.node ORDER BY nd.node"),
     // incremental-MV replica: the refreshed state must equal a direct
     // aggregate over the post-change table
+    // join-view refresh-equals-rebuild replica: the direct join of the
+    // FINAL states (all inserts folded, %3 provenance rows retracted)
+    "x_mv_join_refresh" ->
+      ("SELECT o.o_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_price, " +
+        "c.c_mktsegment FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderkey % 3 <> 0 ORDER BY o_orderkey LIMIT 1000"),
     "x_mv_refresh" ->
       ("SELECT o_custkey % 101 AS g, COUNT(*) AS n, " +
         "COUNT(o_orderkey % 1000) AS cnt_v, " +
@@ -2100,6 +2106,28 @@ object ExtensionQueries {
     // summation is bit-exact on both engines. The ORACLE recomputes the
     // aggregate over the post-change table directly — what is compared
     // is the refresh algebra, not the fixture.
+    // incremental JOIN-view maintenance: build the view from the old
+    // states, fold inserts via the three delta joins, retract a delete
+    // batch by provenance — the maintained view must hash-match the
+    // direct join of the final states (refresh ≡ rebuild contract)
+    "x_mv_join_refresh" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val o = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_price"))
+      val c = s.table("customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))
+      val (aOld, aIns) = (o.where(col("o_orderkey") % 5 =!= 0),
+        o.where(col("o_orderkey") % 5 === 0))
+      val (bOld, bIns) = (c.where(col("o_custkey") % 7 =!= 0),
+        c.where(col("o_custkey") % 7 === 0))
+      val view = graft.operators.MaterializedJoin.build(aOld, bOld, Seq("o_custkey"))
+      val grown = graft.operators.MaterializedJoin.refreshInserts(
+        view, aOld, bOld, aIns, bIns, Seq("o_custkey"))
+      // retract every order divisible by 3 (provenance = o_orderkey)
+      val dels = o.where(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      graft.operators.MaterializedJoin.retract(grown, dels, Seq("o_orderkey"))
+        .orderBy("o_orderkey").limit(1000)
+    }),
     "x_mv_refresh" -> ((s, dir) => {
       Sources.register(s, dir)
       val o = s.table("orders").select(
