@@ -135,8 +135,15 @@ object Validator {
     val cteNames = plans.flatMap(_.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten).toSet
+    // the FULL dotted name, not the last part: the allow-list gates
+    // single-part registered views, and matching on `.last` let a
+    // QUALIFIED reference (`other_catalog.schema.customer`,
+    // `global_temp.customer`) pass as "customer" while resolving to a
+    // DIFFERENT relation than the one the allow-list vetted
+    // (round-14 adversarial wave)
     plans.flatMap(_.collectWithSubqueries {
-      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+      case r: UnresolvedRelation =>
+        r.multipartIdentifier.map(_.toLowerCase).mkString(".")
     }).toSet -- cteNames
   }
 

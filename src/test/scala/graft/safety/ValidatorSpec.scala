@@ -57,6 +57,19 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("qualified references cannot impersonate allow-listed names") {
+    // matching on the terminal name part let these pass as "customer"
+    // while resolving to a DIFFERENT relation than the vetted view
+    Seq(
+      "SELECT * FROM spark_catalog.default.customer",
+      "SELECT * FROM global_temp.customer",
+      "SELECT * FROM other.customer"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft && r.swap.toOption.get.message.contains("customer"), sql)
+    }
+  }
+
   test("select statements with subqueries/CTEs/unions are admitted") {
     Seq(
       "SELECT * FROM customer LIMIT 5",
