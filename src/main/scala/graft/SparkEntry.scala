@@ -383,6 +383,11 @@ object Queries {
         "- CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS BIGINT) AS lift_micro FROM s"),
     // JSON-props replica by an INDEPENDENT extraction method (regex,
     // not a JSON parser) — same typed aggregate must come out
+    // VARIANT replica: typed path extraction, missing path is NULL
+    "x_variant_props" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(json_extract(props, '$.zz') AS BIGINT) AS k_missing " +
+        "FROM events ORDER BY event_id LIMIT 1000"),
     "x_json_props" ->
       ("WITH p AS (SELECT event_type, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k FROM events) " +
         "SELECT event_type, COUNT(k) AS n, COUNT(DISTINCT k) AS n_distinct, " +
@@ -2001,6 +2006,22 @@ object ExtensionQueries {
     // typed JSON processing of the props column: ONE from_json parse
     // into a struct (codegen-friendly — never get_json_object-per-field
     // re-parsing), then plain columnar aggregation
+    // Spark-4 VARIANT path: schema-LESS semi-structured ingestion —
+    // parse_json lands the whole document as a typed binary VARIANT
+    // (no StructType declared up front, unlike x_json_props' from_json)
+    // and variant_get extracts typed fields by path at read time; a
+    // missing path is NULL, pinned by the k_missing column. The oracle
+    // replicates with DuckDB's json_extract + casts.
+    "x_variant_props" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.table("events")
+        .select(col("event_id"),
+          expr("parse_json(props)").as("__v"))
+        .select(col("event_id"),
+          expr("variant_get(__v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(__v, '$.zz', 'bigint')").as("k_missing"))
+        .orderBy("event_id").limit(1000)
+    }),
     "x_json_props" -> ((s, dir) => {
       Sources.register(s, dir)
       val parsed = s.table("events").select(col("event_type"),
