@@ -141,6 +141,16 @@ object Queries {
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY n_name LIMIT 100"),
+    // LATERAL correlated subquery (per-nation top-2 customers) and
+    // GROUP BY ALL — both verbatim in Spark 4 and DuckDB
+    "d43_lateral" ->
+      ("SELECT n_name, t.c_name FROM nation, " +
+        "LATERAL (SELECT c_name FROM customer WHERE c_nationkey = n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+        "ORDER BY n_name, c_name LIMIT 100"),
+    "d44_group_by_all" ->
+      ("SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer " +
+        "GROUP BY ALL ORDER BY c_mktsegment, c_nationkey LIMIT 200"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",
@@ -383,6 +393,11 @@ object Queries {
         "- CASE WHEN n_a > 0 THEN (2 * c_a * 1000000 + n_a) // (2 * n_a) ELSE 0 END AS BIGINT) AS lift_micro FROM s"),
     // JSON-props replica by an INDEPENDENT extraction method (regex,
     // not a JSON parser) — same typed aggregate must come out
+    // unpivot/melt replica: DuckDB's UNPIVOT over the same projection
+    "x_unpivot" ->
+      ("SELECT c_custkey, name, ROUND(CAST(val AS DOUBLE), 2) AS val FROM " +
+        "(UNPIVOT (SELECT c_custkey, c_acctbal AS bal, CAST(c_nationkey AS DOUBLE) AS nk FROM customer) " +
+        "ON bal, nk INTO NAME name VALUE val) ORDER BY c_custkey, name LIMIT 1000"),
     // VARIANT replica: typed path extraction, missing path is NULL
     "x_variant_props" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
@@ -2006,6 +2021,20 @@ object ExtensionQueries {
     // typed JSON processing of the props column: ONE from_json parse
     // into a struct (codegen-friendly — never get_json_object-per-field
     // re-parsing), then plain columnar aggregation
+    // unpivot/melt (wide→long reshaping, the data-prep staple): the
+    // typed DataFrame API (Dataset.unpivot), oracled against DuckDB's
+    // UNPIVOT — the SQL syntaxes differ across engines, the semantics
+    // must not
+    "x_unpivot" -> ((s, dir) => {
+      Sources.register(s, dir)
+      s.table("customer")
+        .select(col("c_custkey"), col("c_acctbal").as("bal"),
+          col("c_nationkey").cast("double").as("nk"))
+        .unpivot(Array(col("c_custkey")), Array(col("bal"), col("nk")),
+          "name", "val")
+        .select(col("c_custkey"), col("name"), round(col("val"), 2).as("val"))
+        .orderBy("c_custkey", "name").limit(1000)
+    }),
     // Spark-4 VARIANT path: schema-LESS semi-structured ingestion —
     // parse_json lands the whole document as a typed binary VARIANT
     // (no StructType declared up front, unlike x_json_props' from_json)
