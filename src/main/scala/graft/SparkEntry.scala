@@ -496,6 +496,17 @@ object Queries {
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
         "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, buy_id"),
+    // timer-sessionizer replica: gaps-and-islands with the PROCESSOR's
+    // exact semantics — epoch-millisecond gaps, split strictly > 30min
+    "x_tws_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events WHERE user_id < 300), " +
+        "f AS (SELECT *, CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "ROUND(SUM(value), 2) AS session_value, " +
+        "CAST(MIN(tms) AS BIGINT) AS start_ms, CAST(MAX(tms) AS BIGINT) AS end_ms " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms LIMIT 2000"),
     // transformWithState totals replica: the single-batch update-mode
     // emission is exactly the final per-user state = the batch GROUP BY
     "x_tws_totals" ->
@@ -2034,6 +2045,54 @@ object ExtensionQueries {
           "name", "val")
         .select(col("c_custkey"), col("name"), round(col("val"), 2).as("val"))
         .orderBy("c_custkey", "name").limit(1000)
+    }),
+    // timer-closed sessionization end-to-end: the transformWithState
+    // EventTimeSessionProcessor replayed over real events in one
+    // AvailableNow run — a far-future sentinel advances the watermark
+    // past every real session's close, and the trigger's trailing
+    // no-data batch fires the timers (ProbeTwsSessions pinned that);
+    // sessions must hash-match DuckDB's gaps-and-islands replica of
+    // the PROCESSOR's semantics (split on gap STRICTLY > 30min, times
+    // in epoch millis — Timestamp.getTime truncates micros, so the
+    // oracle computes gaps on epoch_ms too). user_id < 300 bounds the
+    // replay; LIMIT keeps the dump bounded
+    "x_tws_sessions" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.table("events").where(col("user_id") < 300)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect()
+      val sentinel = graft.streaming.Streams.Event(
+        -1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streams.Event]
+      in.addData((ev :+ sentinel).toSeq: _*)
+      s.catalog.dropTempView("x_tws_sessions_sink")
+      val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.sessionizeTws(in.toDS(), gapMs = 30L * 60 * 1000)
+          .writeStream.format("memory").queryName("x_tws_sessions_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally {
+        prevProv match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table("x_tws_sessions_sink").where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"),
+          col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "start_ms").limit(2000)
     }),
     // Spark-4 VARIANT path: schema-LESS semi-structured ingestion —
     // parse_json lands the whole document as a typed binary VARIANT
