@@ -93,6 +93,13 @@ object Validator {
           // UnaryNode and walked straight through — a filesystem
           // write/exfiltration as a "select"
           case _: InsertIntoDir => "INSERT OVERWRITE DIRECTORY"
+          // dynamic SQL is statically UN-VETTABLE: the payload string
+          // (`EXECUTE IMMEDIATE 'DROP TABLE …'` — or a SELECT over a
+          // forbidden table) is opaque to the denylist and allow-list
+          // both, so the construct is denied outright (same round-14
+          // wave; Spark 4 feature, also not a Command)
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate =>
+            "EXECUTE IMMEDIATE"
           case _: UpdateTable => "UPDATE"
           case _: DeleteFromTable => "DELETE"
           case _: MergeIntoTable => "MERGE"

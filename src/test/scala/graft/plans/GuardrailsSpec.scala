@@ -29,6 +29,16 @@ class GuardrailsSpec extends SparkSpec {
     }
   }
 
+  test("read-only session rejects DDL smuggled through EXECUTE IMMEDIATE") {
+    withReadOnly {
+      val e = intercept[Exception] {
+        spark.sql("EXECUTE IMMEDIATE 'CREATE TABLE guardrail_ei (x INT) USING parquet'")
+      }
+      // the payload re-enters analysis, where the guard sees the Command
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    }
+  }
+
   test("read-only session still answers SELECTs") {
     graft.sources.Sources.register(spark, sfDir)
     withReadOnly {

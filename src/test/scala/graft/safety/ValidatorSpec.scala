@@ -57,6 +57,18 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-SQL smuggling is rejected: EXECUTE IMMEDIATE and SQL scripting") {
+    Seq(
+      "EXECUTE IMMEDIATE 'DROP TABLE customer'",
+      "EXECUTE IMMEDIATE 'SELECT * FROM secrets'",
+      "BEGIN DROP TABLE customer; END",
+      "BEGIN SELECT * FROM customer; END"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+    }
+  }
+
   test("qualified references cannot impersonate allow-listed names") {
     // matching on the terminal name part let these pass as "customer"
     // while resolving to a DIFFERENT relation than the vetted view
