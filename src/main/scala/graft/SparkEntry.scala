@@ -151,6 +151,81 @@ object Queries {
     "d44_group_by_all" ->
       ("SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer " +
         "GROUP BY ALL ORDER BY c_mktsegment, c_nationkey LIMIT 200"),
+    // --- TPC-H-shaped classics, round 15: the five distinctive
+    // planner shapes the inventory still lacked, VERBATIM through the
+    // full safety path in both engines. Fixture adaptations (the same
+    // convention as Q1/Q3/Q5): dates moved into the 1995-2001 range;
+    // the fixture-absent l_commitdate/l_receiptdate lateness becomes a
+    // shipdate lateness; the fixture-absent partsupp association is
+    // read off lineitem's (partkey, suppkey) pairs; comment-LIKE
+    // filters become priority/name LIKEs. Shapes — the thing being
+    // tested — are untouched. ---
+    // Q4: EXISTS semi-join under a date window. Decorrelates via
+    // RewritePredicateSubquery to a LeftSemi hash join on l_orderkey
+    // with the lateness conjunct as a residual; the 3-month window
+    // prunes orders before the join.
+    "d45_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count " +
+        "FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // Q13: the outer-join aggregate — LEFT OUTER with a non-key ON
+    // predicate so customers keep their row when every order is
+    // filtered out, then the count-of-counts distribution. Inner
+    // COUNT(col) over the null-extended side is the semantics under
+    // test; both COUNTs cast to BIGINT (round-13 HUGEINT rule).
+    "d46_tpch_q13" ->
+      ("SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (" +
+        "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "AND o.o_orderpriority NOT LIKE '4%' " +
+        "GROUP BY c.c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC LIMIT 100"),
+    // Q16: NOT IN anti join under COUNT(DISTINCT) — null-aware anti
+    // (single non-null key, broadcast supplier side) feeding a
+    // two-phase distinct aggregate; part-supplier pairs read off
+    // lineitem per the fixture adaptation above.
+    "d47_tpch_q16" ->
+      ("SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' " +
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7') " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100"),
+    // Q18: IN over a grouped-HAVING subquery — the aggregate-filtered
+    // semi join. The subquery re-aggregates lineitem by orderkey
+    // (map-side partials) and the >300 HAVING makes the semi side tiny
+    // and broadcastable; big-customer join on top.
+    "d48_tpch_q18" ->
+      ("SELECT c.c_name, c.c_custkey, o.o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_odate, o.o_totalprice, " +
+        "ROUND(SUM(l.l_quantity), 2) AS total_qty " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) " +
+        "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o_orderdate, o.o_totalprice " +
+        "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"),
+    // Q21: the EXISTS / NOT EXISTS self-join pair — the hardest
+    // decorrelation in the suite (LeftSemi + LeftAnti against the same
+    // lineitem scan, each with a non-equi suppkey residual).
+    // "Late" = shipped after the cutoff (fixture lateness stand-in).
+    "d49_tpch_q21" ->
+      ("SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l1.l_orderkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_9' " +
+        "AND l1.l_shipdate > TIMESTAMP '1999-06-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > TIMESTAMP '1999-06-01 00:00:00') " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",
@@ -1927,6 +2002,20 @@ object ExtensionQueries {
     * overloads, whose GC-managed localCheckpoint sharing cannot leak). */
   private def harnessManaged(built: (DataFrame, () => Unit)): DataFrame = built._1
 
+  /** Bounded wait for the streaming rows: a query that does not finish
+    * inside `ms` is STOPPED and the row fails loud — reading the memory
+    * sink of a still-running query would surface as a confusing oracle
+    * mismatch instead of a timeout (round-14 ADVICE). */
+  private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+      ms: Long = 120000L): Unit = {
+    val done = q.awaitTermination(ms)
+    if (!done) {
+      try q.stop() finally {}
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not terminate within ${ms}ms")
+    }
+  }
+
   /** Deterministic changelog derived from orders for the CDC queries:
     * key = o_orderkey mod 997 (forces ~15 versions per key at sf0.01),
     * version = o_orderkey (unique — the determinism contract), op = D
@@ -2080,7 +2169,7 @@ object ExtensionQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitBounded(q)
       } finally {
         prevProv match {
           case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -3098,6 +3187,13 @@ object ExtensionQueries {
       Sources.register(s, dir)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // HARNESS-SCOPED collect: MemoryStream has no distributed feeder,
+      // so the fixture feed materializes on the driver. The bound is
+      // the view/purchase projection (~2/7 of events — ~170k rows /
+      // ~5 MB at sf0.1); the operator under test
+      // (Streams.intervalJoinStream) is collect-free. If the bench SF
+      // ever grows past 1.0, cap this feed AND the DuckDB oracle's
+      // event set with the same deterministic predicate.
       val ev = s.table("events")
         .where(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
@@ -3125,7 +3221,7 @@ object ExtensionQueries {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitBounded(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("x_stream_join_sink")
         .select(col("user_id"), col("view_id"), col("buy_id"),
@@ -3160,7 +3256,7 @@ object ExtensionQueries {
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        awaitBounded(q)
       } finally {
         prevProv match {
           case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)

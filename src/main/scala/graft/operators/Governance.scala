@@ -89,9 +89,12 @@ object Governance {
    *
    * Scale: the first aggregation is the only |rows|-sized pass; the
    * (class × observed-value) frame and the global-domain frame are
-   * aggregate-sized, and the domain/total joins broadcast (explicit
-   * hint — a sensitive attribute's domain is small by definition,
-   * else t-closeness over it is meaningless). Exactness bound: the
+   * aggregate-sized. The domain join carries NO forced broadcast —
+   * AQE broadcasts it when it is small (the intended use: a sensitive
+   * attribute's domain is small by definition) and degrades to a
+   * shuffle join when a caller passes an unbanded high-cardinality
+   * column, instead of OOMing the driver (round-14 ADVICE). Only the
+   * 1-row total frame keeps an explicit hint. Exactness bound: the
    * largest integer term is c_v·n_g ≤ N², so the arithmetic is exact
    * while N < ~3·10^9 rows per audit scope — beyond that, audit per
    * shard/snapshot (which a 100 TB release gate does anyway) or widen
@@ -117,7 +120,7 @@ object Governance {
     // count from n_g) — the oracle mirrors with IS NOT DISTINCT FROM.
     val ng = org.apache.spark.sql.expressions.Window.partitionBy(qc: _*)
     val joined = cells
-      .join(broadcast(global.withColumnRenamed("__v", "__gv")),
+      .join(global.withColumnRenamed("__v", "__gv"),
         col("__v") <=> col("__gv"))
       .drop("__gv")
       .crossJoin(broadcast(total))
@@ -154,7 +157,14 @@ object Governance {
    * cells matter mid-stream: the frame is the |classes|×|domain| grid
    * — classes-sized times a small constant (an ordered sensitive
    * domain is small by definition), built from a broadcast cross join,
-   * never |rows|×anything. The per-class running sum is a window over
+   * never |rows|×anything. Because the grid is INTRINSIC to the EMD
+   * (unlike the nominal variant there is no shuffle-join fallback that
+   * keeps the algorithm sane on a huge domain), the domain cardinality
+   * is guarded up front: more than `maxDomain` distinct values fails
+   * with an actionable error — band/bucket the attribute first —
+   * instead of OOMing an executor (round-14 ADVICE). The guard job
+   * also yields N and m, inlined as literals so the main plan drops
+   * the 1-row totals cross join. The per-class running sum is a window over
    * m rows partitioned by the quasi key. Same exactness bound as the
    * nominal variant: |cum| ≤ n_g·N ≤ N², exact while N < ~3·10^9 rows
    * per audit scope.
@@ -164,7 +174,8 @@ object Governance {
    * engines disagree on default NULL sort placement — the nominal
    * variant is the right tool when null frequency itself matters. */
   def tClosenessOrderedStats(df: DataFrame, quasiCols: Seq[String],
-      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+      sensitiveCol: String, tNum: Long, tDen: Long,
+      maxDomain: Long = 10000L): DataFrame = {
     require(tNum > 0 && tDen > 0, "threshold t must be a positive fraction")
     val qc = quasiCols.map(col)
     val base = df.where(col(sensitiveCol).isNotNull)
@@ -173,11 +184,19 @@ object Governance {
     val classes = cells.groupBy(qc: _*).agg(sum(col("__c_gv")).as("__n_g"))
     val domain = base.groupBy(col(sensitiveCol).as("__v"))
       .agg(count(lit(1L)).as("__c_v"))
-    val totals = base.agg(count(lit(1L)).as("__n"),
-      countDistinct(col(sensitiveCol)).as("__m"))
+    // domain-cardinality guard (one aggregate-sized job, run eagerly):
+    // the |classes|×|domain| grid below is only sane for a SMALL
+    // ordered domain — fail actionably before building it
+    val totalsRow = base.agg(count(lit(1L)).as("__n"),
+      countDistinct(col(sensitiveCol)).as("__m")).collect()(0)
+    val (n, m) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    require(m <= maxDomain,
+      s"ordered t-closeness needs a small sensitive domain: '$sensitiveCol' " +
+        s"has $m distinct values (max $maxDomain). Band or bucket the " +
+        "attribute first (e.g. quantileCuts), or raise maxDomain deliberately.")
     val grid = classes
       .crossJoin(broadcast(domain))
-      .crossJoin(broadcast(totals))
+      .withColumn("__n", lit(n)).withColumn("__m", lit(m))
     val cellsR = cells.select(
       quasiCols.map(c => col(c).as(s"__cq_$c")) ++
         Seq(col("__v").as("__cv"), col("__c_gv")): _*)

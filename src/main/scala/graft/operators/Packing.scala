@@ -233,6 +233,13 @@ object Packing {
   def selectByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
       rankCol: String, budgetTokens: Long, partitions: Int = 64): DataFrame = {
     require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
+    // `col(rankCol) * -1` on a non-numeric column would not fail — it
+    // would silently null the sort key (ANSI off) and scramble the
+    // quality order. Numeric ranks only; fail loud at plan time.
+    val rankType = docs.schema(rankCol).dataType
+    require(rankType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rank column '$rankCol' must be numeric (got ${rankType.simpleString}); " +
+        "cast or derive a numeric quality score first")
     // rank desc ≡ range-partition asc on a negated sort key; idCol
     // breaks rank ties so the prefix order (and thus the kept set) is
     // total. The struct key keeps ONE range exchange for the pair.

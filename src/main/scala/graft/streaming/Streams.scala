@@ -268,8 +268,12 @@ object Streams {
    * bounded by (ingest rate × horizon) per side regardless of total
    * stream length — the only viable shape at 100 TB/day.
    *
-   * Inputs must not share payload column names (key/ts columns are
-   * renamed internally). Inner join: results are emitted as soon as
+   * Inputs must not share payload column names. The key AND both
+   * timestamp columns are renamed internally (`__lk`/`__rk`,
+   * `__lts`/`__rts`), so identically-named left/right timestamp
+   * columns are fine; when the two ts names collide, the right one
+   * comes back as `<rightTs>_r` in the output. Inner join: results
+   * are emitted as soon as
    * both sides arrive, so the output of a bounded replay equals the
    * batch interval join over the same data (`RangeJoin` is the batch
    * sibling) — the spec and the `x_stream_join` oracle pin exactly
@@ -284,16 +288,21 @@ object Streams {
       joinType: String = "inner"): DataFrame = {
     val l = left
       .withColumnRenamed(keyCol, "__lk")
-      .withWatermark(leftTs, watermark)
+      .withColumnRenamed(leftTs, "__lts")
+      .withWatermark("__lts", watermark)
     val r = right
       .withColumnRenamed(keyCol, "__rk")
-      .withWatermark(rightTs, watermark)
+      .withColumnRenamed(rightTs, "__rts")
+      .withWatermark("__rts", watermark)
+    val rightTsOut = if (rightTs == leftTs) s"${rightTs}_r" else rightTs
     l.join(r,
         col("__lk") === col("__rk") &&
-          col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"),
+          col("__rts") >= col("__lts") &&
+          col("__rts") <= col("__lts") + expr(s"INTERVAL $horizon"),
         joinType)
       .withColumnRenamed("__lk", keyCol)
+      .withColumnRenamed("__lts", leftTs)
+      .withColumnRenamed("__rts", rightTsOut)
       .drop("__rk")
   }
 

@@ -48,6 +48,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("TPC-H decorrelation shapes: Q4/Q13/Q16/Q18/Q21 plan semi/anti/outer joins, never nested loops (d45-d49)") {
+    // the round-15 planner-shape suite: every subquery must decorrelate
+    // to a hash join (RewritePredicateSubquery), nothing may degenerate
+    // to a CartesianProduct or BroadcastNestedLoopJoin even with the
+    // non-equi residuals (Q4's lateness conjunct, Q21's suppkey <>)
+    val p4 = plan("d45_tpch_q4")
+    assert(p4.contains("LeftSemi"), "Q4 EXISTS must decorrelate to a semi join: " + p4.take(1500))
+    val p13 = plan("d46_tpch_q13")
+    assert(p13.contains("LeftOuter"), "Q13 must keep the outer join: " + p13.take(1500))
+    assert("HashAggregate".r.findAllIn(p13).size >= 4,
+      "Q13 needs both aggregate levels (per-customer, then count-of-counts) with partials")
+    val p16 = plan("d47_tpch_q16")
+    assert(p16.contains("LeftAnti"), "Q16 NOT IN must plan an anti join: " + p16.take(1500))
+    val p18 = plan("d48_tpch_q18")
+    assert(p18.contains("LeftSemi"), "Q18 IN-over-HAVING must plan a semi join: " + p18.take(1500))
+    val p21 = plan("d49_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "Q21 needs the EXISTS/NOT-EXISTS semi+anti pair: " + p21.take(2000))
+    Seq(p4, p13, p16, p18, p21).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "no nested loops in the TPC-H suite: " + p.take(2000))
+    }
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort (d15, d03)") {
     assert(plan("d15_topn").contains("TakeOrderedAndProject"))
     assert(plan("d03_filter_and").contains("TakeOrderedAndProject"))

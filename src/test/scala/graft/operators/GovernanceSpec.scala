@@ -128,6 +128,21 @@ class GovernanceSpec extends SparkSpec {
     assert(out2 === out.map(r => (r.getString(0), r.getAs[Long]("emd_num"))).toSeq.sorted)
   }
 
+  test("tClosenessOrderedStats: high-cardinality sensitive domain fails actionably, not OOM") {
+    // a near-continuous column would make the |classes|×|domain| grid
+    // explode — the guard fires before any grid is built
+    val wide = (1 to 50).map(i => ("us", i.toLong)).toDF("region", "severity")
+    val e = intercept[IllegalArgumentException] {
+      Governance.tClosenessOrderedStats(wide, Seq("region"), "severity", 1, 10,
+        maxDomain = 10L)
+    }
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("Band or bucket"))
+    // raising the cap deliberately admits the same domain
+    assert(Governance.tClosenessOrderedStats(wide, Seq("region"), "severity", 1, 10,
+      maxDomain = 50L).count() === 1L)
+  }
+
   test("tCloseness plan: domain/total joins broadcast; no UDF; aggregate-sized shuffles only") {
     val plan = Governance.tClosenessStats(
       corpus, Seq("region", "segment"), "diagnosis", 1, 10)

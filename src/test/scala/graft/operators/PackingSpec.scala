@@ -130,6 +130,17 @@ class PackingSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("selectByTokenBudget: non-numeric rank column fails loud at plan time") {
+    // a string rank would silently null the negated sort key and
+    // scramble the quality order — the require turns that into an error
+    val docs = Seq((1L, "t t", "high"), (2L, "t", "low"))
+      .toDF("doc_id", "text", "q")
+    val e = intercept[IllegalArgumentException] {
+      Packing.selectByTokenBudget(docs, "doc_id", "text", "q", 10L)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("plan: one range exchange feeds per-partition windows; base join broadcasts") {
     val plan = Packing.packOffsetsFromCounts(counts, "doc_id", "n", 4,
       partitions = 3).queryExecution.executedPlan.toString

@@ -95,6 +95,24 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("interval join accepts identically-named left/right ts columns (internal rename)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = Seq((1L, 100L, ts(0)), (2L, 100L, ts(40)))
+    val buys = Seq((10L, 100L, ts(10)), (11L, 100L, ts(45)))
+    // both sides call their event time "ts" — pre-round-15 this failed
+    // analysis with an ambiguous column reference; now both are renamed
+    // internally and the right one surfaces as ts_r
+    val out = Streams.intervalJoinStream(
+      views.toDF("view_id", "user_id", "ts"),
+      buys.toDF("buy_id", "user_id", "ts"),
+      "user_id", "ts", "ts", horizon = "30 minutes")
+    assert(out.columns.count(_ == "ts") === 1 && out.columns.contains("ts_r"))
+    val got = out.select("view_id", "buy_id").orderBy("view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("left-outer interval join emits unmatched views once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
