@@ -588,6 +588,23 @@ object Queries {
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS events, " +
         "ROUND(SUM(value), 2) AS total_value FROM events " +
         "GROUP BY user_id ORDER BY user_id"),
+    // transformWithState top-k replica: single-batch update-mode
+    // emission = batch per-user type ranks (count DESC, type ASC) plus
+    // the 20-newest recency buffer by (epoch_ms, event_id) — min/max
+    // over the buffer are order-independent, so no rounding needed
+    "x_tws_topk" ->
+      ("WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n_events, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type) AS INT) AS rank FROM c), " +
+        "rec AS (SELECT user_id, value, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events), " +
+        "ra AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS recent_n, " +
+        "MIN(value) AS recent_min, MAX(value) AS recent_max FROM rec WHERE rn <= 20 GROUP BY 1) " +
+        "SELECT r.user_id, r.rank, r.event_type, r.n_events, " +
+        "ra.recent_n, ra.recent_min, ra.recent_max " +
+        "FROM r JOIN ra ON r.user_id = ra.user_id " +
+        "WHERE r.rank <= 3 ORDER BY r.user_id, r.rank"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
     "x_triangles" ->
@@ -3268,6 +3285,48 @@ object ExtensionQueries {
         .select(col("user_id"), col("events"),
           round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id")
+    }),
+    // transformWithState with MapState + ListState: per-user top-3
+    // event types (MapState lifetime counts) and the 20-newest recency
+    // buffer (ListState, append-then-trim), run as a REAL streaming
+    // query (RocksDB, scoped partitions) — single AvailableNow batch in
+    // update mode emits the final per-user rank block, oracled against
+    // the batch window-rank replica. Buffer stats are min/max: order-
+    // independent, so the hashed surface carries no float-sum drift.
+    "x_tws_topk" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.table("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streams.Event]
+      in.addData(ev.toSeq: _*)
+      s.catalog.dropTempView("x_tws_topk_sink")
+      val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams.topKRecentStream(in.toDS(), k = 3, recentSize = 20)
+          .writeStream.format("memory").queryName("x_tws_topk_sink")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      } finally {
+        prevProv match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table("x_tws_topk_sink")
+        .select(col("user_id"), col("rank"), col("event_type"), col("n_events"),
+          col("recent_n"), col("recent_min"), col("recent_max"))
+        .orderBy("user_id", "rank")
     }),
     // --- sessionization (session_window; oracled via DuckDB gaps-and-islands) ---
     "x_events_sessions" -> ((s, dir) => {

@@ -150,6 +150,83 @@ object Streams {
     }
   }
 
+  final case class TopTypeEntry(user_id: Long, rank: Int, event_type: String,
+      n_events: Long, recent_n: Long, recent_min: Double, recent_max: Double)
+
+  /**
+   * Per-user top-k event types + a bounded recency buffer — the
+   * `transformWithState` state variables the running-totals processor
+   * does not exercise: a `MapState[String, Long]` holds the per-type
+   * lifetime counts (point lookups and single-entry updates — the
+   * engine stores each map entry as its own store row, so updating one
+   * type does NOT rewrite the whole map, unlike a `ValueState[Map]`),
+   * and a `ListState[(ts_ms, event_id, value)]` holds the newest
+   * `recentSize` events (append-then-trim; the buffer is the state
+   * shape for "last N items per key" features). PER-VARIABLE TTL:
+   * `ttlRecent` expires ONLY the recency buffer — lifetime counts
+   * deliberately carry `TTLConfig.NONE` — which is exactly what the
+   * per-variable API buys over `flatMapGroupsWithState`'s monolithic
+   * state object. TTL is clocked by processing time, so a non-null
+   * `ttlRecent` requires the ProcessingTime mode (wrapper handles it).
+   *
+   * Emission (Update mode): ranks 1..k of the types ordered by
+   * (count DESC, type ASC — total order), each row carrying the
+   * buffer's size/min/max (order-independent, so the replayed fold is
+   * EXACTLY the batch answer — no float-sum drift on the oracle
+   * surface). State per key is O(|types| + recentSize): bounded,
+   * skew-safe, and RocksDB-resident at 100 TB/day.
+   */
+  class TopKRecentProcessor(k: Int, recentSize: Int,
+      ttlRecent: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TopTypeEntry] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var counts: ss.MapState[String, Long] = _
+    @transient private var recent: ss.ListState[(Long, Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, ss.TTLConfig.NONE)
+      recent = getHandle.getListState[(Long, Long, Double)]("recent",
+        Encoders.product[(Long, Long, Double)],
+        if (ttlRecent == null) ss.TTLConfig.NONE else ss.TTLConfig(ttlRecent))
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: ss.TimerValues): Iterator[TopTypeEntry] = {
+      val batch = rows.toSeq
+      batch.groupBy(_.event_type).foreach { case (t, es) =>
+        val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, prev + es.size)
+      }
+      // append-then-trim: keep the recentSize newest by (ts_ms, id) —
+      // ms granularity matches Timestamp.getTime; event_id totals the order
+      val merged = (recent.get().toSeq ++
+        batch.map(e => (e.ts.getTime, e.event_id, e.value)))
+        .sortBy { case (t, id, _) => (-t, -id) }.take(recentSize)
+      recent.put(merged.toArray)
+      val (rn, rmin, rmax) =
+        (merged.size.toLong, merged.map(_._3).min, merged.map(_._3).max)
+      counts.iterator().toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+        .map { case ((t, n), i) =>
+          TopTypeEntry(key, i + 1, t, n, rn, rmin, rmax)
+        }.iterator
+    }
+  }
+
+  /** `transformWithState` wrapper for [[TopKRecentProcessor]]: one
+    * updated rank-1..k block per user per micro-batch (Update mode).
+    * RocksDB provider required, as for all transformWithState. */
+  def topKRecentStream(events: Dataset[Event], k: Int = 3,
+      recentSize: Int = 20,
+      ttlRecent: java.time.Duration = null): Dataset[TopTypeEntry] = {
+    import events.sparkSession.implicits._
+    val mode =
+      if (ttlRecent == null) org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKRecentProcessor(k, recentSize, ttlRecent),
+        mode, OutputMode.Update())
+  }
+
   final case class SessionSummary(user_id: Long, n_events: Long,
       session_value: Double, start_ms: Long, end_ms: Long)
 

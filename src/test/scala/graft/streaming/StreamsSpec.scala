@@ -178,6 +178,88 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState top-k: MapState counts + trimmed ListState buffer fold equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(Event(1, ts(0), 100, "click", 10.0), Event(2, ts(1), 100, "click", 20.0),
+        Event(3, ts(2), 100, "view", 30.0), Event(4, ts(3), 200, "view", 5.0))
+      val b2 = Seq(Event(5, ts(10), 100, "view", 40.0), Event(6, ts(11), 100, "error", 50.0),
+        Event(7, ts(12), 100, "view", 60.0))
+      val input = MemoryStream[Event]
+      val perBatch = scala.collection.mutable.ListBuffer
+        .empty[(Long, Seq[Streams.TopTypeEntry])]
+      val q = Streams.topKRecentStream(input.toDS(), k = 3, recentSize = 2)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TopTypeEntry], id: Long) =>
+          perBatch.synchronized { perBatch += ((id, b.collect().toSeq)) }; ()
+        }
+        .start()
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // user 100's final emission: lifetime counts folded across both
+      // batches, ranked (count DESC, type ASC)
+      val last = perBatch.last._2.filter(_.user_id == 100L).sortBy(_.rank)
+      assert(last.map(e => (e.rank, e.event_type, e.n_events)) ===
+        Seq((1, "view", 3L), (2, "click", 2L), (3, "error", 1L)))
+      // ListState trimmed to the 2 newest (events 6 @50.0 and 7 @60.0);
+      // batch-1 entries aged out of the buffer but NOT out of the counts
+      assert(last.forall(e =>
+        e.recent_n == 2L && e.recent_min == 50.0 && e.recent_max == 60.0))
+      // user 200 appears only in batch 0 — its emission is final state
+      val u200 = perBatch.head._2.filter(_.user_id == 200L)
+      assert(u200.map(e => (e.rank, e.event_type, e.n_events, e.recent_n,
+        e.recent_min)) === Seq((1, "view", 1L, 1L, 5.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("transformWithState top-k per-variable TTL: the buffer expires, lifetime counts do not") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same two-AvailableNow-runs-over-one-checkpoint shape as the
+      // runningTotals TTL test: the restart lets the 1ms TTL lapse
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_topk_ttl").toString
+      val input = MemoryStream[Event]
+      val got = scala.collection.mutable.ListBuffer.empty[Streams.TopTypeEntry]
+      def runOnce(): Unit = {
+        val q = Streams.topKRecentStream(input.toDS(), k = 3, recentSize = 5,
+            ttlRecent = java.time.Duration.ofMillis(1))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TopTypeEntry], _: Long) =>
+            got.synchronized { got ++= b.collect() }; ()
+          }
+          .start()
+        q.awaitTermination(120000); q.stop()
+      }
+      input.addData(Event(1, ts(0), 100, "click", 1.0))
+      runOnce()
+      Thread.sleep(300)
+      input.addData(Event(2, ts(1), 100, "click", 2.0))
+      runOnce()
+      // second emission: the MapState count ACCUMULATED (TTLConfig.NONE)
+      // while the ListState buffer restarted at 1 entry (1ms TTL lapsed)
+      assert(got.map(e => (e.n_events, e.recent_n, e.recent_min)).toSeq ===
+        Seq((1L, 1L, 1.0), (2L, 1L, 2.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState TTL: idle state vanishes without timer bookkeeping") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
