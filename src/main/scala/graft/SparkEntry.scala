@@ -474,6 +474,12 @@ object Queries {
         "(UNPIVOT (SELECT c_custkey, c_acctbal AS bal, CAST(c_nationkey AS DOUBLE) AS nk FROM customer) " +
         "ON bal, nk INTO NAME name VALUE val) ORDER BY c_custkey, name LIMIT 1000"),
     // VARIANT replica: typed path extraction, missing path is NULL
+    // pipe-syntax replica: classic SQL form of the same aggregate
+    "x_pipe_syntax" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(SUM(l_extendedprice), 2) AS rev FROM lineitem " +
+        "WHERE l_quantity > 45 GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag LIMIT 100"),
     "x_variant_props" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
         "CAST(json_extract(props, '$.zz') AS BIGINT) AS k_missing " +
@@ -640,6 +646,13 @@ object Queries {
       ("SELECT o.o_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_price, " +
         "c.c_mktsegment FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "WHERE o.o_orderkey % 3 <> 0 ORDER BY o_orderkey LIMIT 1000"),
+    // join-view UPDATE replica (delete+insert pair applied as one
+    // batch): direct join with every 11th order's corrected price
+    "x_mv_join_update" ->
+      ("SELECT o.o_custkey, o.o_orderkey, " +
+        "ROUND(o.o_totalprice, 2) + CASE WHEN o.o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS o_price, " +
+        "c.c_mktsegment FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "ORDER BY o_orderkey LIMIT 1000"),
     "x_mv_refresh" ->
       ("SELECT o_custkey % 101 AS g, COUNT(*) AS n, " +
         "COUNT(o_orderkey % 1000) AS cnt_v, " +
@@ -2216,6 +2229,17 @@ object ExtensionQueries {
           expr("variant_get(__v, '$.zz', 'bigint')").as("k_missing"))
         .orderBy("event_id").limit(1000)
     }),
+    // Spark-4 SQL pipe syntax through the FULL safety path (parse →
+    // denylist → allow-list → limit → execute): the pipe operators
+    // parse to ordinary Project/Filter/Aggregate nodes, so the same
+    // validated plan family serves both syntaxes. DuckDB has no pipe
+    // syntax — the oracle is the classic equivalent of the same query.
+    "x_pipe_syntax" -> ((s, dir) =>
+      SparkEntry.engineFrame(s, dir,
+        "FROM lineitem |> WHERE l_quantity > 45 " +
+          "|> AGGREGATE COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev " +
+          "GROUP BY l_returnflag " +
+          "|> ORDER BY l_returnflag |> LIMIT 100")),
     "x_json_props" -> ((s, dir) => {
       Sources.register(s, dir)
       val parsed = s.table("events").select(col("event_type"),
@@ -2341,6 +2365,24 @@ object ExtensionQueries {
       // retract every order divisible by 3 (provenance = o_orderkey)
       val dels = o.where(col("o_orderkey") % 3 === 0).select("o_orderkey")
       graft.operators.MaterializedJoin.retract(grown, dels, Seq("o_orderkey"))
+        .orderBy("o_orderkey").limit(1000)
+    }),
+    // join-view UPDATE path: the documented delete+insert convention
+    // applied as ONE batch (applyUpdatesA) — stale rows retracted by
+    // provenance, new images folded through the ΔA⋈B term; the
+    // maintained view must hash-match the direct join over corrected
+    // prices (update ≡ rebuild contract)
+    "x_mv_join_update" -> ((s, dir) => {
+      Sources.register(s, dir)
+      val o = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_price"))
+      val c = s.table("customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment"))
+      val view = graft.operators.MaterializedJoin.build(o, c, Seq("o_custkey"))
+      val upd = o.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_price", col("o_price") + lit(1.0))
+      graft.operators.MaterializedJoin.applyUpdatesA(view, c, upd,
+        Seq("o_custkey"), Seq("o_orderkey"))
         .orderBy("o_orderkey").limit(1000)
     }),
     "x_mv_refresh" -> ((s, dir) => {

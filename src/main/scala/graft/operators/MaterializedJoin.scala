@@ -49,6 +49,51 @@ object MaterializedJoin {
       .unionByName(aOld.join(bIns, keyCols))
       .unionByName(aIns.join(bIns, keyCols))
 
+  /** Apply an UPDATE batch to the A side: the documented
+    * delete-then-insert convention as one call. `updA` carries the NEW
+    * row images; their provenance keys (`idCols`, e.g. the fact's
+    * primary key) retract the stale view rows, then the new images
+    * fold in through the ΔA⋈B delta term (ΔB is empty by
+    * construction, so the other two terms vanish). `bOld` is the
+    * B state the view currently reflects. */
+  def applyUpdatesA(view: DataFrame, bOld: DataFrame, updA: DataFrame,
+      keyCols: Seq[String], idCols: Seq[String]): DataFrame =
+    retract(view, updA.select(idCols.map(col): _*), idCols)
+      .unionByName(updA.join(bOld, keyCols))
+
+  /** Key-pruned old-side scan for a delta term: the delta's DISTINCT
+    * join-key set is change-sized, so collect it (bounded by `maxKeys`)
+    * and push it into the old side as an IN filter — against a
+    * bucketed store ([[graft.sources.Bucketing]]) the scan then reads
+    * ONLY the matching buckets (`SelectedBucketsCount` in the plan),
+    * and sorted row-group stats skip within them. Semantically free
+    * for an equi-join: old-side rows outside the delta's key set
+    * cannot contribute to the term. Falls back to the unfiltered frame
+    * when the key set exceeds `maxKeys` (a backfill-sized delta — an
+    * IN list that size would bloat the plan for no pruning win) or
+    * when the join key is composite (bucket pruning is single-column).
+    */
+  def oldSideKeyPruned(old: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], maxKeys: Int = 10000): DataFrame = {
+    if (keyCols.size != 1) return old
+    val k = keyCols.head
+    val keys = delta.select(k).distinct().limit(maxKeys + 1).collect()
+    if (keys.length > maxKeys) old
+    else old.where(col(k).isin(keys.map(_.get(0)): _*))
+  }
+
+  /** [[refreshInserts]] with both old-side scans key-pruned via
+    * [[oldSideKeyPruned]] — the store-co-location claim made concrete:
+    * fold a small delta into a view over bucketed bases and each
+    * old-side term reads only the buckets its delta keys hash to. */
+  def refreshInsertsPruned(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+      aIns: DataFrame, bIns: DataFrame, keyCols: Seq[String],
+      maxKeys: Int = 10000): DataFrame =
+    view
+      .unionByName(aIns.join(oldSideKeyPruned(bOld, aIns, keyCols, maxKeys), keyCols))
+      .unionByName(oldSideKeyPruned(aOld, bIns, keyCols, maxKeys).join(bIns, keyCols))
+      .unionByName(aIns.join(bIns, keyCols))
+
   /** Retract view rows whose source row was deleted: one NULL-SAFE
     * anti-join on the deleted rows' provenance keys (null-safe so a
     * NULL-keyed source row retracts its view rows too, the

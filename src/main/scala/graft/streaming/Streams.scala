@@ -248,6 +248,18 @@ object Streams {
    * the stale timer first (`listTimers`), since the engine keys timers
    * by (key, timestamp) and would otherwise fire BOTH; a stale fire
    * would close a session the next batch already extended.
+   *
+   * Hot-key bound (round-14 verdict #2, force-probed by
+   * ProbeTwsHotKey): a key's in-batch events must be SORTED before the
+   * gap walk, so one degenerate key receiving millions of events in a
+   * single micro-batch buffers them in executor memory. The buffer
+   * holds only (epoch-ms, value) primitive pairs — ~32 B/event, not
+   * the full row — so the bound is ≈ 32 B × the largest single-key
+   * single-batch burst (10M events ≈ 320 MB: survivable, but size
+   * micro-batches accordingly). This is inherent to timer-based
+   * sessionizers; the declarative `session_window` sibling
+   * ([[sessionize]]) handles degenerate keys without it and is the
+   * right tool when per-session logic fits an aggregation.
    */
   class EventTimeSessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSummary] {
@@ -259,19 +271,22 @@ object Streams {
         Encoders.product[(Long, Double, Long, Long)], ss.TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: ss.TimerValues): Iterator[SessionSummary] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      // project to (epoch-ms, value) BEFORE buffering: the sort needs
+      // the whole in-batch burst in memory, so keep only the 16 bytes
+      // the walk reads, not the full row (hot-key bound — scaladoc)
+      val sorted = rows.map(e => (e.ts.getTime, e.value)).toArray
+        .sortInPlaceBy(_._1)
       val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
       var cur = if (open.exists()) Some(open.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
+      sorted.foreach { case (t, v) =>
         cur match {
           case Some((n, s, st, last)) if t - last > gapMs =>
             closed += SessionSummary(key, n, s, st, last)
-            cur = Some((1L, e.value, t, t))
+            cur = Some((1L, v, t, t))
           case Some((n, s, st, last)) =>
-            cur = Some((n + 1, s + e.value, st, math.max(last, t)))
+            cur = Some((n + 1, s + v, st, math.max(last, t)))
           case None =>
-            cur = Some((1L, e.value, t, t))
+            cur = Some((1L, v, t, t))
         }
       }
       cur.foreach { c =>

@@ -39,6 +39,18 @@ class GuardrailsSpec extends SparkSpec {
     }
   }
 
+  test("read-only session rejects pipe-syntax writes and answers pipe reads (round-15 wave)") {
+    graft.sources.Sources.register(spark, sfDir)
+    withReadOnly {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE DIRECTORY '/tmp/guardrail_pipe' USING parquet FROM nation |> SELECT n_name")
+      }
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+      // the pipe READ is an ordinary plan and still answers
+      assert(spark.sql("FROM nation |> AGGREGATE COUNT(*) AS n").collect()(0).getLong(0) == 25L)
+    }
+  }
+
   test("read-only session still answers SELECTs") {
     graft.sources.Sources.register(spark, sfDir)
     withReadOnly {

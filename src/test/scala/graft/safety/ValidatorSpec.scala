@@ -57,6 +57,45 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  /** Third adversarial wave (round 15): Spark-4 SQL pipe syntax
+    * (`FROM t |> op |> op`). Pipe queries parse to ORDINARY logical
+    * plans (PipeOperator wrappers around Project/Filter/Aggregate), so
+    * both safety layers see through them — but the round-14 holes were
+    * both "new parse shape the denylist didn't know", so the wave pins
+    * it: pipe-written reads validate, pipe-smuggled writes deny, the
+    * allow-list and LIMIT detection work through pipes. */
+  test("pipe syntax: reads validate, writes and bypasses deny (round-15 wave)") {
+    // legitimate pipe reads pass the whole chain
+    Seq(
+      "FROM customer |> WHERE c_acctbal > 0 |> SELECT c_name, c_acctbal |> LIMIT 5",
+      "TABLE customer |> SELECT c_custkey",
+      "FROM orders |> AGGREGATE COUNT(*) AS n GROUP BY o_orderstatus",
+      "FROM customer |> SELECT c_custkey |> UNION ALL (FROM supplier |> SELECT s_suppkey)"
+    ).foreach { sql =>
+      assert(Validator.validate(spark, sql, allowed).isRight, s"should allow: $sql")
+    }
+    // pipe-smuggled writes, exfiltration, dynamic SQL, and allow-list
+    // violations all deny
+    Seq(
+      "INSERT INTO t2 FROM customer |> SELECT c_name",
+      "INSERT OVERWRITE DIRECTORY '/tmp/exfil' FROM customer |> SELECT c_name",
+      "EXECUTE IMMEDIATE 'FROM customer |> SELECT c_name'",
+      "FROM secret_tbl |> SELECT *",
+      "WITH g AS (FROM secret_tbl |> SELECT *) SELECT * FROM g"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+      assert(r.swap.exists(e => e.isInstanceOf[SqlSafetyError] || e.isInstanceOf[ParseError]))
+    }
+    // LIMIT detection sees the pipe-built GlobalLimit (no double cap)
+    val limited = Validator.validate(spark,
+      "FROM customer |> SELECT c_custkey |> LIMIT 7", allowed)
+    assert(limited.exists(!_.needsLimit))
+    val unlimited = Validator.validate(spark,
+      "FROM customer |> SELECT c_custkey", allowed)
+    assert(unlimited.exists(_.needsLimit))
+  }
+
   test("dynamic-SQL smuggling is rejected: EXECUTE IMMEDIATE and SQL scripting") {
     Seq(
       "EXECUTE IMMEDIATE 'DROP TABLE customer'",

@@ -91,6 +91,33 @@ object ProbeMvJoinScale {
       f"refreshSpeedup=${tRebuild / tRefresh}%.1fx")
     println(s"PROBE equal maintainedRows=${nDelta == nRebuild}")
 
+    // bucketed store: the A⋈ΔB old-side scan prunes to the delta's
+    // buckets (round-15: the MaterializedJoin.scala:29-31 claim
+    // force-proven). A SMALL dim delta (8 keys, the common "few dim
+    // rows changed" case) against the 64-bucket fact store should read
+    // ≤8 buckets — SelectedBucketsCount in the plan — vs all 64 for
+    // the unpruned scan, and the wall-clock should follow the I/O.
+    graft.sources.Bucketing.writeBucketed(
+      factGen(0, nFact), "probe_mvj_fact", "k", numBuckets = 64)
+    // keep the bucketed read (and with it bucket pruning) on even when
+    // the delta broadcast-joins — DisableUnnecessaryBucketedScan would
+    // otherwise turn both off for this shape
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val factBkt = spark.table("probe_mvj_fact")
+    val smallDimDelta = dimGen(nDim, 8).cache()
+    smallDimDelta.count()
+    val prunedOld = graft.operators.MaterializedJoin.oldSideKeyPruned(
+      factBkt, smallDimDelta, Seq("k"))
+    val planStr = prunedOld.join(smallDimDelta, Seq("k"))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: \\d+ out of \\d+".r
+      .findFirstIn(planStr).getOrElse("NONE")
+    val (nPruned, tPruned) = time { prunedOld.join(smallDimDelta, Seq("k")).count() }
+    val (nPlain, tPlain) = time { factBkt.join(smallDimDelta, Seq("k")).count() }
+    println(f"PROBE bucketed [$sel] prunedTermRows=$nPruned wall=$tPruned%.2fs " +
+      f"unprunedWall=$tPlain%.2fs speedup=${tPlain / tPruned}%.1fx equal=${nPruned == nPlain}")
+    spark.sql("DROP TABLE IF EXISTS probe_mvj_fact")
+
     spark.stop()
   }
 }
