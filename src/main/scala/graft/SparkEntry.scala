@@ -226,6 +226,87 @@ object Queries {
         "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
         "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > TIMESTAMP '1999-06-01 00:00:00') " +
         "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
+    // --- TPC-H round 15b: the CORRELATED-SCALAR decorrelation family
+    // (DecorrelateInnerQuery), the last planner territory the d-series
+    // lacked. Same fixture-adaptation convention; FP-boundary safety
+    // measured before landing: Q17/Q20 compare EXACT sums of integral
+    // doubles; Q11's threshold margin is 1.7e-4 relative (drift
+    // ~1e-15); Q22's nearest balance sits 1.13 from the scalar avg;
+    // Q15's max-revenue winner is unique with a 1-2% gap. ---
+    // Q2: min-cost supplier — correlated scalar MIN whose subquery
+    // repeats the outer's 3-dim snowflake (lineitem stands in for
+    // partsupp's supplycost association)
+    "d50_tpch_q2" ->
+      ("SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type " +
+        "FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+        "WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE' " +
+        "AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2 " +
+        "JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey " +
+        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+        "WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE') " +
+        "ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100"),
+    // Q11: important stock — HAVING-style filter against a scalar
+    // subquery over the SAME CTE (aggregate reused twice)
+    "d51_tpch_q11" ->
+      ("WITH v AS (SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val " +
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name = 'NATION_9' GROUP BY l_partkey) " +
+        "SELECT l_partkey, ROUND(val, 2) AS value FROM v " +
+        "WHERE val > (SELECT SUM(val) * 0.001 FROM v) " +
+        "ORDER BY value DESC, l_partkey LIMIT 100"),
+    // Q15: top supplier — CTE view joined AND probed by a scalar MAX
+    "d52_tpch_q15" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+        "SUM(l_extendedprice * (1 - l_discount)) AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) " +
+        "SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue " +
+        "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no " +
+        "WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue) " +
+        "ORDER BY s.s_suppkey"),
+    // Q17: small-quantity-order revenue — the canonical correlated
+    // scalar AVG per outer key (quantity sums are integral doubles,
+    // so the AVG is bit-identical on both engines)
+    "d53_tpch_q17" ->
+      ("SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE p.p_brand = 'Brand#3' AND p.p_type = 'PROMO' " +
+        "AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = l.l_partkey)"),
+    // Q20: excess-stock suppliers — IN over a GROUPED subquery whose
+    // HAVING holds a correlated scalar agg (the deepest nesting in the
+    // suite: correlation from HAVING into a sibling aggregate)
+    "d54_tpch_q20" ->
+      ("SELECT s_name, s_suppkey FROM supplier WHERE s_suppkey IN (" +
+        "SELECT l1.l_suppkey FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey " +
+        "WHERE p.p_name LIKE 'red%' " +
+        "AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l1.l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l1.l_suppkey, l1.l_partkey " +
+        "HAVING SUM(l1.l_quantity) > (SELECT 0.5 * SUM(l2.l_quantity) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = l1.l_partkey " +
+        "AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00')) " +
+        "ORDER BY s_suppkey LIMIT 100"),
+    // Q22: global-sales opportunity — uncorrelated scalar AVG + NOT
+    // EXISTS anti join + derived-column grouping ("no BIG order"
+    // replaces "no order": this fixture's customers all have orders)
+    "d55_tpch_q22" ->
+      ("SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, " +
+        "ROUND(SUM(c_acctbal), 2) AS totacctbal " +
+        "FROM (SELECT CAST(c_custkey % 7 AS STRING) AS cntrycode, c_acctbal, c_custkey " +
+        "FROM customer " +
+        "WHERE CAST(c_custkey % 7 AS STRING) IN ('1','2','3','4','5') " +
+        "AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00 " +
+        "AND CAST(c_custkey % 7 AS STRING) IN ('1','2','3','4','5'))) c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000) " +
+        "GROUP BY cntrycode ORDER BY cntrycode"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",

@@ -72,6 +72,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("TPC-H correlated-scalar shapes: Q2/Q11/Q15/Q17/Q20/Q22 decorrelate to joined aggregates (d50-d55)") {
+    // DecorrelateInnerQuery territory: every correlated scalar (Q2's
+    // per-part MIN, Q17's per-part AVG, Q20's per-part windowed SUM
+    // inside a HAVING) must become an aggregate JOINED back on the
+    // correlation key — never a per-row nested-loop re-execution
+    val plans = Seq("d50_tpch_q2", "d51_tpch_q11", "d52_tpch_q15",
+      "d53_tpch_q17", "d54_tpch_q20", "d55_tpch_q22").map(n => n -> plan(n))
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must not nested-loop: " + p.take(2000))
+    }
+    val byName = plans.toMap
+    // Q17: the correlated AVG is an aggregate on the BUILD side of the
+    // join, with map-side partials
+    val p17 = byName("d53_tpch_q17")
+    assert("HashAggregate".r.findAllIn(p17).size >= 4, p17.take(2000))
+    // Q22: the NOT EXISTS half still plans as an anti join
+    assert(byName("d55_tpch_q22").contains("LeftAnti"))
+    // Q20: IN over the grouped subquery stays a semi join
+    assert(byName("d54_tpch_q20").contains("LeftSemi"))
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort (d15, d03)") {
     assert(plan("d15_topn").contains("TakeOrderedAndProject"))
     assert(plan("d03_filter_and").contains("TakeOrderedAndProject"))
