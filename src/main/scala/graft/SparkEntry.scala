@@ -307,6 +307,105 @@ object Queries {
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
         "AND o.o_totalprice > 400000) " +
         "GROUP BY cntrycode ORDER BY cntrycode"),
+    // --- TPC-H round 15c: the remaining eight shapes — with these,
+    // ALL 22 TPC-H queries run verbatim through the full safety path
+    // (fixture adaptations as before: l_shipmode → l_linestatus,
+    // ps_supplycost → 0.5·p_retailprice, colors present in this
+    // fixture's part names, nations/regions/dates in range). ---
+    // Q6: the pure scan-aggregate forecast (no join at all)
+    "d56_tpch_q6" ->
+      ("SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // Q7: volume shipping — the two-nation OR pair (symmetric
+    // disjunction over a double nation join) + year extraction
+    "d57_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6') " +
+        "OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')) " +
+        "AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    // Q8: national market share — conditional share of a ratio over
+    // the 7-table snowflake (the widest join in the suite)
+    "d58_tpch_q8" ->
+      ("SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END) " +
+        "/ SUM(volume), 4) AS mkt_share FROM (" +
+        "SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey " +
+        "JOIN region r ON n1.n_regionkey = r.r_regionkey " +
+        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey " +
+        "WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO' " +
+        "AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00') x " +
+        "GROUP BY o_year ORDER BY o_year"),
+    // Q9: product-type profit (cost = 0.5·p_retailprice·qty stands in
+    // for the fixture-absent ps_supplycost), name-LIKE part filter
+    "d59_tpch_q9" ->
+      ("SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM (" +
+        "SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year, " +
+        "l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity AS amount " +
+        "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey " +
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE p.p_name LIKE '%red%') profit " +
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC LIMIT 200"),
+    // Q10: returned-item ranking — grouped top-20 by revenue
+    "d60_tpch_q10" ->
+      ("SELECT c.c_custkey, c.c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "c.c_acctbal, n.n_name " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' " +
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l.l_returnflag = 'R' " +
+        "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    // Q12: late shipments by line status (l_shipmode is fixture-absent)
+    // — dual conditional counts under a date-arithmetic join residual
+    "d61_tpch_q12" ->
+      ("SELECT l_linestatus, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY " +
+        "AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    // Q14: promo revenue share — the CASE-ratio single-join aggregate
+    "d62_tpch_q14" ->
+      ("SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / " +
+        "SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' " +
+        "AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"),
+    // Q19: discounted revenue — the OR-of-ANDs disjunctive predicate
+    // spanning BOTH join sides (the planner must keep the equi-key
+    // conjunct joinable and evaluate the disjunction as a residual,
+    // never degrade to a cartesian)
+    "d63_tpch_q19" ->
+      ("SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11) " +
+        "OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20) " +
+        "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",

@@ -94,6 +94,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(byName("d54_tpch_q20").contains("LeftSemi"))
   }
 
+  test("TPC-H suite completion: Q6-Q19 shapes plan hash joins with pushed filters (d56-d63)") {
+    // Q6 is the no-join scan-aggregate: partials, pushed range filters
+    val p6 = plan("d56_tpch_q6")
+    assert(!p6.contains("Join") && p6.contains("partial_"), p6.take(1500))
+    assert(p6.contains("PushedFilters:") && p6.contains("GreaterThanOrEqual(l_shipdate"), p6.take(1500))
+    // Q19's OR-of-ANDs spans both join sides — the planner must keep
+    // the p_partkey equi-conjunct joinable and evaluate the
+    // disjunction as a residual, never degrade to all-pairs
+    val p19 = plan("d63_tpch_q19")
+    assert(p19.contains("BroadcastHashJoin") || p19.contains("SortMergeJoin"), p19.take(1500))
+    // the whole batch: zero nested loops, dims broadcast somewhere
+    Seq("d57_tpch_q7", "d58_tpch_q8", "d59_tpch_q9", "d60_tpch_q10",
+      "d61_tpch_q12", "d62_tpch_q14", "d63_tpch_q19").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must not nested-loop: " + p.take(2000))
+      assert(p.contains("BroadcastHashJoin"), s"$n should broadcast its dims")
+    }
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort (d15, d03)") {
     assert(plan("d15_topn").contains("TakeOrderedAndProject"))
     assert(plan("d03_filter_and").contains("TakeOrderedAndProject"))
