@@ -884,6 +884,15 @@ object Queries {
         "SELECT k, ver, op, val FROM (SELECT k, ver, op, val, " +
         "ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS r FROM c) t " +
         "WHERE r = 1 AND op <> 'D' ORDER BY k"),
+    // SCD2 replica: LEAD over all records (deletes close predecessors),
+    // delete records emit no row of their own
+    "x_scd2" ->
+      (s"WITH c AS ($cdcChangelogCte), " +
+        "h AS (SELECT k, ver, op, val, " +
+        "LEAD(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to FROM c) " +
+        "SELECT k, ver AS valid_from, valid_to, val, " +
+        "valid_to IS NULL AS is_current " +
+        "FROM h WHERE op <> 'D' ORDER BY k, valid_from LIMIT 2000"),
     "x_cdc_asof" ->
       (s"WITH c AS ($cdcChangelogCte) " +
         "SELECT k, ver, op, val FROM (SELECT k, ver, op, val, " +
@@ -2644,6 +2653,16 @@ object ExtensionQueries {
     "x_cdc_apply" -> ((s, dir) =>
       graft.operators.Cdc.applyChangelog(
         ordersChangelog(s, dir), Seq("k"), "ver", "op").orderBy("k")),
+    // SCD type-2 history from the same changelog: each change becomes
+    // a [valid_from, valid_to) interval, deletes close without a row,
+    // is_current ⇔ open — LIMIT bounded by a total (k, valid_from)
+    // order (ver is globally unique)
+    "x_scd2" -> ((s, dir) =>
+      graft.operators.Cdc.scd2History(
+        ordersChangelog(s, dir), Seq("k"), "ver", "op")
+        .select(col("k"), col("valid_from"), col("valid_to"),
+          col("val"), col("is_current"))
+        .orderBy("k", "valid_from").limit(2000)),
     "x_cdc_asof" -> ((s, dir) =>
       graft.operators.Cdc.snapshotAsOf(
         ordersChangelog(s, dir), Seq("k"), "ver", "op", lit(3000L)).orderBy("k")),

@@ -63,6 +63,36 @@ object Cdc {
       keyCols, versionCol, opCol, deleteOp)
 
   /**
+   * SCD Type-2 history: turn the changelog into validity INTERVALS —
+   * each non-delete change record becomes a row valid over
+   * [valid_from, valid_to), where valid_from is its own version and
+   * valid_to is the NEXT change's version for the key (NULL = still
+   * current). A delete record closes its predecessor's interval
+   * (the LEAD sees it) but emits no row of its own, so a key whose
+   * last record is a delete has only CLOSED history. This is the
+   * Kimball type-2 dimension build, derived entirely from the same
+   * Debezium-model changelog `applyChangelog` consumes — at 100 TB the
+   * history table IS the audit trail, and building it is one
+   * key-partitioned window over the changelog (ordered by version
+   * within key; never a global sort), shuffling on the same key as
+   * the materialization so the two builds share an exchange.
+   *
+   * `is_current` ⇔ open interval; `applyChangelog`'s state equals
+   * `WHERE is_current` (spec-pinned equivalence).
+   */
+  def scd2History(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(col(opCol) =!= lit(deleteOp))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /**
    * Net effect between two versions, for incremental downstream
    * refresh: full-outer join of the two as-of states on the key,
    * classified `I` (new key), `U` (payload changed), `D` (key gone);

@@ -20,6 +20,34 @@ class CdcSpec extends SparkSpec {
     assert(state.toSeq == Seq((1L, 3L, "a3"), (3L, 5L, "c5")))
   }
 
+  test("scd2History: intervals chain per key, deletes close without a row, reinsert reopens") {
+    val log = changes(
+      (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"), (1L, 2L, "U", "a2"),
+      (2L, 1L, "U", "b1"), (2L, 2L, "D", ""),   // deleted: only closed history
+      (2L, 5L, "U", "b5"),                       // reinserted: new open row
+      (3L, 4L, "U", "c4"))
+    val h = Cdc.scd2History(log, Seq("k"), "ver", "op")
+      .select("k", "valid_from", "valid_to", "val", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(h === Seq(
+      (1L, 1L, Some(2L), "a1", false),
+      (1L, 2L, Some(3L), "a2", false),
+      (1L, 3L, None, "a3", true),
+      (2L, 1L, Some(2L), "b1", false), // closed by the delete at v2
+      (2L, 5L, None, "b5", true),      // reopened after the delete
+      (3L, 4L, None, "c4", true)))
+    // contract: current slice of the history == the materialized state
+    val current = Cdc.scd2History(log, Seq("k"), "ver", "op")
+      .where($"is_current").select("k", "val").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val state = Cdc.applyChangelog(log, Seq("k"), "ver", "op")
+      .select("k", "val").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current === state)
+  }
+
   test("snapshotAsOf reconstructs historical state at any version cutoff") {
     val log = changes(
       (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"),
