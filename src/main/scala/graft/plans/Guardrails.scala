@@ -24,14 +24,23 @@ class ReadOnlyGuard(session: SparkSession) extends (LogicalPlan => Unit) {
       // (the Validator denylist and this guard both carry the case —
       // round-14 adversarial wave)
       val offending = plan.collectFirst {
-        case c: Command => c
-        case d: InsertIntoDir => d
+        case c: Command => c.nodeName
+        case d: InsertIntoDir => d.nodeName
+        // reflect()/java_method() invoke arbitrary static Java methods
+        // — an exfiltration/execution escape hatch inside a "SELECT"
+        // (round-15 adversarial wave). The Validator denies the
+        // UNRESOLVED function by name; this is the second layer on the
+        // RESOLVED expression, unbypassable via spark.sql directly.
+        case p if p.expressions.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.CallMethodViaReflection => true
+          case _ => false
+        }) => "reflect/java_method (JVM reflection)"
       }
-      offending.foreach { c =>
+      offending.foreach { what =>
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3100",
           messageParameters = Map("message" ->
-            s"read-only session (spark.graft.readOnly=true): ${c.nodeName} is not allowed"))
+            s"read-only session (spark.graft.readOnly=true): $what is not allowed"))
       }
     }
   }

@@ -100,6 +100,14 @@ object Validator {
           // wave; Spark 4 feature, also not a Command)
           case _: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate =>
             "EXECUTE IMMEDIATE"
+          // IDENTIFIER('sup' || 'plier') parses to a deferred-name node
+          // whose relation name is INVISIBLE to referencedTables — the
+          // round-15 wave read a forbidden table straight through the
+          // allow-list with it. Dynamic names are the same class as
+          // dynamic SQL: statically un-vettable, denied outright
+          // (write the literal name instead).
+          case _: org.apache.spark.sql.catalyst.analysis.PlanWithUnresolvedIdentifier =>
+            "IDENTIFIER() dynamic name"
           case _: UpdateTable => "UPDATE"
           case _: DeleteFromTable => "DELETE"
           case _: MergeIntoTable => "MERGE"
@@ -152,6 +160,37 @@ object Validator {
       case r: UnresolvedRelation =>
         r.multipartIdentifier.map(_.toLowerCase).mkString(".")
     }).toSet -- cteNames
+  }
+
+  /** Expression-level escape hatches (round-15 adversarial wave). Two
+    * classes, both denied outright:
+    *
+    * 1. `reflect` / `java_method` invoke ARBITRARY static Java methods
+    *    from inside a "read-only SELECT" — the probe exfiltrated
+    *    `System.getenv` through the full validation chain. No analytic
+    *    query needs JVM reflection; denied by name at parse time (and
+    *    the analysis-time guard denies the resolved
+    *    `CallMethodViaReflection` expression as the second layer).
+    * 2. `IDENTIFIER(expr)` as a column/function name — the same
+    *    dynamic-name evasion as the relation form: `IDENTIFIER('refl'
+    *    || 'ect')(...)` would dodge a name denylist, so the deferred-
+    *    identifier EXPRESSION node is denied wherever it appears.
+    */
+  private val deniedFunctions = Set("reflect", "java_method")
+
+  def ensureNoEscapeHatches(plan: LogicalPlan): Either[EngineError, Unit] = {
+    val bad = allExpressions(plan).flatMap(_.collectFirst {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if deniedFunctions.contains(f.nameParts.last.toLowerCase) =>
+        s"function ${f.nameParts.mkString(".")}"
+      case _: org.apache.spark.sql.catalyst.analysis.ExpressionWithUnresolvedIdentifier =>
+        "IDENTIFIER() dynamic name"
+    }).headOption
+    bad match {
+      case Some(kind) =>
+        Left(SqlSafetyError(s"Statically un-vettable construct: $kind is not allowed"))
+      case None => Right(())
+    }
   }
 
   /** Table allow-list (V4, ref nl2sql.py:292-313). */
@@ -271,6 +310,7 @@ object Validator {
     for {
       plan <- parse(spark, sql)
       _ <- ensureSelectOnly(plan)
+      _ <- ensureNoEscapeHatches(plan)
       _ <- ensureTablesAllowed(plan, allowedTables)
       _ <- validateAggregationRequirement(plan, needsAggregation)
       _ <- validateStructure(plan, wantsDistinct)

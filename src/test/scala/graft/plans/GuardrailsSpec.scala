@@ -51,6 +51,19 @@ class GuardrailsSpec extends SparkSpec {
     }
   }
 
+  test("read-only session rejects JVM reflection expressions (round-15 hole, second layer)") {
+    graft.sources.Sources.register(spark, sfDir)
+    withReadOnly {
+      Seq(
+        "SELECT reflect('java.lang.System', 'getenv', 'HOME') FROM nation LIMIT 1",
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') FROM nation LIMIT 1"
+      ).foreach { sql =>
+        val e = intercept[Exception] { spark.sql(sql).collect() }
+        assert(e.getMessage.contains("read-only"), s"$sql => ${e.getMessage}")
+      }
+    }
+  }
+
   test("read-only session still answers SELECTs") {
     graft.sources.Sources.register(spark, sfDir)
     withReadOnly {

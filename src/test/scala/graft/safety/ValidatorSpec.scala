@@ -96,6 +96,37 @@ class ValidatorSpec extends SparkSpec {
     assert(unlimited.exists(_.needsLimit))
   }
 
+  /** Fourth adversarial wave (round 15): two REAL holes found by the
+    * scout probe and closed. IDENTIFIER('sup' || 'plier') read a
+    * forbidden table straight through the allow-list (the deferred
+    * name is invisible to referencedTables); reflect()/java_method()
+    * exfiltrated System.getenv through the whole chain. Both are
+    * statically un-vettable constructs — denied outright at parse
+    * time, with the guard layer carrying the resolved-reflection case. */
+  test("IDENTIFIER() dynamic names and JVM reflection are rejected (round-15 holes)") {
+    Seq(
+      // the actual bypass the probe executed: forbidden table via concat
+      "SELECT * FROM IDENTIFIER('sup' || 'plier') LIMIT 5",
+      // even a literal, allow-listed name: dynamic-name machinery is
+      // denied as a class, not by what it happens to resolve to today
+      "SELECT * FROM IDENTIFIER('nation') LIMIT 5",
+      // expression-level deferred names (column/function positions)
+      "SELECT IDENTIFIER('c_name') FROM customer LIMIT 5",
+      // the exfiltration pair, plain and nested
+      "SELECT reflect('java.lang.System', 'getenv', 'HOME') AS v FROM nation LIMIT 1",
+      "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') AS v FROM nation LIMIT 1",
+      "SELECT c_name FROM customer WHERE c_name = (SELECT reflect('java.lang.System', 'getenv', 'X') FROM nation LIMIT 1)",
+      "WITH g AS (SELECT reflect('java.lang.System', 'getenv', 'X') AS v FROM nation) SELECT * FROM g"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+      assert(r.swap.exists(e => e.isInstanceOf[SqlSafetyError] || e.isInstanceOf[ParseError]))
+    }
+    // benign reflection-free functions still pass (no overreach)
+    assert(Validator.validate(spark,
+      "SELECT upper(c_name) AS u FROM customer LIMIT 5", allowed).isRight)
+  }
+
   test("dynamic-SQL smuggling is rejected: EXECUTE IMMEDIATE and SQL scripting") {
     Seq(
       "EXECUTE IMMEDIATE 'DROP TABLE customer'",
