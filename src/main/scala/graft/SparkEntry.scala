@@ -893,6 +893,14 @@ object Queries {
         "SELECT k, ver AS valid_from, valid_to, val, " +
         "valid_to IS NULL AS is_current " +
         "FROM h WHERE op <> 'D' ORDER BY k, valid_from LIMIT 2000"),
+    // incremental fold ≡ full-log rebuild: literally the same oracle
+    "x_scd2_incremental" ->
+      (s"WITH c AS ($cdcChangelogCte), " +
+        "h AS (SELECT k, ver, op, val, " +
+        "LEAD(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to FROM c) " +
+        "SELECT k, ver AS valid_from, valid_to, val, " +
+        "valid_to IS NULL AS is_current " +
+        "FROM h WHERE op <> 'D' ORDER BY k, valid_from LIMIT 2000"),
     "x_cdc_asof" ->
       (s"WITH c AS ($cdcChangelogCte) " +
         "SELECT k, ver, op, val FROM (SELECT k, ver, op, val, " +
@@ -2663,6 +2671,19 @@ object ExtensionQueries {
         .select(col("k"), col("valid_from"), col("valid_to"),
           col("val"), col("is_current"))
         .orderBy("k", "valid_from").limit(2000)),
+    // incremental SCD2: history built from the ver<=3000 prefix, the
+    // suffix folded in via scd2Apply — must hash-match the FULL-log
+    // oracle (refresh ≡ rebuild; same SQL as x_scd2 by construction)
+    "x_scd2_incremental" -> ((s, dir) => {
+      val log = ordersChangelog(s, dir)
+      val hist0 = graft.operators.Cdc.scd2History(
+        log.where(col("ver") <= 3000L), Seq("k"), "ver", "op")
+      graft.operators.Cdc.scd2Apply(hist0,
+        log.where(col("ver") > 3000L), Seq("k"), "ver", "op")
+        .select(col("k"), col("valid_from"), col("valid_to"),
+          col("val"), col("is_current"))
+        .orderBy("k", "valid_from").limit(2000)
+    }),
     "x_cdc_asof" -> ((s, dir) =>
       graft.operators.Cdc.snapshotAsOf(
         ordersChangelog(s, dir), Seq("k"), "ver", "op", lit(3000L)).orderBy("k")),

@@ -93,6 +93,44 @@ object Cdc {
   }
 
   /**
+   * Incremental SCD2 maintenance: fold a NEW changelog batch into an
+   * existing [[scd2History]] table without recomputing it — the
+   * delta-maintenance sibling of [[graft.operators.MaterializedJoin]]'s
+   * refresh. Contract: every batch version is NEWER than every stored
+   * version for its key (an append-only changelog delivers exactly
+   * this; Debezium LSNs / Kafka offsets are monotone per key). Then
+   *   scd2Apply(scd2History(prefix), suffix) ≡ scd2History(prefix ∪ suffix)
+   * exactly (spec-pinned, including deletes closing across the
+   * boundary and delete-then-reinsert inside the batch).
+   *
+   * Mechanics: the batch's own intervals come from [[scd2History]]
+   * over JUST the batch (one batch-sized window); the stored history
+   * is touched only to CLOSE each affected key's open interval at the
+   * batch's first version for that key — a key-sized left join, AQE
+   * broadcasts the batch's (key, first_ver) frame when it is small
+   * (the common case: a delta is change-sized). Untouched keys stream
+   * through the join unmodified; at 100 TB the cost is one scan of
+   * the stored history + the batch window, never a history rebuild.
+   */
+  def scd2Apply(history: DataFrame, newChanges: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val firstNew = newChanges.groupBy(keyCols.map(col): _*)
+      .agg(min(col(versionCol)).as("__first_ver"))
+      .select(keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__first_ver"): _*)
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    val closed = history.join(firstNew, joinCond, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__first_ver").isNotNull, col("__first_ver"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__first_ver").isNull)
+      .select(history.columns.map(col): _*)
+    closed.unionByName(
+      scd2History(newChanges, keyCols, versionCol, opCol, deleteOp)
+        .select(history.columns.map(col): _*))
+  }
+
+  /**
    * Net effect between two versions, for incremental downstream
    * refresh: full-outer join of the two as-of states on the key,
    * classified `I` (new key), `U` (payload changed), `D` (key gone);

@@ -48,6 +48,33 @@ class CdcSpec extends SparkSpec {
     assert(current === state)
   }
 
+  test("scd2Apply: incremental fold equals the full-log rebuild (refresh ≡ rebuild)") {
+    val prefix = changes(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "a2"), // key 1: open at a2
+      (2L, 1L, "U", "b1"),                       // key 2: open, untouched by the batch
+      (3L, 1L, "U", "c1"), (3L, 2L, "D", ""))    // key 3: fully closed (delete)
+    val suffix = changes(
+      (1L, 5L, "U", "a5"),                       // extends key 1: closes a2 at 5
+      (3L, 6L, "U", "c6"),                       // reopens the deleted key 3
+      (4L, 7L, "U", "d7"), (4L, 8L, "D", ""),    // new key, deleted inside the batch
+      (5L, 9L, "U", "e9"))                       // brand-new open key
+    val applied = Cdc.scd2Apply(
+      Cdc.scd2History(prefix, Seq("k"), "ver", "op"),
+      suffix, Seq("k"), "ver", "op")
+    val rebuilt = Cdc.scd2History(prefix.unionByName(suffix), Seq("k"), "ver", "op")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "valid_from", "valid_to", "val", "is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(applied) === canon(rebuilt))
+    // the boundary really happened: a2 closed at the batch's version 5
+    assert(canon(applied).contains((1L, 2L, Some(5L), "a2", false)))
+    // untouched key 2 still open; in-batch delete left key 4 closed
+    assert(canon(applied).contains((2L, 1L, None, "b1", true)))
+    assert(canon(applied).contains((4L, 7L, Some(8L), "d7", false)))
+  }
+
   test("snapshotAsOf reconstructs historical state at any version cutoff") {
     val log = changes(
       (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"),
