@@ -893,6 +893,15 @@ object Queries {
         "SELECT k, ver AS valid_from, valid_to, val, " +
         "valid_to IS NULL AS is_current " +
         "FROM h WHERE op <> 'D' ORDER BY k, valid_from LIMIT 2000"),
+    // interval-containment time travel at ver 3000 (per key at most
+    // one containing interval, so k is a total order)
+    "x_scd2_asof" ->
+      (s"WITH c AS ($cdcChangelogCte), " +
+        "h AS (SELECT k, ver, op, val, " +
+        "LEAD(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to FROM c) " +
+        "SELECT k, ver AS valid_from, val FROM h " +
+        "WHERE op <> 'D' AND ver <= 3000 " +
+        "AND (valid_to IS NULL OR valid_to > 3000) ORDER BY k"),
     // incremental fold ≡ full-log rebuild: literally the same oracle
     "x_scd2_incremental" ->
       (s"WITH c AS ($cdcChangelogCte), " +
@@ -2671,6 +2680,15 @@ object ExtensionQueries {
         .select(col("k"), col("valid_from"), col("valid_to"),
           col("val"), col("is_current"))
         .orderBy("k", "valid_from").limit(2000)),
+    // SCD2 point-in-time serving: one interval-containment filter on
+    // the derived history — state as of version 3000
+    "x_scd2_asof" -> ((s, dir) =>
+      graft.operators.Cdc.scd2AsOf(
+        graft.operators.Cdc.scd2History(
+          ordersChangelog(s, dir), Seq("k"), "ver", "op"),
+        lit(3000L))
+        .select(col("k"), col("valid_from"), col("val"))
+        .orderBy("k")),
     // incremental SCD2: history built from the ver<=3000 prefix, the
     // suffix folded in via scd2Apply — must hash-match the FULL-log
     // oracle (refresh ≡ rebuild; same SQL as x_scd2 by construction)

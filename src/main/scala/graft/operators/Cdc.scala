@@ -92,6 +92,17 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time serving from the history table — the reason SCD2
+    * exists: state as of version V is one interval-containment filter,
+    * `valid_from <= V < valid_to` (open intervals unbounded above).
+    * No window, no changelog re-reduction; against a history
+    * partitioned/z-ordered on the key this is a pruned scan. Equals
+    * [[snapshotAsOf]] over the underlying changelog (spec-pinned) —
+    * the history table trades storage for O(1)-pass time travel. */
+  def scd2AsOf(history: DataFrame, asOfVersion: Column): DataFrame =
+    history.where(col("valid_from") <= asOfVersion &&
+      (col("valid_to").isNull || col("valid_to") > asOfVersion))
+
   /**
    * Incremental SCD2 maintenance: fold a NEW changelog batch into an
    * existing [[scd2History]] table without recomputing it — the

@@ -75,6 +75,53 @@ class CdcSpec extends SparkSpec {
     assert(canon(applied).contains((4L, 7L, Some(8L), "d7", false)))
   }
 
+  test("scd2AsOf time travel equals the changelog snapshot at every cutoff") {
+    val log = changes(
+      (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"), (1L, 6L, "D", ""),
+      (2L, 2L, "U", "b2"), (2L, 5L, "U", "b5"),
+      (3L, 4L, "U", "c4"))
+    val hist = Cdc.scd2History(log, Seq("k"), "ver", "op")
+    (1L to 7L).foreach { v =>
+      val served = Cdc.scd2AsOf(hist, lit(v)).select("k", "val").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val snap = Cdc.snapshotAsOf(log, Seq("k"), "ver", "op", lit(v))
+        .select("k", "val").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(served === snap, s"as-of $v")
+    }
+  }
+
+  test("streaming SCD2 maintenance: per-batch scd2Apply folds equal the full-log build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq((1L, 1L, "U", "a1"), (2L, 2L, "U", "b2"), (1L, 3L, "U", "a3"))
+    val b2 = Seq((1L, 5L, "D", ""), (3L, 6L, "U", "c6"), (2L, 7L, "U", "b7"))
+    val in = MemoryStream[(Long, Long, String, String)]
+    // history state held across batches, maintained by scd2Apply —
+    // the foreachBatch shape of a streaming SCD2 maintainer (each
+    // micro-batch carries strictly newer versions, which event order
+    // guarantees for an append-only changelog)
+    var hist = Cdc.scd2History(
+      changes(), Seq("k"), "ver", "op").localCheckpoint(true)
+    val q = in.toDF().toDF("k", "ver", "op", "val")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          hist = Cdc.scd2Apply(hist, b, Seq("k"), "ver", "op").localCheckpoint(true)
+        ()
+      }.start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val rebuilt = Cdc.scd2History(changes(b1 ++ b2: _*), Seq("k"), "ver", "op")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "valid_from", "valid_to", "val", "is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(hist) === canon(rebuilt))
+  }
+
   test("snapshotAsOf reconstructs historical state at any version cutoff") {
     val log = changes(
       (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"),
