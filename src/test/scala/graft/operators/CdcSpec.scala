@@ -122,6 +122,38 @@ class CdcSpec extends SparkSpec {
     assert(canon(hist) === canon(rebuilt))
   }
 
+  test("temporal dimension enrichment: facts join the SCD2 interval containing their event version") {
+    // the consumption shape SCD2 history exists FOR: each fact picks
+    // the dimension image valid AT its own time — one containment
+    // predicate on the history, equal to per-fact snapshotAsOf
+    val log = changes(
+      (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"), (1L, 8L, "D", ""),
+      (2L, 2L, "U", "b2"))
+    val hist = Cdc.scd2History(log, Seq("k"), "ver", "op")
+    val facts = Seq((10L, 1L, 1L), (11L, 1L, 5L), (12L, 1L, 9L), (13L, 2L, 3L))
+      .toDF("fact_id", "k", "at_ver")
+    val enriched = facts.join(hist,
+        facts("k") === hist("k") &&
+          col("valid_from") <= col("at_ver") &&
+          (col("valid_to").isNull || col("valid_to") > col("at_ver")),
+        "left")
+      .select(col("fact_id"), col("val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(enriched === Set(
+      (10L, Some("a1")),  // at 1: first image
+      (11L, Some("a4")),  // at 5: second image
+      (12L, None),        // at 9: key deleted at 8 — no valid image
+      (13L, Some("b2"))))
+    // agreement with per-fact snapshotAsOf on the matched rows
+    facts.collect().foreach { f =>
+      val (k, v) = (f.getLong(1), f.getLong(2))
+      val snap = Cdc.snapshotAsOf(log, Seq("k"), "ver", "op", lit(v))
+        .where($"k" === k).select("val").collect().headOption.map(_.getString(0))
+      val got = enriched.collectFirst { case (id, x) if id == f.getLong(0) => x }.get
+      assert(got === snap, s"fact ${f.getLong(0)}")
+    }
+  }
+
   test("snapshotAsOf reconstructs historical state at any version cutoff") {
     val log = changes(
       (1L, 1L, "U", "a1"), (1L, 4L, "U", "a4"),
