@@ -406,6 +406,18 @@ object Queries {
         "WHERE (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11) " +
         "OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20) " +
         "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)"),
+    // --- recursive CTE (Spark 4 / SQL:1999), round 15: the iterative
+    // SQL surface — a recursive series seed joined back to the corpus,
+    // verbatim on both engines. Safety posture scouted first
+    // (ProbeRecursiveCte): the allow-list sees through the recursive
+    // body, and runaway recursion fails loud at the engine's level
+    // limit (RECURSION_LEVEL_LIMIT_EXCEEDED at 100) — pinned in
+    // ValidatorSpec. ---
+    "d64_recursive_cte" ->
+      ("WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 24) " +
+        "SELECT s.n, CAST(COUNT(c.c_custkey) AS BIGINT) AS cnt " +
+        "FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n " +
+        "GROUP BY s.n ORDER BY s.n"),
     // --- profiler queries (§2.1, §2.4 A6-A8/S5) ---
     "d21_profile_domain" ->
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 100",

@@ -127,6 +127,25 @@ class ValidatorSpec extends SparkSpec {
       "SELECT upper(c_name) AS u FROM customer LIMIT 5", allowed).isRight)
   }
 
+  test("recursive CTEs: allow-list sees the recursive body; runaway recursion is engine-bounded") {
+    // the recursive surface is admitted (it is a read), and a
+    // forbidden table inside the recursive body is still caught
+    assert(Validator.validate(spark,
+      "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM s WHERE n < 5) SELECT * FROM s",
+      allowed).isRight)
+    val r = Validator.validate(spark,
+      "WITH RECURSIVE r(n) AS (SELECT o_orderkey FROM forbidden_tbl UNION ALL SELECT n FROM r WHERE 1=0) SELECT COUNT(*) FROM r",
+      allowed)
+    assert(r.isLeft && r.swap.exists(_.message.contains("forbidden_tbl")))
+    // unbounded recursion passes static validation (nothing static
+    // distinguishes it) but the ENGINE bounds it: level limit 100,
+    // loud failure — a recursion DoS cannot run away
+    val e = intercept[Exception] {
+      spark.sql("WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r) SELECT COUNT(*) FROM r").collect()
+    }
+    assert(e.getMessage.contains("RECURSION_LEVEL_LIMIT_EXCEEDED"), e.getMessage.take(200))
+  }
+
   test("dynamic-SQL smuggling is rejected: EXECUTE IMMEDIATE and SQL scripting") {
     Seq(
       "EXECUTE IMMEDIATE 'DROP TABLE customer'",
