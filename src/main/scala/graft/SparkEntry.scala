@@ -805,6 +805,18 @@ object Queries {
         "WHERE r.rank <= 3 ORDER BY r.user_id, r.rank"),
     // triangle census by independent id-ordered enumeration (the
     // Spark side orients by degree — same exact count either way)
+    // BFS min-depth replica: depth-capped recursive walk with
+    // UNION-DISTINCT semantics (bounded (node, depth) state — a
+    // UNION ALL walk would blow up exponentially on this cyclic
+    // graph), MIN(depth) per node = the BFS level
+    "x_graph_reach" ->
+      ("WITH RECURSIVE raw AS (SELECT doc_id % 31 AS src, (doc_id * 7 + 3) % 31 AS dst FROM documents " +
+        "UNION ALL SELECT doc_id % 31, (doc_id * 13 + 5) % 31 FROM documents " +
+        "UNION ALL SELECT doc_id % 31, (doc_id * 3 + 11) % 31 FROM documents), " +
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), " +
+        "r(node, depth) AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS depth " +
+        "UNION SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node WHERE r.depth < 10) " +
+        "SELECT node, CAST(MIN(depth) AS INT) AS depth FROM r GROUP BY node ORDER BY node"),
     "x_triangles" ->
       ("WITH raw AS (SELECT doc_id % 31 AS x, (doc_id * 7 + 3) % 31 AS y FROM documents " +
         "UNION ALL SELECT doc_id % 31, (doc_id * 13 + 5) % 31 FROM documents " +
@@ -2541,6 +2553,20 @@ object ExtensionQueries {
         .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 13 + 5) % 31).as("dst")))
         .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 3 + 11) % 31).as("dst")))
       graft.operators.Graphs.triangleStats(raw)
+    }),
+    // multi-source BFS reachability (single source 0) over the same
+    // derived 31-node directed graph as x_triangles — frontier
+    // iteration with early exit, oracled against a depth-capped
+    // recursive CTE with UNION-distinct semantics + MIN(depth)
+    "x_graph_reach" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val raw = d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 7 + 3) % 31).as("dst"))
+        .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 13 + 5) % 31).as("dst")))
+        .unionAll(d.select((col("doc_id") % 31).as("src"), ((col("doc_id") * 3 + 11) % 31).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val sources = s.range(1).select(lit(0L).as("node"))
+      graft.operators.Graphs.reachability(raw, sources, maxDepth = 10)
+        .orderBy("node")
     }),
     "x_host_graph_degrees" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"),

@@ -124,6 +124,50 @@ object Graphs {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /**
+   * Multi-source BFS reachability: (node, depth) for every node
+   * reachable from `sources` within `maxDepth` DIRECTED hops, depth =
+   * the minimum hop count (sources themselves at depth 0). The
+   * frontier-iteration (Pregel-style) pattern: each level is one
+   * key-partitioned join of the CURRENT frontier against the edge
+   * list plus an anti-join against the visited set, so per-level cost
+   * is O(|frontier's out-edges|) — never |nodes|² and never the
+   * exponential path blow-up a naive recursive UNION ALL walk hits on
+   * cyclic graphs. The driver loop carries only the level counter;
+   * frontier/visited stay distributed (localCheckpoint per level cuts
+   * the growing lineage — the iterative-plan lesson from pageRank),
+   * and the walk EXITS EARLY the first level the frontier empties,
+   * so maxDepth is a ceiling, not a cost.
+   *
+   * The SQL sibling is a recursive CTE with UNION-distinct semantics
+   * (the x_graph_reach oracle); this operator is the shape that
+   * scales when the edge list does not fit a recursive CTE's
+   * single-node iteration.
+   */
+  def reachability(edges: DataFrame, sources: DataFrame, maxDepth: Int = 10,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    var visited = sources.select(col(nodeCol).as("node")).distinct()
+      .withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Degree statistics per node: out-degree, in-degree — the cheap
     * companion profile (one aggregation per direction, full-outer
     * merged on the node key). */

@@ -82,6 +82,24 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.pageRank(edges(), 3).count() == 0)
   }
 
+  test("reachability: BFS min-depths, unreachable nodes excluded, early exit under the cap") {
+    // a → b → c → d, a → c shortcut, e isolated, cycle back d → a
+    val g = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"))
+    val src = Seq("a").toDF("node")
+    val got = Graphs.reachability(g, src, maxDepth = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // shortcut wins: c at depth 1, not 2; cycle does not revisit a
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    // depth cap truncates the walk
+    val capped = Graphs.reachability(g, src, maxDepth = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(capped === Map("a" -> 0, "b" -> 1, "c" -> 1))
+    // multi-source: seeds at depth 0, shared frontier merges
+    val multi = Graphs.reachability(g, Seq("a", "d").toDF("node"), maxDepth = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(multi === Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
+  }
+
   test("triangleStats: K4 has 4 triangles and clustering 1.0") {
     val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b) yield (a, b)
     val r = Graphs.triangleStats(edges(k4: _*)).collect()(0)
