@@ -618,6 +618,16 @@ object Queries {
         "round((CAST(pr.n_both AS DOUBLE) / pa.n1) / (pb.n1 / (SELECT CAST(n AS DOUBLE) FROM nb)), 6) AS lift " +
         "FROM pr JOIN pt pa ON pa.t = pr.type_a JOIN pt pb ON pb.t = pr.type_b " +
         "ORDER BY type_a, type_b"),
+    // KS replica: per-value integer counts, cumulative fractions at
+    // every distinct value, sup of the absolute gap
+    "x_ks_drift" ->
+      ("WITH u AS (SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sa, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sb " +
+        "FROM events WHERE event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT value, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(sb) AS BIGINT) AS cb FROM u GROUP BY value), " +
+        "cum AS (SELECT value, SUM(ca) OVER (ORDER BY value) AS cca, SUM(cb) OVER (ORDER BY value) AS ccb FROM c), " +
+        "n AS (SELECT CAST(SUM(sa) AS DOUBLE) AS na, CAST(SUM(sb) AS DOUBLE) AS nb FROM u) " +
+        "SELECT ROUND(MAX(ABS(cca / na - ccb / nb)), 6) AS ks FROM cum, n"),
     // PSI replica: identical fixed-width buckets, 1e-6 floor, ln fold
     "x_psi_drift" ->
       ("WITH r0 AS (SELECT event_type, LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket " +
@@ -2368,6 +2378,16 @@ object ExtensionQueries {
         e.where(dayofmonth(col("ts")) >= 16),
         "event_type", "value")
         .orderBy("event_type")
+    }),
+    // exact two-sample KS between view/purchase value distributions —
+    // binning-free drift (distributed-prefix-sum cumulative counts;
+    // all-integer arithmetic until the final divisions, so the rounded
+    // statistic is engine-exact)
+    "x_ks_drift" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.ksStatistic(
+        s.table("events"), "value", "event_type", "view", "purchase")
+        .select(round(col("ks"), 6).as("ks"))
     }),
     // A/B conversion test: hash-bucket variant (user_id % 2), convert
     // at >= 14 purchases; hashed surface is the pure-integer columns

@@ -305,4 +305,56 @@ object EventAnalytics {
         round((col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")), 4)
           .as("robust_z")): _*)
   }
+
+  /**
+   * EXACT two-sample Kolmogorov–Smirnov statistic between the value
+   * distributions of two groups — the distribution-shape drift monitor
+   * PSI (x_psi_drift) cannot give you: KS is binning-free, so a shift
+   * PSI's coarse bins absorb still registers. Returns one row,
+   * `ks` = sup_x |F_a(x) − F_b(x)| evaluated at every distinct value.
+   *
+   * Scale + exactness design: per-value counts aggregate first (one
+   * corpus-sized pass, map-side combined), then the global cumulative
+   * counts come from the SAME distributed-prefix-sum shape as
+   * [[Packing]]: ONE range exchange on the distinct-value frame,
+   * per-partition inclusive window cumsums, and a |partitions|-row
+   * totals frame broadcast back (the unpartitioned window runs over
+   * the cluster-sized totals frame only — never the data). All
+   * arithmetic is INTEGER until the final count/total divisions, and
+   * identical integer operands divide identically in IEEE on every
+   * engine — the statistic carries NO float-accumulation drift, so
+   * the oracle can compare it exactly (round only against the
+   * hashed-surface 6dp convention).
+   */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val ranged = cells.repartitionByRange(partitions, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged
+      .withColumn("__la", sum(col("__ca")).over(localW))
+      .withColumn("__lb", sum(col("__cb")).over(localW))
+    val baseW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+      .withColumn("__ba", coalesce(sum(col("__ta")).over(baseW), lit(0L)))
+      .withColumn("__bb", coalesce(sum(col("__tb")).over(baseW), lit(0L)))
+      .select(col("__pid"), col("__ba"), col("__bb"))
+    val totals = cells.agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb"))
+    local.join(broadcast(bases), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .select(abs((col("__ba") + col("__la")) / col("__na") -
+        (col("__bb") + col("__lb")) / col("__nb")).as("__d"))
+      .agg(max(col("__d")).as("ks"))
+  }
 }

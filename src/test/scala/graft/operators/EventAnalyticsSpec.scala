@@ -222,6 +222,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("ksStatistic: hand-computed sup gap; identical samples score zero; plan is range-partitioned") {
+    // A = {1,2,3}, B = {2,3,4}: F_a - F_b is 1/3 at x=1,2,3 and 0 at 4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val ks = EventAnalytics.ksStatistic(df, "v", "g", "a", "b", partitions = 2)
+      .collect()(0).getDouble(0)
+    assert(math.abs(ks - 1.0 / 3.0) < 1e-12)
+    // identical distributions: sup gap is exactly zero
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
+    assert(EventAnalytics.ksStatistic(same, "v", "g", "a", "b")
+      .collect()(0).getDouble(0) === 0.0)
+    // disjoint supports: KS = 1 (total separation)
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("g", "v")
+    assert(EventAnalytics.ksStatistic(disj, "v", "g", "a", "b")
+      .collect()(0).getDouble(0) === 1.0)
+    // scale shape: cumulative counts ride a RANGE exchange with
+    // pid-partitioned windows — no data-sized single-partition window
+    val plan = EventAnalytics.ksStatistic(df, "v", "g", "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("funnel reach joins are user-keyed equi-joins (no cartesian)") {
     val reach = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
       Seq("signup", "click"))
