@@ -628,6 +628,17 @@ object Queries {
         "cum AS (SELECT value, SUM(ca) OVER (ORDER BY value) AS cca, SUM(cb) OVER (ORDER BY value) AS ccb FROM c), " +
         "n AS (SELECT CAST(SUM(sa) AS DOUBLE) AS na, CAST(SUM(sb) AS DOUBLE) AS nb FROM u) " +
         "SELECT ROUND(MAX(ABS(cca / na - ccb / nb)), 6) AS ks FROM cum, n"),
+    // W1 replica: CDF gap at each distinct value × span to the next
+    // (global LEAD; the last value spans nothing)
+    "x_w1_drift" ->
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sa, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sb " +
+        "FROM events WHERE event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(sb) AS BIGINT) AS cb FROM u GROUP BY v), " +
+        "cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cca, SUM(cb) OVER (ORDER BY v) AS ccb, " +
+        "LEAD(v) OVER (ORDER BY v) AS nxt FROM c), " +
+        "n AS (SELECT CAST(SUM(sa) AS DOUBLE) AS na, CAST(SUM(sb) AS DOUBLE) AS nb FROM u) " +
+        "SELECT ROUND(SUM(ABS(cca / na - ccb / nb) * (COALESCE(nxt, v) - v)), 4) AS w1 FROM cum, n"),
     // PSI replica: identical fixed-width buckets, 1e-6 floor, ln fold
     "x_psi_drift" ->
       ("WITH r0 AS (SELECT event_type, LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket " +
@@ -2388,6 +2399,15 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.ksStatistic(
         s.table("events"), "value", "event_type", "view", "purchase")
         .select(round(col("ks"), 6).as("ks"))
+    }),
+    // Wasserstein-1 drift magnitude between the same distributions —
+    // CDF gaps weighted by value spans (cross-partition lead seam
+    // handled by the broadcast boundary frame)
+    "x_w1_drift" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.wasserstein1(
+        s.table("events"), "value", "event_type", "view", "purchase")
+        .select(round(col("w1"), 4).as("w1"))
     }),
     // A/B conversion test: hash-bucket variant (user_id % 2), convert
     // at >= 14 purchases; hashed surface is the pure-integer columns

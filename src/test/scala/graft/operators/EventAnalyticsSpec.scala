@@ -244,6 +244,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("wasserstein1: hand-computed shift distance; partition seams contribute their spans") {
+    // A = {0, 10}, B = {5, 15}: a pure +5 shift → W1 = 5
+    // gaps: [0,5): 1/2; [5,10): 0; [10,15): 1/2 → 2.5 + 0 + 2.5 = 5
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 5.0), ("b", 15.0)).toDF("g", "v")
+    val w = EventAnalytics.wasserstein1(df, "v", "g", "a", "b", partitions = 1)
+      .collect()(0).getDouble(0)
+    assert(math.abs(w - 5.0) < 1e-12, s"got $w")
+    // with MORE partitions than rows the seam spans cross partition
+    // boundaries — the boundary frame must supply them (same answer)
+    val w4 = EventAnalytics.wasserstein1(df, "v", "g", "a", "b", partitions = 4)
+      .collect()(0).getDouble(0)
+    assert(math.abs(w4 - 5.0) < 1e-12, s"seam-split got $w4")
+    // identical distributions: zero distance
+    val same = Seq(("a", 1.0), ("a", 7.0), ("b", 1.0), ("b", 7.0)).toDF("g", "v")
+    assert(EventAnalytics.wasserstein1(same, "v", "g", "a", "b")
+      .collect()(0).getDouble(0) === 0.0)
+  }
+
   test("funnel reach joins are user-keyed equi-joins (no cartesian)") {
     val reach = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
       Seq("signup", "click"))
