@@ -628,6 +628,18 @@ object Queries {
         "cum AS (SELECT value, SUM(ca) OVER (ORDER BY value) AS cca, SUM(cb) OVER (ORDER BY value) AS ccb FROM c), " +
         "n AS (SELECT CAST(SUM(sa) AS DOUBLE) AS na, CAST(SUM(sb) AS DOUBLE) AS nb FROM u) " +
         "SELECT ROUND(MAX(ABS(cca / na - ccb / nb)), 6) AS ks FROM cum, n"),
+    // rank-sum replica: tied blocks take the average combined rank
+    "x_mann_whitney" ->
+      ("WITH u AS (SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sa, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sb " +
+        "FROM events WHERE event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT v, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(sb) AS BIGINT) AS cb FROM u GROUP BY v), " +
+        "cum AS (SELECT ca, CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
+        "+ CAST(ca + cb + 1 AS DOUBLE) / 2.0 AS avgrank FROM c), " +
+        "n AS (SELECT CAST(SUM(sa) AS DOUBLE) AS na, CAST(SUM(sb) AS DOUBLE) AS nb FROM u), " +
+        "ra AS (SELECT SUM(CAST(ca AS DOUBLE) * avgrank) AS ra FROM cum) " +
+        "SELECT ROUND(ra - na * (na + 1) / 2.0, 2) AS u_a, " +
+        "ROUND((ra - na * (na + 1) / 2.0) / (na * nb), 6) AS rho FROM ra, n"),
     // W1 replica: CDF gap at each distinct value × span to the next
     // (global LEAD; the last value spans nothing)
     "x_w1_drift" ->
@@ -2399,6 +2411,15 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.ksStatistic(
         s.table("events"), "value", "event_type", "view", "purchase")
         .select(round(col("ks"), 6).as("ks"))
+    }),
+    // Mann-Whitney U / rank-sum effect size between the same
+    // distributions — integer/half-exact ranks, no rounding needed
+    // beyond the 6dp convention
+    "x_mann_whitney" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.mannWhitneyU(
+        s.table("events"), "value", "event_type", "view", "purchase")
+        .select(round(col("u_a"), 2).as("u_a"), round(col("rho"), 6).as("rho"))
     }),
     // Wasserstein-1 drift magnitude between the same distributions —
     // CDF gaps weighted by value spans (cross-partition lead seam

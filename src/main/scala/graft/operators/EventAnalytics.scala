@@ -359,6 +359,58 @@ object EventAnalytics {
   }
 
   /**
+   * Exact Mann-Whitney U (Wilcoxon rank-sum) with tie correction —
+   * the RANK-based member of the drift trio (KS: sup-gap, W1:
+   * magnitude, U: stochastic dominance — "how often does a random A
+   * value exceed a random B value", via the effect size
+   * ρ = U_a/(n_a·n_b), 0.5 = no dominance). Ranks are over the
+   * combined sample; a tied block's members all take the block's
+   * AVERAGE rank (combined-count-before + (block+1)/2).
+   *
+   * Same range-exchange cumulative shape as [[ksStatistic]] with
+   * EXCLUSIVE frames (rank needs counts strictly before the block).
+   * Every quantity is an integer or an exact half (averages of
+   * consecutive integers), and sums of exact halves are exact in
+   * IEEE up to 2⁵³ — so U and ρ carry NO accumulation drift at any
+   * partitioning and the oracle compares them exactly.
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val ranged = cells.repartitionByRange(partitions, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val exclW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__lt",
+      coalesce(sum(col("__ca") + col("__cb")).over(exclW), lit(0L)))
+    val baseW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__ca") + col("__cb")).as("__tt"))
+      .withColumn("__bt", coalesce(sum(col("__tt")).over(baseW), lit(0L)))
+      .select(col("__pid"), col("__bt"))
+    val totals = cells.agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb"))
+    local.join(broadcast(bases), Seq("__pid"))
+      .select(col("__ca"),
+        // average rank of this tied block over the combined sample
+        ((col("__bt") + col("__lt")).cast("double") +
+          (col("__ca") + col("__cb") + 1L).cast("double") / 2.0).as("__avgrank"))
+      .agg(sum(col("__ca").cast("double") * col("__avgrank")).as("__ra"))
+      .crossJoin(broadcast(totals))
+      .select(
+        (col("__ra") - col("__na") * (col("__na") + 1.0) / 2.0).as("u_a"),
+        ((col("__ra") - col("__na") * (col("__na") + 1.0) / 2.0) /
+          (col("__na") * col("__nb"))).as("rho"))
+  }
+
+  /**
    * Exact two-sample Wasserstein-1 (earth-mover's) distance between
    * the value distributions of two groups — the drift MAGNITUDE where
    * [[ksStatistic]] gives the sup-gap: W1 = ∫|F_a − F_b| dx, i.e. the

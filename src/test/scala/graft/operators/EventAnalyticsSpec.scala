@@ -262,6 +262,28 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect()(0).getDouble(0) === 0.0)
   }
 
+  test("mannWhitneyU: tie-averaged ranks, dominance extremes, partition invariance") {
+    // A = {1, 2, 3}, B = {2, 3, 4}: ranks 1, (2,3)→2.5, (4,5)→4.5, 6
+    // R_a = 1 + 2.5 + 4.5 = 8; U_a = 8 − 6 = 2; ρ = 2/9
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = EventAnalytics.mannWhitneyU(df, "v", "g", "a", "b", partitions = 2)
+      .collect()(0)
+    assert(r.getDouble(0) === 2.0 && math.abs(r.getDouble(1) - 2.0 / 9.0) < 1e-15)
+    // total dominance: every A above every B → ρ = 1; reversed → 0
+    val dom = Seq(("a", 10.0), ("a", 11.0), ("b", 1.0)).toDF("g", "v")
+    assert(EventAnalytics.mannWhitneyU(dom, "v", "g", "a", "b")
+      .collect()(0).getDouble(1) === 1.0)
+    assert(EventAnalytics.mannWhitneyU(dom, "v", "g", "b", "a")
+      .collect()(0).getDouble(1) === 0.0)
+    // exactness is partition-independent (integer/half arithmetic)
+    val p1 = EventAnalytics.mannWhitneyU(df, "v", "g", "a", "b", partitions = 1)
+      .collect()(0).getDouble(0)
+    val p4 = EventAnalytics.mannWhitneyU(df, "v", "g", "a", "b", partitions = 4)
+      .collect()(0).getDouble(0)
+    assert(p1 === p4)
+  }
+
   test("funnel reach joins are user-keyed equi-joins (no cartesian)") {
     val reach = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
       Seq("signup", "click"))
