@@ -2303,7 +2303,8 @@ object ExtensionQueries {
       ms: Long = 120000L): Unit = {
     val done = q.awaitTermination(ms)
     if (!done) {
-      try q.stop() finally {}
+      // best-effort stop: a throwing stop() must not mask the timeout
+      try q.stop() catch { case _: Throwable => () }
       throw new IllegalStateException(
         s"streaming query '${q.name}' did not terminate within ${ms}ms")
     }
