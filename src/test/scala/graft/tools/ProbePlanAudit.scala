@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /**
- * Global plan audit: build EVERY declared query at sf0.01 and flag
+ * Global plan audit (SUPERSEDED as a gate since round 15: graft.Verify
+ * now emits plan_audit.json with the same checks on every full run —
+ * this probe remains as the standalone/ad-hoc form): build EVERY
+ * declared query at sf0.01 and flag
  * plans containing an all-pairs join. `CartesianProduct` is always a
  * red flag; `BroadcastNestedLoopJoin` is reported but acceptable when
  * one side is a 1-row totals/constants frame (the crossJoin(broadcast)
