@@ -2409,8 +2409,8 @@ object ExtensionQueries {
     // statistic is engine-exact)
     "x_ks_drift" -> ((s, dir) => {
       Sources.register(s, dir)
-      graft.operators.EventAnalytics.ksStatistic(
-        s.table("events"), "value", "event_type", "view", "purchase")
+      harnessManaged(graft.operators.EventAnalytics.ksStatisticWithCleanup(
+        s.table("events"), "value", "event_type", "view", "purchase"))
         .select(round(col("ks"), 6).as("ks"))
     }),
     // Mann-Whitney U / rank-sum effect size between the same
@@ -2418,8 +2418,8 @@ object ExtensionQueries {
     // beyond the 6dp convention
     "x_mann_whitney" -> ((s, dir) => {
       Sources.register(s, dir)
-      graft.operators.EventAnalytics.mannWhitneyU(
-        s.table("events"), "value", "event_type", "view", "purchase")
+      harnessManaged(graft.operators.EventAnalytics.mannWhitneyUWithCleanup(
+        s.table("events"), "value", "event_type", "view", "purchase"))
         .select(round(col("u_a"), 2).as("u_a"), round(col("rho"), 6).as("rho"))
     }),
     // Wasserstein-1 drift magnitude between the same distributions —
@@ -2427,8 +2427,8 @@ object ExtensionQueries {
     // handled by the broadcast boundary frame)
     "x_w1_drift" -> ((s, dir) => {
       Sources.register(s, dir)
-      graft.operators.EventAnalytics.wasserstein1(
-        s.table("events"), "value", "event_type", "view", "purchase")
+      harnessManaged(graft.operators.EventAnalytics.wasserstein1WithCleanup(
+        s.table("events"), "value", "event_type", "view", "purchase"))
         .select(round(col("w1"), 4).as("w1"))
     }),
     // A/B conversion test: hash-bucket variant (user_id % 2), convert

@@ -37,13 +37,28 @@ object Verify {
       System.err.println(s"[verify] running $name")
       try {
         val frame = fn(spark, sfDir)
+        // Execute through the frame's OWN QueryExecution (collect — the
+        // write path builds a separate QE for the insert command), then
+        // audit the plan AFTER the action: under AQE the initial
+        // executedPlan differs from the final runtime plan (broadcast /
+        // skew-join switches happen at execution), so the r15 artifact's
+        // pre-action stringification could record a BNLJ/cartesian count
+        // the run never executed — and a query that failed during the
+        // write was counted in both `audited` and `errors` (r15 advice).
+        // Verify results are driver-small by design (the DuckDB compare
+        // hashes them whole; max observed 2.1k rows), so collecting and
+        // writing the local rows also drops the old double-planning.
+        val rows = frame.collect()
         val p = frame.queryExecution.executedPlan.toString
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), frame.schema)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // audited increments only once the row is fully green (collect
+        // AND artifact write succeeded) — a failing query lands in
+        // `errors` alone, never both counters
         audited += 1
         if (p.contains("CartesianProduct")) cartNames += name
         val nB = "BroadcastNestedLoopJoin".r.findAllIn(p).size
         if (nB > 0) bnljNames += ((name, nB))
-        frame.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         errNames += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -65,8 +80,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // plan_audit.json: the committed per-round gate artifact. Written
-    // to outDir always; mirrored to the repo cwd only on FULL runs (a
-    // name-filtered dev run must not overwrite the round's record).
+    // to outDir ONLY (r15 verdict #8: the cwd mirror made every driver
+    // run dirty the tree mid-round); the repo copy is committed as an
+    // explicit separate step after a full local run.
     val auditJson =
       s"""{"queries":$audited,"cartesian":${cartNames.size},""" +
         s""""bnlj":${bnljNames.map(_._2).sum},"errors":${errNames.size},""" +
@@ -74,11 +90,6 @@ object Verify {
         s""""bnlj_names":${bnljNames.sortBy(_._1).map { case (n, c) => s"${q(n)}:$c" }.mkString("{", ",", "}")},""" +
         s""""error_names":${errNames.sorted.map(q).mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(s"$outDir/plan_audit.json"), auditJson + "\n")
-    if (only.isEmpty)
-      try Files.writeString(Paths.get("plan_audit.json"), auditJson + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] write plan_audit.json failed: ${e.getMessage}")
-      }
     spark.stop()
   }
 }

@@ -121,16 +121,41 @@ object Executor {
     // plan) — the always-answer contract (V13) requires an error
     // envelope, never an exception, so the whole pipeline is guarded.
     try {
-      val df = frame(spark, v, limit)
-      for {
-        _ <- costGate(df)
-        rows <- collectWithTimeout(spark, df, timeoutMs)
-      } yield QueryResult(
-        sql = v.sql,
-        columns = df.columns.toSeq,
-        rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
-        rowcount = rows.length,
-        explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      // Engage the analysis-time ReadOnlyGuard for the duration of
+      // guarded execution (restored in `finally`): before round 16 the
+      // conf was never set on the engine's own path, so the resolved-
+      // expression layer protected only sessions that opted in — which
+      // is exactly what let `try_reflect` (a registry alias the NAME
+      // denylist didn't know) run end-to-end. Restoring rather than
+      // clearing keeps an always-read-only caller session read-only.
+      val prevReadOnly =
+        try Option(spark.conf.get("spark.graft.readOnly", null))
+        catch { case scala.util.control.NonFatal(_) => None }
+      spark.conf.set("spark.graft.readOnly", "true")
+      try {
+        val df = frame(spark, v, limit)
+        for {
+          // Second layer on the RESOLVED plan, independent of whether
+          // GraftExtensions is registered: deny any write node or JVM-
+          // reflection expression (all registry aliases resolve to the
+          // same CallMethodViaReflection) before anything executes.
+          _ <- graft.plans.ReadOnlyGuard
+                 .firstOffenseDeep(df.queryExecution.analyzed)
+                 .map(what => SqlSafetyError(
+                   s"Statically un-vettable construct: $what is not allowed"))
+                 .toLeft(())
+          _ <- costGate(df)
+          rows <- collectWithTimeout(spark, df, timeoutMs)
+        } yield QueryResult(
+          sql = v.sql,
+          columns = df.columns.toSeq,
+          rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
+          rowcount = rows.length,
+          explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      } finally prevReadOnly match {
+        case Some(old) => spark.conf.set("spark.graft.readOnly", old)
+        case None => spark.conf.unset("spark.graft.readOnly")
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(ExecutionError(Option(e.getMessage).getOrElse(e.getClass.getName).take(1000)))

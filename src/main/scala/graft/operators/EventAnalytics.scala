@@ -327,15 +327,41 @@ object EventAnalytics {
    * hashed-surface 6dp convention).
    */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String, partitions: Int = 32): DataFrame = {
+      groupA: String, groupB: String, partitions: Int = 32): DataFrame =
+    // handle-less convenience: the shared ranged frame materializes via
+    // LAZY localCheckpoint (RDD-owned blocks, GC-released) — cannot
+    // leak session caches. Long-lived sessions with a terminal action
+    // should prefer [[ksStatisticWithCleanup]] (lineage-preserving).
+    ksCore(df, valueCol, groupCol, groupA, groupB, partitions,
+      _.localCheckpoint(eager = false))._1
+
+  /** [[ksStatistic]] plus a release handle for the internal ranged
+    * cache (the repo's WithCleanup convention — see
+    * [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]]): the
+    * CacheManager holds persisted frames by strong reference until
+    * session end, so repeated drift queries in a long-lived engine
+    * session would otherwise accumulate executor storage memory. */
+  def ksStatisticWithCleanup(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int = 32): (DataFrame, () => Unit) = {
+    val (out, ranged) = ksCore(df, valueCol, groupCol, groupA, groupB, partitions, _.persist())
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  /** Shared body: `share` pins the range-exchanged frame so the two
+    * downstream branches (per-partition cumsums, per-partition bases)
+    * read the SAME materialized partitions — `spark_partition_id()`
+    * must not be recomputed under a fresh (sampled, nondeterministic)
+    * range exchange. Returns (statistic, the shared frame). */
+  private def ksCore(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int,
+      share: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val cells = df.where(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val ranged = cells.repartitionByRange(partitions, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val ranged = share(cells.repartitionByRange(partitions, col("__v"))
+      .withColumn("__pid", spark_partition_id()))
     val localW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged
@@ -351,11 +377,12 @@ object EventAnalytics {
     val totals = cells.agg(
       sum(col("__ca")).cast("double").as("__na"),
       sum(col("__cb")).cast("double").as("__nb"))
-    local.join(broadcast(bases), Seq("__pid"))
+    val out = local.join(broadcast(bases), Seq("__pid"))
       .crossJoin(broadcast(totals))
       .select(abs((col("__ba") + col("__la")) / col("__na") -
         (col("__bb") + col("__lb")) / col("__nb")).as("__d"))
       .agg(max(col("__d")).as("ks"))
+    (out, ranged)
   }
 
   /**
@@ -375,15 +402,28 @@ object EventAnalytics {
    * partitioning and the oracle compares them exactly.
    */
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String, partitions: Int = 32): DataFrame = {
+      groupA: String, groupB: String, partitions: Int = 32): DataFrame =
+    mwCore(df, valueCol, groupCol, groupA, groupB, partitions,
+      _.localCheckpoint(eager = false))._1
+
+  /** [[mannWhitneyU]] plus the ranged-cache release handle (see
+    * [[ksStatisticWithCleanup]] for the convention and the why). */
+  def mannWhitneyUWithCleanup(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int = 32): (DataFrame, () => Unit) = {
+    val (out, ranged) = mwCore(df, valueCol, groupCol, groupA, groupB, partitions, _.persist())
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  private def mwCore(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int,
+      share: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val cells = df.where(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val ranged = cells.repartitionByRange(partitions, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val ranged = share(cells.repartitionByRange(partitions, col("__v"))
+      .withColumn("__pid", spark_partition_id()))
     val exclW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__lt",
@@ -397,7 +437,7 @@ object EventAnalytics {
     val totals = cells.agg(
       sum(col("__ca")).cast("double").as("__na"),
       sum(col("__cb")).cast("double").as("__nb"))
-    local.join(broadcast(bases), Seq("__pid"))
+    val out = local.join(broadcast(bases), Seq("__pid"))
       .select(col("__ca"),
         // average rank of this tied block over the combined sample
         ((col("__bt") + col("__lt")).cast("double") +
@@ -408,6 +448,7 @@ object EventAnalytics {
         (col("__ra") - col("__na") * (col("__na") + 1.0) / 2.0).as("u_a"),
         ((col("__ra") - col("__na") * (col("__na") + 1.0) / 2.0) /
           (col("__na") * col("__nb"))).as("rho"))
+    (out, ranged)
   }
 
   /**
@@ -430,15 +471,28 @@ object EventAnalytics {
    * hashed surface, ~1e-13 drift against O(1)-magnitude distances).
    */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
-      groupA: String, groupB: String, partitions: Int = 32): DataFrame = {
+      groupA: String, groupB: String, partitions: Int = 32): DataFrame =
+    w1Core(df, valueCol, groupCol, groupA, groupB, partitions,
+      _.localCheckpoint(eager = false))._1
+
+  /** [[wasserstein1]] plus the ranged-cache release handle (see
+    * [[ksStatisticWithCleanup]] for the convention and the why). */
+  def wasserstein1WithCleanup(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int = 32): (DataFrame, () => Unit) = {
+    val (out, ranged) = w1Core(df, valueCol, groupCol, groupA, groupB, partitions, _.persist())
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
+  private def w1Core(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, partitions: Int,
+      share: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val cells = df.where(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val ranged = cells.repartitionByRange(partitions, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val ranged = share(cells.repartitionByRange(partitions, col("__v"))
+      .withColumn("__pid", spark_partition_id()))
     val localW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val leadW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
@@ -459,12 +513,13 @@ object EventAnalytics {
     val totals = cells.agg(
       sum(col("__ca")).cast("double").as("__na"),
       sum(col("__cb")).cast("double").as("__nb"))
-    local.join(broadcast(bases), Seq("__pid"))
+    val out = local.join(broadcast(bases), Seq("__pid"))
       .crossJoin(broadcast(totals))
       .select((abs((col("__ba") + col("__la")) / col("__na") -
         (col("__bb") + col("__lb")) / col("__nb")) *
         (coalesce(col("__lead"), col("__next_minv"), col("__v")) - col("__v")))
         .as("__w"))
       .agg(sum(col("__w")).as("w1"))
+    (out, ranged)
   }
 }

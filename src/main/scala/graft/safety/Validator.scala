@@ -176,7 +176,7 @@ object Validator {
     *    || 'ect')(...)` would dodge a name denylist, so the deferred-
     *    identifier EXPRESSION node is denied wherever it appears.
     */
-  private val deniedFunctions = Set("reflect", "java_method")
+  private val deniedFunctions = Set("reflect", "java_method", "try_reflect")
 
   def ensureNoEscapeHatches(plan: LogicalPlan): Either[EngineError, Unit] = {
     val bad = allExpressions(plan).flatMap(_.collectFirst {

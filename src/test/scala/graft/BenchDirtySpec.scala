@@ -49,4 +49,33 @@ class BenchDirtySpec extends AnyFunSuite {
     assert(dirty("M"))
     assert(dirty("XYnospace"))
   }
+
+  /** r15 verdict #8: the driver's own round-record overwrites
+    * (CORRECTNESS_rN, VERDICT.md, LEAKCHECK.json, …) stamped every
+    * driver bench dirty since r12 — they are data about runs, not code,
+    * and are now excluded. Root-level copies ONLY: the same name under
+    * a directory is a real change. */
+  test("round-record artifacts are not code: excluded at root, dirty in subdirs") {
+    assert(Bench.isRecordArtifact("CORRECTNESS_r16.json"))
+    assert(Bench.isRecordArtifact("BENCH_r07.json"))
+    assert(Bench.isRecordArtifact("VERDICT.md"))
+    assert(Bench.isRecordArtifact("ADVICE.md"))
+    assert(Bench.isRecordArtifact("LEAKCHECK.json"))
+    assert(Bench.isRecordArtifact("plan_audit.json"))
+    // not records: code, build config, fixtures, survey docs
+    assert(!Bench.isRecordArtifact("build.sbt"))
+    assert(!Bench.isRecordArtifact("SURVEY.md"))
+    assert(!Bench.isRecordArtifact("src/main/scala/graft/Bench.scala"))
+    // directory components never match (a planted copy is a change)
+    assert(!Bench.isRecordArtifact("fixtures/VERDICT.md"))
+    assert(!Bench.isRecordArtifact("x/CORRECTNESS_r16.json"))
+    // name shapes that merely resemble a record stay dirty
+    assert(!Bench.isRecordArtifact("CORRECTNESS_rX.json"))
+    assert(!Bench.isRecordArtifact("myBENCH_r07.json"))
+    // and through the porcelain parser end-to-end
+    def dirtyFull(recs: String*): Boolean = Bench.porcelainDirty(
+      recs.map(_ + NUL).mkString, p => arts(p) || Bench.isRecordArtifact(p))
+    assert(!dirtyFull("?? CORRECTNESS_r16.json", " M VERDICT.md", " M bench_out.json"))
+    assert(dirtyFull("?? CORRECTNESS_r16.json", " M build.sbt"))
+  }
 }

@@ -68,6 +68,54 @@ class ExecutorSpec extends SparkSpec {
     assert(pm.get("k\"1").get(1).asInt == 2 && pm.get("d").asText == "2024-01-02")
   }
 
+  /** r15 ADVICE (high + medium), verified as the advisor ran it: the
+    * try_reflect ALIAS walked the full default path because (a) the
+    * parse-time name denylist didn't know it and (b) nothing ever set
+    * spark.graft.readOnly, so the resolved-expression layer never
+    * engaged. Both layers now fire on Executor.run itself. */
+  test("try_reflect (and every reflection alias) is denied on the default runSql path") {
+    Seq(
+      "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') AS v FROM nation LIMIT 1",
+      "SELECT reflect('java.lang.System', 'getenv', 'PATH') AS v FROM nation LIMIT 1"
+    ).foreach { sql =>
+      val r = Executor.runSql(spark, sql, tables)
+      assert(r.isLeft, s"must not execute: $sql")
+      // and no result row ever carried an environment value
+      assert(!r.exists(_.rows.exists(_.exists(v => v != null && v.toString.contains("/")))))
+    }
+  }
+
+  test("guarded execution engages the analysis-time ReadOnlyGuard and restores the conf") {
+    // own the initial state (the shared session may carry another
+    // suite's leftover value): unset, then pin unset-before/unset-after
+    spark.conf.unset("spark.graft.readOnly")
+    assert(spark.conf.get("spark.graft.readOnly", "unset") == "unset")
+    assert(Executor.runSql(spark, "SELECT n_name FROM nation LIMIT 3", tables).isRight)
+    assert(spark.conf.get("spark.graft.readOnly", "unset") == "unset")
+    // a caller-pinned value survives the run (restore, not clear)
+    spark.conf.set("spark.graft.readOnly", "true")
+    try {
+      assert(Executor.runSql(spark, "SELECT n_name FROM nation LIMIT 3", tables).isRight)
+      assert(spark.conf.get("spark.graft.readOnly") == "true")
+    } finally spark.conf.unset("spark.graft.readOnly")
+  }
+
+  /** The resolved-plan layer must hold even when the parse-time NAME
+    * denylist is bypassed entirely (the r15 hole class: an alias the
+    * list didn't know). Simulate the bypass by handing Executor.run a
+    * pre-"Validated" reflection query directly — the run-side scan of
+    * the analyzed plan (all aliases resolve to CallMethodViaReflection)
+    * must still refuse to execute it. */
+  test("reflection survives a name-denylist bypass: Executor.run's resolved-plan layer refuses") {
+    tables
+    val smuggled = Validator.Validated(
+      "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') AS v FROM nation LIMIT 1",
+      spark.sessionState.sqlParser.parsePlan("SELECT 1"), needsLimit = false)
+    val r = Executor.run(spark, smuggled)
+    assert(r.isLeft, "a smuggled reflection query must not execute")
+    assert(!r.exists(_.rows.exists(_.exists(v => v != null && v.toString.contains("/")))))
+  }
+
   test("timeout cancels a long-running query") {
     tables
     val v = Validator.validate(spark,

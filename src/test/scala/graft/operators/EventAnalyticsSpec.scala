@@ -238,10 +238,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(EventAnalytics.ksStatistic(disj, "v", "g", "a", "b")
       .collect()(0).getDouble(0) === 1.0)
     // scale shape: cumulative counts ride a RANGE exchange with
-    // pid-partitioned windows — no data-sized single-partition window
-    val plan = EventAnalytics.ksStatistic(df, "v", "g", "a", "b")
-      .queryExecution.executedPlan.toString
+    // pid-partitioned windows — no data-sized single-partition window.
+    // Asserted on the lineage-preserving WithCleanup variant (the
+    // handle-less overload's lazy localCheckpoint truncates the visible
+    // plan at a Scan ExistingRDD); same answer, and the release handle
+    // actually clears the internal cache (r15 advice: the old persist
+    // leaked into the session CacheManager until session end).
+    val emptyBefore = spark.sharedState.cacheManager.isEmpty
+    val (kdf, release) = EventAnalytics.ksStatisticWithCleanup(df, "v", "g", "a", "b")
+    assert(math.abs(kdf.collect()(0).getDouble(0) - 1.0 / 3.0) < 1e-12)
+    val plan = kdf.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    assert(!spark.sharedState.cacheManager.isEmpty, "ranged frame should be cached pre-release")
+    release()
+    // only a meaningful assertion when this suite owns the whole cache
+    // (the JVM-wide session is shared across suites)
+    if (emptyBefore)
+      assert(spark.sharedState.cacheManager.isEmpty, "release must unpersist the ranged frame")
   }
 
   test("wasserstein1: hand-computed shift distance; partition seams contribute their spans") {

@@ -56,7 +56,11 @@ class GuardrailsSpec extends SparkSpec {
     withReadOnly {
       Seq(
         "SELECT reflect('java.lang.System', 'getenv', 'HOME') FROM nation LIMIT 1",
-        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') FROM nation LIMIT 1"
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') FROM nation LIMIT 1",
+        // the r16 alias hole: try_reflect resolves to TryEval over the
+        // same CallMethodViaReflection — caught by the resolved-
+        // expression match, which recurses through children
+        "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') FROM nation LIMIT 1"
       ).foreach { sql =>
         val e = intercept[Exception] { spark.sql(sql).collect() }
         assert(e.getMessage.contains("read-only"), s"$sql => ${e.getMessage}")

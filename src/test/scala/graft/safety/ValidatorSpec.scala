@@ -116,7 +116,12 @@ class ValidatorSpec extends SparkSpec {
       "SELECT reflect('java.lang.System', 'getenv', 'HOME') AS v FROM nation LIMIT 1",
       "SELECT java_method('java.lang.System', 'getProperty', 'user.dir') AS v FROM nation LIMIT 1",
       "SELECT c_name FROM customer WHERE c_name = (SELECT reflect('java.lang.System', 'getenv', 'X') FROM nation LIMIT 1)",
-      "WITH g AS (SELECT reflect('java.lang.System', 'getenv', 'X') AS v FROM nation) SELECT * FROM g"
+      "WITH g AS (SELECT reflect('java.lang.System', 'getenv', 'X') AS v FROM nation) SELECT * FROM g",
+      // r15 ADVICE (high): try_reflect is a registry ALIAS resolving to
+      // the same CallMethodViaReflection — it walked the whole chain
+      // while reflect was blocked. Name-denied here; the resolved-
+      // expression layer (ReadOnlyGuard) catches any future alias.
+      "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') AS v FROM nation LIMIT 1"
     ).foreach { sql =>
       val r = Validator.validate(spark, sql, allowed)
       assert(r.isLeft, s"should reject: $sql")
