@@ -540,6 +540,23 @@ object Queries {
       "CAST(o_totalprice AS DOUBLE) AS val FROM orders"
 
   val extensionOracles: Map[String, String] = Map(
+    // --- document path (DuckDB replicas of the askDocs envelopes; the
+    //     JSON fixture is a pure column rename of customer, so the
+    //     oracle reads the parquet table directly) ---
+    "x_docs_find" ->
+      ("SELECT c_custkey AS _id, c_acctbal AS balance, c_mktsegment AS segment " +
+        "FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "ORDER BY c_acctbal DESC LIMIT 5"),
+    "x_docs_agg" ->
+      ("SELECT c_mktsegment AS _id, ROUND(avg(c_acctbal), 4) AS agg_value " +
+        "FROM customer WHERE c_acctbal > 0 GROUP BY 1 ORDER BY 1"),
+    // the nested struct column arrives as the envelope's JSON string —
+    // replicated byte-for-byte by string concatenation
+    "x_docs_nested" ->
+      ("SELECT c_custkey AS _id, c_acctbal AS balance, " +
+        "'{\"nation\":' || CAST(c_nationkey AS BIGINT) || '}' AS contact, " +
+        "c_name AS name, c_mktsegment AS segment " +
+        "FROM customer WHERE c_acctbal > 9990 ORDER BY c_custkey"),
     // expectations audit replica: the same five violation fractions as
     // conditional aggregates over one scan, one report row per check
     "x_audit" ->
@@ -2326,7 +2343,86 @@ object ExtensionQueries {
       col("o_totalprice").cast("double").as("val"))
   }
 
+  /** JSON document collection derived deterministically from the shared
+    * customer table (r15 verdict #1: the document/Mongo-equivalent path
+    * was the one §2 surface never verified against the DuckDB oracle).
+    * Written as real JSON files to a dir-keyed temp path and registered
+    * through DocSource.register, so the row exercises the path-based
+    * sampled-inference entry the reference treats as co-equal with SQL
+    * (ref app/routes_ai.py:150-159, app/mongodb_adapter.py:97-148).
+    * Returns an Engine with the collection attached for askDocs. */
+  private def docsEngine(s: SparkSession, dir: String): graft.api.Engine = {
+    val tables = Sources.register(s, dir)
+    val fixDir = s"/tmp/graft_docfix_${new java.io.File(dir).getName}/customers"
+    s.table("customer").select(
+      col("c_custkey").as("_id"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("balance"),
+      col("c_mktsegment").as("segment"),
+      struct(col("c_nationkey").as("nation")).as("contact"))
+      .write.mode("overwrite").json(fixDir)
+    graft.sources.DocSource.register(s, fixDir, "customers")
+    new graft.api.Engine(s, tables, Sources.fixtureFks,
+      docCollections = Seq("customers"))
+  }
+
+  /** Rebuild a collected `_id`-first JSON envelope (nested values
+    * already serialized to JSON strings, ref nl2mongo.py:194-226) as a
+    * DataFrame for the verify dump — the hashed surface IS the envelope
+    * the reference's client receives, byte for byte. */
+  private def envelopeFrame(s: SparkSession, rows: Seq[Seq[Any]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => org.apache.spark.sql.Row.fromSeq(r)): _*),
+      schema)
+
+  private def docField(name: String, dt: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructField(name, dt)
+
   val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- document / Mongo-equivalent path (sources/DocSource.scala,
+    //     api/Engine.askDocs, gen/Nl2Doc.scala) ---
+    // NL → find spec (filter + projection + sort + limit) through the
+    // full askDocs dispatch; generated query_dict:
+    //   {"find": {"segment": "BUILDING"}, "projection": ["balance",
+    //    "segment"], "sort": {"balance": -1}, "limit": 5}
+    "x_docs_find" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val qr = docsEngine(s, dir)
+        .askDocs("top 5 customers by balance where segment is BUILDING")
+        .fold(e => throw new IllegalStateException(e.message), identity)
+      envelopeFrame(s, qr.rows, StructType(Seq(
+        docField("_id", LongType), docField("balance", DoubleType),
+        docField("segment", StringType))))
+    }),
+    // NL → aggregate pipeline ($match → $group → $sort, auto-$limit
+    // appended by DocSource.aggregate); avg rounded 4dp on both sides
+    // per the float-surface convention
+    "x_docs_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val qr = docsEngine(s, dir)
+        .askDocs("average balance per segment for customers where balance is greater than 0")
+        .fold(e => throw new IllegalStateException(e.message), identity)
+      envelopeFrame(s, qr.rows, StructType(Seq(
+        docField("_id", StringType), docField("agg_value", DoubleType))))
+        .select(col("_id"), round(col("agg_value"), 4).as("agg_value"))
+    }),
+    // projection-less find: the envelope serializes the nested struct
+    // column to a JSON STRING ({"nation":N}) — byte-pinned against a
+    // DuckDB string-concat replica (ref nl2mongo.py:194-226)
+    "x_docs_nested" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      docsEngine(s, dir) // builds + registers the collection
+      val df = graft.sources.DocSource.find(s.table("customers"),
+        graft.sources.DocSource.FindSpec(
+          filter = Seq(graft.sources.DocSource.Gt("balance", 9990)),
+          sort = Seq(("_id", true))))
+      val (_, rows) = graft.sources.DocSource.jsonEnvelope(df)
+      envelopeFrame(s, rows, StructType(Seq(
+        docField("_id", LongType), docField("balance", DoubleType),
+        docField("contact", StringType), docField("name", StringType),
+        docField("segment", StringType))))
+    }),
     // --- data-quality expectations (operators/Expectations.scala) ---
     "x_audit" -> ((s, dir) => {
       Sources.register(s, dir)
