@@ -819,6 +819,18 @@ object Queries {
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
         "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, buy_id"),
+    // left-outer replica: unmatched views carry NULL buy_id/lag_us —
+    // the streaming side emits exactly these rows when the sentinel
+    // watermark closes their windows. Type filters live in the
+    // subqueries (an ON-side filter would change LEFT JOIN semantics).
+    "x_stream_join_outer" ->
+      ("SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id, " +
+        "CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS lag_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view' AND user_id < 100) v " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 100) p " +
+        "ON v.user_id = p.user_id " +
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY view_id, buy_id"),
     // timer-sessionizer replica: gaps-and-islands with the PROCESSOR's
     // exact semantics — epoch-millisecond gaps, split strictly > 30min
     "x_tws_sessions" ->
@@ -3717,6 +3729,58 @@ object ExtensionQueries {
         awaitBounded(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("x_stream_join_sink")
+        .select(col("user_id"), col("view_id"), col("buy_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .orderBy("view_id", "buy_id")
+    }),
+    // stream-stream LEFT OUTER interval join run to completion (r15
+    // verdict #2): same watermarked state shape as x_stream_join, but
+    // the subtlest emission semantics in the engine — MATCHED rows emit
+    // eagerly as both sides arrive; an UNMATCHED left row emits its
+    // null-padded result only once BOTH watermarks pass the end of its
+    // join window (v_ts + horizon), because until then a matching right
+    // row could still arrive. A far-future sentinel on each stream
+    // advances both watermarks past every real window, and AvailableNow's
+    // trailing no-data batch performs the eviction that emits the nulls
+    // (the same trailing-batch behavior ProbeTwsSessions pinned for
+    // timers). Bounded replay (user_id < 100 on both sides + sentinel)
+    // therefore equals DuckDB's batch LEFT JOIN at the same horizon.
+    "x_stream_join_outer" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = s.table("events")
+        .where(col("event_type").isin("view", "purchase") && col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val vs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val ps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      // sentinels share user_id -1 so they pair with each other (and
+      // are filtered below), never with a real row
+      vs.addData(ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).toSeq
+        :+ ((-1L, -1L, far)): _*)
+      ps.addData(ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).toSeq
+        :+ ((-2L, -1L, far)): _*)
+      val joined = graft.streaming.Streams.intervalJoinStream(
+        vs.toDF().toDF("view_id", "user_id", "v_ts"),
+        ps.toDF().toDF("buy_id", "user_id", "b_ts"),
+        "user_id", "v_ts", "b_ts", horizon = "30 minutes",
+        joinType = "leftOuter")
+      s.catalog.dropTempView("x_stream_join_outer_sink")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.format("memory")
+          .queryName("x_stream_join_outer_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("x_stream_join_outer_sink").where(col("user_id") >= 0)
         .select(col("user_id"), col("view_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
         .orderBy("view_id", "buy_id")
