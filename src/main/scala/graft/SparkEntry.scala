@@ -848,6 +848,15 @@ object Queries {
       ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS events, " +
         "ROUND(SUM(value), 2) AS total_value FROM events " +
         "GROUP BY user_id ORDER BY user_id"),
+    // bootstrap replica: snapshot(first half) + stream(second half)
+    // must equal the batch GROUP BY over the WHOLE log, restricted to
+    // users the stream touched (update mode emits only on input rows)
+    "x_tws_bootstrap" ->
+      ("SELECT user_id, CAST(COUNT(*) AS BIGINT) AS events, " +
+        "ROUND(SUM(value), 2) AS total_value FROM events " +
+        "WHERE user_id IN (SELECT DISTINCT user_id FROM events " +
+        "WHERE date_part('day', ts) >= 16) " +
+        "GROUP BY user_id ORDER BY user_id"),
     // transformWithState top-k replica: single-batch update-mode
     // emission = batch per-user type ranks (count DESC, type ASC) plus
     // the 20-newest recency buffer by (epoch_ms, event_id) — min/max
@@ -3822,6 +3831,55 @@ object ExtensionQueries {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table("x_tws_totals_sink")
+        .select(col("user_id"), col("events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+    // transformWithState INITIAL-STATE bootstrap (r15 verdict #4): the
+    // batch→streaming migration — a batch aggregate over the month's
+    // first half seeds the state store via handleInitialState, the
+    // second half replays as the stream, and the emitted totals must
+    // equal the batch GROUP BY over the CONCATENATED log for every
+    // user the stream touches (snapshot-only users sit in state and
+    // emit nothing — the oracle's IN-subquery mirrors that)
+    "x_tws_bootstrap" -> ((s, dir) => {
+      Sources.register(s, dir)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val snapshot = s.table("events")
+        .where(dayofmonth(col("ts")) <= 15)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("events"), sum(col("value")).as("total_value"))
+        .as[(Long, Long, Double)]
+      val ev = s.table("events")
+        .where(dayofmonth(col("ts")) >= 16)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event].collect()
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streams.Event]
+      in.addData(ev.toSeq: _*)
+      s.catalog.dropTempView("x_tws_bootstrap_sink")
+      val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streams
+          .runningTotalsBootstrapped(in.toDS(), snapshot)
+          .writeStream.format("memory").queryName("x_tws_bootstrap_sink")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      } finally {
+        prevProv match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table("x_tws_bootstrap_sink")
         .select(col("user_id"), col("events"),
           round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id")

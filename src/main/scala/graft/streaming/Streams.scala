@@ -333,6 +333,59 @@ object Streams {
   }
 
   /**
+   * [[RunningTotalProcessor]] with INITIAL-STATE bootstrap — the
+   * batch→streaming migration shape real deployments need (r15 verdict
+   * #4): a batch snapshot (per-key count/sum computed over the historic
+   * log) seeds the state store at query START, and the stream folds only
+   * the new data on top. `handleInitialState` runs once per snapshot key
+   * on the FIRST micro-batch of a fresh checkpoint; on a RESTART from an
+   * existing checkpoint the engine skips it entirely (state is already
+   * in the store), so the snapshot can be passed unconditionally at
+   * every start without double-counting — pinned in StreamsSpec. At
+   * 100 TB the snapshot is a distributed Dataset co-grouped with the
+   * stream by key (never collected), so bootstrap cost is one shuffle
+   * of the aggregated snapshot, not the historic log.
+   */
+  class RunningTotalBootstrapProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[Long, Event, UserTotal, (Long, Double)] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var totals: ss.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)],
+        if (ttl == null) ss.TTLConfig.NONE else ss.TTLConfig(ttl))
+    override def handleInitialState(key: Long, initialState: (Long, Double),
+        timerValues: ss.TimerValues): Unit =
+      totals.update(initialState)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: ss.TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else (0L, 0.0)
+      val next = rows.foldLeft(prev) { case ((c, s), e) => (c + 1, s + e.value) }
+      totals.update(next)
+      Iterator.single(UserTotal(key, next._1, next._2))
+    }
+  }
+
+  /** [[runningTotalsStream]] seeded from a batch snapshot of
+    * `(user_id, events, total_value)` rows. Update mode: emitted rows
+    * carry snapshot + folded-stream totals for every key the STREAM
+    * touches (snapshot-only keys sit in state, emitting nothing until
+    * they next appear — exactly the migration contract). */
+  def runningTotalsBootstrapped(events: Dataset[Event],
+      snapshot: Dataset[(Long, Long, Double)],
+      ttl: java.time.Duration = null): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    val mode =
+      if (ttl == null) org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    val init = snapshot.groupByKey(_._1).mapValues(t => (t._2, t._3))
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalBootstrapProcessor(ttl), mode,
+        OutputMode.Update(), init)
+  }
+
+  /**
    * Streaming exact dedup — the streaming analogue of
    * `Dedup.dedupExact` for continuously-arriving corpus data: drops rows
    * whose `keyCols` were already seen within the watermark horizon.

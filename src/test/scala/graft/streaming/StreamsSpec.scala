@@ -178,6 +178,50 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("tws bootstrap: snapshot seeds all keys once; a checkpoint restart never re-applies it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 100: snapshot + stream; user 300: snapshot-ONLY in phase 1
+      val snapshot = Seq((100L, 2L, 30.0), (300L, 5L, 99.0)).toDS()
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_boot_ckpt").toString
+      val input = MemoryStream[Event]
+      val emitted = scala.collection.mutable.ListBuffer.empty[Streams.UserTotal]
+      def start() = Streams.runningTotalsBootstrapped(input.toDS(), snapshot)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserTotal], _: Long) =>
+          emitted.synchronized { emitted ++= b.collect() }; ()
+        }
+        .start()
+      // phase 1: first batch of a fresh checkpoint — handleInitialState
+      // runs for BOTH snapshot keys; only user 100 has input, so only
+      // it emits, with snapshot-included totals
+      val q1 = start()
+      input.addData(Event(1, ts(0), 100, "click", 10.0))
+      q1.processAllAvailable(); q1.stop()
+      assert(emitted.toSeq === Seq(Streams.UserTotal(100L, 3L, 40.0)))
+      // phase 2: RESTART from the checkpoint with the same snapshot
+      // passed again — the engine must skip handleInitialState entirely
+      // (state already in the store): user 100 folds on top of (3, 40),
+      // not on a re-seeded (2, 30); user 300's phase-1 seed is in the
+      // restored state even though it never emitted
+      emitted.clear()
+      val q2 = start()
+      input.addData(Event(2, ts(1), 100, "view", 5.0), Event(3, ts(2), 300, "view", 1.0))
+      q2.processAllAvailable(); q2.stop()
+      val byUser = emitted.map(u => u.user_id -> ((u.events, u.total_value))).toMap
+      assert(byUser(100L) === ((4L, 45.0)), s"restart must not re-seed: $byUser")
+      assert(byUser(300L) === ((6L, 100.0)), s"phase-1 seed must survive restart: $byUser")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState top-k: MapState counts + trimmed ListState buffer fold equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
