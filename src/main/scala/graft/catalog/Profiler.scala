@@ -31,13 +31,30 @@ object Profiler {
     Seq("int", "numeric", "decimal", "float", "double", "real").exists(t.contains)
   }
 
+  /**
+   * Seeded UNBIASED row sample (r15 verdict #6). The parity sampler
+   * below (`limit(n)`, ref crawler.py:204-220) reads head-of-file: at
+   * 100 TB that "sample" is the first rows of ONE parquet file — any
+   * write-order correlation (ingest date, source, partition key) makes
+   * it wildly unrepresentative. This variant ranks every row by a
+   * seeded uniform draw and keeps the global top-n: Catalyst plans it
+   * as TakeOrderedAndProject — a per-partition n-row heap merged on the
+   * driver, i.e. a distributed reservoir at one-scan cost, no full
+   * sort, no shuffle. Determinism: `rand(seed)` derives each
+   * partition's stream from (seed, partitionId), so a fixed seed over a
+   * fixed file layout reproduces the same sample (spec-pinned).
+   */
+  def sampleUnbiased(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
   def profileTable(
       spark: SparkSession,
       name: String,
       df: DataFrame,
       exact: Boolean = false,
       domainCap: Int = DomainCap,
-      sampleSize: Int = SampleSize): TableInfo = {
+      sampleSize: Int = SampleSize,
+      sampleSeed: Option[Long] = None): TableInfo = {
     val fields = df.schema.fields
 
     // Single-pass aggregation: count(*) + per-column [distinct, min, max, avg]
@@ -98,7 +115,17 @@ object Profiler {
         uniqueValues = domain)
     }
 
-    val samples = df.limit(math.min(sampleSize, 10)).collect().map { r =>
+    // sampleSeed selects the sampler: None keeps the reference's
+    // head-rows parity (crawler.py:204-220); Some(seed) draws the
+    // seeded uniform sample — the profile-quality path at scale.
+    // Everything above (counts, min/max/avg, domains) stays EXACT
+    // either way; only the illustrative sampleRows differ.
+    val n = math.min(sampleSize, 10)
+    val sampleDf = sampleSeed match {
+      case Some(seed) => sampleUnbiased(df, n, seed)
+      case None => df.limit(n)
+    }
+    val samples = sampleDf.collect().map { r =>
       fields.map(f => f.name -> String.valueOf(r.get(r.fieldIndex(f.name)))).toMap
     }
 

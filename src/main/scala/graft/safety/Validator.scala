@@ -185,10 +185,48 @@ object Validator {
         s"function ${f.nameParts.mkString(".")}"
       case _: org.apache.spark.sql.catalyst.analysis.ExpressionWithUnresolvedIdentifier =>
         "IDENTIFIER() dynamic name"
+      // parameter markers (`:name` / `?`) can never bind on this path —
+      // the engine passes no args — so before round 16 they VALIDATED
+      // and then died at runtime with UNBOUND_SQL_PARAMETER. Denied
+      // statically instead: a marker is a hole for whatever a future
+      // args-passing caller would substitute, the same statically-
+      // un-vettable class as EXECUTE IMMEDIATE (r15 verdict #7 wave).
+      case _: org.apache.spark.sql.catalyst.analysis.Parameter =>
+        "parameter marker (:name / ?)"
     }).headOption
     bad match {
       case Some(kind) =>
         Left(SqlSafetyError(s"Statically un-vettable construct: $kind is not allowed"))
+      case None => Right(())
+    }
+  }
+
+  /** Table-valued functions sit OUTSIDE the table allow-list (an
+    * `UnresolvedTableValuedFunction` is not an `UnresolvedRelation`, so
+    * `referencedTables` never sees it). Today every TVF Spark 4 ships
+    * in FROM position is a pure generator over its literal arguments —
+    * but vetting must not depend on that staying true (the r14/r15
+    * holes were all "new node types the denylist didn't know"), so the
+    * check is an ALLOW-list of known generators: anything else — e.g. a
+    * future file-reading TVF — is denied by default (r15 verdict #7). */
+  private val allowedTvfs = Set(
+    "range", "explode", "explode_outer", "posexplode", "posexplode_outer",
+    "inline", "inline_outer", "stack", "json_tuple", "variant_explode",
+    "variant_explode_outer")
+
+  def ensureTvfsAllowed(plan: LogicalPlan): Either[EngineError, Unit] = {
+    val bad = withCteDefs(plan).flatMap(_.collectWithSubqueries {
+      // name is multipart; a qualified spelling (`builtin.range`) must
+      // not dodge the allow-list, so the FULL dotted name is matched
+      // (single-part "range" allows, anything qualified denies — the
+      // engine's own surface only ever emits single-part generators)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if !allowedTvfs.contains(f.name.map(_.toLowerCase).mkString(".")) =>
+        f.name.mkString(".")
+    }).headOption
+    bad match {
+      case Some(name) =>
+        Left(SqlSafetyError(s"Table-valued function not allowed: $name"))
       case None => Right(())
     }
   }
@@ -311,6 +349,7 @@ object Validator {
       plan <- parse(spark, sql)
       _ <- ensureSelectOnly(plan)
       _ <- ensureNoEscapeHatches(plan)
+      _ <- ensureTvfsAllowed(plan)
       _ <- ensureTablesAllowed(plan, allowedTables)
       _ <- validateAggregationRequirement(plan, needsAggregation)
       _ <- validateStructure(plan, wantsDistinct)

@@ -150,6 +150,37 @@ class EngineSpec extends SparkSpec {
     assert(rk.distinctCount.contains(5L))
   }
 
+  /** r15 verdict #6: `limit(n)` (reference parity, crawler.py:204-220)
+    * reads head-of-file — at 100 TB the "sample" is one parquet file's
+    * first rows. The seeded sampler must (a) reproduce exactly under a
+    * fixed seed, and (b) escape write-order skew the head sampler is
+    * blind to. */
+  test("sampleUnbiased: seed-deterministic, and uniform where head sampling is skew-blind") {
+    import spark.implicits._
+    // skew-ordered fixture: every head-of-file row is category 'head'
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) "head" else "tail"))
+      .toDF("id", "cat").coalesce(1)
+    // the parity sampler sees ONLY the write-order head
+    val headCats = df.limit(10).collect().map(_.getString(1)).toSet
+    assert(headCats === Set("head"), "head sampler must expose the skew this test plants")
+    // fixed seed → identical sample, twice
+    def ids(seed: Long) = Profiler.sampleUnbiased(df, 50, seed)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids(7L) === ids(7L), "fixed seed must reproduce the exact sample")
+    assert(ids(7L) !== ids(8L), "different seeds must draw different samples")
+    // the uniform draw reaches past the head block (P[all-head] = 2^-50)
+    val cats = Profiler.sampleUnbiased(df, 50, 7L).collect().map(_.getString(1)).toSet
+    assert(cats === Set("head", "tail"), s"uniform sample must span the skew: $cats")
+    // profileTable: sampleSeed switches samplers; stats stay exact either way
+    val parity = Profiler.profileTable(spark, "t", df)
+    val unbiased = Profiler.profileTable(spark, "t", df, sampleSeed = Some(7L))
+    assert(parity.rowCount == unbiased.rowCount)
+    assert(parity.sampleRows.forall(_("cat") == "head"))
+    // same seed → byte-identical sampleRows across calls
+    assert(unbiased.sampleRows ===
+      Profiler.profileTable(spark, "t", df, sampleSeed = Some(7L)).sampleRows)
+  }
+
   test("approx-marked questions serve from the sketch index; the routed plan never rescans the corpus") {
     import org.apache.spark.sql.functions._
     spark.sql("SELECT event_type, user_id, value, to_date(ts) AS day FROM events")

@@ -132,6 +132,59 @@ class ValidatorSpec extends SparkSpec {
       "SELECT upper(c_name) AS u FROM customer LIMIT 5", allowed).isRight)
   }
 
+  /** Fifth adversarial wave (round 16, r15 verdict #7): sweep the
+    * remaining Spark-4 parse surfaces. DECLARE / SET VAR / SET parse to
+    * Commands (already denied); file-path relations
+    * (parquet.`/path`) carry their full dotted name into the
+    * allow-list (already denied, incl. via LATERAL and CTE bodies).
+    * Two soft spots hardened here: parameter markers validated and then
+    * died at bind time (now denied statically — a marker is a
+    * substitution hole), and FROM-position TVFs sat entirely outside
+    * the table allow-list (now vetted against an allow-list of known
+    * pure generators, deny-by-default for anything new). */
+  test("parameter markers and unknown TVFs are rejected; generator TVFs still pass (round-16 wave)") {
+    Seq(
+      "SELECT :p AS v FROM nation LIMIT 1",
+      "SELECT ? AS v FROM nation LIMIT 1",
+      "SELECT c_name FROM customer WHERE c_acctbal > :bal LIMIT 5",
+      // markers inside subqueries/CTEs are the same hole
+      "WITH g AS (SELECT :p AS v FROM nation) SELECT * FROM g LIMIT 1",
+      // unknown / qualified TVFs deny by default (allow-list, not denylist)
+      "SELECT * FROM sql_keywords() LIMIT 5",
+      "SELECT * FROM builtin.range(5)"
+    ).foreach { sql =>
+      val r = Validator.validate(spark, sql, allowed)
+      assert(r.isLeft, s"should reject: $sql")
+      assert(r.swap.exists(e => e.isInstanceOf[SqlSafetyError] || e.isInstanceOf[ParseError]))
+    }
+    // the known pure generators still pass (no overreach)
+    Seq(
+      "SELECT * FROM range(5)",
+      "SELECT * FROM explode(array(1, 2, 3)) LIMIT 5",
+      "SELECT * FROM inline(array(struct(1, 'a'))) LIMIT 5"
+    ).foreach { sql =>
+      assert(Validator.validate(spark, sql, allowed).isRight, s"should allow: $sql")
+    }
+    // the statement-level surfaces stay dead (Commands)
+    Seq(
+      "DECLARE VARIABLE gv STRING DEFAULT 'supplier'",
+      "SET VAR gv = 'supplier'",
+      "SET spark.sql.ansi.enabled=false"
+    ).foreach { sql =>
+      assert(Validator.validate(spark, sql, allowed).isLeft, s"should reject: $sql")
+    }
+    // file-path relations: full dotted name hits the allow-list, on the
+    // plain, LATERAL, and CTE paths
+    Seq(
+      "SELECT * FROM parquet.`/root/testdata/sf0.001/supplier.parquet` LIMIT 3",
+      "SELECT * FROM text.`/etc/passwd` LIMIT 3",
+      "SELECT n_name FROM nation, LATERAL (SELECT * FROM text.`/etc/passwd` LIMIT 1)",
+      "WITH g AS (SELECT * FROM text.`/etc/passwd`) SELECT * FROM g LIMIT 3"
+    ).foreach { sql =>
+      assert(Validator.validate(spark, sql, allowed).isLeft, s"should reject: $sql")
+    }
+  }
+
   test("recursive CTEs: allow-list sees the recursive body; runaway recursion is engine-bounded") {
     // the recursive surface is admitted (it is a read), and a
     // forbidden table inside the recursive body is still caught
