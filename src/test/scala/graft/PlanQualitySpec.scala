@@ -537,4 +537,54 @@ class PlanQualitySpec extends SparkSpec {
         s"$name: AQE should broadcast the per-key stats frame:\n" + p.take(2000))
     }
   }
+
+  /** r15 verdict #5 — the AQE-vs-manual-salting A/B, plan half. The
+    * measured half lives in ProbeSkewAB at 150M rows on PRODUCTION
+    * thresholds: unsplit straggler 42.9s → AQE runtime split 8.0s
+    * (5.4×, plan carries SortMergeJoin(skew=true)) → Skew.saltedJoin
+    * 19.2s (beats the straggler, loses to the split: 8-way build
+    * replication is pure overhead once AQE splits for free). Two
+    * hard-won caveats the probe surfaced, recorded for the next reader:
+    * (a) skew detection reads COMPRESSED shuffle bytes — an
+    * identical-key hot partition with cyclic payloads LZ4s under the
+    * 256 MB threshold and AQE sees NO skew (the manual operator is the
+    * fallback exactly there, and on AQE-less streaming joins);
+    * (b) for sum-decomposable aggregates map-side partial aggregation
+    * already collapses the hot key (plain 1.2s vs salted 0.8s), so
+    * saltedAggregate's real value is non-decomposable/large-state aggs.
+    * This test pins (1) at spec scale with proportionally lowered
+    * byte thresholds — the detection RULE, not the toy sizes. */
+  test("AQE splits a planted hot key on the plain shuffle join (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 3/4 of rows on the hot key; payload hash-derived so the codec
+      // cannot fold the hot partition under the threshold (caveat (a))
+      val probe = spark.range(800000).select(
+        when(pmod(col("id"), lit(4)) =!= 0, lit(1L))
+          .otherwise(pmod(hash(col("id")), lit(100000L)) + 2L).as("k"),
+        (hash(col("id"), lit(7)).cast("double") / 1000.0).as("q"))
+      val build = spark.range(100002).select(
+        col("id").as("k"), (col("id") % 97).as("nk"))
+      val joined = probe.join(build, "k").groupBy("nk")
+        .agg(count(lit(1)).as("n"), round(sum("q"), 2).as("s"))
+      val rows = joined.collect()
+      assert(rows.length == 97)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "OptimizeSkewedJoin must split the planted hot partition:\n" + p.take(2500))
+      // the reader prints "skewed" or "coalesced and skewed"
+      assert(p.linesIterator.exists(l => l.contains("AQEShuffleRead") && l.contains("skewed")),
+        "the skewed-side reader must be marked:\n" + p.take(2500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
