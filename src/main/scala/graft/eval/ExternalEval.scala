@@ -377,7 +377,149 @@ object ExternalEval {
     ExternalCase("r8", "paraphrase", "travel",
       "paraphrase of p7 ('average hotel price per place')",
       "What's the average hotel price for each place?",
-      Some("SELECT place, AVG(hprice) AS a FROM hotels GROUP BY place")))
+      Some("SELECT place, AVG(hprice) AS a FROM hotels GROUP BY place")),
+
+    // ------------------------------------------------ benchmark-derived
+    // Round-16 hardening set (r15 verdict #3): the 53-case set saturated
+    // at 1.0 on every metric, so it could no longer catch regressions.
+    // These 22 cases carry the HARD question shapes of the published
+    // text-to-SQL benchmarks — negation/anti-join, tie-aware
+    // superlatives, comparison-to-aggregate, relational division,
+    // multi-hop FK aggregates, date+group compositions — with the
+    // benchmark's entity slots mapped onto the reference's own crawled
+    // schemas. Externality tier matches phrase-derived (the PATTERN is
+    // external — Spider, Yu et al. EMNLP'18; GeoQuery, Zelle & Mooney
+    // AAAI'96; classic textbook division — the slot mapping and gold are
+    // authored here) and LOW SCORES ARE THE EXPECTED, HONEST OUTCOME:
+    // the deterministic template chain does not claim these shapes.
+    ExternalCase("b1", "benchmark-derived", "school",
+      "Spider negation pattern ('List the name of singers that do not have any song')",
+      "List the names of students who have never enrolled in any course.",
+      Some("SELECT s.id, s.name FROM students s WHERE s.id NOT IN " +
+        "(SELECT student_id FROM enrollments) ORDER BY s.id"),
+      note = "fixture plants student 59 with no enrollments for exactly this shape"),
+    ExternalCase("b2", "benchmark-derived", "school",
+      "Spider tie-aware superlative pattern ('the name of the winner with the highest rank points')",
+      "Which students achieved the highest numeric score?",
+      Some("SELECT DISTINCT s.id, s.name FROM students s " +
+        "JOIN enrollments e ON s.id = e.student_id " +
+        "WHERE e.numeric_score = (SELECT MAX(numeric_score) FROM enrollments) " +
+        "ORDER BY s.id"),
+      note = "gold returns ALL tied students — a LIMIT-1 answer is wrong by construction"),
+    ExternalCase("b3", "benchmark-derived", "school",
+      "GeoQuery per-group superlative pattern ('What is the highest point in each state?')",
+      "What is the highest numeric score in each course?",
+      Some("SELECT course_id, MAX(numeric_score) AS m FROM enrollments " +
+        "GROUP BY course_id ORDER BY course_id")),
+    ExternalCase("b4", "benchmark-derived", "school",
+      "Spider HAVING pattern ('Which stadiums have more than one concert?')",
+      "Which courses have at least 40 enrollments?",
+      Some("SELECT course_id, COUNT(*) AS n FROM enrollments " +
+        "GROUP BY course_id HAVING COUNT(*) >= 40 ORDER BY course_id")),
+    ExternalCase("b5", "benchmark-derived", "school",
+      "Spider comparison-to-aggregate pattern (Yu et al. EMNLP'18 Fig.1: 'departments with average instructor salary greater than the overall average')",
+      "Which courses have an average numeric score above the overall average score?",
+      Some("SELECT course_id, AVG(numeric_score) AS a FROM enrollments " +
+        "GROUP BY course_id " +
+        "HAVING AVG(numeric_score) > (SELECT AVG(numeric_score) FROM enrollments) " +
+        "ORDER BY course_id")),
+    ExternalCase("b6", "benchmark-derived", "school",
+      "relational division (classic textbook shape; Spider 'singers who performed in every concert')",
+      "Which students are enrolled in every course?",
+      Some("SELECT s.id, s.name FROM students s JOIN enrollments e ON s.id = e.student_id " +
+        "GROUP BY s.id, s.name " +
+        "HAVING COUNT(DISTINCT e.course_id) = (SELECT COUNT(*) FROM courses) " +
+        "ORDER BY s.id"),
+      note = "gold is EMPTY on the fixture ((s+c)%3 ejects one course per student) — " +
+        "a non-empty answer is wrong; empty-vs-empty scores 1.0 only if the " +
+        "engine also answers empty"),
+    ExternalCase("b7", "benchmark-derived", "school",
+      "Spider count-distinct-per-group pattern ('How many different instruments does each musician use?')",
+      "How many different courses is each student enrolled in?",
+      Some("SELECT student_id, COUNT(DISTINCT course_id) AS n FROM enrollments " +
+        "GROUP BY student_id ORDER BY student_id")),
+    ExternalCase("b8", "benchmark-derived", "school",
+      "Spider join-group pattern ('For each stadium, how many concerts are there?') over the title FK",
+      "What is the average numeric score for each course title?",
+      Some("SELECT c.title, AVG(e.numeric_score) AS a FROM enrollments e " +
+        "JOIN courses c ON c.id = e.course_id GROUP BY c.title ORDER BY c.title")),
+    ExternalCase("b9", "benchmark-derived", "store",
+      "Spider multi-hop FK aggregate pattern ('find the total number of products ordered by each customer', 3 hops)",
+      "What is the total quantity of items ordered by each customer?",
+      Some("SELECT c.id, c.name, SUM(oi.qty) AS q FROM customers c " +
+        "JOIN orders o ON o.customer_id = c.id " +
+        "JOIN order_items oi ON oi.order_id = o.id " +
+        "GROUP BY c.id, c.name ORDER BY c.id")),
+    ExternalCase("b10", "benchmark-derived", "store",
+      "Spider existential multi-hop pattern ('How many orders contain a product of type X?')",
+      "How many orders include at least one electronics item?",
+      Some("SELECT COUNT(DISTINCT o.id) AS n FROM orders o " +
+        "JOIN order_items oi ON oi.order_id = o.id " +
+        "JOIN items i ON i.id = oi.item_id WHERE i.category = 'electronics'")),
+    ExternalCase("b11", "benchmark-derived", "store",
+      "date-bucket group pattern (WikiSQL/Spider 'How many X per month/year')",
+      "How many orders were placed in each month?",
+      Some("SELECT MONTH(order_date) AS m, COUNT(*) AS n FROM orders " +
+        "GROUP BY MONTH(order_date) ORDER BY m")),
+    ExternalCase("b12", "benchmark-derived", "store",
+      "date-range + group composition (Spider 'total sales in year Y by store')",
+      "What is the total sales amount per shopping mall in June 2023?",
+      Some("SELECT shoppingmall, SUM(quantity * price) AS s FROM sales " +
+        "WHERE invoicedate >= DATE '2023-06-01' AND invoicedate < DATE '2023-07-01' " +
+        "GROUP BY shoppingmall ORDER BY shoppingmall")),
+    ExternalCase("b13", "benchmark-derived", "store",
+      "Spider tie-aware superlative pattern on an attribute ('the most expensive product')",
+      "Which items are the most expensive?",
+      Some("SELECT id, category, price FROM items " +
+        "WHERE price = (SELECT MAX(price) FROM items) ORDER BY id")),
+    ExternalCase("b14", "benchmark-derived", "store",
+      "negation + date composition (Spider 'customers who did not place an order after date D')",
+      "Which customers placed no order after March 1, 2024?",
+      Some("SELECT c.id, c.name FROM customers c WHERE c.id NOT IN " +
+        "(SELECT customer_id FROM orders WHERE order_date > DATE '2024-03-01') " +
+        "ORDER BY c.id")),
+    ExternalCase("b15", "benchmark-derived", "store",
+      "Spider argmax-over-aggregate pattern ('the customer who spent the most money in total')",
+      "Which customer spent the most money in total?",
+      Some("WITH t AS (SELECT customer_id, SUM(total) AS s FROM orders GROUP BY customer_id) " +
+        "SELECT c.id, c.name FROM customers c JOIN t ON t.customer_id = c.id " +
+        "WHERE t.s = (SELECT MAX(s) FROM t) ORDER BY c.id"),
+      note = "tie-aware: every tied top spender must be returned"),
+    ExternalCase("b16", "benchmark-derived", "store",
+      "Spider comparison-to-aggregate on the sibling crawled db ('employees older than the average age')",
+      "Which payment methods are used by customers older than the average age?",
+      Some("SELECT DISTINCT paymentmethod FROM customer " +
+        "WHERE age > (SELECT AVG(age) FROM customer) ORDER BY paymentmethod")),
+    ExternalCase("b17", "benchmark-derived", "travel",
+      "Spider multi-aggregate group pattern ('For each airline, the number of flights and average price')",
+      "For each agency, how many flights are there and what is the average price?",
+      Some("SELECT agency, COUNT(*) AS n, AVG(fprice) AS a FROM flights " +
+        "GROUP BY agency ORDER BY agency")),
+    ExternalCase("b18", "benchmark-derived", "travel",
+      "Spider tie-aware superlative pattern ('the flight covering the longest distance')",
+      "Which flights cover the longest distance?",
+      Some("SELECT travelcode, fcity, tcity, distance FROM flights " +
+        "WHERE distance = (SELECT MAX(distance) FROM flights) ORDER BY travelcode")),
+    ExternalCase("b19", "benchmark-derived", "travel",
+      "date-bucket group pattern ('How many flights depart in each month?')",
+      "How many flights are there in each month?",
+      Some("SELECT MONTH(fdate) AS m, COUNT(*) AS n FROM flights " +
+        "GROUP BY MONTH(fdate) ORDER BY m")),
+    ExternalCase("b20", "benchmark-derived", "travel",
+      "Spider negation over a filtered subquery ('students who are not enrolled in course X')",
+      "List the names of users who have never taken a first class flight.",
+      Some("SELECT u.usercode, u.name FROM users u WHERE u.usercode NOT IN " +
+        "(SELECT usercode FROM flights WHERE flighttype = 'firstClass') " +
+        "ORDER BY u.usercode")),
+    ExternalCase("b21", "benchmark-derived", "travel",
+      "GeoQuery inbound-edge count pattern ('how many rivers flow into each state?')",
+      "How many flights arrive at each destination city?",
+      Some("SELECT tcity, COUNT(*) AS n FROM flights GROUP BY tcity ORDER BY tcity")),
+    ExternalCase("b22", "benchmark-derived", "travel",
+      "Spider HAVING-on-average pattern ('stations whose average bike availability is above N')",
+      "Which places have an average hotel price above 100?",
+      Some("SELECT place, AVG(hprice) AS a FROM hotels GROUP BY place " +
+        "HAVING AVG(hprice) > 100 ORDER BY place")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)
