@@ -11,7 +11,8 @@ import graft.link.Intent.Analysis
  * LLM is configured.
  */
 object Templates extends TemplatesShapes1 with TemplatesShapes2
-    with TemplatesShapes3 with TemplatesShapes4 with TemplatesConjunctive {
+    with TemplatesShapes3 with TemplatesShapes4 with TemplatesShapes5
+    with TemplatesConjunctive {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -788,6 +789,21 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
     // flat Seq literal, NOT a ++ chain: >100 chained concatenations
     // nest deeply enough to overflow the compiler stack
     Seq(
+      // round-16 benchmark-hard shapes FIRST: their triggers are the
+      // most specific readings of their phrasings ("never", tie-aware
+      // "which … highest", "at least N", "overall average", "each
+      // month") and must claim the question before a generic aggregate
+      // shape reads the same words as a scalar MAX/COUNT
+      neverAntiJoinCandidates(slice, fks, question, values),
+      tieArgmaxCandidates(slice, fks, question),
+      havingCountThresholdCandidates(slice, fks, question),
+      groupAggThresholdCandidates(slice, question),
+      aboveOverallAvgCandidates(slice, fks, question),
+      distinctPerGroupCandidates(slice, question),
+      monthBucketCandidates(slice, question),
+      sumArgmaxCandidates(slice, fks, question),
+      multiAggPerGroupCandidates(slice, question),
+      twoHopAggCandidates(slice, fks, question),
       bridgeCandidates(slice, fks, question),
       nestedHavingCandidates(slice, fks, question),
       aggOfAggCandidates(slice, fks, question),

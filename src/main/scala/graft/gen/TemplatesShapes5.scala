@@ -1,0 +1,479 @@
+package graft.gen
+
+import graft.core.{FkEdge, SchemaSlice}
+import Templates.{Candidate, DefaultLimit}
+
+/**
+ * Round-16 generic shapes for the benchmark-hard question families the
+ * external eval exposed (COVERAGE.md "External evaluation — round 16":
+ * benchmark-derived macro F1 0.118 before these). Each shape serves a
+ * FAMILY from the published text-to-SQL benchmarks — negation/anti-join,
+ * tie-aware superlatives, HAVING thresholds, comparison-to-overall-
+ * average, per-group COUNT DISTINCT, calendar-month bucketing — linked
+ * through the same no-fabrication bars as every other shape (strong
+ * column/table links only; a shape that cannot ground every slot in the
+ * schema emits nothing).
+ *
+ * Scale notes: anti-joins emit NOT IN over the fact's key column —
+ * Catalyst plans a LeftAnti hash join (null-aware; the fact side
+ * aggregates to distinct keys before the join). Tie-argmax emits a
+ * scalar-subquery comparison — one extra fact scan reduced to a 1-row
+ * broadcast, never a sort. Threshold/overall-average shapes are a single
+ * grouped pass with partial aggregation plus (for the overall form) a
+ * broadcast scalar.
+ */
+private[gen] trait TemplatesShapes5 { this: Templates.type =>
+
+  // ---------------------------------------------------------------- utils
+
+  /** Question words (lowercased, order kept, dedup'd). */
+  private def qWords(question: String): Seq[String] =
+    question.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq.distinct
+
+  /** All tables of the slice a question WORD uniquely links to. */
+  private def linkedTables(slice: SchemaSlice, question: String): Seq[String] =
+    qWords(question).flatMap(w => uniqueTable(slice, w)).distinct
+
+  /** ALL strong table links for a word, ties included (the store schema
+    * crawls BOTH `customer` and `customers`, which tie on the word
+    * "customer" — `uniqueTable`'s ambiguity bar blocks there, but a
+    * shape whose OTHER slots ground on exactly one of the tied tables
+    * has resolved the ambiguity structurally). Callers must enforce
+    * single-grounding themselves. */
+  private def strongTables(slice: SchemaSlice, word: String): Seq[String] =
+    slice.tables.keySet.toSeq
+      .map(t => t -> graft.link.Fuzzy.nameScore(t, word))
+      .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }.map(_._1)
+
+  /** No-fabrication gate over tie-resolved candidates: emit only when
+    * every grounding agrees on ONE query. */
+  private def singleGrounding(cands: Seq[Candidate]): Seq[Candidate] =
+    if (cands.map(_.sql).distinct.size == 1) cands.take(1) else Nil
+
+  /** Consonant-skeleton abbreviation: the column is a subsequence of
+    * the word's first letter + vowel-stripped tail ("qty" ⊑ q+"ntty"
+    * from "quantity"), unique among the table's columns. The vowel
+    * strip is what keeps "age" from grounding "average" (its letters
+    * appear in order in the full word, but not in the skeleton). */
+  private[gen] def skeletonColumn(word: String, cols: Seq[String]): Option[String] = {
+    val w = word.toLowerCase
+    if (w.length < 4) return None
+    val skel = w.head + w.tail.filterNot("aeiou".contains(_))
+    def subseq(c: String): Boolean = {
+      var i = 0
+      skel.foreach(ch => if (i < c.length && c(i) == ch) i += 1)
+      i == c.length
+    }
+    cols.filter { col =>
+      val c = col.toLowerCase
+      c.length >= 3 && c.length < w.length && c.head == w.head && subseq(c)
+    } match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** Equality filters grounded in the fact's VALUE DOMAINS: a domain
+    * value whose space/case-stripped form appears in the question
+    * ("first class" → flighttype = 'firstClass'). Values shorter than 4
+    * chars never match (a bare 'F' grade would fire everywhere). */
+  private def domainFilters(question: String, fact: String,
+      values: String => Map[String, Seq[String]]): Seq[String] = {
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val q = norm(question)
+    values(fact).toSeq.sortBy(_._1).flatMap { case (col, dom) =>
+      dom.filter(v => v.length >= 4 && q.contains(norm(v)))
+        .sorted.take(1).map(v => s"$col = ${sqlLit(v)}")
+    }
+  }
+
+  // -------------------------------------------------- negation anti-join
+
+  private[gen] val neverRe =
+    raw"(?i)\b(?:never|(?:placed|made|had|have|has|with)\s+no)\b".r
+
+  /**
+   * "students who have NEVER enrolled in any course" / "users who never
+   * took a first class flight" → the entity rows with NO matching fact
+   * row: `e WHERE e.pk NOT IN (SELECT fk FROM fact [WHERE …])`.
+   * Entity/fact linkage comes from the FK graph when present, else from
+   * a shared non-"id" key column name (the travel schema has no crawled
+   * FKs but shares `usercode`). Domain-grounded value filters restrict
+   * the subquery ("first class" → flighttype = 'firstClass'), matching
+   * the benchmark reading: never did THAT, not never did anything.
+   */
+  def neverAntiJoinCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] = {
+    // a COUNT question over the negation ("number of courses that have
+    // no scores") belongs to the sibling antiJoinCandidates shape — this
+    // one LISTS the negated entity rows
+    if (raw"(?i)\b(?:number|count)\s+of\b|\bhow\s+many\b".r
+        .findFirstIn(question).isDefined) return Nil
+    neverRe.findFirstMatchIn(question).toSeq.flatMap { nev =>
+      // word→table links WITH character positions: the negated entity
+      // sits BEFORE the negation word ("STUDENTS who have never …"),
+      // while a table named after it is the FACT being negated ("…
+      // never enrolled in any COURSE" must not read courses as the
+      // entity). No-fabrication: an ambiguous fact emits nothing.
+      val links = raw"[a-z0-9_]+".r.findAllMatchIn(question.toLowerCase).toSeq
+        .flatMap(m => uniqueTable(slice, m.matched).map(t => (t, m.start)))
+      val byTable = links.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val entities = byTable.filter(_._2 < nev.start).keys.toSeq
+        .sortBy(byTable)
+      (for {
+        entity <- entities
+        eCols = slice.tables(entity)
+        factCands = (fks.collect {
+          case e if e.toTable == entity && slice.tables.contains(e.fromTable) =>
+            (e.fromTable, e.fromColumn, e.toColumn)
+        } ++ {
+          // the travel schema crawls with NO FK metadata: fall back to
+          // a shared KEY-LIKE column name (contains id/code/key, never
+          // the bare "id" — that names a different entity per table).
+          // The slice reorders columns by question relevance, so this
+          // scans all entity columns rather than trusting keyishColumn's
+          // first-column fallback.
+          def keyLike(c: String) = {
+            val l = c.toLowerCase
+            l != "id" && (l.contains("id") || l.contains("code") || l.contains("key"))
+          }
+          for {
+            t <- slice.tables.keys.toSeq.sorted if t != entity
+            shared = eCols.filter(keyLike).filter(slice.tables(t).contains).sorted
+            k <- shared.take(1)
+          } yield (t, k, k)
+        }).distinct
+        named = factCands.filter(fc => byTable.contains(fc._1) && fc._1 != entity)
+        (fact, fkCol, pkCol) <- (if (named.nonEmpty) named.take(1)
+          else if (factCands.size == 1) factCands else Nil)
+      } yield {
+        val filters = domainFilters(question, fact, values)
+        val where = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
+        val proj = (Seq(pkCol) ++ nameishColumn(eCols).toSeq).distinct.mkString(", ")
+        Candidate(
+          s"SELECT $proj FROM $entity WHERE $pkCol NOT IN " +
+            s"(SELECT $fkCol FROM $fact$where) ORDER BY $pkCol LIMIT $DefaultLimit",
+          0.9, "template_never_anti")
+      }).take(1)
+    }
+  }
+
+  // ---------------------------------------------- tie-aware superlative
+
+  // QUESTION-INITIAL which/who ask for the achieving ROWS; a "what is
+  // the lowest X" question asks for the scalar VALUE (plain aggregate
+  // shape), and a mid-question "in which / of which" is a RELATIVE
+  // pronoun ("the year in which … had its highest average" is a
+  // period-argmax, hijacked by an unanchored version of this regex)
+  private[gen] val tieArgmaxRe =
+    (raw"(?i)^\s*(?:which|who)\b.*?\b(highest|largest|longest|biggest|greatest|maximum|oldest|latest|" +
+      raw"most\s+expensive|costliest|lowest|smallest|shortest|cheapest|least\s+expensive|minimum|" +
+      raw"youngest|earliest)" +
+      raw"(?:\s+([a-z_][a-z0-9_ ]*?))?[\s?.!]*$$").r
+
+  /**
+   * "WHICH students achieved the HIGHEST score" — the benchmark-correct
+   * answer is every row achieving the extreme (tie-aware), not the
+   * scalar MAX and not an arbitrary LIMIT-1: `WHERE col = (SELECT
+   * MAX(col) …)`. Two groundings: the measure on the ENTITY table
+   * itself (full-row projection — "which items are the most expensive"
+   * means the items), or on a FACT joined via FK (entity key + display
+   * name, DISTINCT — ties can repeat the entity). "most expensive" /
+   * "cheapest" ground to a price-ish column when no column is named.
+   */
+  def tieArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    tieArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val sup = m.group(1).toLowerCase.replaceAll("\\s+", " ")
+      val fn = if (Set("lowest", "smallest", "shortest", "cheapest",
+        "least expensive", "minimum", "youngest", "earliest")(sup)) "MIN" else "MAX"
+      val colWord = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+      def measureOn(cols: Seq[String]): Option[String] = colWord match {
+        case Some(w) => strongColumn(w, cols)
+          .orElse(w.split("\\s+").flatMap(x => strongColumn(x, cols)).headOption)
+        case None if sup.contains("expensive") || sup.contains("cheap") ||
+          sup.contains("costliest") =>
+          cols.find(c => c.toLowerCase.contains("price") || c.toLowerCase.contains("cost"))
+        case None => None
+      }
+      val entities = linkedTables(slice, question)
+      val same = for {
+        entity <- entities
+        col <- measureOn(slice.tables(entity)).toSeq
+      } yield Candidate(
+        s"SELECT ${slice.tables(entity).mkString(", ")} FROM $entity " +
+          s"WHERE $col = (SELECT $fn($col) FROM $entity) " +
+          s"ORDER BY ${keyishColumn(entity, slice.tables(entity))} LIMIT $DefaultLimit",
+        0.9, "template_tie_argmax")
+      val joined = for {
+        entity <- entities
+        e <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
+        col <- measureOn(slice.tables(e.fromTable)).toSeq
+        name <- nameishColumn(slice.tables(entity)).toSeq
+      } yield Candidate(
+        s"SELECT DISTINCT d.${e.toColumn}, d.$name FROM $entity d " +
+          s"JOIN ${e.fromTable} f ON f.${e.fromColumn} = d.${e.toColumn} " +
+          s"WHERE f.$col = (SELECT $fn($col) FROM ${e.fromTable}) " +
+          s"ORDER BY d.${e.toColumn} LIMIT $DefaultLimit",
+        0.92, "template_tie_argmax_join")
+      (joined ++ same).take(1)
+    }
+
+  // --------------------------------------------- HAVING count threshold
+
+  private[gen] val havingCountRe =
+    (raw"(?i)\b(?:which|what)\s+([a-z_][a-z0-9_]*)\s+have\s+" +
+      raw"(at least|more than|at most|fewer than|less than)\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** "Which courses have at least 40 enrollments?" → group the FACT by
+    * its FK to the entity, HAVING COUNT(*) against the threshold. */
+  def havingCountThresholdCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    havingCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = m.group(2).toLowerCase match {
+        case "at least" => ">="
+        case "more than" => ">"
+        case "at most" => "<="
+        case _ => "<"
+      }
+      (for {
+        entity <- uniqueTable(slice, m.group(1)).toSeq
+        fact <- uniqueTable(slice, m.group(4)).toSeq
+        if fact != entity
+        e <- fks.filter(e => e.fromTable == fact && e.toTable == entity)
+      } yield Candidate(
+        s"SELECT ${e.fromColumn}, COUNT(*) AS agg_value FROM $fact " +
+          s"GROUP BY ${e.fromColumn} HAVING COUNT(*) $op ${m.group(3)} " +
+          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_having_count")).take(1)
+    }
+
+  // ---------------------------------------------- group agg vs literal
+
+  private[gen] val groupAggThresholdRe =
+    (raw"(?i)\b(?:which|what)\s+([a-z_][a-z0-9_]*)\s+have\s+an?\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_ ]*?)\s+" +
+      raw"(above|over|below|under|more than|greater than|less than)\s+(\d+(?:\.\d+)?)\b").r
+
+  /** "Which places have an average hotel price above 100?" — group
+    * column and measure both live on ONE table (no dim required):
+    * GROUP BY g HAVING AVG(v) > N. */
+  def groupAggThresholdCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    groupAggThresholdRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val op = if (Set("above", "over", "more than", "greater than")(
+        m.group(4).toLowerCase)) ">" else "<"
+      (for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        g <- strongColumn(m.group(1), cols).toSeq
+        v <- (strongColumn(m.group(3).trim, cols) orElse
+          m.group(3).trim.split("\\s+").flatMap(w => strongColumn(w, cols)).headOption).toSeq
+        if g != v
+      } yield Candidate(
+        s"SELECT $g, $agg($v) AS agg_value FROM $t GROUP BY $g " +
+          s"HAVING $agg($v) $op ${m.group(5)} ORDER BY $g LIMIT $DefaultLimit",
+        0.9, "template_group_agg_threshold")).take(1)
+    }
+
+  // ------------------------------------- group average vs overall average
+
+  private[gen] val aboveOverallRe =
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:have|has|having|with)\s+an?\s+" +
+      raw"(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_ ]*?)\s+(?:that\s+is\s+)?" +
+      raw"(above|over|below|under|more than|greater than|less than)\s+the\s+overall\s+" +
+      raw"(average|avg|mean|total|sum)\b").r
+
+  /** "Which courses HAVE AN average score ABOVE THE OVERALL average?" —
+    * the Spider Fig.1 comparison-to-aggregate shape; the sibling
+    * `havingScalarCandidates` serves only the "whose average X is …"
+    * phrasing. Groups the fact by its FK to the entity and compares the
+    * group aggregate to the ungrouped scalar (1-row broadcast). */
+  def aboveOverallAvgCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    aboveOverallRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      def aggOf(w: String) = w.toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      val gAgg = aggOf(m.group(2)); val sAgg = aggOf(m.group(5))
+      val op = if (Set("above", "over", "more than", "greater than")(
+        m.group(4).toLowerCase)) ">" else "<"
+      val colPhrase = m.group(3).trim
+      (for {
+        entity <- uniqueTable(slice, m.group(1)).toSeq
+        e <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
+        fCols = slice.tables(e.fromTable)
+        v <- (strongColumn(colPhrase, fCols) orElse
+          colPhrase.split("\\s+").flatMap(w => strongColumn(w, fCols)).headOption).toSeq
+      } yield Candidate(
+        s"SELECT ${e.fromColumn}, $gAgg($v) AS agg_value FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn} " +
+          s"HAVING $gAgg($v) $op (SELECT $sAgg($v) FROM ${e.fromTable}) " +
+          s"ORDER BY ${e.fromColumn} LIMIT $DefaultLimit",
+        0.9, "template_above_overall")).take(1)
+    }
+
+  // ----------------------------------------- count distinct per group
+
+  private[gen] val distinctPerGroupRe =
+    (raw"(?i)\bhow\s+many\s+(?:different|distinct|unique)\s+([a-z_][a-z0-9_]*)s?\b" +
+      raw".*?\b(?:each|per|every)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** "How many DIFFERENT courses is EACH student enrolled in?" → both
+    * words ground to columns of one fact table:
+    * `SELECT g, COUNT(DISTINCT x) GROUP BY g`. */
+  def distinctPerGroupCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    distinctPerGroupRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      (for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        x <- strongColumn(m.group(1), cols).toSeq
+        g <- strongColumn(m.group(2), cols).toSeq
+        if x != g
+      } yield Candidate(
+        s"SELECT $g, COUNT(DISTINCT $x) AS agg_value FROM $t GROUP BY $g " +
+          s"ORDER BY $g LIMIT $DefaultLimit",
+        0.9, "template_distinct_per_group")).take(1)
+    }
+
+  // ------------------------------------ argmax over a per-entity SUM
+
+  private[gen] val spentMostRe =
+    (raw"(?i)^\s*(?:which|who)\s+([a-z_][a-z0-9_]*)\b.*?\bthe\s+(most|least)\s+" +
+      raw"(?:money\s+)?(?:in\s+)?([a-z_][a-z0-9_]*)?").r
+
+  /** "Which customer spent the MOST money in total?" → rank entities by
+    * the SUM of a fact measure and return every entity achieving the
+    * extreme (tie-aware — a LIMIT-1 drops tied top spenders):
+    * `WITH t AS (SELECT fk, SUM(v) …) … WHERE s = (SELECT MAX(s) FROM t)`.
+    * The measure grounds on the FK-linked fact by the trailing word
+    * ("total") or a price-ish fallback; ungroundable → nothing. */
+  def sumArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    spentMostRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val fn = if (m.group(2).equalsIgnoreCase("most")) "MAX" else "MIN"
+      singleGrounding(for {
+        entity <- strongTables(slice, m.group(1))
+        name <- nameishColumn(slice.tables(entity)).toSeq
+        e <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
+        fCols = slice.tables(e.fromTable)
+        // the money-column fallback ONLY under a money reading ("spent
+        // the most", "paid the most money") — "the most orders" is a
+        // COUNT question and belongs to the with-the-most shape
+        moneyish = raw"(?i)\b(?:spent|paid|money|revenue)\b".r
+          .findFirstIn(question).isDefined
+        v <- (Option(m.group(3)).flatMap(w => strongColumn(w, fCols)) orElse
+          (if (moneyish) fCols.find(c => c.toLowerCase.contains("price") ||
+            c.toLowerCase.contains("total") || c.toLowerCase.contains("amount"))
+           else None)).toSeq
+      } yield Candidate(
+        s"WITH t AS (SELECT ${e.fromColumn} AS k, SUM($v) AS s FROM ${e.fromTable} " +
+          s"GROUP BY ${e.fromColumn}) " +
+          s"SELECT d.${e.toColumn}, d.$name FROM $entity d JOIN t ON t.k = d.${e.toColumn} " +
+          s"WHERE t.s = (SELECT $fn(s) FROM t) ORDER BY d.${e.toColumn} LIMIT $DefaultLimit",
+        0.88, "template_sum_argmax"))
+    }
+
+  // -------------------------------------- multi-aggregate per group
+
+  private[gen] val multiAggRe =
+    (raw"(?i)\b(?:for\s+each|per)\s+([a-z_][a-z0-9_]*)\b.*?\bhow\s+many\b" +
+      raw".*?\b(average|avg|mean|total|sum)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** "FOR EACH agency, HOW MANY flights and the AVERAGE price?" — one
+    * grouped pass emitting both aggregates; both slots must ground on
+    * ONE table (group column + measure column). */
+  def multiAggPerGroupCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    multiAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val agg = m.group(2).toLowerCase match {
+        case "total" | "sum" => "SUM"
+        case _ => "AVG"
+      }
+      (for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        g <- strongColumn(m.group(1), cols).toSeq
+        v <- strongColumn(m.group(3), cols).toSeq
+        if g != v
+      } yield Candidate(
+        s"SELECT $g, COUNT(*) AS n, $agg($v) AS agg_value FROM $t GROUP BY $g " +
+          s"ORDER BY $g LIMIT $DefaultLimit",
+        0.9, "template_multi_agg_group")).take(1)
+    }
+
+  // -------------------------------------------- two-hop FK aggregate
+
+  private[gen] val totalPerEntityRe =
+    (raw"(?i)\b(?:total|sum\s+of|how\s+much)\s+([a-z_][a-z0-9_]*)\b" +
+      raw".*?\b(?:by|per|for)\s+each\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** "total QUANTITY of items ordered by each CUSTOMER" where the
+    * measure lives TWO FK hops from the entity (order_items → orders →
+    * customers): chain the two edges, group by the entity. Both hops
+    * must be real FK edges — no fabricated joins. Scale shape: two
+    * hash joins (the dim side broadcastable) + one grouped pass. */
+  def twoHopAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String): Seq[Candidate] =
+    totalPerEntityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      singleGrounding(for {
+        entity <- strongTables(slice, m.group(2))
+        name <- nameishColumn(slice.tables(entity)).toSeq
+        // hop 1: mid → entity; hop 2: leaf → mid carrying the measure
+        e1 <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
+        mid = e1.fromTable
+        e2 <- fks.filter(e => e.toTable == mid && slice.tables.contains(e.fromTable) &&
+          e.fromTable != entity)
+        // abbrevColumn serves prefix short names ("dept" ⊑ department);
+        // skeletonColumn serves consonant-skeleton ones ("qty" ⊑
+        // quantity — crawled schemas abbreviate both ways)
+        v <- (strongColumn(m.group(1), slice.tables(e2.fromTable)) orElse
+          abbrevColumn(m.group(1), slice.tables(e2.fromTable)) orElse
+          skeletonColumn(m.group(1), slice.tables(e2.fromTable))).toSeq
+      } yield Candidate(
+        s"SELECT d.${e1.toColumn}, d.$name, SUM(l.$v) AS agg_value " +
+          s"FROM ${e2.fromTable} l " +
+          s"JOIN $mid m ON l.${e2.fromColumn} = m.${e2.toColumn} " +
+          s"JOIN $entity d ON m.${e1.fromColumn} = d.${e1.toColumn} " +
+          s"GROUP BY d.${e1.toColumn}, d.$name " +
+          s"ORDER BY d.${e1.toColumn} LIMIT $DefaultLimit",
+        0.88, "template_two_hop_agg"))
+    }
+
+  // --------------------------------------------- calendar-month bucket
+
+  private[gen] val perMonthRe =
+    raw"(?i)\b(?:per|each|every|by)\s+month\b".r
+  private[gen] val sumOfRe =
+    raw"(?i)\b(?:total|sum\s+of)\s+([a-z_][a-z0-9_]*)\b".r
+
+  /** "How many orders were placed IN EACH MONTH?" → bucket the fact's
+    * date column by calendar month: `GROUP BY MONTH(datecol)`. COUNT by
+    * default; "total <v>" sums a strongly-linked measure instead. */
+  def monthBucketCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    perMonthRe.findFirstIn(question).toSeq.flatMap { _ =>
+      def dateCol(cols: Seq[String]): Option[String] =
+        cols.find(_.toLowerCase.contains("date"))
+          .orElse(cols.find(c => c.toLowerCase == "ts" || c.toLowerCase.endsWith("_at")))
+      (for {
+        fact <- linkedTables(slice, question)
+        d <- dateCol(slice.tables(fact)).toSeq
+      } yield {
+        val agg = sumOfRe.findFirstMatchIn(question)
+          .flatMap(m => strongColumn(m.group(1), slice.tables(fact)))
+          .map(v => s"SUM($v)").getOrElse("COUNT(*)")
+        Candidate(
+          s"SELECT MONTH($d) AS month, $agg AS agg_value FROM $fact " +
+            s"GROUP BY MONTH($d) ORDER BY month LIMIT $DefaultLimit",
+          0.9, "template_month_bucket")
+      }).take(1)
+    }
+}

@@ -20,7 +20,8 @@ class ExternalEvalSpec extends SparkSpec {
     assert(cs.map(_.id).distinct.size == cs.size)
     assert(cs.forall(_.provenance.nonEmpty))
     assert(cs.map(_.clazz).toSet ==
-      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase"))
+      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase",
+        "benchmark-derived"))
     // verbatim+template cases dominate: the builder-worded classes stay
     // a minority of the set
     assert(cs.count(_.clazz == "phrase-derived") * 2 <= cs.size)
@@ -29,7 +30,17 @@ class ExternalEvalSpec extends SparkSpec {
   test("all gold SQL executes on its fixture and every question is answered (always-answer)") {
     val report = ExternalEval.run(spark) // sys.errors if any gold fails
     assert(report.n == ExternalEval.cases.size)
-    assert(report.execSuccessRate == 1.0,
+    // the reference-grounded classes answer with a RESULT envelope on
+    // every question; the round-16 benchmark-derived class measures
+    // Spider-hard shapes and is ALLOWED to answer with the error
+    // envelope when every candidate fails the aggregation gate (the
+    // known case: b16's distinct-attribute-of-above-average-rows —
+    // still an answer under V13, recorded as exec=false in the
+    // artifact, a capability gap the class exists to expose)
+    val nonBench = report.cases.filter(_.intent != "benchmark-derived")
+    assert(nonBench.forall(_.executed),
+      nonBench.filterNot(_.executed).map(_.question).mkString("; "))
+    assert(report.execSuccessRate >= 0.95,
       report.cases.filterNot(_.executed).map(_.question).mkString("; "))
     assert(report.execOnlyAnswered == report.execOnlyN)
     // the positional primary can only relax the strict name-ordered
@@ -37,7 +48,8 @@ class ExternalEvalSpec extends SparkSpec {
     assert(report.scoredMacroF1 >= report.scoredStrictF1 - 1e-9)
     // every class reports stats
     assert(report.byClass.keySet ==
-      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase"))
+      Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase",
+        "benchmark-derived"))
   }
 
   test("fixture invariants the published questions depend on hold") {

@@ -1459,4 +1459,145 @@ class TemplatesSpec extends AnyFunSuite {
       "AS DOUBLE) / COUNT(*) AS r"), c.sql)
     assert(c.sql.contains("GROUP BY course_id"), c.sql)
   }
+
+  // ------------------- round-16 benchmark-hard shapes (TemplatesShapes5)
+
+  test("never anti-join: entity before the negation, fact via FK, NOT IN subquery") {
+    val c = cands("list the students who have never received a score")
+      .find(_.method == "template_never_anti").get
+    assert(c.sql.contains("FROM students WHERE student_id NOT IN"), c.sql)
+    assert(c.sql.contains("(SELECT student_id FROM scores)"), c.sql)
+    // a table named only AFTER the negation is the fact, never the entity
+    assert(!c.sql.startsWith("SELECT score_id"), c.sql)
+    // no negation word → no candidate (no overreach)
+    assert(cands("list the students who received a score")
+      .forall(_.method != "template_never_anti"))
+  }
+
+  test("never anti-join grounds a domain value filter inside the subquery") {
+    val vals: String => Map[String, Seq[String]] =
+      t => if (t == "scores") Map("grade" -> Seq("A", "PassPlus")) else Map.empty
+    val c = Templates.neverAntiJoinCandidates(slice, fks,
+      "students who never earned a passplus score", vals)
+    assert(c.nonEmpty && c.head.sql.contains("WHERE grade = 'PassPlus'"), c)
+    // short values (< 4 chars, like the bare 'A' grade) never ground
+    val c2 = Templates.neverAntiJoinCandidates(slice, fks,
+      "students who never earned a score", vals)
+    assert(c2.nonEmpty && !c2.head.sql.contains("grade ="), c2)
+  }
+
+  test("tie-aware argmax: WHICH returns all achieving rows; WHAT stays scalar") {
+    val joined = cands("which students achieved the highest score?")
+      .find(_.method == "template_tie_argmax_join").get
+    assert(joined.sql.contains("WHERE f.score = (SELECT MAX(score) FROM scores)"), joined.sql)
+    assert(joined.sql.contains("SELECT DISTINCT d.student_id, d.student_name"), joined.sql)
+    // value question: the tie shape must NOT fire (the scalar MAX serves it)
+    assert(cands("what is the highest score?")
+      .forall(c => !c.method.startsWith("template_tie_argmax")))
+    // same-table grounding projects the whole row
+    val same = cands("which students are the oldest by age?")
+    val st = same.find(_.method == "template_tie_argmax")
+    assert(st.exists(_.sql.contains("WHERE age = (SELECT MAX(age) FROM students)")), same)
+  }
+
+  test("HAVING count threshold: at least/more than/fewer than map to >=/>/<") {
+    val c = cands("which courses have at least 40 scores?")
+      .find(_.method == "template_having_count").get
+    assert(c.sql.contains("GROUP BY course_id HAVING COUNT(*) >= 40"), c.sql)
+    val c2 = cands("which students have fewer than 3 scores?")
+      .find(_.method == "template_having_count").get
+    assert(c2.sql.contains("GROUP BY student_id HAVING COUNT(*) < 3"), c2.sql)
+  }
+
+  test("group aggregate vs literal threshold on one table") {
+    val c = cands("which depts have an average score above 70?")
+    // dept and score live on different tables here — no single-table
+    // grounding, so nothing fires (no fabricated join)
+    assert(c.forall(_.method != "template_group_agg_threshold"))
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "hotels" -> Seq("hotel_id", "place", "hprice")))
+    val c2 = Templates.groupAggThresholdCandidates(slice2,
+      "which places have an average hprice above 100?")
+    assert(c2.nonEmpty && c2.head.sql.contains(
+      "GROUP BY place HAVING AVG(hprice) > 100"), c2)
+  }
+
+  test("group average above the overall average (Spider Fig.1 shape)") {
+    val c = cands("which courses have an average score above the overall average score?")
+      .find(_.method == "template_above_overall").get
+    assert(c.sql.contains("GROUP BY course_id"), c.sql)
+    assert(c.sql.contains("HAVING AVG(score) > (SELECT AVG(score) FROM scores)"), c.sql)
+  }
+
+  test("count distinct per group grounds both words on one fact table") {
+    val c = cands("how many different courses does each student take?")
+      .find(_.method == "template_distinct_per_group").get
+    assert(c.sql.contains("COUNT(DISTINCT course_id)"), c.sql)
+    assert(c.sql.contains("GROUP BY student_id"), c.sql)
+  }
+
+  test("sum-argmax: 'which customer spent the most' returns ALL tied top spenders") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "orders" -> Seq("id", "customer_id", "total"),
+      "customers" -> Seq("id", "name")))
+    val fks2 = Seq(FkEdge("orders", "customer_id", "customers", "id"))
+    val c = Templates.sumArgmaxCandidates(slice2, fks2,
+      "Which customer spent the most money in total?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("WITH t AS (SELECT customer_id AS k, SUM(total) AS s"), c.head.sql)
+    assert(c.head.sql.contains("WHERE t.s = (SELECT MAX(s) FROM t)"), c.head.sql)
+    // "the most orders" is a COUNT question — the money fallback must
+    // not reinterpret it as a SUM
+    assert(Templates.sumArgmaxCandidates(slice2, fks2,
+      "Which customer has the most orders?").isEmpty)
+    // mid-question relative 'which' never fires the shape
+    assert(Templates.sumArgmaxCandidates(slice2, fks2,
+      "the customer for which totals were spent the most energy").isEmpty)
+  }
+
+  test("multi-aggregate per group: COUNT(*) and the named aggregate in one pass") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "agency", "fprice")))
+    val c = Templates.multiAggPerGroupCandidates(slice2,
+      "For each agency, how many flights are there and what is the average fprice?")
+    assert(c.nonEmpty && c.head.sql.contains(
+      "SELECT agency, COUNT(*) AS n, AVG(fprice) AS agg_value FROM flights GROUP BY agency"), c)
+  }
+
+  test("two-hop FK aggregate chains both edges; skeleton abbreviation grounds qty") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "order_items" -> Seq("order_id", "item_id", "qty"),
+      "orders" -> Seq("id", "customer_id"),
+      "customers" -> Seq("id", "name")))
+    val fks2 = Seq(
+      FkEdge("orders", "customer_id", "customers", "id"),
+      FkEdge("order_items", "order_id", "orders", "id"))
+    val c = Templates.twoHopAggCandidates(slice2, fks2,
+      "What is the total quantity of items ordered by each customer?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("SUM(l.qty) AS agg_value"), c.head.sql)
+    assert(c.head.sql.contains("JOIN orders m ON l.order_id = m.id"), c.head.sql)
+    assert(c.head.sql.contains("JOIN customers d ON m.customer_id = d.id"), c.head.sql)
+    assert(c.head.sql.contains("GROUP BY d.id, d.name"), c.head.sql)
+    // skeleton matching is first-letter + vowel-stripped subsequence:
+    // "age" must NOT ground "average"
+    assert(Templates.skeletonColumn("quantity", Seq("order_id", "qty")) == Some("qty"))
+    assert(Templates.skeletonColumn("average", Seq("age", "score")).isEmpty)
+  }
+
+  test("calendar month bucket: GROUP BY MONTH(datecol), COUNT default, SUM on 'total'") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "orders" -> Seq("id", "customer_id", "order_date", "total")))
+    val c = Templates.monthBucketCandidates(slice2,
+      "how many orders were placed in each month?")
+    assert(c.nonEmpty && c.head.sql.contains(
+      "SELECT MONTH(order_date) AS month, COUNT(*) AS agg_value"), c)
+    val s = Templates.monthBucketCandidates(slice2,
+      "total total of orders per month")
+    assert(s.nonEmpty && s.head.sql.contains("SUM(total) AS agg_value"), s)
+    // no date-ish column → nothing fires
+    val slice3 = SchemaSlice(scala.collection.immutable.ListMap(
+      "items" -> Seq("id", "category", "price")))
+    assert(Templates.monthBucketCandidates(slice3, "items per month").isEmpty)
+  }
 }
