@@ -95,12 +95,19 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
   /**
    * "students who have NEVER enrolled in any course" / "users who never
    * took a first class flight" → the entity rows with NO matching fact
-   * row: `e WHERE e.pk NOT IN (SELECT fk FROM fact [WHERE …])`.
-   * Entity/fact linkage comes from the FK graph when present, else from
-   * a shared non-"id" key column name (the travel schema has no crawled
-   * FKs but shares `usercode`). Domain-grounded value filters restrict
-   * the subquery ("first class" → flighttype = 'firstClass'), matching
-   * the benchmark reading: never did THAT, not never did anything.
+   * row, emitted as a correlated `NOT EXISTS` — NOT a `NOT IN`: Spark
+   * plans `NOT IN` as a null-aware anti join, which it supports ONLY as
+   * a broadcast (the whole fact-key set must ship to every task — a
+   * dead end when the fact side outgrows the broadcast threshold at
+   * corpus scale), while `NOT EXISTS` is a plain LeftAnti hash join
+   * that shuffles like any other join. The two differ only when the
+   * fact key is NULL (NOT IN answers empty), and the benchmark reading
+   * is the NOT EXISTS one. Entity/fact linkage comes from the FK graph
+   * when present, else from a shared non-"id" key column name (the
+   * travel schema has no crawled FKs but shares `usercode`).
+   * Domain-grounded value filters restrict the subquery ("first class"
+   * → flighttype = 'firstClass'): never did THAT, not never did
+   * anything.
    */
   def neverAntiJoinCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String,
@@ -149,11 +156,13 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
           else if (factCands.size == 1) factCands else Nil)
       } yield {
         val filters = domainFilters(question, fact, values)
-        val where = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
-        val proj = (Seq(pkCol) ++ nameishColumn(eCols).toSeq).distinct.mkString(", ")
+        val extra = if (filters.isEmpty) "" else filters.map("f." + _).mkString(" AND ", " AND ", "")
+        val proj = (Seq(pkCol) ++ nameishColumn(eCols).toSeq).distinct
+          .map("e." + _).mkString(", ")
         Candidate(
-          s"SELECT $proj FROM $entity WHERE $pkCol NOT IN " +
-            s"(SELECT $fkCol FROM $fact$where) ORDER BY $pkCol LIMIT $DefaultLimit",
+          s"SELECT $proj FROM $entity e WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM $fact f WHERE f.$fkCol = e.$pkCol$extra) " +
+            s"ORDER BY e.$pkCol LIMIT $DefaultLimit",
           0.9, "template_never_anti")
       }).take(1)
     }

@@ -1462,11 +1462,14 @@ class TemplatesSpec extends AnyFunSuite {
 
   // ------------------- round-16 benchmark-hard shapes (TemplatesShapes5)
 
-  test("never anti-join: entity before the negation, fact via FK, NOT IN subquery") {
+  test("never anti-join: entity before the negation, fact via FK, NOT EXISTS (scale shape)") {
     val c = cands("list the students who have never received a score")
       .find(_.method == "template_never_anti").get
-    assert(c.sql.contains("FROM students WHERE student_id NOT IN"), c.sql)
-    assert(c.sql.contains("(SELECT student_id FROM scores)"), c.sql)
+    // NOT EXISTS, not NOT IN: the null-aware anti join NOT IN plans is
+    // broadcast-only in Spark — un-runnable when the fact side outgrows
+    // the threshold; NOT EXISTS is a shuffle-able LeftAnti
+    assert(c.sql.contains("FROM students e WHERE NOT EXISTS"), c.sql)
+    assert(c.sql.contains("(SELECT 1 FROM scores f WHERE f.student_id = e.student_id)"), c.sql)
     // a table named only AFTER the negation is the fact, never the entity
     assert(!c.sql.startsWith("SELECT score_id"), c.sql)
     // no negation word → no candidate (no overreach)
@@ -1479,7 +1482,7 @@ class TemplatesSpec extends AnyFunSuite {
       t => if (t == "scores") Map("grade" -> Seq("A", "PassPlus")) else Map.empty
     val c = Templates.neverAntiJoinCandidates(slice, fks,
       "students who never earned a passplus score", vals)
-    assert(c.nonEmpty && c.head.sql.contains("WHERE grade = 'PassPlus'"), c)
+    assert(c.nonEmpty && c.head.sql.contains("AND f.grade = 'PassPlus'"), c)
     // short values (< 4 chars, like the bare 'A' grade) never ground
     val c2 = Templates.neverAntiJoinCandidates(slice, fks,
       "students who never earned a score", vals)
