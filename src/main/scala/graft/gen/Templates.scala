@@ -173,6 +173,21 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
   // hint (query_intent.py:183-195 "use date functions in WHERE").
   private[gen] val dateCmpRe =
     raw"(?i)\b(after|since|before|until)\s+(\d{4}-\d{2}-\d{2}|\d{4})\b".r
+  // natural-language absolute dates (round-16 benchmark set): "after
+  // March 1, 2024" and the whole-month range "in June 2023" — the
+  // phrasings real users write where the ISO form above is what demos
+  // write. Comparators follow the engine's documented convention
+  // (after|since → >=, before|until → <), pinned by the ladder's own
+  // filter_date gold since round 4.
+  private[gen] val monthNames = Seq("january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november", "december")
+  private[gen] def monthNumber(w: String): Int =
+    monthNames.indexWhere(_.equalsIgnoreCase(w)) + 1
+  private[gen] val monthDateRe =
+    (raw"(?i)\b(after|since|before|until)\s+(" + monthNames.mkString("|") +
+      raw")\s+(\d{1,2})(?:st|nd|rd|th)?,?\s*(\d{4})\b").r
+  private[gen] val inMonthYearRe =
+    (raw"(?i)\bin\s+(" + monthNames.mkString("|") + raw"),?\s*(\d{4})\b").r
   // relative-date phrases (ref query_intent.py:183-195 detects these and
   // hints "use date functions in WHERE"; here they render as concrete
   // DATE literals from the `now` parameter): "in the last 30 days",
@@ -324,6 +339,24 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
         }
     }
     consume(relNamedMs)
+    // absolute natural-language dates, then the month-range form; both
+    // consume their spans so the bare-year rule below cannot re-read
+    // "June 2023"'s year as an integer-year equality
+    val monthDateMs = monthDateRe.findAllMatchIn(masked).toSeq
+    for (m <- monthDateMs; c <- dateishCol) {
+      val day = java.time.LocalDate.of(
+        m.group(4).toInt, monthNumber(m.group(2)), m.group(3).toInt)
+      val op = if (Set("after", "since")(m.group(1).toLowerCase)) ">=" else "<"
+      out.getOrElseUpdate(s"$c $op", s"$c $op DATE '$day'")
+    }
+    consume(monthDateMs)
+    val inMonthMs = inMonthYearRe.findAllMatchIn(masked).toSeq
+    for (m <- inMonthMs; c <- dateishCol) {
+      val from = java.time.LocalDate.of(m.group(2).toInt, monthNumber(m.group(1)), 1)
+      out.getOrElseUpdate(s"$c >=", s"$c >= DATE '$from'")
+      out.getOrElseUpdate(s"$c <", s"$c < DATE '${from.plusMonths(1)}'")
+    }
+    consume(inMonthMs)
     // "in 2015" against an integer year column — the demo script's
     // anchored-year phrasing ("top 5 courses by average score in 2015")
     val inYearMs = inBareYearRe.findAllMatchIn(masked).toSeq

@@ -122,13 +122,15 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
       // sits BEFORE the negation word ("STUDENTS who have never …"),
       // while a table named after it is the FACT being negated ("…
       // never enrolled in any COURSE" must not read courses as the
-      // entity). No-fabrication: an ambiguous fact emits nothing.
+      // entity). Ties INCLUDED (the store schema's customer/customers
+      // both link the word "customers") — ambiguity is resolved
+      // structurally below, or the shape emits nothing.
       val links = raw"[a-z0-9_]+".r.findAllMatchIn(question.toLowerCase).toSeq
-        .flatMap(m => uniqueTable(slice, m.matched).map(t => (t, m.start)))
+        .flatMap(m => strongTables(slice, m.matched).map(t => (t, m.start)))
       val byTable = links.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
       val entities = byTable.filter(_._2 < nev.start).keys.toSeq
         .sortBy(byTable)
-      (for {
+      val cands = (for {
         entity <- entities
         eCols = slice.tables(entity)
         factCands = (fks.collect {
@@ -152,19 +154,34 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
           } yield (t, k, k)
         }).distinct
         named = factCands.filter(fc => byTable.contains(fc._1) && fc._1 != entity)
-        (fact, fkCol, pkCol) <- (if (named.nonEmpty) named.take(1)
-          else if (factCands.size == 1) factCands else Nil)
+        (isNamed, (fact, fkCol, pkCol)) <- named.map((true, _)) ++
+          (if (factCands.size == 1) factCands.map((false, _)) else Nil)
       } yield {
-        val filters = domainFilters(question, fact, values)
+        // value-domain equalities PLUS the general filter extractor
+        // ("placed no order AFTER MARCH 1, 2024" restricts the fact
+        // side); every rendered condition starts with its column name,
+        // so the correlation alias prefixes cleanly
+        val filters = (domainFilters(question, fact, values) ++
+          extractFilters(question, slice.tables(fact))).distinct
         val extra = if (filters.isEmpty) "" else filters.map("f." + _).mkString(" AND ", " AND ", "")
         val proj = (Seq(pkCol) ++ nameishColumn(eCols).toSeq).distinct
           .map("e." + _).mkString(", ")
-        Candidate(
+        (isNamed, Candidate(
           s"SELECT $proj FROM $entity e WHERE NOT EXISTS " +
             s"(SELECT 1 FROM $fact f WHERE f.$fkCol = e.$pkCol$extra) " +
             s"ORDER BY e.$pkCol LIMIT $DefaultLimit",
-          0.9, "template_never_anti")
-      }).take(1)
+          0.9, "template_never_anti"))
+      })
+      // question-NAMED facts disambiguate: "customers who placed no
+      // ORDER" resolves against the store schema's structural tie
+      // (customer→sales also grounds); only when neither the named nor
+      // the full set agrees on one query is the question truly
+      // ambiguous — then nothing is emitted
+      val namedOnly = cands.collect { case (true, c) => c }
+      singleGrounding(namedOnly) match {
+        case one if one.nonEmpty => one
+        case _ => singleGrounding(cands.map(_._2))
+      }
     }
   }
 
