@@ -837,6 +837,7 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       sumArgmaxCandidates(slice, fks, question),
       multiAggPerGroupCandidates(slice, question),
       twoHopAggCandidates(slice, fks, question),
+      directionalGroupCountCandidates(slice, question),
       bridgeCandidates(slice, fks, question),
       nestedHavingCandidates(slice, fks, question),
       aggOfAggCandidates(slice, fks, question),

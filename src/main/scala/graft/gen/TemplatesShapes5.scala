@@ -473,6 +473,46 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         0.88, "template_two_hop_agg"))
     }
 
+  // ------------------------------------------ directional group count
+
+  private[gen] val directionalRe =
+    (raw"(?i)\b(arrive|arrives|arriving|arrivals?|depart|departs|departing|departures?)\b" +
+      raw".*?\b(?:at\s+|in\s+|from\s+)?each\s+(?:destination\s+|origin\s+)?([a-z_][a-z0-9_]*)\b").r
+
+  /** "How many flights ARRIVE at each destination CITY?" — the group
+    * word ties MULTIPLE columns (`fcity`/`tcity` both contain "city"),
+    * and the verb carries the disambiguator: arrivals group by the
+    * to-side, departures by the from-side. The to/from prefix idiom is
+    * the reference's own crawled-schema convention — its LLM prompt
+    * hints "fcity not fromCity" (ref app/ai/nl2sql.py:75) — so the
+    * prefix/stem match (t-, to-, dest- vs f-, from-, orig-, src-) is
+    * reference-grounded, not invented. Exactly one direction-matching
+    * column must survive, else nothing fires. */
+  def directionalGroupCountCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    directionalRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val arriving = m.group(1).toLowerCase.startsWith("arriv")
+      val word = m.group(2)
+      (for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        // the word must tie >1 column — a unique link needs no direction
+        tied = cols.filter(c => graft.link.Fuzzy.nameScore(c, word) >= 100)
+        if tied.size > 1
+        g <- {
+          def side(c: String) = {
+            val l = c.toLowerCase
+            if (arriving) l.startsWith("t") || l.contains("dest") || l.contains("arr")
+            else l.startsWith("f") || l.contains("orig") || l.contains("src")
+          }
+          tied.filter(side) match { case Seq(one) => Seq(one); case _ => Nil }
+        }
+      } yield Candidate(
+        s"SELECT $g, COUNT(*) AS agg_value FROM $t GROUP BY $g " +
+          s"ORDER BY $g LIMIT $DefaultLimit",
+        0.9, "template_directional_group")).take(1)
+    }
+
   // --------------------------------------------- calendar-month bucket
 
   private[gen] val perMonthRe =

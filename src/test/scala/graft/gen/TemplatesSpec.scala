@@ -1588,6 +1588,20 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.skeletonColumn("average", Seq("age", "score")).isEmpty)
   }
 
+  test("directional group count: the verb resolves a from/to column tie (ref nl2sql.py:75 idiom)") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "fcity", "tcity", "fprice")))
+    val arr = Templates.directionalGroupCountCandidates(slice2,
+      "How many flights arrive at each destination city?")
+    assert(arr.nonEmpty && arr.head.sql.contains("SELECT tcity, COUNT(*)"), arr)
+    val dep = Templates.directionalGroupCountCandidates(slice2,
+      "How many flights depart from each city?")
+    assert(dep.nonEmpty && dep.head.sql.contains("SELECT fcity, COUNT(*)"), dep)
+    // a word linking exactly ONE column needs no direction — shape stays out
+    assert(Templates.directionalGroupCountCandidates(slice2,
+      "How many flights arrive at each travelcode?").isEmpty)
+  }
+
   test("calendar month bucket: GROUP BY MONTH(datecol), COUNT default, SUM on 'total'") {
     val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
       "orders" -> Seq("id", "customer_id", "order_date", "total")))
