@@ -543,10 +543,13 @@ object Queries {
     // --- document path (DuckDB replicas of the askDocs envelopes; the
     //     JSON fixture is a pure column rename of customer, so the
     //     oracle reads the parquet table directly) ---
+    // the _id tiebreak mirrors DocSource.find's deterministic-window
+    // rule (balance ties at the LIMIT boundary must not pick
+    // engine-dependent rows)
     "x_docs_find" ->
       ("SELECT c_custkey AS _id, c_acctbal AS balance, c_mktsegment AS segment " +
         "FROM customer WHERE c_mktsegment = 'BUILDING' " +
-        "ORDER BY c_acctbal DESC LIMIT 5"),
+        "ORDER BY c_acctbal DESC, _id LIMIT 5"),
     "x_docs_agg" ->
       ("SELECT c_mktsegment AS _id, ROUND(avg(c_acctbal), 4) AS agg_value " +
         "FROM customer WHERE c_acctbal > 0 GROUP BY 1 ORDER BY 1"),
@@ -2372,17 +2375,30 @@ object ExtensionQueries {
     * sampled-inference entry the reference treats as co-equal with SQL
     * (ref app/routes_ai.py:150-159, app/mongodb_adapter.py:97-148).
     * Returns an Engine with the collection attached for askDocs. */
+  /** One fixture write per (JVM, sf dir): the three x_docs_* rows share
+    * the same derived collection, and rewriting it per row was three
+    * redundant customer scans + JSON overwrites per verify/bench run —
+    * plus a concurrent-overwrite hazard on the shared /tmp path
+    * (round-16 self-review). The JVM-scoped memo keeps each run's
+    * fixture fresh per driver regeneration (new JVM → new write). */
+  private val docsFixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def docsFixture(s: SparkSession, dir: String): Unit = {
+    Sources.register(s, dir)
+    val fixDir = s"/tmp/graft_docfix_${new java.io.File(dir).getName}/customers"
+    if (docsFixtureWritten.add(fixDir))
+      s.table("customer").select(
+        col("c_custkey").as("_id"),
+        col("c_name").as("name"),
+        col("c_acctbal").as("balance"),
+        col("c_mktsegment").as("segment"),
+        struct(col("c_nationkey").as("nation")).as("contact"))
+        .write.mode("overwrite").json(fixDir)
+    graft.sources.DocSource.register(s, fixDir, "customers")
+  }
   private def docsEngine(s: SparkSession, dir: String): graft.api.Engine = {
     val tables = Sources.register(s, dir)
-    val fixDir = s"/tmp/graft_docfix_${new java.io.File(dir).getName}/customers"
-    s.table("customer").select(
-      col("c_custkey").as("_id"),
-      col("c_name").as("name"),
-      col("c_acctbal").as("balance"),
-      col("c_mktsegment").as("segment"),
-      struct(col("c_nationkey").as("nation")).as("contact"))
-      .write.mode("overwrite").json(fixDir)
-    graft.sources.DocSource.register(s, fixDir, "customers")
+    docsFixture(s, dir)
     new graft.api.Engine(s, tables, Sources.fixtureFks,
       docCollections = Seq("customers"))
   }
@@ -2433,7 +2449,7 @@ object ExtensionQueries {
     // DuckDB string-concat replica (ref nl2mongo.py:194-226)
     "x_docs_nested" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      docsEngine(s, dir) // builds + registers the collection
+      docsFixture(s, dir) // the direct-find row needs no Engine
       val df = graft.sources.DocSource.find(s.table("customers"),
         graft.sources.DocSource.FindSpec(
           filter = Seq(graft.sources.DocSource.Gt("balance", 9990)),
@@ -3780,7 +3796,15 @@ object ExtensionQueries {
         joinType = "leftOuter")
       s.catalog.dropTempView("x_stream_join_outer_sink")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // the null emission NEEDS the trailing no-data batch — sibling
+      // wrappers (userActivity, nearDupStream) disable
+      // noDataMicroBatches session-wide for their timeout semantics and
+      // never restore, so a session that ran one earlier would silently
+      // turn this row into the inner join (round-16 self-review). Pin
+      // true for this query, restore after.
+      val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       try {
         val q = joined.writeStream.format("memory")
           .queryName("x_stream_join_outer_sink")
@@ -3788,7 +3812,13 @@ object ExtensionQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         awaitBounded(q)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevNoData match {
+          case Some(p) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+          case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
       s.table("x_stream_join_outer_sink").where(col("user_id") >= 0)
         .select(col("user_id"), col("view_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("lag_us"))

@@ -121,41 +121,35 @@ object Executor {
     // plan) — the always-answer contract (V13) requires an error
     // envelope, never an exception, so the whole pipeline is guarded.
     try {
-      // Engage the analysis-time ReadOnlyGuard for the duration of
-      // guarded execution (restored in `finally`): before round 16 the
-      // conf was never set on the engine's own path, so the resolved-
-      // expression layer protected only sessions that opted in — which
-      // is exactly what let `try_reflect` (a registry alias the NAME
-      // denylist didn't know) run end-to-end. Restoring rather than
-      // clearing keeps an always-read-only caller session read-only.
-      val prevReadOnly =
-        try Option(spark.conf.get("spark.graft.readOnly", null))
-        catch { case scala.util.control.NonFatal(_) => None }
-      spark.conf.set("spark.graft.readOnly", "true")
-      try {
-        val df = frame(spark, v, limit)
-        for {
-          // Second layer on the RESOLVED plan, independent of whether
-          // GraftExtensions is registered: deny any write node or JVM-
-          // reflection expression (all registry aliases resolve to the
-          // same CallMethodViaReflection) before anything executes.
-          _ <- graft.plans.ReadOnlyGuard
-                 .firstOffenseDeep(df.queryExecution.analyzed)
-                 .map(what => SqlSafetyError(
-                   s"Statically un-vettable construct: $what is not allowed"))
-                 .toLeft(())
-          _ <- costGate(df)
-          rows <- collectWithTimeout(spark, df, timeoutMs)
-        } yield QueryResult(
-          sql = v.sql,
-          columns = df.columns.toSeq,
-          rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
-          rowcount = rows.length,
-          explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
-      } finally prevReadOnly match {
-        case Some(old) => spark.conf.set("spark.graft.readOnly", old)
-        case None => spark.conf.unset("spark.graft.readOnly")
-      }
+      val df = frame(spark, v, limit)
+      for {
+        // Second layer on the RESOLVED plan (r15 ADVICE high+medium):
+        // before round 16 nothing on the default path ever consulted
+        // the resolved-expression guard — exactly what let `try_reflect`
+        // (a registry alias the parse-time NAME denylist didn't know)
+        // run end-to-end. The scan is applied DIRECTLY to this query's
+        // analyzed plan rather than by toggling spark.graft.readOnly
+        // around execution: the conf is session-global, so a per-query
+        // set/restore races with concurrent work on a shared session
+        // (another thread's legitimate write failing inside the window,
+        // or an overlapping run restoring the flag away mid-analysis).
+        // The direct check is per-query, race-free, and independent of
+        // whether GraftExtensions is registered; sessions that want the
+        // analyzer-rule layer on EVERYTHING (not just engine queries)
+        // still opt in via the conf.
+        _ <- graft.plans.ReadOnlyGuard
+               .firstOffenseDeep(df.queryExecution.analyzed)
+               .map(what => SqlSafetyError(
+                 s"Statically un-vettable construct: $what is not allowed"))
+               .toLeft(())
+        _ <- costGate(df)
+        rows <- collectWithTimeout(spark, df, timeoutMs)
+      } yield QueryResult(
+        sql = v.sql,
+        columns = df.columns.toSeq,
+        rows = rows.toSeq.map(_.toSeq.map(jsonSafe)),
+        rowcount = rows.length,
+        explain = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(ExecutionError(Option(e.getMessage).getOrElse(e.getClass.getName).take(1000)))

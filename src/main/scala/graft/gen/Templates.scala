@@ -343,9 +343,12 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
     // consume their spans so the bare-year rule below cannot re-read
     // "June 2023"'s year as an integer-year equality
     val monthDateMs = monthDateRe.findAllMatchIn(masked).toSeq
-    for (m <- monthDateMs; c <- dateishCol) {
-      val day = java.time.LocalDate.of(
-        m.group(4).toInt, monthNumber(m.group(2)), m.group(3).toInt)
+    for (m <- monthDateMs; c <- dateishCol;
+         // a user-phrased impossible date ("after June 31, 2024" — the
+         // regex admits day 0..99) must yield NO filter, not a
+         // DateTimeException escaping the Either-typed ask surface
+         day <- scala.util.Try(java.time.LocalDate.of(
+           m.group(4).toInt, monthNumber(m.group(2)), m.group(3).toInt)).toOption) {
       val op = if (Set("after", "since")(m.group(1).toLowerCase)) ">=" else "<"
       out.getOrElseUpdate(s"$c $op", s"$c $op DATE '$day'")
     }

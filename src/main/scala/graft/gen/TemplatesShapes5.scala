@@ -347,8 +347,12 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
 
   // ----------------------------------------- count distinct per group
 
+  // the full word is captured and singularized in CODE — a trailing-s?
+  // in the regex was dead under the greedy stem (it always swallowed
+  // the s), and a non-greedy stem would mangle s-final words ("status"
+  // → "statu"); round-16 self-review
   private[gen] val distinctPerGroupRe =
-    (raw"(?i)\bhow\s+many\s+(?:different|distinct|unique)\s+([a-z_][a-z0-9_]*)s?\b" +
+    (raw"(?i)\bhow\s+many\s+(?:different|distinct|unique)\s+([a-z_][a-z0-9_]*)\b" +
       raw".*?\b(?:each|per|every)\s+([a-z_][a-z0-9_]*)\b").r
 
   /** "How many DIFFERENT courses is EACH student enrolled in?" → both
@@ -360,7 +364,8 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
       (for {
         t <- slice.tables.keys.toSeq.sorted
         cols = slice.tables(t)
-        x <- strongColumn(m.group(1), cols).toSeq
+        x <- (strongColumn(m.group(1), cols) orElse
+          strongColumn(m.group(1).stripSuffix("s"), cols)).toSeq
         g <- strongColumn(m.group(2), cols).toSeq
         if x != g
       } yield Candidate(

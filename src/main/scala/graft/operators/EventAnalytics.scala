@@ -330,8 +330,14 @@ object EventAnalytics {
       groupA: String, groupB: String, partitions: Int = 32): DataFrame =
     // handle-less convenience: the shared ranged frame materializes via
     // LAZY localCheckpoint (RDD-owned blocks, GC-released) — cannot
-    // leak session caches. Long-lived sessions with a terminal action
-    // should prefer [[ksStatisticWithCleanup]] (lineage-preserving).
+    // leak session caches. CAVEAT: building the checkpointed Dataset
+    // constructs its physical RDD, and a range exchange's
+    // RangePartitioner runs its boundary-sampling job right there — so
+    // this overload pays one sampling pass over the per-value counts AT
+    // CONSTRUCTION, before any action (round-16 self-review). Callers
+    // that must stay fully lazy, or long-lived sessions with a terminal
+    // action, should prefer [[ksStatisticWithCleanup]]
+    // (lineage-preserving persist + explicit release).
     ksCore(df, valueCol, groupCol, groupA, groupB, partitions,
       _.localCheckpoint(eager = false))._1
 

@@ -20,7 +20,11 @@ class ReadOnlyGuard(session: SparkSession) extends (LogicalPlan => Unit) {
       try session.conf.get("spark.graft.readOnly", "false") == "true"
       catch { case _: Exception => false }
     if (readOnly) {
-      ReadOnlyGuard.firstOffense(plan).foreach { what =>
+      // the DEEP variant: reflection hiding inside a scalar-subquery
+      // expression is invisible to a children-only walk (round-16
+      // self-review — the Executor path had the deep scan, this rule
+      // still had the shallow one)
+      ReadOnlyGuard.firstOffenseDeep(plan).foreach { what =>
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3100",
           messageParameters = Map("message" ->

@@ -74,8 +74,18 @@ object DocSource {
         "_id" +: spec.projection else spec.projection
       out = out.select(cols.map(col): _*)
     }
-    if (spec.sort.nonEmpty)
-      out = out.orderBy(spec.sort.map { case (p, asc) => if (asc) col(p).asc else col(p).desc }: _*)
+    if (spec.sort.nonEmpty) {
+      val keys = spec.sort.map { case (p, asc) => if (asc) col(p).asc else col(p).desc }
+      // deterministic LIMIT window: a sort key with ties at the cut
+      // boundary would otherwise return an engine-dependent subset
+      // (the same total-order discipline as the SQL-side templates) —
+      // `_id` is appended as the tiebreaker when present and not
+      // already a sort key
+      val tiebreak =
+        if (out.columns.contains("_id") && !spec.sort.exists(_._1 == "_id"))
+          Seq(col("_id").asc) else Nil
+      out = out.orderBy(keys ++ tiebreak: _*)
+    }
     out.limit(spec.limit)
   }
 

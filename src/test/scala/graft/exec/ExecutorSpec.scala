@@ -85,14 +85,16 @@ class ExecutorSpec extends SparkSpec {
     }
   }
 
-  test("guarded execution engages the analysis-time ReadOnlyGuard and restores the conf") {
+  test("guarded execution never mutates the session-global readOnly conf (race-free by design)") {
     // own the initial state (the shared session may carry another
-    // suite's leftover value): unset, then pin unset-before/unset-after
+    // suite's leftover value): the resolved-plan layer is applied
+    // per-query inside run(), NOT by toggling the session conf — a
+    // set/restore window would race with concurrent work on a shared
+    // session (round-16 self-review)
     spark.conf.unset("spark.graft.readOnly")
-    assert(spark.conf.get("spark.graft.readOnly", "unset") == "unset")
     assert(Executor.runSql(spark, "SELECT n_name FROM nation LIMIT 3", tables).isRight)
     assert(spark.conf.get("spark.graft.readOnly", "unset") == "unset")
-    // a caller-pinned value survives the run (restore, not clear)
+    // a caller-pinned value is untouched either way
     spark.conf.set("spark.graft.readOnly", "true")
     try {
       assert(Executor.runSql(spark, "SELECT n_name FROM nation LIMIT 3", tables).isRight)

@@ -60,7 +60,12 @@ class GuardrailsSpec extends SparkSpec {
         // the r16 alias hole: try_reflect resolves to TryEval over the
         // same CallMethodViaReflection — caught by the resolved-
         // expression match, which recurses through children
-        "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') FROM nation LIMIT 1"
+        "SELECT try_reflect('java.lang.System', 'getenv', 'PATH') FROM nation LIMIT 1",
+        // reflection hiding inside a SCALAR SUBQUERY expression: a
+        // children-only plan walk never enters the subquery's plan —
+        // the guard must use the subquery-expanding deep scan
+        // (round-16 self-review)
+        "SELECT (SELECT reflect('java.lang.System', 'getenv', 'PATH') FROM range(1)) AS v FROM nation LIMIT 1"
       ).foreach { sql =>
         val e = intercept[Exception] { spark.sql(sql).collect() }
         assert(e.getMessage.contains("read-only"), s"$sql => ${e.getMessage}")
