@@ -841,6 +841,7 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       multiAggPerGroupCandidates(slice, question),
       twoHopAggCandidates(slice, fks, question),
       directionalGroupCountCandidates(slice, question),
+      existentialCountCandidates(slice, fks, question, values),
       bridgeCandidates(slice, fks, question),
       nestedHavingCandidates(slice, fks, question),
       aggOfAggCandidates(slice, fks, question),

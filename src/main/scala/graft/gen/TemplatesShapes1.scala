@@ -560,11 +560,17 @@ private[gen] trait TemplatesShapes1 { this: Templates.type =>
         0.9, "template_grouped_argmax2")).take(1)
     }
 
-  // "students who took all math courses" — relational division: the
-  // entities whose fact rows cover EVERY member of a (possibly
-  // filtered) dimension
+  // "students who took all math courses" / "students who are enrolled
+  // in every course" — relational division: the entities whose fact
+  // rows cover EVERY member of a (possibly filtered) dimension. The
+  // relative pronoun and auxiliary are optional ("Which students are
+  // enrolled in every course" has neither a who/that nor a bare verb),
+  // and all|every are the same quantifier; the structural grounding
+  // below (two dims + a shared fact across FK edges) is what prevents
+  // the looser trigger from fabricating anything.
   private[gen] val divisionRe =
-    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:who|that|which)\s+(?:have\s+|has\s+)?[a-z]+\s+all\s+" +
+    (raw"(?i)\b([a-z_][a-z0-9_]*)\s+(?:(?:who|that|which)\s+)?(?:(?:are|is|was|were|have|has)\s+)?" +
+      raw"[a-z]+\s+(?:in\s+|to\s+|at\s+)?(?:all|every)\s+" +
       raw"(?:the\s+)?(?:([a-z0-9_+-]+)\s+)?([a-z_][a-z0-9_]*)\b").r
 
   /** Relational division (ref `app/models/inference.py:151-213` serves

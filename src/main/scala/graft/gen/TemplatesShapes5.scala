@@ -478,6 +478,48 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         0.88, "template_two_hop_agg"))
     }
 
+  // ------------------------------------------- existential multi-hop
+
+  private[gen] val existentialRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\b.*?" +
+      raw"\b(?:include|includes|contain|contains|have|has|with)\s+at\s+least\s+one\b" +
+      raw"(?:\s+([\w+-]+))?(?:\s+([a-z_][a-z0-9_]*))?").r
+
+  /** "How many ORDERS include at least one ELECTRONICS ITEM?" — count
+    * the mid entities having ≥1 qualifying row across the FK chain.
+    * Emitted WITHOUT joining the mid table: `COUNT(DISTINCT f.<fk>)`
+    * over the bridge joined to the (value-filtered) leaf counts exactly
+    * the mid keys that qualify — the semi-join against mid adds nothing
+    * under FK integrity and is one whole join cheaper at corpus scale.
+    * The value modifier grounds in the LEAF's mined domains
+    * ("electronics" ∈ items.category), the no-fabrication bar extended
+    * to data values; the leaf noun must link the leaf table. */
+  def existentialCountCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
+      question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    existentialRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val leafWord = Option(m.group(3)).orElse(Option(m.group(2))).getOrElse("")
+      singleGrounding(for {
+        mid <- strongTables(slice, m.group(1))
+        leaf <- strongTables(slice, leafWord)
+        if leaf != mid
+        // bridge: one table carrying FKs into BOTH mid and leaf
+        e1 <- fks.filter(e => e.toTable == mid && slice.tables.contains(e.fromTable))
+        e2 <- fks.filter(e => e.fromTable == e1.fromTable && e.toTable == leaf)
+        filters = domainFilters(question, leaf, values)
+        // a named modifier that grounds nowhere must kill the shape,
+        // not silently widen the count to "any leaf at all"
+        if Option(m.group(2)).forall(v =>
+          strongTables(slice, v).contains(leaf) || filters.nonEmpty)
+      } yield {
+        val where = if (filters.isEmpty) "" else filters.map("j." + _).mkString(" WHERE ", " AND ", "")
+        Candidate(
+          s"SELECT COUNT(DISTINCT f.${e1.fromColumn}) AS agg_value " +
+            s"FROM ${e1.fromTable} f JOIN $leaf j ON f.${e2.fromColumn} = j.${e2.toColumn}$where",
+          0.9, "template_existential_count")
+      })
+    }
+
   // ------------------------------------------ directional group count
 
   private[gen] val directionalRe =

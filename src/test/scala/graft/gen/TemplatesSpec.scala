@@ -1588,6 +1588,30 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.skeletonColumn("average", Seq("age", "score")).isEmpty)
   }
 
+  test("existential count: at-least-one across the FK chain, leaf-filtered, no mid join") {
+    val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
+      "orders" -> Seq("id", "customer_id"),
+      "order_items" -> Seq("order_id", "item_id", "qty"),
+      "items" -> Seq("id", "category", "price")))
+    val fks2 = Seq(
+      FkEdge("order_items", "order_id", "orders", "id"),
+      FkEdge("order_items", "item_id", "items", "id"))
+    val vals: String => Map[String, Seq[String]] =
+      t => if (t == "items") Map("category" -> Seq("books", "electronics")) else Map.empty
+    val c = Templates.existentialCountCandidates(slice2, fks2,
+      "How many orders include at least one electronics item?", vals)
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("COUNT(DISTINCT f.order_id)"), c.head.sql)
+    assert(c.head.sql.contains("JOIN items j ON f.item_id = j.id"), c.head.sql)
+    assert(c.head.sql.contains("WHERE j.category = 'electronics'"), c.head.sql)
+    // the mid table itself is never joined (FK integrity makes the
+    // semi-join redundant — one whole join cheaper at scale)
+    assert(!c.head.sql.contains("JOIN orders"), c.head.sql)
+    // an ungroundable modifier kills the shape rather than widening it
+    assert(Templates.existentialCountCandidates(slice2, fks2,
+      "How many orders include at least one luxury item?", vals).isEmpty)
+  }
+
   test("directional group count: the verb resolves a from/to column tie (ref nl2sql.py:75 idiom)") {
     val slice2 = SchemaSlice(scala.collection.immutable.ListMap(
       "flights" -> Seq("travelcode", "fcity", "tcity", "fprice")))
