@@ -45,14 +45,15 @@ object Bench {
     * the bench's own artifact churn — which also covers their
     * prefix-less old-path segment; malformed records read dirty
     * (conservative). Unit-pinned in BenchDirtySpec. */
-  private[graft] def porcelainDirty(out: String, artifacts: String => Boolean): Boolean = {
+  private[graft] def porcelainDirty(out: String,
+      artifacts: (String, String) => Boolean): Boolean = {
     val segs = out.split('\u0000').filter(_.nonEmpty)
     var inRenameOld = false
     segs.exists { seg =>
       if (inRenameOld) { inRenameOld = false; false }
       else if (seg.length < 4 || seg(2) != ' ') true // malformed => conservative
       else if (seg(0) == 'R' || seg(0) == 'C') { inRenameOld = true; true }
-      else !artifacts(seg.drop(3))
+      else !artifacts(seg.take(2), seg.drop(3))
     }
   }
 
@@ -117,8 +118,16 @@ object Bench {
     // this call reads the bytes UNTRIMMED. Renames/copies are always
     // dirty — a rename is never the bench's own artifact churn — which
     // also covers their prefix-less old-path segment.
+    // The bench's OWN outputs are exempt at any status (this run
+    // overwrites the committed copies). Round RECORDS are exempt only
+    // when UNTRACKED ('??'): a fresh driver-written record is churn,
+    // but a modified/staged copy of a COMMITTED record is a hand edit
+    // to exactly the files the per-round judge reads — that must keep
+    // the "this record measures commit X" guarantee and read dirty
+    // (round-16 advice).
     val dirty = gitRaw("status", "--porcelain", "-z")
-      .exists(porcelainDirty(_, p => ownArtifacts(p) || isRecordArtifact(p)))
+      .exists(porcelainDirty(_,
+        (st, p) => ownArtifacts(p) || (st == "??" && isRecordArtifact(p))))
     if (dirty) System.err.println(
       "[bench] WARNING: working tree dirty — this record does not measure " +
         s"commit $commit and must not be committed as its bench")

@@ -2184,6 +2184,20 @@ object Queries {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST((1000 + (length(text) * 7) % 4000) // 1000 AS INT)) ELSE 1 END AS frames_sampled " +
         "FROM documents ORDER BY media_id LIMIT 100"),
+    // decoded-pixel statistics: the PNGs are constant-color with
+    // dimensions/channels a pure function of doc_id (Multimodal
+    // .syntheticPngBytes contract), so the oracle recomputes what the
+    // engine must read back OUT of the decoded pixels
+    "x_multimodal_decode" ->
+      ("WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100) " +
+        "SELECT doc_id AS media_id, " +
+        "CAST(8 + doc_id % 32 AS INT) AS width, " +
+        "CAST(8 + doc_id % 16 AS INT) AS height, " +
+        "3 AS channels, " +
+        "round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_r, " +
+        "round(CAST((doc_id * 7) % 256 AS DOUBLE), 4) AS mean_g, " +
+        "round(CAST((doc_id * 13) % 256 AS DOUBLE), 4) AS mean_b " +
+        "FROM ids ORDER BY media_id"),
     // ordered funnel: step i's reach = users with a step-i event
     // strictly after their earliest step-(i-1) completion time
     "x_funnel" ->
@@ -2377,16 +2391,22 @@ object ExtensionQueries {
     * Returns an Engine with the collection attached for askDocs. */
   /** One fixture write per (JVM, sf dir): the three x_docs_* rows share
     * the same derived collection, and rewriting it per row was three
-    * redundant customer scans + JSON overwrites per verify/bench run —
-    * plus a concurrent-overwrite hazard on the shared /tmp path
-    * (round-16 self-review). The JVM-scoped memo keeps each run's
-    * fixture fresh per driver regeneration (new JVM → new write). */
+    * redundant customer scans + JSON overwrites per verify/bench run.
+    * `computeIfAbsent` is the write-once gate: concurrent callers block
+    * until the one write finishes (no register-while-writing window),
+    * and a THROWN write records no mapping, so the next row retries
+    * instead of silently registering a missing fixture (round-16
+    * advice — the old add-before-write left a poisoned memo). The path
+    * is PID-scoped: the memo can only serialize writers inside one JVM,
+    * so concurrent verify/bench JVMs each get their own directory
+    * rather than racing overwrite-mode writes on a shared one. */
   private val docsFixtureWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def docsFixture(s: SparkSession, dir: String): Unit = {
     Sources.register(s, dir)
-    val fixDir = s"/tmp/graft_docfix_${new java.io.File(dir).getName}/customers"
-    if (docsFixtureWritten.add(fixDir))
+    val fixDir = s"/tmp/graft_docfix_${ProcessHandle.current().pid()}_" +
+      s"${new java.io.File(dir).getName}/customers"
+    docsFixtureWritten.computeIfAbsent(fixDir, _ => {
       s.table("customer").select(
         col("c_custkey").as("_id"),
         col("c_name").as("name"),
@@ -2394,6 +2414,8 @@ object ExtensionQueries {
         col("c_mktsegment").as("segment"),
         struct(col("c_nationkey").as("nation")).as("contact"))
         .write.mode("overwrite").json(fixDir)
+      java.lang.Boolean.TRUE
+    })
     graft.sources.DocSource.register(s, fixDir, "customers")
   }
   private def docsEngine(s: SparkSession, dir: String): graft.api.Engine = {
@@ -3655,6 +3677,15 @@ object ExtensionQueries {
       graft.operators.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("frames_sampled"))
         .orderBy("media_id").limit(100)
+    }),
+    // REAL javax.imageio decode (r16 verdict #6): synthetic-but-valid
+    // PNGs whose pixel statistics are pure functions of doc_id, decoded
+    // back to pixels on executors — the oracle recomputes the same
+    // stats arithmetically, so a fake decode cannot pass
+    "x_multimodal_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.pngTable(
+        docs(s, dir).orderBy("doc_id").limit(100))
+      graft.operators.Multimodal.decodeStats(media).orderBy("media_id")
     }),
     "x_asof_tolerance" -> ((s, dir) => {
       Sources.register(s, dir)

@@ -34,6 +34,12 @@ final class Engine(
   private def lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
+  /** The UNPRUNED catalog as a slice, for FK-chain shapes whose links
+    * the top-4 relevance slice can drop (Templates.candidates `full`).
+    * Alphabetical ListMap: deterministic iteration, no relevance claim. */
+  private def fullSlice: graft.core.SchemaSlice = graft.core.SchemaSlice(
+    scala.collection.immutable.ListMap(lightweightSchema.toSeq.sortBy(_._1): _*))
+
   /** Sketch-index registry for approx-tolerant serving: register
     * indexes with `sketches.indexDistinct` / `indexQuantiles`, and
     * approximation-marked questions ("roughly how many distinct …")
@@ -136,7 +142,7 @@ final class Engine(
         }: _*))
       if (slice.tables.isEmpty) return ask(question, limit)
       val analysis = Intent.analyze(question, tables)
-      val cands = Templates.candidates(slice, fks, analysis, question, valueDomains)
+      val cands = Templates.candidates(slice, fks, analysis, question, valueDomains, fullSlice)
       val ranked = Ranker.rank(cands, slice.tables.keySet)
       ranked.view.map { case (c, _) =>
         Validator.validate(spark, c.sql, tables.toSet)
@@ -177,7 +183,7 @@ final class Engine(
   def nl2sql(question: String): Either[EngineError, (String, SchemaSlice)] = {
     val slice = Fuzzy.selectRelevant(question, lightweightSchema)
     val analysis = Intent.analyze(question, tables)
-    val cands = Templates.candidates(slice, fks, analysis, question, valueDomains)
+    val cands = Templates.candidates(slice, fks, analysis, question, valueDomains, fullSlice)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     ranked.view
       .map { case (c, _) =>
@@ -301,7 +307,7 @@ final class Engine(
         .map(Templates.Candidate(_, 0.7, "llm"))
       case Left(_) => Nil
     }
-    val cands = llmCands ++ Templates.candidates(slice, fks, analysis, question, valueDomains)
+    val cands = llmCands ++ Templates.candidates(slice, fks, analysis, question, valueDomains, fullSlice)
     val ranked = Ranker.rank(cands, slice.tables.keySet)
     if (ranked.isEmpty) return Left(SqlSafetyError("No candidates generated"))
 

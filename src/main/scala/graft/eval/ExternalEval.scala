@@ -523,7 +523,99 @@ object ExternalEval {
       "Spider HAVING-on-average pattern ('stations whose average bike availability is above N')",
       "Which places have an average hotel price above 100?",
       Some("SELECT place, AVG(hprice) AS a FROM hotels GROUP BY place " +
-        "HAVING AVG(hprice) > 100 ORDER BY place")))
+        "HAVING AVG(hprice) > 100 ORDER BY place")),
+
+    // ------------------------------------- round-17 de-saturation wave
+    // (r16 verdict #4, added PRE-EMPTIVELY: the 22-case benchmark set
+    // re-saturated once b9/b12/b16/b18 closed). Families: multi-measure
+    // questions, per-group derived ratios, negation OVER A JOIN (the
+    // anti-join's subquery itself needs an FK hop + value filter), and
+    // cross-fixture paraphrases of closed cases. Same externality tier
+    // and the same honesty contract: low scores are the signal, not a
+    // defect. Ratio golds follow the engine's documented ROUND(…, 4)
+    // output convention so a CORRECT shape can hash-match.
+    ExternalCase("b23", "benchmark-derived", "school",
+      "Spider multi-aggregate pattern ('the total and average capacity of stadiums'), grouped",
+      "For each course, what are the total and average numeric scores?",
+      Some("SELECT course_id, SUM(numeric_score) AS s, AVG(numeric_score) AS a " +
+        "FROM enrollments GROUP BY course_id ORDER BY course_id")),
+    ExternalCase("b24", "benchmark-derived", "school",
+      "per-group derived ratio (Spider 'percentage of X per group' family)",
+      "What share of each course's enrollments are A grades?",
+      Some("SELECT course_id, ROUND(CAST(SUM(CASE WHEN grade_letter = 'A' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS r FROM enrollments GROUP BY course_id ORDER BY course_id")),
+    ExternalCase("b25", "benchmark-derived", "school",
+      "negation over a JOIN (Spider 'students not enrolled in course X' — the subquery needs the FK hop)",
+      "Which students have never enrolled in Biology?",
+      Some("SELECT s.id, s.name FROM students s WHERE s.id NOT IN " +
+        "(SELECT e.student_id FROM enrollments e JOIN courses c ON c.id = e.course_id " +
+        "WHERE c.title = 'Biology') ORDER BY s.id")),
+    ExternalCase("b26", "benchmark-derived", "store",
+      "cross-fixture paraphrase of the count-distinct family (p20's shape on the sibling db)",
+      "How many different payment methods are there?",
+      Some("SELECT COUNT(DISTINCT paymentmethod) AS c FROM customer")),
+    ExternalCase("b27", "benchmark-derived", "travel",
+      "Spider multi-aggregate pattern, ungrouped ('the minimum and maximum prices')",
+      "What are the minimum and maximum hotel prices?",
+      Some("SELECT MIN(hprice) AS mn, MAX(hprice) AS mx FROM hotels")),
+    ExternalCase("b28", "benchmark-derived", "store",
+      "derived ratio over an entity count ('average number of orders per customer')",
+      "What is the average number of orders per customer?",
+      Some("SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT customer_id), 4) AS a " +
+        "FROM orders")),
+    ExternalCase("b29", "benchmark-derived", "store",
+      "negation over an attribute value ('employees who never work weekends' family)",
+      "Which customers never used a credit card?",
+      Some("SELECT customerid FROM customer WHERE paymentmethod <> 'Credit Card' " +
+        "ORDER BY customerid"),
+      note = "reading: paymentmethod is each crawled customer's single " +
+        "recorded method, so 'never used X' = rows whose method differs"),
+    ExternalCase("b30", "benchmark-derived", "store",
+      "negation over a TWO-hop join (Spider 'customers who never bought product type X')",
+      "Which customers have never ordered a grocery item?",
+      Some("SELECT c.id, c.name FROM customers c WHERE c.id NOT IN " +
+        "(SELECT o.customer_id FROM orders o " +
+        "JOIN order_items oi ON oi.order_id = o.id " +
+        "JOIN items i ON i.id = oi.item_id WHERE i.category = 'grocery') " +
+        "ORDER BY c.id")),
+    ExternalCase("b31", "benchmark-derived", "travel",
+      "Spider multi-aggregate group pattern ('average and maximum price per airline')",
+      "For each agency, what are the average and maximum flight prices?",
+      Some("SELECT agency, AVG(fprice) AS a, MAX(fprice) AS m FROM flights " +
+        "GROUP BY agency ORDER BY agency")),
+    ExternalCase("b32", "benchmark-derived", "store",
+      "cross-fixture paraphrase of b9's multi-hop measure pattern (different wording)",
+      "How many items in total did each customer order?",
+      Some("SELECT c.id, c.name, SUM(oi.qty) AS q FROM customers c " +
+        "JOIN orders o ON o.customer_id = c.id " +
+        "JOIN order_items oi ON oi.order_id = o.id " +
+        "GROUP BY c.id, c.name ORDER BY c.id")),
+    ExternalCase("b33", "benchmark-derived", "travel",
+      "derived share of a cohort ('what percent of flights are international' family)",
+      "What fraction of flights are first class?",
+      Some("SELECT ROUND(CAST(SUM(CASE WHEN flighttype = 'firstClass' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS f FROM flights")),
+    ExternalCase("b34", "benchmark-derived", "store",
+      "cross-fixture paraphrase of b12's derived-measure pattern (different group + month)",
+      "What was the total revenue per category in July 2023?",
+      Some("SELECT category, SUM(quantity * price) AS s FROM sales " +
+        "WHERE invoicedate >= DATE '2023-07-01' AND invoicedate < DATE '2023-08-01' " +
+        "GROUP BY category ORDER BY category")),
+    ExternalCase("b35", "benchmark-derived", "school",
+      "Spider multi-aggregate pattern, mixed functions ungrouped ('average age and number of members')",
+      "What are the average age and number of students?",
+      Some("SELECT AVG(age) AS a, COUNT(*) AS n FROM students")),
+    ExternalCase("b36", "benchmark-derived", "travel",
+      "negation with a value filter on the fact ('users who never visited place X')",
+      "Which users never stayed at a hotel in Paris?",
+      Some("SELECT u.usercode, u.name FROM users u WHERE u.usercode NOT IN " +
+        "(SELECT usercode FROM hotels WHERE place = 'Paris') ORDER BY u.usercode")),
+    ExternalCase("b37", "benchmark-derived", "store",
+      "per-group derived ratio on a category value ('share of electronics per mall')",
+      "For each shopping mall, what share of sales are electronics?",
+      Some("SELECT shoppingmall, ROUND(CAST(SUM(CASE WHEN category = 'electronics' " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS r FROM sales " +
+        "GROUP BY shoppingmall ORDER BY shoppingmall")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)

@@ -818,10 +818,23 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
   private[gen] def nameishColumn(cols: Seq[String]): Option[String] =
     cols.find(_.toLowerCase.contains("name"))
 
-  /** Full deterministic candidate set, ordered by confidence desc. */
+  /** Full deterministic candidate set, ordered by confidence desc.
+    *
+    * `full` (optional) is the UNPRUNED schema: shapes that traverse the
+    * FK graph retry against it when the relevance slice's top-4 tables
+    * dropped a link in the chain — "total quantity of items ordered by
+    * each customer" needs order_items AND customers, but the slice
+    * keeps neither (round-16 eval b9). The retry fires only when the
+    * slice grounding emitted NOTHING, so every slice-served question
+    * ranks exactly as before. */
   def candidates(slice: SchemaSlice, fks: Seq[FkEdge], analysis: Analysis,
       question: String = "",
-      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+      values: String => Map[String, Seq[String]] = _ => Map.empty,
+      full: SchemaSlice = SchemaSlice(Map.empty)): Seq[Candidate] = {
+    def orFull(gen: SchemaSlice => Seq[Candidate]): Seq[Candidate] = {
+      val sliced = gen(slice)
+      if (sliced.nonEmpty || full.tables.isEmpty) sliced else gen(full)
+    }
     // flat Seq literal, NOT a ++ chain: >100 chained concatenations
     // nest deeply enough to overflow the compiler stack
     Seq(
@@ -839,7 +852,9 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       monthBucketCandidates(slice, question),
       sumArgmaxCandidates(slice, fks, question),
       multiAggPerGroupCandidates(slice, question),
-      twoHopAggCandidates(slice, fks, question),
+      derivedAmountCandidates(slice, question),
+      attrCohortVsAvgCandidates(slice, question),
+      orFull(s => twoHopAggCandidates(s, fks, question)),
       directionalGroupCountCandidates(slice, question),
       existentialCountCandidates(slice, fks, question, values),
       bridgeCandidates(slice, fks, question),
@@ -1128,4 +1143,5 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       tableCandidates(slice)
     ).flatten
       .sortBy(-_.confidence)
+  }
 }

@@ -89,8 +89,13 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
 
   // -------------------------------------------------- negation anti-join
 
+  // the 'no' alternative is negated EXISTENCE ("have no scores"), not a
+  // quantified threshold: "have no more than 3 scores" is a HAVING
+  // question (havingCountThresholdCandidates' '<= 3' operator), and
+  // reading its 'no' as an anti-join listed entities with ZERO facts —
+  // confidently wrong (round-16 advice)
   private[gen] val neverRe =
-    raw"(?i)\b(?:never|(?:placed|made|had|have|has|with)\s+no)\b".r
+    raw"(?i)\b(?:never|(?:placed|made|had|have|has|with)\s+no\b(?!\s+(?:more|fewer|less)\s+than))".r
 
   /**
    * "students who have NEVER enrolled in any course" / "users who never
@@ -224,13 +229,38 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         case None => None
       }
       val entities = linkedTables(slice, question)
+      // Projection: a NARROW table is the row's identity ("which items
+      // are the most expensive" → the 3-column item rows); a WIDE table
+      // projected whole buries the answer in incidental columns, so it
+      // narrows to the columns a reader identifies the row by — the
+      // key-ish column, descriptive name-ish columns (name/title/label,
+      // plus place words: the reference's own schema hint singles out
+      // fcity/tcity as how flights are described, nl2sql.py:75), and
+      // the superlative measure itself.
+      def identityKey(entity: String, cols: Seq[String]): String =
+        // keyishColumn first (id/_id/key names); crawled schemas also
+        // use "…code" keys (travelcode) — never fall back to the
+        // slice's relevance-first column, which is the MEASURE here
+        cols.find { c =>
+          val l = c.toLowerCase; l.endsWith("_id") || l == "id" || l.endsWith("key")
+        }.orElse(cols.find(_.toLowerCase.endsWith("code")))
+          .getOrElse(cols.head)
+      def identityProjection(entity: String, col: String): Seq[String] = {
+        val cols = slice.tables(entity)
+        if (cols.size <= 5) cols
+        else {
+          val descriptive = cols.filter(c =>
+            raw"(?i)name|title|label|city|place".r.findFirstIn(c).isDefined)
+          (Seq(identityKey(entity, cols)) ++ descriptive ++ Seq(col)).distinct
+        }
+      }
       val same = for {
         entity <- entities
         col <- measureOn(slice.tables(entity)).toSeq
       } yield Candidate(
-        s"SELECT ${slice.tables(entity).mkString(", ")} FROM $entity " +
+        s"SELECT ${identityProjection(entity, col).mkString(", ")} FROM $entity " +
           s"WHERE $col = (SELECT $fn($col) FROM $entity) " +
-          s"ORDER BY ${keyishColumn(entity, slice.tables(entity))} LIMIT $DefaultLimit",
+          s"ORDER BY ${identityKey(entity, slice.tables(entity))} LIMIT $DefaultLimit",
         0.9, "template_tie_argmax")
       val joined = for {
         entity <- entities
@@ -248,9 +278,12 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
 
   // --------------------------------------------- HAVING count threshold
 
+  // 'no more/fewer/less than N' listed FIRST so the alternation claims
+  // the full phrase; these are the thresholds neverRe's anti-join
+  // reading used to steal (round-16 advice)
   private[gen] val havingCountRe =
     (raw"(?i)\b(?:which|what)\s+([a-z_][a-z0-9_]*)\s+have\s+" +
-      raw"(at least|more than|at most|fewer than|less than)\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
+      raw"(no more than|no fewer than|no less than|at least|more than|at most|fewer than|less than)\s+(\d+)\s+([a-z_][a-z0-9_]*)\b").r
 
   /** "Which courses have at least 40 enrollments?" → group the FACT by
     * its FK to the entity, HAVING COUNT(*) against the threshold. */
@@ -258,9 +291,9 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
       question: String): Seq[Candidate] =
     havingCountRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val op = m.group(2).toLowerCase match {
-        case "at least" => ">="
+        case "at least" | "no fewer than" | "no less than" => ">="
         case "more than" => ">"
-        case "at most" => "<="
+        case "at most" | "no more than" => "<="
         case _ => "<"
       }
       (for {
@@ -476,6 +509,94 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
           s"GROUP BY d.${e1.toColumn}, d.$name " +
           s"ORDER BY d.${e1.toColumn} LIMIT $DefaultLimit",
         0.88, "template_two_hop_agg"))
+    }
+
+  // ------------------------------------------ derived amount measure
+
+  private[gen] val derivedAmountRe =
+    raw"(?i)\b(?:total|sum\s+of)\s+(?:the\s+)?(?:[a-z_]+\s+)?(?:amount|revenue|turnover)\b.*?\b(?:per|by|for)\s+(?:each\s+)?[a-z_]".r
+
+  /** "Total SALES AMOUNT per shopping mall in June 2023" — the amount
+    * is a DERIVED measure: no column is named amount/revenue, and a
+    * single-column SUM silently answers a different question
+    * (SUM(quantity) — round-16 eval b12). When the table stores unit
+    * price and quantity separately and names neither measure word as a
+    * real column, the monetary total is their product: SUM(qty ×
+    * price). Literal filters ("in June 2023") attach as WHERE. Scale:
+    * one grouped pass — the product folds into the partial aggregate
+    * under whole-stage codegen; no join, no second scan. */
+  def derivedAmountCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] = {
+    if (derivedAmountRe.findFirstIn(question).isEmpty) return Nil
+    (for {
+      t <- slice.tables.keys.toSeq.sorted
+      cols = slice.tables(t)
+      // a REAL amount/revenue column answers the question directly and
+      // belongs to the plain grouped-aggregate shape — this one exists
+      // only for schemas that store the factors separately
+      if !cols.exists(c => raw"(?i)amount|revenue".r.findFirstIn(c).isDefined)
+      qty <- cols.find(c => Set("qty", "quantity", "units", "unit")(c.toLowerCase)).toSeq
+      price <- cols.find(c => raw"(?i)(?:^|_)(?:unit_?)?price$$".r.findFirstIn(c.toLowerCase).isDefined).toSeq
+      (filters, maskedQ) = extractFiltersMasked(question, cols, java.time.LocalDate.now())
+      groupPhrase <- perPhraseRe.findFirstMatchIn(maskedQ.toLowerCase).map(_.group(1).trim).toSeq
+      g = cols.maxBy(c => graft.link.Fuzzy.nameScore(c, groupPhrase))
+      // ≥90 tolerates the crawled no-underscore names ("shopping mall"
+      // → shoppingmall scores a 96 partial-ratio, below the word-hit
+      // 100 band) while still refusing arbitrary fabrications
+      if graft.link.Fuzzy.nameScore(g, groupPhrase) >= 90 && g != qty && g != price
+    } yield {
+      val whereSql = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
+      Candidate(
+        s"SELECT $g, SUM($qty * $price) AS agg_value FROM $t$whereSql " +
+          s"GROUP BY $g ORDER BY $g LIMIT $DefaultLimit",
+        0.89, "template_derived_amount")
+    }).take(1)
+  }
+
+  // ---------------------- attribute of a cohort vs a scalar aggregate
+
+  private[gen] val attrCohortVsAvgRe =
+    (raw"(?i)\b(?:which|what)\s+([a-z_][a-z0-9_ ]*?)\s+(?:are|is|were|was)\s+" +
+      raw"(?:used|owned|preferred|chosen|held|placed|made|taken)\s+by\s+([a-z_][a-z0-9_]*)\s+" +
+      raw"(older|younger|greater|higher|lower|smaller|larger|bigger|longer|shorter|heavier|lighter)\s+than\s+the\s+" +
+      raw"(?:overall\s+)?(?:average|mean|avg)\s+([a-z_][a-z0-9_]*)\b").r
+
+  /** "Which PAYMENT METHODS are used by customers OLDER than the
+    * AVERAGE AGE?" (Spider comparison-to-aggregate; round-16 eval b16)
+    * → the DISTINCT attribute values of the cohort above/below a scalar
+    * aggregate: `SELECT DISTINCT attr FROM t WHERE col > (SELECT
+    * AVG(col) FROM t)`. Both the attribute and the compared column must
+    * ground on ONE table (the two crawled store dbs both link the word
+    * "customers"; only the one carrying both columns survives). Scale:
+    * the scalar subquery reduces to a 1-row broadcast; the outer pass
+    * is a filtered scan + distinct — no self-join. */
+  def attrCohortVsAvgCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    attrCohortVsAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val op = if (Set("older", "greater", "higher", "larger", "bigger",
+        "longer", "heavier")(m.group(3).toLowerCase)) ">" else "<"
+      // crawled schemas squash multi-word names ("payment methods" →
+      // paymentmethod): the space-stripped phrase must equal the column
+      // (singular/plural tolerated) when no word grounds it directly
+      def squashedColumn(phrase: String, cols: Seq[String]): Option[String] = {
+        val sq = phrase.toLowerCase.replaceAll("[^a-z0-9]", "")
+        cols.find { c =>
+          val l = c.toLowerCase
+          l == sq || l + "s" == sq || (sq.endsWith("s") && l == sq.dropRight(1))
+        }
+      }
+      singleGrounding(for {
+        t <- slice.tables.keys.toSeq.sorted
+        if graft.link.Fuzzy.nameScore(t, m.group(2)) >= 100
+        cols = slice.tables(t)
+        cmp <- strongColumn(m.group(4), cols).toSeq
+        attr <- (strongColumn(m.group(1), cols) orElse
+          squashedColumn(m.group(1), cols)).toSeq
+        if attr != cmp
+      } yield Candidate(
+        s"SELECT DISTINCT $attr FROM $t WHERE $cmp $op (SELECT AVG($cmp) FROM $t) " +
+          s"ORDER BY $attr LIMIT $DefaultLimit",
+        0.9, "template_distinct_vs_avg"))
     }
 
   // ------------------------------------------- existential multi-hop

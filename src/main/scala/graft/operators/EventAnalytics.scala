@@ -325,19 +325,27 @@ object EventAnalytics {
    * engine — the statistic carries NO float-accumulation drift, so
    * the oracle can compare it exactly (round only against the
    * hashed-surface 6dp convention).
+   *
+   * ==Handle-less overload semantics (applies to [[mannWhitneyU]] and
+   * [[wasserstein1]] too)==
+   * This overload shares its internal ranged frame via LAZY
+   * `localCheckpoint` (RDD-owned blocks, GC-released), so it cannot
+   * leak session cache — but two behaviors differ from an ordinary
+   * transformation and callers should know them:
+   *  - '''a Spark job runs at CONSTRUCTION''': building the
+   *    checkpointed Dataset constructs its physical RDD, and the range
+   *    exchange's `RangePartitioner` runs its boundary-sampling job
+   *    right there, before any action on the returned frame;
+   *  - '''no recomputation''': checkpointing truncates lineage, so a
+   *    lost/evicted block fails the downstream job instead of being
+   *    recomputed from source.
+   * Callers that must stay fully lazy, need lineage-based recovery, or
+   * run long-lived sessions with a terminal action should prefer
+   * [[ksStatisticWithCleanup]] (lineage-preserving persist + explicit
+   * release handle).
    */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String, partitions: Int = 32): DataFrame =
-    // handle-less convenience: the shared ranged frame materializes via
-    // LAZY localCheckpoint (RDD-owned blocks, GC-released) — cannot
-    // leak session caches. CAVEAT: building the checkpointed Dataset
-    // constructs its physical RDD, and a range exchange's
-    // RangePartitioner runs its boundary-sampling job right there — so
-    // this overload pays one sampling pass over the per-value counts AT
-    // CONSTRUCTION, before any action (round-16 self-review). Callers
-    // that must stay fully lazy, or long-lived sessions with a terminal
-    // action, should prefer [[ksStatisticWithCleanup]]
-    // (lineage-preserving persist + explicit release).
     ksCore(df, valueCol, groupCol, groupA, groupB, partitions,
       _.localCheckpoint(eager = false))._1
 
@@ -406,6 +414,10 @@ object EventAnalytics {
    * consecutive integers), and sums of exact halves are exact in
    * IEEE up to 2⁵³ — so U and ρ carry NO accumulation drift at any
    * partitioning and the oracle compares them exactly.
+   *
+   * Handle-less overload: same construction-time sampling job and
+   * no-recompute (lineage-truncating) semantics as [[ksStatistic]] —
+   * see its scaladoc; [[mannWhitneyUWithCleanup]] preserves lineage.
    */
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String, partitions: Int = 32): DataFrame =
@@ -475,6 +487,10 @@ object EventAnalytics {
    * nothing and contributes 0. Cumulative counts stay integer-exact;
    * only the final Σ gap·span accumulates doubles (round 4dp on the
    * hashed surface, ~1e-13 drift against O(1)-magnitude distances).
+   *
+   * Handle-less overload: same construction-time sampling job and
+   * no-recompute (lineage-truncating) semantics as [[ksStatistic]] —
+   * see its scaladoc; [[wasserstein1WithCleanup]] preserves lineage.
    */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String, partitions: Int = 32): DataFrame =

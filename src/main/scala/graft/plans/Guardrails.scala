@@ -1,7 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, CompoundBody, InsertIntoDir, LogicalPlan}
 
 /**
  * Session-level read-only guardrail (defense in depth under
@@ -49,6 +51,18 @@ object ReadOnlyGuard {
       // round-14 adversarial wave)
       case c: Command => c.nodeName
       case d: InsertIntoDir => d.nodeName
+      // ANALYSIS-EXECUTING constructs (round-17 fuzz finding): EXECUTE
+      // IMMEDIATE substitutes — and for command payloads EXECUTES — its
+      // inner statement during the analyzer's resolution batches, and a
+      // SQL-scripting CompoundBody runs its whole body at analysis; by
+      // the time an analyzer CHECK rule (or any post-analysis scan)
+      // sees the plan, the payload already ran and only an opaque
+      // CommandResult/LocalRelation remains. They are flaggable ONLY on
+      // the PARSED plan, which is why [[ReadOnlyParserGuard]] denies
+      // them at parse time; matched here too so pre-analysis scans name
+      // them.
+      case e: UnresolvedExecuteImmediate => e.nodeName
+      case b: CompoundBody => b.nodeName
       // reflect()/java_method()/try_reflect() invoke arbitrary static
       // Java methods — an exfiltration/execution escape hatch inside a
       // "SELECT" (round-15 adversarial wave). Matching the RESOLVED
@@ -71,4 +85,52 @@ object ReadOnlyGuard {
     val subplans = plan.collectWithSubqueries { case p => p }
     subplans.iterator.flatMap(p => firstOffense(p)).nextOption()
   }
+}
+
+/**
+ * PARSE-TIME read-only guard (round-17 fuzz finding — a REAL hole in
+ * the session-level contract): `EXECUTE IMMEDIATE '<command>'` and SQL
+ * scripting (`BEGIN …; END`) run their payload DURING ANALYSIS — the
+ * fuzz probe watched `executePlan(…).analyzed` change
+ * `spark.sql.shuffle.partitions` and attempt an ADD JAR — so the
+ * analyzer CHECK rule ([[ReadOnlyGuard]]) fires only after the damage
+ * is done. The only layer that sees these constructs before anything
+ * executes is the PARSER, so a read-only session denies them right
+ * there, as a class (the Validator's parse-time denial rationale:
+ * statically un-vettable means deny, not vet).
+ *
+ * Inert unless `spark.graft.readOnly=true`, like the check rule; every
+ * other parse shape (including plain Commands, which analysis does NOT
+ * execute) flows through untouched and stays the check rule's job.
+ */
+class ReadOnlyParserGuard(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  private def readOnly: Boolean =
+    try session.conf.get("spark.graft.readOnly", "false") == "true"
+    catch { case _: Exception => false }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    if (readOnly) plan match {
+      case _: UnresolvedExecuteImmediate | _: CompoundBody =>
+        throw new org.apache.spark.sql.catalyst.parser.ParseException(
+          Option(sqlText),
+          org.apache.spark.sql.catalyst.trees.Origin(),
+          "_LEGACY_ERROR_TEMP_0035",
+          Map("message" ->
+            (s"read-only session (spark.graft.readOnly=true): ${plan.nodeName} " +
+              "executes its payload during analysis and is denied at parse time")))
+      case _ => ()
+    }
+    plan
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) = delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
 }

@@ -100,8 +100,14 @@ class BoundedRankPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 /**
  * Session extensions entry point: enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
- * Injects the bounded-rank optimizer rule and the read-only analyzer
- * guardrail ([[ReadOnlyGuard]], inert until `spark.graft.readOnly=true`).
+ * Injects the bounded-rank optimizer rule and the read-only session
+ * guard on BOTH its layers (each inert until
+ * `spark.graft.readOnly=true`): the analyzer check rule
+ * ([[ReadOnlyGuard]]) for everything analysis leaves intact, and the
+ * parser guard ([[ReadOnlyParserGuard]]) for the two constructs that
+ * EXECUTE during analysis (EXECUTE IMMEDIATE, SQL scripting) — for
+ * those, any post-parse check fires after the payload already ran
+ * (round-17 fuzz finding).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -109,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new NanosTimestampPushdown)
     ext.injectOptimizerRule(session => new MvRewrite(session))
     ext.injectCheckRule(session => new ReadOnlyGuard(session))
+    ext.injectParser((session, delegate) => new ReadOnlyParserGuard(session, delegate))
   }
 }

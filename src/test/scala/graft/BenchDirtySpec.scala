@@ -9,7 +9,7 @@ class BenchDirtySpec extends AnyFunSuite {
   private val NUL = "\u0000"
   private val arts = Set("bench_out.json", "bench_summary.json")
   private def dirty(recs: String*): Boolean =
-    Bench.porcelainDirty(recs.map(_ + NUL).mkString, arts)
+    Bench.porcelainDirty(recs.map(_ + NUL).mkString, (_, p) => arts(p))
 
   test("artifact-only churn is clean, any other file is dirty") {
     assert(!dirty(" M bench_out.json"))
@@ -73,9 +73,21 @@ class BenchDirtySpec extends AnyFunSuite {
     assert(!Bench.isRecordArtifact("CORRECTNESS_rX.json"))
     assert(!Bench.isRecordArtifact("myBENCH_r07.json"))
     // and through the porcelain parser end-to-end
+    // end-to-end with the main()'s composed predicate: bench-own files
+    // exempt at ANY status, record files exempt only when UNTRACKED —
+    // a modified copy of a COMMITTED record is a hand edit to exactly
+    // the files the judge reads and must break the clean stamp
+    // (round-16 advice)
     def dirtyFull(recs: String*): Boolean = Bench.porcelainDirty(
-      recs.map(_ + NUL).mkString, p => arts(p) || Bench.isRecordArtifact(p))
-    assert(!dirtyFull("?? CORRECTNESS_r16.json", " M VERDICT.md", " M bench_out.json"))
+      recs.map(_ + NUL).mkString,
+      (st, p) => arts(p) || (st == "??" && Bench.isRecordArtifact(p)))
+    assert(!dirtyFull("?? CORRECTNESS_r16.json", "?? VERDICT.md", " M bench_out.json"))
     assert(dirtyFull("?? CORRECTNESS_r16.json", " M build.sbt"))
+    // tracked-record modification (or staged edit) reads DIRTY
+    assert(dirtyFull(" M VERDICT.md"))
+    assert(dirtyFull("M  BENCH_r07.json"))
+    assert(dirtyFull("A  EXTERNAL_EVAL.json"))
+    // the bench's own outputs stay exempt even when tracked-modified
+    assert(!dirtyFull(" M bench_out.json", " M bench_summary.json"))
   }
 }

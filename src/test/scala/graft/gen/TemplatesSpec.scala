@@ -1641,4 +1641,108 @@ class TemplatesSpec extends AnyFunSuite {
       "items" -> Seq("id", "category", "price")))
     assert(Templates.monthBucketCandidates(slice3, "items per month").isEmpty)
   }
+
+  // ------------------- round-17 benchmark-hard shapes (eval b9/b12/b16/b18)
+
+  test("derived amount: SUM(qty * price) when no amount column exists (eval b12)") {
+    val sales = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "customerid", "category", "quantity",
+        "price", "invoicedate", "shoppingmall")))
+    val c = Templates.derivedAmountCandidates(sales,
+      "What is the total sales amount per shopping mall in June 2023?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("SUM(quantity * price) AS agg_value"), c.head.sql)
+    assert(c.head.sql.contains("GROUP BY shoppingmall"), c.head.sql)
+    assert(c.head.sql.contains("WHERE invoicedate >= DATE '2023-06-01'"), c.head.sql)
+    // a named REAL column ("sales price") is a plain SUM, not a product
+    assert(Templates.derivedAmountCandidates(sales,
+      "Total sales price per shoppingmall").isEmpty)
+    // a table that stores the amount directly never derives it
+    val withAmount = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "quantity", "price", "amount", "shoppingmall")))
+    assert(Templates.derivedAmountCandidates(withAmount,
+      "total sales amount per shoppingmall").isEmpty)
+  }
+
+  test("distinct attribute vs scalar aggregate: cohort comparison grounds one table (eval b16)") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "customer" -> Seq("customerid", "gender", "age", "paymentmethod"),
+      "customers" -> Seq("id", "name", "gender", "age")))
+    val c = Templates.attrCohortVsAvgCandidates(store,
+      "Which payment methods are used by customers older than the average age?")
+    assert(c.nonEmpty, c)
+    // both crawled tables link "customers"; only `customer` carries the
+    // attribute, so the grounding resolves structurally
+    assert(c.head.sql == "SELECT DISTINCT paymentmethod FROM customer " +
+      "WHERE age > (SELECT AVG(age) FROM customer) " +
+      "ORDER BY paymentmethod LIMIT 100", c.head.sql)
+    // comparator direction flips
+    val y = Templates.attrCohortVsAvgCandidates(store,
+      "Which payment methods are used by customers younger than the average age?")
+    assert(y.nonEmpty && y.head.sql.contains("age < (SELECT AVG(age)"), y)
+    // an attribute no table carries emits nothing (no fabrication)
+    assert(Templates.attrCohortVsAvgCandidates(store,
+      "Which shoe sizes are used by customers older than the average age?").isEmpty)
+  }
+
+  test("'no more/fewer than N' is a HAVING threshold, never an anti-join (r16 advice)") {
+    val q = "which students have no more than 3 scores?"
+    assert(Templates.neverAntiJoinCandidates(slice, fks, q).isEmpty, "anti-join stole the threshold")
+    val c = cands(q).find(_.method == "template_having_count").get
+    assert(c.sql.contains("HAVING COUNT(*) <= 3"), c.sql)
+    val f = cands("which students have no fewer than 2 scores?")
+      .find(_.method == "template_having_count").get
+    assert(f.sql.contains("HAVING COUNT(*) >= 2"), f.sql)
+    // plain negated existence still anti-joins
+    assert(Templates.neverAntiJoinCandidates(slice, fks,
+      "list students who have no scores").nonEmpty)
+  }
+
+  test("tie-argmax identity projection: wide tables narrow to key + descriptive + measure (eval b18)") {
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "usercode", "fcity", "tcity",
+        "flighttype", "fprice", "time", "distance")))
+    val c = Templates.tieArgmaxCandidates(travel, Nil,
+      "Which flights cover the longest distance?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.startsWith("SELECT travelcode, fcity, tcity, distance FROM flights"), c.head.sql)
+    assert(c.head.sql.contains("ORDER BY travelcode"), c.head.sql)
+    // narrow tables keep the whole row (the row IS the identity)
+    val items = SchemaSlice(scala.collection.immutable.ListMap(
+      "items" -> Seq("id", "category", "price")))
+    val n = Templates.tieArgmaxCandidates(items, Nil,
+      "Which items are the most expensive?")
+    assert(n.nonEmpty && n.head.sql.startsWith("SELECT id, category, price FROM items"), n)
+  }
+
+  test("two-hop aggregate retries on the full schema when the slice dropped a chain link (eval b9)") {
+    val full = SchemaSlice(scala.collection.immutable.ListMap(
+      "customers" -> Seq("id", "name", "gender", "age"),
+      "items" -> Seq("id", "category", "price"),
+      "order_items" -> Seq("order_id", "item_id", "qty"),
+      "orders" -> Seq("id", "customer_id", "order_date", "total")))
+    val storeFks = Seq(
+      FkEdge("orders", "customer_id", "customers", "id"),
+      FkEdge("order_items", "item_id", "items", "id"),
+      FkEdge("order_items", "order_id", "orders", "id"))
+    // the pruned slice keeps neither customers nor order_items — the
+    // exact round-16 failure: the chain cannot ground and the generic
+    // SUM(orders.total) answered a different question
+    val pruned = SchemaSlice(scala.collection.immutable.ListMap(
+      "orders" -> Seq("id", "customer_id", "order_date", "total"),
+      "items" -> Seq("id", "category", "price")))
+    val q = "What is the total quantity of items ordered by each customer?"
+    assert(Templates.twoHopAggCandidates(pruned, storeFks, q).isEmpty)
+    val cs = Templates.candidates(pruned, storeFks,
+      Intent.analyze(q, pruned.tables.keys.toSeq), q, full = full)
+    val c = cs.find(_.method == "template_two_hop_agg").get
+    assert(c.sql.contains("SUM(l.qty) AS agg_value"), c.sql)
+    assert(c.sql.contains("JOIN orders m ON l.order_id = m.id"), c.sql)
+    assert(c.sql.contains("JOIN customers d ON m.customer_id = d.id"), c.sql)
+    assert(c.sql.contains("GROUP BY d.id, d.name"), c.sql)
+    // when the slice CAN ground the chain, full changes nothing
+    val cs2 = Templates.candidates(full, storeFks,
+      Intent.analyze(q, full.tables.keys.toSeq), q, full = full)
+    assert(cs2.count(_.method == "template_two_hop_agg") == 1)
+  }
 }

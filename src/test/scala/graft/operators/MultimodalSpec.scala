@@ -48,4 +48,41 @@ class MultimodalSpec extends SparkSpec {
     val top = Similarity.topK(feats, "media_id", "features", q, 3).collect()
     assert(top(0).getLong(0) == 0L) // self first
   }
+
+  // --------------------- real javax.imageio decode (r16 verdict #6)
+
+  test("ImageIoDecoder decodes a real PNG: stats come from pixels, not metadata") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 255L, 300L).toDF("doc_id")
+    val stats = Multimodal.decodeStats(Multimodal.pngTable(ids)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 1L, 17L, 255L, 300L).foreach { id =>
+      val r = stats(id)
+      assert(r.getInt(1) == 8 + (id % 32).toInt, s"width id=$id")
+      assert(r.getInt(2) == 8 + (id % 16).toInt, s"height id=$id")
+      assert(r.getInt(3) == 3, s"channels id=$id")
+      assert(r.getDouble(4) == (id % 256).toDouble, s"mean_r id=$id")
+      assert(r.getDouble(5) == (id * 7 % 256).toDouble, s"mean_g id=$id")
+      assert(r.getDouble(6) == (id * 13 % 256).toDouble, s"mean_b id=$id")
+    }
+    // the metadata deliberately lies about nothing here, but the decode
+    // is provably real: corrupt bytes must NOT yield the stats
+    val row = Multimodal.MediaRow(7L, "image", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("png", 99, 99, 0, 0L))
+    val d = new Multimodal.ImageIoDecoder
+    val stub = (new Multimodal.StubDecoder).features("image", row.bytes, row.meta, 6)
+    assert(d.features("image", row.bytes, row.meta, 6).sameElements(stub),
+      "undecodable bytes must fall back to the stub, not fabricate stats")
+  }
+
+  test("ImageIoDecoder delegates non-image kinds to the stub") {
+    val meta = Multimodal.MediaMeta("wav", 0, 0, 16000, 2000L)
+    val bytes = Array.tabulate[Byte](32)(_.toByte)
+    val d = new Multimodal.ImageIoDecoder
+    val stub = new Multimodal.StubDecoder
+    assert(d.features("audio", bytes, meta, 8)
+      .sameElements(stub.features("audio", bytes, meta, 8)))
+    assert(d.frameCount("video", meta.copy(durationMs = 3000), 1000L) ==
+      stub.frameCount("video", meta.copy(durationMs = 3000), 1000L))
+  }
 }
