@@ -615,7 +615,96 @@ object ExternalEval {
       "For each shopping mall, what share of sales are electronics?",
       Some("SELECT shoppingmall, ROUND(CAST(SUM(CASE WHEN category = 'electronics' " +
         "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS r FROM sales " +
-        "GROUP BY shoppingmall ORDER BY shoppingmall")))
+        "GROUP BY shoppingmall ORDER BY shoppingmall")),
+
+    // --------------------------------- round-17 third wave (authored
+    // AFTER the second wave closed in-round: the benchmark class
+    // re-saturated, so these push into compositional families — cross-
+    // table pairs, aggregate arithmetic, correlated per-group
+    // comparison, per-group argmax, two-dimension grouping, filtered
+    // argmax, numeric-threshold shares. Low scores remain the honest
+    // expected outcome.
+    ExternalCase("b38", "benchmark-derived", "school",
+      "cross-table aggregate pair (Spider 'how many singers and how many concerts')",
+      "How many students and how many courses are there?",
+      Some("SELECT (SELECT COUNT(*) FROM students) AS ns, " +
+        "(SELECT COUNT(*) FROM courses) AS nc")),
+    ExternalCase("b39", "benchmark-derived", "store",
+      "aggregate arithmetic (Spider 'difference between max and min capacity')",
+      "What is the difference between the most expensive and cheapest item price?",
+      Some("SELECT MAX(price) - MIN(price) AS d FROM items")),
+    ExternalCase("b40", "benchmark-derived", "school",
+      "HAVING on COUNT DISTINCT (Spider 'students taking more than N different courses')",
+      "Which students are enrolled in more than 5 different courses?",
+      Some("SELECT student_id, COUNT(DISTINCT course_id) AS n FROM enrollments " +
+        "GROUP BY student_id HAVING COUNT(DISTINCT course_id) > 5 ORDER BY student_id")),
+    ExternalCase("b41", "benchmark-derived", "travel",
+      "correlated per-group comparison (Spider 'products cheaper than the average of their category')",
+      "Which flights are more expensive than the average price for their agency?",
+      Some("SELECT f.travelcode FROM flights f JOIN " +
+        "(SELECT agency, AVG(fprice) AS a FROM flights GROUP BY agency) t " +
+        "ON f.agency = t.agency WHERE f.fprice > t.a ORDER BY f.travelcode")),
+    ExternalCase("b42", "benchmark-derived", "store",
+      "derived-measure period argmax ('the month with the highest revenue'), tie-aware",
+      "Which month had the highest total revenue?",
+      Some("WITH t AS (SELECT MONTH(invoicedate) AS m, SUM(quantity * price) AS s " +
+        "FROM sales GROUP BY MONTH(invoicedate)) " +
+        "SELECT m FROM t WHERE s = (SELECT MAX(s) FROM t) ORDER BY m")),
+    ExternalCase("b43", "benchmark-derived", "school",
+      "between-cohort ratio ('ratio of male to female')",
+      "What is the ratio of male to female students?",
+      Some("SELECT ROUND(CAST(SUM(CASE WHEN gender = 'M' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ SUM(CASE WHEN gender = 'F' THEN 1 ELSE 0 END), 4) AS r FROM students")),
+    ExternalCase("b44", "benchmark-derived", "school",
+      "filtered count argmax (Spider 'the course with the most A grades'), tie-aware",
+      "Which course has the most A grades?",
+      Some("WITH t AS (SELECT course_id, COUNT(*) AS n FROM enrollments " +
+        "WHERE grade_letter = 'A' GROUP BY course_id) " +
+        "SELECT course_id FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY course_id")),
+    ExternalCase("b45", "benchmark-derived", "store",
+      "numeric-threshold share ('what percent of X are above N')",
+      "What percentage of customers are older than 40?",
+      Some("SELECT ROUND(CAST(SUM(CASE WHEN age > 40 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS p FROM customers")),
+    ExternalCase("b46", "benchmark-derived", "travel",
+      "nth-ranked group aggregate (Spider 'the second highest')",
+      "Which agency has the second highest average flight price?",
+      Some("SELECT agency FROM (SELECT agency, AVG(fprice) AS a FROM flights " +
+        "GROUP BY agency) t ORDER BY a DESC LIMIT 1 OFFSET 1")),
+    ExternalCase("b47", "benchmark-derived", "store",
+      "argmax-over-count with a joined display column, tie-aware (ALL 40 customers tie at 3 orders)",
+      "What is the name of the customer who placed the most orders?",
+      Some("WITH t AS (SELECT customer_id, COUNT(*) AS n FROM orders GROUP BY customer_id) " +
+        "SELECT c.name FROM customers c JOIN t ON t.customer_id = c.id " +
+        "WHERE t.n = (SELECT MAX(n) FROM t) ORDER BY c.name"),
+      note = "the fixture gives every customer exactly 3 orders — a LIMIT-1 " +
+        "answer is wrong by construction; the gold returns all tied names"),
+    ExternalCase("b48", "benchmark-derived", "school",
+      "per-group argmax (GeoQuery 'the largest city in each state')",
+      "For each term, which course has the highest average score?",
+      Some("SELECT term, course_id FROM (SELECT term, course_id, " +
+        "RANK() OVER (PARTITION BY term ORDER BY v DESC) AS rk FROM " +
+        "(SELECT term, course_id, AVG(numeric_score) AS v FROM enrollments " +
+        "GROUP BY term, course_id) a) r WHERE rk = 1 ORDER BY term, course_id")),
+    ExternalCase("b49", "benchmark-derived", "travel",
+      "two-dimension grouping (Spider 'for each X and Y')",
+      "How many flights are there per agency and flight type?",
+      Some("SELECT agency, flighttype, COUNT(*) AS n FROM flights " +
+        "GROUP BY agency, flighttype ORDER BY agency, flighttype")),
+    ExternalCase("b50", "benchmark-derived", "store",
+      "grouped aggregate with a size guard (Spider 'categories with more than N products')",
+      "What is the average item price in each category, only for categories with more than 2 items?",
+      Some("SELECT category, AVG(price) AS a FROM items GROUP BY category " +
+        "HAVING COUNT(*) > 2 ORDER BY category")),
+    ExternalCase("b51", "benchmark-derived", "school",
+      "two-dimension period grouping",
+      "How many enrollments were there in each year and term?",
+      Some("SELECT year, term, COUNT(*) AS n FROM enrollments " +
+        "GROUP BY year, term ORDER BY year, term")),
+    ExternalCase("b52", "benchmark-derived", "travel",
+      "directional per-group superlative (GeoQuery 'the highest point in each state' + the fcity hint)",
+      "What is the longest flight distance from each city?",
+      Some("SELECT fcity, MAX(distance) AS m FROM flights GROUP BY fcity ORDER BY fcity")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)

@@ -12,7 +12,7 @@ import graft.link.Intent.Analysis
  */
 object Templates extends TemplatesShapes1 with TemplatesShapes2
     with TemplatesShapes3 with TemplatesShapes4 with TemplatesShapes5
-    with TemplatesConjunctive {
+    with TemplatesShapes6 with TemplatesConjunctive {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -854,6 +854,22 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       multiAggPerGroupCandidates(slice, question),
       derivedAmountCandidates(slice, question),
       attrCohortVsAvgCandidates(slice, question),
+      pairAggCandidates(slice, question),
+      shareOfValueCandidates(slice, question, values),
+      howManyDifferentCandidates(slice, question),
+      crossTableCountPairCandidates(slice, question),
+      aggDiffBetweenCandidates(slice, question),
+      cohortRatioCandidates(slice, question, values),
+      shareOverThresholdCandidates(slice, question),
+      havingDistinctCountCandidates(slice, fks, question),
+      vsGroupAvgCandidates(slice, question),
+      monthArgmaxCandidates(slice, question),
+      mostOfValueCandidates(slice, fks, question, values),
+      nthGroupAggCandidates(slice, question),
+      nameOfMostCandidates(slice, fks, question),
+      perGroupArgmaxCandidates(slice, question),
+      twoDimGroupCandidates(slice, question),
+      directionalExtremeCandidates(slice, question),
       orFull(s => twoHopAggCandidates(s, fks, question)),
       directionalGroupCountCandidates(slice, question),
       existentialCountCandidates(slice, fks, question, values),

@@ -350,7 +350,7 @@ private[gen] trait TemplatesShapes1 { this: Templates.type =>
     * the E key, then a tiny scalar reduce — with no join at all. */
   def avgCountPerCandidates(slice: SchemaSlice, fks: Seq[FkEdge], question: String): Seq[Candidate] =
     avgCountPerRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      (for {
+      val bridged = (for {
         dimJ <- uniqueTable(slice, m.group(1)).toSeq
         dimE <- uniqueTable(slice, m.group(2)).toSeq
         if dimJ != dimE
@@ -362,6 +362,23 @@ private[gen] trait TemplatesShapes1 { this: Templates.type =>
           s"(SELECT COUNT(DISTINCT ${eJ.fromColumn}) AS c FROM ${eJ.fromTable} " +
           s"GROUP BY ${eE.fromColumn}) t",
         0.9, "template_avg_count_per")).take(1)
+      // FACT-count grounding (round-17 eval b28): "average number of
+      // ORDERS per CUSTOMER" where the counted noun IS a fact that
+      // directly FK-references the entity — mean over entities of
+      // their plain row count (no bridge, no distinct). Both slots
+      // resolve through the FK edge itself, which also breaks the
+      // crawled customer/customers name tie (only one is referenced).
+      // ROUND(…, 4) per the engine's ratio output convention.
+      lazy val factCount = (for {
+        f <- slice.tables.keys.toSeq.sorted
+        if graft.link.Fuzzy.nameScore(f, m.group(1)) >= 100
+        e <- fks.filter(e => e.fromTable == f &&
+          graft.link.Fuzzy.nameScore(e.toTable, m.group(2)) >= 100).take(1)
+      } yield Candidate(
+        s"SELECT ROUND(AVG(c), 4) AS agg_value FROM " +
+          s"(SELECT COUNT(*) AS c FROM $f GROUP BY ${e.fromColumn}) t",
+        0.9, "template_avg_count_per")).distinct.take(1)
+      if (bridged.nonEmpty) bridged else factCount
     }
 
   // "students who scored above 90 in at least 3 courses" — the bridge

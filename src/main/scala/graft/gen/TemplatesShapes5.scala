@@ -31,7 +31,7 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
     question.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq.distinct
 
   /** All tables of the slice a question WORD uniquely links to. */
-  private def linkedTables(slice: SchemaSlice, question: String): Seq[String] =
+  private[gen] def linkedTables(slice: SchemaSlice, question: String): Seq[String] =
     qWords(question).flatMap(w => uniqueTable(slice, w)).distinct
 
   /** ALL strong table links for a word, ties included (the store schema
@@ -40,14 +40,14 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
     * shape whose OTHER slots ground on exactly one of the tied tables
     * has resolved the ambiguity structurally). Callers must enforce
     * single-grounding themselves. */
-  private def strongTables(slice: SchemaSlice, word: String): Seq[String] =
+  private[gen] def strongTables(slice: SchemaSlice, word: String): Seq[String] =
     slice.tables.keySet.toSeq
       .map(t => t -> graft.link.Fuzzy.nameScore(t, word))
       .filter(_._2 >= 100).sortBy { case (t, s) => (-s, t) }.map(_._1)
 
   /** No-fabrication gate over tie-resolved candidates: emit only when
     * every grounding agrees on ONE query. */
-  private def singleGrounding(cands: Seq[Candidate]): Seq[Candidate] =
+  private[gen] def singleGrounding(cands: Seq[Candidate]): Seq[Candidate] =
     if (cands.map(_.sql).distinct.size == 1) cands.take(1) else Nil
 
   /** Consonant-skeleton abbreviation: the column is a subsequence of
@@ -73,19 +73,48 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
     }
   }
 
-  /** Equality filters grounded in the fact's VALUE DOMAINS: a domain
-    * value whose space/case-stripped form appears in the question
-    * ("first class" → flighttype = 'firstClass'). Values shorter than 4
-    * chars never match (a bare 'F' grade would fire everywhere). */
-  private def domainFilters(question: String, fact: String,
-      values: String => Map[String, Seq[String]]): Seq[String] = {
-    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
-    val q = norm(question)
-    values(fact).toSeq.sortBy(_._1).flatMap { case (col, dom) =>
-      dom.filter(v => v.length >= 4 && q.contains(norm(v)))
-        .sorted.take(1).map(v => s"$col = ${sqlLit(v)}")
+  /** Space/case-squashed name equality: crawled schemas store
+    * multi-word names without separators ("payment methods" →
+    * paymentmethod, "flight type" → flighttype); singular/plural
+    * tolerated on either side. */
+  private[gen] def squashedColumn(phrase: String, cols: Seq[String]): Option[String] = {
+    val sq = phrase.toLowerCase.replaceAll("[^a-z0-9]", "")
+    cols.find { c =>
+      val l = c.toLowerCase
+      l == sq || l + "s" == sq || (sq.endsWith("s") && l == sq.dropRight(1))
     }
   }
+
+  /** Tables a noun links to, EXACT question-word matches preferred: the
+    * crawled store db carries both `customer` and `customers`, which
+    * tie on the plural-tolerant score — when the noun IS one of them
+    * verbatim, that one is meant (the same tiebreak selectRelevant
+    * applies). */
+  private[gen] def namedTables(slice: SchemaSlice, word: String): Seq[String] = {
+    val all = strongTables(slice, word)
+    val exact = all.filter(_.equalsIgnoreCase(word.trim))
+    if (exact.nonEmpty) exact else all
+  }
+
+  /** (column, rendered literal) pairs grounded in a table's VALUE
+    * DOMAINS: a domain value whose space/case-stripped form appears in
+    * the question ("first class" → (flighttype, 'firstClass')). Values
+    * shorter than 4 chars never match (a bare 'F' grade would fire
+    * everywhere). */
+  private[gen] def domainEqPairs(question: String, table: String,
+      values: String => Map[String, Seq[String]]): Seq[(String, String)] = {
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val q = norm(question)
+    values(table).toSeq.sortBy(_._1).flatMap { case (col, dom) =>
+      dom.filter(v => v.length >= 4 && q.contains(norm(v)))
+        .sorted.take(1).map(v => col -> sqlLit(v))
+    }
+  }
+
+  /** Equality filters rendered from [[domainEqPairs]]. */
+  private def domainFilters(question: String, fact: String,
+      values: String => Map[String, Seq[String]]): Seq[String] =
+    domainEqPairs(question, fact, values).map { case (c, v) => s"$c = $v" }
 
   // -------------------------------------------------- negation anti-join
 
@@ -135,6 +164,29 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
       val byTable = links.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
       val entities = byTable.filter(_._2 < nev.start).keys.toSeq
         .sortBy(byTable)
+      // ATTRIBUTE negation (round-17 eval b29): when the negated value
+      // grounds in a domain of the ENTITY'S OWN column ("customers who
+      // never used a CREDIT CARD" — paymentmethod is each crawled
+      // customer's single recorded method), the reading is a plain
+      // inequality on the entity row, not an anti-join against some
+      // key-shared fact. Checked FIRST: the value belonging to the
+      // entity is the stronger grounding, and it resolves the
+      // customer/customers tie structurally (only one carries the
+      // domain).
+      val attrNeg = for {
+        entity <- entities
+        eCols = slice.tables(entity)
+        (c, litv) <- domainEqPairs(question, entity, values).take(1)
+      } yield {
+        val key = keyishColumn(entity, eCols)
+        val proj = (Seq(key) ++ nameishColumn(eCols).toSeq).distinct.mkString(", ")
+        Candidate(
+          s"SELECT $proj FROM $entity WHERE $c <> $litv " +
+            s"ORDER BY $key LIMIT $DefaultLimit",
+          0.9, "template_never_attr")
+      }
+      val attrGrounded = singleGrounding(attrNeg)
+      if (attrGrounded.nonEmpty) attrGrounded else {
       val cands = (for {
         entity <- entities
         eCols = slice.tables(entity)
@@ -168,12 +220,43 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         // so the correlation alias prefixes cleanly
         val filters = (domainFilters(question, fact, values) ++
           extractFilters(question, slice.tables(fact))).distinct
-        val extra = if (filters.isEmpty) "" else filters.map("f." + _).mkString(" AND ", " AND ", "")
+        // negation over a JOIN (round-17 eval b25/b30): the negated
+        // value can live on a DIMENSION the fact references ("never
+        // enrolled in BIOLOGY" — courses.title, one hop) or one the
+        // fact's BRIDGE references ("never ordered a GROCERY item" —
+        // orders ← order_items → items.category, two hops). The
+        // subquery grows the join chain only when a domain value
+        // actually grounds there; dims resolve through the FK graph +
+        // mined domains, never the (pruned) slice. One deterministic
+        // dim filter at most — a question grounding two is ambiguous
+        // and keeps the plain shape.
+        val dimHop = fks.filter(_.fromTable == fact).sortBy(_.toTable).flatMap { e2 =>
+          domainEqPairs(question, e2.toTable, values).take(1).map { case (c, v) =>
+            (s" JOIN ${e2.toTable} j ON f.${e2.fromColumn} = j.${e2.toColumn}",
+              s"j.$c = $v")
+          }
+        }
+        val bridgeHop = (for {
+          b <- fks.filter(_.toTable == fact).sortBy(_.fromTable)
+          e3 <- fks.filter(e => e.fromTable == b.fromTable && e.toTable != fact)
+            .sortBy(_.toTable)
+          (c, v) <- domainEqPairs(question, e3.toTable, values).take(1)
+        } yield (
+          s" JOIN ${b.fromTable} b ON b.${b.fromColumn} = f.${b.toColumn}" +
+            s" JOIN ${e3.toTable} j ON b.${e3.fromColumn} = j.${e3.toColumn}",
+          s"j.$c = $v")).toSeq
+        val hop = (dimHop ++ bridgeHop).take(1)
+        val joinSql = hop.map(_._1).mkString
+        val hopFilters = hop.map(_._2)
+        val extra = (filters.map("f." + _) ++ hopFilters) match {
+          case Nil => ""
+          case fs => fs.mkString(" AND ", " AND ", "")
+        }
         val proj = (Seq(pkCol) ++ nameishColumn(eCols).toSeq).distinct
           .map("e." + _).mkString(", ")
         (isNamed, Candidate(
           s"SELECT $proj FROM $entity e WHERE NOT EXISTS " +
-            s"(SELECT 1 FROM $fact f WHERE f.$fkCol = e.$pkCol$extra) " +
+            s"(SELECT 1 FROM $fact f$joinSql WHERE f.$fkCol = e.$pkCol$extra) " +
             s"ORDER BY e.$pkCol LIMIT $DefaultLimit",
           0.9, "template_never_anti"))
       })
@@ -187,6 +270,7 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         case one if one.nonEmpty => one
         case _ => singleGrounding(cands.map(_._2))
       }
+      } // end attr-negation else
     }
   }
 
@@ -473,11 +557,197 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         0.9, "template_multi_agg_group")).take(1)
     }
 
+  // ------------------------------------------- aggregate-pair shapes
+
+  private[gen] val aggWordRe =
+    "(average|avg|mean|total|sum|minimum|min|maximum|max|count|number)"
+  private[gen] val pairAggRe =
+    (raw"(?i)\b$aggWordRe\s+(?:of\s+)?([a-z_][a-z0-9_ ]*?\s+)?and\s+(?:the\s+)?" +
+      raw"$aggWordRe\s+(?:of\s+)?([a-z_][a-z0-9_ ]*?)[\s?.!]*$$").r
+  private[gen] val leadEachRe =
+    raw"(?i)^\s*for\s+each\s+([a-z_][a-z0-9_ ]*?)\s*,".r
+
+  private[gen] def aggFn(w: String): String = w.toLowerCase match {
+    case "average" | "avg" | "mean" => "AVG"
+    case "total" | "sum" => "SUM"
+    case "minimum" | "min" => "MIN"
+    case "maximum" | "max" => "MAX"
+    case _ => "COUNT"
+  }
+
+  /** Ground a measure phrase on a table: strong link, per-word strong
+    * link, or the crawled initialism idiom — first letters of the
+    * leading words + the (singularized) last word ("hotel prices" →
+    * hprice, "flight prices" → fprice: the reference's own schema hint
+    * names exactly this convention, nl2sql.py:75 "fcity not
+    * fromCity"). */
+  private[gen] def measureColumn(phrase: String, cols: Seq[String]): Option[String] = {
+    val words = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    if (words.isEmpty) return None
+    def sing(w: String) = if (w.endsWith("s")) w.dropRight(1) else w
+    val initialism =
+      if (words.size < 2) None
+      else {
+        val target = words.init.map(_.head).mkString + sing(words.last)
+        cols.find(_.toLowerCase == target)
+      }
+    // initialism BEFORE the per-word fallback, and per-word demands
+    // WORD-level evidence: "flight prices" must ground fprice, but the
+    // bare substring window scored flighttype 100 on "flight" and beat
+    // the initialism when per-word ran first
+    strongColumn(phrase.trim, cols)
+      .orElse(squashedColumn(phrase.trim, cols))
+      .orElse(initialism)
+      .orElse(words.reverse.flatMap(w => strongColumn(w, cols)
+        .filter(c => graft.link.Fuzzy.wordHit(c, phrase))).headOption)
+  }
+
+  /**
+   * TWO aggregates in one question (round-17 eval b23/b27/b31/b35 —
+   * Spider's multi-aggregate family): "the TOTAL and AVERAGE numeric
+   * scores", "the MINIMUM and MAXIMUM hotel prices", "the AVERAGE age
+   * and NUMBER of students" — one pass, two aggregate expressions.
+   * When the first function carries no noun of its own, both apply to
+   * the second's column; a count/number slot whose noun names the
+   * TABLE renders COUNT(*). Grouped when the question leads with "for
+   * each G". Scale: a single grouped (or scalar) partial-aggregated
+   * pass — never two scans.
+   */
+  def pairAggCandidates(slice: SchemaSlice, question: String): Seq[Candidate] =
+    pairAggRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val (f1, f2) = (aggFn(m.group(1)), aggFn(m.group(3)))
+      val noun1 = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+      val noun2 = m.group(4).trim
+      val groupPhrase = leadEachRe.findFirstMatchIn(question).map(_.group(1).trim)
+      singleGrounding(for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        // a count/number slot over the table's own noun is COUNT(*)
+        countsTable2 = f2 == "COUNT" && graft.link.Fuzzy.nameScore(t, noun2) >= 100
+        c2 <- (if (countsTable2) Some("*") else measureColumn(noun2, cols)).toSeq
+        c1 <- (noun1 match {
+          case Some(n1) if f1 == "COUNT" && graft.link.Fuzzy.nameScore(t, n1) >= 100 =>
+            Some("*")
+          case Some(n1) => measureColumn(n1, cols)
+          case None => Some(c2) // "total and average scores": shared column
+        }).toSeq
+        if c1 != "*" || c2 != "*"
+        g <- groupPhrase match {
+          case Some(gp) =>
+            val gc = cols.filterNot(c => c == c1 || c == c2)
+              .maxByOption(c => graft.link.Fuzzy.nameScore(c, gp))
+            gc.filter(c => graft.link.Fuzzy.nameScore(c, gp) >= 90).map(Some(_)).toSeq
+          case None => Seq(None)
+        }
+      } yield {
+        def expr(f: String, c: String) = if (c == "*") "COUNT(*)" else s"$f($c)"
+        g match {
+          case Some(gc) => Candidate(
+            s"SELECT $gc, ${expr(f1, c1)} AS agg_value, ${expr(f2, c2)} AS agg_value2 " +
+              s"FROM $t GROUP BY $gc ORDER BY $gc LIMIT $DefaultLimit",
+            0.9, "template_pair_agg")
+          case None => Candidate(
+            s"SELECT ${expr(f1, c1)} AS agg_value, ${expr(f2, c2)} AS agg_value2 FROM $t",
+            0.9, "template_pair_agg")
+        }
+      })
+    }
+
+  // ---------------------------------------- share-of-a-value shapes
+
+  private[gen] val shareOfValueRe =
+    (raw"(?i)\bwhat\s+(?:share|fraction|proportion|percentage|percent)\s+of\s+" +
+      raw"(?:each\s+([a-z_][a-z0-9_ ]*?)(?:'s)?\s+)?([a-z_][a-z0-9_]*)\s+" +
+      raw"(?:are|is|were|was)\s+([A-Za-z0-9 +'-]+?)[\s?.!]*$$").r
+
+  /**
+   * Share of rows matching a VALUE (round-17 eval b24/b33/b37 — the
+   * "what percent of X are Y" family): `SUM(CASE WHEN pred THEN 1 ELSE
+   * 0 END) / COUNT(*)`, grouped when the question says "of each G's"
+   * or leads with "for each G". The predicate grounds either in a
+   * mined VALUE DOMAIN of the fact ("electronics", "first class" →
+   * flighttype = 'firstClass') or in the "<literal> <column-noun>"
+   * idiom ("A grades" → grade_letter = 'A' — needed because 1-char
+   * literals never domain-match). ROUND(…, 4) per the engine's ratio
+   * output convention. Scale: one partial-aggregated grouped pass.
+   */
+  def shareOfValueCandidates(slice: SchemaSlice, question: String,
+      values: String => Map[String, Seq[String]] = _ => Map.empty): Seq[Candidate] =
+    shareOfValueRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val groupPhrase = Option(m.group(1)).map(_.trim).filter(_.nonEmpty)
+        .orElse(leadEachRe.findFirstMatchIn(question).map(_.group(1).trim))
+      val factNoun = m.group(2)
+      val valuePhrase = m.group(3).trim
+      singleGrounding(for {
+        t <- strongTables(slice, factNoun)
+        cols = slice.tables(t)
+        pred <- (domainEqPairs(valuePhrase, t, values).take(1).map {
+          case (c, v) => s"$c = $v"
+        } ++ {
+          // "<literal> <column-noun>" ("A grades"): last word links a
+          // column, the tokens before it are the literal, case kept
+          val words = valuePhrase.split("\\s+").toSeq
+          if (words.size < 2) Nil
+          else strongColumn(words.last, cols).map { c =>
+            s"$c = ${sqlLit(words.init.mkString(" "))}"
+          }.toSeq
+        }).take(1)
+        g <- groupPhrase match {
+          case Some(gp) =>
+            cols.maxByOption(c => graft.link.Fuzzy.nameScore(c, gp))
+              .filter(c => graft.link.Fuzzy.nameScore(c, gp) >= 90)
+              .map(Some(_)).toSeq
+          case None => Seq(None)
+        }
+      } yield {
+        val ratio = s"ROUND(CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) " +
+          s"AS DOUBLE) / COUNT(*), 4) AS agg_value"
+        g match {
+          case Some(gc) => Candidate(
+            s"SELECT $gc, $ratio FROM $t GROUP BY $gc ORDER BY $gc LIMIT $DefaultLimit",
+            0.9, "template_share_of_value")
+          case None => Candidate(s"SELECT $ratio FROM $t", 0.9, "template_share_of_value")
+        }
+      })
+    }
+
+  // --------------------------------- ungrouped distinct-count phrase
+
+  private[gen] val howManyDifferentRe =
+    (raw"(?i)\bhow\s+many\s+(?:different|distinct|unique)\s+" +
+      raw"([a-z_][a-z0-9_ ]*?)\s+(?:are\s+there|exist|are\s+used|values)\b").r
+
+  /** "HOW MANY DIFFERENT payment methods are there?" (round-17 eval
+    * b26) → COUNT(DISTINCT col), the ungrouped sibling of
+    * distinctPerGroup — "different" is the Spider phrasing the intent
+    * keyword list ("distinct/unique") missed, and the squashed-name
+    * idiom grounds multi-word nouns on crawled no-underscore columns
+    * ("payment methods" → paymentmethod). */
+  def howManyDifferentCandidates(slice: SchemaSlice,
+      question: String): Seq[Candidate] =
+    howManyDifferentRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      val noun = m.group(1).trim
+      singleGrounding(for {
+        t <- slice.tables.keys.toSeq.sorted
+        cols = slice.tables(t)
+        c <- (strongColumn(noun, cols) orElse squashedColumn(noun, cols)).toSeq
+      } yield Candidate(
+        s"SELECT COUNT(DISTINCT $c) AS agg_value FROM $t",
+        0.9, "template_count_distinct_phrase"))
+    }
+
   // -------------------------------------------- two-hop FK aggregate
 
   private[gen] val totalPerEntityRe =
     (raw"(?i)\b(?:total|sum\s+of|how\s+much)\s+([a-z_][a-z0-9_]*)\b" +
       raw".*?\b(?:by|per|for)\s+each\s+([a-z_][a-z0-9_]*)\b").r
+  // "HOW MANY items (in total) DID EACH customer order?" — the counted
+  // noun names the LEAF DIMENSION, and counting items across an order
+  // bridge means SUMMING the bridge's quantity column (round-17 eval
+  // b32; Spider reads 'how many products did X order' the same way)
+  private[gen] val howManyPerEntityRe =
+    (raw"(?i)\bhow\s+many\s+([a-z_][a-z0-9_]*)\b" +
+      raw".*?\bdid\s+each\s+([a-z_][a-z0-9_]*)\b").r
 
   /** "total QUANTITY of items ordered by each CUSTOMER" where the
     * measure lives TWO FK hops from the entity (order_items → orders →
@@ -485,8 +755,11 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
     * must be real FK edges — no fabricated joins. Scale shape: two
     * hash joins (the dim side broadcastable) + one grouped pass. */
   def twoHopAggCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
-      question: String): Seq[Candidate] =
-    totalPerEntityRe.findFirstMatchIn(question).toSeq.flatMap { m =>
+      question: String): Seq[Candidate] = {
+    val trigger =
+      totalPerEntityRe.findFirstMatchIn(question).map(m => (m, false)).orElse(
+        howManyPerEntityRe.findFirstMatchIn(question).map(m => (m, true)))
+    trigger.toSeq.flatMap { case (m, countForm) =>
       singleGrounding(for {
         entity <- strongTables(slice, m.group(2))
         name <- nameishColumn(slice.tables(entity)).toSeq
@@ -497,10 +770,22 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
           e.fromTable != entity)
         // abbrevColumn serves prefix short names ("dept" ⊑ department);
         // skeletonColumn serves consonant-skeleton ones ("qty" ⊑
-        // quantity — crawled schemas abbreviate both ways)
-        v <- (strongColumn(m.group(1), slice.tables(e2.fromTable)) orElse
-          abbrevColumn(m.group(1), slice.tables(e2.fromTable)) orElse
-          skeletonColumn(m.group(1), slice.tables(e2.fromTable))).toSeq
+        // quantity — crawled schemas abbreviate both ways). The
+        // count-form resolves differently: the noun names the LEAF
+        // DIMENSION the bridge references, and "how many <leaf>" sums
+        // the bridge's quantity-typed column (a bridge row is qty-many
+        // leaf units, not one)
+        v <- (if (countForm) {
+          val bridgeCols = slice.tables.get(e2.fromTable).getOrElse(Nil)
+          val namesLeafDim = fks.exists(e3 => e3.fromTable == e2.fromTable &&
+            e3.toTable != mid && graft.link.Fuzzy.nameScore(e3.toTable, m.group(1)) >= 100)
+          if (namesLeafDim)
+            bridgeCols.find(c => Set("qty", "quantity", "units")(c.toLowerCase))
+          else None
+        } else
+          strongColumn(m.group(1), slice.tables(e2.fromTable)) orElse
+            abbrevColumn(m.group(1), slice.tables(e2.fromTable)) orElse
+            skeletonColumn(m.group(1), slice.tables(e2.fromTable))).toSeq
       } yield Candidate(
         s"SELECT d.${e1.toColumn}, d.$name, SUM(l.$v) AS agg_value " +
           s"FROM ${e2.fromTable} l " +
@@ -510,6 +795,7 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
           s"ORDER BY d.${e1.toColumn} LIMIT $DefaultLimit",
         0.88, "template_two_hop_agg"))
     }
+  }
 
   // ------------------------------------------ derived amount measure
 
@@ -575,16 +861,6 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
     attrCohortVsAvgRe.findFirstMatchIn(question).toSeq.flatMap { m =>
       val op = if (Set("older", "greater", "higher", "larger", "bigger",
         "longer", "heavier")(m.group(3).toLowerCase)) ">" else "<"
-      // crawled schemas squash multi-word names ("payment methods" →
-      // paymentmethod): the space-stripped phrase must equal the column
-      // (singular/plural tolerated) when no word grounds it directly
-      def squashedColumn(phrase: String, cols: Seq[String]): Option[String] = {
-        val sq = phrase.toLowerCase.replaceAll("[^a-z0-9]", "")
-        cols.find { c =>
-          val l = c.toLowerCase
-          l == sq || l + "s" == sq || (sq.endsWith("s") && l == sq.dropRight(1))
-        }
-      }
       singleGrounding(for {
         t <- slice.tables.keys.toSeq.sorted
         if graft.link.Fuzzy.nameScore(t, m.group(2)) >= 100

@@ -1745,4 +1745,266 @@ class TemplatesSpec extends AnyFunSuite {
       Intent.analyze(q, full.tables.keys.toSeq), q, full = full)
     assert(cs2.count(_.method == "template_two_hop_agg") == 1)
   }
+
+  // --------------------- round-17 de-saturation wave shapes (b23-b37)
+
+  private val storeSlice = SchemaSlice(scala.collection.immutable.ListMap(
+    "customers" -> Seq("id", "name", "gender", "age"),
+    "items" -> Seq("id", "category", "price"),
+    "order_items" -> Seq("order_id", "item_id", "qty"),
+    "orders" -> Seq("id", "customer_id", "order_date", "total"),
+    "customer" -> Seq("customerid", "gender", "age", "paymentmethod")))
+  private val storeFks2 = Seq(
+    FkEdge("orders", "customer_id", "customers", "id"),
+    FkEdge("order_items", "item_id", "items", "id"),
+    FkEdge("order_items", "order_id", "orders", "id"))
+
+  test("pair aggregate: two functions, shared or separate columns, grouped or scalar") {
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "fcity", "tcity", "flighttype", "fprice", "agency"),
+      "hotels" -> Seq("travelcode", "hname", "place", "hprice", "total")))
+    // shared column via the crawled-initialism idiom (hotel prices → hprice)
+    val ungrouped = Templates.pairAggCandidates(travel,
+      "What are the minimum and maximum hotel prices?")
+    assert(ungrouped.nonEmpty && ungrouped.head.sql ==
+      "SELECT MIN(hprice) AS agg_value, MAX(hprice) AS agg_value2 FROM hotels", ungrouped)
+    // grouped by the leading "for each G"
+    val grouped = Templates.pairAggCandidates(travel,
+      "For each agency, what are the average and maximum flight prices?")
+    assert(grouped.nonEmpty && grouped.head.sql.contains(
+      "SELECT agency, AVG(fprice) AS agg_value, MAX(fprice) AS agg_value2"), grouped)
+    // count/number slot over the table noun renders COUNT(*)
+    val mixed = Templates.pairAggCandidates(slice,
+      "What are the average age and number of students?")
+    assert(mixed.nonEmpty && mixed.head.sql ==
+      "SELECT AVG(age) AS agg_value, COUNT(*) AS agg_value2 FROM students", mixed)
+    // no "and"-pair → silent
+    assert(Templates.pairAggCandidates(slice, "What is the average age of students?").isEmpty)
+  }
+
+  test("share of value: CASE ratio grounded in domains or the literal-noun idiom") {
+    val scoreDomains: String => Map[String, Seq[String]] =
+      t => if (t == "scores") Map("grade" -> Seq("A", "B", "C")) else Map.empty
+    // 1-char literal cannot domain-match; 'A grades' grounds via the
+    // literal + column-noun idiom
+    val g = Templates.shareOfValueCandidates(slice,
+      "What share of each course's scores are A grades?", scoreDomains)
+    assert(g.nonEmpty && g.head.sql.contains(
+      "SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END)"), g)
+    assert(g.head.sql.contains("GROUP BY course_id"), g.head.sql)
+    assert(g.head.sql.contains("ROUND(CAST("), g.head.sql)
+    // ungrouped + domain-value grounding (space/case-stripped match)
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "flighttype", "fprice")))
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "flights") Map("flighttype" -> Seq("economic", "firstClass")) else Map.empty
+    val u = Templates.shareOfValueCandidates(travel,
+      "What fraction of flights are first class?", doms)
+    assert(u.nonEmpty && u.head.sql ==
+      "SELECT ROUND(CAST(SUM(CASE WHEN flighttype = 'firstClass' THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM flights", u)
+    // ungroundable value → silent
+    assert(Templates.shareOfValueCandidates(travel,
+      "What fraction of flights are purple?", doms).isEmpty)
+  }
+
+  test("how many different X: ungrouped COUNT(DISTINCT) with squashed-name grounding") {
+    val c = Templates.howManyDifferentCandidates(storeSlice,
+      "How many different payment methods are there?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT COUNT(DISTINCT paymentmethod) AS agg_value FROM customer", c)
+    // without the different/unique/distinct marker → silent (plain COUNT territory)
+    assert(Templates.howManyDifferentCandidates(storeSlice,
+      "How many payment methods are there?").isEmpty)
+  }
+
+  test("never-shape attribute negation: a value in the ENTITY's own domain reads as <>") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "customer") Map("paymentmethod" -> Seq("Cash", "Credit Card", "Debit Card"))
+      else Map.empty
+    val c = Templates.neverAntiJoinCandidates(storeSlice, storeFks2,
+      "Which customers never used a credit card?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT customerid FROM customer WHERE paymentmethod <> 'Credit Card' " +
+        "ORDER BY customerid LIMIT 100", c)
+  }
+
+  test("never-shape negation over a join: dimension and bridge hops carry the value filter") {
+    // one hop: the value lives on a dim the fact references
+    val doms1: String => Map[String, Seq[String]] =
+      t => if (t == "courses") Map("course_name" -> Seq("Biology", "Algebra")) else Map.empty
+    val one = Templates.neverAntiJoinCandidates(slice, fks,
+      "Which students have never enrolled in Biology?", doms1)
+    assert(one.nonEmpty && one.head.sql.contains(
+      "JOIN courses j ON f.course_id = j.course_id"), one)
+    assert(one.head.sql.contains("j.course_name = 'Biology'"), one.head.sql)
+    // two hops: fact ← bridge → dim
+    val doms2: String => Map[String, Seq[String]] =
+      t => if (t == "items") Map("category" -> Seq("grocery", "toys")) else Map.empty
+    val two = Templates.neverAntiJoinCandidates(storeSlice, storeFks2,
+      "Which customers have never ordered a grocery item?", doms2)
+    assert(two.nonEmpty && two.head.sql.contains(
+      "JOIN order_items b ON b.order_id = f.id JOIN items j ON b.item_id = j.id"), two)
+    assert(two.head.sql.contains("j.category = 'grocery'"), two.head.sql)
+  }
+
+  test("average count per entity: fact-count grounding when the counted noun IS the fact") {
+    val c = Templates.avgCountPerCandidates(storeSlice, storeFks2,
+      "What is the average number of orders per customer?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT ROUND(AVG(c), 4) AS agg_value FROM " +
+        "(SELECT COUNT(*) AS c FROM orders GROUP BY customer_id) t", c)
+  }
+
+  test("two-hop count form: 'how many items did each customer order' sums the bridge qty") {
+    val c = Templates.twoHopAggCandidates(storeSlice, storeFks2,
+      "How many items in total did each customer order?")
+    assert(c.nonEmpty && c.head.sql.contains("SUM(l.qty) AS agg_value"), c)
+    assert(c.head.sql.contains("GROUP BY d.id, d.name"), c.head.sql)
+    // the count form never fires without a leaf-dim link
+    assert(Templates.twoHopAggCandidates(storeSlice, storeFks2,
+      "How many widgets did each customer order?").isEmpty)
+  }
+
+  // ------------------- round-17 third-wave compositional shapes (b38-b52)
+
+  private val travelSlice = SchemaSlice(scala.collection.immutable.ListMap(
+    "flights" -> Seq("travelcode", "usercode", "fcity", "tcity", "flighttype",
+      "fprice", "time", "distance", "agency", "fdate"),
+    "hotels" -> Seq("travelcode", "usercode", "hname", "place", "days", "hprice", "total"),
+    "users" -> Seq("usercode", "company", "name", "gender", "age")))
+
+  test("cross-table count pair: two scalar subqueries, no join") {
+    val c = Templates.crossTableCountPairCandidates(slice,
+      "How many students and how many courses are there?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT (SELECT COUNT(*) FROM students) AS agg_value, " +
+        "(SELECT COUNT(*) FROM courses) AS agg_value2", c)
+    assert(Templates.crossTableCountPairCandidates(slice,
+      "How many students are there?").isEmpty)
+  }
+
+  test("aggregate difference: MAX - MIN, exact-named table beats segment ties") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "items" -> Seq("id", "category", "price"),
+      "order_items" -> Seq("order_id", "item_id", "qty"),
+      "sales" -> Seq("invoiceno", "category", "quantity", "price")))
+    val c = Templates.aggDiffBetweenCandidates(store,
+      "What is the difference between the most expensive and cheapest item price?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT MAX(price) - MIN(price) AS agg_value FROM items", c)
+    // same-direction pair is not a difference question
+    assert(Templates.aggDiffBetweenCandidates(store,
+      "difference between the highest and largest item price").isEmpty)
+  }
+
+  test("cohort ratio: single-char coded domains match word initials, gated") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "students") Map("grade_level" -> Seq("9", "10"),
+        "gender" -> Seq("F", "M")) else Map.empty
+    val c = Templates.cohortRatioCandidates(slice,
+      "What is the ratio of male to female students?", doms)
+    assert(c.nonEmpty && c.head.sql.contains(
+      "SUM(CASE WHEN gender = 'M' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ SUM(CASE WHEN gender = 'F' THEN 1 ELSE 0 END)"), c)
+    // a multi-char open domain never initial-matches
+    val open: String => Map[String, Seq[String]] =
+      t => if (t == "students") Map("gender" -> Seq("Male", "Female", "Mixed")) else Map.empty
+    assert(Templates.cohortRatioCandidates(slice,
+      "ratio of m to f students", open).isEmpty)
+  }
+
+  test("share over a numeric threshold: the comparative adjective picks the column") {
+    val c = Templates.shareOverThresholdCandidates(slice,
+      "What percentage of students are older than 21?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT ROUND(CAST(SUM(CASE WHEN age > 21 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / COUNT(*), 4) AS agg_value FROM students", c)
+    val y = Templates.shareOverThresholdCandidates(slice,
+      "What fraction of students are younger than 19?")
+    assert(y.nonEmpty && y.head.sql.contains("age < 19"), y)
+  }
+
+  test("HAVING COUNT DISTINCT across the bridge: 'more than N different courses'") {
+    val c = Templates.havingDistinctCountCandidates(slice, fks,
+      "Which students are enrolled in more than 5 different courses?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT student_id, COUNT(DISTINCT course_id) AS agg_value FROM scores " +
+        "GROUP BY student_id HAVING COUNT(DISTINCT course_id) > 5 " +
+        "ORDER BY student_id LIMIT 100", c)
+  }
+
+  test("vs-group-average: rows compared to their own group's mean via a tiny join") {
+    val c = Templates.vsGroupAvgCandidates(travelSlice,
+      "Which flights are more expensive than the average price for their agency?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("(SELECT agency, AVG(fprice) AS a FROM flights GROUP BY agency)"), c.head.sql)
+    assert(c.head.sql.contains("WHERE f.fprice > t.a"), c.head.sql)
+    assert(c.head.sql.startsWith("SELECT f.travelcode"), c.head.sql)
+  }
+
+  test("month argmax with a derived revenue measure, tie-aware") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "quantity", "price", "invoicedate", "shoppingmall")))
+    val c = Templates.monthArgmaxCandidates(store,
+      "Which month had the highest total revenue?")
+    assert(c.nonEmpty && c.head.sql.contains("SUM(quantity * price) AS s"), c)
+    assert(c.head.sql.contains("WHERE s = (SELECT MAX(s) FROM t)"), c.head.sql)
+  }
+
+  test("most-of-value argmax: filtered fact count per FK, tie-aware") {
+    val c = Templates.mostOfValueCandidates(slice, fks,
+      "Which course has the most A grades?")
+    assert(c.nonEmpty && c.head.sql.contains("WHERE grade = 'A' GROUP BY course_id"), c)
+    assert(c.head.sql.contains("n = (SELECT MAX(n) FROM t)"), c.head.sql)
+  }
+
+  test("nth-ranked group aggregate: ORDER BY over the groups frame + OFFSET") {
+    val c = Templates.nthGroupAggCandidates(travelSlice,
+      "Which agency has the second highest average flight price?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT agency FROM (SELECT agency, AVG(fprice) AS a FROM flights " +
+        "GROUP BY agency) t ORDER BY a DESC LIMIT 1 OFFSET 1", c)
+  }
+
+  test("name-of-most: count argmax joined back for the display column, tie-aware") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "customers" -> Seq("id", "name", "gender", "age"),
+      "orders" -> Seq("id", "customer_id", "order_date", "total")))
+    val c = Templates.nameOfMostCandidates(store,
+      Seq(FkEdge("orders", "customer_id", "customers", "id")),
+      "What is the name of the customer who placed the most orders?")
+    assert(c.nonEmpty && c.head.sql.contains("WHERE t.n = (SELECT MAX(n) FROM t)"), c)
+    assert(c.head.sql.contains("SELECT d.name FROM customers d JOIN t"), c.head.sql)
+  }
+
+  test("per-group argmax: RANK window over the aggregate frame, tie-aware") {
+    val c = Templates.perGroupArgmaxCandidates(slice,
+      "For each year, which course_id has the highest average score?")
+    assert(c.nonEmpty && c.head.sql.contains(
+      "RANK() OVER (PARTITION BY year ORDER BY v DESC)"), c)
+    assert(c.head.sql.contains("GROUP BY year, course_id"), c.head.sql)
+  }
+
+  test("two-dimension grouping: 'per X and Y' under a counting reading") {
+    val c = Templates.twoDimGroupCandidates(travelSlice,
+      "How many flights are there per agency and flight type?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT agency, flighttype, COUNT(*) AS agg_value FROM flights " +
+        "GROUP BY agency, flighttype ORDER BY agency, flighttype LIMIT 100", c)
+    // no counting reading → silent (a plain per-X-and-Y is ambiguous)
+    assert(Templates.twoDimGroupCandidates(travelSlice,
+      "flights per agency and flight type").isEmpty)
+  }
+
+  test("directional extreme: from/to picks the f-/t-prefixed group column") {
+    val f = Templates.directionalExtremeCandidates(travelSlice,
+      "What is the longest flight distance from each city?")
+    assert(f.nonEmpty && f.head.sql ==
+      "SELECT fcity, MAX(distance) AS agg_value FROM flights GROUP BY fcity " +
+        "ORDER BY fcity LIMIT 100", f)
+    val t = Templates.directionalExtremeCandidates(travelSlice,
+      "What is the shortest flight distance to each city?")
+    assert(t.nonEmpty && t.head.sql.contains("SELECT tcity, MIN(distance)"), t)
+  }
 }
