@@ -176,6 +176,7 @@ class ParseSurfaceFuzzSpec extends SparkSpec {
   }
 
   test("fuzz corpus is at least 5k statements (the verdict's bar)") {
+    info(s"fuzz corpus: ${statements.size} deterministic statements")
     assert(statements.size >= 5000, s"only ${statements.size} generated")
   }
 
