@@ -704,7 +704,86 @@ object ExternalEval {
     ExternalCase("b52", "benchmark-derived", "travel",
       "directional per-group superlative (GeoQuery 'the highest point in each state' + the fcity hint)",
       "What is the longest flight distance from each city?",
-      Some("SELECT fcity, MAX(distance) AS m FROM flights GROUP BY fcity ORDER BY fcity")))
+      Some("SELECT fcity, MAX(distance) AS m FROM flights GROUP BY fcity ORDER BY fcity")),
+
+    // ------------------------------- round-17 fourth wave (OPEN — the
+    // honest frontier left for round 18, per the de-saturation flywheel:
+    // waves 2 and 3 were authored, recorded red, and closed IN-round, so
+    // this wave exists to keep the benchmark class un-saturated at the
+    // round boundary). Families: NESTED composition (argmax OVER a
+    // ratio/derived measure, negation of one behavior conditioned on
+    // another), correlated counts, group-agg shares, temporal
+    // sequencing across facts, set-difference counts, and 3-table
+    // derived measures. Scores are expected red.
+    ExternalCase("b53", "benchmark-derived", "school",
+      "argmax over a per-group RATIO (nested: share first, then superlative)",
+      "Which course has the highest share of A grades?",
+      Some("WITH t AS (SELECT course_id, CAST(SUM(CASE WHEN grade_letter = 'A' " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r FROM enrollments GROUP BY course_id) " +
+        "SELECT course_id FROM t WHERE r = (SELECT MAX(r) FROM t) ORDER BY course_id")),
+    ExternalCase("b54", "benchmark-derived", "store",
+      "negation of one behavior conditioned on another (EXISTS + NOT EXISTS)",
+      "Which customers placed orders but never bought an electronics item?",
+      Some("SELECT c.id, c.name FROM customers c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.customer_id = c.id) AND NOT EXISTS " +
+        "(SELECT 1 FROM orders o JOIN order_items oi ON oi.order_id = o.id " +
+        "JOIN items i ON i.id = oi.item_id " +
+        "WHERE o.customer_id = c.id AND i.category = 'electronics') ORDER BY c.id")),
+    ExternalCase("b55", "benchmark-derived", "store",
+      "superlative over a DERIVED row measure (tie-aware argmax of qty × price)",
+      "Which sale had the highest total value?",
+      Some("SELECT invoiceno FROM sales WHERE quantity * price = " +
+        "(SELECT MAX(quantity * price) FROM sales) ORDER BY invoiceno")),
+    ExternalCase("b56", "benchmark-derived", "travel",
+      "two-value comparison in one row (averages of two named cohorts)",
+      "What is the average flight price to Paris and to Rome?",
+      Some("SELECT AVG(CASE WHEN tcity = 'Paris' THEN fprice END) AS p, " +
+        "AVG(CASE WHEN tcity = 'Rome' THEN fprice END) AS r FROM flights")),
+    ExternalCase("b57", "benchmark-derived", "travel",
+      "grouped aggregate ARITHMETIC (per-group max − min)",
+      "For each agency, what is the price difference between its most and least expensive flight?",
+      Some("SELECT agency, MAX(fprice) - MIN(fprice) AS d FROM flights " +
+        "GROUP BY agency ORDER BY agency")),
+    ExternalCase("b58", "benchmark-derived", "school",
+      "correlated COUNT against the row's own group aggregate",
+      "How many enrollments scored above their course average?",
+      Some("SELECT COUNT(*) AS n FROM enrollments e JOIN " +
+        "(SELECT course_id, AVG(numeric_score) AS a FROM enrollments GROUP BY course_id) t " +
+        "ON e.course_id = t.course_id WHERE e.numeric_score > t.a")),
+    ExternalCase("b59", "benchmark-derived", "travel",
+      "temporal sequencing across two facts (flight then a later hotel stay, same user)",
+      "How many users took a flight and later stayed at a hotel?",
+      Some("SELECT COUNT(DISTINCT f.usercode) AS n FROM flights f " +
+        "WHERE EXISTS (SELECT 1 FROM hotels h WHERE h.usercode = f.usercode " +
+        "AND h.hdate > f.fdate)")),
+    ExternalCase("b60", "benchmark-derived", "school",
+      "share of GROUPS passing an aggregate threshold (two aggregation levels)",
+      "What fraction of courses have an average score above 75?",
+      Some("SELECT ROUND(CAST(SUM(CASE WHEN a > 75 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS f FROM " +
+        "(SELECT course_id, AVG(numeric_score) AS a FROM enrollments GROUP BY course_id) t")),
+    ExternalCase("b61", "benchmark-derived", "store",
+      "3-table derived measure with an entity filter (Spider multi-hop + derived)",
+      "What is the total quantity of items ordered by customers older than 40?",
+      Some("SELECT SUM(oi.qty) AS q FROM customers c " +
+        "JOIN orders o ON o.customer_id = c.id " +
+        "JOIN order_items oi ON oi.order_id = o.id WHERE c.age > 40")),
+    ExternalCase("b62", "benchmark-derived", "school",
+      "nested grouping with a HAVING inner level ('for each year, how many courses had ≥ N')",
+      "For each year, how many courses had at least 20 enrollments?",
+      Some("SELECT year, COUNT(*) AS n FROM " +
+        "(SELECT year, course_id FROM enrollments GROUP BY year, course_id " +
+        "HAVING COUNT(*) >= 20) t GROUP BY year ORDER BY year")),
+    ExternalCase("b63", "benchmark-derived", "travel",
+      "set-difference count (GeoQuery 'states with no rivers' as a domain difference)",
+      "How many cities appear as destinations but never as origins?",
+      Some("SELECT COUNT(*) AS n FROM " +
+        "(SELECT tcity FROM flights EXCEPT SELECT fcity FROM flights) t")),
+    ExternalCase("b64", "benchmark-derived", "store",
+      "frequency-rank ordinal ('the second most common value')",
+      "What is the second most common payment method?",
+      Some("SELECT paymentmethod FROM customer GROUP BY paymentmethod " +
+        "ORDER BY COUNT(*) DESC, paymentmethod LIMIT 1 OFFSET 1")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)

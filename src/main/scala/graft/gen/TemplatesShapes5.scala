@@ -333,8 +333,11 @@ private[gen] trait TemplatesShapes5 { this: Templates.type =>
         val cols = slice.tables(entity)
         if (cols.size <= 5) cols
         else {
+          // city/place are anchored (bare or 1-letter-prefixed, the
+          // crawled fcity/tcity idiom): an unanchored substring pulled
+          // in "capacity"
           val descriptive = cols.filter(c =>
-            raw"(?i)name|title|label|city|place".r.findFirstIn(c).isDefined)
+            raw"(?i)name|title|label|^[a-z]?city$$|^[a-z]?place$$".r.findFirstIn(c.toLowerCase).isDefined)
           (Seq(identityKey(entity, cols)) ++ descriptive ++ Seq(col)).distinct
         }
       }

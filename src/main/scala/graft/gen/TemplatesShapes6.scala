@@ -150,7 +150,9 @@ private[gen] trait TemplatesShapes6 { this: Templates.type =>
       val op = if (Set("older", "higher", "larger", "longer", "heavier",
         "more expensive")(adj)) ">" else "<"
       def colFor(cols: Seq[String]): Option[String] = adj match {
-        case "older" | "younger" => cols.find(_.toLowerCase.contains("age"))
+        // anchored: a bare substring match pulled in "language"/"percentage"
+        case "older" | "younger" => cols.find(c =>
+          raw"(?i)^age$$|_age$$|^age_".r.findFirstIn(c.toLowerCase).isDefined)
         case "more expensive" | "cheaper" =>
           cols.find(c => c.toLowerCase.contains("price") || c.toLowerCase.contains("cost"))
         case "longer" | "shorter" =>

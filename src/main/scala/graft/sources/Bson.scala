@@ -55,8 +55,12 @@ object Bson {
         out.write(0x02); cstring(key)
         val bytes = s.getBytes(StandardCharsets.UTF_8)
         i32(bytes.length + 1); out.write(bytes); out.write(0)
-      case doc: Seq[_] if doc.forall(_.isInstanceOf[(_, _)]) && doc.nonEmpty &&
-          doc.head.asInstanceOf[(Any, Any)]._1.isInstanceOf[String] =>
+      // an EMPTY Seq encodes as an empty embedded document (the scaladoc
+      // contract: `Seq.empty[(String, Any)]` = empty doc, `BsonArray(Nil)`
+      // = empty array); a non-empty Seq must be key-value shaped
+      case doc: Seq[_] if doc.isEmpty ||
+          (doc.forall(_.isInstanceOf[(_, _)]) &&
+            doc.head.asInstanceOf[(Any, Any)]._1.isInstanceOf[String]) =>
         out.write(0x03); cstring(key); out.write(encode(doc.asInstanceOf[Doc]))
       case BsonArray(items) =>
         out.write(0x04); cstring(key)
