@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec-level pins for the minimal BSON implementation behind
+  * [[MongoWire]]: encode∘decode is the identity on every supported
+  * element type (the wire spec's little-endian framing is otherwise
+  * only exercised end-to-end through the stub server). */
+class BsonSpec extends AnyFunSuite {
+
+  private def roundTrip(doc: Bson.Doc): Unit =
+    assert(Bson.decode(Bson.encode(doc)) == doc, doc)
+
+  test("round-trip: every supported element type") {
+    roundTrip(Seq("d" -> 1.5, "neg" -> -2.25))
+    roundTrip(Seq("s" -> "plain", "uni" -> "héllo – ünïcode ✓", "empty" -> ""))
+    roundTrip(Seq("b1" -> true, "b0" -> false))
+    roundTrip(Seq("z" -> null))
+    roundTrip(Seq("i" -> 42, "imin" -> Int.MinValue, "imax" -> Int.MaxValue))
+    roundTrip(Seq("l" -> 42L, "lmin" -> Long.MinValue, "lmax" -> Long.MaxValue))
+  }
+
+  test("round-trip: nesting, arrays, empty doc and empty array") {
+    roundTrip(Seq(
+      "doc" -> Seq("inner" -> 1, "deeper" -> Seq("x" -> "y")),
+      "arr" -> Bson.BsonArray(Seq(1, "two", 3.0, null, Seq("k" -> "v"))),
+      "emptyDoc" -> Seq.empty[(String, Any)],
+      "emptyArr" -> Bson.BsonArray(Nil)))
+  }
+
+  test("key order is preserved (commands put the command name first)") {
+    val doc: Bson.Doc = Seq("find" -> "people", "limit" -> 5, "$db" -> "shop")
+    assert(Bson.decode(Bson.encode(doc)).map(_._1) == Seq("find", "limit", "$db"))
+  }
+
+  test("unsupported types fail loudly, not silently") {
+    intercept[RuntimeException](Bson.encode(Seq("bad" -> new Object)))
+  }
+
+  test("toJsonLine renders decoded docs as the inference-ready JSON shape") {
+    val json = MongoWire.toJsonLine(Seq(
+      "_id" -> 7L, "name" -> "a\"b", "score" -> 2.0, "frac" -> 1.25,
+      "ok" -> true, "nul" -> null,
+      "nest" -> Seq("zip" -> 10001L),
+      "tags" -> Bson.BsonArray(Seq("x", "y"))))
+    assert(json ==
+      """{"_id":7,"name":"a\"b","score":2,"frac":1.25,"ok":true,"nul":null,""" +
+        """"nest":{"zip":10001},"tags":["x","y"]}""", json)
+  }
+}
