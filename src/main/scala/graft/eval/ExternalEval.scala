@@ -783,7 +783,86 @@ object ExternalEval {
       "frequency-rank ordinal ('the second most common value')",
       "What is the second most common payment method?",
       Some("SELECT paymentmethod FROM customer GROUP BY paymentmethod " +
-        "ORDER BY COUNT(*) DESC, paymentmethod LIMIT 1 OFFSET 1")))
+        "ORDER BY COUNT(*) DESC, paymentmethod LIMIT 1 OFFSET 1")),
+
+    // --------------------------------- round-17 fifth wave (OPEN — the
+    // frontier left for round 18 after wave 4 closed in-round too).
+    // Families: aggregates OF aggregates, multi-sentence/imperative
+    // phrasing, value-shares of derived measures, boolean comparisons,
+    // superlative-over-anti-join, dimension-value filters on joins,
+    // grouped top-k, calendar-granularity grouping, named-cohort
+    // comparison, two-cohort aggregate arithmetic, distinct-count
+    // argmax. Scores expected red.
+    ExternalCase("b65", "benchmark-derived", "school",
+      "aggregate OF aggregates (GeoQuery 'the average of the highest points of states')",
+      "What is the average of each course's maximum score?",
+      Some("SELECT AVG(m) AS a FROM (SELECT course_id, MAX(numeric_score) AS m " +
+        "FROM enrollments GROUP BY course_id) t")),
+    ExternalCase("b66", "benchmark-derived", "school",
+      "multi-sentence imperative phrasing (three chained constraints)",
+      "Show the enrollments from the Fall term. Only include scores above 80. Sort by score.",
+      Some("SELECT student_id, course_id, term, year, grade_letter, numeric_score " +
+        "FROM enrollments WHERE term = 'Fall' AND numeric_score > 80 " +
+        "ORDER BY numeric_score, student_id, course_id LIMIT 100"),
+      note = "gold carries the engine's LIMIT-100 cap with a total order so " +
+        "the window is deterministic on the ~100-row result"),
+    ExternalCase("b67", "benchmark-derived", "store",
+      "value-share of a DERIVED measure ('percent of total revenue from X')",
+      "What percent of total revenue comes from electronics?",
+      Some("SELECT ROUND(SUM(CASE WHEN category = 'electronics' " +
+        "THEN quantity * price ELSE 0 END) / SUM(quantity * price), 4) AS p FROM sales")),
+    ExternalCase("b68", "benchmark-derived", "travel",
+      "boolean comparison of an aggregate to a literal ('is the average higher than N?')",
+      "Is the average flight price higher than 250?",
+      Some("SELECT AVG(fprice) > 250 AS answer FROM flights")),
+    ExternalCase("b69", "benchmark-derived", "store",
+      "superlative OVER an anti-join cohort (tie-aware; the fixture makes it EMPTY)",
+      "Who is the oldest customer that never placed an order?",
+      Some("WITH nc AS (SELECT * FROM customers c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.customer_id = c.id)) " +
+        "SELECT id, name, age FROM nc WHERE age = (SELECT MAX(age) FROM nc) ORDER BY id"),
+      note = "every fixture customer has orders, so the gold is EMPTY — a " +
+        "non-empty answer is wrong by construction"),
+    ExternalCase("b70", "benchmark-derived", "school",
+      "dimension-VALUE filter demanding a join ('average score in Biology')",
+      "What is the average score in Biology?",
+      Some("SELECT AVG(e.numeric_score) AS a FROM enrollments e " +
+        "JOIN courses c ON c.id = e.course_id WHERE c.title = 'Biology'")),
+    ExternalCase("b71", "benchmark-derived", "travel",
+      "grouped top-k (Spider 'the two most common X per Y')",
+      "For each agency, what are the top 2 destinations by number of flights?",
+      Some("SELECT agency, tcity FROM (SELECT agency, tcity, " +
+        "ROW_NUMBER() OVER (PARTITION BY agency ORDER BY COUNT(*) DESC, tcity) AS rk " +
+        "FROM flights GROUP BY agency, tcity) t WHERE rk <= 2 ORDER BY agency, tcity"),
+      note = "ROW_NUMBER with the tcity tiebreak: a deterministic 2-per-group " +
+        "window (RANK could return 3+ on count ties)"),
+    ExternalCase("b72", "benchmark-derived", "store",
+      "calendar-granularity grouping ('per day of the week')",
+      "How many orders were placed on each day of the week?",
+      Some("SELECT DAYOFWEEK(order_date) AS d, COUNT(*) AS n FROM orders " +
+        "GROUP BY DAYOFWEEK(order_date) ORDER BY d")),
+    ExternalCase("b73", "benchmark-derived", "school",
+      "named-cohort comparison ('which of Fall or Spring has more'), tie-aware",
+      "Which term has more enrollments, Fall or Spring?",
+      Some("WITH t AS (SELECT term, COUNT(*) AS n FROM enrollments " +
+        "WHERE term IN ('Fall', 'Spring') GROUP BY term) " +
+        "SELECT term FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY term")),
+    ExternalCase("b74", "benchmark-derived", "store",
+      "derived measure under generate/produce phrasing (no amount keyword)",
+      "How much revenue did each category generate in total?",
+      Some("SELECT category, SUM(quantity * price) AS s FROM sales " +
+        "GROUP BY category ORDER BY category")),
+    ExternalCase("b75", "benchmark-derived", "school",
+      "two-cohort aggregate ARITHMETIC (difference of two conditional averages)",
+      "What is the difference between the average scores of Fall and Spring enrollments?",
+      Some("SELECT AVG(CASE WHEN term = 'Fall' THEN numeric_score END) - " +
+        "AVG(CASE WHEN term = 'Spring' THEN numeric_score END) AS d FROM enrollments")),
+    ExternalCase("b76", "benchmark-derived", "travel",
+      "distinct-count argmax ('the user who visited the most different cities'), tie-aware",
+      "Which user has taken flights to the most different cities?",
+      Some("WITH t AS (SELECT usercode, COUNT(DISTINCT tcity) AS n FROM flights " +
+        "GROUP BY usercode) SELECT usercode FROM t WHERE n = (SELECT MAX(n) FROM t) " +
+        "ORDER BY usercode")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)

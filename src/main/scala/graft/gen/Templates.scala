@@ -12,7 +12,7 @@ import graft.link.Intent.Analysis
  */
 object Templates extends TemplatesShapes1 with TemplatesShapes2
     with TemplatesShapes3 with TemplatesShapes4 with TemplatesShapes5
-    with TemplatesShapes6 with TemplatesConjunctive {
+    with TemplatesShapes6 with TemplatesShapes7 with TemplatesConjunctive {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -870,6 +870,15 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       perGroupArgmaxCandidates(slice, question),
       twoDimGroupCandidates(slice, question),
       directionalExtremeCandidates(slice, question),
+      shareArgmaxCandidates(slice, fks, question, values),
+      derivedRowArgmaxCandidates(slice, question),
+      twoCohortAvgCandidates(slice, question, values),
+      groupedDiffCandidates(slice, question),
+      countVsOwnGroupCandidates(slice, question),
+      shareOfGroupsCandidates(slice, fks, question),
+      orFull(s => totalByFilteredEntityCandidates(s, fks, question)),
+      nestedGroupHavingCandidates(slice, fks, question),
+      dirSetDiffCandidates(slice, question),
       orFull(s => twoHopAggCandidates(s, fks, question)),
       directionalGroupCountCandidates(slice, question),
       existentialCountCandidates(slice, fks, question, values),

@@ -2007,4 +2007,105 @@ class TemplatesSpec extends AnyFunSuite {
       "What is the shortest flight distance to each city?")
     assert(t.nonEmpty && t.head.sql.contains("SELECT tcity, MIN(distance)"), t)
   }
+
+  // ------------------- round-17 fourth-wave nested-composition shapes
+
+  test("share argmax: per-group ratio then tie-aware extreme, outranking plain tie-argmax") {
+    val c = Templates.shareArgmaxCandidates(slice, fks,
+      "Which course has the highest share of A grades?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("CAST(SUM(CASE WHEN grade = 'A' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r"), c.head.sql)
+    assert(c.head.sql.contains("WHERE r = (SELECT MAX(r) FROM t)"), c.head.sql)
+    assert(c.head.confidence > 0.9, "must outrank the generic tie-argmax reading")
+  }
+
+  test("derived row argmax: qty * price superlative projects the identity key") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "customerid", "quantity", "price", "shoppingmall")))
+    val c = Templates.derivedRowArgmaxCandidates(store,
+      "Which sale had the highest total value?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT invoiceno FROM sales WHERE quantity * price = " +
+        "(SELECT MAX(quantity * price) FROM sales) ORDER BY invoiceno LIMIT 100", c)
+    // a REAL value/amount column disables the derivation
+    val withCol = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "quantity", "price", "value")))
+    assert(Templates.derivedRowArgmaxCandidates(withCol,
+      "Which sale had the highest total value?").isEmpty)
+  }
+
+  test("two-cohort aggregate pair: direction word resolves the f/t domain tie") {
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "fcity", "tcity", "fprice")))
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "flights") Map(
+        "fcity" -> Seq("Paris", "Rome", "Berlin"),
+        "tcity" -> Seq("Paris", "Rome", "Berlin")) else Map.empty
+    val c = Templates.twoCohortAvgCandidates(travel,
+      "What is the average flight price to Paris and to Rome?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT AVG(CASE WHEN tcity = 'Paris' THEN fprice END) AS agg_value, " +
+        "AVG(CASE WHEN tcity = 'Rome' THEN fprice END) AS agg_value2 FROM flights", c)
+    // both domains hold the values and no direction word → ambiguous, silent
+    assert(Templates.twoCohortAvgCandidates(travel,
+      "What is the average flight price in Paris and Rome?", doms).isEmpty)
+  }
+
+  test("grouped aggregate range: per-group MAX - MIN with elliptical most/least") {
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "fcity", "flighttype", "fprice", "agency")))
+    val c = Templates.groupedDiffCandidates(travel,
+      "For each agency, what is the price difference between its most and least expensive flight?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT agency, MAX(fprice) - MIN(fprice) AS agg_value FROM flights " +
+        "GROUP BY agency ORDER BY agency LIMIT 100", c)
+  }
+
+  test("correlated count vs own group: verb stem grounds the measure") {
+    val c = Templates.countVsOwnGroupCandidates(slice,
+      "How many scores scored above their course_id average?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT COUNT(*) AS agg_value FROM scores e JOIN " +
+        "(SELECT course_id, AVG(score) AS a FROM scores GROUP BY course_id) t " +
+        "ON e.course_id = t.course_id WHERE e.score > t.a", c)
+  }
+
+  test("share of groups over a bar: two aggregation levels") {
+    val c = Templates.shareOfGroupsCandidates(slice, fks,
+      "What fraction of courses have an average score above 75?")
+    assert(c.nonEmpty, c)
+    assert(c.head.sql.contains("(SELECT course_id, AVG(score) AS a FROM scores GROUP BY course_id) t"), c.head.sql)
+    assert(c.head.sql.contains("SUM(CASE WHEN a > 75 THEN 1 ELSE 0 END)"), c.head.sql)
+  }
+
+  test("total by filtered entity: the b9 chain ungrouped with an age bar") {
+    val c = Templates.totalByFilteredEntityCandidates(storeSlice, storeFks2,
+      "What is the total quantity of items ordered by customers older than 40?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT SUM(l.qty) AS agg_value FROM order_items l " +
+        "JOIN orders m ON l.order_id = m.id " +
+        "JOIN customers d ON m.customer_id = d.id WHERE d.age > 40", c)
+  }
+
+  test("nested grouping with an inner HAVING: courses per year over a size bar") {
+    val c = Templates.nestedGroupHavingCandidates(slice, fks,
+      "For each year, how many courses had at least 20 scores?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT year, COUNT(*) AS agg_value FROM " +
+        "(SELECT year, course_id FROM scores GROUP BY year, course_id " +
+        "HAVING COUNT(*) >= 20) t GROUP BY year ORDER BY year LIMIT 100", c)
+  }
+
+  test("directional set difference: destinations minus origins via the f/t idiom") {
+    val travel = SchemaSlice(scala.collection.immutable.ListMap(
+      "flights" -> Seq("travelcode", "fcity", "tcity", "fprice")))
+    val c = Templates.dirSetDiffCandidates(travel,
+      "How many cities appear as destinations but never as origins?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT COUNT(*) AS agg_value FROM " +
+        "(SELECT tcity FROM flights EXCEPT SELECT fcity FROM flights) t", c)
+    // same direction twice is not a difference
+    assert(Templates.dirSetDiffCandidates(travel,
+      "How many cities appear as destinations but never as arrivals?").isEmpty)
+  }
 }
