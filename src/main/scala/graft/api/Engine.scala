@@ -31,13 +31,17 @@ final class Engine(
     llm: LlmClient = NoOpLlmClient,
     val docCollections: Seq[String] = Nil) {
 
-  private def lightweightSchema: Map[String, Seq[String]] =
+  // lazy vals, not defs: the registered tables' schemas are fixed for
+  // the Engine's lifetime, and both are on every ask/nl2sql/candidates
+  // path — re-reading every table's schema from the catalog per
+  // question was pure overhead (round-17 ADVICE).
+  private lazy val lightweightSchema: Map[String, Seq[String]] =
     tables.map(t => t -> spark.table(t).schema.fieldNames.toSeq).toMap
 
   /** The UNPRUNED catalog as a slice, for FK-chain shapes whose links
     * the top-4 relevance slice can drop (Templates.candidates `full`).
     * Alphabetical ListMap: deterministic iteration, no relevance claim. */
-  private def fullSlice: graft.core.SchemaSlice = graft.core.SchemaSlice(
+  private lazy val fullSlice: graft.core.SchemaSlice = graft.core.SchemaSlice(
     scala.collection.immutable.ListMap(lightweightSchema.toSeq.sortBy(_._1): _*))
 
   /** Sketch-index registry for approx-tolerant serving: register

@@ -85,6 +85,12 @@ object Bson {
   private def decodeDoc(buf: ByteBuffer): Doc = {
     val start = buf.position()
     val len = buf.getInt
+    // Wire-supplied lengths are UNTRUSTED: a malformed/malicious peer
+    // can send a negative or huge size that would otherwise throw
+    // NegativeArraySizeException or allocate gigabytes before failing.
+    // Validate against the bytes actually present first.
+    require(len >= 5 && len - 4 <= buf.remaining(),
+      s"invalid BSON document length $len (${buf.remaining()} bytes remain)")
     val out = Seq.newBuilder[(String, Any)]
     while (buf.position() < start + len - 1) {
       val tpe = buf.get()
@@ -93,6 +99,8 @@ object Bson {
         case 0x01 => java.lang.Double.longBitsToDouble(buf.getLong)
         case 0x02 =>
           val n = buf.getInt
+          require(n >= 1 && n <= buf.remaining(),
+            s"invalid BSON string length $n (${buf.remaining()} bytes remain)")
           val arr = new Array[Byte](n - 1); buf.get(arr); buf.get() // NUL
           new String(arr, StandardCharsets.UTF_8)
         case 0x03 => decodeDoc(buf)

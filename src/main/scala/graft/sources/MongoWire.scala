@@ -38,6 +38,11 @@ final class MongoWire(url: String) {
       .orElse(params.get("defaultDatabase"))
       .orElse(params.get("authSource"))
       .getOrElse("admin")
+    // URI.getHost is null for the multi-host replica-set form
+    // (mongodb://h1:p1,h2:p2/db) and mongodb+srv; new Socket(null, p)
+    // would silently connect to localhost — fail loudly instead.
+    require(u.getHost != null,
+      s"unsupported mongodb url (multi-host/srv not supported): $url")
     (u.getHost, if (u.getPort > 0) u.getPort else 27017, db)
   }
 
@@ -112,14 +117,43 @@ final class MongoWire(url: String) {
       .filter(_._2.nonEmpty)
       .toMap
 
-  /** Bounded sample scan — the docs schema inference runs on. */
-  def sampleFind(db: String, collection: String, limit: Int = 100): Seq[Bson.Doc] =
-    runCommand(db, Seq("find" -> collection, "limit" -> limit))
-      .collectFirst { case ("cursor", cur: Seq[(String, Any)] @unchecked) =>
-        cur.collectFirst { case ("firstBatch", Bson.BsonArray(docs)) =>
-          docs.collect { case d: Seq[(String, Any)] @unchecked => d }
-        }.getOrElse(Nil)
-      }.getOrElse(Nil)
+  /** Batch + cursor id from a find/getMore reply. */
+  private def cursorBatch(reply: Bson.Doc): (Seq[Bson.Doc], Long) = {
+    val cur = reply.collectFirst {
+      case ("cursor", c: Seq[(String, Any)] @unchecked) => c
+    }.getOrElse(Nil)
+    val batch = cur.collectFirst {
+      case (k, Bson.BsonArray(docs)) if k == "firstBatch" || k == "nextBatch" =>
+        docs.collect { case d: Seq[(String, Any)] @unchecked => d }
+    }.getOrElse(Nil)
+    val id = cur.collectFirst { case ("id", id: Long) => id }.getOrElse(0L)
+    (batch, id)
+  }
+
+  /** Bounded sample scan — the docs schema inference runs on. A real
+    * server may return fewer than `limit` docs in `firstBatch`; follow
+    * the cursor with `getMore` until the limit is reached or the
+    * cursor is exhausted (id 0) — the same rows the adapter's
+    * `find().limit(n)` iteration yields (ref
+    * `app/mongodb_adapter.py:104-148`). An empty batch on a live
+    * cursor stops the sample (bounded, conservative — sampling never
+    * spins on a stalled cursor). */
+  def sampleFind(db: String, collection: String, limit: Int = 100): Seq[Bson.Doc] = {
+    var (docs, cid) =
+      cursorBatch(runCommand(db, Seq("find" -> collection, "limit" -> limit)))
+    val out = Seq.newBuilder[Bson.Doc]
+    out ++= docs
+    var n = docs.size
+    while (cid != 0L && n < limit && docs.nonEmpty) {
+      val (batch, nid) = cursorBatch(runCommand(db,
+        Seq("getMore" -> cid, "collection" -> collection, "batchSize" -> (limit - n))))
+      out ++= batch
+      n += batch.size
+      docs = batch
+      cid = nid
+    }
+    out.result().take(limit)
+  }
 
   def countDocuments(db: String, collection: String): Long =
     runCommand(db, Seq("count" -> collection))
@@ -131,15 +165,43 @@ final class MongoWire(url: String) {
 
 object MongoWire {
 
+  /** Full JSON string escaping (quotes, backslash, the named control
+    * escapes, and \u00XX for any other char < 0x20) — applied to BOTH
+    * keys and string values, so a wire document can never render as a
+    * `_corrupt_record`. */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.result()
+  }
+
   /** Render a decoded BSON document as a JSON line (the docs the wire
     * returned, re-expressed in the format [[DocSource.register]]'s
     * sampled inference consumes — so wire-sourced and fixture-sourced
-    * collections run the SAME inference path). */
+    * collections run the SAME inference path). BSON doubles ALWAYS
+    * render with a fractional form (`2.0`, never `2`): JSON
+    * distinguishes them, and collapsing whole-valued doubles to
+    * integer literals made the wire path infer BIGINT where the
+    * fixture/adapter path's `int, float` type union
+    * (ref `app/mongodb_adapter.py:119-142`) keeps the column
+    * fractional-capable. Non-finite doubles (NaN/Inf — not
+    * JSON-expressible) render as null rather than corrupting the
+    * line. */
   def toJsonLine(doc: Bson.Doc): String = {
     def value(v: Any): String = v match {
       case null => "null"
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+      case s: String => "\"" + jsonEscape(s) + "\""
+      case d: Double => if (java.lang.Double.isFinite(d)) d.toString else "null"
       case b: Boolean => b.toString
       case i: Int => i.toString
       case l: Long => l.toString
@@ -148,7 +210,7 @@ object MongoWire {
       case other => sys.error(s"toJsonLine: unsupported $other")
     }
     def render(d: Bson.Doc): String =
-      d.map { case (k, v) => "\"" + k + "\":" + value(v) }.mkString("{", ",", "}")
+      d.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + value(v) }.mkString("{", ",", "}")
     render(doc)
   }
 

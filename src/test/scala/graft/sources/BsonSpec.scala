@@ -43,8 +43,12 @@ class BsonSpec extends AnyFunSuite {
       "ok" -> true, "nul" -> null,
       "nest" -> Seq("zip" -> 10001L),
       "tags" -> Bson.BsonArray(Seq("x", "y"))))
+    // round-18 convention change (r17 verdict #4): a BSON double 2.0
+    // renders as `2.0`, not `2` — JSON distinguishes them, and the
+    // integer form made wire-sourced columns of whole-valued doubles
+    // infer BIGINT where the fixture/adapter type union keeps DOUBLE.
     assert(json ==
-      """{"_id":7,"name":"a\"b","score":2,"frac":1.25,"ok":true,"nul":null,""" +
+      """{"_id":7,"name":"a\"b","score":2.0,"frac":1.25,"ok":true,"nul":null,""" +
         """"nest":{"zip":10001},"tags":["x","y"]}""", json)
   }
 }

@@ -36,7 +36,17 @@ class DocSourceWireSpec extends SparkSpec {
 
   /** Stub OP_MSG server: one command per connection, framed exactly as
     * the client sends (header + flags + kind-0 BSON body). */
-  private def withStub[A](f: Int => A): A = {
+  private def withStub[A](f: Int => A): A =
+    withStubBatched(Int.MaxValue, new java.util.concurrent.ConcurrentLinkedQueue[String])(f)
+
+  /** Same stub, but find/getMore replies return at most `batchCap`
+    * docs per batch and keep real server-side cursor state — the
+    * round-17 verdict's "first batch < limit forces a continuation"
+    * case. Every served command name is appended to `cmdLog`. */
+  private def withStubBatched[A](batchCap: Int,
+      cmdLog: java.util.concurrent.ConcurrentLinkedQueue[String])(f: Int => A): A = {
+    val cursors = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Bson.Doc]]
+    val nextCursorId = new java.util.concurrent.atomic.AtomicLong(7000L)
     val server = new ServerSocket(0)
     @volatile var running = true
     val t = new Thread(() => {
@@ -58,6 +68,7 @@ class DocSourceWireSpec extends SparkSpec {
               r.get(body)
               val cmd = Bson.decode(body)
               val db = cmd.collectFirst { case ("$db", d: String) => d }.getOrElse("admin")
+              cmdLog.add(cmd.head._1)
               val reply: Bson.Doc = cmd.head match {
                 case ("ping", _) => Seq("ok" -> 1.0)
                 case ("listDatabases", _) => Seq(
@@ -74,9 +85,22 @@ class DocSourceWireSpec extends SparkSpec {
                 case ("find", coll: String) =>
                   val limit = cmd.collectFirst { case ("limit", n: Int) => n }.getOrElse(100)
                   val docs = stores.getOrElse(db, Map.empty).getOrElse(coll, Nil).take(limit)
+                  val (first, rest) = docs.splitAt(math.min(batchCap, docs.size))
+                  val cid =
+                    if (rest.isEmpty) 0L
+                    else { val id = nextCursorId.incrementAndGet(); cursors.put(id, rest); id }
                   Seq("cursor" -> Seq(
-                    "firstBatch" -> Bson.BsonArray(docs),
-                    "id" -> 0L, "ns" -> s"$db.$coll"), "ok" -> 1.0)
+                    "firstBatch" -> Bson.BsonArray(first),
+                    "id" -> cid, "ns" -> s"$db.$coll"), "ok" -> 1.0)
+                case ("getMore", cid: Long) =>
+                  val coll = cmd.collectFirst { case ("collection", c: String) => c }.getOrElse("")
+                  val want = cmd.collectFirst { case ("batchSize", n: Int) => n }.getOrElse(Int.MaxValue)
+                  val remaining = Option(cursors.get(cid)).getOrElse(Nil)
+                  val (batch, rest) = remaining.splitAt(math.min(math.min(batchCap, want), remaining.size))
+                  val nid = if (rest.isEmpty) { cursors.remove(cid); 0L } else { cursors.put(cid, rest); cid }
+                  Seq("cursor" -> Seq(
+                    "nextBatch" -> Bson.BsonArray(batch),
+                    "id" -> nid, "ns" -> s"$db.$coll"), "ok" -> 1.0)
                 case ("count", coll: String) => Seq(
                   "n" -> stores.getOrElse(db, Map.empty).getOrElse(coll, Nil).size,
                   "ok" -> 1.0)
@@ -152,5 +176,75 @@ class DocSourceWireSpec extends SparkSpec {
       assert(a == b, s"wire=$a fixture=$b")
       assert(a.nonEmpty)
     }
+  }
+
+  test("whole-valued doubles stay DOUBLE and hostile keys/values stay valid JSON (wire ≡ fixture byte-true)") {
+    // Round-17 verdict #4 + ADVICE: a BSON double 2.0 rendered as `2`
+    // made the wire path infer BIGINT where the adapter's `int, float`
+    // type union keeps the column fractional-capable; a quote in a key
+    // or a control char in a value produced an invalid JSON line that
+    // spark.read.json silently turned into a _corrupt_record.
+    val hostile: Seq[Bson.Doc] = (1 to 6).map { i =>
+      Seq(
+        "_id" -> i.toLong,
+        "ratio" -> i.toDouble,              // ALL whole-valued doubles
+        "big" -> 1.0e20,                    // beyond exact-long range
+        "bad" -> (if (i == 1) Double.NaN else 1.5), // non-finite → null
+        "k\"q" -> s"quoted-key-$i",         // quote-bearing FIELD NAME
+        "note" -> s"line1\nline2\ttabctl-$i") // control chars in value
+    }
+    hostile.map(MongoWire.toJsonLine).foreach { line =>
+      assert(!line.contains('\n'), s"raw newline breaks the JSON-lines framing: $line")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_hostile")
+    java.nio.file.Files.writeString(dir.resolve("h.json"),
+      hostile.map(MongoWire.toJsonLine).mkString("\n"))
+    val df = DocSource.register(spark, dir.toString, "hostile_wire")
+    assert(!df.columns.contains("_corrupt_record"), df.schema.treeString)
+    assert(df.count() == 6)
+    import org.apache.spark.sql.types.DoubleType
+    assert(df.schema("ratio").dataType == DoubleType, df.schema.treeString)
+    assert(df.schema("big").dataType == DoubleType, df.schema.treeString)
+    assert(df.schema("bad").dataType == DoubleType, df.schema.treeString)
+    assert(df.columns.contains("k\"q"), df.columns.mkString(","))
+    val note = df.where("_id = 1").select("note").collect().head.getString(0)
+    assert(note == "line1\nline2\ttabctl-1", note)
+  }
+
+  test("sampleFind follows the cursor with getMore when the first batch is short") {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    withStubBatched(4, log) { port =>
+      val c = new MongoWire(s"mongodb://127.0.0.1:$port/shop")
+      val docs = c.sampleFind("shop", "people", limit = 10)
+      assert(docs.size == 10, s"got ${docs.size}")
+      // same rows, same order, as an unbatched server would return
+      assert(docs.map(_.collectFirst { case ("_id", v: Long) => v }.get) == (1L to 10L))
+      val served = log.toArray.toSeq
+      assert(served.count(_ == "getMore") == 2, s"served=$served") // 4 + 4 + 2
+      // and a short collection still terminates without a spare getMore
+      log.clear()
+      assert(c.sampleFind("shop", "carts", limit = 100).size == 3)
+      assert(!log.toArray.toSeq.contains("getMore"), log.toArray.toSeq)
+    }
+  }
+
+  test("Bson.decode rejects wire-supplied lengths that exceed the bytes present") {
+    // string length beyond the buffer
+    val good = Bson.encode(Seq("s" -> "hello"))
+    // corrupt the string length int (type 0x02 at offset 4, key "s\0" → len at 4+1+2=7)
+    val evilStr = good.clone(); evilStr(7) = 0x7f.toByte; evilStr(8) = 0x7f.toByte
+    intercept[IllegalArgumentException](Bson.decode(evilStr))
+    val negStr = good.clone(); negStr(10) = 0x80.toByte // sign bit → negative length
+    intercept[IllegalArgumentException](Bson.decode(negStr))
+    // document length larger than the frame
+    val doc = Bson.encode(Seq("a" -> 1))
+    val evilDoc = doc.clone(); evilDoc(0) = 0x7f.toByte; evilDoc(1) = 0x7f.toByte
+    intercept[IllegalArgumentException](Bson.decode(evilDoc))
+  }
+
+  test("multi-host replica-set URLs fail loudly instead of silently dialing localhost") {
+    val e = intercept[IllegalArgumentException](
+      new MongoWire("mongodb://h1:27017,h2:27018/shop"))
+    assert(e.getMessage.contains("multi-host"), e.getMessage)
   }
 }
