@@ -862,7 +862,91 @@ object ExternalEval {
       "Which user has taken flights to the most different cities?",
       Some("WITH t AS (SELECT usercode, COUNT(DISTINCT tcity) AS n FROM flights " +
         "GROUP BY usercode) SELECT usercode FROM t WHERE n = (SELECT MAX(n) FROM t) " +
-        "ORDER BY usercode")))
+        "ORDER BY usercode")),
+
+    // --------------------------------- round-18 sixth wave (authored
+    // BEFORE the wave-5 shapes were written — the generalization
+    // control the r17 verdict asked for: the first read against the
+    // r17-era shape inventory is recorded in COVERAGE.md with the
+    // passed-by-existing-shapes count, and the wave stays OPEN at the
+    // round boundary). Families: argmax with a joined DISPLAY column,
+    // count-above-a-subquery-threshold, per-group share of the grand
+    // total, argmin over an aggregate-of-aggregates, universal
+    // quantification ("only"), OR-of-values counts, ratio of two
+    // aggregates, argmax projecting BOTH dimension and measure,
+    // two-cohort pivot per group, and threshold-multiplier cohorts.
+    ExternalCase("b77", "benchmark-derived", "school",
+      "argmax whose DISPLAY column needs the dimension join (Spider 'the name of the …-est')",
+      "What is the title of the course with the highest average score?",
+      Some("WITH t AS (SELECT course_id, AVG(numeric_score) AS a FROM enrollments " +
+        "GROUP BY course_id) SELECT c.title FROM courses c JOIN t ON t.course_id = c.id " +
+        "WHERE t.a = (SELECT MAX(a) FROM t) ORDER BY c.title")),
+    ExternalCase("b78", "benchmark-derived", "store",
+      "count above a subquery threshold (Spider 'how many X above the average')",
+      "How many orders have a total above the average order total?",
+      Some("SELECT COUNT(*) AS n FROM orders WHERE total > (SELECT AVG(total) FROM orders)")),
+    ExternalCase("b79", "benchmark-derived", "travel",
+      "per-group share of the GRAND total ('what percent of flights per agency')",
+      "What percent of flights does each agency account for?",
+      Some("SELECT agency, ROUND(CAST(COUNT(*) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM flights), 4) AS p FROM flights GROUP BY agency ORDER BY agency")),
+    ExternalCase("b80", "benchmark-derived", "school",
+      "argMIN over an aggregate OF aggregates ('the course whose best score is worst'), tie-aware",
+      "Which course has the lowest maximum score?",
+      Some("WITH t AS (SELECT course_id, MAX(numeric_score) AS m FROM enrollments " +
+        "GROUP BY course_id) SELECT course_id FROM t WHERE m = (SELECT MIN(m) FROM t) " +
+        "ORDER BY course_id")),
+    ExternalCase("b81", "benchmark-derived", "travel",
+      "counted range with two NL literals (WikiSQL 'between X and Y' over an aggregate)",
+      "How many flights cost between 100 and 200?",
+      Some("SELECT COUNT(*) AS n FROM flights WHERE fprice BETWEEN 100 AND 200")),
+    ExternalCase("b82", "benchmark-derived", "store",
+      "universal quantification ('customers who ordered ONLY grocery items')",
+      "Which customers ordered only grocery items?",
+      Some("SELECT c.id, c.name FROM customers c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o JOIN order_items oi ON oi.order_id = o.id " +
+        "WHERE o.customer_id = c.id) AND NOT EXISTS " +
+        "(SELECT 1 FROM orders o JOIN order_items oi ON oi.order_id = o.id " +
+        "JOIN items i ON i.id = oi.item_id " +
+        "WHERE o.customer_id = c.id AND i.category <> 'grocery') ORDER BY c.id"),
+      note = "'only' = ≥1 order AND no order outside the category; the " +
+        "fixture makes the answer empty (every customer's orders span " +
+        "categories) — a non-empty answer is wrong by construction"),
+    ExternalCase("b83", "benchmark-derived", "school",
+      "count with an OR of categorical values ('an A or a B')",
+      "How many enrollments received an A or a B?",
+      Some("SELECT COUNT(*) AS n FROM enrollments WHERE grade_letter IN ('A', 'B')")),
+    ExternalCase("b84", "benchmark-derived", "travel",
+      "ratio of two aggregates ('how many times more expensive is the dearest than the cheapest')",
+      "How many times more expensive is the most expensive flight than the cheapest?",
+      Some("SELECT ROUND(CAST(MAX(fprice) AS DOUBLE) / CAST(MIN(fprice) AS DOUBLE), 4) " +
+        "AS r FROM flights")),
+    ExternalCase("b85", "benchmark-derived", "store",
+      "argmax projecting BOTH the dimension and the measure ('who placed the most orders, and how many'), tie-aware",
+      "Which customer placed the most orders, and how many orders did they place?",
+      Some("WITH t AS (SELECT customer_id, COUNT(*) AS n FROM orders GROUP BY customer_id) " +
+        "SELECT customer_id, n FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY customer_id"),
+      note = "every fixture customer has exactly 3 orders — the gold " +
+        "returns all 40 tied rows; a LIMIT-1 answer is wrong by construction"),
+    ExternalCase("b86", "benchmark-derived", "school",
+      "period argmax at YEAR granularity (b42's family on a stored column), tie-aware",
+      "In which year were the most enrollments?",
+      Some("WITH t AS (SELECT year, COUNT(*) AS n FROM enrollments GROUP BY year) " +
+        "SELECT year FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY year")),
+    ExternalCase("b87", "benchmark-derived", "travel",
+      "two-cohort pivot per group (two conditional counts side by side)",
+      "How many economic and how many firstClass flights does each agency have?",
+      Some("SELECT agency, SUM(CASE WHEN flighttype = 'economic' THEN 1 ELSE 0 END) AS e, " +
+        "SUM(CASE WHEN flighttype = 'firstClass' THEN 1 ELSE 0 END) AS f " +
+        "FROM flights GROUP BY agency ORDER BY agency")),
+    ExternalCase("b88", "benchmark-derived", "store",
+      "threshold-multiplier cohort ('more than twice the average category revenue')",
+      "Which categories generated more than twice the average category revenue?",
+      Some("WITH t AS (SELECT category, SUM(quantity * price) AS s FROM sales " +
+        "GROUP BY category) SELECT category FROM t " +
+        "WHERE s > 2 * (SELECT AVG(s) FROM t) ORDER BY category"),
+      note = "the fixture's four categories are near-uniform, so the " +
+        "answer is empty — a non-empty answer is wrong by construction"))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)
