@@ -12,7 +12,8 @@ import graft.link.Intent.Analysis
  */
 object Templates extends TemplatesShapes1 with TemplatesShapes2
     with TemplatesShapes3 with TemplatesShapes4 with TemplatesShapes5
-    with TemplatesShapes6 with TemplatesShapes7 with TemplatesConjunctive {
+    with TemplatesShapes6 with TemplatesShapes7 with TemplatesShapes8
+    with TemplatesConjunctive {
 
   final case class Candidate(sql: String, confidence: Double, method: String)
 
@@ -871,6 +872,21 @@ object Templates extends TemplatesShapes1 with TemplatesShapes2
       twoDimGroupCandidates(slice, question),
       directionalExtremeCandidates(slice, question),
       shareArgmaxCandidates(slice, fks, question, values),
+      // round-18 fifth-wave shapes: specific phrasings that must claim
+      // their questions before the generic aggregate/argmax shapes read
+      // the same words as a scalar MAX/COUNT
+      avgOfGroupAggCandidates(slice, fks, question),
+      imperativeChainCandidates(slice, question, values),
+      percentOfTotalValueCandidates(slice, question, values),
+      booleanAggCompareCandidates(slice, question),
+      superlativeAntiJoinCandidates(slice, fks, question),
+      joinedValueAggCandidates(slice, fks, question, values),
+      groupTopkCandidates(slice, fks, question),
+      dowBucketCandidates(slice, question),
+      namedCohortCompareCandidates(slice, question, values),
+      generatePerGroupCandidates(slice, question),
+      cohortAggDiffCandidates(slice, question, values),
+      distinctCountArgmaxCandidates(slice, fks, question),
       derivedRowArgmaxCandidates(slice, question),
       twoCohortAvgCandidates(slice, question, values),
       groupedDiffCandidates(slice, question),

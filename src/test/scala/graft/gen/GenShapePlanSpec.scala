@@ -110,4 +110,82 @@ class GenShapePlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in this plan:\n" + p.take(1200))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
+
+  // ------------------- round-18 fifth-wave shape families (b65-b76)
+
+  test("grouped top-k: the window partitions the GROUPS frame, aggregation map-side combines") {
+    val slice = sliceOf(travel, ReferenceSchemas.travelTables)
+    val c = Templates.groupTopkCandidates(slice, Nil,
+      "For each agency, what are the top 2 destinations by number of flights?")
+    assert(c.nonEmpty)
+    val p = planOf(travel, c.head.sql)
+    noAllPairs(p)
+    assert(p.contains("partial_count"), "the group counts must map-side combine:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
+    // the window must be PARTITIONED (per group), never a global
+    // single-partition sort over all rows — the exchange feeding it
+    // hash-partitions on the group column
+    assert(raw"hashpartitioning\(agency".r.findFirstIn(p).isDefined,
+      "window must partition by the group:\n" + p.take(1600))
+    // Spark's rank-limit pushdown prunes each partition to the top-k
+    // BEFORE the final window — the property that keeps per-group
+    // state bounded at corpus scale
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown must fire:\n" + p.take(1600))
+  }
+
+  test("superlative over anti-join: LeftAnti hash join + scalar subquery, cohort scanned once per side") {
+    val slice = sliceOf(store, ReferenceSchemas.storeTables)
+    val c = Templates.superlativeAntiJoinCandidates(slice, ReferenceSchemas.storeFks,
+      "Who is the oldest customer that never placed an order?")
+    assert(c.nonEmpty)
+    val p = planOf(store, c.head.sql)
+    noAllPairs(p)
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a LeftAnti hash join:\n" + p.take(1200))
+    assert(p.contains("Subquery"), "the superlative must be a scalar subquery:\n" + p.take(1200))
+  }
+
+  test("avg of group aggregates: two chained hash aggregates, no window, no join") {
+    val slice = sliceOf(school, ReferenceSchemas.schoolTables)
+    val c = Templates.avgOfGroupAggCandidates(slice, ReferenceSchemas.schoolFks,
+      "What is the average of each course's maximum score?")
+    assert(c.nonEmpty)
+    val p = planOf(school, c.head.sql)
+    assert(!p.contains("Join"), "no join belongs in this plan:\n" + p.take(1200))
+    assert(!p.contains("Window"), "no window belongs in this plan:\n" + p.take(1200))
+    assert(p.contains("partial_max"), "the inner MAX must map-side combine:\n" + p.take(1200))
+  }
+
+  test("cohort compare and diff: one filtered grouped pass, conditional aggregates combine map-side") {
+    val slice = sliceOf(school, ReferenceSchemas.schoolTables)
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "enrollments") Map("term" -> Seq("Fall", "Spring")) else Map.empty
+    val cmp = Templates.namedCohortCompareCandidates(slice,
+      "Which term has more enrollments, Fall or Spring?", doms)
+    assert(cmp.nonEmpty)
+    val p1 = planOf(school, cmp.head.sql)
+    noAllPairs(p1)
+    assert(p1.contains("partial_count"), p1.take(1200))
+    assert(p1.contains("term IN (Fall,Spring)") || p1.contains("term#"),
+      "the cohort filter must reach the scan:\n" + p1.take(1600))
+    val diff = Templates.cohortAggDiffCandidates(slice,
+      "What is the difference between the average scores of Fall and Spring enrollments?", doms)
+    assert(diff.nonEmpty)
+    val p2 = planOf(school, diff.head.sql)
+    assert(!p2.contains("Join"), "one pass, no self-join:\n" + p2.take(1200))
+    assert(p2.contains("partial_avg"), p2.take(1200))
+  }
+
+  test("joined value agg: the 1-row-filtered dimension broadcasts into the fact scan") {
+    val slice = sliceOf(school, ReferenceSchemas.schoolTables)
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "courses") Map("title" -> Seq("Algebra", "Biology")) else Map.empty
+    val c = Templates.joinedValueAggCandidates(slice, ReferenceSchemas.schoolFks,
+      "What is the average score in Biology?", doms)
+    assert(c.nonEmpty)
+    val p = planOf(school, c.head.sql)
+    noAllPairs(p)
+    assert(p.contains("BroadcastHashJoin"), "the filtered dim must broadcast:\n" + p.take(1200))
+    assert(p.contains("partial_avg"), p.take(1200))
+  }
 }

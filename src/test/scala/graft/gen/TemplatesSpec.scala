@@ -2108,4 +2108,198 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.dirSetDiffCandidates(travel,
       "How many cities appear as destinations but never as arrivals?").isEmpty)
   }
+
+  // ------------------- round-18 fifth-wave shapes (b65-b76)
+
+  test("avg of group agg: outer aggregate over a per-group inner aggregate") {
+    val c = Templates.avgOfGroupAggCandidates(slice, fks,
+      "What is the average of each course's maximum score?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT AVG(a) AS agg_value FROM " +
+        "(SELECT MAX(score) AS a FROM scores GROUP BY course_id) t", c)
+    // inner direction words map: lowest → MIN, total → SUM
+    val s = Templates.avgOfGroupAggCandidates(slice, fks,
+      "What is the total of each student's lowest score?")
+    assert(s.nonEmpty && s.head.sql.contains("SELECT SUM(a)") &&
+      s.head.sql.contains("SELECT MIN(score)"), s)
+    // an ungroundable measure stays silent
+    assert(Templates.avgOfGroupAggCandidates(slice, fks,
+      "What is the average of each course's maximum salary?").isEmpty)
+  }
+
+  test("imperative chain: sentences accumulate filters and the sort column") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "scores") Map("grade" -> Seq("Pass", "Fail")) else Map.empty
+    val c = Templates.imperativeChainCandidates(slice,
+      "Show the scores from the Pass grade. Only include scores above 80. Sort by score.", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT * FROM scores WHERE grade = 'Pass' AND score > 80 " +
+        "ORDER BY score, score_id, student_id, course_id LIMIT 100", c)
+    // a sort instruction whose column grounds nowhere kills the shape
+    assert(Templates.imperativeChainCandidates(slice,
+      "Show the scores from the Pass grade. Sort by salary.", doms).isEmpty)
+    // single sentences stay with showTable
+    assert(Templates.imperativeChainCandidates(slice,
+      "Show the scores above 80", doms).isEmpty)
+  }
+
+  test("percent of total value: derived measure share with a domain-grounded value") {
+    val sales = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "category", "quantity", "price")))
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "sales") Map("category" -> Seq("books", "electronics")) else Map.empty
+    val c = Templates.percentOfTotalValueCandidates(sales,
+      "What percent of total revenue comes from electronics?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT ROUND(SUM(CASE WHEN category = 'electronics' THEN quantity * price " +
+        "ELSE 0 END) / SUM(quantity * price), 4) AS agg_value FROM sales", c)
+    // a REAL revenue column sums directly instead of deriving
+    val withCol = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "category", "revenue")))
+    val r = Templates.percentOfTotalValueCandidates(withCol,
+      "What percent of total revenue comes from electronics?", doms)
+    assert(r.nonEmpty && r.head.sql.contains("THEN revenue ELSE 0 END) / SUM(revenue)"), r)
+    // an ungrounded value phrase stays silent (no fabricated literal)
+    assert(Templates.percentOfTotalValueCandidates(sales,
+      "What percent of total revenue comes from furniture?", doms).isEmpty)
+  }
+
+  test("boolean aggregate compare: emits the comparison, not the aggregate") {
+    val c = Templates.booleanAggCompareCandidates(travelSlice,
+      "Is the average flight price higher than 250?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT AVG(fprice) > 250 AS agg_value FROM flights", c)
+    val lo = Templates.booleanAggCompareCandidates(travelSlice,
+      "Is the maximum distance less than 1000?")
+    assert(lo.nonEmpty && lo.head.sql ==
+      "SELECT MAX(distance) < 1000 AS agg_value FROM flights", lo)
+  }
+
+  test("superlative over anti-join: tie-aware extreme of the never-cohort") {
+    val c = Templates.superlativeAntiJoinCandidates(storeSlice, storeFks2,
+      "Who is the oldest customer that never placed an order?")
+    assert(c.nonEmpty && c.head.sql ==
+      "WITH nc AS (SELECT * FROM customers x WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders f WHERE f.customer_id = x.id)) " +
+        "SELECT id, name, age FROM nc WHERE age = (SELECT MAX(age) FROM nc) " +
+        "ORDER BY id LIMIT 100", c)
+    assert(c.head.confidence > 0.9, "must outrank the plain never-anti-join listing")
+    // youngest flips the extreme
+    assert(Templates.superlativeAntiJoinCandidates(storeSlice, storeFks2,
+      "Who is the youngest customer that never placed an order?")
+      .head.sql.contains("(SELECT MIN(age) FROM nc)"))
+    // a never-phrase that names no FK fact stays silent
+    assert(Templates.superlativeAntiJoinCandidates(storeSlice, storeFks2,
+      "Who is the oldest customer that never sang a song?").isEmpty)
+  }
+
+  test("joined value agg: the named value grounds in the DIMENSION's domain") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "courses") Map("course_name" -> Seq("Algebra", "Biology")) else Map.empty
+    val c = Templates.joinedValueAggCandidates(slice, fks,
+      "What is the average score in Biology?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT AVG(f.score) AS agg_value FROM scores f " +
+        "JOIN courses d ON d.course_id = f.course_id WHERE d.course_name = 'Biology'", c)
+    // a value in no reachable dimension domain stays silent
+    assert(Templates.joinedValueAggCandidates(slice, fks,
+      "What is the average score in Stockholm?", doms).isEmpty)
+  }
+
+  test("grouped top-k: ROW_NUMBER per group with the member tie-break") {
+    val c = Templates.groupTopkCandidates(travelSlice, Nil,
+      "For each agency, what are the top 2 destinations by number of flights?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT agency, tcity FROM (SELECT agency, tcity, " +
+        "ROW_NUMBER() OVER (PARTITION BY agency ORDER BY COUNT(*) DESC, tcity) AS rk " +
+        "FROM flights GROUP BY agency, tcity) t WHERE rk <= 2 " +
+        "ORDER BY agency, tcity LIMIT 100", c)
+    // word numerals parse; origins pick the f-side
+    val w = Templates.groupTopkCandidates(travelSlice, Nil,
+      "For each agency, list the top three origins by number of flights")
+    assert(w.nonEmpty && w.head.sql.contains("rk <= 3") &&
+      w.head.sql.contains("fcity"), w)
+    // a counted noun that names no fact stays silent
+    assert(Templates.groupTopkCandidates(travelSlice, Nil,
+      "For each agency, the top 2 destinations by number of trains").isEmpty)
+  }
+
+  test("day-of-week bucket: DAYOFWEEK grouping on the fact's date column") {
+    val store = SchemaSlice(scala.collection.immutable.ListMap(
+      "orders" -> Seq("id", "customer_id", "order_date", "total")))
+    val c = Templates.dowBucketCandidates(store,
+      "How many orders were placed on each day of the week?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT DAYOFWEEK(order_date) AS dow, COUNT(*) AS agg_value FROM orders " +
+        "GROUP BY DAYOFWEEK(order_date) ORDER BY dow LIMIT 100", c)
+    // "sum of X" sums the measure instead of counting
+    val s = Templates.dowBucketCandidates(store,
+      "What is the sum of total per day of week for orders?")
+    assert(s.nonEmpty && s.head.sql.contains("SUM(total)"), s)
+  }
+
+  test("named cohort compare: tie-aware, canonical domain literals") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "scores") Map("grade" -> Seq("Pass", "Fail")) else Map.empty
+    val c = Templates.namedCohortCompareCandidates(slice,
+      "Which grade has more scores, Pass or Fail?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "WITH t AS (SELECT grade, COUNT(*) AS n FROM scores " +
+        "WHERE grade IN ('Pass', 'Fail') GROUP BY grade) " +
+        "SELECT grade FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY grade", c)
+    // fewer flips to MIN; the case-normalized match renders the CANONICAL value
+    val f = Templates.namedCohortCompareCandidates(slice,
+      "Which grade has fewer scores, pass or fail?", doms)
+    assert(f.nonEmpty && f.head.sql.contains("(SELECT MIN(n) FROM t)") &&
+      f.head.sql.contains("IN ('Pass', 'Fail')"), f)
+    // values outside the group column's domain stay silent
+    assert(Templates.namedCohortCompareCandidates(slice,
+      "Which grade has more scores, Pass or Maybe?", doms).isEmpty)
+  }
+
+  test("generate per group: derived qty x price under generate/produce phrasing") {
+    val sales = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "category", "quantity", "price")))
+    val c = Templates.generatePerGroupCandidates(sales,
+      "How much revenue did each category generate in total?")
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT category, SUM(quantity * price) AS agg_value FROM sales " +
+        "GROUP BY category ORDER BY category LIMIT 100", c)
+    // a real revenue column wins over the derivation
+    val withCol = SchemaSlice(scala.collection.immutable.ListMap(
+      "sales" -> Seq("invoiceno", "category", "revenue")))
+    val r = Templates.generatePerGroupCandidates(withCol,
+      "How much revenue did each category generate?")
+    assert(r.nonEmpty && r.head.sql.contains("SUM(revenue)"), r)
+  }
+
+  test("cohort aggregate difference: two conditional aggregates in one pass") {
+    val doms: String => Map[String, Seq[String]] =
+      t => if (t == "scores") Map("grade" -> Seq("Pass", "Fail")) else Map.empty
+    val c = Templates.cohortAggDiffCandidates(slice,
+      "What is the difference between the average scores of Pass and Fail scores?", doms)
+    assert(c.nonEmpty && c.head.sql ==
+      "SELECT AVG(CASE WHEN grade = 'Pass' THEN score END) - " +
+        "AVG(CASE WHEN grade = 'Fail' THEN score END) AS agg_value FROM scores", c)
+    // one ungrounded cohort name stays silent
+    assert(Templates.cohortAggDiffCandidates(slice,
+      "What is the difference between the average scores of Pass and Maybe scores?",
+      doms).isEmpty)
+  }
+
+  test("distinct-count argmax: direction preposition resolves the f/t tie") {
+    val c = Templates.distinctCountArgmaxCandidates(travelSlice, Nil,
+      "Which user has taken flights to the most different cities?")
+    assert(c.nonEmpty && c.head.sql ==
+      "WITH t AS (SELECT usercode, COUNT(DISTINCT tcity) AS n FROM flights " +
+        "GROUP BY usercode) SELECT usercode FROM t " +
+        "WHERE n = (SELECT MAX(n) FROM t) ORDER BY usercode", c)
+    // from-direction picks the f-side
+    val f = Templates.distinctCountArgmaxCandidates(travelSlice, Nil,
+      "Which user has taken flights from the most different cities?")
+    assert(f.nonEmpty && f.head.sql.contains("COUNT(DISTINCT fcity)"), f)
+    // tied city columns with no direction word stay silent
+    assert(Templates.distinctCountArgmaxCandidates(travelSlice, Nil,
+      "Which user has seen the most different cities?").isEmpty)
+  }
 }
