@@ -109,23 +109,44 @@ class ReadOnlyParserGuard(session: SparkSession, delegate: ParserInterface)
     try session.conf.get("spark.graft.readOnly", "false") == "true"
     catch { case _: Exception => false }
 
+  /** Deep scan, not a top-level match (round-18 entry-point wave): the
+    * analysis-executing node can sit BELOW the root — `BEGIN EXECUTE
+    * IMMEDIATE '…'; END` parses to a CompoundBody whose child
+    * SingleStatement carries the UnresolvedExecuteImmediate, and nested
+    * scripting nests CompoundBody under CompoundBody. Today every such
+    * carrier is itself a guarded root (ProbeParserEntries: CTE bodies,
+    * subqueries, EXISTS and scalar positions all REJECT these
+    * productions at the grammar), so the traversal is defense in depth
+    * against a future grammar production re-rooting them. */
+  private def analysisExecuting(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case p: UnresolvedExecuteImmediate => p.nodeName
+      case p: CompoundBody => p.nodeName
+    }
+
+  private def deny(sqlText: String, nodeName: String): Nothing =
+    throw new org.apache.spark.sql.catalyst.parser.ParseException(
+      Option(sqlText),
+      org.apache.spark.sql.catalyst.trees.Origin(),
+      "_LEGACY_ERROR_TEMP_0035",
+      Map("message" ->
+        (s"read-only session (spark.graft.readOnly=true): $nodeName " +
+          "executes its payload during analysis and is denied at parse time")))
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = delegate.parsePlan(sqlText)
-    if (readOnly) plan match {
-      case _: UnresolvedExecuteImmediate | _: CompoundBody =>
-        throw new org.apache.spark.sql.catalyst.parser.ParseException(
-          Option(sqlText),
-          org.apache.spark.sql.catalyst.trees.Origin(),
-          "_LEGACY_ERROR_TEMP_0035",
-          Map("message" ->
-            (s"read-only session (spark.graft.readOnly=true): ${plan.nodeName} " +
-              "executes its payload during analysis and is denied at parse time")))
-      case _ => ()
-    }
+    if (readOnly) analysisExecuting(plan).foreach(deny(sqlText, _))
     plan
   }
 
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  /** parseQuery rejects these productions grammatically (they are not
+    * query-shaped), but it is a public entry other components call —
+    * guard it identically so a grammar change cannot reopen the seam. */
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val plan = delegate.parseQuery(sqlText)
+    if (readOnly) analysisExecuting(plan).foreach(deny(sqlText, _))
+    plan
+  }
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)

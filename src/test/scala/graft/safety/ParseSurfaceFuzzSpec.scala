@@ -242,6 +242,89 @@ class ParseSurfaceFuzzSpec extends SparkSpec {
       s"only $parseFlagged analysis-executing mutants seen — the EXECUTE IMMEDIATE/scripting branch is vacuous")
   }
 
+  test("entry-point wave: no alternate parser entry reaches analysis with an analysis-executing node") {
+    // Round-18 wave (r17 verdict #6): ParseSurfaceFuzzSpec proved
+    // parsePlan is guarded; this wave pins the OTHER public parser
+    // entries (parseQuery, parseExpression) and nested occurrences.
+    // For every analysis-executing mutant in the corpus (EXECUTE
+    // IMMEDIATE / BEGIN…END in any composition), each entry must
+    // either REJECT it at the grammar or return a tree with no
+    // analysis-executing node — there is no third outcome in which an
+    // unguarded tree reaches the analyzer.
+    val parser = spark.sessionState.sqlParser
+    def analysisExecutes(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      plan.collectFirst {
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.CompoundBody => true
+      }.nonEmpty
+    val execish = statements.filter { case (prod, _, sql) =>
+      prod.contains("execute-immediate") || prod.contains("begin-end") ||
+        sql.toUpperCase.contains("EXECUTE IMMEDIATE") || sql.toUpperCase.startsWith("BEGIN")
+    }
+    assert(execish.size >= 1000, s"only ${execish.size} analysis-executing mutants — wave is vacuous")
+    var rejected = 0
+    var cleanTrees = 0
+    val leaked = execish.flatMap { case (prod, seed, sql) =>
+      Seq("parseQuery" -> (() => parser.parseQuery(sql)),
+        "parseExpression" -> (() => parser.parseExpression(s"EXISTS ($sql)").asInstanceOf[Any])
+      ).flatMap { case (entry, f) =>
+        try {
+          f() match {
+            case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+              if (analysisExecutes(p)) Some((entry, prod, seed, sql))
+              else { cleanTrees += 1; None }
+            case e: org.apache.spark.sql.catalyst.expressions.Expression =>
+              val bad = e.collectFirst {
+                case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+                  if analysisExecutes(s.plan) => true
+              }.nonEmpty
+              if (bad) Some((entry, prod, seed, sql)) else { cleanTrees += 1; None }
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => rejected += 1; None }
+      }
+    }
+    info(s"entry-point wave: ${execish.size} mutants × 2 entries — $rejected grammar-rejected, $cleanTrees clean trees, ${leaked.size} leaked")
+    assert(leaked.isEmpty,
+      s"${leaked.size} analysis-executing trees reached an alternate parser entry, e.g.:\n" +
+        leaked.take(5).map { case (entry, prod, seed, sql) =>
+          s"  [$entry/$prod] seed='${seed.sql.take(50)}' sql='${sql.take(140)}'"
+        }.mkString("\n"))
+    assert(rejected >= 1000, s"only $rejected grammar rejections — the negative branch is vacuous")
+  }
+
+  test("nested carriers: the parse guard denies analysis-executing nodes BELOW the root, at every guarded entry") {
+    // `BEGIN EXECUTE IMMEDIATE '…'; END` roots at CompoundBody with the
+    // UnresolvedExecuteImmediate a child SingleStatement — a top-level
+    // node match happens to catch the root, but the guard must deny on
+    // the NESTED node too (deep scan), so a future grammar production
+    // re-rooting these constructs cannot reopen the seam.
+    spark.conf.set("spark.graft.readOnly", "true")
+    try {
+      Seq(
+        "BEGIN EXECUTE IMMEDIATE 'SET spark.sql.shuffle.partitions=13'; END",
+        "BEGIN BEGIN SET spark.sql.shuffle.partitions=13; END; END",
+        "EXECUTE IMMEDIATE 'EXECUTE IMMEDIATE ''SET spark.sql.shuffle.partitions=13'''",
+        "BEGIN SELECT 1; EXECUTE IMMEDIATE 'ADD JAR ''/tmp/evil.jar'''; END"
+      ).foreach { sql =>
+        val e = intercept[Exception](spark.sessionState.sqlParser.parsePlan(sql))
+        assert(e.getMessage.contains("read-only session"), s"$sql → ${e.getMessage.take(150)}")
+      }
+      // nesting INSIDE query positions is a grammar error at every
+      // entry — pinned so a Spark upgrade that starts accepting them
+      // fails loudly here instead of silently widening the surface
+      Seq(
+        "WITH d AS (EXECUTE IMMEDIATE 'SELECT 1') SELECT 1",
+        "SELECT * FROM (EXECUTE IMMEDIATE 'SELECT 1')",
+        "SELECT (EXECUTE IMMEDIATE 'SELECT 1') AS v",
+        "SELECT 1 WHERE EXISTS (BEGIN SELECT 1; END)"
+      ).foreach { sql =>
+        intercept[Exception](spark.sessionState.sqlParser.parsePlan(sql))
+        intercept[Exception](spark.sessionState.sqlParser.parseQuery(sql))
+      }
+    } finally spark.conf.unset("spark.graft.readOnly")
+  }
+
   test("read-only session denies EXECUTE IMMEDIATE and scripting AT PARSE — before analysis can execute the payload") {
     // the hole the fuzzer found: with only the analyzer check rule, this
     // statement's SET had already executed by the time the rule fired
