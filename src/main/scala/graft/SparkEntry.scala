@@ -1925,6 +1925,11 @@ object Queries {
         ") + 0.5) / 16777216.0)) AS key FROM d) " +
         "SELECT doc_id, n_tokens, ROUND(key, 6) + 0.0 AS gumbel_key " +
         "FROM g ORDER BY key DESC, doc_id LIMIT 50"),
+    // grouped top-k replica: same ROW_NUMBER window, same tie-break
+    "x_grouped_topk" ->
+      ("SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 2 ORDER BY lang, doc_id"),
     // Moore-Lewis replica: identical add-one-smoothed unigram LMs over
     // the union vocabulary, same ln expression tree, ROUND 6
     "x_moore_lewis" ->
@@ -3357,6 +3362,16 @@ object ExtensionQueries {
           log(col("n_tokens") + 1.0), k = 50)
         .select(col("doc_id"), col("n_tokens"),
           (round(col("gumbel_key"), 6) + 0.0).as("gumbel_key"))
+    }),
+    // grouped top-k: the 2 longest documents per language — the
+    // partitioned ROW_NUMBER family (RankLimit.groupedTopK;
+    // WindowGroupLimit bounds per-group state at k, RankLimitSpec pins
+    // the plan)
+    "x_grouped_topk" -> ((s, dir) => {
+      graft.plans.RankLimit.groupedTopK(docs(s, dir),
+          Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id")), k = 2)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
     }),
     // Moore-Lewis cross-entropy-difference selection: target LM = the
     // English slice, raw LM = the whole corpus; positive gap selects

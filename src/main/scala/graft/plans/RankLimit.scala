@@ -47,6 +47,28 @@ object RankLimit {
       .sortWithinPartitions(order: _*)
       .withColumn(rankCol, (monotonically_increasing_id() + 1).cast("int"))
   }
+
+  /**
+   * Exact per-group top-k: `row_number() OVER (PARTITION BY groups
+   * ORDER BY order) <= k`, the grouped sibling of [[globalRankTopK]]
+   * (ref `app/ai/nl2sql.py:197` — a window satisfies the reference's
+   * aggregation contract; the NL surface's grouped top-k shape emits
+   * this form). Callers must pass a total `order` (a unique tie-break
+   * last) for deterministic output.
+   *
+   * Scale shape: one shuffle on the group keys, and Spark's
+   * WindowGroupLimit pushdown inserts per-partition top-k pruning BOTH
+   * before the shuffle (partial) and after (final), so per-group state
+   * is bounded by k regardless of group skew — the property
+   * RankLimitSpec pins on the physical plan.
+   */
+  def groupedTopK(df: DataFrame, groups: Seq[Column], order: Seq[Column],
+      k: Int, rankCol: String = "rnk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
+  }
 }
 
 /**

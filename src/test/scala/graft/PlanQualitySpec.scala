@@ -146,6 +146,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("grouped top-k: window hash-partitions on the group and WindowGroupLimit bounds per-group state (x_grouped_topk)") {
+    val p = plan("x_grouped_topk")
+    assert(p.contains("Window"), p.take(1500))
+    // the partitioned window shuffles ON THE GROUP KEY — never a
+    // global single-partition sort
+    assert(raw"hashpartitioning\(lang".r.findFirstIn(p).isDefined,
+      "window must partition by lang: " + p.take(1500))
+    // rank-limit pushdown prunes every partition to its top k BEFORE
+    // the final window (partial + final), so per-group state is
+    // bounded by k regardless of group skew — the 100 TB property
+    assert(p.contains("WindowGroupLimit"), "rank pushdown must fire: " + p.take(1500))
+  }
+
   test("BoundedRankPrefilter bounds the window input on the SQL path (W2 rewrite)") {
     graft.sources.Sources.register(spark, sfDir)
     val df = spark.sql(Queries.extensionOracles("d14_window_rank"))
