@@ -34,17 +34,47 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
     else if (w.endsWith("s")) w.dropRight(1) else w
   private def norm(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9]", "")
 
-  /** The mined-domain column on `table` whose domain contains ALL the
-    * given question tokens (case/space-insensitively), with the
-    * CANONICAL domain literals returned in token order — "Fall or
-    * Spring" must render the crawled 'Fall', not a lowercased echo of
-    * the question. */
-  private def cohortDomainColumn(table: String, tokens: Seq[String],
-      values: String => Map[String, Seq[String]]): Option[(String, Seq[String])] =
+  /** EVERY mined-domain column on `table` whose domain contains ALL
+    * the given question tokens (case/space-insensitively), with the
+    * CANONICAL domain literals in token order — "Fall or Spring" must
+    * render the crawled 'Fall', not a lowercased echo of the question.
+    * All matches are returned (not the alphabetically first): callers
+    * apply their own structural guards and singleGrounding, so a
+    * second matching column either resolves structurally or kills the
+    * shape — never silently shadows the right one. */
+  private def cohortDomainColumns(table: String, tokens: Seq[String],
+      values: String => Map[String, Seq[String]]): Seq[(String, Seq[String])] =
     values(table).toSeq.sortBy(_._1).flatMap { case (col, dom) =>
       val hits = tokens.map(tok => dom.find(v => norm(v) == norm(tok)))
       if (hits.forall(_.isDefined)) Some(col -> hits.map(_.get)) else None
-    }.headOption
+    }
+
+  /** Ground a measure WORD to a sum-able expression: a strong column
+    * link to the word itself always wins (a question naming `quantity`
+    * must never aggregate an `amount` column); only a money word
+    * (revenue/amount/…) may fall back to the crawled amount-ish column
+    * or, when the schema stores the factors separately, to the
+    * qty × price derivation (the derivedAmount rule — shared here by
+    * the percent-of-total and generate-phrasing shapes so the two
+    * cannot diverge). */
+  private def measureExpr(word: String, cols: Seq[String]): Option[String] =
+    strongColumn(sing(word), cols).orElse {
+      val moneyWord = Set("revenue", "amount", "turnover", "sales",
+        "income", "earnings", "money")(word.toLowerCase)
+      if (!moneyWord) None
+      else cols.find(c =>
+        raw"(?i)amount|revenue|turnover".r.findFirstIn(c).isDefined).orElse {
+        val qty = cols.find(c => Set("qty", "quantity", "units")(c.toLowerCase))
+        val price = cols.find(_.toLowerCase.endsWith("price"))
+        (qty zip price).map { case (q, p) => s"$q * $p" }
+      }
+    }
+
+  /** The fact's date-ish column — the monthBucket lookup (date name,
+    * bare ts, `_at` suffix) shared by the calendar-bucket shapes. */
+  private def dateishCol(cols: Seq[String]): Option[String] =
+    cols.find(_.toLowerCase.contains("date"))
+      .orElse(cols.find(c => c.toLowerCase == "ts" || c.toLowerCase.endsWith("_at")))
 
   /** Key-ish tie-break columns in schema order (for total orders on
     * row-limited imperative results). */
@@ -193,8 +223,12 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
         case Some(d) if d.startsWith("desc") => " DESC"
         case _ => ""
       }
-      val orderCols = (sortCol.map(_ + dir).toSeq ++
-        keyishCols(cols).filterNot(sortCol.contains)).mkString(", ")
+      // tie-break with the key-ish columns; a table without any falls
+      // back to EVERY remaining column — the LIMIT window must always
+      // sit on a total order, and an empty ORDER BY is invalid SQL
+      val ties = { val k = keyishCols(cols); if (k.nonEmpty) k else cols }
+        .filterNot(sortCol.contains)
+      val orderCols = (sortCol.map(_ + dir).toSeq ++ ties).mkString(", ")
       val whereSql = if (filters.isEmpty) "" else filters.mkString(" WHERE ", " AND ", "")
       Candidate(
         s"SELECT * FROM $t$whereSql ORDER BY $orderCols LIMIT $DefaultLimit",
@@ -224,14 +258,7 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
       singleGrounding(for {
         t <- slice.tables.keys.toSeq.sorted
         cols = slice.tables(t)
-        measure <- (cols.find(c =>
-          graft.link.Fuzzy.nameScore(c, measureWord) >= 100 ||
-            raw"(?i)amount|revenue|turnover".r.findFirstIn(c).isDefined).map(c => s"$c") ++ {
-          val qty = cols.find(c => Set("qty", "quantity", "units")(c.toLowerCase))
-          val price = cols.find(_.toLowerCase.endsWith("price"))
-          if (cols.exists(c => raw"(?i)amount|revenue".r.findFirstIn(c).isDefined)) Nil
-          else (qty zip price).map { case (q, p) => s"$q * $p" }.toSeq
-        }).take(1)
+        measure <- measureExpr(measureWord, cols).toSeq
         (predCol, predVal) <- domainEqPairs(valuePhrase, t, values).take(1)
       } yield Candidate(
         s"SELECT ROUND(SUM(CASE WHEN $predCol = $predVal THEN $measure ELSE 0 END) " +
@@ -291,8 +318,11 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
       singleGrounding(for {
         entity <- strongTables(slice, m.group(2))
         cols = slice.tables(entity)
+        // exact name or an `age` WORD segment (customer_age, age_years)
+        // — a bare substring match would ground language/percentage/
+        // coverage, fabricating the superlative
         ageCol <- cols.find(_.toLowerCase == "age")
-          .orElse(cols.find(_.toLowerCase.contains("age"))).toSeq
+          .orElse(cols.find(_.toLowerCase.split("_").contains("age"))).toSeq
         e <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
         // the never-phrase must name the FACT, not just any verb
         if neverWords.exists(w => strongTables(slice, w).contains(e.fromTable))
@@ -385,9 +415,9 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
   def dowBucketCandidates(slice: SchemaSlice,
       question: String): Seq[Candidate] =
     dowBucketRe.findFirstIn(question).toSeq.flatMap { _ =>
-      (for {
+      singleGrounding(for {
         fact <- linkedTables(slice, question)
-        d <- slice.tables(fact).find(_.toLowerCase.contains("date")).toSeq
+        d <- dateishCol(slice.tables(fact)).toSeq
       } yield {
         val agg = sumOfRe.findFirstMatchIn(question)
           .flatMap(m => strongColumn(m.group(1), slice.tables(fact)))
@@ -396,7 +426,7 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
           s"SELECT DAYOFWEEK($d) AS dow, $agg AS agg_value FROM $fact " +
             s"GROUP BY DAYOFWEEK($d) ORDER BY dow LIMIT $DefaultLimit",
           0.91, "template_dow_bucket")
-      }).take(1)
+      })
     }
 
   // ------------------------------------- named-cohort count compare
@@ -419,7 +449,7 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
       singleGrounding(for {
         fact <- strongTables(slice, m.group(3))
         groupCol <- strongColumn(m.group(1), slice.tables(fact)).toSeq
-        (domCol, lits) <- cohortDomainColumn(fact, Seq(m.group(4), m.group(5)), values).toSeq
+        (domCol, lits) <- cohortDomainColumns(fact, Seq(m.group(4), m.group(5)), values)
         if domCol == groupCol
       } yield Candidate(
         s"WITH t AS (SELECT $groupCol, COUNT(*) AS n FROM $fact " +
@@ -445,14 +475,7 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
       singleGrounding(for {
         t <- slice.tables.keys.toSeq.sorted
         cols = slice.tables(t)
-        measure <- (cols.find(c =>
-          graft.link.Fuzzy.nameScore(c, m.group(1)) >= 100 ||
-            raw"(?i)amount|revenue|turnover".r.findFirstIn(c).isDefined).map(c => s"$c") ++ {
-          val qty = cols.find(c => Set("qty", "quantity", "units")(c.toLowerCase))
-          val price = cols.find(_.toLowerCase.endsWith("price"))
-          if (cols.exists(c => raw"(?i)amount|revenue".r.findFirstIn(c).isDefined)) Nil
-          else (qty zip price).map { case (q, p) => s"$q * $p" }.toSeq
-        }).take(1)
+        measure <- measureExpr(m.group(1), cols).toSeq
         groupCol <- (strongColumn(m.group(2).trim, cols) orElse
           squashedColumn(m.group(2).trim, cols)).toSeq
         if !measure.contains(groupCol)
@@ -486,7 +509,7 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
         cols = slice.tables(fact)
         measure <- (strongColumn(sing(m.group(2)), cols) orElse
           measureColumn(m.group(2), cols)).toSeq
-        (domCol, lits) <- cohortDomainColumn(fact, Seq(m.group(3), m.group(4)), values).toSeq
+        (domCol, lits) <- cohortDomainColumns(fact, Seq(m.group(3), m.group(4)), values)
         if domCol != measure
       } yield Candidate(
         s"SELECT $fn(CASE WHEN $domCol = ${sqlLit(lits.head)} THEN $measure END) - " +

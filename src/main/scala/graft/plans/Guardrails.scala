@@ -117,12 +117,16 @@ class ReadOnlyParserGuard(session: SparkSession, delegate: ParserInterface)
     * carrier is itself a guarded root (ProbeParserEntries: CTE bodies,
     * subqueries, EXISTS and scalar positions all REJECT these
     * productions at the grammar), so the traversal is defense in depth
-    * against a future grammar production re-rooting them. */
+    * against a future grammar production re-rooting them.
+    * collectWithSubqueries, not collectFirst: plain collect walks plan
+    * children only, and the seam this guard exists for is exactly a
+    * construct hiding inside a subquery EXPRESSION (the firstOffenseDeep
+    * lesson above). */
   private def analysisExecuting(plan: LogicalPlan): Option[String] =
-    plan.collectFirst {
+    plan.collectWithSubqueries {
       case p: UnresolvedExecuteImmediate => p.nodeName
       case p: CompoundBody => p.nodeName
-    }
+    }.headOption
 
   private def deny(sqlText: String, nodeName: String): Nothing =
     throw new org.apache.spark.sql.catalyst.parser.ParseException(

@@ -152,6 +152,13 @@ final class MongoWire(url: String) {
       docs = batch
       cid = nid
     }
+    // a live cursor abandoned here (limit reached, or the conservative
+    // empty-batch stop) would pin server resources until the idle
+    // timeout — close it explicitly, best-effort
+    if (cid != 0L)
+      try runCommand(db, Seq("killCursors" -> collection,
+        "cursors" -> Bson.BsonArray(Seq(cid))))
+      catch { case scala.util.control.NonFatal(_) => () }
     out.result().take(limit)
   }
 

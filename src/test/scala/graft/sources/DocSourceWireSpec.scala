@@ -42,9 +42,13 @@ class DocSourceWireSpec extends SparkSpec {
   /** Same stub, but find/getMore replies return at most `batchCap`
     * docs per batch and keep real server-side cursor state — the
     * round-17 verdict's "first batch < limit forces a continuation"
-    * case. Every served command name is appended to `cmdLog`. */
+    * case. Every served command name is appended to `cmdLog`.
+    * `tailable` keeps the cursor id live even when exhausted (the
+    * tailable-cursor server behavior), so the client's early-stop +
+    * killCursors path is exercisable. */
   private def withStubBatched[A](batchCap: Int,
-      cmdLog: java.util.concurrent.ConcurrentLinkedQueue[String])(f: Int => A): A = {
+      cmdLog: java.util.concurrent.ConcurrentLinkedQueue[String],
+      tailable: Boolean = false)(f: Int => A): A = {
     val cursors = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Bson.Doc]]
     val nextCursorId = new java.util.concurrent.atomic.AtomicLong(7000L)
     val server = new ServerSocket(0)
@@ -87,7 +91,7 @@ class DocSourceWireSpec extends SparkSpec {
                   val docs = stores.getOrElse(db, Map.empty).getOrElse(coll, Nil).take(limit)
                   val (first, rest) = docs.splitAt(math.min(batchCap, docs.size))
                   val cid =
-                    if (rest.isEmpty) 0L
+                    if (rest.isEmpty && !tailable) 0L
                     else { val id = nextCursorId.incrementAndGet(); cursors.put(id, rest); id }
                   Seq("cursor" -> Seq(
                     "firstBatch" -> Bson.BsonArray(first),
@@ -97,10 +101,18 @@ class DocSourceWireSpec extends SparkSpec {
                   val want = cmd.collectFirst { case ("batchSize", n: Int) => n }.getOrElse(Int.MaxValue)
                   val remaining = Option(cursors.get(cid)).getOrElse(Nil)
                   val (batch, rest) = remaining.splitAt(math.min(math.min(batchCap, want), remaining.size))
-                  val nid = if (rest.isEmpty) { cursors.remove(cid); 0L } else { cursors.put(cid, rest); cid }
+                  val nid =
+                    if (rest.isEmpty && !tailable) { cursors.remove(cid); 0L }
+                    else { cursors.put(cid, rest); cid }
                   Seq("cursor" -> Seq(
                     "nextBatch" -> Bson.BsonArray(batch),
                     "id" -> nid, "ns" -> s"$db.$coll"), "ok" -> 1.0)
+                case ("killCursors", _) =>
+                  val killed = cmd.collectFirst { case ("cursors", Bson.BsonArray(ids)) =>
+                    ids.collect { case id: Long => id }
+                  }.getOrElse(Nil)
+                  killed.foreach(cursors.remove(_))
+                  Seq("cursorsKilled" -> Bson.BsonArray(killed), "ok" -> 1.0)
                 case ("count", coll: String) => Seq(
                   "n" -> stores.getOrElse(db, Map.empty).getOrElse(coll, Nil).size,
                   "ok" -> 1.0)
@@ -225,6 +237,18 @@ class DocSourceWireSpec extends SparkSpec {
       log.clear()
       assert(c.sampleFind("shop", "carts", limit = 100).size == 3)
       assert(!log.toArray.toSeq.contains("getMore"), log.toArray.toSeq)
+    }
+  }
+
+  test("sampleFind kills a still-live cursor when it stops early (tailable-style server)") {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    withStubBatched(4, log, tailable = true) { port =>
+      val c = new MongoWire(s"mongodb://127.0.0.1:$port/shop")
+      val docs = c.sampleFind("shop", "people", limit = 10)
+      assert(docs.size == 10, s"got ${docs.size}")
+      val served = log.toArray.toSeq
+      assert(served.contains("killCursors"),
+        s"live cursor abandoned without killCursors: $served")
     }
   }
 
