@@ -946,7 +946,88 @@ object ExternalEval {
         "GROUP BY category) SELECT category FROM t " +
         "WHERE s > 2 * (SELECT AVG(s) FROM t) ORDER BY category"),
       note = "the fixture's four categories are near-uniform, so the " +
-        "answer is empty — a non-empty answer is wrong by construction"))
+        "answer is empty — a non-empty answer is wrong by construction"),
+
+    // --------------------------------- round-18 seventh wave (authored
+    // at the END of round 18, BEFORE any wave-6 shape exists — the same
+    // wave-ahead control: round 19 closes wave 6, and this wave's
+    // first read against the r18 shape inventory is the generality
+    // measurement for whatever shapes wave 6 produces). Families:
+    // temporal ordinals per entity, recency superlatives, period-lag
+    // trends, universal self-relative cohorts, multi-value IN counts,
+    // comparative universals, inverted-average phrasing, maximin
+    // argmax, cross-table domain difference, joined cohort share of an
+    // entity population, cross-fact count comparison, average temporal
+    // span per entity.
+    ExternalCase("b89", "benchmark-derived", "store",
+      "temporal ordinal per entity (Spider 'the first/earliest X of each Y')",
+      "What was each customer's first order date?",
+      Some("SELECT customer_id, MIN(order_date) AS d FROM orders " +
+        "GROUP BY customer_id ORDER BY customer_id")),
+    ExternalCase("b90", "benchmark-derived", "travel",
+      "recency superlative per entity ('the most recent X per Y')",
+      "For each user, what is the most recent flight date?",
+      Some("SELECT usercode, MAX(fdate) AS d FROM flights " +
+        "GROUP BY usercode ORDER BY usercode")),
+    ExternalCase("b91", "benchmark-derived", "store",
+      "period-lag trend (BIRD 'month-over-month change in revenue')",
+      "What is the month-over-month change in total revenue?",
+      Some("WITH m AS (SELECT MONTH(invoicedate) AS mo, SUM(quantity * price) AS s " +
+        "FROM sales GROUP BY MONTH(invoicedate)) " +
+        "SELECT mo, s - LAG(s) OVER (ORDER BY mo) AS delta FROM m ORDER BY mo"),
+      note = "first month's delta is NULL by construction (no prior period)"),
+    ExternalCase("b92", "benchmark-derived", "school",
+      "universal self-relative cohort ('above average in EVERY course they take')",
+      "Which students have an above-average score in every course they take?",
+      Some("SELECT e.student_id FROM enrollments e JOIN " +
+        "(SELECT course_id, AVG(numeric_score) AS a FROM enrollments GROUP BY course_id) t " +
+        "ON e.course_id = t.course_id GROUP BY e.student_id " +
+        "HAVING MIN(e.numeric_score - t.a) > 0 ORDER BY e.student_id")),
+    ExternalCase("b93", "benchmark-derived", "travel",
+      "multi-value IN count (ATIS 'flights to A, B, or C')",
+      "How many flights went to Paris, Rome, or Berlin?",
+      Some("SELECT COUNT(*) AS n FROM flights WHERE tcity IN ('Paris', 'Rome', 'Berlin')")),
+    ExternalCase("b94", "benchmark-derived", "store",
+      "comparative universal (GeoQuery 'rivers longer than every river in texas')",
+      "Which items cost more than every toy?",
+      Some("SELECT id, category, price FROM items WHERE price > " +
+        "(SELECT MAX(price) FROM items WHERE category = 'toys') ORDER BY id")),
+    ExternalCase("b95", "benchmark-derived", "school",
+      "inverted-average phrasing ('how many X does the average Y take')",
+      "How many courses does the average student take?",
+      Some("SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT student_id), 4) " +
+        "AS a FROM enrollments")),
+    ExternalCase("b96", "benchmark-derived", "travel",
+      "maximin argmax ('whose cheapest flight is the most expensive'), tie-aware",
+      "Which agency's cheapest flight is the most expensive?",
+      Some("WITH t AS (SELECT agency, MIN(fprice) AS m FROM flights GROUP BY agency) " +
+        "SELECT agency FROM t WHERE m = (SELECT MAX(m) FROM t) ORDER BY agency")),
+    ExternalCase("b97", "benchmark-derived", "store",
+      "cross-table domain difference ('categories in X but not in Y')",
+      "Which categories appear in items but not in sales?",
+      Some("SELECT category FROM (SELECT DISTINCT category FROM items " +
+        "EXCEPT SELECT DISTINCT category FROM sales) t ORDER BY category"),
+      note = "both tables carry the same four categories, so the answer " +
+        "is empty — a non-empty answer is wrong by construction"),
+    ExternalCase("b98", "benchmark-derived", "school",
+      "joined cohort share of an entity population ('what fraction of students take Biology')",
+      "What fraction of students take Biology?",
+      Some("SELECT ROUND(CAST(COUNT(DISTINCT e.student_id) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM students), 4) AS f FROM enrollments e " +
+        "JOIN courses c ON c.id = e.course_id WHERE c.title = 'Biology'")),
+    ExternalCase("b99", "benchmark-derived", "travel",
+      "cross-fact count comparison per entity ('more flights than hotel stays')",
+      "Which users have taken more flights than hotel stays?",
+      Some("SELECT u.usercode FROM users u WHERE " +
+        "(SELECT COUNT(*) FROM flights f WHERE f.usercode = u.usercode) > " +
+        "(SELECT COUNT(*) FROM hotels h WHERE h.usercode = u.usercode) " +
+        "ORDER BY u.usercode")),
+    ExternalCase("b100", "benchmark-derived", "store",
+      "average temporal span per entity ('days between first and last order, on average')",
+      "On average, how many days pass between a customer's first and last order?",
+      Some("SELECT ROUND(AVG(DATEDIFF(mx, mn)), 4) AS a FROM " +
+        "(SELECT customer_id, MIN(order_date) AS mn, MAX(order_date) AS mx " +
+        "FROM orders GROUP BY customer_id) t")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)
