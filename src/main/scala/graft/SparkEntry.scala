@@ -845,6 +845,18 @@ object Queries {
         "ROUND(SUM(value), 2) AS session_value, " +
         "CAST(MIN(tms) AS BIGINT) AS start_ms, CAST(MAX(tms) AS BIGINT) AS end_ms " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms LIMIT 2000"),
+    // batch-backfill sessionization: the SAME gaps-and-islands replica
+    // as x_tws_sessions, verbatim — batch ≡ streaming ≡ oracle, the
+    // kappa/lambda overlap agreement
+    "x_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events WHERE user_id < 300), " +
+        "f AS (SELECT *, CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "ROUND(SUM(value), 2) AS session_value, " +
+        "CAST(MIN(tms) AS BIGINT) AS start_ms, CAST(MAX(tms) AS BIGINT) AS end_ms " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms LIMIT 2000"),
     // transformWithState totals replica: the single-batch update-mode
     // emission is exactly the final per-user state = the batch GROUP BY
     "x_tws_totals" ->
@@ -2616,6 +2628,19 @@ object ExtensionQueries {
           "name", "val")
         .select(col("c_custkey"), col("name"), round(col("val"), 2).as("val"))
         .orderBy("c_custkey", "name").limit(1000)
+    }),
+    // batch-backfill sessionization: EventAnalytics.sessionize over
+    // the same user slice as the streaming row — the kappa/lambda
+    // overlap must agree, so it hashes against x_tws_sessions' replica
+    // SQL verbatim (batch ≡ streaming ≡ oracle)
+    "x_sessionize" -> ((s, dir) => {
+      Sources.register(s, dir)
+      graft.operators.EventAnalytics.sessionize(
+          s.table("events").where(col("user_id") < 300), "user_id", "ts", "value")
+        .select(col("user_id"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"),
+          col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "start_ms").limit(2000)
     }),
     // timer-closed sessionization end-to-end: the transformWithState
     // EventTimeSessionProcessor replayed over real events in one

@@ -21,6 +21,48 @@ import org.apache.spark.sql.functions._
 object EventAnalytics {
 
   /**
+   * Batch gap-based sessionization — the BACKFILL sibling of the
+   * streaming sessionizers ([[graft.streaming.Streams.sessionize]] /
+   * `sessionizeTws`), with the timer processor's exact semantics: a
+   * new session starts when the gap STRICTLY exceeds `gapMs`, and
+   * event times are epoch MILLISECONDS (`Timestamp.getTime` truncates
+   * micros, so the batch path truncates identically). In a lakehouse
+   * the historical log is sessionized in batch and the live tail in
+   * streaming; the two paths must agree on the overlap — both hash
+   * against the same gaps-and-islands oracle (`x_sessionize` and
+   * `x_tws_sessions` share their replica SQL verbatim), and
+   * EventAnalyticsSpec pins the boundary semantics (a gap of exactly
+   * `gapMs` does NOT split).
+   *
+   * Output: one row per (user, session) — `n_events`,
+   * `session_value` (SUM of `valueCol`), `start_ms`, `end_ms`.
+   *
+   * Plan/scale: the classic gaps-and-islands rewrite — LAG to mark
+   * session breaks, a running SUM to number them, one grouped
+   * aggregate. ONE shuffle on `userCol`: both windows and the final
+   * aggregation share that partitioning (no second exchange), window
+   * state is a single lag value per user, and the aggregate map-side
+   * combines. No full-corpus window, no driver loop.
+   */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy("tms")
+    events
+      .select(col(userCol),
+        floor(unix_micros(col(tsCol)) / 1000).cast("long").as("tms"),
+        col(valueCol))
+      .withColumn("brk",
+        when(col("tms") - lag("tms", 1).over(byUser) > gapMs, 1).otherwise(0))
+      .withColumn("sid",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("sid"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("session_value"),
+        min("tms").as("start_ms"), max("tms").as("end_ms"))
+      .drop("sid")
+  }
+
+  /**
    * Ordered-funnel analysis: for the step sequence `steps`, a user
    * reaches step i when they have an event of type `steps(i)` STRICTLY
    * AFTER their earliest qualifying time for step i-1. Output one row

@@ -302,4 +302,34 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("signup", "click"))
     assert(reach.count() == 2)
   }
+
+  test("batch sessionize: strictly-greater gap splits, exact-gap does not, one shuffle plan") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: events at 00:00, +30:00 EXACTLY (same session — split
+      // is strictly > gap), then +30:00.001 after that (new session)
+      (1L, t("2024-01-01 00:00:00"), 1.0),
+      (1L, t("2024-01-01 00:30:00"), 2.0),
+      (1L, new java.sql.Timestamp(t("2024-01-01 01:00:00").getTime + 1), 4.0),
+      // user 2: one lone event
+      (2L, t("2024-01-01 12:00:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventAnalytics.sessionize(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "start_ms").collect()
+    assert(out.length == 3, out.mkString(";"))
+    // user 1 session 1: both first events, value 3.0, span 30min
+    assert(out(0).getAs[Long]("n_events") == 2 &&
+      out(0).getAs[Double]("session_value") == 3.0 &&
+      out(0).getAs[Long]("end_ms") - out(0).getAs[Long]("start_ms") == 1800000L)
+    // user 1 session 2: the single event 30:00.001 later
+    assert(out(1).getAs[Long]("n_events") == 1 &&
+      out(1).getAs[Double]("session_value") == 4.0)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+    // plan: gaps-and-islands shares ONE user-key exchange across both
+    // windows and the aggregate — a second exchange would re-shuffle
+    // the corpus per stage at scale
+    val p = EventAnalytics.sessionize(ev, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(2000))
+  }
 }
