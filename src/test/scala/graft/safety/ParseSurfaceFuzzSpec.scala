@@ -152,7 +152,19 @@ class ParseSurfaceFuzzSpec extends SparkSpec {
     Mut("pipe-embed", selectOnly = true,
       s => s"FROM customer |> WHERE EXISTS ($s) |> SELECT c_name"),
     Mut("cte-select-wrap", selectOnly = true,
-      s => s"WITH g AS ($s) SELECT * FROM g")
+      s => s"WITH g AS ($s) SELECT * FROM g"),
+    // round-18 unicode-obfuscation wave: whitespace look-alikes
+    // (NBSP, ideographic space), zero-width injection into the lead
+    // keyword, and backtick-quoting of the referenced identifiers.
+    // Either the lexer rejects the statement (ParseError = denied) or
+    // it normalizes to the same statement (denied by the original
+    // class/allow-list check) — a mutant surviving BOTH ways would be
+    // a real lexer-level bypass
+    Mut("nbsp-ws", selectOnly = false, _.replace(" ", " ")),
+    Mut("ideographic-ws", selectOnly = false, _.replace(" ", "　 ")),
+    Mut("zwsp-keyword", selectOnly = false, s => s.patch(2, "​", 0)),
+    Mut("backtick-idents", selectOnly = false,
+      _.replaceAll(raw"\b(customer|orders|lineitem|supplier|secret_tbl)\b", "`$1`"))
   )
 
   private def isSelectShaped(sql: String): Boolean =
