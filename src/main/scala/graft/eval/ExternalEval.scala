@@ -1027,7 +1027,62 @@ object ExternalEval {
       "On average, how many days pass between a customer's first and last order?",
       Some("SELECT ROUND(AVG(DATEDIFF(mx, mn)), 4) AS a FROM " +
         "(SELECT customer_id, MIN(order_date) AS mn, MAX(order_date) AS mx " +
-        "FROM orders GROUP BY customer_id) t")))
+        "FROM orders GROUP BY customer_id) t")),
+
+    // ----------------------------- round-18 shape-transfer class:
+    // cross-fixture paraphrases of the wave-5 families, run against
+    // the FROZEN round-18 shape inventory (no shape was written or
+    // edited after these were authored). This class measures whether
+    // the wave-5 closures GENERALIZE to schemas they were not written
+    // against — green is evidence of generality, red is an honest
+    // grounding gap recorded as-is. Gold authored here; provenance =
+    // the wave-5 case whose family each transfers.
+    ExternalCase("g1", "shape-transfer", "school",
+      "b71's grouped top-k family transferred to the school fixture",
+      "For each term, what are the top 2 courses by number of enrollments?",
+      Some("SELECT term, course_id FROM (SELECT term, course_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY term ORDER BY COUNT(*) DESC, course_id) AS rk " +
+        "FROM enrollments GROUP BY term, course_id) t WHERE rk <= 2 " +
+        "ORDER BY term, course_id")),
+    ExternalCase("g2", "shape-transfer", "travel",
+      "b65's aggregate-of-group-aggregates family transferred to travel",
+      "What is the average of each agency's maximum flight price?",
+      Some("SELECT AVG(m) AS a FROM (SELECT agency, MAX(fprice) AS m " +
+        "FROM flights GROUP BY agency) t")),
+    ExternalCase("g3", "shape-transfer", "travel",
+      "b68's boolean-comparison family with the OTHER crawled initialism (hprice)",
+      "Is the average hotel price higher than 100?",
+      Some("SELECT AVG(hprice) > 100 AS answer FROM hotels")),
+    ExternalCase("g4", "shape-transfer", "school",
+      "b69's superlative-over-anti-join family transferred to school (youngest, MIN)",
+      "Who is the youngest student that never enrolled in any course?",
+      Some("WITH nc AS (SELECT * FROM students s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM enrollments e WHERE e.student_id = s.id)) " +
+        "SELECT id, name, age FROM nc WHERE age = (SELECT MIN(age) FROM nc) ORDER BY id"),
+      note = "student 59 is the fixture's only never-enrolled student, so " +
+        "the cohort extreme is that single row"),
+    ExternalCase("g5", "shape-transfer", "store",
+      "b72's day-of-week family transferred to the sales table (invoicedate)",
+      "How many sales were recorded on each day of the week?",
+      Some("SELECT DAYOFWEEK(invoicedate) AS d, COUNT(*) AS n FROM sales " +
+        "GROUP BY DAYOFWEEK(invoicedate) ORDER BY d")),
+    ExternalCase("g6", "shape-transfer", "travel",
+      "b75's two-cohort aggregate arithmetic transferred to travel agencies",
+      "What is the difference between the average prices of FlyHigh and Rainbow flights?",
+      Some("SELECT AVG(CASE WHEN agency = 'FlyHigh' THEN fprice END) - " +
+        "AVG(CASE WHEN agency = 'Rainbow' THEN fprice END) AS d FROM flights")),
+    ExternalCase("g7", "shape-transfer", "school",
+      "b76's distinct-count argmax transferred to school (no direction word needed)",
+      "Which student has enrolled in the most different courses?",
+      Some("WITH t AS (SELECT student_id, COUNT(DISTINCT course_id) AS n " +
+        "FROM enrollments GROUP BY student_id) SELECT student_id FROM t " +
+        "WHERE n = (SELECT MAX(n) FROM t) ORDER BY student_id")),
+    ExternalCase("g8", "shape-transfer", "store",
+      "b73's named-cohort comparison transferred to item categories",
+      "Which category has more items, books or toys?",
+      Some("WITH t AS (SELECT category, COUNT(*) AS n FROM items " +
+        "WHERE category IN ('books', 'toys') GROUP BY category) " +
+        "SELECT category FROM t WHERE n = (SELECT MAX(n) FROM t) ORDER BY category")))
 
   final case class ClassStats(n: Int, execRate: Double, macroF1: Double,
       strictF1: Double)

@@ -76,6 +76,26 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
     cols.find(_.toLowerCase.contains("date"))
       .orElse(cols.find(c => c.toLowerCase == "ts" || c.toLowerCase.endsWith("_at")))
 
+  /** Tables a VERB form links by stem: "enrolled in" / "enrolling" →
+    * enrollments (the round-18 shape-transfer reads g4/g7 — facts are
+    * often NAMED BY THEIR ACTION, which the noun-linking scorers miss:
+    * partial-ratio("enrollments", "enrolled") sits below the strong
+    * bar). The suffix strip (ed/ing/s) must leave ≥4 chars and the
+    * stem must prefix EXACTLY one sliced table — noun linking
+    * (strongTables) stays primary, and an ambiguous stem grounds
+    * nothing. */
+  private def verbStemTables(slice: SchemaSlice, word: String): Seq[String] = {
+    val w = word.toLowerCase
+    val stem = Seq("ed", "ing", "s").collectFirst {
+      case suf if w.endsWith(suf) && w.length - suf.length >= 4 => w.dropRight(suf.length)
+    }.getOrElse(w)
+    if (stem.length < 4) Nil
+    else slice.tables.keySet.toSeq.filter(_.toLowerCase.startsWith(stem)).sorted match {
+      case Seq(one) => Seq(one)
+      case _ => Nil
+    }
+  }
+
   /** Key-ish tie-break columns in schema order (for total orders on
     * row-limited imperative results). */
   private def keyishCols(cols: Seq[String]): Seq[String] =
@@ -324,15 +344,20 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
         ageCol <- cols.find(_.toLowerCase == "age")
           .orElse(cols.find(_.toLowerCase.split("_").contains("age"))).toSeq
         e <- fks.filter(e => e.toTable == entity && slice.tables.contains(e.fromTable))
-        // the never-phrase must name the FACT, not just any verb
-        if neverWords.exists(w => strongTables(slice, w).contains(e.fromTable))
+        // the never-phrase must name the FACT — as a noun ("placed an
+        // ORDER") or by its action verb ("never ENROLLED" → enrollments)
+        if neverWords.exists(w => strongTables(slice, w).contains(e.fromTable) ||
+          verbStemTables(slice, w).contains(e.fromTable))
         proj = (Seq(e.toColumn) ++ nameishColumn(cols).toSeq ++ Seq(ageCol)).distinct
       } yield Candidate(
         s"WITH nc AS (SELECT * FROM $entity x WHERE NOT EXISTS " +
           s"(SELECT 1 FROM ${e.fromTable} f WHERE f.${e.fromColumn} = x.${e.toColumn})) " +
           s"SELECT ${proj.mkString(", ")} FROM nc WHERE $ageCol = " +
           s"(SELECT $fn($ageCol) FROM nc) ORDER BY ${e.toColumn} LIMIT $DefaultLimit",
-        0.92, "template_superlative_anti_join"))
+        // 0.93: when the superlative carries a "never …" relative
+        // clause, the tie-argmax join (0.92) reads straight through
+        // the negation — the negated cohort reading must win the tie
+        0.93, "template_superlative_anti_join"))
     }
 
   // ----------------------- dimension-value scalar agg through a join
@@ -536,15 +561,26 @@ private[gen] trait TemplatesShapes8 { this: Templates.type =>
   def distinctCountArgmaxCandidates(slice: SchemaSlice, fks: Seq[FkEdge],
       question: String): Seq[Candidate] =
     distinctCountArgmaxRe.findFirstMatchIn(question).toSeq.flatMap { m =>
-      val factNoun = Option(m.group(2)).map(_.trim).getOrElse("")
+      // with no noun between verb and "the most", the greedy noun slot
+      // swallows the PREPOSITION ("enrolled IN the most…") — reclassify
+      // it as the direction hint, not a table name
+      val preps = Set("to", "from", "in", "at", "on", "of")
+      val rawNoun = Option(m.group(2)).map(_.trim).getOrElse("")
+      val factNoun = if (preps(rawNoun.toLowerCase)) "" else rawNoun
+      val hint = Option(m.group(3))
+        .orElse(Some(rawNoun).filter(w => preps(w.toLowerCase)))
+      // action-named facts ("has ENROLLED in the most…") reach the
+      // candidate set through the verb stem; noun links stay primary
+      val stemFacts = question.toLowerCase.split(raw"[^a-z0-9_]+").toSeq
+        .flatMap(verbStemTables(slice, _))
       singleGrounding(for {
         fact <- (if (factNoun.nonEmpty) strongTables(slice, factNoun)
-        else linkedTables(slice, question)).distinct
+        else linkedTables(slice, question) ++ stemFacts).distinct
         cols = slice.tables(fact)
         entityCol <- (strongColumn(m.group(1), cols) orElse
           strongColumn(m.group(1) + "code", cols) orElse
           strongColumn(m.group(1) + "_id", cols)).toSeq
-        member <- directionalColumn(m.group(4), Option(m.group(3)),
+        member <- directionalColumn(m.group(4), hint,
           cols.filterNot(_ == entityCol)).toSeq
       } yield Candidate(
         s"WITH t AS (SELECT $entityCol, COUNT(DISTINCT $member) AS n FROM $fact " +

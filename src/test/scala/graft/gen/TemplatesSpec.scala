@@ -2302,4 +2302,37 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.distinctCountArgmaxCandidates(travelSlice, Nil,
       "Which user has seen the most different cities?").isEmpty)
   }
+
+  test("verb-stem fact linking: action-named facts ground where noun linking misses") {
+    // shape-transfer reads g4/g7: "enrolled" must reach enrollments
+    val school = SchemaSlice(scala.collection.immutable.ListMap(
+      "students" -> Seq("id", "name", "gender", "age"),
+      "enrollments" -> Seq("student_id", "course_id", "term", "numeric_score"),
+      "courses" -> Seq("id", "title")))
+    val schoolFks = Seq(
+      FkEdge("enrollments", "student_id", "students", "id"),
+      FkEdge("enrollments", "course_id", "courses", "id"))
+    val anti = Templates.superlativeAntiJoinCandidates(school, schoolFks,
+      "Who is the youngest student that never enrolled in any course?")
+    assert(anti.nonEmpty && anti.head.sql ==
+      "WITH nc AS (SELECT * FROM students x WHERE NOT EXISTS " +
+        "(SELECT 1 FROM enrollments f WHERE f.student_id = x.id)) " +
+        "SELECT id, name, age FROM nc WHERE age = (SELECT MIN(age) FROM nc) " +
+        "ORDER BY id LIMIT 100", anti)
+    val distinctArg = Templates.distinctCountArgmaxCandidates(school, schoolFks,
+      "Which student has enrolled in the most different courses?")
+    assert(distinctArg.nonEmpty && distinctArg.head.sql ==
+      "WITH t AS (SELECT student_id, COUNT(DISTINCT course_id) AS n FROM enrollments " +
+        "GROUP BY student_id) SELECT student_id FROM t " +
+        "WHERE n = (SELECT MAX(n) FROM t) ORDER BY student_id", distinctArg)
+    // an ambiguous stem grounds nothing: two tables share the prefix
+    val ambig = SchemaSlice(scala.collection.immutable.ListMap(
+      "students" -> Seq("id", "age", "name"),
+      "enrollments" -> Seq("student_id", "course_id"),
+      "enrollment_audit" -> Seq("student_id", "course_id")))
+    assert(Templates.superlativeAntiJoinCandidates(ambig,
+      Seq(FkEdge("enrollments", "student_id", "students", "id"),
+        FkEdge("enrollment_audit", "student_id", "students", "id")),
+      "Who is the oldest student that never enrolled in any course?").isEmpty)
+  }
 }
