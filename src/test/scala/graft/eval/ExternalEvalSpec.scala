@@ -21,7 +21,7 @@ class ExternalEvalSpec extends SparkSpec {
     assert(cs.forall(_.provenance.nonEmpty))
     assert(cs.map(_.clazz).toSet ==
       Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase",
-        "benchmark-derived"))
+        "benchmark-derived", "shape-transfer"))
     // verbatim+template cases dominate: the builder-worded classes stay
     // a minority of the set
     assert(cs.count(_.clazz == "phrase-derived") * 2 <= cs.size)
@@ -49,7 +49,7 @@ class ExternalEvalSpec extends SparkSpec {
     // every class reports stats
     assert(report.byClass.keySet ==
       Set("verbatim", "template-instantiated", "phrase-derived", "paraphrase",
-        "benchmark-derived"))
+        "benchmark-derived", "shape-transfer"))
   }
 
   test("fixture invariants the published questions depend on hold") {
