@@ -50,6 +50,29 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /** Scale-adaptive range-partition count for the prefix sum: every
+    * public entry point defaults `partitions = 0`, meaning "derive from
+    * the input's optimizer size estimate" — a fixed constant is wrong at
+    * BOTH ends (64 partitions over a kilobyte fixture pays 64× the task
+    * overhead for nothing; 64 over a 100 TB corpus's counts frame makes
+    * multi-GB partitions). Target ~32 MB of the narrow (id, count)
+    * frame per partition, floored at 1 and capped at
+    * max(4 × defaultParallelism, 64) so the count grows with the
+    * cluster, not unboundedly with a bad estimate. Inputs with no
+    * usable estimate (> 1 PiB ≈ the catalyst unknown-stats sentinel,
+    * e.g. LogicalRDD-backed streaming batches) keep the historical 64.
+    * Explicit `partitions > 0` is honored verbatim (the PackingSpec
+    * partition-invariance pin relies on it; results are
+    * partition-invariant either way). */
+  private[operators] def derivePartitions(df: DataFrame, explicit: Int): Int =
+    if (explicit > 0) explicit
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val cap = math.max(4L * df.sparkSession.sparkContext.defaultParallelism, 64L)
+      if (bytes > (BigInt(1L) << 50)) 64
+      else math.max(1L, math.min(bytes.toLong / (32L << 20) + 1L, cap)).toInt
+    }
+
   /** Exclusive global token offset of each row under the total order
     * `orderCol` (must be unique): (columns of `df`) + `__off`.
     * `nTokensCol` must be a non-negative BIGINT.
@@ -66,7 +89,7 @@ object Packing {
     * after materializing the result. */
   private[graft] def globalPrefixSum(df: DataFrame, orderCol: String,
       nTokensCol: String, partitions: Int): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, col(orderCol))
+    val ranged = df.repartitionByRange(derivePartitions(df, partitions), col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist()
     val localW = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
@@ -103,7 +126,7 @@ object Packing {
    *   - `seq_off`     — offset of the first token inside `first_seq`.
    */
   def packOffsetsFromCounts(df: DataFrame, idCol: String,
-      nTokensCol: String, seqLen: Int, partitions: Int = 64,
+      nTokensCol: String, seqLen: Int, partitions: Int = 0,
       base: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     // `base` shifts the whole stream: the streaming maintainer packs
@@ -127,7 +150,7 @@ object Packing {
   /** [[packOffsetsFromCounts]] over raw text: whitespace token counts
     * ([[TextAnalysis.tokenCount]] semantics — blank text counts 0). */
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, partitions: Int = 64): DataFrame =
+      seqLen: Int, partitions: Int = 0): DataFrame =
     packOffsetsFromCounts(
       docs.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
@@ -143,7 +166,7 @@ object Packing {
    * this is the corpus-level scorecard.
    */
   def packingStats(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, partitions: Int = 64): DataFrame = {
+      seqLen: Int, partitions: Int = 0): DataFrame = {
     val packed = packOffsets(docs, idCol, textCol, seqLen, partitions)
     // ceil-div in exact longs: (a + L - 1) div L
     val nSeqs = expr(s"(total_tokens + ${seqLen.toLong - 1}L) div ${seqLen}L")
@@ -178,7 +201,7 @@ object Packing {
    * slices, never itself), so no group can blow an executor.
    */
   def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, partitions: Int = 64): DataFrame = {
+      seqLen: Int, partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val l = seqLen.toLong
     // counts branch: the allocation-free counting expression — same
@@ -231,7 +254,7 @@ object Packing {
    * for kept documents — all BIGINT.
    */
   def selectByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
-      rankCol: String, budgetTokens: Long, partitions: Int = 64): DataFrame = {
+      rankCol: String, budgetTokens: Long, partitions: Int = 0): DataFrame = {
     require(budgetTokens >= 0, s"budget must be non-negative, got $budgetTokens")
     // `col(rankCol) * -1` on a non-numeric column would not fail — it
     // would silently null the sort key (ANSI off) and scramble the

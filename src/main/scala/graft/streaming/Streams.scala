@@ -1209,7 +1209,7 @@ object Streams {
    * (the stream IS the concatenation order).
    */
   final class PackingMaintainer(idCol: String, textCol: String,
-      seqLen: Int, partitions: Int = 64) {
+      seqLen: Int, partitions: Int = 0) {
     private var total: Long = 0L
     /** Tokens ingested so far. */
     def totalTokens: Long = synchronized(total)

@@ -100,6 +100,32 @@ class GraphsSpec extends SparkSpec {
     assert(multi === Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
   }
 
+  test("reachability: driver BFS fast path equals the distributed loop") {
+    // shortcut + cycle + a dst-only node reached through two hops
+    val g = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"),
+      ("c", "e"))
+    val src = Seq("a").toDF("node")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // smallGraphThreshold = 0 pins the distributed path; default takes local
+    val dist = asMap(Graphs.reachability(g, src, maxDepth = 10,
+      smallGraphThreshold = 0L))
+    val local = asMap(Graphs.reachability(g, src, maxDepth = 10))
+    assert(local === dist)
+    // depth cap agrees across paths too
+    val dist1 = asMap(Graphs.reachability(g, src, maxDepth = 1,
+      smallGraphThreshold = 0L))
+    val local1 = asMap(Graphs.reachability(g, src, maxDepth = 1))
+    assert(local1 === dist1)
+    // long-id graphs (the x_graph_reach shape) keep their column type
+    val gl = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val rl = Graphs.reachability(gl, Seq(0L).toDF("node"), maxDepth = 10)
+    assert(rl.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rl.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("triangleStats: K4 has 4 triangles and clustering 1.0") {
     val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b) yield (a, b)
     val r = Graphs.triangleStats(edges(k4: _*)).collect()(0)

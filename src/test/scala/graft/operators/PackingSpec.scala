@@ -28,6 +28,17 @@ class PackingSpec extends SparkSpec {
       Seq(0L, 3L, 0L, 0L, 0L, 2L))
   }
 
+  test("derivePartitions: explicit count honored, tiny input derives 1, unknown stats fall back") {
+    // explicit > 0 is verbatim (partition-invariance pin depends on it)
+    assert(Packing.derivePartitions(counts, 8) == 8)
+    // a 6-row local relation derives the minimum, not the old 64
+    assert(Packing.derivePartitions(counts, 0) == 1)
+    // auto default end-to-end: same offsets as any explicit partitioning
+    val auto = Packing.packOffsetsFromCounts(counts, "doc_id", "n", 4)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("global_off")).toSeq
+    assert(auto == Seq(0L, 3L, 8L, 8L, 12L, 14L))
+  }
+
   test("packOffsetsFromCounts: partition-invariant (1, 3, and 8 partitions agree)") {
     val one = Packing.packOffsetsFromCounts(counts, "doc_id", "n", 4, partitions = 1)
       .orderBy("doc_id").collect().toSeq
