@@ -101,8 +101,18 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
+  /** Default banding (r18 optimization): 64 hashes / 16 bands = 4 rows
+    * per band. Halving the signature from 128 hashes halves the
+    * dominant per-shingle cost (the signature loop is the measured
+    * hot spot of every minhash query), and at FIXED band count fewer
+    * rows per band strictly RAISES per-pair recall at every Jaccard
+    * level (1−(1−J^4)^16 > 1−(1−J^8)^16 for all J in (0,1)): a planted
+    * J=0.8 duplicate's miss probability drops 0.053 → 2e-4. The price
+    * is more low-J candidates reaching the exact-Jaccard verify
+    * (per-band collision selectivity J^4 vs J^8), which the
+    * maxBucketSize cap and the size-ratio prefilter bound. */
   final case class LshConfig(
-      numHashes: Int = 128,
+      numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
       /** buckets larger than this are dropped (and counted) to bound the
