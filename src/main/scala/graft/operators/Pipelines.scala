@@ -167,15 +167,21 @@ object Pipelines {
    * unpersist via [[graft.operators.Dedup.minhashNearDuplicatesWithCleanup]])
    * after materializing the result.
    *
-   * Composition choice is MEASURED, not assumed (round 13, ProbeCurate
-   * interleaved A/B at sf0.1): a shared-tokenization variant (shingle
-   * once, thread the distinct-shingle arrays through LSH + decontam)
-   * LOSES here — 2.05s vs 1.95s min-of-5, and 4.8s when the shared
-   * projection is checkpointed — because carrying shingle arrays
-   * through the anti-join/decontam exchanges costs more than
-   * recomputing them inside each stage's codegen span. The audit twin
-   * ([[curationAudit]]), whose shared frame feeds FOUR consumers, keeps
-   * the shared form (2.02s vs 2.24s). See COVERAGE.md round-13 notes.
+   * Composition choice is MEASURED, not assumed. Round 13 (ProbeCurate
+   * interleaved A/B at sf0.1) kept the text form here — the shared-
+   * shingle variant lost 2.05s vs 1.95s because carrying shingle
+   * arrays through the anti-join/decontam exchanges cost more than
+   * recomputing them in each stage's codegen span. Round 18 RE-measured
+   * after the LSH signature halved (64 hashes): with hashing cheaper,
+   * shingling's relative weight doubled and the shared form now WINS —
+   * 2.07s vs 2.56s min-of-5, row-identical output
+   * (ProbeR18CurateAB asserts set equality) — so this is the audit
+   * twin's composition: shingle ONCE (lazy localCheckpoint, no session
+   * cache entry), thread the distinct-shingle arrays through LSH
+   * ([[Dedup.minhashNearDuplicatesPreShingled]]) and decontamination
+   * ([[Decontamination.overlapsPreShingled]]). Stage math is identical
+   * to the text form (MinHash is duplicate-invariant; the verify side
+   * always used distinct arrays), so curate ≡ audit stays spec-pinned.
    */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,
@@ -185,11 +191,16 @@ object Pipelines {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
     val quality = qualityFilter(docs, idCol, textCol)
     val exact = Dedup.dedupExact(quality, idCol, Seq(textCol))
-    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol, nearThreshold)
+    val shared = exact.withColumn("__sh",
+      array_distinct(Dedup.shingles(col(textCol), 3))).localCheckpoint(eager = false)
+    val pairs = Dedup.minhashNearDuplicatesPreShingled(
+      shared, idCol, "__sh", nearThreshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
-    val deduped = exact.join(losers, Seq(idCol), "left_anti")
-    val clean = Decontamination.decontaminate(
-      deduped, idCol, textCol, evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+    val deduped = shared.join(losers, Seq(idCol), "left_anti")
+    val contam = Decontamination.overlapsPreShingled(
+      deduped, idCol, "__sh", evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+      .select(col(idCol))
+    val clean = deduped.join(contam, Seq(idCol), "left_anti").drop("__sh")
     Sampling.split(clean, idCol, splits)
   }
 
