@@ -2371,6 +2371,20 @@ object ExtensionQueries {
     * inside `ms` is STOPPED and the row fails loud — reading the memory
     * sink of a still-running query would surface as a confusing oracle
     * mismatch instead of a timeout (round-14 ADVICE). */
+  /** Replay-scoped state partition count, derived from the collected
+    * feed size (free — the feed is on the driver by construction).
+    * Round-18 measurement, both directions: at fixture scale (≤150k
+    * rows) per-partition state-store COMMIT dominates, and 1 partition
+    * beats 4 by ~2× (ProbeR18Stream interleaved A/B: 2.5s vs 4.5s);
+    * at the 10× force fixture the state/compute is 10× bigger and 1
+    * partition serializes it (x_stream_join 3.5s@4 vs 8.7s@1 in
+    * BENCH_force). Neither constant is right at both ends — derive
+    * from rows, one partition per ~150k feed rows, capped at the
+    * pre-round 4 (production sizes the same scoped conf to
+    * throughput). */
+  private def replayPartitions(nRows: Int): String =
+    math.min(4, nRows / 150000 + 1).toString
+
   private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
       ms: Long = 120000L): Unit = {
     val done = q.awaitTermination(ms)
@@ -2669,7 +2683,7 @@ object ExtensionQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
         val q = graft.streaming.Streams.sessionizeTws(in.toDS(), gapMs = 30L * 60 * 1000)
           .writeStream.format("memory").queryName("x_tws_sessions_sink")
@@ -3830,7 +3844,7 @@ object ExtensionQueries {
       // 1 (fixture state is KB-sized; results are partition-invariant —
       // production sizes this to throughput via the same scoped conf)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
         val q = joined.writeStream.format("memory").queryName("x_stream_join_sink")
           .outputMode("append")
@@ -3888,7 +3902,7 @@ object ExtensionQueries {
       // turn this row into the inner join (round-16 self-review). Pin
       // true for this query, restore after.
       val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       try {
         val q = joined.writeStream.format("memory")
@@ -3930,7 +3944,7 @@ object ExtensionQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
         val q = graft.streaming.Streams.runningTotalsStream(in.toDS())
           .writeStream.format("memory").queryName("x_tws_totals_sink")
@@ -3978,7 +3992,7 @@ object ExtensionQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
         val q = graft.streaming.Streams
           .runningTotalsBootstrapped(in.toDS(), snapshot)
@@ -4021,7 +4035,7 @@ object ExtensionQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
         val q = graft.streaming.Streams.topKRecentStream(in.toDS(), k = 3, recentSize = 20)
           .writeStream.format("memory").queryName("x_tws_topk_sink")
