@@ -688,11 +688,50 @@ object Dedup {
    * per-pair intersection counts). Quadratic only within shingle groups;
    * `maxPostings` caps degenerate shingles (stop-shingles) the same way
    * a text index drops stop words.
+   *
+   * ==Exact-duplicate grouping (r19 optimization, guide §8)==
+   * Verbatim duplicates — the dominant redundancy in any crawl, and
+   * exactly what the 10× force fixture replicates — share their entire
+   * shingle set, so every copy pays the full quadratic pair cost for
+   * information one representative already carries. The kernel now
+   * collapses identical texts to one GROUP row before the inverted
+   * index (one text-keyed exchange, the same shape [[dedupExact]]
+   * ships), runs the posting/pair/intersection stages at group grain,
+   * and expands the verified group pairs back to member pairs at the
+   * very end. Result-IDENTICAL to the ungrouped kernel (differential-
+   * pinned in DedupNgramSpec, incl. cap-engaging and null-id cases):
+   *  - the cap condition compares the TRUE member count (Σ group
+   *    sizes per shingle) against `maxPostings`, the same number the
+   *    ungrouped posting-list length carried;
+   *  - members of one group have identical shingle sets, so every
+   *    member pair of a group pair shares the same (inter, na, nb)
+   *    and therefore the same jaccard — including within-group pairs,
+   *    whose jaccard falls below 1.0 exactly when capped lists drop
+   *    shared shingles, which the (A,A) self-pair reproduces;
+   *  - null ids never emit pairs (old: `a.id < b.id` is null-false;
+   *    new: `min`/`collect_list` skip nulls) while still occupying
+   *    cap slots (`count(*)` counts them) — both sides agree.
+   * Measured (ProbeR19Ngram, interleaved min-of-3): 10× force fixture
+   * 11.4s → 1.1s (the intersection aggregation shrinks ~replication²:
+   * Σk² 279M → group-grain); sf0.1 pays ~+0.3s of extra stages
+   * (text groupBy + two member joins) — the fixture-scale price of
+   * the at-scale shape, same tradeoff as the r18 feed-derived replay
+   * partitions.
    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxPostings: Int = 500): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+    // one row per DISTINCT text: representative id (min), member count,
+    // member ids. Lazy localCheckpoint: the frame feeds both the
+    // posting pipeline and the final member expansion — RDD-owned
+    // blocks, no session cache entry (the minhashNearDuplicates
+    // discipline).
+    val groups = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    val gsh = groups.select(col("gid"), col("g"),
+        array_distinct(shingles(col("__text"), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     // One shuffle: group the inverted index by shingle, cap the posting
     // list (stop-shingle guard), and generate pairs inside each list —
@@ -703,6 +742,59 @@ object Dedup {
     // A 64-bit collision would merge two shingles' posting lists —
     // P ≈ m²/2⁶⁵ for m distinct shingles, negligible below ~10⁸ shingles
     // per corpus; pass a wider custom hash here before going past that.
+    val postings = gsh.select(col("gid"), col("g"), col("n_sh"), explode(col("sh")).as("__shingle"))
+      .select(col("gid"), col("g"), col("n_sh"), xxhash64(col("__shingle")).as("shingle"))
+    val lists = postings.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("gid"), col("n_sh"), col("g")))).as("ps"),
+        sum(col("g")).as("n_members"))
+      .where(col("n_members").between(2, maxPostings))
+    lists
+      // unordered combinations, not the k² cross product: posexplode
+      // positions each entry; pairing with the slice FROM ITSELF
+      // onward emits k(k+1)/2 rows — (i,i) is the within-group pair,
+      // kept only when the group has ≥2 members; sort_array makes
+      // gid_a ≤ gid_b hold by construction (gids are unique per list)
+      .select(posexplode(col("ps")).as(Seq("__i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("__i") + 1, size(col("ps")) - col("__i"))).as("b"))
+      // Length filter (guaranteed-safe prune, not a heuristic): with
+      // na <= nb, J <= |A∩B|/nb <= na/nb, so J >= t forces
+      // t*nb <= na (and symmetrically t*na <= nb). Pairs with
+      // mismatched shingle-set sizes drop BEFORE the intersection
+      // count aggregation ever sees them.
+      .where((col("a.gid") =!= col("b.gid") || col("a.g") >= 2) &&
+        col("a.n_sh") >= col("b.n_sh") * threshold &&
+        col("b.n_sh") >= col("a.n_sh") * threshold)
+      .groupBy(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      // expand verified GROUP pairs to member pairs: cross-group pairs
+      // emit each unordered member pair once (canonical id order via
+      // when/otherwise); within-group (gid_a = gid_b) pairs emit the
+      // member combinations via the `<` filter over the self cross
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("__ms_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("__ms_b")), "gid_b")
+      .select(col("gid_a"), col("gid_b"), col("jaccard"),
+        explode(col("__ms_a")).as("__ia"), col("__ms_b"))
+      .select(col("gid_a"), col("gid_b"), col("jaccard"), col("__ia"),
+        explode(col("__ms_b")).as("__ib"))
+      .where(col("gid_a") =!= col("gid_b") || col("__ia") < col("__ib"))
+      .select(when(col("__ia") < col("__ib"), col("__ia")).otherwise(col("__ib")).as("id_a"),
+        when(col("__ia") < col("__ib"), col("__ib")).otherwise(col("__ia")).as("id_b"),
+        col("jaccard"))
+  }
+
+  /** The pre-r19 UNGROUPED kernel, kept as the differential-testing
+    * reference for [[ngramJaccardPairs]] (DedupNgramSpec asserts
+    * set-identical output on duplicate-heavy, cap-engaging, and
+    * null-id corpora). Not on any query path. */
+  private[graft] def ngramJaccardPairsUngrouped(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxPostings: Int = 500): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
     val postings = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("__shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("__shingle")).as("shingle"))
     val lists = postings.groupBy("shingle")
@@ -711,11 +803,6 @@ object Dedup {
     lists
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
-      // Length filter (guaranteed-safe prune, not a heuristic): with
-      // na <= nb, J <= |A∩B|/nb <= na/nb, so J >= t forces
-      // t*nb <= na (and symmetrically t*na <= nb). Pairs with
-      // mismatched shingle-set sizes drop BEFORE the intersection
-      // count aggregation ever sees them.
       .where(col("a.id") < col("b.id") &&
         col("a.n_sh") >= col("b.n_sh") * threshold &&
         col("b.n_sh") >= col("a.n_sh") * threshold)
