@@ -2379,11 +2379,16 @@ object ExtensionQueries {
     * at the 10× force fixture the state/compute is 10× bigger and 1
     * partition serializes it (x_stream_join 3.5s@4 vs 8.7s@1 in
     * BENCH_force). Neither constant is right at both ends — derive
-    * from rows, one partition per ~150k feed rows, capped at the
-    * pre-round 4 (production sizes the same scoped conf to
-    * throughput). */
+    * from rows, one partition per ~150k feed rows (production sizes
+    * the same scoped conf to throughput). Cap raised 4 → 8 in r19:
+    * the 1M-row force feed derives 7, which ProbeR19TwsParts measured
+    * ~20% faster than 4 (9.7→7.4s / 6.4→5.3s interleaved) with a
+    * bit-identical emitted row set — per-key row order is preserved
+    * (single feed partition, each key in one state partition), so
+    * even float folds are unchanged. Fixture-scale feeds (≤150k)
+    * still derive 1. */
   private def replayPartitions(nRows: Int): String =
-    math.min(4, nRows / 150000 + 1).toString
+    math.min(8, nRows / 150000 + 1).toString
 
   private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
       ms: Long = 120000L): Unit = {
@@ -3841,8 +3846,9 @@ object ExtensionQueries {
       // Round-18 measurement (ProbeR18Stream, interleaved): the SAME
       // replay at 4 partitions ≈ 4.5s vs 2.5s at 1 — per-partition store
       // commit is the whole gap, so every stream replay below scopes to
-      // 1 (fixture state is KB-sized; results are partition-invariant —
-      // production sizes this to throughput via the same scoped conf)
+      // the feed-derived count (1 at fixture scale, up to 8 at force
+      // scale; results are partition-invariant — production sizes this
+      // to throughput via the same scoped conf)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", replayPartitions(ev.length))
       try {
