@@ -81,6 +81,51 @@ object ProbeR19Plans {
     })
     after("x_leakage_split")
 
+    // ---- x_anomaly_mad: before = unshared median frame (the med
+    // percentile aggregation planned twice, no ReusedExchange) ----
+    val events = spark.table("events")
+    dump("x_anomaly_mad_before", {
+      val med = events.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("__med"))
+      val withDev = events.join(med, "event_type")
+        .withColumn("__adev", abs(col("value") - col("__med")))
+      val madF = withDev.groupBy(col("event_type"))
+        .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+      withDev.join(madF, "event_type")
+        .where(col("__mad") > 0 && col("__adev") > lit(3.0) * 1.4826 * col("__mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("__med")) / (lit(1.4826) * col("__mad")), 4)
+            .as("robust_z"))
+        .orderBy("event_id").limit(500)
+    })
+    after("x_anomaly_mad")
+
+    // ---- x_cooccurrence: before = basket-key self-join pair stage ----
+    dump("x_cooccurrence_before", {
+      val baskets = events
+        .select(col("user_id").as("__u"), to_date(col("ts")).as("__d"),
+          col("event_type").as("__t"))
+        .distinct()
+        .localCheckpoint()
+      val nBaskets = baskets.select("__u", "__d").distinct().count().toDouble
+      val perType = baskets.groupBy(col("__t")).agg(count(lit(1)).as("__n1"))
+      val pairs = baskets.join(
+          baskets.select(col("__u"), col("__d"), col("__t").as("__t2")),
+          Seq("__u", "__d"))
+        .where(col("__t") < col("__t2"))
+        .groupBy(col("__t"), col("__t2")).agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(perType.select(col("__t"), col("__n1").as("__na")), "__t")
+        .join(perType.select(col("__t").as("__t2"), col("__n1").as("__nb")), "__t2")
+        .select(col("__t").as("type_a"), col("__t2").as("type_b"), col("n_both"),
+          round(col("n_both") / nBaskets, 6).as("support"),
+          round(col("n_both").cast("double") / col("__na"), 6).as("confidence"),
+          round((col("n_both").cast("double") / col("__na")) /
+            (col("__nb") / nBaskets), 6).as("lift"))
+        .orderBy("type_a", "type_b")
+    })
+    after("x_cooccurrence")
+
     spark.stop()
   }
 }
