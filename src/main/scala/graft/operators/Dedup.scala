@@ -167,7 +167,8 @@ object Dedup {
    */
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): DataFrame =
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig(),
+      groupExact: Boolean = true): DataFrame =
     // handle-less convenience: the shared candidate-pair frame
     // materializes via LAZY localCheckpoint, whose blocks belong to the
     // RDD (GC-released), not the session CacheManager — so this overload
@@ -176,7 +177,7 @@ object Dedup {
     // prefer [[minhashNearDuplicatesWithCleanup]] (lineage-preserving
     // persist + explicit release).
     minhashCore(df, idCol, textCol, threshold, cfg,
-      d => d.localCheckpoint(eager = false))._1
+      d => d.localCheckpoint(eager = false), groupExact)._1
 
   /**
    * [[minhashNearDuplicates]] plus a cleanup handle that unpersists the
@@ -190,10 +191,11 @@ object Dedup {
    */
   def minhashNearDuplicatesWithCleanup(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, cfg: LshConfig = LshConfig()): (DataFrame, () => Unit) = {
+      threshold: Double = 0.8, cfg: LshConfig = LshConfig(),
+      groupExact: Boolean = true): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     minhashCore(df, idCol, textCol, threshold, cfg,
-      d => d.persist(StorageLevel.MEMORY_AND_DISK))
+      d => d.persist(StorageLevel.MEMORY_AND_DISK), groupExact)
   }
 
   /**
@@ -262,11 +264,28 @@ object Dedup {
 
   /** Shared LSH-verify pipeline; `share` decides how the reused
     * candidate-pair frame materializes (persist vs lazy localCheckpoint —
-    * see the two public entry points). */
+    * see the two public entry points).
+    *
+    * `groupExact` (r19, guide §8 — the [[ngramJaccardPairs]] analysis
+    * applied to LSH): verbatim duplicates share their whole signature,
+    * so every copy hashes, bands, pairs and verifies redundantly. When
+    * true (default), identical texts collapse to one GROUP row before
+    * the signature (one text-keyed exchange): hashing/banding runs once
+    * per distinct text, the bucket cap compares Σ group sizes (the same
+    * member count the ungrouped bucket carried), candidate pairs and
+    * the exact-Jaccard verify run at group grain (identical texts ⇒
+    * identical shingle sets ⇒ identical jaccard for every member pair),
+    * and verified group pairs expand back to member pairs at the end —
+    * result-identical (differential-pinned in DedupNgramSpec).
+    * Callers whose input is ALREADY exact-deduped (Pipelines.dedupCorpus
+    * runs after [[dedupExact]]) pass false: every group would be a
+    * singleton and the grouping exchange pure overhead. */
   private def minhashCore(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, cfg: LshConfig,
-      share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+      share: DataFrame => DataFrame,
+      groupExact: Boolean = true): (DataFrame, () => Unit) = {
+    if (groupExact) return minhashCoreGrouped(df, idCol, textCol, threshold, cfg, share)
     // candidate pairs are shared (tiny: ≈ dup-rate × corpus) so the
     // member id set below doesn't re-run the LSH pipeline
     val pairs = share(minhashCandidatePairs(df, idCol, textCol, cfg))
@@ -280,6 +299,59 @@ object Dedup {
       .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), cfg.shingleSize)).as("sh"))
     (verifyByShingles(pairs, sh, threshold),
       () => { pairs.unpersist(blocking = false); () })
+  }
+
+  /** [[minhashCore]] with exact-duplicate grouping (see its doc). */
+  private def minhashCoreGrouped(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, cfg: LshConfig,
+      share: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+    val groups = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    val gb = groups.select(col("gid"), col("g"),
+        graft.functions.minhash_buckets(shingles(col("__text"), cfg.shingleSize),
+          cfg.numHashes, cfg.bands, cfg.seed).as("buckets"))
+      .where(col("buckets").isNotNull)
+      .select(col("gid"), col("g"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // bucket-size cap on the TRUE member count (Σg — all members of a
+    // group band identically, so the ungrouped bucket held exactly
+    // these members); pair generation is combinations-with-self
+    // (slice from i+1): (i,i) is the within-group pair, kept only for
+    // groups with ≥2 members
+    val glists = gb.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(struct(col("gid"), col("g")))).as("ps"),
+        sum(col("g")).as("n"))
+      .where(col("n") > 1 && col("n") <= cfg.maxBucketSize)
+    val gpairs = share(glists
+      .select(posexplode(col("ps")).as(Seq("__i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("__i") + 1, size(col("ps")) - col("__i"))).as("b"))
+      .where(col("a.gid") =!= col("b.gid") || col("a.g") >= 2)
+      .select(col("a.gid").as("id_a"), col("b.gid").as("id_b"))
+      .distinct())
+    // verify at GROUP grain: representative shingle sets only
+    val candGids = gpairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val gsh = groups.join(candGids, groups("gid") === candGids("id"), "left_semi")
+      .select(col("gid").as("id"),
+        array_distinct(shingles(col("__text"), cfg.shingleSize)).as("sh"))
+    val out = verifyByShingles(gpairs, gsh, threshold)
+      // expand verified group pairs to member pairs (canonical id
+      // order; within-group pairs via the `<` filter over the self
+      // cross — the ngramJaccardPairs expansion shape)
+      .join(groups.select(col("gid").as("id_a"), col("members").as("__ms_a")), "id_a")
+      .join(groups.select(col("gid").as("id_b"), col("members").as("__ms_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        explode(col("__ms_a")).as("__ia"), col("__ms_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("__ia"),
+        explode(col("__ms_b")).as("__ib"))
+      .where(col("id_a") =!= col("id_b") || col("__ia") < col("__ib"))
+      .select(when(col("__ia") < col("__ib"), col("__ia")).otherwise(col("__ib")).as("id_a"),
+        when(col("__ia") < col("__ib"), col("__ib")).otherwise(col("__ia")).as("id_b"),
+        col("jaccard"))
+    (out, () => { gpairs.unpersist(blocking = false); () })
   }
 
   /**
@@ -653,8 +725,63 @@ object Dedup {
    * `maxDistance + 1` chunks; any pair within the distance must agree on
    * at least one chunk exactly — bucket-join on (chunk index, chunk value)
    * then verify with the exact popcount.
+   *
+   * Exact-duplicate grouping (r19): identical texts share their whole
+   * SimHash, so — as in [[ngramJaccardPairs]] and [[minhashCore]] —
+   * they collapse to one group row before hashing/banding; the bucket
+   * cap compares Σ group sizes (the ungrouped bucket's member count),
+   * pairs generate at group grain (combinations incl. the (A,A) self
+   * pair for groups of ≥2, whose Hamming distance is 0 and always
+   * ≤ maxDistance), and verified group pairs expand to member pairs —
+   * result-identical (differential-pinned in DedupNgramSpec).
    */
   def simhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val groups = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    val gsh = groups.select(col("gid"), col("g"),
+      simhash64(tokens(col("__text")), seed).as("simhash"))
+    val bandStructs = (0 until chunks).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit((1L << bits) - 1)).as("value"))
+    }
+    val banded = gsh.select(col("gid"), col("g"), col("simhash"),
+        explode(array(bandStructs: _*)).as("c"))
+      .select(col("gid"), col("g"), col("simhash"), col("c.chunk"), col("c.value"))
+    val glists = banded.groupBy("chunk", "value")
+      .agg(sort_array(collect_list(struct(col("gid"), col("simhash"), col("g")))).as("ps"),
+        sum(col("g")).as("n"))
+      .where(col("n") > 1 && col("n") <= maxBucketSize)
+    glists
+      .select(posexplode(col("ps")).as(Seq("__i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("__i") + 1, size(col("ps")) - col("__i"))).as("b"))
+      .where(col("a.gid") =!= col("b.gid") || col("a.g") >= 2)
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+      .distinct()
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("__ms_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("__ms_b")), "gid_b")
+      .select(col("gid_a"), col("gid_b"), col("hamming"),
+        explode(col("__ms_a")).as("__ia"), col("__ms_b"))
+      .select(col("gid_a"), col("gid_b"), col("hamming"), col("__ia"),
+        explode(col("__ms_b")).as("__ib"))
+      .where(col("gid_a") =!= col("gid_b") || col("__ia") < col("__ib"))
+      .select(when(col("__ia") < col("__ib"), col("__ia")).otherwise(col("__ib")).as("id_a"),
+        when(col("__ia") < col("__ib"), col("__ib")).otherwise(col("__ia")).as("id_b"),
+        col("hamming"))
+  }
+
+  /** The pre-r19 UNGROUPED simhash pair pipeline, kept as the
+    * differential-testing reference for [[simhashNearDuplicates]].
+    * Not on any query path. */
+  private[graft] def simhashNearDuplicatesUngrouped(
       df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
     val chunks = maxDistance + 1

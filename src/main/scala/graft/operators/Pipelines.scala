@@ -41,7 +41,11 @@ object Pipelines {
     val afterExact = exact.count()
 
     val (pairs, releasePairs) =
-      Dedup.minhashNearDuplicatesWithCleanup(exact, idCol, textCol, nearThreshold, cfg)
+      // groupExact = false: `exact` is the dedupExact output, so every
+      // text is unique by construction — the r19 duplicate-grouping
+      // exchange would only build singleton groups
+      Dedup.minhashNearDuplicatesWithCleanup(exact, idCol, textCol, nearThreshold, cfg,
+        groupExact = false)
     // drop the larger id of every near-dup pair; a doc surviving means no
     // pair names it as the larger member
     val losers = pairs.select(col("id_b").as(idCol)).distinct()

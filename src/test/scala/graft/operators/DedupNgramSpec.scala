@@ -92,4 +92,49 @@ class DedupNgramSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     assertSame(docs, idCol = "doc_id", n = 3, threshold = 0.8)
   }
+
+  // ---- minhash / simhash grouping (same equivalence argument) ----
+
+  private lazy val dupCorpus = {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"),   // near dup of group {1,2,3}
+      (5L, "one two three four five six"),
+      (6L, "one two three four five six"),
+      (7L, "totally different words here entirely now"))
+    base.toDF("id", "text")
+  }
+
+  test("minhash: grouped ≡ ungrouped on a duplicate-heavy corpus and the fixture") {
+    for ((df, id) <- Seq((dupCorpus, "id"),
+        (spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))) {
+      val a = Dedup.minhashNearDuplicates(df, id, "text", threshold = 0.5)
+      val b = Dedup.minhashNearDuplicates(df, id, "text", threshold = 0.5,
+        cfg = Dedup.LshConfig(), groupExact = false)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"minhash grouped diverged on $id corpus")
+    }
+  }
+
+  test("minhash grouped: maxBucketSize caps on summed member count") {
+    // 5 copies of one text: every (band,bucket) holds 5 members > cap 4
+    // → dropped in BOTH kernels, no pairs
+    val df = (1L to 5L).map(i => (i, "aa bb cc dd ee ff gg")).toDF("id", "text")
+    val cfg = Dedup.LshConfig(maxBucketSize = 4)
+    assert(Dedup.minhashNearDuplicates(df, "id", "text", 0.5, cfg).count() == 0)
+    assert(Dedup.minhashNearDuplicates(df, "id", "text", 0.5, cfg,
+      groupExact = false).count() == 0)
+  }
+
+  test("simhash: grouped ≡ ungrouped on a duplicate-heavy corpus and the fixture") {
+    for ((df, id) <- Seq((dupCorpus, "id"),
+        (spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))) {
+      val a = Dedup.simhashNearDuplicates(df, id, "text", maxDistance = 5)
+      val b = Dedup.simhashNearDuplicatesUngrouped(df, id, "text", maxDistance = 5)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"simhash grouped diverged on $id corpus")
+    }
+  }
 }

@@ -126,6 +126,28 @@ object ProbeR19Plans {
     })
     after("x_cooccurrence")
 
+    // ---- minhash / simhash grouping: before = ungrouped kernels in
+    // the declared compositions ----
+    dump("x_dedup_minhash_before", {
+      val (p, _) = Dedup.minhashNearDuplicatesWithCleanup(
+        docs, "doc_id", "text", threshold = 0.7, Dedup.LshConfig(), groupExact = false)
+      p.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b").limit(100)
+    })
+    after("x_dedup_minhash")
+
+    dump("x_dedup_simhash_before", {
+      val base = docs.select(col("doc_id"), col("text"))
+        .where(graft.operators.TextAnalysis.tokenCount(col("text")) >= 75)
+      val planted = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zqxwv")).as("text"))
+      Dedup.simhashNearDuplicatesUngrouped(base.union(planted), "doc_id", "text",
+        maxDistance = 5)
+        .where(col("id_b") === col("id_a") + 100000)
+        .select("id_a", "id_b").orderBy("id_a").limit(500)
+    })
+    after("x_dedup_simhash")
+
     spark.stop()
   }
 }
