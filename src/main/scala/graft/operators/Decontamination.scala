@@ -171,10 +171,11 @@ object Decontamination {
    * a narrow scan with NO explode and NO shuffle; the explode +
    * broadcast-join of [[overlaps]] touches candidates only.
    *
-   * The Bloom probe is a Scala UDF (Spark's `util.sketch.BloomFilter`
-   * has no public Catalyst expression surface): acceptable here because
-   * it's a row-local screen on an already-computed hash array, outside
-   * the grouping/join hot path.
+   * The Bloom probe is a native codegen expression
+   * ([[graft.functions.BloomCountHits]] — primitives straight off
+   * `ArrayData` inside the scan's codegen span); it replaced the
+   * original Scala UDF, which boxed every shingle hash of every corpus
+   * row across the closure boundary.
    */
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,

@@ -160,9 +160,14 @@ object Graphs {
     // distributed loop below remains the at-scale path (force-scaled in
     // ProbeReachScale; pass smallGraphThreshold = 0 to pin it).
     if (e.count() <= smallGraphThreshold) {
-      val out = reachabilityLocal(e,
-        sources.select(col(nodeCol).as("node")).distinct(), maxDepth)
-      return out
+      // the fast path collects SOURCES too, so it must also be bounded
+      // on the source count (r18 ADVICE: a tiny edge list paired with a
+      // huge sources frame would otherwise collect unbounded) — an
+      // oversized source set falls through to the distributed loop
+      val src = sources.select(col(nodeCol).as("node")).distinct()
+        .localCheckpoint()
+      if (src.count() <= smallGraphThreshold)
+        return reachabilityLocal(e, src, maxDepth)
     }
     // visited is the LAZY union of checkpointed per-level frames:
     // only each level's NEW nodes are ever materialized, so the total

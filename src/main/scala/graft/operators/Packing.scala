@@ -63,7 +63,16 @@ object Packing {
     * e.g. LogicalRDD-backed streaming batches) keep the historical 64.
     * Explicit `partitions > 0` is honored verbatim (the PackingSpec
     * partition-invariance pin relies on it; results are
-    * partition-invariant either way). */
+    * partition-invariant either way).
+    *
+    * Known low-side limitation (r18 ADVICE): the estimate comes from
+    * Catalyst stats, which can badly UNDERestimate after selective
+    * filters/joins, deriving too few partitions and serializing the
+    * sort — a perf-only risk (results are partition-invariant). Callers
+    * packing a heavily filtered input should pass `partitions`
+    * explicitly; an automatic floor was considered and rejected because
+    * it would re-introduce constant-factor task overhead on the common
+    * (unfiltered scan) path the derivation exists to fix. */
   private[operators] def derivePartitions(df: DataFrame, explicit: Int): Int =
     if (explicit > 0) explicit
     else {

@@ -195,14 +195,18 @@ object Pipelines {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
     val quality = qualityFilter(docs, idCol, textCol)
     val exact = Dedup.dedupExact(quality, idCol, Seq(textCol))
+    // shared shingle size comes from the LSH config (r18 ADVICE: a
+    // literal here would silently diverge from the banding/decontam
+    // semantics if LshConfig.shingleSize ever changed)
+    val sharedN = Dedup.LshConfig().shingleSize
     val shared = exact.withColumn("__sh",
-      array_distinct(Dedup.shingles(col(textCol), 3))).localCheckpoint(eager = false)
+      array_distinct(Dedup.shingles(col(textCol), sharedN))).localCheckpoint(eager = false)
     val pairs = Dedup.minhashNearDuplicatesPreShingled(
       shared, idCol, "__sh", nearThreshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     val deduped = shared.join(losers, Seq(idCol), "left_anti")
     val contam = Decontamination.overlapsPreShingled(
-      deduped, idCol, "__sh", evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+      deduped, idCol, "__sh", evalDocs, evalTextCol, n = sharedN, minOverlap = minOverlap)
       .select(col(idCol))
     val clean = deduped.join(contam, Seq(idCol), "left_anti").drop("__sh")
     Sampling.split(clean, idCol, splits)
@@ -248,8 +252,9 @@ object Pipelines {
     // keeps the unshared form; the stage math is identical in both
     // (MinHash is duplicate-invariant), so audit ≡ pipeline row for
     // row stays spec-pinned
+    val sharedN = Dedup.LshConfig().shingleSize // single shared constant (r18 ADVICE)
     val shared = exact
-      .withColumn("__sh", array_distinct(Dedup.shingles(col(textCol), 3)))
+      .withColumn("__sh", array_distinct(Dedup.shingles(col(textCol), sharedN)))
       .localCheckpoint(eager = false)
     val exactLosers = qpass.select(col(idCol))
       .join(shared.select(col(idCol)), Seq(idCol), "left_anti")
@@ -260,7 +265,7 @@ object Pipelines {
       .withColumn("__near", lit(true))
     val deduped = shared.join(nearLosers.select(col(idCol)), Seq(idCol), "left_anti")
     val contam = Decontamination.overlapsPreShingled(
-        deduped, idCol, "__sh", evalDocs, evalTextCol, n = 3, minOverlap = minOverlap)
+        deduped, idCol, "__sh", evalDocs, evalTextCol, n = sharedN, minOverlap = minOverlap)
       .select(col(idCol)).withColumn("__cont", lit(true))
     val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + (w * 1000).toLong }
     val splitExpr = splits.zipWithIndex.foldLeft(lit("dropped:remainder")) {
