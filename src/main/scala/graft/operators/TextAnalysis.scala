@@ -219,6 +219,40 @@ object TextAnalysis {
    * Output: (idCol, n_bigrams, avg_logp, perplexity).
    */
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Exact-duplicate grouping (r19, the Dedup-kernel analysis applied
+    // to the LM family): identical texts contribute identical bigram
+    // multisets, so the corpus explodes ONCE PER DISTINCT TEXT with the
+    // LM counts weighted by group size (a bigram occurring c times in a
+    // text adds c·g, exactly the c-per-copy the ungrouped explode
+    // added), and the per-document score — a function of the text and
+    // the corpus LM only — computes per group and expands to members.
+    // Differential-pinned in DedupNgramSpec.
+    val groups = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    val gBigrams = groups.where(size(Dedup.tokens(col("__text"))) >= 2)
+      .select(col("gid"), col("g"), explode(Dedup.shingles(col("__text"), 2)).as("bigram"))
+    val counts = gBigrams.groupBy("bigram").agg(sum(col("g")).as("n"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val ctx = counts.groupBy("w1").agg(sum("n").as("ctx_n"))
+    val lm = counts.join(ctx, "w1")
+      .select(col("bigram"), (col("n").cast("double") / col("ctx_n")).as("p"))
+    gBigrams.join(lm, "bigram")
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(col("p"))).as("__alp"))
+      .join(groups.select(col("gid"), col("members")), "gid")
+      .select(explode(col("members")).as(idCol), col("n_bigrams"), col("__alp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__alp"), 4).as("avg_logp"),
+        round(exp(-col("__alp")), 4).as("perplexity"))
+  }
+
+  /** The pre-r19 UNGROUPED perplexity pipeline, kept as the
+    * differential-testing reference for [[bigramPerplexity]]. Not on
+    * any query path. */
+  private[graft] def bigramPerplexityUngrouped(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docBigrams = df.where(size(Dedup.tokens(col(textCol))) >= 2)
       .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
     val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("n"))

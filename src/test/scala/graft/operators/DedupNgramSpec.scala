@@ -137,4 +137,14 @@ class DedupNgramSpec extends SparkSpec {
         s"simhash grouped diverged on $id corpus")
     }
   }
+
+  test("bigramPerplexity: grouped ≡ ungrouped (weighted LM counts) on dups and the fixture") {
+    for ((df, id) <- Seq((dupCorpus, "id"),
+        (spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))) {
+      val a = TextAnalysis.bigramPerplexity(df, id, "text")
+      val b = TextAnalysis.bigramPerplexityUngrouped(df, id, "text")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"perplexity grouped diverged on $id corpus")
+    }
+  }
 }

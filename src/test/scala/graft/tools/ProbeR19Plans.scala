@@ -148,6 +148,12 @@ object ProbeR19Plans {
     })
     after("x_dedup_simhash")
 
+    // ---- perplexity grouping: before = ungrouped LM composition ----
+    dump("x_perplexity_before",
+      graft.operators.TextAnalysis.bigramPerplexityUngrouped(docs, "doc_id", "text")
+        .orderBy("doc_id").limit(200))
+    after("x_perplexity")
+
     spark.stop()
   }
 }
