@@ -437,6 +437,53 @@ object TextAnalysis {
    */
   def crossEntropyDiff(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, smoothing: Double = 1.0): DataFrame = {
+    // Exact-duplicate grouping (r19, the bigramPerplexity analysis):
+    // both LMs are count models, so identical texts contribute
+    // g-weighted counts (exact integer equality with the per-copy
+    // explode), and the per-document score — a function of the text
+    // and the two LMs only — computes once per distinct raw text and
+    // expands to members. Differential-pinned in DedupNgramSpec.
+    val groups = raw.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1L)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    val gToks = groups
+      .select(col("gid"), col("g"),
+        explode(split(lower(trim(col("__text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val cr = gToks.groupBy("token").agg(sum(col("g")).as("c_r"))
+    val ct = target.groupBy(col(textCol).as("__t")).agg(count(lit(1L)).as("g"))
+      .select(col("g"), explode(split(lower(trim(col("__t"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(sum(col("g")).as("c_t"))
+    val feats = cr.join(ct, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val tot = feats.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"),
+      count(lit(1L)).as("v"))
+    val scored = feats.crossJoin(tot).select(col("token"),
+      (log((col("c_t") + smoothing) / (col("t_t") + lit(smoothing) * col("v"))) -
+        log((col("c_r") + smoothing) / (col("t_r") + lit(smoothing) * col("v"))))
+        .as("log_ratio"))
+    gToks.join(scored, Seq("token"))
+      .groupBy(col("gid"))
+      .agg(count(lit(1L)).as("n_tokens"), avg(col("log_ratio")).as("__ce"))
+      .join(groups.select(col("gid"), col("members")), "gid")
+      .select(explode(col("members")).as(idCol), col("n_tokens"), col("__ce"))
+      .select(col(idCol), col("n_tokens"),
+        // + 0.0 normalizes IEEE negative zero (a tiny negative average
+        // rounds to -0.0 in one engine and +0.0 in the other — equal
+        // numerically, different bytes under result hashing)
+        (round(col("__ce"), 6) + lit(0.0)).as("ce_diff"),
+        (round(col("__ce"), 6) > 0).as("selected"))
+  }
+
+  /** The pre-r19 UNGROUPED cross-entropy-difference pipeline, kept as
+    * the differential-testing reference for [[crossEntropyDiff]]. Not
+    * on any query path. */
+  private[graft] def crossEntropyDiffUngrouped(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, smoothing: Double = 1.0): DataFrame = {
     def tokens(df: DataFrame, cols: Seq[Column]): DataFrame =
       df.select(cols :+ explode(split(lower(trim(col(textCol))), "\\s+")).as("token"): _*)
         .where(length(col("token")) > 0)
@@ -457,9 +504,6 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1L)).as("n_tokens"), avg(col("log_ratio")).as("__ce"))
       .select(col(idCol), col("n_tokens"),
-        // + 0.0 normalizes IEEE negative zero (a tiny negative average
-        // rounds to -0.0 in one engine and +0.0 in the other — equal
-        // numerically, different bytes under result hashing)
         (round(col("__ce"), 6) + lit(0.0)).as("ce_diff"),
         (round(col("__ce"), 6) > 0).as("selected"))
   }
@@ -678,6 +722,49 @@ object TextAnalysis {
     // persist pressure, the recompute-over-materialize call a 100 TB
     // corpus forces anyway; the driver math is the same IEEE
     // expression tree the SQL form evaluates.
+    //
+    // Exact-duplicate grouping (r19): both passes now run once per
+    // DISTINCT (text, filter-value) — the filter value joins the group
+    // key so text-identical rows with different target labels never
+    // merge — with the fit counts weighted by group size (c·g ≡ c per
+    // copy) and the per-document score (text + model only) expanded to
+    // members. Differential-pinned in DedupNgramSpec.
+    val groups = raw.groupBy(col(textCol).as("__text"), targetFilter.as("__is_t"))
+      .agg(min(col(idCol)).as("gid"), count(lit(1L)).as("g"),
+        collect_list(col(idCol)).as("members"))
+      .localCheckpoint(eager = false)
+    import graft.functions.word_shingles
+    val gInst = groups.select(col("gid"), col("g"), col("__is_t"), explode(concat(
+        coalesce(word_shingles(col("__text"), 1), array()),
+        coalesce(word_shingles(col("__text"), 2), array()))).as("__ngram"))
+      .select(col("gid"), col("g"), col("__is_t"),
+        dsirBucket(col("__ngram"), buckets).as("bucket"))
+    val rows = gInst.groupBy("bucket").agg(
+        sum(col("g")).as("c_r"),
+        sum(when(col("__is_t"), col("g")).otherwise(0L)).as("c_t")).collect()
+    val cR = new Array[Long](buckets); val cT = new Array[Long](buckets)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket"); cR(b) = r.getAs[Long]("c_r"); cT(b) = r.getAs[Long]("c_t")
+    }
+    val logRatio = dsirLogRatios(cR, cT, smoothing)
+    gInst
+      .select(col("gid"),
+        element_at(typedLit(logRatio.toSeq), col("bucket") + 1).as("log_ratio"))
+      .groupBy(col("gid"))
+      .agg(count(lit(1L)).as("n_feats"), sum(col("log_ratio")).as("__s"))
+      .join(groups.select(col("gid"), col("members")), "gid")
+      .select(explode(col("members")).as(idCol), col("n_feats"), col("__s"))
+      .select(col(idCol), col("n_feats"),
+        (round(col("__s"), 6) + lit(0.0)).as("dsir_logw"),
+        (round(col("__s") / col("n_feats"), 6) + lit(0.0)).as("avg_logw"),
+        (round(col("__s") / col("n_feats"), 6) > 0).as("selected"))
+  }
+
+  /** The pre-r19 UNGROUPED [[dsirWeightsWhere]], kept as the
+    * differential-testing reference. Not on any query path. */
+  private[graft] def dsirWeightsWhereUngrouped(raw: DataFrame, targetFilter: Column,
+      idCol: String, textCol: String, buckets: Int = 4096,
+      smoothing: Double = 1.0): DataFrame = {
     val (cR, cT) = dsirBucketCounts(raw, targetFilter, idCol, textCol, buckets)
     dsirScoreWithModel(raw, idCol, textCol,
       dsirLogRatios(cR, cT, smoothing), buckets)

@@ -147,4 +147,33 @@ class DedupNgramSpec extends SparkSpec {
         s"perplexity grouped diverged on $id corpus")
     }
   }
+
+  test("crossEntropyDiff: grouped ≡ ungrouped (both frames weighted) on dups and the fixture") {
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    for ((raw, tgt, id) <- Seq(
+        (dupCorpus, dupCorpus.where(col("id") % 2 === 0), "id"),
+        (fixture, fixture.where(col("lang") === "en"), "doc_id"))) {
+      val a = TextAnalysis.crossEntropyDiff(raw, tgt, id, "text")
+      val b = TextAnalysis.crossEntropyDiffUngrouped(raw, tgt, id, "text")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"crossEntropyDiff grouped diverged on $id corpus")
+    }
+  }
+
+  test("dsirWeightsWhere: grouped ≡ ungrouped; filter value splits text-identical rows") {
+    // ids 1-3 share a text but 1-2 pass the filter and 3 does not: the
+    // (text, filter) group key must keep the target counts exact
+    val df = Seq(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta gamma", true),
+      (3L, "alpha beta gamma", false),
+      (4L, "delta epsilon zeta", true), (5L, "eta theta iota", false)
+    ).toDF("id", "text", "in_target")
+    val a = TextAnalysis.dsirWeightsWhere(df, col("in_target"), "id", "text", buckets = 64)
+    val b = TextAnalysis.dsirWeightsWhereUngrouped(df, col("in_target"), "id", "text", buckets = 64)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+    val c = TextAnalysis.dsirWeightsWhere(fixture, col("lang") === "en", "doc_id", "text")
+    val d = TextAnalysis.dsirWeightsWhereUngrouped(fixture, col("lang") === "en", "doc_id", "text")
+    assert(c.exceptAll(d).count() == 0 && d.exceptAll(c).count() == 0)
+  }
 }

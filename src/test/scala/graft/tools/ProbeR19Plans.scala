@@ -154,6 +154,18 @@ object ProbeR19Plans {
         .orderBy("doc_id").limit(200))
     after("x_perplexity")
 
+    // ---- moore_lewis / dsir grouping ----
+    dump("x_moore_lewis_before",
+      graft.operators.TextAnalysis.crossEntropyDiffUngrouped(
+        docs, docs.where(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id"))
+    after("x_moore_lewis")
+    dump("x_dsir_before",
+      graft.operators.TextAnalysis.dsirWeightsWhereUngrouped(
+        docs, col("lang") === "en", "doc_id", "text")
+        .orderBy("doc_id"))
+    after("x_dsir")
+
     spark.stop()
   }
 }
